@@ -1,0 +1,92 @@
+"""Single-process oracle parser — the reference-style row-at-a-time engine.
+
+Mirrors the control flow of the reference's ``parse_log`` generator
+(SURVEY.md §3.1, reconstructed: one mutable dict per event, ordered rule
+dispatch, first match wins, default fall-through) and is used ONLY by tests
+to verify the vectorized engine: FIXTURES.md §5 invariant 2 requires the
+Ray pipeline's routed rows to equal this oracle's outputs under stable
+``(conv_id, turn_idx)`` ordering.
+
+Must implement the exact same normative semantics as ``logray.ruleset``:
+- first-match-wins in declaration order, gate checked first
+- optional non-participating capture group -> ``''``
+- failed numeric/timestamp convert -> None + ``parse_error=True``
+- ``''`` fed to a convert -> None, no parse_error
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Iterable, Mapping
+
+from .ruleset import Rule
+from .rules_transcripts import TRANSCRIPT_RULES
+
+
+class OracleParser:
+    def __init__(self, rules: list[Rule] | None = None):
+        self.rules = rules if rules is not None else TRANSCRIPT_RULES
+        self._compiled = [
+            (r, [re.compile(p) for p in r.patterns]) for r in self.rules
+        ]
+
+    def parse_row(self, row: Mapping[str, Any]) -> dict[str, Any]:
+        """Parse one transcript row dict -> event dict (envelope + fields)."""
+        text = row.get("text")
+        for rule, patterns in self._compiled:
+            if rule.gate and any(row.get(col) not in vals for col, vals in rule.gate.items()):
+                continue
+            if not patterns:  # default rule
+                return self._emit(rule, row, {})
+            if text is None:
+                continue
+            for rx in patterns:
+                m = rx.fullmatch(text)
+                if m:
+                    caps = {g: ("" if v is None else v) for g, v in m.groupdict().items()}
+                    return self._emit(rule, row, caps)
+        # unreachable when the ruleset ends with a default, but never drop
+        last = self.rules[-1]
+        return self._emit(last, row, {})
+
+    def _emit(self, rule: Rule, row: Mapping[str, Any], caps: dict[str, str]) -> dict[str, Any]:
+        out: dict[str, Any] = dict(row)
+        out["rule_id"] = rule.rule_id
+        out["sink"] = rule.sink
+        out.update(rule.consts)
+        parse_error = False
+        for name, v in caps.items():
+            out.setdefault(name, v)
+        for c in rule.casts:
+            raw = caps.get(c.src)
+            if raw is None or raw == "":
+                out[c.dst_field] = None
+                continue
+            try:
+                if c.converter == "int64":
+                    x = int(raw)
+                    if not (-(2**63) <= x <= 2**63 - 1):
+                        raise OverflowError(raw)
+                    out[c.dst_field] = x
+                elif c.converter == "float64":
+                    out[c.dst_field] = float(raw)
+                elif c.converter == "percent":
+                    x = int(raw)
+                    if not (-(2**63) <= x <= 2**63 - 1):
+                        raise OverflowError(raw)
+                    out[c.dst_field] = x / 100.0
+                elif c.converter.startswith("timestamp:"):
+                    from datetime import datetime
+
+                    out[c.dst_field] = datetime.strptime(raw, c.converter.split(":", 1)[1])
+                else:
+                    out[c.dst_field] = raw
+            except (ValueError, OverflowError):
+                out[c.dst_field] = None
+                parse_error = True
+        out["parse_error"] = parse_error
+        return out
+
+    def parse_rows(self, rows: Iterable[Mapping[str, Any]]) -> Iterable[dict[str, Any]]:
+        for row in rows:
+            yield self.parse_row(row)

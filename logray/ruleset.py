@@ -1,0 +1,383 @@
+"""Vectorized rule-DSL engine (M0) — the core of the logparse reimplementation.
+
+The reference (``riptano/logparse`` — rules.py, ~100-150 LoC pure Python; see
+SURVEY.md §2A, reconstructed: the reference tree is empty in this sandbox)
+exposes higher-order combinators ``switch``/``case``/``rule``/``capture``/
+``convert``/``update``/``default`` that run one compiled regex cascade per
+*line*, first match wins, mutating a per-event dict.
+
+This module re-expresses the same semantics as an **Arrow-batch kernel**:
+
+- a ``Rule`` is a declarative record (gate, ordered patterns, typed casts,
+  constant updates, sink) — config, not code;
+- ``RuleSet.compile()`` precompiles patterns and groups rules by their gate
+  value — the two-level dispatch is the "compiled pattern trie" of
+  BASELINE.json:6 (gate check is a vectorized ``is_in`` before any regex);
+- ``RuleSet.parse_batch(pa.Table)`` implements first-match-wins over a whole
+  batch with a shrinking "unmatched" boolean mask + ``pc.extract_regex``
+  (RE2), falling back to Python ``re`` only for patterns RE2 rejects, and
+  only on that rule's candidate rows.
+
+Semantics (normative, FIXTURES.md §2):
+- rules evaluated in declaration order; gates checked first; first match wins
+- unmatched rows fall through to the ``default`` rule (never dropped)
+- failed type conversions yield null + ``parse_error=true``; the rule still
+  matches
+- optional capture groups that do not participate in a match yield ``''``
+  (empty string), matching Arrow/RE2 and DuckDB ``regexp_extract`` behavior
+- ``''`` input to a numeric/timestamp cast yields null WITHOUT parse_error
+  (absent optional field, not a malformed value)
+
+The engine never iterates Python rows on the hot path: extraction, casting
+and constant attachment are Arrow kernels; per-rule sub-tables are emitted
+grouped-by-rule (row order within a batch is NOT preserved — the pipeline's
+ordering invariant is enforced by explicit ``(conv_id, turn_idx)`` sorts at
+verification points, see SURVEY.md §7 hard-part 3).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "Cast",
+    "Rule",
+    "CompiledRule",
+    "RuleSet",
+    "CONVERTER_TYPES",
+]
+
+# converter name -> output arrow type; 'percent' divides by 100 after int parse,
+# 'timestamp:<fmt>' parses with strptime(fmt) to timestamp[us].
+CONVERTER_TYPES: dict[str, pa.DataType] = {
+    "int64": pa.int64(),
+    "float64": pa.float64(),
+    "percent": pa.float64(),
+    "string": pa.string(),
+}
+
+
+@dataclass(frozen=True)
+class Cast:
+    """``convert(converter, field)`` of the reference DSL, with an explicit
+    destination so one source capture can fan out to several typed columns
+    (e.g. ``pct`` → int64 ``pct`` and float64 ``frac``)."""
+
+    src: str
+    converter: str  # 'int64' | 'float64' | 'percent' | 'timestamp:<fmt>' | 'string'
+    dst: str | None = None
+
+    @property
+    def dst_field(self) -> str:
+        return self.dst if self.dst is not None else self.src
+
+    @property
+    def arrow_type(self) -> pa.DataType:
+        if self.converter.startswith("timestamp:"):
+            return pa.timestamp("us")
+        try:
+            return CONVERTER_TYPES[self.converter]
+        except KeyError:
+            raise ValueError(f"unknown converter {self.converter!r}") from None
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One ``rule(case(...), capture(...), convert(...), update(...))`` of the
+    reference DSL as a declarative record. ``patterns`` empty => the
+    ``default(...)`` catch-all (matches every remaining row)."""
+
+    rule_id: str
+    sink: str
+    patterns: tuple[str, ...] = ()
+    gate: Mapping[str, tuple[str, ...]] = field(default_factory=dict)
+    casts: tuple[Cast, ...] = ()
+    consts: Mapping[str, str] = field(default_factory=dict)
+
+
+def _re2_ok(pattern: str) -> bool:
+    """True if Arrow's RE2 accepts the pattern (probed on an empty array)."""
+    try:
+        pc.extract_regex(pa.array([], pa.string()), pattern)
+        return True
+    except pa.ArrowInvalid:
+        return False
+
+
+@dataclass
+class CompiledRule:
+    rule: Rule
+    capture_fields: tuple[str, ...]  # union of named groups across patterns
+    arrow_patterns: tuple[str, ...]  # patterns RE2 accepts (hot path)
+    py_patterns: tuple[re.Pattern, ...]  # residual Python-re fallback patterns
+
+    @property
+    def is_default(self) -> bool:
+        return not self.rule.patterns
+
+
+def _compile_rule(rule: Rule) -> CompiledRule:
+    captures: list[str] = []
+    arrow_pats: list[str] = []
+    py_pats: list[re.Pattern] = []
+    for p in rule.patterns:
+        rx = re.compile(p)
+        for g in rx.groupindex:
+            if g not in captures:
+                captures.append(g)
+        if _re2_ok(p):
+            arrow_pats.append(p)
+        else:
+            py_pats.append(rx)
+    cast_srcs = {c.src for c in rule.casts}
+    missing = cast_srcs - set(captures)
+    if missing and rule.patterns:
+        raise ValueError(f"rule {rule.rule_id}: casts reference unknown captures {missing}")
+    return CompiledRule(rule, tuple(captures), tuple(arrow_pats), tuple(py_pats))
+
+
+def _safe_cast(arr: pa.Array, cast: Cast) -> tuple[pa.Array, np.ndarray]:
+    """String array -> typed array; returns (values, error_mask).
+
+    ``''``/null input -> null, no error. Malformed values -> null + error.
+    Vectorized fast path via pc.cast / pc.strptime; elementwise fallback only
+    when the whole-array kernel raises (rare: e.g. int64 overflow rows).
+    """
+    n = len(arr)
+    empty = pc.equal(arr, "")
+    arr = pc.if_else(pc.fill_null(empty, False), pa.nulls(n, pa.string()), arr)
+    errors = np.zeros(n, dtype=bool)
+    conv = cast.converter
+    if conv == "string":
+        return arr, errors
+    if conv.startswith("timestamp:"):
+        fmt = conv.split(":", 1)[1]
+        out = pc.strptime(arr, format=fmt, unit="us", error_is_null=True)
+        errors = np.asarray(pc.and_(arr.is_valid(), out.is_null()).to_numpy(zero_copy_only=False))
+        return out, errors
+    target = pa.int64() if conv in ("int64",) else pa.float64()
+    parse_as = pa.int64() if conv in ("int64", "percent") else pa.float64()
+    try:
+        out = pc.cast(arr, parse_as)
+    except pa.ArrowInvalid:
+        vals: list[Any] = []
+        py = int if parse_as == pa.int64() else float
+        lo, hi = -(2**63), 2**63 - 1
+        for i, v in enumerate(arr.to_pylist()):
+            if v is None:
+                vals.append(None)
+                continue
+            try:
+                x = py(v)
+                if parse_as == pa.int64() and not (lo <= x <= hi):
+                    raise OverflowError(v)
+                vals.append(x)
+            except (ValueError, OverflowError):
+                vals.append(None)
+                errors[i] = True
+        out = pa.array(vals, parse_as)
+    if conv == "percent":
+        out = pc.divide(pc.cast(out, pa.float64()), pa.scalar(100.0))
+    elif out.type != target:
+        out = pc.cast(out, target)
+    return out, errors
+
+
+class RuleSet:
+    """Ordered first-match-wins rule table, compiled for Arrow-batch execution.
+
+    Equivalent of the reference's ``switch((case(...), rule(...), ...))``
+    applied per batch instead of per line. The output schema is fixed at
+    compile time: passthrough columns + ``rule_id``/``sink`` + the union of
+    all const fields (string) + the union of all capture/cast columns
+    (typed) + ``parse_error`` (bool).
+    """
+
+    def __init__(self, rules: Sequence[Rule], passthrough: Sequence[tuple[str, pa.DataType]]):
+        if not rules:
+            raise ValueError("empty ruleset")
+        self.rules = [_compile_rule(r) for r in rules]
+        defaults = [cr for cr in self.rules if cr.is_default]
+        if len(defaults) != 1 or not self.rules[-1].is_default:
+            raise ValueError("ruleset must end with exactly one default rule")
+        self.passthrough = list(passthrough)
+        # union output schema
+        const_fields: list[str] = []
+        capture_types: dict[str, pa.DataType] = {}
+        for cr in self.rules:
+            for k in cr.rule.consts:
+                if k not in const_fields:
+                    const_fields.append(k)
+            cast_by_src = {}
+            for c in cr.rule.casts:
+                cast_by_src.setdefault(c.src, [])
+                cast_by_src[c.src].append(c)
+                t = c.arrow_type
+                prev = capture_types.get(c.dst_field)
+                if prev is not None and prev != t:
+                    raise ValueError(f"type conflict for output column {c.dst_field}: {prev} vs {t}")
+                capture_types[c.dst_field] = t
+            for g in cr.capture_fields:
+                # capture without a cast keeps its raw string form
+                if g not in capture_types and not any(c.src == g and c.dst is None for c in cr.rule.casts):
+                    capture_types.setdefault(g, pa.string())
+        # a raw (uncast) capture in one rule must not collide with a typed
+        # cast output of the same name in another rule
+        for cr in self.rules:
+            cast_dsts = {c.dst_field for c in cr.rule.casts}
+            for g in cr.capture_fields:
+                if g not in cast_dsts and capture_types.get(g, pa.string()) != pa.string():
+                    raise ValueError(
+                        f"rule {cr.rule.rule_id}: raw capture {g!r} collides with a "
+                        f"typed column {capture_types[g]} produced by another rule"
+                    )
+        self.const_fields = const_fields
+        self.capture_fields = list(capture_types.keys())
+        fields = [pa.field(n, t) for n, t in self.passthrough]
+        fields.append(pa.field("rule_id", pa.string()))
+        fields.append(pa.field("sink", pa.string()))
+        fields += [pa.field(n, pa.string()) for n in const_fields]
+        fields += [pa.field(n, capture_types[n]) for n in capture_types]
+        fields.append(pa.field("parse_error", pa.bool_()))
+        self.schema = pa.schema(fields)
+
+    # -- batch execution ----------------------------------------------------
+
+    def _gate_mask(self, cr: CompiledRule, table: pa.Table, n: int) -> np.ndarray:
+        mask = np.ones(n, dtype=bool)
+        for col, values in cr.rule.gate.items():
+            m = pc.is_in(table[col], value_set=pa.array(values, pa.string()))
+            mask &= np.asarray(pc.fill_null(m, False).to_numpy(zero_copy_only=False))
+        return mask
+
+    def _extract(self, cr: CompiledRule, text: pa.ChunkedArray | pa.Array, idx: np.ndarray
+                 ) -> tuple[np.ndarray, dict[str, pa.Array]]:
+        """Run the rule's pattern cascade over candidate rows ``idx``.
+
+        Returns (matched positions into idx, capture column -> values aligned
+        with those positions)."""
+        sub = text.take(pa.array(idx)) if len(idx) else text.slice(0, 0)
+        if isinstance(sub, pa.ChunkedArray):
+            sub = sub.combine_chunks()
+        remaining = np.arange(len(idx))
+        matched_pos: list[np.ndarray] = []
+        matched_caps: list[dict[str, pa.Array]] = []
+        for pat in cr.arrow_patterns:
+            if len(remaining) == 0:
+                break
+            s = sub.take(pa.array(remaining)) if len(remaining) != len(sub) else sub
+            struct = pc.extract_regex(s, pat)
+            valid = np.asarray(struct.is_valid())
+            hit_local = np.flatnonzero(valid)
+            if len(hit_local):
+                hit = remaining[hit_local]
+                caps = {}
+                names = {f.name for f in struct.type}
+                for g in cr.capture_fields:
+                    if g in names:
+                        caps[g] = struct.field(g).take(pa.array(hit_local))
+                    else:
+                        caps[g] = pa.nulls(len(hit_local), pa.string())
+                matched_pos.append(hit)
+                matched_caps.append(caps)
+                remaining = remaining[~valid]
+        for rx in cr.py_patterns:
+            if len(remaining) == 0:
+                break
+            s = sub.take(pa.array(remaining)).to_pylist()
+            hit_local, rows = [], []
+            for i, v in enumerate(s):
+                if v is None:
+                    continue
+                m = rx.fullmatch(v) or rx.search(v)
+                if m:
+                    hit_local.append(i)
+                    rows.append(m.groupdict())
+            if hit_local:
+                hl = np.asarray(hit_local)
+                caps = {
+                    g: pa.array([("" if r.get(g) is None else r.get(g)) for r in rows], pa.string())
+                    for g in cr.capture_fields
+                }
+                matched_pos.append(remaining[hl])
+                matched_caps.append(caps)
+                keep = np.ones(len(remaining), dtype=bool)
+                keep[hl] = False
+                remaining = remaining[keep]
+        if not matched_pos:
+            return np.empty(0, dtype=np.int64), {}
+        pos = np.concatenate(matched_pos)
+        caps = {
+            g: pa.concat_arrays([pc.cast(c[g], pa.string()) for c in matched_caps])
+            for g in cr.capture_fields
+        }
+        return pos, caps
+
+    def _emit(self, cr: CompiledRule, table: pa.Table, take_idx: np.ndarray,
+              caps: dict[str, pa.Array]) -> pa.Table:
+        n = len(take_idx)
+        sub = table.take(pa.array(take_idx))
+        cols: list[pa.Array | pa.ChunkedArray] = [sub[name] for name, _ in self.passthrough]
+        cols.append(pa.array([cr.rule.rule_id] * n, pa.string()))
+        cols.append(pa.array([cr.rule.sink] * n, pa.string()))
+        for f in self.const_fields:
+            v = cr.rule.consts.get(f)
+            cols.append(pa.array([v] * n, pa.string()) if v is not None else pa.nulls(n, pa.string()))
+        err = np.zeros(n, dtype=bool)
+        cast_by_dst = {c.dst_field: c for c in cr.rule.casts}
+        for name in self.capture_fields:
+            t = self.schema.field(name).type
+            if name in cast_by_dst:
+                c = cast_by_dst[name]
+                if c.src in caps:
+                    vals, e = _safe_cast(caps[c.src], c)
+                    err |= e
+                    cols.append(vals)
+                else:
+                    cols.append(pa.nulls(n, t))
+            elif name in caps and t == pa.string():
+                cols.append(caps[name])
+            else:
+                cols.append(pa.nulls(n, t))
+        cols.append(pa.array(err))
+        return pa.Table.from_arrays(cols, schema=self.schema)
+
+    def parse_batch(self, table: pa.Table, text_col: str = "text") -> pa.Table:
+        """First-match-wins parse of one Arrow batch. Row order is grouped by
+        matching rule (order-insensitive downstream; see module docstring)."""
+        n = table.num_rows
+        if n == 0:
+            return self.schema.empty_table()
+        text = table[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        unmatched = np.ones(n, dtype=bool)
+        pieces: list[pa.Table] = []
+        for cr in self.rules:
+            if not unmatched.any():
+                break
+            gate = self._gate_mask(cr, table, n)
+            idx = np.flatnonzero(unmatched & gate)
+            if len(idx) == 0:
+                continue
+            if cr.is_default:
+                pieces.append(self._emit(cr, table, idx, {}))
+                unmatched[idx] = False
+                continue
+            pos, caps = self._extract(cr, text, idx)
+            if len(pos) == 0:
+                continue
+            take_idx = idx[pos]
+            unmatched[take_idx] = False
+            pieces.append(self._emit(cr, table, take_idx, caps))
+        if unmatched.any():
+            # gated default shouldn't happen (default has no gate), but never drop rows
+            idx = np.flatnonzero(unmatched)
+            pieces.append(self._emit(self.rules[-1], table, idx, {}))
+        return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]

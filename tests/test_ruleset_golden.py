@@ -1,0 +1,114 @@
+"""Golden-line tests (reference test style, SURVEY.md §5.1): one raw line in,
+one expected structured event out — field-for-field, including classification
+triple and converted types. Runs each case through BOTH the pure-Python oracle
+parser and the vectorized Arrow engine; they must agree with the golden dict
+and with each other."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import math
+from pathlib import Path
+
+import pyarrow as pa
+import pytest
+
+from logray.oracle import OracleParser
+from logray.rules_transcripts import TRANSCRIPT_PASSTHROUGH, transcript_ruleset
+
+GOLDEN = Path(__file__).parent / "golden.jsonl"
+
+_TS = datetime.datetime(2026, 1, 1)
+
+
+def _load_cases():
+    cases = [json.loads(line) for line in GOLDEN.read_text().splitlines() if line.strip()]
+    # 400-char boundary cases (awkward to keep readable inside the jsonl)
+    cases.append({"text": "x" * 400, "role": "user", "tool": "",
+                  "expected": {"rule_id": "R09_user_msg", "sink": "sink_dialogue",
+                               "category": "dialogue", "event_type": "user_msg",
+                               "msg": "x" * 400, "parse_error": False}})
+    cases.append({"text": "x" * 401, "role": "user", "tool": "",
+                  "expected": {"rule_id": "R99_default", "sink": "sink_unknown",
+                               "category": "unknown", "event_type": "unknown",
+                               "parse_error": False}})
+    return cases
+
+
+CASES = _load_cases()
+
+
+def _row(case, i):
+    return {"conv_id": "cg", "turn_idx": i, "role": case["role"],
+            "text": case["text"], "tool": case["tool"], "ts": _TS}
+
+
+def _check(expected: dict, got: dict, label: str):
+    for k, v in expected.items():
+        g = got.get(k)
+        if isinstance(v, float) and isinstance(g, float):
+            assert math.isclose(g, v, rel_tol=1e-12), f"{label}: field {k}: {g!r} != {v!r}"
+        else:
+            assert g == v, f"{label}: field {k}: {g!r} != {v!r}"
+
+
+@pytest.mark.parametrize("i", range(len(CASES)), ids=lambda i: f"case{i:02d}")
+def test_oracle_golden(i):
+    case = CASES[i]
+    got = OracleParser().parse_row(_row(case, i))
+    _check(case["expected"], got, f"oracle case {i} {case['text'][:40]!r}")
+
+
+def test_engine_golden_batch():
+    """All golden lines in ONE batch — exercises mask shrinking across rules."""
+    rs = transcript_ruleset()
+    schema = pa.schema([pa.field(n, t) for n, t in TRANSCRIPT_PASSTHROUGH])
+    tbl = pa.Table.from_pylist([_row(c, i) for i, c in enumerate(CASES)], schema=schema)
+    out = rs.parse_batch(tbl)
+    assert out.num_rows == len(CASES), "routed-row parity: no row dropped or duplicated"
+    by_turn = {r["turn_idx"]: r for r in out.to_pylist()}
+    for i, case in enumerate(CASES):
+        _check(case["expected"], by_turn[i], f"engine case {i} {case['text'][:40]!r}")
+        # fields not claimed by the expected dict must be null (schema union)
+        for k, v in by_turn[i].items():
+            if k in case["expected"] or k in ("conv_id", "turn_idx", "role", "text", "tool", "ts"):
+                continue
+            assert v is None, f"case {i}: unexpected non-null field {k}={v!r}"
+
+
+def test_engine_matches_oracle_rowwise():
+    rs = transcript_ruleset()
+    schema = pa.schema([pa.field(n, t) for n, t in TRANSCRIPT_PASSTHROUGH])
+    rows = [_row(c, i) for i, c in enumerate(CASES)]
+    out = rs.parse_batch(pa.Table.from_pylist(rows, schema=schema))
+    by_turn = {r["turn_idx"]: r for r in out.to_pylist()}
+    op = OracleParser()
+    for i, row in enumerate(rows):
+        o = op.parse_row(row)
+        e = by_turn[i]
+        for k in set(o) | set(e):
+            ov, ev = o.get(k), e.get(k)
+            if isinstance(ov, float) and isinstance(ev, float):
+                assert math.isclose(ov, ev, rel_tol=1e-12), (i, k, ov, ev)
+            else:
+                assert ov == ev, (i, k, ov, ev)
+
+
+def test_empty_batch():
+    rs = transcript_ruleset()
+    schema = pa.schema([pa.field(n, t) for n, t in TRANSCRIPT_PASSTHROUGH])
+    out = rs.parse_batch(schema.empty_table())
+    assert out.num_rows == 0
+    assert out.schema == rs.schema
+
+
+def test_null_text_falls_through():
+    rs = transcript_ruleset()
+    schema = pa.schema([pa.field(n, t) for n, t in TRANSCRIPT_PASSTHROUGH])
+    tbl = pa.Table.from_pylist(
+        [{"conv_id": "c", "turn_idx": 0, "role": "user", "text": None, "tool": "", "ts": _TS}],
+        schema=schema)
+    out = rs.parse_batch(tbl).to_pylist()[0]
+    assert out["rule_id"] == "R99_default"
+    assert out["sink"] == "sink_unknown"
