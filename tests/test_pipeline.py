@@ -1,0 +1,184 @@
+"""End-to-end invariants (FIXTURES.md §5) over the generated transcript table:
+count parity, routed-row equality, per-turn text equality vs the oracle,
+salted-aggregate exactness, resume idempotence, determinism."""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from logray.gen import generate_corpus
+from logray.oracle import OracleParser
+from logray.pipelines import aggregates
+from logray.pipelines.flagship import read_sink, run_flagship
+from logray.rules_transcripts import SINKS, TRANSCRIPT_RULES
+from logray.state import manifests
+
+SF = 0.002  # ~200 convs, ~1.7k turns — fast but covers every rule
+
+RULE_SINK = {r.rule_id: r.sink for r in TRANSCRIPT_RULES}
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    meta = generate_corpus(SF, d)
+    return d, meta
+
+
+@pytest.fixture(scope="module")
+def flagship_run(ray_session, corpus, tmp_path_factory):
+    in_dir, meta = corpus
+    out = tmp_path_factory.mktemp("out")
+    metrics = run_flagship(in_dir, out, enrich_concurrency=2)
+    return in_dir, meta, out, metrics
+
+
+def test_count_parity(flagship_run):
+    """Invariant 1: per-(sink, rule) aggregate counts == analytic counts."""
+    _, meta, out, metrics = flagship_run
+    agg = pq.read_table(out / "_aggregates.parquet").to_pylist()
+    got = {(r["sink"], r["rule_id"]): r["n"] for r in agg}
+    want = {(RULE_SINK[rid], rid): n for rid, n in meta["rule_counts"].items()}
+    assert got == want
+    assert metrics["rows"] == meta["n_turns"]
+    assert metrics["parse_errors"] == 0
+
+
+def test_routed_row_equality_and_text_order(flagship_run):
+    """Invariant 2: each input row in exactly one sink; union == oracle parse;
+    per-turn text equality under stable (conv_id, turn_idx) ordering."""
+    in_dir, meta, out, _ = flagship_run
+    sink_tables = []
+    for s in SINKS:
+        files = manifests.manifest_files(out, s)
+        if files:
+            t = pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+            sink_tables.append(t)
+    union = pa.concat_tables(sink_tables, promote_options="default")
+    assert union.num_rows == meta["n_turns"]
+
+    # exactly-one-sink: (conv_id, turn_idx) unique across the union
+    keys = union.select(["conv_id", "turn_idx"])
+    assert keys.group_by(["conv_id", "turn_idx"]).aggregate([("conv_id", "count")]).num_rows \
+        == meta["n_turns"]
+
+    # stable-order text equality + full field equality vs the oracle parser
+    union = union.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    inputs = pa.concat_tables([pq.read_table(f) for f in sorted(Path(in_dir).glob("*.parquet"))])
+    inputs = inputs.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert union["text"].to_pylist() == inputs["text"].to_pylist()
+
+    op = OracleParser()
+    got_rows = union.to_pylist()
+    for i, row in enumerate(inputs.to_pylist()):
+        o = op.parse_row(row)
+        g = got_rows[i]
+        for k, v in o.items():
+            gv = g.get(k)
+            if isinstance(v, float) and isinstance(gv, float):
+                assert abs(v - gv) < 1e-9, (i, k)
+            else:
+                assert gv == v, (i, k, gv, v)
+
+
+def test_enriched_columns(flagship_run):
+    """Enrich stage: lookups present with frozen FIXTURES.md §3 semantics."""
+    _, _, out, _ = flagship_run
+    files = manifests.manifest_files(out, "sink_action")
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    assert {"role_code", "role_group", "tool_tier", "cost_class", "conv_bucket",
+            "bucket_label"} <= set(t.column_names)
+    # tool rows in sink_action have known tools -> never 'unknown'
+    ok_rows = t.filter(pc.equal(t["rule_id"], "R02_tool_result_ok"))
+    assert pc.all(pc.not_equal(ok_rows["tool_tier"], "unknown")).as_py()
+    # role codes follow the frozen dict
+    tool_rows = t.filter(pc.equal(t["role"], "tool"))
+    assert pc.all(pc.equal(tool_rows["role_code"], 3)).as_py()
+    dialogue = pa.concat_tables(
+        [pq.read_table(f) for f in manifests.manifest_files(out, "sink_dialogue")])
+    no_tool = dialogue.filter(pc.equal(dialogue["tool"], ""))
+    assert pc.all(pc.equal(no_tool["tool_tier"], "unknown")).as_py()
+    assert pc.all(no_tool["cost_class"].is_null()).as_py()
+
+
+def test_salted_counts_exact(ray_session, flagship_run):
+    """Invariant 1 (salted path): salted per-conv counts == plain groupby."""
+    import ray.data
+
+    in_dir, meta, _, _ = flagship_run
+    ds = ray.data.read_parquet([str(f) for f in sorted(Path(in_dir).glob("*.parquet"))])
+    salted = {r["conv_id"]: r["n"] for r in
+              aggregates.salted_group_counts(ds, "conv_id", salt=8).take_all()}
+    plain = {r["conv_id()"] if "conv_id()" in r else r["conv_id"]: r["count()"]
+             for r in ds.groupby("conv_id").count().take_all()}
+    assert salted == plain
+    assert sum(salted.values()) == meta["n_turns"]
+
+
+def test_sink_rule_counts_shuffle_matches_manifest(ray_session, flagship_run):
+    """Cross-check: shuffle-based aggregate == manifest-rollup aggregate."""
+    import ray.data
+
+    in_dir, _, out, _ = flagship_run
+    from logray.stages.parse import parse_batch_fn
+
+    ds = ray.data.read_parquet([str(f) for f in sorted(Path(in_dir).glob("*.parquet"))])
+    parsed = ds.map_batches(parse_batch_fn, batch_format="pyarrow", zero_copy_batch=True)
+    shuffle = {(r["sink"], r["rule_id"]): r["n"]
+               for r in aggregates.sink_rule_counts(parsed).take_all()}
+    agg = pq.read_table(out / "_aggregates.parquet").to_pylist()
+    rollup = {(r["sink"], r["rule_id"]): r["n"] for r in agg}
+    assert shuffle == rollup
+
+
+def test_resume_skips_committed_and_is_idempotent(ray_session, corpus, tmp_path_factory):
+    """Invariant 3: delete some manifests, rerun — identical aggregates, no
+    duplicated rows; committed partitions are skipped."""
+    in_dir, meta = corpus
+    out = tmp_path_factory.mktemp("resume_out")
+    m1 = run_flagship(in_dir, out, enrich_concurrency=2)
+    agg1 = pq.read_table(out / "_aggregates.parquet")
+    assert len(m1["partitions_ran"]) == meta["partitions"]
+
+    # simulate a crash after k partitions: drop 3 manifests (+ their files)
+    victims = m1["partitions_ran"][:3]
+    for pid in victims:
+        shutil.rmtree(manifests.partition_dir(out, pid))
+    m2 = run_flagship(in_dir, out, enrich_concurrency=2)
+    assert sorted(m2["partitions_ran"]) == sorted(victims)
+    assert sorted(m2["partitions_skipped"]) == sorted(set(p for p, _ in
+                  [(p, None) for p in m1["partitions_ran"]]) - set(victims))
+    agg2 = pq.read_table(out / "_aggregates.parquet")
+    assert agg1.equals(agg2)
+    assert m2["rows"] == meta["n_turns"]
+
+    # orphan sweep finds nothing after clean runs
+    assert manifests.sweep_orphans(out, dry_run=True) == []
+
+
+def test_orphan_files_invisible(ray_session, corpus, tmp_path_factory):
+    """A stray file from a failed attempt is not referenced and gets swept."""
+    in_dir, _, = corpus[0], corpus[1]
+    in_dir = corpus[0]
+    out = tmp_path_factory.mktemp("orphan_out")
+    run_flagship(in_dir, out, enrich_concurrency=2)
+    victim_dir = next(Path(out).glob("partition=*/sink=sink_dialogue"))
+    orphan = victim_dir / "part-deadbeef.parquet"
+    shutil.copyfile(next(victim_dir.glob("*.parquet")), orphan)
+    assert str(orphan) not in manifests.manifest_files(out)
+    swept = manifests.sweep_orphans(out)
+    assert [str(orphan)] == swept and not orphan.exists()
+
+
+def test_metrics_json_written(flagship_run):
+    _, meta, out, _ = flagship_run
+    m = json.loads((out / "_metrics.json").read_text())
+    assert m["rows"] == meta["n_turns"]
+    assert 0 < m["matched_pct"] < 100
