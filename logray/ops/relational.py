@@ -1,0 +1,150 @@
+"""Relational operators expressed Ray-Data-first (SURVEY.md §2 C4–C7).
+
+- ``broadcast_join``: small side shipped once (``ray.put`` when a Ray
+  session exists, closure capture otherwise) and merged per batch with a
+  vectorized pandas merge — no shuffle. This is the C4 lookup-join path;
+  large-large joins would hash-bucket both sides (see ray_guide) but no
+  pipeline here needs one.
+- ``grouped_agg``: partial per-batch aggregation (combiner) then a small
+  groupby().sum / min / max over the partials — the C5 pattern: the
+  shuffle moves one row per key per batch, never raw rows.
+- ``topk``: per-batch local top-k then a driver-side combine of
+  blocks×k candidate rows (C6).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_join(ds, small: pd.DataFrame, on: str | list[str], *,
+                   how: str = "inner", broadcast: bool = True):
+    """Join a Dataset with a small pandas table by broadcasting the small side."""
+    ref = None
+    if broadcast:
+        try:
+            import ray
+
+            if ray.is_initialized():
+                ref = ray.put(small)
+        except Exception:
+            ref = None
+    small_local = small if ref is None else None
+
+    class Joiner:
+        def __init__(self):
+            if ref is not None:
+                import ray
+
+                self.small = ray.get(ref)
+            else:
+                self.small = small_local
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(Joiner, batch_format="pandas", concurrency=(1, 8))
+
+
+_COMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def grouped_agg(ds, keys: Sequence[str], aggs: dict[str, tuple[str, str]]):
+    """Grouped aggregation with partial-per-batch combine.
+
+    ``aggs``: output_name -> (input_col, fn) with fn in
+    {sum, count, min, max, mean}. mean is computed from sum+count partials
+    so the combine stays exact. Returns a Dataset with columns
+    ``keys + list(aggs)``.
+    """
+    keys = list(keys)
+    means = {o: c for o, (c, f) in aggs.items() if f == "mean"}
+    partial_specs: dict[str, tuple[str, str]] = {}
+    for out, (col, fn) in aggs.items():
+        if fn == "mean":
+            partial_specs[f"__sum_{out}"] = (col, "sum")
+            partial_specs[f"__cnt_{out}"] = (col, "count")
+        else:
+            partial_specs[out] = (col, fn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gb = batch.group_by(keys).aggregate(
+            [(col, fn) for _, (col, fn) in partial_specs.items()])
+        # pyarrow names results <col>_<fn>; rename positionally to our names
+        rename = {}
+        for out, (col, fn) in partial_specs.items():
+            rename[f"{col}_{fn}"] = out
+        names = []
+        used = set()
+        for c in gb.column_names:
+            if c in rename and c not in used:
+                names.append(rename[c])
+                used.add(c)
+            else:
+                names.append(c)
+        return gb.rename_columns(names)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    combiners = []
+    for out, (col, fn) in partial_specs.items():
+        cls = {"sum": Sum, "count": Sum, "min": Min, "max": Max}[_COMBINE.get(fn, fn)]
+        combiners.append(cls(out, alias_name=out))
+    combined = ds.map_batches(partial, batch_format="pyarrow").groupby(keys).aggregate(*combiners)
+
+    if means:
+        def finish(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            for out in means:
+                batch = batch.append_column(
+                    out, pc.divide(pc.cast(batch[f"__sum_{out}"], pa.float64()),
+                                   pc.cast(batch[f"__cnt_{out}"], pa.float64())))
+            drop = [c for c in batch.column_names if c.startswith("__sum_") or c.startswith("__cnt_")]
+            return batch.drop(drop)
+
+        combined = combined.map_batches(finish, batch_format="pyarrow")
+    return combined
+
+
+def topk(ds, sort_cols: list[tuple[str, bool]], k: int) -> pd.DataFrame:
+    """Global top-k: local top-k per batch, then combine candidates.
+
+    ``sort_cols``: [(col, descending)]; include a unique tiebreak column
+    last so results are deterministic. Returns a pandas DataFrame.
+    """
+    by = [c for c, _ in sort_cols]
+    asc = [not d for _, d in sort_cols]
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(by, ascending=asc).head(k)
+
+    cand = ds.map_batches(local, batch_format="pandas").to_pandas()
+    return cand.sort_values(by, ascending=asc).head(k).reset_index(drop=True)
+
+
+def distinct(ds, cols: list[str]):
+    """Distinct rows over ``cols``: per-batch unique (combiner) then a
+    grouped keep-one — the shuffle sees only per-batch uniques."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return ds.map_batches(local, batch_format="pyarrow").groupby(cols).map_groups(
+        first, batch_format="pandas")
+
+
+def keep_first(ds, keys: list[str], order_col: str):
+    """Dedup: keep the row with min ``order_col`` per ``keys`` group (C7)."""
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col).head(1)
+
+    return ds.groupby(keys).map_groups(local, batch_format="pandas")

@@ -1,0 +1,151 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``ann_topk``: brute-force cosine top-k — the exact baseline. The query
+  matrix is broadcast once (``ray.put`` driver-side / closure capture);
+  each batch does one numpy matmul and emits only its local top-k rows,
+  so the combine step sees num_blocks × k candidates, never the corpus.
+- ``IvfIndex``: the scale path — k-means coarse quantizer built on a
+  sample (driver, numpy), then batches assign rows to their nearest
+  centroid bucket; a query probes only ``nprobe`` buckets. The fitted
+  index is tiny (centroids matrix) and broadcast to workers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(X: np.ndarray) -> np.ndarray:
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+
+def _vec_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.stack(col.to_pandas().to_numpy()).astype(np.float64)
+
+
+def ann_topk(ds, queries: np.ndarray, k: int = 10, *,
+             vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Exact cosine top-k for each query row of ``queries`` (q × d).
+
+    Returns a small pandas DataFrame (query_id, vec_id, cosine, rank),
+    rank 1 = best. Per-batch: one matmul + argpartition; driver combine:
+    q × (blocks·k) candidate rows.
+    """
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    nq = Q.shape[0]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        X = _normalize(_vec_matrix(batch, vec_col))
+        ids = batch[id_col].to_pandas().to_numpy()
+        S = X @ Q.T  # (n, q)
+        kk = min(k, S.shape[0])
+        part = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, q)
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        for qi in range(nq):
+            sel = part[:, qi]
+            rows["query_id"].extend([qi] * len(sel))
+            rows["vec_id"].extend(ids[sel])
+            rows["cosine"].extend(S[sel, qi])
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "vec_id": pa.array(rows["vec_id"], pa.int64()),
+            "cosine": pa.array(rows["cosine"], pa.float64()),
+        })
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["query_id", "cosine", "vec_id"],
+                            ascending=[True, False, True])
+    out = cand.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out
+
+
+class IvfIndex:
+    """IVF (inverted-file) coarse index: k-means centroids over a sample.
+
+    ``fit`` runs a few Lloyd iterations on the driver (sample must fit —
+    it's a uniform random_sample of the corpus, small by construction).
+    ``assign_stage`` is a map_batches body labeling rows with their
+    nearest centroid; ``search`` probes the ``nprobe`` closest buckets.
+    """
+
+    def __init__(self, n_lists: int = 16, iters: int = 10, seed: int = 5):
+        self.n_lists = n_lists
+        self.iters = iters
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, sample: np.ndarray) -> "IvfIndex":
+        X = _normalize(np.asarray(sample, dtype=np.float64))
+        rng = np.random.default_rng(self.seed)
+        k = min(self.n_lists, len(X))
+        C = X[rng.choice(len(X), k, replace=False)]
+        for _ in range(self.iters):
+            assign = (X @ C.T).argmax(axis=1)
+            for j in range(k):
+                m = assign == j
+                if m.any():
+                    C[j] = X[m].mean(axis=0)
+            C = _normalize(C)
+        self.centroids = C
+        return self
+
+    def assign_stage(self, vec_col: str = "embedding"):
+        C = self.centroids
+        assert C is not None, "fit() first"
+
+        def assign(batch: pa.Table) -> pa.Table:
+            X = _normalize(_vec_matrix(batch, vec_col))
+            lists = (X @ C.T).argmax(axis=1).astype(np.int32)
+            return batch.append_column("ivf_list", pa.array(lists))
+
+        return assign
+
+    def search(self, assigned_ds, queries: np.ndarray, k: int = 10, *,
+               nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id"):
+        """Probe the nprobe nearest lists per query; exact cosine inside."""
+        C = self.centroids
+        assert C is not None
+        Q = _normalize(np.asarray(queries, dtype=np.float64))
+        probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)
+        wanted: dict[int, list[int]] = {}
+        for qi, lists in enumerate(probe):
+            for li in lists:
+                wanted.setdefault(int(li), []).append(qi)
+
+        def local(batch: pa.Table) -> pa.Table:
+            lists = batch["ivf_list"].to_pandas().to_numpy()
+            rows = {"query_id": [], "vec_id": [], "cosine": []}
+            ids = batch[id_col].to_pandas().to_numpy()
+            X = None
+            for li, qis in wanted.items():
+                m = np.flatnonzero(lists == li)
+                if len(m) == 0:
+                    continue
+                if X is None:
+                    X = _normalize(_vec_matrix(batch, vec_col))
+                S = X[m] @ Q[qis].T
+                kk = min(k, len(m))
+                part = np.argpartition(-S, kk - 1, axis=0)[:kk]
+                for c, qi in enumerate(qis):
+                    sel = m[part[:, c]]
+                    rows["query_id"].extend([qi] * len(sel))
+                    rows["vec_id"].extend(ids[sel])
+                    rows["cosine"].extend(S[part[:, c], c])
+            return pa.table({
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "cosine": pa.array(rows["cosine"], pa.float64()),
+            })
+
+        cand = assigned_ds.map_batches(local, batch_format="pyarrow").to_pandas()
+        cand = cand.sort_values(["query_id", "cosine", "vec_id"],
+                                ascending=[True, False, True])
+        out = cand.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+        out["rank"] = out.groupby("query_id").cumcount() + 1
+        return out

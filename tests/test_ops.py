@@ -1,0 +1,224 @@
+"""Unit tests for training-data ops: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from logray.ops import dedup, multimodal, similarity, text as text_ops
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture()
+def docs_table():
+    return pq.read_table(DOCS)
+
+
+def _ds(table):
+    import ray.data
+
+    return ray.data.from_arrow(table)
+
+
+# ------------------------------------------------------------------ text ----
+
+def test_token_counts(ray_session):
+    t = pa.table({"text": ["one two  three", "", "a-b c", None]})
+    out = text_ops.add_token_counts(t)
+    assert out["n_tokens_ws"].to_pylist() == [3, 0, 2, None]
+    assert out["n_tokens_bpe"].to_pylist() == [3, 0, 4, None]
+
+
+def test_fingerprint_matches_md5():
+    import hashlib
+
+    t = pa.table({"text": ["Hello World", "x"]})
+    out = text_ops.add_fingerprint(t)
+    assert out["fingerprint"].to_pylist()[0] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_rolling_fingerprint_order_sensitive():
+    t = pa.table({"text": ["a b c", "c b a", "a b c"]})
+    out = text_ops.add_rolling_fingerprint(t)["rolling_fp"].to_pylist()
+    assert out[0] != out[1] and out[0] == out[2]
+
+
+def test_langid():
+    t = pa.table({"text": [
+        "the cat and the dog went to the park with a ball",
+        "der Hund ist nicht mit der Katze und ein Vogel im Haus",
+        "el perro y el gato en la casa con una pelota es de madrid",
+        "le chien et le chat dans la maison pour une balle qui est",
+        "这是一个中文句子用来测试语言识别",
+        "zzz qqq kkk",
+    ]})
+    out = text_ops.LangIdStage()(t)
+    assert out["lang_pred"].to_pylist() == ["en", "de", "es", "fr", "zh", "unknown"]
+
+
+def test_quality_score_ranges(docs_table):
+    out = text_ops.add_quality_score(docs_table)
+    q = out["quality"].to_pylist()
+    assert all(0.0 <= v <= 1.0 for v in q)
+    # symbol soup scores below clean prose
+    t2 = text_ops.add_quality_score(pa.table({"text": [
+        "the quick brown fox jumps over the lazy dog and runs to the hills again "
+        "with a friend of the family in tow for a long day of play",
+        "@#$%^&*!!! ~~ ??? ###"]}))
+    qq = t2["quality"].to_pylist()
+    assert qq[0] > qq[1]
+
+
+# ----------------------------------------------------------------- dedup ----
+
+def test_exact_dedup(ray_session, docs_table):
+    dup = docs_table.slice(0, 50)
+    dup = dup.set_column(dup.schema.get_field_index("doc_id"), "doc_id",
+                         pa.array(np.arange(10_000, 10_050)))
+    both = pa.concat_tables([docs_table, dup])
+    out = dedup.exact_dedup(_ds(both)).to_pandas()
+    assert len(out) == docs_table.num_rows  # originals all unique
+    # survivors are the min-id copies
+    assert out["doc_id"].max() < 10_000
+
+
+def test_minhash_lsh_dedup_finds_planted(ray_session, docs_table):
+    base = docs_table.slice(0, 100)
+    texts = base["text"].to_pylist()
+    # plant: two exact copies + one light edit of doc 0
+    edited = texts[0].replace(" the ", " thee ", 1) if " the " in texts[0] else texts[0] + " tail"
+    extra = pa.table({
+        "doc_id": pa.array([9001, 9002, 9003], pa.int64()),
+        "text": pa.array([texts[0], texts[1], edited]),
+        "lang": pa.array(["en"] * 3), "source": pa.array(["dup"] * 3),
+        "n_chars": pa.array([len(texts[0]), len(texts[1]), len(edited)], pa.int64()),
+    })
+    both = pa.concat_tables([base, extra.select(base.column_names)], promote_options="default")
+    out = dedup.minhash_lsh_dedup(_ds(both), threshold=0.7).to_pandas()
+    by_id = out.set_index("doc_id")
+    assert by_id.loc[9001, "cluster_id"] == by_id.loc[0, "cluster_id"] == 0
+    assert by_id.loc[9002, "cluster_id"] == 1
+    assert by_id.loc[9003, "cluster_id"] == 0  # light edit clusters with original
+    assert bool(by_id.loc[0, "keep"]) and not bool(by_id.loc[9001, "keep"])
+    # the testdata has its own planted near-dups: docs 50 and 82 cluster with 0
+    assert by_id.loc[50, "cluster_id"] == 0 and by_id.loc[82, "cluster_id"] == 0
+    # a genuinely unique doc keeps itself (verified: doc 3 has no partner ≥0.3)
+    assert bool(by_id.loc[3, "keep"]) and by_id.loc[3, "cluster_id"] == 3
+
+
+def test_simhash_dedup_finds_planted(ray_session, docs_table):
+    base = docs_table.slice(0, 100)
+    texts = base["text"].to_pylist()
+    extra = pa.table({
+        "doc_id": pa.array([9001], pa.int64()),
+        "text": pa.array([texts[3]]),
+        "lang": pa.array(["en"]), "source": pa.array(["dup"]),
+        "n_chars": pa.array([len(texts[3])], pa.int64()),
+    })
+    both = pa.concat_tables([base, extra.select(base.column_names)], promote_options="default")
+    out = dedup.simhash_dedup(_ds(both)).to_pandas().set_index("doc_id")
+    assert out.loc[9001, "cluster_id"] == out.loc[3, "cluster_id"] == 3
+    assert not bool(out.loc[9001, "keep"])
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["the quick brown fox jumps", "the quick brown fox jumped",
+                 "completely different words here"],
+    })
+    out = dedup.ngram_jaccard_pairs(_ds(t), threshold=0.5).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["a"], out.iloc[0]["b"]) == (1, 2)
+    assert out.iloc[0]["jaccard"] > 0.7
+    # kernel sanity
+    assert dedup.ngram_jaccard("abc", "abc") == 1.0
+    assert dedup.ngram_jaccard("abc", "xyz") == 0.0
+
+
+def test_embedding_neardup(ray_session):
+    emb = pq.read_table(EMB)
+    V = np.stack(emb["embedding"].to_pandas().to_numpy())
+    dup = V[5] * 2.0  # same direction, different norm -> cosine 1.0
+    extra = pa.table({
+        "vec_id": pa.array([9001], pa.int64()),
+        "embedding": pa.array([dup.astype(np.float32)], emb.schema.field("embedding").type),
+        "label": pa.array([0], pa.int32()),
+    })
+    both = pa.concat_tables([emb, extra.select(emb.column_names)], promote_options="default")
+    out = dedup.embedding_neardup(_ds(both), threshold=0.98).to_pandas().set_index("vec_id")
+    assert out.loc[9001, "cluster_id"] == out.loc[5, "cluster_id"] == 5
+
+
+# ------------------------------------------------------------ similarity ----
+
+def test_ann_topk_matches_bruteforce(ray_session):
+    emb = pq.read_table(EMB)
+    V = np.stack(emb["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_pylist()
+    Q = V[[0, 7]]
+    got = similarity.ann_topk(_ds(emb), Q, k=5)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Vn @ Qn.T
+    for qi in range(2):
+        want = [ids[i] for i in np.argsort(-S[:, qi])[:5]]
+        sub = got[got["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert sub == want
+        assert got[got["query_id"] == qi].iloc[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_ivf_search_recall(ray_session):
+    emb = pq.read_table(EMB)
+    V = np.stack(emb["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    Q = V[[3, 11, 42]]
+    idx = similarity.IvfIndex(n_lists=8).fit(V)
+    assigned = _ds(emb).map_batches(idx.assign_stage(), batch_format="pyarrow")
+    got = idx.search(assigned, Q, k=5, nprobe=4)
+    brute = similarity.ann_topk(_ds(emb), Q, k=5)
+    # recall@5 with nprobe=half the lists should be high; self-hit must survive
+    for qi in range(3):
+        g = set(got[got["query_id"] == qi]["vec_id"])
+        b = set(brute[brute["query_id"] == qi]["vec_id"])
+        assert len(g & b) >= 3
+        assert brute[brute["query_id"] == qi].iloc[0]["vec_id"] in g
+
+
+# ------------------------------------------------------------- multimodal ---
+
+def test_multimodal_fake_decode(ray_session):
+    t = multimodal.make_fake_media_table(20)
+    out = _ds(t).map_batches(
+        multimodal.DecodeImageStage, fn_constructor_kwargs={"decode": "fake"},
+        concurrency=1, batch_size=8, batch_format="pyarrow").to_pandas()
+    assert len(out) == 20
+    assert out["width"].between(64, 320).all()
+    assert out["mean_luma"].between(0, 1).all()
+    assert out["phash64"].nunique() == 20
+    # determinism
+    out2 = multimodal.DecodeImageStage(decode="fake")(t).to_pandas()
+    assert (out.sort_values("media_id")["phash64"].to_numpy()
+            == out2.sort_values("media_id")["phash64"].to_numpy()).all()
+
+
+def test_multimodal_real_decode_raises():
+    t = multimodal.make_fake_media_table(2)
+    with pytest.raises(NotImplementedError):
+        multimodal.DecodeImageStage(decode="real")(t)
+
+
+def test_audio_and_frame_plan():
+    t = multimodal.make_fake_media_table(5, kind="audio")
+    out = multimodal.AudioFeatureStage(decode="fake")(t)
+    assert out["duration_ms"].to_pylist() == [int(len(p) * 1000 / 32000) for p in t["payload"].to_pylist()]
+    vid = out.set_column(out.schema.get_field_index("duration_ms"), "duration_ms",
+                         pa.array([3500, 900, 0, None, 2000], pa.int32()))
+    plan = multimodal.frame_sample_plan(vid, every_ms=1000)
+    per = plan.to_pandas().groupby("media_id").size().to_dict()
+    assert per[0] == 4 and per[1] == 1 and per[2] == 1 and per[3] == 1 and per[4] == 2
