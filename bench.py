@@ -1,0 +1,161 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) plus the flagship transcript DAG over the
+deterministic synthetic corpus (cached under /tmp/logray/bench_corpus),
+with ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32).
+
+--scaling: runs the flagship job twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the SAME corpus and reports both
+throughputs + scaling efficiency T-based:
+    efficiency = (t8 / t32) / (32 / 8)
+Results are also appended to BENCH/BASELINE.md by scripts/record_scaling.
+
+Environment knobs:
+  GRAFT_SF_DIR       testdata dir for table queries (default sf0.1)
+  RAY_GRAFT_CPUS     num_cpus for ray.init (default 32)
+  BENCH_CORPUS_SF    synthetic-corpus scale for the flagship (default 1.0,
+                     ~0.9M turns)
+  BENCH_ONLY         comma-separated query subset (e.g. "flagship")
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_SF = float(os.environ.get("BENCH_CORPUS_SF", "1.0"))
+ONLY = [s for s in os.environ.get("BENCH_ONLY", "").split(",") if s]
+
+TABLE_QUERIES = [
+    "pricing_summary_lineitem",
+    "grouped_agg_events",
+    "topk_users_by_value",
+    "join_customer_nation_region",
+    "parse_events_props",
+    "doc_token_counts",
+    "exact_dedup_documents",
+    "minhash_dedup_documents",
+    "ann_topk_embeddings",
+]
+
+
+def bench_corpus() -> tuple[str, int]:
+    """Generate (once) the flagship bench corpus; returns (dir, n_turns)."""
+    from logray.gen import generate_corpus
+
+    d = Path("/tmp/logray/bench_corpus") / f"sf{CORPUS_SF}"
+    meta_f = d / "_meta.json"
+    if not meta_f.exists():
+        generate_corpus(CORPUS_SF, d, partitions=8, with_expected=False)
+    return str(d), json.loads(meta_f.read_text())["n_turns"]
+
+
+def run_flagship_bench(corpus: str) -> float:
+    from logray.pipelines.flagship import run_flagship
+
+    out = Path("/tmp/logray/bench_out") / f"cpus{NUM_CPUS}"
+    if out.exists():
+        shutil.rmtree(out)
+    t0 = time.time()
+    run_flagship(corpus, out, enrich_concurrency=max(2, NUM_CPUS // 4),
+                 override_num_blocks=max(4, NUM_CPUS // 2))
+    return time.time() - t0
+
+
+def consume(res) -> None:
+    """Force full execution of a query result."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, (pd.DataFrame, pa.Table)):
+        return
+    for _ in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        pass
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        scaling()
+        return
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from logray.pipelines.queries import QUERIES
+
+    per_query: dict[str, float] = {}
+    corpus, n_turns = bench_corpus()
+
+    # warm the page cache so the first timed query isn't disk-bound
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        Path(f"{SF_DIR}/{t}.parquet").read_bytes()
+
+    names = ONLY if ONLY else TABLE_QUERIES + ["flagship"]
+    flagship_sec = None
+    for name in names:
+        t0 = time.time()
+        if name == "flagship":
+            flagship_sec = run_flagship_bench(corpus)
+            per_query["flagship"] = round(flagship_sec, 3)
+            continue
+        consume(QUERIES[name](SF_DIR))
+        per_query[name] = round(time.time() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    out = {
+        "metric": "e2e_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(Path(SF_DIR).name.replace("sf", "") or 0.1),
+        "num_cpus": NUM_CPUS,
+        "corpus_turns": n_turns,
+        "corpus_sf": CORPUS_SF,
+    }
+    if flagship_sec:
+        out["flagship_turns_per_sec"] = round(n_turns / flagship_sec, 1)
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    """Same flagship job at num_cpus=8 and 32 in fresh processes."""
+    results = {}
+    for n in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_ONLY="flagship",
+                   BENCH_CORPUS_SF=str(CORPUS_SF))
+        out = subprocess.run([sys.executable, str(REPO / "bench.py")], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    t8 = results[8]["queries"]["flagship"]
+    t32 = results[32]["queries"]["flagship"]
+    turns = results[32]["corpus_turns"]
+    eff = (t8 / t32) / (32 / 8)
+    print(json.dumps({
+        "sec_8": t8, "sec_32": t32,
+        "turns_per_sec_8": round(turns / t8, 1),
+        "turns_per_sec_32": round(turns / t32, 1),
+        "corpus_turns": turns,
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

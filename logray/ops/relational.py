@@ -72,21 +72,13 @@ def grouped_agg(ds, keys: Sequence[str], aggs: dict[str, tuple[str, str]]):
             partial_specs[out] = (col, fn)
 
     def partial(batch: pa.Table) -> pa.Table:
-        gb = batch.group_by(keys).aggregate(
-            [(col, fn) for _, (col, fn) in partial_specs.items()])
-        # pyarrow names results <col>_<fn>; rename positionally to our names
-        rename = {}
+        # aggregate each unique (col, fn) pair once, then alias per spec
+        uniq = sorted({cf for cf in partial_specs.values()})
+        gb = batch.group_by(keys).aggregate(uniq)
+        cols = {k: gb[k] for k in keys}
         for out, (col, fn) in partial_specs.items():
-            rename[f"{col}_{fn}"] = out
-        names = []
-        used = set()
-        for c in gb.column_names:
-            if c in rename and c not in used:
-                names.append(rename[c])
-                used.add(c)
-            else:
-                names.append(c)
-        return gb.rename_columns(names)
+            cols[out] = gb[f"{col}_{fn}"]
+        return pa.table(cols)
 
     from ray.data.aggregate import Max, Min, Sum
 

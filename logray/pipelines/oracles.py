@@ -1,0 +1,141 @@
+"""DuckDB oracle SQL for each SQL-expressible query in ``queries.py``.
+
+Tables region nation customer supplier part orders lineitem events
+documents embeddings are pre-registered views over the same parquet the
+Ray queries read. Column names and rounding MUST mirror queries.py —
+the driver's compare sorts columns by name and value-hashes.
+
+Queries with no entry here (langid, quality scoring, LSH dedup families,
+IVF search, transcript pipelines, multimodal) are non-SQL-expressible;
+the driver records a rows-only check for them.
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "grouped_count_events": """
+        SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+    "grouped_agg_events": """
+        SELECT event_type,
+               round(sum(value), 2) AS sum_value,
+               round(avg(value), 6) AS avg_value,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    "max_value_per_user": """
+        SELECT user_id, max(value) AS max_value FROM events GROUP BY user_id
+    """,
+    "events_per_user_day": """
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+    """,
+    "pricing_summary_lineitem": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q6_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+    """,
+    "filter_project_events": """
+        SELECT event_id, user_id, value FROM events WHERE value > 100
+    """,
+    "sort_limit_events": """
+        SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT 20
+    """,
+    "orders_topk": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "topk_users_by_value": """
+        SELECT user_id, round(sum(value), 2) AS total_value FROM events
+        GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 10
+    """,
+    "join_customer_nation_region": """
+        SELECT r_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "orders_by_segment": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "union_purchases_errors": """
+        SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT event_id, event_type FROM events WHERE event_type = 'error'
+    """,
+    "distinct_event_types": """
+        SELECT DISTINCT event_type FROM events
+    """,
+    "dedup_events_keep_first": """
+        SELECT user_id, event_type, min(event_id) AS event_id
+        FROM events GROUP BY user_id, event_type
+    """,
+    "exact_dedup_documents": """
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    "parse_events_props": """
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+        FROM events
+    """,
+    "parse_documents_firstword": """
+        SELECT regexp_extract(text, '^([a-z]+)', 1) AS first_word, count(*) AS n
+        FROM documents GROUP BY first_word
+    """,
+    "string_funcs_documents": """
+        SELECT doc_id, upper(lang) AS lang_up,
+               CAST(length(text) AS BIGINT) AS text_len,
+               substr(text, 1, 10) AS head10
+        FROM documents
+    """,
+    "date_funcs_orders": """
+        SELECT o_orderkey,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mon
+        FROM orders
+    """,
+    "revenue_lineitem": """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS revenue
+        FROM lineitem
+    """,
+    "doc_token_counts": """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               END AS n_tokens_ws
+        FROM documents
+    """,
+    "doc_fingerprints": """
+        SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents
+    """,
+    "ann_topk_embeddings": """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id IN (0, 1, 2)
+        ), scored AS (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                                e.vec_id
+                   ) AS rank
+            FROM embeddings e CROSS JOIN q
+        )
+        SELECT query_id, vec_id, rank FROM scored WHERE rank <= 10
+    """,
+}

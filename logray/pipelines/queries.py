@@ -1,0 +1,496 @@
+"""Operator query suite — the driver-facing catalogue (SURVEY.md §2).
+
+Each function takes ``sf_dir`` (a /root/testdata/sf* directory) and returns
+a Dataset / pandas DataFrame / pyarrow Table. Column names are chosen to
+match ``logray.pipelines.oracles`` exactly (the driver's value-hash compare
+sorts columns by name). Aggregated floats are rounded identically on both
+sides so summation order cannot flip the hash.
+
+Ray is initialised by the caller (driver / test fixture / bench); nothing
+here calls ray.init().
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..ops import dedup, relational, similarity
+from ..ops import text as text_ops
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
+    i = t.schema.get_field_index(col)
+    return t.set_column(i, col, pc.round(t[col], ndigits=nd))
+
+
+# ------------------------------------------------------------ aggregation ---
+
+def grouped_count_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "event_id"])
+    return relational.grouped_agg(ds, ["event_type"], {"n": ("event_id", "count")})
+
+
+def grouped_agg_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = relational.grouped_agg(ds, ["event_type"], {
+        "sum_value": ("value", "sum"),
+        "avg_value": ("value", "mean"),
+        "n": ("value", "count"),
+    })
+    return out.map_batches(
+        lambda t: _round_col(_round_col(t, "sum_value", 2), "avg_value", 6),
+        batch_format="pyarrow")
+
+
+def max_value_per_user(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    return relational.grouped_agg(ds, ["user_id"], {"max_value": ("value", "max")})
+
+
+def events_per_user_day(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return t.append_column("day", pc.strftime(t["ts"], format="%Y-%m-%d"))
+
+    return relational.grouped_agg(
+        ds.map_batches(add_day, batch_format="pyarrow"),
+        ["user_id", "day"], {"n": ("event_id", "count")})
+
+
+def pricing_summary_lineitem(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary (filter → wide grouped aggregate)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    out = relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "avg_qty": ("l_quantity", "mean"),
+            "avg_price": ("l_extendedprice", "mean"),
+            "n": ("l_quantity", "count"),
+        })
+
+    def fin(t: pa.Table) -> pa.Table:
+        for c, nd in [("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2),
+                      ("avg_qty", 6), ("avg_price", 6)]:
+            t = _round_col(t, c, nd)
+        return t
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q6_revenue(sf_dir: str):
+    """TPC-H Q6-shaped scalar aggregate (predicate pushdown-friendly)."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.less(t["l_quantity"], 24.0),
+                            pc.greater_equal(t["l_discount"], 0.05)),
+                    pc.less_equal(t["l_discount"], 0.07))
+        t = t.filter(m)
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"]))
+        return pa.table({"revenue": pa.array([rev.as_py() or 0.0], pa.float64())})
+
+    from ray.data.aggregate import Sum
+
+    total = ds.map_batches(partial, batch_format="pyarrow").aggregate(Sum("revenue"))
+    return pa.table({"revenue": pa.array([round(total["sum(revenue)"], 2)], pa.float64())})
+
+
+# ------------------------------------------------- filter / project / sort ---
+
+def filter_project_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return ds.map_batches(lambda t: t.filter(pc.greater(t["value"], 100.0)),
+                          batch_format="pyarrow")
+
+
+def sort_limit_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    return pa.Table.from_pandas(
+        relational.topk(ds, [("ts", False), ("event_id", False)], 20),
+        preserve_index=False)
+
+
+def orders_topk(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return pa.Table.from_pandas(
+        relational.topk(ds, [("o_totalprice", True), ("o_orderkey", False)], 10),
+        preserve_index=False)
+
+
+def topk_users_by_value(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    agg = relational.grouped_agg(ds, ["user_id"], {"total_value": ("value", "sum")})
+    agg = agg.map_batches(lambda t: _round_col(t, "total_value", 2), batch_format="pyarrow")
+    return pa.Table.from_pandas(
+        relational.topk(agg, [("total_value", True), ("user_id", False)], 10),
+        preserve_index=False)
+
+
+# ------------------------------------------------------- joins / set ops -----
+
+def join_customer_nation_region(sf_dir: str):
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    small = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    small = small[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    joined = relational.broadcast_join(ds, small, on="c_nationkey")
+    out = relational.grouped_agg(joined, ["r_name"], {
+        "n_cust": ("c_custkey", "count"),
+        "sum_bal": ("c_acctbal", "sum"),
+    })
+    return out.map_batches(lambda t: _round_col(t, "sum_bal", 2), batch_format="pyarrow")
+
+
+def orders_by_segment(sf_dir: str):
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = relational.broadcast_join(ds, cust, on="o_custkey")
+    out = relational.grouped_agg(joined, ["c_mktsegment"], {
+        "n_orders": ("o_orderkey", "count"),
+        "total": ("o_totalprice", "sum"),
+    })
+    return out.map_batches(lambda t: _round_col(t, "total", 2), batch_format="pyarrow")
+
+
+def union_purchases_errors(sf_dir: str):
+    ds1 = _read(sf_dir, "events", ["event_id", "event_type"]).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")), batch_format="pyarrow")
+    ds2 = _read(sf_dir, "events", ["event_id", "event_type"]).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "error")), batch_format="pyarrow")
+    return ds1.union(ds2)
+
+
+def distinct_event_types(sf_dir: str):
+    return relational.distinct(_read(sf_dir, "events", ["event_type"]), ["event_type"])
+
+
+def dedup_events_keep_first(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "event_id"])
+    return relational.grouped_agg(ds, ["user_id", "event_type"],
+                                  {"event_id": ("event_id", "min")})
+
+
+# --------------------------------------------------- parse / scalar funcs ----
+
+def parse_events_props(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def ex(t: pa.Table) -> pa.Table:
+        s = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(s, "k"), pa.int64())
+        return pa.table({"event_id": t["event_id"], "k": k})
+
+    return ds.map_batches(ex, batch_format="pyarrow")
+
+
+def parse_documents_firstword(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def ex(t: pa.Table) -> pa.Table:
+        s = pc.extract_regex(t["text"], r"^(?P<first_word>[a-z]+)")
+        return pa.table({"first_word": pc.struct_field(s, "first_word")})
+
+    return relational.grouped_agg(ds.map_batches(ex, batch_format="pyarrow"),
+                                  ["first_word"], {"n": ("first_word", "count")})
+
+
+def string_funcs_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang_up": pc.utf8_upper(t["lang"]),
+            "text_len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            "head10": pc.utf8_slice_codeunits(t["text"], 0, 10),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def date_funcs_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            "mon": pc.cast(pc.month(t["o_orderdate"]), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def revenue_lineitem(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "revenue": rev})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: text_ops.add_token_counts(t).select(["doc_id", "n_tokens_ws"]),
+        batch_format="pyarrow")
+
+
+def doc_fingerprints(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: text_ops.add_fingerprint(t).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ dedup ----
+
+def exact_dedup_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.exact_dedup(ds).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+
+
+def minhash_dedup_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.minhash_lsh_dedup(ds, threshold=0.8)
+
+
+def simhash_dedup_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.simhash_dedup(ds, max_hamming=3)
+
+
+def ngram_dup_pairs_documents(sf_dir: str):
+    """Exact n-gram Jaccard pairs, bounded by simhash band buckets."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    import ray.data
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pandas()
+        sig = dedup.simhash_signatures(texts)
+        n = batch.num_rows
+        ids = batch["doc_id"].to_pandas().to_numpy()
+        bands = [(sig >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(4)]
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, 4)),
+            "text": pa.array(np.repeat(batch["text"].to_pandas().to_numpy(), 4)),
+            "bucket": pa.array(
+                (np.stack(bands, axis=1) + np.uint64(1 << 16) * np.arange(4, dtype=np.uint64)[None, :]
+                 ).reshape(-1)),
+        })
+
+    banded = ds.map_batches(to_bands, batch_format="pyarrow")
+    pairs = dedup.ngram_jaccard_pairs(banded, bucket_col="bucket", threshold=0.8)
+    pdf = pairs.to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+def embedding_neardup_pairs(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dedup.embedding_neardup(ds, threshold=0.95)
+
+
+# ------------------------------------------------------------- similarity ----
+
+def _query_vectors(sf_dir: str, ids=(0, 1, 2)) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.filter(pc.is_in(t["vec_id"], value_set=pa.array(list(ids))))
+    df = t.to_pandas().sort_values("vec_id")
+    return np.stack(df["embedding"].to_numpy()).astype(np.float64)
+
+
+def ann_topk_embeddings(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = similarity.ann_topk(ds, _query_vectors(sf_dir), k=10)
+    out = out[["query_id", "vec_id", "rank"]].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def ivf_ann_embeddings(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = np.stack(t["embedding"].to_pandas().sample(
+        min(2000, t.num_rows), random_state=5).to_numpy()).astype(np.float64)
+    idx = similarity.IvfIndex(n_lists=16).fit(sample)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned = ds.map_batches(idx.assign_stage(), batch_format="pyarrow")
+    out = idx.search(assigned, _query_vectors(sf_dir), k=10, nprobe=6)
+    out = out[["query_id", "vec_id", "rank"]].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------------ text analysis --
+
+def langid_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(text_ops.LangIdStage, concurrency=2, batch_format="pyarrow"
+                          ).map_batches(lambda t: t.select(["doc_id", "lang_pred", "lang_score"]),
+                                        batch_format="pyarrow")
+
+
+def quality_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: text_ops.add_quality_score(t).select(
+            ["doc_id", "punct_ratio", "stopword_ratio", "quality"]),
+        batch_format="pyarrow")
+
+
+def rolling_fingerprint_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: text_ops.add_rolling_fingerprint(t).select(["doc_id", "rolling_fp"]),
+        batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- transcripts --
+
+_CORPUS_CACHE = "/tmp/logray/corpus"
+
+
+def _corpus_dir(sf: float) -> str:
+    """Generate (once) and cache the deterministic transcript corpus."""
+    from ..gen import generate_corpus
+
+    d = Path(_CORPUS_CACHE) / f"sf{sf}"
+    if not (d / "_meta.json").exists():
+        generate_corpus(sf, d)
+    return str(d)
+
+
+def flagship_transcripts(sf_dir: str):
+    """Full parse→enrich→route→aggregate DAG on the synthetic corpus.
+
+    ``sf_dir`` selects the corpus scale: the driver's sf0.01 testdata dir
+    maps to the sf=0.01 transcript corpus. Returns the per-(sink, rule)
+    aggregate table — the result the north rule's count-parity check runs
+    against.
+    """
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import tempfile
+
+    from .flagship import run_flagship
+
+    out = tempfile.mkdtemp(prefix="logray_flagship_", dir="/tmp")
+    run_flagship(corpus, out, enrich_concurrency=4)
+    return pq.read_table(Path(out) / "_aggregates.parquet")
+
+
+def transcript_parse_counts(sf_dir: str):
+    """Parse-only rule histogram over the synthetic corpus (no sinks)."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    from ..stages.parse import parse_batch_fn
+
+    ds = ray.data.read_parquet([str(p) for p in sorted(Path(corpus).glob("*.parquet"))])
+    parsed = ds.map_batches(parse_batch_fn, batch_format="pyarrow", zero_copy_batch=True)
+    return relational.grouped_agg(parsed, ["rule_id"], {"n": ("rule_id", "count")})
+
+
+def salted_conv_counts(sf_dir: str):
+    """Salted two-phase per-conversation counts (skew-safe aggregation)."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    from .aggregates import salted_group_counts
+
+    ds = ray.data.read_parquet([str(p) for p in sorted(Path(corpus).glob("*.parquet"))])
+    return salted_group_counts(ds, "conv_id", salt=8)
+
+
+def multimodal_decode_features(sf_dir: str):
+    """Actor-pool fake-decode over deterministic binary payloads."""
+    import ray.data
+
+    from ..ops import multimodal
+
+    t = multimodal.make_fake_media_table(256)
+    ds = ray.data.from_arrow(t)
+    out = ds.map_batches(multimodal.DecodeImageStage,
+                         fn_constructor_kwargs={"decode": "fake"},
+                         concurrency=2, batch_size=64, batch_format="pyarrow")
+    return out.map_batches(lambda t: t.select(["media_id", "width", "height", "phash64"]),
+                           batch_format="pyarrow")
+
+
+QUERIES = {
+    # aggregation
+    "grouped_count_events": grouped_count_events,
+    "grouped_agg_events": grouped_agg_events,
+    "max_value_per_user": max_value_per_user,
+    "events_per_user_day": events_per_user_day,
+    "pricing_summary_lineitem": pricing_summary_lineitem,
+    "q6_revenue": q6_revenue,
+    # filter / project / sort / topk
+    "filter_project_events": filter_project_events,
+    "sort_limit_events": sort_limit_events,
+    "orders_topk": orders_topk,
+    "topk_users_by_value": topk_users_by_value,
+    # joins / set ops / dedup
+    "join_customer_nation_region": join_customer_nation_region,
+    "orders_by_segment": orders_by_segment,
+    "union_purchases_errors": union_purchases_errors,
+    "distinct_event_types": distinct_event_types,
+    "dedup_events_keep_first": dedup_events_keep_first,
+    "exact_dedup_documents": exact_dedup_documents,
+    # parse / scalar functions
+    "parse_events_props": parse_events_props,
+    "parse_documents_firstword": parse_documents_firstword,
+    "string_funcs_documents": string_funcs_documents,
+    "date_funcs_orders": date_funcs_orders,
+    "revenue_lineitem": revenue_lineitem,
+    "doc_token_counts": doc_token_counts,
+    "doc_fingerprints": doc_fingerprints,
+    # near-dup / similarity
+    "minhash_dedup_documents": minhash_dedup_documents,
+    "simhash_dedup_documents": simhash_dedup_documents,
+    "ngram_dup_pairs_documents": ngram_dup_pairs_documents,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+    "ann_topk_embeddings": ann_topk_embeddings,
+    "ivf_ann_embeddings": ivf_ann_embeddings,
+    # text analysis
+    "langid_documents": langid_documents,
+    "quality_documents": quality_documents,
+    "rolling_fingerprint_documents": rolling_fingerprint_documents,
+    # transcripts (flagship) + multimodal
+    "flagship_transcripts": flagship_transcripts,
+    "transcript_parse_counts": transcript_parse_counts,
+    "salted_conv_counts": salted_conv_counts,
+    "multimodal_decode_features": multimodal_decode_features,
+}
