@@ -1,0 +1,138 @@
+"""Windowed / ordered operators (SURVEY.md §2 C6/C9 extensions).
+
+The reference has no window functions (its only ordered semantics is
+continuation folding, see ``logray.stages.fold``); these are the
+graft-mandated custom operators a Ray-Data-native engine needs where the
+Dataset API has no primitive: sessionization, per-group top-n
+(row_number), running sums, lag/gap, and as-of joins.
+
+Execution pattern (scale-critical): every operator co-locates its
+partition key via ONE stable-hash bucket groupby, then runs a
+**vectorized pandas kernel over the whole bucket** (pandas groupby /
+merge_asof inside the group fn). Python-level call overhead is
+O(num_buckets), never O(num_keys) — at 10^9 users the per-key map_groups
+pattern would make the executor the bottleneck.
+
+Ordering contract: kernels sort by (key, order_cols) internally with a
+unique tie-break column so results are deterministic and match the SQL
+oracles' ``ORDER BY`` exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import stable_bucket
+
+
+def _bucketed_apply(ds, key: str, fn, *, num_buckets: int = 64):
+    """groupby(stable bucket of ``key``) → vectorized pandas fn per bucket."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        col = batch[key]
+        if pa.types.is_string(batch.schema.field(key).type):
+            b = stable_bucket(col, num_buckets)
+        else:
+            v = np.asarray(batch[key].to_numpy(zero_copy_only=False), dtype=np.int64)
+            b = pa.array(((v * np.int64(2654435761)) % num_buckets).astype(np.int32))
+        return batch.append_column("__bucket", b)
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns="__bucket"))
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(run, batch_format="pandas"))
+
+
+def session_counts(ds, key: str, ts_col: str, gap_s: float, *,
+                   num_buckets: int = 64, out_col: str = "n_sessions"):
+    """Per-key session count with gap-based session breaks: a new session
+    starts when the time since the key's previous event exceeds ``gap_s``.
+    Equivalent SQL: 1 + count of lag-gaps > gap_s per key."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort")
+        g = df.groupby(key, sort=False)
+        gap = (df[ts_col] - g[ts_col].shift()).dt.total_seconds()
+        breaks = (gap > gap_s).groupby(df[key], sort=False).sum()
+        out = (breaks + 1).astype("int64").rename(out_col).reset_index()
+        return out
+
+    return _bucketed_apply(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def grouped_topn(ds, part_col: str, order_cols: list[tuple[str, bool]], n: int, *,
+                 num_buckets: int = 16, rank_col: str = "rn"):
+    """row_number() OVER (PARTITION BY part_col ORDER BY order_cols) <= n.
+
+    ``order_cols``: [(col, descending)]; include a unique tie-break last.
+    """
+    by = [c for c, _ in order_cols]
+    asc = [not d for _, d in order_cols]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([part_col] + by, ascending=[True] + asc, kind="mergesort")
+        df[rank_col] = df.groupby(part_col, sort=False).cumcount() + 1
+        return df[df[rank_col] <= n]
+
+    return _bucketed_apply(ds, part_col, per_bucket, num_buckets=num_buckets)
+
+
+def running_sum(ds, key: str, order_cols: list[str], val_col: str, *,
+                num_buckets: int = 64, out_col: str = "running_value"):
+    """sum(val) OVER (PARTITION BY key ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING) — sequential within-key accumulation, deterministic order."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order_cols, kind="mergesort")
+        df[out_col] = df.groupby(key, sort=False)[val_col].cumsum()
+        return df
+
+    return _bucketed_apply(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def lag_gap(ds, key: str, ts_col: str, order_cols: list[str], *,
+            num_buckets: int = 64, out_col: str = "gap_s"):
+    """Seconds since the key's previous event (lag); null for the first."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order_cols, kind="mergesort")
+        df[out_col] = (df[ts_col] - df.groupby(key, sort=False)[ts_col].shift()
+                       ).dt.total_seconds()
+        return df
+
+    return _bucketed_apply(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def asof_join(left_ds, right_df: pd.DataFrame, *, by: str, on: str,
+              value_cols: list[str], num_buckets: int = 64,
+              direction: str = "backward", suffix: str = "_right"):
+    """As-of join: for each left row, the latest right row with
+    ``right.on <= left.on`` (direction='backward') within the same ``by``
+    key. Small right side is broadcast (shipped once via ray.put when a
+    session exists); per bucket a single vectorized ``pd.merge_asof``.
+
+    The right side must be unique per (by, on) — pre-aggregate it if not,
+    or the matched value is implementation-defined.
+    """
+    right_df = right_df.sort_values(on, kind="mergesort").reset_index(drop=True)
+    ref = None
+    try:
+        import ray
+
+        if ray.is_initialized():
+            ref = ray.put(right_df)
+    except Exception:
+        ref = None
+    right_local = right_df if ref is None else None
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        right = right_local if ref is None else __import__("ray").get(ref)
+        df = df.sort_values(on, kind="mergesort")
+        out = pd.merge_asof(df, right[[by, on] + value_cols], on=on, by=by,
+                            direction=direction, suffixes=("", suffix))
+        return out
+
+    return _bucketed_apply(left_ds, by, per_bucket, num_buckets=num_buckets)

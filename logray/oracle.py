@@ -90,3 +90,33 @@ class OracleParser:
     def parse_rows(self, rows: Iterable[Mapping[str, Any]]) -> Iterable[dict[str, Any]]:
         for row in rows:
             yield self.parse_row(row)
+
+    def fold_rows(self, rows: Iterable[Mapping[str, Any]],
+                  cont_rule: str = "R99_default") -> Iterable[dict[str, Any]]:
+        """Reference-style continuation fold (SURVEY.md §3.1: ``parse_log``
+        appends non-matching lines to the in-flight event). ``rows`` must be
+        one conversation's parsed rows in ``turn_idx`` order. Continuation
+        rows (rule_id == cont_rule) with a preceding event are folded into
+        its ``continuations`` list; leading continuations are kept standalone
+        (deviation for count parity — see logray.stages.fold)."""
+        current: dict[str, Any] | None = None
+        for row in rows:
+            if row["rule_id"] == cont_rule:
+                if current is not None:
+                    current["continuations"].append(row["text"])
+                    current["n_folded"] += 1
+                else:
+                    # leading continuation: standalone, never an anchor —
+                    # a continuation row can only attach to a real event
+                    lead = dict(row)
+                    lead["continuations"] = []
+                    lead["n_folded"] = 0
+                    yield lead
+                continue
+            if current is not None:
+                yield current
+            current = dict(row)
+            current["continuations"] = []
+            current["n_folded"] = 0
+        if current is not None:
+            yield current

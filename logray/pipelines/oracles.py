@@ -123,6 +123,46 @@ ORACLE_SQL: dict[str, str] = {
     "doc_fingerprints": """
         SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents
     """,
+    "session_counts_events": """
+        WITH g AS (
+            SELECT user_id,
+                   epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+            FROM events)
+        SELECT user_id,
+               CAST(1 + count(*) FILTER (WHERE gap > 1800) AS BIGINT) AS n_sessions
+        FROM g GROUP BY user_id
+    """,
+    "top3_events_per_type": """
+        SELECT event_type, event_id, value, rn FROM (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id) AS rn
+            FROM events) WHERE rn <= 3
+    """,
+    "running_sum_user_events": """
+        SELECT event_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_value
+        FROM events
+    """,
+    "lag_gap_events": """
+        SELECT event_id,
+               epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   AS gap_s
+        FROM events
+    """,
+    "asof_purchase_prior_click": """
+        WITH p AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT user_id, ts, max(value) AS prior_click_value
+            FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        )
+        SELECT p.event_id, round(c.prior_click_value, 2) AS prior_click_value
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
     "ann_topk_embeddings": """
         WITH q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

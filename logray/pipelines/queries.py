@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..ops import dedup, relational, similarity
+from ..ops import dedup, relational, similarity, window
 from ..ops import text as text_ops
 
 
@@ -375,6 +375,68 @@ def rolling_fingerprint_documents(sf_dir: str):
         batch_format="pyarrow")
 
 
+# ------------------------------------------------------- windowed / ordered --
+
+def session_counts_events(sf_dir: str):
+    """Gap-based sessionization (30-min) → per-user session counts (C9)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return window.session_counts(ds, "user_id", "ts", gap_s=1800.0)
+
+
+def top3_events_per_type(sf_dir: str):
+    """row_number() per partition — per-group top-n with rank column."""
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+    return window.grouped_topn(ds, "event_type",
+                               [("value", True), ("event_id", False)], 3)
+
+
+def running_sum_user_events(sf_dir: str):
+    """Running per-user cumulative sum ordered by (ts, event_id)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = window.running_sum(ds, "user_id", ["ts", "event_id"], "value")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return _round_col(t.select(["event_id", "running_value"]), "running_value", 2)
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def lag_gap_events(sf_dir: str):
+    """Seconds since the user's previous event (lag window), null for first."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out = window.lag_gap(ds, "user_id", "ts", ["ts", "event_id"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        # fresh table: pandas schema metadata from the map_groups stage would
+        # otherwise re-impose Int64 on to_pandas, masking the float cast
+        return pa.table({"event_id": t["event_id"],
+                         "gap_s": pc.cast(t["gap_s"], pa.float64())})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def asof_purchase_prior_click(sf_dir: str):
+    """As-of join: each purchase matched to the user's latest click at or
+    before it (broadcast right side, merge_asof per bucket)."""
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).drop(["event_type"]),
+        batch_format="pyarrow")
+    clicks = pq.read_table(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "event_type", "value"])
+    clicks = clicks.filter(pc.equal(clicks["event_type"], "click"))
+    right = (clicks.select(["user_id", "ts", "value"]).to_pandas()
+             .groupby(["user_id", "ts"], as_index=False)["value"].max()
+             .rename(columns={"value": "prior_click_value"}))
+    out = window.asof_join(left, right, by="user_id", on="ts",
+                           value_cols=["prior_click_value"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        return _round_col(t.select(["event_id", "prior_click_value"]),
+                          "prior_click_value", 2)
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 # -------------------------------------------------------------- transcripts --
 
 _CORPUS_CACHE = "/tmp/logray/corpus"
@@ -434,6 +496,32 @@ def salted_conv_counts(sf_dir: str):
     return salted_group_counts(ds, "conv_id", salt=8)
 
 
+def fold_continuations_transcripts(sf_dir: str):
+    """Parse + continuation fold (the reference's stateful semantics):
+    unknown rows folded into the previous event per conversation; returns
+    the per-rule histogram of surviving events plus folded-row totals."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    from ..stages.fold import fold_continuations
+    from ..stages.parse import parse_batch_fn
+
+    ds = ray.data.read_parquet([str(p) for p in sorted(Path(corpus).glob("*.parquet"))])
+    parsed = ds.map_batches(parse_batch_fn, batch_format="pyarrow", zero_copy_batch=True)
+    folded = fold_continuations(parsed)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("rule_id").aggregate([("rule_id", "count"), ("n_folded", "sum")])
+        return pa.table({"rule_id": g["rule_id"],
+                         "n_events": g["rule_id_count"],
+                         "n_folded": g["n_folded_sum"]})
+
+    return relational.grouped_agg(
+        folded.map_batches(partial, batch_format="pyarrow"),
+        ["rule_id"], {"n_events": ("n_events", "sum"), "n_folded": ("n_folded", "sum")})
+
+
 def multimodal_decode_features(sf_dir: str):
     """Actor-pool fake-decode over deterministic binary payloads."""
     import ray.data
@@ -484,6 +572,12 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "ann_topk_embeddings": ann_topk_embeddings,
     "ivf_ann_embeddings": ivf_ann_embeddings,
+    # windowed / ordered
+    "session_counts_events": session_counts_events,
+    "top3_events_per_type": top3_events_per_type,
+    "running_sum_user_events": running_sum_user_events,
+    "lag_gap_events": lag_gap_events,
+    "asof_purchase_prior_click": asof_purchase_prior_click,
     # text analysis
     "langid_documents": langid_documents,
     "quality_documents": quality_documents,
@@ -491,6 +585,7 @@ QUERIES = {
     # transcripts (flagship) + multimodal
     "flagship_transcripts": flagship_transcripts,
     "transcript_parse_counts": transcript_parse_counts,
+    "fold_continuations_transcripts": fold_continuations_transcripts,
     "salted_conv_counts": salted_conv_counts,
     "multimodal_decode_features": multimodal_decode_features,
 }

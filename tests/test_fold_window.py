@@ -1,0 +1,176 @@
+"""Continuation fold (vs the single-process oracle) and windowed operators
+(vs DuckDB window SQL) — FIXTURES.md §5 invariant style."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from logray.gen import generate_corpus
+from logray.oracle import OracleParser
+from logray.stages.fold import fold_batch, fold_continuations
+from logray.stages.parse import parse_batch_fn
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fold_corpus")
+    generate_corpus(0.004, d, partitions=2, with_expected=False)
+    return d
+
+
+def _parsed_table(corpus) -> pa.Table:
+    t = pa.concat_tables([pq.read_table(p) for p in sorted(corpus.glob("*.parquet"))])
+    return parse_batch_fn(t)
+
+
+def _oracle_folded(parsed: pa.Table) -> pd.DataFrame:
+    df = parsed.to_pandas().sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    o = OracleParser()
+    out = []
+    for _, g in df.groupby("conv_id", sort=True):
+        out.extend(o.fold_rows(g.to_dict("records")))
+    return pd.DataFrame(out)
+
+
+class TestFoldBatch:
+    def test_matches_oracle_rowwise(self, corpus):
+        parsed = _parsed_table(corpus)
+        want = _oracle_folded(parsed)
+        got = fold_batch(parsed).to_pandas()
+        key = ["conv_id", "turn_idx"]
+        got = got.sort_values(key, kind="mergesort").reset_index(drop=True)
+        want = want.sort_values(key, kind="mergesort").reset_index(drop=True)
+        assert len(got) == len(want)
+        assert got["rule_id"].tolist() == want["rule_id"].tolist()
+        assert got["n_folded"].tolist() == want["n_folded"].tolist()
+        assert [list(c) for c in got["continuations"]] == want["continuations"].tolist()
+
+    def test_count_parity(self, corpus):
+        """folded + kept == input rows; fold never drops or duplicates."""
+        parsed = _parsed_table(corpus)
+        folded = fold_batch(parsed)
+        assert folded.num_rows + sum(folded["n_folded"].to_pylist()) == parsed.num_rows
+
+    def test_leading_continuations_kept(self):
+        t = pa.table({
+            "conv_id": ["c1"] * 4,
+            "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+            "rule_id": ["R99_default", "R05_metric", "R99_default", "R99_default"],
+            "text": ["garbage", "ok", "tb1", "tb2"],
+        })
+        out = fold_batch(t).to_pandas().sort_values("turn_idx")
+        assert out["turn_idx"].tolist() == [0, 1]
+        assert list(out["continuations"].iloc[0]) == []
+        assert list(out["continuations"].iloc[1]) == ["tb1", "tb2"]
+        assert out["n_folded"].tolist() == [0, 2]
+
+    def test_all_continuation_conversation(self):
+        """Continuation rows never anchor to another continuation: an
+        all-unknown conversation stays row-for-row (kernel + oracle agree)."""
+        t = pa.table({
+            "conv_id": ["z"] * 3,
+            "turn_idx": pa.array([0, 1, 2], pa.int32()),
+            "rule_id": ["R99_default"] * 3,
+            "text": ["a", "b", "c"],
+        })
+        out = fold_batch(t)
+        assert out.num_rows == 3
+        assert out["n_folded"].to_pylist() == [0, 0, 0]
+        got = list(OracleParser().fold_rows(t.to_pandas().to_dict("records")))
+        assert [r["n_folded"] for r in got] == [0, 0, 0]
+        assert [r["turn_idx"] for r in got] == [0, 1, 2]
+
+    def test_fold_resets_at_conversation_boundary(self):
+        t = pa.table({
+            "conv_id": ["a", "a", "b"],
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "rule_id": ["R05_metric", "R99_default", "R99_default"],
+            "text": ["x", "cont", "lead"],
+        })
+        out = fold_batch(t).to_pandas().sort_values(["conv_id", "turn_idx"])
+        assert out["conv_id"].tolist() == ["a", "b"]
+        assert list(out["continuations"].iloc[0]) == ["cont"]
+        # b's leading continuation must NOT fold into a's event
+        assert list(out["continuations"].iloc[1]) == []
+
+
+class TestFoldDataset:
+    def test_distributed_equals_local(self, ray_session, corpus):
+        import ray.data
+
+        parsed = _parsed_table(corpus)
+        ds = ray.data.from_arrow(parsed).repartition(5)
+        got = fold_continuations(ds.map_batches(lambda t: t, batch_format="pyarrow"))
+        gdf = got.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        want = fold_batch(parsed).to_pandas().sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert len(gdf) == len(want)
+        assert gdf["rule_id"].tolist() == want["rule_id"].tolist()
+        assert gdf["n_folded"].tolist() == want["n_folded"].tolist()
+
+
+class TestWindowOps:
+    @pytest.fixture(scope="class")
+    def con(self):
+        c = duckdb.connect()
+        c.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{EVENTS}')")
+        return c
+
+    def _events_ds(self):
+        import ray.data
+
+        return ray.data.read_parquet(EVENTS)
+
+    def test_session_counts(self, ray_session, con):
+        from logray.ops.window import session_counts
+
+        got = session_counts(self._events_ds(), "user_id", "ts", 1800.0
+                             ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        want = con.execute("""
+            WITH g AS (SELECT user_id,
+                epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+                FROM events)
+            SELECT user_id, CAST(1 + count(*) FILTER (WHERE gap > 1800) AS BIGINT)
+                AS n_sessions FROM g GROUP BY user_id ORDER BY user_id
+        """).df()
+        pd.testing.assert_frame_equal(got[["user_id", "n_sessions"]], want)
+
+    def test_grouped_topn(self, ray_session, con):
+        from logray.ops.window import grouped_topn
+
+        got = grouped_topn(self._events_ds(), "event_type",
+                           [("value", True), ("event_id", False)], 2)
+        gdf = got.to_pandas().sort_values(["event_type", "rn"]).reset_index(drop=True)
+        want = con.execute("""
+            SELECT event_id, event_type, rn FROM (
+                SELECT event_id, event_type, row_number() OVER (
+                    PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+                FROM events) WHERE rn <= 2 ORDER BY event_type, rn
+        """).df()
+        assert gdf["event_id"].tolist() == want["event_id"].tolist()
+
+    def test_asof_join_matches_merge_asof(self, ray_session):
+        from logray.ops.window import asof_join
+
+        ev = pq.read_table(EVENTS).to_pandas()
+        left_df = ev[ev.event_type == "purchase"][["event_id", "user_id", "ts"]]
+        right = (ev[ev.event_type == "click"]
+                 .groupby(["user_id", "ts"], as_index=False)["value"].max()
+                 .rename(columns={"value": "v"}))
+        import ray.data
+
+        got = asof_join(ray.data.from_pandas(left_df.reset_index(drop=True)),
+                        right, by="user_id", on="ts", value_cols=["v"])
+        gdf = got.to_pandas().sort_values("event_id").reset_index(drop=True)
+        want = pd.merge_asof(left_df.sort_values("ts"), right.sort_values("ts"),
+                             on="ts", by="user_id").sort_values("event_id"
+                             ).reset_index(drop=True)
+        assert np.allclose(gdf["v"].to_numpy(dtype=float),
+                           want["v"].to_numpy(dtype=float), equal_nan=True)
