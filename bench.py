@@ -68,8 +68,8 @@ def run_flagship_bench(corpus: str) -> float:
     if out.exists():
         shutil.rmtree(out)
     t0 = time.time()
-    run_flagship(corpus, out, enrich_concurrency=max(2, NUM_CPUS // 4),
-                 override_num_blocks=max(4, NUM_CPUS // 2))
+    run_flagship(corpus, out, enrich_concurrency=NUM_CPUS,
+                 override_num_blocks=max(8, NUM_CPUS * 2))
     return time.time() - t0
 
 

@@ -1,20 +1,24 @@
 """Flagship DAG (M1–M5): read → parse → enrich → route/fan-out → aggregate.
 
 Ray-Data-native execution of the reference's parse loop at corpus scale
-(SURVEY.md §3.2). One streaming pass per input partition:
+(SURVEY.md §3.2). Partitions are processed in **waves**: one streaming
+Dataset pass covers up to ``wave_size`` input partitions at once —
 
-    read_parquet(partition files)            # blocks = Arrow tables
-      → map_batches(parse_batch_fn)          # stateless tasks, zero-copy
-      → map_batches(Enricher, concurrency=N) # stateful actor pool
-      → map_batches(SinkWriter)              # per-task multi-sink fan-out
-      → driver collects tiny per-batch partials → manifest commit
+    read_parquet(wave files, include_paths)  # blocks = Arrow tables
+      → tag rows with partition id (__pid from file path)
+      → map_batches(parse)                   # zero-copy rule engine
+      → map_batches(Enricher, concurrency=C) # stateful actor pool
+      → map_batches(SinkWriter)              # per-(pid, sink) fan-out
+      → driver collects tiny per-batch partials → per-pid manifest commit
 
-The partition loop is the checkpoint/resume boundary: at 100 TB each
-input partition is itself thousands of blocks, so per-partition Datasets
-keep full intra-partition parallelism while giving partition-granular
-resume (skip committed manifests). Aggregates are rolled up from the
-partials recorded in manifests — the full parsed stream is never
-re-shuffled or materialized for counting.
+Wave execution keeps the whole cluster busy (one actor-pool spin-up per
+wave instead of per partition) while the manifest commit stays
+partition-granular: a crash mid-wave loses at most one wave of work and
+a restart skips every committed partition. At 100 TB, ``wave_size``
+bounds both the lost-work window and driver-side summary state.
+
+Aggregates are rolled up from the partials recorded in manifests — the
+full parsed stream is never re-shuffled or materialized for counting.
 """
 
 from __future__ import annotations
@@ -28,7 +32,7 @@ import pyarrow.parquet as pq
 
 from ..stages.enrich import Enricher
 from ..stages.parse import parse_batch_fn
-from ..stages.route import SinkWriter
+from ..stages.route import PID_COL, SinkWriter
 from ..state import manifests
 
 
@@ -45,51 +49,82 @@ def discover_partitions(input_dir: str | Path) -> dict[str, list[str]]:
     return parts
 
 
-def run_partition(files: list[str], out_dir: str, partition_id: str, *,
-                  lookups_ref=None, enrich_concurrency=4, batch_size: int | None = None,
-                  override_num_blocks: int | None = None) -> dict:
-    """One streaming pass over one input partition; returns manifest payload."""
+def _parse_with_pid(batch: pa.Table) -> pa.Table:
+    """Parse stage body for wave mode: fold the Ray-provided ``path`` column
+    into a partition id that rides through the rule engine."""
+    import pyarrow.compute as pc
+
+    path = batch["path"]
+    if isinstance(path, pa.ChunkedArray):
+        path = path.combine_chunks()
+    d = path.dictionary_encode()
+    pids = pa.array([Path(p).stem for p in d.dictionary.to_pylist()], pa.string())
+    batch = batch.drop(["path"]).append_column(PID_COL, pids.take(d.indices))
+    return parse_batch_fn(batch, extra_cols=(PID_COL,))
+
+
+def run_wave(wave: list[str], parts: dict[str, list[str]], out_dir: str, *,
+             lookups_ref=None, enrich_concurrency=4, batch_size: int | None = None,
+             override_num_blocks: int | None = None) -> dict[str, dict]:
+    """One streaming pass over one wave of partitions; returns
+    {partition_id: manifest payload}."""
     import ray.data
 
-    ds = ray.data.read_parquet(files, override_num_blocks=override_num_blocks)
-    parsed = ds.map_batches(parse_batch_fn, batch_format="pyarrow",
+    files = [f for pid in wave for f in parts[pid]]
+    ds = ray.data.read_parquet(files, include_paths=True,
+                               override_num_blocks=override_num_blocks)
+    parsed = ds.map_batches(_parse_with_pid, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=batch_size)
     enriched = parsed.map_batches(
         Enricher, fn_constructor_kwargs={"lookups_ref": lookups_ref},
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=enrich_concurrency, batch_size=batch_size)
-    writer = SinkWriter(out_dir, partition_id)
+    writer = SinkWriter(out_dir)
     summaries = enriched.map_batches(writer, batch_format="pyarrow", batch_size=batch_size)
-    rows = summaries.take_all()  # tiny: one row per (sink, rule, batch-file)
+    rows = summaries.take_all()  # tiny: one row per (pid, sink, rule, batch-file)
 
-    sink_files: dict[str, list[str]] = {}
-    counts: dict[tuple[str, str], int] = {}
-    errors = 0
+    payloads: dict[str, dict] = {}
+    for pid in wave:
+        payloads[pid] = {
+            "input_files": parts[pid],
+            "sink_files": {},
+            "rule_counts": {},
+            "metrics": {"rows": 0, "parse_errors": 0, "unknown_rows": 0},
+        }
     for r in rows:
-        sink_files.setdefault(r["sink"], [])
-        if r["file"] not in sink_files[r["sink"]]:
-            sink_files[r["sink"]].append(r["file"])
-        counts[(r["sink"], r["rule_id"])] = counts.get((r["sink"], r["rule_id"]), 0) + r["n"]
-        errors += r["parse_errors"]
-    total = sum(counts.values())
-    unknown = sum(v for (s, _), v in counts.items() if s == "sink_unknown")
-    payload = {
-        "input_files": files,
-        "sink_files": {k: sorted(v) for k, v in sorted(sink_files.items())},
-        "rule_counts": {f"{s}|{r}": n for (s, r), n in sorted(counts.items())},
-        "metrics": {
-            "rows": total,
-            "parse_errors": errors,
-            "unknown_rows": unknown,
-            "matched_pct": round(100.0 * (total - unknown) / total, 4) if total else 0.0,
-        },
-    }
-    return payload
+        p = payloads[r["pid"]]
+        p["sink_files"].setdefault(r["sink"], [])
+        if r["file"] not in p["sink_files"][r["sink"]]:
+            p["sink_files"][r["sink"]].append(r["file"])
+        key = f"{r['sink']}|{r['rule_id']}"
+        p["rule_counts"][key] = p["rule_counts"].get(key, 0) + r["n"]
+        p["metrics"]["rows"] += r["n"]
+        p["metrics"]["parse_errors"] += r["parse_errors"]
+        if r["sink"] == "sink_unknown":
+            p["metrics"]["unknown_rows"] += r["n"]
+    for p in payloads.values():
+        p["sink_files"] = {k: sorted(v) for k, v in sorted(p["sink_files"].items())}
+        p["rule_counts"] = dict(sorted(p["rule_counts"].items()))
+        m = p["metrics"]
+        m["matched_pct"] = (round(100.0 * (m["rows"] - m["unknown_rows"]) / m["rows"], 4)
+                            if m["rows"] else 0.0)
+    return payloads
+
+
+def run_partition(files: list[str], out_dir: str, partition_id: str, *,
+                  lookups_ref=None, enrich_concurrency=4, batch_size: int | None = None,
+                  override_num_blocks: int | None = None) -> dict:
+    """Single-partition compatibility wrapper around ``run_wave``."""
+    return run_wave([partition_id], {partition_id: files}, out_dir,
+                    lookups_ref=lookups_ref, enrich_concurrency=enrich_concurrency,
+                    batch_size=batch_size,
+                    override_num_blocks=override_num_blocks)[partition_id]
 
 
 def run_flagship(input_dir: str | Path, out_dir: str | Path, *,
                  resume: bool = True, lookups_ref=None, enrich_concurrency=4,
-                 batch_size: int | None = None, override_num_blocks: int | None = None) -> dict:
+                 batch_size: int | None = None, override_num_blocks: int | None = None,
+                 wave_size: int = 32) -> dict:
     """Run the full pipeline with partition-granular resume; returns metrics.
 
     Rollup artifacts written under ``out_dir``:
@@ -103,16 +138,21 @@ def run_flagship(input_dir: str | Path, out_dir: str | Path, *,
     out_dir.mkdir(parents=True, exist_ok=True)
     parts = discover_partitions(input_dir)
     ran, skipped = [], []
-    for pid, files in parts.items():
+    pending = []
+    for pid in parts:
         if resume and manifests.is_committed(out_dir, pid):
             skipped.append(pid)
-            continue
-        payload = run_partition(files, str(out_dir), pid, lookups_ref=lookups_ref,
-                                enrich_concurrency=enrich_concurrency,
-                                batch_size=batch_size,
-                                override_num_blocks=override_num_blocks)
-        manifests.commit_manifest(out_dir, pid, payload)
-        ran.append(pid)
+        else:
+            pending.append(pid)
+    for i in range(0, len(pending), wave_size):
+        wave = pending[i:i + wave_size]
+        payloads = run_wave(wave, parts, str(out_dir), lookups_ref=lookups_ref,
+                            enrich_concurrency=enrich_concurrency,
+                            batch_size=batch_size,
+                            override_num_blocks=override_num_blocks)
+        for pid in wave:
+            manifests.commit_manifest(out_dir, pid, payloads[pid])
+            ran.append(pid)
 
     # rollup from manifests (no second pass over data)
     agg: dict[tuple[str, str], int] = {}

@@ -319,8 +319,14 @@ class RuleSet:
         }
         return pos, caps
 
+    def _out_schema(self, table: pa.Table, extra_cols: tuple[str, ...]) -> pa.Schema:
+        schema = self.schema
+        for c in extra_cols:
+            schema = schema.append(pa.field(c, table.schema.field(c).type))
+        return schema
+
     def _emit(self, cr: CompiledRule, table: pa.Table, take_idx: np.ndarray,
-              caps: dict[str, pa.Array]) -> pa.Table:
+              caps: dict[str, pa.Array], extra_cols: tuple[str, ...] = ()) -> pa.Table:
         n = len(take_idx)
         sub = table.take(pa.array(take_idx))
         cols: list[pa.Array | pa.ChunkedArray] = [sub[name] for name, _ in self.passthrough]
@@ -346,14 +352,19 @@ class RuleSet:
             else:
                 cols.append(pa.nulls(n, t))
         cols.append(pa.array(err))
-        return pa.Table.from_arrays(cols, schema=self.schema)
+        for c in extra_cols:
+            cols.append(sub[c])
+        return pa.Table.from_arrays(cols, schema=self._out_schema(table, extra_cols))
 
-    def parse_batch(self, table: pa.Table, text_col: str = "text") -> pa.Table:
+    def parse_batch(self, table: pa.Table, text_col: str = "text",
+                    extra_cols: tuple[str, ...] = ()) -> pa.Table:
         """First-match-wins parse of one Arrow batch. Row order is grouped by
-        matching rule (order-insensitive downstream; see module docstring)."""
+        matching rule (order-insensitive downstream; see module docstring).
+        ``extra_cols``: input columns outside the compiled passthrough set to
+        carry into the output unchanged (e.g. a lineage/partition tag)."""
         n = table.num_rows
         if n == 0:
-            return self.schema.empty_table()
+            return self._out_schema(table, extra_cols).empty_table()
         text = table[text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
@@ -367,7 +378,7 @@ class RuleSet:
             if len(idx) == 0:
                 continue
             if cr.is_default:
-                pieces.append(self._emit(cr, table, idx, {}))
+                pieces.append(self._emit(cr, table, idx, {}, extra_cols))
                 unmatched[idx] = False
                 continue
             pos, caps = self._extract(cr, text, idx)
@@ -375,9 +386,9 @@ class RuleSet:
                 continue
             take_idx = idx[pos]
             unmatched[take_idx] = False
-            pieces.append(self._emit(cr, table, take_idx, caps))
+            pieces.append(self._emit(cr, table, take_idx, caps, extra_cols))
         if unmatched.any():
             # gated default shouldn't happen (default has no gate), but never drop rows
             idx = np.flatnonzero(unmatched)
-            pieces.append(self._emit(self.rules[-1], table, idx, {}))
+            pieces.append(self._emit(self.rules[-1], table, idx, {}, extra_cols))
         return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]

@@ -25,9 +25,10 @@ def _ruleset() -> RuleSet:
     return _CACHED
 
 
-def parse_batch_fn(batch: pa.Table) -> pa.Table:
-    """map_batches body: transcript batch -> parsed/classified/routed batch."""
-    return _ruleset().parse_batch(batch)
+def parse_batch_fn(batch: pa.Table, extra_cols: tuple[str, ...] = ()) -> pa.Table:
+    """map_batches body: transcript batch -> parsed/classified/routed batch.
+    ``extra_cols`` ride through unchanged (e.g. a partition/lineage tag)."""
+    return _ruleset().parse_batch(batch, extra_cols=extra_cols)
 
 
 class ParseStage:

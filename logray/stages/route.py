@@ -4,8 +4,15 @@ The parse stage already assigned each row its ``sink`` (from ``rule_id``,
 the routing function of SURVEY.md §2 C11). Writing six sinks as six
 filtered ``write_parquet`` calls would re-execute the lazy pipeline six
 times (or force a full materialization); instead each task splits its
-batch by sink and writes one file per (sink, batch) in a single pass —
-the "custom per-task multi-sink writer" of SURVEY.md §7 hard-part 2.
+batch by (partition, sink) and writes one file per slice in a single
+pass — the "custom per-task multi-sink writer" of SURVEY.md §7
+hard-part 2.
+
+Partition tagging: in wave execution (several input partitions in one
+Dataset pass) each row carries its partition id in a ``__pid`` column
+(derived from the input file path at read time); the writer groups by
+(pid, sink) so manifests stay partition-granular. The legacy
+single-partition mode passes a fixed ``partition_id`` instead.
 
 Idempotence under Ray's task retries: file names embed a uuid per call,
 so a retried task writes NEW files; only the files reported by blocks
@@ -13,9 +20,9 @@ that reached the driver get recorded in the partition manifest — orphans
 from failed attempts are never referenced (see logray.state.manifests).
 
 ``__call__`` returns a small summary table, one row per
-(sink, rule_id, file): the downstream aggregate consumes these partials
-instead of re-shuffling the full parsed stream (partial aggregation
-before the groupby — SURVEY.md §2 C5).
+(pid, sink, rule_id, file): the downstream aggregate consumes these
+partials instead of re-shuffling the full parsed stream (partial
+aggregation before the groupby — SURVEY.md §2 C5).
 """
 
 from __future__ import annotations
@@ -27,7 +34,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+PID_COL = "__pid"
+
 SUMMARY_SCHEMA = pa.schema([
+    ("pid", pa.string()),
     ("sink", pa.string()),
     ("rule_id", pa.string()),
     ("n", pa.int64()),
@@ -37,36 +47,59 @@ SUMMARY_SCHEMA = pa.schema([
 
 
 class SinkWriter:
-    """map_batches stage: write each batch fanned out per sink, emit partials.
+    """map_batches stage: write each batch fanned out per (partition, sink),
+    emit per-rule partial counts.
 
     Parameters
     ----------
     out_dir: root output directory
-    partition_id: input partition this run covers (manifest unit)
+    partition_id: fixed partition for every row (single-partition mode);
+        ``None`` => rows carry their partition in the ``__pid`` column
     compression: parquet codec for sink files
     """
 
-    def __init__(self, out_dir: str, partition_id: str, compression: str = "zstd"):
-        self.base = Path(out_dir) / f"partition={partition_id}"
+    def __init__(self, out_dir: str, partition_id: str | None = None,
+                 compression: str = "zstd"):
+        self.out_dir = Path(out_dir)
+        self.partition_id = partition_id
         self.compression = compression
 
+    def _write_slice(self, sub: pa.Table, pid: str, sink_val: str,
+                     rows: dict[str, list]) -> None:
+        sink_dir = self.out_dir / f"partition={pid}" / f"sink={sink_val}"
+        sink_dir.mkdir(parents=True, exist_ok=True)
+        fname = sink_dir / f"part-{uuid.uuid4().hex}.parquet"
+        pq.write_table(sub, fname, compression=self.compression)
+        agg = sub.group_by("rule_id").aggregate([("rule_id", "count"), ("parse_error", "sum")])
+        for r in agg.to_pylist():
+            rows["pid"].append(pid)
+            rows["sink"].append(sink_val)
+            rows["rule_id"].append(r["rule_id"])
+            rows["n"].append(r["rule_id_count"])
+            rows["parse_errors"].append(int(r["parse_error_sum"] or 0))
+            rows["file"].append(str(fname))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows: dict[str, list] = {k: [] for k in ("sink", "rule_id", "n", "parse_errors", "file")}
+        rows: dict[str, list] = {k: [] for k in SUMMARY_SCHEMA.names}
         if batch.num_rows == 0:
             return SUMMARY_SCHEMA.empty_table()
-        sinks = batch["sink"]
-        for sink_val in pc.unique(sinks.combine_chunks() if isinstance(sinks, pa.ChunkedArray) else sinks).to_pylist():
-            sub = batch.filter(pc.equal(sinks, sink_val))
-            sink_dir = self.base / f"sink={sink_val}"
-            sink_dir.mkdir(parents=True, exist_ok=True)
-            fname = sink_dir / f"part-{uuid.uuid4().hex}.parquet"
-            pq.write_table(sub, fname, compression=self.compression)
-            # per-rule partial counts for this sink slice
-            agg = sub.group_by("rule_id").aggregate([("rule_id", "count"), ("parse_error", "sum")])
-            for r in agg.to_pylist():
-                rows["sink"].append(sink_val)
-                rows["rule_id"].append(r["rule_id"])
-                rows["n"].append(r["rule_id_count"])
-                rows["parse_errors"].append(int(r["parse_error_sum"] or 0))
-                rows["file"].append(str(fname))
+        if self.partition_id is not None:
+            pids = [self.partition_id]
+            per_pid = {self.partition_id: batch}
+        else:
+            pid_col = batch[PID_COL]
+            if isinstance(pid_col, pa.ChunkedArray):
+                pid_col = pid_col.combine_chunks()
+            pids = pc.unique(pid_col).to_pylist()
+            per_pid = {
+                p: batch.filter(pc.equal(pid_col, p)).drop([PID_COL])
+                for p in pids
+            } if len(pids) > 1 else {pids[0]: batch.drop([PID_COL])}
+        for pid, sub_p in per_pid.items():
+            sinks = sub_p["sink"]
+            if isinstance(sinks, pa.ChunkedArray):
+                sinks = sinks.combine_chunks()
+            for sink_val in pc.unique(sinks).to_pylist():
+                self._write_slice(sub_p.filter(pc.equal(sinks, sink_val)),
+                                  pid, sink_val, rows)
         return pa.Table.from_pydict(rows, schema=SUMMARY_SCHEMA)
