@@ -35,6 +35,7 @@ sys.path.insert(0, str(REPO))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CORPUS_SF = float(os.environ.get("BENCH_CORPUS_SF", "1.0"))
+CORPUS_REP = int(os.environ.get("BENCH_CORPUS_REP", "1"))
 ONLY = [s for s in os.environ.get("BENCH_ONLY", "").split(",") if s]
 
 TABLE_QUERIES = [
@@ -51,25 +52,44 @@ TABLE_QUERIES = [
 
 
 def bench_corpus() -> tuple[str, int]:
-    """Generate (once) the flagship bench corpus; returns (dir, n_turns)."""
-    from logray.gen import generate_corpus
+    """Generate (once) the flagship bench corpus; returns (dir, n_turns).
+    BENCH_CORPUS_REP > 1 replicates the generated base corpus with remapped
+    conv_ids (cheap) instead of generating rep× rows (slow single-threaded)."""
+    from logray.gen import generate_corpus, replicate_corpus
 
     d = Path("/tmp/logray/bench_corpus") / f"sf{CORPUS_SF}"
     meta_f = d / "_meta.json"
     if not meta_f.exists():
         generate_corpus(CORPUS_SF, d, partitions=8, with_expected=False)
+    if CORPUS_REP > 1:
+        dr = Path("/tmp/logray/bench_corpus") / f"sf{CORPUS_SF}x{CORPUS_REP}"
+        meta_f = dr / "_meta.json"
+        if not meta_f.exists():
+            replicate_corpus(d, dr, CORPUS_REP)
+        d = dr
     return str(d), json.loads(meta_f.read_text())["n_turns"]
 
 
 def run_flagship_bench(corpus: str) -> float:
     from logray.pipelines.flagship import run_flagship
 
+    # Untimed warm-up on the small base corpus: pre-starts Ray worker
+    # processes (pyarrow/numpy imports) and the actor pool so the timed run
+    # measures steady-state throughput, not process spawn — the regime that
+    # matters for the 100 TB argument.
+    warm = Path("/tmp/logray/bench_warmup")
+    shutil.rmtree(warm, ignore_errors=True)
+    base = Path("/tmp/logray/bench_corpus") / f"sf{CORPUS_SF}"
+    run_flagship(base, warm, wave_size=1_000_000)
+
     out = Path("/tmp/logray/bench_out") / f"cpus{NUM_CPUS}"
     if out.exists():
         shutil.rmtree(out)
+    # flush dirty pages from warm-up/corpus writes so the timed run isn't
+    # throttled by a writeback backlog it didn't create
+    subprocess.run(["sync"], check=False)
     t0 = time.time()
-    run_flagship(corpus, out, enrich_concurrency=NUM_CPUS,
-                 override_num_blocks=max(8, NUM_CPUS * 2))
+    run_flagship(corpus, out, wave_size=1_000_000)
     return time.time() - t0
 
 
@@ -136,11 +156,20 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Same flagship job at num_cpus=8 and 32 in fresh processes."""
+    """Same flagship job at num_cpus=8 and 32 in fresh processes.
+
+    Corpus defaults to 120× the base (≈104M turns) so the 8-CPU run takes
+    well over 60 s — fixed startup cost must not pollute the efficiency
+    ratio (protocol in BASELINE.md)."""
+    rep = os.environ.get("BENCH_CORPUS_REP", "120")
     results = {}
     for n in (8, 32):
+        # remove the previous run's sink output and flush dirty pages:
+        # otherwise run 2 starts throttled by run 1's writeback backlog
+        shutil.rmtree("/tmp/logray/bench_out", ignore_errors=True)
+        subprocess.run(["sync"], check=False)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_ONLY="flagship",
-                   BENCH_CORPUS_SF=str(CORPUS_SF))
+                   BENCH_CORPUS_SF=str(CORPUS_SF), BENCH_CORPUS_REP=rep)
         out = subprocess.run([sys.executable, str(REPO / "bench.py")], env=env,
                              capture_output=True, text=True, check=True).stdout
         results[n] = json.loads(out.strip().splitlines()[-1])

@@ -243,11 +243,43 @@ def generate_corpus(sf: float, out_dir: str | Path, partitions: int = 8,
 
     import collections
     rule_counts = dict(collections.Counter(expected.tolist()))
+    _finish_meta(out_dir, sf, seed, partitions, n_convs, total, int(hot.sum()), rule_counts)
+    return json.loads((out_dir / "_meta.json").read_text())
+
+
+def _finish_meta(out_dir, sf, seed, partitions, n_convs, total, hot, rule_counts):
     meta = {
         "sf": sf, "seed": seed, "partitions": partitions,
         "n_convs": n_convs, "n_turns": int(total),
-        "hot_convs": int(hot.sum()),
+        "hot_convs": hot,
         "rule_counts": {k: int(v) for k, v in sorted(rule_counts.items())},
     }
     (out_dir / "_meta.json").write_text(json.dumps(meta, indent=2))
-    return meta
+
+
+def replicate_corpus(base_dir: str | Path, out_dir: str | Path, rep: int) -> dict:
+    """Scale a generated corpus ``rep``× by copying each partition file with
+    remapped conversation ids (``c…`` → ``r{k}c…``). Text/role/tool streams
+    repeat across replicas — fine for throughput benchmarks, which are
+    regex-bound per row — while conv-level keys stay globally unique so
+    grouped/salted aggregates see ``rep``× the key cardinality. Output keeps
+    one parquet file per (replica, partition): partition-granular resume is
+    exercised at rep× the manifest count. Analytic per-rule counts scale
+    exactly by ``rep``."""
+    import pyarrow.compute as pc
+
+    base_dir, out_dir = Path(base_dir), Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    base_meta = json.loads((base_dir / "_meta.json").read_text())
+    for f in sorted(base_dir.glob("part-*.parquet")):
+        t = pq.read_table(f)
+        for k in range(rep):
+            conv = pc.binary_join_element_wise(
+                pa.scalar(f"r{k:02d}", pa.string()), t["conv_id"].combine_chunks(), "")
+            pq.write_table(t.set_column(t.schema.get_field_index("conv_id"), "conv_id", conv),
+                           out_dir / f"part-r{k:02d}-{f.stem.split('-')[1]}.parquet")
+    _finish_meta(out_dir, base_meta["sf"] * rep, base_meta["seed"],
+                 base_meta["partitions"] * rep, base_meta["n_convs"] * rep,
+                 base_meta["n_turns"] * rep, base_meta["hot_convs"] * rep,
+                 {k: v * rep for k, v in base_meta["rule_counts"].items()})
+    return json.loads((out_dir / "_meta.json").read_text())

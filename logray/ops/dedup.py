@@ -73,26 +73,98 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Stable 64-bit hashes of the word k-shingles of one document."""
-    words = text.split()
-    if len(words) < k:
-        grams = [" ".join(words)] if words else [""]
-    else:
-        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    return pd.util.hash_pandas_object(pd.Series(grams), index=False,
-                                      hash_key=_HASH_KEY).to_numpy()
+_ROLL = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
 
 
-def minhash_signatures(texts: pd.Series, num_perm: int, shingle_k: int) -> np.ndarray:
-    """(n_docs, num_perm) uint64 minhash signature matrix. Per-doc loop with
-    a fully vectorized (num_perm × n_shingles) inner kernel."""
+def _flat_word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-split all docs and hash every word in ONE pass.
+
+    Accepts an Arrow array/chunked array or a pandas Series. Returns
+    ``(word_hashes uint64, offsets int64)`` where doc d's words span
+    ``word_hashes[offsets[d]:offsets[d+1]]``."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    arr = texts if isinstance(texts, (_pa.Array, _pa.ChunkedArray)) else _pa.array(
+        texts.fillna("").astype(str).tolist(), _pa.string())
+    if isinstance(arr, _pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = _pc.fill_null(arr, "")
+    split = _pc.utf8_split_whitespace(arr)
+    flat_words = split.flatten()
+    offsets = split.offsets.to_numpy().astype(np.int64)
+    # Arrow's splitter keeps empty tokens around whitespace runs; drop them
+    # (str.split() semantics) and remap offsets via a prefix sum.
+    nonempty = _pc.not_equal(flat_words, "").to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        cs = np.concatenate(([0], np.cumsum(nonempty.astype(np.int64))))
+        offsets = cs[offsets]
+        flat_words = flat_words.filter(_pa.array(nonempty))
+    wh = pd.util.hash_pandas_object(
+        flat_words.to_pandas(), index=False, hash_key=_HASH_KEY).to_numpy()
+    return wh, offsets
+
+
+def _flat_shingle_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Corpus-level shingling, no per-doc Python loop.
+
+    Returns ``(flat, starts)``: ``flat`` holds the 64-bit rolling hashes of
+    every word k-shingle of every document, grouped contiguously by doc;
+    ``starts`` are the start offsets per doc (len n_docs, for reduceat).
+    Word hashes come from one ``hash_pandas_object`` pass over the flattened
+    split; k-gram hashes fold k consecutive word hashes with a wrapping
+    multiply-add (k vectorized passes). Docs with < k words contribute one
+    shingle folding all their words (empty doc => hash of nothing = 0)."""
+    wh, offsets = _flat_word_hashes(texts)
+    n_words = len(wh)
+    lens = np.diff(offsets)
+    full = lens >= k                      # docs with >= k words: sliding k-grams
+    n_sh = np.where(full, lens - k + 1, 1)
+    starts = np.concatenate(([0], np.cumsum(n_sh)))[:-1]
+
+    # sliding k-gram hashes over the whole flat word stream (wrapping)
+    with np.errstate(over="ignore"):
+        if n_words >= k:
+            acc = np.zeros(n_words - k + 1, dtype=np.uint64)
+            for j in range(k):
+                acc = acc * _ROLL + wh[j:n_words - k + 1 + j]
+        else:
+            acc = np.zeros(0, dtype=np.uint64)
+
+        total = int(n_sh.sum())
+        flat = np.zeros(total, dtype=np.uint64)
+        # full docs: shingle t of doc d lives at acc[offsets[d] + t]
+        src = (np.arange(total) - np.repeat(starts, n_sh)
+               + np.repeat(offsets[:-1], n_sh))
+        m = np.repeat(full, n_sh)
+        flat[m] = acc[src[m]]
+        # short docs: fold all words into one hash (rare path, tiny loop)
+        for d in np.flatnonzero(~full):
+            h = np.uint64(0)
+            for j in range(offsets[d], offsets[d + 1]):
+                h = h * _ROLL + wh[j]
+            flat[starts[d]] = h
+    return flat, starts
+
+
+def minhash_signatures(texts, num_perm: int, shingle_k: int,
+                       perm_chunk: int = 16) -> np.ndarray:
+    """(n_docs, num_perm) uint64 minhash signature matrix, fully vectorized:
+    one (perm_chunk × total_shingles) multiply-add per chunk followed by
+    ``np.minimum.reduceat`` at doc boundaries. Permutations use wrapping
+    64-bit universal hashing (a*x+b mod 2^64)."""
     a, b = _perm_params(num_perm)
-    out = np.empty((len(texts), num_perm), dtype=np.uint64)
-    for i, t in enumerate(texts.fillna("")):
-        sh = _shingle_hashes(t, shingle_k) & np.uint64(_MERSENNE)
-        vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-        out[i] = vals.min(axis=1)
+    flat, starts = _flat_shingle_hashes(texts, shingle_k)
+    n_docs = len(starts)
+    out = np.empty((n_docs, num_perm), dtype=np.uint64)
+    if len(flat) == 0:
+        out[:] = 0
+        return out
+    with np.errstate(over="ignore"):
+        for p0 in range(0, num_perm, perm_chunk):
+            p1 = min(p0 + perm_chunk, num_perm)
+            vals = a[p0:p1, None] * flat[None, :] + b[p0:p1, None]
+            out[:, p0:p1] = np.minimum.reduceat(vals, starts, axis=1).T
     return out
 
 
@@ -115,21 +187,20 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
     rows_per_band = num_perm // bands
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pandas()
+        texts = batch[text_col]
         ids = batch[id_col].to_pandas().to_numpy()
         sig = minhash_signatures(texts, num_perm, shingle_k)
         band_view = sig.reshape(len(texts), bands, rows_per_band)
-        # hash each band's row-slice to one bucket key
-        bh = np.empty((len(texts), bands), dtype=np.uint64)
-        for bi in range(bands):
-            bh[:, bi] = pd.util.hash_pandas_object(
-                pd.Series([v.tobytes() for v in band_view[:, bi, :]]),
-                index=False, hash_key=_HASH_KEY).to_numpy()
+        # fold each band's row-slice into one bucket key (vectorized)
+        bh = np.zeros((len(texts), bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(rows_per_band):
+                bh = bh * _ROLL + band_view[:, :, r]
         n = len(texts)
         return pa.table({
             id_col: pa.array(np.repeat(ids, bands)),
             "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.reshape(-1)),
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64)),  # int64 bits: uint64 overflows Ray aggregates
             "_sig": pa.array(list(np.repeat(sig, bands, axis=0))),
         })
 
@@ -151,12 +222,70 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
         return pd.DataFrame({"a": A, "b": B, "est_jaccard": J})
 
     banded = ds.map_batches(to_bands, batch_format="pyarrow")
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pandas")
+    pairs = _hot_bucket_pairs(banded, pairs_in_bucket)
     edges = set()
     for b in pairs.iter_batches(batch_format="pandas", batch_size=65536):
         edges.update(zip(b["a"].tolist(), b["b"].tolist()))
     return _components_dataset(ds, id_col, edges)
+
+
+def _fold_bucket_key(t: pa.Table) -> np.ndarray:
+    """(band_hash, band_id) folded to one uint64 key per row."""
+    bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    bi = t["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        return bh * _ROLL + bi
+
+
+def _hot_bucket_pairs(banded, pairs_fn):
+    """Run ``pairs_fn`` only on band buckets with ≥2 members.
+
+    A naive ``groupby(bucket).map_groups`` pays per-group overhead on every
+    bucket — and almost all buckets are singletons (non-duplicate docs).
+    Instead: (1) grouped count per bucket (partial-aggregated shuffle of
+    one row per bucket per block), (2) collect the ≥2 "hot" bucket keys —
+    bounded by the corpus duplicate rate, orders of magnitude smaller than
+    the doc count — broadcast them sorted via ray.put, (3) semi-join
+    filter the banded stream down to hot buckets (vectorized searchsorted
+    membership), (4) map_groups over the survivors only."""
+    import pyarrow.compute as pc
+
+    banded = banded.materialize()  # reused by the count pass and the filter pass
+    counts = banded.groupby(["band_id", "band_hash"]).count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], 1)),
+        batch_format="pyarrow").to_pandas()
+    hot_keys = (_fold_bucket_key(pa.Table.from_pandas(hot))
+                if len(hot) else np.zeros(0, np.uint64))
+    hot_keys.sort()
+
+    ref = None
+    try:
+        import ray
+
+        if ray.is_initialized():
+            ref = ray.put(hot_keys)
+    except Exception:
+        ref = None
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        if ref is not None:
+            import ray as _r
+
+            keys = _r.get(ref)
+        else:
+            keys = hot_keys
+        if len(keys) == 0:
+            return t.slice(0, 0)
+        k = _fold_bucket_key(t)
+        idx = np.clip(np.searchsorted(keys, k), 0, len(keys) - 1)
+        return t.filter(pa.array(keys[idx] == k))
+
+    survivors = banded.map_batches(keep_hot, batch_format="pyarrow")
+    return survivors.groupby(["band_id", "band_hash"]).map_groups(
+        pairs_fn, batch_format="pandas")
 
 
 def _components_dataset(ds, id_col: str, edges: set[tuple]):
@@ -192,20 +321,26 @@ def _components_dataset(ds, id_col: str, edges: set[tuple]):
 
 # ---------------------------------------------------------------- simhash ---
 
-def simhash_signatures(texts: pd.Series) -> np.ndarray:
-    """64-bit simhash over whitespace tokens (uniform weights)."""
-    out = np.empty(len(texts), dtype=np.uint64)
-    bit_idx = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts.fillna("")):
-        toks = t.split()
-        if not toks:
-            out[i] = 0
-            continue
-        th = pd.util.hash_pandas_object(pd.Series(toks), index=False,
-                                        hash_key=_HASH_KEY).to_numpy()
-        bits = ((th[:, None] >> bit_idx[None, :]) & 1).astype(np.int32)
-        v = (2 * bits - 1).sum(axis=0)
-        out[i] = np.uint64(((v > 0).astype(np.uint64) << bit_idx).sum())
+def simhash_signatures(texts) -> np.ndarray:
+    """64-bit simhash over whitespace tokens (uniform weights).
+
+    Vectorized across the whole batch: words are hashed in one pass; each
+    bit's per-doc popcount comes from a prefix-sum differenced at doc
+    boundaries (64 cumsum passes over the flat word-hash array, no
+    per-doc Python loop)."""
+    wh, offsets = _flat_word_hashes(texts)
+    lens = np.diff(offsets)
+    n_docs = len(lens)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(wh) == 0:
+        return out
+    half = lens.astype(np.int64)  # bit set iff popcount*2 > n_words
+    for b in range(64):
+        bits = ((wh >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(bits)))
+        cnt = csum[offsets[1:]] - csum[offsets[:-1]]
+        out |= ((2 * cnt > half).astype(np.uint64) << np.uint64(b))
+    out[lens == 0] = 0
     return out
 
 
@@ -224,7 +359,7 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
         return pa.table({
             id_col: pa.array(np.repeat(ids, 4)),
             "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
-            "band_hash": pa.array(np.stack(bands, axis=1).reshape(-1)),
+            "band_hash": pa.array(np.stack(bands, axis=1).reshape(-1).view(np.int64)),
             "_sig": pa.array(np.repeat(sig, 4)),
         })
 
@@ -247,8 +382,7 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
         return pd.DataFrame({"a": A, "b": B, "hamming": H})
 
     banded = ds.map_batches(to_bands, batch_format="pyarrow")
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pandas")
+    pairs = _hot_bucket_pairs(banded, pairs_in_bucket)
     edges = set()
     for b in pairs.iter_batches(batch_format="pandas", batch_size=65536):
         edges.update(zip(b["a"].tolist(), b["b"].tolist()))
@@ -345,7 +479,7 @@ def embedding_neardup(ds, vec_col: str = "embedding", id_col: str = "vec_id", *,
         return pa.table({
             id_col: pa.array(np.repeat(ids, n_tables)),
             "band_id": pa.array(np.tile(np.arange(n_tables, dtype=np.int32), n)),
-            "band_hash": pa.array(keys.reshape(-1)),
+            "band_hash": pa.array(keys.reshape(-1).view(np.int64)),
             "_vec": pa.array(list(np.repeat(Xn, n_tables, axis=0))),
         })
 

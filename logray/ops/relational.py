@@ -35,19 +35,20 @@ def broadcast_join(ds, small: pd.DataFrame, on: str | list[str], *,
             ref = None
     small_local = small if ref is None else None
 
-    class Joiner:
-        def __init__(self):
-            if ref is not None:
-                import ray
+    # Plain tasks, not an actor pool: the per-task ray.get(ref) is a
+    # node-local shared-memory read of the already-broadcast small side
+    # (cheap at any fan-out), while an actor pool would pay its spin-up on
+    # every query — dominant for small/medium inputs.
+    def joiner(batch: pd.DataFrame) -> pd.DataFrame:
+        if ref is not None:
+            import ray
 
-                self.small = ray.get(ref)
-            else:
-                self.small = small_local
+            right = ray.get(ref)
+        else:
+            right = small_local
+        return batch.merge(right, on=on, how=how)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
-
-    return ds.map_batches(Joiner, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(joiner, batch_format="pandas")
 
 
 _COMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}

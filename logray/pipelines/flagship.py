@@ -4,12 +4,20 @@ Ray-Data-native execution of the reference's parse loop at corpus scale
 (SURVEY.md §3.2). Partitions are processed in **waves**: one streaming
 Dataset pass covers up to ``wave_size`` input partitions at once —
 
-    read_parquet(wave files, include_paths)  # blocks = Arrow tables
-      → tag rows with partition id (__pid from file path)
-      → map_batches(parse)                   # zero-copy rule engine
-      → map_batches(Enricher, concurrency=C) # stateful actor pool
-      → map_batches(SinkWriter)              # per-(pid, sink) fan-out
+    read_parquet(wave files, include_paths)   # light tasks, num_cpus=0.5
+      → map_batches(FlagshipWorker,           # stateful actor pool:
+                    concurrency=(m, n))       #   parse → enrich → route/write
       → driver collects tiny per-batch partials → per-pid manifest commit
+
+``FlagshipWorker`` is ONE actor-pool stage fusing the whole row path:
+the compiled ruleset, the broadcast enrich lookups and the sink writer
+all live in actor state (built once per actor in ``__init__``), and only
+the per-(pid, sink, rule, file) summary rows ever leave the actors —
+the enriched row stream (~400 B/row) never crosses the object store.
+Measured on this 32-CPU host, the fused layout beats the 3-operator
+task/actor/task chain ~2× (no inter-stage object transfer, no actor-pool
+ceiling on the heavy stage). Reads run at ``num_cpus=0.5`` so a pool
+spanning nearly the whole cluster can never starve them into deadlock.
 
 Wave execution keeps the whole cluster busy (one actor-pool spin-up per
 wave instead of per partition) while the manifest commit stays
@@ -63,24 +71,55 @@ def _parse_with_pid(batch: pa.Table) -> pa.Table:
     return parse_batch_fn(batch, extra_cols=(PID_COL,))
 
 
+class FlagshipWorker:
+    """Fused stateful stage: parse → enrich → route/fan-out in one actor.
+
+    All per-worker state — compiled pattern trie (via the parse module's
+    process-level cache), broadcast lookup dicts (``lookups_ref`` from
+    ``ray.put``, resolved once here, never re-shipped per batch) and the
+    multi-sink writer — is built once per actor; ``__call__`` handles one
+    Arrow batch end-to-end and returns only the tiny summary table."""
+
+    def __init__(self, out_dir: str, lookups_ref=None, compression: str = "zstd"):
+        self.enricher = Enricher(lookups_ref)
+        self.writer = SinkWriter(out_dir, compression=compression)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.writer(self.enricher(_parse_with_pid(batch)))
+
+
+def _default_pool() -> tuple[int, int]:
+    """Actor-pool bounds from the cluster size: ~7/8 of CPUs warm-started,
+    growing to cpus-1 (reads take the fractional remainder)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return (max(2, cpus * 7 // 8), max(3, cpus - 1))
+
+
 def run_wave(wave: list[str], parts: dict[str, list[str]], out_dir: str, *,
-             lookups_ref=None, enrich_concurrency=4, batch_size: int | None = None,
+             lookups_ref=None, enrich_concurrency=None, batch_size: int | None = None,
              override_num_blocks: int | None = None) -> dict[str, dict]:
     """One streaming pass over one wave of partitions; returns
     {partition_id: manifest payload}."""
     import ray.data
 
     files = [f for pid in wave for f in parts[pid]]
+    if override_num_blocks is None:
+        # ~50k-row blocks (2 per generator file): measured sweet spot — big
+        # enough to amortize per-file write overhead, small enough to stay
+        # cache-friendly and load-balance across the pool.
+        override_num_blocks = 2 * len(files)
+    if enrich_concurrency is None:
+        enrich_concurrency = _default_pool()
     ds = ray.data.read_parquet(files, include_paths=True,
-                               override_num_blocks=override_num_blocks)
-    parsed = ds.map_batches(_parse_with_pid, batch_format="pyarrow",
-                            zero_copy_batch=True, batch_size=batch_size)
-    enriched = parsed.map_batches(
-        Enricher, fn_constructor_kwargs={"lookups_ref": lookups_ref},
+                               override_num_blocks=override_num_blocks,
+                               ray_remote_args={"num_cpus": 0.5})
+    summaries = ds.map_batches(
+        FlagshipWorker,
+        fn_constructor_kwargs={"out_dir": out_dir, "lookups_ref": lookups_ref},
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=enrich_concurrency, batch_size=batch_size)
-    writer = SinkWriter(out_dir)
-    summaries = enriched.map_batches(writer, batch_format="pyarrow", batch_size=batch_size)
     rows = summaries.take_all()  # tiny: one row per (pid, sink, rule, batch-file)
 
     payloads: dict[str, dict] = {}
@@ -112,7 +151,7 @@ def run_wave(wave: list[str], parts: dict[str, list[str]], out_dir: str, *,
 
 
 def run_partition(files: list[str], out_dir: str, partition_id: str, *,
-                  lookups_ref=None, enrich_concurrency=4, batch_size: int | None = None,
+                  lookups_ref=None, enrich_concurrency=None, batch_size: int | None = None,
                   override_num_blocks: int | None = None) -> dict:
     """Single-partition compatibility wrapper around ``run_wave``."""
     return run_wave([partition_id], {partition_id: files}, out_dir,
@@ -122,7 +161,7 @@ def run_partition(files: list[str], out_dir: str, partition_id: str, *,
 
 
 def run_flagship(input_dir: str | Path, out_dir: str | Path, *,
-                 resume: bool = True, lookups_ref=None, enrich_concurrency=4,
+                 resume: bool = True, lookups_ref=None, enrich_concurrency=None,
                  batch_size: int | None = None, override_num_blocks: int | None = None,
                  wave_size: int = 32) -> dict:
     """Run the full pipeline with partition-granular resume; returns metrics.
