@@ -156,14 +156,17 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Same flagship job at num_cpus=8 and 32 in fresh processes.
+    """Same flagship job at num_cpus=N and 4N in fresh processes.
 
-    Corpus defaults to 120× the base (≈104M turns) so the 8-CPU run takes
+    BENCH_SCALING_CPUS picks the pair (default "8,32"); "2,8" measures the
+    regime below this host's memory-bandwidth ceiling (see BASELINE.md).
+    Corpus defaults to 120× the base (≈104M turns) so the small run takes
     well over 60 s — fixed startup cost must not pollute the efficiency
     ratio (protocol in BASELINE.md)."""
     rep = os.environ.get("BENCH_CORPUS_REP", "120")
+    lo, hi = (int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "8,32").split(","))
     results = {}
-    for n in (8, 32):
+    for n in (lo, hi):
         # remove the previous run's sink output and flush dirty pages:
         # otherwise run 2 starts throttled by run 1's writeback backlog
         shutil.rmtree("/tmp/logray/bench_out", ignore_errors=True)
@@ -173,14 +176,15 @@ def scaling() -> None:
         out = subprocess.run([sys.executable, str(REPO / "bench.py")], env=env,
                              capture_output=True, text=True, check=True).stdout
         results[n] = json.loads(out.strip().splitlines()[-1])
-    t8 = results[8]["queries"]["flagship"]
-    t32 = results[32]["queries"]["flagship"]
-    turns = results[32]["corpus_turns"]
-    eff = (t8 / t32) / (32 / 8)
+    t_lo = results[lo]["queries"]["flagship"]
+    t_hi = results[hi]["queries"]["flagship"]
+    turns = results[hi]["corpus_turns"]
+    eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
-        "sec_8": t8, "sec_32": t32,
-        "turns_per_sec_8": round(turns / t8, 1),
-        "turns_per_sec_32": round(turns / t32, 1),
+        f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+        f"turns_per_sec_{lo}": round(turns / t_lo, 1),
+        f"turns_per_sec_{hi}": round(turns / t_hi, 1),
+        "cpus": [lo, hi],
         "corpus_turns": turns,
         "scaling_efficiency": round(eff, 3),
     }))

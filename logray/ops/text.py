@@ -1,18 +1,17 @@
 """Text-analysis operators over a document table (SURVEY.md task mandate):
 language-ID, quality scoring, token counting, document fingerprinting.
 
-All batch bodies are vectorized (pyarrow.compute / pandas str / numpy);
-the only per-row Python is hashing/ngram set construction where a scalar
-kernel is unavoidable — kept in numpy inner loops.
+All batch bodies are vectorized end-to-end (pyarrow.compute regex/string
+kernels + numpy prefix-sum tricks); the only remaining per-row Python is
+the md5 hex digest in ``add_fingerprint`` (kept so the op stays
+DuckDB-oracle-able via ``md5(lower(text))``).
 """
 
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -48,20 +47,39 @@ _ROLL_SEED = 14695981039346656037
 _U64 = (1 << 64) - 1
 
 
-def _rolling_hash(tokens: list[str]) -> int:
-    h = _ROLL_SEED
-    for t in tokens:
-        th = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-        h = ((h * _ROLL_BASE) & _U64) ^ th
-    return h
+_ROLL_INV = pow(_ROLL_BASE, -1, 1 << 64)  # modular inverse: _ROLL_BASE is odd
 
 
 def add_rolling_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Order-sensitive rolling (FNV-style) hash over the token stream."""
-    s = batch[text_col].to_pandas().fillna("")
-    toks = s.str.split()
-    fp = toks.map(_rolling_hash).astype("uint64")
-    return batch.append_column("rolling_fp", pa.array(fp, pa.uint64()))
+    """Order-sensitive polynomial rolling hash over the token stream,
+    vectorized across the whole batch: every token is hashed in one pass,
+    then per-doc hashes ``h_d = Σ_i th_i · B^(L_d-1-i) (mod 2^64)`` come
+    from a prefix-sum trick — ``S = cumsum(th · B⁻ⁱ)`` differenced at doc
+    boundaries and rescaled by ``B^(end_d-1)`` — no per-doc Python loop.
+    Order-sensitive by construction (B-weighted positions)."""
+    from .dedup import _flat_word_hashes
+
+    wh, offsets = _flat_word_hashes(batch[text_col])
+    n = len(wh)
+    lens = np.diff(offsets)
+    out = np.zeros(len(lens), dtype=np.uint64)
+    if n:
+        B = np.uint64(_ROLL_BASE)
+        Binv = np.uint64(_ROLL_INV)
+        with np.errstate(over="ignore"):
+            # P[i] = B^i, Q[i] = B^-i (wrapping cumulative products)
+            P = np.ones(n, dtype=np.uint64)
+            Q = np.ones(n, dtype=np.uint64)
+            np.multiply.accumulate(np.full(n, B, dtype=np.uint64), out=P)
+            np.multiply.accumulate(np.full(n, Binv, dtype=np.uint64), out=Q)
+            P = np.concatenate(([np.uint64(1)], P))  # P[i] = B^i, i in [0, n]
+            Q = np.concatenate(([np.uint64(1)], Q[:-1]))
+            S = np.concatenate(([np.uint64(0)], np.cumsum(wh * Q, dtype=np.uint64)))
+            seg = S[offsets[1:]] - S[offsets[:-1]]
+            nonzero = lens > 0
+            ends = offsets[1:][nonzero]
+            out[nonzero] = seg[nonzero] * P[ends - 1]
+    return batch.append_column("rolling_fp", pa.array(out, pa.uint64()))
 
 
 # ------------------------------------------------------------------ langid --
@@ -85,27 +103,36 @@ class LangIdStage:
     """
 
     def __init__(self) -> None:
-        self.profiles = _LANG_PROFILES
-        self.word_rx = re.compile(r"[a-zàâäéèêëíìîïóòôöúùûüñçß]+")
-        self.cjk_rx = re.compile(r"[一-鿿぀-ヿ가-힯]")
+        # one alternation regex per language, compiled once per actor;
+        # scored on stopword OCCURRENCES (vectorized count per batch)
+        self.langs = list(_LANG_PROFILES)
+        self.patterns = {
+            lang: r"\b(?:" + "|".join(sorted(words)) + r")\b"
+            for lang, words in _LANG_PROFILES.items()
+        }
+        self.cjk_pattern = r"[一-鿿぀-ヿ가-힯]"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        s = batch["text"].to_pandas().fillna("")
-        preds, scores = [], []
-        for v in s:
-            cjk = len(self.cjk_rx.findall(v))
-            if cjk and cjk / max(len(v), 1) > 0.05:
-                preds.append("zh")
-                scores.append(min(1.0, cjk / max(len(v), 1) * 4))
-                continue
-            words = set(self.word_rx.findall(v.lower()))
-            best, best_n = "unknown", 0
-            for lang, prof in self.profiles.items():
-                n = len(words & prof)
-                if n > best_n:
-                    best, best_n = lang, n
-            preds.append(best if best_n >= 2 else "unknown")
-            scores.append(min(1.0, best_n / 8))
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        low = pc.utf8_lower(text)
+        n_chars = np.maximum(pc.utf8_length(text).to_numpy(zero_copy_only=False), 1)
+        cjk = pc.count_substring_regex(text, self.cjk_pattern).to_numpy(zero_copy_only=False)
+        counts = np.stack([
+            pc.count_substring_regex(low, self.patterns[lang]).to_numpy(zero_copy_only=False)
+            for lang in self.langs
+        ], axis=1)
+        best_i = counts.argmax(axis=1)
+        best_n = counts[np.arange(len(best_i)), best_i]
+        preds = np.asarray(self.langs, dtype=object)[best_i]
+        preds[best_n < 2] = "unknown"
+        scores = np.minimum(1.0, best_n / 8.0)
+        cjk_ratio = cjk / n_chars
+        is_zh = cjk_ratio > 0.05
+        preds[is_zh] = "zh"
+        scores = np.where(is_zh, np.minimum(1.0, cjk_ratio * 4), scores)
         batch = batch.append_column("lang_pred", pa.array(preds, pa.string()))
         return batch.append_column("lang_score", pa.array(scores, pa.float64()))
 
@@ -117,8 +144,8 @@ _STOPWORDS = _LANG_PROFILES["en"]
 
 def add_quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality heuristics: length, punctuation ratio, stopword ratio, mean
-    word length, digit ratio → composite ``quality`` in [0,1]. Vectorized
-    pyarrow kernels except the stopword set intersection (pandas map)."""
+    word length, digit ratio → composite ``quality`` in [0,1]. Fully
+    vectorized (stopword ratio via one alternation-regex count)."""
     text = batch[text_col]
     n_chars = pc.cast(pc.utf8_length(text), pa.float64())
     n_punct = pc.cast(pc.count_substring_regex(text, r"[^\w\s]"), pa.float64())
@@ -130,10 +157,12 @@ def add_quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     digit_ratio = pc.divide(n_digit, safe_chars)
     mean_word_len = pc.divide(n_chars, safe_words)
 
-    s = text.to_pandas().fillna("")
-    toks = s.str.lower().str.findall(r"[a-z]+")
-    stop_ratio = toks.map(lambda ws: sum(w in _STOPWORDS for w in ws) / max(1, len(ws)))
-    stop_arr = pa.array(stop_ratio, pa.float64())
+    low = pc.utf8_lower(pc.fill_null(text, ""))
+    stop_pat = r"\b(?:" + "|".join(sorted(_STOPWORDS)) + r")\b"
+    n_stop = pc.count_substring_regex(low, stop_pat).to_numpy(zero_copy_only=False)
+    n_alpha = np.maximum(
+        pc.count_substring_regex(low, r"[a-z]+").to_numpy(zero_copy_only=False), 1)
+    stop_arr = pa.array(n_stop / n_alpha, pa.float64())
 
     # composite: reward moderate length & stopword presence, punish symbol soup
     len_score = pc.min_element_wise(pc.divide(n_chars, pa.scalar(200.0)), pa.scalar(1.0))

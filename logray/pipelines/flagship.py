@@ -94,7 +94,7 @@ def _default_pool() -> tuple[int, int]:
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return (max(2, cpus * 7 // 8), max(3, cpus - 1))
+    return (max(1, cpus * 7 // 8), max(2, cpus - 1))
 
 
 def run_wave(wave: list[str], parts: dict[str, list[str]], out_dir: str, *,
