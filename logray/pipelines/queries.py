@@ -484,6 +484,58 @@ def transcript_parse_counts(sf_dir: str):
     return relational.grouped_agg(parsed, ["rule_id"], {"n": ("rule_id", "count")})
 
 
+def deterministic_sample_events(sf_dir: str):
+    """Deterministic hash-based sampling (C6): keep events whose
+    ``md5(event_id)`` starts with hex digit 0 or 1 (≈1/8 sample).
+
+    md5 keeps the op DuckDB-oracle-able; the per-row digest is the price
+    of SQL parity — the scale path would use a pyarrow-native hash on the
+    key column (same shape, no oracle)."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_pandas().astype(str)
+        first = ids.map(lambda s: hashlib.md5(s.encode()).hexdigest()[0])
+        return t.filter(pa.array(first.isin(["0", "1"]).to_numpy()))
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+def random_sample_events(sf_dir: str):
+    """Uniform random sampling via ``Dataset.random_sample`` (C6): ~10% of
+    events, fraction applied per block with a fixed seed. Row count is
+    probabilistic — no SQL oracle (rows-only check)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return ds.random_sample(0.1, seed=42)
+
+
+_RAW_LOG_CACHE = "/tmp/logray/rawlog"
+
+
+def raw_log_parse_counts(sf_dir: str):
+    """Raw-text ingestion path (B5/B1): render the transcript corpus to
+    ``.log`` text files (cached), re-ingest with ray.data.read_text + the
+    vectorized envelope regex, run the rule engine on the reconstructed
+    turns, and return the per-rule histogram — byte-identical to
+    ``transcript_parse_counts`` (round-trip invariant, pytest-checked)."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    from ..sources import read_raw_log, render_raw_log
+
+    raw = Path(_RAW_LOG_CACHE) / f"sf{sf}"
+    if not list(raw.glob("*.log")):
+        render_raw_log(corpus, raw)
+    from ..stages.parse import parse_batch_fn
+
+    ds = read_raw_log(raw)
+    parsed = ds.map_batches(
+        lambda t: parse_batch_fn(t.drop(["envelope_error"])),
+        batch_format="pyarrow")
+    return relational.grouped_agg(parsed, ["rule_id"], {"n": ("rule_id", "count")})
+
+
 def salted_conv_counts(sf_dir: str):
     """Salted two-phase per-conversation counts (skew-safe aggregation)."""
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
@@ -582,9 +634,13 @@ QUERIES = {
     "langid_documents": langid_documents,
     "quality_documents": quality_documents,
     "rolling_fingerprint_documents": rolling_fingerprint_documents,
-    # transcripts (flagship) + multimodal
+    # sampling
+    "deterministic_sample_events": deterministic_sample_events,
+    "random_sample_events": random_sample_events,
+    # transcripts (flagship) + raw-text source + multimodal
     "flagship_transcripts": flagship_transcripts,
     "transcript_parse_counts": transcript_parse_counts,
+    "raw_log_parse_counts": raw_log_parse_counts,
     "fold_continuations_transcripts": fold_continuations_transcripts,
     "salted_conv_counts": salted_conv_counts,
     "multimodal_decode_features": multimodal_decode_features,

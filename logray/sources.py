@@ -1,0 +1,105 @@
+"""Raw-log text ingestion source (SURVEY.md §2 B5/B1).
+
+The reference's primary input is a raw log FILE — an envelope regex
+(`capture_line`) splits each line into typed fields before the message
+rule table runs. The graft's primary input is Parquet, but this module
+keeps the raw-text path first-class: a deterministic renderer turns the
+transcript corpus into `.log` text files, and `read_raw_log` ingests them
+with `ray.data.read_text` + one vectorized `pc.extract_regex` envelope
+pass, reconstructing the exact transcript schema (round-trip tested).
+
+Line format (one logical record per line; newlines inside a turn's text
+are escaped with the ASCII record-separator control char, which never
+occurs in text):
+
+    2026-01-01T00:00:00.000000 [assistant] c00000042#7 tool=bash :: {text}
+
+Unmatched lines are never dropped (reference `default` semantics): they
+come back as rows with null envelope fields and ``envelope_error=True``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+_NL_SENTINEL = "\x00"  # NUL escapes '\n' within a turn: unlike \x1e/\x1c,
+# NUL is not a str.splitlines() boundary, so line-oriented consumers
+# cannot silently split a record at the sentinel
+
+ENVELOPE_REGEX = (
+    r"^(?P<ts>\S+) \[(?P<role>[a-z]+)\] (?P<conv_id>\S+)#(?P<turn_idx>\d+)"
+    r" tool=(?P<tool>\S*) :: (?P<text>.*)$"
+)
+
+_TS_FMT = "%Y-%m-%dT%H:%M:%S"  # Arrow strftime %S already emits .ffffff
+
+
+def render_raw_log(corpus_dir: str | Path, out_dir: str | Path) -> list[str]:
+    """Render each corpus parquet partition to one ``.log`` text file.
+
+    Fully vectorized (strftime + element-wise join); deterministic for a
+    given corpus. Returns the list of written files."""
+    corpus_dir, out_dir = Path(corpus_dir), Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    written = []
+    for f in sorted(corpus_dir.glob("*.parquet")):
+        t = pq.read_table(f)
+        ts = pc.strftime(t["ts"], format=_TS_FMT)
+        text = pc.replace_substring(t["text"], "\n", _NL_SENTINEL)
+        turn = pc.cast(t["turn_idx"], pa.string())
+        lines = pc.binary_join_element_wise(
+            ts, " [", t["role"], "] ", t["conv_id"], "#", turn,
+            " tool=", t["tool"], " :: ", text, "")
+        out = out_dir / (f.stem + ".log")
+        with open(out, "w") as fh:
+            fh.write("\n".join(lines.to_pylist()))
+            fh.write("\n")
+        written.append(str(out))
+    return written
+
+
+def envelope_parse(batch: pa.Table, line_col: str = "text") -> pa.Table:
+    """One-regex envelope split of raw lines back into the transcript
+    schema — the vectorized analog of the reference's ``capture_line``
+    rule. Unmatched lines survive with null fields + ``envelope_error``."""
+    lines = batch[line_col]
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    st = pc.extract_regex(lines, ENVELOPE_REGEX)
+    err = st.is_null()
+
+    def field(name: str) -> pa.Array:
+        # children of null struct rows hold '' (not null) — mask them so
+        # downstream casts see proper nulls instead of un-castable strings
+        return pc.if_else(err, pa.scalar(None, pa.string()), st.field(name))
+
+    # Arrow strptime cannot parse fractional seconds; string→timestamp
+    # cast handles ISO8601 with microseconds (nulls pass through)
+    ts = pc.cast(field("ts"), pa.timestamp("us"))
+    text = pc.replace_substring(field("text"), _NL_SENTINEL, "\n")
+    return pa.table({
+        "conv_id": field("conv_id"),
+        "turn_idx": pc.cast(field("turn_idx"), pa.int32()),
+        "role": field("role"),
+        "text": text,
+        "tool": field("tool"),
+        "ts": ts,
+        "envelope_error": err,
+    })
+
+
+def read_raw_log(log_dir: str | Path):
+    """``ray.data.read_text`` over rendered ``.log`` files → envelope parse.
+
+    Returns a Dataset with the transcript schema + ``envelope_error``.
+    Downstream stages (rule parse, enrich, route) apply unchanged — the
+    raw-text path and the Parquet path share everything after this stage."""
+    import ray.data
+
+    files = sorted(str(p) for p in Path(log_dir).glob("*.log"))
+    ds = ray.data.read_text(files)
+    return ds.map_batches(envelope_parse, batch_format="pyarrow")

@@ -1,0 +1,74 @@
+"""Raw-text source round-trip (SURVEY.md §2 B5/B1): corpus → rendered
+.log files → read_text + envelope regex → exact transcript reconstruction
+→ rule-engine parity with the Parquet path."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from logray.gen import generate_corpus
+from logray.sources import envelope_parse, read_raw_log, render_raw_log
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("src_corpus")
+    meta = generate_corpus(0.002, d, with_expected=False)
+    return d, meta
+
+
+def test_roundtrip_exact(ray_session, corpus, tmp_path_factory):
+    """Every column survives render → ingest byte-identically, including
+    multi-line noise texts; unmatched lines never occur on clean input."""
+    in_dir, meta = corpus
+    raw = tmp_path_factory.mktemp("rawlog")
+    files = render_raw_log(in_dir, raw)
+    assert len(files) == meta["partitions"]
+
+    got = (read_raw_log(raw).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    want = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(in_dir.glob("*.parquet"))]
+    ).to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    assert len(got) == meta["n_turns"]
+    assert not got["envelope_error"].any()
+    for col in ("conv_id", "turn_idx", "role", "text", "tool", "ts"):
+        assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_unmatched_lines_survive():
+    """Reference default semantics: garbage lines yield error rows, not
+    dropped rows."""
+    t = pa.table({"text": [
+        "2026-01-01T00:00:00.000000 [user] c1#0 tool= :: hi there",
+        "not a log line at all",
+        "",
+    ]})
+    out = envelope_parse(t)
+    assert out.num_rows == 3
+    assert out["envelope_error"].to_pylist() == [False, True, True]
+    assert out["conv_id"].to_pylist()[1] is None
+    assert out["text"].to_pylist()[0] == "hi there"
+
+
+def test_rule_parity_with_parquet_path(ray_session, corpus, tmp_path_factory):
+    """Per-rule histogram via the raw-text path == analytic corpus counts."""
+    import ray.data
+
+    from logray.stages.parse import parse_batch_fn
+
+    in_dir, meta = corpus
+    raw = tmp_path_factory.mktemp("rawlog2")
+    render_raw_log(in_dir, raw)
+    parsed = read_raw_log(raw).map_batches(
+        lambda t: parse_batch_fn(t.drop(["envelope_error"])),
+        batch_format="pyarrow")
+    hist: dict[str, int] = {}
+    for b in parsed.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for r in b.group_by("rule_id").aggregate([("rule_id", "count")]).to_pylist():
+            hist[r["rule_id"]] = hist.get(r["rule_id"], 0) + r["rule_id_count"]
+    assert hist == meta["rule_counts"]
