@@ -28,6 +28,11 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
         FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
     """,
+    "hourly_event_window_stats": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
     "pricing_summary_lineitem": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

@@ -70,6 +70,25 @@ def events_per_user_day(sf_dir: str):
         ["user_id", "day"], {"n": ("event_id", "count")})
 
 
+def hourly_event_window_stats(sf_dir: str):
+    """Tumbling 1-hour event-time window (C9): per (window, event_type)
+    count + value sum — the batch analog of a streaming tumbling window
+    (event-time bucketing is a pure column function, so it composes with
+    the partial-aggregation combiner like any grouped agg)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "window_start", pc.floor_temporal(t["ts"], unit="hour"))
+
+    out = relational.grouped_agg(
+        ds.map_batches(add_window, batch_format="pyarrow"),
+        ["window_start", "event_type"],
+        {"n": ("value", "count"), "sum_value": ("value", "sum")})
+    return out.map_batches(lambda t: _round_col(t, "sum_value", 2),
+                           batch_format="pyarrow")
+
+
 def pricing_summary_lineitem(sf_dir: str):
     """TPC-H Q1-shaped pricing summary (filter → wide grouped aggregate)."""
     ds = _read(sf_dir, "lineitem",
@@ -595,6 +614,7 @@ QUERIES = {
     "grouped_agg_events": grouped_agg_events,
     "max_value_per_user": max_value_per_user,
     "events_per_user_day": events_per_user_day,
+    "hourly_event_window_stats": hourly_event_window_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
     # filter / project / sort / topk
