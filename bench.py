@@ -127,6 +127,12 @@ def main() -> None:
     for t in ("lineitem", "events", "documents", "embeddings"):
         Path(f"{SF_DIR}/{t}.parquet").read_bytes()
 
+    # spawn Ray worker processes (pyarrow/numpy imports) before timing
+    import ray.data
+
+    ray.data.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
+        lambda b: b).materialize()
+
     names = ONLY if ONLY else TABLE_QUERIES + ["flagship"]
     flagship_sec = None
     for name in names:
