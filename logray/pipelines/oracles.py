@@ -30,7 +30,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "hourly_event_window_stats": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
-               count(*) AS n, round(sum(value), 2) AS sum_value
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
         FROM events GROUP BY 1, 2
     """,
     "pricing_summary_lineitem": """

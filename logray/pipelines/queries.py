@@ -78,15 +78,17 @@ def hourly_event_window_stats(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def add_window(t: pa.Table) -> pa.Table:
-        return t.append_column(
+        t = t.append_column(
             "window_start", pc.floor_temporal(t["ts"], unit="hour"))
+        # exact integer cents: float partial sums reorder under parallel
+        # combination and can straddle a rounding boundary vs the oracle
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return t.append_column("value_cents", cents)
 
-    out = relational.grouped_agg(
+    return relational.grouped_agg(
         ds.map_batches(add_window, batch_format="pyarrow"),
         ["window_start", "event_type"],
-        {"n": ("value", "count"), "sum_value": ("value", "sum")})
-    return out.map_batches(lambda t: _round_col(t, "sum_value", 2),
-                           batch_format="pyarrow")
+        {"n": ("value_cents", "count"), "sum_cents": ("value_cents", "sum")})
 
 
 def pricing_summary_lineitem(sf_dir: str):
