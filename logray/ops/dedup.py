@@ -41,24 +41,64 @@ def _stable_hash64(s: pd.Series) -> np.ndarray:
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Exact dedup: keep the min-id row per distinct ``text_col`` value.
 
-    map_batches adds a stable 64-bit content hash; groupby(hash) co-locates
-    candidates; within each (small) group, equality is verified on the real
-    content, so hash collisions cannot merge distinct texts.
-    Returns a Dataset with the surviving rows (original schema).
+    Scale shape: a stable 64-bit content hash per row, then a grouped
+    COUNT over hashes (partial-aggregated — the shuffle moves one row per
+    hash per block). Hashes seen once are provably unique texts and pass
+    through with **no shuffle of their content at all**; only rows in
+    duplicated hash buckets (bounded by the corpus duplicate rate) are
+    co-located and verified on the real text (collision-safe keep-first).
+    Avoids both a full-text shuffle and per-singleton-group Python
+    overhead. Returns a Dataset with the surviving rows (original schema).
     """
+    from ray.data.aggregate import Sum
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = _stable_hash64(batch[text_col].to_pandas())
-        return batch.append_column("_h", pa.array(h, pa.uint64()))
+        h = _stable_hash64(batch[text_col].to_pandas()).view(np.int64)
+        return batch.append_column("_h", pa.array(h, pa.int64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("_h").aggregate([("_h", "count")])
+        return pa.table({"_h": g["_h"], "n": g["_h_count"]})
+
+    counts = (hashed.map_batches(partial_counts, batch_format="pyarrow")
+              .groupby("_h").aggregate(Sum("n", alias_name="n")))
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)).select(["_h"]),
+        batch_format="pyarrow").to_pandas()
+    hot_keys = np.sort(hot["_h"].to_numpy()) if len(hot) else np.zeros(0, np.int64)
+
+    ref = None
+    try:
+        import ray
+
+        if ray.is_initialized():
+            ref = ray.put(hot_keys)
+    except Exception:
+        ref = None
+
+    def split(batch: pa.Table, keep_hot: bool) -> pa.Table:
+        keys = hot_keys if ref is None else __import__("ray").get(ref)
+        if len(keys) == 0:
+            m = np.zeros(batch.num_rows, bool)
+        else:
+            h = batch["_h"].to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(keys, h), 0, len(keys) - 1)
+            m = keys[idx] == h
+        return batch.filter(pa.array(m if keep_hot else ~m))
 
     def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        # verify true equality inside the hash group (collision-safe)
+        # verify true equality inside the hash bucket (collision-safe)
         return group.sort_values(id_col).groupby(text_col, as_index=False, sort=False).first()
 
-    out = (ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-             .groupby("_h")
-             .map_groups(keep_first, batch_format="pandas"))
-    return out.drop_columns(["_h"])
+    uniques = hashed.map_batches(split, fn_kwargs={"keep_hot": False},
+                                 batch_format="pyarrow")
+    dup_survivors = (hashed.map_batches(split, fn_kwargs={"keep_hot": True},
+                                        batch_format="pyarrow")
+                     .groupby("_h").map_groups(keep_first, batch_format="pandas"))
+    return uniques.union(dup_survivors).drop_columns(["_h"])
 
 
 # ---------------------------------------------------------------- minhash ---

@@ -121,23 +121,29 @@ def topk(ds, sort_cols: list[tuple[str, bool]], k: int) -> pd.DataFrame:
 
 
 def distinct(ds, cols: list[str]):
-    """Distinct rows over ``cols``: per-batch unique (combiner) then a
-    grouped keep-one — the shuffle sees only per-batch uniques."""
+    """Distinct rows over ``cols``: per-batch unique (combiner) then one
+    vectorized drop_duplicates per co-located bucket — the shuffle sees
+    only per-batch uniques, and Python overhead is O(num_buckets)."""
+    from .window import _bucketed_apply
 
     def local(batch: pa.Table) -> pa.Table:
         return batch.select(cols).group_by(cols).aggregate([])
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return ds.map_batches(local, batch_format="pyarrow").groupby(cols).map_groups(
-        first, batch_format="pandas")
+    pre = ds.map_batches(local, batch_format="pyarrow")
+    return _bucketed_apply(pre, cols[0],
+                           lambda df: df.drop_duplicates(cols))
 
 
 def keep_first(ds, keys: list[str], order_col: str):
-    """Dedup: keep the row with min ``order_col`` per ``keys`` group (C7)."""
+    """Dedup: keep the row with min ``order_col`` per ``keys`` group (C7).
 
-    def local(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_col).head(1)
+    Co-locates by a stable bucket of the first key (full-key groups never
+    split across buckets) and runs one vectorized pandas kernel per
+    bucket — O(num_buckets) Python overhead, not O(num_keys)."""
+    from .window import _bucketed_apply
 
-    return ds.groupby(keys).map_groups(local, batch_format="pandas")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values([*keys, order_col], kind="mergesort")
+                  .groupby(keys, sort=False).head(1))
+
+    return _bucketed_apply(ds, keys[0], per_bucket)
