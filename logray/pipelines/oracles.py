@@ -34,6 +34,17 @@ ORACLE_SQL: dict[str, str] = {
                sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
         FROM events GROUP BY 1, 2
     """,
+    "value_percentiles_by_type": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.95), 6) AS p95
+        FROM events GROUP BY event_type
+    """,
+    "parts_per_brand": """
+        SELECT p_brand, count(*) AS n_parts,
+               round(avg(p_retailprice), 6) AS avg_price
+        FROM part GROUP BY p_brand
+    """,
     "pricing_summary_lineitem": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

@@ -70,6 +70,36 @@ def events_per_user_day(sf_dir: str):
         ["user_id", "day"], {"n": ("event_id", "count")})
 
 
+def value_percentiles_by_type(sf_dir: str):
+    """Exact grouped quantiles (C5): p50/p95 of value per event_type.
+    Groups are co-located by bucket and computed with one vectorized
+    pandas quantile per bucket (linear interpolation — matches DuckDB's
+    quantile_cont)."""
+    from ..ops.window import _bucketed_apply
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        q = (df.groupby("event_type")["value"].quantile([0.5, 0.95]).unstack()
+             .rename(columns={0.5: "p50", 0.95: "p95"}).reset_index())
+        q["p50"] = q["p50"].round(6)
+        q["p95"] = q["p95"].round(6)
+        return q
+
+    return _bucketed_apply(ds, "event_type", per_bucket, num_buckets=8)
+
+
+def parts_per_brand(sf_dir: str):
+    """Grouped count + avg retail price over the part table."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+    out = relational.grouped_agg(ds, ["p_brand"], {
+        "n_parts": ("p_retailprice", "count"),
+        "avg_price": ("p_retailprice", "mean"),
+    })
+    return out.map_batches(lambda t: _round_col(t, "avg_price", 6),
+                           batch_format="pyarrow")
+
+
 def hourly_event_window_stats(sf_dir: str):
     """Tumbling 1-hour event-time window (C9): per (window, event_type)
     count + value sum — the batch analog of a streaming tumbling window
@@ -617,6 +647,8 @@ QUERIES = {
     "max_value_per_user": max_value_per_user,
     "events_per_user_day": events_per_user_day,
     "hourly_event_window_stats": hourly_event_window_stats,
+    "value_percentiles_by_type": value_percentiles_by_type,
+    "parts_per_brand": parts_per_brand,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
     # filter / project / sort / topk
