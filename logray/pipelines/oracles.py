@@ -45,6 +45,11 @@ ORACLE_SQL: dict[str, str] = {
                round(avg(p_retailprice), 6) AS avg_price
         FROM part GROUP BY p_brand
     """,
+    "supplier_balance_by_nation": """
+        SELECT n_name, count(*) AS n_supp, round(sum(s_acctbal), 2) AS sum_bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
     "pricing_summary_lineitem": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

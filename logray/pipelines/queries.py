@@ -100,6 +100,21 @@ def parts_per_brand(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def supplier_balance_by_nation(sf_dir: str):
+    """Broadcast join supplier→nation + grouped balance aggregate."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    nation = nation.rename(columns={"n_nationkey": "s_nationkey"})
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    joined = relational.broadcast_join(ds, nation, on="s_nationkey")
+    out = relational.grouped_agg(joined, ["n_name"], {
+        "n_supp": ("s_suppkey", "count"),
+        "sum_bal": ("s_acctbal", "sum"),
+    })
+    return out.map_batches(lambda t: _round_col(t, "sum_bal", 2),
+                           batch_format="pyarrow")
+
+
 def hourly_event_window_stats(sf_dir: str):
     """Tumbling 1-hour event-time window (C9): per (window, event_type)
     count + value sum — the batch analog of a streaming tumbling window
@@ -649,6 +664,7 @@ QUERIES = {
     "hourly_event_window_stats": hourly_event_window_stats,
     "value_percentiles_by_type": value_percentiles_by_type,
     "parts_per_brand": parts_per_brand,
+    "supplier_balance_by_nation": supplier_balance_by_nation,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
     # filter / project / sort / topk
