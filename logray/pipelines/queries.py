@@ -100,6 +100,18 @@ def parts_per_brand(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def approx_distinct_users_by_type(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id) per event_type
+    (C5 sketch path): per-batch 4 KiB register partials, element-wise-max
+    merge — the shuffle moves O(groups) bytes however many rows flow.
+    ~1.6% relative error at p=12 (tolerance-tested vs exact in pytest);
+    no SQL oracle (DuckDB's approx_count_distinct uses a different HLL)."""
+    from ..ops.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct(ds, ["event_type"], "user_id")
+
+
 def supplier_balance_by_nation(sf_dir: str):
     """Broadcast join supplier→nation + grouped balance aggregate."""
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
@@ -665,6 +677,7 @@ QUERIES = {
     "value_percentiles_by_type": value_percentiles_by_type,
     "parts_per_brand": parts_per_brand,
     "supplier_balance_by_nation": supplier_balance_by_nation,
+    "approx_distinct_users_by_type": approx_distinct_users_by_type,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
     # filter / project / sort / topk

@@ -222,3 +222,32 @@ def test_audio_and_frame_plan():
     plan = multimodal.frame_sample_plan(vid, every_ms=1000)
     per = plan.to_pandas().groupby("media_id").size().to_dict()
     assert per[0] == 4 and per[1] == 1 and per[2] == 1 and per[3] == 1 and per[4] == 2
+
+
+def test_hll_approx_distinct_within_tolerance(ray_session):
+    """HLL estimate within ~5% of exact for 10k distinct over 40k rows,
+    and exactly mergeable across arbitrary batch splits."""
+    import numpy as np
+    import ray.data
+
+    from logray.ops.sketch import _hll_estimate, _hll_partial, approx_distinct
+
+    rng = np.random.default_rng(11)
+    users = rng.integers(0, 10_000, 40_000)
+    types = np.array(["a", "b"])[(users % 2)]
+    t = pa.table({"event_type": pa.array(types),
+                  "user_id": pa.array(users, pa.int64())})
+    out = (approx_distinct(ray.data.from_arrow(t), ["event_type"], "user_id")
+           .to_pandas().set_index("event_type"))
+    exact_a = len(set(users[users % 2 == 0]))
+    exact_b = len(set(users[users % 2 == 1]))
+    assert abs(out.loc["a", "n_approx"] - exact_a) / exact_a < 0.05
+    assert abs(out.loc["b", "n_approx"] - exact_b) / exact_b < 0.05
+
+    # merge-exactness: sketch of the whole == max-merge of split sketches
+    import pandas as pd
+    s = pd.Series(users)
+    whole = _hll_partial(s, 12)
+    merged = np.maximum(_hll_partial(s[:13_000], 12), _hll_partial(s[13_000:], 12))
+    assert (whole == merged).all()
+    assert _hll_estimate(whole) == _hll_estimate(merged)
