@@ -219,14 +219,21 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
     ``(id_col, cluster_id, keep)`` where cluster_id = min id of the
     component and keep marks the canonical survivor.
 
-    Scale note: the edge list (not the corpus) is collected for the final
-    union-find; when edges outgrow the driver, swap the last step for
-    iterative min-label propagation (groupby rounds) — the band/bucket
-    stages are unchanged.
+    Scale shape: signatures ride ONCE per doc in a compact per-doc table
+    (``doc_id, _sig[num_perm], 16 band hashes``); the exploded band
+    stream that goes through the bucket-count shuffle carries only
+    (id, band_id, band_hash) — never the 512-byte signature. Signatures
+    for the (rare) docs that land in a ≥2-member bucket are collected and
+    broadcast to the pair-verification stage via ``ray.put``; the
+    broadcast is bounded by the corpus duplicate rate (partition the
+    verify stage by bucket if it ever outgrows a node). The edge list is
+    collected for the final union-find; when edges outgrow the driver,
+    swap the last step for iterative min-label propagation (groupby
+    rounds) — the band/bucket stages are unchanged.
     """
     rows_per_band = num_perm // bands
 
-    def to_bands(batch: pa.Table) -> pa.Table:
+    def per_doc(batch: pa.Table) -> pa.Table:
         texts = batch[text_col]
         ids = batch[id_col].to_pandas().to_numpy()
         sig = minhash_signatures(texts, num_perm, shingle_k)
@@ -236,33 +243,46 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
         with np.errstate(over="ignore"):
             for r in range(rows_per_band):
                 bh = bh * _ROLL + band_view[:, :, r]
-        n = len(texts)
+        return pa.table({
+            id_col: pa.array(ids),
+            "_sig": pa.array(list(sig)),
+            "_bh": pa.array(list(bh.view(np.int64))),  # int64 bits: uint64 overflows Ray aggregates
+        })
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch[id_col].to_pandas().to_numpy()
+        bh = np.stack(batch["_bh"].to_pandas().to_numpy())
         return pa.table({
             id_col: pa.array(np.repeat(ids, bands)),
             "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.reshape(-1).view(np.int64)),  # int64 bits: uint64 overflows Ray aggregates
-            "_sig": pa.array(list(np.repeat(sig, bands, axis=0))),
+            "band_hash": pa.array(bh.reshape(-1)),
         })
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "est_jaccard": pd.Series([], dtype="float64")})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sigs = np.stack(g["_sig"].to_numpy())
-        A, B, J = [], [], []
-        for i in range(len(ids)):
-            agree = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-            hit = np.flatnonzero(agree >= threshold)
-            A.extend([ids[i]] * len(hit))
-            B.extend(ids[i + 1 + hit])
-            J.extend(agree[hit])
-        return pd.DataFrame({"a": A, "b": B, "est_jaccard": J})
+    sig_tbl = ds.map_batches(per_doc, batch_format="pyarrow").materialize()
+    banded = sig_tbl.map_batches(explode, batch_format="pyarrow")
 
-    banded = ds.map_batches(to_bands, batch_format="pyarrow")
-    pairs = _hot_bucket_pairs(banded, pairs_in_bucket)
+    def make_pairs_fn(sig_ref, sig_local):
+        def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) < 2:
+                return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                     "b": pd.Series([], dtype="int64"),
+                                     "est_jaccard": pd.Series([], dtype="float64")})
+            sig_map = sig_local if sig_ref is None else __import__("ray").get(sig_ref)
+            g = g.sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            sigs = np.stack([sig_map[i] for i in ids])
+            A, B, J = [], [], []
+            for i in range(len(ids)):
+                agree = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+                hit = np.flatnonzero(agree >= threshold)
+                A.extend([ids[i]] * len(hit))
+                B.extend(ids[i + 1 + hit])
+                J.extend(agree[hit])
+            return pd.DataFrame({"a": A, "b": B, "est_jaccard": J})
+        return pairs_in_bucket
+
+    pairs = _hot_bucket_pairs(banded, make_pairs_fn, sig_tbl=sig_tbl, id_col=id_col)
     edges = set()
     for b in pairs.iter_batches(batch_format="pandas", batch_size=65536):
         edges.update(zip(b["a"].tolist(), b["b"].tolist()))
@@ -277,7 +297,7 @@ def _fold_bucket_key(t: pa.Table) -> np.ndarray:
         return bh * _ROLL + bi
 
 
-def _hot_bucket_pairs(banded, pairs_fn):
+def _hot_bucket_pairs(banded, pairs_fn, *, sig_tbl=None, id_col=None):
     """Run ``pairs_fn`` only on band buckets with ≥2 members.
 
     A naive ``groupby(bucket).map_groups`` pays per-group overhead on every
@@ -287,7 +307,13 @@ def _hot_bucket_pairs(banded, pairs_fn):
     bounded by the corpus duplicate rate, orders of magnitude smaller than
     the doc count — broadcast them sorted via ray.put, (3) semi-join
     filter the banded stream down to hot buckets (vectorized searchsorted
-    membership), (4) map_groups over the survivors only."""
+    membership), (4) map_groups over the survivors only.
+
+    With ``sig_tbl`` (per-doc table carrying ``_sig``), ``pairs_fn`` must
+    be a factory ``(sig_ref, sig_local) -> group_fn``: the signatures of
+    the surviving (hot) docs — integer ``id_col`` assumed — are collected,
+    broadcast once via ray.put, and looked up inside the verify kernel, so
+    the exploded band stream never carries signature bytes."""
     import pyarrow.compute as pc
 
     banded = banded.materialize()  # reused by the count pass and the filter pass
@@ -324,8 +350,42 @@ def _hot_bucket_pairs(banded, pairs_fn):
         return t.filter(pa.array(keys[idx] == k))
 
     survivors = banded.map_batches(keep_hot, batch_format="pyarrow")
+    if sig_tbl is None:
+        return survivors.groupby(["band_id", "band_hash"]).map_groups(
+            pairs_fn, batch_format="pandas")
+
+    # collect the surviving (hot) band rows once — bounded by the
+    # duplicate rate — and broadcast their docs' signatures to the verify
+    # kernel; the verify groupby then runs over the collected rows instead
+    # of re-executing the filter pass
+    surv_df = survivors.to_pandas()
+    hot_ids = set(surv_df[id_col].tolist())
+    hot_arr = np.sort(np.fromiter(hot_ids, dtype=np.int64, count=len(hot_ids)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        if len(hot_arr) == 0 or t.num_rows == 0:
+            return t.slice(0, 0)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(hot_arr, ids), 0, len(hot_arr) - 1)
+        return t.filter(pa.array(hot_arr[idx] == ids))
+
+    sig_rows = sig_tbl.map_batches(pick, batch_format="pyarrow").to_pandas()
+    sig_map = {int(i): np.asarray(s, dtype=np.uint64)
+               for i, s in zip(sig_rows[id_col], sig_rows["_sig"])}
+    sig_ref = None
+    try:
+        import ray
+
+        if ray.is_initialized():
+            sig_ref = ray.put(sig_map)
+    except Exception:
+        sig_ref = None
+    fn = pairs_fn(sig_ref, sig_map if sig_ref is None else None)
+    # NB: group over the distributed survivors dataset, NOT a from_pandas
+    # of the collected rows — a single-block input would run every bucket
+    # group serially in one task
     return survivors.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_fn, batch_format="pandas")
+        fn, batch_format="pandas")
 
 
 def _components_dataset(ds, id_col: str, edges: set[tuple]):
