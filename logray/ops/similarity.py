@@ -22,9 +22,18 @@ def _normalize(X: np.ndarray) -> np.ndarray:
 
 
 def _vec_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix.
+
+    Zero-copy fast path: uniform-length lists reshape straight from the
+    flattened values buffer (no per-row object materialization)."""
     col = batch[vec_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    offsets = col.offsets.to_numpy()
+    lens = np.diff(offsets)
+    if len(lens) and (lens == lens[0]).all() and offsets[0] == 0:
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(lens), lens[0]).astype(np.float64)
     return np.stack(col.to_pandas().to_numpy()).astype(np.float64)
 
 
