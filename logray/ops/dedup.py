@@ -297,7 +297,8 @@ def _fold_bucket_key(t: pa.Table) -> np.ndarray:
         return bh * _ROLL + bi
 
 
-def _hot_bucket_pairs(banded, pairs_fn, *, sig_tbl=None, id_col=None):
+def _hot_bucket_pairs(banded, pairs_fn, *, sig_tbl=None, id_col=None,
+                      sig_dtype=np.uint64):
     """Run ``pairs_fn`` only on band buckets with ≥2 members.
 
     A naive ``groupby(bucket).map_groups`` pays per-group overhead on every
@@ -370,7 +371,7 @@ def _hot_bucket_pairs(banded, pairs_fn, *, sig_tbl=None, id_col=None):
         return t.filter(pa.array(hot_arr[idx] == ids))
 
     sig_rows = sig_tbl.map_batches(pick, batch_format="pyarrow").to_pandas()
-    sig_map = {int(i): np.asarray(s, dtype=np.uint64)
+    sig_map = {int(i): np.asarray(s, dtype=sig_dtype)
                for i, s in zip(sig_rows[id_col], sig_rows["_sig"])}
     sig_ref = None
     try:
@@ -557,16 +558,13 @@ def embedding_neardup(ds, vec_col: str = "embedding", id_col: str = "vec_id", *,
     ``n_tables`` independent hyperplane sets bound the miss rate; a pair is
     a candidate if it agrees on all ``n_planes`` signs in ≥1 table.
     """
-    rng = np.random.default_rng(seed)
-    planes_per_table: list[np.ndarray] | None = None
+    from .similarity import _vec_matrix
 
-    def to_buckets(batch: pa.Table) -> pa.Table:
-        nonlocal planes_per_table
-        X = np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
-        if planes_per_table is None:
-            d = X.shape[1]
-            local_rng = np.random.default_rng(seed)
-            planes_per_table = [local_rng.standard_normal((d, n_planes)) for _ in range(n_tables)]
+    def per_doc(batch: pa.Table) -> pa.Table:
+        X = _vec_matrix(batch, vec_col)
+        local_rng = np.random.default_rng(seed)
+        planes_per_table = [local_rng.standard_normal((X.shape[1], n_planes))
+                            for _ in range(n_tables)]
         norm = np.linalg.norm(X, axis=1, keepdims=True)
         Xn = X / np.maximum(norm, 1e-12)
         ids = batch[id_col].to_pandas().to_numpy()
@@ -577,29 +575,43 @@ def embedding_neardup(ds, vec_col: str = "embedding", id_col: str = "vec_id", *,
             signs = (Xn @ P) > 0
             keys[:, t] = (signs.astype(np.uint64) * two[None, :]).sum(axis=1)
         return pa.table({
-            id_col: pa.array(np.repeat(ids, n_tables)),
-            "band_id": pa.array(np.tile(np.arange(n_tables, dtype=np.int32), n)),
-            "band_hash": pa.array(keys.reshape(-1).view(np.int64)),
-            "_vec": pa.array(list(np.repeat(Xn, n_tables, axis=0))),
+            id_col: pa.array(ids),
+            "_sig": pa.array(list(Xn)),  # normalized vector, broadcast to verify
+            "_bh": pa.array(list(keys.view(np.int64))),
         })
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).drop_duplicates(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "cosine": pd.Series([], dtype="float64")})
-        ids = g[id_col].to_numpy()
-        V = np.stack(g["_vec"].to_numpy())
-        S = V @ V.T
-        iu = np.triu_indices(len(ids), k=1)
-        hit = np.flatnonzero(S[iu] >= threshold)
-        return pd.DataFrame({"a": ids[iu[0][hit]], "b": ids[iu[1][hit]],
-                             "cosine": S[iu][hit]})
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch[id_col].to_pandas().to_numpy()
+        bh = np.stack(batch["_bh"].to_pandas().to_numpy())
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, n_tables)),
+            "band_id": pa.array(np.tile(np.arange(n_tables, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1)),
+        })
 
-    bucketed = ds.map_batches(to_buckets, batch_format="pyarrow")
-    pairs = bucketed.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pandas")
+    sig_tbl = ds.map_batches(per_doc, batch_format="pyarrow").materialize()
+    bucketed = sig_tbl.map_batches(explode, batch_format="pyarrow")
+
+    def make_pairs_fn(sig_ref, sig_local):
+        def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(id_col).drop_duplicates(id_col)
+            if len(g) < 2:
+                return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                     "b": pd.Series([], dtype="int64"),
+                                     "cosine": pd.Series([], dtype="float64")})
+            vec_map = sig_local if sig_ref is None else __import__("ray").get(sig_ref)
+            ids = g[id_col].to_numpy()
+            V = np.stack([vec_map[i] for i in ids])
+            S = V @ V.T
+            iu = np.triu_indices(len(ids), k=1)
+            hit = np.flatnonzero(S[iu] >= threshold)
+            return pd.DataFrame({"a": ids[iu[0][hit]], "b": ids[iu[1][hit]],
+                                 "cosine": S[iu][hit]})
+        return pairs_in_bucket
+
+    pairs = _hot_bucket_pairs(bucketed, make_pairs_fn, sig_tbl=sig_tbl,
+                              id_col=id_col, sig_dtype=np.float64)
     edges = set()
     for b in pairs.iter_batches(batch_format="pandas", batch_size=65536):
         edges.update(zip(b["a"].tolist(), b["b"].tolist()))
