@@ -1,0 +1,98 @@
+"""CLI entry points: ``python -m logray <cmd>``.
+
+The reference is a library with no CLI; pipeline users still need one.
+Commands own their Ray session (library code never calls ray.init).
+
+  gen   <sf> <out_dir>        deterministic transcript corpus
+  run   <in_dir> <out_dir>    flagship parse→enrich→route→aggregate
+  query <name> <sf_dir>       one catalogue query, results to stdout
+  ls                          list the query catalogue
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="logray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate the deterministic corpus")
+    g.add_argument("sf", type=float)
+    g.add_argument("out_dir")
+
+    r = sub.add_parser("run", help="run the flagship pipeline")
+    r.add_argument("in_dir")
+    r.add_argument("out_dir")
+    r.add_argument("--no-resume", action="store_true")
+
+    q = sub.add_parser("query", help="run one catalogue query")
+    q.add_argument("name")
+    q.add_argument("sf_dir")
+    q.add_argument("--limit", type=int, default=20)
+
+    sub.add_parser("ls", help="list the query catalogue")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "gen":
+        from .gen import generate_corpus
+
+        meta = generate_corpus(args.sf, args.out_dir)
+        print(json.dumps(meta))
+        return 0
+
+    if args.cmd == "ls":
+        from .pipelines.queries import QUERIES
+        from .pipelines.oracles import ORACLE_SQL
+
+        for name in QUERIES:
+            print(f"{name}  [{'sql-oracle' if name in ORACLE_SQL else 'rows-only'}]")
+        return 0
+
+    import ray
+
+    _init_ray(args.num_cpus)
+    try:
+        if args.cmd == "run":
+            from .pipelines.flagship import run_flagship
+
+            metrics = run_flagship(args.in_dir, args.out_dir,
+                                   resume=not args.no_resume)
+            print(json.dumps(metrics, default=str))
+            return 0
+
+        if args.cmd == "query":
+            from .pipelines.queries import QUERIES
+
+            res = QUERIES[args.name](args.sf_dir)
+            import pandas as pd
+            import pyarrow as pa
+
+            if isinstance(res, pa.Table):
+                df = res.to_pandas()
+            elif isinstance(res, pd.DataFrame):
+                df = res
+            else:
+                df = res.limit(args.limit).to_pandas()
+            print(df.head(args.limit).to_string())
+            return 0
+    finally:
+        ray.shutdown()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -112,3 +112,35 @@ def test_null_text_falls_through():
     out = rs.parse_batch(tbl).to_pylist()[0]
     assert out["rule_id"] == "R99_default"
     assert out["sink"] == "sink_unknown"
+
+
+def test_python_re_fallback_for_non_re2_patterns():
+    """Patterns RE2 rejects (backreferences) must run through the Python-re
+    fallback on that rule's residual rows only, with identical
+    capture/convert/priority semantics."""
+    from logray.ruleset import Cast, Rule, RuleSet
+
+    rules = [
+        Rule("R_dup", "s_dup",
+             patterns=(r"^(?P<word>\w+) (?P=word) x=(?P<x>\d+)$",),  # backref: not RE2
+             casts=(Cast("x", "int64"),)),
+        Rule("R_any", "s_any", patterns=(r"^(?P<head>\w+) ",)),
+        Rule("R_def", "s_def"),
+    ]
+    rs = RuleSet(rules, passthrough=[("text", pa.string())])
+    # confirm the dup rule actually compiled to the fallback path
+    assert rs.rules[0].py_patterns and not rs.rules[0].arrow_patterns
+    t = pa.table({"text": pa.array([
+        "echo echo x=42",      # backref matches -> R_dup (first match wins)
+        "echo print x=42",     # backref fails -> R_any
+        "###",                 # nothing -> default
+        None,                  # null -> default
+    ])})
+    out = rs.parse_batch(t).sort_by("text")
+    by_text = {r["text"]: r for r in out.to_pylist()}
+    assert by_text["echo echo x=42"]["rule_id"] == "R_dup"
+    assert by_text["echo echo x=42"]["x"] == 42
+    assert by_text["echo print x=42"]["rule_id"] == "R_any"
+    assert by_text["echo print x=42"]["head"] == "echo"
+    assert by_text["###"]["rule_id"] == "R_def"
+    assert out.num_rows == 4 and not any(r["parse_error"] for r in out.to_pylist())
