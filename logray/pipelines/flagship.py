@@ -81,8 +81,11 @@ class FlagshipWorker:
     Arrow batch end-to-end and returns only the tiny summary table."""
 
     def __init__(self, out_dir: str, lookups_ref=None, compression: str = "zstd"):
+        from ..rules_transcripts import sink_columns
+
         self.enricher = Enricher(lookups_ref)
-        self.writer = SinkWriter(out_dir, compression=compression)
+        self.writer = SinkWriter(out_dir, compression=compression,
+                                 sink_columns=sink_columns())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.writer(self.enricher(_parse_with_pid(batch)))

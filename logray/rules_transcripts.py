@@ -126,3 +126,22 @@ SINKS: tuple[str, ...] = (
 def transcript_ruleset() -> RuleSet:
     """Compile the frozen ruleset (fresh instance; compile once per actor)."""
     return RuleSet(TRANSCRIPT_RULES, TRANSCRIPT_PASSTHROUGH)
+
+
+def sink_columns() -> dict[str, set[str]]:
+    """Per-sink column allowlist (SURVEY.md §7 hard-part 1: fixed schema
+    per sink): envelope/classification/consts for every sink, plus ONLY
+    the capture/cast columns of the rules routed to that sink — columns
+    belonging to other sinks' rules are all-null there and are pruned at
+    write time. Columns not listed here (e.g. enrich outputs appended
+    after parse) always pass through."""
+    rs = transcript_ruleset()
+    common = {n for n, _ in TRANSCRIPT_PASSTHROUGH}
+    common |= {"rule_id", "sink", "parse_error"}
+    common |= set(rs.const_fields)
+    out: dict[str, set[str]] = {}
+    for cr in rs.rules:
+        cols = out.setdefault(cr.rule.sink, set(common))
+        cols.update(cr.capture_fields)
+        cols.update(c.dst_field for c in cr.rule.casts)
+    return out

@@ -59,13 +59,28 @@ class SinkWriter:
     """
 
     def __init__(self, out_dir: str, partition_id: str | None = None,
-                 compression: str = "zstd"):
+                 compression: str = "zstd",
+                 sink_columns: dict[str, set[str]] | None = None):
         self.out_dir = Path(out_dir)
         self.partition_id = partition_id
         self.compression = compression
+        # per-sink schema pruning: a column owned by some OTHER sink's
+        # rules (all-null here) is dropped; columns outside the rule
+        # universe (enrich outputs etc.) always pass through
+        self.sink_columns = sink_columns
+        self.rule_universe: set[str] = set()
+        if sink_columns:
+            for cols in sink_columns.values():
+                self.rule_universe |= cols
 
     def _write_slice(self, sub: pa.Table, pid: str, sink_val: str,
                      rows: dict[str, list]) -> None:
+        if self.sink_columns and sink_val in self.sink_columns:
+            allow = self.sink_columns[sink_val]
+            drop = [c for c in sub.column_names
+                    if c in self.rule_universe and c not in allow]
+            if drop:
+                sub = sub.drop(drop)
         sink_dir = self.out_dir / f"partition={pid}" / f"sink={sink_val}"
         sink_dir.mkdir(parents=True, exist_ok=True)
         fname = sink_dir / f"part-{uuid.uuid4().hex}.parquet"
