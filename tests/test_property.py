@@ -1,0 +1,92 @@
+"""Property-based equivalence: for ARBITRARY inputs the vectorized
+Arrow engine must agree row-for-row with the single-process oracle
+parser (first-match-wins, gates, typed converts, parse_error flags).
+This is the strongest form of the reference-semantics contract: the
+golden corpus checks known shapes; hypothesis searches for shapes we
+didn't think of (adversarial texts, odd whitespace, unicode, near-miss
+template strings)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import hypothesis.strategies as st
+import pyarrow as pa
+from hypothesis import given, settings
+
+from logray.oracle import OracleParser
+from logray.rules_transcripts import TRANSCRIPT_PASSTHROUGH, transcript_ruleset
+
+_RS = transcript_ruleset()
+_OP = OracleParser()
+
+# text shapes: pure random unicode, template-like strings, and mutations
+# that sit right at rule boundaries
+_template_texts = st.one_of(
+    st.text(max_size=120),
+    st.builds(lambda t, c, q: f"[tool:{t}] call id={c} args={{\"q\": \"{q}\"}}",
+              st.sampled_from(["bash", "sql", "x", ""]),
+              st.integers(-5, 10**12), st.text(max_size=8)),
+    st.builds(lambda t, c, b, d: f"[tool:{t}] ok id={c} bytes={b} dur_ms={d}",
+              st.sampled_from(["bash", "files"]), st.integers(0, 10**6),
+              st.integers(-1, 10**18), st.integers(0, 10**6)),
+    st.builds(lambda p: f"[status] phase=plan pct={p}%", st.integers(-5, 200)),
+    st.builds(lambda n: f"[metrics] tokens={n} latency_ms=5 cost_usd=0.1",
+              st.integers(0, 10**19)),  # above int64: parse_error path
+    st.builds(lambda w: f"/{w}", st.text(max_size=10)),
+    st.sampled_from(["", "\n", "a\nb", "z" * 401, "Traceback (most recent call last): X: y z"]),
+)
+
+_row = st.fixed_dictionaries({
+    "conv_id": st.text(min_size=1, max_size=8),
+    "turn_idx": st.integers(0, 1000),
+    "role": st.sampled_from(["user", "assistant", "system", "tool", "other"]),
+    "text": st.one_of(st.none(), _template_texts),
+    "tool": st.sampled_from(["", "bash", "nope"]),
+    "ts": st.datetimes(min_value=datetime.datetime(2000, 1, 1),
+                       max_value=datetime.datetime(2030, 1, 1)),
+})
+
+
+def _eq(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        return (math.isnan(a) and math.isnan(b)) or abs(a - b) < 1e-9
+    return a == b
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_row, min_size=1, max_size=40))
+def test_engine_equals_oracle_on_arbitrary_rows(rows):
+    # unique key per row (random rows may collide on (conv_id, turn_idx)
+    # while differing elsewhere)
+    rows = [dict(r, turn_idx=i) for i, r in enumerate(rows)]
+    schema = pa.schema([pa.field(n, t) for n, t in TRANSCRIPT_PASSTHROUGH])
+    table = pa.Table.from_pylist(rows, schema=schema)
+    got = {(r["conv_id"], r["turn_idx"]): r
+           for r in _RS.parse_batch(table).to_pylist()}
+    assert len(got) == len(rows)
+    for row in rows:
+        want = _OP.parse_row(row)
+        g = got[(row["conv_id"], row["turn_idx"])]
+        for k, v in want.items():
+            assert _eq(g.get(k), v), (k, g.get(k), v, row["text"])
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_row, min_size=2, max_size=30), st.randoms())
+def test_batch_split_invariance(rows, rnd):
+    """Parsing a batch in one call == parsing any split of it (no
+    cross-row state in the stateless engine)."""
+    rows = [dict(r, turn_idx=i) for i, r in enumerate(rows)]
+    schema = pa.schema([pa.field(n, t) for n, t in TRANSCRIPT_PASSTHROUGH])
+    table = pa.Table.from_pylist(rows, schema=schema)
+    whole = _RS.parse_batch(table).to_pylist()
+    cut = rnd.randrange(1, len(rows))
+    split = (_RS.parse_batch(table.slice(0, cut)).to_pylist()
+             + _RS.parse_batch(table.slice(cut)).to_pylist())
+    key = lambda r: (r["conv_id"], r["turn_idx"], str(r.get("text")))
+    assert sorted(map(key, whole)) == sorted(map(key, split))
+    by_key_whole = {key(r): r for r in whole}
+    for r in split:
+        assert {k: v for k, v in by_key_whole[key(r)].items()} == r
