@@ -11,7 +11,6 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 def crc32_str(s: str) -> int:

@@ -60,8 +60,6 @@ def discover_partitions(input_dir: str | Path) -> dict[str, list[str]]:
 def _parse_with_pid(batch: pa.Table) -> pa.Table:
     """Parse stage body for wave mode: fold the Ray-provided ``path`` column
     into a partition id that rides through the rule engine."""
-    import pyarrow.compute as pc
-
     path = batch["path"]
     if isinstance(path, pa.ChunkedArray):
         path = path.combine_chunks()
