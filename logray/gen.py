@@ -18,14 +18,16 @@ from __future__ import annotations
 
 import json
 import zlib
-from datetime import datetime
+from datetime import datetime, timezone
 from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-BASE_TS_US = int(datetime(2026, 1, 1).timestamp() * 1_000_000)
+# tz-pinned: naive .timestamp() depends on the host TZ and would make
+# the "deterministic" corpus differ across machines
+BASE_TS_US = int(datetime(2026, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
 
 TOOLS = (
     "search", "browser", "bash", "python", "calculator", "sql", "email",

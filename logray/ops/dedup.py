@@ -90,8 +90,11 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         return batch.filter(pa.array(m if keep_hot else ~m))
 
     def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        # verify true equality inside the hash bucket (collision-safe)
-        return group.sort_values(id_col).groupby(text_col, as_index=False, sort=False).first()
+        # verify true equality inside the hash bucket (collision-safe);
+        # dropna=False: null-text rows form a group too (SQL GROUP BY
+        # semantics — pandas would silently drop the NaN key)
+        return (group.sort_values(id_col)
+                .groupby(text_col, as_index=False, sort=False, dropna=False).first())
 
     uniques = hashed.map_batches(split, fn_kwargs={"keep_hot": False},
                                  batch_format="pyarrow")
@@ -234,6 +237,12 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
     rows_per_band = num_perm // bands
 
     def per_doc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # keep the schema typed on empty blocks
+            return pa.table({
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "_sig": pa.array([], pa.list_(pa.uint64())),
+                "_bh": pa.array([], pa.list_(pa.int64())),
+            })
         texts = batch[text_col]
         ids = batch[id_col].to_pandas().to_numpy()
         sig = minhash_signatures(texts, num_perm, shingle_k)
@@ -252,11 +261,14 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         ids = batch[id_col].to_pandas().to_numpy()
-        bh = np.stack(batch["_bh"].to_pandas().to_numpy())
+        if n == 0:
+            bh = np.zeros((0, bands), dtype=np.int64)
+        else:
+            bh = np.stack(batch["_bh"].to_pandas().to_numpy())
         return pa.table({
-            id_col: pa.array(np.repeat(ids, bands)),
+            id_col: pa.array(np.repeat(ids, bands), batch.schema.field(id_col).type),
             "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.reshape(-1)),
+            "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
         })
 
     sig_tbl = ds.map_batches(per_doc, batch_format="pyarrow").materialize()
@@ -561,6 +573,12 @@ def embedding_neardup(ds, vec_col: str = "embedding", id_col: str = "vec_id", *,
     from .similarity import _vec_matrix
 
     def per_doc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "_sig": pa.array([], pa.list_(pa.float64())),
+                "_bh": pa.array([], pa.list_(pa.int64())),
+            })
         X = _vec_matrix(batch, vec_col)
         local_rng = np.random.default_rng(seed)
         planes_per_table = [local_rng.standard_normal((X.shape[1], n_planes))
@@ -583,11 +601,14 @@ def embedding_neardup(ds, vec_col: str = "embedding", id_col: str = "vec_id", *,
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         ids = batch[id_col].to_pandas().to_numpy()
-        bh = np.stack(batch["_bh"].to_pandas().to_numpy())
+        if n == 0:
+            bh = np.zeros((0, n_tables), dtype=np.int64)
+        else:
+            bh = np.stack(batch["_bh"].to_pandas().to_numpy())
         return pa.table({
-            id_col: pa.array(np.repeat(ids, n_tables)),
+            id_col: pa.array(np.repeat(ids, n_tables), batch.schema.field(id_col).type),
             "band_id": pa.array(np.tile(np.arange(n_tables, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.reshape(-1)),
+            "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
         })
 
     sig_tbl = ds.map_batches(per_doc, batch_format="pyarrow").materialize()

@@ -102,8 +102,13 @@ class AudioFeatureStage:
                 "use decode='fake'")
         payloads = batch["payload"].to_pylist()
         dur = [int(len(p) * 1000 / (2 * self.sample_rate)) for p in payloads]
-        rms = [float(np.frombuffer(p[: len(p) // 2 * 2], dtype=np.int16).astype(np.float64).std() or 1.0)
-               for p in payloads]
+        def _rms(p: bytes) -> float:
+            x = np.frombuffer(p[: len(p) // 2 * 2], dtype=np.int16)
+            # empty slice -> std() is NaN (and NaN is truthy, so `or` can't
+            # guard it); use an explicit size check
+            return float(x.astype(np.float64).std()) if x.size else 1.0
+
+        rms = [_rms(p) for p in payloads]
         batch = batch.set_column(batch.schema.get_field_index("duration_ms"), "duration_ms",
                                  pa.array(dur, pa.int32()))
         return batch.append_column("rms_db", pa.array([20 * np.log10(max(r, 1e-9)) for r in rms],

@@ -50,16 +50,18 @@ def broadcast_join(ds, small: pd.DataFrame, on: str | list[str], *,
     return ds.map_batches(joiner, batch_format="pandas")
 
 
-_COMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+_COMBINE = {"sum": "sum", "count": "sum", "count_all": "sum", "min": "min", "max": "max"}
 
 
 def grouped_agg(ds, keys: Sequence[str], aggs: dict[str, tuple[str, str]]):
     """Grouped aggregation with partial-per-batch combine.
 
     ``aggs``: output_name -> (input_col, fn) with fn in
-    {sum, count, min, max, mean}. mean is computed from sum+count partials
-    so the combine stays exact. Returns a Dataset with columns
-    ``keys + list(aggs)``.
+    {sum, count, min, max, mean}. ``count`` counts ROWS (SQL ``count(*)``
+    semantics — Arrow's per-column count would silently skip nulls and
+    diverge from the oracles); ``mean`` is computed from sum + non-null
+    count partials so it matches SQL ``avg`` exactly. Returns a Dataset
+    with columns ``keys + list(aggs)``.
     """
     keys = list(keys)
     means = {o: c for o, (c, f) in aggs.items() if f == "mean"}
@@ -68,16 +70,19 @@ def grouped_agg(ds, keys: Sequence[str], aggs: dict[str, tuple[str, str]]):
         if fn == "mean":
             partial_specs[f"__sum_{out}"] = (col, "sum")
             partial_specs[f"__cnt_{out}"] = (col, "count")
+        elif fn == "count":
+            partial_specs[out] = ("", "count_all")
         else:
             partial_specs[out] = (col, fn)
 
     def partial(batch: pa.Table) -> pa.Table:
         # aggregate each unique (col, fn) pair once, then alias per spec
         uniq = sorted({cf for cf in partial_specs.values()})
-        gb = batch.group_by(keys).aggregate(uniq)
+        gb = batch.group_by(keys).aggregate(
+            [(([] if fn == "count_all" else col), fn) for col, fn in uniq])
         cols = {k: gb[k] for k in keys}
         for out, (col, fn) in partial_specs.items():
-            cols[out] = gb[f"{col}_{fn}"]
+            cols[out] = gb["count_all" if fn == "count_all" else f"{col}_{fn}"]
         return pa.table(cols)
 
     from ray.data.aggregate import Max, Min, Sum

@@ -28,6 +28,8 @@ def _vec_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     col = batch[vec_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros((0, 0))
     offsets = col.offsets.to_numpy()
     lens = np.diff(offsets)
     if len(lens) and (lens == lens[0]).all() and offsets[0] == 0:
@@ -47,7 +49,13 @@ def ann_topk(ds, queries: np.ndarray, k: int = 10, *,
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     nq = Q.shape[0]
 
+    _EMPTY = pa.table({"query_id": pa.array([], pa.int64()),
+                       "vec_id": pa.array([], pa.int64()),
+                       "cosine": pa.array([], pa.float64())})
+
     def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY
         X = _normalize(_vec_matrix(batch, vec_col))
         ids = batch[id_col].to_pandas().to_numpy()
         S = X @ Q.T  # (n, q)
@@ -108,6 +116,8 @@ class IvfIndex:
         assert C is not None, "fit() first"
 
         def assign(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column("ivf_list", pa.array([], pa.int32()))
             X = _normalize(_vec_matrix(batch, vec_col))
             lists = (X @ C.T).argmax(axis=1).astype(np.int32)
             return batch.append_column("ivf_list", pa.array(lists))
@@ -127,6 +137,10 @@ class IvfIndex:
                 wanted.setdefault(int(li), []).append(qi)
 
         def local(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
             lists = batch["ivf_list"].to_pandas().to_numpy()
             rows = {"query_id": [], "vec_id": [], "cosine": []}
             ids = batch[id_col].to_pandas().to_numpy()

@@ -19,7 +19,7 @@ from __future__ import annotations
 import re
 from typing import Any, Iterable, Mapping
 
-from .ruleset import Rule
+from .ruleset import Rule, compile_re2_like
 from .rules_transcripts import TRANSCRIPT_RULES
 
 
@@ -27,7 +27,7 @@ class OracleParser:
     def __init__(self, rules: list[Rule] | None = None):
         self.rules = rules if rules is not None else TRANSCRIPT_RULES
         self._compiled = [
-            (r, [re.compile(p) for p in r.patterns]) for r in self.rules
+            (r, [compile_re2_like(p) for p in r.patterns]) for r in self.rules
         ]
 
     def parse_row(self, row: Mapping[str, Any]) -> dict[str, Any]:
@@ -41,7 +41,7 @@ class OracleParser:
             if text is None:
                 continue
             for rx in patterns:
-                m = rx.fullmatch(text)
+                m = rx.search(text)  # RE2 extract_regex matches anywhere
                 if m:
                     caps = {g: ("" if v is None else v) for g, v in m.groupdict().items()}
                     return self._emit(rule, row, caps)

@@ -16,7 +16,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "grouped_agg_events": """
         SELECT event_type,
-               round(sum(value), 2) AS sum_value,
+               round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value,
                round(avg(value), 6) AS avg_value,
                count(*) AS n
         FROM events GROUP BY event_type
@@ -46,15 +46,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM part GROUP BY p_brand
     """,
     "supplier_balance_by_nation": """
-        SELECT n_name, count(*) AS n_supp, round(sum(s_acctbal), 2) AS sum_bal
+        SELECT n_name, count(*) AS n_supp, round(sum(CAST(round(s_acctbal*100) AS BIGINT))/100.0, 2) AS sum_bal
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
     """,
     "pricing_summary_lineitem": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(CAST(round(l_quantity*100) AS BIGINT))/100.0, 2) AS sum_qty,
+               round(sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0, 2) AS sum_base_price,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))/10000.0, 2) AS sum_disc_price,
                round(avg(l_quantity), 6) AS avg_qty,
                round(avg(l_extendedprice), 6) AS avg_price,
                count(*) AS n
@@ -63,7 +63,7 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY l_returnflag, l_linestatus
     """,
     "q6_revenue": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        SELECT round(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))/10000.0, 2) AS revenue
         FROM lineitem
         WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
     """,
@@ -78,11 +78,11 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
     """,
     "topk_users_by_value": """
-        SELECT user_id, round(sum(value), 2) AS total_value FROM events
+        SELECT user_id, round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS total_value FROM events
         GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 10
     """,
     "join_customer_nation_region": """
-        SELECT r_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        SELECT r_name, count(*) AS n_cust, round(sum(CAST(round(c_acctbal*100) AS BIGINT))/100.0, 2) AS sum_bal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -90,7 +90,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "orders_by_segment": """
         SELECT c_mktsegment, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total
+               round(sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0, 2) AS total
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """,

@@ -37,6 +37,24 @@ def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
 
 # ------------------------------------------------------------ aggregation ---
 
+def _add_cents(t: pa.Table, col: str, out: str, scale: float = 100.0) -> pa.Table:
+    """Exact integer minor units for a fixed-decimal money column: float
+    partial sums combine in nondeterministic order under parallelism and
+    can straddle a rounding boundary vs the sequential SQL oracle; integer
+    sums are order-independent. (Verified: every money column in the
+    testdata is exact at 2 decimals; products of two 2-decimal columns are
+    exact at scale=10000.)"""
+    cents = pc.cast(pc.round(pc.multiply(t[col], scale)), pa.int64())
+    return t.append_column(out, cents)
+
+
+def _cents_to_float(t: pa.Table, col: str, scale: float = 100.0) -> pa.Table:
+    i = t.schema.get_field_index(col)
+    return t.set_column(i, col, pc.round(
+        pc.divide(pc.cast(t[col], pa.float64()), scale), ndigits=2))
+
+
+
 def grouped_count_events(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "event_id"])
     return relational.grouped_agg(ds, ["event_type"], {"n": ("event_id", "count")})
@@ -44,13 +62,15 @@ def grouped_count_events(sf_dir: str):
 
 def grouped_agg_events(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    out = relational.grouped_agg(ds, ["event_type"], {
-        "sum_value": ("value", "sum"),
+    prepped = ds.map_batches(lambda t: _add_cents(t, "value", "__cents"),
+                             batch_format="pyarrow")
+    out = relational.grouped_agg(prepped, ["event_type"], {
+        "sum_value": ("__cents", "sum"),
         "avg_value": ("value", "mean"),
         "n": ("value", "count"),
     })
     return out.map_batches(
-        lambda t: _round_col(_round_col(t, "sum_value", 2), "avg_value", 6),
+        lambda t: _round_col(_cents_to_float(t, "sum_value"), "avg_value", 6),
         batch_format="pyarrow")
 
 
@@ -119,11 +139,13 @@ def supplier_balance_by_nation(sf_dir: str):
     nation = nation.rename(columns={"n_nationkey": "s_nationkey"})
     ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
     joined = relational.broadcast_join(ds, nation, on="s_nationkey")
-    out = relational.grouped_agg(joined, ["n_name"], {
+    prepped = joined.map_batches(lambda t: _add_cents(t, "s_acctbal", "__cents"),
+                                 batch_format="pyarrow")
+    out = relational.grouped_agg(prepped, ["n_name"], {
         "n_supp": ("s_suppkey", "count"),
-        "sum_bal": ("s_acctbal", "sum"),
+        "sum_bal": ("__cents", "sum"),
     })
-    return out.map_batches(lambda t: _round_col(t, "sum_bal", 2),
+    return out.map_batches(lambda t: _cents_to_float(t, "sum_bal"),
                            batch_format="pyarrow")
 
 
@@ -157,23 +179,29 @@ def pricing_summary_lineitem(sf_dir: str):
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
         disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc_price)
+        t = t.append_column("disc_price", disc_price)
+        t = _add_cents(t, "l_quantity", "__qty_c")
+        t = _add_cents(t, "l_extendedprice", "__base_c")
+        # 2dec × 2dec product is exact at 4 decimals
+        return _add_cents(t, "disc_price", "__disc_c", scale=10000.0)
 
     out = relational.grouped_agg(
         ds.map_batches(prep, batch_format="pyarrow"),
         ["l_returnflag", "l_linestatus"], {
-            "sum_qty": ("l_quantity", "sum"),
-            "sum_base_price": ("l_extendedprice", "sum"),
-            "sum_disc_price": ("disc_price", "sum"),
+            "sum_qty": ("__qty_c", "sum"),
+            "sum_base_price": ("__base_c", "sum"),
+            "sum_disc_price": ("__disc_c", "sum"),
             "avg_qty": ("l_quantity", "mean"),
             "avg_price": ("l_extendedprice", "mean"),
             "n": ("l_quantity", "count"),
         })
 
     def fin(t: pa.Table) -> pa.Table:
-        for c, nd in [("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2),
-                      ("avg_qty", 6), ("avg_price", 6)]:
-            t = _round_col(t, c, nd)
+        t = _cents_to_float(t, "sum_qty")
+        t = _cents_to_float(t, "sum_base_price")
+        t = _cents_to_float(t, "sum_disc_price", scale=10000.0)
+        for c in ("avg_qty", "avg_price"):
+            t = _round_col(t, c, 6)
         return t
 
     return out.map_batches(fin, batch_format="pyarrow")
@@ -188,13 +216,16 @@ def q6_revenue(sf_dir: str):
                             pc.greater_equal(t["l_discount"], 0.05)),
                     pc.less_equal(t["l_discount"], 0.07))
         t = t.filter(m)
-        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"]))
-        return pa.table({"revenue": pa.array([rev.as_py() or 0.0], pa.float64())})
+        # exact integer 1e-4 units (2dec × 2dec product)
+        prod = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        c = pc.sum(pc.cast(pc.round(pc.multiply(prod, 10000.0)), pa.int64()))
+        return pa.table({"__rev_c": pa.array([c.as_py() or 0], pa.int64())})
 
     from ray.data.aggregate import Sum
 
-    total = ds.map_batches(partial, batch_format="pyarrow").aggregate(Sum("revenue"))
-    return pa.table({"revenue": pa.array([round(total["sum(revenue)"], 2)], pa.float64())})
+    total = ds.map_batches(partial, batch_format="pyarrow").aggregate(Sum("__rev_c"))
+    return pa.table({"revenue": pa.array(
+        [round(total["sum(__rev_c)"] / 10000.0, 2)], pa.float64())})
 
 
 # ------------------------------------------------- filter / project / sort ---
@@ -221,8 +252,10 @@ def orders_topk(sf_dir: str):
 
 def topk_users_by_value(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "value"])
-    agg = relational.grouped_agg(ds, ["user_id"], {"total_value": ("value", "sum")})
-    agg = agg.map_batches(lambda t: _round_col(t, "total_value", 2), batch_format="pyarrow")
+    prepped = ds.map_batches(lambda t: _add_cents(t, "value", "__cents"),
+                             batch_format="pyarrow")
+    agg = relational.grouped_agg(prepped, ["user_id"], {"total_value": ("__cents", "sum")})
+    agg = agg.map_batches(lambda t: _cents_to_float(t, "total_value"), batch_format="pyarrow")
     return pa.Table.from_pandas(
         relational.topk(agg, [("total_value", True), ("user_id", False)], 10),
         preserve_index=False)
@@ -237,11 +270,13 @@ def join_customer_nation_region(sf_dir: str):
     small = small[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
     ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
     joined = relational.broadcast_join(ds, small, on="c_nationkey")
-    out = relational.grouped_agg(joined, ["r_name"], {
+    prepped = joined.map_batches(lambda t: _add_cents(t, "c_acctbal", "__cents"),
+                                 batch_format="pyarrow")
+    out = relational.grouped_agg(prepped, ["r_name"], {
         "n_cust": ("c_custkey", "count"),
-        "sum_bal": ("c_acctbal", "sum"),
+        "sum_bal": ("__cents", "sum"),
     })
-    return out.map_batches(lambda t: _round_col(t, "sum_bal", 2), batch_format="pyarrow")
+    return out.map_batches(lambda t: _cents_to_float(t, "sum_bal"), batch_format="pyarrow")
 
 
 def orders_by_segment(sf_dir: str):
@@ -250,11 +285,13 @@ def orders_by_segment(sf_dir: str):
     cust = cust.rename(columns={"c_custkey": "o_custkey"})
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     joined = relational.broadcast_join(ds, cust, on="o_custkey")
-    out = relational.grouped_agg(joined, ["c_mktsegment"], {
+    prepped = joined.map_batches(lambda t: _add_cents(t, "o_totalprice", "__cents"),
+                                 batch_format="pyarrow")
+    out = relational.grouped_agg(prepped, ["c_mktsegment"], {
         "n_orders": ("o_orderkey", "count"),
-        "total": ("o_totalprice", "sum"),
+        "total": ("__cents", "sum"),
     })
-    return out.map_batches(lambda t: _round_col(t, "total", 2), batch_format="pyarrow")
+    return out.map_batches(lambda t: _cents_to_float(t, "total"), batch_format="pyarrow")
 
 
 def union_purchases_errors(sf_dir: str):
@@ -293,7 +330,9 @@ def parse_documents_firstword(sf_dir: str):
 
     def ex(t: pa.Table) -> pa.Table:
         s = pc.extract_regex(t["text"], r"^(?P<first_word>[a-z]+)")
-        return pa.table({"first_word": pc.struct_field(s, "first_word")})
+        # regex miss => null struct; DuckDB regexp_extract returns '' — align
+        fw = pc.fill_null(pc.struct_field(s, "first_word"), "")
+        return pa.table({"first_word": fw})
 
     return relational.grouped_agg(ds.map_batches(ex, batch_format="pyarrow"),
                                   ["first_word"], {"n": ("first_word", "count")})

@@ -101,6 +101,15 @@ class Rule:
     consts: Mapping[str, str] = field(default_factory=dict)
 
 
+def compile_re2_like(pattern: str) -> re.Pattern:
+    """Compile ``pattern`` with Python ``re`` so its semantics mirror RE2
+    partial match: ``$`` in RE2 (no multiline) anchors at end-of-text,
+    while Python's ``$`` also matches before a trailing newline — rewrite
+    unescaped ``$`` to ``\Z``. Callers must use ``.search`` (RE2
+    extract_regex matches anywhere in the string)."""
+    return re.compile(re.sub(r"(?<!\\)\$", r"\\Z", pattern))
+
+
 def _re2_ok(pattern: str) -> bool:
     """True if Arrow's RE2 accepts the pattern (probed on an empty array)."""
     try:
@@ -127,7 +136,7 @@ def _compile_rule(rule: Rule) -> CompiledRule:
     arrow_pats: list[str] = []
     py_pats: list[re.Pattern] = []
     for p in rule.patterns:
-        rx = re.compile(p)
+        rx = compile_re2_like(p)
         for g in rx.groupindex:
             if g not in captures:
                 captures.append(g)
@@ -214,10 +223,7 @@ class RuleSet:
             for k in cr.rule.consts:
                 if k not in const_fields:
                     const_fields.append(k)
-            cast_by_src = {}
             for c in cr.rule.casts:
-                cast_by_src.setdefault(c.src, [])
-                cast_by_src[c.src].append(c)
                 t = c.arrow_type
                 prev = capture_types.get(c.dst_field)
                 if prev is not None and prev != t:
@@ -295,16 +301,23 @@ class RuleSet:
             for i, v in enumerate(s):
                 if v is None:
                     continue
-                m = rx.fullmatch(v) or rx.search(v)
+                m = rx.search(v)
                 if m:
                     hit_local.append(i)
                     rows.append(m.groupdict())
             if hit_local:
                 hl = np.asarray(hit_local)
-                caps = {
-                    g: pa.array([("" if r.get(g) is None else r.get(g)) for r in rows], pa.string())
-                    for g in cr.capture_fields
-                }
+                # groups of THIS pattern: unmatched-optional => '' (RE2
+                # behavior); groups owned by other patterns => null, same
+                # as the Arrow path above
+                caps = {}
+                for g in cr.capture_fields:
+                    if g in rx.groupindex:
+                        caps[g] = pa.array(
+                            [("" if r.get(g) is None else r.get(g)) for r in rows],
+                            pa.string())
+                    else:
+                        caps[g] = pa.nulls(len(rows), pa.string())
                 matched_pos.append(remaining[hl])
                 matched_caps.append(caps)
                 keep = np.ones(len(remaining), dtype=bool)

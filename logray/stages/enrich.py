@@ -69,7 +69,6 @@ class Enricher:
         self.role_code = {k: v[0] for k, v in role_dict.items()}
         self.role_group = {k: v[1] for k, v in role_dict.items()}
         self.tool_tier = {k: v[0] for k, v in tool_dict.items()}
-        self.tool_owner = {k: v[1] for k, v in tool_dict.items()}
         self.cost_class = {k: v[2] for k, v in tool_dict.items()}
         self.labels = pa.array([bucket_label(b) for b in range(CONV_BUCKETS)], pa.string())
 
