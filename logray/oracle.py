@@ -16,7 +16,6 @@ Must implement the exact same normative semantics as ``logray.ruleset``:
 
 from __future__ import annotations
 
-import re
 from typing import Any, Iterable, Mapping
 
 from .ruleset import Rule, compile_re2_like
