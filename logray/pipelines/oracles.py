@@ -99,6 +99,16 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT event_id, event_type FROM events WHERE event_type = 'error'
     """,
+    "customers_without_big_orders": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+    """,
+    "event_types_per_user": """
+        SELECT user_id,
+               string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+        FROM events GROUP BY user_id
+    """,
     "distinct_event_types": """
         SELECT DISTINCT event_type FROM events
     """,

@@ -294,6 +294,54 @@ def orders_by_segment(sf_dir: str):
     return out.map_batches(lambda t: _cents_to_float(t, "total"), batch_format="pyarrow")
 
 
+def customers_without_big_orders(sf_dir: str):
+    """Broadcast ANTI-join (C4): customers with no order over 350k. The
+    small side (distinct big-order customer keys) is collected once and
+    broadcast; each batch filters with a vectorized sorted-membership
+    test — the big side is never shuffled. Assumption (documented): the
+    distinct-key side fits a broadcast, the standard anti-join shape for
+    key-filter pipelines."""
+    import ray
+
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 350000.0)).select(["o_custkey"]),
+        batch_format="pyarrow")
+    keys = np.unique(np.concatenate(
+        [b["o_custkey"].to_numpy(zero_copy_only=False)
+         for b in big.iter_batches(batch_format="pyarrow", batch_size=65536)]
+        + [np.zeros(0, np.int64)]))
+    ref = ray.put(keys) if ray.is_initialized() else None
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref) if ref is not None else keys
+        u = t["c_custkey"].to_numpy(zero_copy_only=False)
+        if len(ks) == 0:
+            return t
+        idx = np.clip(np.searchsorted(ks, u), 0, len(ks) - 1)
+        return t.filter(pa.array(ks[idx] != u))
+
+    return ds.map_batches(anti, batch_format="pyarrow")
+
+
+def event_types_per_user(sf_dir: str):
+    """Ordered string aggregation (C5/C8): comma-joined sorted distinct
+    event types per user — one vectorized pandas kernel per co-located
+    bucket."""
+    from ..ops.window import _bucketed_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.drop_duplicates()
+                  .sort_values(["user_id", "event_type"])
+                  .groupby("user_id", sort=False)["event_type"]
+                  .agg(",".join).rename("types").reset_index())
+
+    return _bucketed_apply(ds, "user_id", per_bucket, num_buckets=32)
+
+
 def union_purchases_errors(sf_dir: str):
     ds1 = _read(sf_dir, "events", ["event_id", "event_type"]).map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], "purchase")), batch_format="pyarrow")
@@ -728,6 +776,8 @@ QUERIES = {
     "join_customer_nation_region": join_customer_nation_region,
     "orders_by_segment": orders_by_segment,
     "union_purchases_errors": union_purchases_errors,
+    "customers_without_big_orders": customers_without_big_orders,
+    "event_types_per_user": event_types_per_user,
     "distinct_event_types": distinct_event_types,
     "dedup_events_keep_first": dedup_events_keep_first,
     "exact_dedup_documents": exact_dedup_documents,
