@@ -102,7 +102,7 @@ class Rule:
 
 
 def compile_re2_like(pattern: str) -> re.Pattern:
-    """Compile ``pattern`` with Python ``re`` so its semantics mirror RE2
+    r"""Compile ``pattern`` with Python ``re`` so its semantics mirror RE2
     partial match: ``$`` in RE2 (no multiline) anchors at end-of-text,
     while Python's ``$`` also matches before a trailing newline — rewrite
     unescaped ``$`` to ``\Z``. Callers must use ``.search`` (RE2

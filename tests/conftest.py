@@ -23,3 +23,7 @@ def ray_session():
     ctx.enable_progress_bars = False
     yield
     ray.shutdown()
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running integration test")
