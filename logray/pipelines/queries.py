@@ -701,6 +701,50 @@ def raw_log_parse_counts(sf_dir: str):
     return relational.grouped_agg(parsed, ["rule_id"], {"n": ("rule_id", "count")})
 
 
+def tool_error_followup_transcripts(sf_dir: str):
+    """Ordered per-conversation downstream analysis (the reference's
+    consumers do exactly this shape: filter on event_type, then reason
+    about event ORDER): for every R01 tool call, was the next parsed
+    event in the same conversation within 3 turns an R03 tool error?
+    Returns per-tool call counts and error-follow-up counts. Co-located
+    per conversation via the bucketed groupby; vectorized pandas kernel
+    per bucket."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    from ..ops.window import _bucketed_apply
+    from ..stages.parse import parse_batch_fn
+
+    ds = ray.data.read_parquet([str(p) for p in sorted(Path(corpus).glob("*.parquet"))])
+    parsed = ds.map_batches(parse_batch_fn, batch_format="pyarrow", zero_copy_batch=True)
+    slim = parsed.map_batches(
+        lambda t: t.filter(pc.is_in(t["rule_id"], value_set=pa.array(
+            ["R01_tool_call", "R03_tool_result_err"])))
+        .select(["conv_id", "turn_idx", "rule_id", "tool"]),
+        batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        nxt_rule = df.groupby("conv_id", sort=False)["rule_id"].shift(-1)
+        nxt_turn = df.groupby("conv_id", sort=False)["turn_idx"].shift(-1)
+        calls = df["rule_id"] == "R01_tool_call"
+        err_next = (calls & (nxt_rule == "R03_tool_result_err")
+                    & (nxt_turn - df["turn_idx"] <= 3))
+        out = pd.DataFrame({"tool": df.loc[calls, "tool"],
+                            "err": err_next[calls].astype("int64")})
+        g = out.groupby("tool", sort=False).agg(n_calls=("err", "size"),
+                                                n_err_followed=("err", "sum"))
+        return g.reset_index()
+
+    from ray.data.aggregate import Sum
+
+    partials = _bucketed_apply(slim, "conv_id", per_bucket, num_buckets=32)
+    return (partials.groupby("tool")
+            .aggregate(Sum("n_calls", alias_name="n_calls"),
+                       Sum("n_err_followed", alias_name="n_err_followed")))
+
+
 def salted_conv_counts(sf_dir: str):
     """Salted two-phase per-conversation counts (skew-safe aggregation)."""
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
@@ -815,5 +859,6 @@ QUERIES = {
     "raw_log_parse_counts": raw_log_parse_counts,
     "fold_continuations_transcripts": fold_continuations_transcripts,
     "salted_conv_counts": salted_conv_counts,
+    "tool_error_followup_transcripts": tool_error_followup_transcripts,
     "multimodal_decode_features": multimodal_decode_features,
 }

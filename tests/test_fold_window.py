@@ -10,6 +10,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from pathlib import Path
+
 from logray.gen import generate_corpus
 from logray.oracle import OracleParser
 from logray.stages.fold import fold_batch, fold_continuations
@@ -174,3 +176,42 @@ class TestWindowOps:
                              ).reset_index(drop=True)
         assert np.allclose(gdf["v"].to_numpy(dtype=float),
                            want["v"].to_numpy(dtype=float), equal_nan=True)
+
+
+def test_tool_error_followup_matches_single_process(ray_session, tmp_path):
+    """Distributed ordered analysis == single-process pandas reference."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from logray.gen import generate_corpus
+    from logray.oracle import OracleParser
+    from logray.pipelines.queries import _CORPUS_CACHE, tool_error_followup_transcripts
+
+    # the query maps sf_dir name -> corpus scale; reuse the cached sf0.002 path
+    sf_dir = tmp_path / "sf0.002"
+    sf_dir.mkdir()
+    corpus = Path(_CORPUS_CACHE) / "sf0.002"
+    if not (corpus / "_meta.json").exists():
+        generate_corpus(0.002, corpus)
+
+    got = (tool_error_followup_transcripts(str(sf_dir)).to_pandas()
+           .sort_values("tool").reset_index(drop=True))
+
+    rows = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(corpus.glob("*.parquet"))]
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")]).to_pylist()
+    op = OracleParser()
+    ev = [op.parse_row(r) for r in rows]
+    df = pd.DataFrame([{"conv_id": e["conv_id"], "turn_idx": e["turn_idx"],
+                        "rule_id": e["rule_id"], "tool": e["tool"]} for e in ev])
+    df = df[df["rule_id"].isin(["R01_tool_call", "R03_tool_result_err"])]
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    nxt_rule = df.groupby("conv_id", sort=False)["rule_id"].shift(-1)
+    nxt_turn = df.groupby("conv_id", sort=False)["turn_idx"].shift(-1)
+    calls = df["rule_id"] == "R01_tool_call"
+    err = (calls & (nxt_rule == "R03_tool_result_err") & (nxt_turn - df["turn_idx"] <= 3))
+    want = (pd.DataFrame({"tool": df.loc[calls, "tool"], "err": err[calls].astype("int64")})
+            .groupby("tool").agg(n_calls=("err", "size"), n_err_followed=("err", "sum"))
+            .reset_index().sort_values("tool").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["tool", "n_calls", "n_err_followed"]], want, check_dtype=False)
