@@ -41,13 +41,20 @@ ONLY = [s for s in os.environ.get("BENCH_ONLY", "").split(",") if s]
 TABLE_QUERIES = [
     "pricing_summary_lineitem",
     "grouped_agg_events",
+    "hourly_event_window_stats",
+    "value_percentiles_by_type",
     "topk_users_by_value",
     "join_customer_nation_region",
+    "customers_without_big_orders",
     "parse_events_props",
     "doc_token_counts",
+    "langid_documents",
     "exact_dedup_documents",
     "minhash_dedup_documents",
+    "simhash_dedup_documents",
     "ann_topk_embeddings",
+    "session_counts_events",
+    "approx_distinct_users_by_type",
 ]
 
 
