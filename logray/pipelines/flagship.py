@@ -183,8 +183,11 @@ def run_flagship(input_dir: str | Path, out_dir: str | Path, *,
         # slowdown at 32-files/wave on a 960-partition input)
         import ray
 
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        wave_size = max(32, cpus * 8)
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            wave_size = max(32, cpus * 8)
+        else:
+            wave_size = 32  # Ray not up yet (it auto-inits in run_wave)
     parts = discover_partitions(input_dir)
     ran, skipped = [], []
     pending = []

@@ -311,11 +311,12 @@ def customers_without_big_orders(sf_dir: str):
          for b in big.iter_batches(batch_format="pyarrow", batch_size=65536)]
         + [np.zeros(0, np.int64)]))
     ref = ray.put(keys) if ray.is_initialized() else None
+    keys_local = keys if ref is None else None  # don't pickle keys into the closure
 
     ds = _read(sf_dir, "customer", ["c_custkey"])
 
     def anti(t: pa.Table) -> pa.Table:
-        ks = ray.get(ref) if ref is not None else keys
+        ks = ray.get(ref) if ref is not None else keys_local
         u = t["c_custkey"].to_numpy(zero_copy_only=False)
         if len(ks) == 0:
             return t

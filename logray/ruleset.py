@@ -101,13 +101,40 @@ class Rule:
     consts: Mapping[str, str] = field(default_factory=dict)
 
 
+def _rewrite_dollar(pattern: str) -> str:
+    r"""Rewrite anchor ``$`` to ``\Z`` with a small scanner that tracks
+    escape and character-class state — a lookbehind-based re.sub corrupts
+    ``[$]`` (produces an invalid ``[\Z]``) and mis-skips ``\$`` (escaped
+    backslash followed by a real anchor)."""
+    out: list[str] = []
+    in_class = esc = False
+    for ch in pattern:
+        if esc:
+            out.append(ch)
+            esc = False
+        elif ch == "\\":
+            out.append(ch)
+            esc = True
+        elif in_class:
+            out.append(ch)
+            in_class = ch != "]"
+        elif ch == "[":
+            out.append(ch)
+            in_class = True
+        elif ch == "$":
+            out.append("\\Z")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def compile_re2_like(pattern: str) -> re.Pattern:
     r"""Compile ``pattern`` with Python ``re`` so its semantics mirror RE2
     partial match: ``$`` in RE2 (no multiline) anchors at end-of-text,
     while Python's ``$`` also matches before a trailing newline — rewrite
-    unescaped ``$`` to ``\Z``. Callers must use ``.search`` (RE2
+    anchor ``$`` to ``\Z``. Callers must use ``.search`` (RE2
     extract_regex matches anywhere in the string)."""
-    return re.compile(re.sub(r"(?<!\\)\$", r"\\Z", pattern))
+    return re.compile(_rewrite_dollar(pattern))
 
 
 def _re2_ok(pattern: str) -> bool:
