@@ -144,3 +144,16 @@ def test_python_re_fallback_for_non_re2_patterns():
     assert by_text["echo print x=42"]["head"] == "echo"
     assert by_text["###"]["rule_id"] == "R_def"
     assert out.num_rows == 4 and not any(r["parse_error"] for r in out.to_pylist())
+
+
+def test_dollar_rewrite_scanner():
+    """`$` rewrite must leave char-class dollars and escaped dollars alone
+    and anchor like RE2 (\\Z), including after an escaped backslash."""
+    from logray.ruleset import compile_re2_like
+
+    assert compile_re2_like(r"cost[$]").search("cost$")
+    rx = compile_re2_like(r"end$")
+    assert rx.search("end") and not rx.search("end\n")
+    rx2 = compile_re2_like(r"p\\$")  # escaped backslash THEN a real anchor
+    assert rx2.search("p\\") and not rx2.search("p\\\n")
+    assert compile_re2_like(r"a\$b").search("xa$by")
