@@ -128,6 +128,10 @@ ORACLE_SQL: dict[str, str] = {
                CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
         FROM events
     """,
+    "json_extract_events": """
+        SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """,
     "parse_documents_firstword": """
         SELECT regexp_extract(text, '^([a-z]+)', 1) AS first_word, count(*) AS n
         FROM documents GROUP BY first_word

@@ -374,6 +374,25 @@ def parse_events_props(sf_dir: str):
     return ds.map_batches(ex, batch_format="pyarrow")
 
 
+def json_extract_events(sf_dir: str):
+    """True JSON extraction (C8 json): parse the props JSON per row and
+    pull $.k as an integer. PyArrow has no JSON-path kernel, so the parse
+    is a per-row json.loads inside one pandas map per batch — the
+    documented exception; the regex fast path for this same field is
+    ``parse_events_props``."""
+    import json as _json
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def ex(t: pa.Table) -> pa.Table:
+        props = t["props"].to_pandas()
+        k = props.map(lambda s: _json.loads(s).get("k") if s else None)
+        return pa.table({"event_id": t["event_id"],
+                         "k": pa.array(k, pa.int64())})
+
+    return ds.map_batches(ex, batch_format="pyarrow")
+
+
 def parse_documents_firstword(sf_dir: str):
     ds = _read(sf_dir, "documents", ["text"])
 
@@ -829,6 +848,7 @@ QUERIES = {
     # parse / scalar functions
     "parse_events_props": parse_events_props,
     "parse_documents_firstword": parse_documents_firstword,
+    "json_extract_events": json_extract_events,
     "string_funcs_documents": string_funcs_documents,
     "date_funcs_orders": date_funcs_orders,
     "revenue_lineitem": revenue_lineitem,
