@@ -77,6 +77,10 @@ ORACLE_SQL: dict[str, str] = {
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
     """,
+    "orders_sorted_top100": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
     "topk_users_by_value": """
         SELECT user_id, round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS total_value FROM events
         GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 10

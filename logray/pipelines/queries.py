@@ -243,6 +243,16 @@ def sort_limit_events(sf_dir: str):
         preserve_index=False)
 
 
+def orders_sorted_top100(sf_dir: str):
+    """True distributed sort (C6): ``Dataset.sort`` is Ray Data's
+    all-to-all range-partitioned sort — used here (vs the combiner-based
+    ``relational.topk``) to exercise the real shuffle operator; limit
+    pulls only the head blocks."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+    return out
+
+
 def orders_topk(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     return pa.Table.from_pandas(
@@ -835,6 +845,7 @@ QUERIES = {
     "filter_project_events": filter_project_events,
     "sort_limit_events": sort_limit_events,
     "orders_topk": orders_topk,
+    "orders_sorted_top100": orders_sorted_top100,
     "topk_users_by_value": topk_users_by_value,
     # joins / set ops / dedup
     "join_customer_nation_region": join_customer_nation_region,
