@@ -706,6 +706,16 @@ def random_sample_events(sf_dir: str):
     return ds.random_sample(0.1, seed=42)
 
 
+def shuffled_documents_sample(sf_dir: str):
+    """Global random shuffle (training-data prep: decorrelate document
+    order before sharding to trainers) — ``Dataset.random_shuffle`` is the
+    full all-to-all exchange; seeded for reproducibility. Returns the
+    first 100 rows of the shuffled order (rows-only check: the permutation
+    is seed-dependent, not SQL-expressible)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.random_shuffle(seed=7).limit(100)
+
+
 _RAW_LOG_CACHE = "/tmp/logray/rawlog"
 
 
@@ -885,6 +895,7 @@ QUERIES = {
     # sampling
     "deterministic_sample_events": deterministic_sample_events,
     "random_sample_events": random_sample_events,
+    "shuffled_documents_sample": shuffled_documents_sample,
     # transcripts (flagship) + raw-text source + multimodal
     "flagship_transcripts": flagship_transcripts,
     "transcript_parse_counts": transcript_parse_counts,

@@ -38,11 +38,16 @@ ENVELOPE_REGEX = (
 _TS_FMT = "%Y-%m-%dT%H:%M:%S"  # Arrow strftime %S already emits .ffffff
 
 
-def render_raw_log(corpus_dir: str | Path, out_dir: str | Path) -> list[str]:
-    """Render each corpus parquet partition to one ``.log`` text file.
+def render_raw_log(corpus_dir: str | Path, out_dir: str | Path,
+                   compression: str | None = None) -> list[str]:
+    """Render each corpus parquet partition to one ``.log`` text file
+    (``compression="gzip"`` writes ``.log.gz`` — the reference's callers
+    commonly feed gzipped system logs).
 
     Fully vectorized (strftime + element-wise join); deterministic for a
     given corpus. Returns the list of written files."""
+    import gzip
+
     corpus_dir, out_dir = Path(corpus_dir), Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     written = []
@@ -54,10 +59,15 @@ def render_raw_log(corpus_dir: str | Path, out_dir: str | Path) -> list[str]:
         lines = pc.binary_join_element_wise(
             ts, " [", t["role"], "] ", t["conv_id"], "#", turn,
             " tool=", t["tool"], " :: ", text, "")
-        out = out_dir / (f.stem + ".log")
-        with open(out, "w") as fh:
-            fh.write("\n".join(lines.to_pylist()))
-            fh.write("\n")
+        payload = "\n".join(lines.to_pylist()) + "\n"
+        if compression == "gzip":
+            out = out_dir / (f.stem + ".log.gz")
+            with gzip.open(out, "wt") as fh:
+                fh.write(payload)
+        else:
+            out = out_dir / (f.stem + ".log")
+            with open(out, "w") as fh:
+                fh.write(payload)
         written.append(str(out))
     return written
 
@@ -93,7 +103,8 @@ def envelope_parse(batch: pa.Table, line_col: str = "text") -> pa.Table:
 
 
 def read_raw_log(log_dir: str | Path):
-    """``ray.data.read_text`` over rendered ``.log`` files → envelope parse.
+    """``ray.data.read_text`` over rendered ``.log``/``.log.gz`` files →
+    envelope parse.
 
     Returns a Dataset with the transcript schema + ``envelope_error``.
     Downstream stages (rule parse, enrich, route) apply unchanged — the
@@ -101,5 +112,14 @@ def read_raw_log(log_dir: str | Path):
     import ray.data
 
     files = sorted(str(p) for p in Path(log_dir).glob("*.log"))
-    ds = ray.data.read_text(files)
+    gz = sorted(str(p) for p in Path(log_dir).glob("*.log.gz"))
+    parts = []
+    if files:
+        parts.append(ray.data.read_text(files))
+    if gz:
+        parts.append(ray.data.read_text(
+            gz, arrow_open_stream_args={"compression": "gzip"}))
+    if not parts:
+        raise FileNotFoundError(f"no .log/.log.gz files in {log_dir}")
+    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     return ds.map_batches(envelope_parse, batch_format="pyarrow")

@@ -72,3 +72,14 @@ def test_rule_parity_with_parquet_path(ray_session, corpus, tmp_path_factory):
         for r in b.group_by("rule_id").aggregate([("rule_id", "count")]).to_pylist():
             hist[r["rule_id"]] = hist.get(r["rule_id"], 0) + r["rule_id_count"]
     assert hist == meta["rule_counts"]
+
+
+def test_gzip_roundtrip(ray_session, corpus, tmp_path_factory):
+    """Compressed ingestion: .log.gz renders + reads back identically."""
+    in_dir, meta = corpus
+    raw = tmp_path_factory.mktemp("rawgz")
+    files = render_raw_log(in_dir, raw, compression="gzip")
+    assert all(f.endswith(".log.gz") for f in files)
+    got = read_raw_log(raw)
+    assert got.count() == meta["n_turns"]
+    assert not got.to_pandas()["envelope_error"].any()
