@@ -24,6 +24,10 @@ ORACLE_SQL: dict[str, str] = {
     "max_value_per_user": """
         SELECT user_id, max(value) AS max_value FROM events GROUP BY user_id
     """,
+    "user_activity_span": """
+        SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+        FROM events GROUP BY user_id
+    """,
     "events_per_user_day": """
         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
         FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')

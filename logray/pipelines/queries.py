@@ -79,6 +79,15 @@ def max_value_per_user(sf_dir: str):
     return relational.grouped_agg(ds, ["user_id"], {"max_value": ("value", "max")})
 
 
+def user_activity_span(sf_dir: str):
+    """Grouped min/max over timestamps: first/last event time per user."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return relational.grouped_agg(ds, ["user_id"], {
+        "first_ts": ("ts", "min"),
+        "last_ts": ("ts", "max"),
+    })
+
+
 def events_per_user_day(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
 
@@ -844,6 +853,7 @@ QUERIES = {
     "grouped_agg_events": grouped_agg_events,
     "max_value_per_user": max_value_per_user,
     "events_per_user_day": events_per_user_day,
+    "user_activity_span": user_activity_span,
     "hourly_event_window_stats": hourly_event_window_stats,
     "value_percentiles_by_type": value_percentiles_by_type,
     "parts_per_brand": parts_per_brand,
