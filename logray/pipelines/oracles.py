@@ -38,6 +38,25 @@ ORACLE_SQL: dict[str, str] = {
                sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
         FROM events GROUP BY 1, 2
     """,
+    "user_event_type_pivot": """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS n_click,
+               count(*) FILTER (WHERE event_type = 'error') AS n_error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+               count(*) FILTER (WHERE event_type = 'view') AS n_view
+        FROM events GROUP BY user_id
+    """,
+    "event_type_value_share": """
+        WITH c AS (
+            SELECT event_type,
+                   sum(CAST(round(value*100) AS BIGINT)) AS cents
+            FROM events GROUP BY event_type)
+        SELECT event_type,
+               round(cents/100.0, 2) AS sum_value,
+               round(cents * 1.0 / (SELECT sum(cents) FROM c), 6) AS share
+        FROM c
+    """,
     "value_percentiles_by_type": """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 6) AS p50,

@@ -99,6 +99,41 @@ def events_per_user_day(sf_dir: str):
         ["user_id", "day"], {"n": ("event_id", "count")})
 
 
+def user_event_type_pivot(sf_dir: str):
+    """Pivot / conditional aggregation: per-user counts of each event type
+    as columns (the SQL ``count(*) FILTER (WHERE ...)`` shape) — indicator
+    columns per batch, then ordinary partial+final sums."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def indicators(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for ty in types:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(t["event_type"], ty), pa.int64())
+        return pa.table(cols)
+
+    return relational.grouped_agg(
+        ds.map_batches(indicators, batch_format="pyarrow"),
+        ["user_id"], {f"n_{ty}": (f"n_{ty}", "sum") for ty in types})
+
+
+def event_type_value_share(sf_dir: str):
+    """Percent-of-total: each event type's share of the global value sum.
+    The global total is a tiny scalar aggregate broadcast into the final
+    projection — no second pass over the data (both aggregates consume
+    the same per-batch partials)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    prepped = ds.map_batches(lambda t: _add_cents(t, "value", "__cents"),
+                             batch_format="pyarrow")
+    per_type = relational.grouped_agg(prepped, ["event_type"],
+                                      {"sum_cents": ("__cents", "sum")}).to_pandas()
+    total = int(per_type["sum_cents"].sum())
+    per_type["share"] = (per_type["sum_cents"] / total).round(6)
+    per_type["sum_value"] = (per_type["sum_cents"] / 100.0).round(2)
+    return pa.Table.from_pandas(per_type[["event_type", "sum_value", "share"]],
+                                preserve_index=False)
+
+
 def value_percentiles_by_type(sf_dir: str):
     """Exact grouped quantiles (C5): p50/p95 of value per event_type.
     Groups are co-located by bucket and computed with one vectorized
@@ -856,6 +891,8 @@ QUERIES = {
     "user_activity_span": user_activity_span,
     "hourly_event_window_stats": hourly_event_window_stats,
     "value_percentiles_by_type": value_percentiles_by_type,
+    "user_event_type_pivot": user_event_type_pivot,
+    "event_type_value_share": event_type_value_share,
     "parts_per_brand": parts_per_brand,
     "supplier_balance_by_nation": supplier_balance_by_nation,
     "approx_distinct_users_by_type": approx_distinct_users_by_type,
