@@ -159,6 +159,19 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         FROM events
     """,
+    "doc_ruleset_counts": """
+        SELECT CASE
+            WHEN regexp_matches(text, '^(?:agg|join|group|sort|filter)\\b')
+                THEN 'D01_sql_shape'
+            WHEN regexp_matches(text, '\\bslow\\b.*\\bfast\\b')
+                THEN 'D02_slow_fast'
+            WHEN regexp_matches(text, '\\bspark\\b') THEN 'D03_spark'
+            WHEN regexp_matches(text, '^(?:window|batch|stream)\\b')
+                THEN 'D04_windowed'
+            ELSE 'D99_other' END AS rule_id,
+            count(*) AS n
+        FROM documents GROUP BY 1
+    """,
     "parse_documents_firstword": """
         SELECT regexp_extract(text, '^([a-z]+)', 1) AS first_word, count(*) AS n
         FROM documents GROUP BY first_word

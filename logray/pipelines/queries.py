@@ -447,6 +447,27 @@ def json_extract_events(sf_dir: str):
     return ds.map_batches(ex, batch_format="pyarrow")
 
 
+def doc_ruleset_counts(sf_dir: str):
+    """A SECOND rule-table instantiation (C10 engine/config split, B4):
+    classify documents with the same vectorized first-match-wins engine
+    used by the flagship, against a DuckDB oracle whose ordered CASE WHEN
+    regexp_matches(...) chain implements identical dispatch semantics —
+    the one place the rule ENGINE itself is value-checked against SQL."""
+    from ..ruleset import Rule, RuleSet
+
+    rules = [
+        Rule("D01_sql_shape", "s_sql", patterns=(r"^(?:agg|join|group|sort|filter)\b",)),
+        Rule("D02_slow_fast", "s_perf", patterns=(r"\bslow\b.*\bfast\b",)),
+        Rule("D03_spark", "s_spark", patterns=(r"\bspark\b",)),
+        Rule("D04_windowed", "s_win", patterns=(r"^(?:window|batch|stream)\b",)),
+        Rule("D99_other", "s_other"),
+    ]
+    rs = RuleSet(rules, passthrough=[("doc_id", pa.int64()), ("text", pa.string())])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    parsed = ds.map_batches(lambda t: rs.parse_batch(t), batch_format="pyarrow")
+    return relational.grouped_agg(parsed, ["rule_id"], {"n": ("rule_id", "count")})
+
+
 def parse_documents_firstword(sf_dir: str):
     ds = _read(sf_dir, "documents", ["text"])
 
@@ -916,6 +937,7 @@ QUERIES = {
     # parse / scalar functions
     "parse_events_props": parse_events_props,
     "parse_documents_firstword": parse_documents_firstword,
+    "doc_ruleset_counts": doc_ruleset_counts,
     "json_extract_events": json_extract_events,
     "string_funcs_documents": string_funcs_documents,
     "date_funcs_orders": date_funcs_orders,
