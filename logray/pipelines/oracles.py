@@ -73,6 +73,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    "sliding_3h_event_counts": """
+        SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start,
+               event_type, count(*) AS n
+        FROM events CROSS JOIN range(3) t(k)
+        GROUP BY 1, 2
+    """,
     "pricing_summary_lineitem": """
         SELECT l_returnflag, l_linestatus,
                round(sum(CAST(round(l_quantity*100) AS BIGINT))/100.0, 2) AS sum_qty,

@@ -214,6 +214,30 @@ def hourly_event_window_stats(sf_dir: str):
         {"n": ("value_cents", "count"), "sum_cents": ("value_cents", "sum")})
 
 
+def sliding_3h_event_counts(sf_dir: str):
+    """Sliding/hopping event-time window (C9): 3-hour windows hopping
+    hourly; each event contributes to the 3 windows covering it. The
+    explode is vectorized (three shifted copies of the hour-truncated
+    key concatenated per batch) and feeds the ordinary partial+final
+    count — no per-row loop, no cross-batch state."""
+    import datetime
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t["ts"], unit="hour")
+        pieces = []
+        for k in range(3):
+            ws = pc.subtract(base, pa.scalar(datetime.timedelta(hours=k)))
+            pieces.append(pa.table({"window_start": pc.cast(ws, pa.timestamp("us")),
+                                    "event_type": t["event_type"]}))
+        return pa.concat_tables(pieces)
+
+    return relational.grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["window_start", "event_type"], {"n": ("event_type", "count")})
+
+
 def pricing_summary_lineitem(sf_dir: str):
     """TPC-H Q1-shaped pricing summary (filter → wide grouped aggregate)."""
     ds = _read(sf_dir, "lineitem",
@@ -911,6 +935,7 @@ QUERIES = {
     "events_per_user_day": events_per_user_day,
     "user_activity_span": user_activity_span,
     "hourly_event_window_stats": hourly_event_window_stats,
+    "sliding_3h_event_counts": sliding_3h_event_counts,
     "value_percentiles_by_type": value_percentiles_by_type,
     "user_event_type_pivot": user_event_type_pivot,
     "event_type_value_share": event_type_value_share,
