@@ -142,6 +142,10 @@ ORACLE_SQL: dict[str, str] = {
                string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
         FROM events GROUP BY user_id
     """,
+    "distinct_users_per_type": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
     "distinct_event_types": """
         SELECT DISTINCT event_type FROM events
     """,

@@ -164,6 +164,22 @@ def parts_per_brand(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def distinct_users_per_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): per-batch unique pairs (combiner),
+    global pair dedup via grouped count, then a count per group — the
+    exact counterpart of the HLL sketch (``approx_distinct_users_by_type``)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = relational.grouped_agg(
+        ds.map_batches(local_pairs, batch_format="pyarrow"),
+        ["event_type", "user_id"], {"c": ("user_id", "count")})
+    return relational.grouped_agg(pairs, ["event_type"],
+                                  {"n_users": ("user_id", "count")})
+
+
 def approx_distinct_users_by_type(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT user_id) per event_type
     (C5 sketch path): per-batch 4 KiB register partials, element-wise-max
@@ -941,6 +957,7 @@ QUERIES = {
     "event_type_value_share": event_type_value_share,
     "parts_per_brand": parts_per_brand,
     "supplier_balance_by_nation": supplier_balance_by_nation,
+    "distinct_users_per_type": distinct_users_per_type,
     "approx_distinct_users_by_type": approx_distinct_users_by_type,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
