@@ -12,9 +12,12 @@ Layers (mirrors the reference's engine/config split — SURVEY.md §2):
 - ``logray.rules_transcripts``— the frozen normative ruleset (FIXTURES.md §2)
 - ``logray.oracle``           — single-process pure-Python oracle parser
 - ``logray.gen``              — deterministic transcript-corpus generator
+- ``logray.sources``          — raw-text (.log/.log.gz) ingestion + envelope
+- ``logray.compat``           — reference-call-shape parse_log(fileobj) generator
 - ``logray.stages``           — Ray Data pipeline stages (parse/enrich/route)
 - ``logray.pipelines``        — end-to-end DAGs (flagship pipeline, resume)
-- ``logray.ops``              — training-data ops (dedup, similarity, text)
+- ``logray.ops``              — relational + training-data ops (dedup,
+  similarity, text, windows, sketches, multimodal)
 - ``logray.functions``        — scalar/vector kernels shared across stages
 
 The reference repo directory is empty in this sandbox (SURVEY.md §0); the
