@@ -280,10 +280,10 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
                 return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                      "b": pd.Series([], dtype="int64"),
                                      "est_jaccard": pd.Series([], dtype="float64")})
-            sig_map = sig_local if sig_ref is None else __import__("ray").get(sig_ref)
+            sids, smat = sig_local if sig_ref is None else __import__("ray").get(sig_ref)
             g = g.sort_values(id_col)
             ids = g[id_col].to_numpy()
-            sigs = np.stack([sig_map[i] for i in ids])
+            sigs = smat[np.searchsorted(sids, ids)]
             A, B, J = [], [], []
             for i in range(len(ids)):
                 agree = (sigs[i + 1:] == sigs[i]).mean(axis=1)
@@ -383,17 +383,25 @@ def _hot_bucket_pairs(banded, pairs_fn, *, sig_tbl=None, id_col=None,
         return t.filter(pa.array(hot_arr[idx] == ids))
 
     sig_rows = sig_tbl.map_batches(pick, batch_format="pyarrow").to_pandas()
-    sig_map = {int(i): np.asarray(s, dtype=sig_dtype)
-               for i, s in zip(sig_rows[id_col], sig_rows["_sig"])}
+    # broadcast as (sorted ids, dense sig matrix) — NOT a dict of arrays:
+    # at high duplicate rates the hot set can be a large fraction of the
+    # corpus, and a python dict pickles catastrophically while two numpy
+    # arrays ray.put/get zero-copy
+    sids = sig_rows[id_col].to_numpy()
+    order = np.argsort(sids, kind="mergesort")
+    sids = sids[order]
+    smat = (np.stack(sig_rows["_sig"].to_numpy()).astype(sig_dtype)[order]
+            if len(sig_rows) else np.zeros((0, 0), dtype=sig_dtype))
+    sig_payload = (sids, smat)
     sig_ref = None
     try:
         import ray
 
         if ray.is_initialized():
-            sig_ref = ray.put(sig_map)
+            sig_ref = ray.put(sig_payload)
     except Exception:
         sig_ref = None
-    fn = pairs_fn(sig_ref, sig_map if sig_ref is None else None)
+    fn = pairs_fn(sig_ref, sig_payload if sig_ref is None else None)
     # NB: group over the distributed survivors dataset, NOT a from_pandas
     # of the collected rows — a single-block input would run every bucket
     # group serially in one task
@@ -621,9 +629,9 @@ def embedding_neardup(ds, vec_col: str = "embedding", id_col: str = "vec_id", *,
                 return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                      "b": pd.Series([], dtype="int64"),
                                      "cosine": pd.Series([], dtype="float64")})
-            vec_map = sig_local if sig_ref is None else __import__("ray").get(sig_ref)
+            sids, smat = sig_local if sig_ref is None else __import__("ray").get(sig_ref)
             ids = g[id_col].to_numpy()
-            V = np.stack([vec_map[i] for i in ids])
+            V = smat[np.searchsorted(sids, ids)]
             S = V @ V.T
             iu = np.triu_indices(len(ids), k=1)
             hit = np.flatnonzero(S[iu] >= threshold)
