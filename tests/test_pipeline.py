@@ -182,3 +182,21 @@ def test_metrics_json_written(flagship_run):
     m = json.loads((out / "_metrics.json").read_text())
     assert m["rows"] == meta["n_turns"]
     assert 0 < m["matched_pct"] < 100
+
+
+def test_two_runs_byte_identical(ray_session, corpus, tmp_path_factory):
+    """Invariant 5: two independent full runs produce byte-identical
+    aggregate artifacts (deterministic despite parallel execution)."""
+    in_dir, _ = corpus
+    outs = []
+    for name in ("det_a", "det_b"):
+        out = tmp_path_factory.mktemp(name)
+        run_flagship(in_dir, out, enrich_concurrency=2)
+        outs.append(out)
+    a = (outs[0] / "_aggregates.parquet").read_bytes()
+    b = (outs[1] / "_aggregates.parquet").read_bytes()
+    assert a == b
+    ma = json.loads((outs[0] / "_metrics.json").read_text())
+    mb = json.loads((outs[1] / "_metrics.json").read_text())
+    for k in ("rows", "parse_errors", "unknown_rows", "matched_pct"):
+        assert ma[k] == mb[k], k
