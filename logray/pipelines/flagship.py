@@ -122,6 +122,12 @@ def run_wave(wave: list[str], parts: dict[str, list[str]], out_dir: str, *,
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=enrich_concurrency, batch_size=batch_size)
     rows = summaries.take_all()  # tiny: one row per (pid, sink, rule, batch-file)
+    try:
+        # per-stage wall/CPU breakdown for the wave — the ds.stats() feedback
+        # loop, persisted so operators can audit where time went after the run
+        (Path(out_dir) / "_last_wave_stats.txt").write_text(summaries.stats())
+    except Exception:
+        pass
 
     payloads: dict[str, dict] = {}
     for pid in wave:
