@@ -2,9 +2,14 @@
 
 - ``broadcast_join``: small side shipped once (``ray.put`` when a Ray
   session exists, closure capture otherwise) and merged per batch with a
-  vectorized pandas merge — no shuffle. This is the C4 lookup-join path;
-  large-large joins would hash-bucket both sides (see ray_guide) but no
-  pipeline here needs one.
+  vectorized pandas merge — no shuffle. This is the C4 lookup-join path.
+- ``hash_join``: the large×large scale path — both sides bucketed by a
+  stable hash of the join key, co-located with ONE groupby shuffle over
+  the tagged union, and merged with a vectorized pandas merge per bucket.
+- ``semi_filter``: broadcast semi/anti join — distinct keys of the
+  filter side collected once and shipped via ``ray.put``; each batch
+  keeps (semi) or drops (anti) members with a vectorized sorted-
+  membership test. The big side never shuffles.
 - ``grouped_agg``: partial per-batch aggregation (combiner) then a small
   groupby().sum / min / max over the partials — the C5 pattern: the
   shuffle moves one row per key per batch, never raw rows.
@@ -16,6 +21,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -48,6 +54,100 @@ def broadcast_join(ds, small: pd.DataFrame, on: str | list[str], *,
         return batch.merge(right, on=on, how=how)
 
     return ds.map_batches(joiner, batch_format="pandas")
+
+
+def hash_join(left, right, on: str | list[str], *, how: str = "inner",
+              num_buckets: int = 64):
+    """Large×large shuffle join (C4 scale path).
+
+    Both sides are bucketed by a stable hash of the FIRST join key (a
+    key's rows never split across buckets), tagged, padded to a common
+    schema with null columns, unioned, and co-located with one
+    ``groupby('__bucket')`` all-to-all; each bucket then runs a single
+    vectorized pandas merge. Python overhead is O(num_buckets); the
+    shuffle moves each side exactly once — the classic partitioned hash
+    join expressed in Ray Data primitives.
+
+    ``on`` columns must exist under the same names on both sides (rename
+    first). ``how``: 'inner' or 'left'. Non-key column names must not
+    collide. At cluster scale, set ``num_buckets`` ≈ total cores × 4.
+    """
+    from ..functions.hashing import stable_bucket
+
+    on = [on] if isinstance(on, str) else list(on)
+    lschema, rschema = left.schema(), right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    clash = (set(lcols) & set(rcols)) - set(on)
+    if clash:
+        raise ValueError(f"non-key column collision: {sorted(clash)}")
+    types = {n: t for n, t in zip(lschema.names, lschema.types)}
+    types.update({n: t for n, t in zip(rschema.names, rschema.types)})
+    all_cols = on + sorted((set(lcols) | set(rcols)) - set(on))
+
+    def pad(side_cols: list[str], side_tag: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for c in all_cols:
+                cols[c] = batch[c] if c in side_cols else pa.nulls(n, types[c])
+            cols["__side"] = pa.array(np.full(n, side_tag, np.int8))
+            key = batch[on[0]]
+            if pa.types.is_string(key.type):
+                cols["__bucket"] = stable_bucket(key, num_buckets)
+            else:
+                v = np.asarray(key.to_numpy(zero_copy_only=False), dtype=np.int64)
+                cols["__bucket"] = pa.array(
+                    ((v * np.int64(2654435761)) % num_buckets).astype(np.int32))
+            return pa.table(cols)
+        return fn
+
+    tagged = (left.map_batches(pad(lcols, 0), batch_format="pyarrow")
+              .union(right.map_batches(pad(rcols, 1), batch_format="pyarrow")))
+
+    def merge(t: pa.Table) -> pa.Table:
+        # split by side BEFORE to_pandas: each slice then has no padding
+        # nulls, so int64 columns stay int64 instead of widening to float
+        side = t["__side"]
+        import pyarrow.compute as pc
+
+        lt = t.filter(pc.equal(side, 0)).select(on + [c for c in all_cols if c in lcols and c not in on])
+        rt = t.filter(pc.equal(side, 1)).select(on + [c for c in all_cols if c in rcols and c not in on])
+        out = lt.to_pandas().merge(rt.to_pandas(), on=on, how=how)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def semi_filter(ds, col: str, keys, *, keep: bool = True):
+    """Broadcast semi (keep=True) / anti (keep=False) join on ``col``.
+
+    ``keys``: 1-D numpy array of the filter side's distinct keys (sorted
+    or not). Shipped once via ``ray.put``; membership per batch is a
+    vectorized ``searchsorted`` — no shuffle of the big side.
+    """
+    keys = np.unique(np.asarray(keys))
+    ref = None
+    try:
+        import ray
+
+        if ray.is_initialized():
+            ref = ray.put(keys)
+    except Exception:
+        ref = None
+    keys_local = keys if ref is None else None
+
+    def fn(t: pa.Table) -> pa.Table:
+        ks = keys_local if ref is None else __import__("ray").get(ref)
+        u = t[col].to_numpy(zero_copy_only=False)
+        if len(ks) == 0:
+            member = np.zeros(len(u), bool)
+        else:
+            idx = np.clip(np.searchsorted(ks, u), 0, len(ks) - 1)
+            member = ks[idx] == u
+        return t.filter(pa.array(member if keep else ~member))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 _COMBINE = {"sum": "sum", "count": "sum", "count_all": "sum", "min": "min", "max": "max"}

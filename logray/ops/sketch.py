@@ -81,3 +81,107 @@ def approx_distinct(ds, group_cols: list[str], value_col: str, *, p: int = 12):
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(group_cols).map_groups(merge, batch_format="pandas"))
+
+
+def heavy_hitters(ds, col: str, k: int, *, capacity: int | None = None) -> pd.DataFrame:
+    """Approximate top-k frequent items (Misra–Gries-style summary).
+
+    Each batch reduces to at most ``capacity`` (item, weight) rows: the
+    batch's exact counts, decremented by its (capacity+1)-th largest
+    count t — the Misra–Gries compression, so a partial is bounded at
+    ``capacity`` rows however wide the batch's key space is. Partials
+    combine by summed weights (a small groupby over O(blocks×capacity)
+    rows); each batch also emits its t so the result can carry a global
+    error bound: true_count - est ≤ sum(t_b) ≤ Σ n_b / (capacity+1).
+
+    Returns a pandas DataFrame ``[col, est_count, max_err]`` with the k
+    largest estimated counts (deterministic tie-break on the item).
+    Exactness: any item appearing in every batch's top-``capacity`` keeps
+    est = exact_count - Σt; set capacity ≥ expected distinct-per-batch
+    for exact results (then t=0 and max_err=0).
+    """
+    capacity = capacity or 8 * k
+
+    def partial(batch: pa.Table) -> pa.Table:
+        item_type = batch.schema.field(col).type
+        vc = batch.select([col]).to_pandas()[col].value_counts()
+        t = 0
+        if len(vc) > capacity:
+            t = int(vc.iloc[capacity])
+            # keep zero-weight survivors: they cost nothing and guarantee
+            # the t-carrying first row exists even if all weights hit 0
+            vc = vc.iloc[:capacity] - t
+        n = len(vc)
+        return pa.table({
+            col: pa.array(vc.index.to_numpy(), type=item_type),
+            "w": pa.array(vc.to_numpy(), pa.int64()),
+            "__t_once": pa.array([t] + [0] * (n - 1) if n else [], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    # partials are O(blocks × capacity) rows — materializing them is cheap
+    # and avoids re-scanning the input for the error-bound aggregate
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    err = parts.aggregate(Sum("__t_once"))["sum(__t_once)"] or 0
+    merged = (parts.groupby(col).aggregate(Sum("w", alias_name="est_count"))
+              .to_pandas())
+    out = (merged.sort_values(["est_count", col], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    out["max_err"] = int(err)
+    return out
+
+
+def approx_quantiles(ds, group_cols: list[str], value_col: str,
+                     qs: list[float], *, bins: int = 4096) -> pd.DataFrame:
+    """Approximate grouped quantiles via a mergeable fixed-bin histogram.
+
+    Pass 1 is a tiny global min/max aggregate; pass 2 bins every value
+    into ``bins`` equal-width buckets per batch (one vectorized
+    ``np.bincount`` per group) and ships only non-empty (group, bin, n)
+    partials — the shuffle moves O(groups × bins) rows total, independent
+    of row count. Quantiles interpolate within the containing bin, so the
+    absolute error is bounded by one bin width (range/bins).
+
+    Returns a pandas DataFrame ``group_cols + [f"q{q}" ...]``.
+    """
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
+    if hi <= lo:
+        hi = lo + 1.0
+    width = (hi - lo) / bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(group_cols + [value_col]).to_pandas()
+        v = df[value_col].to_numpy(np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        df = df.assign(__bin=b)
+        g = df.groupby(group_cols + ["__bin"], sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_cols + ["__bin"]).aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+
+    rows = []
+    for key, g in hist.groupby(group_cols, sort=True):
+        key = key if isinstance(key, tuple) else (key,)
+        g = g.sort_values("__bin")
+        counts = np.zeros(bins, np.int64)
+        counts[g["__bin"].to_numpy()] = g["n"].to_numpy()
+        cum = np.cumsum(counts)
+        total = cum[-1]
+        row = dict(zip(group_cols, key))
+        for q in qs:
+            target = q * total
+            i = int(np.searchsorted(cum, target, side="left"))
+            prev = cum[i - 1] if i > 0 else 0
+            inbin = counts[i] or 1
+            frac = (target - prev) / inbin
+            row[f"q{q}"] = lo + (i + min(max(frac, 0.0), 1.0)) * width
+        rows.append(row)
+    return pd.DataFrame(rows)

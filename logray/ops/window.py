@@ -106,6 +106,43 @@ def lag_gap(ds, key: str, ts_col: str, order_cols: list[str], *,
     return _bucketed_apply(ds, key, per_bucket, num_buckets=num_buckets)
 
 
+def rolling_mean(ds, key: str, order_cols: list[str], val_col: str, window: int, *,
+                 num_buckets: int = 64, out_col: str = "rolling_mean"):
+    """avg(val) OVER (PARTITION BY key ORDER BY order_cols ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW) — a per-key moving average.
+
+    Computed as rolling-sum / rolling-count (not pandas ``.mean()``) so
+    the division matches SQL ``sum/count`` bit-for-bit when ``val_col``
+    holds exact integers (see queries: cent-scaled values).
+    """
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order_cols, kind="mergesort")
+        g = df.groupby(key, sort=False)[val_col]
+        s = g.rolling(window, min_periods=1).sum().reset_index(drop=True)
+        c = g.rolling(window, min_periods=1).count().reset_index(drop=True)
+        out = df.reset_index(drop=True)
+        out[out_col] = s.to_numpy() / c.to_numpy()
+        return out
+
+    return _bucketed_apply(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def dense_rank(ds, part_col: str, order_col: str, *, descending: bool = True,
+               num_buckets: int = 16, rank_col: str = "rnk"):
+    """dense_rank() OVER (PARTITION BY part_col ORDER BY order_col) —
+    equal values share a rank with no gaps after ties."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[rank_col] = (df.groupby(part_col, sort=False)[order_col]
+                        .rank(method="dense", ascending=not descending)
+                        .astype("int64"))
+        return df
+
+    return _bucketed_apply(ds, part_col, per_bucket, num_buckets=num_buckets)
+
+
 def asof_join(left_ds, right_df: pd.DataFrame, *, by: str, on: str,
               value_cols: list[str], num_buckets: int = 64,
               direction: str = "backward", suffix: str = "_right"):

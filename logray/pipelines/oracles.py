@@ -253,6 +253,47 @@ ORACLE_SQL: dict[str, str] = {
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
+    "order_revenue_join": """
+        SELECT o_orderkey, o_orderpriority,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))/10000.0 AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_orderkey, o_orderpriority
+    """,
+    "customer_order_counts": """
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    "orders_with_returns_by_priority": """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    "moving_avg_user_events": """
+        SELECT event_id,
+               round(sum(CAST(round(value*100) AS BIGINT)) OVER w
+                     / count(*) OVER w / 100.0, 6) AS ma3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "value_rank_events": """
+        SELECT event_id,
+               CAST(dense_rank() OVER (PARTITION BY event_type
+                                       ORDER BY value DESC) AS BIGINT) AS rnk
+        FROM events
+    """,
+    "stratified_sample_events": """
+        SELECT event_type, event_id, rn FROM (
+            SELECT event_type, event_id,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+            FROM events) WHERE rn <= 5
+    """,
     "ann_topk_embeddings": """
         WITH q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -455,6 +455,78 @@ def dedup_events_keep_first(sf_dir: str):
                                   {"event_id": ("event_id", "min")})
 
 
+def order_revenue_join(sf_dir: str):
+    """Large×large HASH-SHUFFLE join (C4 scale path): lineitem rows joined
+    to 1997+ orders by co-locating both sides on hash(o_orderkey) — one
+    all-to-all over the tagged union, vectorized pandas merge per bucket
+    (``relational.hash_join``) — then grouped revenue per order."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["o_orderdate"], pa.scalar(np.datetime64("1997-01-01", "us")))).drop(["o_orderdate"]),
+        batch_format="pyarrow")
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        units = pc.cast(pc.round(pc.multiply(rev, 10000.0)), pa.int64())
+        return pa.table({"o_orderkey": t["l_orderkey"], "__rev_u": units})
+
+    joined = relational.hash_join(line.map_batches(prep, batch_format="pyarrow"),
+                                  orders, on="o_orderkey")
+    out = relational.grouped_agg(joined, ["o_orderkey", "o_orderpriority"],
+                                 {"revenue": ("__rev_u", "sum")})
+
+    def fin(t: pa.Table) -> pa.Table:
+        # exact int sum / 10000.0 — same division on the SQL side, so the
+        # doubles are bit-identical; rounding here would hit half-to-even
+        # vs half-away ties (one per ~100 groups)
+        i = t.schema.get_field_index("revenue")
+        return t.set_column(i, "revenue",
+                            pc.divide(pc.cast(t["revenue"], pa.float64()), 10000.0))
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def customer_order_counts(sf_dir: str):
+    """LEFT OUTER shuffle join: order counts per customer including
+    zero-order customers. Orders pre-aggregate to one row per customer
+    (combiner) before the join, so the shuffle moves counts, not orders."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    counts = relational.grouped_agg(orders, ["o_custkey"],
+                                    {"n_orders": ("o_orderkey", "count")})
+    counts = counts.map_batches(
+        lambda t: pa.table({"c_custkey": t["o_custkey"], "n_orders": t["n_orders"]}),
+        batch_format="pyarrow")
+    joined = relational.hash_join(cust, counts, on="c_custkey", how="left")
+
+    def fin(t: pa.Table) -> pa.Table:
+        col = pc.fill_null(t["n_orders"], 0.0)
+        col = pc.if_else(pc.is_nan(pc.cast(col, pa.float64())), pa.scalar(0.0),
+                         pc.cast(col, pa.float64()))
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "n_orders": pc.cast(col, pa.int64())})
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def orders_with_returns_by_priority(sf_dir: str):
+    """Broadcast SEMI-join (C4): orders having ≥1 returned lineitem,
+    counted per priority — distinct returned order keys collected once,
+    shipped via ray.put, vectorized membership test per batch."""
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        lambda t: t.filter(pc.equal(t["l_returnflag"], "R")).select(["l_orderkey"]),
+        batch_format="pyarrow")
+    keys = np.unique(np.concatenate(
+        [b["l_orderkey"].to_numpy(zero_copy_only=False)
+         for b in line.iter_batches(batch_format="pyarrow", batch_size=65536)]
+        + [np.zeros(0, np.int64)]))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    sem = relational.semi_filter(orders, "o_orderkey", keys, keep=True)
+    return relational.grouped_agg(sem, ["o_orderpriority"],
+                                  {"n": ("o_orderpriority", "count")})
+
+
 # --------------------------------------------------- parse / scalar funcs ----
 
 def parse_events_props(sf_dir: str):
@@ -737,6 +809,79 @@ def asof_purchase_prior_click(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def moving_avg_user_events(sf_dir: str):
+    """Per-user 3-row moving average (C9): avg(value) over the user's
+    last 3 events ordered by (ts, event_id). Rolling sum/count over exact
+    cent integers so the division sequence matches the SQL oracle
+    bit-for-bit."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    prepped = ds.map_batches(
+        lambda t: _add_cents(t, "value", "__cents").drop(["value"]),
+        batch_format="pyarrow")
+    out = window.rolling_mean(prepped, "user_id", ["ts", "event_id"],
+                              "__cents", 3, out_col="ma3")
+
+    def fin(t: pa.Table) -> pa.Table:
+        ma = pc.round(pc.divide(pc.cast(t["ma3"], pa.float64()), 100.0), ndigits=6)
+        return pa.table({"event_id": t["event_id"], "ma3": ma})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def value_rank_events(sf_dir: str):
+    """dense_rank() of value (desc) within each event type (C9)."""
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+    out = window.dense_rank(ds, "event_type", "value", descending=True)
+    return out.map_batches(lambda t: t.select(["event_id", "rnk"]),
+                           batch_format="pyarrow")
+
+
+def stratified_sample_events(sf_dir: str):
+    """Stratified sampling (C6): a deterministic fixed-size sample of 5
+    events PER event type, ordered by md5(event_id) — per-group top-n
+    over a hash ordering, so every stratum is covered regardless of its
+    frequency (uniform sampling starves rare strata)."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id"])
+
+    def add_md5(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_pandas().astype(str)
+        h = ids.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+        return t.append_column("__h", pa.array(h.to_numpy(), pa.string()))
+
+    out = window.grouped_topn(ds.map_batches(add_md5, batch_format="pyarrow"),
+                              "event_type", [("__h", False), ("event_id", False)], 5)
+    return out.map_batches(lambda t: t.select(["event_type", "event_id", "rn"]),
+                           batch_format="pyarrow")
+
+
+def heavy_hitter_users(sf_dir: str):
+    """Misra–Gries heavy hitters (C5 sketch): top-10 users by event count
+    with a bounded-size mergeable summary per batch — the scale path when
+    the key space itself is too large to shuffle exactly. Carries a
+    global error bound column; exactness invariant is pytest-checked
+    (no SQL oracle: est counts are summary-dependent lower bounds)."""
+    from ..ops import sketch
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    out = sketch.heavy_hitters(ds, "user_id", k=10)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def approx_value_percentiles_by_type(sf_dir: str):
+    """Mergeable fixed-bin histogram quantiles (C5 sketch): approximate
+    p50/p95 of value per event type with error ≤ one bin width — pairs
+    with the exact ``value_percentiles_by_type``. Tolerance-tested in
+    pytest; no SQL oracle (bin interpolation ≠ quantile_cont exactly)."""
+    from ..ops import sketch
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = sketch.approx_quantiles(ds, ["event_type"], "value", [0.5, 0.95])
+    out = out.rename(columns={"q0.5": "p50", "q0.95": "p95"})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # -------------------------------------------------------------- transcripts --
 
 _CORPUS_CACHE = "/tmp/logray/corpus"
@@ -959,6 +1104,8 @@ QUERIES = {
     "supplier_balance_by_nation": supplier_balance_by_nation,
     "distinct_users_per_type": distinct_users_per_type,
     "approx_distinct_users_by_type": approx_distinct_users_by_type,
+    "heavy_hitter_users": heavy_hitter_users,
+    "approx_value_percentiles_by_type": approx_value_percentiles_by_type,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
     # filter / project / sort / topk
@@ -970,6 +1117,9 @@ QUERIES = {
     # joins / set ops / dedup
     "join_customer_nation_region": join_customer_nation_region,
     "orders_by_segment": orders_by_segment,
+    "order_revenue_join": order_revenue_join,
+    "customer_order_counts": customer_order_counts,
+    "orders_with_returns_by_priority": orders_with_returns_by_priority,
     "union_purchases_errors": union_purchases_errors,
     "customers_without_big_orders": customers_without_big_orders,
     "event_types_per_user": event_types_per_user,
@@ -999,12 +1149,15 @@ QUERIES = {
     "running_sum_user_events": running_sum_user_events,
     "lag_gap_events": lag_gap_events,
     "asof_purchase_prior_click": asof_purchase_prior_click,
+    "moving_avg_user_events": moving_avg_user_events,
+    "value_rank_events": value_rank_events,
     # text analysis
     "langid_documents": langid_documents,
     "quality_documents": quality_documents,
     "rolling_fingerprint_documents": rolling_fingerprint_documents,
     # sampling
     "deterministic_sample_events": deterministic_sample_events,
+    "stratified_sample_events": stratified_sample_events,
     "random_sample_events": random_sample_events,
     "shuffled_documents_sample": shuffled_documents_sample,
     # transcripts (flagship) + raw-text source + multimodal

@@ -251,3 +251,143 @@ def test_hll_approx_distinct_within_tolerance(ray_session):
     merged = np.maximum(_hll_partial(s[:13_000], 12), _hll_partial(s[13_000:], 12))
     assert (whole == merged).all()
     assert _hll_estimate(whole) == _hll_estimate(merged)
+
+
+# ------------------------------------------------ relational / sketch v2 ----
+
+def test_hash_join_matches_pandas(ray_session):
+    import ray.data
+
+    from logray.ops import relational
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({"k": rng.integers(0, 200, 5000),
+                         "lv": rng.normal(size=5000)})
+    right = pd.DataFrame({"k": np.arange(0, 150, dtype=np.int64),
+                          "rv": np.arange(150, dtype=np.int64) * 10})
+    out = relational.hash_join(
+        ray.data.from_pandas(left.copy()), ray.data.from_pandas(right.copy()),
+        on="k", num_buckets=7).to_pandas()
+    want = left.merge(right, on="k", how="inner")
+    key = ["k", "lv", "rv"]
+    got = out[key].sort_values(key).reset_index(drop=True)
+    want = want[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # int columns must come back int (no null-padding float widening)
+    assert out["rv"].dtype.kind == "i"
+
+
+def test_hash_join_left_outer(ray_session):
+    import ray.data
+
+    from logray.ops import relational
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "lv": [10, 20, 30, 40]})
+    right = pd.DataFrame({"k": [2, 4], "rv": [200, 400]})
+    out = relational.hash_join(ray.data.from_pandas(left),
+                               ray.data.from_pandas(right),
+                               on="k", how="left", num_buckets=3).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["rv"].isna().tolist() == [True, False, True, False]
+
+
+def test_hash_join_string_key_and_collision_guard(ray_session):
+    import ray.data
+
+    from logray.ops import relational
+
+    left = pd.DataFrame({"k": ["a", "b", "c"], "v": [1, 2, 3]})
+    right = pd.DataFrame({"k": ["b", "c", "d"], "w": [20, 30, 40]})
+    out = relational.hash_join(ray.data.from_pandas(left),
+                               ray.data.from_pandas(right), on="k").to_pandas()
+    assert sorted(out["k"]) == ["b", "c"]
+    bad = pd.DataFrame({"k": ["a"], "v": [9]})
+    with pytest.raises(ValueError, match="collision"):
+        relational.hash_join(ray.data.from_pandas(left),
+                             ray.data.from_pandas(bad), on="k")
+
+
+def test_semi_filter(ray_session):
+    import ray.data
+
+    from logray.ops import relational
+
+    t = pa.table({"k": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    keys = np.array([2, 4, 9], np.int64)
+    assert sorted(relational.semi_filter(ds, "k", keys).to_pandas()["k"]) == [2, 4]
+    assert sorted(relational.semi_filter(ds, "k", keys, keep=False)
+                  .to_pandas()["k"]) == [1, 3, 5]
+    assert relational.semi_filter(ds, "k", np.zeros(0, np.int64)).count() == 0
+
+
+def test_heavy_hitters_finds_skewed_top(ray_session):
+    import ray.data
+
+    from logray.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: user 0 has 5000 rows, 1..9 have 500, long tail of 1s
+    vals = np.concatenate([np.zeros(5000, np.int64),
+                           np.repeat(np.arange(1, 10), 500),
+                           np.arange(100, 8000)])
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(pa.table({"u": pa.array(vals)})).repartition(8)
+    out = heavy_hitters(ds, "u", k=10, capacity=40)
+    assert int(out.iloc[0]["u"]) == 0
+    assert set(out["u"].astype(int)) == set(range(10))
+    # MG lower-bound + error-bound invariants
+    true_top = 5000
+    est = int(out.iloc[0]["est_count"])
+    err = int(out.iloc[0]["max_err"])
+    assert est <= true_top <= est + err
+
+
+def test_heavy_hitters_exact_when_capacity_covers(ray_session):
+    import ray.data
+
+    from logray.ops.sketch import heavy_hitters
+
+    vals = np.repeat(np.arange(20), np.arange(1, 21))
+    ds = ray.data.from_arrow(pa.table({"u": pa.array(vals, pa.int64())})).repartition(4)
+    out = heavy_hitters(ds, "u", k=5, capacity=50)
+    assert out["max_err"].eq(0).all()
+    assert out["est_count"].tolist() == [20, 19, 18, 17, 16]
+
+
+def test_approx_quantiles_tolerance(ray_session):
+    import ray.data
+
+    from logray.ops.sketch import approx_quantiles
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(50, 10, 50_000)
+    g = np.array(["x", "y"])[(np.arange(50_000) % 2)]
+    ds = ray.data.from_arrow(pa.table({"g": pa.array(g), "v": pa.array(v)})).repartition(6)
+    out = approx_quantiles(ds, ["g"], "v", [0.5, 0.95], bins=2048).set_index("g")
+    width = (v.max() - v.min()) / 2048
+    for grp in ("x", "y"):
+        sel = v[(g == grp)]
+        for q, col in ((0.5, "q0.5"), (0.95, "q0.95")):
+            assert abs(out.loc[grp, col] - np.quantile(sel, q)) <= 2 * width
+
+
+def test_rolling_mean_and_dense_rank(ray_session):
+    import ray.data
+
+    from logray.ops import window
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 3,
+        "o": [1, 2, 3, 4, 5, 1, 2, 3],
+        "v": [10.0, 20.0, 30.0, 40.0, 50.0, 5.0, 5.0, 8.0],
+    })
+    ds = ray.data.from_pandas(df.copy())
+    out = (window.rolling_mean(ds, "k", ["o"], "v", 3).to_pandas()
+           .sort_values(["k", "o"]).reset_index(drop=True))
+    assert out["rolling_mean"].tolist() == [10.0, 15.0, 20.0, 30.0, 40.0, 5.0, 5.0, 6.0]
+
+    rk = (window.dense_rank(ds, "k", "v", descending=True).to_pandas()
+          .sort_values(["k", "o"]).reset_index(drop=True))
+    assert rk["rnk"].tolist() == [5, 4, 3, 2, 1, 2, 2, 1]
