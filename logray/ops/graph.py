@@ -1,0 +1,95 @@
+"""Graph operators — distributed connected components (dedup scale path).
+
+The dedup family labels duplicate clusters with a driver-side union-find
+(``dedup._components_dataset``), which assumes the EDGE LIST fits the
+driver — true when duplicates are a small fraction of the corpus. This
+module is the scale path for when they are not (e.g. 90%-duplicate crawl
+snapshots): iterative min-label propagation where edges and labels both
+stay distributed Datasets and every step is a hash-partitioned join +
+grouped min — no driver-side state beyond a convergence scalar.
+
+Reference parity note: riptano/logparse has no graph ops; this is a
+graft-mandated training-data operator (duplicate-pair clustering).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .relational import grouped_agg, hash_join
+
+
+def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
+                         nodes=None, node_col: str | None = None,
+                         max_iters: int = 25):
+    """Connected components over an undirected edge Dataset.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels (one ``hash_join`` of the
+    symmetrized edges against the current labels + one grouped min), so
+    labels converge to the component's minimum node id in at most
+    ``diameter`` rounds. Convergence is detected by the (monotonically
+    decreasing) global label sum; each round's labels are materialized —
+    they are O(nodes) small rows, and without it the lazy plan would
+    re-execute every prior round per iteration.
+
+    ``nodes``: optional Dataset of ``node_col`` ids to include as
+    singletons (nodes absent from any edge). Returns a Dataset with
+    columns ``(node, cluster_id)`` where cluster_id is the component's
+    min node id. Node ids must be a numeric or string type joinable by
+    ``hash_join``; labels must support Arrow ``min`` and ``sum``
+    (convergence probe), i.e. numeric ids.
+
+    Scale shape: per round, one all-to-all of the edge list (joined
+    against O(nodes) labels) — the standard label-propagation CC; for
+    dedup workloads component diameters are tiny (near-cliques), so
+    rounds ≈ 2–3. ``max_iters`` guards pathological chains.
+    """
+    from ray.data.aggregate import Sum
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([t[a_col].combine_chunks(),
+                                     t[b_col].combine_chunks()]),
+            "dst": pa.concat_arrays([t[b_col].combine_chunks(),
+                                     t[a_col].combine_chunks()]),
+        })
+
+    edges_sym = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    seeds = edges_sym.map_batches(
+        lambda t: pa.table({"node": t["src"], "label": t["src"]}),
+        batch_format="pyarrow")
+    if nodes is not None:
+        nc = node_col or "node"
+        seeds = seeds.union(nodes.map_batches(
+            lambda t: pa.table({"node": t[nc], "label": t[nc]}),
+            batch_format="pyarrow"))
+    labels = grouped_agg(seeds, ["node"], {"label": ("label", "min")}).materialize()
+
+    if edges_sym.count() == 0:
+        # no edges: every node is its own singleton component
+        return labels.map_batches(
+            lambda t: pa.table({"node": t["node"], "cluster_id": t["label"]}),
+            batch_format="pyarrow")
+
+    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+
+    for _ in range(max_iters):
+        lab_src = labels.map_batches(
+            lambda t: pa.table({"src": t["node"], "label": t["label"]}),
+            batch_format="pyarrow")
+        # neighbor candidates: every dst receives its src's current label
+        cand = hash_join(edges_sym, lab_src, on="src").map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow")
+        labels = grouped_agg(cand.union(labels), ["node"],
+                             {"label": ("label", "min")}).materialize()
+        cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"], "cluster_id": t["label"]}),
+        batch_format="pyarrow")

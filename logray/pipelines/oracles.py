@@ -253,6 +253,10 @@ ORACLE_SQL: dict[str, str] = {
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
+    "dup_cluster_labels_documents": """
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id
+        FROM documents
+    """,
     "order_revenue_join": """
         SELECT o_orderkey, o_orderpriority,
                sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))/10000.0 AS revenue

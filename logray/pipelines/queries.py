@@ -695,6 +695,33 @@ def embedding_neardup_pairs(sf_dir: str):
     return dedup.embedding_neardup(ds, threshold=0.95)
 
 
+def dup_cluster_labels_documents(sf_dir: str):
+    """Distributed connected components (dedup scale path): label every
+    document with its duplicate-cluster id via iterative min-label
+    propagation (``graph.connected_components``) — edges and labels stay
+    distributed; each round is one hash-shuffle join + grouped min.
+    Edges here are identical-text star edges (min id → member), so the
+    component label equals min(doc_id) per text — SQL-oracle-able while
+    still exercising the full propagation machinery."""
+    from ..ops import graph
+    from ..ops.window import _bucketed_apply
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def star_edges(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby("text")["doc_id"].transform("min")
+        dup = df["doc_id"] != m
+        return pd.DataFrame({"a": m[dup].astype("int64"),
+                             "b": df.loc[dup, "doc_id"].astype("int64")})
+
+    edges = _bucketed_apply(ds, "text", star_edges, num_buckets=32)
+    nodes = ds.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    out = graph.connected_components(edges, nodes=nodes, node_col="doc_id")
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["cluster_id"]}),
+        batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- similarity ----
 
 def _query_vectors(sf_dir: str, ids=(0, 1, 2)) -> np.ndarray:
@@ -1141,6 +1168,7 @@ QUERIES = {
     "simhash_dedup_documents": simhash_dedup_documents,
     "ngram_dup_pairs_documents": ngram_dup_pairs_documents,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "dup_cluster_labels_documents": dup_cluster_labels_documents,
     "ann_topk_embeddings": ann_topk_embeddings,
     "ivf_ann_embeddings": ivf_ann_embeddings,
     # windowed / ordered

@@ -391,3 +391,37 @@ def test_rolling_mean_and_dense_rank(ray_session):
     rk = (window.dense_rank(ds, "k", "v", descending=True).to_pandas()
           .sort_values(["k", "o"]).reset_index(drop=True))
     assert rk["rnk"].tolist() == [5, 4, 3, 2, 1, 2, 2, 1]
+
+
+def test_connected_components_path_and_singletons(ray_session):
+    import ray.data
+
+    from logray.ops import graph
+
+    # path 0-1-2-3-4 (needs multi-round propagation), clique {10,11,12},
+    # isolated node 20 (via nodes=), self-contained pair {30,31}
+    edges = pd.DataFrame({
+        "a": [0, 1, 2, 3, 10, 10, 11, 30],
+        "b": [1, 2, 3, 4, 11, 12, 12, 31],
+    }).astype("int64")
+    nodes = pa.table({"id": pa.array([0, 1, 2, 3, 4, 10, 11, 12, 20, 30, 31],
+                                     pa.int64())})
+    out = graph.connected_components(
+        ray.data.from_pandas(edges), nodes=ray.data.from_arrow(nodes),
+        node_col="id").to_pandas().set_index("node")["cluster_id"]
+    assert all(out[i] == 0 for i in range(5))
+    assert all(out[i] == 10 for i in (10, 11, 12))
+    assert out[20] == 20
+    assert out[30] == out[31] == 30
+
+
+def test_connected_components_no_edges(ray_session):
+    import ray.data
+
+    from logray.ops import graph
+
+    edges = ray.data.from_pandas(pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                               "b": pd.Series([], dtype="int64")}))
+    nodes = ray.data.from_arrow(pa.table({"id": pa.array([5, 6], pa.int64())}))
+    out = graph.connected_components(edges, nodes=nodes, node_col="id").to_pandas()
+    assert sorted(out["cluster_id"]) == [5, 6]
