@@ -46,6 +46,8 @@ TABLE_QUERIES = [
     "topk_users_by_value",
     "join_customer_nation_region",
     "customers_without_big_orders",
+    "order_revenue_join",
+    "dup_cluster_labels_documents",
     "parse_events_props",
     "doc_token_counts",
     "langid_documents",

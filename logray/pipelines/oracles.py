@@ -210,6 +210,14 @@ ORACLE_SQL: dict[str, str] = {
                END AS n_tokens_ws
         FROM documents
     """,
+    "top_tokens_documents": """
+        SELECT token, count(*) AS n FROM (
+            SELECT unnest(regexp_split_to_array(
+                regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+            FROM documents)
+        WHERE token <> ''
+        GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
     "doc_fingerprints": """
         SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents
     """,

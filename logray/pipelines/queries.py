@@ -640,6 +640,30 @@ def doc_token_counts(sf_dir: str):
         batch_format="pyarrow")
 
 
+def top_tokens_documents(sf_dir: str):
+    """Wordcount / token explode (C2 flat_map family): split every
+    document into whitespace tokens (one vectorized list-flatten per
+    batch — the Arrow analogue of flat_map), count globally, top-20.
+    The list explode changes row cardinality inside map_batches, which
+    is the pattern for any per-record fan-out (n-grams, shingles,
+    sentence splits)."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"token": flat})
+
+    counts = relational.grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["token"], {"n": ("token", "count")})
+    return pa.Table.from_pandas(
+        relational.topk(counts, [("n", True), ("token", False)], 20),
+        preserve_index=False)
+
+
 def doc_fingerprints(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
@@ -1162,6 +1186,7 @@ QUERIES = {
     "date_funcs_orders": date_funcs_orders,
     "revenue_lineitem": revenue_lineitem,
     "doc_token_counts": doc_token_counts,
+    "top_tokens_documents": top_tokens_documents,
     "doc_fingerprints": doc_fingerprints,
     # near-dup / similarity
     "minhash_dedup_documents": minhash_dedup_documents,
