@@ -69,8 +69,10 @@ def hash_join(left, right, on: str | list[str], *, how: str = "inner",
     join expressed in Ray Data primitives.
 
     ``on`` columns must exist under the same names on both sides (rename
-    first). ``how``: 'inner' or 'left'. Non-key column names must not
-    collide. At cluster scale, set ``num_buckets`` ≈ total cores × 4.
+    first). ``how``: 'inner', 'left' or 'outer' (full outer — correct
+    because buckets partition the key space, so an unmatched key surfaces
+    in exactly one bucket). Non-key column names must not collide. At
+    cluster scale, set ``num_buckets`` ≈ total cores × 4.
     """
     from ..functions.hashing import stable_bucket
 
@@ -236,6 +238,28 @@ def distinct(ds, cols: list[str]):
     pre = ds.map_batches(local, batch_format="pyarrow")
     return _bucketed_apply(pre, cols[0],
                            lambda df: df.drop_duplicates(cols))
+
+
+def arg_extreme(ds, keys: list[str], order_col: str, *, descending: bool = True,
+                num_buckets: int = 64):
+    """Grouped argmax/argmin (SQL ``arg_max`` / ``max_by``): the whole row
+    holding the group's extreme ``order_col``.
+
+    Two-level: each batch first reduces to one candidate row per key (a
+    combiner — the shuffle moves ≤ one row per key per batch, never raw
+    rows), then buckets co-locate keys and keep the global extreme.
+    ``order_col`` must be unique per group (use a unique id) or the winner
+    among ties is implementation-defined."""
+    from .window import _bucketed_apply
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values([*keys, order_col],
+                               ascending=[True] * len(keys) + [not descending],
+                               kind="mergesort")
+                  .groupby(keys, sort=False).head(1))
+
+    pre = ds.map_batches(local, batch_format="pandas")
+    return _bucketed_apply(pre, keys[0], local, num_buckets=num_buckets)
 
 
 def keep_first(ds, keys: list[str], order_col: str):

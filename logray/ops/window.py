@@ -143,6 +143,52 @@ def dense_rank(ds, part_col: str, order_col: str, *, descending: bool = True,
     return _bucketed_apply(ds, part_col, per_bucket, num_buckets=num_buckets)
 
 
+def lead_col(ds, key: str, order_cols: list[str], val_col: str, *,
+             num_buckets: int = 64, out_col: str = "next_value"):
+    """lead(val) OVER (PARTITION BY key ORDER BY order_cols) — the value of
+    the key's NEXT row in order; null for the last row of each key."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order_cols, kind="mergesort")
+        df[out_col] = df.groupby(key, sort=False)[val_col].shift(-1)
+        return df
+
+    return _bucketed_apply(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def _sql_ntile(n: int, k: int) -> np.ndarray:
+    """Exact SQL NTILE(k) tile numbers for n ordered rows (1-based): the
+    first n % k tiles get ceil(n/k) rows, the rest floor(n/k)."""
+    big, rem = divmod(n, k)
+    idx = np.arange(n, dtype=np.int64)
+    cut = rem * (big + 1)
+    tile = np.where(idx < cut,
+                    idx // max(big + 1, 1),
+                    rem + (idx - cut) // max(big, 1))
+    return tile + 1
+
+
+def ntile(ds, part_col: str, order_cols: list[tuple[str, bool]], k: int, *,
+          num_buckets: int = 16, out_col: str = "tile"):
+    """ntile(k) OVER (PARTITION BY part_col ORDER BY order_cols) with exact
+    SQL tile-size semantics (first n%k tiles one row larger).
+
+    ``order_cols``: [(col, descending)]; include a unique tie-break last so
+    the assignment is deterministic and matches the SQL oracle."""
+    by = [c for c, _ in order_cols]
+    asc = [not d for _, d in order_cols]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([part_col] + by, ascending=[True] + asc,
+                            kind="mergesort").reset_index(drop=True)
+        sizes = df.groupby(part_col, sort=False).size().to_numpy()
+        df[out_col] = np.concatenate([_sql_ntile(int(n), k) for n in sizes]) \
+            if len(sizes) else np.array([], dtype=np.int64)
+        return df
+
+    return _bucketed_apply(ds, part_col, per_bucket, num_buckets=num_buckets)
+
+
 def asof_join(left_ds, right_df: pd.DataFrame, *, by: str, on: str,
               value_cols: list[str], num_buckets: int = 64,
               direction: str = "backward", suffix: str = "_right"):

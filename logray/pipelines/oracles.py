@@ -306,6 +306,67 @@ ORACLE_SQL: dict[str, str] = {
                        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
             FROM events) WHERE rn <= 5
     """,
+    "lead_value_events": """
+        SELECT event_id,
+               round(lead(value) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id), 2) AS next_value
+        FROM events
+    """,
+    "ntile_value_quartiles": """
+        SELECT event_id,
+               CAST(ntile(4) OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS BIGINT) AS tile
+        FROM events
+    """,
+    "last_event_type_per_user": """
+        SELECT user_id, arg_max(event_type, event_id) AS last_type
+        FROM events GROUP BY user_id
+    """,
+    "orders_rollup_status_priority": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0, 2)
+                   AS total_price
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "value_stats_by_type": """
+        SELECT event_type, count(*) AS n,
+               round(var_pop(value), 6) AS var_value,
+               round(stddev_pop(value), 6) AS std_value
+        FROM events GROUP BY event_type
+    """,
+    "interval_join_order_lineitem": """
+        SELECT o_orderkey, count(*) AS n_early
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate
+          AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        GROUP BY o_orderkey
+    """,
+    "purchase_error_outer_join": """
+        WITH p AS (
+            SELECT user_id, count(*) AS n_purchase FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id
+        ), e AS (
+            SELECT user_id, count(*) AS n_error FROM events
+            WHERE event_type = 'error' GROUP BY user_id
+        )
+        SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+               p.n_purchase, e.n_error
+        FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+    """,
+    "normalize_documents": """
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
+        FROM documents
+    """,
+    "csv_source_event_counts": """
+        SELECT event_type, count(*) AS n,
+               round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value
+        FROM events GROUP BY event_type
+    """,
+    "json_source_doc_counts": """
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    """,
     "ann_topk_embeddings": """
         WITH q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

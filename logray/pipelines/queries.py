@@ -1139,6 +1139,200 @@ def multimodal_decode_features(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def lead_value_events(sf_dir: str):
+    """lead() window function: each event's NEXT value within its user's
+    timeline (null for the user's last event)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = window.lead_col(ds, "user_id", ["ts", "event_id"], "value",
+                          out_col="next_value")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "next_value"]].assign(
+            next_value=df["next_value"].round(2))
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+def ntile_value_quartiles(sf_dir: str):
+    """ntile(4) quartile assignment of events within each event_type by
+    value — exact SQL tile-size semantics."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = window.ntile(ds, "event_type", [("value", False), ("event_id", False)],
+                       4, out_col="tile")
+    return out.map_batches(lambda df: df[["event_id", "tile"]],
+                           batch_format="pandas")
+
+
+def last_event_type_per_user(sf_dir: str):
+    """Grouped argmax (SQL arg_max / max_by): the event_type of each
+    user's highest-id event. Per-batch combiner keeps one candidate row
+    per user, so the shuffle never moves raw rows."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type"])
+    out = relational.arg_extreme(ds, ["user_id"], "event_id", descending=True)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["user_id", "event_type"]].rename(
+            columns={"event_type": "last_type"})
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+def orders_rollup_status_priority(sf_dir: str):
+    """GROUP BY ROLLUP(status, priority): counts + exact-cent totals at
+    all three grain levels. The finest-grain grouped aggregate (small) is
+    computed distributed; coarser levels re-aggregate those partials
+    driver-side — no second pass over the data."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    prepped = ds.map_batches(lambda t: _add_cents(t, "o_totalprice", "__cents"),
+                             batch_format="pyarrow")
+    base = relational.grouped_agg(prepped, ["o_orderstatus", "o_orderpriority"], {
+        "n_orders": ("__cents", "count"),
+        "total_cents": ("__cents", "sum"),
+    }).to_pandas()
+    lvl1 = (base.groupby("o_orderstatus", as_index=False)[["n_orders", "total_cents"]]
+            .sum())
+    lvl1["o_orderpriority"] = None
+    lvl0 = pd.DataFrame({"o_orderstatus": [None], "o_orderpriority": [None],
+                         "n_orders": [base["n_orders"].sum()],
+                         "total_cents": [base["total_cents"].sum()]})
+    out = pd.concat([base, lvl1, lvl0], ignore_index=True)
+    out["total_price"] = (out["total_cents"] / 100.0).round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["o_orderstatus", "o_orderpriority", "n_orders", "total_price"]],
+        preserve_index=False)
+
+
+def value_stats_by_type(sf_dir: str):
+    """Variance / stddev aggregates from exact integer moment partials:
+    per-batch (n, Σcents, Σcents²) int64 partials combine in any order;
+    the final var/std math runs on the tiny combined table in arbitrary-
+    precision Python ints, so parallelism cannot perturb the result."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        sq = pc.multiply(cents, cents)
+        tmp = pa.table({"event_type": t["event_type"], "__c": cents, "__c2": sq})
+        g = tmp.group_by("event_type").aggregate(
+            [("__c", "sum"), ("__c2", "sum"), ("__c", "count")])
+        return pa.table({"event_type": g["event_type"], "s1": g["__c_sum"],
+                         "s2": g["__c2_sum"], "n": g["__c_count"]})
+
+    combined = relational.grouped_agg(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["event_type"], {"s1": ("s1", "sum"), "s2": ("s2", "sum"),
+                         "n": ("n", "sum")}).to_pandas()
+    rows = []
+    for r in combined.itertuples(index=False):
+        n, s1, s2 = int(r.n), int(r.s1), int(r.s2)
+        var_cents2 = (n * s2 - s1 * s1)  # exact; /n² later
+        var = float(var_cents2) / (float(n) * float(n)) / 1e4
+        rows.append({"event_type": r.event_type, "n": n,
+                     "var_value": round(var, 6),
+                     "std_value": round(var ** 0.5, 6)})
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def interval_join_order_lineitem(sf_dir: str):
+    """Equi + range-predicate join (the as-of/range-join family): per
+    order, count lineitems shipped within 30 days of the order date.
+    Co-locates both sides with one hash-partition shuffle on the equi key;
+    the range predicate filters vectorized after the merge."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderdate"]),
+        batch_format="pyarrow")
+    joined = relational.hash_join(li, orders, on="l_orderkey")
+
+    def count_in_window(df: pd.DataFrame) -> pd.DataFrame:
+        win = ((df["l_shipdate"] >= df["o_orderdate"]) &
+               (df["l_shipdate"] < df["o_orderdate"] + pd.Timedelta(days=30)))
+        return df.loc[win, ["l_orderkey"]]
+
+    inwin = joined.map_batches(count_in_window, batch_format="pandas")
+    out = relational.grouped_agg(inwin, ["l_orderkey"],
+                                 {"n_early": ("l_orderkey", "count")})
+    return out.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "n_early"]),
+        batch_format="pyarrow")
+
+
+def purchase_error_outer_join(sf_dir: str):
+    """FULL OUTER hash join: per-user purchase counts vs error counts —
+    users appearing on either side survive with nulls on the missing side."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def side(ty: str, name: str):
+        filt = ds.filter(expr=f"event_type == '{ty}'")
+        return relational.grouped_agg(filt, ["user_id"],
+                                      {name: ("user_id", "count")})
+
+    joined = relational.hash_join(side("purchase", "n_purchase"),
+                                  side("error", "n_error"),
+                                  on="user_id", how="outer")
+
+    def fix_types(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_purchase"] = df["n_purchase"].astype("Int64")
+        df["n_error"] = df["n_error"].astype("Int64")
+        return df
+
+    return joined.map_batches(fix_types, batch_format="pandas")
+
+
+def normalize_documents(sf_dir: str):
+    """Text normalization scalar funcs: lowercase, collapse runs of
+    whitespace, trim — one vectorized Arrow kernel chain per batch."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t["text"])
+        s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table({"doc_id": t["doc_id"], "norm_text": s})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def _scratch_dir(kind: str, sf_dir: str) -> str:
+    import shutil
+
+    path = Path("/tmp/logray") / kind / Path(sf_dir).name
+    shutil.rmtree(path, ignore_errors=True)
+    path.mkdir(parents=True, exist_ok=True)
+    return str(path)
+
+
+def csv_source_event_counts(sf_dir: str):
+    """CSV sink → CSV source round-trip (B5/C1 source-format breadth):
+    write the events projection as CSV shards, read them back with
+    ray.data.read_csv, aggregate. Exact-cent sums make the float
+    round-trip irrelevant to the hash."""
+    import ray.data
+
+    path = _scratch_dir("csv_roundtrip", sf_dir)
+    _read(sf_dir, "events", ["event_id", "event_type", "value"]).write_csv(path)
+    ds = ray.data.read_csv(path)
+    prepped = ds.map_batches(lambda t: _add_cents(t, "value", "__cents"),
+                             batch_format="pyarrow")
+    out = relational.grouped_agg(prepped, ["event_type"], {
+        "n": ("event_id", "count"), "sum_value": ("__cents", "sum")})
+    return out.map_batches(lambda t: _cents_to_float(t, "sum_value"),
+                           batch_format="pyarrow")
+
+
+def json_source_doc_counts(sf_dir: str):
+    """JSONL sink → JSONL source round-trip: write documents(doc_id, lang)
+    as JSON lines, read back with ray.data.read_json, count per lang."""
+    import ray.data
+
+    path = _scratch_dir("json_roundtrip", sf_dir)
+    _read(sf_dir, "documents", ["doc_id", "lang"]).write_json(path)
+    ds = ray.data.read_json(path)
+    return relational.grouped_agg(ds, ["lang"], {"n": ("doc_id", "count")})
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -1159,6 +1353,9 @@ QUERIES = {
     "approx_value_percentiles_by_type": approx_value_percentiles_by_type,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
+    "orders_rollup_status_priority": orders_rollup_status_priority,
+    "value_stats_by_type": value_stats_by_type,
+    "last_event_type_per_user": last_event_type_per_user,
     # filter / project / sort / topk
     "filter_project_events": filter_project_events,
     "sort_limit_events": sort_limit_events,
@@ -1177,6 +1374,8 @@ QUERIES = {
     "distinct_event_types": distinct_event_types,
     "dedup_events_keep_first": dedup_events_keep_first,
     "exact_dedup_documents": exact_dedup_documents,
+    "interval_join_order_lineitem": interval_join_order_lineitem,
+    "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
     "parse_events_props": parse_events_props,
     "parse_documents_firstword": parse_documents_firstword,
@@ -1188,6 +1387,7 @@ QUERIES = {
     "doc_token_counts": doc_token_counts,
     "top_tokens_documents": top_tokens_documents,
     "doc_fingerprints": doc_fingerprints,
+    "normalize_documents": normalize_documents,
     # near-dup / similarity
     "minhash_dedup_documents": minhash_dedup_documents,
     "simhash_dedup_documents": simhash_dedup_documents,
@@ -1204,6 +1404,8 @@ QUERIES = {
     "asof_purchase_prior_click": asof_purchase_prior_click,
     "moving_avg_user_events": moving_avg_user_events,
     "value_rank_events": value_rank_events,
+    "lead_value_events": lead_value_events,
+    "ntile_value_quartiles": ntile_value_quartiles,
     # text analysis
     "langid_documents": langid_documents,
     "quality_documents": quality_documents,
@@ -1217,6 +1419,8 @@ QUERIES = {
     "flagship_transcripts": flagship_transcripts,
     "transcript_parse_counts": transcript_parse_counts,
     "raw_log_parse_counts": raw_log_parse_counts,
+    "csv_source_event_counts": csv_source_event_counts,
+    "json_source_doc_counts": json_source_doc_counts,
     "fold_continuations_transcripts": fold_continuations_transcripts,
     "salted_conv_counts": salted_conv_counts,
     "tool_error_followup_transcripts": tool_error_followup_transcripts,

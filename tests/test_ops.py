@@ -425,3 +425,83 @@ def test_connected_components_no_edges(ray_session):
     nodes = ray.data.from_arrow(pa.table({"id": pa.array([5, 6], pa.int64())}))
     out = graph.connected_components(edges, nodes=nodes, node_col="id").to_pandas()
     assert sorted(out["cluster_id"]) == [5, 6]
+
+
+def test_ntile_matches_sql_semantics(ray_session):
+    import duckdb
+    import ray.data
+
+    from logray.ops import window
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"part": rng.choice(["a", "b", "c"], 997),
+                       "id": np.arange(997, dtype=np.int64),
+                       "v": rng.normal(size=997).round(3)})
+    out = window.ntile(ray.data.from_pandas(df.copy()), "part",
+                       [("v", False), ("id", False)], 4,
+                       num_buckets=3).to_pandas()
+    want = duckdb.sql(
+        "SELECT id, ntile(4) OVER (PARTITION BY part ORDER BY v, id) AS tile "
+        "FROM df").df()
+    m = out[["id", "tile"]].merge(want, on="id", suffixes=("_got", "_want"))
+    assert len(m) == 997
+    assert (m["tile_got"] == m["tile_want"]).all()
+
+
+def test_sql_ntile_tile_sizes():
+    from logray.ops.window import _sql_ntile
+
+    t = _sql_ntile(10, 4)
+    # 10 rows / 4 tiles: sizes 3,3,2,2
+    assert list(np.bincount(t)[1:]) == [3, 3, 2, 2]
+    assert list(_sql_ntile(3, 5)) == [1, 2, 3]
+    assert list(np.bincount(_sql_ntile(8, 4))[1:]) == [2, 2, 2, 2]
+
+
+def test_lead_col(ray_session):
+    import ray.data
+
+    from logray.ops import window
+
+    df = pd.DataFrame({"k": ["u", "u", "u", "w"], "o": [1, 2, 3, 1],
+                       "v": [10.0, 20.0, 30.0, 5.0]})
+    out = (window.lead_col(ray.data.from_pandas(df), "k", ["o"], "v",
+                           num_buckets=2, out_col="nxt")
+           .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    assert out["nxt"].tolist()[:2] == [20.0, 30.0]
+    assert np.isnan(out["nxt"].iloc[2]) and np.isnan(out["nxt"].iloc[3])
+
+
+def test_arg_extreme(ray_session):
+    import ray.data
+
+    from logray.ops import relational
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.integers(0, 40, 2000),
+                       "ord": rng.permutation(2000),
+                       "payload": rng.integers(0, 10**6, 2000)})
+    ds = ray.data.from_pandas(df.copy())
+    got = (relational.arg_extreme(ds, ["k"], "ord", descending=True,
+                                  num_buckets=5)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (df.sort_values(["k", "ord"], ascending=[True, False])
+            .groupby("k").head(1).sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["k", "ord", "payload"]],
+                                  want[["k", "ord", "payload"]])
+
+
+def test_hash_join_full_outer(ray_session):
+    import ray.data
+
+    from logray.ops import relational
+
+    left = pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]})
+    right = pd.DataFrame({"k": [2, 3, 4], "rv": [200, 300, 400]})
+    out = relational.hash_join(ray.data.from_pandas(left),
+                               ray.data.from_pandas(right),
+                               on="k", how="outer", num_buckets=3).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["lv"].isna().tolist() == [False, False, False, True]
+    assert out["rv"].isna().tolist() == [True, False, False, False]
