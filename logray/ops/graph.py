@@ -22,7 +22,8 @@ from .relational import grouped_agg, hash_join
 def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
                          nodes=None, node_col: str | None = None,
                          max_iters: int = 25,
-                         target_rows_per_block: int = 500_000):
+                         target_rows_per_block: int = 500_000,
+                         driver_threshold: int = 2_000_000):
     """Connected components over an undirected edge Dataset.
 
     Iterative min-label propagation: each round every node takes the min
@@ -45,6 +46,14 @@ def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
     against O(nodes) labels) — the standard label-propagation CC; for
     dedup workloads component diameters are tiny (near-cliques), so
     rounds ≈ 2–3. ``max_iters`` guards pathological chains.
+
+    Size-adaptive: when the (already-materialized) edge list has
+    ≤ ``driver_threshold`` rows, the iterative shuffle loop is replaced by
+    a driver-side union-find over just the edge ENDPOINTS with the label
+    map broadcast back (``ray.put`` once, vectorized lookup per batch) —
+    the realistic dedup regime (duplicate pairs ≪ corpus) costs one
+    execution instead of ~2 per round. The distributed loop remains the
+    path for edge lists that don't fit the driver.
     """
     from ray.data.aggregate import Sum
 
@@ -57,6 +66,9 @@ def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
         })
 
     edges_sym = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    if edges_sym.count() <= driver_threshold:
+        return _driver_cc(edges_sym, nodes, node_col or "node")
 
     seeds = edges_sym.map_batches(
         lambda t: pa.table({"node": t["src"], "label": t["src"]}),
@@ -103,3 +115,63 @@ def connected_components(edges, *, a_col: str = "a", b_col: str = "b",
     return labels.map_batches(
         lambda t: pa.table({"node": t["node"], "cluster_id": t["label"]}),
         batch_format="pyarrow")
+
+
+def _driver_cc(edges_sym, nodes, node_col: str):
+    """Small-edge-list path: union-find on the driver over edge endpoints,
+    labels broadcast once; nodes not touched by any edge are their own
+    singleton cluster and never leave their batch."""
+    import numpy as np
+
+    pairs = edges_sym.to_pandas()
+    if len(pairs) == 0:  # empty edge list → no columns in the frame
+        import pandas as pd
+
+        pairs = pd.DataFrame({"src": np.array([], np.int64),
+                              "dst": np.array([], np.int64)})
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in zip(pairs["src"].to_numpy(), pairs["dst"].to_numpy()):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    endpoints = set(pairs["src"].tolist())
+    label_map = {n: find(n) for n in endpoints}
+
+    keys = np.array(sorted(label_map), dtype=np.int64)
+    vals = np.array([label_map[k] for k in keys], dtype=np.int64)
+
+    ref = None
+    try:
+        import ray
+
+        if ray.is_initialized():
+            ref = ray.put((keys, vals))
+    except Exception:
+        ref = None
+    local = (keys, vals) if ref is None else None
+
+    if nodes is None:
+        return __import__("ray").data.from_arrow(pa.table({
+            "node": pa.array(keys), "cluster_id": pa.array(vals)}))
+
+    def assign(t: pa.Table) -> pa.Table:
+        ks, vs = local if ref is None else __import__("ray").get(ref)
+        node = t[node_col].to_numpy(zero_copy_only=False)
+        out = np.asarray(node, dtype=np.int64).copy()
+        if len(ks):
+            idx = np.clip(np.searchsorted(ks, out), 0, len(ks) - 1)
+            hit = ks[idx] == out
+            out[hit] = vs[idx[hit]]
+        return pa.table({"node": pa.array(np.asarray(node)),
+                         "cluster_id": pa.array(out)})
+
+    return nodes.map_batches(assign, batch_format="pyarrow")

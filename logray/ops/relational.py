@@ -57,7 +57,7 @@ def broadcast_join(ds, small: pd.DataFrame, on: str | list[str], *,
 
 
 def hash_join(left, right, on: str | list[str], *, how: str = "inner",
-              num_buckets: int = 64):
+              num_buckets: int = 64, bucket_post=None):
     """Large×large shuffle join (C4 scale path).
 
     Both sides are bucketed by a stable hash of the FIRST join key (a
@@ -73,6 +73,12 @@ def hash_join(left, right, on: str | list[str], *, how: str = "inner",
     because buckets partition the key space, so an unmatched key surfaces
     in exactly one bucket). Non-key column names must not collide. At
     cluster scale, set ``num_buckets`` ≈ total cores × 4.
+
+    ``bucket_post``: optional ``pd.DataFrame -> pd.DataFrame`` applied to
+    each merged bucket INSIDE the same map_groups task. Because a bucket
+    holds every row of its join keys, a group-by on (a superset of) the
+    join key can run here and skip a second all-to-all — join+aggregate
+    fusion on shared partitioning.
     """
     from ..functions.hashing import stable_bucket
 
@@ -116,6 +122,8 @@ def hash_join(left, right, on: str | list[str], *, how: str = "inner",
         lt = t.filter(pc.equal(side, 0)).select(on + [c for c in all_cols if c in lcols and c not in on])
         rt = t.filter(pc.equal(side, 1)).select(on + [c for c in all_cols if c in rcols and c not in on])
         out = lt.to_pandas().merge(rt.to_pandas(), on=on, how=how)
+        if bucket_post is not None:
+            out = bucket_post(out)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")

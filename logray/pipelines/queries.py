@@ -471,10 +471,16 @@ def order_revenue_join(sf_dir: str):
         units = pc.cast(pc.round(pc.multiply(rev, 10000.0)), pa.int64())
         return pa.table({"o_orderkey": t["l_orderkey"], "__rev_u": units})
 
-    joined = relational.hash_join(line.map_batches(prep, batch_format="pyarrow"),
-                                  orders, on="o_orderkey")
-    out = relational.grouped_agg(joined, ["o_orderkey", "o_orderpriority"],
-                                 {"revenue": ("__rev_u", "sum")})
+    def agg_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # the bucket holds every row of its orderkeys (join+aggregate
+        # fusion on shared partitioning) — no second all-to-all
+        return (df.groupby(["o_orderkey", "o_orderpriority"], as_index=False,
+                           sort=False)["__rev_u"].sum()
+                .rename(columns={"__rev_u": "revenue"}))
+
+    out = relational.hash_join(line.map_batches(prep, batch_format="pyarrow"),
+                               orders, on="o_orderkey",
+                               bucket_post=agg_in_bucket)
 
     def fin(t: pa.Table) -> pa.Table:
         # exact int sum / 10000.0 — same division on the SQL side, so the

@@ -393,7 +393,9 @@ def test_rolling_mean_and_dense_rank(ray_session):
     assert rk["rnk"].tolist() == [5, 4, 3, 2, 1, 2, 2, 1]
 
 
-def test_connected_components_path_and_singletons(ray_session):
+@pytest.mark.parametrize("threshold", [0, 2_000_000],
+                         ids=["distributed", "driver_unionfind"])
+def test_connected_components_path_and_singletons(ray_session, threshold):
     import ray.data
 
     from logray.ops import graph
@@ -408,7 +410,8 @@ def test_connected_components_path_and_singletons(ray_session):
                                      pa.int64())})
     out = graph.connected_components(
         ray.data.from_pandas(edges), nodes=ray.data.from_arrow(nodes),
-        node_col="id").to_pandas().set_index("node")["cluster_id"]
+        node_col="id",
+        driver_threshold=threshold).to_pandas().set_index("node")["cluster_id"]
     assert all(out[i] == 0 for i in range(5))
     assert all(out[i] == 10 for i in (10, 11, 12))
     assert out[20] == 20
