@@ -359,6 +359,20 @@ ORACLE_SQL: dict[str, str] = {
                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
         FROM documents
     """,
+    "chunk_documents": """
+        WITH mx AS (SELECT CAST(ceil(max(length(text))/200.0) AS BIGINT) AS m
+                    FROM documents),
+             idx AS (SELECT unnest(range(0, (SELECT m FROM mx))) AS i)
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+               substr(text, CAST(i*200 + 1 AS BIGINT), 200) AS chunk_text
+        FROM documents CROSS JOIN idx
+        WHERE length(text) > i*200
+    """,
+    "mixture_sample_documents": """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS INT)
+              < CASE WHEN lang = 'en' THEN 8 ELSE 1 END
+    """,
     "csv_source_event_counts": """
         SELECT event_type, count(*) AS n,
                round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value

@@ -1301,6 +1301,59 @@ def normalize_documents(sf_dir: str):
     return ds.map_batches(norm, batch_format="pyarrow")
 
 
+def chunk_documents(sf_dir: str):
+    """flat_map / explode for training-data prep: split every document
+    into fixed-width 200-character chunks (1 input row → N output rows).
+    Vectorized: one ``utf8_slice_codeunits`` kernel per chunk index over
+    the whole batch — never a Python loop over rows."""
+    W = 200
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(t["text"])
+        mx = pc.max(lens).as_py() if t.num_rows else None
+        max_chunks = -(-(mx or 0) // W)
+        parts = []
+        for i in range(max_chunks):
+            alive = pc.greater(lens, i * W)
+            sub = t.filter(alive)
+            if sub.num_rows == 0:
+                break
+            chunk = pc.utf8_slice_codeunits(sub["text"], start=i * W,
+                                            stop=(i + 1) * W)
+            parts.append(pa.table({
+                "doc_id": sub["doc_id"],
+                "chunk_id": pa.array(np.full(sub.num_rows, i, np.int64)),
+                "chunk_text": chunk,
+            }))
+        if not parts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def mixture_sample_documents(sf_dir: str):
+    """Weighted multi-source mixture sampling (training-data prep): build
+    a corpus mix by sampling each language at a different deterministic
+    rate — English at 1/2, everything else at 1/16 — via md5(doc_id)
+    bucketing, so the mix is reproducible and SQL-oracle-able."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pandas().astype(str)
+        first = ids.map(lambda s: int(hashlib.md5(s.encode()).hexdigest()[0], 16))
+        rate_bucket = np.where(
+            np.asarray(t["lang"].to_pandas() == "en"), 8, 1)
+        return t.filter(pa.array(first.to_numpy() < rate_bucket))
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
 def _scratch_dir(kind: str, sf_dir: str) -> str:
     import shutil
 
@@ -1394,6 +1447,7 @@ QUERIES = {
     "top_tokens_documents": top_tokens_documents,
     "doc_fingerprints": doc_fingerprints,
     "normalize_documents": normalize_documents,
+    "chunk_documents": chunk_documents,
     # near-dup / similarity
     "minhash_dedup_documents": minhash_dedup_documents,
     "simhash_dedup_documents": simhash_dedup_documents,
@@ -1420,6 +1474,7 @@ QUERIES = {
     "deterministic_sample_events": deterministic_sample_events,
     "stratified_sample_events": stratified_sample_events,
     "random_sample_events": random_sample_events,
+    "mixture_sample_documents": mixture_sample_documents,
     "shuffled_documents_sample": shuffled_documents_sample,
     # transcripts (flagship) + raw-text source + multimodal
     "flagship_transcripts": flagship_transcripts,
