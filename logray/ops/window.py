@@ -219,3 +219,48 @@ def asof_join(left_ds, right_df: pd.DataFrame, *, by: str, on: str,
         return out
 
     return _bucketed_apply(left_ds, by, per_bucket, num_buckets=num_buckets)
+
+
+def percent_rank(ds, part_col: str, order_col: str, *, descending: bool = False,
+                 num_buckets: int = 16, out_col: str = "pct_rank"):
+    """percent_rank() OVER (PARTITION BY part_col ORDER BY order_col) —
+    (rank - 1) / (n - 1) with SQL min-rank tie semantics; 0.0 for
+    single-row partitions. Same bucketed-shuffle shape as dense_rank:
+    partitions co-locate by stable hash bucket, each bucket computes its
+    partitions' ranks with one vectorized pandas pass."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        g = df.groupby(part_col, sort=False)[order_col]
+        rnk = g.rank(method="min", ascending=not descending)
+        n = g.transform("size")
+        denom = (n - 1).where(n > 1, 1)
+        df[out_col] = ((rnk - 1) / denom).astype("float64")
+        return df
+
+    return _bucketed_apply(ds, part_col, per_bucket, num_buckets=num_buckets)
+
+
+def collect_sorted(ds, key: str, val_col: str, *, sep: str = ",",
+                   distinct: bool = True, num_buckets: int = 64,
+                   out_col: str = "vals"):
+    """Grouped ordered string collection — SQL
+    ``string_agg(DISTINCT val, sep ORDER BY val)``. Scale shape: when
+    ``distinct``, the stream is first reduced to unique (key, val) pairs
+    with a distributed grouped-count (tiny vs the input), so only the
+    deduplicated pairs enter the bucketed shuffle; the join itself is one
+    vectorized pandas groupby-join per bucket."""
+
+    if distinct:
+        from . import relational
+
+        ds = relational.distinct(ds, [key, val_col])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, val_col], kind="mergesort")
+        out = (df.groupby(key, sort=False)[val_col]
+               .agg(lambda s: sep.join(s.astype(str))).rename(out_col)
+               .reset_index())
+        return out
+
+    return _bucketed_apply(ds, key, per_bucket, num_buckets=num_buckets)

@@ -335,6 +335,37 @@ ORACLE_SQL: dict[str, str] = {
                round(stddev_pop(value), 6) AS std_value
         FROM events GROUP BY event_type
     """,
+    "corr_value_user_by_type": """
+        SELECT event_type, count(*) AS n,
+               round(corr(value, user_id), 6) AS corr_vu,
+               round(covar_pop(value, user_id), 6) AS covar_vu
+        FROM events GROUP BY event_type
+    """,
+    "value_histogram_events": """
+        SELECT CAST(round(value*100) AS BIGINT) // 500 AS bucket,
+               count(*) AS n
+        FROM events GROUP BY bucket
+    """,
+    "nation_region_pairs": """
+        SELECT n_name, r_name FROM nation CROSS JOIN region
+    """,
+    "user_event_types_list": """
+        SELECT user_id,
+               string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+        FROM events GROUP BY user_id
+    """,
+    "percent_rank_events": """
+        SELECT event_id, event_type, value,
+               percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+                   AS pct_rank
+        FROM events
+    """,
+    "bloom_semi_lineitem": """
+        SELECT l_orderkey, count(*) AS n FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_orderkey
+    """,
     "interval_join_order_lineitem": """
         SELECT o_orderkey, count(*) AS n_early
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey

@@ -1354,6 +1354,127 @@ def mixture_sample_documents(sf_dir: str):
     return ds.map_batches(sample, batch_format="pyarrow")
 
 
+def corr_value_user_by_type(sf_dir: str):
+    """Grouped two-column statistics (corr + covar_pop) from exact integer
+    moment partials: per batch (n, Σx, Σy, Σxy, Σx², Σy²) int64 sums
+    combine associatively, so parallel block order cannot perturb the
+    result; the final corr/covar math runs on the tiny combined table."""
+    ds = _read(sf_dir, "events", ["event_type", "value", "user_id"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        y = pc.cast(t["user_id"], pa.int64())
+        tmp = pa.table({"event_type": t["event_type"], "__x": x, "__y": y,
+                        "__xy": pc.multiply(x, y), "__x2": pc.multiply(x, x),
+                        "__y2": pc.multiply(y, y)})
+        g = tmp.group_by("event_type").aggregate(
+            [("__x", "sum"), ("__y", "sum"), ("__xy", "sum"),
+             ("__x2", "sum"), ("__y2", "sum"), ("__x", "count")])
+        return g.rename_columns(["event_type", "sx", "sy", "sxy", "sx2",
+                                 "sy2", "n"])
+
+    combined = relational.grouped_agg(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["event_type"], {c: (c, "sum") for c in
+                         ("sx", "sy", "sxy", "sx2", "sy2", "n")}).to_pandas()
+    rows = []
+    for r in combined.itertuples(index=False):
+        n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+        sxy, sx2, sy2 = int(r.sxy), int(r.sx2), int(r.sy2)
+        cov_n2 = n * sxy - sx * sy                      # exact ints
+        vx_n2, vy_n2 = n * sx2 - sx * sx, n * sy2 - sy * sy
+        corr = float(cov_n2) / ((float(vx_n2) ** 0.5) * (float(vy_n2) ** 0.5))
+        covar = float(cov_n2) / (float(n) * float(n)) / 100.0  # cents → units
+        rows.append({"event_type": r.event_type, "n": n,
+                     "corr_vu": round(corr, 6), "covar_vu": round(covar, 6)})
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
+def value_histogram_events(sf_dir: str):
+    """Fixed-width histogram (binned grouped count) — the building block
+    behind the mergeable-histogram quantile sketch, here exposed as a
+    direct operator. Buckets computed on exact integer cents so float
+    edge values can't land in different bins across systems."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        b = np.floor_divide(cents.to_numpy(zero_copy_only=False), 500)
+        tmp = pa.table({"bucket": pa.array(b, pa.int64())})
+        g = tmp.group_by("bucket").aggregate([("bucket", "count")])
+        return pa.table({"bucket": g["bucket"],
+                         "n": pc.cast(g["bucket_count"], pa.int64())})
+
+    return relational.grouped_agg(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"], {"n": ("n", "sum")})
+
+
+def nation_region_pairs(sf_dir: str):
+    """Cross join (small×small): every (nation, region) pair. The right
+    side is broadcast once and the cartesian product is built per batch
+    with vectorized repeat/tile takes — no shuffle at all."""
+    nat = _read(sf_dir, "nation", ["n_name"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_name"])
+
+    def cross(t: pa.Table) -> pa.Table:
+        nl, nr = t.num_rows, region.num_rows
+        left_idx = np.repeat(np.arange(nl), nr)
+        right_idx = np.tile(np.arange(nr), nl)
+        return pa.table({"n_name": t["n_name"].take(pa.array(left_idx)),
+                         "r_name": region["r_name"].take(pa.array(right_idx))})
+
+    return nat.map_batches(cross, batch_format="pyarrow")
+
+
+def user_event_types_list(sf_dir: str):
+    """Grouped ordered string collection (string_agg / collect_list):
+    comma-joined sorted distinct event types per user. The stream is
+    reduced to unique (user, type) pairs distributively before the
+    bucketed collect shuffle (window.collect_sorted)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return window.collect_sorted(ds, "user_id", "event_type", sep=",",
+                                 distinct=True, out_col="types")
+
+
+def percent_rank_events(sf_dir: str):
+    """percent_rank() OVER (PARTITION BY event_type ORDER BY value) for
+    every event — SQL min-rank tie semantics, 0.0 for singleton
+    partitions (window.percent_rank bucketed shuffle)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return window.percent_rank(ds, "event_type", "value", out_col="pct_rank")
+
+
+def bloom_semi_lineitem(sf_dir: str):
+    """Bloom-pruned semi join: lineitem rows of URGENT orders. The scale
+    path for large×large semi joins (ops/bloom.py): a mergeable Bloom
+    filter is built over the key side with per-block partials, broadcast
+    once, and prunes the probe side inside map_batches BEFORE any
+    shuffle; the exact semi filter then only sees the survivors, so
+    Bloom false positives never reach the output."""
+    from ..ops import bloom as bloom_ops
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+                   .select(["o_orderkey"]),
+        batch_format="pyarrow")
+    flt = bloom_ops.build_bloom(urgent, "o_orderkey", m_bits=1 << 18, k=5)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    pruned = bloom_ops.bloom_prune(li, "l_orderkey", flt)
+    keys = pc.unique(
+        pa.concat_tables(urgent.iter_batches(batch_size=2 ** 20,
+                                             batch_format="pyarrow"))
+        ["o_orderkey"].combine_chunks())
+    exact = relational.semi_filter(pruned, "l_orderkey", keys.to_pylist())
+    counted = exact.map_batches(
+        lambda t: t.group_by("l_orderkey").aggregate([("l_orderkey", "count")])
+                   .rename_columns(["l_orderkey", "n"]),
+        batch_format="pyarrow")
+    return relational.grouped_agg(counted, ["l_orderkey"], {"n": ("n", "sum")})
+
+
 def _scratch_dir(kind: str, sf_dir: str) -> str:
     import shutil
 
@@ -1415,6 +1536,9 @@ QUERIES = {
     "orders_rollup_status_priority": orders_rollup_status_priority,
     "value_stats_by_type": value_stats_by_type,
     "last_event_type_per_user": last_event_type_per_user,
+    "corr_value_user_by_type": corr_value_user_by_type,
+    "value_histogram_events": value_histogram_events,
+    "user_event_types_list": user_event_types_list,
     # filter / project / sort / topk
     "filter_project_events": filter_project_events,
     "sort_limit_events": sort_limit_events,
@@ -1429,6 +1553,8 @@ QUERIES = {
     "orders_with_returns_by_priority": orders_with_returns_by_priority,
     "union_purchases_errors": union_purchases_errors,
     "customers_without_big_orders": customers_without_big_orders,
+    "nation_region_pairs": nation_region_pairs,
+    "bloom_semi_lineitem": bloom_semi_lineitem,
     "event_types_per_user": event_types_per_user,
     "distinct_event_types": distinct_event_types,
     "dedup_events_keep_first": dedup_events_keep_first,
@@ -1466,6 +1592,7 @@ QUERIES = {
     "value_rank_events": value_rank_events,
     "lead_value_events": lead_value_events,
     "ntile_value_quartiles": ntile_value_quartiles,
+    "percent_rank_events": percent_rank_events,
     # text analysis
     "langid_documents": langid_documents,
     "quality_documents": quality_documents,

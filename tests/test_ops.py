@@ -508,3 +508,85 @@ def test_hash_join_full_outer(ray_session):
     assert out["k"].tolist() == [1, 2, 3, 4]
     assert out["lv"].isna().tolist() == [False, False, False, True]
     assert out["rv"].isna().tolist() == [True, False, False, False]
+
+
+# ----------------------------------------------------------------- bloom ----
+
+def test_bloom_no_false_negatives_and_low_fp():
+    from logray.ops.bloom import BloomFilter
+
+    keys = np.arange(0, 20_000, 2, dtype=np.int64)         # evens
+    probe_absent = np.arange(1, 40_001, 2, dtype=np.int64)  # odds
+    f = BloomFilter(m_bits=1 << 18, k=5)
+    f.add(keys)
+    assert f.contains(keys).all()                # no false negatives, ever
+    fp = f.contains(probe_absent).mean()
+    # m/n = 26 bits/key, k=5 => theoretical FP ~2e-4; allow slack
+    assert fp < 0.01, fp
+
+
+def test_bloom_merge_equals_single_build():
+    from logray.ops.bloom import BloomFilter
+
+    a, b = BloomFilter(1 << 12, 4), BloomFilter(1 << 12, 4)
+    both = BloomFilter(1 << 12, 4)
+    a.add(np.arange(100, dtype=np.int64))
+    b.add(np.arange(100, 200, dtype=np.int64))
+    both.add(np.arange(200, dtype=np.int64))
+    assert (a.merge(b).bits == both.bits).all()
+
+
+def test_bloom_string_keys():
+    from logray.ops.bloom import BloomFilter
+
+    f = BloomFilter(1 << 14, 4)
+    f.add(pa.array(["alpha", "beta", "gamma"]))
+    assert f.contains(pa.array(["alpha", "beta", "gamma"])).all()
+    assert not f.contains(pa.array(["delta"]))[0] or True  # may FP; no crash
+
+
+def test_bloom_distributed_build_and_prune(ray_session):
+    from logray.ops import bloom as bloom_ops
+
+    keys = pa.table({"k": pa.array(np.arange(0, 1000, 3, dtype=np.int64))})
+    probe = pa.table({"k": pa.array(np.arange(1000, dtype=np.int64))})
+    flt = bloom_ops.build_bloom(_ds(keys).repartition(4), "k",
+                                m_bits=1 << 16, k=5)
+    pruned = bloom_ops.bloom_prune(_ds(probe).repartition(3), "k", flt)
+    got = set(pa.concat_tables(
+        pruned.iter_batches(batch_size=10_000, batch_format="pyarrow")
+    )["k"].to_pylist())
+    want = set(range(0, 1000, 3))
+    assert want <= got                   # every true key survives the prune
+    assert len(got - want) < 100         # false positives are rare
+
+
+# ------------------------------------------------- percent_rank / collect ----
+
+def test_percent_rank_matches_sql_semantics(ray_session):
+    from logray.ops import window
+
+    df = pd.DataFrame({
+        "grp": ["a"] * 4 + ["b"] * 1 + ["c"] * 3,
+        "v":   [10, 20, 20, 30, 5, 1, 1, 1],
+    })
+    import ray.data
+
+    out = window.percent_rank(ray.data.from_pandas(df), "grp", "v",
+                              num_buckets=4).to_pandas()
+    out = out.sort_values(["grp", "v"]).reset_index(drop=True)
+    # a: ranks 1,2,2,4 over n=4 -> (r-1)/3 ; b singleton -> 0 ; c all ties -> 0
+    assert out[out.grp == "a"].pct_rank.tolist() == [0.0, 1/3, 1/3, 1.0]
+    assert out[out.grp == "b"].pct_rank.tolist() == [0.0]
+    assert out[out.grp == "c"].pct_rank.tolist() == [0.0, 0.0, 0.0]
+
+
+def test_collect_sorted_distinct(ray_session):
+    from logray.ops import window
+    import ray.data
+
+    df = pd.DataFrame({"u": [1, 1, 1, 2, 2], "t": ["b", "a", "b", "z", "a"]})
+    out = window.collect_sorted(ray.data.from_pandas(df), "u", "t",
+                                num_buckets=2, out_col="types").to_pandas()
+    got = dict(zip(out.u, out.types))
+    assert got == {1: "a,b", 2: "a,z"}
