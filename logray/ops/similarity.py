@@ -171,3 +171,71 @@ class IvfIndex:
         out = cand.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
         out["rank"] = out.groupby("query_id").cumcount() + 1
         return out
+
+
+def kmeans(ds, *, k: int = 8, iters: int = 10, vec_col: str = "embedding",
+           seed: int = 5, sample_frac: float = 0.1):
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Init: k centroids from a small driver-side random sample. Each
+    iteration is ONE streaming pass: every block computes per-centroid
+    partial (sum-vector, count) — a k×d matrix regardless of block size —
+    and the driver combines the partials and updates centroids. No
+    per-row data ever returns to the driver and nothing is shuffled, so
+    the cost at 100 TB is iters × (one read of the corpus).
+
+    Returns (centroids, assign_stage) where ``assign_stage`` is a
+    map_batches body labeling rows with their nearest centroid in a
+    ``cluster_id`` column.
+    """
+    import pyarrow.compute as _pc  # noqa: F401  (kept for symmetry)
+
+    sample = ds.random_sample(sample_frac, seed=seed).take_batch(
+        10_000, batch_format="pyarrow")
+    X0 = _normalize(_vec_matrix(sample, vec_col))
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X0))
+    C = X0[rng.choice(len(X0), k, replace=False)].copy()
+
+    for _ in range(iters):
+        C_bcast = C  # captured by value in the closure below
+
+        def partials(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"cid": pa.array([], pa.int32()),
+                                 "n": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.list_(pa.float64()))})
+            X = _normalize(_vec_matrix(batch, vec_col))
+            assign = (X @ C_bcast.T).argmax(axis=1)
+            cids, inv = np.unique(assign, return_inverse=True)
+            sums = np.zeros((len(cids), X.shape[1]))
+            np.add.at(sums, inv, X)
+            counts = np.bincount(inv, minlength=len(cids)).astype(np.int64)
+            return pa.table({"cid": pa.array(cids.astype(np.int32)),
+                             "n": pa.array(counts),
+                             "vsum": pa.array(list(sums))})
+
+        agg = pa.concat_tables(
+            ds.map_batches(partials, batch_format="pyarrow")
+            .iter_batches(batch_size=2 ** 20, batch_format="pyarrow"))
+        cids = agg["cid"].to_numpy(zero_copy_only=False)
+        counts = agg["n"].to_numpy(zero_copy_only=False)
+        sums = np.stack(agg["vsum"].to_pylist()) if agg.num_rows else \
+            np.zeros((0, C.shape[1]))
+        newC = C.copy()
+        for j in range(k):
+            m = cids == j
+            if counts[m].sum() > 0:
+                newC[j] = sums[m].sum(axis=0) / counts[m].sum()
+        C = _normalize(newC)
+
+    centroids = C
+
+    def assign_stage(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("cluster_id", pa.array([], pa.int32()))
+        X = _normalize(_vec_matrix(batch, vec_col))
+        lab = (X @ centroids.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("cluster_id", pa.array(lab))
+
+    return centroids, assign_stage

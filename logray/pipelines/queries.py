@@ -1475,6 +1475,99 @@ def bloom_semi_lineitem(sf_dir: str):
     return relational.grouped_agg(counted, ["l_orderkey"], {"n": ("n", "sum")})
 
 
+def kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding column
+    (similarity.kmeans): per-iteration per-block (sum, count) partials,
+    no shuffle, driver holds only the k×d centroid matrix. Returns
+    cluster sizes (rows-only: centroid init is sample-dependent;
+    clustering quality is pytest-checked on planted clusters)."""
+    from ..ops.similarity import kmeans
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, assign = kmeans(ds, k=8, iters=8, vec_col="embedding")
+    labeled = ds.map_batches(assign, batch_format="pyarrow")
+    counted = labeled.map_batches(
+        lambda t: t.select(["cluster_id"]).group_by("cluster_id")
+                   .aggregate([("cluster_id", "count")])
+                   .rename_columns(["cluster_id", "n"]),
+        batch_format="pyarrow")
+    return relational.grouped_agg(counted, ["cluster_id"], {"n": ("n", "sum")})
+
+
+def pack_documents_tokens(sf_dir: str):
+    """Sequence packing for training-batch construction (ops/pack.py):
+    group documents into packs of ≤ 512 whitespace tokens, block-local
+    first-fit-decreasing (zero shuffle; ≤1 under-full pack per block).
+    Returns per-pack summaries. Rows-only: pack membership depends on
+    block boundaries; invariants (coverage, budget, density) are
+    pytest-checked."""
+    from ..ops import pack as pack_ops
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    with_tokens = ds.map_batches(
+        lambda t: text_ops.add_token_counts(t).select(["doc_id", "n_tokens_ws"]),
+        batch_format="pyarrow")
+    packed = pack_ops.pack_documents(with_tokens, token_col="n_tokens_ws",
+                                     id_col="doc_id", budget=512)
+    summary = packed.map_batches(
+        lambda t: t.group_by("pack_id").aggregate(
+            [("doc_id", "count"), ("n_tokens_ws", "sum")])
+            .rename_columns(["pack_id", "n_docs", "n_tokens"]),
+        batch_format="pyarrow")
+    return relational.grouped_agg(summary, ["pack_id"],
+                                  {"n_docs": ("n_docs", "sum"),
+                                   "n_tokens": ("n_tokens", "sum")})
+
+
+def training_prep_documents(sf_dir: str):
+    """End-to-end training-data prep composition — the pipeline a corpus
+    builder actually runs, each stage an operator from this catalogue:
+
+        quality score → filter (quality ≥ 0.3)
+        → exact dedup (keep one per normalized text)
+        → deterministic per-language mixture sample (en 1/2, rest 1/16)
+        → token counting → sequence packing (≤512-token packs)
+
+    Everything streams: no stage materializes the corpus. Returns the
+    final pack summary plus provenance counts. Rows-only (sampling and
+    packing are block-dependent); stage invariants are pytest-checked on
+    their own operators."""
+    import hashlib
+
+    from ..ops import pack as pack_ops
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def quality_filter(t: pa.Table) -> pa.Table:
+        scored = text_ops.add_quality_score(t)
+        return scored.filter(pc.greater_equal(scored["quality"], 0.3)) \
+                     .select(["doc_id", "text", "lang"])
+
+    filtered = ds.map_batches(quality_filter, batch_format="pyarrow")
+    kept = dedup.exact_dedup(filtered, text_col="text", id_col="doc_id")
+
+    def mixture(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pandas().astype(str)
+        first = ids.map(lambda s: int(hashlib.md5(s.encode()).hexdigest()[0], 16))
+        rate = np.where(np.asarray(t["lang"].to_pandas() == "en"), 8, 1)
+        return t.filter(pa.array(first.to_numpy() < rate))
+
+    sampled = kept.map_batches(mixture, batch_format="pyarrow")
+    with_tokens = sampled.map_batches(
+        lambda t: text_ops.add_token_counts(t).select(["doc_id", "n_tokens_ws"]),
+        batch_format="pyarrow")
+    packed = pack_ops.pack_documents(with_tokens, token_col="n_tokens_ws",
+                                     id_col="doc_id", budget=512)
+    summary = packed.map_batches(
+        lambda t: t.group_by("pack_id").aggregate(
+            [("doc_id", "count"), ("n_tokens_ws", "sum")])
+            .rename_columns(["pack_id", "n_docs", "n_tokens"]),
+        batch_format="pyarrow")
+    return relational.grouped_agg(summary, ["pack_id"],
+                                  {"n_docs": ("n_docs", "sum"),
+                                   "n_tokens": ("n_tokens", "sum")})
+
+
 def _scratch_dir(kind: str, sf_dir: str) -> str:
     import shutil
 
@@ -1574,6 +1667,8 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "normalize_documents": normalize_documents,
     "chunk_documents": chunk_documents,
+    "pack_documents_tokens": pack_documents_tokens,
+    "training_prep_documents": training_prep_documents,
     # near-dup / similarity
     "minhash_dedup_documents": minhash_dedup_documents,
     "simhash_dedup_documents": simhash_dedup_documents,
@@ -1582,6 +1677,7 @@ QUERIES = {
     "dup_cluster_labels_documents": dup_cluster_labels_documents,
     "ann_topk_embeddings": ann_topk_embeddings,
     "ivf_ann_embeddings": ivf_ann_embeddings,
+    "kmeans_embeddings": kmeans_embeddings,
     # windowed / ordered
     "session_counts_events": session_counts_events,
     "top3_events_per_type": top3_events_per_type,

@@ -590,3 +590,70 @@ def test_collect_sorted_distinct(ray_session):
                                 num_buckets=2, out_col="types").to_pandas()
     got = dict(zip(out.u, out.types))
     assert got == {1: "a,b", 2: "a,z"}
+
+
+# ------------------------------------------------------------------ pack ----
+
+def test_pack_block_invariants():
+    from logray.ops.pack import pack_block
+
+    rng = np.random.default_rng(3)
+    ids = np.arange(500, dtype=np.int64)
+    toks = rng.integers(1, 400, size=500).astype(np.int64)
+    toks[7] = 900                         # oversized doc
+    pack_of, order = pack_block(ids, toks, budget=512)
+    t_o = toks[order]
+    assert len(pack_of) == 500
+    sums = np.zeros(pack_of.max() + 1, dtype=np.int64)
+    np.add.at(sums, pack_of, t_o)
+    for p in range(len(sums)):
+        members = t_o[pack_of == p]
+        assert sums[p] <= 512 or len(members) == 1   # only oversize singletons
+    # FFD density: at most one pack under half-full among multi-doc packs
+    under_half = sum(1 for p in range(len(sums))
+                     if sums[p] < 256 and (pack_of == p).sum() >= 1
+                     and t_o[pack_of == p].max() <= 512)
+    assert under_half <= 1, under_half
+
+
+def test_pack_documents_coverage(ray_session):
+    from logray.ops.pack import pack_documents
+
+    t = pa.table({"doc_id": pa.array(np.arange(100, dtype=np.int64)),
+                  "n_tok": pa.array((np.arange(100) % 90 + 10).astype(np.int64))})
+    out = pa.concat_tables(
+        pack_documents(_ds(t).repartition(3), token_col="n_tok",
+                       id_col="doc_id", budget=128)
+        .iter_batches(batch_size=10_000, batch_format="pyarrow"))
+    assert sorted(out["doc_id"].to_pylist()) == list(range(100))  # each doc once
+    df = out.to_pandas()
+    sums = df.groupby("pack_id").n_tok.sum()
+    assert (sums <= 128).all()
+    # pack ids are content-derived: min doc_id of the pack
+    assert (df.groupby("pack_id").doc_id.min() ==
+            df.groupby("pack_id").doc_id.min().index).all()
+
+
+# ---------------------------------------------------------------- kmeans ----
+
+def test_kmeans_recovers_planted_clusters(ray_session):
+    from logray.ops.similarity import kmeans
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(4, 8)                       # 4 well-separated directions
+    X = np.concatenate([
+        c + rng.normal(0, 0.05, size=(50, 8)) for c in centers])
+    t = pa.table({"vec_id": pa.array(np.arange(200, dtype=np.int64)),
+                  "embedding": pa.array([list(map(float, r)) for r in X],
+                                        pa.list_(pa.float32()))})
+    ds = _ds(t).repartition(4)
+    _, assign = kmeans(ds, k=4, iters=6, vec_col="embedding", sample_frac=0.5)
+    out = pa.concat_tables(
+        ds.map_batches(assign, batch_format="pyarrow")
+        .iter_batches(batch_size=10_000, batch_format="pyarrow")).to_pandas()
+    # every planted cluster maps to exactly one label
+    lab_of = out.groupby(out.vec_id // 50).cluster_id.agg(
+        lambda s: s.value_counts().index[0])
+    purity = (out.cluster_id == out.vec_id.floordiv(50).map(lab_of)).mean()
+    assert purity > 0.95, purity
+    assert lab_of.nunique() == 4
