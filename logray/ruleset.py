@@ -282,11 +282,20 @@ class RuleSet:
 
     # -- batch execution ----------------------------------------------------
 
-    def _gate_mask(self, cr: CompiledRule, table: pa.Table, n: int) -> np.ndarray:
+    def _gate_mask(self, cr: CompiledRule, table: pa.Table, n: int,
+                   cache: dict | None = None) -> np.ndarray:
+        # gates repeat across rules (e.g. several rules share role=assistant):
+        # memoize each (col, values) is_in scan per batch
         mask = np.ones(n, dtype=bool)
         for col, values in cr.rule.gate.items():
-            m = pc.is_in(table[col], value_set=pa.array(values, pa.string()))
-            mask &= np.asarray(pc.fill_null(m, False).to_numpy(zero_copy_only=False))
+            key = (col, values)
+            m = cache.get(key) if cache is not None else None
+            if m is None:
+                ok = pc.is_in(table[col], value_set=pa.array(values, pa.string()))
+                m = np.asarray(pc.fill_null(ok, False).to_numpy(zero_copy_only=False))
+                if cache is not None:
+                    cache[key] = m
+            mask &= m
         return mask
 
     def _extract(self, cr: CompiledRule, text: pa.ChunkedArray | pa.Array, idx: np.ndarray
@@ -409,11 +418,12 @@ class RuleSet:
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         unmatched = np.ones(n, dtype=bool)
+        gate_cache: dict = {}
         pieces: list[pa.Table] = []
         for cr in self.rules:
             if not unmatched.any():
                 break
-            gate = self._gate_mask(cr, table, n)
+            gate = self._gate_mask(cr, table, n, gate_cache)
             idx = np.flatnonzero(unmatched & gate)
             if len(idx) == 0:
                 continue
