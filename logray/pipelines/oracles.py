@@ -342,7 +342,10 @@ ORACLE_SQL: dict[str, str] = {
         FROM events GROUP BY event_type
     """,
     "value_histogram_events": """
-        SELECT CAST(round(value*100) AS BIGINT) // 500 AS bucket,
+        -- floor (not truncating //) division: matches numpy floor_divide
+        -- for negative values too
+        SELECT CAST(floor(CAST(round(value*100) AS BIGINT) / 500.0) AS BIGINT)
+                   AS bucket,
                count(*) AS n
         FROM events GROUP BY bucket
     """,
