@@ -272,6 +272,34 @@ ORACLE_SQL: dict[str, str] = {
         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY o_orderkey, o_orderpriority
     """,
+    "q3_shipping_priority": """
+        SELECT o_orderkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))/10000.0
+                   AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, o_orderkey
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))/10000.0
+                   AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
     "customer_order_counts": """
         SELECT c_custkey, count(o_orderkey) AS n_orders
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey

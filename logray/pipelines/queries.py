@@ -493,6 +493,125 @@ def order_revenue_join(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — composed three-table pipeline (C4+C5+C6):
+    broadcast semi-filter (customer segment keys via ray.put, 1/5 of
+    custkeys) → large×large hash-shuffle join lineitem⋈orders with the
+    per-order rollup fused into the join buckets (shared partitioning on
+    o_orderkey ⇒ no second all-to-all) → combiner top-10. At extreme
+    customer cardinality swap the broadcast key set for the mergeable
+    Bloom filter of ops/bloom.py — identical shape, bounded memory."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow")
+    keys = np.unique(np.concatenate(
+        [b["c_custkey"].to_numpy(zero_copy_only=False)
+         for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536)]
+        + [np.zeros(0, np.int64)]))
+    cutoff = pa.scalar(np.datetime64("1995-03-15", "us"))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)), batch_format="pyarrow")
+    orders = relational.semi_filter(orders, "o_custkey", keys).map_batches(
+        lambda t: t.drop(["o_custkey"]), batch_format="pyarrow")
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        units = pc.cast(pc.round(pc.multiply(rev, 10000.0)), pa.int64())
+        return pa.table({"o_orderkey": t["l_orderkey"], "__rev_u": units})
+
+    def agg_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"],
+                           as_index=False, sort=False)["__rev_u"].sum())
+
+    joined = relational.hash_join(line.map_batches(prep, batch_format="pyarrow"),
+                                  orders, on="o_orderkey", bucket_post=agg_in_bucket)
+    top = relational.topk(joined, [("__rev_u", True), ("o_orderdate", False),
+                                   ("o_orderkey", False)], 10)
+    top["revenue"] = top.pop("__rev_u") / 10000.0  # same division as the oracle
+    return pa.Table.from_pandas(
+        top[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]],
+        preserve_index=False)
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — composed six-table pipeline: the tiny dims
+    (nation⋈region) join on the driver, the filtered supplier→nation map
+    broadcasts once via ray.put (read zero-copy per task), and the two
+    big joins — orders⋈customer on custkey, then lineitem⋈(orders⋈cust)
+    on orderkey — run as hash-shuffle joins, with the
+    c_nationkey = s_nationkey locality predicate and the per-nation
+    revenue rollup fused into the second join's buckets. Supplier is the
+    smallest fact table (~1% of lineitem rows); past broadcast size it
+    becomes a third hash_join on l_suppkey — same downstream shape."""
+    import ray
+
+    nr = (_read(sf_dir, "nation").to_pandas()
+          .merge(_read(sf_dir, "region").to_pandas(),
+                 left_on="n_regionkey", right_on="r_regionkey"))
+    asia = nr[nr.r_name == "ASIA"]
+    name_of = dict(zip(asia.n_nationkey.astype(int), asia.n_name))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp.s_nationkey.isin(name_of)]
+    sk = np.asarray(supp.s_suppkey, np.int64)
+    order_ = np.argsort(sk)
+    ref = ray.put((sk[order_], np.asarray(supp.s_nationkey, np.int64)[order_]))
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                                   pc.less(t["o_orderdate"], hi))).drop(["o_orderdate"]),
+        batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"],
+                            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64())}),
+        batch_format="pyarrow")
+    ord_cust = relational.hash_join(orders, cust, on="o_custkey").map_batches(
+        lambda t: t.select(["o_orderkey", "c_nationkey"]), batch_format="pyarrow")
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ks, nat = ray.get(ref)
+        u = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(ks) == 0:
+            member = np.zeros(len(u), bool)
+            snat = np.zeros(len(u), np.int64)
+        else:
+            idx = np.clip(np.searchsorted(ks, u), 0, len(ks) - 1)
+            member = ks[idx] == u
+            snat = nat[idx]
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        units = pc.cast(pc.round(pc.multiply(rev, 10000.0)), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": pa.array(ok[member]),
+                         "s_nationkey": pa.array(snat[member]),
+                         "__rev_u": pa.array(units[member])})
+
+    def agg_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.c_nationkey == df.s_nationkey]
+        return df.groupby("s_nationkey", as_index=False, sort=False)["__rev_u"].sum()
+
+    part = relational.hash_join(line.map_batches(prep, batch_format="pyarrow"),
+                                ord_cust, on="o_orderkey", bucket_post=agg_in_bucket)
+    total = relational.grouped_agg(part, ["s_nationkey"], {"revenue_u": ("__rev_u", "sum")})
+
+    def fin(t: pa.Table) -> pa.Table:
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        names = pa.array([name_of[int(k)] for k in nk], pa.string())
+        return pa.table({"n_name": names,
+                         "revenue": pc.divide(pc.cast(t["revenue_u"], pa.float64()),
+                                              10000.0)})
+
+    return total.map_batches(fin, batch_format="pyarrow")
+
+
 def customer_order_counts(sf_dir: str):
     """LEFT OUTER shuffle join: order counts per customer including
     zero-order customers. Orders pre-aggregate to one row per customer
@@ -1642,6 +1761,8 @@ QUERIES = {
     "join_customer_nation_region": join_customer_nation_region,
     "orders_by_segment": orders_by_segment,
     "order_revenue_join": order_revenue_join,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
     "customer_order_counts": customer_order_counts,
     "orders_with_returns_by_priority": orders_with_returns_by_priority,
     "union_purchases_errors": union_purchases_errors,
