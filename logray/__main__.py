@@ -5,8 +5,10 @@ Commands own their Ray session (library code never calls ray.init).
 
   gen   <sf> <out_dir>        deterministic transcript corpus
   run   <in_dir> <out_dir>    flagship parse→enrich→route→aggregate
+                              (--rules <json> swaps in a user rule table)
   query <name> <sf_dir>       one catalogue query, results to stdout
   ls                          list the query catalogue
+  rules <out.json|->          export the frozen rule table as editable JSON
 """
 
 from __future__ import annotations
@@ -37,6 +39,13 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("in_dir")
     r.add_argument("out_dir")
     r.add_argument("--no-resume", action="store_true")
+    r.add_argument("--rules", default=None, metavar="RULES_JSON",
+                   help="declarative rule-table file (rules_io JSON) replacing "
+                        "the frozen transcript ruleset")
+
+    x = sub.add_parser("rules", help="export the frozen rule table as JSON "
+                                     "(edit + pass back via `run --rules`)")
+    x.add_argument("out", help="output path, '-' for stdout")
 
     q = sub.add_parser("query", help="run one catalogue query")
     q.add_argument("name")
@@ -62,6 +71,19 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}  [{'sql-oracle' if name in ORACLE_SQL else 'rows-only'}]")
         return 0
 
+    if args.cmd == "rules":
+        from .rules_io import ruleset_to_json
+        from .rules_transcripts import TRANSCRIPT_PASSTHROUGH, TRANSCRIPT_RULES
+
+        text = ruleset_to_json(TRANSCRIPT_RULES, TRANSCRIPT_PASSTHROUGH)
+        if args.out == "-":
+            print(text)
+        else:
+            from pathlib import Path
+
+            Path(args.out).write_text(text + "\n")
+        return 0
+
     import ray
 
     _init_ray(args.num_cpus)
@@ -69,8 +91,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "run":
             from .pipelines.flagship import run_flagship
 
+            rules_json = None
+            if args.rules is not None:
+                from pathlib import Path
+
+                rules_json = Path(args.rules).read_text()
             metrics = run_flagship(args.in_dir, args.out_dir,
-                                   resume=not args.no_resume)
+                                   resume=not args.no_resume,
+                                   rules_json=rules_json)
             print(json.dumps(metrics, default=str))
             return 0
 

@@ -57,15 +57,18 @@ def discover_partitions(input_dir: str | Path) -> dict[str, list[str]]:
     return parts
 
 
-def _parse_with_pid(batch: pa.Table) -> pa.Table:
+def _parse_with_pid(batch: pa.Table, ruleset=None) -> pa.Table:
     """Parse stage body for wave mode: fold the Ray-provided ``path`` column
-    into a partition id that rides through the rule engine."""
+    into a partition id that rides through the rule engine. ``ruleset``
+    None => the process-cached frozen transcript table."""
     path = batch["path"]
     if isinstance(path, pa.ChunkedArray):
         path = path.combine_chunks()
     d = path.dictionary_encode()
     pids = pa.array([Path(p).stem for p in d.dictionary.to_pylist()], pa.string())
     batch = batch.drop(["path"]).append_column(PID_COL, pids.take(d.indices))
+    if ruleset is not None:
+        return ruleset.parse_batch(batch, extra_cols=(PID_COL,))
     return parse_batch_fn(batch, extra_cols=(PID_COL,))
 
 
@@ -78,15 +81,28 @@ class FlagshipWorker:
     multi-sink writer — is built once per actor; ``__call__`` handles one
     Arrow batch end-to-end and returns only the tiny summary table."""
 
-    def __init__(self, out_dir: str, lookups_ref=None, compression: str = "zstd"):
+    def __init__(self, out_dir: str, lookups_ref=None, compression: str = "zstd",
+                 rules_json: str | None = None):
         from ..rules_transcripts import sink_columns
 
+        # custom declarative rule table (rules_io JSON text, shipped inline
+        # in the actor constructor args — no shared-FS assumption); None =>
+        # the frozen transcript table via the per-process compile cache
+        if rules_json is not None:
+            from ..rules_io import parse_ruleset_json
+            from ..ruleset import RuleSet
+
+            self.ruleset = RuleSet(*parse_ruleset_json(rules_json))
+            cols = self.ruleset.sink_columns()
+        else:
+            self.ruleset = None
+            cols = sink_columns()
         self.enricher = Enricher(lookups_ref)
         self.writer = SinkWriter(out_dir, compression=compression,
-                                 sink_columns=sink_columns())
+                                 sink_columns=cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return self.writer(self.enricher(_parse_with_pid(batch)))
+        return self.writer(self.enricher(_parse_with_pid(batch, self.ruleset)))
 
 
 def _default_pool() -> tuple[int, int]:
@@ -100,7 +116,8 @@ def _default_pool() -> tuple[int, int]:
 
 def run_wave(wave: list[str], parts: dict[str, list[str]], out_dir: str, *,
              lookups_ref=None, enrich_concurrency=None, batch_size: int | None = None,
-             override_num_blocks: int | None = None) -> dict[str, dict]:
+             override_num_blocks: int | None = None,
+             rules_json: str | None = None) -> dict[str, dict]:
     """One streaming pass over one wave of partitions; returns
     {partition_id: manifest payload}."""
     import ray.data
@@ -118,7 +135,8 @@ def run_wave(wave: list[str], parts: dict[str, list[str]], out_dir: str, *,
                                ray_remote_args={"num_cpus": 0.5})
     summaries = ds.map_batches(
         FlagshipWorker,
-        fn_constructor_kwargs={"out_dir": out_dir, "lookups_ref": lookups_ref},
+        fn_constructor_kwargs={"out_dir": out_dir, "lookups_ref": lookups_ref,
+                               "rules_json": rules_json},
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=enrich_concurrency, batch_size=batch_size)
     rows = summaries.take_all()  # tiny: one row per (pid, sink, rule, batch-file)
@@ -159,19 +177,28 @@ def run_wave(wave: list[str], parts: dict[str, list[str]], out_dir: str, *,
 
 def run_partition(files: list[str], out_dir: str, partition_id: str, *,
                   lookups_ref=None, enrich_concurrency=None, batch_size: int | None = None,
-                  override_num_blocks: int | None = None) -> dict:
+                  override_num_blocks: int | None = None,
+                  rules_json: str | None = None) -> dict:
     """Single-partition compatibility wrapper around ``run_wave``."""
     return run_wave([partition_id], {partition_id: files}, out_dir,
                     lookups_ref=lookups_ref, enrich_concurrency=enrich_concurrency,
                     batch_size=batch_size,
-                    override_num_blocks=override_num_blocks)[partition_id]
+                    override_num_blocks=override_num_blocks,
+                    rules_json=rules_json)[partition_id]
 
 
 def run_flagship(input_dir: str | Path, out_dir: str | Path, *,
                  resume: bool = True, lookups_ref=None, enrich_concurrency=None,
                  batch_size: int | None = None, override_num_blocks: int | None = None,
-                 wave_size: int | None = None) -> dict:
+                 wave_size: int | None = None,
+                 rules_json: str | None = None) -> dict:
     """Run the full pipeline with partition-granular resume; returns metrics.
+
+    ``rules_json``: optional declarative rule table (``logray.rules_io``
+    JSON text) replacing the frozen transcript ruleset — the C10 extension
+    surface end-to-end. The table's passthrough must keep the transcript
+    envelope (conv_id, turn_idx, role, text, tool, ts): the enrich stage
+    keys off role/tool/conv_id.
 
     Rollup artifacts written under ``out_dir``:
     - ``partition=*/sink=*/part-*.parquet`` — routed sinks
@@ -207,7 +234,8 @@ def run_flagship(input_dir: str | Path, out_dir: str | Path, *,
         payloads = run_wave(wave, parts, str(out_dir), lookups_ref=lookups_ref,
                             enrich_concurrency=enrich_concurrency,
                             batch_size=batch_size,
-                            override_num_blocks=override_num_blocks)
+                            override_num_blocks=override_num_blocks,
+                            rules_json=rules_json)
         for pid in wave:
             manifests.commit_manifest(out_dir, pid, payloads[pid])
             ran.append(pid)

@@ -135,13 +135,4 @@ def sink_columns() -> dict[str, set[str]]:
     belonging to other sinks' rules are all-null there and are pruned at
     write time. Columns not listed here (e.g. enrich outputs appended
     after parse) always pass through."""
-    rs = transcript_ruleset()
-    common = {n for n, _ in TRANSCRIPT_PASSTHROUGH}
-    common |= {"rule_id", "sink", "parse_error"}
-    common |= set(rs.const_fields)
-    out: dict[str, set[str]] = {}
-    for cr in rs.rules:
-        cols = out.setdefault(cr.rule.sink, set(common))
-        cols.update(cr.capture_fields)
-        cols.update(c.dst_field for c in cr.rule.casts)
-    return out
+    return transcript_ruleset().sink_columns()

@@ -280,6 +280,23 @@ class RuleSet:
         fields.append(pa.field("parse_error", pa.bool_()))
         self.schema = pa.schema(fields)
 
+    def sink_columns(self) -> dict[str, set[str]]:
+        """Per-sink column allowlist for the fan-out writer (SURVEY.md §7
+        hard-part 1): envelope/classification/consts for every sink, plus
+        ONLY the capture/cast columns of the rules routed to that sink —
+        columns owned by other sinks' rules are all-null there and get
+        pruned at write time. Columns outside this universe (e.g. enrich
+        outputs appended after parse) always pass through."""
+        common = {n for n, _ in self.passthrough}
+        common |= {"rule_id", "sink", "parse_error"}
+        common |= set(self.const_fields)
+        out: dict[str, set[str]] = {}
+        for cr in self.rules:
+            cols = out.setdefault(cr.rule.sink, set(common))
+            cols.update(cr.capture_fields)
+            cols.update(c.dst_field for c in cr.rule.casts)
+        return out
+
     # -- batch execution ----------------------------------------------------
 
     def _gate_mask(self, cr: CompiledRule, table: pa.Table, n: int,

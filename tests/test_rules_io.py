@@ -1,0 +1,141 @@
+"""Declarative ruleset round-trip (C10 extension surface): a rule table
+serialized to JSON and loaded back must compile to an engine that produces
+byte-identical parse output — the "author JSON, run the engine" contract."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pyarrow as pa
+import pytest
+
+from logray import rules_io
+from logray.rules_transcripts import (TRANSCRIPT_PASSTHROUGH, TRANSCRIPT_RULES,
+                                      transcript_ruleset)
+from logray.ruleset import RuleSet
+
+GOLDEN = __import__("pathlib").Path(__file__).parent / "golden.jsonl"
+
+
+def _golden_table() -> pa.Table:
+    cases = [json.loads(line) for line in GOLDEN.read_text().splitlines()
+             if line.strip()]
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [{"conv_id": "cg", "turn_idx": i, "role": c["role"],
+             "text": c["text"], "tool": c["tool"], "ts": ts}
+            for i, c in enumerate(cases)]
+    schema = pa.schema([pa.field(n, t) for n, t in TRANSCRIPT_PASSTHROUGH])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def test_roundtrip_identity():
+    text = rules_io.ruleset_to_json(TRANSCRIPT_RULES, TRANSCRIPT_PASSTHROUGH)
+    rules, passthrough = rules_io.parse_ruleset_json(text)
+    assert rules == TRANSCRIPT_RULES
+    assert passthrough == TRANSCRIPT_PASSTHROUGH
+    # and the re-serialization is stable (no lossy normalization)
+    assert rules_io.ruleset_to_json(rules, passthrough) == text
+
+
+def test_loaded_ruleset_parses_identically(tmp_path):
+    p = tmp_path / "transcripts.rules.json"
+    p.write_text(rules_io.ruleset_to_json(TRANSCRIPT_RULES, TRANSCRIPT_PASSTHROUGH))
+    rs = rules_io.load_ruleset(p)
+    want = transcript_ruleset().parse_batch(_golden_table())
+    got = rs.parse_batch(_golden_table())
+    assert got.schema == want.schema
+    assert got.sort_by("turn_idx").equals(want.sort_by("turn_idx"))
+
+
+def test_json_is_plain_data():
+    doc = json.loads(rules_io.ruleset_to_json(TRANSCRIPT_RULES, TRANSCRIPT_PASSTHROUGH))
+    assert doc["version"] == rules_io.FORMAT_VERSION
+    assert all(isinstance(r, dict) for r in doc["rules"])
+    # default rule still last (ordering is part of first-match-wins semantics)
+    assert doc["rules"][-1]["rule_id"] == TRANSCRIPT_RULES[-1].rule_id
+
+
+def test_user_authored_table_compiles(tmp_path):
+    doc = {
+        "version": 1,
+        "passthrough": [["text", "string"], ["role", "string"]],
+        "rules": [
+            {"rule_id": "R1", "sink": "s_num", "gate": {"role": ["user"]},
+             "patterns": ["^n=(?P<n>\\d+)$"],
+             "casts": [{"src": "n", "converter": "int64"}]},
+            {"rule_id": "R9", "sink": "s_rest",
+             "consts": {"event_type": "unknown"}},
+        ],
+    }
+    p = tmp_path / "user.rules.json"
+    p.write_text(json.dumps(doc))
+    rs = rules_io.load_ruleset(p)
+    out = rs.parse_batch(pa.table({
+        "text": pa.array(["n=41", "nope"]),
+        "role": pa.array(["user", "user"]),
+    })).sort_by("text")
+    rows = out.to_pylist()
+    assert rows[0]["rule_id"] == "R1" and rows[0]["n"] == 41
+    assert rows[1]["rule_id"] == "R9" and rows[1]["event_type"] == "unknown"
+
+
+def test_flagship_runs_custom_rule_table(ray_session, tmp_path_factory):
+    """End-to-end C10: `run --rules user.json` semantics — the flagship DAG
+    executes a user-authored declarative table (transcript envelope kept,
+    different rules/sinks) and routes/aggregates by ITS sinks."""
+    from logray.gen import generate_corpus
+    from logray.pipelines.flagship import run_flagship
+
+    in_dir = tmp_path_factory.mktemp("rcorpus")
+    generate_corpus(0.002, in_dir)
+    out = tmp_path_factory.mktemp("rout")
+
+    doc = {
+        "version": 1,
+        "passthrough": [["conv_id", "string"], ["turn_idx", "int32"],
+                        ["role", "string"], ["text", "string"],
+                        ["tool", "string"], ["ts", "timestamp[us]"]],
+        "rules": [
+            {"rule_id": "U01_tool_line", "sink": "sink_tools",
+             "patterns": ["^\\[tool:(?P<tname>[a-z_]+)\\]"],
+             "casts": [{"src": "tname", "converter": "string"}],
+             "consts": {"event_type": "any_tool_line"}},
+            {"rule_id": "U99_rest", "sink": "sink_rest",
+             "consts": {"event_type": "other"}},
+        ],
+    }
+    metrics = run_flagship(in_dir, out, enrich_concurrency=2,
+                           rules_json=json.dumps(doc))
+    import pyarrow.parquet as pq
+
+    rows_in = sum(pq.read_metadata(f).num_rows for f in in_dir.glob("*.parquet"))
+    assert metrics["rows"] == rows_in, "routed-row parity under a custom table"
+    sinks = {p.name.split("=", 1)[1]
+             for p in out.glob("partition=*/sink=*") if p.is_dir()}
+    assert sinks <= {"sink_tools", "sink_rest"} and "sink_tools" in sinks
+    agg = pq.read_table(out / "_aggregates.parquet").to_pylist()
+    assert {r["rule_id"] for r in agg} <= {"U01_tool_line", "U99_rest"}
+    assert sum(r["n"] for r in agg) == rows_in
+
+
+def test_bad_documents_rejected(tmp_path):
+    ok = json.loads(rules_io.ruleset_to_json(TRANSCRIPT_RULES, TRANSCRIPT_PASSTHROUGH))
+
+    bad_version = dict(ok, version=99)
+    with pytest.raises(ValueError, match="version"):
+        rules_io.parse_ruleset_json(json.dumps(bad_version))
+
+    bad_type = dict(ok, passthrough=[["x", "decimal128(3,2)"]])
+    with pytest.raises(ValueError, match="unknown passthrough type"):
+        rules_io.parse_ruleset_json(json.dumps(bad_type))
+
+    bad_key = dict(ok, rules=[dict(ok["rules"][0], regexes=["oops"])])
+    with pytest.raises(ValueError, match="unknown keys"):
+        rules_io.parse_ruleset_json(json.dumps(bad_key))
+
+    # structural rules (e.g. trailing default) are RuleSet's job and still fire
+    no_default = dict(ok, rules=ok["rules"][:-1])
+    rules, passthrough = rules_io.parse_ruleset_json(json.dumps(no_default))
+    with pytest.raises(ValueError, match="default"):
+        RuleSet(rules, passthrough)
