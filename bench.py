@@ -47,6 +47,8 @@ TABLE_QUERIES = [
     "join_customer_nation_region",
     "customers_without_big_orders",
     "order_revenue_join",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "dup_cluster_labels_documents",
     "parse_events_props",
     "doc_token_counts",

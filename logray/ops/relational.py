@@ -57,7 +57,9 @@ def broadcast_join(ds, small: pd.DataFrame, on: str | list[str], *,
 
 
 def hash_join(left, right, on: str | list[str], *, how: str = "inner",
-              num_buckets: int = 64, bucket_post=None):
+              num_buckets: int = 64, bucket_post=None,
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
     """Large×large shuffle join (C4 scale path).
 
     Both sides are bucketed by a stable hash of the FIRST join key (a
@@ -83,7 +85,13 @@ def hash_join(left, right, on: str | list[str], *, how: str = "inner",
     from ..functions.hashing import stable_bucket
 
     on = [on] if isinstance(on, str) else list(on)
-    lschema, rschema = left.schema(), right.schema()
+    # .schema() on a lazy Dataset executes a prefix of its plan — behind an
+    # all-to-all (e.g. a prior hash_join) that means running the WHOLE
+    # upstream shuffle once for discovery and again in the real run. When
+    # the caller knows the schema (it usually does for a join it just
+    # built), passing it skips that double execution.
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
     lcols = list(lschema.names)
     rcols = list(rschema.names)
     clash = (set(lcols) & set(rcols)) - set(on)

@@ -549,12 +549,15 @@ def q5_local_supplier_volume(sf_dir: str):
     becomes a third hash_join on l_suppkey — same downstream shape."""
     import ray
 
-    nr = (_read(sf_dir, "nation").to_pandas()
-          .merge(_read(sf_dir, "region").to_pandas(),
+    # dimension tables read directly on the driver (footer + a few KiB;
+    # O(dim size) regardless of cluster width) — the broadcast-side idiom
+    nr = (pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+          .merge(pq.read_table(f"{sf_dir}/region.parquet").to_pandas(),
                  left_on="n_regionkey", right_on="r_regionkey"))
     asia = nr[nr.r_name == "ASIA"]
     name_of = dict(zip(asia.n_nationkey.astype(int), asia.n_name))
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
     supp = supp[supp.s_nationkey.isin(name_of)]
     sk = np.asarray(supp.s_suppkey, np.int64)
     order_ = np.argsort(sk)
@@ -598,18 +601,20 @@ def q5_local_supplier_volume(sf_dir: str):
         df = df[df.c_nationkey == df.s_nationkey]
         return df.groupby("s_nationkey", as_index=False, sort=False)["__rev_u"].sum()
 
+    # right_schema is statically known: without it, schema discovery on
+    # ord_cust would execute the first join's all-to-all a second time
     part = relational.hash_join(line.map_batches(prep, batch_format="pyarrow"),
-                                ord_cust, on="o_orderkey", bucket_post=agg_in_bucket)
-    total = relational.grouped_agg(part, ["s_nationkey"], {"revenue_u": ("__rev_u", "sum")})
-
-    def fin(t: pa.Table) -> pa.Table:
-        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
-        names = pa.array([name_of[int(k)] for k in nk], pa.string())
-        return pa.table({"n_name": names,
-                         "revenue": pc.divide(pc.cast(t["revenue_u"], pa.float64()),
-                                              10000.0)})
-
-    return total.map_batches(fin, batch_format="pyarrow")
+                                ord_cust, on="o_orderkey", bucket_post=agg_in_bucket,
+                                right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                                        ("c_nationkey", pa.int64())]))
+    # final combine on the driver: the buckets already pre-aggregated to
+    # ≤ nations×num_buckets rows, so a third all-to-all would shuffle a few
+    # hundred rows for a whole exchange's fixed cost
+    df = part.to_pandas().groupby("s_nationkey", as_index=False)["__rev_u"].sum()
+    return pa.table({
+        "n_name": pa.array([name_of[int(k)] for k in df.s_nationkey], pa.string()),
+        "revenue": pa.array(df.__rev_u.to_numpy(np.float64) / 10000.0),
+    })
 
 
 def customer_order_counts(sf_dir: str):
