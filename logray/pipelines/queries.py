@@ -628,7 +628,11 @@ def customer_order_counts(sf_dir: str):
     counts = counts.map_batches(
         lambda t: pa.table({"c_custkey": t["o_custkey"], "n_orders": t["n_orders"]}),
         batch_format="pyarrow")
-    joined = relational.hash_join(cust, counts, on="c_custkey", how="left")
+    # counts sits behind an Aggregate all-to-all: pass its (statically
+    # known) schema so join-time discovery doesn't execute the shuffle twice
+    joined = relational.hash_join(cust, counts, on="c_custkey", how="left",
+                                  right_schema=pa.schema([("c_custkey", pa.int64()),
+                                                          ("n_orders", pa.int64())]))
 
     def fin(t: pa.Table) -> pa.Table:
         col = pc.fill_null(t["n_orders"], 0.0)
@@ -1399,9 +1403,13 @@ def purchase_error_outer_join(sf_dir: str):
         return relational.grouped_agg(filt, ["user_id"],
                                       {name: ("user_id", "count")})
 
-    joined = relational.hash_join(side("purchase", "n_purchase"),
-                                  side("error", "n_error"),
-                                  on="user_id", how="outer")
+    # both sides sit behind Aggregate all-to-alls: pass their schemas so
+    # join-time discovery doesn't execute each shuffle twice
+    joined = relational.hash_join(
+        side("purchase", "n_purchase"), side("error", "n_error"),
+        on="user_id", how="outer",
+        left_schema=pa.schema([("user_id", pa.int64()), ("n_purchase", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()), ("n_error", pa.int64())]))
 
     def fix_types(df: pd.DataFrame) -> pd.DataFrame:
         df["n_purchase"] = df["n_purchase"].astype("Int64")
