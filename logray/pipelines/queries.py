@@ -1114,6 +1114,16 @@ def transcript_parse_counts(sf_dir: str):
     return relational.grouped_agg(parsed, ["rule_id"], {"n": ("rule_id", "count")})
 
 
+def reservoir_sample_events(sf_dir: str):
+    """Exact-k uniform sample in one streaming pass (bottom-k priority
+    sampling, C6): per-block bottom-k partials + O(k) driver combine — no
+    shuffle, no full sort, exact k rows even from unknown-size input.
+    See relational.reservoir_sample for the scale notes."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return pa.Table.from_pandas(
+        relational.reservoir_sample(ds, "event_id", 100), preserve_index=False)
+
+
 def deterministic_sample_events(sf_dir: str):
     """Deterministic hash-based sampling (C6): keep events whose
     ``md5(event_id)`` starts with hex digit 0 or 1 (≈1/8 sample).
@@ -1829,6 +1839,7 @@ QUERIES = {
     "rolling_fingerprint_documents": rolling_fingerprint_documents,
     # sampling
     "deterministic_sample_events": deterministic_sample_events,
+    "reservoir_sample_events": reservoir_sample_events,
     "stratified_sample_events": stratified_sample_events,
     "random_sample_events": random_sample_events,
     "mixture_sample_documents": mixture_sample_documents,

@@ -657,3 +657,26 @@ def test_kmeans_recovers_planted_clusters(ray_session):
     purity = (out.cluster_id == out.vec_id.floordiv(50).map(lab_of)).mean()
     assert purity > 0.95, purity
     assert lab_of.nunique() == 4
+
+
+def test_reservoir_sample_exact_and_block_invariant(ray_session):
+    """Bottom-k priority sampling: exact k rows, equal to the local
+    brute-force bottom-k, and invariant to how the input is blocked
+    (the partials must be mergeable)."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from logray.ops.relational import reservoir_sample
+
+    df = pd.DataFrame({"event_id": range(1000),
+                       "value": [i * 0.5 for i in range(1000)]})
+    want = (df.assign(__pri=df.event_id.astype(str).map(
+                lambda s: hashlib.md5(s.encode()).hexdigest()))
+              .sort_values(["__pri", "event_id"]).head(7)
+              .drop(columns="__pri").reset_index(drop=True))
+    for nblocks in (1, 4, 37):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got = reservoir_sample(ds, "event_id", 7)
+        pd.testing.assert_frame_equal(got, want)
