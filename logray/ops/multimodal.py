@@ -88,6 +88,53 @@ class DecodeImageStage:
         return batch.append_column("phash64", pa.array([f[3] for f in feats], pa.uint64()))
 
 
+class ResizeImageStage:
+    """Actor-pool stage: payload -> thumbnail payload + (width, height)
+    clamped to ``max_side`` with aspect preserved — the transform whose
+    OUTPUT is itself a binary column (unlike the feature extractors), so it
+    exercises the write-side of binary plumbing too. Real resampling is
+    stubbed (Pillow absent); the fake path computes the exact output
+    dimensions a real resize would and emits a deterministic
+    payload-derived thumbnail of proportional size."""
+
+    def __init__(self, max_side: int = 256, decode: str = "real"):
+        self.max_side = max_side
+        self.decode = decode
+
+    def _resize_one(self, payload: bytes, w: int, h: int) -> tuple[bytes, int, int]:
+        if self.decode == "real":
+            raise NotImplementedError(
+                "image resize requires Pillow, not available in this container; "
+                "run with decode='fake'")
+        if max(w, h) <= self.max_side:
+            ow, oh = max(w, 1), max(h, 1)
+        elif w >= h:
+            # longer side pinned exactly (int(w*scale) float-truncates to
+            # max_side-1 for some sizes); shorter side rounds
+            ow, oh = self.max_side, max(1, round(h * self.max_side / w))
+        else:
+            oh, ow = self.max_side, max(1, round(w * self.max_side / h))
+        # deterministic stand-in bytes, sized like a real thumbnail
+        # (payload shrinks by the pixel ratio)
+        n = max(16, int(len(payload) * (ow * oh) / max(w * h, 1)))
+        rep = hashlib.blake2b(payload, digest_size=32).digest()
+        return (rep * (n // 32 + 1))[:n], ow, oh
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        out = [self._resize_one(p, w or 0, h or 0)
+               for p, w, h in zip(payloads, ws, hs)]
+        i = batch.schema.get_field_index
+        batch = batch.set_column(i("payload"), "payload",
+                                 pa.array([o[0] for o in out], pa.binary()))
+        batch = batch.set_column(i("width"), "width",
+                                 pa.array([o[1] for o in out], pa.int32()))
+        return batch.set_column(i("height"), "height",
+                                pa.array([o[2] for o in out], pa.int32()))
+
+
 class AudioFeatureStage:
     """Actor-pool stage: payload -> (duration_ms, rms_db) — stubbed decode."""
 

@@ -1283,6 +1283,34 @@ def multimodal_decode_features(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def multimodal_resize_thumbs(sf_dir: str):
+    """Two chained actor-pool binary stages: fake-decode (fills dims) →
+    resize (emits a NEW binary payload, dims clamped to 128) — exercises
+    binary columns as stage OUTPUT, not just input. Payload dropped
+    before returning so the result schema stays comparable."""
+    import ray.data
+
+    from ..ops import multimodal
+
+    t = multimodal.make_fake_media_table(256)
+    ds = ray.data.from_arrow(t)
+    decoded = ds.map_batches(multimodal.DecodeImageStage,
+                             fn_constructor_kwargs={"decode": "fake"},
+                             concurrency=2, batch_size=64, batch_format="pyarrow")
+    resized = decoded.map_batches(multimodal.ResizeImageStage,
+                                  fn_constructor_kwargs={"decode": "fake",
+                                                         "max_side": 128},
+                                  concurrency=2, batch_size=64,
+                                  batch_format="pyarrow")
+
+    def fin(t: pa.Table) -> pa.Table:
+        nb = pa.array([len(p) for p in t["payload"].to_pylist()], pa.int64())
+        return pa.table({"media_id": t["media_id"], "width": t["width"],
+                         "height": t["height"], "thumb_bytes": nb})
+
+    return resized.map_batches(fin, batch_format="pyarrow")
+
+
 def lead_value_events(sf_dir: str):
     """lead() window function: each event's NEXT value within its user's
     timeline (null for the user's last event)."""
@@ -1840,6 +1868,7 @@ QUERIES = {
     # sampling
     "deterministic_sample_events": deterministic_sample_events,
     "reservoir_sample_events": reservoir_sample_events,
+    "multimodal_resize_thumbs": multimodal_resize_thumbs,
     "stratified_sample_events": stratified_sample_events,
     "random_sample_events": random_sample_events,
     "mixture_sample_documents": mixture_sample_documents,

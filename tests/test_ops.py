@@ -680,3 +680,36 @@ def test_reservoir_sample_exact_and_block_invariant(ray_session):
         ds = ray.data.from_pandas(df).repartition(nblocks)
         got = reservoir_sample(ds, "event_id", 7)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_multimodal_resize_stage(ray_session):
+    import ray.data
+
+    t = multimodal.make_fake_media_table(20)
+    decoded = multimodal.DecodeImageStage(decode="fake")(t)
+    out = ray.data.from_arrow(decoded).map_batches(
+        multimodal.ResizeImageStage,
+        fn_constructor_kwargs={"decode": "fake", "max_side": 64},
+        concurrency=2, batch_size=8, batch_format="pyarrow").to_pandas()
+    assert len(out) == 20
+    assert (out.width <= 64).all() and (out.height <= 64).all()
+    assert (out.width >= 1).all() and (out.height >= 1).all()
+    # aspect preserved within integer truncation: longer side hits max_side
+    src = decoded.to_pandas()
+    m = out.merge(src[["media_id", "width", "height"]], on="media_id",
+                  suffixes=("", "_src"))
+    assert (m[["width", "height"]].max(axis=1) == 64).all()  # sources all >64
+    # payload replaced by a smaller deterministic thumbnail
+    assert all(len(p) > 0 for p in out.payload)
+    out2 = multimodal.ResizeImageStage(decode="fake", max_side=64)(decoded).to_pandas()
+    assert list(out.sort_values("media_id").payload) == \
+           list(out2.sort_values("media_id").payload)
+
+
+def test_multimodal_resize_real_raises():
+    t = multimodal.make_fake_media_table(2)
+    decoded = multimodal.DecodeImageStage(decode="fake")(t)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.ResizeImageStage(decode="real")(decoded)
