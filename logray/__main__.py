@@ -9,6 +9,7 @@ Commands own their Ray session (library code never calls ray.init).
   query <name> <sf_dir>       one catalogue query, results to stdout
   ls                          list the query catalogue
   rules <out.json|->          export the frozen rule table as editable JSON
+  compact <out_dir>           merge small sink files (manifest-safe)
 """
 
 from __future__ import annotations
@@ -46,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
     x = sub.add_parser("rules", help="export the frozen rule table as JSON "
                                      "(edit + pass back via `run --rules`)")
     x.add_argument("out", help="output path, '-' for stdout")
+
+    c = sub.add_parser("compact", help="merge small sink files per "
+                                       "(partition, sink) via the manifest protocol")
+    c.add_argument("out_dir")
+    c.add_argument("--target-mb", type=int, default=128)
 
     q = sub.add_parser("query", help="run one catalogue query")
     q.add_argument("name")
@@ -100,6 +106,12 @@ def main(argv: list[str] | None = None) -> int:
                                    resume=not args.no_resume,
                                    rules_json=rules_json)
             print(json.dumps(metrics, default=str))
+            return 0
+
+        if args.cmd == "compact":
+            from .pipelines.compact import compact
+
+            print(json.dumps(compact(args.out_dir, target_mb=args.target_mb)))
             return 0
 
         if args.cmd == "query":

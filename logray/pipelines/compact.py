@@ -1,0 +1,123 @@
+"""Sink compaction — the small-files maintenance job (C1/B6 operations).
+
+The fan-out writer emits one file per (batch, sink) slice, which is right
+for streaming throughput but wrong to leave on disk at 100 TB: millions of
+small parquet files tax metadata servers and downstream readers. This job
+rewrites each committed (partition, sink)'s fragments into files of
+~``target_bytes`` and commits the new file list through the SAME manifest
+protocol the writer uses, so every intermediate state is safe:
+
+- new merged files are written FIRST under uuid-fresh names — a crash
+  before the manifest commit leaves them as unreferenced orphans
+  (invisible to readers, removed by ``manifests.sweep_orphans``);
+- the manifest replace is atomic (``os.replace``), so readers always see
+  either the old complete file set or the new one, never a mix;
+- replaced fragments are deleted only AFTER the commit — a crash between
+  commit and delete leaves old files as orphans, same sweep.
+
+Partitions are independent: one Ray task each (a file-surgery job, not a
+data transform — the documented raw-task carve-out), so compaction
+parallelizes across the cluster and can run while new partitions are
+still being ingested (it only touches committed manifests).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from pathlib import Path
+
+import pyarrow.parquet as pq
+
+from ..state import manifests
+
+
+def _plan_bins(files: list[str], target_bytes: int) -> list[list[str]]:
+    """Greedy size-ordered first-fit: group fragments into bins whose total
+    on-disk size is ≤ target (one oversize file stays alone). Only bins
+    with ≥2 files are rewritten."""
+    sized = sorted(((Path(f).stat().st_size, f) for f in files), reverse=True)
+    bins: list[tuple[int, list[str]]] = []
+    for size, f in sized:
+        for i, (tot, members) in enumerate(bins):
+            if tot + size <= target_bytes:
+                bins[i] = (tot + size, members + [f])
+                break
+        else:
+            bins.append((size, [f]))
+    return [members for _, members in bins]
+
+
+def compact_partition(out_dir: str, partition_id: str,
+                      target_bytes: int = 128 * 1024 * 1024,
+                      compression: str = "zstd") -> dict:
+    """Compact one committed partition in place; returns stats. Safe to
+    re-run (no-op once every sink is within the bin plan)."""
+    m = manifests.load_manifest(out_dir, partition_id)
+    if m is None:
+        return {"partition": partition_id, "skipped": "uncommitted"}
+    new_sink_files: dict[str, list[str]] = {}
+    replaced: list[str] = []
+    files_before = files_after = 0
+    for sink, files in m.get("sink_files", {}).items():
+        files_before += len(files)
+        keep: list[str] = []
+        for members in _plan_bins(files, target_bytes):
+            if len(members) < 2:
+                keep.extend(members)
+                continue
+            tables = [pq.read_table(f) for f in sorted(members)]
+            import pyarrow as pa
+
+            merged = pa.concat_tables(tables, promote_options="default")
+            sink_dir = Path(members[0]).parent
+            out = sink_dir / f"part-{uuid.uuid4().hex}.parquet"
+            # same codec/stat settings as the streaming writer (route.py)
+            pq.write_table(merged, out, compression=compression,
+                           use_dictionary=False, write_statistics=False)
+            keep.append(str(out))
+            replaced.extend(members)
+        new_sink_files[sink] = sorted(keep)
+        files_after += len(keep)
+    if not replaced:
+        return {"partition": partition_id, "files_before": files_before,
+                "files_after": files_before, "rewritten": 0}
+    m["sink_files"] = new_sink_files
+    manifests.commit_manifest(out_dir, partition_id, m)  # atomic swap
+    for f in replaced:  # only after commit: crash here -> orphans, swept
+        Path(f).unlink(missing_ok=True)
+    return {"partition": partition_id, "files_before": files_before,
+            "files_after": files_after, "rewritten": len(replaced)}
+
+
+def compact(out_dir: str | Path, *, target_mb: int = 128,
+            compression: str = "zstd") -> dict:
+    """Compact every committed partition (one Ray task each when a Ray
+    session exists; serial fallback otherwise). Returns rollup metrics."""
+    t0 = time.time()
+    out_dir = str(out_dir)
+    pids = [m["partition_id"] for m in manifests.all_manifests(out_dir)]
+    target = target_mb * 1024 * 1024
+    results: list[dict]
+    try:
+        import ray
+
+        have_ray = ray.is_initialized()
+    except Exception:
+        have_ray = False
+    if have_ray and len(pids) > 1:
+        import ray
+
+        task = ray.remote(num_cpus=1)(compact_partition)
+        results = ray.get([task.remote(out_dir, p, target, compression)
+                           for p in pids])
+    else:
+        results = [compact_partition(out_dir, p, target, compression)
+                   for p in pids]
+    return {
+        "partitions": len(pids),
+        "files_before": sum(r.get("files_before", 0) for r in results),
+        "files_after": sum(r.get("files_after", 0) for r in results),
+        "rewritten": sum(r.get("rewritten", 0) for r in results),
+        "elapsed_sec": round(time.time() - t0, 3),
+    }
