@@ -66,17 +66,30 @@ def compact_partition(out_dir: str, partition_id: str,
             if len(members) < 2:
                 keep.extend(members)
                 continue
-            tables = [pq.read_table(f) for f in sorted(members)]
-            import pyarrow as pa
-
-            merged = pa.concat_tables(tables, promote_options="default")
             sink_dir = Path(members[0]).parent
             out = sink_dir / f"part-{uuid.uuid4().hex}.parquet"
-            # same codec/stat settings as the streaming writer (route.py)
-            pq.write_table(merged, out, compression=compression,
-                           use_dictionary=False, write_statistics=False)
+            # stream fragment-by-fragment: peak heap is ONE decompressed
+            # fragment, not the whole decompressed bin (a 128 MB-compressed
+            # bin of text is ~1 GB in memory). Same codec/stat settings as
+            # the streaming writer (route.py). Fragments of one sink share
+            # a schema by construction (fixed per-sink allowlist); a
+            # mismatch (e.g. fragments from two pipeline versions) keeps
+            # that fragment un-compacted rather than failing the job.
+            ordered = sorted(members)
+            schema = pq.read_schema(ordered[0])
+            mismatched = [f for f in ordered if pq.read_schema(f) != schema]
+            group = [f for f in ordered if f not in set(mismatched)]
+            if len(group) < 2:
+                keep.extend(members)
+                continue
+            with pq.ParquetWriter(out, schema, compression=compression,
+                                  use_dictionary=False,
+                                  write_statistics=False) as w:
+                for f in group:
+                    w.write_table(pq.read_table(f))
             keep.append(str(out))
-            replaced.extend(members)
+            keep.extend(mismatched)
+            replaced.extend(group)
         new_sink_files[sink] = sorted(keep)
         files_after += len(keep)
     if not replaced:

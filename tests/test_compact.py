@@ -93,3 +93,31 @@ def test_crash_window_leaves_only_orphans(fragmented_run, ray_session, tmp_path)
     assert str(stray) not in manifests.manifest_files(out)
     swept = manifests.sweep_orphans(out)
     assert str(stray) in swept and not stray.exists()
+
+
+def test_compact_schema_mismatch_left_alone(tmp_path):
+    """Fragments whose schema differs (e.g. written by two pipeline
+    versions) are kept un-compacted instead of failing the job."""
+    import pyarrow as pa
+
+    pdir = tmp_path / "partition=p0" / "sink=s"
+    pdir.mkdir(parents=True)
+    a = pa.table({"x": pa.array([1, 2], pa.int64())})
+    b = pa.table({"x": pa.array([3], pa.int64())})
+    odd = pa.table({"x": pa.array([9], pa.int64()),
+                    "extra": pa.array(["v"], pa.string())})
+    files = []
+    for i, t in enumerate([a, b, odd]):
+        f = pdir / f"part-{i}.parquet"
+        pq.write_table(t, f)
+        files.append(str(f))
+    manifests.commit_manifest(tmp_path, "p0", {
+        "sink_files": {"s": files}, "rule_counts": {"s|r": 4},
+        "metrics": {"rows": 4, "parse_errors": 0, "unknown_rows": 0}})
+    r = compact_partition(str(tmp_path), "p0", target_bytes=1 << 30)
+    assert r["rewritten"] == 2 and r["files_after"] == 2
+    kept = manifests.manifest_files(tmp_path, "s")
+    assert files[2] in kept and len(kept) == 2
+    total = sum(pq.read_metadata(f).num_rows for f in kept)
+    assert total == 4
+    assert manifests.sweep_orphans(tmp_path, dry_run=True) == []
