@@ -429,6 +429,13 @@ class RuleSet:
         ``extra_cols``: input columns outside the compiled passthrough set to
         carry into the output unchanged (e.g. a lineage/partition tag)."""
         n = table.num_rows
+        # schema evolution: an input partition written before a column was
+        # added simply lacks it — treat as all-null (absent optional field,
+        # same semantics as '' captures), never crash. Gates on a null
+        # column don't match, so those rows fall through to ungated rules.
+        for name, typ in self.passthrough:
+            if name not in table.column_names:
+                table = table.append_column(name, pa.nulls(n, typ))
         if n == 0:
             return self._out_schema(table, extra_cols).empty_table()
         text = table[text_col]
