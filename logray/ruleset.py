@@ -391,33 +391,77 @@ class RuleSet:
             schema = schema.append(pa.field(c, table.schema.field(c).type))
         return schema
 
-    def _emit(self, cr: CompiledRule, table: pa.Table, take_idx: np.ndarray,
-              caps: dict[str, pa.Array], extra_cols: tuple[str, ...] = ()) -> pa.Table:
-        n = len(take_idx)
-        sub = table.take(pa.array(take_idx))
+    @staticmethod
+    def _concat_pieces(pieces: list[tuple[int, pa.Array | None]],
+                       typ: pa.DataType) -> pa.Array:
+        """Assemble one output column from ordered (length, values|None)
+        pieces, coalescing adjacent null runs — a column owned by few rules
+        costs O(owners) arrays, not O(rules)."""
+        arrays: list[pa.Array] = []
+        null_run = 0
+        for n, vals in pieces:
+            if n == 0:
+                continue
+            if vals is None:
+                null_run += n
+                continue
+            if null_run:
+                arrays.append(pa.nulls(null_run, typ))
+                null_run = 0
+            arrays.append(vals if vals.type == typ else pc.cast(vals, typ))
+        if null_run:
+            arrays.append(pa.nulls(null_run, typ))
+        if not arrays:
+            return pa.nulls(0, typ)
+        return pa.concat_arrays(arrays) if len(arrays) > 1 else arrays[0]
+
+    def _assemble(self, table: pa.Table,
+                  emits: list[tuple[CompiledRule, np.ndarray, dict[str, pa.Array]]],
+                  extra_cols: tuple[str, ...]) -> pa.Table:
+        """Build the union-schema output in ONE pass per column. ``emits``
+        is the per-rule match list in output order; rows come out grouped
+        by rule. Columns a rule doesn't own contribute a null run, so cost
+        is O(columns + total owner pieces), not O(rules × columns) — the
+        wide-sparse union schema stays cheap at 100+ rule tables."""
+        counts = [len(idx) for _, idx, _ in emits]
+        global_idx = (np.concatenate([idx for _, idx, _ in emits])
+                      if emits else np.empty(0, np.int64))
+        sub = table.take(pa.array(global_idx))
         cols: list[pa.Array | pa.ChunkedArray] = [sub[name] for name, _ in self.passthrough]
-        cols.append(pa.array([cr.rule.rule_id] * n, pa.string()))
-        cols.append(pa.array([cr.rule.sink] * n, pa.string()))
+        cols.append(self._concat_pieces(
+            [(n, pa.array([cr.rule.rule_id] * n, pa.string()))
+             for (cr, _, _), n in zip(emits, counts)], pa.string()))
+        cols.append(self._concat_pieces(
+            [(n, pa.array([cr.rule.sink] * n, pa.string()))
+             for (cr, _, _), n in zip(emits, counts)], pa.string()))
         for f in self.const_fields:
-            v = cr.rule.consts.get(f)
-            cols.append(pa.array([v] * n, pa.string()) if v is not None else pa.nulls(n, pa.string()))
-        err = np.zeros(n, dtype=bool)
-        cast_by_dst = {c.dst_field: c for c in cr.rule.casts}
+            cols.append(self._concat_pieces(
+                [(n, pa.array([v] * n, pa.string()) if (v := cr.rule.consts.get(f)) is not None
+                  else None)
+                 for (cr, _, _), n in zip(emits, counts)], pa.string()))
+        # typed capture/cast columns + the parse_error union
+        err_parts: list[np.ndarray] = []
+        cap_pieces: dict[str, list[tuple[int, pa.Array | None]]] = {
+            name: [] for name in self.capture_fields}
+        for (cr, _, caps), n in zip(emits, counts):
+            err = np.zeros(n, dtype=bool)
+            cast_by_dst = {c.dst_field: c for c in cr.rule.casts}
+            for name in self.capture_fields:
+                piece: pa.Array | None = None
+                if name in cast_by_dst:
+                    c = cast_by_dst[name]
+                    if c.src in caps:
+                        piece, e = _safe_cast(caps[c.src], c)
+                        err |= e
+                elif name in caps and self.schema.field(name).type == pa.string():
+                    piece = caps[name]
+                cap_pieces[name].append((n, piece))
+            err_parts.append(err)
         for name in self.capture_fields:
-            t = self.schema.field(name).type
-            if name in cast_by_dst:
-                c = cast_by_dst[name]
-                if c.src in caps:
-                    vals, e = _safe_cast(caps[c.src], c)
-                    err |= e
-                    cols.append(vals)
-                else:
-                    cols.append(pa.nulls(n, t))
-            elif name in caps and t == pa.string():
-                cols.append(caps[name])
-            else:
-                cols.append(pa.nulls(n, t))
-        cols.append(pa.array(err))
+            cols.append(self._concat_pieces(cap_pieces[name],
+                                            self.schema.field(name).type))
+        cols.append(pa.array(np.concatenate(err_parts)
+                             if err_parts else np.zeros(0, bool)))
         for c in extra_cols:
             cols.append(sub[c])
         return pa.Table.from_arrays(cols, schema=self._out_schema(table, extra_cols))
@@ -443,7 +487,7 @@ class RuleSet:
             text = text.combine_chunks()
         unmatched = np.ones(n, dtype=bool)
         gate_cache: dict = {}
-        pieces: list[pa.Table] = []
+        emits: list[tuple[CompiledRule, np.ndarray, dict[str, pa.Array]]] = []
         for cr in self.rules:
             if not unmatched.any():
                 break
@@ -452,7 +496,7 @@ class RuleSet:
             if len(idx) == 0:
                 continue
             if cr.is_default:
-                pieces.append(self._emit(cr, table, idx, {}, extra_cols))
+                emits.append((cr, idx, {}))
                 unmatched[idx] = False
                 continue
             pos, caps = self._extract(cr, text, idx)
@@ -460,9 +504,8 @@ class RuleSet:
                 continue
             take_idx = idx[pos]
             unmatched[take_idx] = False
-            pieces.append(self._emit(cr, table, take_idx, caps, extra_cols))
+            emits.append((cr, take_idx, caps))
         if unmatched.any():
             # gated default shouldn't happen (default has no gate), but never drop rows
-            idx = np.flatnonzero(unmatched)
-            pieces.append(self._emit(self.rules[-1], table, idx, {}, extra_cols))
-        return pa.concat_tables(pieces) if len(pieces) > 1 else pieces[0]
+            emits.append((self.rules[-1], np.flatnonzero(unmatched), {}))
+        return self._assemble(table, emits, extra_cols)
