@@ -40,3 +40,34 @@ def map_via_dict(arr: pa.ChunkedArray | pa.Array, mapping: dict, default, out_ty
     if len(uniq) == 0:
         return pa.nulls(len(arr), out_type)
     return vals.take(d.indices)
+
+
+def stable_hash64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Stable int64 hash of a column for partitioning: strings via
+    crc32-over-uniques, integer/temporal via their int64 value, floats via
+    bit view; nulls -> 0. Identical across processes/nodes (no Python
+    hash salt)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        d = arr.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        if not uniq:
+            return np.zeros(len(arr), np.int64)
+        hs = np.asarray([zlib.crc32(u.encode()) for u in uniq], dtype=np.int64)
+        idx = np.asarray(d.indices.fill_null(-1).to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        return np.where(idx >= 0, hs[np.clip(idx, 0, None)], np.int64(0))
+    if pa.types.is_floating(t):
+        v = np.asarray(arr.to_numpy(zero_copy_only=False), dtype=np.float64)
+        out = v.view(np.int64).copy()
+        out[np.isnan(v)] = 0
+        return out
+    v = arr.cast(pa.int64()) if t != pa.int64() else arr
+    x = v.to_numpy(zero_copy_only=False)
+    if x.dtype != np.int64:  # nulls widened to float
+        xf = np.asarray(x, dtype=np.float64)
+        out = np.nan_to_num(xf, nan=0.0).astype(np.int64)
+        return out
+    return np.asarray(x)

@@ -82,7 +82,7 @@ def hash_join(left, right, on: str | list[str], *, how: str = "inner",
     join key can run here and skip a second all-to-all — join+aggregate
     fusion on shared partitioning.
     """
-    from ..functions.hashing import stable_bucket
+    from ..functions.hashing import stable_hash64
 
     on = [on] if isinstance(on, str) else list(on)
     # .schema() on a lazy Dataset executes a prefix of its plan — behind an
@@ -108,13 +108,14 @@ def hash_join(left, right, on: str | list[str], *, how: str = "inner",
             for c in all_cols:
                 cols[c] = batch[c] if c in side_cols else pa.nulls(n, types[c])
             cols["__side"] = pa.array(np.full(n, side_tag, np.int8))
-            key = batch[on[0]]
-            if pa.types.is_string(key.type):
-                cols["__bucket"] = stable_bucket(key, num_buckets)
-            else:
-                v = np.asarray(key.to_numpy(zero_copy_only=False), dtype=np.int64)
-                cols["__bucket"] = pa.array(
-                    ((v * np.int64(2654435761)) % num_buckets).astype(np.int32))
+            # mix ALL key columns into the bucket: bucketing only the first
+            # key collapses the bucket space when it is low-cardinality
+            # (e.g. on=["day", "user_id"] would leave ~#days live buckets)
+            h = np.zeros(n, dtype=np.int64)
+            for c in on:
+                h = h * np.int64(1000003) + stable_hash64(batch[c])
+            cols["__bucket"] = pa.array(
+                (np.abs(h) % num_buckets).astype(np.int32))
             return pa.table(cols)
         return fn
 

@@ -713,3 +713,45 @@ def test_multimodal_resize_real_raises():
 
     with _pytest.raises(NotImplementedError):
         multimodal.ResizeImageStage(decode="real")(decoded)
+
+
+def test_hash_join_multikey_and_bucket_mixing(ray_session):
+    """Multi-key join correctness + the bucket must mix ALL key columns —
+    a low-cardinality first key alone would collapse the bucket space."""
+    import ray.data
+
+    from logray.functions.hashing import stable_hash64
+    from logray.ops.relational import hash_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({"day": rng.integers(0, 3, 500),
+                         "user_id": rng.integers(0, 200, 500),
+                         "v": np.arange(500)})
+    right = (left.groupby(["day", "user_id"], as_index=False)["v"].count()
+             .rename(columns={"v": "n"}))
+    got = hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    on=["day", "user_id"]).to_pandas()
+    want = left.merge(right, on=["day", "user_id"])
+    key = ["day", "user_id", "v"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[want.columns.tolist()],
+        want.sort_values(key).reset_index(drop=True))
+    # distribution: mixing day+user spreads well past the 3 live buckets a
+    # first-key-only scheme would produce
+    h = np.zeros(len(left), np.int64)
+    for c in ["day", "user_id"]:
+        h = h * np.int64(1000003) + stable_hash64(pa.array(left[c].to_numpy()))
+    assert len(np.unique(np.abs(h) % 64)) > 32
+
+
+def test_stable_hash64_types():
+    from logray.functions.hashing import stable_hash64
+
+    s = stable_hash64(pa.array(["a", "b", None, "a"]))
+    assert s[0] == s[3] and s[2] == 0 and s[0] != s[1]
+    i = stable_hash64(pa.array([1, 2, None], pa.int64()))
+    assert i[0] == 1 and i[2] == 0
+    ts = stable_hash64(pa.array([1000, None], pa.timestamp("us")))
+    assert ts[0] == 1000 and ts[1] == 0
+    f = stable_hash64(pa.array([1.5, float("nan")]))
+    assert f[1] == 0 and f[0] == np.float64(1.5).view(np.int64)
