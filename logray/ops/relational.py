@@ -62,9 +62,9 @@ def hash_join(left, right, on: str | list[str], *, how: str = "inner",
               right_schema: pa.Schema | None = None):
     """Large×large shuffle join (C4 scale path).
 
-    Both sides are bucketed by a stable hash of the FIRST join key (a
-    key's rows never split across buckets), tagged, padded to a common
-    schema with null columns, unioned, and co-located with one
+    Both sides are bucketed by a stable mixed hash over ALL join key
+    columns (a key's rows never split across buckets), tagged, padded to
+    a common schema with null columns, unioned, and co-located with one
     ``groupby('__bucket')`` all-to-all; each bucket then runs a single
     vectorized pandas merge. Python overhead is O(num_buckets); the
     shuffle moves each side exactly once — the classic partitioned hash
@@ -319,3 +319,61 @@ def reservoir_sample(ds, key_col: str, k: int) -> pd.DataFrame:
     cand = ds.map_batches(with_priority, batch_format="pandas").to_pandas()
     out = cand.sort_values(["__pri", key_col]).head(k).drop(columns="__pri")
     return out.reset_index(drop=True)
+
+
+def skew_join(left, right, on: str, *, hot_keys=None, hot_threshold: int = 100_000,
+              num_buckets: int = 64,
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
+    """Skew-split INNER join: hot keys take the broadcast path, the rest
+    the shuffle path (C4 skew handling).
+
+    A hash-partitioned join sends every row of a key to ONE bucket — a
+    single hot key (the 10M-turn conversation) turns into one straggler
+    task. Split instead:
+
+    - detect hot keys with a combiner pass (``grouped_agg`` pre-aggregates
+      per batch, the driver only ever pulls keys whose count exceeds
+      ``hot_threshold`` — bounded driver state at any input size), or pass
+      ``hot_keys`` explicitly;
+    - hot rows join against the (small: one row set per hot key) hot slice
+      of ``right`` broadcast via ``ray.put`` — these keys never shuffle;
+    - cold rows run the normal ``hash_join``; results union.
+
+    INNER only: outer semantics across the split would need unmatched-key
+    bookkeeping on both paths. ``right`` is read twice (hot slice +
+    cold shuffle) — at scale pass a cheap re-readable Dataset, not a
+    materialized chain.
+    """
+    import pyarrow.compute as pc
+
+    if hot_keys is None:
+        counts = grouped_agg(left, [on], {"__n": (on, "count")})
+        hot_tbl = counts.map_batches(
+            lambda t: t.filter(pc.greater(t["__n"], hot_threshold)),
+            batch_format="pyarrow").to_pandas()
+        # an all-empty filtered Dataset comes back with NO columns
+        hot_keys = (hot_tbl[on].to_numpy() if on in hot_tbl.columns
+                    else np.empty(0))
+    hot_keys = np.unique(np.asarray(hot_keys))
+    if len(hot_keys) == 0:
+        return hash_join(left, right, on, num_buckets=num_buckets,
+                         left_schema=left_schema, right_schema=right_schema)
+    right_hot = semi_filter(right, on, hot_keys).to_pandas()
+    hot_out = broadcast_join(semi_filter(left, on, hot_keys), right_hot, on=on)
+    cold_out = hash_join(semi_filter(left, on, hot_keys, keep=False),
+                         semi_filter(right, on, hot_keys, keep=False),
+                         on, num_buckets=num_buckets,
+                         left_schema=left_schema, right_schema=right_schema)
+    # align column order before union (broadcast path: left cols then right)
+    cols = None
+    if left_schema is not None and right_schema is not None:
+        cols = list(left_schema.names) + [c for c in right_schema.names if c != on]
+    if cols is None:
+        cols = sorted(set(hot_out.schema().names))
+
+    def order(t: pa.Table) -> pa.Table:
+        return t.select(cols)
+
+    return (hot_out.map_batches(order, batch_format="pyarrow")
+            .union(cold_out.map_batches(order, batch_format="pyarrow")))

@@ -304,6 +304,12 @@ ORACLE_SQL: dict[str, str] = {
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
     """,
+    "skew_join_user_totals": """
+        SELECT e.user_id, e.event_id, t.n_user
+        FROM events e JOIN (
+            SELECT user_id, count(*) AS n_user FROM events GROUP BY user_id
+        ) t ON e.user_id = t.user_id
+    """,
     "customer_order_counts": """
         SELECT c_custkey, count(o_orderkey) AS n_orders
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey

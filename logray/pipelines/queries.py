@@ -617,6 +617,21 @@ def q5_local_supplier_volume(sf_dir: str):
     })
 
 
+def skew_join_user_totals(sf_dir: str):
+    """Skew-split join (C4 skew handling): events joined to their per-user
+    totals via relational.skew_join — hot users (auto-detected with a
+    combiner pass, count > 20 at sf0.01) take the broadcast path and never
+    shuffle; cold users take the hash-shuffle path; identical output to a
+    plain join, which is exactly what the SQL oracle checks."""
+    ev = _read(sf_dir, "events", ["user_id", "event_id"])
+    totals = relational.grouped_agg(ev, ["user_id"],
+                                    {"n_user": ("event_id", "count")}).materialize()
+    return relational.skew_join(
+        ev, totals, "user_id", hot_threshold=20,
+        left_schema=pa.schema([("user_id", pa.int64()), ("event_id", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()), ("n_user", pa.int64())]))
+
+
 def customer_order_counts(sf_dir: str):
     """LEFT OUTER shuffle join: order counts per customer including
     zero-order customers. Orders pre-aggregate to one row per customer
@@ -1814,6 +1829,7 @@ QUERIES = {
     "order_revenue_join": order_revenue_join,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "skew_join_user_totals": skew_join_user_totals,
     "customer_order_counts": customer_order_counts,
     "orders_with_returns_by_priority": orders_with_returns_by_priority,
     "union_purchases_errors": union_purchases_errors,

@@ -755,3 +755,29 @@ def test_stable_hash64_types():
     assert ts[0] == 1000 and ts[1] == 0
     f = stable_hash64(pa.array([1.5, float("nan")]))
     assert f[1] == 0 and f[0] == np.float64(1.5).view(np.int64)
+
+
+def test_skew_join_matches_plain_join(ray_session):
+    """Skew-split join == plain join, with a planted 60%-hot key exercising
+    both the broadcast (hot) and shuffle (cold) paths, and auto-detection
+    pulling only the hot keys to the driver."""
+    import ray.data
+
+    from logray.ops.relational import skew_join
+
+    rng = np.random.default_rng(5)
+    keys = np.where(rng.random(20_000) < 0.6, 7, rng.integers(0, 500, 20_000))
+    left = pd.DataFrame({"k": keys.astype(np.int64), "v": np.arange(20_000)})
+    right = pd.DataFrame({"k": np.arange(500, dtype=np.int64),
+                          "attr": np.arange(500) * 10})
+    want = left.merge(right, on="k").sort_values(["k", "v"]).reset_index(drop=True)
+    for hot in (None, np.array([7])):  # auto-detect and explicit
+        got = skew_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                        "k", hot_keys=hot, hot_threshold=1000).to_pandas()
+        got = got.sort_values(["k", "v"]).reset_index(drop=True)[want.columns.tolist()]
+        pd.testing.assert_frame_equal(got, want)
+    # no hot keys above threshold -> pure shuffle path, same answer
+    got = skew_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    "k", hot_threshold=10**9).to_pandas()
+    got = got.sort_values(["k", "v"]).reset_index(drop=True)[want.columns.tolist()]
+    pd.testing.assert_frame_equal(got, want)
