@@ -153,6 +153,16 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, event_type, min(event_id) AS event_id
         FROM events GROUP BY user_id, event_type
     """,
+    "melt_lineitem_measures": """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               l_quantity AS value FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+               l_extendedprice FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+               l_discount FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+               l_tax FROM lineitem
+    """,
     "reservoir_sample_events": """
         SELECT event_id, event_type, value FROM events
         ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 100

@@ -1129,6 +1129,27 @@ def transcript_parse_counts(sf_dir: str):
     return relational.grouped_agg(parsed, ["rule_id"], {"n": ("rule_id", "count")})
 
 
+def melt_lineitem_measures(sf_dir: str):
+    """Unpivot / melt (wide → long): the four lineitem measure columns
+    become (measure, value) rows — per batch a zero-copy column slice per
+    measure concatenated, so the op is pure projection, no shuffle, and
+    output blocks stay streamable (4× rows, 1/4 width)."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"] + cols)
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        parts = [pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "measure": pa.array([c] * n, pa.string()),
+            "value": pc.cast(t[c], pa.float64()),
+        }) for c in cols]
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
 def reservoir_sample_events(sf_dir: str):
     """Exact-k uniform sample in one streaming pass (bottom-k priority
     sampling, C6): per-block bottom-k partials + O(k) driver combine — no
@@ -1884,6 +1905,7 @@ QUERIES = {
     # sampling
     "deterministic_sample_events": deterministic_sample_events,
     "reservoir_sample_events": reservoir_sample_events,
+    "melt_lineitem_measures": melt_lineitem_measures,
     "multimodal_resize_thumbs": multimodal_resize_thumbs,
     "stratified_sample_events": stratified_sample_events,
     "random_sample_events": random_sample_events,
