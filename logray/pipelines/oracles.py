@@ -377,6 +377,13 @@ ORACLE_SQL: dict[str, str] = {
                    AS total_price
         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
+    "orders_cube_status_priority": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0, 2)
+                   AS total_price
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
     "value_stats_by_type": """
         SELECT event_type, count(*) AS n,
                round(var_pop(value), 6) AS var_value,

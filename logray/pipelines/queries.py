@@ -1411,6 +1411,35 @@ def orders_rollup_status_priority(sf_dir: str):
         preserve_index=False)
 
 
+def orders_cube_status_priority(sf_dir: str):
+    """GROUP BY CUBE(status, priority): all four grain levels. Like the
+    ROLLUP sibling, the finest grain is computed distributed once and the
+    other three levels re-aggregate those (tiny) partials driver-side —
+    no second pass over the data."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    prepped = ds.map_batches(lambda t: _add_cents(t, "o_totalprice", "__cents"),
+                             batch_format="pyarrow")
+    base = relational.grouped_agg(prepped, ["o_orderstatus", "o_orderpriority"], {
+        "n_orders": ("__cents", "count"),
+        "total_cents": ("__cents", "sum"),
+    }).to_pandas()
+    by_status = (base.groupby("o_orderstatus", as_index=False)[["n_orders", "total_cents"]]
+                 .sum())
+    by_status["o_orderpriority"] = None
+    by_prio = (base.groupby("o_orderpriority", as_index=False)[["n_orders", "total_cents"]]
+               .sum())
+    by_prio["o_orderstatus"] = None
+    grand = pd.DataFrame({"o_orderstatus": [None], "o_orderpriority": [None],
+                          "n_orders": [base["n_orders"].sum()],
+                          "total_cents": [base["total_cents"].sum()]})
+    out = pd.concat([base, by_status, by_prio, grand], ignore_index=True)
+    out["total_price"] = (out["total_cents"] / 100.0).round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["o_orderstatus", "o_orderpriority", "n_orders", "total_price"]],
+        preserve_index=False)
+
+
 def value_stats_by_type(sf_dir: str):
     """Variance / stddev aggregates from exact integer moment partials:
     per-batch (n, Σcents, Σcents²) int64 partials combine in any order;
@@ -1833,6 +1862,7 @@ QUERIES = {
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
     "orders_rollup_status_priority": orders_rollup_status_priority,
+    "orders_cube_status_priority": orders_cube_status_priority,
     "value_stats_by_type": value_stats_by_type,
     "last_event_type_per_user": last_event_type_per_user,
     "corr_value_user_by_type": corr_value_user_by_type,
