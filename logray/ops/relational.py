@@ -56,57 +56,68 @@ def broadcast_join(ds, small: pd.DataFrame, on: str | list[str], *,
     return ds.map_batches(joiner, batch_format="pandas")
 
 
-def hash_join(left, right, on: str | list[str], *, how: str = "inner",
-              num_buckets: int = 64, bucket_post=None,
-              left_schema: pa.Schema | None = None,
-              right_schema: pa.Schema | None = None):
-    """Large×large shuffle join (C4 scale path).
+def multi_hash_join(sides: list, on: str | list[str], *, how: str = "inner",
+                    num_buckets: int = 64, bucket_post=None,
+                    schemas: list | None = None):
+    """k-way large×large shuffle join on one shared key — ONE all-to-all
+    (C4 scale path; "pick ONE partitioning key and reuse it across
+    stages"). Every side is bucketed by a stable mixed hash over ALL join
+    key columns (a key's rows never split across buckets), tagged with its
+    side index, padded to the union schema with null columns, unioned, and
+    co-located with a single ``groupby('__bucket')`` exchange; each bucket
+    then merges the k slices left-to-right with vectorized pandas merges.
+    A k-way join therefore moves each side exactly once, where chaining
+    ``hash_join`` would pay k-1 exchanges and re-shuffle intermediates.
 
-    Both sides are bucketed by a stable mixed hash over ALL join key
-    columns (a key's rows never split across buckets), tagged, padded to
-    a common schema with null columns, unioned, and co-located with one
-    ``groupby('__bucket')`` all-to-all; each bucket then runs a single
-    vectorized pandas merge. Python overhead is O(num_buckets); the
-    shuffle moves each side exactly once — the classic partitioned hash
-    join expressed in Ray Data primitives.
-
-    ``on`` columns must exist under the same names on both sides (rename
-    first). ``how``: 'inner', 'left' or 'outer' (full outer — correct
+    ``on`` columns must exist under the same names on all sides (rename
+    first); non-key column names must not collide across sides. ``how``:
+    'inner' for any k; 'left'/'outer' (full outer) only for k=2 — correct
     because buckets partition the key space, so an unmatched key surfaces
-    in exactly one bucket). Non-key column names must not collide. At
-    cluster scale, set ``num_buckets`` ≈ total cores × 4.
+    in exactly one bucket. At cluster scale, set ``num_buckets`` ≈ total
+    cores × 4.
+
+    ``schemas``: optional list aligned with ``sides`` (None entries fall
+    back to ``.schema()``) — pass them when a side sits behind an
+    all-to-all, since ``.schema()`` discovery would execute that whole
+    upstream shuffle once and the real run again.
 
     ``bucket_post``: optional ``pd.DataFrame -> pd.DataFrame`` applied to
     each merged bucket INSIDE the same map_groups task. Because a bucket
     holds every row of its join keys, a group-by on (a superset of) the
-    join key can run here and skip a second all-to-all — join+aggregate
+    join key can run here and skip another all-to-all — join+aggregate
     fusion on shared partitioning.
     """
     from ..functions.hashing import stable_hash64
 
     on = [on] if isinstance(on, str) else list(on)
-    # .schema() on a lazy Dataset executes a prefix of its plan — behind an
-    # all-to-all (e.g. a prior hash_join) that means running the WHOLE
-    # upstream shuffle once for discovery and again in the real run. When
-    # the caller knows the schema (it usually does for a join it just
-    # built), passing it skips that double execution.
-    lschema = left_schema if left_schema is not None else left.schema()
-    rschema = right_schema if right_schema is not None else right.schema()
-    lcols = list(lschema.names)
-    rcols = list(rschema.names)
-    clash = (set(lcols) & set(rcols)) - set(on)
-    if clash:
-        raise ValueError(f"non-key column collision: {sorted(clash)}")
-    types = {n: t for n, t in zip(lschema.names, lschema.types)}
-    types.update({n: t for n, t in zip(rschema.names, rschema.types)})
-    all_cols = on + sorted((set(lcols) | set(rcols)) - set(on))
+    if len(sides) < 2:
+        raise ValueError("multi_hash_join needs at least two sides")
+    if how != "inner" and len(sides) != 2:
+        raise ValueError("how='left'/'outer' is only defined for 2 sides")
+    if schemas is None:
+        schemas = [None] * len(sides)
+    scm = [s if s is not None else ds.schema() for ds, s in zip(sides, schemas)]
+    side_cols = [list(s.names) for s in scm]
+    seen: dict[str, int] = {}
+    for i, cols in enumerate(side_cols):
+        for c in cols:
+            if c in on:
+                continue
+            if c in seen:
+                raise ValueError(
+                    f"non-key column collision: {c!r} on sides {seen[c]} and {i}")
+            seen[c] = i
+    types: dict[str, pa.DataType] = {}
+    for s in scm:
+        types.update({n: t for n, t in zip(s.names, s.types)})
+    all_cols = on + sorted(set(types) - set(on))
 
-    def pad(side_cols: list[str], side_tag: int):
+    def pad(cols_here: list[str], side_tag: int):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
             cols = {}
             for c in all_cols:
-                cols[c] = batch[c] if c in side_cols else pa.nulls(n, types[c])
+                cols[c] = batch[c] if c in cols_here else pa.nulls(n, types[c])
             cols["__side"] = pa.array(np.full(n, side_tag, np.int8))
             # mix ALL key columns into the bucket: bucketing only the first
             # key collapses the bucket space when it is low-cardinality
@@ -119,8 +130,10 @@ def hash_join(left, right, on: str | list[str], *, how: str = "inner",
             return pa.table(cols)
         return fn
 
-    tagged = (left.map_batches(pad(lcols, 0), batch_format="pyarrow")
-              .union(right.map_batches(pad(rcols, 1), batch_format="pyarrow")))
+    tagged = sides[0].map_batches(pad(side_cols[0], 0), batch_format="pyarrow")
+    for i in range(1, len(sides)):
+        tagged = tagged.union(
+            sides[i].map_batches(pad(side_cols[i], i), batch_format="pyarrow"))
 
     def merge(t: pa.Table) -> pa.Table:
         # split by side BEFORE to_pandas: each slice then has no padding
@@ -128,14 +141,29 @@ def hash_join(left, right, on: str | list[str], *, how: str = "inner",
         side = t["__side"]
         import pyarrow.compute as pc
 
-        lt = t.filter(pc.equal(side, 0)).select(on + [c for c in all_cols if c in lcols and c not in on])
-        rt = t.filter(pc.equal(side, 1)).select(on + [c for c in all_cols if c in rcols and c not in on])
-        out = lt.to_pandas().merge(rt.to_pandas(), on=on, how=how)
+        def slice_of(i: int) -> pd.DataFrame:
+            keep = on + [c for c in all_cols if c in side_cols[i] and c not in on]
+            return t.filter(pc.equal(side, i)).select(keep).to_pandas()
+
+        out = slice_of(0)
+        for i in range(1, len(sides)):
+            out = out.merge(slice_of(i), on=on, how=how)
         if bucket_post is not None:
             out = bucket_post(out)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def hash_join(left, right, on: str | list[str], *, how: str = "inner",
+              num_buckets: int = 64, bucket_post=None,
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
+    """Two-sided shuffle join — the k=2 case of ``multi_hash_join`` (see
+    there for semantics, skew notes and the ``*_schema`` rationale)."""
+    return multi_hash_join([left, right], on, how=how, num_buckets=num_buckets,
+                           bucket_post=bucket_post,
+                           schemas=[left_schema, right_schema])
 
 
 def semi_filter(ds, col: str, keys, *, keep: bool = True):

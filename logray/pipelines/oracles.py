@@ -314,6 +314,17 @@ ORACLE_SQL: dict[str, str] = {
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
     """,
+    "order_returns_3way": """
+        SELECT o_orderkey, o_orderpriority, n_returned,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))/10000.0
+                   AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN (SELECT l_orderkey AS rk, count(*) AS n_returned
+              FROM lineitem WHERE l_returnflag = 'R'
+              GROUP BY l_orderkey) r ON o_orderkey = r.rk
+        GROUP BY o_orderkey, o_orderpriority, n_returned
+    """,
     "skew_join_user_totals": """
         SELECT e.user_id, e.event_id, t.n_user
         FROM events e JOIN (

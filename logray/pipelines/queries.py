@@ -617,6 +617,50 @@ def q5_local_supplier_volume(sf_dir: str):
     })
 
 
+def order_returns_3way(sf_dir: str):
+    """Three-way join in ONE all-to-all (relational.multi_hash_join):
+    lineitem revenue units ⋈ orders ⋈ per-order returned-item counts all
+    co-locate on hash(o_orderkey) in a single exchange (chained hash_join
+    would pay two and re-shuffle the intermediate), with the per-order
+    rollup fused into the buckets."""
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        units = pc.cast(pc.round(pc.multiply(rev, 10000.0)), pa.int64())
+        return pa.table({"o_orderkey": t["l_orderkey"], "__rev_u": units})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    returned = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        lambda t: t.filter(pc.equal(t["l_returnflag"], "R")).select(["l_orderkey"]),
+        batch_format="pyarrow")
+    returns = relational.grouped_agg(returned, ["l_orderkey"],
+                                     {"n_returned": ("l_orderkey", "count")})
+    returns = returns.map_batches(
+        lambda t: pa.table({"o_orderkey": t["l_orderkey"], "n_returned": t["n_returned"]}),
+        batch_format="pyarrow")
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["o_orderkey", "o_orderpriority", "n_returned"],
+                           as_index=False, sort=False)["__rev_u"].sum())
+
+    out = relational.multi_hash_join(
+        [line.map_batches(prep, batch_format="pyarrow"), orders, returns],
+        "o_orderkey", bucket_post=rollup,
+        schemas=[pa.schema([("o_orderkey", pa.int64()), ("__rev_u", pa.int64())]),
+                 pa.schema([("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]),
+                 pa.schema([("o_orderkey", pa.int64()), ("n_returned", pa.int64())])])
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderpriority": t["o_orderpriority"],
+                         "n_returned": t["n_returned"],
+                         "revenue": pc.divide(pc.cast(t["__rev_u"], pa.float64()),
+                                              10000.0)})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def skew_join_user_totals(sf_dir: str):
     """Skew-split join (C4 skew handling): events joined to their per-user
     totals via relational.skew_join — hot users (auto-detected with a
@@ -1881,6 +1925,7 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "skew_join_user_totals": skew_join_user_totals,
+    "order_returns_3way": order_returns_3way,
     "customer_order_counts": customer_order_counts,
     "orders_with_returns_by_priority": orders_with_returns_by_priority,
     "union_purchases_errors": union_purchases_errors,
