@@ -86,6 +86,11 @@ def multi_hash_join(sides: list, on: str | list[str], *, how: str = "inner",
     holds every row of its join keys, a group-by on (a superset of) the
     join key can run here and skip another all-to-all — join+aggregate
     fusion on shared partitioning.
+
+    Null join keys follow pandas merge semantics (null matches null,
+    unlike SQL, where NULL = NULL is unknown); all null keys hash to one
+    bucket, so the property holds distributed too. Filter nulls first for
+    SQL semantics.
     """
     from ..functions.hashing import stable_hash64
 
@@ -97,6 +102,11 @@ def multi_hash_join(sides: list, on: str | list[str], *, how: str = "inner",
     if schemas is None:
         schemas = [None] * len(sides)
     scm = [s if s is not None else ds.schema() for ds, s in zip(sides, schemas)]
+    for i, s in enumerate(scm):
+        if s is None:  # Ray reports no schema for an empty Dataset
+            raise ValueError(
+                f"join side {i} has no discoverable schema (empty dataset?) — "
+                f"pass schemas=[...] / left_schema / right_schema explicitly")
     side_cols = [list(s.names) for s in scm]
     seen: dict[str, int] = {}
     for i, cols in enumerate(side_cols):

@@ -90,3 +90,43 @@ def test_batch_split_invariance(rows, rnd):
     by_key_whole = {key(r): r for r in whole}
     for r in split:
         assert {k: v for k, v in by_key_whole[key(r)].items()} == r
+
+
+# ---- join family: distributed == single-process pandas merge ----------------
+
+_jrow = st.fixed_dictionaries({
+    "k": st.one_of(st.none(), st.integers(0, 5)),
+    "v": st.integers(-100, 100),
+})
+
+
+@settings(max_examples=6, deadline=None)
+@given(lrows=st.lists(_jrow, max_size=40), rrows=st.lists(_jrow, max_size=10))
+def test_hash_join_equals_pandas_merge(ray_session, lrows, rrows):
+    """For arbitrary (small) inputs incl. null keys, the bucketed shuffle
+    join must equal one big pandas merge — co-location can't change the
+    answer. Null-key semantics are pandas' (null matches null), noted in
+    the multi_hash_join docstring."""
+    import pandas as pd
+    import ray.data
+
+    from logray.ops.relational import hash_join
+
+    lt = pa.Table.from_pylist(
+        [{"k": r["k"], "v": r["v"]} for r in lrows],
+        schema=pa.schema([("k", pa.int64()), ("v", pa.int64())]))
+    rt = pa.Table.from_pylist(
+        [{"k": r["k"], "w": r["v"]} for r in rrows],
+        schema=pa.schema([("k", pa.int64()), ("w", pa.int64())]))
+    want = lt.to_pandas().merge(rt.to_pandas(), on="k", how="outer")
+    got = hash_join(ray.data.from_arrow(lt).repartition(3),
+                    ray.data.from_arrow(rt).repartition(2),
+                    "k", how="outer", num_buckets=4,
+                    left_schema=lt.schema, right_schema=rt.schema).to_pandas()
+    if not len(got):  # both sides empty: Ray gives a column-less frame
+        got = want.iloc[:0]
+    key = ["k", "v", "w"]
+    want = want.sort_values(key, na_position="last").reset_index(drop=True)
+    got = got.sort_values(key, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
