@@ -139,3 +139,50 @@ def test_bad_documents_rejected(tmp_path):
     rules, passthrough = rules_io.parse_ruleset_json(json.dumps(no_default))
     with pytest.raises(ValueError, match="default"):
         RuleSet(rules, passthrough)
+
+
+def test_fuzzed_tables_roundtrip_and_parse_identically():
+    """Random (valid) rule tables: JSON round-trip must preserve the table
+    exactly and the loaded engine must parse identically to the directly
+    compiled one — the serialization layer can't change semantics."""
+    import random
+
+    from logray.ruleset import Cast, Rule, RuleSet
+
+    rnd = random.Random(42)
+    gates = ["user", "assistant", "tool", "system"]
+    for trial in range(20):
+        n = rnd.randint(1, 12)
+        rules = []
+        for i in range(n):
+            has_gate = rnd.random() < 0.7
+            has_num = rnd.random() < 0.5
+            pat = (rf"^m{i:02d} a=(?P<a{i:02d}>\d+)$" if has_num
+                   else rf"^m{i:02d} w=(?P<w{i:02d}>[a-z]+)$")
+            rules.append(Rule(
+                rule_id=f"F{i:02d}", sink=f"s{i % 3}",
+                gate={"role": tuple(rnd.sample(gates, rnd.randint(1, 2)))}
+                if has_gate else {},
+                patterns=(pat,),
+                casts=(Cast(f"a{i:02d}", "int64"),) if has_num else (),
+                consts={"event_type": f"t{i % 4}"} if rnd.random() < 0.8 else {},
+            ))
+        rules.append(Rule(rule_id="F99", sink="s_def",
+                          consts={"event_type": "unknown"}))
+        passthrough = [("role", pa.string()), ("text", pa.string())]
+        text = rules_io.ruleset_to_json(rules, passthrough)
+        r2, p2 = rules_io.parse_ruleset_json(text)
+        assert r2 == rules and p2 == passthrough, f"trial {trial}"
+
+        batch = pa.table({
+            "role": pa.array([gates[j % 4] for j in range(80)]),
+            "text": pa.array(
+                [f"m{rnd.randint(0, n + 1):02d} a={j}" if j % 3 == 0 else
+                 f"m{rnd.randint(0, n + 1):02d} w=abc" if j % 3 == 1 else
+                 f"junk {j}" for j in range(80)]),
+        })
+        direct = RuleSet(rules, passthrough).parse_batch(batch)
+        loaded = RuleSet(r2, p2).parse_batch(batch)
+        assert direct.schema == loaded.schema, f"trial {trial}"
+        assert direct.equals(loaded), f"trial {trial}"
+        assert direct.num_rows == 80  # never drops rows
