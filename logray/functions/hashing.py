@@ -65,9 +65,12 @@ def stable_hash64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
         out[np.isnan(v)] = 0
         return out
     v = arr.cast(pa.int64()) if t != pa.int64() else arr
+    if v.null_count:
+        # Fill nulls INSIDE Arrow so to_numpy never widens int64 -> float64
+        # (which silently rounds |value| > 2^53 and makes the same key hash
+        # differently depending on whether its batch contains a null).
+        import pyarrow.compute as pc
+
+        v = pc.fill_null(v, 0)
     x = v.to_numpy(zero_copy_only=False)
-    if x.dtype != np.int64:  # nulls widened to float
-        xf = np.asarray(x, dtype=np.float64)
-        out = np.nan_to_num(xf, nan=0.0).astype(np.int64)
-        return out
-    return np.asarray(x)
+    return np.ascontiguousarray(x, dtype=np.int64)

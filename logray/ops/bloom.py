@@ -24,6 +24,17 @@ import pyarrow as pa
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def _splitmix64_scalar(x: int) -> int:
+    z = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+# Fixed hash for null keys — must agree between build and probe sides.
+_NULL_HASH = np.uint64(_splitmix64_scalar(0))
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer: uniform 64-bit mix of int keys."""
     z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & _MASK
@@ -45,10 +56,27 @@ def _key_hashes(arr) -> np.ndarray:
             [zlib.crc32(u.encode()) if u is not None else 0
              for u in d.dictionary.to_pylist()], dtype=np.uint64)
         h = _splitmix64(uniq)
-        return h[np.asarray(d.indices)]
-    v = np.asarray(arr if isinstance(arr, np.ndarray)
-                   else arr.to_numpy(zero_copy_only=False))
-    return _splitmix64(v.astype(np.int64, copy=False).view(np.uint64))
+        if len(h) == 0:
+            return np.full(len(arr), _NULL_HASH, dtype=np.uint64)
+        # Null values have null dictionary indices; np.asarray on those
+        # yields float NaN (fancy-index crash). Fill inside Arrow and map
+        # nulls to a fixed hash, identical on build and probe sides.
+        idx = np.asarray(d.indices.fill_null(-1).to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        return np.where(idx >= 0, h[np.clip(idx, 0, None)], _NULL_HASH)
+    if isinstance(arr, pa.Array):
+        # Fill nulls INSIDE Arrow so int64 keys never widen to float64
+        # (which would hash large keys differently on build vs probe —
+        # Bloom false negatives). Nulls hash as key 0 on both sides.
+        import pyarrow.compute as pc
+
+        v64 = arr.cast(pa.int64()) if arr.type != pa.int64() else arr
+        if v64.null_count:
+            v64 = pc.fill_null(v64, 0)
+        v = v64.to_numpy(zero_copy_only=False)
+    else:
+        v = np.asarray(arr)
+    return _splitmix64(np.ascontiguousarray(v, dtype=np.int64).view(np.uint64))
 
 
 class BloomFilter:

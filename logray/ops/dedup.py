@@ -16,10 +16,11 @@ inside small groups — the full corpus is never pairwise-compared.
                        verify
 
 Candidate-pair edge lists are orders of magnitude smaller than the corpus
-(bounded by band-bucket sizes); connected components run as driver-side
-union-find over the streamed edge list — the standard approach while edges
-fit the driver; the iterative min-label-propagation alternative is noted in
-each docstring for when they don't.
+(bounded by band-bucket sizes); cluster labeling streams them into
+``graph.connected_components``, which picks the strategy by edge count:
+driver-side union-find over just the endpoints while the edge list is
+small, iterative min-label propagation (fully distributed) when it isn't —
+so a high-duplicate-rate corpus never collects its edges on the driver.
 """
 
 from __future__ import annotations
@@ -213,7 +214,8 @@ def minhash_signatures(texts, num_perm: int, shingle_k: int,
 
 def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
-                      threshold: float = 0.8):
+                      threshold: float = 0.8,
+                      cc_driver_threshold: int = 2_000_000):
     """MinHash+LSH near-dup clustering.
 
     Pipeline: map_batches(signature) → explode (band_id, band_hash, id)
@@ -229,10 +231,11 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
     for the (rare) docs that land in a ≥2-member bucket are collected and
     broadcast to the pair-verification stage via ``ray.put``; the
     broadcast is bounded by the corpus duplicate rate (partition the
-    verify stage by bucket if it ever outgrows a node). The edge list is
-    collected for the final union-find; when edges outgrow the driver,
-    swap the last step for iterative min-label propagation (groupby
-    rounds) — the band/bucket stages are unchanged.
+    verify stage by bucket if it ever outgrows a node). Clustering streams
+    the pair Dataset into ``graph.connected_components``: up to
+    ``cc_driver_threshold`` edges a driver union-find over the endpoints
+    wins; above it the fully-distributed min-label propagation takes over
+    automatically — the band/bucket stages are unchanged either way.
     """
     rows_per_band = num_perm // bands
 
@@ -295,10 +298,8 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
         return pairs_in_bucket
 
     pairs = _hot_bucket_pairs(banded, make_pairs_fn, sig_tbl=sig_tbl, id_col=id_col)
-    edges = set()
-    for b in pairs.iter_batches(batch_format="pandas", batch_size=65536):
-        edges.update(zip(b["a"].tolist(), b["b"].tolist()))
-    return _components_dataset(ds, id_col, edges)
+    return _components_dataset(ds, id_col, pairs,
+                               driver_threshold=cc_driver_threshold)
 
 
 def _fold_bucket_key(t: pa.Table) -> np.ndarray:
@@ -409,35 +410,34 @@ def _hot_bucket_pairs(banded, pairs_fn, *, sig_tbl=None, id_col=None,
         fn, batch_format="pandas")
 
 
-def _components_dataset(ds, id_col: str, edges: set[tuple]):
-    """Union-find over the edge list → (id, cluster_id, keep) Dataset."""
-    parent: dict = {}
+def _components_dataset(ds, id_col: str, pairs, *,
+                        driver_threshold: int = 2_000_000):
+    """Duplicate-pair clustering → (id, cluster_id, keep) Dataset.
 
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
+    Delegates to ``graph.connected_components``, which is size-adaptive:
+    small edge lists (≤ its ``driver_threshold``) run a driver union-find
+    over just the edge endpoints; larger ones stay fully distributed via
+    iterative min-label propagation. Either way, the candidate-PAIR
+    Dataset streams in without ever being collected into a driver-side
+    Python set, so a high-duplicate-rate corpus can't blow the driver.
+    ``pairs`` needs columns ``a``/``b`` (extra score columns are ignored).
+    """
+    from .graph import connected_components
 
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    roots = {x: find(x) for x in parent}
+    ids = ds.map_batches(lambda t: pa.table({id_col: t[id_col]}),
+                         batch_format="pyarrow")
+    cc = connected_components(pairs, a_col="a", b_col="b",
+                              nodes=ids, node_col=id_col,
+                              driver_threshold=driver_threshold)
 
-    def label(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pandas()
-        cluster = ids.map(lambda i: roots.get(i, i))
-        keep = ids.to_numpy() == cluster.to_numpy()
+    def finish(t: pa.Table) -> pa.Table:
         return pa.table({
-            id_col: pa.array(ids),
-            "cluster_id": pa.array(cluster),
-            "keep": pa.array(keep),
+            id_col: t["node"],
+            "cluster_id": t["cluster_id"],
+            "keep": pc.equal(t["node"], t["cluster_id"]),
         })
 
-    return ds.map_batches(label, batch_format="pyarrow")
+    return cc.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- simhash ---
@@ -466,7 +466,7 @@ def simhash_signatures(texts) -> np.ndarray:
 
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
-                  max_hamming: int = 3):
+                  max_hamming: int = 3, cc_driver_threshold: int = 2_000_000):
     """SimHash near-dup: 4×16-bit pigeonhole bands (any pair within hamming
     ≤3 of a 64-bit hash agrees exactly on ≥1 of 4 bands) → verify hamming
     within buckets → union-find components (same contract as minhash)."""
@@ -494,8 +494,10 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
         sigs = g["_sig"].to_numpy().astype(np.uint64)
         A, B, H = [], [], []
         for i in range(len(ids) - 1):
-            x = sigs[i] ^ sigs[i + 1:]
-            ham = np.array([bin(v).count("1") for v in x])
+            x = np.ascontiguousarray(sigs[i] ^ sigs[i + 1:])
+            # vectorized popcount: 8 bytes/word unpacked to bits, summed
+            ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                                axis=1).sum(axis=1).astype(np.int64)
             hit = np.flatnonzero(ham <= max_hamming)
             A.extend([ids[i]] * len(hit))
             B.extend(ids[i + 1 + hit])
@@ -504,10 +506,8 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
 
     banded = ds.map_batches(to_bands, batch_format="pyarrow")
     pairs = _hot_bucket_pairs(banded, pairs_in_bucket)
-    edges = set()
-    for b in pairs.iter_batches(batch_format="pandas", batch_size=65536):
-        edges.update(zip(b["a"].tolist(), b["b"].tolist()))
-    return _components_dataset(ds, id_col, edges)
+    return _components_dataset(ds, id_col, pairs,
+                               driver_threshold=cc_driver_threshold)
 
 
 # ----------------------------------------------------------- ngram jaccard --
@@ -571,7 +571,8 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
 
 def embedding_neardup(ds, vec_col: str = "embedding", id_col: str = "vec_id", *,
                       n_planes: int = 16, n_tables: int = 4, dim: int | None = None,
-                      threshold: float = 0.95, seed: int = 11):
+                      threshold: float = 0.95, seed: int = 11,
+                      cc_driver_threshold: int = 2_000_000):
     """Near-dup by embedding cosine: random-hyperplane LSH buckets →
     exact cosine verify within buckets → union-find components.
 
@@ -641,7 +642,5 @@ def embedding_neardup(ds, vec_col: str = "embedding", id_col: str = "vec_id", *,
 
     pairs = _hot_bucket_pairs(bucketed, make_pairs_fn, sig_tbl=sig_tbl,
                               id_col=id_col, sig_dtype=np.float64)
-    edges = set()
-    for b in pairs.iter_batches(batch_format="pandas", batch_size=65536):
-        edges.update(zip(b["a"].tolist(), b["b"].tolist()))
-    return _components_dataset(ds, id_col, edges)
+    return _components_dataset(ds, id_col, pairs,
+                               driver_threshold=cc_driver_threshold)

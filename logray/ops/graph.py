@@ -1,12 +1,13 @@
 """Graph operators — distributed connected components (dedup scale path).
 
-The dedup family labels duplicate clusters with a driver-side union-find
-(``dedup._components_dataset``), which assumes the EDGE LIST fits the
-driver — true when duplicates are a small fraction of the corpus. This
-module is the scale path for when they are not (e.g. 90%-duplicate crawl
-snapshots): iterative min-label propagation where edges and labels both
-stay distributed Datasets and every step is a hash-partitioned join +
-grouped min — no driver-side state beyond a convergence scalar.
+The dedup family labels duplicate clusters through
+``connected_components`` below (via ``dedup._components_dataset``), which
+is size-adaptive: while the edge list is small (duplicates a small
+fraction of the corpus) a driver-side union-find over just the endpoints
+wins; when it is not (e.g. 90%-duplicate crawl snapshots) the iterative
+min-label propagation path keeps edges and labels as distributed Datasets
+where every step is a hash-partitioned join + grouped min — no
+driver-side state beyond a convergence scalar.
 
 Reference parity note: riptano/logparse has no graph ops; this is a
 graft-mandated training-data operator (duplicate-pair clustering).

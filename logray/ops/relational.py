@@ -56,8 +56,24 @@ def broadcast_join(ds, small: pd.DataFrame, on: str | list[str], *,
     return ds.map_batches(joiner, batch_format="pandas")
 
 
+def _unify_key_type(name: str, ktypes: list) -> pa.DataType:
+    """One Arrow type for a join key seen with possibly-different types
+    across sides: identical → itself; all integers → int64; string family
+    → (large_)string. Anything else mixed is a plan-time ValueError rather
+    than a runtime schema-mismatch inside the shuffle."""
+    if all(t == ktypes[0] for t in ktypes):
+        return ktypes[0]
+    if all(pa.types.is_integer(t) for t in ktypes):
+        return pa.int64()
+    if all(pa.types.is_string(t) or pa.types.is_large_string(t) for t in ktypes):
+        return (pa.large_string()
+                if any(pa.types.is_large_string(t) for t in ktypes) else pa.string())
+    raise ValueError(
+        f"join key {name!r} has incompatible types across sides: {ktypes}")
+
+
 def multi_hash_join(sides: list, on: str | list[str], *, how: str = "inner",
-                    num_buckets: int = 64, bucket_post=None,
+                    num_buckets: int | None = None, bucket_post=None,
                     schemas: list | None = None):
     """k-way large×large shuffle join on one shared key — ONE all-to-all
     (C4 scale path; "pick ONE partitioning key and reuse it across
@@ -93,7 +109,10 @@ def multi_hash_join(sides: list, on: str | list[str], *, how: str = "inner",
     SQL semantics.
     """
     from ..functions.hashing import stable_hash64
+    from .window import default_num_buckets
 
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
     on = [on] if isinstance(on, str) else list(on)
     if len(sides) < 2:
         raise ValueError("multi_hash_join needs at least two sides")
@@ -117,9 +136,30 @@ def multi_hash_join(sides: list, on: str | list[str], *, how: str = "inner",
                 raise ValueError(
                     f"non-key column collision: {c!r} on sides {seen[c]} and {i}")
             seen[c] = i
+    def as_arrow(t):
+        # Ray's Schema reports pandas-origin columns as numpy dtypes or the
+        # raw ``object`` class; normalize so cast/nulls below always get a
+        # real Arrow DataType (object dtype == string in this engine).
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError, ValueError):
+            return pa.string()
+
     types: dict[str, pa.DataType] = {}
     for s in scm:
-        types.update({n: t for n, t in zip(s.names, s.types)})
+        types.update({n: as_arrow(t) for n, t in zip(s.names, s.types)})
+    # Unify key-column types across sides (int32-vs-int64, string-vs-large
+    # _string); pad() casts keys to the unified type so union blocks share
+    # one schema instead of failing downstream with an opaque Arrow error.
+    for c in on:
+        ktypes = []
+        for i, s in enumerate(scm):
+            if c not in s.names:
+                raise ValueError(f"join key {c!r} missing on side {i}")
+            ktypes.append(as_arrow(dict(zip(s.names, s.types))[c]))
+        types[c] = _unify_key_type(c, ktypes)
     all_cols = on + sorted(set(types) - set(on))
 
     def pad(cols_here: list[str], side_tag: int):
@@ -127,7 +167,13 @@ def multi_hash_join(sides: list, on: str | list[str], *, how: str = "inner",
             n = batch.num_rows
             cols = {}
             for c in all_cols:
-                cols[c] = batch[c] if c in cols_here else pa.nulls(n, types[c])
+                if c in cols_here:
+                    col = batch[c]
+                    if col.type != types[c]:  # key cast to the unified type
+                        col = col.cast(types[c])
+                    cols[c] = col
+                else:
+                    cols[c] = pa.nulls(n, types[c])
             cols["__side"] = pa.array(np.full(n, side_tag, np.int8))
             # mix ALL key columns into the bucket: bucketing only the first
             # key collapses the bucket space when it is low-cardinality
@@ -166,7 +212,7 @@ def multi_hash_join(sides: list, on: str | list[str], *, how: str = "inner",
 
 
 def hash_join(left, right, on: str | list[str], *, how: str = "inner",
-              num_buckets: int = 64, bucket_post=None,
+              num_buckets: int | None = None, bucket_post=None,
               left_schema: pa.Schema | None = None,
               right_schema: pa.Schema | None = None):
     """Two-sided shuffle join — the k=2 case of ``multi_hash_join`` (see
@@ -296,7 +342,7 @@ def distinct(ds, cols: list[str]):
 
 
 def arg_extreme(ds, keys: list[str], order_col: str, *, descending: bool = True,
-                num_buckets: int = 64):
+                num_buckets: int | None = None):
     """Grouped argmax/argmin (SQL ``arg_max`` / ``max_by``): the whole row
     holding the group's extreme ``order_col``.
 
@@ -332,35 +378,57 @@ def keep_first(ds, keys: list[str], order_col: str):
     return _bucketed_apply(ds, keys[0], per_bucket)
 
 
-def reservoir_sample(ds, key_col: str, k: int) -> pd.DataFrame:
+def reservoir_sample(ds, key_col: str, k: int, *,
+                     method: str = "hash64") -> pd.DataFrame:
     """Exact-k uniform sample without replacement in ONE streaming pass —
     bottom-k ("priority") sampling, the distributed replacement for the
     classic reservoir (C6).
 
-    Each row gets a pseudo-random priority = md5 of its unique ``key_col``;
-    the k globally-smallest priorities are a uniform k-subset. Per-block
-    bottom-k partials are mergeable, so the combiner keeps driver state at
-    O(k × blocks-at-once), no shuffle runs, and the answer is exact-k even
-    when the input size is unknown — "give me exactly k rows from 100 TB"
-    without a sort of the full data. md5 keeps the priorities deterministic
-    across runs AND DuckDB-oracle-able (ORDER BY md5(key) LIMIT k); the
-    no-oracle scale path swaps in a vectorized 64-bit hash of the key
-    column, identical shape (cf. deterministic_sample_events).
+    Each row gets a pseudo-random priority derived from its unique
+    ``key_col``; the k globally-smallest priorities are a uniform k-subset.
+    Per-block bottom-k partials are mergeable, so the combiner keeps driver
+    state at O(k × blocks-at-once), no shuffle runs, and the answer is
+    exact-k even when the input size is unknown — "give me exactly k rows
+    from 100 TB" without a sort of the full data.
+
+    ``method='hash64'`` (default, the scale path): vectorized priorities —
+    ``stable_hash64`` of the key re-mixed through splitmix64, numpy
+    ``argpartition`` bottom-k per block; zero per-row Python.
+    ``method='md5'`` (oracle mode): per-row md5 hexdigest, deterministic
+    AND DuckDB-expressible (ORDER BY md5(key) LIMIT k) — kept only so the
+    driver's SQL oracle can value-check the op end-to-end.
     """
-    import hashlib
+    if method == "md5":
+        import hashlib
 
-    def with_priority(df: pd.DataFrame) -> pd.DataFrame:
-        pri = df[key_col].astype(str).map(
-            lambda s: hashlib.md5(s.encode()).hexdigest())
-        return df.assign(__pri=pri).sort_values(["__pri", key_col]).head(k)
+        def with_priority(df: pd.DataFrame) -> pd.DataFrame:
+            pri = df[key_col].astype(str).map(
+                lambda s: hashlib.md5(s.encode()).hexdigest())
+            return df.assign(__pri=pri).sort_values(["__pri", key_col]).head(k)
 
-    cand = ds.map_batches(with_priority, batch_format="pandas").to_pandas()
+        cand = ds.map_batches(with_priority, batch_format="pandas").to_pandas()
+        out = cand.sort_values(["__pri", key_col]).head(k).drop(columns="__pri")
+        return out.reset_index(drop=True)
+
+    from ..functions.hashing import stable_hash64
+    from .bloom import _splitmix64
+
+    def local(t: pa.Table) -> pa.Table:
+        pri = _splitmix64(stable_hash64(t[key_col]).view(np.uint64))
+        if t.num_rows > k:
+            idx = np.argpartition(pri, k)[:k]
+            t = t.take(pa.array(idx, pa.int64()))
+            pri = pri[idx]
+        return t.append_column("__pri", pa.array(pri.view(np.int64)))
+
+    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    cand["__pri"] = cand["__pri"].astype(np.int64).values.view(np.uint64)
     out = cand.sort_values(["__pri", key_col]).head(k).drop(columns="__pri")
     return out.reset_index(drop=True)
 
 
 def skew_join(left, right, on: str, *, hot_keys=None, hot_threshold: int = 100_000,
-              num_buckets: int = 64,
+              num_buckets: int | None = None,
               left_schema: pa.Schema | None = None,
               right_schema: pa.Schema | None = None):
     """Skew-split INNER join: hot keys take the broadcast path, the rest
@@ -398,6 +466,14 @@ def skew_join(left, right, on: str, *, hot_keys=None, hot_threshold: int = 100_0
         return hash_join(left, right, on, num_buckets=num_buckets,
                          left_schema=left_schema, right_schema=right_schema)
     right_hot = semi_filter(right, on, hot_keys).to_pandas()
+    if on not in right_hot.columns:
+        # a hot key detected on the left may have NO right matches; Ray
+        # returns a column-less frame for the all-empty result, which would
+        # crash the pandas merge inside broadcast_join. Rebuild an empty
+        # frame with the right side's real columns instead.
+        rs = right_schema if right_schema is not None else right.schema()
+        right_hot = pa.table(
+            {n: pa.nulls(0, t) for n, t in zip(rs.names, rs.types)}).to_pandas()
     hot_out = broadcast_join(semi_filter(left, on, hot_keys), right_hot, on=on)
     cold_out = hash_join(semi_filter(left, on, hot_keys, keep=False),
                          semi_filter(right, on, hot_keys, keep=False),

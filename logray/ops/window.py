@@ -27,8 +27,28 @@ import pyarrow as pa
 from ..functions.hashing import stable_bucket
 
 
-def _bucketed_apply(ds, key: str, fn, *, num_buckets: int = 64):
-    """groupby(stable bucket of ``key``) → vectorized pandas fn per bucket."""
+def default_num_buckets(multiplier: int = 4, lo: int = 16, hi: int = 4096) -> int:
+    """Shuffle width for bucketed ops, derived from the cluster: total
+    CPU cores × ``multiplier`` (clamped). A fixed constant either caps
+    parallelism on a wide cluster or over-fragments a small one; deriving
+    it from ``ray.cluster_resources()`` scales the all-to-all width with
+    the machine the job actually runs on."""
+    cores = 8
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cores = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        pass
+    return max(lo, min(hi, cores * multiplier))
+
+
+def _bucketed_apply(ds, key: str, fn, *, num_buckets: int | None = None):
+    """groupby(stable bucket of ``key``) → vectorized pandas fn per bucket.
+    ``num_buckets=None`` → cluster-derived via ``default_num_buckets``."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         col = batch[key]
@@ -47,7 +67,7 @@ def _bucketed_apply(ds, key: str, fn, *, num_buckets: int = 64):
 
 
 def session_counts(ds, key: str, ts_col: str, gap_s: float, *,
-                   num_buckets: int = 64, out_col: str = "n_sessions"):
+                   num_buckets: int | None = None, out_col: str = "n_sessions"):
     """Per-key session count with gap-based session breaks: a new session
     starts when the time since the key's previous event exceeds ``gap_s``.
     Equivalent SQL: 1 + count of lag-gaps > gap_s per key."""
@@ -64,7 +84,7 @@ def session_counts(ds, key: str, ts_col: str, gap_s: float, *,
 
 
 def grouped_topn(ds, part_col: str, order_cols: list[tuple[str, bool]], n: int, *,
-                 num_buckets: int = 16, rank_col: str = "rn"):
+                 num_buckets: int | None = None, rank_col: str = "rn"):
     """row_number() OVER (PARTITION BY part_col ORDER BY order_cols) <= n.
 
     ``order_cols``: [(col, descending)]; include a unique tie-break last.
@@ -81,7 +101,7 @@ def grouped_topn(ds, part_col: str, order_cols: list[tuple[str, bool]], n: int, 
 
 
 def running_sum(ds, key: str, order_cols: list[str], val_col: str, *,
-                num_buckets: int = 64, out_col: str = "running_value"):
+                num_buckets: int | None = None, out_col: str = "running_value"):
     """sum(val) OVER (PARTITION BY key ORDER BY order_cols ROWS UNBOUNDED
     PRECEDING) — sequential within-key accumulation, deterministic order."""
 
@@ -94,7 +114,7 @@ def running_sum(ds, key: str, order_cols: list[str], val_col: str, *,
 
 
 def lag_gap(ds, key: str, ts_col: str, order_cols: list[str], *,
-            num_buckets: int = 64, out_col: str = "gap_s"):
+            num_buckets: int | None = None, out_col: str = "gap_s"):
     """Seconds since the key's previous event (lag); null for the first."""
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -107,7 +127,7 @@ def lag_gap(ds, key: str, ts_col: str, order_cols: list[str], *,
 
 
 def rolling_mean(ds, key: str, order_cols: list[str], val_col: str, window: int, *,
-                 num_buckets: int = 64, out_col: str = "rolling_mean"):
+                 num_buckets: int | None = None, out_col: str = "rolling_mean"):
     """avg(val) OVER (PARTITION BY key ORDER BY order_cols ROWS BETWEEN
     window-1 PRECEDING AND CURRENT ROW) — a per-key moving average.
 
@@ -129,7 +149,7 @@ def rolling_mean(ds, key: str, order_cols: list[str], val_col: str, window: int,
 
 
 def dense_rank(ds, part_col: str, order_col: str, *, descending: bool = True,
-               num_buckets: int = 16, rank_col: str = "rnk"):
+               num_buckets: int | None = None, rank_col: str = "rnk"):
     """dense_rank() OVER (PARTITION BY part_col ORDER BY order_col) —
     equal values share a rank with no gaps after ties."""
 
@@ -144,7 +164,7 @@ def dense_rank(ds, part_col: str, order_col: str, *, descending: bool = True,
 
 
 def lead_col(ds, key: str, order_cols: list[str], val_col: str, *,
-             num_buckets: int = 64, out_col: str = "next_value"):
+             num_buckets: int | None = None, out_col: str = "next_value"):
     """lead(val) OVER (PARTITION BY key ORDER BY order_cols) — the value of
     the key's NEXT row in order; null for the last row of each key."""
 
@@ -169,7 +189,7 @@ def _sql_ntile(n: int, k: int) -> np.ndarray:
 
 
 def ntile(ds, part_col: str, order_cols: list[tuple[str, bool]], k: int, *,
-          num_buckets: int = 16, out_col: str = "tile"):
+          num_buckets: int | None = None, out_col: str = "tile"):
     """ntile(k) OVER (PARTITION BY part_col ORDER BY order_cols) with exact
     SQL tile-size semantics (first n%k tiles one row larger).
 
@@ -190,7 +210,7 @@ def ntile(ds, part_col: str, order_cols: list[tuple[str, bool]], k: int, *,
 
 
 def asof_join(left_ds, right_df: pd.DataFrame, *, by: str, on: str,
-              value_cols: list[str], num_buckets: int = 64,
+              value_cols: list[str], num_buckets: int | None = None,
               direction: str = "backward", suffix: str = "_right"):
     """As-of join: for each left row, the latest right row with
     ``right.on <= left.on`` (direction='backward') within the same ``by``
@@ -222,7 +242,7 @@ def asof_join(left_ds, right_df: pd.DataFrame, *, by: str, on: str,
 
 
 def percent_rank(ds, part_col: str, order_col: str, *, descending: bool = False,
-                 num_buckets: int = 16, out_col: str = "pct_rank"):
+                 num_buckets: int | None = None, out_col: str = "pct_rank"):
     """percent_rank() OVER (PARTITION BY part_col ORDER BY order_col) —
     (rank - 1) / (n - 1) with SQL min-rank tie semantics; 0.0 for
     single-row partitions. Same bucketed-shuffle shape as dense_rank:
@@ -242,7 +262,7 @@ def percent_rank(ds, part_col: str, order_col: str, *, descending: bool = False,
 
 
 def collect_sorted(ds, key: str, val_col: str, *, sep: str = ",",
-                   distinct: bool = True, num_buckets: int = 64,
+                   distinct: bool = True, num_buckets: int | None = None,
                    out_col: str = "vals"):
     """Grouped ordered string collection — SQL
     ``string_agg(DISTINCT val, sep ORDER BY val)``. Scale shape: when

