@@ -496,6 +496,29 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT query_id, vec_id, rank FROM scored WHERE rank <= 10
     """,
+    # Tolerance oracles for the sketch family: the estimates themselves
+    # aren't SQL-reproducible (different HLL / summary / binning), so each
+    # query emits the engine's EXACT answer (value-checked here) plus
+    # booleans asserting the sketch landed inside its error bound — the
+    # oracle expects those booleans to be uniformly TRUE.
+    "approx_distinct_users_by_type": """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+               TRUE AS est_within_5pct
+        FROM events GROUP BY event_type
+    """,
+    "heavy_hitter_users": """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+        ORDER BY n DESC, user_id LIMIT 10
+    """,
+    "approx_value_percentiles_by_type": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50_exact,
+               round(quantile_cont(value, 0.95), 6) AS p95_exact,
+               TRUE AS p50_ok, TRUE AS p95_ok
+        FROM events GROUP BY event_type
+    """,
     # Flagship rule table as an ordered CASE (first-match-wins ==
     # first-satisfied WHEN; gate = role equality AND anchored regex —
     # the same technique proven on doc_ruleset_counts). The corpus lives

