@@ -519,50 +519,125 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS p50_ok, TRUE AS p95_ok
         FROM events GROUP BY event_type
     """,
-    # Flagship rule table as an ordered CASE (first-match-wins ==
-    # first-satisfied WHEN; gate = role equality AND anchored regex —
-    # the same technique proven on doc_ruleset_counts). The corpus lives
-    # outside the registered views: the query function generates/caches
-    # it under /tmp/logray/corpus/<sf> BEFORE the oracle runs (the
-    # checker always executes the Ray query first), and the driver's
-    # gate runs at sf=0.01, so the path is fixed.
-    "transcript_parse_counts": """
-        SELECT CASE
-            WHEN role = 'assistant' AND regexp_matches(text,
-                '^\\[tool:[a-z_]+\\] call id=\\d+ args=\\{.*\\}$')
-                THEN 'R01_tool_call'
-            WHEN role = 'tool' AND regexp_matches(text,
-                '^\\[tool:[a-z_]+\\] ok id=\\d+ bytes=\\d+ dur_ms=\\d+$')
-                THEN 'R02_tool_result_ok'
-            WHEN role = 'tool' AND regexp_matches(text,
-                '^\\[tool:[a-z_]+\\] error id=\\d+ code=[A-Z_]+ dur_ms=\\d+$')
-                THEN 'R03_tool_result_err'
-            WHEN role = 'tool' AND regexp_matches(text,
-                '^Traceback \\(most recent call last\\): [A-Za-z_.]+: .*$')
-                THEN 'R04_traceback'
-            WHEN role = 'assistant' AND regexp_matches(text,
-                '^\\[metrics\\] tokens=\\d+ latency_ms=\\d+ cost_usd=\\d+\\.\\d+$')
-                THEN 'R05_metric'
-            WHEN role = 'system' AND regexp_matches(text,
-                '^\\[status\\] phase=[a-z]+ pct=\\d+%$')
-                THEN 'R06_status'
-            WHEN role = 'system' AND regexp_matches(text,
-                '^You are [A-Za-z ]+\\. Session [0-9a-f]{8}\\.$')
-                THEN 'R07_sys_prompt'
-            WHEN role = 'user' AND regexp_matches(text, '^/[a-z]+( .*)?$')
-                THEN 'R08_user_cmd'
-            WHEN role = 'user' AND regexp_matches(text, '^.{1,400}$')
-                THEN 'R09_user_msg'
-            WHEN role = 'assistant' AND regexp_matches(text, '^.{1,400}$')
-                THEN 'R10_assist_msg'
-            ELSE 'R99_default' END AS rule_id,
-            count(*) AS n
-        FROM read_parquet('/tmp/logray/corpus/sf0.01/*.parquet')
-        GROUP BY 1
-    """,
 }
+
+# --------------------------------------------------------------------------
+# Transcript-corpus oracles. The flagship rule table as an ordered CASE
+# (first-match-wins == first-satisfied WHEN; gate = role equality AND
+# anchored regex — the same technique proven on doc_ruleset_counts). The
+# corpus lives outside the registered views: the query function
+# generates/caches it under /tmp/logray/corpus/<sf> BEFORE the oracle runs
+# (the checker always executes the Ray query first), and the driver's gate
+# runs at sf=0.01, so the path is fixed.
+
+_CORPUS = "read_parquet('/tmp/logray/corpus/sf0.01/*.parquet')"
+
+_RULE_CASE = """CASE
+    WHEN role = 'assistant' AND regexp_matches(text,
+        '^\\[tool:[a-z_]+\\] call id=\\d+ args=\\{.*\\}$')
+        THEN 'R01_tool_call'
+    WHEN role = 'tool' AND regexp_matches(text,
+        '^\\[tool:[a-z_]+\\] ok id=\\d+ bytes=\\d+ dur_ms=\\d+$')
+        THEN 'R02_tool_result_ok'
+    WHEN role = 'tool' AND regexp_matches(text,
+        '^\\[tool:[a-z_]+\\] error id=\\d+ code=[A-Z_]+ dur_ms=\\d+$')
+        THEN 'R03_tool_result_err'
+    WHEN role = 'tool' AND regexp_matches(text,
+        '^Traceback \\(most recent call last\\): [A-Za-z_.]+: .*$')
+        THEN 'R04_traceback'
+    WHEN role = 'assistant' AND regexp_matches(text,
+        '^\\[metrics\\] tokens=\\d+ latency_ms=\\d+ cost_usd=\\d+\\.\\d+$')
+        THEN 'R05_metric'
+    WHEN role = 'system' AND regexp_matches(text,
+        '^\\[status\\] phase=[a-z]+ pct=\\d+%$')
+        THEN 'R06_status'
+    WHEN role = 'system' AND regexp_matches(text,
+        '^You are [A-Za-z ]+\\. Session [0-9a-f]{8}\\.$')
+        THEN 'R07_sys_prompt'
+    WHEN role = 'user' AND regexp_matches(text, '^/[a-z]+( .*)?$')
+        THEN 'R08_user_cmd'
+    WHEN role = 'user' AND regexp_matches(text, '^.{1,400}$')
+        THEN 'R09_user_msg'
+    WHEN role = 'assistant' AND regexp_matches(text, '^.{1,400}$')
+        THEN 'R10_assist_msg'
+    ELSE 'R99_default' END"""
+
+# rule -> sink (mirrors rules_transcripts.TRANSCRIPT_RULES)
+_SINK_CASE = """CASE
+    WHEN rule_id IN ('R01_tool_call', 'R02_tool_result_ok') THEN 'sink_action'
+    WHEN rule_id IN ('R03_tool_result_err', 'R04_traceback') THEN 'sink_error'
+    WHEN rule_id IN ('R05_metric', 'R06_status') THEN 'sink_telemetry'
+    WHEN rule_id IN ('R07_sys_prompt', 'R08_user_cmd') THEN 'sink_control'
+    WHEN rule_id IN ('R09_user_msg', 'R10_assist_msg') THEN 'sink_dialogue'
+    ELSE 'sink_unknown' END"""
+
+ORACLE_SQL["transcript_parse_counts"] = f"""
+    SELECT {_RULE_CASE} AS rule_id, count(*) AS n
+    FROM {_CORPUS} GROUP BY 1
+"""
 
 # raw_log_parse_counts renders the same corpus to .log text and re-ingests
 # it through the envelope regex — the per-rule histogram is the identical
 # first-match-wins classification, so it shares the transcript oracle.
 ORACLE_SQL["raw_log_parse_counts"] = ORACLE_SQL["transcript_parse_counts"]
+
+# The full flagship DAG's aggregate output: per-(sink, rule) counts.
+ORACLE_SQL["flagship_transcripts"] = f"""
+    WITH cls AS (SELECT {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT {_SINK_CASE} AS sink, rule_id, count(*) AS n
+    FROM cls GROUP BY 1, 2
+"""
+
+ORACLE_SQL["salted_conv_counts"] = f"""
+    SELECT conv_id, count(*) AS n FROM {_CORPUS} GROUP BY conv_id
+"""
+
+# Ordered per-conversation follow-up analysis: for each R01 tool call,
+# is the next R01/R03 event in the conversation an R03 error within 3
+# turns? (The engine filters to those two rules before the window — the
+# oracle's lead() therefore also runs over the filtered stream.)
+ORACLE_SQL["tool_error_followup_transcripts"] = f"""
+    WITH cls AS (
+        SELECT conv_id, turn_idx, tool, {_RULE_CASE} AS rule_id
+        FROM {_CORPUS}),
+    f AS (
+        SELECT conv_id, turn_idx, tool, rule_id,
+               lead(rule_id) OVER w AS nxt_rule,
+               lead(turn_idx) OVER w AS nxt_turn
+        FROM cls WHERE rule_id IN ('R01_tool_call', 'R03_tool_result_err')
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+    SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+           CAST(coalesce(sum(CASE WHEN nxt_rule = 'R03_tool_result_err'
+                                   AND nxt_turn - turn_idx <= 3
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_err_followed
+    FROM f WHERE rule_id = 'R01_tool_call' GROUP BY tool
+"""
+
+# Continuation folding: an R99 row attaches to the most recent preceding
+# non-R99 row of its conversation (rows with no such anchor survive as
+# standalone unknown events). last_value(... IGNORE NULLS) reproduces the
+# engine's segmented forward-fill anchor exactly.
+ORACLE_SQL["fold_continuations_transcripts"] = f"""
+    WITH cls AS (
+        SELECT conv_id, turn_idx, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    w AS (
+        SELECT rule_id,
+               last_value(CASE WHEN rule_id <> 'R99_default'
+                               THEN rule_id END IGNORE NULLS)
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS UNBOUNDED PRECEDING) AS anchor_rule
+        FROM cls),
+    ev AS (SELECT rule_id FROM w
+           WHERE NOT (rule_id = 'R99_default' AND anchor_rule IS NOT NULL)),
+    fo AS (SELECT anchor_rule AS rule_id FROM w
+           WHERE rule_id = 'R99_default' AND anchor_rule IS NOT NULL)
+    SELECT e.rule_id,
+           e.n_events,
+           coalesce(f.n_folded, 0) AS n_folded
+    FROM (SELECT rule_id, CAST(count(*) AS BIGINT) AS n_events
+          FROM ev GROUP BY rule_id) e
+    LEFT JOIN (SELECT rule_id, CAST(count(*) AS BIGINT) AS n_folded
+               FROM fo GROUP BY rule_id) f
+    ON e.rule_id = f.rule_id
+"""

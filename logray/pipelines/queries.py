@@ -191,11 +191,18 @@ def approx_distinct_users_by_type(sf_dir: str):
     value-for-value) plus a bound assertion that the sketch estimate
     landed within 5% of it — the sketch path is exercised end-to-end and
     the oracle turns green instead of rows-only."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..ops.sketch import approx_distinct
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    est = approx_distinct(ds, ["event_type"], "user_id").to_pandas()
-    exact = distinct_users_per_type(sf_dir).to_pandas()
+    # the sketch and the exact pass are independent pipelines — overlap
+    # their executions (Ray schedules both; the driver threads just wait)
+    with ThreadPoolExecutor(2) as ex:
+        f_est = ex.submit(
+            lambda: approx_distinct(ds, ["event_type"], "user_id").to_pandas())
+        f_exact = ex.submit(lambda: distinct_users_per_type(sf_dir).to_pandas())
+        est, exact = f_est.result(), f_exact.result()
     out = exact.merge(est, on="event_type").rename(columns={"n_users": "n_exact"})
     out["est_within_5pct"] = (
         (out["n_approx"] - out["n_exact"]).abs() <= 0.05 * out["n_exact"])
