@@ -519,6 +519,58 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS p50_ok, TRUE AS p95_ok
         FROM events GROUP BY event_type
     """,
+    "users_intersect_purchase_error": """
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    "users_except_purchase_error": """
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'error'
+    """,
+    "mode_event_type_per_user": """
+        SELECT user_id, event_type AS mode_type, n FROM (
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY count(*) DESC, event_type) AS rn
+            FROM events GROUP BY user_id, event_type)
+        WHERE rn = 1
+    """,
+    "cume_dist_events": """
+        SELECT event_id, event_type, value,
+               cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+        FROM events
+    """,
+    "first_value_events": """
+        SELECT event_id, user_id, ts, value,
+               first_value(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS first_value
+        FROM events
+    """,
+    "orders_above_customer_avg": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       OVER (PARTITION BY o_custkey) AS s,
+                   count(*) OVER (PARTITION BY o_custkey) AS n
+            FROM orders)
+        WHERE cents * n > s
+    """,
+    "rolling_1h_user_value": """
+        WITH g AS (
+            SELECT user_id, ts,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS c
+            FROM events GROUP BY user_id, ts)
+        SELECT user_id, ts,
+               round(sum(c) OVER (PARTITION BY user_id ORDER BY ts
+                                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                  AND CURRENT ROW) / 100.0, 2) AS sum_1h
+        FROM g
+    """,
 }
 
 # --------------------------------------------------------------------------

@@ -1955,6 +1955,162 @@ def json_source_doc_counts(sf_dir: str):
     return relational.grouped_agg(ds, ["lang"], {"n": ("doc_id", "count")})
 
 
+# ------------------------------------------------- round-2 coverage adds ---
+
+def users_intersect_purchase_error(sf_dir: str):
+    """Set op INTERSECT (C7): distinct users with BOTH a purchase and an
+    error event. One pass: per-batch per-user indicator maxima (combiner),
+    one grouped max, filter both flags — the shuffle moves one row per
+    user per batch, never events, and no second scan or join runs."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "user_id": t["user_id"],
+            "has_p": pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64()),
+            "has_e": pc.cast(pc.equal(t["event_type"], "error"), pa.int64()),
+        })
+        return g.group_by("user_id").aggregate([("has_p", "max"), ("has_e", "max")]) \
+                .rename_columns(["user_id", "has_p", "has_e"])
+
+    agg = relational.grouped_agg(
+        ds.map_batches(flags, batch_format="pyarrow"),
+        ["user_id"], {"has_p": ("has_p", "max"), "has_e": ("has_e", "max")})
+    return agg.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["has_p"], 1),
+                                   pc.equal(t["has_e"], 1))).select(["user_id"]),
+        batch_format="pyarrow")
+
+
+def users_except_purchase_error(sf_dir: str):
+    """Set op EXCEPT (C7) at (user, day) grain: days on which a user
+    purchased but saw NO error — the same one-pass indicator-maxima shape
+    as the INTERSECT query (per-batch per-key flag maxima, one grouped
+    max, filter), so neither side is scanned twice or joined."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "user_id": t["user_id"],
+            "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+            "has_p": pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64()),
+            "has_e": pc.cast(pc.equal(t["event_type"], "error"), pa.int64()),
+        })
+        return (g.group_by(["user_id", "day"])
+                .aggregate([("has_p", "max"), ("has_e", "max")])
+                .rename_columns(["user_id", "day", "has_p", "has_e"]))
+
+    agg = relational.grouped_agg(
+        ds.map_batches(flags, batch_format="pyarrow"),
+        ["user_id", "day"], {"has_p": ("has_p", "max"), "has_e": ("has_e", "max")})
+    return agg.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["has_p"], 1),
+                                   pc.equal(t["has_e"], 0)))
+                   .select(["user_id", "day"]),
+        batch_format="pyarrow")
+
+
+def mode_event_type_per_user(sf_dir: str):
+    """Grouped MODE with deterministic tie-break (C5): each user's most
+    frequent event type, ties to the lexicographically smallest. Counts
+    reduce via the grouped-agg combiner first, so the bucketed argmax only
+    ever sees one row per (user, type)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = relational.grouped_agg(ds, ["user_id", "event_type"],
+                                    {"n": ("event_type", "count")})
+    from ..ops.window import _bucketed_apply
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "n", "event_type"],
+                            ascending=[True, False, True], kind="mergesort")
+        out = df.groupby("user_id", sort=False).head(1)
+        return out.rename(columns={"event_type": "mode_type"})[
+            ["user_id", "mode_type", "n"]]
+
+    return _bucketed_apply(counts, "user_id", pick)
+
+
+def cume_dist_events(sf_dir: str):
+    """cume_dist() OVER (PARTITION BY event_type ORDER BY value) (C9):
+    fraction of the partition with value <= current. Same bucketed shape
+    as percent_rank: one vectorized max-rank/n pass per bucket."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    from ..ops.window import _bucketed_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        g = df.groupby("event_type", sort=False)["value"]
+        df["cd"] = (g.rank(method="max") / g.transform("size")).astype("float64")
+        return df
+
+    return _bucketed_apply(ds, "event_type", per_bucket, num_buckets=8)
+
+
+def first_value_events(sf_dir: str):
+    """first_value(value) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id) (C9): every event annotated with its user's first value.
+    Per bucket one sort + groupby-transform('first') — no per-key loop."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    from ..ops.window import _bucketed_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        df["first_value"] = df.groupby("user_id", sort=False)["value"].transform("first")
+        return df
+
+    return _bucketed_apply(ds, "user_id", per_bucket)
+
+
+def orders_above_customer_avg(sf_dir: str):
+    """Correlated-subquery pattern (C5+C4): orders priced above their own
+    customer's average. One grouped combiner pass builds per-customer
+    (sum_cents, n); the filter compares cents*n > sum exactly (integer —
+    no float-mean rounding ambiguity at the boundary), applied via a
+    broadcast of the per-customer partials, so orders never shuffle."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    prepped = ds.map_batches(lambda t: _add_cents(t, "o_totalprice", "__cents"),
+                             batch_format="pyarrow").materialize()
+    per_cust = relational.grouped_agg(prepped, ["o_custkey"], {
+        "s": ("__cents", "sum"), "n": ("__cents", "count")}).to_pandas()
+    import ray
+
+    ref = ray.put(per_cust.set_index("o_custkey")) if ray.is_initialized() else None
+    local = None if ref is not None else per_cust.set_index("o_custkey")
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        pc_tbl = local if ref is None else ray.get(ref)
+        s = pc_tbl["s"].reindex(df["o_custkey"]).to_numpy()
+        n = pc_tbl["n"].reindex(df["o_custkey"]).to_numpy()
+        cents = df["__cents"].to_numpy()
+        return df.loc[cents * n > s, ["o_orderkey", "o_custkey", "o_totalprice"]]
+
+    return prepped.map_batches(keep, batch_format="pandas")
+
+
+def rolling_1h_user_value(sf_dir: str):
+    """Event-time RANGE window (C9): per user, the value sum over the
+    trailing 1 hour at each distinct timestamp — SQL ``RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING AND CURRENT ROW``. Values first reduce to
+    one row per (user, ts) via the grouped combiner (mirroring RANGE's
+    peer-group semantics exactly), then each bucket runs one vectorized
+    pandas time-based rolling sum (closed='both' == RANGE inclusivity)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    prepped = ds.map_batches(lambda t: _add_cents(t, "value", "__cents"),
+                             batch_format="pyarrow")
+    per_ts = relational.grouped_agg(prepped, ["user_id", "ts"],
+                                    {"c": ("__cents", "sum")})
+    from ..ops.window import _bucketed_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        roll = (df.groupby("user_id", sort=False)
+                .rolling("3600s", on="ts", closed="both")["c"].sum())
+        df["sum_1h"] = (roll.to_numpy() / 100.0).round(2)
+        return df[["user_id", "ts", "sum_1h"]]
+
+    return _bucketed_apply(per_ts, "user_id", per_bucket)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -2066,6 +2222,14 @@ QUERIES = {
     "salted_conv_counts": salted_conv_counts,
     "tool_error_followup_transcripts": tool_error_followup_transcripts,
     "multimodal_decode_features": multimodal_decode_features,
+    # round-2 coverage adds
+    "users_intersect_purchase_error": users_intersect_purchase_error,
+    "users_except_purchase_error": users_except_purchase_error,
+    "mode_event_type_per_user": mode_event_type_per_user,
+    "cume_dist_events": cume_dist_events,
+    "first_value_events": first_value_events,
+    "orders_above_customer_avg": orders_above_customer_avg,
+    "rolling_1h_user_value": rolling_1h_user_value,
 }
 
 
