@@ -560,6 +560,44 @@ ORACLE_SQL: dict[str, str] = {
             FROM orders)
         WHERE cents * n > s
     """,
+    "tfidf_top_token_documents": """
+        WITH tok AS (
+            SELECT doc_id, t.tok
+            FROM documents,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                     AS t(tok)
+            WHERE trim(text) <> '' AND t.tok <> ''
+        ), tf AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, tok
+        ), df AS (
+            SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tok GROUP BY tok
+        ), scored AS (
+            SELECT tf.doc_id, tf.tok,
+                   tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                              / df.df) AS score
+            FROM tf JOIN df ON tf.tok = df.tok
+        )
+        SELECT doc_id, tok AS top_token, round(score, 6) AS score FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, tok) AS rn
+            FROM scored)
+        WHERE rn = 1
+    """,
+    "avg_discount_weighted_lineitem": """
+        SELECT l_returnflag,
+               round(sum(CAST(l_quantity AS BIGINT)
+                         * CAST(round(l_discount * 100) AS BIGINT)) / 100.0
+                     / sum(CAST(l_quantity AS BIGINT)), 6) AS avg_discount_w
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "value_quantile_disc_by_type": """
+        SELECT event_type,
+               quantile_disc(value, 0.5) AS p50_disc,
+               quantile_disc(value, 0.95) AS p95_disc
+        FROM events GROUP BY event_type
+    """,
     "rolling_1h_user_value": """
         WITH g AS (
             SELECT user_id, ts,

@@ -2111,6 +2111,111 @@ def rolling_1h_user_value(sf_dir: str):
     return _bucketed_apply(per_ts, "user_id", per_bucket)
 
 
+def tfidf_top_token_documents(sf_dir: str):
+    """Distributed TF-IDF (text-analysis + C4/C5 composition): each doc's
+    highest-scoring token by tf·ln(N/df). Shape built for a large corpus:
+    tokens explode per batch (vectorized list-flatten), per-(doc, token)
+    term frequencies reduce via the grouped combiner, document
+    frequencies come from a second grouped count over the ALREADY-reduced
+    tf rows (never the raw token stream), and tf joins df with a
+    hash-shuffle join on token — the vocabulary is too big to broadcast
+    at 100 TB. Per-doc argmax runs bucketed with a deterministic
+    (score desc, token asc) tie-break."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    n_docs = ds.count()
+
+    def explode(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(t["text"]))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), reps)
+        keep = pc.not_equal(flat, "")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()).filter(keep),
+                         "token": flat.filter(keep)})
+
+    tf = relational.grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["doc_id", "token"], {"tf": ("token", "count")}).materialize()
+    df = relational.grouped_agg(tf, ["token"], {"df": ("doc_id", "count")})
+    tf_schema = pa.schema([("doc_id", pa.int64()), ("token", pa.string()),
+                           ("tf", pa.int64())])
+    df_schema = pa.schema([("token", pa.string()), ("df", pa.int64())])
+    scored = relational.hash_join(tf, df, on="token",
+                                  left_schema=tf_schema, right_schema=df_schema)
+
+    def score(t: pa.Table) -> pa.Table:
+        idf = np.log(float(n_docs) / t["df"].to_numpy(zero_copy_only=False))
+        s = t["tf"].to_numpy(zero_copy_only=False) * idf
+        return pa.table({"doc_id": t["doc_id"], "token": t["token"],
+                         "score": pa.array(s)})
+
+    from ..ops.window import _bucketed_apply
+
+    def pick(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.sort_values(["doc_id", "score", "token"],
+                              ascending=[True, False, True], kind="mergesort")
+        out = df_.groupby("doc_id", sort=False).head(1).copy()
+        out["score"] = out["score"].round(6)
+        return out.rename(columns={"token": "top_token"})[
+            ["doc_id", "top_token", "score"]]
+
+    return _bucketed_apply(scored.map_batches(score, batch_format="pyarrow"),
+                           "doc_id", pick)
+
+
+def avg_discount_weighted_lineitem(sf_dir: str):
+    """Weighted average (C5): per-return-flag discount weighted by quantity
+    — sum(w·x)/sum(w) from exact integer partials (discount is 2-decimal,
+    quantity integral, so w·x is exact at scale 100), one combiner pass."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        w = pc.cast(t["l_quantity"], pa.int64())
+        wx = pc.multiply(
+            w, pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()))
+        return pa.table({"l_returnflag": t["l_returnflag"], "w": w, "wx": wx})
+
+    agg = relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag"], {"sw": ("w", "sum"), "swx": ("wx", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = pc.round(pc.divide(
+            pc.divide(pc.cast(t["swx"], pa.float64()), 100.0),
+            pc.cast(t["sw"], pa.float64())), ndigits=6)
+        return pa.table({"l_returnflag": t["l_returnflag"], "avg_discount_w": avg})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def value_quantile_disc_by_type(sf_dir: str):
+    """Discrete grouped quantiles (C5): quantile_disc picks an actual data
+    value (the order statistic at ceil(q·n)), unlike the interpolated
+    quantile_cont — same bucketed one-pass-per-group shape."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    from ..ops.window import _bucketed_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy())
+            n = len(v)
+            rows.append({
+                "event_type": et,
+                # SQL quantile_disc: the value at 1-based rank ceil(q*n)
+                "p50_disc": v[max(int(np.ceil(0.5 * n)) - 1, 0)],
+                "p95_disc": v[max(int(np.ceil(0.95 * n)) - 1, 0)],
+            })
+        return pd.DataFrame(rows)
+
+    return _bucketed_apply(ds, "event_type", per_bucket, num_buckets=8)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -2230,6 +2335,9 @@ QUERIES = {
     "first_value_events": first_value_events,
     "orders_above_customer_avg": orders_above_customer_avg,
     "rolling_1h_user_value": rolling_1h_user_value,
+    "tfidf_top_token_documents": tfidf_top_token_documents,
+    "avg_discount_weighted_lineitem": avg_discount_weighted_lineitem,
+    "value_quantile_disc_by_type": value_quantile_disc_by_type,
 }
 
 
