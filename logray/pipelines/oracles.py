@@ -5,9 +5,12 @@ documents embeddings are pre-registered views over the same parquet the
 Ray queries read. Column names and rounding MUST mirror queries.py —
 the driver's compare sorts columns by name and value-hashes.
 
-Queries with no entry here (langid, quality scoring, LSH dedup families,
-IVF search, transcript pipelines, multimodal) are non-SQL-expressible;
-the driver records a rows-only check for them.
+Queries with no entry here (LSH dedup families, IVF search, k-means,
+random sampling, packing, multimodal) are non-SQL-expressible; the
+driver records a rows-only check for them. langid/quality ARE oracled:
+both heuristics are deterministic RE2-count arithmetic and DuckDB's
+regex engine is also RE2 (entries generated at the bottom of this file
+from the same _LANG_PROFILES the engine compiles).
 """
 
 ORACLE_SQL: dict[str, str] = {
@@ -730,4 +733,71 @@ ORACLE_SQL["fold_continuations_transcripts"] = f"""
     LEFT JOIN (SELECT rule_id, CAST(count(*) AS BIGINT) AS n_folded
                FROM fo GROUP BY rule_id) f
     ON e.rule_id = f.rule_id
+"""
+
+
+# ---- text-analysis oracles (quality, langid) --------------------------------
+# Both heuristics are deterministic RE2-count arithmetic; DuckDB's regex
+# engine is also RE2, so the oracle replays the exact formulas with
+# regexp_extract_all counts. Patterns are generated from the SAME
+# _LANG_PROFILES the engine compiles, so the two can never drift.
+
+from ..ops.text import _LANG_PROFILES as _LP  # noqa: E402
+
+
+def _alt(words) -> str:
+    return r"\b(?:" + "|".join(sorted(words)) + r")\b"
+
+
+_NSTOP = (r"len(regexp_extract_all(lower(coalesce(text, '')), '"
+          + _alt(_LP["en"]) + r"'))")
+
+ORACLE_SQL["quality_documents"] = f"""
+    WITH q AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS chars,
+               CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                   AS npunct,
+               CAST({_NSTOP} AS DOUBLE) AS nstop,
+               greatest(CAST(len(regexp_extract_all(
+                   lower(coalesce(text, '')), '[a-z]+')) AS DOUBLE), 1.0)
+                   AS nalpha
+        FROM documents)
+    SELECT doc_id,
+           round(npunct / greatest(chars, 1.0), 6) AS punct_ratio,
+           round(nstop / nalpha, 6) AS stopword_ratio,
+           round(least(chars / 200.0, 1.0)
+                 * (1.0 - least(npunct / greatest(chars, 1.0) * 2.0, 1.0))
+                 * (0.5 + (nstop / nalpha) * 0.5), 6) AS quality
+    FROM q
+"""
+
+_LANG_COUNTS = ",\n               ".join(
+    f"len(regexp_extract_all(lower(coalesce(text, '')), '{_alt(ws)}')) AS c_{lang}"
+    for lang, ws in _LP.items())
+_ARGMAX_CASE = "\n                ".join(
+    f"WHEN c_{lang} = best THEN '{lang}'" for lang in _LP)
+
+ORACLE_SQL["langid_documents"] = f"""
+    WITH c AS (
+        SELECT doc_id,
+               greatest(CAST(length(coalesce(text, '')) AS DOUBLE), 1.0)
+                   AS nchars,
+               CAST(len(regexp_extract_all(coalesce(text, ''),
+                   '[一-鿿぀-ヿ가-힯]')) AS DOUBLE) AS cjk,
+               {_LANG_COUNTS}
+        FROM documents),
+    s AS (
+        SELECT doc_id, cjk / nchars AS cjk_ratio,
+               greatest(c_en, c_de, c_es, c_fr, c_it) AS best,
+               c_en, c_de, c_es, c_fr, c_it
+        FROM c)
+    SELECT doc_id,
+           CASE WHEN cjk_ratio > 0.05 THEN 'zh'
+                WHEN best < 2 THEN 'unknown'
+                {_ARGMAX_CASE}
+                END AS lang_pred,
+           round(CASE WHEN cjk_ratio > 0.05 THEN least(1.0, cjk_ratio * 4.0)
+                      ELSE least(1.0, best / 8.0) END, 6) AS lang_score
+    FROM s
 """

@@ -988,18 +988,39 @@ def ivf_ann_embeddings(sf_dir: str):
 # ------------------------------------------------------------ text analysis --
 
 def langid_documents(sf_dir: str):
+    """Language-ID actor stage (SQL-oracled: the stopword-profile argmax +
+    CJK-ratio heuristic is deterministic RE2 arithmetic, so the oracle
+    replays it with regexp_extract_all counts — both engines are RE2)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(text_ops.LangIdStage, concurrency=2, batch_format="pyarrow"
-                          ).map_batches(lambda t: t.select(["doc_id", "lang_pred", "lang_score"]),
-                                        batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "lang_pred": t["lang_pred"],
+                         "lang_score": pc.round(t["lang_score"], ndigits=6,
+                                                round_mode="half_towards_infinity")})
+
+    return ds.map_batches(text_ops.LangIdStage, concurrency=2,
+                          batch_format="pyarrow"
+                          ).map_batches(finish, batch_format="pyarrow")
 
 
 def quality_documents(sf_dir: str):
+    """Quality heuristics (SQL-oracled: every ratio is a regex-count
+    formula DuckDB reproduces with regexp_extract_all; 6-decimal rounding
+    on both sides for hash stability)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(
-        lambda t: text_ops.add_quality_score(t).select(
-            ["doc_id", "punct_ratio", "stopword_ratio", "quality"]),
-        batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        # DuckDB round() is half-away-from-zero (= towards +inf for these non-negative ratios); mirror it so exact
+        # .5-at-the-6th-decimal ties agree with the oracle.
+        rnd = lambda c: pc.round(c, ndigits=6, round_mode="half_towards_infinity")  # noqa: E731
+        t = text_ops.add_quality_score(t)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "punct_ratio": rnd(t["punct_ratio"]),
+            "stopword_ratio": rnd(t["stopword_ratio"]),
+            "quality": rnd(t["quality"])})
+
+    return ds.map_batches(finish, batch_format="pyarrow")
 
 
 def rolling_fingerprint_documents(sf_dir: str):
