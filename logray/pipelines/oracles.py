@@ -801,3 +801,46 @@ ORACLE_SQL["langid_documents"] = f"""
                       ELSE least(1.0, best / 8.0) END, 6) AS lang_score
     FROM s
 """
+
+
+ORACLE_SQL["entropy_user_event_types"] = """
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS n
+        FROM events GROUP BY user_id, event_type),
+    a AS (
+        SELECT user_id, sum(n) AS tot, sum(n * ln(n)) AS s
+        FROM c GROUP BY user_id)
+    SELECT user_id, round(ln(tot) - s / tot, 6) AS entropy FROM a
+"""
+
+ORACLE_SQL["ratio_to_report_events"] = """
+    SELECT event_id, user_id,
+           round(value / sum(value) OVER (PARTITION BY user_id), 6) AS share
+    FROM events
+"""
+
+ORACLE_SQL["top_bigrams_documents"] = """
+    WITH d AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents),
+    b AS (
+        SELECT list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                              x -> x[1] || ' ' || x[2]) AS bgs
+        FROM d),
+    big AS (SELECT u.bg AS bigram FROM b, unnest(b.bgs) u(bg))
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+"""
+ORACLE_SQL["scrub_events_props"] = """
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+(\\.[0-9]+)?', '<NUM>', 'g')
+               AS scrubbed,
+           CAST(len(regexp_extract_all(props, '[0-9]+(\\.[0-9]+)?'))
+                AS BIGINT) AS n_redacted
+    FROM events
+"""
+
+ORACLE_SQL["mad_value_by_type"] = """
+    SELECT event_type, round(mad(value), 6) AS mad_value
+    FROM events GROUP BY event_type
+"""

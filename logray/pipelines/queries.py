@@ -2237,6 +2237,118 @@ def value_quantile_disc_by_type(sf_dir: str):
     return _bucketed_apply(ds, "event_type", per_bucket, num_buckets=8)
 
 
+def entropy_user_event_types(sf_dir: str):
+    """Grouped Shannon entropy (C5): H(user) over its event_type
+    distribution via the identity H = ln(tot) − Σ n·ln n / tot — two
+    combiner-backed grouped aggregations, no per-group materialization,
+    so the shape holds when one user has a billion events."""
+    counts = relational.grouped_agg(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        ["user_id", "event_type"], {"n": ("event_type", "count")})
+
+    def nlogn(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"user_id": t["user_id"], "n": t["n"],
+                         "nlogn": pa.array(n * np.log(n))})
+
+    agg = relational.grouped_agg(
+        counts.map_batches(nlogn, batch_format="pyarrow"),
+        ["user_id"], {"tot": ("n", "sum"), "s": ("nlogn", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = t["tot"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": t["user_id"],
+                         "entropy": pc.round(pa.array(np.log(tot) - s / tot),
+                                             ndigits=6)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def ratio_to_report_events(sf_dir: str):
+    """ratio_to_report window (C9): each event's share of its user's
+    total value — bucketed partition-wise transform, rounded for
+    cross-engine hash stability."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    from ..ops.window import _bucketed_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("user_id", sort=False)["value"].transform("sum")
+        out = df[["event_id", "user_id"]].copy()
+        out["share"] = (df["value"] / tot).round(6)
+        return out
+
+    return _bucketed_apply(ds, "user_id", per_bucket)
+
+
+def top_bigrams_documents(sf_dir: str):
+    """Global bigram top-20 (text n-gram statistics): tokens stay flat
+    per batch — adjacent-pair join via two zero-copy slices and one
+    vectorized string join, doc boundaries masked by offset arithmetic;
+    only per-batch (bigram, count) partials reach the shuffle."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(t["text"], "")))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        if n < 2:
+            return pa.table({"bigram": pa.array([], pa.string())})
+        pair = pc.binary_join_element_wise(flat.slice(0, n - 1),
+                                           flat.slice(1, n - 1), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        valid = np.ones(n - 1, dtype=bool)
+        ends = np.cumsum(lens)[:-1]            # first index of each next doc
+        ends = ends[(ends > 0) & (ends < n)]
+        valid[ends - 1] = False                # pairs that straddle docs
+        return pa.table({"bigram": pair.filter(pa.array(valid))})
+
+    counts = relational.grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["bigram"], {"n": ("bigram", "count")})
+    return relational.topk(counts, [("n", True), ("bigram", False)], 20)
+
+
+def scrub_events_props(sf_dir: str):
+    """PII-style scrub (training-data hygiene): redact numeric literals
+    in the props payload with one global RE2 replace; n_redacted counts
+    what was removed. Fully vectorized, embarrassingly parallel."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    pat = r"[0-9]+(\.[0-9]+)?"
+
+    def scrub(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "scrubbed": pc.replace_substring_regex(t["props"], pat, "<NUM>"),
+            "n_redacted": pc.cast(pc.count_substring_regex(t["props"], pat),
+                                  pa.int64())})
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def mad_value_by_type(sf_dir: str):
+    """Median absolute deviation per group (robust C5): bucketed
+    per-group two-pass median, interpolated like SQL quantile_cont."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    from ..ops.window import _bucketed_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = g["value"].to_numpy()
+            med = np.median(v)
+            rows.append({"event_type": et,
+                         "mad_value": round(float(np.median(np.abs(v - med))), 6)})
+        return pd.DataFrame(rows)
+
+    return _bucketed_apply(ds, "event_type", per_bucket, num_buckets=8)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -2359,6 +2471,11 @@ QUERIES = {
     "tfidf_top_token_documents": tfidf_top_token_documents,
     "avg_discount_weighted_lineitem": avg_discount_weighted_lineitem,
     "value_quantile_disc_by_type": value_quantile_disc_by_type,
+    "entropy_user_event_types": entropy_user_event_types,
+    "ratio_to_report_events": ratio_to_report_events,
+    "top_bigrams_documents": top_bigrams_documents,
+    "scrub_events_props": scrub_events_props,
+    "mad_value_by_type": mad_value_by_type,
 }
 
 
