@@ -363,7 +363,10 @@ def _hot_bucket_pairs(banded, pairs_fn, *, sig_tbl=None, id_col=None,
         idx = np.clip(np.searchsorted(keys, k), 0, len(keys) - 1)
         return t.filter(pa.array(keys[idx] == k))
 
-    survivors = banded.map_batches(keep_hot, batch_format="pyarrow")
+    # materialize once: the hot-id collection below AND the verify groupby
+    # both consume survivors — left lazy, the groupby would re-run the
+    # whole filter pass over banded
+    survivors = banded.map_batches(keep_hot, batch_format="pyarrow").materialize()
     if sig_tbl is None:
         return survivors.groupby(["band_id", "band_hash"]).map_groups(
             pairs_fn, batch_format="pandas")

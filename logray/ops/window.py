@@ -241,6 +241,88 @@ def asof_join(left_ds, right_df: pd.DataFrame, *, by: str, on: str,
     return _bucketed_apply(left_ds, by, per_bucket, num_buckets=num_buckets)
 
 
+def asof_join_dist(left_ds, right_ds, *, by: str, on: str,
+                   value_cols: list[str], direction: str = "backward",
+                   suffix: str = "_right", num_buckets: int | None = None,
+                   left_schema: pa.Schema | None = None,
+                   right_schema: pa.Schema | None = None):
+    """Large×large as-of join — the scale path when the right side
+    outgrows ``asof_join``'s broadcast idiom.
+
+    Both sides co-partition on ``by`` in ONE all-to-all: each side is
+    side-tagged, padded to the union schema with typed null columns, and
+    bucketed by the same stable hash of ``by``; a single
+    ``groupby('__bucket')`` exchange co-locates them and each bucket runs
+    one vectorized ``pd.merge_asof``. Partitioning assumption: all rows
+    of one ``by`` key fit in a task (salt/split by time range first if a
+    single key outgrows a worker).
+
+    Pass ``left_schema`` / ``right_schema`` when a side sits behind an
+    all-to-all — ``.schema()`` discovery would execute that upstream
+    shuffle once for discovery and again for the real run. The right side
+    must be unique per (by, on); pre-aggregate it if not.
+    """
+    import pyarrow.compute as pc
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    lsch = left_schema if left_schema is not None else left_ds.schema()
+    rsch = right_schema if right_schema is not None else right_ds.schema()
+    if lsch is None or rsch is None:
+        raise ValueError("asof_join_dist: side has no discoverable schema — "
+                         "pass left_schema/right_schema explicitly")
+    left_cols = list(lsch.names)
+    right_cols = [by, on] + list(value_cols)
+    types: dict[str, pa.DataType] = {}
+    for s, cols in ((lsch, left_cols), (rsch, rsch.names)):
+        for n, t in zip(s.names, s.types):
+            if n in (by, on) and n in types and types[n] != t:
+                raise ValueError(
+                    f"asof_join_dist: key {n!r} type differs across sides "
+                    f"({types[n]} vs {t}) — cast first")
+            types[n] = t
+    all_cols = sorted(set(left_cols) | set(right_cols))
+
+    def pad(cols_here: list[str], side_tag: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {c: (batch[c] if c in cols_here else pa.nulls(n, types[c]))
+                    for c in all_cols}
+            cols["__side"] = pa.array(np.full(n, side_tag, np.int8))
+            key = batch[by]
+            if pa.types.is_string(types[by]):
+                cols["__bucket"] = stable_bucket(key, num_buckets)
+            else:
+                v = np.asarray(key.to_numpy(zero_copy_only=False), np.int64)
+                cols["__bucket"] = pa.array(
+                    ((v * np.int64(2654435761)) % num_buckets).astype(np.int32))
+            return pa.table(cols)
+        return fn
+
+    tagged = left_ds.map_batches(pad(left_cols, 0), batch_format="pyarrow").union(
+        right_ds.map_batches(pad(right_cols, 1), batch_format="pyarrow"))
+
+    out_fields = [(c, types[c]) for c in left_cols]
+    out_fields += [(c + suffix if c in left_cols else c, types[c])
+                   for c in value_cols]
+    empty = pa.table({c: pa.array([], t) for c, t in out_fields})
+
+    def merge(t: pa.Table) -> pa.Table:
+        side = t["__side"]
+        lt = (t.filter(pc.equal(side, 0)).select(left_cols)
+              .to_pandas().sort_values(on, kind="mergesort"))
+        if not len(lt):
+            return empty
+        rt = (t.filter(pc.equal(side, 1)).select(right_cols)
+              .to_pandas().sort_values(on, kind="mergesort"))
+        out = pd.merge_asof(lt, rt, on=on, by=by, direction=direction,
+                            suffixes=("", suffix))
+        return pa.Table.from_pandas(out[[c for c, _ in out_fields]],
+                                    preserve_index=False)
+
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
 def percent_rank(ds, part_col: str, order_col: str, *, descending: bool = False,
                  num_buckets: int | None = None, out_col: str = "pct_rank"):
     """percent_rank() OVER (PARTITION BY part_col ORDER BY order_col) —

@@ -844,3 +844,16 @@ ORACLE_SQL["mad_value_by_type"] = """
     SELECT event_type, round(mad(value), 6) AS mad_value
     FROM events GROUP BY event_type
 """
+
+
+ORACLE_SQL["asof_view_prior_purchase_dist"] = """
+    WITH v AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, ts, max(value) AS prior_purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT v.event_id, round(p.prior_purchase_value, 2) AS prior_purchase_value
+    FROM v ASOF LEFT JOIN p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+"""

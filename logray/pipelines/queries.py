@@ -2331,6 +2331,43 @@ def scrub_events_props(sf_dir: str):
     return ds.map_batches(scrub, batch_format="pyarrow")
 
 
+def asof_view_prior_purchase_dist(sf_dir: str):
+    """Distributed as-of join (C9 scale path): each view event matched to
+    the user's latest purchase at or before it. Unlike
+    ``asof_purchase_prior_click`` (broadcast right side), BOTH sides here
+    are Datasets — the right side is itself a distributed aggregate — and
+    they co-partition on user_id in one exchange via ``asof_join_dist``;
+    static schemas passed so the right side's shuffle isn't executed
+    twice for discovery."""
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+    left = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "view"))
+                   .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+    right = relational.grouped_agg(
+        ev.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "purchase"))
+                       .select(["user_id", "ts", "value"]),
+            batch_format="pyarrow"),
+        ["user_id", "ts"], {"prior_purchase_value": ("value", "max")})
+    out = window.asof_join_dist(
+        left, right, by="user_id", on="ts",
+        value_cols=["prior_purchase_value"],
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("user_id", pa.int64()),
+                               ("ts", pa.timestamp("us"))]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("ts", pa.timestamp("us")),
+                                ("prior_purchase_value", pa.float64())]))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return _round_col(t.select(["event_id", "prior_purchase_value"]),
+                          "prior_purchase_value", 2)
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def mad_value_by_type(sf_dir: str):
     """Median absolute deviation per group (robust C5): bucketed
     per-group two-pass median, interpolated like SQL quantile_cont."""
@@ -2476,6 +2513,7 @@ QUERIES = {
     "top_bigrams_documents": top_bigrams_documents,
     "scrub_events_props": scrub_events_props,
     "mad_value_by_type": mad_value_by_type,
+    "asof_view_prior_purchase_dist": asof_view_prior_purchase_dist,
 }
 
 
