@@ -44,6 +44,21 @@ def default_num_buckets(multiplier: int = 4, lo: int = 16, hi: int = 4096) -> in
     return max(lo, min(hi, cores * multiplier))
 
 
+def _int_bucket(col, num_buckets: int) -> pa.Array:
+    """Stable bucket of an integer key column. Nulls are filled to 0 INSIDE
+    Arrow before ``to_numpy`` — a null otherwise widens the whole array to
+    float64 and the NaN→int64 cast is undefined (the same class of bug as
+    the round-1 stable_hash64 advisory); null keys co-locate with key 0,
+    which is harmless because every bucket kernel is per-key downstream."""
+    import pyarrow.compute as pc
+
+    filled = pc.fill_null(pc.cast(col, pa.int64()), 0)
+    if isinstance(filled, pa.ChunkedArray):
+        filled = filled.combine_chunks()
+    v = filled.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    return pa.array(((v * np.int64(2654435761)) % num_buckets).astype(np.int32))
+
+
 def _bucketed_apply(ds, key: str, fn, *, num_buckets: int | None = None):
     """groupby(stable bucket of ``key``) → vectorized pandas fn per bucket.
     ``num_buckets=None`` → cluster-derived via ``default_num_buckets``."""
@@ -55,8 +70,7 @@ def _bucketed_apply(ds, key: str, fn, *, num_buckets: int | None = None):
         if pa.types.is_string(batch.schema.field(key).type):
             b = stable_bucket(col, num_buckets)
         else:
-            v = np.asarray(batch[key].to_numpy(zero_copy_only=False), dtype=np.int64)
-            b = pa.array(((v * np.int64(2654435761)) % num_buckets).astype(np.int32))
+            b = _int_bucket(col, num_buckets)
         return batch.append_column("__bucket", b)
 
     def run(df: pd.DataFrame) -> pd.DataFrame:
@@ -293,9 +307,7 @@ def asof_join_dist(left_ds, right_ds, *, by: str, on: str,
             if pa.types.is_string(types[by]):
                 cols["__bucket"] = stable_bucket(key, num_buckets)
             else:
-                v = np.asarray(key.to_numpy(zero_copy_only=False), np.int64)
-                cols["__bucket"] = pa.array(
-                    ((v * np.int64(2654435761)) % num_buckets).astype(np.int32))
+                cols["__bucket"] = _int_bucket(key, num_buckets)
             return pa.table(cols)
         return fn
 

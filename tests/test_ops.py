@@ -993,3 +993,26 @@ def test_entropy_identity():
     direct = -(p * np.log(p)).sum()
     via = np.log(tot) - (n * np.log(n)).sum() / tot
     assert abs(direct - via) < 1e-12
+
+
+def test_bucketed_apply_null_int_keys(ray_session):
+    """Null integer partition keys must not widen the key array to
+    float64 (undefined NaN→int cast); they co-locate deterministically
+    and the per-key kernel sees them unchanged."""
+    import ray.data
+
+    from logray.ops.window import _bucketed_apply
+
+    df = pd.DataFrame({"k": pd.array([1, 2, None, 2, 1, None], dtype="Int64"),
+                       "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("k", sort=False, dropna=False)["v"].sum().reset_index()
+        return out
+
+    got = (_bucketed_apply(ray.data.from_pandas(df, override_num_blocks=3),
+                           "k", per_bucket, num_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = (df.groupby("k", dropna=False)["v"].sum().reset_index()
+            .sort_values("k").reset_index(drop=True))
+    assert got["v"].tolist() == want["v"].tolist()
