@@ -857,3 +857,22 @@ ORACLE_SQL["asof_view_prior_purchase_dist"] = """
     FROM v ASOF LEFT JOIN p
       ON v.user_id = p.user_id AND v.ts >= p.ts
 """
+
+
+ORACLE_SQL["grouping_sets_events"] = """
+    WITH e AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events)
+    SELECT event_type, day, count(*) AS n,
+           round(sum(cents) / 100.0, 2) AS sum_value
+    FROM e
+    GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
+"""
+
+ORACLE_SQL["global_value_quantiles"] = """
+    SELECT quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.95) AS p95,
+           quantile_disc(value, 0.99) AS p99
+    FROM events
+"""

@@ -2331,6 +2331,60 @@ def scrub_events_props(sf_dir: str):
     return ds.map_batches(scrub, batch_format="pyarrow")
 
 
+def grouping_sets_events(sf_dir: str):
+    """GROUP BY GROUPING SETS ((type, day), (type), (day)) — arbitrary
+    grouping sets beyond ROLLUP/CUBE: the finest grain (the union of all
+    set columns) aggregates distributed ONCE; each requested set
+    re-aggregates those tiny partials driver-side, so N sets still cost
+    one pass over the data."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+            "__cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                               pa.int64())})
+
+    base = relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "day"],
+        {"n": ("__cents", "count"), "cents": ("__cents", "sum")}).to_pandas()
+    by_type = base.groupby("event_type", as_index=False)[["n", "cents"]].sum()
+    by_type["day"] = None
+    by_day = base.groupby("day", as_index=False)[["n", "cents"]].sum()
+    by_day["event_type"] = None
+    out = pd.concat([base, by_type, by_day], ignore_index=True)
+    out["sum_value"] = (out["cents"] / 100.0).round(2)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["event_type", "day", "n", "sum_value"]], preserve_index=False)
+
+
+def global_value_quantiles(sf_dir: str):
+    """Global EXACT discrete quantiles (C6) in one distributed pass: the
+    value DISTRIBUTION (grouped count per distinct value) aggregates with
+    the combiner shuffle, and the order statistic reads off the tiny
+    sorted (value, count) table's cumulative counts driver-side. Exact
+    whenever the value domain is discrete/bounded (money-like columns —
+    here 2-decimal values); for unbounded continuous domains use the
+    mergeable-histogram sketch (``approx_value_percentiles_by_type``)."""
+    ds = _read(sf_dir, "events", ["value"])
+    dist = relational.grouped_agg(
+        ds.map_batches(lambda t: t.filter(pc.is_valid(t["value"])),
+                       batch_format="pyarrow"),
+        ["value"], {"n": ("value", "count")}).to_pandas()
+    dist = dist.sort_values("value").reset_index(drop=True)
+    cum = dist["n"].cumsum().to_numpy()
+    tot = int(cum[-1])
+
+    def q(p: float) -> float:
+        k = max(int(np.ceil(p * tot)), 1)  # 1-based rank of quantile_disc
+        return float(dist["value"].iloc[int(np.searchsorted(cum, k))])
+
+    return pa.table({"p50": [q(0.5)], "p95": [q(0.95)], "p99": [q(0.99)]})
+
+
 def asof_view_prior_purchase_dist(sf_dir: str):
     """Distributed as-of join (C9 scale path): each view event matched to
     the user's latest purchase at or before it. Unlike
@@ -2514,6 +2568,8 @@ QUERIES = {
     "scrub_events_props": scrub_events_props,
     "mad_value_by_type": mad_value_by_type,
     "asof_view_prior_purchase_dist": asof_view_prior_purchase_dist,
+    "grouping_sets_events": grouping_sets_events,
+    "global_value_quantiles": global_value_quantiles,
 }
 
 
