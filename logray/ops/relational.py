@@ -222,6 +222,106 @@ def hash_join(left, right, on: str | list[str], *, how: str = "inner",
                            schemas=[left_schema, right_schema])
 
 
+def hash_semi_join(left, right, on: str | list[str], *, anti: bool = False,
+                   num_buckets: int | None = None,
+                   left_schema: pa.Schema | None = None,
+                   right_schema: pa.Schema | None = None):
+    """Large×large shuffle semi/anti join — SQL EXISTS / NOT EXISTS.
+
+    ``semi_filter`` is the small-filter-side path (distinct keys collected
+    and broadcast); this is the path when the filter side's distinct keys
+    don't fit a broadcast. Both sides are bucketed by a stable mixed hash
+    over the key columns and co-located with ONE tagged-union exchange —
+    the right side ships ONLY its key columns, deduped per batch before
+    the exchange, so the shuffle moves (per-batch-distinct) keys, never
+    payload rows. Inside each bucket the left slice is kept (semi) or
+    dropped (anti) by a vectorized merge-indicator membership test; left
+    rows are never duplicated regardless of right-side multiplicity.
+
+    Null semantics are SQL EXISTS, not pandas merge: a left row with any
+    null key never matches — dropped by semi, KEPT by anti (this matches
+    NOT EXISTS, which is also what DuckDB's NOT IN would do only when the
+    subquery has no nulls — write oracles with EXISTS/NOT EXISTS).
+
+    ``*_schema``: pass when a side sits behind an all-to-all (see
+    ``multi_hash_join``).
+    """
+    from ..functions.hashing import stable_hash64
+    from .window import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    on = [on] if isinstance(on, str) else list(on)
+    lscm = left_schema if left_schema is not None else left.schema()
+    rscm = right_schema if right_schema is not None else right.schema()
+    if lscm is None or rscm is None:
+        raise ValueError("hash_semi_join side has no discoverable schema "
+                         "(empty dataset?) — pass left_schema/right_schema")
+    left_cols = list(lscm.names)
+    ltypes = dict(zip(lscm.names, lscm.types))
+    rtypes = dict(zip(rscm.names, rscm.types))
+    for c in on:
+        if c not in ltypes or c not in rtypes:
+            raise ValueError(f"semi-join key {c!r} missing on a side")
+    ktypes = {c: _unify_key_type(c, [ltypes[c], rtypes[c]]) for c in on}
+
+    def bucket_of(t: pa.Table) -> pa.Array:
+        h = np.zeros(t.num_rows, dtype=np.int64)
+        for c in on:
+            h = h * np.int64(1000003) + stable_hash64(t[c])
+        return pa.array((np.abs(h) % num_buckets).astype(np.int32))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in left_cols:
+            col = t[c]
+            if c in ktypes and col.type != ktypes[c]:
+                col = col.cast(ktypes[c])
+            cols[c] = col
+        cols["__side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        cols["__bucket"] = bucket_of(t)
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        # keys only, cast to the unified type, deduped per batch: the
+        # exchange never moves right-side payload or duplicate keys
+        t = t.select(on)
+        t = pa.table({c: (t[c].cast(ktypes[c]) if t[c].type != ktypes[c]
+                          else t[c]) for c in on})
+        t = t.group_by(on).aggregate([])
+        n = t.num_rows
+        cols = {}
+        for c in left_cols:
+            cols[c] = t[c] if c in on else pa.nulls(n, ltypes[c])
+        cols["__side"] = pa.array(np.ones(n, np.int8))
+        cols["__bucket"] = bucket_of(t)
+        return pa.table(cols)
+
+    tagged = (left.map_batches(tag_left, batch_format="pyarrow")
+              .union(right.map_batches(tag_right, batch_format="pyarrow")))
+
+    out_cols = list(left_cols)
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = t["__side"]
+        lt = t.filter(pc.equal(side, 0)).select(out_cols)
+        rk = (t.filter(pc.equal(side, 1)).select(on)
+               .to_pandas().dropna().drop_duplicates())
+        ldf = lt.to_pandas()
+        if len(ldf) == 0:
+            return lt
+        matched = (ldf[on].merge(rk, on=on, how="left", indicator=True)
+                   ["_merge"] == "both").to_numpy()
+        nullkey = ldf[on].isna().any(axis=1).to_numpy()
+        matched &= ~nullkey
+        keep = ~matched if anti else matched
+        return lt.filter(pa.array(keep))
+
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
 def semi_filter(ds, col: str, keys, *, keep: bool = True):
     """Broadcast semi (keep=True) / anti (keep=False) join on ``col``.
 

@@ -876,3 +876,17 @@ ORACLE_SQL["global_value_quantiles"] = """
            quantile_disc(value, 0.99) AS p99
     FROM events
 """
+
+ORACLE_SQL["orders_exists_bigqty_lineitem"] = """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+"""
+
+ORACLE_SQL["orders_not_exists_bigqty_lineitem"] = """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+"""

@@ -2440,6 +2440,45 @@ def mad_value_by_type(sf_dir: str):
     return _bucketed_apply(ds, "event_type", per_bucket, num_buckets=8)
 
 
+def orders_exists_bigqty_lineitem(sf_dir: str):
+    """Large×large shuffle SEMI join (C4): orders that have at least one
+    lineitem with quantity ≥ 49. Unlike ``customers_without_big_orders``
+    (broadcast keys) and ``bloom_semi_lineitem`` (probabilistic prune +
+    broadcast exact), this is the path when the filter side's distinct
+    keys don't fit a broadcast: both sides co-partition in ONE tagged
+    exchange, the filter side shipping only per-batch-deduped keys."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    big = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["l_quantity"], 49.0))
+                   .select(["l_orderkey"]).rename_columns(["o_orderkey"]),
+        batch_format="pyarrow")
+    out = relational.hash_semi_join(
+        orders, big, "o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_totalprice", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64())]))
+    return out.map_batches(lambda t: _round_col(t, "o_totalprice", 2),
+                           batch_format="pyarrow")
+
+
+def orders_not_exists_bigqty_lineitem(sf_dir: str):
+    """Large×large shuffle ANTI join (C4, NOT EXISTS semantics): orders
+    with NO lineitem of quantity ≥ 49 — same single-exchange plan as the
+    semi variant with the membership test inverted."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    big = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["l_quantity"], 49.0))
+                   .select(["l_orderkey"]).rename_columns(["o_orderkey"]),
+        batch_format="pyarrow")
+    out = relational.hash_semi_join(
+        orders, big, "o_orderkey", anti=True,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_totalprice", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64())]))
+    return out.map_batches(lambda t: _round_col(t, "o_totalprice", 2),
+                           batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -2570,6 +2609,8 @@ QUERIES = {
     "asof_view_prior_purchase_dist": asof_view_prior_purchase_dist,
     "grouping_sets_events": grouping_sets_events,
     "global_value_quantiles": global_value_quantiles,
+    "orders_exists_bigqty_lineitem": orders_exists_bigqty_lineitem,
+    "orders_not_exists_bigqty_lineitem": orders_not_exists_bigqty_lineitem,
 }
 
 

@@ -1016,3 +1016,44 @@ def test_bucketed_apply_null_int_keys(ray_session):
     want = (df.groupby("k", dropna=False)["v"].sum().reset_index()
             .sort_values("k").reset_index(drop=True))
     assert got["v"].tolist() == want["v"].tolist()
+
+
+def test_hash_semi_join_exists_semantics(ray_session):
+    import ray.data
+
+    from logray.ops import relational
+
+    left = pa.table({"k": pa.array([1, 2, 3, None, 5], pa.int64()),
+                     "lv": pa.array([10, 20, 30, 40, 50], pa.int64())})
+    # right has duplicate keys (must not duplicate left rows) and a null
+    # key (must match nothing)
+    right = pa.table({"k": pa.array([2, 2, 2, None, 5], pa.int64())})
+    semi = relational.hash_semi_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), "k",
+        num_buckets=3).to_pandas().sort_values("lv")
+    assert semi["lv"].tolist() == [20, 50]  # no dup, null key unmatched
+    anti = relational.hash_semi_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), "k",
+        anti=True, num_buckets=3).to_pandas().sort_values("lv")
+    # NOT EXISTS keeps the null-key left row
+    assert anti["lv"].tolist() == [10, 30, 40]
+    assert semi["lv"].dtype.kind == "i"  # no float widening
+
+
+def test_hash_semi_join_matches_pandas_at_size(ray_session):
+    import ray.data
+
+    from logray.ops import relational
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({"k": rng.integers(0, 300, 4000),
+                         "lv": rng.integers(0, 10**6, 4000)})
+    right = pd.DataFrame({"k": rng.integers(150, 450, 2000)})
+    got = relational.hash_semi_join(
+        ray.data.from_pandas(left.copy()), ray.data.from_pandas(right.copy()),
+        "k", num_buckets=5).to_pandas()
+    want = left[left["k"].isin(set(right["k"]))]
+    key = ["k", "lv"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        want[key].sort_values(key).reset_index(drop=True))
