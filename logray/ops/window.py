@@ -378,3 +378,55 @@ def collect_sorted(ds, key: str, val_col: str, *, sep: str = ",",
         return out
 
     return _bucketed_apply(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def funnel(ds, key: str, ts_col: str, type_col: str, steps: list[str], *,
+           num_buckets: int | None = None, out_col: str = "funnel_stage"):
+    """Ordered funnel / sequence match (C9): per key, the number of
+    ``steps`` completed IN ORDER — step i+1 counts only if it occurs
+    STRICTLY after the key's earliest qualifying occurrence of step i
+    (the MATCH_RECOGNIZE-lite shape of product analytics funnels).
+
+    Scale shape: rows matching no step are dropped per batch BEFORE the
+    exchange; survivors co-partition by key with one bucketed shuffle and
+    each bucket runs a vectorized per-step min-after scan (O(steps)
+    pandas groupby-merges, no per-row Python). Returns one row per key
+    that reached at least step 1: ``(key, out_col)``.
+    """
+    import pyarrow.compute as pc
+
+    steps = list(steps)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        t = t.select([key, ts_col, type_col])
+        m = pc.and_(pc.is_in(t[type_col], value_set=pa.array(steps)),
+                    pc.is_valid(t[key]))
+        return t.filter(m)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        prev_ts = None  # Series: key -> ts of previous completed step
+        stage = None
+        for i, st in enumerate(steps, start=1):
+            sel = df[df[type_col] == st]
+            if prev_ts is not None:
+                sel = sel.merge(prev_ts.rename("__prev").reset_index(),
+                                on=key)
+                sel = sel[sel[ts_col] > sel["__prev"]]
+            t = sel.groupby(key, sort=False)[ts_col].min()
+            if i == 1:
+                stage = pd.Series(1, index=t.index, dtype="int64")
+            else:
+                stage.loc[t.index] = i
+            prev_ts = t
+            if len(t) == 0:
+                break
+        if stage is None or len(stage) == 0:
+            return pd.DataFrame({key: pd.Series([], dtype=df[key].dtype),
+                                 out_col: pd.Series([], dtype="int64")})
+        out = stage.rename(out_col).reset_index()
+        out.columns = [key, out_col]
+        return out
+
+    return _bucketed_apply(
+        ds.map_batches(prefilter, batch_format="pyarrow"),
+        key, per_bucket, num_buckets=num_buckets)

@@ -890,3 +890,23 @@ ORACLE_SQL["orders_not_exists_bigqty_lineitem"] = """
     WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
 """
+
+ORACLE_SQL["funnel_stages_events"] = """
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' AND user_id IS NOT NULL
+                GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                GROUP BY e.user_id)
+    SELECT s1.user_id,
+           CASE WHEN s3.user_id IS NOT NULL THEN 3
+                WHEN s2.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS funnel_stage
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""

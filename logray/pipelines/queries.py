@@ -2479,6 +2479,16 @@ def orders_not_exists_bigqty_lineitem(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def funnel_stages_events(sf_dir: str):
+    """Ordered funnel (C9 sequence match): per user, how many of
+    view → click → purchase completed IN ORDER (each step strictly after
+    the earliest qualifying prior step). Non-step rows never enter the
+    exchange; survivors co-partition once by user."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return window.funnel(ds, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"])
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -2611,6 +2621,7 @@ QUERIES = {
     "global_value_quantiles": global_value_quantiles,
     "orders_exists_bigqty_lineitem": orders_exists_bigqty_lineitem,
     "orders_not_exists_bigqty_lineitem": orders_not_exists_bigqty_lineitem,
+    "funnel_stages_events": funnel_stages_events,
 }
 
 

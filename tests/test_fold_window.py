@@ -215,3 +215,34 @@ def test_tool_error_followup_matches_single_process(ray_session, tmp_path):
             .reset_index().sort_values("tool").reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got[["tool", "n_calls", "n_err_followed"]], want, check_dtype=False)
+
+
+def test_funnel_order_sensitive(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from logray.ops import window
+
+    ts = pd.to_datetime
+    df = pd.DataFrame([
+        # user 1: full ordered funnel
+        (1, ts("2024-01-01 10:00"), "view"),
+        (1, ts("2024-01-01 10:05"), "click"),
+        (1, ts("2024-01-01 10:10"), "purchase"),
+        # user 2: purchase BEFORE click -> stops at stage 2
+        (2, ts("2024-01-01 09:00"), "view"),
+        (2, ts("2024-01-01 09:01"), "purchase"),
+        (2, ts("2024-01-01 09:02"), "click"),
+        # user 3: click only, never viewed -> no row (stage 0)
+        (3, ts("2024-01-01 08:00"), "click"),
+        # user 4: click at the SAME instant as view -> strictly-after fails
+        (4, ts("2024-01-01 07:00"), "view"),
+        (4, ts("2024-01-01 07:00"), "click"),
+        # noise type is ignored
+        (1, ts("2024-01-01 10:02"), "error"),
+    ], columns=["user_id", "ts", "event_type"])
+    out = window.funnel(ray.data.from_pandas(df), "user_id", "ts",
+                        "event_type", ["view", "click", "purchase"],
+                        num_buckets=3).to_pandas()
+    got = dict(zip(out["user_id"], out["funnel_stage"]))
+    assert got == {1: 3, 2: 2, 4: 1}
