@@ -175,3 +175,44 @@ def add_quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
                       ("stopword_ratio", stop_arr), ("quality", score)]:
         batch = batch.append_column(name, col)
     return batch
+
+
+def ngram_explode(t: pa.Table, id_col: str, text_col: str,
+                  width: int) -> pa.Table:
+    """Explode each document into its word ``width``-grams → one flat
+    ``(id_col, ngram)`` table per batch. Tokens of ALL docs in the batch
+    stay in one flat Arrow array — the n-gram join is ``width`` zero-copy
+    slices through one vectorized string join; starts whose window would
+    straddle a document boundary are masked by offset arithmetic (same
+    technique as the bigram stats, generalized to any width). Doc ids are
+    propagated to starts with one searchsorted over the token-count
+    cumsum — no per-row Python."""
+    trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(t[text_col], "")))
+    toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = len(flat)
+    empty = pa.table({id_col: pa.array([], t.schema.field(id_col).type),
+                      "ngram": pa.array([], pa.string())})
+    if n < width:
+        return empty
+    m = n - width + 1
+    ng = pc.binary_join_element_wise(
+        *[flat.slice(k, m) for k in range(width)], " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    ends = np.cumsum(lens)                      # doc end (exclusive) in flat
+    valid = np.ones(m, dtype=bool)
+    for k in range(1, width):                   # starts straddling a boundary
+        inv = ends[:-1] - k
+        inv = inv[(inv >= 0) & (inv < m)]
+        valid[inv] = False
+    starts = np.flatnonzero(valid)
+    if len(starts) == 0:
+        return empty
+    docidx = np.searchsorted(ends, starts, side="right")
+    ids = (t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray)
+           else t[id_col]).take(pa.array(docidx))
+    return pa.table({id_col: ids, "ngram": ng.filter(pa.array(valid))})

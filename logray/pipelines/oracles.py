@@ -910,3 +910,20 @@ ORACLE_SQL["funnel_stages_events"] = """
     FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
             LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
+
+ORACLE_SQL["decontaminate_documents"] = """
+    WITH d AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+               FROM documents),
+         g AS (SELECT doc_id, list_transform(
+                   list_zip(toks[1:len(toks)-3], toks[2:len(toks)-2],
+                            toks[3:len(toks)-1], toks[4:len(toks)]),
+                   x -> x[1]||' '||x[2]||' '||x[3]||' '||x[4]) AS ngs
+               FROM d),
+         f AS (SELECT doc_id, u.ng FROM g, unnest(g.ngs) u(ng)),
+         bench AS (SELECT DISTINCT ng FROM f WHERE doc_id % 25 = 0)
+    SELECT f.doc_id, CAST(count(DISTINCT f.ng) AS BIGINT) AS n_hits
+    FROM f
+    WHERE f.doc_id % 25 <> 0 AND f.ng IN (SELECT ng FROM bench)
+    GROUP BY f.doc_id
+"""

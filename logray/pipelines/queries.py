@@ -2489,6 +2489,42 @@ def funnel_stages_events(sf_dir: str):
                          ["view", "click", "purchase"])
 
 
+def decontaminate_documents(sf_dir: str):
+    """Benchmark decontamination (LLM training hygiene): flag training
+    docs sharing any word 4-gram with a held-out benchmark set (here the
+    deterministic slice doc_id % 25 == 0 — no external data). Shape: both
+    sides explode to flat (id, ngram) via the boundary-masked slice join
+    (``text.ngram_explode``); a doc's n-grams never split across batches,
+    so per-batch pair dedup IS global dedup and only distinct pairs reach
+    the exchanges. The overlap test is the large×large shuffle semi join
+    on ngram (the benchmark n-gram set is assumed too big to broadcast —
+    compose ``bloom.build_bloom``+``bloom_prune`` in front when the
+    training explode dwarfs it); n_hits = distinct contaminated n-grams
+    per doc."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (d % 25 == 0) if bench else (d % 25 != 0)
+            ex = text_ops.ngram_explode(t.filter(pa.array(m)),
+                                        "doc_id", "text", 4)
+            if bench:
+                return ex.group_by(["ngram"]).aggregate([])
+            return ex.group_by(["doc_id", "ngram"]).aggregate([])
+        return fn
+
+    bench_ng = relational.grouped_agg(
+        docs.map_batches(side(True), batch_format="pyarrow"),
+        ["ngram"], {"c": ("ngram", "count")})
+    train_pairs = docs.map_batches(side(False), batch_format="pyarrow")
+    hit = relational.hash_semi_join(
+        train_pairs, bench_ng, "ngram",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("ngram", pa.string())]),
+        right_schema=pa.schema([("ngram", pa.string()), ("c", pa.int64())]))
+    return relational.grouped_agg(hit, ["doc_id"], {"n_hits": ("ngram", "count")})
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -2622,6 +2658,7 @@ QUERIES = {
     "orders_exists_bigqty_lineitem": orders_exists_bigqty_lineitem,
     "orders_not_exists_bigqty_lineitem": orders_not_exists_bigqty_lineitem,
     "funnel_stages_events": funnel_stages_events,
+    "decontaminate_documents": decontaminate_documents,
 }
 
 

@@ -1057,3 +1057,16 @@ def test_hash_semi_join_matches_pandas_at_size(ray_session):
     pd.testing.assert_frame_equal(
         got[key].sort_values(key).reset_index(drop=True),
         want[key].sort_values(key).reset_index(drop=True))
+
+
+def test_ngram_explode_boundary_mask():
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": ["a b c d", "x y", "p q r"]})
+    out = text_ops.ngram_explode(t, "doc_id", "text", 3)
+    got = list(zip(out["doc_id"].to_pylist(), out["ngram"].to_pylist()))
+    # doc 2 is shorter than the width -> contributes nothing; no n-gram
+    # may straddle doc boundaries
+    assert got == [(1, "a b c"), (1, "b c d"), (3, "p q r")]
+    # width longer than every doc -> empty with stable schema
+    empty = text_ops.ngram_explode(t, "doc_id", "text", 5)
+    assert empty.num_rows == 0 and empty.column_names == ["doc_id", "ngram"]
