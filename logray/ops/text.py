@@ -216,3 +216,43 @@ def ngram_explode(t: pa.Table, id_col: str, text_col: str,
     ids = (t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray)
            else t[id_col]).take(pa.array(docidx))
     return pa.table({id_col: ids, "ngram": ng.filter(pa.array(valid))})
+
+
+def add_repetition_signals(t: pa.Table, id_col: str = "doc_id",
+                           text_col: str = "text") -> pa.Table:
+    """Per-doc repetition quality signals (the Gopher-rules family):
+    ``dup_word_frac`` = 1 − distinct/total tokens; ``top_bigram_frac`` =
+    share of the doc's bigrams taken by its most frequent bigram (high →
+    boilerplate/spam). Docs never split across batches, so this is
+    embarrassingly parallel: one flat tokenize per batch (zero-copy slice
+    join for bigrams) + hash-based pandas groupbys — no shuffle."""
+    import pandas as pd
+
+    toks = ngram_explode(t, id_col, text_col, 1)
+    bigs = ngram_explode(t, id_col, text_col, 2)
+    td = toks.to_pandas()
+    g = td.groupby(id_col, sort=False)["ngram"]
+    stats = pd.DataFrame({"n": g.size(), "nd": g.nunique()})
+    stats["dup_word_frac"] = (1.0 - stats["nd"] / stats["n"]).round(6)
+    bd = bigs.to_pandas()
+    if len(bd):
+        bc = (bd.groupby([id_col, "ngram"], sort=False)
+              .size().rename("c").reset_index())
+        bg = bc.groupby(id_col, sort=False)["c"]
+        bstats = (bg.max() / bg.sum()).rename("top_bigram_frac").round(6)
+        stats = stats.join(bstats)
+    else:
+        stats["top_bigram_frac"] = np.nan
+    stats["top_bigram_frac"] = stats["top_bigram_frac"].fillna(0.0)
+    out = stats.reset_index()[[id_col, "dup_word_frac", "top_bigram_frac"]]
+    # docs with zero tokens never enter `toks`; restore them with frac 0
+    have = pa.array(out[id_col].to_numpy())
+    missing = t.filter(pc.invert(pc.is_in(t[id_col], value_set=have)))
+    if missing.num_rows:
+        out = pd.concat([out, pd.DataFrame({
+            id_col: missing[id_col].to_pandas(),
+            "dup_word_frac": 0.0, "top_bigram_frac": 0.0})],
+            ignore_index=True)
+    return pa.table({id_col: pa.array(out[id_col].to_numpy()),
+                     "dup_word_frac": pa.array(out["dup_word_frac"], pa.float64()),
+                     "top_bigram_frac": pa.array(out["top_bigram_frac"], pa.float64())})

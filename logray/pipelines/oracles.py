@@ -927,3 +927,23 @@ ORACLE_SQL["decontaminate_documents"] = """
     WHERE f.doc_id % 25 <> 0 AND f.ng IN (SELECT ng FROM bench)
     GROUP BY f.doc_id
 """
+
+ORACLE_SQL["repetition_signals_documents"] = """
+    WITH d AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+               FROM documents),
+         t AS (SELECT doc_id, len(toks) AS n,
+                      len(list_distinct(toks)) AS nd FROM d),
+         b AS (SELECT doc_id, list_transform(
+                   list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                   x -> x[1]||' '||x[2]) AS bgs FROM d),
+         bc AS (SELECT doc_id, u.bg, count(*) AS c
+                FROM b, unnest(b.bgs) u(bg) GROUP BY doc_id, u.bg),
+         bm AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot
+                FROM bc GROUP BY doc_id)
+    SELECT t.doc_id,
+           round(1.0 - CAST(nd AS DOUBLE) / n, 6) AS dup_word_frac,
+           round(coalesce(CAST(bm.mx AS DOUBLE) / bm.tot, 0.0), 6)
+               AS top_bigram_frac
+    FROM t LEFT JOIN bm ON t.doc_id = bm.doc_id
+"""

@@ -2525,6 +2525,16 @@ def decontaminate_documents(sf_dir: str):
     return relational.grouped_agg(hit, ["doc_id"], {"n_hits": ("ngram", "count")})
 
 
+def repetition_signals_documents(sf_dir: str):
+    """Gopher-style repetition filters (training-data quality): per-doc
+    duplicate-word fraction and top-bigram share — pure per-batch
+    map_batches, no shuffle (docs never split across batches)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: text_ops.add_repetition_signals(t, "doc_id", "text"),
+        batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -2659,6 +2669,7 @@ QUERIES = {
     "orders_not_exists_bigqty_lineitem": orders_not_exists_bigqty_lineitem,
     "funnel_stages_events": funnel_stages_events,
     "decontaminate_documents": decontaminate_documents,
+    "repetition_signals_documents": repetition_signals_documents,
 }
 
 

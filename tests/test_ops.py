@@ -1070,3 +1070,15 @@ def test_ngram_explode_boundary_mask():
     # width longer than every doc -> empty with stable schema
     empty = text_ops.ngram_explode(t, "doc_id", "text", 5)
     assert empty.num_rows == 0 and empty.column_names == ["doc_id", "ngram"]
+
+
+def test_repetition_signals_known_values():
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["a a a a", "w x y z"]})
+    out = text_ops.add_repetition_signals(t).to_pandas().set_index("doc_id")
+    # doc 1: 4 tokens 1 distinct -> dup 0.75; bigrams all "a a" -> share 1
+    assert out.loc[1, "dup_word_frac"] == 0.75
+    assert out.loc[1, "top_bigram_frac"] == 1.0
+    # doc 2: all distinct -> dup 0; 3 distinct bigrams -> share 1/3
+    assert out.loc[2, "dup_word_frac"] == 0.0
+    assert abs(out.loc[2, "top_bigram_frac"] - 1 / 3) < 1e-6
