@@ -947,3 +947,12 @@ ORACLE_SQL["repetition_signals_documents"] = """
                AS top_bigram_frac
     FROM t LEFT JOIN bm ON t.doc_id = bm.doc_id
 """
+
+ORACLE_SQL["ipc_source_event_counts"] = ORACLE_SQL["csv_source_event_counts"]
+
+ORACLE_SQL["value_quantile_cont_by_type"] = """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY event_type
+"""

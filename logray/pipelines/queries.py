@@ -2535,6 +2535,44 @@ def repetition_signals_documents(sf_dir: str):
         batch_format="pyarrow")
 
 
+def ipc_source_event_counts(sf_dir: str):
+    """Arrow IPC (Feather v2) sink → source round-trip (B5/B6 format
+    breadth): write the events projection as .arrow shards (atomic
+    rename, one file per task), read back via the composed
+    read_binary_files+feather source, aggregate."""
+    from .. import sources
+
+    path = _scratch_dir("ipc_roundtrip", sf_dir)
+    sources.write_ipc(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]), path)
+    ds = sources.read_ipc(path)
+    prepped = ds.map_batches(lambda t: _add_cents(t, "value", "__cents"),
+                             batch_format="pyarrow")
+    out = relational.grouped_agg(prepped, ["event_type"], {
+        "n": ("event_id", "count"), "sum_value": ("__cents", "sum")})
+    return out.map_batches(lambda t: _cents_to_float(t, "sum_value"),
+                           batch_format="pyarrow")
+
+
+def value_quantile_cont_by_type(sf_dir: str):
+    """Grouped CONTINUOUS (interpolated) quantiles — SQL quantile_cont
+    semantics, exact: co-partition by group, per-group vectorized
+    np.quantile(linear) inside each bucket."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    from ..ops.window import _bucketed_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = g["value"].dropna().to_numpy()
+            rows.append({"event_type": et,
+                         "p50": round(float(np.quantile(v, 0.5)), 6),
+                         "p90": round(float(np.quantile(v, 0.9)), 6)})
+        return pd.DataFrame(rows)
+
+    return _bucketed_apply(ds, "event_type", per_bucket, num_buckets=8)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -2670,6 +2708,8 @@ QUERIES = {
     "funnel_stages_events": funnel_stages_events,
     "decontaminate_documents": decontaminate_documents,
     "repetition_signals_documents": repetition_signals_documents,
+    "ipc_source_event_counts": ipc_source_event_counts,
+    "value_quantile_cont_by_type": value_quantile_cont_by_type,
 }
 
 

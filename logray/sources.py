@@ -123,3 +123,48 @@ def read_raw_log(log_dir: str | Path):
         raise FileNotFoundError(f"no .log/.log.gz files in {log_dir}")
     ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     return ds.map_batches(envelope_parse, batch_format="pyarrow")
+
+
+def write_ipc(ds, out_dir: str | Path, *, compression: str = "zstd"):
+    """Arrow IPC (Feather v2) sink (B6 format breadth): each task writes
+    its batch as one ``.arrow`` file — partitioned output, no driver
+    funnel, resumable by directory listing like the parquet sinks."""
+    import uuid
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def write_batch(t: pa.Table) -> pa.Table:
+        from pyarrow import feather
+
+        name = out / f"part-{uuid.uuid4().hex}.arrow"
+        tmp = name.with_suffix(".tmp")
+        feather.write_feather(t, str(tmp), compression=compression)
+        tmp.rename(name)  # atomic: readers never see partials
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    n = ds.map_batches(write_batch, batch_format="pyarrow").sum("rows")
+    return int(n or 0)
+
+
+def read_ipc(in_dir: str | Path):
+    """Arrow IPC (Feather v2) source: ``read_binary_files`` distributes
+    one file per block; each decodes zero-copy via ``pyarrow.feather``.
+    Ray Data has no native IPC reader — this composes one from the
+    binary-file source, keeping decode distributed and streaming."""
+    import ray.data
+
+    files = sorted(str(p) for p in Path(in_dir).glob("*.arrow"))
+    if not files:
+        raise FileNotFoundError(f"no .arrow files in {in_dir}")
+
+    def decode(t: pa.Table) -> pa.Table:
+        from pyarrow import feather
+        import io
+
+        tables = [feather.read_table(io.BytesIO(b.as_py()))
+                  for b in t["bytes"]]
+        return pa.concat_tables(tables)
+
+    return (ray.data.read_binary_files(files)
+            .map_batches(decode, batch_format="pyarrow", batch_size=1))

@@ -83,3 +83,18 @@ def test_gzip_roundtrip(ray_session, corpus, tmp_path_factory):
     got = read_raw_log(raw)
     assert got.count() == meta["n_turns"]
     assert not got.to_pandas()["envelope_error"].any()
+
+
+def test_ipc_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from logray import sources
+
+    t = pa.table({"a": pa.array(range(100), pa.int64()),
+                  "s": [f"v{i}" for i in range(100)]})
+    n = sources.write_ipc(ray.data.from_arrow(t), tmp_path)
+    assert n == 100
+    back = sources.read_ipc(tmp_path).to_pandas().sort_values("a")
+    assert back["a"].tolist() == list(range(100))
+    assert back["s"].iloc[3] == "v3"
