@@ -956,3 +956,19 @@ ORACLE_SQL["value_quantile_cont_by_type"] = """
            round(quantile_cont(value, 0.9), 6) AS p90
     FROM events GROUP BY event_type
 """
+
+ORACLE_SQL["skew_kurt_value_by_type"] = """
+    SELECT event_type,
+           round(skewness(value), 6) AS skew_value,
+           round(kurtosis(value), 6) AS kurt_value
+    FROM events GROUP BY event_type
+"""
+
+ORACLE_SQL["cap_docs_per_source"] = """
+    SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+    WHERE rn <= 10
+"""

@@ -2573,6 +2573,36 @@ def value_quantile_cont_by_type(sf_dir: str):
     return _bucketed_apply(ds, "event_type", per_bucket, num_buckets=8)
 
 
+def skew_kurt_value_by_type(sf_dir: str):
+    """Grouped higher-moment stats (C5): sample skewness + excess
+    kurtosis per group, co-partitioned by group key (pandas' adjusted
+    Fisher-Pearson estimators match DuckDB's skewness/kurtosis exactly —
+    verified numerically). The sum/sumsq moment-partial scale path is
+    ``value_stats_by_type``; this extends the family where 3rd/4th-power
+    integer partials would overflow."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    from ..ops.window import _bucketed_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)["value"]
+        out = pd.DataFrame({"skew_value": g.skew().round(6),
+                            "kurt_value": g.apply(lambda s: s.kurt()).round(6)})
+        return out.reset_index()
+
+    return _bucketed_apply(ds, "event_type", per_bucket, num_buckets=8)
+
+
+def cap_docs_per_source(sf_dir: str):
+    """Per-source document cap (crawl curation: at most K docs per
+    source, best-first): grouped top-N by (n_chars desc, doc_id) — the
+    row_number()<=K idiom co-partitioned by source."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = window.grouped_topn(ds, "source",
+                              [("n_chars", True), ("doc_id", False)], 10)
+    return out.map_batches(lambda t: t.select(["doc_id", "source", "n_chars"]),
+                           batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -2710,6 +2740,8 @@ QUERIES = {
     "repetition_signals_documents": repetition_signals_documents,
     "ipc_source_event_counts": ipc_source_event_counts,
     "value_quantile_cont_by_type": value_quantile_cont_by_type,
+    "skew_kurt_value_by_type": skew_kurt_value_by_type,
+    "cap_docs_per_source": cap_docs_per_source,
 }
 
 
