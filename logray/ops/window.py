@@ -430,3 +430,55 @@ def funnel(ds, key: str, ts_col: str, type_col: str, steps: list[str], *,
     return _bucketed_apply(
         ds.map_batches(prefilter, batch_format="pyarrow"),
         key, per_bucket, num_buckets=num_buckets)
+
+
+def session_ids(ds, key: str, ts_col: str, gap_s: float, *,
+                num_buckets: int | None = None, out_col: str = "session_id",
+                keep_cols: list[str] | None = None):
+    """Per-EVENT session assignment (vs ``session_counts``' per-key
+    totals): within each key ordered by time, session_id = 1 + number of
+    preceding gaps > ``gap_s`` — SQL
+    ``sum(CASE WHEN gap > g THEN 1 ELSE 0 END) OVER (PARTITION BY key
+    ORDER BY ts ...) + 1``. Ties on ``ts_col`` within a key share a
+    session (cumulative sum over a stable sort)."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col], kind="mergesort")
+        g = df.groupby(key, sort=False)
+        gap = (df[ts_col] - g[ts_col].shift()).dt.total_seconds()
+        brk = (gap > gap_s).astype("int64")
+        df[out_col] = brk.groupby(df[key], sort=False).cumsum() + 1
+        cols = ([key, ts_col] if keep_cols is None else keep_cols) + [out_col]
+        return df[cols]
+
+    return _bucketed_apply(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def rolling_mean_centered(ds, key: str, order_cols: list[str], val_col: str,
+                          before: int, after: int, *,
+                          num_buckets: int | None = None,
+                          out_col: str = "rolling_value"):
+    """Centered row-frame rolling mean — SQL ``avg(val) OVER (PARTITION
+    BY key ORDER BY order_cols ROWS BETWEEN before PRECEDING AND after
+    FOLLOWING)``. pandas' centered rolling only supports symmetric
+    windows, so the frame is built from cumulative sums with explicit
+    index arithmetic — exact for any (before, after)."""
+    import numpy as np
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key] + order_cols, kind="mergesort")
+        out = np.empty(len(df), dtype="float64")
+        pos = 0
+        for _, g in df.groupby(key, sort=False):
+            v = g[val_col].to_numpy(dtype="float64")
+            n = len(v)
+            cs = np.concatenate([[0.0], np.cumsum(v)])
+            i = np.arange(n)
+            lo = np.maximum(i - before, 0)
+            hi = np.minimum(i + after, n - 1)
+            out[pos:pos + n] = (cs[hi + 1] - cs[lo]) / (hi - lo + 1)
+            pos += n
+        df[out_col] = out
+        return df
+
+    return _bucketed_apply(ds, key, per_bucket, num_buckets=num_buckets)

@@ -972,3 +972,28 @@ ORACLE_SQL["cap_docs_per_source"] = """
         FROM documents)
     WHERE rn <= 10
 """
+
+ORACLE_SQL["session_ids_events"] = """
+    WITH g AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id))
+                         > 3600 THEN 1 ELSE 0 END AS brk
+        FROM events)
+    SELECT event_id, user_id,
+           CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts) + 1
+                AS BIGINT) AS session_id
+    FROM g
+"""
+
+ORACLE_SQL["centered_avg_user_events"] = """
+    WITH c AS (
+        SELECT event_id, user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events)
+    SELECT event_id,
+           avg(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+               / 100.0 AS centered_avg
+    FROM c
+"""

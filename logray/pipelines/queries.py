@@ -2603,6 +2603,37 @@ def cap_docs_per_source(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def session_ids_events(sf_dir: str):
+    """Per-EVENT session assignment (C9): session_id = 1 + preceding
+    gaps > 1h within the user's ordered stream — the row-level
+    counterpart of ``session_counts_events``."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return window.session_ids(ds, "user_id", "ts", gap_s=3600.0,
+                              keep_cols=["event_id", "user_id"])
+
+
+def centered_avg_user_events(sf_dir: str):
+    """Centered row-frame window (C9): avg(value) OVER (PARTITION BY
+    user ORDER BY ts, id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) —
+    cent-scaled so the cumulative-sum frame arithmetic is exact."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    prepped = ds.map_batches(lambda t: _add_cents(t, "value", "__cents"),
+                             batch_format="pyarrow")
+    out = window.rolling_mean_centered(prepped, "user_id",
+                                       ["ts", "event_id"], "__cents",
+                                       before=2, after=2,
+                                       out_col="centered_avg")
+
+    def fin(t: pa.Table) -> pa.Table:
+        # no rounding: frame sums are exact cent integers, so sum/count/100
+        # is bitwise-identical to the oracle's avg(cents)/100 (rounding
+        # could only INTRODUCE a half-mode divergence at a tie)
+        v = pc.divide(t["centered_avg"], 100.0)
+        return pa.table({"event_id": t["event_id"], "centered_avg": v})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -2742,6 +2773,8 @@ QUERIES = {
     "value_quantile_cont_by_type": value_quantile_cont_by_type,
     "skew_kurt_value_by_type": skew_kurt_value_by_type,
     "cap_docs_per_source": cap_docs_per_source,
+    "session_ids_events": session_ids_events,
+    "centered_avg_user_events": centered_avg_user_events,
 }
 
 

@@ -246,3 +246,44 @@ def test_funnel_order_sensitive(ray_session):
                         num_buckets=3).to_pandas()
     got = dict(zip(out["user_id"], out["funnel_stage"]))
     assert got == {1: 3, 2: 2, 4: 1}
+
+
+def test_session_ids_assignment(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from logray.ops import window
+
+    ts = pd.to_datetime
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2],
+        "ts": [ts("2024-01-01 10:00"), ts("2024-01-01 10:20"),
+               ts("2024-01-01 12:00"), ts("2024-01-01 12:10"),
+               ts("2024-01-01 10:00")],
+        "event_id": [1, 2, 3, 4, 5]})
+    out = window.session_ids(ray.data.from_pandas(df), "user_id", "ts",
+                             gap_s=3600.0, keep_cols=["event_id"],
+                             num_buckets=2).to_pandas()
+    got = dict(zip(out["event_id"], out["session_id"]))
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_rolling_mean_centered_matches_naive(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from logray.ops import window
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.integers(0, 4, 200),
+                       "o": np.arange(200),
+                       "v": rng.integers(0, 100, 200).astype(float)})
+    out = window.rolling_mean_centered(
+        ray.data.from_pandas(df), "k", ["o"], "v", before=2, after=1,
+        num_buckets=3, out_col="ca").to_pandas()
+    for k, g in df.sort_values(["k", "o"]).groupby("k"):
+        v = g["v"].to_numpy()
+        want = [v[max(i - 2, 0):i + 2].mean() for i in range(len(v))]
+        got = out[out["k"] == k].sort_values("o")["ca"].tolist()
+        assert np.allclose(got, want)
