@@ -239,3 +239,47 @@ def kmeans(ds, *, k: int = 8, iters: int = 10, vec_col: str = "embedding",
         return batch.append_column("cluster_id", pa.array(lab))
 
     return centroids, assign_stage
+
+
+def semdedup(ds, *, k: int = 8, iters: int = 5, vec_col: str = "embedding",
+             id_col: str = "vec_id", threshold: float = 0.95, seed: int = 5,
+             cc_driver_threshold: int = 2_000_000):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    k-means partitions the embedding space, exact pairwise cosine runs
+    ONLY within each cluster, and near-duplicate components keep one
+    representative (min id). Complements ``dedup.embedding_neardup``
+    (random-hyperplane LSH buckets): learned clusters follow the data
+    distribution, so recall doesn't depend on hash luck near the
+    threshold.
+
+    Scale shape: k-means is iters streaming passes (k×d partials, no
+    shuffle); the pairwise stage shuffles each row ONCE to its cluster
+    and costs Σ |cluster|² — size k so the largest cluster's vectors fit
+    a worker (at web scale: k in the tens of thousands, as in the
+    paper). Returns (id, cluster_id, keep) via the size-adaptive
+    connected-components endpoint.
+    """
+    import pandas as pd
+
+    from .dedup import _components_dataset
+
+    _, assign = kmeans(ds, k=k, iters=iters, vec_col=vec_col, seed=seed)
+    labeled = ds.map_batches(assign, batch_format="pyarrow")
+
+    def pairs_in_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        X = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        S = Xn @ Xn.T
+        iu = np.triu_indices(len(ids), k=1)
+        hit = np.flatnonzero(S[iu[0], iu[1]] >= threshold)
+        return pd.DataFrame({"a": ids[iu[0][hit]], "b": ids[iu[1][hit]]})
+
+    pairs = (labeled.groupby("cluster_id")
+             .map_groups(pairs_in_cluster, batch_format="pandas"))
+    return _components_dataset(ds, id_col, pairs,
+                               driver_threshold=cc_driver_threshold)

@@ -2634,6 +2634,17 @@ def centered_avg_user_events(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def semdedup_embeddings(sf_dir: str):
+    """SemDeDup-style semantic dedup (similarity.semdedup): k-means
+    partition → exact within-cluster cosine → component representative
+    selection. Rows-only (k-means isn't SQL-able); duplicate detection
+    quality is pytest-verified on planted near-dup embeddings."""
+    from ..ops.similarity import semdedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(ds, k=8, iters=5, threshold=0.95)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -2775,6 +2786,7 @@ QUERIES = {
     "cap_docs_per_source": cap_docs_per_source,
     "session_ids_events": session_ids_events,
     "centered_avg_user_events": centered_avg_user_events,
+    "semdedup_embeddings": semdedup_embeddings,
 }
 
 

@@ -1082,3 +1082,24 @@ def test_repetition_signals_known_values():
     # doc 2: all distinct -> dup 0; 3 distinct bigrams -> share 1/3
     assert out.loc[2, "dup_word_frac"] == 0.0
     assert abs(out.loc[2, "top_bigram_frac"] - 1 / 3) < 1e-6
+
+
+def test_semdedup_finds_planted_near_dups(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((120, 16)).astype(np.float32)
+    # plant: vecs 100..119 are tiny perturbations of vecs 0..19
+    dup = base[:20] + rng.standard_normal((20, 16)).astype(np.float32) * 0.01
+    X = np.vstack([base, dup])
+    t = pa.table({"vec_id": pa.array(np.arange(140), pa.int64()),
+                  "embedding": pa.array(list(X))})
+    out = similarity.semdedup(ray.data.from_arrow(t), k=4, iters=4,
+                              threshold=0.98).to_pandas()
+    assert len(out) == 140
+    dropped = set(out.loc[~out["keep"], "vec_id"])
+    # every planted dup resolves to its original (min id keeps the base)
+    assert dropped == set(range(120, 140))
+    kept_clusters = out.set_index("vec_id")["cluster_id"]
+    for i in range(20):
+        assert kept_clusters[120 + i] == kept_clusters[i] == i
