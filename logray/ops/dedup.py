@@ -647,3 +647,104 @@ def embedding_neardup(ds, vec_col: str = "embedding", id_col: str = "vec_id", *,
                               id_col=id_col, sig_dtype=np.float64)
     return _components_dataset(ds, id_col, pairs,
                                driver_threshold=cc_driver_threshold)
+
+
+def minhash_decontaminate(train, bench, text_col: str = "text",
+                          id_col: str = "doc_id", *, num_perm: int = 64,
+                          bands: int = 16, shingle_k: int = 5,
+                          threshold: float = 0.8):
+    """Cross-corpus FUZZY decontamination: training docs that are MinHash
+    near-duplicates of any held-out benchmark doc (the fuzzy counterpart
+    of exact n-gram overlap — catches paraphrased/lightly-edited leakage
+    that exact n-grams miss).
+
+    Reuses the LSH machinery of ``minhash_lsh_dedup`` with one twist:
+    benchmark ids are mapped to ``-(id+1)`` before the shared band
+    pipeline, so both corpora ride ONE signature table / ONE band shuffle
+    / ONE hot-bucket prefilter, and the verify kernel recognizes a
+    cross-corpus candidate by sign — only train×bench pairs are scored
+    (train×train agreement inside a hot bucket is skipped, not clustered;
+    dedup-within-corpus is a separate op). Returns one row per
+    contaminated train doc: ``(id_col, bench_id, est_jaccard)`` with the
+    best-matching benchmark doc.
+    """
+    rows_per_band = num_perm // bands
+
+    def per_doc(negate: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "_sig": pa.array([], pa.list_(pa.uint64())),
+                    "_bh": pa.array([], pa.list_(pa.int64())),
+                })
+            texts = batch[text_col]
+            ids = batch[id_col].to_pandas().to_numpy().astype(np.int64)
+            if negate:
+                ids = -(ids + 1)
+            sig = minhash_signatures(texts, num_perm, shingle_k)
+            band_view = sig.reshape(len(texts), bands, rows_per_band)
+            bh = np.zeros((len(texts), bands), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for r in range(rows_per_band):
+                    bh = bh * _ROLL + band_view[:, :, r]
+            return pa.table({
+                id_col: pa.array(ids),
+                "_sig": pa.array(list(sig)),
+                "_bh": pa.array(list(bh.view(np.int64))),
+            })
+        return fn
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch[id_col].to_pandas().to_numpy()
+        if n == 0:
+            bh = np.zeros((0, bands), dtype=np.int64)
+        else:
+            bh = np.stack(batch["_bh"].to_pandas().to_numpy())
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, bands), pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+        })
+
+    sig_tbl = (train.map_batches(per_doc(False), batch_format="pyarrow")
+               .union(bench.map_batches(per_doc(True), batch_format="pyarrow"))
+               .materialize())
+    banded = sig_tbl.map_batches(explode, batch_format="pyarrow")
+
+    def make_pairs_fn(sig_ref, sig_local):
+        def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                  "b": pd.Series([], dtype="int64"),
+                                  "est_jaccard": pd.Series([], dtype="float64")})
+            tr = np.sort(g.loc[g[id_col] >= 0, id_col].unique())
+            be = np.sort(g.loc[g[id_col] < 0, id_col].unique())
+            if len(tr) == 0 or len(be) == 0:
+                return empty
+            sids, smat = sig_local if sig_ref is None else __import__("ray").get(sig_ref)
+            ts = smat[np.searchsorted(sids, tr)]
+            bs = smat[np.searchsorted(sids, be)]
+            # (train × bench) agreement matrix — bounded by hot-bucket sizes
+            agree = (ts[:, None, :] == bs[None, :, :]).mean(axis=2)
+            ti, bi = np.nonzero(agree >= threshold)
+            if len(ti) == 0:
+                return empty
+            return pd.DataFrame({"a": tr[ti], "b": be[bi],
+                                 "est_jaccard": agree[ti, bi]})
+        return pairs_in_bucket
+
+    pairs = _hot_bucket_pairs(banded, make_pairs_fn, sig_tbl=sig_tbl,
+                              id_col=id_col)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # best benchmark match per train doc; decode bench ids
+        df = df.sort_values(["est_jaccard", "b"], ascending=[False, True])
+        df = df.drop_duplicates("a")
+        return pd.DataFrame({id_col: df["a"].to_numpy(),
+                             "bench_id": (-df["b"].to_numpy() - 1),
+                             "est_jaccard": df["est_jaccard"].to_numpy()})
+
+    from .window import _bucketed_apply
+
+    return _bucketed_apply(pairs, "a", finish)

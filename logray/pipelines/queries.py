@@ -2645,6 +2645,28 @@ def semdedup_embeddings(sf_dir: str):
     return semdedup(ds, k=8, iters=5, threshold=0.95)
 
 
+def fuzzy_decontaminate_documents(sf_dir: str):
+    """Fuzzy benchmark decontamination (dedup.minhash_decontaminate):
+    train docs that MinHash-near-duplicate any doc of the held-out slice
+    doc_id % 25 == 0 — catches edited/paraphrased leakage the exact
+    n-gram overlap (``decontaminate_documents``) misses. Rows-only
+    (LSH banding isn't SQL-able); recall pytest-verified on planted
+    perturbed copies."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (d % 25 == 0) if bench else (d % 25 != 0)
+            return t.filter(pa.array(m))
+        return fn
+
+    return dedup.minhash_decontaminate(
+        docs.map_batches(side(False), batch_format="pyarrow"),
+        docs.map_batches(side(True), batch_format="pyarrow"),
+        threshold=0.7)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -2787,6 +2809,7 @@ QUERIES = {
     "session_ids_events": session_ids_events,
     "centered_avg_user_events": centered_avg_user_events,
     "semdedup_embeddings": semdedup_embeddings,
+    "fuzzy_decontaminate_documents": fuzzy_decontaminate_documents,
 }
 
 

@@ -1103,3 +1103,30 @@ def test_semdedup_finds_planted_near_dups(ray_session):
     kept_clusters = out.set_index("vec_id")["cluster_id"]
     for i in range(20):
         assert kept_clusters[120 + i] == kept_clusters[i] == i
+
+
+def test_minhash_decontaminate_finds_planted(ray_session):
+    import ray.data
+
+    words = [f"w{i}" for i in range(50)]
+    rng = np.random.default_rng(13)
+    bench_texts = [" ".join(rng.choice(words, 40)) for _ in range(5)]
+    clean = [" ".join(rng.choice(words, 40)) for _ in range(20)]
+    # train doc 100 = bench doc 0 with one word changed (near-dup);
+    # train doc 101 = exact copy of bench doc 3
+    leaked = bench_texts[0].split()
+    leaked[5] = "changed"
+    train_texts = clean + [" ".join(leaked), bench_texts[3]]
+    train = pa.table({"doc_id": pa.array(range(80, 102), pa.int64()),
+                      "text": clean + train_texts[-2:]})
+    bench = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                      "text": bench_texts})
+    out = dedup.minhash_decontaminate(
+        ray.data.from_arrow(train), ray.data.from_arrow(bench),
+        threshold=0.5).to_pandas()
+    got = dict(zip(out["doc_id"], out["bench_id"]))
+    assert got.get(101) == 3          # exact copy found, decoded bench id
+    assert got.get(100) == 0          # near-dup found
+    assert set(got) <= {100, 101}     # no false positives among clean docs
+    ex = out.set_index("doc_id")["est_jaccard"]
+    assert ex[101] == 1.0 and 0.5 <= ex[100] <= 1.0
