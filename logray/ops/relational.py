@@ -591,3 +591,72 @@ def skew_join(left, right, on: str, *, hot_keys=None, hot_threshold: int = 100_0
 
     return (hot_out.map_batches(order, batch_format="pyarrow")
             .union(cold_out.map_batches(order, batch_format="pyarrow")))
+
+
+def upsert(base, updates, keys: list[str], order_col: str):
+    """CDC upsert / keep-latest (C7): union ``base`` and ``updates`` and
+    keep, per ``keys`` group, the row with the greatest ``order_col``;
+    ``updates`` wins order-column ties (MERGE "when matched then update"
+    semantics, plus inserts for keys only in ``updates``).
+
+    Same shape as ``keep_first``: one co-partitioning exchange on the
+    first key, then a vectorized sort+tail kernel per bucket — the scale
+    path, since per-key state never concentrates on the driver."""
+    from .window import _bucketed_apply
+
+    def tag(src: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__src", pa.array(np.full(t.num_rows, src, dtype=np.int8)))
+        return fn
+
+    uni = (base.map_batches(tag(0), batch_format="pyarrow")
+           .union(updates.map_batches(tag(1), batch_format="pyarrow")))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([*keys, order_col, "__src"], kind="mergesort")
+        return df.groupby(keys, sort=False).tail(1).drop(columns="__src")
+
+    return _bucketed_apply(uni, keys[0], per_bucket)
+
+
+def snapshot_diff(old, new, keys: list[str], compare: list[str]):
+    """Snapshot delta / CDC diff: classify every key as ``added`` (in
+    ``new`` only), ``removed`` (in ``old`` only) or ``changed`` (present
+    in both with any ``compare`` column differing); unchanged keys are
+    dropped. Returns ``keys + [change]``.
+
+    Both snapshots ride ONE side-tagged co-partitioning exchange (only
+    ``keys``+``compare`` columns move); each bucket diffs its key range
+    with a single vectorized outer merge. Assumes ``keys`` identify at
+    most one row per side (snapshot semantics)."""
+    from .window import _bucketed_apply
+
+    cols = [*keys, *compare]
+
+    def tag(src: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.select(cols).append_column(
+                "__src", pa.array(np.full(t.num_rows, src, dtype=np.int8)))
+        return fn
+
+    uni = (old.map_batches(tag(0), batch_format="pyarrow")
+           .union(new.map_batches(tag(1), batch_format="pyarrow")))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["__src"] == 0]
+        n = df[df["__src"] == 1]
+        m = o.merge(n, on=keys, how="outer", suffixes=("_o", "_n"),
+                    indicator=True)
+        diff = np.zeros(len(m), dtype=bool)
+        for c in compare:
+            a, b = m[f"{c}_o"], m[f"{c}_n"]
+            diff |= ((a != b) & ~(a.isna() & b.isna())).to_numpy()
+        change = np.where(m["_merge"] == "right_only", "added",
+                          np.where(m["_merge"] == "left_only", "removed",
+                                   np.where(diff, "changed", "")))
+        m = m.assign(change=change)
+        m = m[m["change"] != ""]
+        return m[[*keys, "change"]]
+
+    return _bucketed_apply(uni, keys[0], per_bucket)

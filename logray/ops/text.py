@@ -256,3 +256,97 @@ def add_repetition_signals(t: pa.Table, id_col: str = "doc_id",
     return pa.table({id_col: pa.array(out[id_col].to_numpy()),
                      "dup_word_frac": pa.array(out["dup_word_frac"], pa.float64()),
                      "top_bigram_frac": pa.array(out["top_bigram_frac"], pa.float64())})
+
+
+def hashed_token_profile(ds, text_col: str = "text", *, dim: int = 4096):
+    """Corpus-level hashed-unigram count vector (the DSIR feature space,
+    Xie et al. 2023): each batch tokenizes, buckets tokens by stable
+    crc32 % dim and emits its (bucket, count) partial; one small grouped
+    sum combines them. Only ≤dim rows per batch ever shuffle, so the
+    profile of an arbitrarily large corpus costs one tiny exchange.
+    Returns a dense numpy ``float64[dim]`` on the driver (dim is small
+    by construction)."""
+    from ..functions.hashing import stable_bucket
+    from .relational import grouped_agg
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(
+            pc.utf8_lower(pc.fill_null(t[text_col], "")))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "c": pa.array([], pa.int64())})
+        b = np.asarray(stable_bucket(flat, dim), dtype=np.int64)
+        cnt = np.bincount(b, minlength=dim)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz.astype(np.int32)),
+                         "c": pa.array(cnt[nz])})
+
+    agg = grouped_agg(ds.map_batches(per_batch, batch_format="pyarrow"),
+                      ["bucket"], {"c": ("c", "sum")}).to_pandas()
+    out = np.zeros(dim, dtype=np.float64)
+    out[agg["bucket"].to_numpy()] = agg["c"].to_numpy()
+    return out
+
+
+def dsir_score_stage(lam_ref, id_col: str, text_col: str, *, dim: int):
+    """Batch fn scoring docs by mean hashed-unigram log-likelihood ratio
+    (DSIR importance weight). ``lam_ref`` is a ``ray.put`` handle to the
+    dense float64[dim] log-ratio vector — broadcast once, zero-copy from
+    the object store in every task."""
+    import ray
+
+    def fn(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import stable_bucket
+
+        lam = ray.get(lam_ref)
+        trimmed = pc.utf8_trim_whitespace(
+            pc.utf8_lower(pc.fill_null(t[text_col], "")))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        if len(flat):
+            b = np.asarray(stable_bucket(flat, dim), dtype=np.int64)
+            vals = lam[b]
+        else:
+            vals = np.zeros(0, dtype=np.float64)
+        cs = np.concatenate([[0.0], np.cumsum(vals)])
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        tot = cs[ends] - cs[starts]
+        score = np.divide(tot, lens, out=np.zeros_like(tot),
+                          where=lens > 0)
+        return pa.table({id_col: t[id_col],
+                         "dsir_score": pa.array(score)})
+
+    return fn
+
+
+def dsir_importance_scores(raw, target, id_col: str = "doc_id",
+                           text_col: str = "text", *, dim: int = 4096,
+                           alpha: float = 1.0):
+    """DSIR (Data Selection with Importance Resampling, Xie et al. 2023):
+    score every ``raw`` doc by how target-like its hashed-unigram
+    distribution is — mean log((p_target+α)/(p_raw+α)) over the doc's
+    token buckets. Two tiny profile exchanges + one broadcast + one
+    stateless scoring pass; nothing large ever concentrates.
+
+    Returns a Dataset of ``(id_col, dsir_score)``; select with topk /
+    weighted sampling downstream."""
+    import ray
+
+    tgt = hashed_token_profile(target, text_col, dim=dim)
+    rawp = hashed_token_profile(raw, text_col, dim=dim)
+    lam = (np.log((tgt + alpha) / (tgt + alpha).sum())
+           - np.log((rawp + alpha) / (rawp + alpha).sum()))
+    lam_ref = ray.put(lam)
+    return raw.map_batches(dsir_score_stage(lam_ref, id_col, text_col, dim=dim),
+                           batch_format="pyarrow")

@@ -997,3 +997,79 @@ ORACLE_SQL["centered_avg_user_events"] = """
                / 100.0 AS centered_avg
     FROM c
 """
+
+ORACLE_SQL["orc_source_event_counts"] = ORACLE_SQL["csv_source_event_counts"]
+
+ORACLE_SQL["upsert_events_latest"] = """
+    WITH upd AS (SELECT event_id, ts + INTERVAL 1 HOUR AS ts, event_type,
+                        value + 1000 AS value
+                 FROM events WHERE event_id % 7 = 0),
+         uni AS (SELECT event_id, ts, event_type, value, 0 AS src FROM events
+                 UNION ALL
+                 SELECT event_id, ts, event_type, value, 1 FROM upd),
+         r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                                            ORDER BY ts DESC, src DESC) AS rn
+               FROM uni)
+    SELECT event_type, count(*) AS n,
+           round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value
+    FROM r WHERE rn = 1 GROUP BY event_type
+"""
+
+ORACLE_SQL["snapshot_diff_events"] = """
+    WITH old AS (SELECT event_id, value FROM events WHERE event_id % 13 <> 0),
+         new AS (SELECT event_id,
+                        CASE WHEN event_id % 7 = 0 THEN value + 1
+                             ELSE value END AS value
+                 FROM events WHERE event_id % 17 <> 0)
+    SELECT coalesce(o.event_id, n.event_id) AS event_id,
+           CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    WHERE o.event_id IS NULL OR n.event_id IS NULL OR o.value <> n.value
+"""
+
+ORACLE_SQL["winsorized_value_stats_by_type"] = """
+    WITH q AS (SELECT event_type,
+                      round(quantile_cont(value, 0.05), 6) AS lo,
+                      round(quantile_cont(value, 0.95), 6) AS hi
+               FROM events GROUP BY event_type)
+    SELECT e.event_type, count(e.value) AS n, q.lo, q.hi,
+           round(sum(CAST(round(least(greatest(e.value, q.lo), q.hi) * 1000000)
+                          AS BIGINT))
+                 / 1000000.0 / count(e.value), 6) AS mean_winsor
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type, q.lo, q.hi
+"""
+
+ORACLE_SQL["date_parts_orders"] = """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS year,
+           CAST(quarter(o_orderdate) AS BIGINT) AS quarter,
+           CAST(month(o_orderdate) AS BIGINT) AS month,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(isodow(o_orderdate) AS BIGINT) AS isodow
+    FROM orders
+"""
+
+ORACLE_SQL["dup_ngram_coverage_documents"] = """
+    WITH d AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+               FROM documents),
+         g AS (SELECT doc_id, list_transform(
+                   list_zip(toks[1:len(toks)-3], toks[2:len(toks)-2],
+                            toks[3:len(toks)-1], toks[4:len(toks)]),
+                   x -> x[1]||' '||x[2]||' '||x[3]||' '||x[4]) AS ngs
+               FROM d),
+         f AS (SELECT DISTINCT doc_id, u.ng FROM g, unnest(g.ngs) u(ng)),
+         df AS (SELECT ng FROM f GROUP BY ng HAVING count(*) >= 2),
+         tot AS (SELECT doc_id, count(*) AS n_total FROM f GROUP BY doc_id),
+         dup AS (SELECT f.doc_id, count(*) AS n_dup FROM f
+                 WHERE f.ng IN (SELECT ng FROM df) GROUP BY f.doc_id)
+    SELECT tot.doc_id,
+           CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup,
+           CAST(tot.n_total AS BIGINT) AS n_total,
+           round(coalesce(dup.n_dup, 0) * 1.0 / tot.n_total, 6) AS dup_frac
+    FROM tot LEFT JOIN dup USING (doc_id)
+"""

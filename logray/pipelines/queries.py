@@ -2667,6 +2667,190 @@ def fuzzy_decontaminate_documents(sf_dir: str):
         threshold=0.7)
 
 
+def orc_source_event_counts(sf_dir: str):
+    """ORC sink → source round-trip (B5/B6 format breadth): write the
+    events projection as .orc shards (atomic rename, one file per task),
+    read back via the composed read_binary_files+pyarrow.orc source,
+    aggregate — same protocol as the CSV/JSONL/IPC round-trips."""
+    from .. import sources
+
+    path = _scratch_dir("orc_roundtrip", sf_dir)
+    sources.write_orc(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]), path)
+    ds = sources.read_orc(path)
+    prepped = ds.map_batches(lambda t: _add_cents(t, "value", "__cents"),
+                             batch_format="pyarrow")
+    out = relational.grouped_agg(prepped, ["event_type"], {
+        "n": ("event_id", "count"), "sum_value": ("__cents", "sum")})
+    return out.map_batches(lambda t: _cents_to_float(t, "sum_value"),
+                           batch_format="pyarrow")
+
+
+def upsert_events_latest(sf_dir: str):
+    """CDC upsert / keep-latest (relational.upsert): apply an update
+    stream (events with event_id % 7 == 0, value shifted +1000, ts +1h)
+    onto the base table MERGE-style — per event_id the greatest-ts row
+    wins, updates win ties — then aggregate the merged state per type.
+    Exact money sums via integer cents."""
+    base = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def mk_updates(t: pa.Table) -> pa.Table:
+        d = t["event_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(d % 7 == 0))
+        ts2 = pc.add(t["ts"], pa.scalar(3_600_000_000, pa.duration("us")))
+        val2 = pc.add(t["value"], 1000.0)
+        return pa.table({"event_id": t["event_id"], "ts": ts2,
+                         "event_type": t["event_type"], "value": val2})
+
+    updates = base.map_batches(mk_updates, batch_format="pyarrow")
+    merged = relational.upsert(base, updates, ["event_id"], "ts")
+    prepped = merged.map_batches(lambda t: _add_cents(t, "value", "__cents"),
+                                 batch_format="pyarrow")
+    out = relational.grouped_agg(prepped, ["event_type"], {
+        "n": ("event_id", "count"), "sum_value": ("__cents", "sum")})
+    return out.map_batches(lambda t: _cents_to_float(t, "sum_value"),
+                           batch_format="pyarrow")
+
+
+def snapshot_diff_events(sf_dir: str):
+    """Snapshot delta / CDC diff (relational.snapshot_diff): classify
+    keys across two deterministic snapshots of events — old drops
+    event_id % 13 == 0, new drops % 17 == 0 and shifts value by +1
+    where % 7 == 0 — into added / removed / changed. One side-tagged
+    co-partitioning exchange, vectorized outer merge per bucket."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def side(new: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            d = t["event_id"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(d % (17 if new else 13) != 0))
+            if new:
+                d2 = t["event_id"].to_numpy(zero_copy_only=False)
+                bump = pa.array(np.where(d2 % 7 == 0, 1.0, 0.0))
+                t = t.set_column(t.schema.get_field_index("value"), "value",
+                                 pc.add(t["value"], bump))
+            return t
+        return fn
+
+    return relational.snapshot_diff(
+        ds.map_batches(side(False), batch_format="pyarrow"),
+        ds.map_batches(side(True), batch_format="pyarrow"),
+        ["event_id"], ["value"])
+
+
+def winsorized_value_stats_by_type(sf_dir: str):
+    """Winsorized grouped stats (robust aggregation, C5): per type clip
+    value to its own [p05, p95] continuous quantiles (rounded to 6 so
+    both engines clip at the identical boundary) and report the clipped
+    mean — exact via 1e6-scaled integer sums. One co-partitioning
+    exchange; quantile + clip + mean all inside the group's bucket."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    from ..ops.window import _bucketed_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = g["value"].dropna().to_numpy()
+            lo = round(float(np.quantile(v, 0.05)), 6)
+            hi = round(float(np.quantile(v, 0.95)), 6)
+            w = np.clip(v, lo, hi)
+            micro = np.rint(w * 1e6).astype(np.int64)
+            rows.append({"event_type": et, "n": len(v), "lo": lo, "hi": hi,
+                         "mean_winsor": round(micro.sum() / 1e6 / len(v), 6)})
+        return pd.DataFrame(rows)
+
+    return _bucketed_apply(ds, "event_type", per_bucket, num_buckets=8)
+
+
+def date_parts_orders(sf_dir: str):
+    """Datetime part extraction breadth (C8): year / quarter / month /
+    ISO week / day-of-year / ISO day-of-week per order, all via
+    pyarrow.compute temporal kernels — one stateless pass."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"]
+        i64 = lambda a: pc.cast(a, pa.int64())
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "year": i64(pc.year(d)),
+            "quarter": i64(pc.quarter(d)),
+            "month": i64(pc.month(d)),
+            "iso_week": i64(pc.iso_week(d)),
+            "doy": i64(pc.day_of_year(d)),
+            "isodow": i64(pc.add(pc.day_of_week(d), 1)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dup_ngram_coverage_documents(sf_dir: str):
+    """Within-corpus duplicated-n-gram coverage (Lee et al. 2022 "dedup
+    makes LMs better" diagnostic): per doc, how many of its distinct
+    word 4-grams appear in at least one OTHER doc. Shape: one
+    boundary-masked explode (distinct per doc per batch == globally
+    distinct, since docs never split), materialized once and fed to
+    (a) per-doc totals, (b) n-gram doc-frequency, (c) a shuffle semi
+    join against the df≥2 n-grams; a final left join emits the
+    fraction."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = docs.map_batches(
+        lambda t: text_ops.ngram_explode(t, "doc_id", "text", 4)
+        .group_by(["doc_id", "ngram"]).aggregate([]),
+        batch_format="pyarrow").materialize()
+    pair_schema = pa.schema([("doc_id", pa.int64()), ("ngram", pa.string())])
+    totals = relational.grouped_agg(pairs, ["doc_id"],
+                                    {"n_total": ("ngram", "count")})
+    ngdf = relational.grouped_agg(pairs, ["ngram"],
+                                  {"ndocs": ("doc_id", "count")})
+    dup_ng = ngdf.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ndocs"], 2)),
+        batch_format="pyarrow")
+    hits = relational.hash_semi_join(
+        pairs, dup_ng, "ngram", left_schema=pair_schema,
+        right_schema=pa.schema([("ngram", pa.string()), ("ndocs", pa.int64())]))
+    ndup = relational.grouped_agg(hits, ["doc_id"],
+                                  {"n_dup": ("ngram", "count")})
+    joined = relational.hash_join(
+        totals, ndup, "doc_id", how="left",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("n_total", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("n_dup", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = pc.cast(pc.fill_null(t["n_dup"], 0), pa.int64())
+        frac = pc.round(pc.divide(pc.cast(nd, pa.float64()),
+                                  pc.cast(t["n_total"], pa.float64())),
+                        ndigits=6)
+        return pa.table({"doc_id": t["doc_id"], "n_dup": nd,
+                         "n_total": pc.cast(t["n_total"], pa.int64()),
+                         "dup_frac": frac})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def dsir_scores_documents(sf_dir: str):
+    """DSIR importance scores (text.dsir_importance_scores): rank raw
+    docs by hashed-unigram log-likelihood ratio against the held-out
+    target slice doc_id % 25 == 0; top-100 most target-like. Rows-only
+    (feature hashing isn't SQL-able); ranking pytest-verified on a
+    planted distribution shift."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (d % 25 == 0) if bench else (d % 25 != 0)
+            return t.filter(pa.array(m))
+        return fn
+
+    scored = text_ops.dsir_importance_scores(
+        docs.map_batches(side(False), batch_format="pyarrow"),
+        docs.map_batches(side(True), batch_format="pyarrow"))
+    top = relational.topk(scored, [("dsir_score", True), ("doc_id", False)], 100)
+    top["dsir_score"] = top["dsir_score"].round(6)
+    return top
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -2810,6 +2994,13 @@ QUERIES = {
     "centered_avg_user_events": centered_avg_user_events,
     "semdedup_embeddings": semdedup_embeddings,
     "fuzzy_decontaminate_documents": fuzzy_decontaminate_documents,
+    "orc_source_event_counts": orc_source_event_counts,
+    "upsert_events_latest": upsert_events_latest,
+    "snapshot_diff_events": snapshot_diff_events,
+    "winsorized_value_stats_by_type": winsorized_value_stats_by_type,
+    "date_parts_orders": date_parts_orders,
+    "dup_ngram_coverage_documents": dup_ngram_coverage_documents,
+    "dsir_scores_documents": dsir_scores_documents,
 }
 
 

@@ -168,3 +168,48 @@ def read_ipc(in_dir: str | Path):
 
     return (ray.data.read_binary_files(files)
             .map_batches(decode, batch_format="pyarrow", batch_size=1))
+
+
+def write_orc(ds, out_dir: str | Path, *, compression: str = "zstd"):
+    """ORC sink (B6 format breadth): each task writes its batch as one
+    ``.orc`` file through the same atomic write-then-rename protocol as
+    the parquet/IPC sinks — partitioned output, no driver funnel."""
+    import uuid
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def write_batch(t: pa.Table) -> pa.Table:
+        from pyarrow import orc
+
+        name = out / f"part-{uuid.uuid4().hex}.orc"
+        tmp = name.with_suffix(".tmp")
+        orc.write_table(t, str(tmp), compression=compression)
+        tmp.rename(name)
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    n = ds.map_batches(write_batch, batch_format="pyarrow").sum("rows")
+    return int(n or 0)
+
+
+def read_orc(in_dir: str | Path):
+    """ORC source: Ray Data here has no native ORC reader, so compose one
+    from ``read_binary_files`` (one file per block, distributed) +
+    ``pyarrow.orc`` decode inside the task — same shape as ``read_ipc``."""
+    import ray.data
+
+    files = sorted(str(p) for p in Path(in_dir).glob("*.orc"))
+    if not files:
+        raise FileNotFoundError(f"no .orc files in {in_dir}")
+
+    def decode(t: pa.Table) -> pa.Table:
+        import io
+
+        from pyarrow import orc
+
+        tables = [orc.ORCFile(io.BytesIO(b.as_py())).read()
+                  for b in t["bytes"]]
+        return pa.concat_tables(tables)
+
+    return (ray.data.read_binary_files(files)
+            .map_batches(decode, batch_format="pyarrow", batch_size=1))

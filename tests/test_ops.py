@@ -1130,3 +1130,50 @@ def test_minhash_decontaminate_finds_planted(ray_session):
     assert set(got) <= {100, 101}     # no false positives among clean docs
     ex = out.set_index("doc_id")["est_jaccard"]
     assert ex[101] == 1.0 and 0.5 <= ex[100] <= 1.0
+
+
+def test_dsir_ranks_target_like_docs(ray_session):
+    # target corpus speaks vocab A; raw corpus is mostly vocab B with three
+    # planted vocab-A docs — DSIR must rank the planted docs on top.
+    rng = np.random.default_rng(7)
+    va = [f"alpha{i}" for i in range(30)]
+    vb = [f"beta{i}" for i in range(30)]
+    target = pa.table({"doc_id": pa.array(range(1000, 1010), pa.int64()),
+                       "text": [" ".join(rng.choice(va, 30)) for _ in range(10)]})
+    raw_texts = [" ".join(rng.choice(vb, 30)) for _ in range(20)]
+    raw_texts += [" ".join(rng.choice(va, 30)) for _ in range(3)]
+    raw = pa.table({"doc_id": pa.array(range(23), pa.int64()),
+                    "text": raw_texts})
+    scored = text_ops.dsir_importance_scores(_ds(raw), _ds(target)).to_pandas()
+    top3 = set(scored.nlargest(3, "dsir_score")["doc_id"])
+    assert top3 == {20, 21, 22}
+    assert scored.loc[scored.doc_id >= 20, "dsir_score"].min() > \
+        scored.loc[scored.doc_id < 20, "dsir_score"].max()
+
+
+def test_upsert_keeps_latest_and_inserts(ray_session):
+    from logray.ops import relational
+
+    base = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                     "v": [10.0, 20.0, 30.0],
+                     "seq": pa.array([1, 1, 5], pa.int64())})
+    upd = pa.table({"k": pa.array([2, 3, 4], pa.int64()),
+                    "v": [21.0, 29.0, 40.0],
+                    "seq": pa.array([2, 5, 1], pa.int64())})
+    out = (relational.upsert(_ds(base), _ds(upd), ["k"], "seq")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # k=2 newer update wins; k=3 tie -> update wins; k=4 inserted
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["v"].tolist() == [10.0, 21.0, 29.0, 40.0]
+
+
+def test_snapshot_diff_classifies(ray_session):
+    from logray.ops import relational
+
+    old = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                    "v": [1.0, 2.0, 3.0]})
+    new = pa.table({"k": pa.array([2, 3, 4], pa.int64()),
+                    "v": [2.0, 3.5, 4.0]})
+    out = (relational.snapshot_diff(_ds(old), _ds(new), ["k"], ["v"])
+           .to_pandas().set_index("k")["change"].to_dict())
+    assert out == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged
