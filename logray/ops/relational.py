@@ -87,7 +87,7 @@ def multi_hash_join(sides: list, on: str | list[str], *, how: str = "inner",
 
     ``on`` columns must exist under the same names on all sides (rename
     first); non-key column names must not collide across sides. ``how``:
-    'inner' for any k; 'left'/'outer' (full outer) only for k=2 — correct
+    'inner' for any k; 'left'/'right'/'outer' (full outer) only for k=2 — correct
     because buckets partition the key space, so an unmatched key surfaces
     in exactly one bucket. At cluster scale, set ``num_buckets`` ≈ total
     cores × 4.
@@ -620,11 +620,14 @@ def upsert(base, updates, keys: list[str], order_col: str):
     return _bucketed_apply(uni, keys[0], per_bucket)
 
 
-def snapshot_diff(old, new, keys: list[str], compare: list[str]):
+def snapshot_diff(old, new, keys: list[str], compare: list[str], *,
+                  detail: bool = False):
     """Snapshot delta / CDC diff: classify every key as ``added`` (in
     ``new`` only), ``removed`` (in ``old`` only) or ``changed`` (present
     in both with any ``compare`` column differing); unchanged keys are
-    dropped. Returns ``keys + [change]``.
+    dropped. Returns ``keys + [change]``; with ``detail=True`` also the
+    before/after images ``{c}_old`` / ``{c}_new`` per compare column —
+    the delta stream an incremental-view-maintenance consumer applies.
 
     Both snapshots ride ONE side-tagged co-partitioning exchange (only
     ``keys``+``compare`` columns move); each bucket diffs its key range
@@ -657,6 +660,12 @@ def snapshot_diff(old, new, keys: list[str], compare: list[str]):
                                    np.where(diff, "changed", "")))
         m = m.assign(change=change)
         m = m[m["change"] != ""]
-        return m[[*keys, "change"]]
+        if not detail:
+            return m[[*keys, "change"]]
+        out = m[[*keys, "change"]].copy()
+        for c in compare:
+            out[f"{c}_old"] = m[f"{c}_o"].to_numpy()
+            out[f"{c}_new"] = m[f"{c}_n"].to_numpy()
+        return out
 
     return _bucketed_apply(uni, keys[0], per_bucket)

@@ -350,3 +350,42 @@ def dsir_importance_scores(raw, target, id_col: str = "doc_id",
     lam_ref = ray.put(lam)
     return raw.map_batches(dsir_score_stage(lam_ref, id_col, text_col, dim=dim),
                            batch_format="pyarrow")
+
+
+def levenshtein_batch(a, b) -> np.ndarray:
+    """Vectorized-across-pairs Levenshtein edit distance (C8 string
+    similarity): classic O(|a|·|b|) dynamic program, but every DP cell
+    update runs as one numpy op over ALL pairs in the batch — Python
+    loops scale with string LENGTH (bounded, e.g. 48 for a prefix
+    compare), never with batch size. ``a``/``b``: sequences of str."""
+    a = list(a)
+    b = list(b)
+    P = len(a)
+    if P == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.asarray([len(s) for s in a], dtype=np.int64)
+    lb = np.asarray([len(s) for s in b], dtype=np.int64)
+    ma, mb = int(la.max(initial=0)), int(lb.max(initial=0))
+    # pad with side-distinct sentinels so padded tails never match
+    A = np.full((P, ma), -1, dtype=np.int32)
+    B = np.full((P, mb), -2, dtype=np.int32)
+    for p, s in enumerate(a):
+        A[p, :len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    for p, s in enumerate(b):
+        B[p, :len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.tile(np.arange(ma + 1, dtype=np.int64), (P, 1))
+    out = np.where(lb == 0, la, 0)
+    for j in range(1, mb + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = j
+        bj = B[:, j - 1][:, None]           # [P,1] char of b at j
+        sub = prev[:, :-1] + (A != bj)      # substitution / match
+        dele = prev[:, 1:] + 1              # delete from a
+        best = np.minimum(sub, dele)
+        for i in range(1, ma + 1):          # insert needs the fresh cell
+            cur[:, i] = np.minimum(best[:, i - 1], cur[:, i - 1] + 1)
+        live = lb == j                      # pairs whose b ends exactly here
+        if live.any():
+            out[live] = cur[live, la[live]]
+        prev = cur
+    return out

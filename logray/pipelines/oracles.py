@@ -1073,3 +1073,44 @@ ORACLE_SQL["dup_ngram_coverage_documents"] = """
            round(coalesce(dup.n_dup, 0) * 1.0 / tot.n_total, 6) AS dup_frac
     FROM tot LEFT JOIN dup USING (doc_id)
 """
+
+ORACLE_SQL["incremental_agg_events"] = """
+    WITH new AS (SELECT event_id, event_type,
+                        CASE WHEN event_id % 7 = 0 THEN value + 1
+                             ELSE value END AS value
+                 FROM events WHERE event_id % 17 <> 0)
+    SELECT event_type, count(*) AS n,
+           round(sum(CAST(round(value*100) AS BIGINT))/100.0, 2) AS sum_value
+    FROM new GROUP BY event_type
+"""
+
+ORACLE_SQL["outlier_events_zscore"] = """
+    WITH m AS (SELECT event_type, count(value) AS n,
+                      sum(CAST(round(value*100) AS BIGINT)) AS s,
+                      sum(CAST(round(value*100) AS BIGINT)
+                          * CAST(round(value*100) AS BIGINT)) AS ss
+               FROM events GROUP BY event_type),
+         b AS (SELECT event_type, s/100.0/n AS mean,
+                      sqrt((ss/10000.0 - (s/100.0)*(s/100.0)/n)/(n-1)) AS sd
+               FROM m)
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN b USING (event_type)
+    WHERE abs(e.value - b.mean) > 2*b.sd
+"""
+
+ORACLE_SQL["edit_distance_pairs_documents"] = """
+    WITH l AS (SELECT doc_id AS pid, substr(text, 1, 48) AS a
+               FROM documents WHERE doc_id < 250),
+         r AS (SELECT doc_id - 250 AS pid, substr(text, 1, 48) AS b
+               FROM documents WHERE doc_id >= 250 AND doc_id < 500)
+    SELECT l.pid, CAST(levenshtein(a, b) AS BIGINT) AS dist
+    FROM l JOIN r USING (pid)
+"""
+
+ORACLE_SQL["embedding_norm_topk"] = """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                                              x -> CAST(x AS DOUBLE) * x))),
+                 6) AS l2
+    FROM embeddings ORDER BY l2 DESC, vec_id LIMIT 20
+"""

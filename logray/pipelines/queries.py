@@ -2851,6 +2851,154 @@ def dsir_scores_documents(sf_dir: str):
     return top
 
 
+def _snapshot_side(new: bool, cols_keep=None):
+    """Shared deterministic snapshot definitions for the CDC queries:
+    old drops event_id % 13 == 0, new drops % 17 == 0 and bumps value
+    by +1 where % 7 == 0."""
+    def fn(t: pa.Table) -> pa.Table:
+        d = t["event_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(d % (17 if new else 13) != 0))
+        if new:
+            d2 = t["event_id"].to_numpy(zero_copy_only=False)
+            bump = pa.array(np.where(d2 % 7 == 0, 1.0, 0.0))
+            t = t.set_column(t.schema.get_field_index("value"), "value",
+                             pc.add(t["value"], bump))
+        return t
+    return fn
+
+
+def incremental_agg_events(sf_dir: str):
+    """Incremental view maintenance (IVM): per-type (n, sum) aggregates
+    of the NEW snapshot computed WITHOUT scanning it — full pass over the
+    old snapshot once, then only the CDC delta stream
+    (relational.snapshot_diff detail=True: before/after images) is
+    aggregated and applied. The oracle aggregates new directly, so a
+    wrong delta application value-fails. Scale shape: the base aggregate
+    is the one big pass; the correction touches only changed keys."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    old = ds.map_batches(_snapshot_side(False), batch_format="pyarrow")
+    new = ds.map_batches(_snapshot_side(True), batch_format="pyarrow")
+
+    agg_old = relational.grouped_agg(
+        old.map_batches(lambda t: _add_cents(t, "value", "__cents"),
+                        batch_format="pyarrow"),
+        ["event_type"], {"n": ("event_id", "count"),
+                         "cents": ("__cents", "sum")}).to_pandas()
+
+    diff = relational.snapshot_diff(old, new, ["event_id"],
+                                    ["event_type", "value"], detail=True)
+
+    def to_delta(df: pd.DataFrame) -> pd.DataFrame:
+        co = np.rint(np.nan_to_num(df["value_old"].to_numpy(dtype=np.float64))
+                     * 100).astype(np.int64)
+        cn = np.rint(np.nan_to_num(df["value_new"].to_numpy(dtype=np.float64))
+                     * 100).astype(np.int64)
+        ch = df["change"].to_numpy()
+        nd = (ch == "added").astype(np.int64) - (ch == "removed").astype(np.int64)
+        cd = np.where(ch == "added", cn,
+                      np.where(ch == "removed", -co, cn - co))
+        et = df["event_type_new"].fillna(df["event_type_old"])
+        return pd.DataFrame({"event_type": et, "nd": nd, "cd": cd})
+
+    dagg = relational.grouped_agg(
+        diff.map_batches(to_delta, batch_format="pandas"),
+        ["event_type"], {"nd": ("nd", "sum"), "cd": ("cd", "sum")}).to_pandas()
+
+    m = agg_old.merge(dagg, on="event_type", how="outer").fillna(0)
+    return pd.DataFrame({
+        "event_type": m["event_type"],
+        "n": (m["n"] + m["nd"]).astype(np.int64),
+        "sum_value": ((m["cents"] + m["cd"]) / 100.0).round(2),
+    })
+
+
+def outlier_events_zscore(sf_dir: str):
+    """Grouped z-score outlier filter (stats-broadcast pattern): events
+    whose value sits more than 2 sample-stddevs from their type's mean.
+    Moments come from exact integer-cents partials, and mean/stddev are
+    derived with the IDENTICAL float expression on both engines, so the
+    strict > comparison selects the same rows."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = _add_cents(t, "value", "__cents")
+        return t.append_column("__sq", pc.multiply(t["__cents"], t["__cents"]))
+
+    m = relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"], {"n": ("value", "count"), "s": ("__cents", "sum"),
+                         "ss": ("__sq", "sum")}).to_pandas()
+    bounds = {}
+    for _, r in m.iterrows():
+        n, s, ss = int(r["n"]), int(r["s"]), int(r["ss"])
+        mean = s / 100.0 / n
+        sd = np.sqrt((ss / 10000.0 - (s / 100.0) * (s / 100.0) / n) / (n - 1))
+        bounds[r["event_type"]] = (mean, sd)
+
+    from ..functions.hashing import map_via_dict
+
+    def flt(t: pa.Table) -> pa.Table:
+        mean = map_via_dict(t["event_type"], {k: v[0] for k, v in bounds.items()},
+                            0.0, pa.float64()).to_numpy(zero_copy_only=False)
+        sd = map_via_dict(t["event_type"], {k: v[1] for k, v in bounds.items()},
+                          0.0, pa.float64()).to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        keep = np.abs(v - mean) > 2 * sd
+        return t.filter(pa.array(keep)).select(["event_id", "event_type", "value"])
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def edit_distance_pairs_documents(sf_dir: str):
+    """Levenshtein string-similarity scoring (C8 breadth): pair doc i
+    with doc i+250 (deterministic pairing), join the sides on the pair
+    id, and score the 48-char prefixes with the vectorized-across-pairs
+    edit-distance DP (text.levenshtein_batch) — Python cost scales with
+    string length, never pair count."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mk(left: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (d < 250) if left else ((d >= 250) & (d < 500))
+            t = t.filter(pa.array(m))
+            pid = t["doc_id"] if left else pc.subtract(
+                t["doc_id"], pa.scalar(250, pa.int64()))
+            s = pc.utf8_slice_codeunits(t["text"], 0, 48)
+            return pa.table({"pid": pid, ("a" if left else "b"): s})
+        return fn
+
+    joined = relational.hash_join(
+        docs.map_batches(mk(True), batch_format="pyarrow"),
+        docs.map_batches(mk(False), batch_format="pyarrow"), "pid",
+        left_schema=pa.schema([("pid", pa.int64()), ("a", pa.string())]),
+        right_schema=pa.schema([("pid", pa.int64()), ("b", pa.string())]))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dist = text_ops.levenshtein_batch(df["a"].fillna("").tolist(),
+                                          df["b"].fillna("").tolist())
+        return pd.DataFrame({"pid": df["pid"].to_numpy(), "dist": dist})
+
+    return joined.map_batches(score, batch_format="pandas")
+
+
+def embedding_norm_topk(sf_dir: str):
+    """Vector-column scalar math (C8 over list<float>): L2 norm per
+    embedding (float64 products, sequential cumsum so the sum order
+    matches SQL list_sum exactly), global top-20 via the combiner
+    top-k."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        l2 = np.sqrt((mat * mat).cumsum(axis=1)[:, -1])
+        return pa.table({"vec_id": t["vec_id"],
+                         "l2": pa.array(np.round(l2, 6))})
+
+    return relational.topk(ds.map_batches(norms, batch_format="pyarrow"),
+                           [("l2", True), ("vec_id", False)], 20)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -3001,6 +3149,10 @@ QUERIES = {
     "date_parts_orders": date_parts_orders,
     "dup_ngram_coverage_documents": dup_ngram_coverage_documents,
     "dsir_scores_documents": dsir_scores_documents,
+    "incremental_agg_events": incremental_agg_events,
+    "outlier_events_zscore": outlier_events_zscore,
+    "edit_distance_pairs_documents": edit_distance_pairs_documents,
+    "embedding_norm_topk": embedding_norm_topk,
 }
 
 

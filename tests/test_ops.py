@@ -1177,3 +1177,51 @@ def test_snapshot_diff_classifies(ray_session):
     out = (relational.snapshot_diff(_ds(old), _ds(new), ["k"], ["v"])
            .to_pandas().set_index("k")["change"].to_dict())
     assert out == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged
+
+
+def test_levenshtein_batch_matches_reference():
+    import itertools
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    rng = np.random.default_rng(3)
+    words = ["".join(rng.choice(list("abcd"), rng.integers(0, 9)))
+             for _ in range(40)]
+    pairs = list(itertools.islice(itertools.combinations(words, 2), 200))
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = text_ops.levenshtein_batch(a, b)
+    assert got.tolist() == [ref(x, y) for x, y in pairs]
+
+
+def test_hash_join_right_outer(ray_session):
+    from logray.ops import relational
+
+    left = pa.table({"k": pa.array([1, 2], pa.int64()), "l": [10.0, 20.0]})
+    right = pa.table({"k": pa.array([2, 3], pa.int64()), "r": [200.0, 300.0]})
+    out = (relational.hash_join(_ds(left), _ds(right), "k", how="right")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == [2, 3]
+    assert out["r"].tolist() == [200.0, 300.0]
+    assert np.isnan(out["l"].iloc[1]) and out["l"].iloc[0] == 20.0
+
+
+def test_snapshot_diff_detail_images(ray_session):
+    from logray.ops import relational
+
+    old = pa.table({"k": pa.array([1, 2], pa.int64()), "v": [1.0, 2.0]})
+    new = pa.table({"k": pa.array([2, 3], pa.int64()), "v": [2.5, 3.0]})
+    out = (relational.snapshot_diff(_ds(old), _ds(new), ["k"], ["v"],
+                                    detail=True)
+           .to_pandas().set_index("k").sort_index())
+    assert out.loc[1, "change"] == "removed" and out.loc[1, "v_old"] == 1.0
+    assert out.loc[2, "change"] == "changed"
+    assert (out.loc[2, "v_old"], out.loc[2, "v_new"]) == (2.0, 2.5)
+    assert out.loc[3, "change"] == "added" and out.loc[3, "v_new"] == 3.0
