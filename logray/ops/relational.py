@@ -479,7 +479,8 @@ def keep_first(ds, keys: list[str], order_col: str):
 
 
 def reservoir_sample(ds, key_col: str, k: int, *,
-                     method: str = "hash64") -> pd.DataFrame:
+                     method: str = "hash64",
+                     weight_col: str | None = None) -> pd.DataFrame:
     """Exact-k uniform sample without replacement in ONE streaming pass —
     bottom-k ("priority") sampling, the distributed replacement for the
     classic reservoir (C6).
@@ -497,13 +498,24 @@ def reservoir_sample(ds, key_col: str, k: int, *,
     ``method='md5'`` (oracle mode): per-row md5 hexdigest, deterministic
     AND DuckDB-expressible (ORDER BY md5(key) LIMIT k) — kept only so the
     driver's SQL oracle can value-check the op end-to-end.
-    """
+
+    ``weight_col``: Efraimidis–Spirakis weighted sampling without
+    replacement — priority becomes ``-ln(u)/w`` (u uniform from the key
+    hash, w the row's positive weight), whose bottom-k is the exact-k
+    weighted sample. Same mergeable bottom-k combine; both methods
+    support it (md5 mode stays DuckDB-expressible: identical float
+    expression on both sides)."""
     if method == "md5":
         import hashlib
 
         def with_priority(df: pd.DataFrame) -> pd.DataFrame:
-            pri = df[key_col].astype(str).map(
+            hexd = df[key_col].astype(str).map(
                 lambda s: hashlib.md5(s.encode()).hexdigest())
+            if weight_col is None:
+                pri = hexd
+            else:
+                u = hexd.str[:13].map(lambda h: int(h, 16)) / 4503599627370496.0
+                pri = -np.log(u.to_numpy()) / df[weight_col].to_numpy()
             return df.assign(__pri=pri).sort_values(["__pri", key_col]).head(k)
 
         cand = ds.map_batches(with_priority, batch_format="pandas").to_pandas()
@@ -514,15 +526,24 @@ def reservoir_sample(ds, key_col: str, k: int, *,
     from .bloom import _splitmix64
 
     def local(t: pa.Table) -> pa.Table:
-        pri = _splitmix64(stable_hash64(t[key_col]).view(np.uint64))
+        h = _splitmix64(stable_hash64(t[key_col]).view(np.uint64))
+        if weight_col is None:
+            pri = h
+        else:
+            u = (h >> np.uint64(11)).astype(np.float64) / 9007199254740992.0
+            w = t[weight_col].to_numpy(zero_copy_only=False)
+            pri = -np.log(np.maximum(u, 1e-18)) / w
         if t.num_rows > k:
             idx = np.argpartition(pri, k)[:k]
             t = t.take(pa.array(idx, pa.int64()))
             pri = pri[idx]
-        return t.append_column("__pri", pa.array(pri.view(np.int64)))
+        if weight_col is None:
+            return t.append_column("__pri", pa.array(pri.view(np.int64)))
+        return t.append_column("__pri", pa.array(pri))
 
     cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
-    cand["__pri"] = cand["__pri"].astype(np.int64).values.view(np.uint64)
+    if weight_col is None:
+        cand["__pri"] = cand["__pri"].astype(np.int64).values.view(np.uint64)
     out = cand.sort_values(["__pri", key_col]).head(k).drop(columns="__pri")
     return out.reset_index(drop=True)
 

@@ -283,3 +283,41 @@ def semdedup(ds, *, k: int = 8, iters: int = 5, vec_col: str = "embedding",
              .map_groups(pairs_in_cluster, batch_format="pandas"))
     return _components_dataset(ds, id_col, pairs,
                                driver_threshold=cc_driver_threshold)
+
+
+def hard_negatives(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
+                   label_col: str = "label"):
+    """Contrastive hard-negative mining: for every vector, the most
+    cosine-similar vector carrying a DIFFERENT label (ties broken by
+    smaller candidate id). The reference corpus is collected once on the
+    driver in id order and broadcast via ``ray.put`` — the demo-scale
+    brute-force path; past broadcast size, swap the reference for the
+    IVF index (same per-batch kernel against nprobe buckets).
+
+    Returns a Dataset of ``(id_col, neg_id)``."""
+    import ray
+
+    ids, mats, labs = [], [], []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        ids.append(b[id_col].to_numpy(zero_copy_only=False))
+        mats.append(_normalize(_vec_matrix(b, vec_col)))
+        labs.append(b[label_col].to_numpy(zero_copy_only=False))
+    ids = np.concatenate(ids)
+    order = np.argsort(ids, kind="stable")   # argmax's first-max => lowest id
+    ids = ids[order]
+    R = np.concatenate(mats)[order]
+    labs = np.concatenate(labs)[order]
+    ref = ray.put((ids, R, labs))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rids, rmat, rlabs = ray.get(ref)
+        X = _normalize(_vec_matrix(batch, vec_col))
+        bid = batch[id_col].to_numpy(zero_copy_only=False)
+        blab = batch[label_col].to_numpy(zero_copy_only=False)
+        S = X @ rmat.T                                   # (n, N)
+        S[blab[:, None] == rlabs[None, :]] = -np.inf     # same-label (and self)
+        best = np.argmax(S, axis=1)
+        return pa.table({id_col: pa.array(bid.astype(np.int64)),
+                         "neg_id": pa.array(rids[best].astype(np.int64))})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1114,3 +1114,39 @@ ORACLE_SQL["embedding_norm_topk"] = """
                  6) AS l2
     FROM embeddings ORDER BY l2 DESC, vec_id LIMIT 20
 """
+
+ORACLE_SQL["weighted_sample_events"] = """
+    WITH p AS (SELECT event_id, event_type, value,
+                      CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))
+                           AS BIGINT) / 4503599627370496.0 AS u
+               FROM events)
+    SELECT event_id, event_type, value FROM p
+    ORDER BY -ln(u)/value, event_id LIMIT 100
+"""
+
+ORACLE_SQL["q10_returned_customers"] = """
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) AS units
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY o_custkey
+        ORDER BY units DESC, o_custkey LIMIT 20)
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(units/10000.0, 2) AS revenue
+    FROM rev JOIN customer c ON o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+ORACLE_SQL["hard_negative_embeddings"] = """
+    WITH s AS (
+        SELECT a.vec_id, b.vec_id AS neg_id,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                                   CAST(a.embedding AS DOUBLE[])) DESC,
+                            b.vec_id) AS rnk
+        FROM embeddings a JOIN embeddings b ON a.label <> b.label)
+    SELECT vec_id, neg_id FROM s WHERE rnk = 1
+"""

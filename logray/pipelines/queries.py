@@ -2999,6 +2999,64 @@ def embedding_norm_topk(sf_dir: str):
                            [("l2", True), ("vec_id", False)], 20)
 
 
+def weighted_sample_events(sf_dir: str):
+    """Efraimidis–Spirakis weighted sampling without replacement (C6):
+    exact-k sample where a row's selection odds scale with value — the
+    mergeable bottom-k over priority -ln(u)/w, here in the md5 oracle
+    mode (identical float expression in DuckDB); the splitmix64 mode is
+    the vectorized scale path."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return relational.reservoir_sample(ds, "event_id", 100, method="md5",
+                                       weight_col="value")
+
+
+def q10_returned_customers(sf_dir: str):
+    """TPC-H Q10 shape — returned-item revenue per customer: filtered
+    lineitem ⋈ orders with the per-customer partial rollup fused into
+    the join buckets, a small second combine over (custkey, partial)
+    rows, combiner top-20, then dims (customer row + nation name) joined
+    driver-side onto just those 20 keys — dims never shuffle."""
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        units = pc.cast(pc.round(pc.multiply(rev, 10000.0)), pa.int64())
+        return pa.table({"o_orderkey": t["l_orderkey"], "__units": units})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def agg_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False, sort=False)["__units"].sum()
+
+    joined = relational.hash_join(line.map_batches(prep, batch_format="pyarrow"),
+                                  orders, on="o_orderkey",
+                                  bucket_post=agg_in_bucket)
+    per_cust = relational.grouped_agg(joined, ["o_custkey"],
+                                      {"units": ("__units", "sum")})
+    top = relational.topk(per_cust, [("units", True), ("o_custkey", False)], 20)
+
+    cust = relational.semi_filter(
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]),
+        "c_custkey", top["o_custkey"].to_numpy()).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = (top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+           .merge(nation, left_on="c_nationkey", right_on="n_nationkey"))
+    out["revenue"] = (out["units"] / 10000.0).round(2)
+    return pa.Table.from_pandas(out[["c_custkey", "c_name", "n_name", "revenue"]],
+                                preserve_index=False)
+
+
+def hard_negative_embeddings(sf_dir: str):
+    """Contrastive hard-negative mining (similarity.hard_negatives):
+    per embedding the most-similar embedding with a different label —
+    broadcast reference matrix, one matmul per batch."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return similarity.hard_negatives(ds)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -3153,6 +3211,9 @@ QUERIES = {
     "outlier_events_zscore": outlier_events_zscore,
     "edit_distance_pairs_documents": edit_distance_pairs_documents,
     "embedding_norm_topk": embedding_norm_topk,
+    "weighted_sample_events": weighted_sample_events,
+    "q10_returned_customers": q10_returned_customers,
+    "hard_negative_embeddings": hard_negative_embeddings,
 }
 
 

@@ -1225,3 +1225,39 @@ def test_snapshot_diff_detail_images(ray_session):
     assert out.loc[2, "change"] == "changed"
     assert (out.loc[2, "v_old"], out.loc[2, "v_new"]) == (2.0, 2.5)
     assert out.loc[3, "change"] == "added" and out.loc[3, "v_new"] == 3.0
+
+
+def test_weighted_sample_prefers_heavy_rows(ray_session):
+    from logray.ops import relational
+
+    n = 4000
+    w = np.where(np.arange(n) < 200, 50.0, 1.0)  # 200 heavy rows
+    t = pa.table({"k": pa.array(np.arange(n), pa.int64()),
+                  "w": pa.array(w)})
+    out = relational.reservoir_sample(_ds(t), "k", 400, weight_col="w")
+    heavy = (out["k"] < 200).sum()
+    # heavy rows hold ~72% of total weight; uniform would give ~5%
+    assert heavy > 150
+    assert len(out) == 400 and out["k"].is_unique
+
+
+def test_hard_negatives_cross_cluster(ray_session):
+    from logray.ops import similarity
+
+    rng = np.random.default_rng(5)
+    c0 = rng.normal(0, 0.01, (10, 8)) + np.eye(8)[0]
+    c1 = rng.normal(0, 0.01, (10, 8)) + np.eye(8)[1]
+    far = rng.normal(0, 0.01, (5, 8)) + np.eye(8)[2]
+    vecs = np.vstack([c0, c1, far])
+    labels = np.array([0] * 10 + [1] * 10 + [2] * 5)
+    t = pa.table({"vec_id": pa.array(np.arange(25), pa.int64()),
+                  "embedding": pa.array(list(vecs.astype(np.float32))),
+                  "label": pa.array(labels, pa.int32())})
+    out = similarity.hard_negatives(_ds(t)).to_pandas().set_index("vec_id")
+    # hard negative of any cluster-0 vec is a cluster-1 or cluster-2 vec
+    # with a different label; since c0⊥c1⊥c2, the nearest other-label vec
+    # has some similarity > any far-cluster vec only within {c1,c2} — all
+    # results must simply carry a different label than the query.
+    for vid, row in out.iterrows():
+        assert labels[int(row["neg_id"])] != labels[int(vid)]
+    assert len(out) == 25
