@@ -3057,6 +3057,18 @@ def hard_negative_embeddings(sf_dir: str):
     return similarity.hard_negatives(ds)
 
 
+def bpe_tokens_documents(sf_dir: str):
+    """Real BPE tokenization (ops/bpe.py): distributed exact word
+    frequencies → deterministic driver-side merge training (200 merges)
+    → cached actor-pool encode. Rows-only (BPE inference isn't
+    SQL-able); merge rules and counts pytest-verified on a classic
+    corpus."""
+    from ..ops import bpe
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe.bpe_token_counts(docs, num_merges=200)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -3214,6 +3226,7 @@ QUERIES = {
     "weighted_sample_events": weighted_sample_events,
     "q10_returned_customers": q10_returned_customers,
     "hard_negative_embeddings": hard_negative_embeddings,
+    "bpe_tokens_documents": bpe_tokens_documents,
 }
 
 

@@ -1261,3 +1261,35 @@ def test_hard_negatives_cross_cluster(ray_session):
     for vid, row in out.iterrows():
         assert labels[int(row["neg_id"])] != labels[int(vid)]
     assert len(out) == 25
+
+
+def test_bpe_train_classic_corpus():
+    from logray.ops import bpe
+
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = bpe.train_bpe(wf, 4)
+    # classic Sennrich example: 'es' (9) then 'est' (9) then 'est▁' (9)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", bpe._EOW)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    assert bpe.encode_word("newest", ranks)[-1] == "est" + bpe._EOW
+    assert "est" + bpe._EOW in bpe.encode_word("widest", ranks)
+
+
+def test_bpe_token_counts_dataset(ray_session):
+    from logray.ops import bpe
+
+    texts = ["the cat sat", "the the cat", "dog"]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": texts})
+    out = (bpe.bpe_token_counts(_ds(t), num_merges=50, concurrency=1)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out["n_words"].tolist() == [3, 3, 1]
+    # with enough merges every frequent word collapses to one token
+    assert (out["n_bpe_tokens"] <= out["n_words"].map(
+        lambda w: w * 12)).all()
+    assert out.loc[0, "n_bpe_tokens"] >= 3
+    # zero merges => pure character counts (+1 end-of-word per word)
+    ranks = {}
+    assert bpe.encode_word("cat", ranks) == ["c", "a", "t", bpe._EOW]
