@@ -185,3 +185,60 @@ def approx_quantiles(ds, group_cols: list[str], value_col: str,
             row[f"q{q}"] = lo + (i + min(max(frac, 0.0), 1.0)) * width
         rows.append(row)
     return pd.DataFrame(rows)
+
+
+_CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                      dtype=np.uint64)
+
+
+def countmin_matrix(ds, key_col: str, *, width: int = 2048,
+                    depth: int = 4) -> np.ndarray:
+    """Mergeable Count-Min sketch of key frequencies: each batch buckets
+    its keys into ``depth`` independent hash rows of ``width`` cells and
+    emits only its NON-ZERO cells as (row, col, count) triples — a linear
+    sketch, so per-batch partials sum exactly through one tiny grouped
+    combine (≤ depth×width rows however many rows flow). Returns the
+    dense [depth, width] int64 matrix on the driver; point estimate of a
+    key's count = min over its depth cells (Cormode & Muthukrishnan
+    2005), overestimate bounded by e·N/width w.p. 1−e^−depth."""
+    from ..functions.hashing import stable_hash64
+    from .bloom import _splitmix64
+    from .relational import grouped_agg
+
+    if depth > len(_CMS_SEEDS):
+        raise ValueError(f"depth ≤ {len(_CMS_SEEDS)} supported")
+
+    def local(t: pa.Table) -> pa.Table:
+        h = stable_hash64(t[key_col]).view(np.uint64)
+        rows, cols, cnts = [], [], []
+        for d in range(depth):
+            b = (_splitmix64(h ^ _CMS_SEEDS[d]) % np.uint64(width)).astype(np.int64)
+            c = np.bincount(b, minlength=width)
+            nz = np.flatnonzero(c)
+            rows.append(np.full(len(nz), d, dtype=np.int64))
+            cols.append(nz)
+            cnts.append(c[nz])
+        return pa.table({"row": pa.array(np.concatenate(rows)),
+                         "col": pa.array(np.concatenate(cols)),
+                         "c": pa.array(np.concatenate(cnts))})
+
+    agg = grouped_agg(ds.map_batches(local, batch_format="pyarrow"),
+                      ["row", "col"], {"c": ("c", "sum")}).to_pandas()
+    M = np.zeros((depth, width), dtype=np.int64)
+    M[agg["row"].to_numpy(), agg["col"].to_numpy()] = agg["c"].to_numpy()
+    return M
+
+
+def countmin_estimate(M: np.ndarray, keys: pa.Array) -> np.ndarray:
+    """Point-query the CMS matrix for each key: min over depth rows."""
+    from ..functions.hashing import stable_hash64
+    from .bloom import _splitmix64
+
+    depth, width = M.shape
+    h = stable_hash64(keys).view(np.uint64)
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        b = (_splitmix64(h ^ _CMS_SEEDS[d]) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, M[d, b])
+    return est

@@ -225,11 +225,16 @@ def ntile(ds, part_col: str, order_cols: list[tuple[str, bool]], k: int, *,
 
 def asof_join(left_ds, right_df: pd.DataFrame, *, by: str, on: str,
               value_cols: list[str], num_buckets: int | None = None,
-              direction: str = "backward", suffix: str = "_right"):
+              direction: str = "backward", suffix: str = "_right",
+              tolerance=None):
     """As-of join: for each left row, the latest right row with
     ``right.on <= left.on`` (direction='backward') within the same ``by``
     key. Small right side is broadcast (shipped once via ray.put when a
     session exists); per bucket a single vectorized ``pd.merge_asof``.
+
+    ``tolerance``: optional max distance on ``on`` (e.g. a pd.Timedelta)
+    — matches farther than this come back null, the SQL "within window"
+    as-of refinement.
 
     The right side must be unique per (by, on) — pre-aggregate it if not,
     or the matched value is implementation-defined.
@@ -249,7 +254,8 @@ def asof_join(left_ds, right_df: pd.DataFrame, *, by: str, on: str,
         right = right_local if ref is None else __import__("ray").get(ref)
         df = df.sort_values(on, kind="mergesort")
         out = pd.merge_asof(df, right[[by, on] + value_cols], on=on, by=by,
-                            direction=direction, suffixes=("", suffix))
+                            direction=direction, suffixes=("", suffix),
+                            tolerance=tolerance)
         return out
 
     return _bucketed_apply(left_ds, by, per_bucket, num_buckets=num_buckets)

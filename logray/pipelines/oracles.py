@@ -1150,3 +1150,24 @@ ORACLE_SQL["hard_negative_embeddings"] = """
         FROM embeddings a JOIN embeddings b ON a.label <> b.label)
     SELECT vec_id, neg_id FROM s WHERE rnk = 1
 """
+
+ORACLE_SQL["asof_tolerance_purchase_click"] = """
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT user_id, ts, max(value) AS prior_click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id,
+           round(arg_max(c.prior_click_value, c.ts), 2) AS prior_click_value
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    GROUP BY p.event_id
+"""
+
+ORACLE_SQL["cms_heavy_users"] = """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n, TRUE AS est_ok
+    FROM events GROUP BY user_id
+    ORDER BY n DESC, user_id LIMIT 10
+"""

@@ -3069,6 +3069,82 @@ def bpe_tokens_documents(sf_dir: str):
     return bpe.bpe_token_counts(docs, num_merges=200)
 
 
+def asof_tolerance_purchase_click(sf_dir: str):
+    """As-of join WITH tolerance (C9): each purchase matched to the
+    user's latest click at or before it, but only within a 30-minute
+    window — older matches come back null (merge_asof tolerance; the SQL
+    oracle expresses the same via a windowed arg_max)."""
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).drop(["event_type"]),
+        batch_format="pyarrow")
+    clicks = pq.read_table(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "event_type", "value"])
+    clicks = clicks.filter(pc.equal(clicks["event_type"], "click"))
+    right = (clicks.select(["user_id", "ts", "value"]).to_pandas()
+             .groupby(["user_id", "ts"], as_index=False)["value"].max()
+             .rename(columns={"value": "prior_click_value"}))
+    out = window.asof_join(left, right, by="user_id", on="ts",
+                           value_cols=["prior_click_value"],
+                           tolerance=pd.Timedelta(minutes=30))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return _round_col(t.select(["event_id", "prior_click_value"]),
+                          "prior_click_value", 2)
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def cms_heavy_users(sf_dir: str):
+    """Count-Min sketch frequency estimation (C5 sketch breadth):
+    mergeable [depth×width] linear sketch over the full stream — only
+    non-zero cells shuffle — then point-queries for the exact top-10
+    users. Tolerance-oracle form like the HLL/Misra–Gries queries: the
+    exact counts are SQL-checked and the query asserts the CMS bound
+    est ∈ [n, n + 2eN/width] itself."""
+    from ..ops import sketch
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    M = sketch.countmin_matrix(ds, "user_id", width=2048, depth=4)
+    exact = relational.grouped_agg(ds, ["user_id"],
+                                   {"n": ("user_id", "count")})
+    top = relational.topk(exact, [("n", True), ("user_id", False)], 10)
+    est = sketch.countmin_estimate(M, pa.array(top["user_id"].to_numpy()))
+    total = int(M[0].sum())
+    bound = est.astype(np.float64) <= top["n"].to_numpy() + np.ceil(
+        2 * np.e * total / 2048)
+    ok = bool(((est >= top["n"].to_numpy()) & bound).all())
+    return pd.DataFrame({"user_id": top["user_id"].to_numpy(),
+                         "n": top["n"].to_numpy().astype(np.int64),
+                         "est_ok": np.full(len(top), ok)})
+
+
+def curriculum_pack_documents(sf_dir: str):
+    """Curriculum construction (training prep): quality-score every doc,
+    GLOBAL sort by score descending (true all-to-all Dataset.sort — the
+    one op here that must move every row), then sequence-pack in sorted
+    order so early packs carry the highest-quality material. Returns
+    per-pack (n_docs, n_tokens, min quality). Rows-only: pack membership
+    depends on block boundaries; ordering invariant pytest-checked."""
+    from ..ops import pack as pack_ops
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    scored = ds.map_batches(
+        lambda t: text_ops.add_token_counts(text_ops.add_quality_score(t))
+        .select(["doc_id", "quality", "n_tokens_ws"]),
+        batch_format="pyarrow")
+    ordered = scored.sort("quality", descending=True)
+    packed = pack_ops.pack_documents(ordered, token_col="n_tokens_ws",
+                                     id_col="doc_id", budget=512)
+    return relational.grouped_agg(
+        packed.map_batches(
+            lambda t: t.group_by("pack_id").aggregate(
+                [("doc_id", "count"), ("n_tokens_ws", "sum")])
+            .rename_columns(["pack_id", "n_docs", "n_tokens"]),
+            batch_format="pyarrow"),
+        ["pack_id"], {"n_docs": ("n_docs", "sum"),
+                      "n_tokens": ("n_tokens", "sum")})
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -3227,6 +3303,9 @@ QUERIES = {
     "q10_returned_customers": q10_returned_customers,
     "hard_negative_embeddings": hard_negative_embeddings,
     "bpe_tokens_documents": bpe_tokens_documents,
+    "asof_tolerance_purchase_click": asof_tolerance_purchase_click,
+    "cms_heavy_users": cms_heavy_users,
+    "curriculum_pack_documents": curriculum_pack_documents,
 }
 
 

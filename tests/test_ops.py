@@ -1293,3 +1293,32 @@ def test_bpe_token_counts_dataset(ray_session):
     # zero merges => pure character counts (+1 end-of-word per word)
     ranks = {}
     assert bpe.encode_word("cat", ranks) == ["c", "a", "t", bpe._EOW]
+
+
+def test_countmin_never_underestimates_and_merges(ray_session):
+    from logray.ops import sketch
+
+    rng = np.random.default_rng(11)
+    keys = rng.zipf(1.5, 20000) % 500  # skewed frequencies
+    t = pa.table({"k": pa.array(keys.astype(np.int64))})
+    M = sketch.countmin_matrix(_ds(t), "k", width=1024, depth=4)
+    assert int(M[0].sum()) == len(keys)           # linear sketch: exact mass
+    uniq, exact = np.unique(keys, return_counts=True)
+    est = sketch.countmin_estimate(M, pa.array(uniq.astype(np.int64)))
+    assert (est >= exact).all()                   # CMS never underestimates
+    bound = exact + np.ceil(2 * np.e * len(keys) / 1024)
+    assert (est <= bound).all()
+
+
+def test_asof_tolerance_nulls_far_matches(ray_session):
+    from logray.ops import window
+
+    left = pa.table({"id": pa.array([1, 2], pa.int64()),
+                     "u": pa.array([7, 7], pa.int64()),
+                     "t": pa.array([100, 200], pa.int64())})
+    right = pd.DataFrame({"u": [7, 7], "t": [95, 120], "v": [1.0, 2.0]})
+    out = (window.asof_join(_ds(left), right, by="u", on="t",
+                            value_cols=["v"], tolerance=10)
+           .to_pandas().set_index("id"))
+    assert out.loc[1, "v"] == 1.0          # 5 away, within tolerance
+    assert np.isnan(out.loc[2, "v"])       # nearest is 80 away -> null
