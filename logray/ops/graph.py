@@ -176,3 +176,59 @@ def _driver_cc(edges_sym, nodes, node_col: str):
                          "cluster_id": pa.array(out)})
 
     return nodes.map_batches(assign, batch_format="pyarrow")
+
+
+def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
+             iters: int = 3, total: int = 10**12):
+    """Integer-arithmetic PageRank power iteration (damping 0.85).
+
+    All arithmetic is int64 floor-division — ``r' = (15·(total//n))//100 +
+    (85·Σ_{u→v}(r_u // d_u))//100`` — so partial sums combine
+    order-independently and the distributed result is EXACTLY replayable
+    (and SQL-oracle-able) down to the last unit; no float summation-order
+    drift across engines or cluster sizes.
+
+    Scale shape: the edge Dataset is the big side and never leaves its
+    partitions — each iteration is one ``map_batches`` pass emitting
+    per-batch (dst, partial-sum) combiner rows plus one small grouped
+    sum; the rank vector rides along as a ``ray.put`` broadcast (node
+    count = dimension-table scale here; switch to the hash-join
+    formulation per iteration when ranks outgrow broadcast).
+
+    ``edges`` must already contain both directions if the graph is
+    undirected. Every node must appear as a src (degree ≥ 1). Returns a
+    pandas DataFrame (node, rank)."""
+    import numpy as np
+    import ray
+
+    deg = grouped_agg(edges, [src_col], {"d": (src_col, "count")}).to_pandas()
+    nodes = np.sort(deg[src_col].to_numpy().astype(np.int64))
+    d = deg.set_index(src_col).loc[nodes, "d"].to_numpy().astype(np.int64)
+    n = len(nodes)
+    base = total // n
+    r = np.full(n, base, dtype=np.int64)
+
+    for _ in range(iters):
+        ref = ray.put((nodes, r // d))
+
+        def partials(t: pa.Table) -> pa.Table:
+            nod, contrib = ray.get(ref)
+            s = t[src_col].to_numpy(zero_copy_only=False)
+            dst = t[dst_col].to_numpy(zero_copy_only=False)
+            c = contrib[np.searchsorted(nod, s)]
+            u, inv = np.unique(dst, return_inverse=True)
+            m = np.zeros(len(u), dtype=np.int64)
+            np.add.at(m, inv, c)
+            return pa.table({"node": pa.array(u.astype(np.int64)),
+                             "m": pa.array(m)})
+
+        agg = grouped_agg(edges.map_batches(partials, batch_format="pyarrow"),
+                          ["node"], {"m": ("m", "sum")}).to_pandas()
+        m = np.zeros(n, dtype=np.int64)
+        idx = np.searchsorted(nodes, agg["node"].to_numpy().astype(np.int64))
+        m[idx] = agg["m"].to_numpy().astype(np.int64)
+        r = (15 * base) // 100 + (85 * m) // 100
+
+    import pandas as pd
+
+    return pd.DataFrame({"node": nodes, "rank": r})

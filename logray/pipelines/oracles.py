@@ -1171,3 +1171,39 @@ ORACLE_SQL["cms_heavy_users"] = """
     FROM events GROUP BY user_id
     ORDER BY n DESC, user_id LIMIT 10
 """
+
+ORACLE_SQL["pagerank_customer_supplier"] = """
+    WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT c AS src, s AS dst FROM pairs
+               UNION ALL SELECT s AS src, c AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         params AS (SELECT count(*) AS n FROM deg),
+         r0 AS (SELECT src AS node, CAST(1000000000000 // p.n AS BIGINT) AS r
+                FROM deg CROSS JOIN params p),
+         it1 AS (SELECT d2.src AS node,
+                        CAST((15 * (1000000000000 // p.n)) // 100
+                             + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+                 FROM deg d2 CROSS JOIN params p
+                 LEFT JOIN (SELECT e.dst AS node, sum(r0.r // dg.d) AS m
+                            FROM e JOIN r0 ON e.src = r0.node
+                            JOIN deg dg ON e.src = dg.src
+                            GROUP BY e.dst) s ON d2.src = s.node),
+         it2 AS (SELECT d2.src AS node,
+                        CAST((15 * (1000000000000 // p.n)) // 100
+                             + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+                 FROM deg d2 CROSS JOIN params p
+                 LEFT JOIN (SELECT e.dst AS node, sum(it1.r // dg.d) AS m
+                            FROM e JOIN it1 ON e.src = it1.node
+                            JOIN deg dg ON e.src = dg.src
+                            GROUP BY e.dst) s ON d2.src = s.node),
+         it3 AS (SELECT d2.src AS node,
+                        CAST((15 * (1000000000000 // p.n)) // 100
+                             + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+                 FROM deg d2 CROSS JOIN params p
+                 LEFT JOIN (SELECT e.dst AS node, sum(it2.r // dg.d) AS m
+                            FROM e JOIN it2 ON e.src = it2.node
+                            JOIN deg dg ON e.src = dg.src
+                            GROUP BY e.dst) s ON d2.src = s.node)
+    SELECT node, r AS rank FROM it3 ORDER BY rank DESC, node LIMIT 20
+"""

@@ -3145,6 +3145,48 @@ def curriculum_pack_documents(sf_dir: str):
                       "n_tokens": ("n_tokens", "sum")})
 
 
+def pagerank_customer_supplier(sf_dir: str):
+    """Distributed PageRank (graph.pagerank) over the bipartite
+    customer↔supplier trade graph derived from lineitem⋈orders (supplier
+    ids offset to disjoin the spaces, edges symmetrized). Integer
+    floor-division arithmetic end-to-end, so the 3-iteration power
+    method is EXACTLY reproduced by the chained-CTE SQL oracle — a
+    value-checked iterative graph algorithm, not a rows-only one.
+    Top-20 nodes by rank."""
+    from ..ops import graph
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = relational.hash_join(
+        li, od.map_batches(
+            lambda t: pa.table({"l_orderkey": t["o_orderkey"],
+                                "o_custkey": t["o_custkey"]}),
+            batch_format="pyarrow"),
+        "l_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64())]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]))
+    pairs = relational.distinct(
+        joined.map_batches(
+            lambda t: pa.table({
+                "c": t["o_custkey"],
+                "s": pc.add(t["l_suppkey"], pa.scalar(1_000_000, pa.int64()))}),
+            batch_format="pyarrow"),
+        ["c", "s"])
+
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": np.concatenate([df["c"].to_numpy(), df["s"].to_numpy()]),
+            "dst": np.concatenate([df["s"].to_numpy(), df["c"].to_numpy()])})
+
+    edges = pairs.map_batches(symmetrize, batch_format="pandas").materialize()
+    ranks = graph.pagerank(edges, iters=3)
+    top = (ranks.sort_values(["rank", "node"], ascending=[False, True])
+           .head(20).reset_index(drop=True))
+    return top
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -3306,6 +3348,7 @@ QUERIES = {
     "asof_tolerance_purchase_click": asof_tolerance_purchase_click,
     "cms_heavy_users": cms_heavy_users,
     "curriculum_pack_documents": curriculum_pack_documents,
+    "pagerank_customer_supplier": pagerank_customer_supplier,
 }
 
 

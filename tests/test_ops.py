@@ -1322,3 +1322,21 @@ def test_asof_tolerance_nulls_far_matches(ray_session):
            .to_pandas().set_index("id"))
     assert out.loc[1, "v"] == 1.0          # 5 away, within tolerance
     assert np.isnan(out.loc[2, "v"])       # nearest is 80 away -> null
+
+
+def test_pagerank_integer_exact(ray_session):
+    from logray.ops import graph
+
+    # path graph 0-1-2 symmetrized; hand-check one integer iteration
+    e = pa.table({"src": pa.array([0, 1, 1, 2], pa.int64()),
+                  "dst": pa.array([1, 0, 2, 1], pa.int64())})
+    out = graph.pagerank(_ds(e), iters=1, total=300).set_index("node")["rank"]
+    # base = 100 each; contributions: node1 gets 100//1 + 100//1 = 200,
+    # nodes 0,2 get 100//2 = 50; r' = (15*100)//100 + (85*m)//100
+    assert out[1] == 15 + (85 * 200) // 100 == 15 + 170
+    assert out[0] == out[2] == 15 + (85 * 50) // 100
+    # more iterations stay exactly deterministic across runs
+    a = graph.pagerank(_ds(e), iters=3, total=10**12)
+    b = graph.pagerank(_ds(e), iters=3, total=10**12)
+    assert a.equals(b)
+    assert a["rank"].sum() <= 10**12
