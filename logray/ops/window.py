@@ -488,3 +488,59 @@ def rolling_mean_centered(ds, key: str, order_cols: list[str], val_col: str,
         return df
 
     return _bucketed_apply(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def range_count(ds, *, by: str, ts_col: str, before, after,
+                out_col: str = "n_nearby", num_buckets: int | None = None):
+    """Symmetric event-time RANGE frame count (C9): for every row, how
+    many same-``by`` rows fall within [ts−before, ts+after] — SQL
+    ``count(*) OVER (... RANGE BETWEEN x PRECEDING AND y FOLLOWING)``.
+    Co-partition by key; per bucket two vectorized searchsorteds on the
+    group's sorted timestamps."""
+    import numpy as np
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([by, ts_col], kind="mergesort")
+        out = np.empty(len(df), dtype=np.int64)
+        ts_all = df[ts_col].to_numpy()
+        start = 0
+        for _, g in df.groupby(by, sort=False):
+            n = len(g)
+            ts = ts_all[start:start + n]
+            lo = np.searchsorted(ts, ts - before, side="left")
+            hi = np.searchsorted(ts, ts + after, side="right")
+            out[start:start + n] = hi - lo
+            start += n
+        return df.assign(**{out_col: out})
+
+    return _bucketed_apply(ds, by, per_bucket, num_buckets=num_buckets)
+
+
+def interval_coverage(ds, *, by: str, start_col: str, end_col: str,
+                      out_col: str = "covered", num_buckets: int | None = None):
+    """Union-of-intervals length per key (C9 ordered op): overlapping /
+    touching [start, end) intervals merge into islands; returns one row
+    per key with the summed island lengths (e.g. total active wall-clock
+    from per-event activity windows). Co-partition by key; per bucket the
+    island detection is one vectorized cummax + cumsum pass."""
+    import numpy as np
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([by, start_col, end_col], kind="mergesort")
+        s = df[start_col].to_numpy()
+        e = df[end_col].to_numpy()
+        run_max = df.groupby(by, sort=False)[end_col].cummax().to_numpy()
+        prev_max = np.roll(run_max, 1)
+        grp_first = (df[by] != df[by].shift()).to_numpy()
+        brk = grp_first | (s > np.where(grp_first, s, prev_max))
+        island = np.cumsum(brk)
+        isl = pd.DataFrame({by: df[by].to_numpy(), "__i": island,
+                            "__s": s, "__e": run_max})
+        g = isl.groupby([by, "__i"], sort=False).agg(
+            s0=("__s", "min"), e1=("__e", "max")).reset_index()
+        cov = (g["e1"] - g["s0"])
+        out = pd.DataFrame({by: g[by], out_col: cov}).groupby(
+            by, as_index=False, sort=False)[out_col].sum()
+        return out
+
+    return _bucketed_apply(ds, by, per_bucket, num_buckets=num_buckets)

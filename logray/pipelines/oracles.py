@@ -1207,3 +1207,52 @@ ORACLE_SQL["pagerank_customer_supplier"] = """
                             GROUP BY e.dst) s ON d2.src = s.node)
     SELECT node, r AS rank FROM it3 ORDER BY rank DESC, node LIMIT 20
 """
+
+ORACLE_SQL["events_nearby_30min"] = """
+    SELECT event_id,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                               RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                                         AND INTERVAL 30 MINUTE FOLLOWING)
+                AS BIGINT) AS n_nearby
+    FROM events
+"""
+
+ORACLE_SQL["user_active_coverage"] = """
+    WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+                FROM events),
+         o AS (SELECT *, CASE WHEN s > max(e) OVER (
+                                  PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING)
+                              THEN 1 ELSE 0 END AS brk
+               FROM iv),
+         g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                        ORDER BY s, e) AS grp
+               FROM o),
+         isl AS (SELECT user_id, grp, min(s) AS s0, max(e) AS e1
+                 FROM g GROUP BY user_id, grp)
+    SELECT user_id, CAST(sum(epoch_us(e1 - s0)) AS BIGINT) AS active_us
+    FROM isl GROUP BY user_id
+"""
+
+ORACLE_SQL["new_users_per_day"] = """
+    WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events
+               GROUP BY user_id)
+    SELECT date_trunc('day', first_ts) AS day,
+           CAST(count(*) AS BIGINT) AS n_new_users
+    FROM f GROUP BY day
+"""
+
+ORACLE_SQL["weekly_retention_cohorts"] = """
+    WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events
+               GROUP BY user_id),
+         t AS (SELECT DISTINCT
+                      date_trunc('week', f.first_ts) AS cohort_week,
+                      CAST(datediff('day', date_trunc('week', f.first_ts),
+                                    date_trunc('week', e.ts)) // 7
+                           AS BIGINT) AS week_offset,
+                      e.user_id
+               FROM events e JOIN f USING (user_id))
+    SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+    FROM t GROUP BY cohort_week, week_offset
+"""

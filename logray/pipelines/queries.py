@@ -3187,6 +3187,95 @@ def pagerank_customer_supplier(sf_dir: str):
     return top
 
 
+def events_nearby_30min(sf_dir: str):
+    """Symmetric event-time RANGE frame (window.range_count): per event,
+    how many of the same user's events fall within ±30 minutes — SQL
+    RANGE BETWEEN INTERVAL PRECEDING AND INTERVAL FOLLOWING, computed
+    with two searchsorteds per user group."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = window.range_count(ds, by="user_id", ts_col="ts",
+                             before=pd.Timedelta(minutes=30),
+                             after=pd.Timedelta(minutes=30))
+    return out.map_batches(lambda t: t.select(["event_id", "n_nearby"]),
+                           batch_format="pyarrow")
+
+
+def user_active_coverage(sf_dir: str):
+    """Union-of-intervals per user (window.interval_coverage): each event
+    opens a 5-minute activity window; overlapping windows merge, and the
+    query reports each user's total covered seconds — interval-union
+    island detection as one vectorized cummax pass per bucket."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        e = pc.add(t["ts"], pa.scalar(300_000_000, pa.duration("us")))
+        return pa.table({"user_id": t["user_id"], "s": t["ts"], "e": e})
+
+    out = window.interval_coverage(ds.map_batches(widen, batch_format="pyarrow"),
+                                   by="user_id", start_col="s", end_col="e")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        micro = df["covered"].to_numpy().astype("timedelta64[us]").astype(np.int64)
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                             "active_us": micro})
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def new_users_per_day(sf_dir: str):
+    """First-seen analytics (C5): per calendar day, how many users had
+    their first-ever event that day — grouped min per user (combiner)
+    then a tiny date rollup; no raw rows shuffle."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    first = relational.grouped_agg(ds, ["user_id"], {"first_ts": ("ts", "min")})
+
+    def to_day(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["first_ts"], unit="day"),
+                      pa.timestamp("us"))
+        return pa.table({"day": day, "user_id": t["user_id"]})
+
+    return relational.grouped_agg(first.map_batches(to_day, batch_format="pyarrow"),
+                                  ["day"], {"n_new_users": ("user_id", "count")})
+
+
+def weekly_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix (composed C4+C5): cohort = the ISO week
+    of a user's first event; for every (cohort_week, week_offset) count
+    the distinct users active that many weeks later. First-seen is a
+    per-user combiner aggregate joined back onto events in ONE hash
+    shuffle (user co-partitioning); distinct (cohort, offset, user)
+    reduces before the final count."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    first = relational.grouped_agg(ds, ["user_id"], {"first_ts": ("ts", "min")})
+    joined = relational.hash_join(
+        ds, first, "user_id",
+        left_schema=pa.schema([("user_id", pa.int64()),
+                               ("ts", pa.timestamp("us"))]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("first_ts", pa.timestamp("us"))]))
+
+    def to_weeks(df: pd.DataFrame) -> pd.DataFrame:
+        wk = df["ts"].dt.to_period("W-SUN").dt.start_time
+        cw = df["first_ts"].dt.to_period("W-SUN").dt.start_time
+        off = ((wk - cw).dt.days // 7).astype(np.int64)
+        return pd.DataFrame({"cohort_week": cw, "week_offset": off,
+                             "user_id": df["user_id"].to_numpy()})
+
+    trip = relational.distinct(
+        joined.map_batches(to_weeks, batch_format="pandas"),
+        ["cohort_week", "week_offset", "user_id"])
+    agg = relational.grouped_agg(trip, ["cohort_week", "week_offset"],
+                                 {"n_users": ("user_id", "count")})
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_week": pc.cast(t["cohort_week"], pa.timestamp("us")),
+            "week_offset": pc.cast(t["week_offset"], pa.int64()),
+            "n_users": pc.cast(t["n_users"], pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -3349,6 +3438,10 @@ QUERIES = {
     "cms_heavy_users": cms_heavy_users,
     "curriculum_pack_documents": curriculum_pack_documents,
     "pagerank_customer_supplier": pagerank_customer_supplier,
+    "events_nearby_30min": events_nearby_30min,
+    "user_active_coverage": user_active_coverage,
+    "new_users_per_day": new_users_per_day,
+    "weekly_retention_cohorts": weekly_retention_cohorts,
 }
 
 

@@ -1340,3 +1340,29 @@ def test_pagerank_integer_exact(ray_session):
     b = graph.pagerank(_ds(e), iters=3, total=10**12)
     assert a.equals(b)
     assert a["rank"].sum() <= 10**12
+
+
+def test_range_count_symmetric_window(ray_session):
+    from logray.ops import window
+
+    t = pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "u": pa.array([5, 5, 5, 9], pa.int64()),
+                  "ts": pa.array([0, 10, 25, 0], pa.int64())})
+    out = (window.range_count(_ds(t), by="u", ts_col="ts",
+                              before=10, after=10, num_buckets=2)
+           .to_pandas().set_index("id")["n_nearby"])
+    # u=5: ts0 sees {0,10}; ts10 sees {0,10}(25 is 15 away); ts25 sees {25}
+    assert out[1] == 2 and out[2] == 2 and out[3] == 1 and out[4] == 1
+
+
+def test_interval_coverage_merges_islands(ray_session):
+    from logray.ops import window
+
+    t = pa.table({"u": pa.array([1, 1, 1, 2], pa.int64()),
+                  "s": pa.array([0, 5, 20, 0], pa.int64()),
+                  "e": pa.array([10, 12, 30, 3], pa.int64())})
+    out = (window.interval_coverage(_ds(t), by="u", start_col="s",
+                                    end_col="e", num_buckets=2)
+           .to_pandas().set_index("u")["covered"])
+    # u=1: [0,12] merged (overlap) + [20,30] => 12 + 10
+    assert out[1] == 22 and out[2] == 3
