@@ -321,3 +321,51 @@ def hard_negatives(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
                          "neg_id": pa.array(rids[best].astype(np.int64))})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pca(ds, *, vec_col: str = "embedding", id_col: str = "vec_id", k: int = 8):
+    """Distributed PCA over an embedding column: mean and covariance
+    assemble from per-batch ``(n, Σx, XᵀX)`` moment partials — each batch
+    contributes one d-vector and one d×d matrix regardless of row count,
+    so the driver combine is O(batches·d²) while the corpus streams.
+    Eigendecomposition of the d×d covariance runs on the driver; the
+    projection is a stateless broadcast pass. Component signs are fixed
+    deterministically (largest-|loading| coordinate made positive).
+
+    Returns ``(components [k,d], explained_var [k], projected Dataset
+    (id_col, pc1..pck))``."""
+    import ray
+
+    def partials(t: pa.Table) -> pa.Table:
+        X = _vec_matrix(t, vec_col).astype(np.float64)
+        return pa.table({
+            "n": pa.array([X.shape[0]], pa.int64()),
+            "s": pa.array([X.sum(axis=0)]),
+            "xtx": pa.array([(X.T @ X).reshape(-1)]),
+        })
+
+    part = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    n_tot = int(part["n"].sum())
+    s = np.sum(np.stack(part["s"].to_numpy()), axis=0)
+    d = len(s)
+    xtx = np.sum(np.stack(part["xtx"].to_numpy()), axis=0).reshape(d, d)
+    mu = s / n_tot
+    cov = (xtx - n_tot * np.outer(mu, mu)) / (n_tot - 1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T                      # [k, d]
+    sign = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    comps = comps * sign[:, None]
+    evar = w[order]
+    ref = ray.put((mu, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        m, W = ray.get(ref)
+        X = _vec_matrix(t, vec_col).astype(np.float64)
+        P = (X - m) @ W.T
+        cols = {id_col: t[id_col]}
+        for i in range(W.shape[0]):
+            cols[f"pc{i+1}"] = pa.array(P[:, i])
+        return pa.table(cols)
+
+    return comps, evar, ds.map_batches(project, batch_format="pyarrow")

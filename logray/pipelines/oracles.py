@@ -1256,3 +1256,12 @@ ORACLE_SQL["weekly_retention_cohorts"] = """
     SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
     FROM t GROUP BY cohort_week, week_offset
 """
+
+ORACLE_SQL["pushdown_scan_orders"] = """
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0, 2) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+"""

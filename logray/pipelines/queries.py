@@ -3276,6 +3276,49 @@ def weekly_retention_cohorts(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def pushdown_scan_orders(sf_dir: str):
+    """Predicate pushdown at the read (C1, "prune at the read"): the
+    1996 date-range filter ships INTO read_parquet as a pyarrow dataset
+    expression, so non-matching row groups are skipped at the source
+    and only two payload columns ever leave storage; then a small
+    grouped rollup."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+    expr = (pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice", "o_orderdate"],
+        filter=expr)
+    prepped = ds.map_batches(
+        lambda t: _add_cents(t, "o_totalprice", "__cents").select(
+            ["o_orderpriority", "__cents"]),
+        batch_format="pyarrow")
+    out = relational.grouped_agg(prepped, ["o_orderpriority"], {
+        "n": ("__cents", "count"), "total": ("__cents", "sum")})
+    return out.map_batches(lambda t: _cents_to_float(t, "total"),
+                           batch_format="pyarrow")
+
+
+def pca_embeddings(sf_dir: str):
+    """Distributed PCA (similarity.pca): d×d moment partials per batch,
+    driver eigendecomposition, broadcast projection — per vector the
+    first two principal coordinates. Rows-only (eigenvectors aren't
+    SQL-able); orthonormality / variance-ordering / determinism
+    pytest-verified."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    comps, evar, proj = similarity.pca(ds, k=2)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": t["vec_id"],
+                         "pc1": pc.round(t["pc1"], ndigits=4),
+                         "pc2": pc.round(t["pc2"], ndigits=4)})
+
+    return proj.map_batches(fin, batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -3442,6 +3485,8 @@ QUERIES = {
     "user_active_coverage": user_active_coverage,
     "new_users_per_day": new_users_per_day,
     "weekly_retention_cohorts": weekly_retention_cohorts,
+    "pushdown_scan_orders": pushdown_scan_orders,
+    "pca_embeddings": pca_embeddings,
 }
 
 

@@ -1366,3 +1366,24 @@ def test_interval_coverage_merges_islands(ray_session):
            .to_pandas().set_index("u")["covered"])
     # u=1: [0,12] merged (overlap) + [20,30] => 12 + 10
     assert out[1] == 22 and out[2] == 3
+
+
+def test_pca_planted_anisotropy(ray_session):
+    rng = np.random.default_rng(9)
+    # variance concentrated on axis 3, then axis 0
+    X = np.zeros((300, 8))
+    X[:, 3] = rng.normal(0, 10, 300)
+    X[:, 0] = rng.normal(0, 3, 300)
+    X += rng.normal(0, 0.1, (300, 8))
+    t = pa.table({"vec_id": pa.array(np.arange(300), pa.int64()),
+                  "embedding": pa.array(list(X.astype(np.float32)))})
+    comps, evar, proj = similarity.pca(_ds(t), k=2)
+    assert np.abs(comps[0]).argmax() == 3       # pc1 ≈ axis 3
+    assert np.abs(comps[1]).argmax() == 0       # pc2 ≈ axis 0
+    assert evar[0] > evar[1] > 0
+    assert np.allclose(comps @ comps.T, np.eye(2), atol=1e-8)  # orthonormal
+    out = proj.to_pandas()
+    assert out["pc1"].var() > out["pc2"].var()
+    # deterministic across runs (sign convention + exact partials)
+    comps2, _, _ = similarity.pca(_ds(t), k=2)
+    assert np.allclose(comps, comps2, atol=1e-12)
