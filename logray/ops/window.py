@@ -52,10 +52,17 @@ def _int_bucket(col, num_buckets: int) -> pa.Array:
     which is harmless because every bucket kernel is per-key downstream."""
     import pyarrow.compute as pc
 
-    filled = pc.fill_null(pc.cast(col, pa.int64()), 0)
-    if isinstance(filled, pa.ChunkedArray):
-        filled = filled.combine_chunks()
-    v = filled.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    typ = col.type
+    if pa.types.is_floating(typ):
+        # floats can't cast losslessly — bucket on the stable bit-view hash
+        from ..functions.hashing import stable_hash64
+
+        v = stable_hash64(col)
+    else:
+        filled = pc.fill_null(pc.cast(col, pa.int64()), 0)
+        if isinstance(filled, pa.ChunkedArray):
+            filled = filled.combine_chunks()
+        v = filled.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     return pa.array(((v * np.int64(2654435761)) % num_buckets).astype(np.int32))
 
 

@@ -1265,3 +1265,64 @@ ORACLE_SQL["pushdown_scan_orders"] = """
       AND o_orderdate < TIMESTAMP '1997-01-01'
     GROUP BY o_orderpriority
 """
+
+ORACLE_SQL["union_distinct_users"] = """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+ORACLE_SQL["train_val_test_split_documents"] = """
+    WITH a AS (SELECT CASE
+                   WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                             AS INT) < 204 THEN 'train'
+                   WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                             AS INT) < 230 THEN 'val'
+                   ELSE 'test' END AS split,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents)
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM a GROUP BY split
+"""
+
+ORACLE_SQL["fk_violations_check"] = """
+    SELECT 'lineitem.l_orderkey->orders' AS relation,
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST((SELECT count(*) FROM customer
+                 WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+                AS BIGINT)
+"""
+
+ORACLE_SQL["profile_events"] = """
+    SELECT 'event_id' AS column, count(*) AS n,
+           CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(min(event_id) AS VARCHAR) AS min_str,
+           CAST(max(event_id) AS VARCHAR) AS max_str
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*), count(*) - count(user_id),
+           count(DISTINCT user_id),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', count(*), count(*) - count(event_type),
+           count(DISTINCT event_type),
+           CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'value', count(*), count(*) - count(value),
+           count(DISTINCT value),
+           CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+    FROM events
+"""

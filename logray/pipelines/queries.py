@@ -3319,6 +3319,101 @@ def pca_embeddings(sf_dir: str):
     return proj.map_batches(fin, batch_format="pyarrow")
 
 
+def union_distinct_users(sf_dir: str):
+    """Set-union with dedup (C7 breadth): users seen in purchase events
+    UNION (distinct) users seen in error events — per-batch unique
+    combiner, one co-partitioned drop_duplicates."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def side(et: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return (t.filter(pc.equal(t["event_type"], et))
+                    .select(["user_id"]))
+        return fn
+
+    uni = (ds.map_batches(side("purchase"), batch_format="pyarrow")
+           .union(ds.map_batches(side("error"), batch_format="pyarrow")))
+    return relational.distinct(uni, ["user_id"])
+
+
+def train_val_test_split_documents(sf_dir: str):
+    """Deterministic 3-way ML split (train/val/test ≈ 80/10/10 by md5
+    bucket of doc_id — reproducible across runs and machines, the
+    standard content-hash split): per-split doc count and token mass."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        h = df["doc_id"].astype(str).map(
+            lambda s: int(hashlib.md5(s.encode()).hexdigest()[:2], 16))
+        split = np.where(h < 204, "train", np.where(h < 230, "val", "test"))
+        ntok = df["text"].str.split().str.len().to_numpy()
+        return pd.DataFrame({"split": split, "n_tokens": ntok})
+
+    per = ds.map_batches(assign, batch_format="pandas")
+    return relational.grouped_agg(per, ["split"], {
+        "n_docs": ("split", "count"), "n_tokens": ("n_tokens", "sum")})
+
+
+def fk_violations_check(sf_dir: str):
+    """Referential-integrity validation (data-quality surface): for each
+    foreign-key pair, how many child rows point at a missing parent —
+    three broadcast-anti semi-filters (parent key sets ship once via
+    ray.put), one summary row per relation. Zero means clean."""
+    def keys_of(table: str, col: str) -> np.ndarray:
+        t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=[col])
+        return np.unique(t[col].to_numpy(zero_copy_only=False))
+
+    checks = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         keys_of("orders", "o_orderkey")),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         keys_of("customer", "c_custkey")),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         keys_of("nation", "n_nationkey")),
+    ]
+    rows = []
+    for name, table, col, parents in checks:
+        child = _read(sf_dir, table, [col])
+        orphans = relational.semi_filter(child, col, parents, keep=False)
+        n = orphans.count()
+        rows.append({"relation": name, "n_orphans": int(n)})
+    return pd.DataFrame(rows)
+
+
+def profile_events(sf_dir: str):
+    """Column profiling / ANALYZE (engine statistics surface): per
+    column of events — row count, null count, exact distinct count, and
+    min/max rendered as strings. Long-format one row per column;
+    counts from per-batch partials, distincts from per-column combiner
+    uniques."""
+    cols = ["event_id", "user_id", "event_type", "value"]
+    ds = _read(sf_dir, "events", cols)
+    rows = []
+    for c in cols:
+        def partial(t: pa.Table, c=c) -> pa.Table:
+            col = t[c]
+            mm = pc.min_max(col)
+            return pa.table({"n": pa.array([len(col)], pa.int64()),
+                             "n_null": pa.array([col.null_count], pa.int64()),
+                             "mn": pa.array([mm["min"].as_py()]),
+                             "mx": pa.array([mm["max"].as_py()])})
+
+        # per-batch (count, nulls, native min/max) partials — one tiny row
+        # per batch reaches the driver however many rows flow
+        p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        nd = relational.distinct(
+            ds.map_batches(lambda t, c=c: t.select([c]),
+                           batch_format="pyarrow"), [c]).count()
+        rows.append({"column": c, "n": int(p["n"].sum()),
+                     "n_null": int(p["n_null"].sum()),
+                     "n_distinct": int(nd),
+                     "min_str": str(p["mn"].min()),
+                     "max_str": str(p["mx"].max())})
+    return pd.DataFrame(rows)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -3487,6 +3582,10 @@ QUERIES = {
     "weekly_retention_cohorts": weekly_retention_cohorts,
     "pushdown_scan_orders": pushdown_scan_orders,
     "pca_embeddings": pca_embeddings,
+    "union_distinct_users": union_distinct_users,
+    "train_val_test_split_documents": train_val_test_split_documents,
+    "fk_violations_check": fk_violations_check,
+    "profile_events": profile_events,
 }
 
 
