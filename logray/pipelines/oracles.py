@@ -1326,3 +1326,16 @@ ORACLE_SQL["profile_events"] = """
            CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
     FROM events
 """
+
+ORACLE_SQL["index_lookup_documents"] = """
+    WITH toks(token) AS (VALUES ('key'), ('value'), ('table'), ('row'),
+                                ('merge'), ('window')),
+         f AS (SELECT doc_id,
+                      unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                          AS token
+               FROM documents),
+         c AS (SELECT token, count(DISTINCT doc_id) AS n FROM f
+               WHERE token IN (SELECT token FROM toks) GROUP BY token)
+    SELECT toks.token, CAST(coalesce(c.n, 0) AS BIGINT) AS n_docs
+    FROM toks LEFT JOIN c USING (token)
+"""

@@ -3414,6 +3414,24 @@ def profile_events(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def index_lookup_documents(sf_dir: str):
+    """Shared mutable state via raw Ray actors (state/index.py — the
+    documented escape hatch from the Dataset API): build a sharded
+    inverted index over documents in one streaming acked map_batches
+    pass, then point-look-up six tokens and report each token's
+    document frequency. The lookups themselves never scan the corpus."""
+    from ..state.index import InvertedIndex
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = InvertedIndex(num_shards=4)
+    idx.build(docs)
+    tokens = ["key", "value", "table", "row", "merge", "window"]
+    res = idx.lookup(tokens)
+    return pd.DataFrame({"token": tokens,
+                         "n_docs": [np.int64(len(res.get(t, [])))
+                                    for t in tokens]})
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -3586,6 +3604,7 @@ QUERIES = {
     "train_val_test_split_documents": train_val_test_split_documents,
     "fk_violations_check": fk_violations_check,
     "profile_events": profile_events,
+    "index_lookup_documents": index_lookup_documents,
 }
 
 

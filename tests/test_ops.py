@@ -1387,3 +1387,20 @@ def test_pca_planted_anisotropy(ray_session):
     # deterministic across runs (sign convention + exact partials)
     comps2, _, _ = similarity.pca(_ds(t), k=2)
     assert np.allclose(comps, comps2, atol=1e-12)
+
+
+def test_inverted_index_build_and_lookup(ray_session):
+    from logray.state.index import InvertedIndex
+
+    t = pa.table({"doc_id": pa.array([10, 11, 12], pa.int64()),
+                  "text": ["the cat sat", "the dog", "cat dog cat"]})
+    idx = InvertedIndex(num_shards=3)
+    n = idx.build(_ds(t))
+    assert n == 3 + 2 + 2                      # distinct postings per doc
+    res = idx.lookup(["the", "cat", "dog", "missing"])
+    assert res["the"] == [10, 11]
+    assert res["cat"] == [10, 12]
+    assert res["dog"] == [11, 12]
+    assert res["missing"] == []
+    assert idx.lookup_and(["cat", "dog"]) == [12]
+    assert idx.vocab_size() == 4
