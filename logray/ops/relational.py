@@ -690,3 +690,30 @@ def snapshot_diff(old, new, keys: list[str], compare: list[str], *,
         return out
 
     return _bucketed_apply(uni, keys[0], per_bucket)
+
+
+def cogroup(left, right, keys: list[str], fn, *,
+            num_buckets: int | None = None):
+    """Generalized cogroup (the two-input ``map_groups``): co-partition
+    both datasets on ``keys`` in ONE side-tagged exchange and call
+    ``fn(left_df, right_df)`` once per bucket — both frames hold complete
+    key groups, so any per-key combine (joins the merge family can't
+    express, asymmetric aggregates, custom reconciliation) runs
+    vectorized inside. ``fn`` must return a DataFrame."""
+    from .window import _bucketed_apply
+
+    def tag(src: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__src", pa.array(np.full(t.num_rows, src, dtype=np.int8)))
+        return f
+
+    uni = (left.map_batches(tag(0), batch_format="pyarrow")
+           .union(right.map_batches(tag(1), batch_format="pyarrow")))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__src"] == 0].drop(columns="__src")
+        r = df[df["__src"] == 1].drop(columns="__src")
+        return fn(l, r)
+
+    return _bucketed_apply(uni, keys[0], per_bucket, num_buckets=num_buckets)

@@ -1339,3 +1339,48 @@ ORACLE_SQL["index_lookup_documents"] = """
     SELECT toks.token, CAST(coalesce(c.n, 0) AS BIGINT) AS n_docs
     FROM toks LEFT JOIN c USING (token)
 """
+
+ORACLE_SQL["debounced_events"] = """
+    WITH l AS (SELECT event_id,
+                      epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)) AS gap_s
+               FROM events)
+    SELECT event_id FROM l WHERE gap_s IS NULL OR gap_s > 3600
+"""
+
+ORACLE_SQL["value_decile_events"] = """
+    WITH q AS (SELECT quantile_cont(value,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+               FROM events)
+    SELECT e.event_id,
+           CAST(1 + len(list_filter(list_transform(q.qs, x -> round(x, 6)),
+                                    x -> e.value > x)) AS BIGINT) AS decile
+    FROM events e CROSS JOIN q
+"""
+
+ORACLE_SQL["gapfilled_daily_counts"] = """
+    WITH b AS (SELECT user_id, date_trunc('day', min(ts)) AS d0,
+                      date_trunc('day', max(ts)) AS d1
+               FROM events GROUP BY user_id),
+         days AS (SELECT user_id, unnest(generate_series(d0, d1,
+                                                         INTERVAL 1 DAY)) AS day
+                  FROM b),
+         c AS (SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n
+               FROM events GROUP BY user_id, day)
+    SELECT days.user_id, days.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM days LEFT JOIN c USING (user_id, day)
+"""
+
+ORACLE_SQL["conversion_rate_by_user"] = """
+    WITH p AS (SELECT user_id, count(*) AS n_purchases FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id),
+         c AS (SELECT user_id, count(*) AS n_clicks FROM events
+               WHERE event_type = 'click' GROUP BY user_id)
+    SELECT coalesce(p.user_id, c.user_id) AS user_id,
+           CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+           CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+           CASE WHEN coalesce(c.n_clicks, 0) > 0
+                THEN round(coalesce(p.n_purchases, 0) * 1.0 / c.n_clicks, 6)
+                END AS conversion_rate
+    FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+"""

@@ -3432,6 +3432,120 @@ def index_lookup_documents(sf_dir: str):
                                     for t in tokens]})
 
 
+def debounced_events(sf_dir: str):
+    """Debounce / rate-limit (streaming semantics over a batch table):
+    keep only events starting a burst — the user's first event or any
+    event ≥ 1 hour after the user's previous one. lag-gap filter per
+    co-partitioned user group."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    lagged = window.lag_gap(ds, "user_id", "ts", ["ts", "event_id"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["gap_s"].isna() | (df["gap_s"] > 3600.0)
+        return df.loc[m, ["event_id"]]
+
+    return lagged.map_batches(keep, batch_format="pandas")
+
+
+def value_decile_events(sf_dir: str):
+    """Global equi-depth binning (C6/C5): assign every event its decile
+    of the GLOBAL value distribution — exact continuous quantile edges
+    (rounded to 6, identical on both sides) broadcast to a stateless
+    compare-and-count pass; decile = 1 + #edges strictly below value."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    # exact global quantile edges via the value-DISTRIBUTION shuffle
+    # (grouped count per distinct value — only (value, n) rows move, the
+    # same shape as global_value_quantiles; raw values never concentrate)
+    dist = relational.grouped_agg(
+        ds.map_batches(lambda t: t.filter(pc.is_valid(t["value"]))
+                       .select(["value"]), batch_format="pyarrow"),
+        ["value"], {"n": ("value", "count")}).to_pandas()
+    dist = dist.sort_values("value").reset_index(drop=True)
+    vals = dist["value"].to_numpy()
+    cum = dist["n"].cumsum().to_numpy()
+    tot = int(cum[-1])
+
+    def q_cont(p: float) -> float:
+        h = (tot - 1) * p               # np.quantile 'linear' definition
+        lo = vals[int(np.searchsorted(cum, int(np.floor(h)) + 1))]
+        hi = vals[int(np.searchsorted(cum, int(np.ceil(h)) + 1))]
+        return float(lo + (hi - lo) * (h - np.floor(h)))
+
+    edges = np.round([q_cont(k / 10.0) for k in range(1, 10)], 6)
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        dec = 1 + (v[:, None] > edges[None, :]).sum(axis=1)
+        return pa.table({"event_id": t["event_id"],
+                         "decile": pa.array(dec.astype(np.int64))})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def gapfilled_daily_counts(sf_dir: str):
+    """Time-series resampling with gap filling (C9): per user, a row for
+    EVERY calendar day between their first and last event — zero-count
+    days included. Day counts reduce per batch (combiner); the dense
+    day range generates vectorized inside each user's bucket."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us"))
+        return pa.table({"user_id": t["user_id"], "day": day})
+
+    daily = relational.grouped_agg(ds.map_batches(to_day, batch_format="pyarrow"),
+                                   ["user_id", "day"], {"n": ("day", "count")})
+    from ..ops.window import _bucketed_apply
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for u, g in df.groupby("user_id", sort=False):
+            days = pd.date_range(g["day"].min(), g["day"].max(), freq="D")
+            s = g.set_index("day")["n"].reindex(days, fill_value=0)
+            out.append(pd.DataFrame({"user_id": u, "day": days,
+                                     "n": s.to_numpy().astype(np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    filled = _bucketed_apply(daily, "user_id", fill)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "day": pc.cast(t["day"], pa.timestamp("us")),
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    return filled.map_batches(fin, batch_format="pyarrow")
+
+
+def conversion_rate_by_user(sf_dir: str):
+    """Cogroup (relational.cogroup — the two-input map_groups): purchase
+    and click streams co-partition on user in one exchange; per bucket a
+    single vectorized reconcile emits each user's purchase/click counts
+    and conversion rate (null when no clicks)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def side(et: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], et)).select(["user_id"])
+        return fn
+
+    def reconcile(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        p = l.groupby("user_id").size().rename("n_purchases")
+        c = r.groupby("user_id").size().rename("n_clicks")
+        m = pd.concat([p, c], axis=1).fillna(0).astype(np.int64)
+        rate = np.where(m["n_clicks"] > 0,
+                        np.round(m["n_purchases"] / m["n_clicks"], 6), np.nan)
+        return pd.DataFrame({"user_id": m.index.to_numpy(),
+                             "n_purchases": m["n_purchases"].to_numpy(),
+                             "n_clicks": m["n_clicks"].to_numpy(),
+                             "conversion_rate": rate})
+
+    return relational.cogroup(
+        ds.map_batches(side("purchase"), batch_format="pyarrow"),
+        ds.map_batches(side("click"), batch_format="pyarrow"),
+        ["user_id"], reconcile)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -3605,6 +3719,10 @@ QUERIES = {
     "fk_violations_check": fk_violations_check,
     "profile_events": profile_events,
     "index_lookup_documents": index_lookup_documents,
+    "debounced_events": debounced_events,
+    "value_decile_events": value_decile_events,
+    "gapfilled_daily_counts": gapfilled_daily_counts,
+    "conversion_rate_by_user": conversion_rate_by_user,
 }
 
 

@@ -1404,3 +1404,23 @@ def test_inverted_index_build_and_lookup(ray_session):
     assert res["missing"] == []
     assert idx.lookup_and(["cat", "dog"]) == [12]
     assert idx.vocab_size() == 4
+
+
+def test_cogroup_sees_complete_key_groups(ray_session):
+    from logray.ops import relational
+
+    left = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                     "a": [1.0, 2.0, 3.0]})
+    right = pa.table({"k": pa.array([2, 3], pa.int64()), "b": [9.0, 8.0]})
+
+    def fn(l, r):
+        la = l.groupby("k").size() if len(l) else pd.Series(dtype=np.int64)
+        rb = r.groupby("k").size() if len(r) else pd.Series(dtype=np.int64)
+        m = pd.concat([la.rename("nl"), rb.rename("nr")], axis=1).fillna(0)
+        return pd.DataFrame({"k": m.index.to_numpy(),
+                             "nl": m["nl"].to_numpy().astype(np.int64),
+                             "nr": m["nr"].to_numpy().astype(np.int64)})
+
+    out = (relational.cogroup(_ds(left), _ds(right), ["k"], fn)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out.values.tolist() == [[1, 2, 0], [2, 1, 1], [3, 0, 1]]
