@@ -61,6 +61,27 @@ TABLE_QUERIES = [
     "approx_distinct_users_by_type",
 ]
 
+# BENCH_TIER=extended: the round-2 families (CDC, graph, sketches, PCA,
+# decontamination, BPE, analytics) — not in the default set so e2e stays
+# comparable across rounds; quiet-host numbers recorded in BASELINE.md
+EXTENDED_QUERIES = [
+    "upsert_events_latest",
+    "snapshot_diff_events",
+    "incremental_agg_events",
+    "pagerank_customer_supplier",
+    "cms_heavy_users",
+    "pca_embeddings",
+    "fuzzy_decontaminate_documents",
+    "dup_ngram_coverage_documents",
+    "bpe_tokens_documents",
+    "weekly_retention_cohorts",
+    "gapfilled_daily_counts",
+    "events_nearby_30min",
+    "index_lookup_documents",
+    "hard_negative_embeddings",
+    "weighted_sample_events",
+]
+
 
 def bench_corpus() -> tuple[str, int]:
     """Generate (once) the flagship bench corpus; returns (dir, n_turns).
@@ -153,6 +174,10 @@ def main() -> None:
         lambda b: b).materialize()
 
     names = ONLY if ONLY else TABLE_QUERIES + ["flagship"]
+    if os.environ.get("BENCH_TIER") == "extended":
+        # round-2 operator families — separate tier so the default set
+        # stays run-to-run comparable with earlier rounds
+        names = EXTENDED_QUERIES
     flagship_sec = None
     for name in names:
         if name == "flagship":

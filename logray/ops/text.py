@@ -389,3 +389,70 @@ def levenshtein_batch(a, b) -> np.ndarray:
             out[live] = cur[live, la[live]]
         prev = cur
     return out
+
+
+def bigram_logprob_stage(uni_ref, bi_ref, vocab_size: int, id_col: str,
+                         text_col: str):
+    """Batch fn scoring docs by mean add-half-smoothed bigram
+    log-probability (a corpus-trained statistical LM — the classic
+    perplexity quality filter). Probabilities and logs are computed with
+    ONE canonical expression, then scaled ×1e6 and floored to int64 per
+    bigram BEFORE summing — integer sums are order-independent, so the
+    distributed result is exactly replayable (and SQL-oracle-able) in
+    any execution order.
+
+    ``uni_ref``/``bi_ref``: ray.put handles to pandas Series count maps
+    (token → n, "a b" → n)."""
+    import ray
+
+    def fn(t: pa.Table) -> pa.Table:
+        uni, bi = ray.get(uni_ref), ray.get(bi_ref)
+        trimmed = pc.utf8_trim_whitespace(
+            pc.utf8_lower(pc.fill_null(t[text_col], "")))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        ends = np.cumsum(lens)
+        if n >= 2:
+            m = n - 1
+            bg = pc.binary_join_element_wise(flat.slice(0, m),
+                                             flat.slice(1, m), " ")
+            prev = flat.slice(0, m)
+            valid = np.ones(m, dtype=bool)
+            inv = ends[:-1] - 1
+            inv = inv[(inv >= 0) & (inv < m)]
+            valid[inv] = False            # pairs straddling a doc boundary
+            c_bi = bi.reindex(bg.to_pylist(), fill_value=0).to_numpy(np.float64)
+            c_un = uni.reindex(prev.to_pylist(), fill_value=0).to_numpy(np.float64)
+            # canonical prob/log expression — identical in the SQL oracle
+            p = (c_bi + 0.5) / (c_un + 0.5 * vocab_size)
+            scaled = np.floor(1e6 * np.log(p)).astype(np.int64)
+            scaled[~valid] = 0
+        else:
+            m = 0
+            scaled = np.zeros(0, dtype=np.int64)
+            valid = np.zeros(0, dtype=bool)
+        cs = np.concatenate([[0], np.cumsum(scaled)])
+        vs = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+        starts = ends - lens
+        e_cl = np.minimum(ends - 1, m)
+        s_cl = np.minimum(starts, m)
+        tot = cs[np.maximum(e_cl, 0)] - cs[np.maximum(s_cl, 0)]
+        cnt = vs[np.maximum(e_cl, 0)] - vs[np.maximum(s_cl, 0)]
+        # exact integer mean in micro-nats (float tot/cnt can land on a
+        # .5 ulp and round differently per engine). tot ≤ 0 always, and
+        # numpy floor-divides where DuckDB truncates — dividing the
+        # NEGATED (positive) value makes floor == trunc on both sides.
+        mean_u = np.where(cnt > 0,
+                          -(np.floor_divide(-tot, np.maximum(cnt, 1))), 0)
+        return pa.table({id_col: t[id_col],
+                         "n_bigrams": pa.array(cnt.astype(np.int64)),
+                         "mean_logprob_u": pa.array(mean_u.astype(np.int64))})
+
+    return fn

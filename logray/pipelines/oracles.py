@@ -1384,3 +1384,32 @@ ORACLE_SQL["conversion_rate_by_user"] = """
                 END AS conversion_rate
     FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
 """
+
+ORACLE_SQL["bigram_logprob_documents"] = """
+    WITH d AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+               FROM documents),
+         u AS (SELECT tok, count(*) AS c
+               FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+         v AS (SELECT count(*) AS vs FROM u),
+         b AS (SELECT doc_id,
+                      list_transform(list_zip(toks[1:len(toks)-1],
+                                              toks[2:len(toks)]),
+                                     x -> x[1]||' '||x[2]) AS bgs,
+                      toks[1:len(toks)-1] AS prevs
+               FROM d),
+         f AS (SELECT doc_id, unnest(bgs) AS bg, unnest(prevs) AS prev FROM b),
+         bc AS (SELECT bg, count(*) AS cb FROM f GROUP BY bg),
+         scored AS (SELECT f.doc_id,
+                           CAST(floor(1000000 * ln((bc.cb + 0.5)
+                                                   / (u.c + 0.5 * v.vs)))
+                                AS BIGINT) AS s
+                    FROM f JOIN u ON f.prev = u.tok
+                    JOIN bc ON f.bg = bc.bg
+                    CROSS JOIN v),
+         agg AS (SELECT doc_id, sum(s) AS tot, count(*) AS cnt
+                 FROM scored GROUP BY doc_id)
+    SELECT dd.doc_id, CAST(coalesce(agg.cnt, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(-((-agg.tot) // agg.cnt), 0) AS BIGINT) AS mean_logprob_u
+    FROM (SELECT doc_id FROM documents) dd LEFT JOIN agg USING (doc_id)
+"""

@@ -3546,6 +3546,54 @@ def conversion_rate_by_user(sf_dir: str):
         ["user_id"], reconcile)
 
 
+def bigram_logprob_documents(sf_dir: str):
+    """Statistical-LM quality scoring (the classic perplexity filter):
+    train corpus bigram/unigram counts distributed (combiner shuffles
+    only see per-batch partials), broadcast them, and score every doc by
+    mean add-half-smoothed bigram log-probability. Per-bigram logs are
+    floored to integer micro-nats BEFORE summing, so the distributed sum
+    is order-independent and the whole model is value-checked by the SQL
+    oracle (same canonical probability expression)."""
+    import ray
+
+    from ..ops import bpe
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    uni = bpe.word_frequencies(docs, "text", max_vocab=1 << 30)
+    vocab_size = len(uni)
+
+    def explode(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(t["text"], "")))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        if n < 2:
+            return pa.table({"bigram": pa.array([], pa.string())})
+        pair = pc.binary_join_element_wise(flat.slice(0, n - 1),
+                                           flat.slice(1, n - 1), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        valid = np.ones(n - 1, dtype=bool)
+        ends = np.cumsum(lens)[:-1]
+        ends = ends[(ends > 0) & (ends < n)]
+        valid[ends - 1] = False
+        return pa.table({"bigram": pair.filter(pa.array(valid))})
+
+    bi = relational.grouped_agg(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        ["bigram"], {"n": ("bigram", "count")}).to_pandas()
+
+    uni_ref = ray.put(uni.set_index("word")["c"])
+    bi_ref = ray.put(bi.set_index("bigram")["n"])
+    return docs.map_batches(
+        text_ops.bigram_logprob_stage(uni_ref, bi_ref, vocab_size,
+                                      "doc_id", "text"),
+        batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -3723,6 +3771,7 @@ QUERIES = {
     "value_decile_events": value_decile_events,
     "gapfilled_daily_counts": gapfilled_daily_counts,
     "conversion_rate_by_user": conversion_rate_by_user,
+    "bigram_logprob_documents": bigram_logprob_documents,
 }
 
 

@@ -1424,3 +1424,26 @@ def test_cogroup_sees_complete_key_groups(ray_session):
     out = (relational.cogroup(_ds(left), _ds(right), ["k"], fn)
            .to_pandas().sort_values("k").reset_index(drop=True))
     assert out.values.tolist() == [[1, 2, 0], [2, 1, 1], [3, 0, 1]]
+
+
+def test_bigram_logprob_prefers_fluent_docs(ray_session):
+    import ray
+
+    # corpus dominated by "a b" transitions; doc 2 uses never-seen pairs
+    texts = ["a b a b a b", "a b a b", "x q z w"]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": texts})
+    from logray.pipelines.queries import bigram_logprob_documents  # noqa: F401
+    from logray.ops import bpe
+    from logray.ops import relational
+
+    uni = bpe.word_frequencies(_ds(t), "text", max_vocab=1 << 30)
+    # single-batch corpus: bigram counts computable directly
+    bi = pd.Series({"a b": 7, "b a": 4, "x q": 1, "q z": 1, "z w": 1})
+    uref = ray.put(uni.set_index("word")["c"])
+    bref = ray.put(bi)
+    out = (_ds(t).map_batches(
+        text_ops.bigram_logprob_stage(uref, bref, len(uni), "doc_id", "text"),
+        batch_format="pyarrow").to_pandas().set_index("doc_id"))
+    assert out.loc[0, "n_bigrams"] == 5 and out.loc[2, "n_bigrams"] == 3
+    # frequent-transition docs score higher (less negative) than rare ones
+    assert out.loc[0, "mean_logprob_u"] > out.loc[2, "mean_logprob_u"]
