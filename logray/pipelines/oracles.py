@@ -1413,3 +1413,8 @@ ORACLE_SQL["bigram_logprob_documents"] = """
            CAST(coalesce(-((-agg.tot) // agg.cnt), 0) AS BIGINT) AS mean_logprob_u
     FROM (SELECT doc_id FROM documents) dd LEFT JOIN agg USING (doc_id)
 """
+
+ORACLE_SQL["hive_partition_docs_en"] = """
+    SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE lang = 'en'
+"""

@@ -3594,6 +3594,76 @@ def bigram_logprob_documents(sf_dir: str):
         batch_format="pyarrow")
 
 
+def hive_partition_docs_en(sf_dir: str):
+    """Hive-style partitioned sink + partition-pruned read (B6/C1): write
+    documents partitioned by lang (``write_parquet(partition_cols)``),
+    then read back ONLY the lang=en directory — pruning by path, the
+    other partitions never open — and aggregate."""
+    import ray.data
+
+    path = _scratch_dir("hive_docs", sf_dir)
+    _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).write_parquet(
+        path, partition_cols=["lang"])
+    en = ray.data.read_parquet(f"{path}/lang=en")
+
+    def agg(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "chars": pa.array(
+                             [pc.sum(t["n_chars"]).as_py() or 0], pa.int64())})
+
+    p = en.map_batches(agg, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"n": [np.int64(p["n"].sum())],
+                         "total_chars": [np.int64(p["chars"].sum())]})
+
+
+def webcrawl_cleanup_documents(sf_dir: str):
+    """Composed web-crawl cleanup funnel (the new LLM ops chained
+    end-to-end): language gate → quality gate → exact dedup →
+    benchmark decontamination drop. Returns the per-stage surviving row
+    counts — every individual stage is SQL-oracled elsewhere; this
+    query certifies they COMPOSE as one streaming pipeline (rows-only;
+    counts deterministic)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = [{"stage": "input", "n_rows": int(docs.count())}]
+
+    lang = docs.map_batches(text_ops.LangIdStage, concurrency=2,
+                            batch_format="pyarrow")
+    en = lang.map_batches(
+        lambda t: t.filter(pc.equal(t["lang_pred"], "en"))
+        .select(["doc_id", "text"]), batch_format="pyarrow")
+    rows.append({"stage": "lang_en", "n_rows": int(en.count())})
+
+    qual = en.map_batches(
+        lambda t: text_ops.add_quality_score(t), batch_format="pyarrow")
+    good = qual.map_batches(
+        lambda t: t.filter(pc.greater(t["quality"], 0.2))
+        .select(["doc_id", "text"]), batch_format="pyarrow")
+    rows.append({"stage": "quality", "n_rows": int(good.count())})
+
+    deduped = dedup.exact_dedup(good, text_col="text", id_col="doc_id")
+    deduped = deduped.materialize()
+    rows.append({"stage": "exact_dedup", "n_rows": int(deduped.count())})
+
+    contaminated = dedup.minhash_decontaminate(
+        deduped.map_batches(
+            lambda t: t.filter(pa.array(
+                t["doc_id"].to_numpy(zero_copy_only=False) % 25 != 0)),
+            batch_format="pyarrow"),
+        docs.map_batches(
+            lambda t: t.filter(pa.array(
+                t["doc_id"].to_numpy(zero_copy_only=False) % 25 == 0)),
+            batch_format="pyarrow"),
+        threshold=0.7).to_pandas()
+    bad = set(contaminated["doc_id"].tolist())
+    clean = deduped.map_batches(
+        lambda t: t.filter(pa.array(
+            ~np.isin(t["doc_id"].to_numpy(zero_copy_only=False), list(bad))
+            & (t["doc_id"].to_numpy(zero_copy_only=False) % 25 != 0))),
+        batch_format="pyarrow")
+    rows.append({"stage": "decontaminated", "n_rows": int(clean.count())})
+    return pd.DataFrame(rows)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -3772,6 +3842,8 @@ QUERIES = {
     "gapfilled_daily_counts": gapfilled_daily_counts,
     "conversion_rate_by_user": conversion_rate_by_user,
     "bigram_logprob_documents": bigram_logprob_documents,
+    "hive_partition_docs_en": hive_partition_docs_en,
+    "webcrawl_cleanup_documents": webcrawl_cleanup_documents,
 }
 
 
