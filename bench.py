@@ -174,7 +174,7 @@ def main() -> None:
         lambda b: b).materialize()
 
     names = ONLY if ONLY else TABLE_QUERIES + ["flagship"]
-    if os.environ.get("BENCH_TIER") == "extended":
+    if not ONLY and os.environ.get("BENCH_TIER") == "extended":
         # round-2 operator families — separate tier so the default set
         # stays run-to-run comparable with earlier rounds
         names = EXTENDED_QUERIES

@@ -2799,25 +2799,27 @@ def dup_ngram_coverage_documents(sf_dir: str):
         .group_by(["doc_id", "ngram"]).aggregate([]),
         batch_format="pyarrow").materialize()
     pair_schema = pa.schema([("doc_id", pa.int64()), ("ngram", pa.string())])
-    totals = relational.grouped_agg(pairs, ["doc_id"],
-                                    {"n_total": ("ngram", "count")})
     ngdf = relational.grouped_agg(pairs, ["ngram"],
                                   {"ndocs": ("doc_id", "count")})
-    dup_ng = ngdf.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["ndocs"], 2)),
-        batch_format="pyarrow")
-    hits = relational.hash_semi_join(
-        pairs, dup_ng, "ngram", left_schema=pair_schema,
+
+    # join pairs with each n-gram's doc-frequency on the ngram
+    # partitioning; the per-doc (total, dup) partial rolls up INSIDE the
+    # join buckets, so totals and dup-hits come out of ONE pass instead
+    # of separate totals / semi-join / left-join exchanges
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        dup = (df["ndocs"] >= 2).astype(np.int64)
+        return (df.assign(__dup=dup).groupby("doc_id", as_index=False)
+                .agg(n_total=("ngram", "count"), n_dup=("__dup", "sum")))
+
+    partial = relational.hash_join(
+        pairs, ngdf, "ngram", bucket_post=per_bucket,
+        left_schema=pair_schema,
         right_schema=pa.schema([("ngram", pa.string()), ("ndocs", pa.int64())]))
-    ndup = relational.grouped_agg(hits, ["doc_id"],
-                                  {"n_dup": ("ngram", "count")})
-    joined = relational.hash_join(
-        totals, ndup, "doc_id", how="left",
-        left_schema=pa.schema([("doc_id", pa.int64()), ("n_total", pa.int64())]),
-        right_schema=pa.schema([("doc_id", pa.int64()), ("n_dup", pa.int64())]))
+    agg = relational.grouped_agg(partial, ["doc_id"], {
+        "n_dup": ("n_dup", "sum"), "n_total": ("n_total", "sum")})
 
     def finish(t: pa.Table) -> pa.Table:
-        nd = pc.cast(pc.fill_null(t["n_dup"], 0), pa.int64())
+        nd = pc.cast(t["n_dup"], pa.int64())
         frac = pc.round(pc.divide(pc.cast(nd, pa.float64()),
                                   pc.cast(t["n_total"], pa.float64())),
                         ndigits=6)
@@ -2825,7 +2827,7 @@ def dup_ngram_coverage_documents(sf_dir: str):
                          "n_total": pc.cast(t["n_total"], pa.int64()),
                          "dup_frac": frac})
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def dsir_scores_documents(sf_dir: str):
@@ -3163,6 +3165,10 @@ def pagerank_customer_supplier(sf_dir: str):
                                 "o_custkey": t["o_custkey"]}),
             batch_format="pyarrow"),
         "l_orderkey",
+        # combiner: dedup (cust, supp) pairs inside each join bucket so
+        # the global distinct sees far fewer rows (a pair recurs across
+        # orderkeys, so this is partial — the distinct below finishes it)
+        bucket_post=lambda df: df.drop_duplicates(["o_custkey", "l_suppkey"]),
         left_schema=pa.schema([("l_orderkey", pa.int64()),
                                ("l_suppkey", pa.int64())]),
         right_schema=pa.schema([("l_orderkey", pa.int64()),
