@@ -1418,3 +1418,25 @@ ORACLE_SQL["hive_partition_docs_en"] = """
     SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents WHERE lang = 'en'
 """
+
+ORACLE_SQL["render_training_text_transcripts"] = f"""
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+           string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+               AS rendered
+    FROM {_CORPUS} GROUP BY conv_id
+"""
+
+ORACLE_SQL["semantic_decontaminate_embeddings"] = """
+    WITH b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS be
+               FROM embeddings WHERE vec_id % 25 = 0),
+         t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS te
+               FROM embeddings WHERE vec_id % 25 <> 0),
+         s AS (SELECT t.vec_id, b.bench_id,
+                      list_cosine_similarity(te, be) AS cos,
+                      row_number() OVER (
+                          PARTITION BY t.vec_id
+                          ORDER BY list_cosine_similarity(te, be) DESC,
+                                   b.bench_id) AS rnk
+               FROM t CROSS JOIN b)
+    SELECT vec_id, bench_id FROM s WHERE rnk = 1 AND cos >= 0.3
+"""

@@ -3670,6 +3670,68 @@ def webcrawl_cleanup_documents(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def render_training_text_transcripts(sf_dir: str):
+    """Training-example rendering (LLM prep over the TRANSCRIPT corpus):
+    each conversation becomes one training text — its turns sorted by
+    turn_idx and joined as "role: text" lines. One conv-co-partitioning
+    exchange; per bucket a vectorized sort + groupby-join. The oracle
+    value-checks the full rendered strings via string_agg ORDER BY."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    from ..ops.window import _bucketed_apply
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["conv_id", "turn_idx", "role", "text"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        line = df["role"] + ": " + df["text"]
+        g = line.groupby(df["conv_id"], sort=False).agg("\n".join)
+        turns = df.groupby("conv_id", sort=False).size()
+        return pd.DataFrame({"conv_id": g.index.to_numpy(),
+                             "n_turns": turns.to_numpy().astype(np.int64),
+                             "rendered": g.to_numpy()})
+
+    return _bucketed_apply(ds, "conv_id", per_bucket)
+
+
+def semantic_decontaminate_embeddings(sf_dir: str):
+    """Semantic (embedding-space) benchmark decontamination: train
+    vectors whose cosine to ANY held-out vector (vec_id % 25 == 0)
+    reaches τ=0.3, with the best-matching bench id — catches rewordings
+    that n-gram and MinHash overlap both miss. Bench matrix broadcast
+    once; one matmul + argmax per batch."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    import ray
+
+    bench_t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    bid = bench_t["vec_id"].to_numpy(zero_copy_only=False)
+    keep = bid % 25 == 0
+    B = np.stack(bench_t["embedding"].to_pandas().to_numpy())[keep].astype(np.float64)
+    B /= np.linalg.norm(B, axis=1, keepdims=True)
+    bids = bid[keep]
+    ref = ray.put((bids, B))
+
+    def flag(t: pa.Table) -> pa.Table:
+        rb, rB = ray.get(ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = ids % 25 != 0
+        ids = ids[m]
+        X = np.stack(t["embedding"].to_pandas().to_numpy())[m].astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        S = X @ rB.T
+        best = np.argmax(S, axis=1)
+        hit = S[np.arange(len(ids)), best] >= 0.3
+        return pa.table({"vec_id": pa.array(ids[hit].astype(np.int64)),
+                         "bench_id": pa.array(rb[best[hit]].astype(np.int64))})
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -3850,6 +3912,8 @@ QUERIES = {
     "bigram_logprob_documents": bigram_logprob_documents,
     "hive_partition_docs_en": hive_partition_docs_en,
     "webcrawl_cleanup_documents": webcrawl_cleanup_documents,
+    "render_training_text_transcripts": render_training_text_transcripts,
+    "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
 }
 
 
