@@ -15,6 +15,7 @@ graft-mandated training-data operator (duplicate-pair clustering).
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 
 from .relational import grouped_agg, hash_join
@@ -232,3 +233,57 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
     import pandas as pd
 
     return pd.DataFrame({"node": nodes, "rank": r})
+
+
+def cooccurrence_edges(ds, group_col: str, item_col: str, *,
+                       num_buckets: int | None = None):
+    """Canonical co-occurrence edge list: two items are linked iff they
+    appear under the same ``group_col`` value (e.g. parts in the same
+    order). Output columns (u, v) with u < v, globally distinct.
+
+    One bucket shuffle by group (groups never straddle buckets), then a
+    vectorized within-bucket self-merge generates pairs; per-bucket dedup
+    keeps the second (distinct) exchange small. Pair fan-out is bounded by
+    the largest group's size squared — callers with huge groups should cap
+    or sample groups first."""
+    from .relational import distinct
+    from .window import _bucketed_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[group_col, item_col]].drop_duplicates()
+        m = d.merge(d, on=group_col, suffixes=("_a", "_b"))
+        a = m[f"{item_col}_a"].to_numpy()
+        b = m[f"{item_col}_b"].to_numpy()
+        keep = a < b
+        out = pd.DataFrame({"u": a[keep], "v": b[keep]})
+        return out.drop_duplicates()
+
+    pairs = _bucketed_apply(ds, group_col, per_bucket,
+                            num_buckets=num_buckets)
+    return distinct(pairs, ["u", "v"])
+
+
+def triangle_counts(edges, *, out_col: str = "n_triangles"):
+    """Per-lowest-vertex triangle counts on an undirected simple graph
+    given canonical distinct edges (u < v) — the standard distributed
+    wedge-closing algorithm: join edges on the middle vertex (e1.v = e2.u,
+    so u < mid < w by construction), then a large×large semi join of the
+    wedge endpoints (u, w) against the edge set keeps exactly the wedges
+    that close into triangles. Two hash-shuffle exchanges, no all-pairs,
+    nothing driver-side; skew is bounded by the max vertex degree.
+
+    ``edges`` is materialized once (an edge list is ≪ the input it was
+    derived from) because it feeds three pipeline legs."""
+    from .relational import grouped_agg, hash_join, hash_semi_join
+
+    edges = edges.materialize()
+
+    left = edges.map_batches(
+        lambda t: t.rename_columns(["u", "mid"]), batch_format="pyarrow")
+    right = edges.map_batches(
+        lambda t: t.rename_columns(["mid", "w"]), batch_format="pyarrow")
+    wedges = hash_join(left, right, on="mid")
+    closed = hash_semi_join(wedges, edges.map_batches(
+        lambda t: t.rename_columns(["u", "w"]), batch_format="pyarrow"),
+        on=["u", "w"])
+    return grouped_agg(closed, ["u"], {out_col: ("w", "count")})

@@ -551,3 +551,32 @@ def interval_coverage(ds, *, by: str, start_col: str, end_col: str,
         return out
 
     return _bucketed_apply(ds, by, per_bucket, num_buckets=num_buckets)
+
+
+def scd2(ds, key: str, order_cols: list[str], state_col: str, ts_col: str, *,
+         keep_cols: list[str] | None = None, num_buckets: int | None = None):
+    """Slowly-changing-dimension Type 2 history from a change log (C9):
+    per key ordered by ``order_cols``, consecutive rows with the same
+    ``state_col`` collapse into one run (run-length encode), and each run
+    becomes a validity interval [valid_from, valid_to) where valid_from is
+    the run-opening row's ``ts_col`` and valid_to is the NEXT run's start
+    (null ⇒ the currently-valid state). SQL equivalent: LAG to drop
+    same-state rows, then LEAD over the survivors for valid_to.
+
+    Co-partitioned by key (one bucket shuffle); run collapse and interval
+    stitch are vectorized per bucket — no per-row Python."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, *order_cols], kind="mergesort")
+        prev = df.groupby(key, sort=False)[state_col].shift(1)
+        first_of_run = prev.isna().to_numpy() | (
+            prev.to_numpy() != df[state_col].to_numpy())
+        runs = df.loc[first_of_run].copy()
+        runs["valid_from"] = runs[ts_col]
+        runs["valid_to"] = runs.groupby(key, sort=False)[ts_col].shift(-1)
+        runs["is_current"] = runs["valid_to"].isna()
+        cols = ([key] if keep_cols is None else keep_cols) + [
+            state_col, "valid_from", "valid_to", "is_current"]
+        return runs[cols]
+
+    return _bucketed_apply(ds, key, per_bucket, num_buckets=num_buckets)

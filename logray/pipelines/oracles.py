@@ -1440,3 +1440,70 @@ ORACLE_SQL["semantic_decontaminate_embeddings"] = """
                FROM t CROSS JOIN b)
     SELECT vec_id, bench_id FROM s WHERE rnk = 1 AND cos >= 0.3
 """
+
+ORACLE_SQL["scd2_event_state"] = """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+    runs AS (
+        SELECT user_id, ts, event_id, event_type FROM ordered
+        WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL AS is_current
+    FROM runs
+"""
+
+# Exact integer moments (x = epoch-day - 19723, y = cents), then the
+# slope/intercept float expressions in the SAME operation order as the
+# engine's numpy — both sides' doubles are bit-identical.
+ORACLE_SQL["regr_value_day_by_type"] = """
+    WITH m AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(epoch_us(ts) // 86400000000 - 19723) AS sx,
+               sum(CAST(round(value * 100) AS BIGINT)) AS sy,
+               sum((epoch_us(ts) // 86400000000 - 19723)
+                   * CAST(round(value * 100) AS BIGINT)) AS sxy,
+               sum((epoch_us(ts) // 86400000000 - 19723)
+                   * (epoch_us(ts) // 86400000000 - 19723)) AS sxx
+        FROM events GROUP BY event_type),
+    fit AS (
+        SELECT event_type, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_day,
+               sx, sy
+        FROM m)
+    SELECT event_type, CAST(n AS BIGINT) AS n, slope_cents_day,
+           (CAST(sy AS DOUBLE) - slope_cents_day * CAST(sx AS DOUBLE)) / n
+               AS intercept_cents
+    FROM fit
+"""
+
+ORACLE_SQL["role_transition_counts_transcripts"] = f"""
+    WITH o AS (
+        SELECT role,
+               lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS prev_role
+        FROM {_CORPUS})
+    SELECT prev_role, role, count(*) AS n
+    FROM o WHERE prev_role IS NOT NULL GROUP BY prev_role, role
+"""
+
+ORACLE_SQL["triangle_counts_parts"] = """
+    WITH so AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM so a JOIN so b ON a.o = b.o AND a.s < b.s)
+    SELECT e1.u AS part_lo, count(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    GROUP BY e1.u
+"""

@@ -3732,6 +3732,107 @@ def semantic_decontaminate_embeddings(sf_dir: str):
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
+def regr_value_day_by_type(sf_dir: str):
+    """Grouped simple linear regression (SQL ``regr_slope``/``regr_intercept``
+    shape): per event_type, least-squares fit of value-cents against the
+    event's day index. All five moments (n, Σx, Σy, Σxy, Σx²) are EXACT
+    int64 sums (x = epoch-day − 2024-01-01 keeps magnitudes small), combined
+    partial+final with zero float drift; the slope/intercept float
+    expressions are then written in the identical operation order here and
+    in the DuckDB oracle, so the value-hash matches exactly (same technique
+    as the z-score outlier query)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    DAY0 = 19723  # epoch days at 2024-01-01 — keeps x (and Σx²·n) far from int64 overflow
+
+    def moments(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        x = pc.subtract(pc.divide(us, 86_400_000_000), DAY0)
+        y = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "x": x, "y": y,
+            "xy": pc.multiply(x, y),
+            "xx": pc.multiply(x, x),
+        })
+
+    agg = relational.grouped_agg(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["event_type"], {
+            "n": ("x", "count"), "sx": ("x", "sum"), "sy": ("y", "sum"),
+            "sxy": ("xy", "sum"), "sxx": ("xx", "sum"),
+        })
+
+    def fit(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pa.table({"event_type": t["event_type"],
+                         "n": pa.array(n, pa.int64()),
+                         "slope_cents_day": pa.array(slope, pa.float64()),
+                         "intercept_cents": pa.array(intercept, pa.float64())})
+
+    return agg.map_batches(fit, batch_format="pyarrow")
+
+
+def scd2_event_state(sf_dir: str):
+    """SCD Type-2 dimension history built from the event log: each user's
+    event_type stream collapses into runs of consecutive identical states,
+    each run becoming a validity interval [valid_from, valid_to) with
+    is_current on the open run — the standard warehouse dimension-history
+    shape, as one bucket shuffle + vectorized run-length pass."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return window.scd2(ds, "user_id", ["ts", "event_id"], "event_type", "ts",
+                       keep_cols=["user_id", "event_id"])
+
+
+def role_transition_counts_transcripts(sf_dir: str):
+    """Markov transition counts over conversation roles: per conversation
+    ordered by turn_idx, count each (prev_role → role) bigram corpus-wide
+    (who speaks after whom — e.g. tool-after-assistant frequency). One
+    bucket shuffle by conv_id; per-bucket partial pair counts combine in a
+    tiny final aggregate (≤ |roles|² groups)."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["conv_id", "turn_idx", "role"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        prev = df.groupby("conv_id", sort=False)["role"].shift(1)
+        m = prev.notna().to_numpy()
+        pairs = pd.DataFrame({"prev_role": prev.to_numpy()[m],
+                              "role": df["role"].to_numpy()[m]})
+        out = pairs.groupby(["prev_role", "role"], sort=False).size()
+        return out.rename("n").reset_index()
+
+    partial = window._bucketed_apply(ds, "conv_id", per_bucket)
+    return relational.grouped_agg(partial, ["prev_role", "role"],
+                                  {"n": ("n", "sum")})
+
+
+def triangle_counts_parts(sf_dir: str):
+    """Distributed triangle counting (graph analytics) over the part
+    co-occurrence graph: parts appearing in the same order are linked;
+    wedges are closed by an edge-edge hash join + large×large semi join
+    against the edge set — never all-pairs. Returns triangle counts per
+    lowest part key of each triangle."""
+    from ..ops import graph
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    tri = graph.triangle_counts(edges)
+    return tri.map_batches(
+        lambda t: t.rename_columns(["part_lo", "n_triangles"]),
+        batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -3818,6 +3919,9 @@ QUERIES = {
     "moving_avg_user_events": moving_avg_user_events,
     "value_rank_events": value_rank_events,
     "lead_value_events": lead_value_events,
+    "scd2_event_state": scd2_event_state,
+    "triangle_counts_parts": triangle_counts_parts,
+    "regr_value_day_by_type": regr_value_day_by_type,
     "ntile_value_quartiles": ntile_value_quartiles,
     "percent_rank_events": percent_rank_events,
     # text analysis
@@ -3913,6 +4017,7 @@ QUERIES = {
     "hive_partition_docs_en": hive_partition_docs_en,
     "webcrawl_cleanup_documents": webcrawl_cleanup_documents,
     "render_training_text_transcripts": render_training_text_transcripts,
+    "role_transition_counts_transcripts": role_transition_counts_transcripts,
     "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
 }
 

@@ -1447,3 +1447,49 @@ def test_bigram_logprob_prefers_fluent_docs(ray_session):
     assert out.loc[0, "n_bigrams"] == 5 and out.loc[2, "n_bigrams"] == 3
     # frequent-transition docs score higher (less negative) than rare ones
     assert out.loc[0, "mean_logprob_u"] > out.loc[2, "mean_logprob_u"]
+
+
+def test_scd2_collapses_runs_and_stitches_intervals(ray_session):
+    import ray.data
+    from logray.ops import window
+
+    ts = pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03",
+                         "2024-01-04", "2024-01-05", "2024-01-01"])
+    df = pd.DataFrame({"k": [1, 1, 1, 1, 1, 2],
+                       "ts": ts,
+                       "eid": [10, 11, 12, 13, 14, 20],
+                       "state": ["A", "A", "B", "B", "A", "C"]})
+    out = window.scd2(ray.data.from_pandas(df), "k", ["ts", "eid"],
+                      "state", "ts", keep_cols=["k", "eid"],
+                      num_buckets=4).to_pandas()
+    out = out.sort_values(["k", "valid_from"]).reset_index(drop=True)
+    assert list(out["state"]) == ["A", "B", "A", "C"]
+    assert list(out["eid"]) == [10, 12, 14, 20]  # run-opening rows
+    # intervals stitch: each valid_to equals the next run's valid_from
+    k1 = out[out["k"] == 1]
+    assert (k1["valid_to"].iloc[:-1].to_numpy()
+            == k1["valid_from"].iloc[1:].to_numpy()).all()
+    assert list(out["is_current"]) == [False, False, True, True]
+
+
+def test_cooccurrence_edges_canonical_distinct(ray_session):
+    from logray.ops import graph
+
+    t = pa.table({"g": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+                  "item": pa.array([3, 1, 2, 1, 1, 2], pa.int64())})
+    e = graph.cooccurrence_edges(_ds(t), "g", "item",
+                                 num_buckets=4).to_pandas()
+    got = sorted(map(tuple, e[["u", "v"]].to_numpy()))
+    assert got == [(1, 2), (1, 3), (2, 3)]  # u<v, cross-group dup collapsed
+
+
+def test_triangle_counts_k4_plus_pendant(ray_session):
+    import ray.data
+    from logray.ops import graph
+
+    # K4 on {1,2,3,4} (4 triangles) plus pendant edge (4,9) — no new ones
+    edges = pd.DataFrame({"u": [1, 1, 1, 2, 2, 3, 4],
+                          "v": [2, 3, 4, 3, 4, 4, 9]})
+    out = graph.triangle_counts(
+        ray.data.from_pandas(edges)).to_pandas().set_index("u")["n_triangles"]
+    assert out.to_dict() == {1: 3, 2: 1}
