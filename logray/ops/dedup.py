@@ -297,7 +297,8 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
             return pd.DataFrame({"a": A, "b": B, "est_jaccard": J})
         return pairs_in_bucket
 
-    pairs = _hot_bucket_pairs(banded, make_pairs_fn, sig_tbl=sig_tbl, id_col=id_col)
+    pairs = _hot_bucket_pairs(banded, make_pairs_fn, sig_tbl=sig_tbl,
+                              id_col=id_col, materialize_banded=False)
     return _components_dataset(ds, id_col, pairs,
                                driver_threshold=cc_driver_threshold)
 
@@ -311,17 +312,25 @@ def _fold_bucket_key(t: pa.Table) -> np.ndarray:
 
 
 def _hot_bucket_pairs(banded, pairs_fn, *, sig_tbl=None, id_col=None,
-                      sig_dtype=np.uint64):
+                      sig_dtype=np.uint64, materialize_banded=True):
     """Run ``pairs_fn`` only on band buckets with ≥2 members.
 
     A naive ``groupby(bucket).map_groups`` pays per-group overhead on every
     bucket — and almost all buckets are singletons (non-duplicate docs).
-    Instead: (1) grouped count per bucket (partial-aggregated shuffle of
-    one row per bucket per block), (2) collect the ≥2 "hot" bucket keys —
+    Instead: (1) grouped count per bucket, combined WITHIN each batch
+    first so the count shuffle carries per-batch bucket cardinality, not
+    the full band stream, (2) collect the ≥2 "hot" bucket keys —
     bounded by the corpus duplicate rate, orders of magnitude smaller than
     the doc count — broadcast them sorted via ray.put, (3) semi-join
     filter the banded stream down to hot buckets (vectorized searchsorted
     membership), (4) map_groups over the survivors only.
+
+    ``materialize_banded=False`` skips pinning the exploded band stream in
+    the object store: callers whose ``banded`` is a cheap map off an
+    ALREADY-materialized per-doc table (minhash / embedding / decontaminate)
+    re-run only that map for the two consumers, saving a full band-stream
+    materialization. Leave True when ``banded`` hangs off an unmaterialized
+    source (re-execution would re-read + re-hash the corpus).
 
     With ``sig_tbl`` (per-doc table carrying ``_sig``), ``pairs_fn`` must
     be a factory ``(sig_ref, sig_local) -> group_fn``: the signatures of
@@ -330,10 +339,27 @@ def _hot_bucket_pairs(banded, pairs_fn, *, sig_tbl=None, id_col=None,
     the exploded band stream never carries signature bytes."""
     import pyarrow.compute as pc
 
-    banded = banded.materialize()  # reused by the count pass and the filter pass
-    counts = banded.groupby(["band_id", "band_hash"]).count()
+    from .relational import grouped_agg
+
+    if materialize_banded:
+        banded = banded.materialize()  # reused by the count and filter passes
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"band_id": t["band_id"],
+                             "band_hash": t["band_hash"],
+                             "n": pa.array([], pa.int64())})
+        g = t.select(["band_id", "band_hash"]).group_by(
+            ["band_id", "band_hash"]).aggregate([("band_hash", "count")])
+        return pa.table({"band_id": g["band_id"],
+                         "band_hash": g["band_hash"],
+                         "n": pc.cast(g["band_hash_count"], pa.int64())})
+
+    counts = grouped_agg(
+        banded.map_batches(count_partial, batch_format="pyarrow"),
+        ["band_id", "band_hash"], {"n": ("n", "sum")})
     hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], 1)),
+        lambda t: t.filter(pc.greater(t["n"], 1)),
         batch_format="pyarrow").to_pandas()
     hot_keys = (_fold_bucket_key(pa.Table.from_pandas(hot))
                 if len(hot) else np.zeros(0, np.uint64))
@@ -644,7 +670,8 @@ def embedding_neardup(ds, vec_col: str = "embedding", id_col: str = "vec_id", *,
         return pairs_in_bucket
 
     pairs = _hot_bucket_pairs(bucketed, make_pairs_fn, sig_tbl=sig_tbl,
-                              id_col=id_col, sig_dtype=np.float64)
+                              id_col=id_col, sig_dtype=np.float64,
+                              materialize_banded=False)
     return _components_dataset(ds, id_col, pairs,
                                driver_threshold=cc_driver_threshold)
 
@@ -735,7 +762,7 @@ def minhash_decontaminate(train, bench, text_col: str = "text",
         return pairs_in_bucket
 
     pairs = _hot_bucket_pairs(banded, make_pairs_fn, sig_tbl=sig_tbl,
-                              id_col=id_col)
+                              id_col=id_col, materialize_banded=False)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         # best benchmark match per train doc; decode bench ids

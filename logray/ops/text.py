@@ -456,3 +456,47 @@ def bigram_logprob_stage(uni_ref, bi_ref, vocab_size: int, id_col: str,
                          "mean_logprob_u": pa.array(mean_u.astype(np.int64))})
 
     return fn
+
+
+def segment_explode(t: pa.Table, id_col: str, text_col: str,
+                    words_per_seg: int = 10) -> pa.Table:
+    """Explode each document into consecutive fixed-width word segments →
+    one flat ``(id_col, seg_idx, seg)`` table per batch (the C4-style
+    "paragraph" unit for corpus-wide segment dedup, on word windows since
+    the synthetic corpus has no line structure). Whitespace-split words of
+    ALL docs in the batch stay in one flat Arrow array; because consecutive
+    segments tile each doc exactly, the segment list-offsets array is pure
+    per-doc arithmetic-progression math, and every segment string comes
+    from ONE vectorized ``binary_join`` — no per-row Python. Whitespace-only
+    docs contribute nothing."""
+    split = pc.utf8_split_whitespace(pc.fill_null(t[text_col], ""))
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    flat = split.flatten()
+    offsets = split.offsets.to_numpy().astype(np.int64)
+    # Arrow's splitter keeps empty tokens around whitespace runs; drop them
+    # and remap offsets via a prefix sum (str.split() semantics).
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        cs = np.concatenate(([0], np.cumsum(nonempty.astype(np.int64))))
+        offsets = cs[offsets]
+        flat = flat.filter(pa.array(nonempty))
+    lens = np.diff(offsets)
+    nseg = -(-lens // words_per_seg)            # ceil; 0 for empty docs
+    total = int(nseg.sum())
+    if total == 0:
+        return pa.table({id_col: pa.array([], t.schema.field(id_col).type),
+                         "seg_idx": pa.array([], pa.int64()),
+                         "seg": pa.array([], pa.string())})
+    cum = np.concatenate(([0], np.cumsum(nseg)))
+    intra = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], nseg)
+    seg_starts = np.repeat(offsets[:-1], nseg) + words_per_seg * intra
+    seg_offsets = np.append(seg_starts, offsets[-1]).astype(np.int32)
+    segs = pc.binary_join(
+        pa.ListArray.from_arrays(seg_offsets, flat.cast(pa.string())), " ")
+    docidx = np.repeat(np.arange(len(lens), dtype=np.int64), nseg)
+    ids = (t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray)
+           else t[id_col]).take(pa.array(docidx))
+    return pa.table({id_col: ids,
+                     "seg_idx": pa.array(intra, pa.int64()),
+                     "seg": segs.cast(pa.string())})

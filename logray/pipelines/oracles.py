@@ -1495,6 +1495,69 @@ ORACLE_SQL["role_transition_counts_transcripts"] = f"""
     FROM o WHERE prev_role IS NOT NULL GROUP BY prev_role, role
 """
 
+ORACLE_SQL["segment_dedup_documents"] = """
+    WITH w AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                   '\\s+') AS words
+        FROM documents
+        WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''),
+    wp AS (
+        SELECT doc_id, unnest(words) AS word,
+               unnest(range(len(words))) AS pos
+        FROM w),
+    segs AS (
+        SELECT doc_id, CAST(pos // 10 AS BIGINT) AS seg_idx,
+               string_agg(word, ' ' ORDER BY pos) AS seg
+        FROM wp GROUP BY doc_id, pos // 10),
+    marked AS (
+        SELECT doc_id, seg_idx, seg,
+               count(*) OVER (PARTITION BY seg) AS n,
+               min(doc_id * 1048576 + seg_idx) OVER (PARTITION BY seg) AS mk
+        FROM segs)
+    SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+    FROM marked
+    WHERE n = 1 OR doc_id * 1048576 + seg_idx = mk
+    GROUP BY doc_id
+"""
+
+ORACLE_SQL["context_budget_truncate_transcripts"] = f"""
+    WITH t AS (
+        SELECT conv_id, turn_idx,
+               CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+                    THEN 0
+                    ELSE CAST(len(regexp_split_to_array(
+                        regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                        '\\s+')) AS BIGINT)
+               END AS ntok
+        FROM {_CORPUS}),
+    c AS (
+        SELECT conv_id, ntok,
+               sum(ntok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC)
+                   AS rcum
+        FROM t)
+    SELECT conv_id, count(*) AS n_kept,
+           CAST(sum(ntok) AS BIGINT) AS tok_kept
+    FROM c WHERE rcum <= 512 GROUP BY conv_id
+"""
+
+ORACLE_SQL["dialog_pairs_transcripts"] = f"""
+    WITH o AS (
+        SELECT conv_id, turn_idx, role, len(text) AS nchar,
+               lead(role) OVER w AS next_role,
+               lead(turn_idx) OVER w AS next_idx,
+               lead(len(text)) OVER w AS next_chars
+        FROM {_CORPUS}
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+    SELECT conv_id,
+           CAST(turn_idx AS BIGINT) AS prompt_idx,
+           CAST(next_idx AS BIGINT) AS response_idx,
+           CAST(nchar AS BIGINT) AS prompt_chars,
+           CAST(next_chars AS BIGINT) AS response_chars
+    FROM o WHERE role = 'user' AND next_role = 'assistant'
+"""
+
 ORACLE_SQL["triangle_counts_parts"] = """
     WITH so AS (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),

@@ -3396,27 +3396,56 @@ def profile_events(sf_dir: str):
     uniques."""
     cols = ["event_id", "user_id", "event_type", "value"]
     ds = _read(sf_dir, "events", cols)
-    rows = []
-    for c in cols:
-        def partial(t: pa.Table, c=c) -> pa.Table:
+
+    # Pass 1 — wide one-row-per-batch partials: count / null count / native
+    # min / native max for EVERY column at once (typed per-column fields, so
+    # no cross-type column is needed). Tiny rows reach the driver; the
+    # driver combine is O(batches).
+    def stats_partial(t: pa.Table) -> pa.Table:
+        fields = {}
+        for c in cols:
             col = t[c]
             mm = pc.min_max(col)
-            return pa.table({"n": pa.array([len(col)], pa.int64()),
-                             "n_null": pa.array([col.null_count], pa.int64()),
-                             "mn": pa.array([mm["min"].as_py()]),
-                             "mx": pa.array([mm["max"].as_py()])})
+            fields[f"n__{c}"] = pa.array([len(col)], pa.int64())
+            fields[f"null__{c}"] = pa.array([col.null_count], pa.int64())
+            fields[f"mn__{c}"] = pa.array([mm["min"].as_py()], col.type)
+            fields[f"mx__{c}"] = pa.array([mm["max"].as_py()], col.type)
+        return pa.table(fields)
 
-        # per-batch (count, nulls, native min/max) partials — one tiny row
-        # per batch reaches the driver however many rows flow
-        p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-        nd = relational.distinct(
-            ds.map_batches(lambda t, c=c: t.select([c]),
-                           batch_format="pyarrow"), [c]).count()
-        rows.append({"column": c, "n": int(p["n"].sum()),
-                     "n_null": int(p["n_null"].sum()),
-                     "n_distinct": int(nd),
-                     "min_str": str(p["mn"].min()),
-                     "max_str": str(p["mx"].max())})
+    p = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+
+    # Pass 2 — ONE distinct exchange for all columns: long-format
+    # (column, value-rendered-to-string) rows, deduped within each batch
+    # (combiner) so only per-batch uniques shuffle. String render is the
+    # injective shortest round-trip cast, so distinct-on-string equals
+    # distinct-on-native; nulls are dropped to match SQL count(DISTINCT).
+    def explode_uniques(t: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in cols:
+            u = pc.unique(t[c]).drop_null()
+            s = pc.cast(u, pa.string())
+            names.append(pa.nulls(len(u), pa.string()).fill_null(c))
+            vals.append(s)
+        return pa.table({"column": pa.concat_arrays(
+                             [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                              for a in names]),
+                         "v": pa.concat_arrays(
+                             [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                              for a in vals])})
+
+    uniq = relational.distinct(
+        ds.map_batches(explode_uniques, batch_format="pyarrow"),
+        ["column", "v"])
+    nd = relational.grouped_agg(uniq, ["column"], {"n_distinct": ("v", "count")}
+                                ).to_pandas().set_index("column")["n_distinct"]
+
+    rows = []
+    for c in cols:
+        rows.append({"column": c, "n": int(p[f"n__{c}"].sum()),
+                     "n_null": int(p[f"null__{c}"].sum()),
+                     "n_distinct": int(nd[c]),
+                     "min_str": str(p[f"mn__{c}"].min()),
+                     "max_str": str(p[f"mx__{c}"].max())})
     return pd.DataFrame(rows)
 
 
@@ -3833,6 +3862,158 @@ def triangle_counts_parts(sf_dir: str):
         batch_format="pyarrow")
 
 
+def context_budget_truncate_transcripts(sf_dir: str, budget: int = 512):
+    """Context-window budget truncation (chat-training prep): per
+    conversation keep the longest SUFFIX of turns whose total whitespace
+    token count fits a 512-token budget — "truncate from the left, keep
+    the most recent context". Token counts are computed vectorized at the
+    read so only (conv_id, turn_idx, ntok) integers shuffle — never text;
+    one bucket exchange by conv_id; the reverse cumulative sum and suffix
+    cut are vectorized per bucket. Returns per-conversation kept-turn and
+    kept-token totals (conversations keeping ≥ 1 turn)."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["conv_id", "turn_idx", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        return pa.table({"conv_id": t["conv_id"],
+                         "turn_idx": t["turn_idx"], "ntok": n})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"],
+                            ascending=[True, False], kind="mergesort")
+        rcum = df.groupby("conv_id", sort=False)["ntok"].cumsum()
+        kept = df.loc[rcum.to_numpy() <= budget]
+        g = kept.groupby("conv_id", sort=False)["ntok"].agg(["size", "sum"])
+        return pd.DataFrame({"conv_id": g.index.to_numpy(),
+                             "n_kept": g["size"].to_numpy().astype(np.int64),
+                             "tok_kept": g["sum"].to_numpy().astype(np.int64)})
+
+    return window._bucketed_apply(
+        ds.map_batches(toks, batch_format="pyarrow"), "conv_id", per_bucket)
+
+
+def dialog_pairs_transcripts(sf_dir: str):
+    """Instruction-response pair mining (SFT data prep): every user turn
+    immediately followed by an assistant turn in the same conversation
+    becomes one training pair. Char lengths are computed vectorized at the
+    read (text never shuffles); one bucket exchange by conv_id; the
+    adjacency test is a vectorized per-conversation shift."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["conv_id", "turn_idx", "role", "text"])
+
+    def lens(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": t["conv_id"],
+                         "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                         "role": t["role"],
+                         "nchar": pc.cast(pc.utf8_length(t["text"]),
+                                          pa.int64())})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = df.groupby("conv_id", sort=False)
+        nxt_role = g["role"].shift(-1)
+        nxt_idx = g["turn_idx"].shift(-1)
+        nxt_chars = g["nchar"].shift(-1)
+        m = ((df["role"].to_numpy() == "user")
+             & (nxt_role.to_numpy() == "assistant"))
+        return pd.DataFrame({
+            "conv_id": df["conv_id"].to_numpy()[m],
+            "prompt_idx": df["turn_idx"].to_numpy()[m],
+            "response_idx": nxt_idx.to_numpy()[m].astype(np.int64),
+            "prompt_chars": df["nchar"].to_numpy()[m],
+            "response_chars": nxt_chars.to_numpy()[m].astype(np.int64)})
+
+    return window._bucketed_apply(
+        ds.map_batches(lens, batch_format="pyarrow"), "conv_id", per_bucket)
+
+
+def segment_dedup_documents(sf_dir: str):
+    """C4-style corpus-wide segment dedup: every 10-word segment of every
+    document is counted corpus-wide; a segment occurring in more than one
+    place survives only at its FIRST occurrence (min (doc_id, seg_idx));
+    documents are then reassembled from their surviving segments (docs
+    losing everything drop out).
+
+    Scale shape: pass 1 aggregates (segment → count, min-position) with a
+    within-batch combiner — only per-batch-unique segment strings shuffle;
+    the duplicated-segment set (bounded by the corpus duplicate rate) is
+    collected, sorted by a 64-bit hash and broadcast via ray.put; pass 2
+    re-explodes each doc locally, drops flagged positions (hash lookup +
+    exact string verify on candidates only — collision-safe), and rebuilds
+    text with one vectorized binary_join. Document text never shuffles."""
+    from ..ops.dedup import _stable_hash64
+
+    W, KEYMUL = 10, 1 << 20
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = text_ops.segment_explode(t, "doc_id", "text", W)
+        key = pc.add(pc.multiply(s["doc_id"], KEYMUL), s["seg_idx"])
+        tbl = pa.table({"seg": s["seg"], "key": key})
+        g = tbl.group_by("seg").aggregate([("key", "count"), ("key", "min")])
+        return pa.table({"seg": g["seg"],
+                         "n": pc.cast(g["key_count"], pa.int64()),
+                         "min_key": g["key_min"]})
+
+    agg = relational.grouped_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["seg"], {"n": ("n", "sum"), "min_key": ("min_key", "min")})
+    hot = agg.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)).select(["seg", "min_key"]),
+        batch_format="pyarrow").to_pandas()
+
+    hot_h = _stable_hash64(hot["seg"]) if len(hot) else np.zeros(0, np.uint64)
+    order = np.argsort(hot_h, kind="mergesort")
+    payload = (hot_h[order],
+               hot["seg"].to_numpy()[order] if len(hot) else np.zeros(0, object),
+               hot["min_key"].to_numpy()[order] if len(hot)
+               else np.zeros(0, np.int64))
+    import ray
+    ref = ray.put(payload) if ray.is_initialized() else None
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        s = text_ops.segment_explode(t, "doc_id", "text", W)
+        n = s.num_rows
+        hh, hseg, hkey = payload if ref is None else ray.get(ref)
+        kept = np.ones(n, bool)
+        if n and len(hh):
+            segs = s["seg"].to_pandas()
+            h = _stable_hash64(segs)
+            idx = np.clip(np.searchsorted(hh, h), 0, len(hh) - 1)
+            cand = np.flatnonzero(hh[idx] == h)
+            # exact string verify on hash candidates only — collision-safe
+            eq = hseg[idx[cand]] == segs.to_numpy()[cand]
+            key = (s["doc_id"].to_numpy(zero_copy_only=False) * KEYMUL
+                   + s["seg_idx"].to_numpy(zero_copy_only=False))
+            drop = cand[eq & (hkey[idx[cand]] != key[cand])]
+            kept[drop] = False
+        docidx = s["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(docidx, return_inverse=True)
+        counts = np.bincount(inv[kept], minlength=len(uniq))
+        offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        segs_kept = s["seg"].filter(pa.array(kept))
+        clean = pc.binary_join(
+            pa.ListArray.from_arrays(offs, segs_kept.combine_chunks()
+                                     if isinstance(segs_kept, pa.ChunkedArray)
+                                     else segs_kept), " ")
+        m = counts > 0
+        return pa.table({"doc_id": pa.array(uniq[m], pa.int64()),
+                         "clean_text": clean.filter(pa.array(m))})
+
+    return docs.map_batches(rebuild, batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -3884,6 +4065,7 @@ QUERIES = {
     "distinct_event_types": distinct_event_types,
     "dedup_events_keep_first": dedup_events_keep_first,
     "exact_dedup_documents": exact_dedup_documents,
+    "segment_dedup_documents": segment_dedup_documents,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
@@ -4018,6 +4200,8 @@ QUERIES = {
     "webcrawl_cleanup_documents": webcrawl_cleanup_documents,
     "render_training_text_transcripts": render_training_text_transcripts,
     "role_transition_counts_transcripts": role_transition_counts_transcripts,
+    "context_budget_truncate_transcripts": context_budget_truncate_transcripts,
+    "dialog_pairs_transcripts": dialog_pairs_transcripts,
     "semantic_decontaminate_embeddings": semantic_decontaminate_embeddings,
 }
 

@@ -1493,3 +1493,17 @@ def test_triangle_counts_k4_plus_pendant(ray_session):
     out = graph.triangle_counts(
         ray.data.from_pandas(edges)).to_pandas().set_index("u")["n_triangles"]
     assert out.to_dict() == {1: 3, 2: 1}
+
+
+def test_segment_explode_tiles_docs_exactly():
+    from logray.ops import text
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": ["a b c d e f g h i j k l", "  x  y ", "   "]})
+    out = text.segment_explode(t, "doc_id", "text", 5).to_pandas()
+    assert list(out["seg"]) == ["a b c d e", "f g h i j", "k l", "x y"]
+    assert list(out["seg_idx"]) == [0, 1, 2, 0]
+    assert list(out["doc_id"]) == [1, 1, 1, 2]  # whitespace-only doc absent
+    # rejoining segments reproduces the whitespace-normalized doc
+    j = out.groupby("doc_id")["seg"].agg(" ".join)
+    assert j[1] == "a b c d e f g h i j k l" and j[2] == "x y"
