@@ -1495,6 +1495,34 @@ ORACLE_SQL["role_transition_counts_transcripts"] = f"""
     FROM o WHERE prev_role IS NOT NULL GROUP BY prev_role, role
 """
 
+ORACLE_SQL["negative_sample_parts"] = """
+    WITH inter AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    cand AS (
+        SELECT DISTINCT c_custkey AS c,
+               CAST(('0x' || substr(md5(CAST(c_custkey * 8 + r.j AS VARCHAR)),
+                                    1, 13)) AS BIGINT)
+                   % (SELECT count(*) FROM part) AS p
+        FROM customer, range(8) r(j))
+    SELECT c AS custkey, p AS neg_partkey FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM inter
+                      WHERE inter.c = cand.c AND inter.p = cand.p)
+"""
+
+ORACLE_SQL["hashed_features_events"] = """
+    SELECT event_id,
+           CAST(('0x' || substr(md5('t=' || event_type), 1, 13)) AS BIGINT)
+               % 256 AS feat_idx
+    FROM events
+    UNION ALL
+    SELECT event_id,
+           CAST(('0x' || substr(md5('d=' || CAST(CAST(floor(
+               least(coalesce(value, 0.0), 999.9) * 0.01) AS BIGINT)
+               AS VARCHAR)), 1, 13)) AS BIGINT) % 256 AS feat_idx
+    FROM events
+"""
+
 ORACLE_SQL["segment_dedup_documents"] = """
     WITH w AS (
         SELECT doc_id,

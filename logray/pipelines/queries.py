@@ -4014,6 +4014,79 @@ def segment_dedup_documents(sf_dir: str):
     return docs.map_batches(rebuild, batch_format="pyarrow")
 
 
+def negative_sample_parts(sf_dir: str):
+    """Recommendation-training negative sampling: for every customer, 8
+    deterministic pseudo-random candidate parts (md5 of ``custkey*8+j``
+    mod |parts|) minus the parts the customer actually bought — the
+    classic implicit-feedback negatives construction. The interaction set
+    (distinct customer×part via orders⋈lineitem) is built with one
+    shuffle join; candidates anti-join against it in one co-partitioned
+    exchange (``hash_semi_join(anti=True)``) — nothing driver-side except
+    the |parts| scalar. md5 keeps the sampler DuckDB-oracle-able; swap
+    the splitmix64 hash from ``functions.hashing`` for the scale path."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n_parts = _read(sf_dir, "part", ["p_partkey"]).count()
+
+    inter = relational.distinct(
+        relational.hash_join(
+            orders.map_batches(lambda t: t.rename_columns(["k", "c"]),
+                               batch_format="pyarrow"),
+            li.map_batches(lambda t: t.rename_columns(["k", "p"]),
+                           batch_format="pyarrow"), on="k"),
+        ["c", "p"])
+
+    def candidates(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        c = t["c_custkey"].to_numpy(zero_copy_only=False)
+        seeds = (c[:, None] * 8 + np.arange(8)).reshape(-1)
+        h = pd.Series(seeds.astype(str)).map(
+            lambda s: int(hashlib.md5(s.encode()).hexdigest()[:13], 16))
+        cand = pd.DataFrame({"c": np.repeat(c, 8),
+                             "p": h.to_numpy() % n_parts}).drop_duplicates()
+        return pa.table({"c": pa.array(cand["c"].to_numpy(), pa.int64()),
+                         "p": pa.array(cand["p"].to_numpy(), pa.int64())})
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    cand = cust.map_batches(candidates, batch_format="pyarrow")
+    neg = relational.hash_semi_join(cand, inter, ["c", "p"], anti=True)
+    return neg.map_batches(
+        lambda t: t.rename_columns(["custkey", "neg_partkey"]),
+        batch_format="pyarrow")
+
+
+def hashed_features_events(sf_dir: str):
+    """Feature hashing (the hashing trick for sparse model training): each
+    event's categorical features (event_type, value decile) hash into a
+    256-bucket feature space; output is the exploded long-format
+    (event_id, feat_idx) nonzero list — the CSR-assembly input shape.
+    Stateless vectorized map, no shuffle. md5 keeps the bucket assignment
+    DuckDB-oracle-able (the scale path swaps in splitmix64)."""
+    DIM = 256
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        et = t["event_type"].to_pandas()
+        dec = pc.cast(pc.floor(pc.multiply(
+            pc.min_element_wise(pc.fill_null(t["value"], 0.0), 999.9),
+            0.01)), pa.int64()).to_pandas()
+        f1 = ("t=" + et).map(
+            lambda s: int(hashlib.md5(s.encode()).hexdigest()[:13], 16) % DIM)
+        f2 = ("d=" + dec.astype(str)).map(
+            lambda s: int(hashlib.md5(s.encode()).hexdigest()[:13], 16) % DIM)
+        eid = pa.concat_arrays([t["event_id"].combine_chunks()
+                                if isinstance(t["event_id"], pa.ChunkedArray)
+                                else t["event_id"]] * 2)
+        idx = np.concatenate([f1.to_numpy(), f2.to_numpy()])
+        return pa.table({"event_id": eid,
+                         "feat_idx": pa.array(idx, pa.int64())})
+
+    return ds.map_batches(feats, batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -4066,6 +4139,8 @@ QUERIES = {
     "dedup_events_keep_first": dedup_events_keep_first,
     "exact_dedup_documents": exact_dedup_documents,
     "segment_dedup_documents": segment_dedup_documents,
+    "negative_sample_parts": negative_sample_parts,
+    "hashed_features_events": hashed_features_events,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
