@@ -1495,6 +1495,25 @@ ORACLE_SQL["role_transition_counts_transcripts"] = f"""
     FROM o WHERE prev_role IS NOT NULL GROUP BY prev_role, role
 """
 
+ORACLE_SQL["zorder_scan_events"] = """
+    WITH q AS (
+        SELECT event_id, user_id & 65535 AS x,
+               CAST(round(value * 100) AS BIGINT) & 65535 AS y
+        FROM events
+        WHERE user_id >= 40 AND user_id < 80
+          AND CAST(round(value * 100) AS BIGINT) >= 10000
+          AND CAST(round(value * 100) AS BIGINT) < 20000),
+    s1 AS (SELECT event_id, (x | (x << 8)) & 16711935 AS x,
+                  (y | (y << 8)) & 16711935 AS y FROM q),
+    s2 AS (SELECT event_id, (x | (x << 4)) & 252645135 AS x,
+                  (y | (y << 4)) & 252645135 AS y FROM s1),
+    s3 AS (SELECT event_id, (x | (x << 2)) & 858993459 AS x,
+                  (y | (y << 2)) & 858993459 AS y FROM s2),
+    s4 AS (SELECT event_id, (x | (x << 1)) & 1431655765 AS x,
+                  (y | (y << 1)) & 1431655765 AS y FROM s3)
+    SELECT event_id, x | (y << 1) AS zcode FROM s4
+"""
+
 ORACLE_SQL["negative_sample_parts"] = """
     WITH inter AS (
         SELECT DISTINCT o_custkey AS c, l_partkey AS p

@@ -4087,6 +4087,41 @@ def hashed_features_events(sf_dir: str):
     return ds.map_batches(feats, batch_format="pyarrow")
 
 
+def zorder_scan_events(sf_dir: str):
+    """Z-order clustering + pruned read-back (lakehouse OPTIMIZE ZORDER
+    BY): events are rewritten sorted by the Morton interleave of
+    (user_id, value-cents) so each output file covers a tight rectangle
+    of the 2-D key space; the read-back then filters a small box on BOTH
+    dimensions, shipping the predicate into read_parquet so pruned
+    fragments never leave storage. Returns (event_id, zcode) for the box —
+    the z-code assignment itself is value-checked by replaying the
+    identical shift/mask chain in SQL."""
+    import tempfile
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..ops import layout
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"], "cents": cents})
+
+    out = tempfile.mkdtemp(prefix="logray_zorder_", dir="/tmp")
+    layout.zorder_write(ds.map_batches(quantize, batch_format="pyarrow"),
+                        "user_id", "cents", out)
+
+    expr = ((pads.field("user_id") >= 40) & (pads.field("user_id") < 80)
+            & (pads.field("cents") >= 10_000) & (pads.field("cents") < 20_000))
+    back = ray.data.read_parquet(out, columns=["event_id", "_z"], filter=expr)
+    return back.map_batches(
+        lambda t: t.rename_columns(["event_id", "zcode"]),
+        batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -4141,6 +4176,7 @@ QUERIES = {
     "segment_dedup_documents": segment_dedup_documents,
     "negative_sample_parts": negative_sample_parts,
     "hashed_features_events": hashed_features_events,
+    "zorder_scan_events": zorder_scan_events,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions

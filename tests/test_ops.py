@@ -1507,3 +1507,56 @@ def test_segment_explode_tiles_docs_exactly():
     # rejoining segments reproduces the whitespace-normalized doc
     j = out.groupby("doc_id")["seg"].agg(" ".join)
     assert j[1] == "a b c d e f g h i j k l" and j[2] == "x y"
+
+
+def test_morton_interleave_bits():
+    from logray.ops import layout
+
+    x = np.array([0, 1, 0, 3, 0xFFFF], dtype=np.int64)
+    y = np.array([0, 0, 1, 3, 0xFFFF], dtype=np.int64)
+    z = layout.morton2(x, y)
+    assert list(z[:4]) == [0, 1, 2, 15]
+    assert z[4] == (1 << 32) - 1
+    # locality: points in the same 2x2 cell are contiguous in z
+    cell = layout.morton2(np.array([4, 5, 4, 5]), np.array([2, 2, 3, 3]))
+    assert sorted(cell) == list(range(min(cell), min(cell) + 4))
+
+
+def test_zorder_layout_prunes_2d_box(ray_session, tmp_path):
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from logray.ops import layout
+
+    rng = np.random.default_rng(0)
+    n = 40_000
+    df = pd.DataFrame({"id": np.arange(n),
+                       "x": rng.integers(0, 1000, n),
+                       "y": rng.integers(0, 1000, n)})
+    zdir, ndir = tmp_path / "z", tmp_path / "n"
+    layout.zorder_write(ray.data.from_pandas(df), "x", "y", str(zdir),
+                        num_files=16)
+    # naive layout: sorted by x only (a 1-D clustering)
+    ray.data.from_pandas(df.sort_values("x")).repartition(16) \
+        .write_parquet(str(ndir))
+
+    def files_overlapping_y_range(d):
+        hit = total = 0
+        for f in sorted(d.glob("*.parquet")):
+            md = pq_.ParquetFile(f).metadata
+            sch = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                sy = md.row_group(rg).column(sch["y"]).statistics
+                total += 1
+                if sy.min < 384 and sy.max >= 256:
+                    hit += 1
+        return hit, total
+
+    zh, zt = files_overlapping_y_range(zdir)
+    nh, nt = files_overlapping_y_range(ndir)
+    # the x-sorted layout can never prune on y — every fragment spans the
+    # full y range; z-order clusters BOTH dimensions, so a y-only filter
+    # excludes most fragments from their min/max stats alone
+    assert nh == nt
+    assert zh <= zt // 2
