@@ -1500,9 +1500,9 @@ ORACLE_SQL["zorder_scan_events"] = """
         SELECT event_id, user_id & 65535 AS x,
                CAST(round(value * 100) AS BIGINT) & 65535 AS y
         FROM events
-        WHERE user_id >= 40 AND user_id < 80
+        WHERE user_id >= 2 AND user_id < 10
           AND CAST(round(value * 100) AS BIGINT) >= 10000
-          AND CAST(round(value * 100) AS BIGINT) < 20000),
+          AND CAST(round(value * 100) AS BIGINT) < 30000),
     s1 AS (SELECT event_id, (x | (x << 8)) & 16711935 AS x,
                   (y | (y << 8)) & 16711935 AS y FROM q),
     s2 AS (SELECT event_id, (x | (x << 4)) & 252645135 AS x,

@@ -4114,8 +4114,8 @@ def zorder_scan_events(sf_dir: str):
     layout.zorder_write(ds.map_batches(quantize, batch_format="pyarrow"),
                         "user_id", "cents", out)
 
-    expr = ((pads.field("user_id") >= 40) & (pads.field("user_id") < 80)
-            & (pads.field("cents") >= 10_000) & (pads.field("cents") < 20_000))
+    expr = ((pads.field("user_id") >= 2) & (pads.field("user_id") < 10)
+            & (pads.field("cents") >= 10_000) & (pads.field("cents") < 30_000))
     back = ray.data.read_parquet(out, columns=["event_id", "_z"], filter=expr)
     return back.map_batches(
         lambda t: t.rename_columns(["event_id", "zcode"]),
