@@ -580,3 +580,20 @@ def scd2(ds, key: str, order_cols: list[str], state_col: str, ts_col: str, *,
         return runs[cols]
 
     return _bucketed_apply(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def grouped_topk_ties(ds, part_col: str, val_col: str, n: int, *,
+                      descending: bool = True, num_buckets: int | None = None,
+                      rank_col: str = "rnk"):
+    """rank() OVER (PARTITION BY part_col ORDER BY val_col) <= n — the
+    WITH TIES top-k: every row whose VALUE ranks in the top n survives,
+    so groups can return more than n rows. Same one-bucket-shuffle shape
+    as ``grouped_topn``; rank is the vectorized gaps-kept 'min' method."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        r = df.groupby(part_col, sort=False)[val_col].rank(
+            method="min", ascending=not descending)
+        df = df.assign(**{rank_col: r.astype("int64")})
+        return df[df[rank_col] <= n]
+
+    return _bucketed_apply(ds, part_col, per_bucket, num_buckets=num_buckets)

@@ -1495,6 +1495,30 @@ ORACLE_SQL["role_transition_counts_transcripts"] = f"""
     FROM o WHERE prev_role IS NOT NULL GROUP BY prev_role, role
 """
 
+ORACLE_SQL["topk_with_ties_events"] = """
+    SELECT event_type, event_id, value, rnk FROM (
+        SELECT event_type, event_id, value,
+               rank() OVER (PARTITION BY event_type ORDER BY value DESC)
+                   AS rnk
+        FROM events)
+    WHERE rnk <= 3
+"""
+
+ORACLE_SQL["k_anonymize_events"] = """
+    SELECT event_id, event_type, vb FROM (
+        SELECT event_id, event_type,
+               CAST(floor(value * 0.02) AS BIGINT) AS vb,
+               count(*) OVER (PARTITION BY event_type,
+                              CAST(floor(value * 0.02) AS BIGINT)) AS n
+        FROM events)
+    WHERE n >= 20
+"""
+
+ORACLE_SQL["pseudonymize_events"] = """
+    SELECT event_id, md5('u:' || CAST(user_id AS VARCHAR)) AS user_pseudo
+    FROM events
+"""
+
 ORACLE_SQL["zorder_scan_events"] = """
     WITH q AS (
         SELECT event_id, user_id & 65535 AS x,

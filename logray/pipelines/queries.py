@@ -4122,6 +4122,86 @@ def zorder_scan_events(sf_dir: str):
         batch_format="pyarrow")
 
 
+def topk_with_ties_events(sf_dir: str):
+    """Per-group top-k WITH TIES (rank() <= k, not row_number): every
+    event whose value ranks in its type's top 3 survives, ties included —
+    groups may return more than 3 rows. One bucket shuffle by type."""
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+    out = window.grouped_topk_ties(ds, "event_type", "value", 3)
+    return out.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "event_id": t["event_id"],
+                            "value": t["value"],
+                            "rnk": t["rnk"]}),
+        batch_format="pyarrow")
+
+
+def k_anonymize_events(sf_dir: str, k: int = 20):
+    """k-anonymity suppression (privacy prep for data release): the
+    quasi-identifier is (event_type, value bucketed to width 50); rows
+    whose QI group has fewer than k=20 members are suppressed. The QI
+    histogram comes from one combiner-aggregated count exchange; the rare
+    QI set (tiny — bounded by #groups) broadcasts via ray.put and the
+    suppression filter is a stateless vectorized map — row data itself
+    never shuffles."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def add_qi(t: pa.Table) -> pa.Table:
+        vb = pc.cast(pc.floor(pc.multiply(t["value"], 0.02)), pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"], "vb": vb})
+
+    qi = ds.map_batches(add_qi, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "vb"]).aggregate([("vb", "count")])
+        return pa.table({"event_type": g["event_type"], "vb": g["vb"],
+                         "n": pc.cast(g["vb_count"], pa.int64())})
+
+    counts = relational.grouped_agg(
+        qi.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "vb"], {"n": ("n", "sum")})
+    rare = counts.map_batches(
+        lambda t: t.filter(pc.less(t["n"], k)).select(["event_type", "vb"]),
+        batch_format="pyarrow").to_pandas()
+    rare_keys = set(zip(rare["event_type"], rare["vb"]))
+    ref = ray.put(rare_keys) if ray.is_initialized() else None
+
+    def suppress(t: pa.Table) -> pa.Table:
+        keys = rare_keys if ref is None else ray.get(ref)
+        if not keys:
+            return t.select(["event_id", "event_type", "vb"])
+        df = t.to_pandas()
+        m = ~pd.MultiIndex.from_arrays([df["event_type"], df["vb"]]).isin(keys)
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy()[m], pa.int64()),
+            "event_type": pa.array(df["event_type"].to_numpy()[m]),
+            "vb": pa.array(df["vb"].to_numpy()[m], pa.int64())})
+
+    return qi.map_batches(suppress, batch_format="pyarrow")
+
+
+def pseudonymize_events(sf_dir: str):
+    """Keyed pseudonymization (privacy): replace user_id with a
+    deterministic opaque token (md5 over a salted rendering) so joins on
+    the pseudonym still work but the raw id never leaves the pipeline.
+    Stateless map, no shuffle; md5 keeps it oracle-able (swap splitmix64
+    + secret salt for the production path)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def pseud(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        u = t["user_id"].to_pandas().astype(str)
+        tok = ("u:" + u).map(lambda s: hashlib.md5(s.encode()).hexdigest())
+        return pa.table({"event_id": t["event_id"],
+                         "user_pseudo": pa.array(tok.to_numpy(), pa.string())})
+
+    return ds.map_batches(pseud, batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -4177,6 +4257,9 @@ QUERIES = {
     "negative_sample_parts": negative_sample_parts,
     "hashed_features_events": hashed_features_events,
     "zorder_scan_events": zorder_scan_events,
+    "topk_with_ties_events": topk_with_ties_events,
+    "k_anonymize_events": k_anonymize_events,
+    "pseudonymize_events": pseudonymize_events,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
