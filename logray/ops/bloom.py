@@ -144,11 +144,14 @@ def build_bloom(ds, col: str, *, m_bits: int = 1 << 20, k: int = 5) -> BloomFilt
     return out
 
 
-def bloom_prune(ds, col: str, bloom: BloomFilter):
-    """Prune ``ds`` to rows whose key *may* be in the filter. Ships the
-    filter once via ``ray.put`` (object-store broadcast, resolved per
-    actor/task — never per batch); downstream exact joins remove the
-    residual false positives."""
+def bloom_prune(ds, col: str, bloom: BloomFilter, *, keep: bool = True):
+    """Prune ``ds`` to rows whose key *may* be in the filter (``keep=True``,
+    the probe-side join prune) or whose key is PROVABLY absent
+    (``keep=False`` — no false negatives, so these rows are exactly novel
+    and can bypass any downstream verification shuffle). Ships the filter
+    once via ``ray.put`` (object-store broadcast, resolved per actor/task —
+    never per batch); downstream exact joins remove the residual false
+    positives of the ``keep=True`` side."""
     import ray
 
     payload = (bloom.m, bloom.k, bloom.bits)
@@ -160,6 +163,7 @@ def bloom_prune(ds, col: str, bloom: BloomFilter):
             self.bloom = BloomFilter(m, k, bits)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            return t.filter(pa.array(self.bloom.contains(t[col])))
+            m = self.bloom.contains(t[col])
+            return t.filter(pa.array(m if keep else ~m))
 
     return ds.map_batches(Pruner, batch_format="pyarrow", concurrency=(1, 8))

@@ -1495,6 +1495,27 @@ ORACLE_SQL["role_transition_counts_transcripts"] = f"""
     FROM o WHERE prev_role IS NOT NULL GROUP BY prev_role, role
 """
 
+ORACLE_SQL["out_of_order_events"] = """
+    WITH o AS (
+        SELECT event_id, epoch_us(ts) AS us,
+               max(epoch_us(ts)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+        FROM events)
+    SELECT event_id, wm - us AS late_by_us
+    FROM o WHERE us < wm
+"""
+
+ORACLE_SQL["incremental_dedup_documents"] = """
+    WITH cut AS (SELECT (max(doc_id) + 1) // 2 AS c FROM documents)
+    SELECT d.doc_id
+    FROM documents d, cut
+    WHERE d.doc_id >= cut.c
+      AND NOT EXISTS (SELECT 1 FROM documents h, cut
+                      WHERE h.doc_id < cut.c AND h.text = d.text)
+"""
+
 ORACLE_SQL["topk_with_ties_events"] = """
     SELECT event_type, event_id, value, rnk FROM (
         SELECT event_type, event_id, value,

@@ -4202,6 +4202,78 @@ def pseudonymize_events(sf_dir: str):
     return ds.map_batches(pseud, batch_format="pyarrow")
 
 
+def out_of_order_events(sf_dir: str):
+    """Late-data / out-of-order detection (the streaming watermark notion
+    replayed over the batch log): an event is LATE if its event time
+    precedes the per-user running maximum event time of everything that
+    ARRIVED before it. The synthetic log's storage order is perfectly
+    time-sorted, so arrival order is simulated with a deterministic md5
+    permutation of event ids (the oracle replays the same permutation).
+    Returns each late event and how far behind the user's watermark it
+    arrived, in exact integer microseconds. One bucket shuffle by user;
+    the running max / shift is vectorized per bucket."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = t["event_id"].to_pandas().astype(str)
+        arr = ids.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+        return pa.table({"user_id": t["user_id"], "event_id": t["event_id"],
+                         "arrival": pa.array(arr.to_numpy(), pa.string()),
+                         "us": pc.cast(t["ts"], pa.int64())})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "arrival", "event_id"],
+                            kind="mergesort")
+        cm = df.groupby("user_id", sort=False)["us"].cummax()
+        wm = cm.groupby(df["user_id"].to_numpy(), sort=False).shift(1)
+        m = df["us"].to_numpy() < np.nan_to_num(wm.to_numpy(), nan=-np.inf)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy()[m],
+            "late_by_us": (wm.to_numpy()[m] - df["us"].to_numpy()[m]
+                           ).astype(np.int64)})
+
+    return window._bucketed_apply(
+        ds.map_batches(to_us, batch_format="pyarrow"), "user_id", per_bucket)
+
+
+def incremental_dedup_documents(sf_dir: str):
+    """Incremental-ingestion dedup: treating the lower half of doc ids as
+    already-ingested HISTORY and the upper half as the new DELTA, admit
+    only delta docs whose exact text never appeared in history. Scale
+    shape: a mergeable Bloom filter over history content hashes broadcasts
+    once and prunes the delta inside map_batches BEFORE any shuffle (most
+    novel content never moves); the pruned survivors then anti-join
+    history exactly in one co-partitioned exchange, so Bloom false
+    positives never wrongly drop a doc."""
+    from ..ops import bloom as bloom_ops
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    stats = docs.map_batches(
+        lambda t: pa.table({"mx": pa.array([pc.max(t["doc_id"]).as_py()],
+                                           pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    cut = (int(stats["mx"].max()) + 1) // 2
+
+    hist = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], cut)).select(["text"]),
+        batch_format="pyarrow")
+    delta = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], cut)),
+        batch_format="pyarrow")
+
+    flt = bloom_ops.build_bloom(hist, "text", m_bits=1 << 18, k=5)
+    # Bloom-negative delta rows are PROVABLY novel (no false negatives) —
+    # they pass straight through with no shuffle at all; only the maybe-dup
+    # residue pays the exact anti-join exchange
+    novel_fast = bloom_ops.bloom_prune(delta, "text", flt, keep=False)
+    maybe_dup = bloom_ops.bloom_prune(delta, "text", flt)
+    survivors = relational.hash_semi_join(maybe_dup, hist, "text", anti=True)
+    return novel_fast.union(survivors).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -4260,6 +4332,8 @@ QUERIES = {
     "topk_with_ties_events": topk_with_ties_events,
     "k_anonymize_events": k_anonymize_events,
     "pseudonymize_events": pseudonymize_events,
+    "out_of_order_events": out_of_order_events,
+    "incremental_dedup_documents": incremental_dedup_documents,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions

@@ -1560,3 +1560,20 @@ def test_zorder_layout_prunes_2d_box(ray_session, tmp_path):
     # excludes most fragments from their min/max stats alone
     assert nh == nt
     assert zh <= zt // 2
+
+
+def test_bloom_prune_keep_false_is_exactly_novel(ray_session):
+    import ray.data
+
+    from logray.ops import bloom as bloom_ops
+
+    hist = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4, 5]}))
+    probe = ray.data.from_pandas(pd.DataFrame({"k": list(range(10))}))
+    flt = bloom_ops.build_bloom(hist, "k", m_bits=1 << 12, k=3)
+    novel = set(bloom_ops.bloom_prune(probe, "k", flt,
+                                      keep=False).to_pandas()["k"])
+    maybe = set(bloom_ops.bloom_prune(probe, "k", flt).to_pandas()["k"])
+    # no false negatives: every history key is on the maybe side
+    assert {1, 2, 3, 4, 5} <= maybe
+    assert novel.isdisjoint(maybe) and novel | maybe == set(range(10))
+    assert novel <= {0, 6, 7, 8, 9}
