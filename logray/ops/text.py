@@ -500,3 +500,53 @@ def segment_explode(t: pa.Table, id_col: str, text_col: str,
     return pa.table({id_col: ids,
                      "seg_idx": pa.array(intra, pa.int64()),
                      "seg": segs.cast(pa.string())})
+
+
+def sliding_chunk_explode(t: pa.Table, id_col: str, text_col: str, *,
+                          width: int = 50, stride: int = 25) -> pa.Table:
+    """Explode each document into OVERLAPPING word windows (RAG-style
+    sliding chunks): chunk c covers words [stride·c, stride·c + width) and
+    chunks exist while stride·c < len(words). Like ``segment_explode`` the
+    whole batch's words stay in one flat Arrow array, but overlapping
+    windows don't tile the doc, so a vectorized gather-index (the
+    repeat/cumsum arange trick) materializes each chunk's word span before
+    ONE ``binary_join`` — still no per-row Python."""
+    split = pc.utf8_split_whitespace(pc.fill_null(t[text_col], ""))
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    flat = split.flatten()
+    offsets = split.offsets.to_numpy().astype(np.int64)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        cs = np.concatenate(([0], np.cumsum(nonempty.astype(np.int64))))
+        offsets = cs[offsets]
+        flat = flat.filter(pa.array(nonempty))
+    lens = np.diff(offsets)
+    nchunk = -(-lens // stride)                  # ceil; 0 for empty docs
+    total = int(nchunk.sum())
+    if total == 0:
+        return pa.table({id_col: pa.array([], t.schema.field(id_col).type),
+                         "chunk_id": pa.array([], pa.int64()),
+                         "chunk_text": pa.array([], pa.string())})
+    cum = np.concatenate(([0], np.cumsum(nchunk)))
+    intra = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], nchunk)
+    doc_start = np.repeat(offsets[:-1], nchunk)
+    doc_end = np.repeat(offsets[1:], nchunk)
+    c_start = doc_start + stride * intra
+    c_len = np.minimum(c_start + width, doc_end) - c_start
+    # gather index: concat of [c_start_i, c_start_i + c_len_i) per chunk
+    goff = np.concatenate(([0], np.cumsum(c_len)))
+    idx = (np.arange(goff[-1], dtype=np.int64)
+           - np.repeat(goff[:-1], c_len) + np.repeat(c_start, c_len))
+    words = flat.take(pa.array(idx))
+    chunks = pc.binary_join(
+        pa.ListArray.from_arrays(goff.astype(np.int32),
+                                 words.combine_chunks()
+                                 if isinstance(words, pa.ChunkedArray)
+                                 else words), " ")
+    docidx = np.repeat(np.arange(len(lens), dtype=np.int64), nchunk)
+    ids = (t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray)
+           else t[id_col]).take(pa.array(docidx))
+    return pa.table({id_col: ids,
+                     "chunk_id": pa.array(intra, pa.int64()),
+                     "chunk_text": chunks.cast(pa.string())})

@@ -1495,6 +1495,29 @@ ORACLE_SQL["role_transition_counts_transcripts"] = f"""
     FROM o WHERE prev_role IS NOT NULL GROUP BY prev_role, role
 """
 
+ORACLE_SQL["chunk_overlap_documents"] = """
+    WITH w AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                   '\\s+') AS words
+        FROM documents
+        WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''),
+    wp AS (
+        SELECT doc_id, unnest(words) AS word,
+               unnest(range(len(words))) AS pos
+        FROM w),
+    -- width 50 = 2x stride 25, so a word at pos belongs to exactly
+    -- chunks pos//25 and pos//25 - 1 (when that exists)
+    mem AS (
+        SELECT doc_id, pos // 25 AS chunk_id, word, pos FROM wp
+        UNION ALL
+        SELECT doc_id, pos // 25 - 1, word, pos FROM wp WHERE pos // 25 >= 1)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           string_agg(word, ' ' ORDER BY pos) AS chunk_text
+    FROM mem GROUP BY doc_id, chunk_id
+"""
+
 ORACLE_SQL["out_of_order_events"] = """
     WITH o AS (
         SELECT event_id, epoch_us(ts) AS us,

@@ -4274,6 +4274,19 @@ def incremental_dedup_documents(sf_dir: str):
         lambda t: t.select(["doc_id"]), batch_format="pyarrow")
 
 
+def chunk_overlap_documents(sf_dir: str):
+    """RAG-prep sliding-window chunking: each document explodes into
+    overlapping 50-word windows at stride 25 (each word lands in exactly
+    two chunks except at the edges — what retrieval pipelines index so
+    answers straddling a boundary aren't lost). Stateless vectorized
+    flat_map, no shuffle (`text.sliding_chunk_explode`)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: text_ops.sliding_chunk_explode(t, "doc_id", "text",
+                                                 width=50, stride=25),
+        batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -4334,6 +4347,7 @@ QUERIES = {
     "pseudonymize_events": pseudonymize_events,
     "out_of_order_events": out_of_order_events,
     "incremental_dedup_documents": incremental_dedup_documents,
+    "chunk_overlap_documents": chunk_overlap_documents,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions

@@ -1577,3 +1577,19 @@ def test_bloom_prune_keep_false_is_exactly_novel(ray_session):
     assert {1, 2, 3, 4, 5} <= maybe
     assert novel.isdisjoint(maybe) and novel | maybe == set(range(10))
     assert novel <= {0, 6, 7, 8, 9}
+
+
+def test_sliding_chunk_explode_overlap_and_edges():
+    from logray.ops import text
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": ["w0 w1 w2 w3 w4 w5 w6", "a b", "  "]})
+    out = text.sliding_chunk_explode(t, "doc_id", "text",
+                                     width=4, stride=2).to_pandas()
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["chunk_text"]) == ["w0 w1 w2 w3", "w2 w3 w4 w5",
+                                      "w4 w5 w6", "w6"]
+    assert list(d1["chunk_id"]) == [0, 1, 2, 3]
+    # short doc → one partial chunk; whitespace-only doc → nothing
+    assert list(out[out["doc_id"] == 2]["chunk_text"]) == ["a b"]
+    assert (out["doc_id"] == 3).sum() == 0
