@@ -80,6 +80,15 @@ EXTENDED_QUERIES = [
     "index_lookup_documents",
     "hard_negative_embeddings",
     "weighted_sample_events",
+    # round-2 continuation families
+    "segment_dedup_documents",
+    "chunk_overlap_documents",
+    "zorder_scan_events",
+    "negative_sample_parts",
+    "triangle_counts_parts",
+    "incremental_dedup_documents",
+    "context_budget_truncate_transcripts",
+    "scd2_event_state",
 ]
 
 

@@ -1495,6 +1495,17 @@ ORACLE_SQL["role_transition_counts_transcripts"] = f"""
     FROM o WHERE prev_role IS NOT NULL GROUP BY prev_role, role
 """
 
+ORACLE_SQL["wow_event_counts"] = """
+    WITH c AS (
+        SELECT event_type, date_trunc('week', ts) AS week,
+               count(*) AS n
+        FROM events GROUP BY 1, 2)
+    SELECT event_type, week, CAST(n AS BIGINT) AS n,
+           CAST(lag(n) OVER w AS DOUBLE) AS prev_n,
+           CAST(n AS DOUBLE) / CAST(lag(n) OVER w AS DOUBLE) AS wow_ratio
+    FROM c WINDOW w AS (PARTITION BY event_type ORDER BY week)
+"""
+
 ORACLE_SQL["chunk_overlap_documents"] = """
     WITH w AS (
         SELECT doc_id,

@@ -4287,6 +4287,36 @@ def chunk_overlap_documents(sf_dir: str):
         batch_format="pyarrow")
 
 
+def wow_event_counts(sf_dir: str):
+    """Period-over-period analytics: weekly event counts per type with the
+    previous week's count and the week-over-week ratio (lag window over an
+    aggregate). Per-batch (type, week) partial counts combine in one tiny
+    exchange; the lag/ratio runs in per-type buckets — classic dashboard
+    shape with a bounded final table."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        wk = df["ts"].dt.to_period("W-SUN").dt.start_time
+        g = df.groupby(["event_type", wk.rename("week")], sort=False).size()
+        return g.rename("n").reset_index()
+
+    counts = relational.grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "week"], {"n": ("n", "sum")})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "week"], kind="mergesort")
+        prev = df.groupby("event_type", sort=False)["n"].shift(1)
+        n = df["n"].to_numpy().astype(np.float64)
+        return pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                             "week": df["week"].to_numpy(),
+                             "n": df["n"].to_numpy(),
+                             "prev_n": prev.to_numpy(),
+                             "wow_ratio": n / prev.to_numpy()})
+
+    return window._bucketed_apply(counts, "event_type", per_bucket)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -4348,6 +4378,7 @@ QUERIES = {
     "out_of_order_events": out_of_order_events,
     "incremental_dedup_documents": incremental_dedup_documents,
     "chunk_overlap_documents": chunk_overlap_documents,
+    "wow_event_counts": wow_event_counts,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
