@@ -1495,6 +1495,31 @@ ORACLE_SQL["role_transition_counts_transcripts"] = f"""
     FROM o WHERE prev_role IS NOT NULL GROUP BY prev_role, role
 """
 
+ORACLE_SQL["chi2_type_value_events"] = """
+    WITH cells AS (
+        SELECT event_type, CAST(floor(value * 0.02) AS BIGINT) AS vb,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+    m AS (
+        SELECT event_type, vb, CAST(n AS BIGINT) AS observed,
+               sum(n) OVER (PARTITION BY event_type) AS rt,
+               sum(n) OVER (PARTITION BY vb) AS ct,
+               sum(n) OVER () AS tot
+        FROM cells)
+    SELECT event_type, vb, observed,
+           CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE)
+               AS expected,
+           (CAST(observed AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                  / CAST(tot AS DOUBLE))
+           * (CAST(observed AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                  / CAST(tot AS DOUBLE))
+           / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE))
+               AS chi2_contrib
+    FROM m
+"""
+
 ORACLE_SQL["wow_event_counts"] = """
     WITH c AS (
         SELECT event_type, date_trunc('week', ts) AS week,

@@ -4317,6 +4317,42 @@ def wow_event_counts(sf_dir: str):
     return window._bucketed_apply(counts, "event_type", per_bucket)
 
 
+def chi2_type_value_events(sf_dir: str):
+    """Chi-square independence cells (statistical QA between two
+    categorical features): contingency table of event_type × value-bucket
+    with each cell's observed count, expected count under independence,
+    and chi-square contribution. All counts are exact int64 from one
+    combiner-aggregated exchange; the margins are a tiny driver broadcast
+    and the expected/contribution floats use the identical operation
+    order in SQL, so every cell value-matches. Emitting CELLS (not the
+    summed statistic) keeps the result float-sum-order-free."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cellize(t: pa.Table) -> pa.Table:
+        vb = pc.cast(pc.floor(pc.multiply(t["value"], 0.02)), pa.int64())
+        g = pa.table({"event_type": t["event_type"], "vb": vb}) \
+            .group_by(["event_type", "vb"]).aggregate([("vb", "count")])
+        return pa.table({"event_type": g["event_type"], "vb": g["vb"],
+                         "n": pc.cast(g["vb_count"], pa.int64())})
+
+    cells = relational.grouped_agg(
+        ds.map_batches(cellize, batch_format="pyarrow"),
+        ["event_type", "vb"], {"n": ("n", "sum")}).to_pandas()
+    # margins are |types| + |buckets| scalars — driver math on the final
+    # aggregate, not a dataset materialization
+    row_tot = cells.groupby("event_type")["n"].sum()
+    col_tot = cells.groupby("vb")["n"].sum()
+    total = float(cells["n"].sum())
+    exp = (row_tot[cells["event_type"]].to_numpy().astype(np.float64)
+           * col_tot[cells["vb"]].to_numpy().astype(np.float64)) / total
+    obs = cells["n"].to_numpy().astype(np.float64)
+    contrib = (obs - exp) * (obs - exp) / exp
+    out = pd.DataFrame({"event_type": cells["event_type"],
+                        "vb": cells["vb"], "observed": cells["n"],
+                        "expected": exp, "chi2_contrib": contrib})
+    return out.sort_values(["event_type", "vb"]).reset_index(drop=True)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -4379,6 +4415,7 @@ QUERIES = {
     "incremental_dedup_documents": incremental_dedup_documents,
     "chunk_overlap_documents": chunk_overlap_documents,
     "wow_event_counts": wow_event_counts,
+    "chi2_type_value_events": chi2_type_value_events,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
