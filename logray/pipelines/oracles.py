@@ -1495,6 +1495,18 @@ ORACLE_SQL["role_transition_counts_transcripts"] = f"""
     FROM o WHERE prev_role IS NOT NULL GROUP BY prev_role, role
 """
 
+ORACLE_SQL["response_latency_transcripts"] = f"""
+    WITH o AS (
+        SELECT conv_id, turn_idx, role, epoch_us(ts) AS us,
+               lead(role) OVER w AS next_role,
+               lead(epoch_us(ts)) OVER w AS next_us
+        FROM {_CORPUS}
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+    SELECT conv_id, CAST(turn_idx AS BIGINT) AS prompt_idx,
+           next_us - us AS latency_us
+    FROM o WHERE role = 'user' AND next_role = 'assistant'
+"""
+
 ORACLE_SQL["chi2_type_value_events"] = """
     WITH cells AS (
         SELECT event_type, CAST(floor(value * 0.02) AS BIGINT) AS vb,

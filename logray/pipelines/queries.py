@@ -4353,6 +4353,43 @@ def chi2_type_value_events(sf_dir: str):
     return out.sort_values(["event_type", "vb"]).reset_index(drop=True)
 
 
+def response_latency_transcripts(sf_dir: str):
+    """Assistant response-latency mining over the transcript corpus: for
+    every user turn immediately followed by an assistant turn, the reply
+    latency in exact integer microseconds (timestamps never leave integer
+    space — the documented safe time arithmetic). Same one-bucket
+    adjacency shape as ``dialog_pairs_transcripts``; text never reads."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["conv_id", "turn_idx", "role", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": t["conv_id"],
+                         "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                         "role": t["role"],
+                         "us": pc.cast(t["ts"], pa.int64())})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = df.groupby("conv_id", sort=False)
+        nxt_role = g["role"].shift(-1)
+        nxt_us = g["us"].shift(-1)
+        m = ((df["role"].to_numpy() == "user")
+             & (nxt_role.to_numpy() == "assistant"))
+        return pd.DataFrame({
+            "conv_id": df["conv_id"].to_numpy()[m],
+            "prompt_idx": df["turn_idx"].to_numpy()[m],
+            "latency_us": (nxt_us.to_numpy()[m]
+                           - df["us"].to_numpy()[m]).astype(np.int64)})
+
+    return window._bucketed_apply(
+        ds.map_batches(to_us, batch_format="pyarrow"), "conv_id", per_bucket)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -4416,6 +4453,7 @@ QUERIES = {
     "chunk_overlap_documents": chunk_overlap_documents,
     "wow_event_counts": wow_event_counts,
     "chi2_type_value_events": chi2_type_value_events,
+    "response_latency_transcripts": response_latency_transcripts,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
