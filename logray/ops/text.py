@@ -550,3 +550,21 @@ def sliding_chunk_explode(t: pa.Table, id_col: str, text_col: str, *,
     return pa.table({id_col: ids,
                      "chunk_id": pa.array(intra, pa.int64()),
                      "chunk_text": chunks.cast(pa.string())})
+
+
+def add_compression_ratio(batch: pa.Table, text_col: str = "text",
+                          out_col: str = "deflate_ratio") -> pa.Table:
+    """Deflate compression ratio per document (compressed/raw bytes, level
+    6): highly templated or repetitive text compresses far below ~0.5 —
+    a standard corpus-quality signal complementing the Gopher repetition
+    fractions. Deterministic (fixed zlib level); the per-row C deflate
+    call is the dominant cost by design — ratio of byte lengths only,
+    the compressed bytes are never kept. Not SQL-expressible → rows-only
+    driver check, behavior-tested in pytest."""
+    import zlib
+
+    s = batch[text_col].to_pandas()
+    raw = s.fillna("").map(lambda v: v.encode())
+    ratio = raw.map(lambda b: len(zlib.compress(b, 6)) / max(len(b), 1))
+    return batch.append_column(out_col,
+                               pa.array(ratio.to_numpy(), pa.float64()))

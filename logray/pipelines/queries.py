@@ -4390,6 +4390,18 @@ def response_latency_transcripts(sf_dir: str):
         ds.map_batches(to_us, batch_format="pyarrow"), "conv_id", per_bucket)
 
 
+def compression_ratio_documents(sf_dir: str):
+    """Deflate-ratio quality signal per document (templated/repetitive
+    text compresses hard; see `text.add_compression_ratio`). Stateless
+    map, no shuffle; not SQL-expressible (no zlib in DuckDB) → rows-only
+    driver check, behavior-tested in pytest."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: text_ops.add_compression_ratio(t).select(
+            ["doc_id", "deflate_ratio"]),
+        batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -4454,6 +4466,7 @@ QUERIES = {
     "wow_event_counts": wow_event_counts,
     "chi2_type_value_events": chi2_type_value_events,
     "response_latency_transcripts": response_latency_transcripts,
+    "compression_ratio_documents": compression_ratio_documents,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions

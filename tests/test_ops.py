@@ -1593,3 +1593,14 @@ def test_sliding_chunk_explode_overlap_and_edges():
     # short doc → one partial chunk; whitespace-only doc → nothing
     assert list(out[out["doc_id"] == 2]["chunk_text"]) == ["a b"]
     assert (out["doc_id"] == 3).sum() == 0
+
+
+def test_compression_ratio_orders_repetitive_below_random():
+    from logray.ops import text
+
+    rng = np.random.default_rng(3)
+    rand = " ".join(rng.choice(list("abcdefghijklmnop"), 400))
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["spam ham " * 100, rand]})
+    out = text.add_compression_ratio(t).to_pandas()
+    assert out.loc[0, "deflate_ratio"] < 0.1 < out.loc[1, "deflate_ratio"]
