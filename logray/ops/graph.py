@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .relational import grouped_agg, hash_join
 
@@ -263,27 +264,109 @@ def cooccurrence_edges(ds, group_col: str, item_col: str, *,
     return distinct(pairs, ["u", "v"])
 
 
-def triangle_counts(edges, *, out_col: str = "n_triangles"):
+def triangle_counts(edges, *, out_col: str = "n_triangles",
+                    orient: str = "id"):
     """Per-lowest-vertex triangle counts on an undirected simple graph
-    given canonical distinct edges (u < v) — the standard distributed
-    wedge-closing algorithm: join edges on the middle vertex (e1.v = e2.u,
-    so u < mid < w by construction), then a large×large semi join of the
-    wedge endpoints (u, w) against the edge set keeps exactly the wedges
-    that close into triangles. Two hash-shuffle exchanges, no all-pairs,
-    nothing driver-side; skew is bounded by the max vertex degree.
+    given canonical distinct edges (u < v) — distributed wedge-closing:
+    generate length-2 paths under an acyclic edge orientation, then a
+    large×large semi join against the edge set keeps the wedges that
+    close into triangles. Two orientations, both emitting each triangle
+    exactly once, keyed by its MINIMUM VERTEX ID:
 
-    ``edges`` is materialized once (an edge list is ≪ the input it was
-    derived from) because it feeds three pipeline legs."""
+    - ``orient='id'`` (default): direct u→v by vertex id. Three narrow
+      exchanges (wedge join on the middle vertex + closing semi join).
+      Fastest when the degree distribution is flat — e.g. co-occurrence
+      graphs with bounded group sizes — because degree ordering can't
+      shrink the wedge count there and its extra rank joins + wider wedge
+      rows only add shuffle bytes (measured 4× slower on the near-regular
+      parts graph).
+    - ``orient='degree'``: direct each edge from its lower-(degree, id)
+      endpoint (compact-forward). Bounds every out-degree by O(√m) so the
+      wedge intermediate is O(m^1.5) — the scale-safe choice for skewed
+      graphs, where a single hub's Σ deg² wedge explosion breaks the id
+      orientation. Costs one combiner degree count + two rank joins extra.
+
+    All stages are hash-shuffles, nothing driver-side; ``edges`` is
+    materialized once (an edge list is ≪ the input it was derived from)
+    because it feeds several legs."""
     from .relational import grouped_agg, hash_join, hash_semi_join
 
     edges = edges.materialize()
 
-    left = edges.map_batches(
-        lambda t: t.rename_columns(["u", "mid"]), batch_format="pyarrow")
-    right = edges.map_batches(
-        lambda t: t.rename_columns(["mid", "w"]), batch_format="pyarrow")
-    wedges = hash_join(left, right, on="mid")
-    closed = hash_semi_join(wedges, edges.map_batches(
-        lambda t: t.rename_columns(["u", "w"]), batch_format="pyarrow"),
-        on=["u", "w"])
-    return grouped_agg(closed, ["u"], {out_col: ("w", "count")})
+    if orient == "id":
+        left = edges.map_batches(
+            lambda t: t.rename_columns(["u", "mid"]), batch_format="pyarrow")
+        right = edges.map_batches(
+            lambda t: t.rename_columns(["mid", "w"]), batch_format="pyarrow")
+        wedges = hash_join(left, right, on="mid")
+        closed = hash_semi_join(wedges, edges.map_batches(
+            lambda t: t.rename_columns(["u", "w"]), batch_format="pyarrow"),
+            on=["u", "w"])
+        return grouped_agg(closed, ["u"], {out_col: ("w", "count")})
+
+    # degree per vertex, combiner-aggregated
+    ends = edges.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays(
+            [t["u"].combine_chunks(), t["v"].combine_chunks()])}),
+        batch_format="pyarrow")
+    deg = grouped_agg(ends, ["node"], {"deg": ("node", "count")})
+    # total order (deg, id) packed into one int64 rank key (id < 2^31)
+    rk = deg.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "rk": pc.add(pc.multiply(pc.cast(t["deg"], pa.int64()),
+                                     1 << 32), t["node"])}),
+        batch_format="pyarrow")
+
+    e_u = hash_join(
+        edges.map_batches(lambda t: t.rename_columns(["node", "v"]),
+                          batch_format="pyarrow"),
+        rk, on="node").map_batches(
+        lambda t: pa.table({"u_id": t["node"], "v_id": t["v"],
+                            "ru": t["rk"]}), batch_format="pyarrow")
+    e_uv = hash_join(
+        e_u.map_batches(lambda t: t.rename_columns(["u_id", "node", "ru"]),
+                        batch_format="pyarrow"),
+        rk, on="node")
+
+    def orient(t: pa.Table) -> pa.Table:
+        lo = pc.less(t["ru"], t["rk"])
+        return pa.table({
+            "a": pc.if_else(lo, t["ru"], t["rk"]),
+            "b": pc.if_else(lo, t["rk"], t["ru"]),
+            "a_id": pc.if_else(lo, t["u_id"], t["node"]),
+            "b_id": pc.if_else(lo, t["node"], t["u_id"]),
+        })
+
+    directed = e_uv.map_batches(orient, batch_format="pyarrow").materialize()
+    d_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                          ("a_id", pa.int64()), ("b_id", pa.int64())])
+
+    def keep_lt(df):
+        return df[df["b"] < df["c"]]
+
+    wedges = hash_join(
+        directed,
+        directed.map_batches(
+            lambda t: pa.table({"a": t["a"], "c": t["b"], "c_id": t["b_id"]}),
+            batch_format="pyarrow"),
+        on="a", bucket_post=keep_lt,
+        left_schema=d_schema,
+        right_schema=pa.schema([("a", pa.int64()), ("c", pa.int64()),
+                                ("c_id", pa.int64())]))
+    closed = hash_semi_join(
+        wedges.map_batches(lambda t: pa.table(
+            {"a": t["b"], "b": t["c"], "a_id": t["a_id"],
+             "b_id": t["b_id"], "c_id": t["c_id"]}), batch_format="pyarrow"),
+        directed.map_batches(lambda t: t.select(["a", "b"]),
+                             batch_format="pyarrow"),
+        on=["a", "b"], right_schema=pa.schema([("a", pa.int64()),
+                                               ("b", pa.int64())]))
+
+    def min_id(t: pa.Table) -> pa.Table:
+        m = pc.min_element_wise(pc.min_element_wise(t["a_id"], t["b_id"]),
+                                t["c_id"])
+        return pa.table({"u": m})
+
+    tri = closed.map_batches(min_id, batch_format="pyarrow")
+    return grouped_agg(tri, ["u"], {out_col: ("u", "count")})

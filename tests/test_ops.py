@@ -1604,3 +1604,24 @@ def test_compression_ratio_orders_repetitive_below_random():
                   "text": ["spam ham " * 100, rand]})
     out = text.add_compression_ratio(t).to_pandas()
     assert out.loc[0, "deflate_ratio"] < 0.1 < out.loc[1, "deflate_ratio"]
+
+
+def test_triangle_counts_degree_orientation_matches_id(ray_session):
+    import ray.data
+    from logray.ops import graph
+
+    # skewed graph: hub 0 connects to everything; ring closes triangles
+    rng = np.random.default_rng(1)
+    n = 40
+    ring = [(i, i + 1) for i in range(1, n - 1)]
+    hub = [(0, i) for i in range(1, n)]
+    edges = pd.DataFrame(sorted(set(map(tuple, ring + hub))),
+                         columns=["u", "v"])
+    ds = ray.data.from_pandas(edges)
+    a = graph.triangle_counts(ds, orient="id").to_pandas() \
+        .sort_values("u").reset_index(drop=True)
+    b = graph.triangle_counts(ds, orient="degree").to_pandas() \
+        .sort_values("u").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # hub + ring: triangles are exactly (0, i, i+1) → min vertex always 0
+    assert a["n_triangles"].sum() == n - 2 and set(a["u"]) == {0}
