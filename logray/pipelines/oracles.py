@@ -1495,6 +1495,26 @@ ORACLE_SQL["role_transition_counts_transcripts"] = f"""
     FROM o WHERE prev_role IS NOT NULL GROUP BY prev_role, role
 """
 
+ORACLE_SQL["trailing_7d_active_users"] = """
+    WITH du AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id
+        FROM events),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT days.d AS day, count(DISTINCT du.user_id) AS wau
+    FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+"""
+
+ORACLE_SQL["window_dedup_events"] = """
+    SELECT event_id FROM (
+        SELECT event_id,
+               row_number() OVER (
+                   PARTITION BY user_id, epoch_us(ts) // 600000000
+                   ORDER BY ts, event_id) AS rn
+        FROM events)
+    WHERE rn = 1
+"""
+
 ORACLE_SQL["response_latency_transcripts"] = f"""
     WITH o AS (
         SELECT conv_id, turn_idx, role, epoch_us(ts) AS us,

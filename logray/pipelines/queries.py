@@ -4402,6 +4402,74 @@ def compression_ratio_documents(sf_dir: str):
         batch_format="pyarrow")
 
 
+def trailing_7d_active_users(sf_dir: str):
+    """Trailing-7-day active users per day (the WAU dashboard metric,
+    exactly): for every day with activity, the distinct users active in
+    [day-6, day]. Scale shape: distinct (day, user) pairs reduce the
+    stream first (combiner + one distinct exchange — days×users, not
+    events); each pair then fans out to the ≤7 target days it supports
+    (vectorized explode), a second distinct collapses multi-day users,
+    and a grouped count finishes. The active-day set (≤ a few thousand
+    scalars) broadcasts to filter targets. Days are exact epoch-day
+    integers — no timestamp arithmetic drift."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        g = pa.table({"d": d, "user_id": t["user_id"]}) \
+            .group_by(["d", "user_id"]).aggregate([])
+        return g
+
+    pairs = relational.distinct(
+        ds.map_batches(to_day, batch_format="pyarrow"), ["d", "user_id"]
+    ).materialize()
+    days = np.sort(pairs.map_batches(
+        lambda t: pa.table({"d": pc.unique(t["d"])}),
+        batch_format="pyarrow").to_pandas()["d"].unique())
+    ref = ray.put(days) if ray.is_initialized() else None
+
+    def explode(t: pa.Table) -> pa.Table:
+        valid = days if ref is None else ray.get(ref)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        tgt = (d[:, None] + np.arange(7)).reshape(-1)
+        uu = np.repeat(u, 7)
+        idx = np.clip(np.searchsorted(valid, tgt), 0, len(valid) - 1)
+        m = valid[idx] == tgt
+        return pa.table({"day": pa.array(tgt[m], pa.int64()),
+                         "user_id": pa.array(uu[m], pa.int64())})
+
+    contrib = relational.distinct(
+        pairs.map_batches(explode, batch_format="pyarrow"),
+        ["day", "user_id"])
+    return relational.grouped_agg(contrib, ["day"],
+                                  {"wau": ("user_id", "count")})
+
+
+def window_dedup_events(sf_dir: str):
+    """Tumbling-window dedup (telemetry thinning): keep only each user's
+    FIRST event per 10-minute window — the at-most-one-per-window retention
+    policy. One bucket shuffle by user; the per-(user, window) first pick
+    is a vectorized sorted groupby head."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def to_w(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({"user_id": t["user_id"], "event_id": t["event_id"],
+                         "us": us, "w": pc.divide(us, 600_000_000)})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "w", "us", "event_id"],
+                            kind="mergesort")
+        first = ~df.duplicated(["user_id", "w"])
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy()[first]})
+
+    return window._bucketed_apply(
+        ds.map_batches(to_w, batch_format="pyarrow"), "user_id", per_bucket)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -4467,6 +4535,8 @@ QUERIES = {
     "chi2_type_value_events": chi2_type_value_events,
     "response_latency_transcripts": response_latency_transcripts,
     "compression_ratio_documents": compression_ratio_documents,
+    "trailing_7d_active_users": trailing_7d_active_users,
+    "window_dedup_events": window_dedup_events,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
