@@ -130,3 +130,71 @@ def test_hash_join_equals_pandas_merge(ray_session, lrows, rrows):
     got = got.sort_values(key, na_position="last").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                   check_dtype=False)
+
+
+_doc_text = st.text(
+    alphabet=st.sampled_from(list("ab c\t\n")), max_size=60)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_doc_text, min_size=1, max_size=8),
+       st.integers(min_value=1, max_value=7))
+def test_segment_explode_rejoin_is_normalized_text(texts, w):
+    import pandas as pd
+
+    from logray.ops.text import segment_explode
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = segment_explode(t, "doc_id", "text", w).to_pandas()
+    for d, txt in enumerate(texts):
+        words = txt.split()
+        segs = out[out["doc_id"] == d].sort_values("seg_idx")
+        if not words:
+            assert len(segs) == 0
+            continue
+        assert " ".join(segs["seg"]) == " ".join(words)
+        # every segment but the last is exactly w words
+        lens = [len(s.split()) for s in segs["seg"]]
+        assert all(n == w for n in lens[:-1]) and 1 <= lens[-1] <= w
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_doc_text, min_size=1, max_size=6))
+def test_sliding_chunks_cover_every_word_le_twice(texts):
+    from logray.ops.text import sliding_chunk_explode
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = sliding_chunk_explode(t, "doc_id", "text",
+                                width=4, stride=2).to_pandas()
+    for d, txt in enumerate(texts):
+        words = txt.split()
+        chunks = out[out["doc_id"] == d].sort_values("chunk_id")
+        if not words:
+            assert len(chunks) == 0
+            continue
+        # chunk c covers words [2c, 2c+4); multiset union counts each word
+        # index min(2, #windows containing it) times
+        got = [w_ for c in chunks["chunk_text"] for w_ in c.split()]
+        want = []
+        for c in range(len(chunks)):
+            want.extend(words[2 * c:2 * c + 4])
+        assert got == want
+        assert len(chunks) == (len(words) + 1) // 2
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=0xFFFF),
+       st.integers(min_value=0, max_value=0xFFFF))
+def test_morton2_matches_bitwise_reference(x, y):
+    import numpy as np
+
+    from logray.ops.layout import morton2
+
+    z = int(morton2(np.array([x]), np.array([y]))[0])
+    ref = 0
+    for b in range(16):
+        ref |= ((x >> b) & 1) << (2 * b)
+        ref |= ((y >> b) & 1) << (2 * b + 1)
+    assert z == ref
