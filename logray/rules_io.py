@@ -94,15 +94,22 @@ def rule_to_dict(rule: Rule) -> dict:
     return d
 
 
-def rule_from_dict(d: dict) -> Rule:
+def rule_from_dict(d: dict, grok_library: dict | None = None) -> Rule:
     known = {"rule_id", "sink", "gate", "patterns", "casts", "consts"}
     extra = set(d) - known
     if extra:
         raise ValueError(f"rule {d.get('rule_id')!r}: unknown keys {sorted(extra)}")
+    from .functions.grok import grok_expand
+
+    # grok sugar: %{NAME:field} refs expand to plain regex AT LOAD TIME,
+    # so the vectorized engine never sees grok syntax (zero runtime cost)
+    patterns = tuple(
+        grok_expand(p, grok_library) if "%{" in p else p
+        for p in d.get("patterns", ()))
     return Rule(
         rule_id=d["rule_id"],
         sink=d["sink"],
-        patterns=tuple(d.get("patterns", ())),
+        patterns=patterns,
         gate={k: tuple(v) for k, v in d.get("gate", {}).items()},
         casts=tuple(Cast(c["src"], c["converter"], c.get("dst"))
                     for c in d.get("casts", ())),
@@ -128,7 +135,9 @@ def parse_ruleset_json(text: str) -> tuple[list[Rule], list[tuple[str, pa.DataTy
     if v != FORMAT_VERSION:
         raise ValueError(f"unsupported ruleset format version {v!r}")
     passthrough = [(n, _type_from_str(s)) for n, s in doc["passthrough"]]
-    rules = [rule_from_dict(d) for d in doc["rules"]]
+    # optional user-defined grok patterns, composable with the built-ins
+    grok_library = doc.get("grok_patterns") or None
+    rules = [rule_from_dict(d, grok_library) for d in doc["rules"]]
     return rules, passthrough
 
 

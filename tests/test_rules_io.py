@@ -186,3 +186,47 @@ def test_fuzzed_tables_roundtrip_and_parse_identically():
         assert direct.schema == loaded.schema, f"trial {trial}"
         assert direct.equals(loaded), f"trial {trial}"
         assert direct.num_rows == 80  # never drops rows
+
+
+def test_grok_expansion_named_and_anonymous():
+    from logray.functions.grok import GROK_PATTERNS, grok_expand
+
+    got = grok_expand(r"^%{IP:src} -> %{IP}$")
+    assert got == (f"^(?P<src>{GROK_PATTERNS['IP']}) -> "
+                   f"(?:{GROK_PATTERNS['IP']})$")
+    with pytest.raises(ValueError, match="unknown grok"):
+        grok_expand("%{NOPE:x}")
+    # user library overrides + recursive references
+    lib = {"PAIR": r"%{INT}:%{INT}", "INT": r"\d+"}
+    assert grok_expand("%{PAIR:p}", lib) == r"(?P<p>(?:\d+):(?:\d+))"
+    with pytest.raises(ValueError, match="converge"):
+        grok_expand("%{LOOP}", {"LOOP": "%{LOOP}"})
+
+
+def test_grok_rule_table_end_to_end(tmp_path):
+    doc = {
+        "version": 1,
+        "passthrough": [["text", "string"], ["role", "string"]],
+        "grok_patterns": {"REQID": "req-[0-9a-f]{4}"},
+        "rules": [
+            {"rule_id": "G1", "sink": "s_conn",
+             "patterns": ["^%{LOGLEVEL:level} conn from %{IP:src_ip} "
+                          "id=%{REQID:req} took %{NUMBER:ms}ms$"],
+             "casts": [{"src": "ms", "converter": "float64"}]},
+            {"rule_id": "G9", "sink": "s_rest",
+             "consts": {"event_type": "unknown"}},
+        ],
+    }
+    p = tmp_path / "grok.rules.json"
+    p.write_text(json.dumps(doc))
+    rs = rules_io.load_ruleset(p)
+    out = rs.parse_batch(pa.table({
+        "text": pa.array(["INFO conn from 10.1.2.3 id=req-00af took 12.5ms",
+                          "not a log line"]),
+        "role": pa.array(["tool", "tool"]),
+    })).sort_by("text")
+    rows = {r["rule_id"]: r for r in out.to_pylist()}
+    g = rows["G1"]
+    assert (g["level"], g["src_ip"], g["req"], g["ms"]) == \
+        ("INFO", "10.1.2.3", "req-00af", 12.5)
+    assert rows["G9"]["event_type"] == "unknown"
