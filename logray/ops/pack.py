@@ -62,12 +62,20 @@ def pack_documents(ds, *, token_col: str, id_col: str = "doc_id",
                           dtype=np.int64)
         pack_of, order = pack_block(ids, toks, budget)
         ids_o, toks_o = ids[order], toks[order]
-        # content-derived pack id: min doc id within the pack
+        # content-derived pack id: min doc id within the pack (integer ids
+        # via ufunc scatter-min; string ids via a grouped min)
         n_packs = int(pack_of.max()) + 1
-        min_id = np.full(n_packs, np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(min_id, pack_of, ids_o.astype(np.int64))
+        if ids_o.dtype.kind in "iu":
+            min_id = np.full(n_packs, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(min_id, pack_of, ids_o.astype(np.int64))
+            pack_ids = pa.array(min_id[pack_of], pa.int64())
+        else:
+            import pandas as pd
+
+            m = pd.Series(ids_o).groupby(pack_of).min()
+            pack_ids = pa.array(m.to_numpy()[pack_of])
         return pa.table({id_col: pa.array(ids_o),
                          token_col: pa.array(toks_o, pa.int64()),
-                         "pack_id": pa.array(min_id[pack_of], pa.int64())})
+                         "pack_id": pack_ids})
 
     return ds.map_batches(per_block, batch_format="pyarrow")

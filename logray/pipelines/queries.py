@@ -4470,6 +4470,53 @@ def window_dedup_events(sf_dir: str):
         ds.map_batches(to_w, batch_format="pyarrow"), "user_id", per_bucket)
 
 
+def training_prep_transcripts(sf_dir: str):
+    """End-to-end TRANSCRIPT training-data prep — the A-axis flagship
+    composed with the B-axis operators, every stage streaming:
+
+        render conversations to training text ("role: text" lines,
+            conv-co-partitioned string_agg)
+        → exact dedup on the rendered text (replayed conversations
+            collapse; singleton-hash bypass, content never shuffles twice)
+        → whitespace token counting
+        → sequence packing into ≤2048-token packs (block-local FFD)
+
+    Returns the pack summary (pack_id, docs per pack, token fill). Rows
+    only: packing is block-dependent; each stage's own operator is
+    SQL-oracled or invariant-tested separately."""
+    from ..ops import pack as pack_ops
+    from ..ops.window import _bucketed_apply
+
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["conv_id", "turn_idx", "role", "text"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        line = df["role"] + ": " + df["text"]
+        g = line.groupby(df["conv_id"], sort=False).agg("\n".join)
+        return pd.DataFrame({"conv_id": g.index.to_numpy(),
+                             "rendered": g.to_numpy()})
+
+    rendered = _bucketed_apply(ds, "conv_id", render)
+    kept = dedup.exact_dedup(rendered, text_col="rendered", id_col="conv_id")
+    with_tokens = kept.map_batches(
+        lambda t: text_ops.add_token_counts(t, "rendered").select(
+            ["conv_id", "n_tokens_ws"]),
+        batch_format="pyarrow")
+    packed = pack_ops.pack_documents(with_tokens, token_col="n_tokens_ws",
+                                     id_col="conv_id", budget=2048)
+    return packed.map_batches(
+        lambda t: t.group_by("pack_id").aggregate(
+            [("conv_id", "count"), ("n_tokens_ws", "sum")]).rename_columns(
+            ["pack_id", "n_convs", "pack_tokens"]),
+        batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -4537,6 +4584,7 @@ QUERIES = {
     "compression_ratio_documents": compression_ratio_documents,
     "trailing_7d_active_users": trailing_7d_active_users,
     "window_dedup_events": window_dedup_events,
+    "training_prep_transcripts": training_prep_transcripts,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
