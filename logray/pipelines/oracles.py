@@ -831,6 +831,35 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["bigram_pmi_documents"] = """
+    WITH d AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents),
+    uni AS (
+        SELECT u.w AS w, count(*) AS n
+        FROM d, unnest(d.toks) u(w) GROUP BY 1),
+    tu AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM uni),
+    b AS (
+        SELECT list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                              x -> x[1] || ' ' || x[2]) AS bgs
+        FROM d),
+    big AS (SELECT u.bg AS bigram FROM b, unnest(b.bgs) u(bg)),
+    bi AS (
+        SELECT split_part(bigram, ' ', 1) AS w1,
+               split_part(bigram, ' ', 2) AS w2,
+               count(*) AS n_xy
+        FROM big GROUP BY 1, 2),
+    tb AS (SELECT CAST(sum(n_xy) AS DOUBLE) AS t FROM bi)
+    SELECT bi.w1, bi.w2, CAST(bi.n_xy AS BIGINT) AS n_xy,
+           ln(CAST(bi.n_xy AS DOUBLE)) + ln(tu.t) + ln(tu.t)
+               - ln(tb.t) - ln(CAST(u1.n AS DOUBLE))
+               - ln(CAST(u2.n AS DOUBLE)) AS pmi
+    FROM bi, tu, tb
+    JOIN uni u1 ON u1.w = bi.w1
+    JOIN uni u2 ON u2.w = bi.w2
+    WHERE bi.n_xy >= 5
+"""
+
 ORACLE_SQL["scrub_events_props"] = """
     SELECT event_id,
            regexp_replace(props, '[0-9]+(\\.[0-9]+)?', '<NUM>', 'g')

@@ -4517,6 +4517,92 @@ def training_prep_transcripts(sf_dir: str):
         batch_format="pyarrow")
 
 
+def bigram_pmi_documents(sf_dir: str):
+    """Pointwise mutual information of adjacent word pairs (collocation
+    mining): PMI = ln(p(xy) / (p(x)p(y))) for every bigram seen ≥ 5 times.
+    Counts are exact int64 (flat-token explode, boundary-masked, combiner
+    partials); unigram counts reach the bigram table via two token-shuffle
+    hash joins (vocabulary never broadcasts — the tfidf shape); the PMI
+    float is a fixed-left-associative sum of logs evaluated identically in
+    numpy and the SQL oracle, so values hash-match exactly."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def explode_tokens(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(t["text"], "")))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        return pa.table({"w": flat})
+
+    def explode_pairs(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(t["text"], "")))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        if n < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string())})
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        valid = np.ones(n - 1, dtype=bool)
+        ends = np.cumsum(lens)[:-1]
+        ends = ends[(ends > 0) & (ends < n)]
+        valid[ends - 1] = False
+        vm = pa.array(valid)
+        return pa.table({"w1": flat.slice(0, n - 1).filter(vm),
+                         "w2": flat.slice(1, n - 1).filter(vm)})
+
+    uni = relational.grouped_agg(
+        ds.map_batches(explode_tokens, batch_format="pyarrow"),
+        ["w"], {"n": ("w", "count")}).materialize()
+    bi = relational.grouped_agg(
+        ds.map_batches(explode_pairs, batch_format="pyarrow"),
+        ["w1", "w2"], {"n_xy": ("w1", "count")}).materialize()
+    # totals are sums over the (small) distinct-count tables, driver-side
+    tu = float(sum(pc.sum(b["n"]).as_py() for b in
+                   uni.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    tb = float(sum(pc.sum(b["n_xy"]).as_py() for b in
+                   bi.iter_batches(batch_size=1 << 20, batch_format="pyarrow")))
+    frequent = bi.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_xy"], 5)),
+        batch_format="pyarrow")
+
+    u_schema = pa.schema([("w1", pa.string()), ("n_x", pa.int64())])
+    j1 = relational.hash_join(
+        frequent,
+        uni.map_batches(lambda t: t.rename_columns(["w1", "n_x"]),
+                        batch_format="pyarrow"),
+        on="w1",
+        left_schema=pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                               ("n_xy", pa.int64())]),
+        right_schema=u_schema)
+    j2 = relational.hash_join(
+        j1,
+        uni.map_batches(lambda t: t.rename_columns(["w2", "n_y"]),
+                        batch_format="pyarrow"),
+        on="w2",
+        left_schema=pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                               ("n_xy", pa.int64()), ("n_x", pa.int64())]),
+        right_schema=pa.schema([("w2", pa.string()), ("n_y", pa.int64())]))
+
+    ln_tu, ln_tb = np.log(tu), np.log(tb)
+
+    def fin(t: pa.Table) -> pa.Table:
+        nxy = t["n_xy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nx = t["n_x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ny = t["n_y"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log(nxy) + ln_tu + ln_tu - ln_tb - np.log(nx) - np.log(ny)
+        return pa.table({"w1": t["w1"], "w2": t["w2"],
+                         "n_xy": t["n_xy"],
+                         "pmi": pa.array(pmi, pa.float64())})
+
+    return j2.map_batches(fin, batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -4585,6 +4671,7 @@ QUERIES = {
     "trailing_7d_active_users": trailing_7d_active_users,
     "window_dedup_events": window_dedup_events,
     "training_prep_transcripts": training_prep_transcripts,
+    "bigram_pmi_documents": bigram_pmi_documents,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
