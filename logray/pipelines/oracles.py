@@ -831,6 +831,23 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["time_weighted_value_users"] = """
+    WITH o AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                - epoch_us(ts)) // 1000000 AS dur
+        FROM events),
+    s AS (
+        SELECT user_id,
+               CAST(sum(cents * dur) AS BIGINT) AS wv,
+               CAST(sum(dur) AS BIGINT) AS w
+        FROM o WHERE dur IS NOT NULL GROUP BY user_id)
+    SELECT user_id, CAST(wv AS DOUBLE) / CAST(w AS DOUBLE) AS twa_cents
+    FROM s WHERE w > 0
+"""
+
 ORACLE_SQL["bigram_pmi_documents"] = """
     WITH d AS (
         SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks

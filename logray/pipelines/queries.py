@@ -4603,6 +4603,42 @@ def bigram_pmi_documents(sf_dir: str):
     return j2.map_batches(fin, batch_format="pyarrow")
 
 
+def time_weighted_value_users(sf_dir: str):
+    """Time-weighted average value per user (the telemetry TWA: each
+    reading holds until the next one): weight = whole seconds until the
+    user's next event (the last reading carries no weight). Numerator and
+    denominator are EXACT int64 sums (cents × floor-second durations —
+    magnitudes audited against overflow); the single float division is
+    identical in both engines. One bucket shuffle; lead/duration and the
+    per-user sums are vectorized per bucket."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"], "event_id": t["event_id"],
+                         "us": us, "cents": cents})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        nxt = df.groupby("user_id", sort=False)["us"].shift(-1)
+        dur = ((nxt.to_numpy() - df["us"].to_numpy()) // 1_000_000)
+        m = ~np.isnan(dur)
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy()[m],
+                          "wv": df["cents"].to_numpy()[m] * dur[m].astype(np.int64),
+                          "w": dur[m].astype(np.int64)})
+        g = d.groupby("user_id", sort=False)[["wv", "w"]].sum()
+        keep = g["w"] > 0
+        g = g[keep]
+        return pd.DataFrame({
+            "user_id": g.index.to_numpy(),
+            "twa_cents": g["wv"].to_numpy().astype(np.float64)
+                         / g["w"].to_numpy().astype(np.float64)})
+
+    return window._bucketed_apply(
+        ds.map_batches(prep, batch_format="pyarrow"), "user_id", per_bucket)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -4672,6 +4708,7 @@ QUERIES = {
     "window_dedup_events": window_dedup_events,
     "training_prep_transcripts": training_prep_transcripts,
     "bigram_pmi_documents": bigram_pmi_documents,
+    "time_weighted_value_users": time_weighted_value_users,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
