@@ -831,6 +831,39 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["nation_share_of_region"] = """
+    WITH pn AS (
+        SELECT s_nationkey,
+               CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS bal
+        FROM supplier GROUP BY s_nationkey),
+    j AS (
+        SELECT r_name AS region, n_name AS nation, bal,
+               CAST(sum(bal) OVER (PARTITION BY r_name) AS BIGINT) AS rbal
+        FROM pn
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey)
+    SELECT region, nation,
+           CAST(bal AS DOUBLE) / 100.0 AS nation_bal,
+           CAST(bal AS DOUBLE) / CAST(rbal AS DOUBLE) AS share
+    FROM j
+"""
+
+ORACLE_SQL["running_distinct_types_events"] = """
+    WITH f AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first
+        FROM events)
+    SELECT event_id,
+           CAST(sum(first) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT)
+               AS n_distinct_types
+    FROM f
+"""
+
 ORACLE_SQL["time_weighted_value_users"] = """
     WITH o AS (
         SELECT user_id,

@@ -4639,6 +4639,60 @@ def time_weighted_value_users(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow"), "user_id", per_bucket)
 
 
+def nation_share_of_region(sf_dir: str):
+    """Hierarchical percent-of-parent rollup: each nation's share of its
+    region's total supplier account balance — the drill-down report shape
+    (child aggregate ÷ parent aggregate). Supplier balances pre-aggregate
+    per nation with a combiner exchange (exact cents); the tiny dim joins
+    and the parent rollup run driver-side; the share is one identical
+    float division."""
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_nationkey": t["s_nationkey"],
+            "c": pc.cast(pc.round(pc.multiply(t["s_acctbal"], 100.0)),
+                         pa.int64())})
+
+    per_nation = relational.grouped_agg(
+        sup.map_batches(cents, batch_format="pyarrow"),
+        ["s_nationkey"], {"bal": ("c", "sum")}).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name", "n_regionkey"]
+                           ).to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"]).to_pandas()
+    df = per_nation.merge(nation, left_on="s_nationkey",
+                          right_on="n_nationkey") \
+                   .merge(region, left_on="n_regionkey",
+                          right_on="r_regionkey")
+    parent = df.groupby("r_name")["bal"].transform("sum")
+    out = pd.DataFrame({
+        "region": df["r_name"], "nation": df["n_name"],
+        "nation_bal": df["bal"].to_numpy().astype(np.float64) / 100.0,
+        "share": df["bal"].to_numpy().astype(np.float64)
+                 / parent.to_numpy().astype(np.float64)})
+    return out.sort_values(["region", "nation"]).reset_index(drop=True)
+
+
+def running_distinct_types_events(sf_dir: str):
+    """Running DISTINCT count window (C9): per event, how many distinct
+    event types its user has produced up to and including that event —
+    the cumulative-novelty curve. One bucket shuffle; first-occurrence
+    flags and the cumulative sum are vectorized per bucket (SQL replay:
+    rn=1 flags summed over the ordered window)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        first = (~df.duplicated(["user_id", "event_type"])).astype(np.int64)
+        run = first.groupby(df["user_id"].to_numpy(), sort=False).cumsum()
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "n_distinct_types": run.to_numpy()})
+
+    return window._bucketed_apply(ds, "user_id", per_bucket)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -4709,6 +4763,8 @@ QUERIES = {
     "training_prep_transcripts": training_prep_transcripts,
     "bigram_pmi_documents": bigram_pmi_documents,
     "time_weighted_value_users": time_weighted_value_users,
+    "nation_share_of_region": nation_share_of_region,
+    "running_distinct_types_events": running_distinct_types_events,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
