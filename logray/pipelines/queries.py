@@ -4014,16 +4014,17 @@ def segment_dedup_documents(sf_dir: str):
     return docs.map_batches(rebuild, batch_format="pyarrow")
 
 
-def negative_sample_parts(sf_dir: str):
+def negative_sample_parts(sf_dir: str, hash_mode: str = "md5"):
     """Recommendation-training negative sampling: for every customer, 8
-    deterministic pseudo-random candidate parts (md5 of ``custkey*8+j``
+    deterministic pseudo-random candidate parts (hash of ``custkey*8+j``
     mod |parts|) minus the parts the customer actually bought — the
     classic implicit-feedback negatives construction. The interaction set
     (distinct customer×part via orders⋈lineitem) is built with one
     shuffle join; candidates anti-join against it in one co-partitioned
     exchange (``hash_semi_join(anti=True)``) — nothing driver-side except
-    the |parts| scalar. md5 keeps the sampler DuckDB-oracle-able; swap
-    the splitmix64 hash from ``functions.hashing`` for the scale path."""
+    the |parts| scalar. ``hash_mode='md5'`` (default) keeps the sampler
+    DuckDB-oracle-able; ``'splitmix64'`` is the fully-vectorized scale
+    path (no per-row Python) with identical pipeline shape."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     n_parts = _read(sf_dir, "part", ["p_partkey"]).count()
@@ -4037,14 +4038,21 @@ def negative_sample_parts(sf_dir: str):
         ["c", "p"])
 
     def candidates(t: pa.Table) -> pa.Table:
-        import hashlib
-
         c = t["c_custkey"].to_numpy(zero_copy_only=False)
         seeds = (c[:, None] * 8 + np.arange(8)).reshape(-1)
-        h = pd.Series(seeds.astype(str)).map(
-            lambda s: int(hashlib.md5(s.encode()).hexdigest()[:13], 16))
+        if hash_mode == "md5":
+            import hashlib
+
+            h = pd.Series(seeds.astype(str)).map(
+                lambda s: int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+            ).to_numpy()
+        else:  # splitmix64: vectorized, no per-row Python
+            from ..ops.bloom import _splitmix64
+
+            h = (_splitmix64(seeds.astype(np.uint64))
+                 >> np.uint64(1)).astype(np.int64)
         cand = pd.DataFrame({"c": np.repeat(c, 8),
-                             "p": h.to_numpy() % n_parts}).drop_duplicates()
+                             "p": h % n_parts}).drop_duplicates()
         return pa.table({"c": pa.array(cand["c"].to_numpy(), pa.int64()),
                          "p": pa.array(cand["p"].to_numpy(), pa.int64())})
 
