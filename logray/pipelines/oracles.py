@@ -831,6 +831,16 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["group_size_skew_users"] = """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
+           CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90,
+           CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99,
+           CAST(max(n) AS BIGINT) AS max_n
+    FROM c
+"""
+
 ORACLE_SQL["nation_share_of_region"] = """
     WITH pn AS (
         SELECT s_nationkey,

@@ -4701,6 +4701,36 @@ def running_distinct_types_events(sf_dir: str):
     return window._bucketed_apply(ds, "user_id", per_bucket)
 
 
+def group_size_skew_users(sf_dir: str):
+    """Skew diagnostic (the engine-introspection input to salting
+    decisions): exact order statistics of the per-user group-size
+    distribution — p50/p90/p99/max rows per user plus group count. Same
+    value-distribution shape as ``global_value_quantiles``: per-user
+    counts reduce with one combiner exchange, then the SIZE distribution
+    (count of groups per distinct size — at most a few thousand distinct
+    sizes however many users exist) reduces again, and the order
+    statistics read off its cumulative counts driver-side. No per-group
+    rows ever reach the driver."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    per_user = relational.grouped_agg(ds, ["user_id"],
+                                      {"n": ("user_id", "count")})
+    size_dist = relational.grouped_agg(per_user, ["n"], {"g": ("n", "count")}
+                                       ).to_pandas().sort_values("n")
+    cum = size_dist["g"].cumsum().to_numpy()
+    tot = int(cum[-1])
+    sizes = size_dist["n"].to_numpy()
+
+    def q(p: float) -> int:
+        k = max(int(np.ceil(p * tot)), 1)
+        return int(sizes[int(np.searchsorted(cum, k))])
+
+    return pa.table({"n_groups": pa.array([tot], pa.int64()),
+                     "p50": pa.array([q(0.5)], pa.int64()),
+                     "p90": pa.array([q(0.9)], pa.int64()),
+                     "p99": pa.array([q(0.99)], pa.int64()),
+                     "max_n": pa.array([int(sizes[-1])], pa.int64())})
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -4773,6 +4803,7 @@ QUERIES = {
     "time_weighted_value_users": time_weighted_value_users,
     "nation_share_of_region": nation_share_of_region,
     "running_distinct_types_events": running_distinct_types_events,
+    "group_size_skew_users": group_size_skew_users,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
