@@ -831,6 +831,14 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["turn_length_stats_by_role"] = f"""
+    SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(quantile_disc(len(text), 0.5) AS BIGINT) AS p50_chars,
+           CAST(quantile_disc(len(text), 0.95) AS BIGINT) AS p95_chars,
+           CAST(max(len(text)) AS BIGINT) AS max_chars
+    FROM {_CORPUS} GROUP BY role
+"""
+
 ORACLE_SQL["group_size_skew_users"] = """
     WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
     SELECT CAST(count(*) AS BIGINT) AS n_groups,

@@ -4731,6 +4731,47 @@ def group_size_skew_users(sf_dir: str):
                      "max_n": pa.array([int(sizes[-1])], pa.int64())})
 
 
+def turn_length_stats_by_role(sf_dir: str):
+    """Per-role turn-length distribution over the transcript corpus:
+    exact p50/p95 character lengths and counts per role — the corpus
+    profile a prompt-budget planner reads. Distribution-reduce shape:
+    (role, length) counts aggregate with one combiner exchange (distinct
+    lengths are bounded however many turns exist); order statistics read
+    off cumulative counts per role driver-side."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["role", "text"])
+
+    def lens(t: pa.Table) -> pa.Table:
+        return pa.table({"role": t["role"],
+                         "len": pc.cast(pc.utf8_length(t["text"]),
+                                        pa.int64())})
+
+    dist = relational.grouped_agg(
+        ds.map_batches(lens, batch_format="pyarrow"),
+        ["role", "len"], {"g": ("len", "count")}).to_pandas()
+
+    rows = []
+    for role, d in dist.groupby("role"):
+        d = d.sort_values("len")
+        cum = d["g"].cumsum().to_numpy()
+        tot = int(cum[-1])
+        vals = d["len"].to_numpy()
+
+        def q(p: float) -> int:
+            k = max(int(np.ceil(p * tot)), 1)
+            return int(vals[int(np.searchsorted(cum, k))])
+
+        rows.append({"role": role, "n_turns": tot,
+                     "p50_chars": q(0.5), "p95_chars": q(0.95),
+                     "max_chars": int(vals[-1])})
+    return pd.DataFrame(rows).sort_values("role").reset_index(drop=True)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -4804,6 +4845,7 @@ QUERIES = {
     "nation_share_of_region": nation_share_of_region,
     "running_distinct_types_events": running_distinct_types_events,
     "group_size_skew_users": group_size_skew_users,
+    "turn_length_stats_by_role": turn_length_stats_by_role,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
