@@ -831,6 +831,24 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["order_total_reconciliation"] = """
+    WITH po AS (
+        SELECT l_orderkey AS o_orderkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS li_total
+        FROM lineitem GROUP BY 1),
+    j AS (
+        SELECT o_orderstatus AS status,
+               abs(CAST(round(o_totalprice * 100) AS BIGINT) - li_total)
+                   AS gap
+        FROM orders JOIN po USING (o_orderkey))
+    SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mismatched,
+           CAST(sum(gap) AS BIGINT) AS total_gap_cents
+    FROM j GROUP BY status
+"""
+
 ORACLE_SQL["turn_length_stats_by_role"] = f"""
     SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
            CAST(quantile_disc(len(text), 0.5) AS BIGINT) AS p50_chars,

@@ -4772,6 +4772,57 @@ def turn_length_stats_by_role(sf_dir: str):
     return pd.DataFrame(rows).sort_values("role").reset_index(drop=True)
 
 
+def order_total_reconciliation(sf_dir: str):
+    """Cross-table reconciliation audit (data quality): per order status,
+    how many orders' header total disagrees with the sum of their line
+    items' extended prices (and by how much in aggregate) — the
+    consistency check a warehouse runs after every load. Line items
+    pre-aggregate per order with a combiner exchange (exact cents), one
+    co-partitioned join against headers, then a tiny rollup; the absolute
+    gap stays integer cents end-to-end."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def li_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "c": pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                         pa.int64())})
+
+    per_order = relational.grouped_agg(
+        li.map_batches(li_cents, batch_format="pyarrow"),
+        ["o_orderkey"], {"li_total": ("c", "sum")})
+
+    def hdr(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "status": t["o_orderstatus"],
+            "hdr_total": pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                                      100.0)), pa.int64())})
+
+    joined = relational.hash_join(
+        orders.map_batches(hdr, batch_format="pyarrow"), per_order,
+        on="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("status", pa.string()),
+                               ("hdr_total", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("li_total", pa.int64())]))
+
+    def gap(t: pa.Table) -> pa.Table:
+        d = pc.abs(pc.subtract(t["hdr_total"], t["li_total"]))
+        return pa.table({"status": t["status"],
+                         "mismatch": pc.cast(pc.greater(d, 0), pa.int64()),
+                         "gap": d})
+
+    return relational.grouped_agg(
+        joined.map_batches(gap, batch_format="pyarrow"),
+        ["status"], {"n_orders": ("mismatch", "count"),
+                     "n_mismatched": ("mismatch", "sum"),
+                     "total_gap_cents": ("gap", "sum")})
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -4846,6 +4897,7 @@ QUERIES = {
     "running_distinct_types_events": running_distinct_types_events,
     "group_size_skew_users": group_size_skew_users,
     "turn_length_stats_by_role": turn_length_stats_by_role,
+    "order_total_reconciliation": order_total_reconciliation,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
