@@ -831,6 +831,76 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["bm25_documents"] = """
+    WITH d AS (
+        SELECT doc_id,
+               regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS s
+        FROM documents),
+    base AS (
+        SELECT doc_id,
+               CASE WHEN s = '' THEN 0
+                    ELSE CAST(len(regexp_split_to_array(s, '\\s+'))
+                              AS BIGINT) END AS L
+        FROM d),
+    wp AS (
+        SELECT doc_id, unnest(regexp_split_to_array(s, '\\s+')) AS word
+        FROM d WHERE s <> ''),
+    tf AS (
+        SELECT doc_id,
+               sum(CASE WHEN word = 'merge' THEN 1 ELSE 0 END) AS tf0,
+               sum(CASE WHEN word = 'window' THEN 1 ELSE 0 END) AS tf1,
+               sum(CASE WHEN word = 'key' THEN 1 ELSE 0 END) AS tf2
+        FROM wp GROUP BY doc_id),
+    j AS (
+        SELECT base.doc_id, base.L,
+               COALESCE(tf0, 0) AS tf0, COALESCE(tf1, 0) AS tf1,
+               COALESCE(tf2, 0) AS tf2
+        FROM base LEFT JOIN tf USING (doc_id)),
+    st AS (
+        SELECT CAST(count(*) AS DOUBLE) AS N,
+               CAST(sum(L) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+               CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+               CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+               CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        FROM j)
+    SELECT doc_id,
+           ln((st.N - st.df0 + 0.5) / (st.df0 + 0.5))
+               * (CAST(tf0 AS DOUBLE) * 2.2)
+               / (CAST(tf0 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(L AS DOUBLE) / st.avgdl)))
+         + ln((st.N - st.df1 + 0.5) / (st.df1 + 0.5))
+               * (CAST(tf1 AS DOUBLE) * 2.2)
+               / (CAST(tf1 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(L AS DOUBLE) / st.avgdl)))
+         + ln((st.N - st.df2 + 0.5) / (st.df2 + 0.5))
+               * (CAST(tf2 AS DOUBLE) * 2.2)
+               / (CAST(tf2 AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(L AS DOUBLE) / st.avgdl)))
+               AS score
+    FROM j, st
+    WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+"""
+
+ORACLE_SQL["kwic_documents"] = """
+    WITH w AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                   '\\s+') AS words
+        FROM documents
+        WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''),
+    wp AS (
+        SELECT doc_id, unnest(words) AS word,
+               unnest(range(len(words))) AS pos
+        FROM w),
+    h AS (SELECT doc_id, pos AS hit FROM wp WHERE word = 'merge')
+    SELECT h.doc_id, CAST(h.hit AS BIGINT) AS pos,
+           string_agg(wp.word, ' ' ORDER BY wp.pos) AS context
+    FROM h JOIN wp ON wp.doc_id = h.doc_id
+                  AND wp.pos BETWEEN h.hit - 3 AND h.hit + 3
+    GROUP BY h.doc_id, h.hit
+"""
+
 ORACLE_SQL["order_total_reconciliation"] = """
     WITH po AS (
         SELECT l_orderkey AS o_orderkey,

@@ -4823,6 +4823,124 @@ def order_total_reconciliation(sf_dir: str):
                      "total_gap_cents": ("gap", "sum")})
 
 
+def kwic_documents(sf_dir: str, term: str = "merge", ctx: int = 3):
+    """Keyword-in-context extraction (corpus exploration): every
+    occurrence of the term with ±3 words of context, as one string per
+    hit. Tokens of the whole batch stay in one flat Arrow array;
+    occurrence positions come from a vectorized equality scan and the
+    context windows from pure offset arithmetic clipped at document
+    boundaries — one binary_join per batch, no shuffle at all."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kwic(t: pa.Table) -> pa.Table:
+        split = pc.utf8_split_whitespace(pc.fill_null(t["text"], ""))
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        offsets = split.offsets.to_numpy().astype(np.int64)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not nonempty.all():
+            cs = np.concatenate(([0], np.cumsum(nonempty.astype(np.int64))))
+            offsets = cs[offsets]
+            flat = flat.filter(pa.array(nonempty))
+        hits = np.flatnonzero(
+            pc.equal(flat, term).to_numpy(zero_copy_only=False))
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "context": pa.array([], pa.string())})
+        if len(hits) == 0:
+            return empty
+        docidx = np.searchsorted(offsets, hits, side="right") - 1
+        lo = np.maximum(hits - ctx, offsets[docidx])
+        hi = np.minimum(hits + ctx + 1, offsets[docidx + 1])
+        # gather index: concat of [lo_i, hi_i) per hit
+        lens = hi - lo
+        goff = np.concatenate(([0], np.cumsum(lens)))
+        idx = (np.arange(goff[-1], dtype=np.int64)
+               - np.repeat(goff[:-1], lens) + np.repeat(lo, lens))
+        words = flat.take(pa.array(idx))
+        ctxs = pc.binary_join(
+            pa.ListArray.from_arrays(goff.astype(np.int32),
+                                     words.combine_chunks()
+                                     if isinstance(words, pa.ChunkedArray)
+                                     else words), " ")
+        ids = (t["doc_id"].combine_chunks()
+               if isinstance(t["doc_id"], pa.ChunkedArray)
+               else t["doc_id"]).take(pa.array(docidx))
+        return pa.table({"doc_id": ids,
+                         "pos": pa.array(hits - offsets[docidx], pa.int64()),
+                         "context": ctxs.cast(pa.string())})
+
+    return ds.map_batches(kwic, batch_format="pyarrow")
+
+
+def bm25_documents(sf_dir: str):
+    """BM25 relevance scoring for the fixed query {merge, window, key}
+    (k1=1.2, b=0.75) — the classic search ranking function, distributed:
+    ONE stateless pass computes each doc's length and exact per-term
+    frequencies from the flat token array (vectorized scatter-add, no
+    per-row Python, no shuffle); the corpus stats (N, avgdl, per-term df)
+    are tiny per-batch partial sums combined driver-side and broadcast
+    back into the scoring map. Every float expression — idf, the
+    term-saturation fraction, the 3-term sum — is written in the
+    identical operation order in numpy and SQL, so scores value-match
+    bit-for-bit. Only docs containing ≥1 query term are emitted."""
+    TERMS = ["merge", "window", "key"]
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        split = pc.utf8_split_whitespace(pc.fill_null(t["text"], ""))
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        offsets = split.offsets.to_numpy().astype(np.int64)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not nonempty.all():
+            cs = np.concatenate(([0], np.cumsum(nonempty.astype(np.int64))))
+            offsets = cs[offsets]
+            flat = flat.filter(pa.array(nonempty))
+        n_docs = t.num_rows
+        L = np.diff(offsets)
+        cols = {"doc_id": t["doc_id"], "L": pa.array(L, pa.int64())}
+        for i, term in enumerate(TERMS):
+            hits = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.zeros(n_docs, dtype=np.int64)
+            if hits.any():
+                docidx = (np.searchsorted(offsets, np.flatnonzero(hits),
+                                          side="right") - 1)
+                np.add.at(tf, docidx, 1)
+            cols[f"tf{i}"] = pa.array(tf, pa.int64())
+        return pa.table(cols)
+
+    stats = ds.map_batches(per_doc, batch_format="pyarrow").materialize()
+    N = sL = 0
+    df = np.zeros(len(TERMS), dtype=np.int64)
+    for b in stats.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        N += b.num_rows
+        sL += pc.sum(b["L"]).as_py()
+        for i in range(len(TERMS)):
+            df[i] += pc.sum(pc.cast(pc.greater(b[f"tf{i}"], 0),
+                                    pa.int64())).as_py()
+    avgdl = float(sL) / float(N)
+    idf = [np.log((float(N) - float(d) + 0.5) / (float(d) + 0.5))
+           for d in df]
+
+    def score(t: pa.Table) -> pa.Table:
+        L = t["L"].to_numpy(zero_copy_only=False).astype(np.float64)
+        norm = 1.2 * (0.25 + 0.75 * (L / avgdl))
+        total = np.zeros(len(L))
+        any_hit = np.zeros(len(L), dtype=bool)
+        for i in range(len(TERMS)):
+            tf = t[f"tf{i}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            total = total + idf[i] * (tf * 2.2) / (tf + norm)
+            any_hit |= tf > 0
+        return pa.table({"doc_id": t["doc_id"],
+                         "score": pa.array(total, pa.float64())}
+                        ).filter(pa.array(any_hit))
+
+    return stats.map_batches(score, batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -4898,6 +5016,8 @@ QUERIES = {
     "group_size_skew_users": group_size_skew_users,
     "turn_length_stats_by_role": turn_length_stats_by_role,
     "order_total_reconciliation": order_total_reconciliation,
+    "kwic_documents": kwic_documents,
+    "bm25_documents": bm25_documents,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
