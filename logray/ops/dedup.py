@@ -212,6 +212,55 @@ def minhash_signatures(texts, num_perm: int, shingle_k: int,
     return out
 
 
+def _minhash_sig_batch(batch: pa.Table, *, text_col: str, id_col: str,
+                       num_perm: int, bands: int, shingle_k: int,
+                       negate_ids: bool = False) -> pa.Table:
+    """Shared per-batch MinHash kernel: per-doc signature + per-band
+    bucket hash (band row-slices folded with a wrapping multiply-add).
+    ``negate_ids`` sign-codes ids to ``-(id+1)`` — the cross-corpus
+    marker used by ``minhash_decontaminate``."""
+    rows_per_band = num_perm // bands
+    if batch.num_rows == 0:  # keep the schema typed on empty blocks
+        id_type = pa.int64() if negate_ids else batch.schema.field(id_col).type
+        return pa.table({
+            id_col: pa.array([], id_type),
+            "_sig": pa.array([], pa.list_(pa.uint64())),
+            "_bh": pa.array([], pa.list_(pa.int64())),
+        })
+    texts = batch[text_col]
+    ids = batch[id_col].to_pandas().to_numpy()
+    if negate_ids:
+        ids = -(ids.astype(np.int64) + 1)
+    sig = minhash_signatures(texts, num_perm, shingle_k)
+    band_view = sig.reshape(len(texts), bands, rows_per_band)
+    bh = np.zeros((len(texts), bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows_per_band):
+            bh = bh * _ROLL + band_view[:, :, r]
+    return pa.table({
+        id_col: pa.array(ids),
+        "_sig": pa.array(list(sig)),
+        "_bh": pa.array(list(bh.view(np.int64))),  # int64 bits: uint64 overflows Ray aggregates
+    })
+
+
+def _explode_bands(batch: pa.Table, *, id_col: str, bands: int) -> pa.Table:
+    """Shared band explode: per-doc ``_bh`` list → one narrow
+    (id, band_id, band_hash) row per band — the only rows that enter the
+    bucket-count shuffle; signatures never ride it."""
+    n = batch.num_rows
+    ids = batch[id_col].to_pandas().to_numpy()
+    if n == 0:
+        bh = np.zeros((0, bands), dtype=np.int64)
+    else:
+        bh = np.stack(batch["_bh"].to_pandas().to_numpy())
+    return pa.table({
+        id_col: pa.array(np.repeat(ids, bands), batch.schema.field(id_col).type),
+        "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+        "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+    })
+
+
 def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
                       threshold: float = 0.8,
@@ -237,45 +286,14 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
     wins; above it the fully-distributed min-label propagation takes over
     automatically — the band/bucket stages are unchanged either way.
     """
-    rows_per_band = num_perm // bands
-
-    def per_doc(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:  # keep the schema typed on empty blocks
-            return pa.table({
-                id_col: pa.array([], batch.schema.field(id_col).type),
-                "_sig": pa.array([], pa.list_(pa.uint64())),
-                "_bh": pa.array([], pa.list_(pa.int64())),
-            })
-        texts = batch[text_col]
-        ids = batch[id_col].to_pandas().to_numpy()
-        sig = minhash_signatures(texts, num_perm, shingle_k)
-        band_view = sig.reshape(len(texts), bands, rows_per_band)
-        # fold each band's row-slice into one bucket key (vectorized)
-        bh = np.zeros((len(texts), bands), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for r in range(rows_per_band):
-                bh = bh * _ROLL + band_view[:, :, r]
-        return pa.table({
-            id_col: pa.array(ids),
-            "_sig": pa.array(list(sig)),
-            "_bh": pa.array(list(bh.view(np.int64))),  # int64 bits: uint64 overflows Ray aggregates
-        })
-
-    def explode(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        ids = batch[id_col].to_pandas().to_numpy()
-        if n == 0:
-            bh = np.zeros((0, bands), dtype=np.int64)
-        else:
-            bh = np.stack(batch["_bh"].to_pandas().to_numpy())
-        return pa.table({
-            id_col: pa.array(np.repeat(ids, bands), batch.schema.field(id_col).type),
-            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
-        })
-
-    sig_tbl = ds.map_batches(per_doc, batch_format="pyarrow").materialize()
-    banded = sig_tbl.map_batches(explode, batch_format="pyarrow")
+    sig_tbl = ds.map_batches(
+        _minhash_sig_batch,
+        fn_kwargs=dict(text_col=text_col, id_col=id_col, num_perm=num_perm,
+                       bands=bands, shingle_k=shingle_k),
+        batch_format="pyarrow").materialize()
+    banded = sig_tbl.map_batches(_explode_bands,
+                                 fn_kwargs=dict(id_col=id_col, bands=bands),
+                                 batch_format="pyarrow")
 
     def make_pairs_fn(sig_ref, sig_local):
         def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -695,50 +713,24 @@ def minhash_decontaminate(train, bench, text_col: str = "text",
     contaminated train doc: ``(id_col, bench_id, est_jaccard)`` with the
     best-matching benchmark doc.
     """
-    rows_per_band = num_perm // bands
-
-    def per_doc(negate: bool):
-        def fn(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table({
-                    id_col: pa.array([], pa.int64()),
-                    "_sig": pa.array([], pa.list_(pa.uint64())),
-                    "_bh": pa.array([], pa.list_(pa.int64())),
-                })
-            texts = batch[text_col]
-            ids = batch[id_col].to_pandas().to_numpy().astype(np.int64)
-            if negate:
-                ids = -(ids + 1)
-            sig = minhash_signatures(texts, num_perm, shingle_k)
-            band_view = sig.reshape(len(texts), bands, rows_per_band)
-            bh = np.zeros((len(texts), bands), dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                for r in range(rows_per_band):
-                    bh = bh * _ROLL + band_view[:, :, r]
-            return pa.table({
-                id_col: pa.array(ids),
-                "_sig": pa.array(list(sig)),
-                "_bh": pa.array(list(bh.view(np.int64))),
-            })
-        return fn
-
-    def explode(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        ids = batch[id_col].to_pandas().to_numpy()
-        if n == 0:
-            bh = np.zeros((0, bands), dtype=np.int64)
-        else:
-            bh = np.stack(batch["_bh"].to_pandas().to_numpy())
-        return pa.table({
-            id_col: pa.array(np.repeat(ids, bands), pa.int64()),
-            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
-        })
-
-    sig_tbl = (train.map_batches(per_doc(False), batch_format="pyarrow")
-               .union(bench.map_batches(per_doc(True), batch_format="pyarrow"))
+    kw = dict(text_col=text_col, id_col=id_col, num_perm=num_perm,
+              bands=bands, shingle_k=shingle_k)
+    # ids must be int64 on BOTH sides so the union schema matches the
+    # sign-coded bench ids
+    sig_tbl = (train.map_batches(
+                   lambda t: pa.table({**{c: t[c] for c in t.column_names
+                                          if c != id_col},
+                                       id_col: pc.cast(t[id_col], pa.int64())}),
+                   batch_format="pyarrow")
+               .map_batches(_minhash_sig_batch, fn_kwargs=kw,
+                            batch_format="pyarrow")
+               .union(bench.map_batches(_minhash_sig_batch,
+                                        fn_kwargs=dict(kw, negate_ids=True),
+                                        batch_format="pyarrow"))
                .materialize())
-    banded = sig_tbl.map_batches(explode, batch_format="pyarrow")
+    banded = sig_tbl.map_batches(_explode_bands,
+                                 fn_kwargs=dict(id_col=id_col, bands=bands),
+                                 batch_format="pyarrow")
 
     def make_pairs_fn(sig_ref, sig_local):
         def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
