@@ -4027,7 +4027,8 @@ def negative_sample_parts(sf_dir: str, hash_mode: str = "md5"):
     path (no per-row Python) with identical pipeline shape."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    n_parts = _read(sf_dir, "part", ["p_partkey"]).count()
+    # |parts| from the parquet footer — no Ray execution for one scalar
+    n_parts = pq.ParquetFile(f"{sf_dir}/part.parquet").metadata.num_rows
 
     inter = relational.distinct(
         relational.hash_join(
@@ -4258,11 +4259,13 @@ def incremental_dedup_documents(sf_dir: str):
     from ..ops import bloom as bloom_ops
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    stats = docs.map_batches(
-        lambda t: pa.table({"mx": pa.array([pc.max(t["doc_id"]).as_py()],
-                                           pa.int64())}),
-        batch_format="pyarrow").to_pandas()
-    cut = (int(stats["mx"].max()) + 1) // 2
+    # the history/delta cut comes straight from the parquet row-group
+    # max statistics — one footer read, no Ray execution
+    md = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    col = {md.schema.column(i).name: i for i in range(md.num_columns)}["doc_id"]
+    mx = max(md.row_group(rg).column(col).statistics.max
+             for rg in range(md.num_row_groups))
+    cut = (int(mx) + 1) // 2
 
     hist = docs.map_batches(
         lambda t: t.filter(pc.less(t["doc_id"], cut)).select(["text"]),
