@@ -831,6 +831,42 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["yoy_monthly_orders"] = """
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1)
+    SELECT a.month,
+           CAST(a.cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(b.cents AS DOUBLE) / 100.0 AS prev_year_revenue,
+           CAST(a.cents AS DOUBLE) / CAST(b.cents AS DOUBLE) AS yoy_ratio
+    FROM m a JOIN m b ON b.month = a.month - INTERVAL 1 YEAR
+"""
+
+ORACLE_SQL["duplicate_share_by_source"] = """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+           1.0 - (CAST(count(DISTINCT text) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) AS dup_share
+    FROM documents GROUP BY source
+"""
+
+ORACLE_SQL["tool_usage_stats_transcripts"] = f"""
+    WITH c AS (
+        SELECT conv_id, tool FROM {_CORPUS}
+        WHERE role = 'tool' AND tool IS NOT NULL),
+    a AS (
+        SELECT tool, count(*) AS n_calls,
+               count(DISTINCT conv_id) AS n_convs
+        FROM c GROUP BY 1),
+    t AS (SELECT CAST(sum(n_calls) AS DOUBLE) AS tot FROM a)
+    SELECT tool, CAST(n_calls AS BIGINT) AS n_calls,
+           CAST(n_convs AS BIGINT) AS n_convs,
+           CAST(n_calls AS DOUBLE) / t.tot AS share
+    FROM a, t
+"""
+
 ORACLE_SQL["bm25_documents"] = """
     WITH d AS (
         SELECT doc_id,

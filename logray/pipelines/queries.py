@@ -4944,6 +4944,87 @@ def bm25_documents(sf_dir: str):
     return stats.map_batches(score, batch_format="pyarrow")
 
 
+def yoy_monthly_orders(sf_dir: str):
+    """Year-over-year seasonality: monthly order revenue with the
+    same-month-last-year total and the YoY ratio. Per-batch (month,
+    cents) partials combine in one tiny exchange; the ≤ a-few-dozen-row
+    month series takes its lag-12 and single-division ratio driver-side."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["o_orderdate"].dt.to_period("M").dt.start_time
+        c = (df["o_totalprice"] * 100.0).round().astype(np.int64)
+        g = c.groupby(m.rename("month"), sort=False).sum()
+        return pd.DataFrame({"month": g.index.to_numpy(),
+                             "cents": g.to_numpy()})
+
+    series = relational.grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["month"], {"cents": ("cents", "sum")}).to_pandas()
+    series = series.sort_values("month").reset_index(drop=True)
+    prev = {(m.year - 1, m.month): None for m in series["month"]}
+    by_ym = {(m.year, m.month): c
+             for m, c in zip(series["month"], series["cents"])}
+    prev_c = np.array([by_ym.get((m.year - 1, m.month), -1)
+                       for m in series["month"]], dtype=np.int64)
+    has = prev_c >= 0
+    out = pd.DataFrame({
+        "month": series["month"],
+        "revenue": series["cents"].to_numpy().astype(np.float64) / 100.0,
+        "prev_year_revenue": prev_c.astype(np.float64) / 100.0,
+        "yoy_ratio": series["cents"].to_numpy().astype(np.float64)
+                     / prev_c.astype(np.float64)})
+    # only months with a same-month-prior-year comparison (INNER semantics)
+    return out[has].reset_index(drop=True)
+
+
+def duplicate_share_by_source(sf_dir: str):
+    """Per-source exact-duplicate share (the signal that drives per-source
+    mixture weights in corpus curation): 1 − distinct texts / total docs
+    per source. Distinct (source, text) pairs reduce with one combiner
+    distinct exchange; totals with another tiny count exchange; the share
+    is one identical float division."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    tot = relational.grouped_agg(ds, ["source"], {"n": ("text", "count")})
+    uniq = relational.grouped_agg(
+        relational.distinct(ds, ["source", "text"]),
+        ["source"], {"n_distinct": ("text", "count")})
+    t = tot.to_pandas().merge(uniq.to_pandas(), on="source")
+    return pd.DataFrame({
+        "source": t["source"], "n_docs": t["n"],
+        "n_distinct": t["n_distinct"],
+        "dup_share": 1.0 - (t["n_distinct"].to_numpy().astype(np.float64)
+                            / t["n"].to_numpy().astype(np.float64))}
+    ).sort_values("source").reset_index(drop=True)
+
+
+def tool_usage_stats_transcripts(sf_dir: str):
+    """Tool-call usage profile over the transcript corpus: per tool, how
+    many tool turns and how many distinct conversations invoke it, plus
+    its share of all tool calls — the agent-telemetry rollup. Combiner
+    count + distinct-pair reduce; share is one identical division."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["conv_id", "role", "tool"])
+    calls = ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["role"], "tool"),
+                                   pc.is_valid(t["tool"]))),
+        batch_format="pyarrow")
+    n_calls = relational.grouped_agg(calls, ["tool"],
+                                     {"n_calls": ("tool", "count")})
+    n_convs = relational.grouped_agg(
+        relational.distinct(calls, ["tool", "conv_id"]),
+        ["tool"], {"n_convs": ("conv_id", "count")})
+    t = n_calls.to_pandas().merge(n_convs.to_pandas(), on="tool")
+    total = float(t["n_calls"].sum())
+    t["share"] = t["n_calls"].to_numpy().astype(np.float64) / total
+    return t.sort_values("tool").reset_index(drop=True)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -5021,6 +5102,9 @@ QUERIES = {
     "order_total_reconciliation": order_total_reconciliation,
     "kwic_documents": kwic_documents,
     "bm25_documents": bm25_documents,
+    "yoy_monthly_orders": yoy_monthly_orders,
+    "duplicate_share_by_source": duplicate_share_by_source,
+    "tool_usage_stats_transcripts": tool_usage_stats_transcripts,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
