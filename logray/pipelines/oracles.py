@@ -831,6 +831,44 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["conversation_depth_histogram"] = f"""
+    WITH c AS (SELECT conv_id, count(*) AS n_turns FROM {_CORPUS}
+               GROUP BY conv_id)
+    SELECT CAST(n_turns AS BIGINT) AS n_turns,
+           CAST(count(*) AS BIGINT) AS n_convs
+    FROM c GROUP BY n_turns
+"""
+
+ORACLE_SQL["ltv_deciles_users"] = """
+    WITH ltv AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ltv
+        FROM events GROUP BY user_id),
+    t AS (
+        SELECT user_id, ltv,
+               ntile(10) OVER (ORDER BY ltv DESC, user_id) AS decile
+        FROM ltv)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(CAST(sum(ltv) AS BIGINT) AS DOUBLE) / 100.0 AS total_value
+    FROM t GROUP BY decile
+"""
+
+ORACLE_SQL["priority_escalations_customers"] = """
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS r,
+               lag(CAST(substr(o_orderpriority, 1, 1) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders)
+    SELECT o_custkey AS custkey,
+           CAST(sum(CASE WHEN r < prev THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_escalations
+    FROM o GROUP BY o_custkey
+    HAVING sum(CASE WHEN r < prev THEN 1 ELSE 0 END) > 0
+"""
+
 ORACLE_SQL["yoy_monthly_orders"] = """
     WITH m AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,

@@ -5025,6 +5025,82 @@ def tool_usage_stats_transcripts(sf_dir: str):
     return t.sort_values("tool").reset_index(drop=True)
 
 
+def conversation_depth_histogram(sf_dir: str):
+    """Conversation-depth distribution (corpus shape profile): how many
+    conversations have exactly n turns, for every observed depth. Two
+    combiner-aggregated exchanges (per-conv counts, then counts of
+    counts) — conversations never reach the driver."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["conv_id"])
+    per_conv = relational.grouped_agg(ds, ["conv_id"],
+                                      {"n_turns": ("conv_id", "count")})
+    return relational.grouped_agg(per_conv, ["n_turns"],
+                                  {"n_convs": ("n_turns", "count")})
+
+
+def ltv_deciles_users(sf_dir: str):
+    """Customer-lifetime-value deciles: per-user total event value (exact
+    cents, combiner-aggregated) bucketed into 10 equal-count tiles, each
+    reporting its user count and total value — the standard LTV report.
+    The ntile runs over the per-user AGGREGATE (one row per user — orders
+    of magnitude below the event stream; switch to the value-distribution
+    shuffle of `global_value_quantiles` if the key cardinality ever rivals
+    the row count)."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "c": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                                      pa.int64())})
+
+    ltv = relational.grouped_agg(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["user_id"], {"ltv": ("c", "sum")})
+    tiled = window.ntile(
+        ltv.map_batches(lambda t: t.append_column("g", pa.nulls(
+            t.num_rows, pa.int64()).fill_null(0)), batch_format="pyarrow"),
+        "g", [("ltv", True), ("user_id", False)], 10, out_col="decile")
+    out = relational.grouped_agg(tiled, ["decile"],
+                                 {"n_users": ("user_id", "count"),
+                                  "total_cents": ("ltv", "sum")}).to_pandas()
+    out["total_value"] = out["total_cents"].to_numpy().astype(np.float64) / 100.0
+    return out[["decile", "n_users", "total_value"]] \
+        .sort_values("decile").reset_index(drop=True)
+
+
+def priority_escalations_customers(sf_dir: str):
+    """Order-priority escalation detection: customers whose order stream
+    (by date) ever jumps to a MORE urgent priority class than the previous
+    order — per customer, how many such escalations. One bucket shuffle by
+    customer; priority rank is the leading digit, the transition test a
+    vectorized shift."""
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rank = pc.cast(pc.utf8_slice_codeunits(t["o_orderpriority"], 0, 1),
+                       pa.int64())
+        return pa.table({"c": t["o_custkey"], "k": t["o_orderkey"],
+                         "d": t["o_orderdate"], "r": rank})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["c", "d", "k"], kind="mergesort")
+        prev = df.groupby("c", sort=False)["r"].shift(1)
+        esc = (df["r"].to_numpy() < prev.to_numpy()).astype(np.int64)
+        g = pd.Series(esc).groupby(df["c"].to_numpy(), sort=False).sum()
+        g = g[g > 0]
+        return pd.DataFrame({"custkey": g.index.to_numpy(),
+                             "n_escalations": g.to_numpy()})
+
+    return window._bucketed_apply(
+        ds.map_batches(prep, batch_format="pyarrow"), "c", per_bucket)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -5105,6 +5181,9 @@ QUERIES = {
     "yoy_monthly_orders": yoy_monthly_orders,
     "duplicate_share_by_source": duplicate_share_by_source,
     "tool_usage_stats_transcripts": tool_usage_stats_transcripts,
+    "conversation_depth_histogram": conversation_depth_histogram,
+    "ltv_deciles_users": ltv_deciles_users,
+    "priority_escalations_customers": priority_escalations_customers,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
