@@ -831,6 +831,55 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["hhi_supplier_revenue_by_nation"] = """
+    WITH rev AS (
+        SELECT l_suppkey AS s,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) // 100)
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1),
+    j AS (
+        SELECT n_name AS nation, rev
+        FROM rev JOIN supplier ON s_suppkey = s
+                 JOIN nation ON n_nationkey = s_nationkey)
+    SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(CAST(sum(rev * rev) AS BIGINT) AS DOUBLE)
+               / (CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE)
+                  * CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE)) AS hhi
+    FROM j GROUP BY nation
+"""
+
+ORACLE_SQL["events_dow_hour_counts"] = """
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+"""
+
+ORACLE_SQL["langid_confusion_documents"] = f"""
+    WITH c AS (
+        SELECT doc_id, lang,
+               greatest(CAST(length(coalesce(text, '')) AS DOUBLE), 1.0)
+                   AS nchars,
+               CAST(len(regexp_extract_all(coalesce(text, ''),
+                   '[一-鿿぀-ヿ가-힯]')) AS DOUBLE) AS cjk,
+               {_LANG_COUNTS}
+        FROM documents),
+    s AS (
+        SELECT doc_id, lang, cjk / nchars AS cjk_ratio,
+               greatest(c_en, c_de, c_es, c_fr, c_it) AS best,
+               c_en, c_de, c_es, c_fr, c_it
+        FROM c),
+    p AS (
+        SELECT lang,
+               CASE WHEN cjk_ratio > 0.05 THEN 'zh'
+                    WHEN best < 2 THEN 'unknown'
+                    {_ARGMAX_CASE}
+                    END AS lang_pred
+        FROM s)
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY lang, lang_pred
+"""
+
 ORACLE_SQL["conversation_depth_histogram"] = f"""
     WITH c AS (SELECT conv_id, count(*) AS n_turns FROM {_CORPUS}
                GROUP BY conv_id)

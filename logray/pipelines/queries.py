@@ -5101,6 +5101,77 @@ def priority_escalations_customers(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow"), "c", per_bucket)
 
 
+def hhi_supplier_revenue_by_nation(sf_dir: str):
+    """Market-concentration (Herfindahl–Hirschman) index of supplier
+    revenue within each nation: HHI = Σ share² = Σ rev² / (Σ rev)². Both
+    sums are EXACT int64 over whole-dollar revenues (cents // 100 keeps
+    Σ rev² far from overflow at bench scales; recheck magnitudes before a
+    1000× corpus), so the index is one identical float division. Revenue
+    per supplier pre-aggregates with a combiner exchange; the supplier →
+    nation map is a broadcast dim join."""
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+
+    def dollars(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"s": t["l_suppkey"],
+                         "d": pc.divide(c, 100)})
+
+    rev = relational.grouped_agg(
+        li.map_batches(dollars, batch_format="pyarrow"),
+        ["s"], {"rev": ("d", "sum")}).to_pandas()
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    df = rev.merge(sup, left_on="s", right_on="s_suppkey") \
+            .merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    df["rev2"] = df["rev"] * df["rev"]
+    g = df.groupby("n_name")[["rev", "rev2"]].sum()
+    return pd.DataFrame({
+        "nation": g.index.to_numpy(),
+        "n_suppliers": df.groupby("n_name")["s"].size().to_numpy()
+                         .astype(np.int64),
+        "hhi": g["rev2"].to_numpy().astype(np.float64)
+               / (g["rev"].to_numpy().astype(np.float64)
+                  * g["rev"].to_numpy().astype(np.float64))}
+    ).sort_values("nation").reset_index(drop=True)
+
+
+def events_dow_hour_counts(sf_dir: str):
+    """Operational heatmap: event counts by (ISO day-of-week, hour) — the
+    when-does-traffic-happen rollup. One combiner exchange over 168 cells."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "dow": pc.cast(pc.day_of_week(t["ts"]), pa.int64()),
+            "hour": pc.cast(pc.hour(t["ts"]), pa.int64())}) \
+            .group_by(["dow", "hour"]).aggregate([("hour", "count")])
+        return pa.table({"dow": pc.add(g["dow"], 1),  # Arrow Mon=0 → ISO Mon=1
+                         "hour": g["hour"],
+                         "n": pc.cast(g["hour_count"], pa.int64())})
+
+    return relational.grouped_agg(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["dow", "hour"], {"n": ("n", "sum")})
+
+
+def langid_confusion_documents(sf_dir: str):
+    """Language-ID evaluation cross-tab: labeled ``lang`` vs the
+    LangIdStage prediction, with counts — the model-eval confusion matrix
+    as a pipeline (stateful actor stage → tiny grouped rollup). The oracle
+    replays the same stopword-profile scoring in SQL (RE2 counts), so the
+    whole confusion matrix value-matches."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pred = ds.map_batches(text_ops.LangIdStage, batch_format="pyarrow",
+                          concurrency=(1, 4))
+    return relational.grouped_agg(
+        pred.map_batches(lambda t: t.select(["lang", "lang_pred"]),
+                         batch_format="pyarrow"),
+        ["lang", "lang_pred"], {"n": ("lang_pred", "count")})
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -5184,6 +5255,9 @@ QUERIES = {
     "conversation_depth_histogram": conversation_depth_histogram,
     "ltv_deciles_users": ltv_deciles_users,
     "priority_escalations_customers": priority_escalations_customers,
+    "hhi_supplier_revenue_by_nation": hhi_supplier_revenue_by_nation,
+    "events_dow_hour_counts": events_dow_hour_counts,
+    "langid_confusion_documents": langid_confusion_documents,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
