@@ -831,6 +831,52 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["rfm_segments_users"] = """
+    WITH p AS (
+        SELECT user_id,
+               max(epoch_us(ts) // 86400000000) AS last_day,
+               count(*) AS freq,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1),
+    s AS (
+        SELECT user_id,
+               (SELECT max(last_day) FROM p) - last_day AS recency,
+               freq, cents
+        FROM p),
+    t AS (
+        SELECT ntile(5) OVER (ORDER BY recency, user_id) AS r,
+               ntile(5) OVER (ORDER BY freq DESC, user_id) AS f,
+               ntile(5) OVER (ORDER BY cents DESC, user_id) AS m
+        FROM s)
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n_users
+    FROM t GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["autocorr_lag1_by_type"] = """
+    WITH o AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) // 100 AS d,
+               lead(CAST(round(value * 100) AS BIGINT) // 100) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id) AS y
+        FROM events),
+    m AS (
+        SELECT event_type, count(*) AS n,
+               sum(d) AS sx, sum(y) AS sy, sum(d * y) AS sxy,
+               sum(d * d) AS sxx, sum(y * y) AS syy
+        FROM o WHERE y IS NOT NULL GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS autocorr
+    FROM m
+"""
+
 ORACLE_SQL["hhi_supplier_revenue_by_nation"] = """
     WITH rev AS (
         SELECT l_suppkey AS s,

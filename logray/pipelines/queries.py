@@ -5172,6 +5172,96 @@ def langid_confusion_documents(sf_dir: str):
         ["lang", "lang_pred"], {"n": ("lang_pred", "count")})
 
 
+def rfm_segments_users(sf_dir: str):
+    """RFM segmentation (the classic CRM analytic): per user — Recency
+    (days since last event, against the corpus max day), Frequency (event
+    count), Monetary (exact cents) — each scored into quintiles, then the
+    125-cell segment histogram. Per-user aggregates come from one combiner
+    exchange; the three ntiles run over the per-user table (≪ the event
+    stream); all inputs integer-exact."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "d": pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000),
+            "c": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                         pa.int64())})
+
+    per_user = relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"], {"last_day": ("d", "max"), "freq": ("d", "count"),
+                      "cents": ("c", "sum")}).to_pandas()
+    max_day = int(per_user["last_day"].max())
+    per_user["recency"] = max_day - per_user["last_day"].to_numpy()
+
+    def quintile(col: str, ascending: bool) -> np.ndarray:
+        # SQL ntile(5) ORDER BY col [DESC], user_id — rank-based exact sizes
+        v = per_user[col].to_numpy()
+        order = np.lexsort((per_user["user_id"].to_numpy(),
+                            v if ascending else -v))
+        n = len(v)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n)
+        return rank * 5 // n + 1
+
+    per_user["r"] = quintile("recency", True)    # recent (small) → tile 1
+    per_user["f"] = quintile("freq", False)      # frequent → tile 1
+    per_user["m"] = quintile("cents", False)     # big spender → tile 1
+    g = per_user.groupby(["r", "f", "m"]).size().rename("n_users")
+    return g.reset_index().sort_values(["r", "f", "m"]).reset_index(drop=True)
+
+
+def autocorr_lag1_by_type(sf_dir: str):
+    """Grouped lag-1 autocorrelation: per event_type, the Pearson
+    correlation between consecutive values ordered by (ts, event_id) —
+    the is-this-series-momentum-or-noise diagnostic. Consecutive pairs
+    come from a vectorized shift in per-type buckets; all five moments
+    are EXACT int64 sums over whole-dollar values (magnitudes audited);
+    the correlation float expression is written in the identical
+    operation order in numpy and SQL."""
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "event_id": t["event_id"],
+                         "us": pc.cast(t["ts"], pa.int64()),
+                         "d": pc.divide(c, 100)})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "us", "event_id"],
+                            kind="mergesort")
+        y = df.groupby("event_type", sort=False)["d"].shift(-1)
+        m = y.notna().to_numpy()
+        x = df["d"].to_numpy()[m]
+        yy = y.to_numpy()[m].astype(np.int64)
+        et = df["event_type"].to_numpy()[m]
+        p = pd.DataFrame({"event_type": et, "x": x, "y": yy,
+                          "xy": x * yy, "xx": x * x, "y2": yy * yy})
+        g = p.groupby("event_type", sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("y2", "sum"))
+        return g.reset_index()
+
+    mom = window._bucketed_apply(
+        ds.map_batches(prep, batch_format="pyarrow"), "event_type",
+        per_bucket).to_pandas()
+
+    n = mom["n"].to_numpy().astype(np.float64)
+    sx = mom["sx"].to_numpy().astype(np.float64)
+    sy = mom["sy"].to_numpy().astype(np.float64)
+    sxy = mom["sxy"].to_numpy().astype(np.float64)
+    sxx = mom["sxx"].to_numpy().astype(np.float64)
+    syy = mom["syy"].to_numpy().astype(np.float64)
+    r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
+                               * np.sqrt(n * syy - sy * sy))
+    return pd.DataFrame({"event_type": mom["event_type"],
+                         "n_pairs": mom["n"].astype(np.int64),
+                         "autocorr": r}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -5258,6 +5348,8 @@ QUERIES = {
     "hhi_supplier_revenue_by_nation": hhi_supplier_revenue_by_nation,
     "events_dow_hour_counts": events_dow_hour_counts,
     "langid_confusion_documents": langid_confusion_documents,
+    "rfm_segments_users": rfm_segments_users,
+    "autocorr_lag1_by_type": autocorr_lag1_by_type,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
