@@ -831,6 +831,52 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["weekend_effect_ttest"] = """
+    WITH b AS (
+        SELECT CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS w,
+               CAST(round(value * 100) AS BIGINT) // 100 AS d
+        FROM events),
+    m AS (
+        SELECT CAST(sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN w = 0 THEN d ELSE 0 END) AS BIGINT) AS s0,
+               CAST(sum(CASE WHEN w = 1 THEN d ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN w = 0 THEN d * d ELSE 0 END) AS BIGINT)
+                   AS ss0,
+               CAST(sum(CASE WHEN w = 1 THEN d * d ELSE 0 END) AS BIGINT)
+                   AS ss1
+        FROM b)
+    SELECT n0 AS n_weekday, n1 AS n_weekend,
+           CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS mean_weekday,
+           CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_weekend,
+           (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+           / sqrt(((CAST(ss1 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+                      / CAST(n1 AS DOUBLE)
+                  + ((CAST(ss0 AS DOUBLE)
+                      - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+                        / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0))
+                      / CAST(n0 AS DOUBLE)) AS t_stat
+    FROM m
+"""
+
+ORACLE_SQL["time_to_purchase_quantiles"] = """
+    WITH fc AS (SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'click' GROUP BY 1),
+    fp AS (SELECT e.user_id, min(e.ts) AS t1
+           FROM events e JOIN fc ON fc.user_id = e.user_id
+                                AND e.ts >= fc.t0
+           WHERE e.event_type = 'purchase' GROUP BY 1),
+    d AS (SELECT (epoch_us(t1) - epoch_us(t0)) // 86400000000 AS days
+          FROM fp JOIN fc USING (user_id))
+    SELECT CAST(count(*) AS BIGINT) AS n_converting,
+           CAST(quantile_disc(days, 0.5) AS BIGINT) AS p50_days,
+           CAST(quantile_disc(days, 0.9) AS BIGINT) AS p90_days
+    FROM d
+"""
+
 ORACLE_SQL["rfm_segments_users"] = """
     WITH p AS (
         SELECT user_id,

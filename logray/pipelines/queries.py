@@ -5262,6 +5262,90 @@ def autocorr_lag1_by_type(sf_dir: str):
         .sort_values("event_type").reset_index(drop=True)
 
 
+def weekend_effect_ttest(sf_dir: str):
+    """Welch's two-sample t statistic per event_type: does value differ
+    between weekday and weekend events? Group moments (n, Σd, Σd²) are
+    EXACT int64 over whole-dollar values from one combiner exchange; the
+    t statistic (mean difference over pooled standard error, unequal
+    variances) is a fixed-order float expression identical in both
+    engines — a distributed A/B-test primitive."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def mom(t: pa.Table) -> pa.Table:
+        dow = pc.day_of_week(t["ts"])  # Mon=0 … Sun=6
+        wk = pc.cast(pc.greater_equal(dow, 5), pa.int64())
+        d = pc.divide(pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                              pa.int64()), 100)
+        g = pa.table({"is_weekend": wk, "d": d,
+                      "dd": pc.multiply(d, d)}) \
+            .group_by("is_weekend").aggregate(
+                [("d", "count"), ("d", "sum"), ("dd", "sum")])
+        return pa.table({"is_weekend": g["is_weekend"],
+                         "n": pc.cast(g["d_count"], pa.int64()),
+                         "s": g["d_sum"], "ss": g["dd_sum"]})
+
+    m = relational.grouped_agg(
+        ds.map_batches(mom, batch_format="pyarrow"),
+        ["is_weekend"], {"n": ("n", "sum"), "s": ("s", "sum"),
+                         "ss": ("ss", "sum")}).to_pandas() \
+        .set_index("is_weekend")
+    n0, s0, ss0 = (float(m.loc[0, c]) for c in ("n", "s", "ss"))
+    n1, s1, ss1 = (float(m.loc[1, c]) for c in ("n", "s", "ss"))
+    mean0, mean1 = s0 / n0, s1 / n1
+    var0 = (ss0 - s0 * s0 / n0) / (n0 - 1.0)
+    var1 = (ss1 - s1 * s1 / n1) / (n1 - 1.0)
+    t_stat = (mean1 - mean0) / np.sqrt(var1 / n1 + var0 / n0)
+    return pd.DataFrame({
+        "n_weekday": [np.int64(n0)], "n_weekend": [np.int64(n1)],
+        "mean_weekday": [mean0], "mean_weekend": [mean1],
+        "t_stat": [float(t_stat)]})
+
+
+def time_to_purchase_quantiles(sf_dir: str):
+    """Time-to-conversion distribution: per user with both a click and a
+    later purchase, whole days from FIRST click to FIRST purchase after
+    it; report exact p50/p90 and the converting-user count. First-click /
+    first-purchase-after are per-user grouped mins (one bucket shuffle);
+    the day-diff distribution reduces to (days → count) before the order
+    statistics read off its cumulative counts — per-user rows never reach
+    the driver."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        clicks = df[df["event_type"] == "click"].groupby("user_id")["ts"].min()
+        pur = df[df["event_type"] == "purchase"]
+        out = []
+        j = pur.merge(clicks.rename("first_click"), left_on="user_id",
+                      right_index=True)
+        j = j[j["ts"] >= j["first_click"]]
+        if len(j):
+            first_pur = j.groupby("user_id")["ts"].min()
+            fc = clicks[first_pur.index]
+            days = ((first_pur.values.astype("datetime64[us]").astype(np.int64)
+                     - fc.values.astype("datetime64[us]").astype(np.int64))
+                    // 86_400_000_000)
+            out.append(pd.DataFrame({"days": days.astype(np.int64)}))
+        if not out:
+            return pd.DataFrame({"days": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    per_user = window._bucketed_apply(ds, "user_id", per_bucket)
+    dist = relational.grouped_agg(per_user, ["days"],
+                                  {"g": ("days", "count")}).to_pandas() \
+        .sort_values("days")
+    cum = dist["g"].cumsum().to_numpy()
+    tot = int(cum[-1])
+    vals = dist["days"].to_numpy()
+
+    def q(p: float) -> int:
+        k = max(int(np.ceil(p * tot)), 1)
+        return int(vals[int(np.searchsorted(cum, k))])
+
+    return pa.table({"n_converting": pa.array([tot], pa.int64()),
+                     "p50_days": pa.array([q(0.5)], pa.int64()),
+                     "p90_days": pa.array([q(0.9)], pa.int64())})
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -5350,6 +5434,8 @@ QUERIES = {
     "langid_confusion_documents": langid_confusion_documents,
     "rfm_segments_users": rfm_segments_users,
     "autocorr_lag1_by_type": autocorr_lag1_by_type,
+    "weekend_effect_ttest": weekend_effect_ttest,
+    "time_to_purchase_quantiles": time_to_purchase_quantiles,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
