@@ -831,6 +831,24 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["basket_affinity_parts"] = """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n_orders FROM op),
+    pc_ AS (SELECT p, count(*) AS np FROM op GROUP BY 1),
+    pr AS (
+        SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_ab
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+        HAVING count(*) >= 2)
+    SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_ab AS DOUBLE) * n.n_orders
+               / (CAST(ca.np AS DOUBLE) * CAST(cb.np AS DOUBLE)) AS lift
+    FROM pr, n
+    JOIN pc_ ca ON ca.p = pr.part_a
+    JOIN pc_ cb ON cb.p = pr.part_b
+"""
+
 ORACLE_SQL["weekend_effect_ttest"] = """
     WITH b AS (
         SELECT CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS w,

@@ -5346,6 +5346,70 @@ def time_to_purchase_quantiles(sf_dir: str):
                      "p90_days": pa.array([q(0.9)], pa.int64())})
 
 
+def basket_affinity_parts(sf_dir: str):
+    """Market-basket affinity: for part pairs co-purchased in ≥ 2 orders,
+    the support count and the LIFT (P(A∩B) / (P(A)·P(B))) — the classic
+    recommendation association metric. Per-order canonical pairs generate
+    inside order-co-partitioned buckets (never all-pairs across orders)
+    with per-bucket combiner counts; per-part order counts join on via
+    two key-shuffle joins; N(orders) comes from one combiner count. The
+    lift is a fixed-order float expression identical in SQL."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    pairs_src = relational.distinct(
+        li.map_batches(lambda t: t.rename_columns(["o", "p"]),
+                       batch_format="pyarrow"), ["o", "p"]).materialize()
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="o")
+        m = m[m["p_x"] < m["p_y"]]
+        g = m.groupby(["p_x", "p_y"], sort=False).size()
+        return g.rename("n_ab").reset_index()
+
+    from ..ops.window import _bucketed_apply
+
+    pair_partial = _bucketed_apply(pairs_src, "o", pair_counts)
+    pairs = relational.grouped_agg(pair_partial, ["p_x", "p_y"],
+                                   {"n_ab": ("n_ab", "sum")})
+    frequent = pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_ab"], 2)),
+        batch_format="pyarrow")
+
+    part_counts = relational.grouped_agg(pairs_src, ["p"],
+                                         {"n": ("p", "count")}).materialize()
+    n_orders = float(relational.distinct(
+        pairs_src.map_batches(lambda t: t.select(["o"]),
+                              batch_format="pyarrow"), ["o"]).count())
+
+    j1 = relational.hash_join(
+        frequent,
+        part_counts.map_batches(lambda t: t.rename_columns(["p_x", "n_a"]),
+                                batch_format="pyarrow"),
+        on="p_x",
+        left_schema=pa.schema([("p_x", pa.int64()), ("p_y", pa.int64()),
+                               ("n_ab", pa.int64())]),
+        right_schema=pa.schema([("p_x", pa.int64()), ("n_a", pa.int64())]))
+    j2 = relational.hash_join(
+        j1,
+        part_counts.map_batches(lambda t: t.rename_columns(["p_y", "n_b"]),
+                                batch_format="pyarrow"),
+        on="p_y",
+        left_schema=pa.schema([("p_x", pa.int64()), ("p_y", pa.int64()),
+                               ("n_ab", pa.int64()), ("n_a", pa.int64())]),
+        right_schema=pa.schema([("p_y", pa.int64()), ("n_b", pa.int64())]))
+
+    def fin(t: pa.Table) -> pa.Table:
+        nab = t["n_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lift = nab * n_orders / (na * nb)
+        return pa.table({"part_a": t["p_x"], "part_b": t["p_y"],
+                         "n_ab": t["n_ab"],
+                         "lift": pa.array(lift, pa.float64())})
+
+    return j2.map_batches(fin, batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -5436,6 +5500,7 @@ QUERIES = {
     "autocorr_lag1_by_type": autocorr_lag1_by_type,
     "weekend_effect_ttest": weekend_effect_ttest,
     "time_to_purchase_quantiles": time_to_purchase_quantiles,
+    "basket_affinity_parts": basket_affinity_parts,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
