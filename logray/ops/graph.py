@@ -370,3 +370,53 @@ def triangle_counts(edges, *, out_col: str = "n_triangles",
 
     tri = closed.map_batches(min_id, batch_format="pyarrow")
     return grouped_agg(tri, ["u"], {out_col: ("u", "count")})
+
+
+def bfs_levels(edges, source, *, u_col: str = "u", v_col: str = "v",
+               max_depth: int = 3):
+    """Breadth-first search levels from ``source`` on an undirected edge
+    Dataset, bounded by ``max_depth`` — distributed frontier expansion:
+    each round joins the CURRENT frontier against the symmetrized edge
+    list (one hash shuffle), dedups the discovered neighbors, and
+    anti-joins the visited set (frontiers and visited are O(reached
+    nodes), orders of magnitude below the edge list; the edge list is
+    materialized once and re-joined per round). Returns (node, level)
+    for every node within ``max_depth`` hops, level 0 = source."""
+    from .relational import distinct, hash_join, hash_semi_join
+
+    sym = edges.map_batches(
+        lambda t: pa.table({
+            "node": pa.concat_arrays([t[u_col].combine_chunks(),
+                                      t[v_col].combine_chunks()]),
+            "nbr": pa.concat_arrays([t[v_col].combine_chunks(),
+                                     t[u_col].combine_chunks()])}),
+        batch_format="pyarrow").materialize()
+
+    import ray.data
+
+    frontier = ray.data.from_arrow(
+        pa.table({"node": pa.array([source], pa.int64())})).materialize()
+    visited = frontier
+    out = [pd.DataFrame({"node": [source], "level": [0]})]
+    for depth in range(1, max_depth + 1):
+        nxt = distinct(
+            hash_join(frontier, sym, on="node",
+                      left_schema=pa.schema([("node", pa.int64())]),
+                      right_schema=pa.schema([("node", pa.int64()),
+                                              ("nbr", pa.int64())])
+                      ).map_batches(
+                lambda t: pa.table({"node": t["nbr"]}),
+                batch_format="pyarrow"),
+            ["node"])
+        fresh = hash_semi_join(
+            nxt, visited, on="node", anti=True,
+            left_schema=pa.schema([("node", pa.int64())]),
+            right_schema=pa.schema([("node", pa.int64())])).materialize()
+        if fresh.count() == 0:
+            break
+        out.append(pd.DataFrame({
+            "node": fresh.to_pandas()["node"].to_numpy(),
+            "level": depth}))
+        visited = visited.union(fresh).materialize()
+        frontier = fresh
+    return pd.concat(out, ignore_index=True)

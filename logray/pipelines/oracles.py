@@ -831,6 +831,23 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["bfs_levels_parts"] = """
+    WITH RECURSIVE
+    so AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM so a JOIN so b ON a.o = b.o AND a.p < b.p),
+    sym AS (SELECT u AS node, v AS nbr FROM e
+            UNION ALL SELECT v, u FROM e),
+    bfs(node, level) AS (
+        SELECT CAST(0 AS BIGINT), 0
+        UNION
+        SELECT sym.nbr, bfs.level + 1
+        FROM bfs JOIN sym ON sym.node = bfs.node
+        WHERE bfs.level < 2)
+    SELECT node, CAST(min(level) AS BIGINT) AS level
+    FROM bfs GROUP BY node
+"""
+
 ORACLE_SQL["basket_affinity_parts"] = """
     WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                 FROM lineitem),

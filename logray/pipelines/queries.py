@@ -5410,6 +5410,21 @@ def basket_affinity_parts(sf_dir: str):
     return j2.map_batches(fin, batch_format="pyarrow")
 
 
+def bfs_levels_parts(sf_dir: str):
+    """Bounded BFS over the part co-occurrence graph: every part within
+    2 hops of part 0, with its hop level — distributed frontier expansion
+    (per round: frontier ⋈ symmetrized edges, dedup, anti-join visited;
+    frontiers stay O(reached), only the edge join shuffles). Oracle is a
+    recursive CTE, so the whole reachability set value-matches."""
+    from ..ops import graph
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = graph.bfs_levels(edges, 0, max_depth=2)
+    out["level"] = out["level"].astype(np.int64)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -5501,6 +5516,7 @@ QUERIES = {
     "weekend_effect_ttest": weekend_effect_ttest,
     "time_to_purchase_quantiles": time_to_purchase_quantiles,
     "basket_affinity_parts": basket_affinity_parts,
+    "bfs_levels_parts": bfs_levels_parts,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions

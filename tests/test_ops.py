@@ -1625,3 +1625,14 @@ def test_triangle_counts_degree_orientation_matches_id(ray_session):
     pd.testing.assert_frame_equal(a, b)
     # hub + ring: triangles are exactly (0, i, i+1) → min vertex always 0
     assert a["n_triangles"].sum() == n - 2 and set(a["u"]) == {0}
+
+
+def test_bfs_levels_path_graph(ray_session):
+    import ray.data
+    from logray.ops import graph
+
+    # path 0-1-2-3-4 plus detached 8-9: levels bounded by max_depth
+    edges = pd.DataFrame({"u": [0, 1, 2, 3, 8], "v": [1, 2, 3, 4, 9]})
+    out = graph.bfs_levels(ray.data.from_pandas(edges), 0, max_depth=3)
+    got = dict(zip(out["node"], out["level"]))
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 4 beyond depth; 8/9 unreachable
