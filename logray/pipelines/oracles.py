@@ -831,6 +831,16 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["dup_cluster_size_histogram"] = """
+    WITH l AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id
+        FROM documents),
+    c AS (SELECT cluster_id, count(*) AS size FROM l GROUP BY 1)
+    SELECT CAST(size AS BIGINT) AS size,
+           CAST(count(*) AS BIGINT) AS n_clusters
+    FROM c GROUP BY size
+"""
+
 ORACLE_SQL["bfs_levels_parts"] = """
     WITH RECURSIVE
     so AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

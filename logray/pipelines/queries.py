@@ -5425,6 +5425,19 @@ def bfs_levels_parts(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def dup_cluster_size_histogram(sf_dir: str):
+    """Duplicate-cluster size distribution (the dedup monitoring rollup):
+    how many duplicate clusters exist of each size, from the distributed
+    connected-components labels — labels → per-cluster counts → counts of
+    counts, two combiner exchanges on top of the propagation (nothing
+    driver-side)."""
+    labels = dup_cluster_labels_documents(sf_dir)
+    per_cluster = relational.grouped_agg(
+        labels, ["cluster_id"], {"size": ("doc_id", "count")})
+    return relational.grouped_agg(per_cluster, ["size"],
+                                  {"n_clusters": ("size", "count")})
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -5517,6 +5530,7 @@ QUERIES = {
     "time_to_purchase_quantiles": time_to_purchase_quantiles,
     "basket_affinity_parts": basket_affinity_parts,
     "bfs_levels_parts": bfs_levels_parts,
+    "dup_cluster_size_histogram": dup_cluster_size_histogram,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
