@@ -831,6 +831,43 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["gini_value_by_type"] = """
+    WITH r AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS c,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY CAST(round(value * 100) AS BIGINT),
+                                           event_id) AS rk
+        FROM events),
+    m AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(rk * c) AS BIGINT) AS srx
+        FROM r GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           2.0 * CAST(srx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+           - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+    FROM m
+"""
+
+ORACLE_SQL["pareto_top20_revenue_share"] = """
+    WITH pc_ AS (
+        SELECT o_custkey AS c,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM orders GROUP BY 1),
+    t AS (
+        SELECT rev, ntile(5) OVER (ORDER BY rev DESC, c) AS tile FROM pc_)
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN tile = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_top,
+           CAST(CAST(sum(CASE WHEN tile = 1 THEN rev ELSE 0 END) AS BIGINT)
+                AS DOUBLE)
+               / CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE) AS top20_share
+    FROM t
+"""
+
 ORACLE_SQL["dup_cluster_size_histogram"] = """
     WITH l AS (
         SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id

@@ -5438,6 +5438,71 @@ def dup_cluster_size_histogram(sf_dir: str):
                                   {"n_clusters": ("size", "count")})
 
 
+def gini_value_by_type(sf_dir: str):
+    """Gini inequality coefficient of value per event_type — the
+    concentration diagnostic: G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n over
+    values sorted ascending. Ranks and both sums are EXACT int64 inside
+    each type's co-partitioned bucket (deterministic (value, event_id)
+    order); the closing float expression is fixed-order identical in
+    SQL."""
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "event_id": t["event_id"],
+                         "c": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                                      pa.int64())})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "c", "event_id"],
+                            kind="mergesort")
+        rank = df.groupby("event_type", sort=False).cumcount().to_numpy() + 1
+        df = df.assign(rx=rank * df["c"].to_numpy())
+        g = df.groupby("event_type", sort=False).agg(
+            n=("c", "size"), s=("c", "sum"), srx=("rx", "sum"))
+        n = g["n"].to_numpy().astype(np.float64)
+        s = g["s"].to_numpy().astype(np.float64)
+        srx = g["srx"].to_numpy().astype(np.float64)
+        gini = 2.0 * srx / (n * s) - (n + 1.0) / n
+        return pd.DataFrame({"event_type": g.index.to_numpy(),
+                             "n": g["n"].to_numpy().astype(np.int64),
+                             "gini": gini})
+
+    return window._bucketed_apply(
+        ds.map_batches(prep, batch_format="pyarrow"), "event_type",
+        per_bucket)
+
+
+def pareto_top20_revenue_share(sf_dir: str):
+    """Pareto 80/20 check: what share of total order revenue comes from
+    the top quintile of customers? Per-customer exact-cents totals from a
+    combiner exchange; the quintile is the same rank-formula exact ntile
+    as RFM; the share is one identical float division."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"c": t["o_custkey"],
+                         "v": pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                                           100.0)),
+                                      pa.int64())})
+
+    per_cust = relational.grouped_agg(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        ["c"], {"rev": ("v", "sum")}).to_pandas()
+    v = per_cust["rev"].to_numpy()
+    order = np.lexsort((per_cust["c"].to_numpy(), -v))
+    n = len(v)
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    tile = rank * 5 // n + 1
+    top = int(v[tile == 1].sum())
+    tot = int(v.sum())
+    return pd.DataFrame({
+        "n_customers": [np.int64(n)],
+        "n_top": [np.int64(int((tile == 1).sum()))],
+        "top20_share": [float(top) / float(tot)]})
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -5531,6 +5596,8 @@ QUERIES = {
     "basket_affinity_parts": basket_affinity_parts,
     "bfs_levels_parts": bfs_levels_parts,
     "dup_cluster_size_histogram": dup_cluster_size_histogram,
+    "gini_value_by_type": gini_value_by_type,
+    "pareto_top20_revenue_share": pareto_top20_revenue_share,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
