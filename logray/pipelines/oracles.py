@@ -831,6 +831,24 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["benford_first_digit_events"] = """
+    WITH o AS (
+        SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               count(*) AS n
+        FROM events GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM o)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           t.total * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS expected,
+           (CAST(n AS DOUBLE)
+                - t.total * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+           * (CAST(n AS DOUBLE)
+                - t.total * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+           / (t.total * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+               AS chi2_contrib
+    FROM o, t
+"""
+
 ORACLE_SQL["gini_value_by_type"] = """
     WITH r AS (
         SELECT event_type,
