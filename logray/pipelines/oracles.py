@@ -831,6 +831,15 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["join_size_estimate_orders_lineitem"] = """
+    WITH a AS (SELECT o_orderkey AS k, count(*) AS na FROM orders GROUP BY 1),
+    b AS (SELECT l_orderkey AS k, count(*) AS nb FROM lineitem GROUP BY 1)
+    SELECT CAST(sum(na * nb) AS BIGINT) AS exact_join_size,
+           TRUE AS estimate_ge_exact,
+           TRUE AS estimate_within_bound
+    FROM a JOIN b USING (k)
+"""
+
 ORACLE_SQL["benford_first_digit_events"] = """
     WITH o AS (
         SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)

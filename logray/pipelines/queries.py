@@ -5536,6 +5536,49 @@ def benford_first_digit_events(sf_dir: str):
                          "chi2_contrib": contrib}).reset_index(drop=True)
 
 
+def join_size_estimate_orders_lineitem(sf_dir: str):
+    """Join-cardinality estimation (the planner primitive behind
+    broadcast-vs-shuffle decisions): |orders ⋈ lineitem| on o_orderkey
+    estimated as the Count-Min inner product min_d Σ_w A[d]·B[d] — two
+    linear sketches built in one streaming pass each, never a real join.
+    The estimate is an upper bound on the true size (AGMS/CM inner-product
+    guarantee) with excess ≤ e·N_A·N_B/width w.h.p.; the query emits the
+    EXACT size (SQL-verified) plus in-bound flags, the sketch-oracle
+    pattern used for HLL and heavy hitters."""
+    from ..ops import sketch
+
+    W = 4096
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey"]), batch_format="pyarrow")
+    A = sketch.countmin_matrix(orders, "o_orderkey", width=W, depth=4)
+    B = sketch.countmin_matrix(li, "o_orderkey", width=W, depth=4)
+    est = int(min(int((A[d] * B[d]).sum()) for d in range(A.shape[0])))
+
+    # exact size via combiner per-key counts + one co-partitioned join
+    ca = relational.grouped_agg(orders, ["o_orderkey"],
+                                {"na": ("o_orderkey", "count")})
+    cb = relational.grouped_agg(li, ["o_orderkey"],
+                                {"nb": ("o_orderkey", "count")})
+    j = relational.hash_join(
+        ca, cb, on="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("na", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("nb", pa.int64())]))
+    prod = j.map_batches(
+        lambda t: pa.table({"p": pc.multiply(t["na"], t["nb"])}),
+        batch_format="pyarrow").to_pandas()
+    exact = int(prod["p"].sum())
+    n_a = float(A.sum() // A.shape[0])   # each sketch row sums to N
+    n_b = float(B.sum() // B.shape[0])
+    slack = 2.718281828 * n_a * n_b / W
+    return pd.DataFrame({
+        "exact_join_size": [np.int64(exact)],
+        "estimate_ge_exact": [bool(est >= exact)],
+        "estimate_within_bound": [bool(est <= exact + slack)]})
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -5632,6 +5675,7 @@ QUERIES = {
     "gini_value_by_type": gini_value_by_type,
     "pareto_top20_revenue_share": pareto_top20_revenue_share,
     "benford_first_digit_events": benford_first_digit_events,
+    "join_size_estimate_orders_lineitem": join_size_estimate_orders_lineitem,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
