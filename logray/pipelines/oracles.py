@@ -831,6 +831,25 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["embedding_drift_by_dim"] = """
+    WITH e AS (
+        SELECT vec_id % 2 AS half, r.i AS dim,
+               CAST(floor(CAST(embedding[CAST(r.i + 1 AS BIGINT)] AS DOUBLE)
+                          * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings, range(64) r(i)),
+    m AS (SELECT half, dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS s
+          FROM e GROUP BY 1, 2),
+    p AS (SELECT a.dim,
+                 CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS c0,
+                 CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS c1
+          FROM m a JOIN m b ON a.dim = b.dim
+          WHERE a.half = 0 AND b.half = 1)
+    SELECT CAST(dim AS BIGINT) AS dim, c0 AS centroid_even_u,
+           c1 AS centroid_odd_u, (c1 - c0) * (c1 - c0) AS sq_gap_u
+    FROM p
+"""
+
 ORACLE_SQL["join_size_estimate_orders_lineitem"] = """
     WITH a AS (SELECT o_orderkey AS k, count(*) AS na FROM orders GROUP BY 1),
     b AS (SELECT l_orderkey AS k, count(*) AS nb FROM lineitem GROUP BY 1)

@@ -5579,6 +5579,48 @@ def join_size_estimate_orders_lineitem(sf_dir: str):
         "estimate_within_bound": [bool(est <= exact + slack)]})
 
 
+def embedding_drift_by_dim(sf_dir: str):
+    """Embedding-distribution drift detection (the monitor between two
+    model/corpus snapshots — here the even/odd vec_id halves): per
+    dimension, each half's centroid and the squared centroid gap.
+    Components are floor-quantized to exact micro-units so the distributed
+    per-dimension sums are int64-exact (one tiny combiner exchange of
+    2×64 partial rows per batch); the per-dim floats are single identical
+    expressions — emitting DIMENSIONS as rows keeps the result free of
+    any cross-dim float-sum order."""
+    DIM, Q = 64, 1_000_000
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        E = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        qe = np.floor(E * Q).astype(np.int64)
+        out = []
+        for h in (0, 1):
+            m = (ids % 2) == h
+            out.append(pa.table({
+                "half": pa.array(np.full(DIM, h, dtype=np.int64)),
+                "dim": pa.array(np.arange(DIM, dtype=np.int64)),
+                "n": pa.array(np.full(DIM, int(m.sum()), dtype=np.int64)),
+                "s": pa.array(qe[m].sum(axis=0) if m.any()
+                              else np.zeros(DIM, np.int64), pa.int64())}))
+        return pa.concat_tables(out)
+
+    agg = relational.grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["half", "dim"], {"n": ("n", "sum"), "s": ("s", "sum")}).to_pandas()
+    p = agg.pivot(index="dim", columns="half", values=["n", "s"])
+    c0 = (p[("s", 0)].to_numpy().astype(np.float64)
+          / p[("n", 0)].to_numpy().astype(np.float64))
+    c1 = (p[("s", 1)].to_numpy().astype(np.float64)
+          / p[("n", 1)].to_numpy().astype(np.float64))
+    gap = (c1 - c0) * (c1 - c0)
+    return pd.DataFrame({"dim": p.index.to_numpy().astype(np.int64),
+                         "centroid_even_u": c0, "centroid_odd_u": c1,
+                         "sq_gap_u": gap}).sort_values("dim") \
+        .reset_index(drop=True)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -5676,6 +5718,7 @@ QUERIES = {
     "pareto_top20_revenue_share": pareto_top20_revenue_share,
     "benford_first_digit_events": benford_first_digit_events,
     "join_size_estimate_orders_lineitem": join_size_estimate_orders_lineitem,
+    "embedding_drift_by_dim": embedding_drift_by_dim,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
