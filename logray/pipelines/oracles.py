@@ -831,6 +831,35 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["sequence_regex_matches_users"] = """
+    WITH s AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(regexp_extract_all(seq, 'cp')) AS BIGINT) AS n_cp,
+           CAST(len(regexp_extract_all(seq, 'c+p')) AS BIGINT) AS n_runs_cp
+    FROM s
+"""
+
+ORACLE_SQL["weighted_median_price_by_flag"] = """
+    WITH d AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2),
+    c AS (
+        SELECT flag, price,
+               sum(w) OVER (PARTITION BY flag ORDER BY price) AS cum,
+               sum(w) OVER (PARTITION BY flag) AS tot
+        FROM d)
+    SELECT flag, CAST(max(tot) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cum >= tot THEN price END) AS DOUBLE)
+               / 100.0 AS weighted_median_price
+    FROM c GROUP BY flag
+"""
+
 ORACLE_SQL["embedding_drift_by_dim"] = """
     WITH e AS (
         SELECT vec_id % 2 AS half, r.i AS dim,

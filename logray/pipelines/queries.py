@@ -5621,6 +5621,65 @@ def embedding_drift_by_dim(sf_dir: str):
         .reset_index(drop=True)
 
 
+def sequence_regex_matches_users(sf_dir: str):
+    """Sequence pattern matching over event streams (MATCH_RECOGNIZE
+    lite): each user's time-ordered events encode as a string of type
+    initials and a regex counts the pattern occurrences — here
+    'cp' (click immediately followed by purchase) and 'c+p' (purchase
+    after one or more uninterrupted clicks). One bucket shuffle; the
+    encode is an ordered string_agg per user, the match one vectorized
+    RE2 count per bucket."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        init = df["event_type"].str[0]
+        s = init.groupby(df["user_id"].to_numpy(), sort=False).agg("".join)
+        arr = pa.array(s.to_numpy(), pa.string())
+        n_cp = pc.count_substring_regex(arr, "cp").to_numpy(
+            zero_copy_only=False)
+        n_cplus = pc.count_substring_regex(arr, "c+p").to_numpy(
+            zero_copy_only=False)
+        return pd.DataFrame({"user_id": s.index.to_numpy(),
+                             "n_cp": n_cp.astype(np.int64),
+                             "n_runs_cp": n_cplus.astype(np.int64)})
+
+    return window._bucketed_apply(ds, "user_id", per_bucket)
+
+
+def weighted_median_price_by_flag(sf_dir: str):
+    """Exact WEIGHTED median per group: the median lineitem extended
+    price weighted by quantity, per return flag — the order statistic a
+    plain quantile can't give. Distribution-reduce shape: (flag, price)
+    weight sums combine in one exchange; the smallest price whose doubled
+    cumulative weight reaches the group total reads off the tiny sorted
+    distribution driver-side (integer compare, no float thresholds)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "flag": t["l_returnflag"],
+            "price": pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                                  100.0)), pa.int64()),
+            "w": pc.cast(pc.round(t["l_quantity"]), pa.int64())})
+
+    dist = relational.grouped_agg(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["flag", "price"], {"w": ("w", "sum")}).to_pandas()
+
+    rows = []
+    for flag, d in dist.groupby("flag"):
+        d = d.sort_values("price")
+        cum = d["w"].cumsum().to_numpy()
+        tot = int(cum[-1])
+        idx = int(np.searchsorted(2 * cum, tot))
+        rows.append({"flag": flag, "total_weight": tot,
+                     "weighted_median_price":
+                         float(d["price"].to_numpy()[idx]) / 100.0})
+    return pd.DataFrame(rows).sort_values("flag").reset_index(drop=True)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -5719,6 +5778,8 @@ QUERIES = {
     "benford_first_digit_events": benford_first_digit_events,
     "join_size_estimate_orders_lineitem": join_size_estimate_orders_lineitem,
     "embedding_drift_by_dim": embedding_drift_by_dim,
+    "sequence_regex_matches_users": sequence_regex_matches_users,
+    "weighted_median_price_by_flag": weighted_median_price_by_flag,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
