@@ -831,6 +831,49 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["ship_latency_quantiles_by_priority"] = """
+    WITH d AS (
+        SELECT o_orderpriority AS prio,
+               epoch_us(l_shipdate) // 86400000000
+                   - epoch_us(o_orderdate) // 86400000000 AS days
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+    SELECT prio, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(quantile_disc(days, 0.5) AS BIGINT) AS p50_days,
+           CAST(quantile_disc(days, 0.95) AS BIGINT) AS p95_days
+    FROM d GROUP BY prio
+"""
+
+ORACLE_SQL["lang_purity_by_source"] = f"""
+    WITH c AS (
+        SELECT doc_id, lang, source,
+               greatest(CAST(length(coalesce(text, '')) AS DOUBLE), 1.0)
+                   AS nchars,
+               CAST(len(regexp_extract_all(coalesce(text, ''),
+                   '[一-鿿぀-ヿ가-힯]')) AS DOUBLE) AS cjk,
+               {_LANG_COUNTS}
+        FROM documents),
+    s AS (
+        SELECT lang, source, cjk / nchars AS cjk_ratio,
+               greatest(c_en, c_de, c_es, c_fr, c_it) AS best,
+               c_en, c_de, c_es, c_fr, c_it
+        FROM c),
+    p AS (
+        SELECT source, lang,
+               CASE WHEN cjk_ratio > 0.05 THEN 'zh'
+                    WHEN best < 2 THEN 'unknown'
+                    {_ARGMAX_CASE}
+                    END AS lang_pred
+        FROM s),
+    a AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_agree
+        FROM p GROUP BY source)
+    SELECT source, n, n_agree,
+           CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS purity
+    FROM a
+"""
+
 ORACLE_SQL["sequence_regex_matches_users"] = """
     WITH s AS (
         SELECT user_id,

@@ -5680,6 +5680,88 @@ def weighted_median_price_by_flag(sf_dir: str):
     return pd.DataFrame(rows).sort_values("flag").reset_index(drop=True)
 
 
+def ship_latency_quantiles_by_priority(sf_dir: str):
+    """Fulfillment SLA report: exact p50/p95 days from order placement to
+    line-item shipment, per order priority. One co-partitioned join
+    (orders⋈lineitem), integer day diffs, then the distribution-reduce
+    order statistics — per-lineitem rows never reach the driver."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    j = relational.hash_join(
+        orders.map_batches(
+            lambda t: pa.table({
+                "k": t["o_orderkey"],
+                "prio": t["o_orderpriority"],
+                "od": pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
+                                86_400_000_000)}),
+            batch_format="pyarrow"),
+        li.map_batches(
+            lambda t: pa.table({
+                "k": t["l_orderkey"],
+                "sd": pc.divide(pc.cast(t["l_shipdate"], pa.int64()),
+                                86_400_000_000)}),
+            batch_format="pyarrow"),
+        on="k",
+        left_schema=pa.schema([("k", pa.int64()), ("prio", pa.string()),
+                               ("od", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("sd", pa.int64())]))
+
+    def days(t: pa.Table) -> pa.Table:
+        d = pc.subtract(t["sd"], t["od"])
+        g = pa.table({"prio": t["prio"], "d": d}).group_by(
+            ["prio", "d"]).aggregate([("d", "count")])
+        return pa.table({"prio": g["prio"], "d": g["d"],
+                         "g": pc.cast(g["d_count"], pa.int64())})
+
+    dist = relational.grouped_agg(
+        j.map_batches(days, batch_format="pyarrow"),
+        ["prio", "d"], {"g": ("g", "sum")}).to_pandas()
+
+    rows = []
+    for prio, d in dist.groupby("prio"):
+        d = d.sort_values("d")
+        cum = d["g"].cumsum().to_numpy()
+        tot = int(cum[-1])
+        vals = d["d"].to_numpy()
+
+        def q(p: float) -> int:
+            k = max(int(np.ceil(p * tot)), 1)
+            return int(vals[int(np.searchsorted(cum, k))])
+
+        rows.append({"prio": prio, "n_items": tot,
+                     "p50_days": q(0.5), "p95_days": q(0.95)})
+    return pd.DataFrame(rows).sort_values("prio").reset_index(drop=True)
+
+
+def lang_purity_by_source(sf_dir: str):
+    """Per-source language purity: the share of documents whose
+    stopword-profile language prediction agrees with the labeled lang —
+    the corpus-curation QA metric per ingestion source. Actor-pool langid
+    stage → tiny (source, agree) rollup; the oracle replays the scoring
+    in SQL so even the float share value-matches."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    pred = ds.map_batches(text_ops.LangIdStage, batch_format="pyarrow",
+                          concurrency=(1, 4))
+
+    def agree(t: pa.Table) -> pa.Table:
+        a = pc.cast(pc.equal(t["lang"], t["lang_pred"]), pa.int64())
+        g = pa.table({"source": t["source"], "a": a}).group_by(
+            "source").aggregate([("a", "count"), ("a", "sum")])
+        return pa.table({"source": g["source"],
+                         "n": pc.cast(g["a_count"], pa.int64()),
+                         "n_agree": g["a_sum"]})
+
+    out = relational.grouped_agg(
+        pred.map_batches(agree, batch_format="pyarrow"),
+        ["source"], {"n": ("n", "sum"), "n_agree": ("n_agree", "sum")}
+    ).to_pandas()
+    out["purity"] = (out["n_agree"].to_numpy().astype(np.float64)
+                     / out["n"].to_numpy().astype(np.float64))
+    return out.sort_values("source").reset_index(drop=True)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -5780,6 +5862,8 @@ QUERIES = {
     "embedding_drift_by_dim": embedding_drift_by_dim,
     "sequence_regex_matches_users": sequence_regex_matches_users,
     "weighted_median_price_by_flag": weighted_median_price_by_flag,
+    "ship_latency_quantiles_by_priority": ship_latency_quantiles_by_priority,
+    "lang_purity_by_source": lang_purity_by_source,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
