@@ -831,6 +831,25 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["ngram_novelty_documents"] = """
+    WITH d AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, list_transform(
+              list_zip(toks[1:len(toks)-3], toks[2:len(toks)-2],
+                       toks[3:len(toks)-1], toks[4:len(toks)]),
+              x -> x[1]||' '||x[2]||' '||x[3]||' '||x[4]) AS ngs
+          FROM d),
+    f AS (SELECT DISTINCT doc_id, u.ng FROM g, unnest(g.ngs) u(ng)),
+    mn AS (SELECT ng, min(doc_id) AS md FROM f GROUP BY 1)
+    SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN mn.md = f.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(sum(CASE WHEN mn.md = f.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS novelty
+    FROM f JOIN mn USING (ng) GROUP BY f.doc_id
+"""
+
 ORACLE_SQL["ship_latency_quantiles_by_priority"] = """
     WITH d AS (
         SELECT o_orderpriority AS prio,

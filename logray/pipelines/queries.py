@@ -5762,6 +5762,50 @@ def lang_purity_by_source(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def ngram_novelty_documents(sf_dir: str):
+    """Corpus novelty curve (dedup-adjacent curation metric): per
+    document, the share of its distinct word 4-grams whose FIRST
+    occurrence (minimum doc id corpus-wide) is this document — low
+    novelty flags derivative/templated additions. First-occurrence
+    attribution is a grouped min over the distinct (doc, ngram) stream
+    plus one ngram-keyed join back; everything combiner-aggregated, no
+    driver-side state."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = relational.distinct(
+        ds.map_batches(
+            lambda t: text_ops.ngram_explode(t, "doc_id", "text", 4),
+            batch_format="pyarrow"),
+        ["doc_id", "ngram"]).materialize()
+    first = relational.grouped_agg(pairs, ["ngram"],
+                                   {"md": ("doc_id", "min")})
+    j = relational.hash_join(
+        pairs, first, on="ngram",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("ngram", pa.string())]),
+        right_schema=pa.schema([("ngram", pa.string()),
+                                ("md", pa.int64())]))
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        novel = pc.cast(pc.equal(t["md"], t["doc_id"]), pa.int64())
+        g = pa.table({"doc_id": t["doc_id"], "nv": novel}).group_by(
+            "doc_id").aggregate([("nv", "count"), ("nv", "sum")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "n_distinct": pc.cast(g["nv_count"], pa.int64()),
+                         "n_novel": g["nv_sum"]})
+
+    out = relational.grouped_agg(
+        j.map_batches(per_doc, batch_format="pyarrow"),
+        ["doc_id"], {"n_distinct": ("n_distinct", "sum"),
+                     "n_novel": ("n_novel", "sum")})
+
+    def fin(t: pa.Table) -> pa.Table:
+        nv = pc.cast(t["n_novel"], pa.float64())
+        nd = pc.cast(t["n_distinct"], pa.float64())
+        return t.append_column("novelty", pc.divide(nv, nd))
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -5864,6 +5908,7 @@ QUERIES = {
     "weighted_median_price_by_flag": weighted_median_price_by_flag,
     "ship_latency_quantiles_by_priority": ship_latency_quantiles_by_priority,
     "lang_purity_by_source": lang_purity_by_source,
+    "ngram_novelty_documents": ngram_novelty_documents,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
