@@ -831,6 +831,34 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["session_value_quantiles"] = """
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS c,
+               CASE WHEN epoch_us(ts)
+                         - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                        > 3600000000
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events),
+    s AS (
+        SELECT user_id, c,
+               sum(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o),
+    t AS (SELECT CAST(sum(c) AS BIGINT) AS total
+          FROM s GROUP BY user_id, sid)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(quantile_disc(total, 0.5) AS DOUBLE) / 100.0
+               AS p50_session_value,
+           CAST(quantile_disc(total, 0.9) AS DOUBLE) / 100.0
+               AS p90_session_value
+    FROM t
+"""
+
 ORACLE_SQL["ngram_novelty_documents"] = """
     WITH d AS (SELECT doc_id,
                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks

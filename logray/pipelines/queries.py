@@ -5806,6 +5806,46 @@ def ngram_novelty_documents(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def session_value_quantiles(sf_dir: str):
+    """Session-level value distribution (composition: sessionize → roll
+    up → order statistics): per-user 1-hour-gap sessions, each session's
+    exact total cents, then exact p50/p90 of the per-session totals via
+    distribution-reduce — session rows never reach the driver."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "us": pc.cast(t["ts"], pa.int64()),
+            "c": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                         pa.int64())})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        gap = df.groupby("user_id", sort=False)["us"].diff()
+        new = (gap.isna() | (gap > 3_600_000_000)).to_numpy().astype(np.int64)
+        sid = np.cumsum(new)  # globally unique within bucket run
+        g = df.groupby([df["user_id"].to_numpy(), sid], sort=False)["c"].sum()
+        return pd.DataFrame({"total": g.to_numpy().astype(np.int64)})
+
+    totals = window._bucketed_apply(
+        ds.map_batches(prep, batch_format="pyarrow"), "user_id", per_bucket)
+    dist = relational.grouped_agg(totals, ["total"],
+                                  {"g": ("total", "count")}).to_pandas() \
+        .sort_values("total")
+    cum = dist["g"].cumsum().to_numpy()
+    tot = int(cum[-1])
+    vals = dist["total"].to_numpy()
+
+    def q(p: float) -> float:
+        k = max(int(np.ceil(p * tot)), 1)
+        return float(vals[int(np.searchsorted(cum, k))]) / 100.0
+
+    return pa.table({"n_sessions": pa.array([tot], pa.int64()),
+                     "p50_session_value": pa.array([q(0.5)], pa.float64()),
+                     "p90_session_value": pa.array([q(0.9)], pa.float64())})
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -5909,6 +5949,7 @@ QUERIES = {
     "ship_latency_quantiles_by_priority": ship_latency_quantiles_by_priority,
     "lang_purity_by_source": lang_purity_by_source,
     "ngram_novelty_documents": ngram_novelty_documents,
+    "session_value_quantiles": session_value_quantiles,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
