@@ -831,6 +831,27 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["vocab_overlap_sources"] = """
+    WITH st AS (
+        SELECT DISTINCT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS token
+        FROM documents),
+    sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS inter
+        FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT source_a, source_b, CAST(inter AS BIGINT) AS inter,
+           CAST(inter AS DOUBLE)
+               / (CAST(za.n AS DOUBLE) + CAST(zb.n AS DOUBLE)
+                  - CAST(inter AS DOUBLE)) AS jaccard
+    FROM inter
+    JOIN sz za ON za.source = inter.source_a
+    JOIN sz zb ON zb.source = inter.source_b
+"""
+
 ORACLE_SQL["session_value_quantiles"] = """
     WITH o AS (
         SELECT user_id, ts, event_id,

@@ -5846,6 +5846,60 @@ def session_value_quantiles(sf_dir: str):
                      "p90_session_value": pa.array([q(0.9)], pa.float64())})
 
 
+def vocab_overlap_sources(sf_dir: str):
+    """Cross-source vocabulary Jaccard matrix: for every source pair, the
+    overlap of their distinct-token vocabularies — the redundancy signal
+    between ingestion feeds. Distinct (source, token) pairs reduce first
+    (combiner distinct); intersections come from a token-co-partitioned
+    self-pairing per token (fan-out bounded by sources-per-token, ≤ the
+    source count — never a vocabulary broadcast); per-source vocabulary
+    sizes are a tiny count exchange; Jaccard = inter / (|A|+|B|−inter)
+    is one fixed-order float expression. Pairs sharing nothing are
+    omitted (Jaccard 0)."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(
+            pc.fill_null(t["text"], "")))
+        split = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        n = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        src = (t["source"].combine_chunks()
+               if isinstance(t["source"], pa.ChunkedArray)
+               else t["source"]).take(
+            pa.array(np.repeat(np.arange(t.num_rows), n)))
+        g = pa.table({"source": src, "token": flat}).group_by(
+            ["source", "token"]).aggregate([])
+        return g
+
+    pairs = relational.distinct(
+        ds.map_batches(toks, batch_format="pyarrow"),
+        ["source", "token"]).materialize()
+    sizes = relational.grouped_agg(pairs, ["source"],
+                                   {"n": ("token", "count")}).to_pandas() \
+        .set_index("source")["n"]
+
+    def cross(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="token")
+        m = m[m["source_x"] < m["source_y"]]
+        g = m.groupby(["source_x", "source_y"], sort=False).size()
+        return g.rename("inter").reset_index()
+
+    inter = relational.grouped_agg(
+        window._bucketed_apply(pairs, "token", cross),
+        ["source_x", "source_y"], {"inter": ("inter", "sum")}).to_pandas()
+    na = sizes[inter["source_x"]].to_numpy().astype(np.float64)
+    nb = sizes[inter["source_y"]].to_numpy().astype(np.float64)
+    i = inter["inter"].to_numpy().astype(np.float64)
+    return pd.DataFrame({"source_a": inter["source_x"],
+                         "source_b": inter["source_y"],
+                         "inter": inter["inter"].astype(np.int64),
+                         "jaccard": i / (na + nb - i)}) \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -5950,6 +6004,7 @@ QUERIES = {
     "lang_purity_by_source": lang_purity_by_source,
     "ngram_novelty_documents": ngram_novelty_documents,
     "session_value_quantiles": session_value_quantiles,
+    "vocab_overlap_sources": vocab_overlap_sources,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
