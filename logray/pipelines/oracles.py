@@ -831,6 +831,52 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["context_overflow_share_transcripts"] = f"""
+    WITH p AS (
+        SELECT conv_id,
+               sum(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+                        THEN 0
+                        ELSE len(regexp_split_to_array(
+                            regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                            '\\s+')) END) AS tok
+        FROM {_CORPUS} GROUP BY conv_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_convs,
+           CAST(sum(CASE WHEN tok > 512 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overflow,
+           CAST(sum(CASE WHEN tok > 512 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS overflow_share
+    FROM p
+"""
+
+ORACLE_SQL["order_gap_quantiles"] = """
+    WITH g AS (
+        SELECT epoch_us(o_orderdate) // 86400000000
+               - lag(epoch_us(o_orderdate) // 86400000000) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS gap
+        FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap_days,
+           CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_gap_days
+    FROM g WHERE gap IS NOT NULL
+"""
+
+ORACLE_SQL["longest_daily_streak_users"] = """
+    WITH dd AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // 86400000000 AS d
+        FROM events),
+    r AS (
+        SELECT user_id, d,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                   AS island
+        FROM dd),
+    runs AS (SELECT user_id, island, count(*) AS len
+             FROM r GROUP BY 1, 2)
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
+    FROM runs GROUP BY user_id
+"""
+
 ORACLE_SQL["vocab_overlap_sources"] = """
     WITH st AS (
         SELECT DISTINCT source,

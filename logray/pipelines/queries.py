@@ -5900,6 +5900,105 @@ def vocab_overlap_sources(sf_dir: str):
         .sort_values(["source_a", "source_b"]).reset_index(drop=True)
 
 
+def context_overflow_share_transcripts(sf_dir: str):
+    """Context-budget overflow rate: what fraction of conversations
+    exceed the 512-whitespace-token training budget (the sibling summary
+    of `context_budget_truncate_transcripts`). Token counts vectorized at
+    the read, one combiner exchange of per-conv sums, a single identical
+    float division."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["conv_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": t["conv_id"],
+                         "n": pc.cast(pc.count_substring_regex(
+                             t["text"], r"\S+"), pa.int64())})
+
+    per_conv = relational.grouped_agg(
+        ds.map_batches(toks, batch_format="pyarrow"),
+        ["conv_id"], {"tok": ("n", "sum")}).to_pandas()
+    n = len(per_conv)
+    over = int((per_conv["tok"] > 512).sum())
+    return pd.DataFrame({"n_convs": [np.int64(n)],
+                         "n_overflow": [np.int64(over)],
+                         "overflow_share": [float(over) / float(n)]})
+
+
+def order_gap_quantiles(sf_dir: str):
+    """Inter-order cadence: exact p50/p90 whole days between a customer's
+    consecutive orders. Per-customer lag diffs in co-partitioned buckets;
+    the gap distribution reduces before the order statistics — per-order
+    rows never reach the driver."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"c": t["o_custkey"], "k": t["o_orderkey"],
+                         "d": pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
+                                        86_400_000_000)})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["c", "d", "k"], kind="mergesort")
+        gap = df.groupby("c", sort=False)["d"].diff()
+        g = gap.dropna().astype(np.int64)
+        out = g.groupby(g).size()
+        return pd.DataFrame({"gap": out.index.to_numpy(),
+                             "g": out.to_numpy().astype(np.int64)})
+
+    dist = relational.grouped_agg(
+        window._bucketed_apply(
+            ds.map_batches(prep, batch_format="pyarrow"), "c", per_bucket),
+        ["gap"], {"g": ("g", "sum")}).to_pandas().sort_values("gap")
+    cum = dist["g"].cumsum().to_numpy()
+    tot = int(cum[-1])
+    vals = dist["gap"].to_numpy()
+
+    def q(p: float) -> int:
+        k = max(int(np.ceil(p * tot)), 1)
+        return int(vals[int(np.searchsorted(cum, k))])
+
+    return pa.table({"n_gaps": pa.array([tot], pa.int64()),
+                     "p50_gap_days": pa.array([q(0.5)], pa.int64()),
+                     "p90_gap_days": pa.array([q(0.9)], pa.int64())})
+
+
+def longest_daily_streak_users(sf_dir: str):
+    """Longest consecutive-active-days streak per user — the classic
+    GAPS-AND-ISLANDS pattern: distinct active days minus their per-user
+    row_number are constant within a consecutive run, so a grouped count
+    over (user, day − rank) yields run lengths and a max finishes. One
+    distinct exchange + one bucket shuffle, all vectorized."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "user_id": t["user_id"],
+            "d": pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)}) \
+            .group_by(["user_id", "d"]).aggregate([])
+        return g
+
+    dd = relational.distinct(
+        ds.map_batches(days, batch_format="pyarrow"), ["user_id", "d"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "d"], kind="mergesort")
+        rn = df.groupby("user_id", sort=False).cumcount().to_numpy()
+        island = df["d"].to_numpy() - rn
+        runs = pd.DataFrame({"u": df["user_id"].to_numpy(),
+                             "i": island}).groupby(["u", "i"],
+                                                   sort=False).size()
+        best = runs.groupby(level=0).max()
+        return pd.DataFrame({"user_id": best.index.to_numpy(),
+                             "longest_streak":
+                                 best.to_numpy().astype(np.int64)})
+
+    return window._bucketed_apply(dd, "user_id", per_bucket)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -6005,6 +6104,9 @@ QUERIES = {
     "ngram_novelty_documents": ngram_novelty_documents,
     "session_value_quantiles": session_value_quantiles,
     "vocab_overlap_sources": vocab_overlap_sources,
+    "context_overflow_share_transcripts": context_overflow_share_transcripts,
+    "order_gap_quantiles": order_gap_quantiles,
+    "longest_daily_streak_users": longest_daily_streak_users,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
