@@ -831,6 +831,35 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["top_bigrams_per_source"] = """
+    WITH d AS (
+        SELECT source,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents),
+    b AS (
+        SELECT source, list_transform(
+            list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+            x -> x[1] || ' ' || x[2]) AS bgs
+        FROM d),
+    big AS (SELECT source, u.bg AS bigram FROM b, unnest(b.bgs) u(bg)),
+    c AS (SELECT source, bigram, CAST(count(*) AS BIGINT) AS n
+          FROM big GROUP BY 1, 2)
+    SELECT source, bigram, n, rn FROM (
+        SELECT source, bigram, n,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n DESC, bigram) AS rn
+        FROM c) WHERE rn <= 3
+"""
+
+ORACLE_SQL["minmax_scaled_value_events"] = """
+    WITH c AS (SELECT event_id,
+                      CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    b AS (SELECT CAST(min(c) AS DOUBLE) AS mn,
+                 CAST(max(c) AS DOUBLE) AS mx FROM c)
+    SELECT event_id, (CAST(c AS DOUBLE) - b.mn) / (b.mx - b.mn) AS scaled
+    FROM c, b
+"""
+
 ORACLE_SQL["context_overflow_share_transcripts"] = f"""
     WITH p AS (
         SELECT conv_id,

@@ -5999,6 +5999,82 @@ def longest_daily_streak_users(sf_dir: str):
     return window._bucketed_apply(dd, "user_id", per_bucket)
 
 
+def top_bigrams_per_source(sf_dir: str):
+    """Per-GROUP top-k over an aggregate: each source's 3 most frequent
+    word bigrams (count desc, bigram asc tie-break) — the grouped
+    refinement of the global `top_bigrams_documents`. Bigram counts
+    combine per (source, bigram) in one exchange; the per-source top-3 is
+    a bucketed row_number cut over the (already tiny) aggregate."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(
+            pc.fill_null(t["text"], "")))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        n = len(flat)
+        if n < 2:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "bigram": pa.array([], pa.string())})
+        pair = pc.binary_join_element_wise(flat.slice(0, n - 1),
+                                           flat.slice(1, n - 1), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        valid = np.ones(n - 1, dtype=bool)
+        ends = np.cumsum(lens)[:-1]
+        ends = ends[(ends > 0) & (ends < n)]
+        valid[ends - 1] = False
+        docidx = np.searchsorted(np.cumsum(lens), np.flatnonzero(valid),
+                                 side="right")
+        src = (t["source"].combine_chunks()
+               if isinstance(t["source"], pa.ChunkedArray)
+               else t["source"]).take(pa.array(docidx))
+        return pa.table({"source": src,
+                         "bigram": pair.filter(pa.array(valid))})
+
+    counts = relational.grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["source", "bigram"], {"n": ("bigram", "count")})
+    top = window.grouped_topn(counts, "source",
+                              [("n", True), ("bigram", False)], 3)
+    return top.map_batches(
+        lambda t: pa.table({"source": t["source"], "bigram": t["bigram"],
+                            "n": t["n"], "rn": pc.cast(t["rn"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def minmax_scaled_value_events(sf_dir: str):
+    """Min-max feature scaling (ML-prep normalization): every value
+    rescaled to [0,1] against the exact global cents min/max — bounds
+    from one combiner exchange, broadcast into a stateless vectorized
+    map; the scaling is one identical float expression."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "c": pc.cast(pc.round(pc.multiply(t["value"],
+                                                           100.0)),
+                                      pa.int64())})
+
+    cds = ds.map_batches(cents, batch_format="pyarrow").materialize()
+    bounds = cds.map_batches(
+        lambda t: pa.table({"mn": pa.array([pc.min(t["c"]).as_py()],
+                                           pa.int64()),
+                            "mx": pa.array([pc.max(t["c"]).as_py()],
+                                           pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    mn, mx = float(bounds["mn"].min()), float(bounds["mx"].max())
+
+    def scale(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"event_id": t["event_id"],
+                         "scaled": pa.array((c - mn) / (mx - mn),
+                                            pa.float64())})
+
+    return cds.map_batches(scale, batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -6107,6 +6183,8 @@ QUERIES = {
     "context_overflow_share_transcripts": context_overflow_share_transcripts,
     "order_gap_quantiles": order_gap_quantiles,
     "longest_daily_streak_users": longest_daily_streak_users,
+    "top_bigrams_per_source": top_bigrams_per_source,
+    "minmax_scaled_value_events": minmax_scaled_value_events,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
