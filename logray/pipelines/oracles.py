@@ -831,6 +831,31 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["robust_scaled_value_events"] = """
+    WITH c AS (SELECT event_id,
+                      CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    b AS (SELECT CAST(quantile_disc(c, 0.25) AS DOUBLE) AS p25,
+                 CAST(quantile_disc(c, 0.5) AS DOUBLE) AS p50,
+                 CAST(quantile_disc(c, 0.75) AS DOUBLE) AS p75
+          FROM c)
+    SELECT event_id,
+           (CAST(c AS DOUBLE) - b.p50) / (b.p75 - b.p25) AS scaled
+    FROM c, b
+"""
+
+ORACLE_SQL["stopword_candidates_documents"] = """
+    WITH st AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS token
+        FROM documents),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+    f AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM st GROUP BY 1)
+    SELECT token, df, CAST(df AS DOUBLE) / n.nd AS df_share
+    FROM f, n
+    WHERE CAST(df AS DOUBLE) / n.nd > 0.3
+"""
+
 ORACLE_SQL["top_bigrams_per_source"] = """
     WITH d AS (
         SELECT source,

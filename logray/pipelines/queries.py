@@ -6075,6 +6075,79 @@ def minmax_scaled_value_events(sf_dir: str):
     return cds.map_batches(scale, batch_format="pyarrow")
 
 
+def robust_scaled_value_events(sf_dir: str):
+    """Robust feature scaling ((x − median) / IQR — outlier-insensitive,
+    the sklearn RobustScaler): exact discrete p25/p50/p75 cents from the
+    value-distribution shuffle, broadcast into a stateless vectorized
+    map; one identical float expression per row."""
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "c": pc.cast(pc.round(pc.multiply(t["value"],
+                                                           100.0)),
+                                      pa.int64())})
+
+    cds = ds.map_batches(cents, batch_format="pyarrow").materialize()
+    dist = relational.grouped_agg(cds, ["c"], {"g": ("c", "count")}
+                                  ).to_pandas().sort_values("c")
+    cum = dist["g"].cumsum().to_numpy()
+    tot = int(cum[-1])
+    vals = dist["c"].to_numpy()
+
+    def q(p: float) -> float:
+        k = max(int(np.ceil(p * tot)), 1)
+        return float(vals[int(np.searchsorted(cum, k))])
+
+    p25, p50, p75 = q(0.25), q(0.5), q(0.75)
+
+    def scale(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"event_id": t["event_id"],
+                         "scaled": pa.array((c - p50) / (p75 - p25),
+                                            pa.float64())})
+
+    return cds.map_batches(scale, batch_format="pyarrow")
+
+
+def stopword_candidates_documents(sf_dir: str):
+    """Corpus-driven stopword discovery: tokens whose DOCUMENT frequency
+    exceeds 30% of the corpus, with df and share — what preprocessing
+    pipelines prune before indexing. Distinct (doc, token) pairs reduce
+    with a combiner distinct exchange; df is a grouped count; the share
+    is one identical division against the footer row count."""
+    n_docs = float(pq.ParquetFile(f"{sf_dir}/documents.parquet")
+                   .metadata.num_rows)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(
+            pc.fill_null(t["text"], "")))
+        split = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        n = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        ids = (t["doc_id"].combine_chunks()
+               if isinstance(t["doc_id"], pa.ChunkedArray)
+               else t["doc_id"]).take(
+            pa.array(np.repeat(np.arange(t.num_rows), n)))
+        return pa.table({"doc_id": ids, "token": flat}).group_by(
+            ["doc_id", "token"]).aggregate([])
+
+    pairs = relational.distinct(
+        ds.map_batches(toks, batch_format="pyarrow"), ["doc_id", "token"])
+    df = relational.grouped_agg(pairs, ["token"],
+                                {"df": ("doc_id", "count")})
+
+    def fin(t: pa.Table) -> pa.Table:
+        share = pc.divide(pc.cast(t["df"], pa.float64()), n_docs)
+        out = t.append_column("df_share", share)
+        return out.filter(pc.greater(out["df_share"], 0.3))
+
+    return df.map_batches(fin, batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -6185,6 +6258,8 @@ QUERIES = {
     "longest_daily_streak_users": longest_daily_streak_users,
     "top_bigrams_per_source": top_bigrams_per_source,
     "minmax_scaled_value_events": minmax_scaled_value_events,
+    "robust_scaled_value_events": robust_scaled_value_events,
+    "stopword_candidates_documents": stopword_candidates_documents,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
