@@ -831,6 +831,33 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["dau_wau_stickiness"] = """
+    WITH du AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id
+        FROM events),
+    dau AS (SELECT d AS day, count(*) AS dau FROM du GROUP BY 1),
+    wau AS (
+        SELECT days.d AS day, count(DISTINCT du.user_id) AS wau
+        FROM (SELECT DISTINCT d FROM du) days
+        JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+        GROUP BY days.d)
+    SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau USING (day)
+"""
+
+ORACLE_SQL["round_number_bias_by_type"] = """
+    WITH f AS (
+        SELECT event_type,
+               CASE WHEN CAST(round(value * 100) AS BIGINT) % 100 = 0
+                    THEN 1 ELSE 0 END AS r
+        FROM events)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(r) AS BIGINT) AS n_round,
+           CAST(sum(r) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS round_share
+    FROM f GROUP BY event_type
+"""
+
 ORACLE_SQL["robust_scaled_value_events"] = """
     WITH c AS (SELECT event_id,
                       CAST(round(value * 100) AS BIGINT) AS c FROM events),

@@ -6148,6 +6148,77 @@ def stopword_candidates_documents(sf_dir: str):
     return df.map_batches(fin, batch_format="pyarrow")
 
 
+def dau_wau_stickiness(sf_dir: str):
+    """Stickiness (DAU/WAU per day — the engagement dashboard headline):
+    daily distinct actives over trailing-7-day distinct actives, exact.
+    Same distinct-pair reduce + bounded day fan-out as
+    `trailing_7d_active_users`, plus the per-day distinct count and one
+    identical division."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        return pa.table({"d": d, "user_id": t["user_id"]}).group_by(
+            ["d", "user_id"]).aggregate([])
+
+    pairs = relational.distinct(
+        ds.map_batches(to_day, batch_format="pyarrow"), ["d", "user_id"]
+    ).materialize()
+    dau = relational.grouped_agg(pairs, ["d"], {"dau": ("user_id", "count")}
+                                 ).to_pandas()
+    days = np.sort(dau["d"].to_numpy())
+    ref = ray.put(days) if ray.is_initialized() else None
+
+    def explode(t: pa.Table) -> pa.Table:
+        valid = days if ref is None else ray.get(ref)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        tgt = (d[:, None] + np.arange(7)).reshape(-1)
+        uu = np.repeat(u, 7)
+        idx = np.clip(np.searchsorted(valid, tgt), 0, len(valid) - 1)
+        m = valid[idx] == tgt
+        return pa.table({"day": pa.array(tgt[m], pa.int64()),
+                         "user_id": pa.array(uu[m], pa.int64())})
+
+    wau = relational.grouped_agg(
+        relational.distinct(
+            pairs.map_batches(explode, batch_format="pyarrow"),
+            ["day", "user_id"]),
+        ["day"], {"wau": ("user_id", "count")}).to_pandas()
+    j = dau.rename(columns={"d": "day"}).merge(wau, on="day")
+    j["stickiness"] = (j["dau"].to_numpy().astype(np.float64)
+                       / j["wau"].to_numpy().astype(np.float64))
+    return j.sort_values("day").reset_index(drop=True)
+
+
+def round_number_bias_by_type(sf_dir: str):
+    """Round-number bias audit (Benford's sibling — human-entered or
+    synthetic amounts over-index on whole dollars): per event_type, the
+    share of values landing on exact dollars. One combiner exchange of
+    (type, is-round) counts; the share is one identical division."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        r = pc.cast(pc.equal(pc.subtract(c, pc.multiply(
+            pc.divide(c, 100), 100)), 0), pa.int64())
+        g = pa.table({"event_type": t["event_type"], "r": r}).group_by(
+            "event_type").aggregate([("r", "count"), ("r", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "n": pc.cast(g["r_count"], pa.int64()),
+                         "n_round": g["r_sum"]})
+
+    out = relational.grouped_agg(
+        ds.map_batches(flags, batch_format="pyarrow"),
+        ["event_type"], {"n": ("n", "sum"), "n_round": ("n_round", "sum")}
+    ).to_pandas()
+    out["round_share"] = (out["n_round"].to_numpy().astype(np.float64)
+                          / out["n"].to_numpy().astype(np.float64))
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -6260,6 +6331,8 @@ QUERIES = {
     "minmax_scaled_value_events": minmax_scaled_value_events,
     "robust_scaled_value_events": robust_scaled_value_events,
     "stopword_candidates_documents": stopword_candidates_documents,
+    "dau_wau_stickiness": dau_wau_stickiness,
+    "round_number_bias_by_type": round_number_bias_by_type,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
