@@ -831,6 +831,34 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["charset_audit_by_source"] = """
+    WITH c AS (
+        SELECT source,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS chars,
+               CAST(len(regexp_extract_all(coalesce(text, ''),
+                        '[^\\x00-\\x7F]')) AS BIGINT) AS non
+        FROM documents)
+    SELECT source, CAST(sum(chars) AS BIGINT) AS total_chars,
+           CAST(sum(non) AS BIGINT) AS non_ascii,
+           CAST(sum(non) AS DOUBLE) / CAST(sum(chars) AS DOUBLE)
+               AS non_ascii_ratio
+    FROM c GROUP BY source
+"""
+
+ORACLE_SQL["final_role_distribution_transcripts"] = f"""
+    WITH l AS (
+        SELECT conv_id, role,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx DESC) AS rn
+        FROM {_CORPUS}),
+    c AS (SELECT role, count(*) AS n_convs FROM l WHERE rn = 1
+          GROUP BY role),
+    t AS (SELECT CAST(sum(n_convs) AS DOUBLE) AS tot FROM c)
+    SELECT role, CAST(n_convs AS BIGINT) AS n_convs,
+           CAST(n_convs AS DOUBLE) / t.tot AS share
+    FROM c, t
+"""
+
 ORACLE_SQL["dau_wau_stickiness"] = """
     WITH du AS (
         SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id

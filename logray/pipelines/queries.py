@@ -6219,6 +6219,62 @@ def round_number_bias_by_type(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def charset_audit_by_source(sf_dir: str):
+    """Encoding/charset audit per ingestion source: total characters,
+    non-ASCII characters, and the non-ASCII ratio — the mojibake /
+    wrong-decode detector. Vectorized regex counts per batch, exact
+    integer totals through one combiner exchange, one identical
+    division."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        chars = pc.cast(pc.utf8_length(pc.fill_null(t["text"], "")),
+                        pa.int64())
+        non = pc.cast(pc.count_substring_regex(
+            pc.fill_null(t["text"], ""), r"[^\x00-\x7F]"), pa.int64())
+        g = pa.table({"source": t["source"], "chars": chars, "non": non}) \
+            .group_by("source").aggregate([("chars", "sum"), ("non", "sum")])
+        return pa.table({"source": g["source"],
+                         "total_chars": g["chars_sum"],
+                         "non_ascii": g["non_sum"]})
+
+    out = relational.grouped_agg(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        ["source"], {"total_chars": ("total_chars", "sum"),
+                     "non_ascii": ("non_ascii", "sum")}).to_pandas()
+    out["non_ascii_ratio"] = (
+        out["non_ascii"].to_numpy().astype(np.float64)
+        / out["total_chars"].to_numpy().astype(np.float64))
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def final_role_distribution_transcripts(sf_dir: str):
+    """How do conversations END? Distribution of the last turn's role —
+    the truncated-conversation / dangling-tool-call detector. Per-conv
+    last row from one bucket shuffle (vectorized tail pick); tiny count
+    rollup; share is one identical division."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["conv_id", "turn_idx", "role"])
+
+    def last_role(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        last = ~df.duplicated("conv_id", keep="last")
+        out = df.loc[last, ["role"]].groupby("role").size()
+        return out.rename("n_convs").reset_index()
+
+    counts = relational.grouped_agg(
+        window._bucketed_apply(ds, "conv_id", last_role),
+        ["role"], {"n_convs": ("n_convs", "sum")}).to_pandas()
+    total = float(counts["n_convs"].sum())
+    counts["share"] = counts["n_convs"].to_numpy().astype(np.float64) / total
+    return counts.sort_values("role").reset_index(drop=True)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -6333,6 +6389,8 @@ QUERIES = {
     "stopword_candidates_documents": stopword_candidates_documents,
     "dau_wau_stickiness": dau_wau_stickiness,
     "round_number_bias_by_type": round_number_bias_by_type,
+    "charset_audit_by_source": charset_audit_by_source,
+    "final_role_distribution_transcripts": final_role_distribution_transcripts,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
