@@ -831,6 +831,27 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["supplier_diversity_histogram"] = """
+    WITH p AS (
+        SELECT l_partkey, count(DISTINCT l_suppkey) AS k
+        FROM lineitem GROUP BY 1)
+    SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_parts
+    FROM p GROUP BY k
+"""
+
+ORACLE_SQL["repeated_turns_transcripts"] = f"""
+    WITH r AS (
+        SELECT conv_id,
+               row_number() OVER (PARTITION BY conv_id, text
+                                  ORDER BY turn_idx) AS rn
+        FROM {_CORPUS})
+    SELECT conv_id,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeated
+    FROM r GROUP BY conv_id
+    HAVING sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) > 0
+"""
+
 ORACLE_SQL["charset_audit_by_source"] = """
     WITH c AS (
         SELECT source,

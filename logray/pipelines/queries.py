@@ -6275,6 +6275,45 @@ def final_role_distribution_transcripts(sf_dir: str):
     return counts.sort_values("role").reset_index(drop=True)
 
 
+def supplier_diversity_histogram(sf_dir: str):
+    """Supply-chain resilience profile: how many parts are served by
+    exactly k distinct suppliers, for every observed k — single-supplier
+    parts are the risk register. Distinct (part, supplier) pairs reduce
+    first, then two combiner count exchanges (per-part distinct suppliers,
+    counts of counts)."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    pairs = relational.distinct(li, ["l_partkey", "l_suppkey"])
+    per_part = relational.grouped_agg(
+        pairs, ["l_partkey"], {"k": ("l_suppkey", "count")})
+    return relational.grouped_agg(per_part, ["k"],
+                                  {"n_parts": ("k", "count")})
+
+
+def repeated_turns_transcripts(sf_dir: str):
+    """Within-conversation repeated-turn detection (copy-paste loops,
+    stuck agents): per conversation, how many turns repeat an EARLIER
+    turn's exact text. One bucket shuffle by conv; the repeat flag is a
+    vectorized duplicated() over (conv, text). Only conversations with
+    ≥ 1 repeat are emitted."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["conv_id", "turn_idx", "text"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        dup = df.duplicated(["conv_id", "text"]).astype(np.int64)
+        g = dup.groupby(df["conv_id"].to_numpy(), sort=False).sum()
+        g = g[g > 0]
+        return pd.DataFrame({"conv_id": g.index.to_numpy(),
+                             "n_repeated": g.to_numpy()})
+
+    return window._bucketed_apply(ds, "conv_id", per_bucket)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -6391,6 +6430,8 @@ QUERIES = {
     "round_number_bias_by_type": round_number_bias_by_type,
     "charset_audit_by_source": charset_audit_by_source,
     "final_role_distribution_transcripts": final_role_distribution_transcripts,
+    "supplier_diversity_histogram": supplier_diversity_histogram,
+    "repeated_turns_transcripts": repeated_turns_transcripts,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
