@@ -831,6 +831,28 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["hour_entropy_users"] = """
+    WITH c AS (
+        SELECT user_id, hour(ts) AS h, CAST(count(*) AS DOUBLE) AS n
+        FROM events GROUP BY 1, 2),
+    a AS (
+        SELECT user_id, sum(n) AS tot, sum(n * ln(n)) AS s
+        FROM c GROUP BY 1)
+    SELECT user_id, round(ln(tot) - s / tot, 6) AS hour_entropy FROM a
+"""
+
+ORACLE_SQL["priority_mix_by_segment"] = """
+    WITH cells AS (
+        SELECT c_mktsegment AS segment, o_orderpriority AS prio,
+               count(*) AS n
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY 1, 2)
+    SELECT segment, prio, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE)
+               / CAST(sum(n) OVER (PARTITION BY segment) AS DOUBLE) AS share
+    FROM cells
+"""
+
 ORACLE_SQL["supplier_diversity_histogram"] = """
     WITH p AS (
         SELECT l_partkey, count(DISTINCT l_suppkey) AS k

@@ -6314,6 +6314,57 @@ def repeated_turns_transcripts(sf_dir: str):
     return window._bucketed_apply(ds, "conv_id", per_bucket)
 
 
+def hour_entropy_users(sf_dir: str):
+    """Behavioral regularity: Shannon entropy of each user's hour-of-day
+    activity histogram — low entropy = routine-bound user, high = diffuse.
+    Exact integer (user, hour) counts through one combiner exchange; the
+    same H = ln(tot) − Σ n·ln n / tot identity as the event-type entropy
+    (n·ln n over exact ints is bit-reproducible in SQL)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        g = pa.table({"user_id": t["user_id"],
+                      "h": pc.cast(pc.hour(t["ts"]), pa.int64())}) \
+            .group_by(["user_id", "h"]).aggregate([("h", "count")])
+        return pa.table({"user_id": g["user_id"], "h": g["h"],
+                         "n": pc.cast(g["h_count"], pa.int64())})
+
+    counts = relational.grouped_agg(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["user_id", "h"], {"n": ("n", "sum")}).to_pandas()
+    n = counts["n"].to_numpy().astype(np.float64)
+    counts["nlogn"] = n * np.log(n)
+    g = counts.groupby("user_id").agg(tot=("n", "sum"), s=("nlogn", "sum"))
+    ent = np.round(np.log(g["tot"].to_numpy().astype(np.float64))
+                   - g["s"].to_numpy() / g["tot"].to_numpy().astype(np.float64),
+                   6)
+    return pd.DataFrame({"user_id": g.index.to_numpy(),
+                         "hour_entropy": ent}).reset_index(drop=True)
+
+
+def priority_mix_by_segment(sf_dir: str):
+    """Order-priority mix per customer market segment — the two-way
+    composition report (share within segment). One co-partitioned join
+    (orders⋈customer), combiner cell counts, per-segment margins joined
+    back driver-side; shares are single identical divisions."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    joined = relational.broadcast_join(
+        orders.map_batches(
+            lambda t: t.rename_columns(["c_custkey", "prio"]),
+            batch_format="pyarrow"),
+        cust, on="c_custkey")
+    cells = relational.grouped_agg(
+        joined, ["c_mktsegment", "prio"],
+        {"n": ("prio", "count")}).to_pandas()
+    seg_tot = cells.groupby("c_mktsegment")["n"].transform("sum")
+    cells["share"] = (cells["n"].to_numpy().astype(np.float64)
+                      / seg_tot.to_numpy().astype(np.float64))
+    return cells.rename(columns={"c_mktsegment": "segment"}) \
+        .sort_values(["segment", "prio"]).reset_index(drop=True)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -6432,6 +6483,8 @@ QUERIES = {
     "final_role_distribution_transcripts": final_role_distribution_transcripts,
     "supplier_diversity_histogram": supplier_diversity_histogram,
     "repeated_turns_transcripts": repeated_turns_transcripts,
+    "hour_entropy_users": hour_entropy_users,
+    "priority_mix_by_segment": priority_mix_by_segment,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
