@@ -831,6 +831,35 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["tool_roundtrip_latency_transcripts"] = f"""
+    WITH o AS (
+        SELECT conv_id, role, epoch_us(ts) AS us,
+               lead(role) OVER w AS next_role,
+               lead(epoch_us(ts)) OVER w AS next_us
+        FROM {_CORPUS}
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+    d AS (SELECT next_us - us AS lat FROM o
+          WHERE role = 'tool' AND next_role = 'assistant')
+    SELECT CAST(count(*) AS BIGINT) AS n_roundtrips,
+           CAST(quantile_disc(lat, 0.5) AS BIGINT) AS p50_us,
+           CAST(quantile_disc(lat, 0.95) AS BIGINT) AS p95_us
+    FROM d
+"""
+
+ORACLE_SQL["peak_hour_by_type"] = """
+    WITH c AS (
+        SELECT event_type, hour(ts) AS h, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    r AS (
+        SELECT event_type, h, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n DESC, h) AS rn
+        FROM c)
+    SELECT event_type, CAST(h AS BIGINT) AS peak_hour,
+           CAST(n AS BIGINT) AS n
+    FROM r WHERE rn = 1
+"""
+
 ORACLE_SQL["hour_entropy_users"] = """
     WITH c AS (
         SELECT user_id, hour(ts) AS h, CAST(count(*) AS DOUBLE) AS n

@@ -6365,6 +6365,75 @@ def priority_mix_by_segment(sf_dir: str):
         .sort_values(["segment", "prio"]).reset_index(drop=True)
 
 
+def tool_roundtrip_latency_transcripts(sf_dir: str):
+    """Tool roundtrip latency over the transcript corpus: for every tool
+    turn immediately followed by an assistant turn, exact p50/p95 of the
+    gap in integer microseconds — the agent-runtime SLA. Adjacency from
+    one conv-co-partitioned shift; the latency distribution reduces
+    before the order statistics."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["conv_id", "turn_idx", "role", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = df.groupby("conv_id", sort=False)
+        nxt_role = g["role"].shift(-1)
+        nxt_ts = g["ts"].shift(-1)
+        m = ((df["role"].to_numpy() == "tool")
+             & (nxt_role.to_numpy() == "assistant"))
+        lat = (nxt_ts.to_numpy()[m].astype("datetime64[us]").astype(np.int64)
+               - df["ts"].to_numpy()[m].astype("datetime64[us]")
+                 .astype(np.int64))
+        out = pd.Series(lat).groupby(pd.Series(lat)).size()
+        return pd.DataFrame({"lat": out.index.to_numpy(),
+                             "g": out.to_numpy().astype(np.int64)})
+
+    dist = relational.grouped_agg(
+        window._bucketed_apply(ds, "conv_id", per_bucket),
+        ["lat"], {"g": ("g", "sum")}).to_pandas().sort_values("lat")
+    cum = dist["g"].cumsum().to_numpy()
+    tot = int(cum[-1])
+    vals = dist["lat"].to_numpy()
+
+    def q(p: float) -> int:
+        k = max(int(np.ceil(p * tot)), 1)
+        return int(vals[int(np.searchsorted(cum, k))])
+
+    return pa.table({"n_roundtrips": pa.array([tot], pa.int64()),
+                     "p50_us": pa.array([q(0.5)], pa.int64()),
+                     "p95_us": pa.array([q(0.95)], pa.int64())})
+
+
+def peak_hour_by_type(sf_dir: str):
+    """Peak activity hour per event type (arg-max over an aggregate,
+    deterministic min-hour tie-break): one combiner exchange of
+    (type, hour) counts; the 5×24-cell argmax finishes driver-side."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        g = pa.table({"event_type": t["event_type"],
+                      "h": pc.cast(pc.hour(t["ts"]), pa.int64())}) \
+            .group_by(["event_type", "h"]).aggregate([("h", "count")])
+        return pa.table({"event_type": g["event_type"], "h": g["h"],
+                         "n": pc.cast(g["h_count"], pa.int64())})
+
+    counts = relational.grouped_agg(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        ["event_type", "h"], {"n": ("n", "sum")}).to_pandas()
+    counts = counts.sort_values(["event_type", "n", "h"],
+                                ascending=[True, False, True])
+    best = counts.groupby("event_type", sort=True).head(1)
+    return pd.DataFrame({"event_type": best["event_type"].to_numpy(),
+                         "peak_hour": best["h"].to_numpy().astype(np.int64),
+                         "n": best["n"].to_numpy().astype(np.int64)}
+                        ).reset_index(drop=True)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -6485,6 +6554,8 @@ QUERIES = {
     "repeated_turns_transcripts": repeated_turns_transcripts,
     "hour_entropy_users": hour_entropy_users,
     "priority_mix_by_segment": priority_mix_by_segment,
+    "tool_roundtrip_latency_transcripts": tool_roundtrip_latency_transcripts,
+    "peak_hour_by_type": peak_hour_by_type,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
