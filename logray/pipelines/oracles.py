@@ -831,6 +831,39 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["tokens_per_minute_transcripts"] = f"""
+    WITH p AS (
+        SELECT conv_id,
+               sum(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+                        THEN 0
+                        ELSE len(regexp_split_to_array(
+                            regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                            '\\s+')) END) AS tok,
+               min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+        FROM {_CORPUS} GROUP BY conv_id)
+    SELECT conv_id, CAST(tok AS BIGINT) AS tokens,
+           t1 - t0 AS span_us,
+           CAST(tok AS DOUBLE)
+               / (CAST(t1 - t0 AS DOUBLE) / 60000000.0) AS tokens_per_min
+    FROM p WHERE t1 > t0
+"""
+
+ORACLE_SQL["idle_gap_share_users"] = """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events),
+    a AS (
+        SELECT user_id, count(*) AS n_gaps,
+               CAST(sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_idle
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps, n_idle,
+           CAST(n_idle AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS idle_share
+    FROM a
+"""
+
 ORACLE_SQL["tool_roundtrip_latency_transcripts"] = f"""
     WITH o AS (
         SELECT conv_id, role, epoch_us(ts) AS us,

@@ -6434,6 +6434,72 @@ def peak_hour_by_type(sf_dir: str):
                         ).reset_index(drop=True)
 
 
+def tokens_per_minute_transcripts(sf_dir: str):
+    """Conversation token throughput: whitespace tokens per minute over
+    each conversation's wall-clock span — the generation-speed profile.
+    Token counts and integer-µs spans from one combiner exchange per
+    conversation; the rate is one identical float expression (zero-span
+    single-turn conversations are excluded)."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["conv_id", "ts", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "tok": pc.cast(pc.count_substring_regex(t["text"], r"\S+"),
+                           pa.int64()),
+            "us": pc.cast(t["ts"], pa.int64())})
+
+    agg = relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["conv_id"], {"tok": ("tok", "sum"), "t0": ("us", "min"),
+                      "t1": ("us", "max")}).to_pandas()
+    span = agg["t1"].to_numpy() - agg["t0"].to_numpy()
+    m = span > 0
+    tpm = (agg["tok"].to_numpy()[m].astype(np.float64)
+           / (span[m].astype(np.float64) / 60_000_000.0))
+    return pd.DataFrame({"conv_id": agg["conv_id"].to_numpy()[m],
+                         "tokens": agg["tok"].to_numpy()[m],
+                         "span_us": span[m].astype(np.int64),
+                         "tokens_per_min": tpm}) \
+        .sort_values("conv_id").reset_index(drop=True)
+
+
+def idle_gap_share_users(sf_dir: str):
+    """Idle-time profile per user: share of inter-event gaps exceeding
+    one hour — the disengagement flag feeding churn features. Lag gaps in
+    co-partitioned buckets (exact integer µs), per-user integer counts,
+    one identical division; users with no gaps are excluded."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"], "event_id": t["event_id"],
+                         "us": pc.cast(t["ts"], pa.int64())})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        gap = df.groupby("user_id", sort=False)["us"].diff()
+        m = gap.notna().to_numpy()
+        long = (gap.to_numpy()[m] > 3_600_000_000).astype(np.int64)
+        d = pd.DataFrame({"u": df["user_id"].to_numpy()[m], "l": long})
+        g = d.groupby("u", sort=False)["l"].agg(["size", "sum"])
+        return pd.DataFrame({"user_id": g.index.to_numpy(),
+                             "n_gaps": g["size"].to_numpy().astype(np.int64),
+                             "n_idle": g["sum"].to_numpy().astype(np.int64)})
+
+    out = window._bucketed_apply(
+        ds.map_batches(prep, batch_format="pyarrow"), "user_id",
+        per_bucket).to_pandas()
+    out["idle_share"] = (out["n_idle"].to_numpy().astype(np.float64)
+                         / out["n_gaps"].to_numpy().astype(np.float64))
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -6556,6 +6622,8 @@ QUERIES = {
     "priority_mix_by_segment": priority_mix_by_segment,
     "tool_roundtrip_latency_transcripts": tool_roundtrip_latency_transcripts,
     "peak_hour_by_type": peak_hour_by_type,
+    "tokens_per_minute_transcripts": tokens_per_minute_transcripts,
+    "idle_gap_share_users": idle_gap_share_users,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
