@@ -831,6 +831,31 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["realized_vs_retail_by_brand"] = """
+    WITH r AS (
+        SELECT p_brand AS brand, count(*) AS n_parts,
+               CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                    AS BIGINT) AS rsum
+        FROM part GROUP BY 1),
+    s AS (
+        SELECT p_brand AS brand,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS esum,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS qsum
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY 1)
+    SELECT brand,
+           CAST(rsum AS DOUBLE) / CAST(n_parts AS DOUBLE) / 100.0
+               AS retail_unit,
+           CAST(esum AS DOUBLE) / CAST(qsum AS DOUBLE) / 100.0
+               AS realized_unit,
+           (CAST(esum AS DOUBLE) / CAST(qsum AS DOUBLE) / 100.0)
+               / (CAST(rsum AS DOUBLE) / CAST(n_parts AS DOUBLE) / 100.0)
+               AS ratio
+    FROM r JOIN s USING (brand)
+"""
+
 ORACLE_SQL["tokens_per_minute_transcripts"] = f"""
     WITH p AS (
         SELECT conv_id,

@@ -6500,6 +6500,48 @@ def idle_gap_share_users(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def realized_vs_retail_by_brand(sf_dir: str):
+    """Pricing-power report per brand: catalog (retail) unit price vs the
+    realized unit price actually transacted (Σ extended cents / Σ
+    quantity over lineitem), and their ratio. The part dim broadcasts
+    into the fact scan (never a shuffle join); both numerators and
+    denominators are exact int64 sums; the three floats are single
+    identical expressions."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand",
+                                  "p_retailprice"]).to_pandas()
+    part["rc"] = (part["p_retailprice"] * 100.0).round().astype(np.int64)
+    retail = part.groupby("p_brand").agg(n_parts=("rc", "size"),
+                                         rsum=("rc", "sum"))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_quantity"])
+    joined = relational.broadcast_join(
+        li.map_batches(
+            lambda t: pa.table({
+                "p_partkey": t["l_partkey"],
+                "ec": pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                                   100.0)), pa.int64()),
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64())}),
+            batch_format="pyarrow"),
+        part[["p_partkey", "p_brand"]], on="p_partkey")
+    realized = relational.grouped_agg(
+        joined, ["p_brand"], {"esum": ("ec", "sum"),
+                              "qsum": ("qty", "sum")}).to_pandas() \
+        .set_index("p_brand")
+
+    j = retail.join(realized, how="inner")
+    retail_unit = (j["rsum"].to_numpy().astype(np.float64)
+                   / j["n_parts"].to_numpy().astype(np.float64)) / 100.0
+    realized_unit = (j["esum"].to_numpy().astype(np.float64)
+                     / j["qsum"].to_numpy().astype(np.float64)) / 100.0
+    return pd.DataFrame({"brand": j.index.to_numpy(),
+                         "retail_unit": retail_unit,
+                         "realized_unit": realized_unit,
+                         "ratio": realized_unit / retail_unit}) \
+        .sort_values("brand").reset_index(drop=True)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -6624,6 +6666,7 @@ QUERIES = {
     "peak_hour_by_type": peak_hour_by_type,
     "tokens_per_minute_transcripts": tokens_per_minute_transcripts,
     "idle_gap_share_users": idle_gap_share_users,
+    "realized_vs_retail_by_brand": realized_vs_retail_by_brand,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
