@@ -831,6 +831,31 @@ ORACLE_SQL["top_bigrams_documents"] = """
     SELECT bigram, CAST(count(*) AS BIGINT) AS n
     FROM big GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
+ORACLE_SQL["price_size_regression_by_type"] = """
+    WITH m AS (
+        SELECT p_type, count(*) AS n,
+               sum(p_size) AS sx,
+               sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS sy,
+               sum(p_size * CAST(round(p_retailprice * 100) AS BIGINT))
+                   AS sxy,
+               sum(p_size * p_size) AS sxx
+        FROM part GROUP BY p_type),
+    f AS (
+        SELECT p_type, n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   AS slope_cents_per_size,
+               sx, sy
+        FROM m
+        WHERE n >= 3 AND n * sxx - sx * sx <> 0)
+    SELECT p_type, CAST(n AS BIGINT) AS n, slope_cents_per_size,
+           (CAST(sy AS DOUBLE) - slope_cents_per_size * CAST(sx AS DOUBLE))
+               / n AS intercept_cents
+    FROM f
+"""
+
 ORACLE_SQL["realized_vs_retail_by_brand"] = """
     WITH r AS (
         SELECT p_brand AS brand, count(*) AS n_parts,

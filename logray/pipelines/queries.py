@@ -6542,6 +6542,42 @@ def realized_vs_retail_by_brand(sf_dir: str):
         .sort_values("brand").reset_index(drop=True)
 
 
+def price_size_regression_by_type(sf_dir: str):
+    """Grouped least-squares on the catalog: per part TYPE, the slope and
+    intercept of retail price (cents) against part size — does bigger
+    cost more, per category? Same exact-int64-moment + identical-float
+    machinery as `regr_value_day_by_type`, on a second domain (types with
+    ≥ 3 parts and non-degenerate size variance)."""
+    ds = _read(sf_dir, "part", ["p_type", "p_size", "p_retailprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["p_size"], pa.int64())
+        y = pc.cast(pc.round(pc.multiply(t["p_retailprice"], 100.0)),
+                    pa.int64())
+        return pa.table({"p_type": t["p_type"], "x": x, "y": y,
+                         "xy": pc.multiply(x, y), "xx": pc.multiply(x, x)})
+
+    agg = relational.grouped_agg(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["p_type"], {"n": ("x", "count"), "sx": ("x", "sum"),
+                     "sy": ("y", "sum"), "sxy": ("xy", "sum"),
+                     "sxx": ("xx", "sum")}).to_pandas()
+    agg = agg[(agg["n"] >= 3)
+              & (agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"] != 0)]
+    n = agg["n"].to_numpy().astype(np.float64)
+    sx = agg["sx"].to_numpy().astype(np.float64)
+    sy = agg["sy"].to_numpy().astype(np.float64)
+    sxy = agg["sxy"].to_numpy().astype(np.float64)
+    sxx = agg["sxx"].to_numpy().astype(np.float64)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame({"p_type": agg["p_type"].to_numpy(),
+                         "n": agg["n"].to_numpy().astype(np.int64),
+                         "slope_cents_per_size": slope,
+                         "intercept_cents": intercept}) \
+        .sort_values("p_type").reset_index(drop=True)
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -6667,6 +6703,7 @@ QUERIES = {
     "tokens_per_minute_transcripts": tokens_per_minute_transcripts,
     "idle_gap_share_users": idle_gap_share_users,
     "realized_vs_retail_by_brand": realized_vs_retail_by_brand,
+    "price_size_regression_by_type": price_size_regression_by_type,
     "interval_join_order_lineitem": interval_join_order_lineitem,
     "purchase_error_outer_join": purchase_error_outer_join,
     # parse / scalar functions
