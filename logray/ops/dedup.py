@@ -39,7 +39,8 @@ def _stable_hash64(s: pd.Series) -> np.ndarray:
 
 # ------------------------------------------------------------------ exact ---
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
+                cache_corpus: bool = False):
     """Exact dedup: keep the min-id row per distinct ``text_col`` value.
 
     Scale shape: a stable 64-bit content hash per row, then a grouped
@@ -50,6 +51,14 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     co-located and verified on the real text (collision-safe keep-first).
     Avoids both a full-text shuffle and per-singleton-group Python
     overhead. Returns a Dataset with the surviving rows (original schema).
+
+    The three consumers (count pass, unique split, duplicate split) each
+    re-execute the upstream scan + hash by default — one crc-speed pass
+    each over an (already column-pruned) source — instead of pinning the
+    hashed corpus INCLUDING ITS TEXT in the object store for the whole
+    run, which at 100 TB is a corpus-sized spill residency.
+    ``cache_corpus=True`` restores the pin for small inputs or expensive
+    non-re-readable upstreams.
     """
     from ray.data.aggregate import Sum
 
@@ -58,7 +67,9 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         return batch.append_column("_h", pa.array(h, pa.int64()))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
+                            zero_copy_batch=True)
+    if cache_corpus:
+        hashed = hashed.materialize()
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         g = batch.group_by("_h").aggregate([("_h", "count")])
@@ -244,27 +255,42 @@ def _minhash_sig_batch(batch: pa.Table, *, text_col: str, id_col: str,
     })
 
 
-def _explode_bands(batch: pa.Table, *, id_col: str, bands: int) -> pa.Table:
+def _explode_bands(batch: pa.Table, *, id_col: str, bands: int,
+                   carry: tuple[str, ...] = ()) -> pa.Table:
     """Shared band explode: per-doc ``_bh`` list → one narrow
     (id, band_id, band_hash) row per band — the only rows that enter the
-    bucket-count shuffle; signatures never ride it."""
+    bucket-count shuffle; signatures never ride it.
+
+    ``carry`` names extra per-doc columns (e.g. ``_sig``) to replicate onto
+    each band row via a vectorized ``take`` — used by the VERIFY pass,
+    which filters to hot buckets *before* its exchange so only
+    duplicate-rate-bounded rows pay the replication."""
     n = batch.num_rows
     ids = batch[id_col].to_pandas().to_numpy()
     if n == 0:
         bh = np.zeros((0, bands), dtype=np.int64)
     else:
         bh = np.stack(batch["_bh"].to_pandas().to_numpy())
-    return pa.table({
+    cols = {
         id_col: pa.array(np.repeat(ids, bands), batch.schema.field(id_col).type),
         "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
         "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
-    })
+    }
+    if carry:
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+        for c in carry:
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[c] = col.take(rep)
+    return pa.table(cols)
 
 
 def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
                       threshold: float = 0.8,
-                      cc_driver_threshold: int = 2_000_000):
+                      cc_driver_threshold: int = 2_000_000,
+                      hot_broadcast_threshold: int = 4_000_000):
     """MinHash+LSH near-dup clustering.
 
     Pipeline: map_batches(signature) → explode (band_id, band_hash, id)
@@ -274,13 +300,15 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
     component and keep marks the canonical survivor.
 
     Scale shape: signatures ride ONCE per doc in a compact per-doc table
-    (``doc_id, _sig[num_perm], 16 band hashes``); the exploded band
-    stream that goes through the bucket-count shuffle carries only
-    (id, band_id, band_hash) — never the 512-byte signature. Signatures
-    for the (rare) docs that land in a ≥2-member bucket are collected and
-    broadcast to the pair-verification stage via ``ray.put``; the
-    broadcast is bounded by the corpus duplicate rate (partition the
-    verify stage by bucket if it ever outgrows a node). Clustering streams
+    (``doc_id, _sig[num_perm], 16 band hashes``, no text) — the only
+    materialization, a deliberate bounded cache (~0.6 KB/doc) that spares
+    three recomputations of the signature pass. The exploded band stream
+    that goes through the bucket-count shuffle carries only
+    (id, band_id, band_hash) — never the 512-byte signature. The verify
+    pass re-explodes WITH the signature column but filters to hot (≥2
+    member) buckets *before* its groupby exchange, so signature bytes are
+    shuffled only for duplicate-rate-bounded rows and nothing O(corpus)
+    is ever collected on the driver or broadcast. Clustering streams
     the pair Dataset into ``graph.connected_components``: up to
     ``cc_driver_threshold`` edges a driver union-find over the endpoints
     wins; above it the fully-distributed min-label propagation takes over
@@ -294,31 +322,46 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
     banded = sig_tbl.map_batches(_explode_bands,
                                  fn_kwargs=dict(id_col=id_col, bands=bands),
                                  batch_format="pyarrow")
+    banded_sig = sig_tbl.map_batches(
+        _explode_bands, fn_kwargs=dict(id_col=id_col, bands=bands,
+                                       carry=("_sig",)),
+        batch_format="pyarrow")
 
-    def make_pairs_fn(sig_ref, sig_local):
-        def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            if len(g) < 2:
-                return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                     "b": pd.Series([], dtype="int64"),
-                                     "est_jaccard": pd.Series([], dtype="float64")})
-            sids, smat = sig_local if sig_ref is None else __import__("ray").get(sig_ref)
-            g = g.sort_values(id_col)
-            ids = g[id_col].to_numpy()
-            sigs = smat[np.searchsorted(sids, ids)]
-            A, B, J = [], [], []
-            for i in range(len(ids)):
-                agree = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-                hit = np.flatnonzero(agree >= threshold)
-                A.extend([ids[i]] * len(hit))
-                B.extend(ids[i + 1 + hit])
-                J.extend(agree[hit])
-            return pd.DataFrame({"a": A, "b": B, "est_jaccard": J})
-        return pairs_in_bucket
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "est_jaccard": pd.Series([], dtype="float64")})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sigs = np.stack(g["_sig"].to_numpy()).astype(np.uint64)
+        A, B, J = [], [], []
+        for i in range(len(ids)):
+            agree = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+            hit = np.flatnonzero(agree >= threshold)
+            A.extend([ids[i]] * len(hit))
+            B.extend(ids[i + 1 + hit])
+            J.extend(agree[hit])
+        return pd.DataFrame({"a": A, "b": B, "est_jaccard": J})
 
-    pairs = _hot_bucket_pairs(banded, make_pairs_fn, sig_tbl=sig_tbl,
-                              id_col=id_col, materialize_banded=False)
+    pairs = _hot_bucket_pairs(
+        banded, pairs_in_bucket, banded_verify=banded_sig,
+        materialize_banded=False,
+        hot_broadcast_threshold=hot_broadcast_threshold,
+        verify_schema=_verify_schema(sig_tbl, id_col, pa.list_(pa.uint64())))
     return _components_dataset(ds, id_col, pairs,
                                driver_threshold=cc_driver_threshold)
+
+
+def _verify_schema(sig_tbl, id_col: str, sig_type: pa.DataType) -> pa.Schema:
+    """Static schema of an ``_explode_bands(carry=('_sig',))`` stream —
+    passed to the distributed hot-filter semi-join so it never has to
+    peek-execute the lazy verify stream to discover it."""
+    id_type = dict(zip(sig_tbl.schema().names, sig_tbl.schema().types))[id_col]
+    if not isinstance(id_type, pa.DataType):
+        id_type = pa.from_numpy_dtype(id_type)
+    return pa.schema([(id_col, id_type), ("band_id", pa.int32()),
+                      ("band_hash", pa.int64()), ("_sig", sig_type)])
 
 
 def _fold_bucket_key(t: pa.Table) -> np.ndarray:
@@ -329,19 +372,35 @@ def _fold_bucket_key(t: pa.Table) -> np.ndarray:
         return bh * _ROLL + bi
 
 
-def _hot_bucket_pairs(banded, pairs_fn, *, sig_tbl=None, id_col=None,
-                      sig_dtype=np.uint64, materialize_banded=True):
+def _hot_bucket_pairs(banded, pairs_fn, *, banded_verify=None,
+                      materialize_banded=True, verify_schema=None,
+                      hot_broadcast_threshold: int = 4_000_000):
     """Run ``pairs_fn`` only on band buckets with ≥2 members.
 
     A naive ``groupby(bucket).map_groups`` pays per-group overhead on every
     bucket — and almost all buckets are singletons (non-duplicate docs).
     Instead: (1) grouped count per bucket, combined WITHIN each batch
     first so the count shuffle carries per-batch bucket cardinality, not
-    the full band stream, (2) collect the ≥2 "hot" bucket keys —
-    bounded by the corpus duplicate rate, orders of magnitude smaller than
-    the doc count — broadcast them sorted via ray.put, (3) semi-join
-    filter the banded stream down to hot buckets (vectorized searchsorted
-    membership), (4) map_groups over the survivors only.
+    the full band stream, (2) filter the verify stream down to the ≥2
+    "hot" buckets, (3) ``map_groups`` over the survivors only.
+
+    ``banded_verify`` is the stream the verify groupby runs over: it
+    carries whatever per-row payload ``pairs_fn`` reads (e.g. the ``_sig``
+    minhash signature column). Because the hot filter runs BEFORE the
+    verify exchange, payload bytes are only replicated/shuffled for rows
+    in duplicate-rate-bounded buckets — nothing O(corpus) is ever
+    collected on the driver or broadcast (the round-2 verify path
+    collected all survivors + a dense signature matrix driver-side; this
+    shape replaces it). Defaults to ``banded`` itself.
+
+    The hot filter itself is adaptive: up to ``hot_broadcast_threshold``
+    hot-bucket KEYS (8 bytes each — bounded by the number of duplicated
+    buckets, not docs) they are collected, sorted and broadcast via
+    ``ray.put`` with a vectorized searchsorted membership test (zero extra
+    exchange); above it the filter becomes a fully distributed
+    ``hash_semi_join`` against the hot-count Dataset, so even a
+    pathological corpus where most buckets are hot never lands keys on
+    the driver.
 
     ``materialize_banded=False`` skips pinning the exploded band stream in
     the object store: callers whose ``banded`` is a cheap map off an
@@ -350,17 +409,16 @@ def _hot_bucket_pairs(banded, pairs_fn, *, sig_tbl=None, id_col=None,
     materialization. Leave True when ``banded`` hangs off an unmaterialized
     source (re-execution would re-read + re-hash the corpus).
 
-    With ``sig_tbl`` (per-doc table carrying ``_sig``), ``pairs_fn`` must
-    be a factory ``(sig_ref, sig_local) -> group_fn``: the signatures of
-    the surviving (hot) docs — integer ``id_col`` assumed — are collected,
-    broadcast once via ray.put, and looked up inside the verify kernel, so
-    the exploded band stream never carries signature bytes."""
+    ``pairs_fn`` is a plain group function ``pd.DataFrame → pd.DataFrame``
+    over one (band_id, band_hash) bucket of the verify stream."""
     import pyarrow.compute as pc
 
     from .relational import grouped_agg
 
     if materialize_banded:
         banded = banded.materialize()  # reused by the count and filter passes
+    if banded_verify is None:
+        banded_verify = banded
 
     def count_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -376,85 +434,59 @@ def _hot_bucket_pairs(banded, pairs_fn, *, sig_tbl=None, id_col=None,
     counts = grouped_agg(
         banded.map_batches(count_partial, batch_format="pyarrow"),
         ["band_id", "band_hash"], {"n": ("n", "sum")})
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 1)),
-        batch_format="pyarrow").to_pandas()
-    hot_keys = (_fold_bucket_key(pa.Table.from_pandas(hot))
-                if len(hot) else np.zeros(0, np.uint64))
-    hot_keys.sort()
+    # materialized: tiny (keys of duplicated buckets only) and consumed by
+    # both the count() probe and whichever filter path wins below
+    hot_counts = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)).select(["band_id", "band_hash"]),
+        batch_format="pyarrow").materialize()
+    n_hot = hot_counts.count()
 
-    ref = None
-    try:
-        import ray
+    if n_hot > hot_broadcast_threshold:
+        # distributed path: co-locate verify rows with hot keys via ONE
+        # keys-only exchange — the driver never sees a single bucket key
+        from .relational import hash_semi_join
 
-        if ray.is_initialized():
-            ref = ray.put(hot_keys)
-    except Exception:
+        survivors = hash_semi_join(
+            banded_verify, hot_counts, ["band_id", "band_hash"],
+            left_schema=(verify_schema if verify_schema is not None
+                         else banded_verify.schema()),
+            right_schema=pa.schema([("band_id", pa.int32()),
+                                    ("band_hash", pa.int64())]))
+    else:
+        hot = hot_counts.to_pandas()
+        hot_keys = (_fold_bucket_key(pa.Table.from_pandas(hot))
+                    if len(hot) else np.zeros(0, np.uint64))
+        hot_keys.sort()
+
         ref = None
+        try:
+            import ray
 
-    def keep_hot(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        if ref is not None:
-            import ray as _r
+            if ray.is_initialized():
+                ref = ray.put(hot_keys)
+        except Exception:
+            ref = None
 
-            keys = _r.get(ref)
-        else:
-            keys = hot_keys
-        if len(keys) == 0:
-            return t.slice(0, 0)
-        k = _fold_bucket_key(t)
-        idx = np.clip(np.searchsorted(keys, k), 0, len(keys) - 1)
-        return t.filter(pa.array(keys[idx] == k))
+        def keep_hot(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            if ref is not None:
+                import ray as _r
 
-    # materialize once: the hot-id collection below AND the verify groupby
-    # both consume survivors — left lazy, the groupby would re-run the
-    # whole filter pass over banded
-    survivors = banded.map_batches(keep_hot, batch_format="pyarrow").materialize()
-    if sig_tbl is None:
-        return survivors.groupby(["band_id", "band_hash"]).map_groups(
-            pairs_fn, batch_format="pandas")
+                keys = _r.get(ref)
+            else:
+                keys = hot_keys
+            if len(keys) == 0:
+                return t.slice(0, 0)
+            k = _fold_bucket_key(t)
+            idx = np.clip(np.searchsorted(keys, k), 0, len(keys) - 1)
+            return t.filter(pa.array(keys[idx] == k))
 
-    # collect the surviving (hot) band rows once — bounded by the
-    # duplicate rate — and broadcast their docs' signatures to the verify
-    # kernel; the verify groupby then runs over the collected rows instead
-    # of re-executing the filter pass
-    surv_df = survivors.to_pandas()
-    hot_ids = set(surv_df[id_col].tolist())
-    hot_arr = np.sort(np.fromiter(hot_ids, dtype=np.int64, count=len(hot_ids)))
+        survivors = banded_verify.map_batches(keep_hot, batch_format="pyarrow")
 
-    def pick(t: pa.Table) -> pa.Table:
-        if len(hot_arr) == 0 or t.num_rows == 0:
-            return t.slice(0, 0)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        idx = np.clip(np.searchsorted(hot_arr, ids), 0, len(hot_arr) - 1)
-        return t.filter(pa.array(hot_arr[idx] == ids))
-
-    sig_rows = sig_tbl.map_batches(pick, batch_format="pyarrow").to_pandas()
-    # broadcast as (sorted ids, dense sig matrix) — NOT a dict of arrays:
-    # at high duplicate rates the hot set can be a large fraction of the
-    # corpus, and a python dict pickles catastrophically while two numpy
-    # arrays ray.put/get zero-copy
-    sids = sig_rows[id_col].to_numpy()
-    order = np.argsort(sids, kind="mergesort")
-    sids = sids[order]
-    smat = (np.stack(sig_rows["_sig"].to_numpy()).astype(sig_dtype)[order]
-            if len(sig_rows) else np.zeros((0, 0), dtype=sig_dtype))
-    sig_payload = (sids, smat)
-    sig_ref = None
-    try:
-        import ray
-
-        if ray.is_initialized():
-            sig_ref = ray.put(sig_payload)
-    except Exception:
-        sig_ref = None
-    fn = pairs_fn(sig_ref, sig_payload if sig_ref is None else None)
-    # NB: group over the distributed survivors dataset, NOT a from_pandas
-    # of the collected rows — a single-block input would run every bucket
-    # group serially in one task
+    # the verify groupby is the survivors' ONLY consumer — no materialize
     return survivors.groupby(["band_id", "band_hash"]).map_groups(
-        fn, batch_format="pandas")
+        pairs_fn, batch_format="pandas")
 
 
 def _components_dataset(ds, id_col: str, pairs, *,
@@ -574,6 +606,38 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def ngram_pairs_group_fn(text_col: str = "text", id_col: str = "doc_id",
+                         *, n: int = 3, threshold: float = 0.5):
+    """Group kernel behind ``ngram_jaccard_pairs``: all-pairs exact
+    char-n-gram Jaccard within ONE bucket DataFrame → (a, b, jaccard)
+    rows with a < b and jaccard ≥ threshold. Exposed so banded callers
+    (e.g. ``queries.ngram_dup_pairs_documents``) can run it under
+    ``_hot_bucket_pairs`` without replicating text into cold buckets."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        ids = g[id_col].tolist()
+        texts = g[text_col].tolist()
+        grams = [char_ngrams(t or "", n) for t in texts]
+        A, B, J = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                si, sj = grams[i], grams[j]
+                if not si and not sj:
+                    continue
+                inter = len(si & sj)
+                jac = inter / (len(si) + len(sj) - inter)
+                if jac >= threshold:
+                    A.append(ids[i])
+                    B.append(ids[j])
+                    J.append(jac)
+        return pd.DataFrame({"a": pd.Series(A, dtype="int64"),
+                             "b": pd.Series(B, dtype="int64"),
+                             "jaccard": pd.Series(J, dtype="float64")})
+
+    return pairs
+
+
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
                         bucket_col: str | None = None, n: int = 3,
                         threshold: float = 0.5):
@@ -669,27 +733,29 @@ def embedding_neardup(ds, vec_col: str = "embedding", id_col: str = "vec_id", *,
 
     sig_tbl = ds.map_batches(per_doc, batch_format="pyarrow").materialize()
     bucketed = sig_tbl.map_batches(explode, batch_format="pyarrow")
+    bucketed_sig = sig_tbl.map_batches(
+        _explode_bands, fn_kwargs=dict(id_col=id_col, bands=n_tables,
+                                       carry=("_sig",)),
+        batch_format="pyarrow")
 
-    def make_pairs_fn(sig_ref, sig_local):
-        def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(id_col).drop_duplicates(id_col)
-            if len(g) < 2:
-                return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                     "b": pd.Series([], dtype="int64"),
-                                     "cosine": pd.Series([], dtype="float64")})
-            sids, smat = sig_local if sig_ref is None else __import__("ray").get(sig_ref)
-            ids = g[id_col].to_numpy()
-            V = smat[np.searchsorted(sids, ids)]
-            S = V @ V.T
-            iu = np.triu_indices(len(ids), k=1)
-            hit = np.flatnonzero(S[iu] >= threshold)
-            return pd.DataFrame({"a": ids[iu[0][hit]], "b": ids[iu[1][hit]],
-                                 "cosine": S[iu][hit]})
-        return pairs_in_bucket
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).drop_duplicates(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        ids = g[id_col].to_numpy()
+        V = np.stack(g["_sig"].to_numpy()).astype(np.float64)
+        S = V @ V.T
+        iu = np.triu_indices(len(ids), k=1)
+        hit = np.flatnonzero(S[iu] >= threshold)
+        return pd.DataFrame({"a": ids[iu[0][hit]], "b": ids[iu[1][hit]],
+                             "cosine": S[iu][hit]})
 
-    pairs = _hot_bucket_pairs(bucketed, make_pairs_fn, sig_tbl=sig_tbl,
-                              id_col=id_col, sig_dtype=np.float64,
-                              materialize_banded=False)
+    pairs = _hot_bucket_pairs(
+        bucketed, pairs_in_bucket, banded_verify=bucketed_sig,
+        materialize_banded=False,
+        verify_schema=_verify_schema(sig_tbl, id_col, pa.list_(pa.float64())))
     return _components_dataset(ds, id_col, pairs,
                                driver_threshold=cc_driver_threshold)
 
@@ -731,30 +797,35 @@ def minhash_decontaminate(train, bench, text_col: str = "text",
     banded = sig_tbl.map_batches(_explode_bands,
                                  fn_kwargs=dict(id_col=id_col, bands=bands),
                                  batch_format="pyarrow")
+    banded_sig = sig_tbl.map_batches(
+        _explode_bands, fn_kwargs=dict(id_col=id_col, bands=bands,
+                                       carry=("_sig",)),
+        batch_format="pyarrow")
 
-    def make_pairs_fn(sig_ref, sig_local):
-        def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                  "b": pd.Series([], dtype="int64"),
-                                  "est_jaccard": pd.Series([], dtype="float64")})
-            tr = np.sort(g.loc[g[id_col] >= 0, id_col].unique())
-            be = np.sort(g.loc[g[id_col] < 0, id_col].unique())
-            if len(tr) == 0 or len(be) == 0:
-                return empty
-            sids, smat = sig_local if sig_ref is None else __import__("ray").get(sig_ref)
-            ts = smat[np.searchsorted(sids, tr)]
-            bs = smat[np.searchsorted(sids, be)]
-            # (train × bench) agreement matrix — bounded by hot-bucket sizes
-            agree = (ts[:, None, :] == bs[None, :, :]).mean(axis=2)
-            ti, bi = np.nonzero(agree >= threshold)
-            if len(ti) == 0:
-                return empty
-            return pd.DataFrame({"a": tr[ti], "b": be[bi],
-                                 "est_jaccard": agree[ti, bi]})
-        return pairs_in_bucket
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "est_jaccard": pd.Series([], dtype="float64")})
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        is_tr = g[id_col].to_numpy() >= 0
+        if not is_tr.any() or is_tr.all():
+            return empty
+        sigs = np.stack(g["_sig"].to_numpy()).astype(np.uint64)
+        ids = g[id_col].to_numpy()
+        tr, ts = ids[is_tr], sigs[is_tr]
+        be, bs = ids[~is_tr], sigs[~is_tr]
+        # (train × bench) agreement matrix — bounded by hot-bucket sizes
+        agree = (ts[:, None, :] == bs[None, :, :]).mean(axis=2)
+        ti, bi = np.nonzero(agree >= threshold)
+        if len(ti) == 0:
+            return empty
+        return pd.DataFrame({"a": tr[ti], "b": be[bi],
+                             "est_jaccard": agree[ti, bi]})
 
-    pairs = _hot_bucket_pairs(banded, make_pairs_fn, sig_tbl=sig_tbl,
-                              id_col=id_col, materialize_banded=False)
+    pairs = _hot_bucket_pairs(
+        banded, pairs_in_bucket, banded_verify=banded_sig,
+        materialize_banded=False,
+        verify_schema=_verify_schema(sig_tbl, id_col, pa.list_(pa.uint64())))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         # best benchmark match per train doc; decode bench ids

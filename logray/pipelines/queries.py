@@ -901,26 +901,44 @@ def simhash_dedup_documents(sf_dir: str):
 
 
 def ngram_dup_pairs_documents(sf_dir: str):
-    """Exact n-gram Jaccard pairs, bounded by simhash band buckets."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    import ray.data
+    """Exact n-gram Jaccard pairs, bounded by simhash band buckets.
 
-    def to_bands(batch: pa.Table) -> pa.Table:
+    Scale shape: the bucket-count exchange moves only narrow
+    (doc_id, band_id, band_hash) rows; document TEXT rides the verify
+    exchange only for rows already known to sit in a ≥2-member (hot)
+    bucket — bounded by the duplicate rate — instead of replicating the
+    whole corpus text ×4 through the band groupby (the round-2 shape)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_bands(batch: pa.Table, carry_text: bool) -> pa.Table:
         texts = batch["text"].to_pandas()
         sig = dedup.simhash_signatures(texts)
         n = batch.num_rows
         ids = batch["doc_id"].to_pandas().to_numpy()
         bands = [(sig >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(4)]
-        return pa.table({
+        cols = {
             "doc_id": pa.array(np.repeat(ids, 4)),
-            "text": pa.array(np.repeat(batch["text"].to_pandas().to_numpy(), 4)),
-            "bucket": pa.array(
-                (np.stack(bands, axis=1) + np.uint64(1 << 16) * np.arange(4, dtype=np.uint64)[None, :]
-                 ).reshape(-1)),
-        })
+            "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+            "band_hash": pa.array(np.stack(bands, axis=1).reshape(-1).view(np.int64)),
+        }
+        if carry_text:
+            txt = batch["text"]
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            cols["text"] = txt.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), 4)))
+        return pa.table(cols)
 
-    banded = ds.map_batches(to_bands, batch_format="pyarrow")
-    pairs = dedup.ngram_jaccard_pairs(banded, bucket_col="bucket", threshold=0.8)
+    banded = ds.map_batches(to_bands, fn_kwargs={"carry_text": False},
+                            batch_format="pyarrow")
+    banded_text = ds.map_batches(to_bands, fn_kwargs={"carry_text": True},
+                                 batch_format="pyarrow")
+    pairs = dedup._hot_bucket_pairs(
+        banded, dedup.ngram_pairs_group_fn("text", "doc_id", n=3, threshold=0.8),
+        banded_verify=banded_text, materialize_banded=False,
+        verify_schema=pa.schema([("doc_id", pa.int64()),
+                                 ("band_id", pa.int32()),
+                                 ("band_hash", pa.int64()),
+                                 ("text", pa.string())]))
     pdf = pairs.to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"])
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
@@ -1914,7 +1932,10 @@ def training_prep_documents(sf_dir: str):
                      .select(["doc_id", "text", "lang"])
 
     filtered = ds.map_batches(quality_filter, batch_format="pyarrow")
-    kept = dedup.exact_dedup(filtered, text_col="text", id_col="doc_id")
+    kept = dedup.exact_dedup(filtered, text_col="text", id_col="doc_id",
+                              # derived (quality-scored) upstream: pin it
+                              # rather than re-run the filter chain 3x
+                              cache_corpus=True)
 
     def mixture(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pandas().astype(str)
@@ -3675,7 +3696,9 @@ def webcrawl_cleanup_documents(sf_dir: str):
         .select(["doc_id", "text"]), batch_format="pyarrow")
     rows.append({"stage": "quality", "n_rows": int(good.count())})
 
-    deduped = dedup.exact_dedup(good, text_col="text", id_col="doc_id")
+    deduped = dedup.exact_dedup(good, text_col="text", id_col="doc_id",
+                                # derived (langid+quality) upstream: pin it
+                                cache_corpus=True)
     deduped = deduped.materialize()
     rows.append({"stage": "exact_dedup", "n_rows": int(deduped.count())})
 
@@ -4514,7 +4537,9 @@ def training_prep_transcripts(sf_dir: str):
                              "rendered": g.to_numpy()})
 
     rendered = _bucketed_apply(ds, "conv_id", render)
-    kept = dedup.exact_dedup(rendered, text_col="rendered", id_col="conv_id")
+    kept = dedup.exact_dedup(rendered, text_col="rendered", id_col="conv_id",
+                             # rendered upstream is expensive to recompute
+                             cache_corpus=True)
     with_tokens = kept.map_batches(
         lambda t: text_ops.add_token_counts(t, "rendered").select(
             ["conv_id", "n_tokens_ws"]),

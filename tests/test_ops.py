@@ -153,6 +153,12 @@ def test_minhash_dedup_distributed_cc_path(ray_session, docs_table):
     drv = (dedup.minhash_lsh_dedup(_ds(both), threshold=0.9)
            .to_pandas().set_index("doc_id").sort_index())
     pd.testing.assert_frame_equal(dist, drv)
+    # hot_broadcast_threshold=0 forces the fully-distributed semi-join hot
+    # filter (no driver collect of bucket keys) — labels must be identical
+    semi = (dedup.minhash_lsh_dedup(_ds(both), threshold=0.9,
+                                    hot_broadcast_threshold=0)
+            .to_pandas().set_index("doc_id").sort_index())
+    pd.testing.assert_frame_equal(semi, drv)
     for i in range(n_src):
         for c in range(n_copies):
             assert dist.loc[9000 + c * n_src + i, "cluster_id"] == dist.loc[i, "cluster_id"]
