@@ -107,13 +107,16 @@ class BpeEncodeStage:
     stream is dictionary-encoded so the Python encode loop runs over
     batch-unique words only; per-doc totals assemble vectorized."""
 
-    def __init__(self, merges: list[tuple[str, str]]):
+    def __init__(self, merges: list[tuple[str, str]],
+                 text_col: str = "text", id_col: str = "doc_id"):
         self.ranks = {tuple(m): i for i, m in enumerate(merges)}
         self.cache: dict[str, int] = {}
+        self.text_col = text_col
+        self.id_col = id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
         trimmed = pc.utf8_trim_whitespace(
-            pc.utf8_lower(pc.fill_null(t["text"], "")))
+            pc.utf8_lower(pc.fill_null(t[self.text_col], "")))
         toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
@@ -140,18 +143,20 @@ class BpeEncodeStage:
         cs = np.concatenate([[0], np.cumsum(per_word)])
         ends = np.cumsum(lens)
         n_bpe = cs[ends] - cs[ends - lens]
-        return pa.table({"doc_id": t["doc_id"],
+        return pa.table({self.id_col: t[self.id_col],
                          "n_words": pa.array(lens),
                          "n_bpe_tokens": pa.array(n_bpe)})
 
 
-def bpe_token_counts(ds, text_col: str = "text", *, num_merges: int = 200,
-                     max_vocab: int = 65536, concurrency=None):
+def bpe_token_counts(ds, text_col: str = "text", id_col: str = "doc_id", *,
+                     num_merges: int = 200, max_vocab: int = 65536,
+                     concurrency=None):
     """End-to-end BPE pipeline: distributed word-frequency pass → driver
-    merge training → actor-pool encode. Returns (doc_id, n_words,
+    merge training → actor-pool encode. Returns (id_col, n_words,
     n_bpe_tokens)."""
     wf = word_frequencies(ds, text_col, max_vocab=max_vocab)
     merges = train_bpe(dict(zip(wf["word"], wf["c"])), num_merges)
     kwargs = {"concurrency": concurrency} if concurrency else {"concurrency": 4}
-    return ds.map_batches(BpeEncodeStage, fn_constructor_args=(merges,),
+    return ds.map_batches(BpeEncodeStage,
+                          fn_constructor_args=(merges, text_col, id_col),
                           batch_format="pyarrow", **kwargs)

@@ -181,59 +181,126 @@ def _driver_cc(edges_sym, nodes, node_col: str):
 
 
 def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
-             iters: int = 3, total: int = 10**12):
+             iters: int = 3, total: int = 10**12,
+             broadcast_threshold: int = 20_000_000):
     """Integer-arithmetic PageRank power iteration (damping 0.85).
 
     All arithmetic is int64 floor-division — ``r' = (15·(total//n))//100 +
     (85·Σ_{u→v}(r_u // d_u))//100`` — so partial sums combine
     order-independently and the distributed result is EXACTLY replayable
     (and SQL-oracle-able) down to the last unit; no float summation-order
-    drift across engines or cluster sizes.
+    drift across engines, cluster sizes, or formulations.
 
-    Scale shape: the edge Dataset is the big side and never leaves its
-    partitions — each iteration is one ``map_batches`` pass emitting
-    per-batch (dst, partial-sum) combiner rows plus one small grouped
-    sum; the rank vector rides along as a ``ray.put`` broadcast (node
-    count = dimension-table scale here; switch to the hash-join
-    formulation per iteration when ranks outgrow broadcast).
+    Two formulations, chosen by node count:
+
+    - **broadcast** (n ≤ ``broadcast_threshold``): the edge Dataset is the
+      big side and never leaves its partitions — each iteration is one
+      ``map_batches`` pass emitting per-batch (dst, partial-sum) combiner
+      rows plus one small grouped sum; the rank vector rides along as a
+      ``ray.put`` broadcast. Returns a pandas DataFrame (node, rank).
+    - **join** (n above the threshold — rank vector outgrows a per-worker
+      broadcast, e.g. 10⁹-node web graphs): ranks stay a distributed
+      (node, d, r) Dataset; each iteration hash-joins per-node
+      contributions onto the edges (grouped-by-dst partial sums fused
+      into the join buckets via ``bucket_post``), finishes the sums with
+      one grouped agg, and left-joins them back onto the node table with
+      the rank update fused into the join buckets. Edges re-shuffle once
+      per iteration — the price of not holding ranks anywhere whole.
+      Returns a Dataset (node, rank).
+
+    Both produce bit-identical ranks (integer arithmetic; forced-path
+    equality is tested).
 
     ``edges`` must already contain both directions if the graph is
-    undirected. Every node must appear as a src (degree ≥ 1). Returns a
-    pandas DataFrame (node, rank)."""
+    undirected. Every node must appear as a src (degree ≥ 1)."""
     import numpy as np
     import ray
 
-    deg = grouped_agg(edges, [src_col], {"d": (src_col, "count")}).to_pandas()
-    nodes = np.sort(deg[src_col].to_numpy().astype(np.int64))
-    d = deg.set_index(src_col).loc[nodes, "d"].to_numpy().astype(np.int64)
-    n = len(nodes)
+    deg_ds = grouped_agg(edges, [src_col], {"d": (src_col, "count")}).materialize()
+    n = deg_ds.count()
     base = total // n
-    r = np.full(n, base, dtype=np.int64)
+
+    if n <= broadcast_threshold:
+        deg = deg_ds.to_pandas()
+        nodes = np.sort(deg[src_col].to_numpy().astype(np.int64))
+        d = deg.set_index(src_col).loc[nodes, "d"].to_numpy().astype(np.int64)
+        r = np.full(n, base, dtype=np.int64)
+
+        for _ in range(iters):
+            ref = ray.put((nodes, r // d))
+
+            def partials(t: pa.Table) -> pa.Table:
+                nod, contrib = ray.get(ref)
+                s = t[src_col].to_numpy(zero_copy_only=False)
+                dst = t[dst_col].to_numpy(zero_copy_only=False)
+                c = contrib[np.searchsorted(nod, s)]
+                u, inv = np.unique(dst, return_inverse=True)
+                m = np.zeros(len(u), dtype=np.int64)
+                np.add.at(m, inv, c)
+                return pa.table({"node": pa.array(u.astype(np.int64)),
+                                 "m": pa.array(m)})
+
+            agg = grouped_agg(edges.map_batches(partials, batch_format="pyarrow"),
+                              ["node"], {"m": ("m", "sum")}).to_pandas()
+            m = np.zeros(n, dtype=np.int64)
+            idx = np.searchsorted(nodes, agg["node"].to_numpy().astype(np.int64))
+            m[idx] = agg["m"].to_numpy().astype(np.int64)
+            r = (15 * base) // 100 + (85 * m) // 100
+
+        return pd.DataFrame({"node": nodes, "rank": r})
+
+    # ------------------------------------------------ join formulation ---
+    import numpy as _np
+
+    ranks = deg_ds.map_batches(
+        lambda t: pa.table({
+            "node": pc.cast(t[src_col], pa.int64()),
+            "d": pc.cast(t["d"], pa.int64()),
+            "r": pa.array(_np.full(t.num_rows, base, _np.int64))}),
+        batch_format="pyarrow").materialize()
+    rank_schema = pa.schema([("node", pa.int64()), ("d", pa.int64()),
+                             ("r", pa.int64())])
+    edge_keyed = edges.map_batches(
+        lambda t: pa.table({"node": pc.cast(t[src_col], pa.int64()),
+                            "_dst": pc.cast(t[dst_col], pa.int64())}),
+        batch_format="pyarrow")
+    edge_schema = pa.schema([("node", pa.int64()), ("_dst", pa.int64())])
+
+    def contrib_of(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": t["node"], "c": pa.array(r // d)})
+
+    def dst_partials(df: pd.DataFrame) -> pd.DataFrame:
+        # fused into the src-keyed join buckets: a dst spans buckets, so
+        # these are partial sums — finished by the grouped_agg below
+        g = df.groupby("_dst", as_index=False)["c"].sum()
+        return pd.DataFrame({"node": g["_dst"].astype("int64"),
+                             "m": g["c"].astype("int64")})
+
+    def rank_update(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["m"].fillna(0).astype("int64")  # no in-edges → m = 0
+        return pd.DataFrame({
+            "node": df["node"].astype("int64"),
+            "d": df["d"].astype("int64"),
+            "r": (15 * base) // 100 + (85 * m.to_numpy()) // 100})
 
     for _ in range(iters):
-        ref = ray.put((nodes, r // d))
+        contrib = ranks.map_batches(contrib_of, batch_format="pyarrow")
+        j = hash_join(edge_keyed, contrib, "node", bucket_post=dst_partials,
+                      left_schema=edge_schema,
+                      right_schema=pa.schema([("node", pa.int64()),
+                                              ("c", pa.int64())]))
+        m = grouped_agg(j, ["node"], {"m": ("m", "sum")})
+        ranks = hash_join(
+            ranks, m, "node", how="left", bucket_post=rank_update,
+            left_schema=rank_schema,
+            right_schema=pa.schema([("node", pa.int64()),
+                                    ("m", pa.int64())])).materialize()
 
-        def partials(t: pa.Table) -> pa.Table:
-            nod, contrib = ray.get(ref)
-            s = t[src_col].to_numpy(zero_copy_only=False)
-            dst = t[dst_col].to_numpy(zero_copy_only=False)
-            c = contrib[np.searchsorted(nod, s)]
-            u, inv = np.unique(dst, return_inverse=True)
-            m = np.zeros(len(u), dtype=np.int64)
-            np.add.at(m, inv, c)
-            return pa.table({"node": pa.array(u.astype(np.int64)),
-                             "m": pa.array(m)})
-
-        agg = grouped_agg(edges.map_batches(partials, batch_format="pyarrow"),
-                          ["node"], {"m": ("m", "sum")}).to_pandas()
-        m = np.zeros(n, dtype=np.int64)
-        idx = np.searchsorted(nodes, agg["node"].to_numpy().astype(np.int64))
-        m[idx] = agg["m"].to_numpy().astype(np.int64)
-        r = (15 * base) // 100 + (85 * m) // 100
-
-    import pandas as pd
-
-    return pd.DataFrame({"node": nodes, "rank": r})
+    return ranks.map_batches(
+        lambda t: pa.table({"node": t["node"], "rank": t["r"]}),
+        batch_format="pyarrow")
 
 
 def cooccurrence_edges(ds, group_col: str, item_col: str, *,

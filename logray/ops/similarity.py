@@ -317,8 +317,12 @@ def hard_negatives(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
         S = X @ rmat.T                                   # (n, N)
         S[blab[:, None] == rlabs[None, :]] = -np.inf     # same-label (and self)
         best = np.argmax(S, axis=1)
-        return pa.table({id_col: pa.array(bid.astype(np.int64)),
-                         "neg_id": pa.array(rids[best].astype(np.int64))})
+        # a row whose label covers the whole reference has no negative at
+        # all (S all -inf, argmax silently 0) — drop it rather than emit a
+        # same-label vector as its "hard negative"
+        has_neg = ~np.isneginf(S[np.arange(len(best)), best])
+        return pa.table({id_col: pa.array(bid[has_neg].astype(np.int64)),
+                         "neg_id": pa.array(rids[best[has_neg]].astype(np.int64))})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

@@ -502,6 +502,38 @@ def segment_explode(t: pa.Table, id_col: str, text_col: str,
                      "seg": segs.cast(pa.string())})
 
 
+def reassemble_segments(s: pa.Table, kept: np.ndarray, id_col: str = "doc_id",
+                        seg_col: str = "seg",
+                        out_col: str = "clean_text") -> pa.Table:
+    """Rebuild documents from the ``kept``-flagged rows of a
+    ``segment_explode`` table (one space-joined string per doc; docs whose
+    segments are all dropped vanish). Offsets come from run-length
+    boundaries of ``id_col`` in BATCH ORDER — ``segment_explode`` emits
+    each doc's segments contiguously, but nothing guarantees doc ids are
+    globally sorted within a block, and a sorted-id assumption (np.unique)
+    would reassemble documents from each other's segments."""
+    n = s.num_rows
+    if n == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         out_col: pa.array([], pa.string())})
+    docidx = s[id_col].to_numpy(zero_copy_only=False)
+    starts = np.concatenate(
+        ([0], np.flatnonzero(docidx[1:] != docidx[:-1]) + 1))
+    bounds = np.append(starts, n)
+    run_ids = docidx[starts]
+    kept_cum = np.concatenate(([0], np.cumsum(kept)))
+    counts = kept_cum[bounds[1:]] - kept_cum[bounds[:-1]]
+    offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    segs_kept = s[seg_col].filter(pa.array(kept))
+    clean = pc.binary_join(
+        pa.ListArray.from_arrays(offs, segs_kept.combine_chunks()
+                                 if isinstance(segs_kept, pa.ChunkedArray)
+                                 else segs_kept), " ")
+    m = counts > 0
+    return pa.table({id_col: pa.array(run_ids[m], pa.int64()),
+                     out_col: clean.filter(pa.array(m))})
+
+
 def sliding_chunk_explode(t: pa.Table, id_col: str, text_col: str, *,
                           width: int = 50, stride: int = 25) -> pa.Table:
     """Explode each document into OVERLAPPING word windows (RAG-style

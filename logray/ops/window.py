@@ -299,22 +299,35 @@ def asof_join_dist(left_ds, right_ds, *, by: str, on: str,
         raise ValueError("asof_join_dist: side has no discoverable schema — "
                          "pass left_schema/right_schema explicitly")
     left_cols = list(lsch.names)
-    right_cols = [by, on] + list(value_cols)
-    types: dict[str, pa.DataType] = {}
-    for s, cols in ((lsch, left_cols), (rsch, rsch.names)):
-        for n, t in zip(s.names, s.types):
-            if n in (by, on) and n in types and types[n] != t:
-                raise ValueError(
-                    f"asof_join_dist: key {n!r} type differs across sides "
-                    f"({types[n]} vs {t}) — cast first")
-            types[n] = t
-    all_cols = sorted(set(left_cols) | set(right_cols))
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    for k in (by, on):
+        if k in ltypes and k in rtypes and ltypes[k] != rtypes[k]:
+            raise ValueError(
+                f"asof_join_dist: key {k!r} type differs across sides "
+                f"({ltypes[k]} vs {rtypes[k]}) — cast first")
+    # right value columns enter the union ALREADY under their suffixed
+    # output name when they collide with a left column, so left and right
+    # types never share a padded slot (a shared slot with differing types
+    # breaks the union; with matching types it silently mixed semantics)
+    out_name = {c: (c + suffix if c in left_cols else c) for c in value_cols}
+    if len(set(out_name.values())) != len(value_cols) or any(
+            v in left_cols for v in out_name.values()):
+        raise ValueError(
+            f"asof_join_dist: suffixed value columns "
+            f"{sorted(out_name.values())} still collide with left columns "
+            f"— pick a different suffix")
+    types: dict[str, pa.DataType] = dict(ltypes)
+    types.update({out_name[c]: rtypes[c] for c in value_cols})
+    all_cols = sorted(set(left_cols) | {by, on} | set(out_name.values()))
 
-    def pad(cols_here: list[str], side_tag: int):
+    def pad(rename: dict[str, str], side_tag: int):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            cols = {c: (batch[c] if c in cols_here else pa.nulls(n, types[c]))
-                    for c in all_cols}
+            here = {dst: batch[src] for src, dst in rename.items()}
+            cols = {c: here.get(c, None) for c in all_cols}
+            cols = {c: (v if v is not None else pa.nulls(n, types[c]))
+                    for c, v in cols.items()}
             cols["__side"] = pa.array(np.full(n, side_tag, np.int8))
             key = batch[by]
             if pa.types.is_string(types[by]):
@@ -324,12 +337,14 @@ def asof_join_dist(left_ds, right_ds, *, by: str, on: str,
             return pa.table(cols)
         return fn
 
-    tagged = left_ds.map_batches(pad(left_cols, 0), batch_format="pyarrow").union(
-        right_ds.map_batches(pad(right_cols, 1), batch_format="pyarrow"))
+    right_out = [by, on] + [out_name[c] for c in value_cols]
+    tagged = left_ds.map_batches(
+        pad({c: c for c in left_cols}, 0), batch_format="pyarrow").union(
+        right_ds.map_batches(
+            pad({by: by, on: on, **out_name}, 1), batch_format="pyarrow"))
 
     out_fields = [(c, types[c]) for c in left_cols]
-    out_fields += [(c + suffix if c in left_cols else c, types[c])
-                   for c in value_cols]
+    out_fields += [(out_name[c], types[out_name[c]]) for c in value_cols]
     empty = pa.table({c: pa.array([], t) for c, t in out_fields})
 
     def merge(t: pa.Table) -> pa.Table:
@@ -338,10 +353,9 @@ def asof_join_dist(left_ds, right_ds, *, by: str, on: str,
               .to_pandas().sort_values(on, kind="mergesort"))
         if not len(lt):
             return empty
-        rt = (t.filter(pc.equal(side, 1)).select(right_cols)
+        rt = (t.filter(pc.equal(side, 1)).select(right_out)
               .to_pandas().sort_values(on, kind="mergesort"))
-        out = pd.merge_asof(lt, rt, on=on, by=by, direction=direction,
-                            suffixes=("", suffix))
+        out = pd.merge_asof(lt, rt, on=on, by=by, direction=direction)
         return pa.Table.from_pandas(out[[c for c, _ in out_fields]],
                                     preserve_index=False)
 

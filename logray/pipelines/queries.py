@@ -1169,13 +1169,25 @@ def heavy_hitter_users(sf_dir: str):
     the pure-estimate mode stays covered by the pytest bound tests."""
     from ..ops import sketch
 
+    capacity = 1024
     ds = _read(sf_dir, "events", ["user_id"])
-    cand = sketch.heavy_hitters(ds, "user_id", k=64, capacity=1024)
+    cand = sketch.heavy_hitters(ds, "user_id", k=64, capacity=capacity)
     exact = relational.grouped_agg(
         relational.semi_filter(ds, "user_id", cand["user_id"].to_numpy()),
         ["user_id"], {"n": ("user_id", "count")}).to_pandas()
     out = (exact.sort_values(["n", "user_id"], ascending=[False, True])
            .head(10).reset_index(drop=True))
+    # Misra–Gries guarantee: every key with true count > N/(capacity+1) is
+    # nominated. The sketch-pruned top-10 is provably the TRUE top-10 only
+    # when the exact 10th count clears that bar; on flat distributions
+    # where it doesn't (a true heavy user may have been evicted), fall
+    # back to the exact grouped count over all users.
+    n_total = int(ds.count())
+    if len(out) < 10 or float(out["n"].min()) <= n_total / (capacity + 1):
+        exact_all = relational.grouped_agg(
+            ds, ["user_id"], {"n": ("user_id", "count")}).to_pandas()
+        out = (exact_all.sort_values(["n", "user_id"], ascending=[False, True])
+               .head(10).reset_index(drop=True))
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -4021,18 +4033,7 @@ def segment_dedup_documents(sf_dir: str):
                    + s["seg_idx"].to_numpy(zero_copy_only=False))
             drop = cand[eq & (hkey[idx[cand]] != key[cand])]
             kept[drop] = False
-        docidx = s["doc_id"].to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(docidx, return_inverse=True)
-        counts = np.bincount(inv[kept], minlength=len(uniq))
-        offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
-        segs_kept = s["seg"].filter(pa.array(kept))
-        clean = pc.binary_join(
-            pa.ListArray.from_arrays(offs, segs_kept.combine_chunks()
-                                     if isinstance(segs_kept, pa.ChunkedArray)
-                                     else segs_kept), " ")
-        m = counts > 0
-        return pa.table({"doc_id": pa.array(uniq[m], pa.int64()),
-                         "clean_text": clean.filter(pa.array(m))})
+        return text_ops.reassemble_segments(s, kept)
 
     return docs.map_batches(rebuild, batch_format="pyarrow")
 

@@ -966,6 +966,68 @@ def test_asof_join_dist_matches_pandas(ray_session):
         want.sort_values(order).reset_index(drop=True))
 
 
+def test_asof_join_dist_suffixes_colliding_value_col(ray_session):
+    """A right value column sharing a LEFT column's name — with a
+    DIFFERENT type (the case the suffix parameter exists for) — must
+    come out under the suffixed name with the right side's type, not
+    break the union with a mixed-type padded slot."""
+    import ray.data
+
+    from logray.ops.window import asof_join_dist
+
+    left = pd.DataFrame({"k": np.array([1, 1, 2], np.int64),
+                         "t": np.array([5, 9, 5], np.int64),
+                         "val": np.array([10, 20, 30], np.int64)})
+    right = pd.DataFrame({"k": np.array([1, 2], np.int64),
+                          "t": np.array([4, 6], np.int64),
+                          "val": np.array([0.5, 0.25], np.float64)})
+    got = asof_join_dist(
+        ray.data.from_pandas(left, override_num_blocks=2),
+        ray.data.from_pandas(right, override_num_blocks=2),
+        by="k", on="t", value_cols=["val"]).to_pandas()
+    want = pd.merge_asof(left.sort_values("t", kind="mergesort"),
+                         right.sort_values("t", kind="mergesort"),
+                         on="t", by="k", suffixes=("", "_right"))
+    key = ["k", "t"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[want.columns.tolist()],
+        want.sort_values(key).reset_index(drop=True))
+
+
+def test_reassemble_segments_non_monotonic_ids():
+    """Documents must reassemble from their OWN segments even when a batch
+    arrives with non-monotonic doc_id order (regression: np.unique-sorted
+    offsets grabbed other docs' segments)."""
+    from logray.ops.text import reassemble_segments, segment_explode
+
+    t = pa.table({"doc_id": pa.array([7, 2, 9], pa.int64()),
+                  "text": pa.array(["a b c d e", "f g h", "i j k l"])})
+    s = segment_explode(t, "doc_id", "text", 2)
+    out = reassemble_segments(s, np.ones(s.num_rows, bool)).to_pandas()
+    got = dict(zip(out["doc_id"], out["clean_text"]))
+    assert got == {7: "a b c d e", 2: "f g h", 9: "i j k l"}
+    # drop one middle segment of doc 2 ("f g h" -> segments "f g","h")
+    kept = np.ones(s.num_rows, bool)
+    seg_rows = s.to_pandas()
+    drop_idx = seg_rows.index[(seg_rows["doc_id"] == 2)
+                              & (seg_rows["seg_idx"] == 0)][0]
+    kept[drop_idx] = False
+    out2 = reassemble_segments(s, kept).to_pandas()
+    got2 = dict(zip(out2["doc_id"], out2["clean_text"]))
+    assert got2 == {7: "a b c d e", 2: "h", 9: "i j k l"}
+
+
+def test_hard_negatives_skips_rows_with_no_negative(ray_session):
+    from logray.ops import similarity
+
+    vecs = np.eye(4)[:3]
+    t = pa.table({"vec_id": pa.array([0, 1, 2], pa.int64()),
+                  "embedding": pa.array(list(vecs.astype(np.float32))),
+                  "label": pa.array([0, 0, 0], pa.int32())})
+    out = similarity.hard_negatives(_ds(t)).to_pandas()
+    assert len(out) == 0  # every reference row shares the label -> no rows
+
+
 def test_bigram_explode_masks_doc_boundaries(ray_session):
     """The flat adjacent-pair trick must not form bigrams across document
     boundaries, and empty docs contribute nothing."""
@@ -1346,6 +1408,27 @@ def test_pagerank_integer_exact(ray_session):
     b = graph.pagerank(_ds(e), iters=3, total=10**12)
     assert a.equals(b)
     assert a["rank"].sum() <= 10**12
+
+
+def test_pagerank_join_formulation_matches_broadcast(ray_session):
+    """broadcast_threshold=0 forces the distributed join formulation
+    (ranks never collected/broadcast): integer arithmetic must make it
+    bit-identical to the broadcast path on a non-trivial graph."""
+    from logray.ops import graph
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 60, 400).astype(np.int64)
+    dst = rng.integers(0, 60, 400).astype(np.int64)
+    # symmetrize so every node that appears has degree >= 1 as src
+    e = pa.table({"src": pa.array(np.concatenate([src, dst])),
+                  "dst": pa.array(np.concatenate([dst, src]))})
+    want = (graph.pagerank(_ds(e), iters=3, total=10**12)
+            .sort_values("node").reset_index(drop=True))
+    got = (graph.pagerank(_ds(e), iters=3, total=10**12,
+                          broadcast_threshold=0)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["node", "rank"]].astype("int64"),
+                                  want[["node", "rank"]].astype("int64"))
 
 
 def test_range_count_symmetric_window(ray_session):
