@@ -140,12 +140,14 @@ def _flat_word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow as _pa
     import pyarrow.compute as _pc
 
+    from .text import split_whitespace_safe
+
     arr = texts if isinstance(texts, (_pa.Array, _pa.ChunkedArray)) else _pa.array(
         texts.fillna("").astype(str).tolist(), _pa.string())
     if isinstance(arr, _pa.ChunkedArray):
         arr = arr.combine_chunks()
     arr = _pc.fill_null(arr, "")
-    split = _pc.utf8_split_whitespace(arr)
+    split = split_whitespace_safe(arr)
     flat_words = split.flatten()
     offsets = split.offsets.to_numpy().astype(np.int64)
     # Arrow's splitter keeps empty tokens around whitespace runs; drop them

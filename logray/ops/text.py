@@ -20,6 +20,62 @@ import pyarrow.compute as pc
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
 
+def split_whitespace_safe(texts) -> pa.ListArray:
+    """``pc.utf8_split_whitespace`` with its buffer-tail defect patched.
+
+    pyarrow 16.1's native whitespace splitter intermittently fails to
+    classify the FINAL character of an array's data buffer as whitespace
+    (a past-the-end read: the outcome depends on whatever heap bytes
+    follow the buffer, so identical inputs flip between runs). When it
+    strikes, the last token of the LAST string keeps its trailing
+    whitespace and the trailing empty token goes missing — the round-2
+    hypothesis FlakyFailure in ``test_sliding_chunks_cover_every_word_
+    le_twice`` was exactly this (reproduced at ~5/10⁴ arrays under a
+    layout stress; ``split_pattern_regex`` measured clean on the same
+    stress). Only the final string can be affected (mid-buffer reads see
+    real data and classify deterministically), so the defense re-splits
+    just the last string against a sentinel-padded fresh two-element
+    array — the sentinel occupies the buffer tail — and splices the
+    result in when it differs. O(last string) per batch; the splice
+    itself only runs on the ~10⁻⁴ corrupted arrays.
+
+    Accepts an Array or ChunkedArray (nulls already filled); returns a
+    combined ``ListArray`` whose ``.offsets``/``.values`` are safe for
+    the offset-arithmetic kernels below.
+    """
+    split = pc.utf8_split_whitespace(texts)
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    n = len(split)
+    if n == 0:
+        return split
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    # the victim is the string owning the buffer's FINAL byte: the last
+    # string with non-zero byte length (trailing empty strings own none)
+    lens = pc.binary_length(arr).to_numpy(zero_copy_only=False)
+    owners = np.flatnonzero(np.nan_to_num(lens) > 0)
+    if len(owners) == 0:
+        return split
+    j = int(owners[-1])
+    last = arr[j].as_py()
+    # re-split unconditionally (O(one string)): covers both the observed
+    # mode (trailing whitespace not recognized) and the inverse (a
+    # non-whitespace tail byte misread as whitespace)
+    fix = pc.utf8_split_whitespace(pa.array([last, " "], pa.string()))
+    good = fix.values.slice(0, fix.offsets[1].as_py())
+    off = split.offsets.to_numpy().astype(np.int64)
+    cur = split.values.slice(off[j], off[j + 1] - off[j])
+    if cur.equals(good):
+        return split
+    vals = (split.values.combine_chunks()
+            if isinstance(split.values, pa.ChunkedArray) else split.values)
+    new_vals = pa.concat_arrays(
+        [vals.slice(0, off[j]), good, vals.slice(off[j + 1])])
+    delta = len(good) - (off[j + 1] - off[j])
+    new_off = np.concatenate([off[:j + 1], off[j + 1:] + delta])
+    return pa.ListArray.from_arrays(pa.array(new_off, pa.int32()), new_vals)
+
+
 def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count + BPE-ish regex token count, vectorized."""
     ws = pc.count_substring_regex(batch[text_col], r"\S+")
@@ -469,9 +525,7 @@ def segment_explode(t: pa.Table, id_col: str, text_col: str,
     per-doc arithmetic-progression math, and every segment string comes
     from ONE vectorized ``binary_join`` — no per-row Python. Whitespace-only
     docs contribute nothing."""
-    split = pc.utf8_split_whitespace(pc.fill_null(t[text_col], ""))
-    if isinstance(split, pa.ChunkedArray):
-        split = split.combine_chunks()
+    split = split_whitespace_safe(pc.fill_null(t[text_col], ""))
     flat = split.flatten()
     offsets = split.offsets.to_numpy().astype(np.int64)
     # Arrow's splitter keeps empty tokens around whitespace runs; drop them
@@ -543,9 +597,7 @@ def sliding_chunk_explode(t: pa.Table, id_col: str, text_col: str, *,
     windows don't tile the doc, so a vectorized gather-index (the
     repeat/cumsum arange trick) materializes each chunk's word span before
     ONE ``binary_join`` — still no per-row Python."""
-    split = pc.utf8_split_whitespace(pc.fill_null(t[text_col], ""))
-    if isinstance(split, pa.ChunkedArray):
-        split = split.combine_chunks()
+    split = split_whitespace_safe(pc.fill_null(t[text_col], ""))
     flat = split.flatten()
     offsets = split.offsets.to_numpy().astype(np.int64)
     nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)

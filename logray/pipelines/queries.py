@@ -4862,9 +4862,7 @@ def kwic_documents(sf_dir: str, term: str = "merge", ctx: int = 3):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def kwic(t: pa.Table) -> pa.Table:
-        split = pc.utf8_split_whitespace(pc.fill_null(t["text"], ""))
-        if isinstance(split, pa.ChunkedArray):
-            split = split.combine_chunks()
+        split = text_ops.split_whitespace_safe(pc.fill_null(t["text"], ""))
         flat = split.flatten()
         offsets = split.offsets.to_numpy().astype(np.int64)
         nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
@@ -4918,9 +4916,7 @@ def bm25_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def per_doc(t: pa.Table) -> pa.Table:
-        split = pc.utf8_split_whitespace(pc.fill_null(t["text"], ""))
-        if isinstance(split, pa.ChunkedArray):
-            split = split.combine_chunks()
+        split = text_ops.split_whitespace_safe(pc.fill_null(t["text"], ""))
         flat = split.flatten()
         offsets = split.offsets.to_numpy().astype(np.int64)
         nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
