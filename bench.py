@@ -96,14 +96,16 @@ def bench_corpus() -> tuple[str, int]:
     """Generate (once) the flagship bench corpus; returns (dir, n_turns).
     BENCH_CORPUS_REP > 1 replicates the generated base corpus with remapped
     conv_ids (cheap) instead of generating rep× rows (slow single-threaded)."""
-    from logray.gen import generate_corpus, replicate_corpus
+    from logray.gen import CORPUS_VERSION, generate_corpus, replicate_corpus
 
-    d = Path("/tmp/logray/bench_corpus") / f"sf{CORPUS_SF}"
+    bc = Path(f"/tmp/logray/bench_corpus/v{CORPUS_VERSION}")
+
+    d = bc / f"sf{CORPUS_SF}"
     meta_f = d / "_meta.json"
     if not meta_f.exists():
         generate_corpus(CORPUS_SF, d, partitions=8, with_expected=False)
     if CORPUS_REP > 1:
-        dr = Path("/tmp/logray/bench_corpus") / f"sf{CORPUS_SF}x{CORPUS_REP}"
+        dr = bc / f"sf{CORPUS_SF}x{CORPUS_REP}"
         meta_f = dr / "_meta.json"
         if not meta_f.exists():
             replicate_corpus(d, dr, CORPUS_REP)
@@ -120,7 +122,8 @@ def run_flagship_bench(corpus: str) -> float:
     # matters for the 100 TB argument.
     warm = Path("/tmp/logray/bench_warmup")
     shutil.rmtree(warm, ignore_errors=True)
-    base = Path("/tmp/logray/bench_corpus") / f"sf{CORPUS_SF}"
+    from logray.gen import CORPUS_VERSION
+    base = Path(f"/tmp/logray/bench_corpus/v{CORPUS_VERSION}") / f"sf{CORPUS_SF}"
     run_flagship(base, warm, wave_size=1_000_000)
 
     # Two timed runs, report the min: steady-state throughput is the

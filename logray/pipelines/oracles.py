@@ -623,46 +623,73 @@ ORACLE_SQL: dict[str, str] = {
 # (the checker always executes the Ray query first), and the driver's gate
 # runs at sf=0.01, so the path is fixed.
 
-_CORPUS = "read_parquet('/tmp/logray/corpus/sf0.01/*.parquet')"
+def _corpus_src() -> str:
+    from ..gen import CORPUS_VERSION
 
-_RULE_CASE = """CASE
-    WHEN role = 'assistant' AND regexp_matches(text,
-        '^\\[tool:[a-z_]+\\] call id=\\d+ args=\\{.*\\}$')
-        THEN 'R01_tool_call'
-    WHEN role = 'tool' AND regexp_matches(text,
-        '^\\[tool:[a-z_]+\\] ok id=\\d+ bytes=\\d+ dur_ms=\\d+$')
-        THEN 'R02_tool_result_ok'
-    WHEN role = 'tool' AND regexp_matches(text,
-        '^\\[tool:[a-z_]+\\] error id=\\d+ code=[A-Z_]+ dur_ms=\\d+$')
-        THEN 'R03_tool_result_err'
-    WHEN role = 'tool' AND regexp_matches(text,
-        '^Traceback \\(most recent call last\\): [A-Za-z_.]+: .*$')
-        THEN 'R04_traceback'
-    WHEN role = 'assistant' AND regexp_matches(text,
-        '^\\[metrics\\] tokens=\\d+ latency_ms=\\d+ cost_usd=\\d+\\.\\d+$')
-        THEN 'R05_metric'
-    WHEN role = 'system' AND regexp_matches(text,
-        '^\\[status\\] phase=[a-z]+ pct=\\d+%$')
-        THEN 'R06_status'
-    WHEN role = 'system' AND regexp_matches(text,
-        '^You are [A-Za-z ]+\\. Session [0-9a-f]{8}\\.$')
-        THEN 'R07_sys_prompt'
-    WHEN role = 'user' AND regexp_matches(text, '^/[a-z]+( .*)?$')
-        THEN 'R08_user_cmd'
-    WHEN role = 'user' AND regexp_matches(text, '^.{1,400}$')
-        THEN 'R09_user_msg'
-    WHEN role = 'assistant' AND regexp_matches(text, '^.{1,400}$')
-        THEN 'R10_assist_msg'
-    ELSE 'R99_default' END"""
+    return f"read_parquet('/tmp/logray/corpus/v{CORPUS_VERSION}/sf0.01/*.parquet')"
 
-# rule -> sink (mirrors rules_transcripts.TRANSCRIPT_RULES)
-_SINK_CASE = """CASE
-    WHEN rule_id IN ('R01_tool_call', 'R02_tool_result_ok') THEN 'sink_action'
-    WHEN rule_id IN ('R03_tool_result_err', 'R04_traceback') THEN 'sink_error'
-    WHEN rule_id IN ('R05_metric', 'R06_status') THEN 'sink_telemetry'
-    WHEN rule_id IN ('R07_sys_prompt', 'R08_user_cmd') THEN 'sink_control'
-    WHEN rule_id IN ('R09_user_msg', 'R10_assist_msg') THEN 'sink_dialogue'
-    ELSE 'sink_unknown' END"""
+
+_CORPUS = _corpus_src()
+
+
+def _sql_regex(pat: str) -> str:
+    """Python-re rule pattern -> DuckDB (RE2) regex literal: strip named
+    groups (RE2 accepts them, but anonymous groups keep the SQL free of
+    duplicate-name pitfalls across OR'd patterns) and escape quotes. The
+    rule patterns are authored RE2-compatible by construction (the engine's
+    hot path IS RE2 — ruleset._re2_ok gates compilation), so no other
+    translation is needed; ``$`` is end-of-text in both engines here
+    (engine rewrites to ``\\Z``; DuckDB RE2 is non-multiline)."""
+    import re as _re
+
+    return _re.sub(r"\(\?P<[^>]+>", "(", pat).replace("'", "''")
+
+
+def _gen_rule_case() -> str:
+    """The frozen rule table rendered as an ordered CASE — generated from
+    rules_transcripts.TRANSCRIPT_RULES so the SQL oracle and the engine
+    share ONE source of truth (first-satisfied WHEN == first-match-wins in
+    declaration order; gate == role equality AND'ed before the regex)."""
+    from ..rules_transcripts import TRANSCRIPT_RULES
+
+    whens = []
+    for r in TRANSCRIPT_RULES:
+        if not r.patterns:
+            continue  # default rule -> ELSE
+        conds = []
+        for col, vals in r.gate.items():
+            if len(vals) == 1:
+                conds.append(f"{col} = '{vals[0]}'")
+            else:
+                inlist = ", ".join(f"'{v}'" for v in vals)
+                conds.append(f"{col} IN ({inlist})")
+        pats = [f"regexp_matches(text, '{_sql_regex(p)}')" for p in r.patterns]
+        conds.append(pats[0] if len(pats) == 1 else "(" + " OR ".join(pats) + ")")
+        whens.append(f"WHEN {' AND '.join(conds)}\n        THEN '{r.rule_id}'")
+    default = next(r.rule_id for r in TRANSCRIPT_RULES if not r.patterns)
+    return "CASE\n    " + "\n    ".join(whens) + f"\n    ELSE '{default}' END"
+
+
+def _gen_sink_case() -> str:
+    """rule_id -> sink routing as a CASE, generated from the same table."""
+    from ..rules_transcripts import TRANSCRIPT_RULES
+
+    by_sink: dict[str, list[str]] = {}
+    default_sink = "sink_unknown"
+    for r in TRANSCRIPT_RULES:
+        if not r.patterns:
+            default_sink = r.sink
+            continue
+        by_sink.setdefault(r.sink, []).append(r.rule_id)
+    whens = [
+        f"WHEN rule_id IN ({', '.join(repr(i) for i in ids)}) THEN '{sink}'"
+        for sink, ids in by_sink.items()
+    ]
+    return "CASE\n    " + "\n    ".join(whens) + f"\n    ELSE '{default_sink}' END"
+
+
+_RULE_CASE = _gen_rule_case()
+_SINK_CASE = _gen_sink_case()
 
 ORACLE_SQL["transcript_parse_counts"] = f"""
     SELECT {_RULE_CASE} AS rule_id, count(*) AS n

@@ -1248,7 +1248,11 @@ def approx_value_percentiles_by_type(sf_dir: str):
 
 # -------------------------------------------------------------- transcripts --
 
-_CORPUS_CACHE = "/tmp/logray/corpus"
+# version-keyed so a corpus generated by an older rule table is never
+# reused against the new one (gen.CORPUS_VERSION bumps on shape changes)
+from ..gen import CORPUS_VERSION as _CV
+
+_CORPUS_CACHE = f"/tmp/logray/corpus/v{_CV}"
 
 
 def _corpus_dir(sf: float) -> str:
@@ -1362,7 +1366,7 @@ def shuffled_documents_sample(sf_dir: str):
     return ds.random_shuffle(seed=7).limit(100)
 
 
-_RAW_LOG_CACHE = "/tmp/logray/rawlog"
+_RAW_LOG_CACHE = f"/tmp/logray/rawlog/v{_CV}"
 
 
 def raw_log_parse_counts(sf_dir: str):
@@ -6916,9 +6920,42 @@ _SHOWCASE = [
 ]
 
 
+# Queries the round-2 driver window already value-checked
+# (CORRECTNESS_r02.json): rotated to the BACK of the oracled block this
+# round so the driver's truncated window progressively confirms the
+# catalogue instead of re-checking the same 50 (round-2 verdict item 6).
+_R2_WINDOW = {
+    "transcript_parse_counts", "flagship_transcripts", "raw_log_parse_counts",
+    "doc_ruleset_counts", "fold_continuations_transcripts",
+    "render_training_text_transcripts", "context_budget_truncate_transcripts",
+    "dialog_pairs_transcripts", "role_transition_counts_transcripts",
+    "response_latency_transcripts", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q10_returned_customers",
+    "skew_join_user_totals", "order_returns_3way",
+    "interval_join_order_lineitem", "bloom_semi_lineitem",
+    "pricing_summary_lineitem", "q6_revenue", "orders_cube_status_priority",
+    "value_stats_by_type", "entropy_user_event_types", "grouped_agg_events",
+    "hourly_event_window_stats", "sliding_3h_event_counts",
+    "session_counts_events", "asof_view_prior_purchase_dist",
+    "rolling_1h_user_value", "scd2_event_state", "topk_with_ties_events",
+    "orders_topk", "reservoir_sample_events", "weighted_sample_events",
+    "mixture_sample_documents", "stratified_sample_events",
+    "exact_dedup_documents", "segment_dedup_documents",
+    "incremental_dedup_documents", "dup_cluster_labels_documents",
+    "users_intersect_purchase_error", "doc_token_counts",
+    "tfidf_top_token_documents", "top_bigrams_documents", "langid_documents",
+    "decontaminate_documents", "dup_ngram_coverage_documents",
+    "bigram_logprob_documents", "ann_topk_embeddings",
+    "hard_negative_embeddings", "semantic_decontaminate_embeddings",
+}
+
+
 def _oracled_first(queries: dict) -> dict:
     """Registry order = family-showcase oracled queries first, then the
-    remaining oracle-backed queries, rows-only last.
+    remaining oracle-backed queries, rows-only last — with the queries the
+    PREVIOUS round's driver window already value-checked rotated to the
+    back of the oracled block, so each round's truncated window confirms a
+    fresh slice of the catalogue.
 
     The driver's CORRECTNESS gate walks the registry in insertion order
     and truncates; putting every SQL-oracled query ahead of the rows-only
@@ -6928,7 +6965,10 @@ def _oracled_first(queries: dict) -> dict:
     from .oracles import ORACLE_SQL
 
     ordered = {k: queries[k] for k in _SHOWCASE
-               if k in queries and k in ORACLE_SQL}
+               if k in queries and k in ORACLE_SQL and k not in _R2_WINDOW}
+    ordered.update({k: v for k, v in queries.items()
+                    if k in ORACLE_SQL and k not in ordered
+                    and k not in _R2_WINDOW})
     ordered.update({k: v for k, v in queries.items()
                     if k in ORACLE_SQL and k not in ordered})
     ordered.update({k: v for k, v in queries.items() if k not in ORACLE_SQL})

@@ -6,12 +6,21 @@ reference's ``systemlog.py`` rule table (a ``switch`` of ``case``-gated
 instantiated on the transcript domain of BASELINE.json's ``input_hint``.
 
 Dispatch semantics (enforced by ``logray.ruleset.RuleSet``): rules evaluated
-in ``rule_id`` order within their gate, gates checked first, first match
-wins, unmatched rows fall through to R99 (never dropped).
+in DECLARATION order, gates checked first, first match wins, unmatched rows
+fall through to R99 (never dropped). Rule ids are stable labels, not
+ordering keys: the v2 table inserts R11–R32 before the catch-alls R09/R10
+so v1 ids stay frozen.
 
 Order-sensitivity by construction (first-match-wins regression pairs):
 - R08 ``/cmd`` must win over R09's catch-all (``/help`` matches both)
-- R01 ``[tool:...]`` must win over R10's catch-all
+- R31/R32 ``[attach]``/``[feedback]`` must win over R09's catch-all
+- R01 ``[tool:...]`` and R11–R15 must win over R10's catch-all
+
+v2 breadth (SURVEY.md §2B: the reference's ``systemlog.py`` spans ~a dozen
+subsystems — GC, compaction, flush, status tables, dropped messages,
+banners, warnings): R11–R32 instantiate those families on the transcript
+domain, including one multi-line record (R30 pool-status table, the
+StatusLogger analogue) that exercises the raw-log NUL-escape round trip.
 """
 
 from __future__ import annotations
@@ -91,6 +100,186 @@ TRANSCRIPT_RULES: list[Rule] = [
         gate={"role": ("user",)},
         patterns=(r"^/(?P<cmd>[a-z]+)(?: (?P<cmd_args>.*))?$",),
         consts={"category": "control", "event_type": "command"},
+    ),
+    # ---- v2 assistant families (declared before the R10 catch-all) ----
+    Rule(
+        rule_id="R11_thinking",
+        sink="sink_dialogue",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[thinking\] tokens=(?P<tokens>\d+) summary=(?P<summary>.{1,200})$",),
+        casts=(Cast("tokens", "int64"),),
+        consts={"category": "dialogue", "event_type": "thinking"},
+    ),
+    Rule(
+        rule_id="R12_code_block",
+        sink="sink_action",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[code lang=(?P<lang>[a-z]+)\] lines=(?P<lines>\d+)$",),
+        casts=(Cast("lines", "int64"),),
+        consts={"category": "action", "event_type": "code_block"},
+    ),
+    Rule(
+        rule_id="R13_citation",
+        sink="sink_dialogue",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[cite\] url=(?P<url>https?://[a-z0-9./_-]+) title=(?P<title>.{1,120})$",),
+        consts={"category": "dialogue", "event_type": "citation"},
+    ),
+    Rule(
+        rule_id="R14_refusal",
+        sink="sink_control",
+        gate={"role": ("assistant",)},
+        patterns=(r"^I can't help with (?P<refused_topic>.{1,80})\.$",),
+        consts={"category": "control", "event_type": "refusal"},
+    ),
+    Rule(
+        rule_id="R15_handoff",
+        sink="sink_control",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[handoff\] to=(?P<target_agent>[a-z_]+) reason=(?P<reason>[a-z_]+)$",),
+        consts={"category": "control", "event_type": "handoff"},
+    ),
+    # ---- v2 tool families (no tool catch-all; disjoint verb prefixes) ----
+    Rule(
+        rule_id="R16_tool_retry",
+        sink="sink_action",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] retry id=(?P<call_id>\d+) attempt=(?P<attempt>\d+) backoff_ms=(?P<backoff_ms>\d+)$",),
+        casts=(Cast("call_id", "int64"), Cast("attempt", "int64"), Cast("backoff_ms", "int64")),
+        consts={"category": "action", "event_type": "tool_retry"},
+    ),
+    Rule(
+        rule_id="R17_tool_progress",
+        sink="sink_telemetry",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] progress id=(?P<call_id>\d+) pct=(?P<pct>\d+)%$",),
+        casts=(Cast("call_id", "int64"), Cast("pct", "int64"), Cast("pct", "percent", "frac")),
+        consts={"category": "telemetry", "event_type": "tool_progress"},
+    ),
+    Rule(
+        rule_id="R18_tool_stream",
+        sink="sink_action",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] chunk id=(?P<call_id>\d+) seq=(?P<seq>\d+) bytes=(?P<bytes>\d+)$",),
+        casts=(Cast("call_id", "int64"), Cast("seq", "int64"), Cast("bytes", "int64")),
+        consts={"category": "action", "event_type": "tool_chunk"},
+    ),
+    # ---- v2 system families (GC/compaction/flush/drop/banner/warn/...) ----
+    Rule(
+        rule_id="R19_rate_limit",
+        sink="sink_error",
+        gate={"role": ("system",)},
+        patterns=(r"^\[ratelimit\] scope=(?P<scope>[a-z_]+) remaining=(?P<remaining>\d+) reset_s=(?P<reset_s>\d+)$",),
+        casts=(Cast("remaining", "int64"), Cast("reset_s", "int64")),
+        consts={"category": "error", "event_type": "rate_limit"},
+    ),
+    Rule(
+        rule_id="R20_banner",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^agentd v(?P<major>\d+)\.(?P<minor>\d+)\.(?P<patch>\d+) \(build (?P<build>[0-9a-f]{7})\) starting$",),
+        casts=(Cast("major", "int64"), Cast("minor", "int64"), Cast("patch", "int64")),
+        consts={"category": "control", "event_type": "banner"},
+    ),
+    Rule(
+        rule_id="R21_config",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[config\] profile=(?P<profile>[a-z]+) model=(?P<model>[a-z0-9-]+) temp=(?P<temp>\d+\.\d+)$",),
+        casts=(Cast("temp", "float64"),),
+        consts={"category": "control", "event_type": "config"},
+    ),
+    Rule(
+        rule_id="R22_gc",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[gc\] freed_mb=(?P<freed_mb>\d+) heap_mb=(?P<heap_mb>\d+) pause_ms=(?P<pause_ms>\d+)$",),
+        casts=(Cast("freed_mb", "int64"), Cast("heap_mb", "int64"), Cast("pause_ms", "int64")),
+        consts={"category": "telemetry", "event_type": "gc"},
+    ),
+    Rule(
+        rule_id="R23_compaction",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[compact\] dropped_turns=(?P<dropped_turns>\d+) kept_tokens=(?P<kept_tokens>\d+) ratio=(?P<ratio>\d+\.\d+)$",),
+        casts=(Cast("dropped_turns", "int64"), Cast("kept_tokens", "int64"), Cast("ratio", "float64")),
+        consts={"category": "telemetry", "event_type": "compaction"},
+    ),
+    Rule(
+        rule_id="R24_flush",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[flush\] state=(?P<state>[a-z_]+) bytes=(?P<bytes>\d+) dur_ms=(?P<dur_ms>\d+)$",),
+        casts=(Cast("bytes", "int64"), Cast("dur_ms", "int64")),
+        consts={"category": "telemetry", "event_type": "flush"},
+    ),
+    Rule(
+        rule_id="R25_dropped",
+        sink="sink_error",
+        gate={"role": ("system",)},
+        patterns=(r"^\[drop\] kind=(?P<kind>[A-Z_]+) count=(?P<count>\d+) window_s=(?P<window_s>\d+)$",),
+        casts=(Cast("count", "int64"), Cast("window_s", "int64")),
+        consts={"category": "error", "event_type": "dropped"},
+    ),
+    Rule(
+        rule_id="R26_session_end",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^Session (?P<session>[0-9a-f]{8}) ended: turns=(?P<turns>\d+) duration_s=(?P<duration_s>\d+)$",),
+        casts=(Cast("turns", "int64"), Cast("duration_s", "int64")),
+        consts={"category": "control", "event_type": "session_end"},
+    ),
+    Rule(
+        rule_id="R27_warn_slow",
+        sink="sink_error",
+        gate={"role": ("system",)},
+        patterns=(r"^WARN slow turn: latency_ms=(?P<latency_ms>\d+) threshold_ms=(?P<threshold_ms>\d+)$",),
+        casts=(Cast("latency_ms", "int64"), Cast("threshold_ms", "int64")),
+        consts={"category": "error", "event_type": "warn_slow"},
+    ),
+    Rule(
+        rule_id="R28_quota",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[quota\] tier=(?P<tier>[a-z]+) used_pct=(?P<used_pct>\d+)% tokens_left=(?P<tokens_left>\d+)$",),
+        casts=(Cast("used_pct", "int64"), Cast("used_pct", "percent", "used_frac"), Cast("tokens_left", "int64")),
+        consts={"category": "telemetry", "event_type": "quota"},
+    ),
+    Rule(
+        rule_id="R29_moderation",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[moderation\] verdict=(?P<verdict>[a-z]+) score=(?P<score>\d+\.\d+) policy=(?P<policy>[a-z_]+)$",),
+        casts=(Cast("score", "float64"),),
+        consts={"category": "control", "event_type": "moderation"},
+    ),
+    Rule(
+        # multi-line record (StatusLogger-table analogue): one header line
+        # plus >=1 'pool=' continuation lines inside ONE turn's text; \n is
+        # literal in RE2 and DuckDB alike, and the raw-log renderer's NUL
+        # escape round-trips it (sources.py)
+        rule_id="R30_pool_table",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[pools\](?P<pool_lines>(?:\npool=[a-z_]+ active=\d+ pending=\d+)+)$",),
+        consts={"category": "telemetry", "event_type": "pool_status"},
+    ),
+    # ---- v2 user families (declared before the R09 catch-all) ----
+    Rule(
+        rule_id="R31_attach",
+        sink="sink_action",
+        gate={"role": ("user",)},
+        patterns=(r"^\[attach\] kind=(?P<kind>image|audio|file) name=(?P<fname>[a-z0-9_.-]+) bytes=(?P<bytes>\d+)$",),
+        casts=(Cast("bytes", "int64"),),
+        consts={"category": "action", "event_type": "attachment"},
+    ),
+    Rule(
+        rule_id="R32_feedback",
+        sink="sink_dialogue",
+        gate={"role": ("user",)},
+        patterns=(r"^\[feedback\] rating=(?P<rating>[1-5]) comment=(?P<comment>.{0,200})$",),
+        casts=(Cast("rating", "int64"),),
+        consts={"category": "dialogue", "event_type": "feedback"},
     ),
     Rule(
         rule_id="R09_user_msg",
