@@ -712,6 +712,78 @@ ORACLE_SQL["salted_conv_counts"] = f"""
     SELECT conv_id, count(*) AS n FROM {_CORPUS} GROUP BY conv_id
 """
 
+# ---- v2 rule-family oracles: classify with the SAME generated CASE the
+# engine's table produced, then regexp_extract the typed captures.
+
+ORACLE_SQL["gc_pause_stats_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT count(*) AS n,
+           sum(CAST(regexp_extract(text, 'pause_ms=(\\d+)', 1) AS BIGINT)) AS sum_pause_ms,
+           max(CAST(regexp_extract(text, 'heap_mb=(\\d+)', 1) AS BIGINT)) AS max_heap_mb,
+           round(avg(CAST(regexp_extract(text, 'freed_mb=(\\d+)', 1) AS BIGINT)), 6) AS avg_freed_mb
+    FROM cls WHERE rule_id = 'R22_gc'
+"""
+
+ORACLE_SQL["tool_retry_stats_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, '^\\[tool:([a-z_]+)\\]', 1) AS tool_name,
+           count(*) AS n_retries,
+           round(avg(CAST(regexp_extract(text, 'attempt=(\\d+)', 1) AS BIGINT)), 6) AS avg_attempt,
+           max(CAST(regexp_extract(text, 'backoff_ms=(\\d+)', 1) AS BIGINT)) AS max_backoff_ms
+    FROM cls WHERE rule_id = 'R16_tool_retry' GROUP BY 1
+"""
+
+ORACLE_SQL["pool_status_extract_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    lines AS (
+        SELECT unnest(string_split(text, chr(10))) AS l
+        FROM cls WHERE rule_id = 'R30_pool_table'),
+    pools AS (
+        SELECT regexp_extract(l, '^pool=([a-z_]+)', 1) AS pool,
+               CAST(regexp_extract(l, 'active=(\\d+)', 1) AS BIGINT) AS active,
+               CAST(regexp_extract(l, 'pending=(\\d+)', 1) AS BIGINT) AS pending
+        FROM lines WHERE l LIKE 'pool=%')
+    SELECT pool, count(*) AS n, sum(active) AS sum_active,
+           sum(pending) AS sum_pending
+    FROM pools GROUP BY pool
+"""
+
+ORACLE_SQL["moderation_breakdown_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'verdict=([a-z]+)', 1) AS verdict,
+           regexp_extract(text, 'policy=([a-z_]+)', 1) AS policy,
+           count(*) AS n,
+           round(avg(CAST(regexp_extract(text, 'score=(\\d+\\.\\d+)', 1) AS DOUBLE)), 6) AS avg_score
+    FROM cls WHERE rule_id = 'R29_moderation' GROUP BY 1, 2
+"""
+
+ORACLE_SQL["attachment_stats_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'kind=(image|audio|file)', 1) AS kind,
+           count(*) AS n,
+           sum(CAST(regexp_extract(text, 'bytes=(\\d+)', 1) AS BIGINT)) AS sum_bytes,
+           max(CAST(regexp_extract(text, 'bytes=(\\d+)', 1) AS BIGINT)) AS max_bytes
+    FROM cls WHERE rule_id = 'R31_attach' GROUP BY 1
+"""
+
+ORACLE_SQL["quota_by_tier_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'tier=([a-z]+)', 1) AS tier,
+           count(*) AS n,
+           round(avg(CAST(regexp_extract(text, 'used_pct=(\\d+)', 1) AS BIGINT)), 6) AS avg_used_pct,
+           min(CAST(regexp_extract(text, 'tokens_left=(\\d+)', 1) AS BIGINT)) AS min_tokens_left
+    FROM cls WHERE rule_id = 'R28_quota' GROUP BY 1
+"""
+
+ORACLE_SQL["refusal_share_transcripts"] = f"""
+    WITH cls AS (SELECT role, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT CAST(sum(CASE WHEN rule_id = 'R14_refusal' THEN 1 ELSE 0 END) AS BIGINT) AS n_refusal,
+           CAST(count(*) AS BIGINT) AS n_assistant,
+           round(sum(CASE WHEN rule_id = 'R14_refusal' THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS share
+    FROM cls WHERE role = 'assistant'
+"""
+
 # Ordered per-conversation follow-up analysis: for each R01 tool call,
 # is the next R01/R03 event in the conversation an R03 error within 3
 # turns? (The engine filters to those two rules before the window — the

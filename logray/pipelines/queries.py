@@ -6604,6 +6604,163 @@ def price_size_regression_by_type(sf_dir: str):
         .sort_values("p_type").reset_index(drop=True)
 
 
+# ------------------------------------------------ v2 rule-family queries --
+
+def _parse_rule_subset(sf_dir: str, rule_id: str, columns: list[str]):
+    """Corpus scan (column-pruned to the role/text the ruleset needs) →
+    rule parse → filter to ONE rule inside the same map_batches (no second
+    pass, nothing materializes) → project to ``columns``. The parse stage
+    pads absent passthrough columns with nulls (ruleset schema-evolution
+    path), so only the columns a downstream aggregate reads ever leave the
+    scan."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    from ..stages.parse import parse_batch_fn
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["role", "text"])
+
+    def parse_filter(t: pa.Table) -> pa.Table:
+        out = parse_batch_fn(t)
+        out = out.filter(pc.equal(out["rule_id"], rule_id))
+        return out.select(columns)
+
+    return ds.map_batches(parse_filter, batch_format="pyarrow")
+
+
+def gc_pause_stats_transcripts(sf_dir: str):
+    """Telemetry rollup of the R22 GC family (the reference's GCInspector
+    lines, SURVEY.md §2B): one global row of count / total pause / peak
+    heap / mean freed. Keyless global aggregate via a constant group key —
+    partials combine per batch, one tiny exchange."""
+    ds = _parse_rule_subset(sf_dir, "R22_gc", ["freed_mb", "heap_mb", "pause_ms"])
+    prepped = ds.map_batches(
+        lambda t: t.append_column("k", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    out = relational.grouped_agg(prepped, ["k"], {
+        "n": ("pause_ms", "count"),
+        "sum_pause_ms": ("pause_ms", "sum"),
+        "max_heap_mb": ("heap_mb", "max"),
+        "avg_freed_mb": ("freed_mb", "mean"),
+    })
+    return out.map_batches(lambda t: _round_col(t.drop(["k"]), "avg_freed_mb", 6),
+                           batch_format="pyarrow")
+
+
+def tool_retry_stats_transcripts(sf_dir: str):
+    """Per-tool retry pressure from the R16 family: retry count, mean
+    attempt number, worst backoff. Grouped partial+final aggregate on the
+    parsed capture columns."""
+    ds = _parse_rule_subset(sf_dir, "R16_tool_retry",
+                            ["tool_name", "attempt", "backoff_ms"])
+    out = relational.grouped_agg(ds, ["tool_name"], {
+        "n_retries": ("attempt", "count"),
+        "avg_attempt": ("attempt", "mean"),
+        "max_backoff_ms": ("backoff_ms", "max"),
+    })
+    return out.map_batches(lambda t: _round_col(t, "avg_attempt", 6),
+                           batch_format="pyarrow")
+
+
+def pool_status_extract_transcripts(sf_dir: str):
+    """Explode the MULTI-LINE R30 pool-status table (StatusLogger analogue)
+    into per-pool rows and aggregate per pool — the classic 'parse a
+    status table out of one log record' consumer. Vectorized: split on
+    newline → flatten list offsets → one extract_regex over the flat
+    line array; no Python row loop."""
+    ds = _parse_rule_subset(sf_dir, "R30_pool_table", ["pool_lines"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t["pool_lines"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lines = pc.split_pattern(col, "\n")
+        flat = pc.list_flatten(lines)
+        flat = flat.filter(pc.starts_with(flat, "pool="))
+        st = pc.extract_regex(
+            flat, r"^pool=(?P<pool>[a-z_]+) active=(?P<active>\d+) pending=(?P<pending>\d+)$")
+        return pa.table({
+            "pool": st.field("pool"),
+            "active": pc.cast(st.field("active"), pa.int64()),
+            "pending": pc.cast(st.field("pending"), pa.int64()),
+        })
+
+    return relational.grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["pool"], {"n": ("active", "count"), "sum_active": ("active", "sum"),
+                   "sum_pending": ("pending", "sum")})
+
+
+def moderation_breakdown_transcripts(sf_dir: str):
+    """Per-(verdict, policy) moderation volume and mean score from the
+    R29 family — the safety-dashboard rollup."""
+    ds = _parse_rule_subset(sf_dir, "R29_moderation",
+                            ["verdict", "policy", "score"])
+    out = relational.grouped_agg(ds, ["verdict", "policy"], {
+        "n": ("score", "count"),
+        "avg_score": ("score", "mean"),
+    })
+    return out.map_batches(lambda t: _round_col(t, "avg_score", 6),
+                           batch_format="pyarrow")
+
+
+def attachment_stats_transcripts(sf_dir: str):
+    """Per-kind upload stats from the R31 user-attachment family."""
+    ds = _parse_rule_subset(sf_dir, "R31_attach", ["kind", "bytes"])
+    return relational.grouped_agg(ds, ["kind"], {
+        "n": ("bytes", "count"),
+        "sum_bytes": ("bytes", "sum"),
+        "max_bytes": ("bytes", "max"),
+    })
+
+
+def quota_by_tier_transcripts(sf_dir: str):
+    """Per-tier quota pressure from the R28 family: events, mean used_pct
+    (exact int sum / count), tightest remaining budget."""
+    ds = _parse_rule_subset(sf_dir, "R28_quota",
+                            ["tier", "used_pct", "tokens_left"])
+    out = relational.grouped_agg(ds, ["tier"], {
+        "n": ("used_pct", "count"),
+        "avg_used_pct": ("used_pct", "mean"),
+        "min_tokens_left": ("tokens_left", "min"),
+    })
+    return out.map_batches(lambda t: _round_col(t, "avg_used_pct", 6),
+                           batch_format="pyarrow")
+
+
+def refusal_share_transcripts(sf_dir: str):
+    """Refusal rate across assistant turns (R14 vs every assistant-role
+    rule): conditional counts combine per batch; one global row."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    from ..stages.parse import parse_batch_fn
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["role", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["role"], "assistant")
+        sub = t.filter(m)
+        out = parse_batch_fn(sub)
+        n_ref = pc.sum(pc.equal(out["rule_id"], "R14_refusal")).as_py() or 0
+        return pa.table({"n_refusal": pa.array([n_ref], pa.int64()),
+                         "n_assistant": pa.array([sub.num_rows], pa.int64())})
+
+    sums = ds.map_batches(partial, batch_format="pyarrow").sum(
+        ["n_refusal", "n_assistant"])
+    n_ref = int(sums["sum(n_refusal)"])
+    n_asst = int(sums["sum(n_assistant)"])
+    return pa.table({"n_refusal": pa.array([n_ref], pa.int64()),
+                     "n_assistant": pa.array([n_asst], pa.int64()),
+                     "share": pa.array([round(n_ref / n_asst, 6)], pa.float64())})
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -6792,6 +6949,14 @@ QUERIES = {
     "fold_continuations_transcripts": fold_continuations_transcripts,
     "salted_conv_counts": salted_conv_counts,
     "tool_error_followup_transcripts": tool_error_followup_transcripts,
+    # v2 rule families (round-3 rule-table growth)
+    "gc_pause_stats_transcripts": gc_pause_stats_transcripts,
+    "tool_retry_stats_transcripts": tool_retry_stats_transcripts,
+    "pool_status_extract_transcripts": pool_status_extract_transcripts,
+    "moderation_breakdown_transcripts": moderation_breakdown_transcripts,
+    "attachment_stats_transcripts": attachment_stats_transcripts,
+    "quota_by_tier_transcripts": quota_by_tier_transcripts,
+    "refusal_share_transcripts": refusal_share_transcripts,
     "multimodal_decode_features": multimodal_decode_features,
     # round-2 coverage adds
     "users_intersect_purchase_error": users_intersect_purchase_error,
