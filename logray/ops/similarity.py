@@ -174,10 +174,15 @@ class IvfIndex:
 
 
 def kmeans(ds, *, k: int = 8, iters: int = 10, vec_col: str = "embedding",
-           seed: int = 5, sample_frac: float = 0.1):
+           seed: int = 5, sample_frac: float = 0.1, init: str = "random"):
     """Distributed Lloyd's k-means over an embedding column.
 
-    Init: k centroids from a small driver-side random sample. Each
+    Init: k centroids from a small driver-side random sample —
+    ``init="random"`` draws them uniformly; ``init="kpp"`` runs a
+    deterministic farthest-first traversal over the sample (the k-means++
+    idea with argmax instead of D² sampling: Arthur & Vassilvitskii 2007),
+    which provably seeds every well-separated cluster and removes the
+    random-init failure mode of dropping a cluster entirely. Each
     iteration is ONE streaming pass: every block computes per-centroid
     partial (sum-vector, count) — a k×d matrix regardless of block size —
     and the driver combines the partials and updates centroids. No
@@ -195,7 +200,17 @@ def kmeans(ds, *, k: int = 8, iters: int = 10, vec_col: str = "embedding",
     X0 = _normalize(_vec_matrix(sample, vec_col))
     rng = np.random.default_rng(seed)
     k = min(k, len(X0))
-    C = X0[rng.choice(len(X0), k, replace=False)].copy()
+    if init == "kpp":
+        # farthest-first on the (normalized) sample under cosine distance
+        chosen = [int(rng.integers(len(X0)))]
+        mind = 1.0 - X0 @ X0[chosen[0]]
+        while len(chosen) < k:
+            nxt = int(np.argmax(mind))
+            chosen.append(nxt)
+            mind = np.minimum(mind, 1.0 - X0 @ X0[nxt])
+        C = X0[chosen].copy()
+    else:
+        C = X0[rng.choice(len(X0), k, replace=False)].copy()
 
     for _ in range(iters):
         C_bcast = C  # captured by value in the closure below

@@ -614,6 +614,39 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+# ---- ML-pipeline tolerance oracles (pattern proven on the sketches):
+# exact columns SQL-verified, bound assertions expected TRUE.
+
+ORACLE_SQL["kmeans_recovery_embeddings"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(4 AS BIGINT) AS n_labels_recovered,
+           TRUE AS min_purity_ok
+    FROM embeddings
+"""
+
+ORACLE_SQL["ivf_recall_embeddings"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           TRUE AS min_recall_ok, TRUE AS mean_recall_ok
+    FROM embeddings WHERE vec_id IN (0, 1, 2)
+"""
+
+# trace(cov) == sum of per-dimension sample variances (embedding dim is
+# 64 across all test scales; the engine asserts the same formula on its
+# distributed moment partials)
+_PCA_VAR_TERMS = " + ".join(f"var_samp(embedding[{i + 1}])" for i in range(64))
+ORACLE_SQL["pca_variance_embeddings"] = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           round({_PCA_VAR_TERMS}, 4) AS total_var,
+           TRUE AS evar_ordered_ok, TRUE AS share_ok, TRUE AS orthonormal_ok
+    FROM embeddings
+"""
+
+ORACLE_SQL["pack_coverage_documents"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS coverage_ok, TRUE AS budget_ok
+    FROM documents
+"""
+
 # --------------------------------------------------------------------------
 # Transcript-corpus oracles. The flagship rule table as an ordered CASE
 # (first-match-wins == first-satisfied WHEN; gate = role equality AND

@@ -6761,6 +6761,136 @@ def refusal_share_transcripts(sf_dir: str):
                      "share": pa.array([round(n_ref / n_asst, 6)], pa.float64())})
 
 
+# ------------------------------------- tolerance oracles for ML pipelines --
+# Pattern proven on the sketch queries (approx_distinct_users_by_type):
+# emit SQL-checkable EXACT columns plus boolean bound assertions the
+# pipeline must satisfy; DuckDB verifies the exact columns and expects
+# TRUE for the bounds. Converts rows-only queries into value-checked ones.
+
+def kmeans_recovery_embeddings(sf_dir: str):
+    """K-means planted-centroid recovery as a pass/fail row: derive a
+    4-cluster mixture DETERMINISTICALLY from the embeddings table
+    (one-hot direction per ``vec_id % 4`` + scaled real noise), run the
+    distributed spherical k-means end-to-end, and assert purity ≥ 0.95
+    with all four planted labels recovered. The exact n_vectors column is
+    SQL-verified; the mixture separation (4.0 vs 0.2·unit noise) makes
+    recovery deterministic for the frozen seed."""
+    from ..ops.similarity import kmeans
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        X = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        lab = (t["vec_id"].to_numpy() % 4).astype(np.int64)
+        E = np.zeros((len(lab), X.shape[1]))
+        E[np.arange(len(lab)), lab] = 4.0
+        P = E + 0.2 * (X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12))
+        return pa.table({"vec_id": t["vec_id"],
+                         "label_p": pa.array(lab),
+                         "embedding": pa.array(list(P), pa.list_(pa.float64()))})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    _, assign = kmeans(planted, k=4, iters=8, vec_col="embedding", init="kpp")
+    labeled = planted.map_batches(assign, batch_format="pyarrow")
+    pairs = relational.grouped_agg(
+        labeled, ["cluster_id", "label_p"],
+        {"n": ("label_p", "count")}).to_pandas()  # ≤ 16 rows
+    n_vectors = int(pairs["n"].sum())
+    by_c = pairs.groupby("cluster_id")["n"]
+    purity = (by_c.max() / by_c.sum()).min()
+    majority = pairs.loc[pairs.groupby("cluster_id")["n"].idxmax(), "label_p"]
+    return pa.table({
+        "n_vectors": pa.array([n_vectors], pa.int64()),
+        "n_labels_recovered": pa.array([int(majority.nunique())], pa.int64()),
+        "min_purity_ok": pa.array([bool(purity >= 0.95)]),
+    })
+
+
+def ivf_recall_embeddings(sf_dir: str):
+    """IVF-ANN recall bound vs the exact brute-force top-k (the already
+    SQL-oracled ann path): top-10 with nprobe=12/16 must reach ≥0.6
+    per-query and ≥0.75 mean recall (measured ≥0.8/≥0.87 across all three
+    test scales; data and seeds frozen). n_queries is SQL-verified."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = np.stack(t["embedding"].to_pandas().sample(
+        min(2000, t.num_rows), random_state=5).to_numpy()).astype(np.float64)
+    idx = similarity.IvfIndex(n_lists=16).fit(sample)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    brute = similarity.ann_topk(ds, _query_vectors(sf_dir), k=10)
+    assigned = ds.map_batches(idx.assign_stage(), batch_format="pyarrow")
+    approx = idx.search(assigned, _query_vectors(sf_dir), k=10, nprobe=12)
+    recalls = []
+    for q in sorted(brute["query_id"].unique()):
+        bs = set(brute[brute["query_id"] == q]["vec_id"])
+        vs = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(bs & vs) / len(bs))
+    return pa.table({
+        "n_queries": pa.array([len(recalls)], pa.int64()),
+        "min_recall_ok": pa.array([min(recalls) >= 0.6]),
+        "mean_recall_ok": pa.array([float(np.mean(recalls)) >= 0.75]),
+    })
+
+
+def pca_variance_embeddings(sf_dir: str):
+    """PCA explained-variance bound: the engine's d×d moment machinery
+    must reproduce the SQL-computable total variance (trace of the
+    covariance == Σ_dims var_samp, EXACT-formula parity, round 4), with
+    eigenvalue ordering, a sane top-2 share, and orthonormal components
+    asserted as bounds."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    comps, evar, _ = similarity.pca(ds, k=2)
+
+    def moments(t: pa.Table) -> pa.Table:
+        X = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        return pa.table({"n": pa.array([X.shape[0]], pa.int64()),
+                         "s": pa.array([X.sum(axis=0)]),
+                         "ss": pa.array([(X * X).sum(axis=0)])})
+
+    part = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = int(part["n"].sum())
+    s = np.sum(np.stack(part["s"].to_numpy()), axis=0)
+    ss = np.sum(np.stack(part["ss"].to_numpy()), axis=0)
+    total_var = float(((ss - s * s / n) / (n - 1)).sum())
+    share = (evar[0] + evar[1]) / total_var
+    ortho = float(np.abs(comps @ comps.T - np.eye(2)).max())
+    return pa.table({
+        "n_vectors": pa.array([n], pa.int64()),
+        "total_var": pa.array([round(total_var, 4)], pa.float64()),
+        "evar_ordered_ok": pa.array([bool(evar[0] >= evar[1])]),
+        "share_ok": pa.array([bool(0.0 < share <= 1.0)]),
+        "orthonormal_ok": pa.array([ortho < 1e-8]),
+    })
+
+
+def pack_coverage_documents(sf_dir: str):
+    """Sequence-packing invariants as a pass/fail row: every document
+    lands in exactly one pack (coverage — n_docs is SQL-verified), and
+    every pack respects the 512-token budget unless it holds a single
+    oversized document."""
+    from ..ops import pack as pack_ops
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    with_tokens = ds.map_batches(
+        lambda t: text_ops.add_token_counts(t).select(["doc_id", "n_tokens_ws"]),
+        batch_format="pyarrow")
+    packed = pack_ops.pack_documents(with_tokens, token_col="n_tokens_ws",
+                                     id_col="doc_id", budget=512)
+    summary = relational.grouped_agg(
+        packed, ["pack_id"], {"n_docs": ("doc_id", "count"),
+                              "n_tokens": ("n_tokens_ws", "sum")}).to_pandas()
+    uniq = relational.grouped_agg(
+        packed, ["doc_id"], {"k": ("doc_id", "count")}).to_pandas()
+    n_rows = int(summary["n_docs"].sum())
+    n_unique = len(uniq)
+    over = summary[summary["n_tokens"] > 512]
+    budget_ok = bool((over["n_docs"] == 1).all())
+    return pa.table({
+        "n_docs": pa.array([n_rows], pa.int64()),
+        "coverage_ok": pa.array([bool(n_rows == n_unique and (uniq["k"] == 1).all())]),
+        "budget_ok": pa.array([budget_ok]),
+    })
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -6957,6 +7087,11 @@ QUERIES = {
     "attachment_stats_transcripts": attachment_stats_transcripts,
     "quota_by_tier_transcripts": quota_by_tier_transcripts,
     "refusal_share_transcripts": refusal_share_transcripts,
+    # ML-pipeline tolerance oracles (round-3: rows-only -> value-checked)
+    "kmeans_recovery_embeddings": kmeans_recovery_embeddings,
+    "ivf_recall_embeddings": ivf_recall_embeddings,
+    "pca_variance_embeddings": pca_variance_embeddings,
+    "pack_coverage_documents": pack_coverage_documents,
     "multimodal_decode_features": multimodal_decode_features,
     # round-2 coverage adds
     "users_intersect_purchase_error": users_intersect_purchase_error,

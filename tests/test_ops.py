@@ -1725,3 +1725,30 @@ def test_bfs_levels_path_graph(ray_session):
     out = graph.bfs_levels(ray.data.from_pandas(edges), 0, max_depth=3)
     got = dict(zip(out["node"], out["level"]))
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 4 beyond depth; 8/9 unreachable
+
+
+def test_kmeans_kpp_init_seeds_every_separated_cluster(ray_session):
+    """Farthest-first (k-means++-style) init must recover ALL planted
+    clusters even when uniform-random init would drop one — the failure
+    mode observed on the 5k-vector planted mixture (sf0.1) that
+    motivated init='kpp'."""
+    from logray.ops.similarity import kmeans
+
+    rng = np.random.default_rng(3)
+    centers = np.eye(4, 16) * 4.0
+    lab = np.arange(2000) % 4
+    X = centers[lab] + rng.normal(0, 0.2, size=(2000, 16))
+    t = pa.table({"vec_id": pa.array(np.arange(2000, dtype=np.int64)),
+                  "label_p": pa.array(lab.astype(np.int64)),
+                  "embedding": pa.array(list(X.astype(np.float64)))})
+    ds = _ds(t).repartition(4)
+    _, assign = kmeans(ds, k=4, iters=6, vec_col="embedding", init="kpp")
+    out = pa.concat_tables(
+        ds.map_batches(assign, batch_format="pyarrow")
+        .iter_batches(batch_size=10_000, batch_format="pyarrow")).to_pandas()
+    pairs = out.groupby(["cluster_id", "label_p"]).size().reset_index(name="n")
+    purity = (pairs.groupby("cluster_id")["n"].max()
+              / pairs.groupby("cluster_id")["n"].sum()).min()
+    majority = pairs.loc[pairs.groupby("cluster_id")["n"].idxmax(), "label_p"]
+    assert majority.nunique() == 4
+    assert purity > 0.95, purity
