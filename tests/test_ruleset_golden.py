@@ -157,3 +157,24 @@ def test_dollar_rewrite_scanner():
     rx2 = compile_re2_like(r"p\\$")  # escaped backslash THEN a real anchor
     assert rx2.search("p\\") and not rx2.search("p\\\n")
     assert compile_re2_like(r"a\$b").search("xa$by")
+
+
+def test_literal_prefix_scanner():
+    """The prefix gate must only ever claim REQUIRED literals — a wrong
+    prefix silently drops matches, so every tricky shape is pinned."""
+    from logray.ruleset import _literal_prefix
+
+    assert _literal_prefix(r"^\[tool:(?P<t>[a-z_]+)\] call") == "[tool:"
+    assert _literal_prefix(r"^Traceback \(most recent call last\): x") == \
+        "Traceback (most recent call last): "
+    assert _literal_prefix(r"^I can't help with (?P<t>.{1,80})\.$") == \
+        "I can't help with "
+    assert _literal_prefix(r"^.{1,400}$") == ""          # metachar first
+    assert _literal_prefix(r"no_anchor") == ""            # not anchored
+    assert _literal_prefix(r"^ab?c") == "a"               # quantified b optional
+    assert _literal_prefix(r"^ab*c") == "a"
+    assert _literal_prefix(r"^ab{2}c") == "a"             # {2} means b required, but scanner is conservative
+    assert _literal_prefix(r"^a\[?x") == "a"              # escaped-punct quantified
+    assert _literal_prefix(r"^\d+ x") == ""               # class escape
+    assert _literal_prefix(r"^https?://") == "http"       # s optional
+    assert _literal_prefix(r"^(?:a|b)c") == ""            # group first
