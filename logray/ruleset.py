@@ -503,16 +503,18 @@ class RuleSet:
                       if emits else np.empty(0, np.int64))
         sub = table.take(pa.array(global_idx))
         cols: list[pa.Array | pa.ChunkedArray] = [sub[name] for name, _ in self.passthrough]
+        # pa.repeat materializes the constant run in C — measurably cheaper
+        # than building an n-element Python list per (rule, column) piece
         cols.append(self._concat_pieces(
-            [(n, pa.array([cr.rule.rule_id] * n, pa.string()))
+            [(n, pa.repeat(pa.scalar(cr.rule.rule_id, pa.string()), n))
              for (cr, _, _), n in zip(emits, counts)], pa.string()))
         cols.append(self._concat_pieces(
-            [(n, pa.array([cr.rule.sink] * n, pa.string()))
+            [(n, pa.repeat(pa.scalar(cr.rule.sink, pa.string()), n))
              for (cr, _, _), n in zip(emits, counts)], pa.string()))
         for f in self.const_fields:
             cols.append(self._concat_pieces(
-                [(n, pa.array([v] * n, pa.string()) if (v := cr.rule.consts.get(f)) is not None
-                  else None)
+                [(n, pa.repeat(pa.scalar(v, pa.string()), n)
+                  if (v := cr.rule.consts.get(f)) is not None else None)
                  for (cr, _, _), n in zip(emits, counts)], pa.string()))
         # typed capture/cast columns + the parse_error union
         err_parts: list[np.ndarray] = []
