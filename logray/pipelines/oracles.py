@@ -614,6 +614,52 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+# ---- TPC-H classic adaptations (round 3)
+
+ORACLE_SQL["q4_late_orders_by_priority"] = """
+    WITH j AS (
+        SELECT o.o_orderpriority, o.o_orderkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        GROUP BY 1, 2)
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM j GROUP BY 1
+"""
+
+ORACLE_SQL["q12_returnflag_priority"] = """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+"""
+
+ORACLE_SQL["q14_promo_revenue_share"] = """
+    WITH j AS (
+        SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT) AS units,
+               p.p_type = 'PROMO' AS promo
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT ship_month,
+           round(100.0 * sum(CASE WHEN promo THEN units ELSE 0 END)
+                 / sum(units), 6) AS promo_share_pct
+    FROM j GROUP BY 1
+"""
+
+ORACLE_SQL["q18_large_volume_customers"] = """
+    WITH big AS (
+        SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)
+    SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, big.total_qty
+    FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+             JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
 # ---- ML-pipeline tolerance oracles (pattern proven on the sketches):
 # exact columns SQL-verified, bound assertions expected TRUE.
 

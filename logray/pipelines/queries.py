@@ -6761,6 +6761,128 @@ def refusal_share_transcripts(sf_dir: str):
                      "share": pa.array([round(n_ref / n_asst, 6)], pa.float64())})
 
 
+# ------------------------------------------------ TPC-H classic adaptations --
+
+def q4_late_orders_by_priority(sf_dir: str):
+    """TPC-H Q4 shape (order-priority checking): per priority, the number
+    of orders with ≥1 lineitem shipped >60 days after the order date —
+    EXISTS folded into the join buckets: each bucket owns all rows of its
+    orderkeys, so the per-order ANY() and the distinct-order count are
+    bucket-local partials; only (priority, partial_count) rows leave the
+    exchange."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_shipdate"]),
+        batch_format="pyarrow")
+
+    def late_partial(df: pd.DataFrame) -> pd.DataFrame:
+        late = df[(df["l_shipdate"] - df["o_orderdate"]) > pd.Timedelta(days=60)]
+        per_order = late.drop_duplicates("o_orderkey")
+        return (per_order.groupby("o_orderpriority", as_index=False)
+                .agg(order_count=("o_orderkey", "size")))
+
+    j = relational.hash_join(line, orders, on="o_orderkey",
+                             bucket_post=late_partial)
+    return relational.grouped_agg(j, ["o_orderpriority"],
+                                  {"order_count": ("order_count", "sum")})
+
+
+def q12_returnflag_priority(sf_dir: str):
+    """TPC-H Q12 shape (shipping-mode priority histogram, on returnflag —
+    this dataset carries no shipmode): per l_returnflag, how many
+    lineitems belong to high-priority (1-URGENT/2-HIGH) vs low-priority
+    orders. Two-way conditional count fused into the join buckets."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_returnflag"]),
+        batch_format="pyarrow")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hi = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        g = pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                          "high_line_count": hi.astype(np.int64),
+                          "low_line_count": (~hi).astype(np.int64)})
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    j = relational.hash_join(line, orders, on="o_orderkey", bucket_post=partial)
+    return relational.grouped_agg(j, ["l_returnflag"], {
+        "high_line_count": ("high_line_count", "sum"),
+        "low_line_count": ("low_line_count", "sum"),
+    })
+
+
+def q14_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape (promotion effect): per ship month, the share of
+    revenue from PROMO-type parts. The part dim broadcasts into the
+    lineitem scan (`ray.put` once); revenue is exact integer 1e-4 units
+    (product of two 2-decimal columns); the share divides the two exact
+    sums identically on both sides."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    part = part.rename(columns={"p_partkey": "l_partkey"})
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    joined = relational.broadcast_join(line, part, on="l_partkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        units = pc.cast(pc.round(pc.multiply(rev, 10000.0)), pa.int64())
+        promo = pc.equal(t["p_type"], "PROMO")
+        month = pc.strftime(t["l_shipdate"], format="%Y-%m")
+        return pa.table({
+            "ship_month": month,
+            "promo_rev_u": pc.if_else(promo, units, pa.scalar(0, pa.int64())),
+            "total_rev_u": units,
+        })
+
+    agg = relational.grouped_agg(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["ship_month"], {"promo_u": ("promo_rev_u", "sum"),
+                         "total_u": ("total_rev_u", "sum")})
+
+    def fin(t: pa.Table) -> pa.Table:
+        share = pc.round(pc.divide(
+            pc.multiply(pc.cast(t["promo_u"], pa.float64()), 100.0),
+            pc.cast(t["total_u"], pa.float64())), ndigits=6)
+        return pa.table({"ship_month": t["ship_month"],
+                         "promo_share_pct": share})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q18_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds 300, with customer and order payload. The
+    grouped quantity sum is the only corpus-wide exchange; the surviving
+    order set is tiny BY CONSTRUCTION (heavy-hitter orders), so it
+    broadcasts back into the pruned orders scan, and the customer dim
+    broadcasts too — no second all-to-all."""
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "qty_i": pc.cast(pc.round(t["l_quantity"]), pa.int64())}),
+        batch_format="pyarrow")
+    sums = relational.grouped_agg(line, ["o_orderkey"],
+                                  {"total_qty": ("qty_i", "sum")})
+    big = sums.map_batches(
+        lambda t: t.filter(pc.greater(t["total_qty"], 300)),
+        batch_format="pyarrow").to_pandas()  # heavy-hitter orders: tiny
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    kept = relational.semi_filter(orders, "o_orderkey",
+                                  big["o_orderkey"].to_numpy())
+    withqty = relational.broadcast_join(kept, big, on="o_orderkey")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    out = relational.broadcast_join(withqty, cust, on="o_custkey")
+    return out.map_batches(
+        lambda t: t.select(["c_name", "o_custkey", "o_orderkey",
+                            "o_orderdate", "o_totalprice", "total_qty"]),
+        batch_format="pyarrow")
+
+
 # ------------------------------------- tolerance oracles for ML pipelines --
 # Pattern proven on the sketch queries (approx_distinct_users_by_type):
 # emit SQL-checkable EXACT columns plus boolean bound assertions the
@@ -7087,6 +7209,11 @@ QUERIES = {
     "attachment_stats_transcripts": attachment_stats_transcripts,
     "quota_by_tier_transcripts": quota_by_tier_transcripts,
     "refusal_share_transcripts": refusal_share_transcripts,
+    # TPC-H classic adaptations (round 3)
+    "q4_late_orders_by_priority": q4_late_orders_by_priority,
+    "q12_returnflag_priority": q12_returnflag_priority,
+    "q14_promo_revenue_share": q14_promo_revenue_share,
+    "q18_large_volume_customers": q18_large_volume_customers,
     # ML-pipeline tolerance oracles (round-3: rows-only -> value-checked)
     "kmeans_recovery_embeddings": kmeans_recovery_embeddings,
     "ivf_recall_embeddings": ivf_recall_embeddings,
