@@ -614,6 +614,34 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["last_touch_attribution_events"] = """
+    WITH l AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events)
+    SELECT prev_type, CAST(count(*) AS BIGINT) AS n_purchases
+    FROM l WHERE event_type = 'purchase' AND prev_type IS NOT NULL
+    GROUP BY prev_type
+"""
+
+ORACLE_SQL["max_lineitem_per_order"] = """
+    WITH r AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_extendedprice DESC,
+                                           l_linenumber ASC) AS rn
+        FROM lineitem)
+    SELECT l_orderkey AS o_orderkey, l_linenumber, l_extendedprice
+    FROM r WHERE rn = 1
+"""
+
+ORACLE_SQL["label_centroids_embeddings"] = """
+    SELECT e.label, t.i AS dim, round(avg(e.embedding[t.i]), 6) AS centroid
+    FROM embeddings e, range(1, 65) t(i)
+    GROUP BY e.label, t.i
+"""
+
 # ---- TPC-H classic adaptations (round 3)
 
 ORACLE_SQL["q4_late_orders_by_priority"] = """
@@ -861,6 +889,51 @@ ORACLE_SQL["refusal_share_transcripts"] = f"""
            round(sum(CASE WHEN rule_id = 'R14_refusal' THEN 1 ELSE 0 END) * 1.0
                  / count(*), 6) AS share
     FROM cls WHERE role = 'assistant'
+"""
+
+ORACLE_SQL["session_uptime_transcripts"] = f"""
+    WITH cls AS (SELECT conv_id, ts, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    g AS (
+        SELECT conv_id,
+               min(CASE WHEN rule_id = 'R20_banner' THEN ts END) AS banner_ts,
+               max(CASE WHEN rule_id = 'R26_session_end' THEN ts END) AS end_ts
+        FROM cls WHERE rule_id IN ('R20_banner', 'R26_session_end')
+        GROUP BY conv_id)
+    SELECT conv_id, banner_ts, end_ts,
+           CAST(date_diff('microsecond', banner_ts, end_ts) AS BIGINT) AS uptime_us
+    FROM g WHERE banner_ts IS NOT NULL AND end_ts IS NOT NULL
+"""
+
+ORACLE_SQL["progress_monotonic_share_transcripts"] = f"""
+    WITH cls AS (SELECT conv_id, turn_idx, text, {_RULE_CASE} AS rule_id
+                 FROM {_CORPUS}),
+    p AS (
+        SELECT conv_id, turn_idx,
+               regexp_extract(text, '^\\[tool:([a-z_]+)\\]', 1) AS tool_name,
+               CAST(regexp_extract(text, 'pct=(\\d+)', 1) AS BIGINT) AS pct
+        FROM cls WHERE rule_id = 'R17_tool_progress'),
+    l AS (
+        SELECT tool_name, pct,
+               lag(pct) OVER (PARTITION BY conv_id, tool_name
+                              ORDER BY turn_idx) AS prev
+        FROM p)
+    SELECT tool_name,
+           CAST(count(prev) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN pct >= prev THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nondecreasing,
+           round(sum(CASE WHEN pct >= prev THEN 1 ELSE 0 END) * 1.0
+                 / count(prev), 6) AS share_nondecreasing
+    FROM l GROUP BY tool_name HAVING count(prev) > 0
+"""
+
+ORACLE_SQL["compaction_savings_transcripts"] = f"""
+    WITH cls AS (SELECT conv_id, text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_compactions,
+           sum(CAST(regexp_extract(text, 'dropped_turns=(\\d+)', 1) AS BIGINT))
+               AS sum_dropped_turns,
+           sum(CAST(regexp_extract(text, 'kept_tokens=(\\d+)', 1) AS BIGINT))
+               AS sum_kept_tokens
+    FROM cls WHERE rule_id = 'R23_compaction' GROUP BY conv_id
 """
 
 # Ordered per-conversation follow-up analysis: for each R01 tool call,

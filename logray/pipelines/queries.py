@@ -6606,13 +6606,14 @@ def price_size_regression_by_type(sf_dir: str):
 
 # ------------------------------------------------ v2 rule-family queries --
 
-def _parse_rule_subset(sf_dir: str, rule_id: str, columns: list[str]):
-    """Corpus scan (column-pruned to the role/text the ruleset needs) →
-    rule parse → filter to ONE rule inside the same map_batches (no second
-    pass, nothing materializes) → project to ``columns``. The parse stage
-    pads absent passthrough columns with nulls (ruleset schema-evolution
-    path), so only the columns a downstream aggregate reads ever leave the
-    scan."""
+def _parse_rule_subset(sf_dir: str, rule_id, columns: list[str],
+                       read_cols: tuple[str, ...] = ("role", "text")):
+    """Corpus scan (column-pruned to what the ruleset + downstream need) →
+    rule parse → filter to the given rule(s) inside the same map_batches
+    (no second pass, nothing materializes) → project to ``columns``. The
+    parse stage pads absent passthrough columns with nulls (ruleset
+    schema-evolution path), so only the columns a downstream aggregate
+    reads ever leave the scan. ``rule_id``: one id or a tuple of ids."""
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
     corpus = _corpus_dir(sf)
     import ray.data
@@ -6621,11 +6622,13 @@ def _parse_rule_subset(sf_dir: str, rule_id: str, columns: list[str]):
 
     ds = ray.data.read_parquet(
         [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
-        columns=["role", "text"])
+        columns=list(read_cols))
+    wanted = (rule_id,) if isinstance(rule_id, str) else tuple(rule_id)
 
     def parse_filter(t: pa.Table) -> pa.Table:
         out = parse_batch_fn(t)
-        out = out.filter(pc.equal(out["rule_id"], rule_id))
+        out = out.filter(pc.is_in(out["rule_id"],
+                                  value_set=pa.array(wanted, pa.string())))
         return out.select(columns)
 
     return ds.map_batches(parse_filter, batch_format="pyarrow")
@@ -6759,6 +6762,187 @@ def refusal_share_transcripts(sf_dir: str):
     return pa.table({"n_refusal": pa.array([n_ref], pa.int64()),
                      "n_assistant": pa.array([n_asst], pa.int64()),
                      "share": pa.array([round(n_ref / n_asst, 6)], pa.float64())})
+
+
+def session_uptime_transcripts(sf_dir: str):
+    """Lifecycle pairing across TWO rule families (banner → session-end,
+    the reference's startup-banner/shutdown analysis): per conversation
+    holding both, the first R20 banner timestamp, the last R26 end
+    timestamp, and the exact integer-µs uptime. Conditional min/max
+    partials combine per batch; nothing ordered is needed — the pairing
+    is a grouped reduce."""
+    ds = _parse_rule_subset(
+        sf_dir, ("R20_banner", "R26_session_end"),
+        ["conv_id", "rule_id", "ts"],
+        read_cols=("conv_id", "role", "text", "ts"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        is_b = pc.equal(t["rule_id"], "R20_banner")
+        nul = pa.scalar(None, pa.int64())
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "banner_us": pc.if_else(is_b, us, nul),
+            "end_us": pc.if_else(is_b, nul, us),
+            "nb": pc.cast(is_b, pa.int64()),
+            "ne": pc.cast(pc.invert(is_b), pa.int64()),
+        })
+
+    agg = relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"), ["conv_id"], {
+            "banner_us": ("banner_us", "min"),
+            "end_us": ("end_us", "max"),
+            "nb": ("nb", "sum"), "ne": ("ne", "sum")})
+
+    def fin(t: pa.Table) -> pa.Table:
+        both = pc.and_(pc.greater(t["nb"], 0), pc.greater(t["ne"], 0))
+        t = t.filter(both)
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "banner_ts": pc.cast(t["banner_us"], pa.timestamp("us")),
+            "end_ts": pc.cast(t["end_us"], pa.timestamp("us")),
+            "uptime_us": pc.subtract(t["end_us"], t["banner_us"]),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def progress_monotonic_share_transcripts(sf_dir: str):
+    """Ordered per-(conversation, tool) analysis on the R17 progress
+    family: of consecutive progress events, what share is non-decreasing?
+    (A monitoring invariant — progress should not run backwards.)
+    Conversation-bucketed exchange co-locates each conv's rows; the lag
+    is a vectorized pandas shift per bucket; only per-tool pair counts
+    leave the buckets."""
+    ds = _parse_rule_subset(
+        sf_dir, "R17_tool_progress",
+        ["conv_id", "turn_idx", "tool_name", "pct"],
+        read_cols=("conv_id", "turn_idx", "role", "text"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "tool_name", "turn_idx"],
+                            kind="mergesort")
+        g = df.groupby(["conv_id", "tool_name"], sort=False)
+        prev = g["pct"].shift(1)
+        has_prev = prev.notna()
+        nondec = has_prev & (df["pct"] >= prev)
+        out = pd.DataFrame({"tool_name": df["tool_name"],
+                            "n_pairs": has_prev.astype(np.int64),
+                            "n_nondecreasing": nondec.astype(np.int64)})
+        return out.groupby("tool_name", as_index=False).sum()
+
+    partials = window._bucketed_apply(ds, "conv_id", per_bucket)
+    agg = relational.grouped_agg(partials, ["tool_name"], {
+        "n_pairs": ("n_pairs", "sum"),
+        "n_nondecreasing": ("n_nondecreasing", "sum")})
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_pairs"], 0))
+        share = pc.round(pc.divide(
+            pc.cast(t["n_nondecreasing"], pa.float64()),
+            pc.cast(t["n_pairs"], pa.float64())), ndigits=6)
+        return t.append_column("share_nondecreasing", share)
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def compaction_savings_transcripts(sf_dir: str):
+    """Per-conversation compaction telemetry from the R23 family:
+    compaction count, total dropped turns, total kept tokens — keyed by a
+    PASSTHROUGH column (conv_id) while the measures come from typed rule
+    captures, i.e. envelope × capture interplay."""
+    ds = _parse_rule_subset(
+        sf_dir, "R23_compaction",
+        ["conv_id", "dropped_turns", "kept_tokens"],
+        read_cols=("conv_id", "role", "text"))
+    return relational.grouped_agg(ds, ["conv_id"], {
+        "n_compactions": ("dropped_turns", "count"),
+        "sum_dropped_turns": ("dropped_turns", "sum"),
+        "sum_kept_tokens": ("kept_tokens", "sum")})
+
+
+def last_touch_attribution_events(sf_dir: str):
+    """Marketing-style last-touch attribution: for every purchase, the
+    event type IMMEDIATELY preceding it in the same user's stream —
+    counts per preceding type. User-bucketed exchange, vectorized lag per
+    bucket, (event_id) tie-break on equal timestamps so both engines pick
+    the same predecessor."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = df.groupby("user_id", sort=False)["event_type"].shift(1)
+        m = (df["event_type"] == "purchase") & prev.notna()
+        return (pd.DataFrame({"prev_type": prev[m]})
+                .groupby("prev_type", as_index=False).size()
+                .rename(columns={"size": "n_purchases"}))
+
+    partials = window._bucketed_apply(ds, "user_id", per_bucket)
+    return relational.grouped_agg(partials, ["prev_type"],
+                                  {"n_purchases": ("n_purchases", "sum")})
+
+
+def max_lineitem_per_order(sf_dir: str):
+    """Grouped argmax WITH PAYLOAD (SQL row_number()=1 / max_by): each
+    order's most expensive lineitem, ties broken by lowest line number.
+    The composite integer order key (price-cents × 8 + (7 − linenumber))
+    makes the winner total and deterministic, so the per-batch combiner
+    ships ≤ one candidate row per order."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        comp = pc.add(pc.multiply(cents, pa.scalar(8, pa.int64())),
+                      pc.subtract(pa.scalar(7, pa.int64()),
+                                  pc.cast(t["l_linenumber"], pa.int64())))
+        return t.append_column("__ord", comp)
+
+    out = relational.arg_extreme(ds.map_batches(prep, batch_format="pyarrow"),
+                                 ["l_orderkey"], "__ord", descending=True)
+    return out.map_batches(
+        lambda df: df[["l_orderkey", "l_linenumber", "l_extendedprice"]]
+        .rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+
+
+def label_centroids_embeddings(sf_dir: str):
+    """Element-wise vector aggregation: the mean embedding (centroid) per
+    label, emitted long-form as (label, dim, centroid). Per-batch
+    per-(label, dim) float64 sum/count partials — each batch contributes
+    ≤ labels×dims rows regardless of row count — then one tiny grouped
+    exchange. The SQL oracle cross-joins a dim range and averages
+    ``embedding[dim]``."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        X = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        labs, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(labs), X.shape[1]))
+        np.add.at(sums, inv, X)
+        counts = np.bincount(inv, minlength=len(labs)).astype(np.int64)
+        d = X.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(labs, d), pa.int32()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(labs))),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(counts, d)),
+        })
+
+    agg = relational.grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["label", "dim"], {"s": ("s", "sum"), "n": ("n", "sum")})
+
+    def fin(t: pa.Table) -> pa.Table:
+        centroid = pc.round(pc.divide(t["s"], pc.cast(t["n"], pa.float64())),
+                            ndigits=6)
+        return pa.table({"label": t["label"], "dim": t["dim"],
+                         "centroid": centroid})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
 
 
 # ------------------------------------------------ TPC-H classic adaptations --
@@ -7209,6 +7393,12 @@ QUERIES = {
     "attachment_stats_transcripts": attachment_stats_transcripts,
     "quota_by_tier_transcripts": quota_by_tier_transcripts,
     "refusal_share_transcripts": refusal_share_transcripts,
+    "last_touch_attribution_events": last_touch_attribution_events,
+    "max_lineitem_per_order": max_lineitem_per_order,
+    "label_centroids_embeddings": label_centroids_embeddings,
+    "session_uptime_transcripts": session_uptime_transcripts,
+    "progress_monotonic_share_transcripts": progress_monotonic_share_transcripts,
+    "compaction_savings_transcripts": compaction_savings_transcripts,
     # TPC-H classic adaptations (round 3)
     "q4_late_orders_by_priority": q4_late_orders_by_priority,
     "q12_returnflag_priority": q12_returnflag_priority,
