@@ -715,6 +715,22 @@ ORACLE_SQL["pca_variance_embeddings"] = f"""
     FROM embeddings
 """
 
+ORACLE_SQL["int8_ann_recall_embeddings"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           TRUE AS min_recall_ok, TRUE AS mean_recall_ok
+    FROM embeddings WHERE vec_id IN (0, 1, 2)
+"""
+
+ORACLE_SQL["third_event_per_user"] = """
+    WITH r AS (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events)
+    SELECT user_id, event_type AS third_type, value AS third_value
+    FROM r WHERE rn = 3
+"""
+
 ORACLE_SQL["pack_coverage_documents"] = """
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
            TRUE AS coverage_ok, TRUE AS budget_ok

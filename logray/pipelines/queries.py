@@ -7168,6 +7168,58 @@ def pca_variance_embeddings(sf_dir: str):
     })
 
 
+def int8_ann_recall_embeddings(sf_dir: str):
+    """INT8-quantized ANN recall bound — the memory-scale path for
+    embedding search (int8 vectors are 4× smaller than float32, which at
+    100 TB decides whether the corpus fits the object store). Per-vector
+    symmetric quantization q = round(127·x / max|x|) preserves direction,
+    so cosine top-k degrades only by rounding; the query reruns the exact
+    brute-force kernel on the dequantized vectors and asserts recall@10
+    vs the float path. n_queries is SQL-verified."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    Q = _query_vectors(sf_dir)
+
+    def quantize(t: pa.Table) -> pa.Table:
+        X = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        scale = np.maximum(np.abs(X).max(axis=1, keepdims=True), 1e-12)
+        q = np.clip(np.round(127.0 * X / scale), -127, 127)  # int8 lattice
+        return pa.table({"vec_id": t["vec_id"],
+                         "embedding": pa.array(list(q))})
+
+    qscale = np.maximum(np.abs(Q).max(axis=1, keepdims=True), 1e-12)
+    Qq = np.clip(np.round(127.0 * Q / qscale), -127, 127)
+    brute = similarity.ann_topk(ds, Q, k=10)
+    quant = similarity.ann_topk(ds.map_batches(quantize, batch_format="pyarrow"),
+                                Qq, k=10)
+    recalls = []
+    for qi in sorted(brute["query_id"].unique()):
+        bs = set(brute[brute["query_id"] == qi]["vec_id"])
+        vs = set(quant[quant["query_id"] == qi]["vec_id"])
+        recalls.append(len(bs & vs) / len(bs))
+    return pa.table({
+        "n_queries": pa.array([len(recalls)], pa.int64()),
+        "min_recall_ok": pa.array([min(recalls) >= 0.7]),
+        "mean_recall_ok": pa.array([float(np.mean(recalls)) >= 0.85]),
+    })
+
+
+def third_event_per_user(sf_dir: str):
+    """nth_value window (n=3): each user's third event (by ts, event_id
+    tie-break) — type and value — for users with ≥3 events. User-bucketed
+    exchange, vectorized per-bucket cumcount."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "value", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        nth = df.groupby("user_id", sort=False).cumcount()
+        sel = df[nth == 2]
+        return pd.DataFrame({"user_id": sel["user_id"],
+                             "third_type": sel["event_type"],
+                             "third_value": sel["value"]})
+
+    return window._bucketed_apply(ds, "user_id", per_bucket)
+
+
 def pack_coverage_documents(sf_dir: str):
     """Sequence-packing invariants as a pass/fail row: every document
     lands in exactly one pack (coverage — n_docs is SQL-verified), and
@@ -7409,6 +7461,8 @@ QUERIES = {
     "ivf_recall_embeddings": ivf_recall_embeddings,
     "pca_variance_embeddings": pca_variance_embeddings,
     "pack_coverage_documents": pack_coverage_documents,
+    "int8_ann_recall_embeddings": int8_ann_recall_embeddings,
+    "third_event_per_user": third_event_per_user,
     "multimodal_decode_features": multimodal_decode_features,
     # round-2 coverage adds
     "users_intersect_purchase_error": users_intersect_purchase_error,
