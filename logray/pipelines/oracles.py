@@ -942,6 +942,53 @@ ORACLE_SQL["progress_monotonic_share_transcripts"] = f"""
     FROM l GROUP BY tool_name HAVING count(prev) > 0
 """
 
+ORACLE_SQL["error_streaks_transcripts"] = f"""
+    WITH cls AS (SELECT conv_id, turn_idx, tool, {_RULE_CASE} AS rule_id
+                 FROM {_CORPUS}),
+    f AS (
+        SELECT conv_id, tool, turn_idx, rule_id,
+               row_number() OVER (PARTITION BY conv_id, tool
+                                  ORDER BY turn_idx) AS rn
+        FROM cls
+        WHERE rule_id IN ('R02_tool_result_ok', 'R03_tool_result_err',
+                          'R04_traceback', 'R16_tool_retry',
+                          'R17_tool_progress', 'R18_tool_stream')),
+    e AS (
+        SELECT conv_id, tool,
+               rn - row_number() OVER (PARTITION BY conv_id, tool
+                                       ORDER BY turn_idx) AS grp
+        FROM f WHERE rule_id = 'R03_tool_result_err'),
+    runs AS (
+        SELECT conv_id, tool, grp, count(*) AS run
+        FROM e GROUP BY 1, 2, 3)
+    SELECT tool AS tool_name, CAST(max(run) AS BIGINT) AS max_error_streak
+    FROM runs GROUP BY 1
+"""
+
+ORACLE_SQL["latency_by_model_transcripts"] = f"""
+    WITH cls AS (SELECT conv_id, turn_idx, text, {_RULE_CASE} AS rule_id
+                 FROM {_CORPUS}),
+    cfg AS (
+        SELECT conv_id,
+               first(regexp_extract(text, 'model=([a-z0-9-]+)', 1)
+                     ORDER BY turn_idx) AS model
+        FROM cls WHERE rule_id = 'R21_config' GROUP BY conv_id),
+    met AS (
+        SELECT c.conv_id,
+               CAST(regexp_extract(c.text, 'latency_ms=(\\d+)', 1) AS BIGINT)
+                   AS latency_ms,
+               CAST(regexp_extract(c.text, 'tokens=(\\d+)', 1) AS BIGINT)
+                   AS tokens
+        FROM cls c WHERE c.rule_id = 'R05_metric')
+    SELECT cfg.model,
+           CAST(count(*) AS BIGINT) AS n_metrics,
+           sum(met.latency_ms) AS sum_latency_ms,
+           sum(met.tokens) AS sum_tokens,
+           round(sum(met.latency_ms) * 1.0 / count(*), 6) AS avg_latency_ms
+    FROM met JOIN cfg ON met.conv_id = cfg.conv_id
+    GROUP BY cfg.model
+"""
+
 ORACLE_SQL["compaction_savings_transcripts"] = f"""
     WITH cls AS (SELECT conv_id, text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
     SELECT conv_id, CAST(count(*) AS BIGINT) AS n_compactions,

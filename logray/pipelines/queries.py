@@ -6846,6 +6846,84 @@ def progress_monotonic_share_transcripts(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+_TOOL_FAMILY = ("R02_tool_result_ok", "R03_tool_result_err", "R04_traceback",
+                "R16_tool_retry", "R17_tool_progress", "R18_tool_stream")
+
+
+def error_streaks_transcripts(sf_dir: str):
+    """Gaps-and-islands on the tool lifecycle: per tool, the longest run
+    of consecutive error events (R03) within a (conversation, tool)
+    stream — the 'is this tool flapping or hard-down' burst signal.
+    Conversation-bucketed exchange; the island id is the classic
+    row_number difference, vectorized per bucket."""
+    ds = _parse_rule_subset(
+        sf_dir, _TOOL_FAMILY,
+        ["conv_id", "turn_idx", "tool", "rule_id"],
+        read_cols=("conv_id", "turn_idx", "role", "text", "tool"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "tool", "turn_idx"], kind="mergesort")
+        g = df.groupby(["conv_id", "tool"], sort=False)
+        rn = g.cumcount()
+        err = df["rule_id"].to_numpy() == "R03_tool_result_err"
+        e = pd.DataFrame({"conv_id": df["conv_id"], "tool": df["tool"],
+                          "rn": rn})[err]
+        if e.empty:
+            return pd.DataFrame({"tool_name": pd.Series([], dtype=object),
+                                 "max_error_streak": pd.Series([], dtype=np.int64)})
+        e["grp"] = e["rn"] - e.groupby(["conv_id", "tool"], sort=False).cumcount()
+        runs = (e.groupby(["conv_id", "tool", "grp"], as_index=False)
+                .size().rename(columns={"size": "run"}))
+        return (runs.groupby("tool", as_index=False)["run"].max()
+                .rename(columns={"tool": "tool_name",
+                                 "run": "max_error_streak"}))
+
+    partials = window._bucketed_apply(ds, "conv_id", per_bucket)
+    return relational.grouped_agg(partials, ["tool_name"],
+                                  {"max_error_streak": ("max_error_streak", "max")})
+
+
+def latency_by_model_transcripts(sf_dir: str):
+    """Conversation-level dimension attribution (the 'log-file header'
+    pattern): each conversation's model comes from its FIRST R21 config
+    line; the R05 latency/token measures of that conversation roll up per
+    model. One conv-bucketed exchange co-locates both rule families;
+    per-model partial sums leave the buckets."""
+    ds = _parse_rule_subset(
+        sf_dir, ("R21_config", "R05_metric"),
+        ["conv_id", "turn_idx", "rule_id", "model", "latency_ms", "tokens"],
+        read_cols=("conv_id", "turn_idx", "role", "text"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        cfg = df[df["rule_id"] == "R21_config"]
+        first_model = cfg.groupby("conv_id", sort=False)["model"].first()
+        met = df[df["rule_id"] == "R05_metric"].copy()
+        met["model"] = met["conv_id"].map(first_model)
+        met = met[met["model"].notna()]
+        out = met.groupby("model", as_index=False).agg(
+            n_metrics=("latency_ms", "size"),
+            sum_latency_ms=("latency_ms", "sum"),
+            sum_tokens=("tokens", "sum"))
+        for c in ("n_metrics", "sum_latency_ms", "sum_tokens"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    partials = window._bucketed_apply(ds, "conv_id", per_bucket)
+    agg = relational.grouped_agg(partials, ["model"], {
+        "n_metrics": ("n_metrics", "sum"),
+        "sum_latency_ms": ("sum_latency_ms", "sum"),
+        "sum_tokens": ("sum_tokens", "sum")})
+
+    def fin(t: pa.Table) -> pa.Table:
+        avg = pc.round(pc.divide(
+            pc.cast(t["sum_latency_ms"], pa.float64()),
+            pc.cast(t["n_metrics"], pa.float64())), ndigits=6)
+        return t.append_column("avg_latency_ms", avg)
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def compaction_savings_transcripts(sf_dir: str):
     """Per-conversation compaction telemetry from the R23 family:
     compaction count, total dropped turns, total kept tokens — keyed by a
@@ -7451,6 +7529,8 @@ QUERIES = {
     "session_uptime_transcripts": session_uptime_transcripts,
     "progress_monotonic_share_transcripts": progress_monotonic_share_transcripts,
     "compaction_savings_transcripts": compaction_savings_transcripts,
+    "error_streaks_transcripts": error_streaks_transcripts,
+    "latency_by_model_transcripts": latency_by_model_transcripts,
     # TPC-H classic adaptations (round 3)
     "q4_late_orders_by_priority": q4_late_orders_by_priority,
     "q12_returnflag_priority": q12_returnflag_priority,
