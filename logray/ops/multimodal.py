@@ -1,11 +1,17 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
-The decode kernels themselves are STUBS (image/audio libraries are not in
-this container): ``decode=\"real\"`` raises ``NotImplementedError`` at the
-point where Pillow/ffmpeg would be called; ``decode=\"fake\"`` derives
-deterministic pseudo-features from the payload bytes so the Ray-side
-plumbing — schema, actor-pool signature, batch sizing, output layout —
-is fully real and testable.
+Decode modes per stage:
+- ``decode="wav"`` / ``decode="ppm"`` — REAL decoders for formats the
+  standard library + numpy can handle: RIFF/WAVE PCM16 audio (stdlib
+  ``wave``) and netpbm P6 images (header parse + raw RGB). Real duration/
+  RMS/zero-crossings from real samples; real dimensions/Rec.601 luma/
+  8×8 average-hash from real pixels; real nearest-neighbor resampling
+  emitting a valid P6 payload.
+- ``decode="real"`` — the Pillow/ffmpeg lane for compressed formats
+  (JPEG/PNG/MP3/MP4): STUBBED with ``NotImplementedError`` (those
+  libraries are not in this container, per the task mandate).
+- ``decode="fake"`` — deterministic pseudo-features from payload bytes,
+  for plumbing tests that don't care about content.
 
 Scale notes baked into the design:
 - payloads ride as Arrow ``binary`` (zero-copy between stages; never
@@ -51,6 +57,181 @@ def make_fake_media_table(n: int, kind: str = "image", seed: int = 3) -> pa.Tabl
     })
 
 
+# -------------------------------------------------- real codecs (stdlib) --
+
+def make_wav_media_table(n: int, seed: int = 11, rate: int = 16000) -> pa.Table:
+    """n REAL RIFF/WAVE PCM16 payloads (sine + noise, deterministic) plus
+    analytic-truth columns computed from the SAME samples at generation
+    time — the decode oracle: a distributed decode stage must reproduce
+    them from the bytes alone."""
+    import io
+    import wave as _wave
+
+    rng = np.random.default_rng(seed)
+    rows = {"media_id": [], "payload": [], "true_duration_ms": [],
+            "true_rms_db": [], "true_zcr": []}
+    for i in range(n):
+        nf = int(rng.integers(rate // 10, rate))  # 0.1–1.0 s
+        t = np.arange(nf) / rate
+        f = float(rng.uniform(100, 2000))
+        x = np.clip(0.5 * np.sin(2 * np.pi * f * t)
+                    + 0.1 * rng.standard_normal(nf), -1, 1)
+        pcm = (x * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
+        rows["media_id"].append(i)
+        rows["payload"].append(buf.getvalue())
+        rows["true_duration_ms"].append(int(nf * 1000 / rate))
+        rows["true_rms_db"].append(_pcm_rms_db(pcm))
+        rows["true_zcr"].append(_pcm_zcr(pcm))
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "true_duration_ms": pa.array(rows["true_duration_ms"], pa.int64()),
+        "true_rms_db": pa.array(rows["true_rms_db"], pa.float64()),
+        "true_zcr": pa.array(rows["true_zcr"], pa.float64()),
+    })
+
+
+def _pcm_rms_db(pcm: np.ndarray) -> float:
+    x = pcm.astype(np.float64)
+    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+    return round(20.0 * np.log10(max(rms, 1e-9)), 6)
+
+
+def _pcm_zcr(pcm: np.ndarray) -> float:
+    if pcm.size < 2:
+        return 0.0
+    s = np.signbit(pcm.astype(np.float64))
+    return round(float(np.mean(s[1:] != s[:-1])), 6)
+
+
+def decode_wav_features(payload: bytes) -> tuple[int, float, float]:
+    """REAL RIFF/WAVE decode (stdlib): (duration_ms, rms_db, zcr)."""
+    import io
+    import wave as _wave
+
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        rate, nf, nch, sw = (w.getframerate(), w.getnframes(),
+                             w.getnchannels(), w.getsampwidth())
+        raw = w.readframes(nf)
+    if sw != 2:
+        raise ValueError(f"only PCM16 supported, got sampwidth={sw}")
+    pcm = np.frombuffer(raw, dtype="<i2")
+    if nch > 1:  # average channels
+        pcm = pcm.reshape(-1, nch).mean(axis=1).astype("<i2")
+    return int(nf * 1000 / rate), _pcm_rms_db(pcm), _pcm_zcr(pcm)
+
+
+def make_ppm_media_table(n: int, seed: int = 12) -> pa.Table:
+    """n REAL netpbm P6 images (random RGB, deterministic) + analytic
+    truth (dimensions, Rec.601 mean luma, 8×8 average-hash)."""
+    rng = np.random.default_rng(seed)
+    rows = {"media_id": [], "payload": [], "true_width": [],
+            "true_height": [], "true_mean_luma": [], "true_ahash": [],
+            "true_thumb_w": [], "true_thumb_h": []}
+    for i in range(n):
+        w = int(rng.integers(16, 128))
+        h = int(rng.integers(16, 128))
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows["media_id"].append(i)
+        rows["payload"].append(b"P6\n%d %d\n255\n" % (w, h) + px.tobytes())
+        luma = _luma(px)
+        rows["true_width"].append(w)
+        rows["true_height"].append(h)
+        rows["true_mean_luma"].append(round(float(luma.mean()) / 255.0, 6))
+        rows["true_ahash"].append(_ahash64(luma))
+        tw, th = thumb_dims(w, h, 64)
+        rows["true_thumb_w"].append(tw)
+        rows["true_thumb_h"].append(th)
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "true_width": pa.array(rows["true_width"], pa.int64()),
+        "true_height": pa.array(rows["true_height"], pa.int64()),
+        "true_mean_luma": pa.array(rows["true_mean_luma"], pa.float64()),
+        "true_ahash": pa.array(rows["true_ahash"], pa.uint64()),
+        "true_thumb_w": pa.array(rows["true_thumb_w"], pa.int64()),
+        "true_thumb_h": pa.array(rows["true_thumb_h"], pa.int64()),
+    })
+
+
+def thumb_dims(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving clamp shared by the resize stage and the
+    analytic-truth generator (ONE rounding implementation — Python round
+    is banker's, SQL round is not, so the formula must never be
+    re-implemented oracle-side)."""
+    if max(w, h) <= max_side:
+        return max(w, 1), max(h, 1)
+    if w >= h:
+        return max_side, max(1, round(h * max_side / w))
+    return max(1, round(w * max_side / h)), max_side
+
+
+def _luma(px: np.ndarray) -> np.ndarray:
+    return (0.299 * px[..., 0].astype(np.float64)
+            + 0.587 * px[..., 1] + 0.114 * px[..., 2])
+
+
+def _ahash64(luma: np.ndarray) -> int:
+    """Classic 64-bit average hash: nearest-sample the luma plane on an
+    8×8 grid, threshold at the grid mean."""
+    h, w = luma.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    g = luma[np.ix_(ys, xs)]
+    bits = (g > g.mean()).astype(np.uint64).reshape(-1)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+def parse_ppm(payload: bytes) -> np.ndarray:
+    """REAL P6 parse: header (magic, width, height, maxval, one whitespace)
+    then raw RGB. Returns (h, w, 3) uint8."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 ppm")
+    # positional tokenizer — bytes.split would swallow raster bytes that
+    # happen to be whitespace-valued (0x09/0x0a/0x20...): per the netpbm
+    # spec exactly ONE whitespace separates maxval from the raster, so the
+    # data offset must be tracked, not re-split. Comments (#) are legal in
+    # netpbm but our generator never emits them.
+    ws = b" \t\n\r\x0b\x0c"
+    pos = 2
+    vals = []
+    for _ in range(3):
+        while pos < len(payload) and payload[pos:pos + 1] in ws:
+            pos += 1
+        start = pos
+        while pos < len(payload) and payload[pos:pos + 1] not in ws:
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    need = w * h * 3
+    raw = payload[pos:pos + need]
+    if len(raw) < need:
+        raise ValueError("truncated ppm payload")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    h, w = px.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(px).tobytes()
+
+
+def resize_nearest(px: np.ndarray, ow: int, oh: int) -> np.ndarray:
+    """REAL nearest-neighbor resample via integer index gather."""
+    h, w = px.shape[:2]
+    ys = (np.arange(oh) * h) // oh
+    xs = (np.arange(ow) * w) // ow
+    return px[np.ix_(ys, xs)]
+
+
 class DecodeImageStage:
     """Actor-pool stage: payload -> (width, height, mean_luma, phash64).
 
@@ -66,10 +247,16 @@ class DecodeImageStage:
             self._pil = None
 
     def _decode_one(self, payload: bytes) -> tuple[int, int, float, int]:
+        if self.decode == "ppm":  # REAL decode (netpbm P6)
+            px = parse_ppm(payload)
+            luma = _luma(px)
+            return (px.shape[1], px.shape[0],
+                    round(float(luma.mean()) / 255.0, 6), _ahash64(luma))
         if self.decode == "real":
             raise NotImplementedError(
-                "image decode requires Pillow, not available in this container; "
-                "run with decode='fake' for deterministic pseudo-features")
+                "compressed image decode requires Pillow, not available in "
+                "this container; use decode='ppm' for the real netpbm lane "
+                "or decode='fake' for deterministic pseudo-features")
         h = hashlib.blake2b(payload, digest_size=16).digest()
         w = 64 + h[0]  # deterministic pseudo dimensions
         ht = 64 + h[1]
@@ -102,10 +289,15 @@ class ResizeImageStage:
         self.decode = decode
 
     def _resize_one(self, payload: bytes, w: int, h: int) -> tuple[bytes, int, int]:
+        if self.decode == "ppm":  # REAL resample (nearest-neighbor)
+            px = parse_ppm(payload)
+            ih, iw = px.shape[:2]
+            ow, oh = thumb_dims(iw, ih, self.max_side)
+            return encode_ppm(resize_nearest(px, ow, oh)), ow, oh
         if self.decode == "real":
             raise NotImplementedError(
-                "image resize requires Pillow, not available in this container; "
-                "run with decode='fake'")
+                "compressed image resize requires Pillow, not available in "
+                "this container; use decode='ppm' or decode='fake'")
         if max(w, h) <= self.max_side:
             ow, oh = max(w, 1), max(h, 1)
         elif w >= h:
@@ -143,10 +335,26 @@ class AudioFeatureStage:
         self.sample_rate = sample_rate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decode == "wav":  # REAL decode (RIFF/WAVE PCM16, stdlib)
+            feats = [decode_wav_features(p)
+                     for p in batch["payload"].to_pylist()]
+            i = batch.schema.get_field_index("duration_ms")
+            if i >= 0:
+                batch = batch.set_column(
+                    i, "duration_ms",
+                    pa.array([f[0] for f in feats], pa.int32()))
+            else:
+                batch = batch.append_column(
+                    "duration_ms", pa.array([f[0] for f in feats], pa.int32()))
+            batch = batch.append_column(
+                "rms_db", pa.array([f[1] for f in feats], pa.float64()))
+            return batch.append_column(
+                "zcr", pa.array([f[2] for f in feats], pa.float64()))
         if self.decode == "real":
             raise NotImplementedError(
-                "audio decode requires soundfile/ffmpeg, not in this container; "
-                "use decode='fake'")
+                "compressed audio decode requires soundfile/ffmpeg, not in "
+                "this container; use decode='wav' for the real PCM lane or "
+                "decode='fake'")
         payloads = batch["payload"].to_pylist()
         dur = [int(len(p) * 1000 / (2 * self.sample_rate)) for p in payloads]
         def _rms(p: bytes) -> float:

@@ -715,6 +715,30 @@ ORACLE_SQL["pca_variance_embeddings"] = f"""
     FROM embeddings
 """
 
+# ---- real multimodal decode lanes: the oracle is the generator's
+# analytic truth stored beside the payload bytes (decode must reproduce
+# it from bytes alone). Fixed cache paths, same protocol as _CORPUS.
+
+_MEDIA = "/tmp/logray/media/v1"
+
+ORACLE_SQL["wav_features_media"] = f"""
+    SELECT media_id, true_duration_ms AS duration_ms,
+           true_rms_db AS rms_db, true_zcr AS zcr
+    FROM read_parquet('{_MEDIA}/wav.parquet')
+"""
+
+ORACLE_SQL["ppm_features_media"] = f"""
+    SELECT media_id, true_width AS width, true_height AS height,
+           true_mean_luma AS mean_luma, true_ahash AS ahash
+    FROM read_parquet('{_MEDIA}/ppm.parquet')
+"""
+
+ORACLE_SQL["ppm_resize_dims_media"] = f"""
+    SELECT media_id, true_thumb_w AS thumb_w, true_thumb_h AS thumb_h,
+           TRUE AS payload_roundtrip_ok
+    FROM read_parquet('{_MEDIA}/ppm.parquet')
+"""
+
 ORACLE_SQL["int8_ann_recall_embeddings"] = """
     SELECT CAST(count(*) AS BIGINT) AS n_queries,
            TRUE AS min_recall_ok, TRUE AS mean_recall_ok

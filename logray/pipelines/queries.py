@@ -7246,6 +7246,119 @@ def pca_variance_embeddings(sf_dir: str):
     })
 
 
+# ---- real multimodal decode (stdlib codecs: RIFF/WAVE PCM16, netpbm P6)
+# The oracle is the generator's analytic truth, written NEXT TO the real
+# payload bytes at cache time: the distributed decode stage must reproduce
+# duration/RMS/dims/luma/hash from the bytes alone (same protocol as the
+# corpus _expected sidecar).
+
+_MEDIA_CACHE = "/tmp/logray/media/v1"
+
+
+def _media_path(kind: str) -> str:
+    from ..ops import multimodal as mm
+
+    p = Path(_MEDIA_CACHE)
+    p.mkdir(parents=True, exist_ok=True)
+    f = p / f"{kind}.parquet"
+    if not f.exists():
+        t = (mm.make_wav_media_table(200) if kind == "wav"
+             else mm.make_ppm_media_table(200))
+        pq.write_table(t, f)
+    return str(f)
+
+
+def wav_features_media(sf_dir: str):
+    """REAL audio decode end-to-end: RIFF/WAVE PCM16 payloads decoded by
+    an actor-pool stage (stdlib ``wave`` + numpy) into exact duration,
+    RMS dB and zero-crossing rate — value-checked against the analytic
+    truth computed from the same samples at generation time. Payload-
+    bound stage: small batches, payload column projected away before
+    anything wide."""
+    import ray.data
+
+    from ..ops.multimodal import AudioFeatureStage
+
+    ds = ray.data.read_parquet(_media_path("wav"),
+                               columns=["media_id", "payload"])
+    out = ds.map_batches(AudioFeatureStage,
+                         fn_constructor_kwargs={"decode": "wav"},
+                         concurrency=2, batch_size=32,
+                         batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"],
+            "duration_ms": pc.cast(t["duration_ms"], pa.int64()),
+            "rms_db": t["rms_db"], "zcr": t["zcr"]}),
+        batch_format="pyarrow")
+
+
+def ppm_features_media(sf_dir: str):
+    """REAL image decode end-to-end: netpbm P6 payloads parsed to pixels,
+    Rec.601 mean luma and the classic 8×8 average-hash — value-checked
+    against generation-time truth."""
+    import ray.data
+
+    from ..ops.multimodal import DecodeImageStage
+
+    ds = ray.data.read_parquet(_media_path("ppm"),
+                               columns=["media_id", "payload"])
+
+    def pad(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return t.append_column("width", pa.nulls(n, pa.int32())) \
+                .append_column("height", pa.nulls(n, pa.int32()))
+
+    out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+        DecodeImageStage, fn_constructor_kwargs={"decode": "ppm"},
+        concurrency=2, batch_size=32, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"],
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+            "mean_luma": t["mean_luma"],
+            "ahash": t["phash64"]}),
+        batch_format="pyarrow")
+
+
+def ppm_resize_dims_media(sf_dir: str):
+    """REAL image resize end-to-end: nearest-neighbor resample to
+    max_side=64 emitting a VALID P6 payload; output dimensions
+    value-checked against the shared thumb_dims truth, and the thumbnail
+    payload re-decoded in the same stage chain to prove it round-trips."""
+    import ray.data
+
+    from ..ops.multimodal import ResizeImageStage, parse_ppm
+
+    ds = ray.data.read_parquet(_media_path("ppm"),
+                               columns=["media_id", "payload"])
+
+    def pad(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return t.append_column("width", pa.nulls(n, pa.int32())) \
+                .append_column("height", pa.nulls(n, pa.int32()))
+
+    out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+        ResizeImageStage,
+        fn_constructor_kwargs={"decode": "ppm", "max_side": 64},
+        concurrency=2, batch_size=32, batch_format="pyarrow")
+
+    def verify(t: pa.Table) -> pa.Table:
+        # re-decode the emitted thumbnails: dims in the payload must match
+        dims = [parse_ppm(p).shape for p in t["payload"].to_pylist()]
+        ok = [d[1] == w and d[0] == h
+              for d, w, h in zip(dims, t["width"].to_pylist(),
+                                 t["height"].to_pylist())]
+        return pa.table({
+            "media_id": t["media_id"],
+            "thumb_w": pc.cast(t["width"], pa.int64()),
+            "thumb_h": pc.cast(t["height"], pa.int64()),
+            "payload_roundtrip_ok": pa.array(ok)})
+
+    return out.map_batches(verify, batch_format="pyarrow")
+
+
 def int8_ann_recall_embeddings(sf_dir: str):
     """INT8-quantized ANN recall bound — the memory-scale path for
     embedding search (int8 vectors are 4× smaller than float32, which at
@@ -7543,6 +7656,10 @@ QUERIES = {
     "pack_coverage_documents": pack_coverage_documents,
     "int8_ann_recall_embeddings": int8_ann_recall_embeddings,
     "third_event_per_user": third_event_per_user,
+    # real multimodal decode lanes (stdlib codecs)
+    "wav_features_media": wav_features_media,
+    "ppm_features_media": ppm_features_media,
+    "ppm_resize_dims_media": ppm_resize_dims_media,
     "multimodal_decode_features": multimodal_decode_features,
     # round-2 coverage adds
     "users_intersect_purchase_error": users_intersect_purchase_error,

@@ -1752,3 +1752,37 @@ def test_kmeans_kpp_init_seeds_every_separated_cluster(ray_session):
     majority = pairs.loc[pairs.groupby("cluster_id")["n"].idxmax(), "label_p"]
     assert majority.nunique() == 4
     assert purity > 0.95, purity
+
+
+def test_real_wav_decode_matches_generation_truth():
+    from logray.ops import multimodal as mm
+
+    t = mm.make_wav_media_table(24)
+    out = mm.AudioFeatureStage(decode="wav")(t.select(["media_id", "payload"]))
+    assert (np.array(out["duration_ms"], dtype=np.int64)
+            == np.array(t["true_duration_ms"])).all()
+    assert np.allclose(out["rms_db"].to_numpy(), t["true_rms_db"].to_numpy())
+    assert np.allclose(out["zcr"].to_numpy(), t["true_zcr"].to_numpy())
+
+
+def test_real_ppm_decode_resize_and_whitespace_raster():
+    from logray.ops import multimodal as mm
+
+    t = mm.make_ppm_media_table(24)
+    b = t.select(["media_id", "payload"]).append_column(
+        "width", pa.nulls(24, pa.int32())).append_column(
+        "height", pa.nulls(24, pa.int32()))
+    d = mm.DecodeImageStage(decode="ppm")(b)
+    assert (np.array(d["width"], dtype=np.int64) == np.array(t["true_width"])).all()
+    assert np.allclose(d["mean_luma"].to_numpy(), t["true_mean_luma"].to_numpy())
+    assert (d["phash64"].to_numpy() == t["true_ahash"].to_numpy()).all()
+    r = mm.ResizeImageStage(max_side=32, decode="ppm")(b)
+    for p, w, h in zip(r["payload"], r["width"], r["height"]):
+        px = mm.parse_ppm(p.as_py())
+        assert px.shape[:2] == (h.as_py(), w.as_py()) and max(px.shape[:2]) <= 32
+
+    # regression: raster whose FIRST byte is whitespace-valued (0x0a) must
+    # not be swallowed by header tokenization (bytes.split would eat it)
+    px = np.full((3, 2, 3), 0x0A, dtype=np.uint8)
+    back = mm.parse_ppm(mm.encode_ppm(px))
+    assert (back == px).all()
