@@ -614,6 +614,27 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["geomean_value_by_type"] = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_pos,
+           round(exp(avg(ln(value))), 6) AS geomean
+    FROM events WHERE value > 0 GROUP BY event_type
+"""
+
+ORACLE_SQL["runner_up_supplier_by_nation"] = """
+    WITH r AS (
+        SELECT s_nationkey, s_suppkey, s_acctbal,
+               row_number() OVER (PARTITION BY s_nationkey
+                                  ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+        FROM supplier)
+    SELECT s_nationkey, s_suppkey, s_acctbal FROM r WHERE rn = 2
+"""
+
+ORACLE_SQL["all_positive_flags_by_user"] = """
+    SELECT user_id, bool_and(value > 0) AS all_positive,
+           bool_or(event_type = 'purchase') AS any_purchase
+    FROM events GROUP BY user_id
+"""
+
 ORACLE_SQL["last_touch_attribution_events"] = """
     WITH l AS (
         SELECT event_type,

@@ -6939,6 +6939,81 @@ def compaction_savings_transcripts(sf_dir: str):
         "sum_kept_tokens": ("kept_tokens", "sum")})
 
 
+def geomean_value_by_type(sf_dir: str):
+    """User-defined aggregate through the partial/final machinery
+    (extension-surface shape): geometric mean = exp(mean(ln x)) over
+    positive values, from per-batch log-sum partials."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["value"], 0.0))
+        return pa.table({"event_type": pos["event_type"],
+                         "lnv": pc.ln(pc.cast(pos["value"], pa.float64()))})
+
+    agg = relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"], {"mean_ln": ("lnv", "mean"), "n_pos": ("lnv", "count")})
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"], "n_pos": t["n_pos"],
+            "geomean": pc.round(pc.exp(t["mean_ln"]), ndigits=6)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def runner_up_supplier_by_nation(sf_dir: str):
+    """Top-k with OFFSET per group (row_number()=2): each nation's
+    SECOND-highest-balance supplier, (balance desc, suppkey asc)
+    tie-break. Per-batch combiner keeps the top-2 candidates per nation,
+    so the exchange ships ≤2 rows per nation per batch."""
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def top2_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["s_nationkey", "s_acctbal", "s_suppkey"],
+            ascending=[True, False, True], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("s_nationkey", sort=False).head(2),
+            preserve_index=False)
+
+    partials = ds.map_batches(top2_partial, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["s_nationkey", "s_acctbal", "s_suppkey"],
+                            ascending=[True, False, True], kind="mergesort")
+        sec = df.groupby("s_nationkey", sort=False).nth(1)
+        return pd.DataFrame({"s_nationkey": sec["s_nationkey"],
+                             "s_suppkey": sec["s_suppkey"],
+                             "s_acctbal": sec["s_acctbal"]})
+
+    return window._bucketed_apply(partials, "s_nationkey", per_bucket)
+
+
+def all_positive_flags_by_user(sf_dir: str):
+    """Grouped boolean aggregation (SQL bool_and / bool_or): per user, do
+    ALL events carry positive value, and does ANY purchase exist? Boolean
+    partials combine as min/max of 0/1 flags."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "pos": pc.cast(pc.greater(t["value"], 0.0), pa.int64()),
+            "purch": pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64()),
+        })
+
+    agg = relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"), ["user_id"],
+        {"minpos": ("pos", "min"), "maxpurch": ("purch", "max")})
+    return agg.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "all_positive": pc.equal(t["minpos"], 1),
+            "any_purchase": pc.equal(t["maxpurch"], 1)}),
+        batch_format="pyarrow")
+
+
 def last_touch_attribution_events(sf_dir: str):
     """Marketing-style last-touch attribution: for every purchase, the
     event type IMMEDIATELY preceding it in the same user's stream —
@@ -7637,6 +7712,9 @@ QUERIES = {
     "quota_by_tier_transcripts": quota_by_tier_transcripts,
     "refusal_share_transcripts": refusal_share_transcripts,
     "last_touch_attribution_events": last_touch_attribution_events,
+    "geomean_value_by_type": geomean_value_by_type,
+    "runner_up_supplier_by_nation": runner_up_supplier_by_nation,
+    "all_positive_flags_by_user": all_positive_flags_by_user,
     "max_lineitem_per_order": max_lineitem_per_order,
     "label_centroids_embeddings": label_centroids_embeddings,
     "session_uptime_transcripts": session_uptime_transcripts,
