@@ -178,3 +178,43 @@ def test_literal_prefix_scanner():
     assert _literal_prefix(r"^\d+ x") == ""               # class escape
     assert _literal_prefix(r"^https?://") == "http"       # s optional
     assert _literal_prefix(r"^(?:a|b)c") == ""            # group first
+
+
+def test_generator_templates_always_hit_their_intended_rule():
+    """Template-level fuzz: across many seeds, every text the corpus
+    generator fills for rule R lands on EXACTLY R under first-match-wins
+    dispatch (guards both the templates and the declaration order — a new
+    rule that shadows an earlier family breaks here, not in a driver
+    run)."""
+    import numpy as np
+
+    from logray import gen
+    from logray.rules_transcripts import TRANSCRIPT_RULES, transcript_ruleset
+
+    rule_role = {}
+    for role, templates in gen.ROLE_TEMPLATES.items():
+        for rid, _ in templates:
+            rule_role[rid] = role
+    rs = transcript_ruleset()
+    import pyarrow as pa
+
+    for seed in range(5):
+        rng = np.random.default_rng(1000 + seed)
+        for rule in TRANSCRIPT_RULES:
+            rid = rule.rule_id
+            if rid == "R99_default" or rid not in rule_role:
+                continue
+            k = 40
+            tools = np.array(["bash"] * k, dtype=object)
+            texts = gen._fill_texts(rid, k, rng, tools)
+            t = pa.table({
+                "conv_id": pa.array(["c"] * k),
+                "turn_idx": pa.array(range(k), pa.int32()),
+                "role": pa.array([rule_role[rid]] * k),
+                "text": pa.array([str(x) for x in texts]),
+                "tool": pa.array([""] * k),
+                "ts": pa.array([0] * k, pa.timestamp("us")),
+            })
+            out = rs.parse_batch(t)
+            got = set(out["rule_id"].to_pylist())
+            assert got == {rid}, f"seed {seed} rule {rid}: dispatched {got}"
