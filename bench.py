@@ -89,6 +89,20 @@ EXTENDED_QUERIES = [
     "incremental_dedup_documents",
     "context_budget_truncate_transcripts",
     "scd2_event_state",
+    # round-3 families (v2 rule table, lifecycle analytics, TPC-H shapes,
+    # real codecs, quantized ANN)
+    "gc_pause_stats_transcripts",
+    "error_streaks_transcripts",
+    "latency_by_model_transcripts",
+    "session_uptime_transcripts",
+    "q4_late_orders_by_priority",
+    "q18_large_volume_customers",
+    "kmeans_recovery_embeddings",
+    "int8_ann_recall_embeddings",
+    "wav_features_media",
+    "ppm_resize_dims_media",
+    "max_lineitem_per_order",
+    "label_centroids_embeddings",
 ]
 
 
