@@ -614,6 +614,15 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["q16_supplier_variety_by_part"] = """
+    SELECT p.p_brand, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+"""
+
 ORACLE_SQL["geomean_value_by_type"] = """
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_pos,
            round(exp(avg(ln(value))), 6) AS geomean
@@ -1032,6 +1041,14 @@ ORACLE_SQL["latency_by_model_transcripts"] = f"""
            round(sum(met.latency_ms) * 1.0 / count(*), 6) AS avg_latency_ms
     FROM met JOIN cfg ON met.conv_id = cfg.conv_id
     GROUP BY cfg.model
+"""
+
+ORACLE_SQL["handoff_matrix_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'to=([a-z_]+)', 1) AS target_agent,
+           regexp_extract(text, 'reason=([a-z_]+)', 1) AS reason,
+           CAST(count(*) AS BIGINT) AS n
+    FROM cls WHERE rule_id = 'R15_handoff' GROUP BY 1, 2
 """
 
 ORACLE_SQL["compaction_savings_transcripts"] = f"""

@@ -7220,6 +7220,44 @@ def q18_large_volume_customers(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q16_supplier_variety_by_part(sf_dir: str):
+    """TPC-H Q16 shape (parts/supplier relationship): per (brand, size),
+    how many DISTINCT suppliers ship such parts — excluding suppliers in
+    deficit (the NOT IN anti-join of Q16's complaints clause, on the
+    acctbal < 0 predicate this dataset supports). The excluded-supplier
+    key set is tiny → broadcast anti-filter; distinct (brand, size,
+    suppkey) triples reduce per batch before the one grouped exchange."""
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"])
+    bad = pc.filter(sup["s_suppkey"], pc.less(sup["s_acctbal"], 0.0))
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    part = part.rename(columns={"p_partkey": "l_partkey"})
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    kept = relational.semi_filter(line, "l_suppkey",
+                                  bad.to_numpy(zero_copy_only=False),
+                                  keep=False)
+    joined = relational.broadcast_join(kept, part, on="l_partkey")
+    trip = joined.map_batches(
+        lambda t: t.select(["p_brand", "p_size", "l_suppkey"])
+                   .group_by(["p_brand", "p_size", "l_suppkey"]).aggregate([]),
+        batch_format="pyarrow")
+    distinct = relational.grouped_agg(
+        trip, ["p_brand", "p_size", "l_suppkey"],
+        {"k": ("l_suppkey", "count")})
+    return relational.grouped_agg(distinct, ["p_brand", "p_size"],
+                                  {"supplier_cnt": ("k", "count")})
+
+
+def handoff_matrix_transcripts(sf_dir: str):
+    """Agent-handoff matrix from the R15 family: per (target_agent,
+    reason) transition counts — the multi-agent routing telemetry."""
+    ds = _parse_rule_subset(sf_dir, "R15_handoff",
+                            ["target_agent", "reason"])
+    return relational.grouped_agg(ds, ["target_agent", "reason"],
+                                  {"n": ("reason", "count")})
+
+
 # ------------------------------------- tolerance oracles for ML pipelines --
 # Pattern proven on the sketch queries (approx_distinct_users_by_type):
 # emit SQL-checkable EXACT columns plus boolean bound assertions the
@@ -7727,6 +7765,8 @@ QUERIES = {
     "q12_returnflag_priority": q12_returnflag_priority,
     "q14_promo_revenue_share": q14_promo_revenue_share,
     "q18_large_volume_customers": q18_large_volume_customers,
+    "q16_supplier_variety_by_part": q16_supplier_variety_by_part,
+    "handoff_matrix_transcripts": handoff_matrix_transcripts,
     # ML-pipeline tolerance oracles (round-3: rows-only -> value-checked)
     "kmeans_recovery_embeddings": kmeans_recovery_embeddings,
     "ivf_recall_embeddings": ivf_recall_embeddings,
