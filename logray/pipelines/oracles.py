@@ -785,6 +785,18 @@ ORACLE_SQL["third_event_per_user"] = """
     FROM r WHERE rn = 3
 """
 
+_DUP_GROUPS = """(SELECT CAST(count(*) AS BIGINT) FROM
+    (SELECT text FROM documents GROUP BY text HAVING count(*) > 1))"""
+
+ORACLE_SQL["minhash_exactdup_invariant_documents"] = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           {_DUP_GROUPS} AS n_dup_groups,
+           TRUE AS exactdups_clustered_ok
+    FROM documents
+"""
+ORACLE_SQL["simhash_exactdup_invariant_documents"] = \
+    ORACLE_SQL["minhash_exactdup_invariant_documents"]
+
 ORACLE_SQL["pack_coverage_documents"] = """
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
            TRUE AS coverage_ok, TRUE AS budget_ok

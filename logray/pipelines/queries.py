@@ -7258,6 +7258,58 @@ def handoff_matrix_transcripts(sf_dir: str):
                                   {"n": ("reason", "count")})
 
 
+def _exactdup_cluster_invariant(sf_dir: str, labeler) -> pa.Table:
+    """Shared invariant oracle for the near-dup families: documents with
+    IDENTICAL text must land in the same cluster (identical text ⇒
+    identical signature ⇒ same buckets ⇒ clustered — deterministic, so
+    this converts a rows-only clustering into a value-checked one).
+    Fully distributed: text hashes join cluster labels in one doc_id
+    exchange; per-hash distinct-cluster counts reduce in two grouped
+    passes; only the three-column verdict row reaches the driver."""
+    from ..ops.dedup import _stable_hash64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    labels = labeler(ds)
+
+    def add_h(t: pa.Table) -> pa.Table:
+        # full-width content hash (the exact-dedup one) — a 32-bit hash
+        # would collide distinct texts into one group and fake a violation
+        h = _stable_hash64(t["text"].to_pandas()).view(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "_h": pa.array(h, pa.int64())})
+
+    hashed = ds.map_batches(add_h, batch_format="pyarrow")
+    joined = relational.hash_join(
+        hashed, labels.map_batches(
+            lambda t: t.select(["doc_id", "cluster_id"]),
+            batch_format="pyarrow"),
+        on="doc_id")
+    g1 = relational.grouped_agg(joined, ["_h", "cluster_id"],
+                                {"n": ("cluster_id", "count")})
+    g2 = relational.grouped_agg(g1, ["_h"], {
+        "n_docs": ("n", "sum"), "n_clusters": ("n", "count")}).to_pandas()
+    dup = g2[g2["n_docs"] > 1]
+    return pa.table({
+        "n_docs": pa.array([int(g2["n_docs"].sum())], pa.int64()),
+        "n_dup_groups": pa.array([len(dup)], pa.int64()),
+        "exactdups_clustered_ok": pa.array(
+            [bool((dup["n_clusters"] == 1).all())]),
+    })
+
+
+def minhash_exactdup_invariant_documents(sf_dir: str):
+    """MinHash+LSH clustering, value-checked via the exact-duplicate
+    invariant (n_docs and the identical-text dup-group count are
+    SQL-verified; the clustering must put each dup group in one cluster)."""
+    return _exactdup_cluster_invariant(
+        sf_dir, lambda ds: dedup.minhash_lsh_dedup(ds, threshold=0.8))
+
+
+def simhash_exactdup_invariant_documents(sf_dir: str):
+    """SimHash clustering under the same exact-duplicate invariant."""
+    return _exactdup_cluster_invariant(
+        sf_dir, lambda ds: dedup.simhash_dedup(ds, max_hamming=3))
+
+
 # ------------------------------------- tolerance oracles for ML pipelines --
 # Pattern proven on the sketch queries (approx_distinct_users_by_type):
 # emit SQL-checkable EXACT columns plus boolean bound assertions the
@@ -7774,6 +7826,8 @@ QUERIES = {
     "pack_coverage_documents": pack_coverage_documents,
     "int8_ann_recall_embeddings": int8_ann_recall_embeddings,
     "third_event_per_user": third_event_per_user,
+    "minhash_exactdup_invariant_documents": minhash_exactdup_invariant_documents,
+    "simhash_exactdup_invariant_documents": simhash_exactdup_invariant_documents,
     # real multimodal decode lanes (stdlib codecs)
     "wav_features_media": wav_features_media,
     "ppm_features_media": ppm_features_media,
