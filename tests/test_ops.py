@@ -1786,3 +1786,44 @@ def test_real_ppm_decode_resize_and_whitespace_raster():
     px = np.full((3, 2, 3), 0x0A, dtype=np.uint8)
     back = mm.parse_ppm(mm.encode_ppm(px))
     assert (back == px).all()
+
+
+def test_thumb_dims_invariants():
+    from hypothesis import given, strategies as st
+
+    from logray.ops.multimodal import thumb_dims
+
+    @given(st.integers(1, 4096), st.integers(1, 4096), st.integers(1, 512))
+    def check(w, h, m):
+        ow, oh = thumb_dims(w, h, m)
+        assert 1 <= ow and 1 <= oh
+        if max(w, h) <= m:
+            assert (ow, oh) == (w, h)
+        elif w >= h:  # longer side pinned exactly; shorter = clamped round
+            assert ow == m and oh == max(1, round(h * m / w))
+        else:
+            assert oh == m and ow == max(1, round(w * m / h))
+
+    check()
+
+
+def test_int8_quantization_preserves_cosine_ranking():
+    """Per-vector symmetric int8 quantization must keep cosine top-k
+    nearly intact on well-separated vectors (the premise of the
+    int8_ann_recall query's bounds)."""
+    rng = np.random.default_rng(4)
+    X = rng.standard_normal((200, 32))
+    q = rng.standard_normal(32)
+
+    def quant(v):
+        s = np.abs(v).max(axis=-1, keepdims=True)
+        return np.clip(np.round(127 * v / np.maximum(s, 1e-12)), -127, 127)
+
+    def topk(A, qq, k=10):
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        qn = qq / np.linalg.norm(qq)
+        return set(np.argsort(-(An @ qn))[:k])
+
+    exact = topk(X, q)
+    approx = topk(quant(X), quant(q))
+    assert len(exact & approx) >= 8  # recall@10 >= 0.8 on random gaussians
