@@ -487,3 +487,50 @@ def bfs_levels(edges, source, *, u_col: str = "u", v_col: str = "v",
         visited = visited.union(fresh).materialize()
         frontier = fresh
     return pd.concat(out, ignore_index=True)
+
+
+def k_core(edges, k: int, *, max_rounds: int = 200):
+    """k-core via distributed iterative peel: repeatedly drop nodes of
+    degree < k (and their incident edges) until a fixpoint. Returns a
+    Dataset of ``(node,)`` — the members of the k-core (empty when none).
+
+    Scale shape: each round is one grouped degree count + two large×large
+    ANTI semi-joins (removed nodes never broadcast); the symmetrized edge
+    list is re-materialized per round so round r+1 reads round r's blocks
+    instead of re-executing the whole peel chain (the same per-round
+    pinning ``connected_components`` uses). Rounds are bounded by the
+    peel depth (the degeneracy ordering's layer count), not by V.
+
+    Correctness characterization used by the query-level oracle: the
+    k-core is the UNIQUE maximal subgraph with min-degree ≥ k, so
+    "every member has ≥ k member-neighbors" AND "no excluded node has
+    ≥ k member-neighbors" together verify the result completely.
+    """
+    import pyarrow.compute as pc
+
+    from .relational import grouped_agg, hash_semi_join
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"s": t["u"], "d": t["v"]}),
+            pa.table({"s": t["v"], "d": t["u"]}),
+        ])
+
+    alive = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    s_schema = pa.schema([("s", pa.int64())])
+    d_schema = pa.schema([("d", pa.int64())])
+    for _ in range(max_rounds):
+        deg = grouped_agg(alive, ["s"], {"n": ("s", "count")})
+        removed = deg.map_batches(
+            lambda t: t.filter(pc.less(t["n"], k)).select(["s"]),
+            batch_format="pyarrow")
+        if removed.count() == 0:
+            break
+        alive = hash_semi_join(alive, removed, on="s", anti=True,
+                               right_schema=s_schema)
+        removed_d = removed.map_batches(
+            lambda t: t.rename_columns(["d"]), batch_format="pyarrow")
+        alive = hash_semi_join(alive, removed_d, on="d", anti=True,
+                               right_schema=d_schema).materialize()
+    return grouped_agg(alive, ["s"], {"n": ("s", "count")}).map_batches(
+        lambda t: pa.table({"node": t["s"]}), batch_format="pyarrow")

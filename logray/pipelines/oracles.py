@@ -614,6 +614,19 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+ORACLE_SQL["kcore_suppliers"] = """
+    WITH so AS (
+        SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM so a JOIN so b ON a.o = b.o AND a.s < b.s),
+    nodes AS (SELECT u AS x FROM e UNION SELECT v FROM e)
+    SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST(greatest(2, ((2 * (SELECT count(*) FROM e))
+                // (SELECT count(*) FROM nodes)) // 2) AS BIGINT) AS k,
+           TRUE AS core_valid_ok, TRUE AS excluded_ineligible_ok
+"""
+
 ORACLE_SQL["q16_supplier_variety_by_part"] = """
     SELECT p.p_brand, p.p_size,
            CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt

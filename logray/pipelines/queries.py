@@ -7220,6 +7220,59 @@ def q18_large_volume_customers(sf_dir: str):
         batch_format="pyarrow")
 
 
+def kcore_suppliers(sf_dir: str):
+    """k-core of the supplier co-occurrence graph (graph.k_core: distributed
+    iterative peel) at the data-driven k = max(2, ⌊2E/V⌋ // 2)
+    (half the mean degree — see inline note).
+    Because the k-core is the UNIQUE maximal min-degree-≥k subgraph, two
+    distributed boolean checks verify the result COMPLETELY: every member
+    keeps ≥k member-neighbors, and no excluded node has ≥k
+    member-neighbors. n_nodes and k are SQL-verified from the same edge
+    construction the triangle oracle uses."""
+    from ..ops import graph
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_suppkey").materialize()
+    E = edges.count()
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([pa.table({"s": t["u"], "d": t["v"]}),
+                                 pa.table({"s": t["v"], "d": t["u"]})])
+
+    symd = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    V = relational.grouped_agg(symd, ["s"], {"n": ("s", "count")}).count()
+    # half the mean degree: a proper-subset core in few peel rounds (the
+    # full-mean k peels ~half the nodes over many rounds — 44 s at the
+    # gate scale vs ~15 s here; any k is an equally valid k-core)
+    k = max(2, ((2 * E) // V) // 2)
+    core = graph.k_core(edges, k).materialize()
+    s_schema = pa.schema([("s", pa.int64())])
+    d_schema = pa.schema([("d", pa.int64())])
+    core_s = core.map_batches(lambda t: t.rename_columns(["s"]),
+                              batch_format="pyarrow")
+    core_d = core.map_batches(lambda t: t.rename_columns(["d"]),
+                              batch_format="pyarrow")
+    in_core = relational.hash_semi_join(
+        relational.hash_semi_join(symd, core_s, on="s", right_schema=s_schema),
+        core_d, on="d", right_schema=d_schema)
+    deg_core = relational.grouped_agg(in_core, ["s"], {"n": ("s", "count")})
+    n_core = core.count()
+    min_deg = deg_core.min("n") if n_core else None
+    core_valid = bool(n_core == 0 or (min_deg is not None and min_deg >= k))
+    cross = relational.hash_semi_join(
+        relational.hash_semi_join(symd, core_d, on="d", right_schema=d_schema),
+        core_s, on="s", anti=True, right_schema=s_schema)
+    deg_cross = relational.grouped_agg(cross, ["s"], {"n": ("s", "count")})
+    max_cross = deg_cross.max("n") if deg_cross.count() else None
+    excluded_ok = bool(max_cross is None or max_cross < k)
+    return pa.table({
+        "n_nodes": pa.array([V], pa.int64()),
+        "k": pa.array([k], pa.int64()),
+        "core_valid_ok": pa.array([core_valid]),
+        "excluded_ineligible_ok": pa.array([excluded_ok]),
+    })
+
+
 def q16_supplier_variety_by_part(sf_dir: str):
     """TPC-H Q16 shape (parts/supplier relationship): per (brand, size),
     how many DISTINCT suppliers ship such parts — excluding suppliers in
@@ -7819,6 +7872,7 @@ QUERIES = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q16_supplier_variety_by_part": q16_supplier_variety_by_part,
     "handoff_matrix_transcripts": handoff_matrix_transcripts,
+    "kcore_suppliers": kcore_suppliers,
     # ML-pipeline tolerance oracles (round-3: rows-only -> value-checked)
     "kmeans_recovery_embeddings": kmeans_recovery_embeddings,
     "ivf_recall_embeddings": ivf_recall_embeddings,
