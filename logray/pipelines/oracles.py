@@ -627,6 +627,35 @@ ORACLE_SQL["kcore_suppliers"] = """
            TRUE AS core_valid_ok, TRUE AS excluded_ineligible_ok
 """
 
+ORACLE_SQL["q11_important_brands"] = """
+    WITH g AS (
+        SELECT p.p_brand,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                        AS BIGINT)) AS rev_u
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand)
+    SELECT p_brand, round(rev_u / 10000.0, 2) AS revenue
+    FROM g WHERE rev_u * 50 > (SELECT sum(rev_u) FROM g)
+"""
+
+ORACLE_SQL["q22_idle_rich_customers"] = """
+    WITH stats AS (
+        SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+               count(*) AS n
+        FROM customer WHERE c_acctbal > 0),
+    rich AS (
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer c, stats
+        WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * stats.n > stats.s
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT'))
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+           round(sum(bal_c) / 100.0, 2) AS total_acctbal
+    FROM rich GROUP BY c_mktsegment
+"""
+
 ORACLE_SQL["q16_supplier_variety_by_part"] = """
     SELECT p.p_brand, p.p_size,
            CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt

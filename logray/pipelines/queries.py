@@ -7273,6 +7273,86 @@ def kcore_suppliers(sf_dir: str):
     })
 
 
+def q11_important_brands(sf_dir: str):
+    """TPC-H Q11 shape (important stock): brands whose revenue exceeds
+    1/50 of TOTAL revenue — a grouped aggregate filtered against a global
+    scalar computed from the SAME exact-integer partials (one grouped
+    exchange; the global total is the sum of the group rows, no second
+    pass)."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    part = part.rename(columns={"p_partkey": "l_partkey"})
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_discount"])
+    joined = relational.broadcast_join(line, part, on="l_partkey")
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "p_brand": t["p_brand"],
+            "u": pc.cast(pc.round(pc.multiply(rev, 10000.0)), pa.int64())})
+
+    g = relational.grouped_agg(
+        joined.map_batches(prep, batch_format="pyarrow"),
+        ["p_brand"], {"rev_u": ("u", "sum")}).to_pandas()  # one row per brand
+    total = int(g["rev_u"].sum())
+    keep = g[g["rev_u"] * 50 > total]  # integer comparison, no float share
+    out = keep.assign(revenue=(keep["rev_u"] / 10000.0).round(2)) \
+              .sort_values("p_brand")
+    return pa.table({"p_brand": pa.array(out["p_brand"]),
+                     "revenue": pa.array(out["revenue"], pa.float64())})
+
+
+def q22_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape (global-sales opportunity): per market segment,
+    customers with above-average positive balance AND no URGENT order
+    (every customer has SOME order in this data, so Q22's "no orders"
+    clause adapts to the priority slice) — a global scalar subquery
+    (exact integer cents mean) + a distributed ANTI semi-join, with the final cents sum divided identically on both
+    sides."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_acctbal", "c_mktsegment"])
+    # global scalar: avg positive balance in exact cents
+    parts = cust.map_batches(
+        lambda t: (lambda p: pa.table({
+            "s": pa.array([pc.sum(pc.cast(pc.round(pc.multiply(
+                p["c_acctbal"], 100.0)), pa.int64())).as_py() or 0], pa.int64()),
+            "n": pa.array([p.num_rows], pa.int64())}))(
+                t.filter(pc.greater(t["c_acctbal"], 0.0))),
+        batch_format="pyarrow").to_pandas()
+    s, n = int(parts["s"].sum()), int(parts["n"].sum())
+    rich = cust.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)),
+                                pa.int64()),
+                        pa.scalar(n, pa.int64())),
+            pa.scalar(s, pa.int64()))),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table({"c_custkey": t.filter(pc.equal(
+            t["o_orderpriority"], "1-URGENT"))["o_custkey"]}),
+        batch_format="pyarrow")
+    idle = relational.hash_semi_join(rich, orders, on="c_custkey", anti=True)
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "bal_c": pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)),
+                             pa.int64())})
+
+    g = relational.grouped_agg(idle.map_batches(cents, batch_format="pyarrow"),
+                               ["c_mktsegment"],
+                               {"n_cust": ("bal_c", "count"),
+                                "bal_c": ("bal_c", "sum")})
+    return g.map_batches(
+        lambda t: pa.table({
+            "c_mktsegment": t["c_mktsegment"], "n_cust": t["n_cust"],
+            "total_acctbal": pc.round(pc.divide(
+                pc.cast(t["bal_c"], pa.float64()), 100.0), ndigits=2)}),
+        batch_format="pyarrow")
+
+
 def q16_supplier_variety_by_part(sf_dir: str):
     """TPC-H Q16 shape (parts/supplier relationship): per (brand, size),
     how many DISTINCT suppliers ship such parts — excluding suppliers in
@@ -7871,6 +7951,8 @@ QUERIES = {
     "q14_promo_revenue_share": q14_promo_revenue_share,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q16_supplier_variety_by_part": q16_supplier_variety_by_part,
+    "q11_important_brands": q11_important_brands,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
     "handoff_matrix_transcripts": handoff_matrix_transcripts,
     "kcore_suppliers": kcore_suppliers,
     # ML-pipeline tolerance oracles (round-3: rows-only -> value-checked)
