@@ -827,6 +827,14 @@ ORACLE_SQL["third_event_per_user"] = """
     FROM r WHERE rn = 3
 """
 
+ORACLE_SQL["bpe_bounds_documents"] = """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                AS BIGINT) AS n_words,
+           TRUE AS bpe_in_bounds
+    FROM documents
+"""
+
 _DUP_GROUPS = """(SELECT CAST(count(*) AS BIGINT) FROM
     (SELECT text FROM documents GROUP BY text HAVING count(*) > 1))"""
 

@@ -3108,6 +3108,37 @@ def bpe_tokens_documents(sf_dir: str):
     return bpe.bpe_token_counts(docs, num_merges=200)
 
 
+def bpe_bounds_documents(sf_dir: str):
+    """BPE tokenization value-checked per document: the word count is
+    SQL-EXACT (same RE2 whitespace split both engines), and the BPE token
+    count must sit in its provable bounds — ≥ 1 token per word (merges
+    only ever shrink) and ≤ non-space chars + words (the unmerged
+    char+EOW ceiling). Converts the rows-only BPE pipeline into a
+    value-checked row per doc."""
+    from ..ops import bpe
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    counts = bpe.bpe_token_counts(docs, num_merges=200)
+    chars = docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "nsc": pc.utf8_length(pc.replace_substring_regex(
+                pc.utf8_trim_whitespace(pc.fill_null(t["text"], "")),
+                r"\s+", ""))}),
+        batch_format="pyarrow")
+    joined = relational.hash_join(counts, chars, on="doc_id")
+
+    def fin(t: pa.Table) -> pa.Table:
+        nsc = pc.cast(t["nsc"], pa.int64())
+        lo_ok = pc.or_(pc.greater_equal(t["n_bpe_tokens"], t["n_words"]),
+                       pc.equal(nsc, 0))  # empty text: 1 'word', 0 tokens
+        hi_ok = pc.less_equal(t["n_bpe_tokens"], pc.add(nsc, t["n_words"]))
+        return pa.table({"doc_id": t["doc_id"], "n_words": t["n_words"],
+                         "bpe_in_bounds": pc.and_(lo_ok, hi_ok)})
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
 def asof_tolerance_purchase_click(sf_dir: str):
     """As-of join WITH tolerance (C9): each purchase matched to the
     user's latest click at or before it, but only within a 30-minute
@@ -7964,6 +7995,7 @@ QUERIES = {
     "third_event_per_user": third_event_per_user,
     "minhash_exactdup_invariant_documents": minhash_exactdup_invariant_documents,
     "simhash_exactdup_invariant_documents": simhash_exactdup_invariant_documents,
+    "bpe_bounds_documents": bpe_bounds_documents,
     # real multimodal decode lanes (stdlib codecs)
     "wav_features_media": wav_features_media,
     "ppm_features_media": ppm_features_media,
