@@ -838,6 +838,13 @@ ORACLE_SQL["bpe_bounds_documents"] = """
 _DUP_GROUPS = """(SELECT CAST(count(*) AS BIGINT) FROM
     (SELECT text FROM documents GROUP BY text HAVING count(*) > 1))"""
 
+ORACLE_SQL["fingerprint_consistency_documents"] = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           {_DUP_GROUPS} AS n_dup_groups,
+           TRUE AS fp_consistent_ok
+    FROM documents
+"""
+
 ORACLE_SQL["minhash_exactdup_invariant_documents"] = f"""
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
            {_DUP_GROUPS} AS n_dup_groups,

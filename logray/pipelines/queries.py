@@ -7460,6 +7460,40 @@ def _exactdup_cluster_invariant(sf_dir: str, labeler) -> pa.Table:
     })
 
 
+def fingerprint_consistency_documents(sf_dir: str):
+    """Rolling-fingerprint determinism as a value-checked row: identical
+    texts must produce the IDENTICAL order-sensitive polynomial hash
+    regardless of which block/actor computed them. Distributed: per
+    content-hash group, the distinct-fingerprint count reduces in two
+    grouped passes; n_docs and the identical-text dup-group count are
+    SQL-verified."""
+    from ..ops.dedup import _stable_hash64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp_and_h(t: pa.Table) -> pa.Table:
+        out = text_ops.add_rolling_fingerprint(t)
+        h = _stable_hash64(t["text"].to_pandas()).view(np.int64)
+        fp = out["rolling_fp"]
+        if isinstance(fp, pa.ChunkedArray):
+            fp = fp.combine_chunks()
+        return pa.table({
+            "_h": pa.array(h, pa.int64()),
+            "fp": fp.view(pa.int64())})  # bit view, not a value cast
+
+    g1 = relational.grouped_agg(
+        ds.map_batches(fp_and_h, batch_format="pyarrow"),
+        ["_h", "fp"], {"n": ("fp", "count")})
+    g2 = relational.grouped_agg(g1, ["_h"], {
+        "n_docs": ("n", "sum"), "n_fps": ("n", "count")}).to_pandas()
+    dup = g2[g2["n_docs"] > 1]
+    return pa.table({
+        "n_docs": pa.array([int(g2["n_docs"].sum())], pa.int64()),
+        "n_dup_groups": pa.array([len(dup)], pa.int64()),
+        "fp_consistent_ok": pa.array([bool((dup["n_fps"] == 1).all())]),
+    })
+
+
 def minhash_exactdup_invariant_documents(sf_dir: str):
     """MinHash+LSH clustering, value-checked via the exact-duplicate
     invariant (n_docs and the identical-text dup-group count are
@@ -7996,6 +8030,7 @@ QUERIES = {
     "minhash_exactdup_invariant_documents": minhash_exactdup_invariant_documents,
     "simhash_exactdup_invariant_documents": simhash_exactdup_invariant_documents,
     "bpe_bounds_documents": bpe_bounds_documents,
+    "fingerprint_consistency_documents": fingerprint_consistency_documents,
     # real multimodal decode lanes (stdlib codecs)
     "wav_features_media": wav_features_media,
     "ppm_features_media": ppm_features_media,
