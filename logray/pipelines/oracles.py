@@ -838,6 +838,13 @@ ORACLE_SQL["bpe_bounds_documents"] = """
 _DUP_GROUPS = """(SELECT CAST(count(*) AS BIGINT) FROM
     (SELECT text FROM documents GROUP BY text HAVING count(*) > 1))"""
 
+ORACLE_SQL["compression_consistency_documents"] = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           {_DUP_GROUPS} AS n_dup_groups,
+           TRUE AS ratio_consistent_ok
+    FROM documents
+"""
+
 ORACLE_SQL["fingerprint_consistency_documents"] = f"""
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
            {_DUP_GROUPS} AS n_dup_groups,
@@ -3175,4 +3182,38 @@ ORACLE_SQL["triangle_counts_parts"] = """
     JOIN e e2 ON e2.u = e1.v
     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
     GROUP BY e1.u
+"""
+
+
+# Composed cleanup-funnel oracle: the langid CASE and the UNROUNDED
+# quality formula replayed over the same documents; stage counts by
+# scalar subqueries. (The quality gate compares the RAW score > 0.2, so
+# this CTE must not round — the standalone quality oracle rounds for
+# hash stability, which is fine there but would shift threshold ties.)
+ORACLE_SQL["cleanup_funnel_counts_documents"] = f"""
+    WITH l AS ({ORACLE_SQL["langid_documents"]}),
+    q AS (
+        SELECT doc_id,
+               least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+               * (1.0 - least(CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
+                                   AS DOUBLE)
+                              / greatest(CAST(length(text) AS DOUBLE), 1.0)
+                              * 2.0, 1.0))
+               * (0.5 + (CAST({_NSTOP} AS DOUBLE)
+                         / greatest(CAST(len(regexp_extract_all(
+                               lower(coalesce(text, '')), '[a-z]+'))
+                               AS DOUBLE), 1.0)) * 0.5) AS quality
+        FROM documents),
+    en AS (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN l ON l.doc_id = d.doc_id WHERE l.lang_pred = 'en'),
+    good AS (
+        SELECT en.doc_id, en.text FROM en
+        JOIN q ON q.doc_id = en.doc_id WHERE q.quality > 0.2)
+    SELECT 'input' AS stage,
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows
+    UNION ALL SELECT 'lang_en', CAST((SELECT count(*) FROM en) AS BIGINT)
+    UNION ALL SELECT 'quality', CAST((SELECT count(*) FROM good) AS BIGINT)
+    UNION ALL SELECT 'exact_dedup',
+           CAST((SELECT count(DISTINCT text) FROM good) AS BIGINT)
 """

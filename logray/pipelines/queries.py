@@ -7494,6 +7494,66 @@ def fingerprint_consistency_documents(sf_dir: str):
     })
 
 
+def cleanup_funnel_counts_documents(sf_dir: str):
+    """The webcrawl cleanup funnel's SQL-expressible prefix as a
+    VALUE-CHECKED stage table: input → language gate → quality gate →
+    exact dedup, each stage's surviving count compared against a DuckDB
+    replay of the composed RE2 formulas (the final fuzzy-decontamination
+    stage is LSH-banded and stays in the rows-only composition query,
+    `webcrawl_cleanup_documents`)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_input = int(docs.count())
+    lang = docs.map_batches(text_ops.LangIdStage, concurrency=2,
+                            batch_format="pyarrow")
+    en = lang.map_batches(
+        lambda t: t.filter(pc.equal(t["lang_pred"], "en"))
+        .select(["doc_id", "text"]), batch_format="pyarrow")
+    n_en = int(en.count())
+    qual = en.map_batches(
+        lambda t: text_ops.add_quality_score(t), batch_format="pyarrow")
+    good = qual.map_batches(
+        lambda t: t.filter(pc.greater(t["quality"], 0.2))
+        .select(["doc_id", "text"]), batch_format="pyarrow")
+    n_good = int(good.count())
+    n_dedup = int(dedup.exact_dedup(good, text_col="text", id_col="doc_id",
+                                    cache_corpus=True).count())
+    return pa.table({
+        "stage": pa.array(["input", "lang_en", "quality", "exact_dedup"]),
+        "n_rows": pa.array([n_input, n_en, n_good, n_dedup], pa.int64()),
+    })
+
+
+def compression_consistency_documents(sf_dir: str):
+    """Deflate-ratio determinism as a value-checked row (zlib level is
+    pinned, so identical texts must compress to the identical ratio on
+    every block/actor) — same invariant machinery as the fingerprint
+    check; n_docs and the dup-group count are SQL-verified."""
+    from ..ops.dedup import _stable_hash64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ratio_and_h(t: pa.Table) -> pa.Table:
+        out = text_ops.add_compression_ratio(t)
+        h = _stable_hash64(t["text"].to_pandas()).view(np.int64)
+        return pa.table({
+            "_h": pa.array(h, pa.int64()),
+            # exact equality domain: ratios quantized to 1e-9 ints
+            "r": pc.cast(pc.round(pc.multiply(out["deflate_ratio"], 1e9)),
+                         pa.int64())})
+
+    g1 = relational.grouped_agg(
+        ds.map_batches(ratio_and_h, batch_format="pyarrow"),
+        ["_h", "r"], {"n": ("r", "count")})
+    g2 = relational.grouped_agg(g1, ["_h"], {
+        "n_docs": ("n", "sum"), "n_ratios": ("n", "count")}).to_pandas()
+    dup = g2[g2["n_docs"] > 1]
+    return pa.table({
+        "n_docs": pa.array([int(g2["n_docs"].sum())], pa.int64()),
+        "n_dup_groups": pa.array([len(dup)], pa.int64()),
+        "ratio_consistent_ok": pa.array([bool((dup["n_ratios"] == 1).all())]),
+    })
+
+
 def minhash_exactdup_invariant_documents(sf_dir: str):
     """MinHash+LSH clustering, value-checked via the exact-duplicate
     invariant (n_docs and the identical-text dup-group count are
@@ -8031,6 +8091,8 @@ QUERIES = {
     "simhash_exactdup_invariant_documents": simhash_exactdup_invariant_documents,
     "bpe_bounds_documents": bpe_bounds_documents,
     "fingerprint_consistency_documents": fingerprint_consistency_documents,
+    "compression_consistency_documents": compression_consistency_documents,
+    "cleanup_funnel_counts_documents": cleanup_funnel_counts_documents,
     # real multimodal decode lanes (stdlib codecs)
     "wav_features_media": wav_features_media,
     "ppm_features_media": ppm_features_media,
