@@ -83,9 +83,23 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     failures = 0
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # Recycle the Ray session periodically: a single local session
+        # accumulates thousands of short-lived Datasets over a full sweep
+        # and Ray 2.49's task manager can hit an internal race
+        # ("Tried to complete task that was not pending",
+        # task_manager.cc:930 — observed once at ~2 090 datasets /
+        # ~240 queries; all completed queries were green). Fresh sessions
+        # every 100 queries keep the sweep below that regime.
+        n_run += 1
+        if n_run % 100 == 0:
+            ray.shutdown()
+            ray.init(address="local", num_cpus=8, include_dashboard=False,
+                     ignore_reinit_error=True, logging_level="ERROR")
+            DataContext.get_current().enable_progress_bars = False
         t0 = time.time()
         try:
             got = to_pandas(fn(sf_dir))
