@@ -760,6 +760,163 @@ ORACLE_SQL["q18_large_volume_customers"] = """
              JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
+ORACLE_SQL["q2_min_cost_supplier"] = """
+    WITH dim AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = 3),
+    pairs AS (
+        SELECT l.l_partkey AS p_partkey, l.l_suppkey,
+               min(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cost_c
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size = 15
+        JOIN dim d ON l.l_suppkey = d.s_suppkey
+        GROUP BY 1, 2)
+    SELECT pr.p_partkey, pr.l_suppkey AS s_suppkey, d.s_name, d.s_acctbal,
+           d.n_name, round(pr.cost_c / 100.0, 2) AS supply_cost
+    FROM pairs pr JOIN dim d ON pr.l_suppkey = d.s_suppkey
+    WHERE pr.cost_c = (SELECT min(p2.cost_c) FROM pairs p2
+                       WHERE p2.p_partkey = pr.p_partkey)
+"""
+
+ORACLE_SQL["q7_nation_volume_shipping"] = """
+    WITH sdim AS (
+        SELECT s_suppkey, n_name FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2')),
+    cdim AS (
+        SELECT c_custkey, n_name FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2'))
+    SELECT sdim.n_name AS supp_nation, cdim.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN sdim ON l.l_suppkey = sdim.s_suppkey
+    JOIN cdim ON o.o_custkey = cdim.c_custkey
+    WHERE sdim.n_name <> cdim.n_name
+    GROUP BY 1, 2, 3
+"""
+
+ORACLE_SQL["q8_market_share"] = """
+    WITH j AS (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT) AS rev_u,
+               n.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey IN (
+            SELECT c.c_custkey FROM customer c
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE n2.n_regionkey = 2))
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                               THEN rev_u ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(rev_u) AS DOUBLE), 6) AS mkt_share
+    FROM j GROUP BY 1
+"""
+
+ORACLE_SQL["q9_profit_by_nation_year"] = """
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000) AS BIGINT)) / 10000.0, 2) AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+"""
+
+ORACLE_SQL["q13_customer_order_distribution"] = """
+    WITH co AS (
+        SELECT c.c_custkey, count(o.o_custkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '1-URGENT'
+        GROUP BY 1)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY 1
+"""
+
+ORACLE_SQL["q15_top_supplier"] = """
+    WITH r AS (
+        SELECT l_suppkey AS s_suppkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) AS rev_u
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1)
+    SELECT r.s_suppkey, s.s_name,
+           round(r.rev_u / 10000.0, 2) AS total_revenue
+    FROM r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+    WHERE r.rev_u = (SELECT max(rev_u) FROM r)
+"""
+
+ORACLE_SQL["q17_small_quantity_revenue"] = """
+    WITH li AS (
+        SELECT l.l_partkey,
+               CAST(round(l.l_quantity) AS BIGINT) AS qty_i,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#3'),
+    st AS (SELECT l_partkey, sum(qty_i) AS sum_q, count(*) AS n_q
+           FROM li GROUP BY 1)
+    SELECT round(coalesce(sum(li.price_c), 0) / 100.0 / 7.0, 2) AS avg_yearly
+    FROM li JOIN st ON li.l_partkey = st.l_partkey
+    WHERE li.qty_i * 5 * st.n_q < st.sum_q
+"""
+
+ORACLE_SQL["q19_discounted_revenue"] = """
+    SELECT round(coalesce(sum(CAST(round(l.l_extendedprice
+                 * (1 - l.l_discount) * 10000) AS BIGINT)), 0)
+                 / 10000.0, 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLE_SQL["q20_promotion_suppliers"] = """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_nationkey = 0 AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'red%'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING sum(CAST(round(l.l_quantity) AS BIGINT)) > 100)
+"""
+
+ORACLE_SQL["q21_waiting_suppliers"] = """
+    WITH persup AS (
+        SELECT l.l_orderkey, l.l_suppkey, max(l.l_shipdate) AS smax
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY 1, 2),
+    om AS (SELECT l_orderkey, max(smax) AS omax, count(*) AS nsupp
+           FROM persup GROUP BY 1),
+    nm AS (SELECT p.l_orderkey, count(*) AS nmax
+           FROM persup p JOIN om ON p.l_orderkey = om.l_orderkey
+                                AND p.smax = om.omax
+           GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM persup p
+    JOIN om ON p.l_orderkey = om.l_orderkey
+    JOIN nm ON p.l_orderkey = nm.l_orderkey
+    JOIN supplier s ON p.l_suppkey = s.s_suppkey
+    WHERE om.nsupp >= 2 AND nm.nmax = 1 AND p.smax = om.omax
+    GROUP BY 1, 2
+"""
+
 # ---- ML-pipeline tolerance oracles (pattern proven on the sketches):
 # exact columns SQL-verified, bound assertions expected TRUE.
 
