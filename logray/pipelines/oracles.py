@@ -3374,3 +3374,84 @@ ORACLE_SQL["cleanup_funnel_counts_documents"] = f"""
     UNION ALL SELECT 'exact_dedup',
            CAST((SELECT count(DISTINCT text) FROM good) AS BIGINT)
 """
+
+
+# ---- rows-only → value-checked companions (round 3, second batch)
+
+# training_prep prefix: unlike the cleanup funnel, even the SAMPLE stage
+# value-checks — the mixture is a deterministic md5-hex-digit gate that
+# DuckDB replays (strpos over the hex alphabet == int(hexdigest[0], 16)).
+ORACLE_SQL["training_prep_prefix_documents"] = f"""
+    WITH q AS (
+        SELECT doc_id, text, lang,
+               least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+               * (1.0 - least(CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
+                                   AS DOUBLE)
+                              / greatest(CAST(length(text) AS DOUBLE), 1.0)
+                              * 2.0, 1.0))
+               * (0.5 + (CAST({_NSTOP} AS DOUBLE)
+                         / greatest(CAST(len(regexp_extract_all(
+                               lower(coalesce(text, '')), '[a-z]+'))
+                               AS DOUBLE), 1.0)) * 0.5) AS quality
+        FROM documents),
+    good AS (SELECT doc_id, text, lang FROM q WHERE quality >= 0.3),
+    kept AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY text),
+    keptrows AS (
+        SELECT g.doc_id, g.text, g.lang FROM good g
+        JOIN kept k ON g.doc_id = k.doc_id),
+    sampled AS (
+        SELECT * FROM keptrows
+        WHERE strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+              < CASE WHEN lang = 'en' THEN 8 ELSE 1 END)
+    SELECT 'input' AS stage,
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows
+    UNION ALL SELECT 'quality', CAST((SELECT count(*) FROM good) AS BIGINT)
+    UNION ALL SELECT 'exact_dedup',
+           CAST((SELECT count(*) FROM keptrows) AS BIGINT)
+    UNION ALL SELECT 'mixture', CAST((SELECT count(*) FROM sampled) AS BIGINT)
+    UNION ALL SELECT 'sampled_tokens',
+           CAST((SELECT coalesce(sum(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END),
+                     0) FROM sampled) AS BIGINT)
+"""
+
+ORACLE_SQL["random_sample_invariant_events"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           TRUE AS sampled_in_bounds_ok, TRUE AS distinct_ok,
+           TRUE AS subset_ok
+    FROM events
+"""
+
+ORACLE_SQL["shuffle_invariant_documents"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(least(100, count(*)) AS BIGINT) AS n_sampled,
+           TRUE AS distinct_ok, TRUE AS subset_ok
+    FROM documents
+"""
+
+ORACLE_SQL["ngram_exactdup_recall_documents"] = """
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE length(text) >= 3
+        UNION ALL
+        SELECT doc_id + 10000000, text FROM documents
+        WHERE length(text) >= 3 AND doc_id % 13 = 0),
+    g AS (
+        SELECT count(*) AS n FROM d GROUP BY text HAVING count(*) > 1)
+    SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+               AS n_exact_pairs,
+           TRUE AS all_exact_pairs_emitted
+    FROM g
+"""
+
+ORACLE_SQL["embedding_exactdup_invariant_embeddings"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_planted,
+           TRUE AS planted_pairs_clustered_ok
+    FROM embeddings WHERE vec_id % 7 = 0
+"""
+
+ORACLE_SQL["semdedup_planted_invariant_embeddings"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_planted,
+           TRUE AS pairs_share_cluster_ok, TRUE AS never_both_kept_ok
+    FROM embeddings WHERE vec_id % 7 = 0
+"""

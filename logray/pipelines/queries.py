@@ -900,15 +900,14 @@ def simhash_dedup_documents(sf_dir: str):
     return dedup.simhash_dedup(ds, max_hamming=3)
 
 
-def ngram_dup_pairs_documents(sf_dir: str):
-    """Exact n-gram Jaccard pairs, bounded by simhash band buckets.
+def _ngram_banded_pairs(ds):
+    """Banded exact n-gram Jaccard pairs over a (doc_id, text) Dataset.
 
     Scale shape: the bucket-count exchange moves only narrow
     (doc_id, band_id, band_hash) rows; document TEXT rides the verify
     exchange only for rows already known to sit in a ≥2-member (hot)
     bucket — bounded by the duplicate rate — instead of replicating the
     whole corpus text ×4 through the band groupby (the round-2 shape)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def to_bands(batch: pa.Table, carry_text: bool) -> pa.Table:
         texts = batch["text"].to_pandas()
@@ -932,13 +931,20 @@ def ngram_dup_pairs_documents(sf_dir: str):
                             batch_format="pyarrow")
     banded_text = ds.map_batches(to_bands, fn_kwargs={"carry_text": True},
                                  batch_format="pyarrow")
-    pairs = dedup._hot_bucket_pairs(
+    return dedup._hot_bucket_pairs(
         banded, dedup.ngram_pairs_group_fn("text", "doc_id", n=3, threshold=0.8),
         banded_verify=banded_text, materialize_banded=False,
         verify_schema=pa.schema([("doc_id", pa.int64()),
                                  ("band_id", pa.int32()),
                                  ("band_hash", pa.int64()),
                                  ("text", pa.string())]))
+
+
+def ngram_dup_pairs_documents(sf_dir: str):
+    """Exact n-gram Jaccard pairs, bounded by simhash band buckets
+    (see ``_ngram_banded_pairs`` for the scale shape)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = _ngram_banded_pairs(ds)
     pdf = pairs.to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"])
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
@@ -8320,6 +8326,249 @@ def q21_waiting_suppliers(sf_dir: str):
                      "numwait": pa.array(out["numwait"], pa.int64())})
 
 
+# ---- rows-only → value-checked companions (round 3, second batch).
+# Same proven shapes: SQL-expressible prefixes of composed pipelines,
+# planted/exact-duplicate invariants for the LSH families, and
+# bound-assertion rows for seeded randomness.
+
+def training_prep_prefix_documents(sf_dir: str):
+    """``training_prep_documents``' SQL-expressible prefix as a
+    VALUE-CHECKED stage table: input → quality ≥ 0.3 → exact dedup
+    (min-id per text) → deterministic md5 mixture sample → total
+    whitespace tokens of the sampled docs. Every stage count is replayed
+    exactly in DuckDB (the md5-digit mixture is deterministic, so unlike
+    the funnel query even the SAMPLE count value-checks); only the final
+    block-local packing stays rows-only, in the composition query."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    n_input = int(ds.count())
+
+    def quality_filter(t: pa.Table) -> pa.Table:
+        scored = text_ops.add_quality_score(t)
+        return scored.filter(pc.greater_equal(scored["quality"], 0.3)) \
+                     .select(["doc_id", "text", "lang"])
+
+    filtered = ds.map_batches(quality_filter, batch_format="pyarrow")
+    n_quality = int(filtered.count())
+    kept = dedup.exact_dedup(filtered, text_col="text", id_col="doc_id",
+                             cache_corpus=True)
+    n_dedup = int(kept.count())
+
+    def mixture(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pandas().astype(str)
+        first = ids.map(lambda s: int(hashlib.md5(s.encode()).hexdigest()[0], 16))
+        rate = np.where(np.asarray(t["lang"].to_pandas() == "en"), 8, 1)
+        return t.filter(pa.array(first.to_numpy() < rate))
+
+    sampled = kept.map_batches(mixture, batch_format="pyarrow")
+    n_mix = int(sampled.count())
+    tok = sampled.map_batches(
+        lambda t: pa.table({"s": pa.array(
+            [int(pc.sum(text_ops.add_token_counts(t)["n_tokens_ws"]).as_py()
+                 or 0)], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    n_tokens = int(tok["s"].sum()) if len(tok) else 0
+    return pa.table({
+        "stage": pa.array(["input", "quality", "exact_dedup", "mixture",
+                           "sampled_tokens"]),
+        "n_rows": pa.array([n_input, n_quality, n_dedup, n_mix, n_tokens],
+                           pa.int64()),
+    })
+
+
+def random_sample_invariant_events(sf_dir: str):
+    """``Dataset.random_sample`` value-checked by invariants: the seeded
+    Bernoulli count must sit within 6σ of Binomial(n, 0.1), multiplicity
+    must be exactly 1 (per-row sampling never duplicates), and every
+    sampled id must exist in the source (distributed ANTI semi-join, zero
+    survivors). n_total is SQL-verified; the count itself is
+    seed-dependent, hence a bound rather than a value."""
+    import math
+
+    ds = _read(sf_dir, "events", ["event_id"])
+    n_total = int(ds.count())
+    s = ds.random_sample(0.1, seed=42)
+    g = relational.grouped_agg(s, ["event_id"], {"n": ("event_id", "count")})
+    gp = g.map_batches(
+        lambda t: pa.table({
+            "n_rows": pa.array([int(pc.sum(t["n"]).as_py() or 0)], pa.int64()),
+            "max_mult": pa.array([int(pc.max(t["n"]).as_py() or 0)],
+                                 pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    n_sampled = int(gp["n_rows"].sum())
+    max_mult = int(gp["max_mult"].max()) if len(gp) else 0
+    n_outside = int(relational.hash_semi_join(s, ds, on="event_id",
+                                              anti=True).count())
+    mean, sd = 0.1 * n_total, math.sqrt(n_total * 0.1 * 0.9)
+    return pa.table({
+        "n_total": pa.array([n_total], pa.int64()),
+        "sampled_in_bounds_ok": pa.array(
+            [bool(abs(n_sampled - mean) <= 6.0 * sd)]),
+        "distinct_ok": pa.array([bool(max_mult <= 1)]),
+        "subset_ok": pa.array([bool(n_outside == 0)]),
+    })
+
+
+def shuffle_invariant_documents(sf_dir: str):
+    """``Dataset.random_shuffle`` value-checked by invariants: the seeded
+    permutation is not SQL-expressible, but its first-100 prefix must have
+    EXACTLY least(100, n) rows (SQL-verified value), all distinct, and all
+    present in the source."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n_total = int(ds.count())
+    sp = ds.random_shuffle(seed=7).limit(100).to_pandas()  # ≤ 100 rows
+    keys = sp["doc_id"].to_numpy()
+    n_in_source = int(relational.semi_filter(ds, "doc_id", keys).count())
+    return pa.table({
+        "n_total": pa.array([n_total], pa.int64()),
+        "n_sampled": pa.array([len(sp)], pa.int64()),
+        "distinct_ok": pa.array([bool(sp["doc_id"].is_unique)]),
+        # doc_id is unique in the source, so matching-source-row count ==
+        # distinct sampled ids present
+        "subset_ok": pa.array([bool(n_in_source == len(set(keys.tolist())))]),
+    })
+
+
+def ngram_exactdup_recall_documents(sf_dir: str):
+    """Banded n-gram Jaccard pairs, value-checked via PLANTED
+    exact-duplicate recall (the testdata corpus has no identical texts
+    below sf0.1, so every ``doc_id % 13 == 0`` document is re-planted
+    under id+offset first): identical texts of ≥3 chars (below that the
+    char-3-gram set is empty and the kernel skips the pair) share the
+    simhash signature, land in the same band buckets, and have Jaccard
+    exactly 1.0 ≥ threshold — so EVERY identical-text pair must be
+    emitted. n_exact_pairs is SQL-verified; only dup-rate-bounded
+    (doc_id, hash) rows reach the driver."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        f = t.filter(pa.array((ids % 13) == 0))
+        return pa.table({
+            "doc_id": pc.add(f["doc_id"],
+                             pa.scalar(_PLANT_OFFSET, pa.int64())),
+            "text": f["text"]})
+
+    planted = ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+    pairs = _ngram_banded_pairs(planted).to_pandas() \
+        .drop_duplicates(["a", "b"])
+    emitted = set(zip(pairs["a"].tolist(), pairs["b"].tolist()))
+
+    def add_h(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(pc.utf8_length(t["text"]), 3))
+        h = dedup._stable_hash64(t["text"].to_pandas()).view(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "_h": pa.array(h, pa.int64())})
+
+    hashed = planted.map_batches(add_h, batch_format="pyarrow")
+    counts = relational.grouped_agg(hashed, ["_h"], {"n": ("_h", "count")})
+    dup_h = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)).select(["_h"]),
+        batch_format="pyarrow").to_pandas()
+    dup_keys = (dup_h["_h"].to_numpy() if len(dup_h)
+                else np.array([], dtype=np.int64))
+    dup_ids = relational.semi_filter(hashed, "_h", dup_keys).to_pandas()
+    if dup_ids.empty:  # empty Datasets drop their schema
+        dup_ids = pd.DataFrame({"doc_id": [], "_h": []})
+    n_pairs, found = 0, True
+    for _, grp in dup_ids.groupby("_h"):
+        ids = sorted(grp["doc_id"].tolist())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                n_pairs += 1
+                if (ids[i], ids[j]) not in emitted:
+                    found = False
+    return pa.table({
+        "n_exact_pairs": pa.array([n_pairs], pa.int64()),
+        "all_exact_pairs_emitted": pa.array([bool(found)]),
+    })
+
+
+_PLANT_OFFSET = 10_000_000
+
+
+def _plant_copies(ds):
+    """Re-plant every ``vec_id % 7 == 0`` vector under id+offset: an exact
+    duplicate whose near-dup treatment is provable (identical vectors are
+    bit-identical through normalization, hyperplane signs and k-means
+    assignment)."""
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        f = t.filter(pa.array((ids % 7) == 0))
+        return pa.table({
+            "vec_id": pc.add(f["vec_id"], pa.scalar(_PLANT_OFFSET, pa.int64())),
+            "embedding": f["embedding"]})
+
+    return ds.union(ds.map_batches(plant, batch_format="pyarrow"))
+
+
+def embedding_exactdup_invariant_embeddings(sf_dir: str):
+    """Embedding-cosine near-dup (random-hyperplane LSH), value-checked by
+    the planted exact-duplicate invariant: each planted copy agrees with
+    its source on every hyperplane sign in every table and has cosine
+    exactly 1.0 ≥ 0.95, so the pair MUST share a cluster. n_planted is
+    SQL-verified; the share-a-cluster reduction is two grouped passes,
+    driver sees one verdict row per planted pair."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    labels = dedup.embedding_neardup(_plant_copies(ds), threshold=0.95)
+
+    def key_of(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        key = np.where(ids >= _PLANT_OFFSET, ids - _PLANT_OFFSET, ids)
+        keep = (key % 7) == 0
+        f = t.filter(pa.array(keep))
+        return pa.table({"k": pa.array(key[keep], pa.int64()),
+                         "cluster_id": pc.cast(f["cluster_id"], pa.int64())})
+
+    kd = labels.map_batches(key_of, batch_format="pyarrow")
+    g1 = relational.grouped_agg(kd, ["k", "cluster_id"],
+                                {"n": ("cluster_id", "count")})
+    g2 = relational.grouped_agg(g1, ["k"], {
+        "n_rows": ("n", "sum"), "n_clusters": ("n", "count")}).to_pandas()
+    ok = bool(len(g2) and (g2["n_rows"] == 2).all()
+              and (g2["n_clusters"] == 1).all())
+    return pa.table({
+        "n_planted": pa.array([len(g2)], pa.int64()),
+        "planted_pairs_clustered_ok": pa.array([ok]),
+    })
+
+
+def semdedup_planted_invariant_embeddings(sf_dir: str):
+    """SemDeDup value-checked by the planted exact-duplicate invariant:
+    identical vectors get identical k-means assignments (same distances,
+    same argmin) and cosine exactly 1.0 ≥ 0.95, so each planted pair must
+    share a cluster and NEVER both survive (the component keeps one min-id
+    representative — possibly neither of the pair if a third near-dup
+    holds the min). n_planted is SQL-verified."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    labels = similarity.semdedup(_plant_copies(ds), k=8, threshold=0.95)
+
+    def key_of(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        key = np.where(ids >= _PLANT_OFFSET, ids - _PLANT_OFFSET, ids)
+        keep = (key % 7) == 0
+        f = t.filter(pa.array(keep))
+        return pa.table({"k": pa.array(key[keep], pa.int64()),
+                         "cluster_id": pc.cast(f["cluster_id"], pa.int64()),
+                         "kept_i": pc.cast(f["keep"], pa.int64())})
+
+    kd = labels.map_batches(key_of, batch_format="pyarrow")
+    g1 = relational.grouped_agg(kd, ["k", "cluster_id"],
+                                {"n": ("cluster_id", "count"),
+                                 "n_kept": ("kept_i", "sum")})
+    g2 = relational.grouped_agg(g1, ["k"], {
+        "n_rows": ("n", "sum"), "n_clusters": ("n", "count"),
+        "n_kept": ("n_kept", "sum")}).to_pandas()
+    share_ok = bool(len(g2) and (g2["n_rows"] == 2).all()
+                    and (g2["n_clusters"] == 1).all())
+    kept_ok = bool((g2["n_kept"] <= 1).all()) if len(g2) else False
+    return pa.table({
+        "n_planted": pa.array([len(g2)], pa.int64()),
+        "pairs_share_cluster_ok": pa.array([share_ok]),
+        "never_both_kept_ok": pa.array([kept_ok]),
+    })
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -8640,6 +8889,15 @@ QUERIES = {
     "q19_discounted_revenue": q19_discounted_revenue,
     "q20_promotion_suppliers": q20_promotion_suppliers,
     "q21_waiting_suppliers": q21_waiting_suppliers,
+    # rows-only → value-checked companions (round 3, second batch)
+    "training_prep_prefix_documents": training_prep_prefix_documents,
+    "random_sample_invariant_events": random_sample_invariant_events,
+    "shuffle_invariant_documents": shuffle_invariant_documents,
+    "ngram_exactdup_recall_documents": ngram_exactdup_recall_documents,
+    "embedding_exactdup_invariant_embeddings":
+        embedding_exactdup_invariant_embeddings,
+    "semdedup_planted_invariant_embeddings":
+        semdedup_planted_invariant_embeddings,
 }
 
 
