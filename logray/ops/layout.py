@@ -58,3 +58,53 @@ def zorder_write(ds, x_col: str, y_col: str, out_dir: str, *,
                          batch_format="pyarrow")
     zed.sort("_z").repartition(num_files).write_parquet(out_dir)
     return out_dir
+
+
+def footer_stats(paths: list[str], columns: list[str]) -> dict:
+    """Scan-free COUNT/MIN/MAX from Parquet footer statistics (the C1
+    scale path for lake-wide metadata aggregates: over 100 TB these
+    answers live in row-group metadata — a few KB of footer per file —
+    never in the data pages).
+
+    One lightweight Ray task per file reads ONLY the footer and returns
+    (row_count, per-column min, per-column max); the driver combines one
+    tiny tuple per file. Raises if any row group lacks statistics for a
+    requested column (caller falls back to a real scan) — exact for
+    fixed-width types (numeric / timestamp); avoid string columns, whose
+    stats writers may truncate.
+
+    Returns {"n_rows": int, "min": {col: v}, "max": {col: v}}.
+    """
+    import ray
+
+    @ray.remote(num_cpus=0.25)
+    def one(path: str, cols: list[str]):
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(path)
+        md = f.metadata
+        idx = {c: f.schema_arrow.names.index(c) for c in cols}
+        mins: dict = {}
+        maxs: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for c, i in idx.items():
+                st = g.column(i).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(
+                        f"no min/max statistics for {c!r} in {path} "
+                        f"row-group {rg}; fall back to a scan")
+                mins[c] = st.min if c not in mins else min(mins[c], st.min)
+                maxs[c] = st.max if c not in maxs else max(maxs[c], st.max)
+        return md.num_rows, mins, maxs
+
+    parts = ray.get([one.remote(p, columns) for p in paths])
+    out = {"n_rows": int(sum(p[0] for p in parts)), "min": {}, "max": {}}
+    for _, mins, maxs in parts:
+        for c in columns:
+            if c in mins:
+                cur = out["min"].get(c)
+                out["min"][c] = mins[c] if cur is None else min(cur, mins[c])
+                cur = out["max"].get(c)
+                out["max"][c] = maxs[c] if cur is None else max(cur, maxs[c])
+    return out

@@ -3455,3 +3455,13 @@ ORACLE_SQL["semdedup_planted_invariant_embeddings"] = """
            TRUE AS pairs_share_cluster_ok, TRUE AS never_both_kept_ok
     FROM embeddings WHERE vec_id % 7 = 0
 """
+
+# footer-stats aggregate: DuckDB actually scans; the engine reads footers
+ORACLE_SQL["metadata_stats_orders"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_totalprice) AS min_totalprice,
+           max(o_totalprice) AS max_totalprice,
+           min(o_orderdate) AS min_orderdate,
+           max(o_orderdate) AS max_orderdate
+    FROM orders
+"""

@@ -8569,6 +8569,27 @@ def semdedup_planted_invariant_embeddings(sf_dir: str):
     })
 
 
+def metadata_stats_orders(sf_dir: str):
+    """Scan-free COUNT/MIN/MAX over orders from Parquet FOOTER statistics
+    (``layout.footer_stats``): no data page is ever read — at 100 TB the
+    row-group metadata answers this in milliseconds per file, one
+    lightweight Ray task per file, a few numbers per file to the driver.
+    Value-checked against DuckDB actually scanning the same data."""
+    from ..ops import layout
+
+    s = layout.footer_stats([f"{sf_dir}/orders.parquet"],
+                            ["o_totalprice", "o_orderdate"])
+    return pa.table({
+        "n_rows": pa.array([s["n_rows"]], pa.int64()),
+        "min_totalprice": pa.array([s["min"]["o_totalprice"]], pa.float64()),
+        "max_totalprice": pa.array([s["max"]["o_totalprice"]], pa.float64()),
+        "min_orderdate": pa.array([s["min"]["o_orderdate"]],
+                                  pa.timestamp("us")),
+        "max_orderdate": pa.array([s["max"]["o_orderdate"]],
+                                  pa.timestamp("us")),
+    })
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -8898,6 +8919,7 @@ QUERIES = {
         embedding_exactdup_invariant_embeddings,
     "semdedup_planted_invariant_embeddings":
         semdedup_planted_invariant_embeddings,
+    "metadata_stats_orders": metadata_stats_orders,
 }
 
 

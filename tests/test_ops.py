@@ -1827,3 +1827,37 @@ def test_int8_quantization_preserves_cosine_ranking():
     exact = topk(X, q)
     approx = topk(quant(X), quant(q))
     assert len(exact & approx) >= 8  # recall@10 >= 0.8 on random gaussians
+
+
+def test_footer_stats_multi_file_multi_rowgroup(ray_session, tmp_path):
+    """footer_stats must combine min/max/count across files AND row
+    groups exactly, without reading data pages (fixed-width columns have
+    exact parquet statistics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logray.ops.layout import footer_stats
+
+    rng = np.random.default_rng(9)
+    paths = []
+    vals, ts = [], []
+    for i in range(3):
+        v = rng.standard_normal(1000) * 100.0
+        t = rng.integers(1_500_000_000, 1_600_000_000, 1000)
+        vals.append(v)
+        ts.append(t)
+        tbl = pa.table({
+            "v": pa.array(v, pa.float64()),
+            "ts": pa.array(t * 1_000_000, pa.timestamp("us")),
+        })
+        p = str(tmp_path / f"part{i}.parquet")
+        pq.write_table(tbl, p, row_group_size=300)  # 4 row groups/file
+        paths.append(p)
+
+    s = footer_stats(paths, ["v", "ts"])
+    allv = np.concatenate(vals)
+    allt = np.concatenate(ts) * 1_000_000
+    assert s["n_rows"] == 3000
+    assert s["min"]["v"] == allv.min() and s["max"]["v"] == allv.max()
+    assert s["min"]["ts"].timestamp() * 1e6 == allt.min()
+    assert s["max"]["ts"].timestamp() * 1e6 == allt.max()
