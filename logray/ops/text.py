@@ -652,3 +652,97 @@ def add_compression_ratio(batch: pa.Table, text_col: str = "text",
     ratio = raw.map(lambda b: len(zlib.compress(b, 6)) / max(len(b), 1))
     return batch.append_column(out_col,
                                pa.array(ratio.to_numpy(), pa.float64()))
+
+
+def edit_distance_selfjoin(ds, text_col: str = "text",
+                           id_col: str = "doc_id", *, k: int = 1):
+    """EXACT edit-distance-≤1 similarity self-join (entity-resolution /
+    data-cleaning C4 shape) via pigeonhole blocking + DP verify.
+
+    Completeness proof (k=1): for ed(s,t) ≤ 1 with h = ⌊min(|s|,|t|)/2⌋,
+    a single edit cannot touch both the length-h prefix and the length-h
+    suffix (h + h ≤ min length), so every true pair shares one of the two
+    — each row emits prefix/suffix keys at h = ⌊L/2⌋ and ⌊(L−1)/2⌋ (the
+    latter covers pairs where THIS row is the longer side). No false
+    negatives; false candidates die in the exact vectorized DP verify.
+
+    Scale shape: rides ``dedup._hot_bucket_pairs`` — the blocking-key
+    count exchange is keys-only; TEXT ships only for rows already in a
+    ≥2-member bucket. Caveat: a key shared corpus-wide (one common
+    prefix) makes its bucket O(n²) — for skewed domains refine keys with
+    PassJoin positional segments; k>1 likewise needs k+1 positional
+    segments and is not implemented.
+
+    Returns a Dataset of (a, b, dist) with a < b and dist ≤ k.
+    """
+    import pandas as pd
+
+    from .dedup import _hot_bucket_pairs, _stable_hash64
+
+    if k != 1:
+        raise NotImplementedError("pigeonhole keys are implemented for k=1")
+
+    def to_bands(batch: pa.Table, carry_text: bool) -> pa.Table:
+        txt = batch[text_col].to_pandas().fillna("")
+        ids = batch[id_col].to_numpy()
+        # per-row-bounded slicing has no vectorized pandas form; the keys
+        # are half-strings, so this loop is O(batch) short-string slices
+        recs_id, recs_band, recs_key = [], [], []
+        tl = txt.tolist()
+        for i, s in enumerate(tl):
+            ls = len(s)
+            hs = {max(ls // 2, 0), max((ls - 1) // 2, 0)}
+            for h in hs:
+                recs_id.append(i); recs_band.append(h * 2)
+                recs_key.append(s[:h])
+                recs_id.append(i); recs_band.append(h * 2 + 1)
+                recs_key.append(s[-h:] if h else "")
+        take = np.asarray(recs_id, dtype=np.int64)
+        kh = _stable_hash64(pd.Series(recs_key)).view(np.int64)
+        cols = {
+            id_col: pa.array(ids[take]),
+            "band_id": pa.array(np.asarray(recs_band, np.int32)),
+            "band_hash": pa.array(kh, pa.int64()),
+        }
+        if carry_text:
+            t = batch[text_col]
+            if isinstance(t, pa.ChunkedArray):
+                t = t.combine_chunks()
+            cols[text_col] = t.take(pa.array(take))
+        return pa.table(cols)
+
+    banded = ds.map_batches(to_bands, fn_kwargs={"carry_text": False},
+                            batch_format="pyarrow")
+    banded_text = ds.map_batches(to_bands, fn_kwargs={"carry_text": True},
+                                 batch_format="pyarrow")
+
+    def ed_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        txt = g[text_col].fillna("").to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64")})
+        L = np.asarray([len(x) for x in txt])
+        iu = np.triu_indices(len(ids), k=1)
+        cand = np.flatnonzero(np.abs(L[iu[0]] - L[iu[1]]) <= k)
+        if not len(cand):
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64")})
+        d = levenshtein_batch(txt[iu[0][cand]], txt[iu[1][cand]])
+        hit = d <= k
+        return pd.DataFrame({"a": ids[iu[0][cand[hit]]],
+                             "b": ids[iu[1][cand[hit]]],
+                             "dist": d[hit].astype(np.int64)})
+
+    id_type = pa.int64()
+    pairs = _hot_bucket_pairs(
+        banded, ed_pairs, banded_verify=banded_text,
+        materialize_banded=False,
+        verify_schema=pa.schema([(id_col, id_type),
+                                 ("band_id", pa.int32()),
+                                 ("band_hash", pa.int64()),
+                                 (text_col, pa.string())]))
+    return pairs

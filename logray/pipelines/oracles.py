@@ -3465,3 +3465,12 @@ ORACLE_SQL["metadata_stats_orders"] = """
            max(o_orderdate) AS max_orderdate
     FROM orders
 """
+
+# exact (complete) blocked similarity join — the oracle brute-forces the
+# small-dim cross join with DuckDB's levenshtein
+ORACLE_SQL["editdist_pairs_suppliers"] = """
+    SELECT a.s_suppkey AS a, b.s_suppkey AS b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""

@@ -8590,6 +8590,25 @@ def metadata_stats_orders(sf_dir: str):
     })
 
 
+def editdist_pairs_suppliers(sf_dir: str):
+    """EXACT edit-distance-≤1 similarity self-join on supplier names
+    (entity resolution / data cleaning): pigeonhole prefix-suffix
+    blocking + vectorized DP verify (``text.edit_distance_selfjoin``) —
+    complete by construction, so the full pair set value-checks against
+    DuckDB's levenshtein over the (small-dim) cross join."""
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["s_suppkey"], pa.int64()),
+                            "text": t["s_name"]}),
+        batch_format="pyarrow")
+    pairs = text_ops.edit_distance_selfjoin(ds).to_pandas()
+    if pairs.empty:
+        pairs = pd.DataFrame({"a": [], "b": [], "dist": []})
+    pairs = pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+    return pa.table({"a": pa.array(pairs["a"], pa.int64()),
+                     "b": pa.array(pairs["b"], pa.int64()),
+                     "dist": pa.array(pairs["dist"], pa.int64())})
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -8920,6 +8939,7 @@ QUERIES = {
     "semdedup_planted_invariant_embeddings":
         semdedup_planted_invariant_embeddings,
     "metadata_stats_orders": metadata_stats_orders,
+    "editdist_pairs_suppliers": editdist_pairs_suppliers,
 }
 
 

@@ -1861,3 +1861,36 @@ def test_footer_stats_multi_file_multi_rowgroup(ray_session, tmp_path):
     assert s["min"]["v"] == allv.min() and s["max"]["v"] == allv.max()
     assert s["min"]["ts"].timestamp() * 1e6 == allt.min()
     assert s["max"]["ts"].timestamp() * 1e6 == allt.max()
+
+
+def test_edit_distance_selfjoin_complete_with_indels(ray_session):
+    """Pigeonhole blocking must be COMPLETE for ed<=1 including
+    insertions/deletions (odd/even lengths, edits in either half), and
+    emit nothing for ed>=2 — verified against brute-force DP."""
+    import itertools
+
+    import ray.data
+
+    from logray.ops.text import edit_distance_selfjoin, levenshtein_batch
+
+    texts = ["abcdef", "abcdefg",   # insertion at end
+             "bcdef",               # deletion at front
+             "abXdef",              # substitution mid
+             "aXcdef",              # substitution in first half
+             "abcdeX",              # substitution at end
+             "abZZef",              # ed 2 from abcdef
+             "xyz", "xyzz", "xy",   # short strings
+             "", "a",               # degenerate lengths
+             "abcdef"]              # exact duplicate
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(
+        __import__("pyarrow").table({"doc_id": ids, "text": texts}))
+    got = edit_distance_selfjoin(ds).to_pandas().drop_duplicates(["a", "b"])
+    got_pairs = {(int(r.a), int(r.b)): int(r.dist)
+                 for r in got.itertuples()}
+    want = {}
+    for i, j in itertools.combinations(ids, 2):
+        d = int(levenshtein_batch([texts[i]], [texts[j]])[0])
+        if d <= 1:
+            want[(i, j)] = d
+    assert got_pairs == want
