@@ -654,6 +654,20 @@ def add_compression_ratio(batch: pa.Table, text_col: str = "text",
                                pa.array(ratio.to_numpy(), pa.float64()))
 
 
+def ed1_blocking_keys(s: str) -> list[tuple[int, str]]:
+    """Pigeonhole blocking keys for the ed≤1 self-join: (band, key) pairs
+    where band encodes (half-length h, prefix-or-suffix) and key is the
+    corresponding half-string. Two strings within edit distance 1 ALWAYS
+    share at least one key (see ``edit_distance_selfjoin`` for the
+    proof); hypothesis-tested directly in tests/test_property.py."""
+    ls = len(s)
+    out = []
+    for h in {max(ls // 2, 0), max((ls - 1) // 2, 0)}:
+        out.append((h * 2, s[:h]))
+        out.append((h * 2 + 1, s[-h:] if h else ""))
+    return out
+
+
 def edit_distance_selfjoin(ds, text_col: str = "text",
                            id_col: str = "doc_id", *, k: int = 1):
     """EXACT edit-distance-≤1 similarity self-join (entity-resolution /
@@ -690,13 +704,10 @@ def edit_distance_selfjoin(ds, text_col: str = "text",
         recs_id, recs_band, recs_key = [], [], []
         tl = txt.tolist()
         for i, s in enumerate(tl):
-            ls = len(s)
-            hs = {max(ls // 2, 0), max((ls - 1) // 2, 0)}
-            for h in hs:
-                recs_id.append(i); recs_band.append(h * 2)
-                recs_key.append(s[:h])
-                recs_id.append(i); recs_band.append(h * 2 + 1)
-                recs_key.append(s[-h:] if h else "")
+            for band, key in ed1_blocking_keys(s):
+                recs_id.append(i)
+                recs_band.append(band)
+                recs_key.append(key)
         take = np.asarray(recs_id, dtype=np.int64)
         kh = _stable_hash64(pd.Series(recs_key)).view(np.int64)
         cols = {

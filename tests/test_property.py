@@ -198,3 +198,27 @@ def test_morton2_matches_bitwise_reference(x, y):
         ref |= ((x >> b) & 1) << (2 * b)
         ref |= ((y >> b) & 1) << (2 * b + 1)
     assert z == ref
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=24),
+       st.integers(0, 24), st.one_of(st.none(), st.characters()),
+       st.sampled_from(["sub", "ins", "del", "dup"]))
+def test_ed1_blocking_keys_complete(s, pos, ch, op):
+    """The pigeonhole blocking behind edit_distance_selfjoin must be
+    COMPLETE: any two strings within Levenshtein distance 1 share at
+    least one (band, key) — substitutions, insertions, deletions,
+    duplicates, unicode, empty strings."""
+    from logray.ops.text import ed1_blocking_keys, levenshtein_batch
+
+    p = min(pos, len(s))
+    if op == "sub" and s and ch is not None:
+        t = s[:min(p, len(s) - 1)] + ch + s[min(p, len(s) - 1) + 1:]
+    elif op == "ins" and ch is not None:
+        t = s[:p] + ch + s[p:]
+    elif op == "del" and s:
+        t = s[:min(p, len(s) - 1)] + s[min(p, len(s) - 1) + 1:]
+    else:
+        t = s
+    assert int(levenshtein_batch([s], [t])[0]) <= 1  # construction check
+    assert set(ed1_blocking_keys(s)) & set(ed1_blocking_keys(t))
