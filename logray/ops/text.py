@@ -655,11 +655,14 @@ def add_compression_ratio(batch: pa.Table, text_col: str = "text",
 
 
 def ed1_blocking_keys(s: str) -> list[tuple[int, str]]:
-    """Pigeonhole blocking keys for the ed≤1 self-join: (band, key) pairs
-    where band encodes (half-length h, prefix-or-suffix) and key is the
-    corresponding half-string. Two strings within edit distance 1 ALWAYS
-    share at least one key (see ``edit_distance_selfjoin`` for the
-    proof); hypothesis-tested directly in tests/test_property.py."""
+    """Half-string pigeonhole blocking keys for the ed≤1 self-join:
+    (band, key) pairs where band encodes (half-length h,
+    prefix-or-suffix) and key is the corresponding half-string. Two
+    strings within edit distance 1 ALWAYS share at least one key (see
+    ``edit_distance_selfjoin`` for the proof); hypothesis-tested directly
+    in tests/test_property.py. Only 4 keys/row, but a domain-wide shared
+    prefix ('Supplier#…') collapses a whole band into ONE O(n²) bucket —
+    prefer ``ed1_deletion_keys`` for identifier-like domains."""
     ls = len(s)
     out = []
     for h in {max(ls // 2, 0), max((ls - 1) // 2, 0)}:
@@ -668,24 +671,47 @@ def ed1_blocking_keys(s: str) -> list[tuple[int, str]]:
     return out
 
 
-def edit_distance_selfjoin(ds, text_col: str = "text",
-                           id_col: str = "doc_id", *, k: int = 1):
-    """EXACT edit-distance-≤1 similarity self-join (entity-resolution /
-    data-cleaning C4 shape) via pigeonhole blocking + DP verify.
+def ed1_deletion_keys(s: str) -> list[tuple[int, str]]:
+    """FastSS deletion-neighborhood blocking keys for the ed≤1 self-join:
+    the string itself plus every single-character-deletion variant,
+    deduped. Completeness: ed(s,t)=1 is a substitution (deleting the
+    edited position from both sides yields equal variants), an insertion
+    into s (deleting the inserted char from t yields s, which is s's own
+    self-key), or equality (self keys match); spurious shared variants
+    (e.g. 'ab'/'ba' both delete to 'a') die in the exact DP verify.
+    Buckets stay tiny on identifier-like domains where every value shares
+    a long common prefix — the half-key pathological case — at the cost
+    of L+1 hashed keys per row instead of 4 (the exchange carries 16-byte
+    hashed keys, not the variants themselves)."""
+    out = {(0, s)}
+    for i in range(len(s)):
+        out.add((0, s[:i] + s[i + 1:]))
+    return sorted(out)
 
-    Completeness proof (k=1): for ed(s,t) ≤ 1 with h = ⌊min(|s|,|t|)/2⌋,
-    a single edit cannot touch both the length-h prefix and the length-h
-    suffix (h + h ≤ min length), so every true pair shares one of the two
-    — each row emits prefix/suffix keys at h = ⌊L/2⌋ and ⌊(L−1)/2⌋ (the
-    latter covers pairs where THIS row is the longer side). No false
-    negatives; false candidates die in the exact vectorized DP verify.
+
+def edit_distance_selfjoin(ds, text_col: str = "text",
+                           id_col: str = "doc_id", *, k: int = 1,
+                           block: str = "deletions"):
+    """EXACT edit-distance-≤1 similarity self-join (entity-resolution /
+    data-cleaning C4 shape) via complete blocking + DP verify.
+
+    ``block`` selects the (provably complete) blocking-key scheme:
+    'deletions' (default) = FastSS deletion neighborhood
+    (``ed1_deletion_keys``: L+1 hashed keys/row, buckets bounded by true
+    near-match density — right for identifier-like domains with shared
+    prefixes); 'halves' = prefix/suffix pigeonhole
+    (``ed1_blocking_keys``: 4 keys/row — for ed(s,t) ≤ 1 with
+    h = ⌊min(|s|,|t|)/2⌋ one edit cannot touch both the length-h prefix
+    and the length-h suffix since h+h ≤ min length — cheaper keys, but a
+    corpus-wide shared prefix collapses a band into one O(n²) bucket).
+    Both schemes emit every true pair; false candidates die in the exact
+    vectorized DP verify, so the output is identical either way
+    (unit-tested).
 
     Scale shape: rides ``dedup._hot_bucket_pairs`` — the blocking-key
-    count exchange is keys-only; TEXT ships only for rows already in a
-    ≥2-member bucket. Caveat: a key shared corpus-wide (one common
-    prefix) makes its bucket O(n²) — for skewed domains refine keys with
-    PassJoin positional segments; k>1 likewise needs k+1 positional
-    segments and is not implemented.
+    count exchange is keys-only (hashed, 16 B/key); TEXT ships only for
+    rows already in a ≥2-member bucket. k>1 needs k+1 positional
+    segments (PassJoin) and is not implemented.
 
     Returns a Dataset of (a, b, dist) with a < b and dist ≤ k.
     """
@@ -695,16 +721,18 @@ def edit_distance_selfjoin(ds, text_col: str = "text",
 
     if k != 1:
         raise NotImplementedError("pigeonhole keys are implemented for k=1")
+    keys_fn = {"deletions": ed1_deletion_keys,
+               "halves": ed1_blocking_keys}[block]
 
     def to_bands(batch: pa.Table, carry_text: bool) -> pa.Table:
         txt = batch[text_col].to_pandas().fillna("")
         ids = batch[id_col].to_numpy()
         # per-row-bounded slicing has no vectorized pandas form; the keys
-        # are half-strings, so this loop is O(batch) short-string slices
+        # are short substrings, so this loop is O(batch) slices
         recs_id, recs_band, recs_key = [], [], []
         tl = txt.tolist()
         for i, s in enumerate(tl):
-            for band, key in ed1_blocking_keys(s):
+            for band, key in keys_fn(s):
                 recs_id.append(i)
                 recs_band.append(band)
                 recs_key.append(key)

@@ -1885,12 +1885,14 @@ def test_edit_distance_selfjoin_complete_with_indels(ray_session):
     ids = list(range(len(texts)))
     ds = ray.data.from_arrow(
         __import__("pyarrow").table({"doc_id": ids, "text": texts}))
-    got = edit_distance_selfjoin(ds).to_pandas().drop_duplicates(["a", "b"])
-    got_pairs = {(int(r.a), int(r.b)): int(r.dist)
-                 for r in got.itertuples()}
     want = {}
     for i, j in itertools.combinations(ids, 2):
         d = int(levenshtein_batch([texts[i]], [texts[j]])[0])
         if d <= 1:
             want[(i, j)] = d
-    assert got_pairs == want
+    for block in ("deletions", "halves"):  # both schemes: identical output
+        got = edit_distance_selfjoin(ds, block=block).to_pandas() \
+            .drop_duplicates(["a", "b"])
+        got_pairs = {(int(r.a), int(r.b)): int(r.dist)
+                     for r in got.itertuples()}
+        assert got_pairs == want, block

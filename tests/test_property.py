@@ -220,5 +220,8 @@ def test_ed1_blocking_keys_complete(s, pos, ch, op):
         t = s[:min(p, len(s) - 1)] + s[min(p, len(s) - 1) + 1:]
     else:
         t = s
+    from logray.ops.text import ed1_deletion_keys
+
     assert int(levenshtein_batch([s], [t])[0]) <= 1  # construction check
     assert set(ed1_blocking_keys(s)) & set(ed1_blocking_keys(t))
+    assert set(ed1_deletion_keys(s)) & set(ed1_deletion_keys(t))
