@@ -21,6 +21,16 @@ subsystems — GC, compaction, flush, status tables, dropped messages,
 banners, warnings): R11–R32 instantiate those families on the transcript
 domain, including one multi-line record (R30 pool-status table, the
 StatusLogger analogue) that exercises the raw-log NUL-escape round trip.
+
+v3 breadth (round-2 verdict "What's missing" #1: the reference table is
+estimated at ~80–150 rules; every family is cheap once the engine exists):
+R33–R54 add the remaining subsystem analogues — planning/memory/subagent
+lifecycle (assistant), cancel/stderr/cache tool verbs, heartbeat (gossip),
+checkpoint/restore (commitlog/replay — the ckpt timestamp exercises the
+``timestamp:<fmt>`` converter), schema changes, WARN context-pressure /
+oversized-output (tombstone / large-batch warning analogues), cache stats,
+scheduler, network streaming, auth, billing, model swap, a SECOND
+multi-line table (R52 span timers), and user edit/paste events.
 """
 
 from __future__ import annotations
@@ -281,6 +291,186 @@ TRANSCRIPT_RULES: list[Rule] = [
         casts=(Cast("rating", "int64"),),
         consts={"category": "dialogue", "event_type": "feedback"},
     ),
+    # ---- v3 assistant families (declared before the R10 catch-all) ----
+    Rule(
+        rule_id="R33_plan",
+        sink="sink_control",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[plan\] steps=(?P<steps>\d+) budget_tokens=(?P<budget_tokens>\d+)$",),
+        casts=(Cast("steps", "int64"), Cast("budget_tokens", "int64")),
+        consts={"category": "control", "event_type": "plan"},
+    ),
+    Rule(
+        rule_id="R34_memory_op",
+        sink="sink_action",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[memory\] op=(?P<op>store|update|delete) key=(?P<key>[a-z0-9_.-]+) bytes=(?P<bytes>\d+)$",),
+        casts=(Cast("bytes", "int64"),),
+        consts={"category": "action", "event_type": "memory_op"},
+    ),
+    Rule(
+        rule_id="R35_spawn",
+        sink="sink_action",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[spawn\] agent=(?P<agent>[a-z_]+) task=(?P<task>.{1,120}) budget_tokens=(?P<budget_tokens>\d+)$",),
+        casts=(Cast("budget_tokens", "int64"),),
+        consts={"category": "action", "event_type": "subagent_spawn"},
+    ),
+    Rule(
+        rule_id="R36_summary",
+        sink="sink_dialogue",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[summary\] of_turns=(?P<of_turns>\d+) tokens=(?P<tokens>\d+)$",),
+        casts=(Cast("of_turns", "int64"), Cast("tokens", "int64")),
+        consts={"category": "dialogue", "event_type": "summary"},
+    ),
+    # ---- v3 tool verbs (disjoint literal verbs after the id prefix) ----
+    Rule(
+        rule_id="R37_tool_cancel",
+        sink="sink_error",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] cancelled id=(?P<call_id>\d+) reason=(?P<reason>[a-z_]+)$",),
+        casts=(Cast("call_id", "int64"),),
+        consts={"category": "error", "event_type": "tool_cancel"},
+    ),
+    Rule(
+        rule_id="R38_tool_stderr",
+        sink="sink_error",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] stderr id=(?P<call_id>\d+) lines=(?P<lines>\d+) tail=(?P<tail>.{0,160})$",),
+        casts=(Cast("call_id", "int64"), Cast("lines", "int64")),
+        consts={"category": "error", "event_type": "tool_stderr"},
+    ),
+    Rule(
+        rule_id="R39_tool_cache",
+        sink="sink_action",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] cached id=(?P<call_id>\d+) age_s=(?P<age_s>\d+) bytes=(?P<bytes>\d+)$",),
+        casts=(Cast("call_id", "int64"), Cast("age_s", "int64"), Cast("bytes", "int64")),
+        consts={"category": "action", "event_type": "tool_cached"},
+    ),
+    # ---- v3 system families ----
+    Rule(
+        rule_id="R40_heartbeat",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[hb\] node=(?P<hb_node>[a-z0-9-]+) lag_ms=(?P<lag_ms>\d+) inflight=(?P<inflight>\d+)$",),
+        casts=(Cast("lag_ms", "int64"), Cast("inflight", "int64")),
+        consts={"category": "telemetry", "event_type": "heartbeat"},
+    ),
+    Rule(
+        # exercises the timestamp:<fmt> converter (the only rule that does)
+        rule_id="R41_checkpoint",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[checkpoint\] id=(?P<ckpt_id>[0-9a-f]{8}) turns=(?P<turns>\d+) bytes=(?P<bytes>\d+) at=(?P<at>\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})$",),
+        casts=(Cast("turns", "int64"), Cast("bytes", "int64"),
+               Cast("at", "timestamp:%Y-%m-%dT%H:%M:%S", "ckpt_ts")),
+        consts={"category": "control", "event_type": "checkpoint"},
+    ),
+    Rule(
+        rule_id="R42_restore",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[restore\] id=(?P<ckpt_id>[0-9a-f]{8}) ok turns=(?P<turns>\d+) dur_ms=(?P<dur_ms>\d+)$",),
+        casts=(Cast("turns", "int64"), Cast("dur_ms", "int64")),
+        consts={"category": "control", "event_type": "restore"},
+    ),
+    Rule(
+        rule_id="R43_schema_change",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[schema\] table=(?P<tbl>[a-z_]+) op=(?P<op>add|drop) field=(?P<field>[a-z_]+)$",),
+        consts={"category": "control", "event_type": "schema_change"},
+    ),
+    Rule(
+        rule_id="R44_warn_context",
+        sink="sink_error",
+        gate={"role": ("system",)},
+        patterns=(r"^WARN context pressure: used_tokens=(?P<used_tokens>\d+) limit_tokens=(?P<limit_tokens>\d+)$",),
+        casts=(Cast("used_tokens", "int64"), Cast("limit_tokens", "int64")),
+        consts={"category": "error", "event_type": "warn_context"},
+    ),
+    Rule(
+        rule_id="R45_warn_oversize",
+        sink="sink_error",
+        gate={"role": ("system",)},
+        patterns=(r"^WARN oversized output: bytes=(?P<bytes>\d+) limit_bytes=(?P<limit_bytes>\d+)$",),
+        casts=(Cast("bytes", "int64"), Cast("limit_bytes", "int64")),
+        consts={"category": "error", "event_type": "warn_oversize"},
+    ),
+    Rule(
+        rule_id="R46_cache_stats",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[cache\] name=(?P<cache_name>[a-z_]+) hits=(?P<hits>\d+) misses=(?P<misses>\d+) evictions=(?P<evictions>\d+)$",),
+        casts=(Cast("hits", "int64"), Cast("misses", "int64"), Cast("evictions", "int64")),
+        consts={"category": "telemetry", "event_type": "cache_stats"},
+    ),
+    Rule(
+        rule_id="R47_sched",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[sched\] queued=(?P<queued>\d+) running=(?P<running>\d+) blocked=(?P<blocked>\d+)$",),
+        casts=(Cast("queued", "int64"), Cast("running", "int64"), Cast("blocked", "int64")),
+        consts={"category": "telemetry", "event_type": "sched"},
+    ),
+    Rule(
+        rule_id="R48_net",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[net\] peer=(?P<peer>[a-z0-9.-]+) sent_kb=(?P<sent_kb>\d+) recv_kb=(?P<recv_kb>\d+) rtt_ms=(?P<rtt_ms>\d+)$",),
+        casts=(Cast("sent_kb", "int64"), Cast("recv_kb", "int64"), Cast("rtt_ms", "int64")),
+        consts={"category": "telemetry", "event_type": "net"},
+    ),
+    Rule(
+        rule_id="R49_auth",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[auth\] user=(?P<auth_user>u[0-9]{4}) method=(?P<auth_method>oauth|apikey|sso) result=(?P<auth_result>ok|denied)$",),
+        consts={"category": "control", "event_type": "auth"},
+    ),
+    Rule(
+        rule_id="R50_billing",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[billing\] credits_used=(?P<credits_used>\d+\.\d+) balance=(?P<balance>\d+\.\d+)$",),
+        casts=(Cast("credits_used", "float64"), Cast("balance", "float64")),
+        consts={"category": "telemetry", "event_type": "billing"},
+    ),
+    Rule(
+        rule_id="R51_model_swap",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[model\] from=(?P<from_model>[a-z0-9-]+) to=(?P<to_model>[a-z0-9-]+) reason=(?P<swap_reason>[a-z_]+)$",),
+        consts={"category": "control", "event_type": "model_swap"},
+    ),
+    Rule(
+        # second multi-line record (span-timer table; same NUL-escape
+        # round-trip contract as R30)
+        rule_id="R52_span_table",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[spans\](?P<span_lines>(?:\nspan=[a-z_]+ dur_us=\d+ ok=(?:true|false))+)$",),
+        consts={"category": "telemetry", "event_type": "span_table"},
+    ),
+    # ---- v3 user families (declared before the R09 catch-all) ----
+    Rule(
+        rule_id="R53_edit",
+        sink="sink_control",
+        gate={"role": ("user",)},
+        patterns=(r"^\[edit\] target_turn=(?P<target_turn>\d+) op=(?P<op>replace|delete)$",),
+        casts=(Cast("target_turn", "int64"),),
+        consts={"category": "control", "event_type": "edit"},
+    ),
+    Rule(
+        rule_id="R54_paste",
+        sink="sink_action",
+        gate={"role": ("user",)},
+        patterns=(r"^\[paste\] lang=(?P<lang>[a-z]+) lines=(?P<lines>\d+) chars=(?P<chars>\d+)$",),
+        casts=(Cast("lines", "int64"), Cast("chars", "int64")),
+        consts={"category": "action", "event_type": "paste"},
+    ),
     Rule(
         rule_id="R09_user_msg",
         sink="sink_dialogue",
@@ -317,14 +507,19 @@ TRANSCRIPT_RULES: list[Rule] = [
 # equality is asserted by the count-parity tests either way.
 _DISPATCH_ORDER = [
     "R01_tool_call", "R11_thinking", "R05_metric", "R12_code_block",
-    "R13_citation", "R14_refusal", "R15_handoff",
-    "R02_tool_result_ok", "R17_tool_progress", "R03_tool_result_err",
-    "R16_tool_retry", "R18_tool_stream", "R04_traceback",
+    "R13_citation", "R33_plan", "R34_memory_op", "R36_summary",
+    "R35_spawn", "R14_refusal", "R15_handoff",
+    "R02_tool_result_ok", "R17_tool_progress", "R16_tool_retry",
+    "R03_tool_result_err", "R18_tool_stream", "R39_tool_cache",
+    "R38_tool_stderr", "R04_traceback", "R37_tool_cancel",
     "R07_sys_prompt", "R20_banner", "R26_session_end", "R06_status",
     "R22_gc", "R30_pool_table", "R24_flush", "R27_warn_slow",
-    "R23_compaction", "R28_quota", "R21_config", "R19_rate_limit",
-    "R25_dropped", "R29_moderation",
-    "R08_user_cmd", "R32_feedback", "R31_attach",
+    "R23_compaction", "R28_quota", "R21_config", "R40_heartbeat",
+    "R19_rate_limit", "R25_dropped", "R29_moderation", "R46_cache_stats",
+    "R47_sched", "R48_net", "R41_checkpoint", "R42_restore",
+    "R43_schema_change", "R44_warn_context", "R45_warn_oversize",
+    "R49_auth", "R50_billing", "R51_model_swap", "R52_span_table",
+    "R08_user_cmd", "R32_feedback", "R31_attach", "R54_paste", "R53_edit",
     "R09_user_msg", "R10_assist_msg", "R99_default",
 ]
 _by_id = {r.rule_id: r for r in TRANSCRIPT_RULES}

@@ -33,6 +33,23 @@ def _load_cases():
                   "expected": {"rule_id": "R99_default", "sink": "sink_unknown",
                                "category": "unknown", "event_type": "unknown",
                                "parse_error": False}})
+    # timestamp:<fmt> converter cases (datetime values can't live in jsonl):
+    # R41 is the one rule with a timestamp cast — happy path and a strptime
+    # failure (regex \d{2} admits month 13; the CONVERTER must reject it)
+    ckpt_base = {"rule_id": "R41_checkpoint", "sink": "sink_control",
+                 "category": "control", "event_type": "checkpoint",
+                 "ckpt_id": "00ff00ff", "turns": 42, "bytes": 100000}
+    cases.append({"text": "[checkpoint] id=00ff00ff turns=42 bytes=100000 "
+                          "at=2026-01-15T12:30:45",
+                  "role": "system", "tool": "",
+                  "expected": {**ckpt_base, "at": "2026-01-15T12:30:45",
+                               "ckpt_ts": datetime.datetime(2026, 1, 15, 12, 30, 45),
+                               "parse_error": False}})
+    cases.append({"text": "[checkpoint] id=00ff00ff turns=42 bytes=100000 "
+                          "at=2026-13-40T25:61:61",
+                  "role": "system", "tool": "",
+                  "expected": {**ckpt_base, "at": "2026-13-40T25:61:61",
+                               "ckpt_ts": None, "parse_error": True}})
     return cases
 
 
