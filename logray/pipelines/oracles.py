@@ -1185,6 +1185,91 @@ ORACLE_SQL["quota_by_tier_transcripts"] = f"""
     FROM cls WHERE rule_id = 'R28_quota' GROUP BY 1
 """
 
+# ---- v3 rule-family oracles (same generated-CASE classify + regexp
+# extraction protocol as the v2 block above) ----
+
+ORACLE_SQL["heartbeat_lag_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'node=([a-z0-9-]+)', 1) AS hb_node,
+           count(*) AS n,
+           max(CAST(regexp_extract(text, 'lag_ms=(\\d+)', 1) AS BIGINT)) AS max_lag_ms,
+           round(avg(CAST(regexp_extract(text, 'inflight=(\\d+)', 1) AS BIGINT)), 6) AS avg_inflight
+    FROM cls WHERE rule_id = 'R40_heartbeat' GROUP BY 1
+"""
+
+ORACLE_SQL["cache_hit_ratio_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    c AS (
+        SELECT regexp_extract(text, 'name=([a-z_]+)', 1) AS cache_name,
+               CAST(regexp_extract(text, 'hits=(\\d+)', 1) AS BIGINT) AS hits,
+               CAST(regexp_extract(text, 'misses=(\\d+)', 1) AS BIGINT) AS misses,
+               CAST(regexp_extract(text, 'evictions=(\\d+)', 1) AS BIGINT) AS evictions
+        FROM cls WHERE rule_id = 'R46_cache_stats')
+    SELECT cache_name, count(*) AS n, sum(hits) AS sum_hits,
+           sum(misses) AS sum_misses, sum(evictions) AS sum_evictions,
+           CAST(sum(hits) AS DOUBLE) / CAST(sum(hits) + sum(misses) AS DOUBLE) AS hit_ratio
+    FROM c GROUP BY cache_name
+"""
+
+ORACLE_SQL["auth_breakdown_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'method=(oauth|apikey|sso)', 1) AS auth_method,
+           count(*) AS n,
+           CAST(sum(CASE WHEN regexp_extract(text, 'result=(ok|denied)', 1) = 'denied'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_denied
+    FROM cls WHERE rule_id = 'R49_auth' GROUP BY 1
+"""
+
+ORACLE_SQL["span_table_extract_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    lines AS (
+        SELECT unnest(string_split(text, chr(10))) AS l
+        FROM cls WHERE rule_id = 'R52_span_table'),
+    spans AS (
+        SELECT regexp_extract(l, '^span=([a-z_]+)', 1) AS span,
+               CAST(regexp_extract(l, 'dur_us=(\\d+)', 1) AS BIGINT) AS dur_us,
+               regexp_extract(l, 'ok=(true|false)', 1) AS ok
+        FROM lines WHERE l LIKE 'span=%')
+    SELECT span, count(*) AS n, sum(dur_us) AS sum_dur_us,
+           CAST(sum(CASE WHEN ok = 'false' THEN 1 ELSE 0 END) AS BIGINT) AS n_fail
+    FROM spans GROUP BY span
+"""
+
+ORACLE_SQL["model_swap_matrix_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'from=([a-z0-9-]+)', 1) AS from_model,
+           regexp_extract(text, 'to=([a-z0-9-]+)', 1) AS to_model,
+           count(*) AS n
+    FROM cls WHERE rule_id = 'R51_model_swap' GROUP BY 1, 2
+"""
+
+ORACLE_SQL["checkpoint_timeline_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    ck AS (
+        SELECT strptime(regexp_extract(text,
+                   'at=(\\d{{4}}-\\d{{2}}-\\d{{2}}T\\d{{2}}:\\d{{2}}:\\d{{2}})', 1),
+                   '%Y-%m-%dT%H:%M:%S') AS ckpt_ts,
+               CAST(regexp_extract(text, 'bytes=(\\d+)', 1) AS BIGINT) AS bytes,
+               CAST(regexp_extract(text, 'turns=(\\d+)', 1) AS BIGINT) AS turns
+        FROM cls WHERE rule_id = 'R41_checkpoint')
+    SELECT date_trunc('day', ckpt_ts) AS ckpt_day, count(*) AS n,
+           sum(bytes) AS sum_bytes, max(turns) AS max_turns
+    FROM ck GROUP BY 1
+"""
+
+ORACLE_SQL["warn_pressure_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT 'warn_context' AS warn_kind, count(*) AS n,
+           max(CAST(regexp_extract(text, 'used_tokens=(\\d+)', 1) AS DOUBLE)
+               / CAST(regexp_extract(text, 'limit_tokens=(\\d+)', 1) AS DOUBLE)) AS max_ratio
+    FROM cls WHERE rule_id = 'R44_warn_context'
+    UNION ALL
+    SELECT 'warn_oversize', count(*),
+           max(CAST(regexp_extract(text, 'bytes=(\\d+)', 1) AS DOUBLE)
+               / CAST(regexp_extract(text, 'limit_bytes=(\\d+)', 1) AS DOUBLE))
+    FROM cls WHERE rule_id = 'R45_warn_oversize'
+"""
+
 ORACLE_SQL["refusal_share_transcripts"] = f"""
     WITH cls AS (SELECT role, {_RULE_CASE} AS rule_id FROM {_CORPUS})
     SELECT CAST(sum(CASE WHEN rule_id = 'R14_refusal' THEN 1 ELSE 0 END) AS BIGINT) AS n_refusal,

@@ -6976,6 +6976,139 @@ def compaction_savings_transcripts(sf_dir: str):
         "sum_kept_tokens": ("kept_tokens", "sum")})
 
 
+# ------------------------------------------------ v3 rule-family queries --
+
+def heartbeat_lag_transcripts(sf_dir: str):
+    """Per-node gossip health from the R40 heartbeat family: event count,
+    worst lag, mean inflight. Grouped partial+final aggregate."""
+    ds = _parse_rule_subset(sf_dir, "R40_heartbeat",
+                            ["hb_node", "lag_ms", "inflight"])
+    out = relational.grouped_agg(ds, ["hb_node"], {
+        "n": ("lag_ms", "count"),
+        "max_lag_ms": ("lag_ms", "max"),
+        "avg_inflight": ("inflight", "mean"),
+    })
+    return out.map_batches(lambda t: _round_col(t, "avg_inflight", 6),
+                           batch_format="pyarrow")
+
+
+def cache_hit_ratio_transcripts(sf_dir: str):
+    """Per-cache efficiency from the R46 family: exact integer hit/miss/
+    eviction sums, plus the derived hit ratio (exact-int sums divided once
+    in the final projection — deterministic double)."""
+    ds = _parse_rule_subset(sf_dir, "R46_cache_stats",
+                            ["cache_name", "hits", "misses", "evictions"])
+    agg = relational.grouped_agg(ds, ["cache_name"], {
+        "n": ("hits", "count"),
+        "sum_hits": ("hits", "sum"),
+        "sum_misses": ("misses", "sum"),
+        "sum_evictions": ("evictions", "sum"),
+    })
+
+    def fin(t: pa.Table) -> pa.Table:
+        ratio = pc.divide(
+            pc.cast(t["sum_hits"], pa.float64()),
+            pc.cast(pc.add(t["sum_hits"], t["sum_misses"]), pa.float64()))
+        return t.append_column("hit_ratio", ratio)
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def auth_breakdown_transcripts(sf_dir: str):
+    """Per-method auth volume and denial count from the R49 family —
+    conditional count via a 0/1 projection summed in the same grouped
+    aggregate (no second pass)."""
+    ds = _parse_rule_subset(sf_dir, "R49_auth", ["auth_method", "auth_result"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "auth_method": t["auth_method"],
+            "denied": pc.cast(pc.equal(t["auth_result"], "denied"), pa.int64()),
+        })
+
+    return relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"), ["auth_method"], {
+            "n": ("denied", "count"), "n_denied": ("denied", "sum")})
+
+
+def span_table_extract_transcripts(sf_dir: str):
+    """Explode the SECOND multi-line record (R52 span-timer table) into
+    per-span rows and aggregate per span name — same vectorized
+    split→flatten→extract_regex shape as the R30 pool table; failures are
+    a conditional sum off the ok=true/false flag."""
+    ds = _parse_rule_subset(sf_dir, "R52_span_table", ["span_lines"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t["span_lines"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern(col, "\n"))
+        flat = flat.filter(pc.starts_with(flat, "span="))
+        st = pc.extract_regex(
+            flat, r"^span=(?P<span>[a-z_]+) dur_us=(?P<dur_us>\d+) ok=(?P<ok>true|false)$")
+        return pa.table({
+            "span": st.field("span"),
+            "dur_us": pc.cast(st.field("dur_us"), pa.int64()),
+            "fail": pc.cast(pc.equal(st.field("ok"), "false"), pa.int64()),
+        })
+
+    return relational.grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["span"], {"n": ("dur_us", "count"), "sum_dur_us": ("dur_us", "sum"),
+                   "n_fail": ("fail", "sum")})
+
+
+def model_swap_matrix_transcripts(sf_dir: str):
+    """from-model × to-model swap transition matrix from the R51 family
+    (which fallbacks fire, and toward which models)."""
+    ds = _parse_rule_subset(sf_dir, "R51_model_swap",
+                            ["from_model", "to_model"])
+    return relational.grouped_agg(ds, ["from_model", "to_model"],
+                                  {"n": ("to_model", "count")})
+
+
+def checkpoint_timeline_transcripts(sf_dir: str):
+    """Daily checkpoint volume from the R41 family — the one rule with a
+    ``timestamp:<fmt>`` converter: the PARSED ckpt_ts (not the envelope
+    ts) is floored to the day and drives the grouped rollup, proving the
+    strptime cast path end-to-end against DuckDB's strptime."""
+    ds = _parse_rule_subset(sf_dir, "R41_checkpoint",
+                            ["ckpt_ts", "bytes", "turns"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ckpt_day": pc.floor_temporal(t["ckpt_ts"], unit="day"),
+            "bytes": t["bytes"], "turns": t["turns"]})
+
+    return relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"), ["ckpt_day"], {
+            "n": ("bytes", "count"), "sum_bytes": ("bytes", "sum"),
+            "max_turns": ("turns", "max")})
+
+
+def warn_pressure_transcripts(sf_dir: str):
+    """Fused rollup of BOTH v3 WARN families (context pressure R44,
+    oversized output R45): one parse pass filters to the pair, each row's
+    pressure ratio is computed from its own family's captures, and a
+    grouped max/count leaves per warn kind. Int/int double division is
+    deterministic, so the ratio value-checks exactly."""
+    ds = _parse_rule_subset(
+        sf_dir, ("R44_warn_context", "R45_warn_oversize"),
+        ["rule_id", "used_tokens", "limit_tokens", "bytes", "limit_bytes"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        is_ctx = pc.equal(t["rule_id"], "R44_warn_context")
+        num = pc.if_else(is_ctx, t["used_tokens"], t["bytes"])
+        den = pc.if_else(is_ctx, t["limit_tokens"], t["limit_bytes"])
+        ratio = pc.divide(pc.cast(num, pa.float64()), pc.cast(den, pa.float64()))
+        kind = pc.if_else(is_ctx, "warn_context", "warn_oversize")
+        return pa.table({"warn_kind": kind, "ratio": ratio})
+
+    return relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"), ["warn_kind"], {
+            "n": ("ratio", "count"), "max_ratio": ("ratio", "max")})
+
+
 def geomean_value_by_type(sf_dir: str):
     """User-defined aggregate through the partial/final machinery
     (extension-surface shape): geometric mean = exp(mean(ln x)) over
@@ -8816,6 +8949,13 @@ QUERIES = {
     "compaction_savings_transcripts": compaction_savings_transcripts,
     "error_streaks_transcripts": error_streaks_transcripts,
     "latency_by_model_transcripts": latency_by_model_transcripts,
+    "heartbeat_lag_transcripts": heartbeat_lag_transcripts,
+    "cache_hit_ratio_transcripts": cache_hit_ratio_transcripts,
+    "auth_breakdown_transcripts": auth_breakdown_transcripts,
+    "span_table_extract_transcripts": span_table_extract_transcripts,
+    "model_swap_matrix_transcripts": model_swap_matrix_transcripts,
+    "checkpoint_timeline_transcripts": checkpoint_timeline_transcripts,
+    "warn_pressure_transcripts": warn_pressure_transcripts,
     # TPC-H classic adaptations (round 3)
     "q4_late_orders_by_priority": q4_late_orders_by_priority,
     "q12_returnflag_priority": q12_returnflag_priority,
