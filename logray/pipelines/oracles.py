@@ -1257,6 +1257,28 @@ ORACLE_SQL["checkpoint_timeline_transcripts"] = f"""
     FROM ck GROUP BY 1
 """
 
+ORACLE_SQL["restore_latency_transcripts"] = f"""
+    WITH cls AS (SELECT conv_id, turn_idx, ts, text, {_RULE_CASE} AS rule_id
+                 FROM {_CORPUS}),
+    ck AS (SELECT conv_id, turn_idx, ts,
+                  regexp_extract(text, 'id=([0-9a-f]{{8}})', 1) AS cid
+           FROM cls WHERE rule_id = 'R41_checkpoint'),
+    rs AS (SELECT conv_id, turn_idx, ts,
+                  regexp_extract(text, 'id=([0-9a-f]{{8}})', 1) AS cid
+           FROM cls WHERE rule_id = 'R42_restore'),
+    pair AS (
+        SELECT r.conv_id, r.turn_idx, r.ts AS rs_ts, max(c.ts) AS ck_ts
+        FROM rs r JOIN ck c
+          ON c.conv_id = r.conv_id AND c.cid = r.cid
+         AND c.turn_idx < r.turn_idx
+        GROUP BY r.conv_id, r.turn_idx, r.ts)
+    SELECT (SELECT count(*) FROM rs) AS n_restores,
+           count(*) AS n_paired,
+           coalesce(CAST(sum(date_diff('microsecond', ck_ts, rs_ts)) AS BIGINT), 0) AS sum_gap_us,
+           coalesce(CAST(max(date_diff('microsecond', ck_ts, rs_ts)) AS BIGINT), 0) AS max_gap_us
+    FROM pair
+"""
+
 ORACLE_SQL["warn_pressure_transcripts"] = f"""
     WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
     SELECT 'warn_context' AS warn_kind, count(*) AS n,

@@ -7086,6 +7086,47 @@ def checkpoint_timeline_transcripts(sf_dir: str):
             "max_turns": ("turns", "max")})
 
 
+def restore_latency_transcripts(sf_dir: str):
+    """Cross-family id correlation (the reference's repair/compaction
+    session-id pairing pattern): each R42 restore replays the most recent
+    PRECEDING R41 checkpoint with the same hex id in its conversation;
+    report global restore count, how many paired, and the exact wall-time
+    gap stats. One conv-bucketed exchange co-locates both families; only
+    4-int partials leave each bucket."""
+    ds = _parse_rule_subset(
+        sf_dir, ("R41_checkpoint", "R42_restore"),
+        ["conv_id", "turn_idx", "rule_id", "ckpt_id", "ts"],
+        read_cols=("conv_id", "turn_idx", "role", "text", "ts"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        ck = df[df["rule_id"] == "R41_checkpoint"]
+        rs = df[df["rule_id"] == "R42_restore"]
+        m = rs.merge(ck, on=["conv_id", "ckpt_id"], suffixes=("", "_ck"))
+        m = m[m["turn_idx_ck"] < m["turn_idx"]]
+        # nearest preceding checkpoint per restore event
+        m = m.sort_values("turn_idx_ck").groupby(
+            ["conv_id", "turn_idx"], sort=False, as_index=False).last()
+        gaps = (m["ts"] - m["ts_ck"]).to_numpy().astype("timedelta64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "n_restores": [np.int64(len(rs))],
+            "n_paired": [np.int64(len(m))],
+            "sum_gap_us": [np.int64(gaps.sum())],
+            "max_gap_us": [np.int64(gaps.max()) if len(m) else np.int64(0)],
+        })
+
+    partials = window._bucketed_apply(ds, "conv_id", per_bucket)
+    prepped = partials.map_batches(
+        lambda t: t.append_column("k", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    agg = relational.grouped_agg(prepped, ["k"], {
+        "n_restores": ("n_restores", "sum"),
+        "n_paired": ("n_paired", "sum"),
+        "sum_gap_us": ("sum_gap_us", "sum"),
+        "max_gap_us": ("max_gap_us", "max")})
+    return agg.map_batches(lambda t: t.drop(["k"]), batch_format="pyarrow")
+
+
 def warn_pressure_transcripts(sf_dir: str):
     """Fused rollup of BOTH v3 WARN families (context pressure R44,
     oversized output R45): one parse pass filters to the pair, each row's
@@ -8956,6 +8997,7 @@ QUERIES = {
     "model_swap_matrix_transcripts": model_swap_matrix_transcripts,
     "checkpoint_timeline_transcripts": checkpoint_timeline_transcripts,
     "warn_pressure_transcripts": warn_pressure_transcripts,
+    "restore_latency_transcripts": restore_latency_transcripts,
     # TPC-H classic adaptations (round 3)
     "q4_late_orders_by_priority": q4_late_orders_by_priority,
     "q12_returnflag_priority": q12_returnflag_priority,
