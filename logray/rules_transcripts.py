@@ -454,6 +454,176 @@ TRANSCRIPT_RULES: list[Rule] = [
         patterns=(r"^\[spans\](?P<span_lines>(?:\nspan=[a-z_]+ dur_us=\d+ ok=(?:true|false))+)$",),
         consts={"category": "telemetry", "event_type": "span_table"},
     ),
+    # ---- v4 assistant families ----
+    Rule(
+        rule_id="R55_delegate",
+        sink="sink_control",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[delegate\] agent=(?P<agent>[a-z_]+) verdict=(?P<verdict>accept|revise) score=(?P<score>\d+\.\d+)$",),
+        casts=(Cast("score", "float64"),),
+        consts={"category": "control", "event_type": "delegate_result"},
+    ),
+    Rule(
+        rule_id="R56_draft",
+        sink="sink_dialogue",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[draft\] version=(?P<version>\d+) tokens=(?P<tokens>\d+)$",),
+        casts=(Cast("version", "int64"), Cast("tokens", "int64")),
+        consts={"category": "dialogue", "event_type": "draft"},
+    ),
+    Rule(
+        # prose-form rule (like R14): no bracket tag, leading literal only
+        rule_id="R57_clarify",
+        sink="sink_dialogue",
+        gate={"role": ("assistant",)},
+        patterns=(r"^Could you clarify (?P<clarify_topic>.{1,80})\?$",),
+        consts={"category": "dialogue", "event_type": "clarify"},
+    ),
+    Rule(
+        rule_id="R58_search_memory",
+        sink="sink_action",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[search_memory\] q=(?P<q>.{1,80}) hits=(?P<hits>\d+)$",),
+        casts=(Cast("hits", "int64"),),
+        consts={"category": "action", "event_type": "memory_search"},
+    ),
+    # ---- v4 tool verbs ----
+    Rule(
+        rule_id="R59_tool_denied",
+        sink="sink_error",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] denied id=(?P<call_id>\d+) policy=(?P<policy>[a-z_]+)$",),
+        casts=(Cast("call_id", "int64"),),
+        consts={"category": "error", "event_type": "tool_denied"},
+    ),
+    Rule(
+        rule_id="R60_tool_timeout",
+        sink="sink_error",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] timeout id=(?P<call_id>\d+) after_ms=(?P<after_ms>\d+)$",),
+        casts=(Cast("call_id", "int64"), Cast("after_ms", "int64")),
+        consts={"category": "error", "event_type": "tool_timeout"},
+    ),
+    Rule(
+        rule_id="R61_tool_stats",
+        sink="sink_telemetry",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] stats id=(?P<call_id>\d+) cpu_ms=(?P<cpu_ms>\d+) mem_mb=(?P<mem_mb>\d+)$",),
+        casts=(Cast("call_id", "int64"), Cast("cpu_ms", "int64"), Cast("mem_mb", "int64")),
+        consts={"category": "telemetry", "event_type": "tool_stats"},
+    ),
+    # ---- v4 system families ----
+    Rule(
+        rule_id="R62_env",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[env\] os=(?P<os>[a-z]+) arch=(?P<arch>x86_64|arm64) cpus=(?P<cpus>\d+) mem_gb=(?P<mem_gb>\d+)$",),
+        casts=(Cast("cpus", "int64"), Cast("mem_gb", "int64")),
+        consts={"category": "control", "event_type": "env"},
+    ),
+    Rule(
+        rule_id="R63_plugin",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[plugin\] name=(?P<plugin>[a-z_]+) version=(?P<pversion>\d+\.\d+\.\d+) loaded_ms=(?P<loaded_ms>\d+)$",),
+        casts=(Cast("loaded_ms", "int64"),),
+        consts={"category": "control", "event_type": "plugin_load"},
+    ),
+    Rule(
+        rule_id="R64_migration",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[migrate\] from_schema=(?P<from_schema>\d+) to_schema=(?P<to_schema>\d+) rows=(?P<rows>\d+)$",),
+        casts=(Cast("from_schema", "int64"), Cast("to_schema", "int64"), Cast("rows", "int64")),
+        consts={"category": "control", "event_type": "migration"},
+    ),
+    Rule(
+        rule_id="R65_replay",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[replay\] events=(?P<events>\d+) skipped=(?P<skipped>\d+) dur_ms=(?P<dur_ms>\d+)$",),
+        casts=(Cast("events", "int64"), Cast("skipped", "int64"), Cast("dur_ms", "int64")),
+        consts={"category": "control", "event_type": "replay"},
+    ),
+    Rule(
+        rule_id="R66_leader",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[leader\] term=(?P<term>\d+) node=(?P<hb_node>[a-z0-9-]+) elected$",),
+        casts=(Cast("term", "int64"),),
+        consts={"category": "control", "event_type": "leader_elect"},
+    ),
+    Rule(
+        # third WARN-prefixed family: disjoint literal after 'WARN '
+        rule_id="R67_warn_backpressure",
+        sink="sink_error",
+        gate={"role": ("system",)},
+        patterns=(r"^WARN backpressure: queue=(?P<queue_name>[a-z_]+) depth=(?P<depth>\d+) bp_limit=(?P<bp_limit>\d+)$",),
+        casts=(Cast("depth", "int64"), Cast("bp_limit", "int64")),
+        consts={"category": "error", "event_type": "warn_backpressure"},
+    ),
+    Rule(
+        rule_id="R68_disk",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[disk\] path=(?P<path>/[a-z0-9/_.-]*) used_gb=(?P<used_gb>\d+) free_gb=(?P<free_gb>\d+)$",),
+        casts=(Cast("used_gb", "int64"), Cast("free_gb", "int64")),
+        consts={"category": "telemetry", "event_type": "disk"},
+    ),
+    Rule(
+        rule_id="R69_audit",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[audit\] actor=(?P<auth_user>u[0-9]{4}) action=(?P<action>read|write|delete) resource=(?P<resource>[a-z0-9/_.-]+)$",),
+        consts={"category": "control", "event_type": "audit"},
+    ),
+    Rule(
+        rule_id="R70_warn_deprecated",
+        sink="sink_error",
+        gate={"role": ("system",)},
+        patterns=(r"^WARN deprecated: feature=(?P<feature>[a-z0-9_]+) removal=(?P<removal>\d+\.\d+)$",),
+        casts=(Cast("removal", "float64"),),
+        consts={"category": "error", "event_type": "warn_deprecated"},
+    ),
+    Rule(
+        # THIRD multi-line record: exported latency histogram buckets
+        rule_id="R71_latency_histo",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[latency\](?P<bucket_lines>(?:\nbucket=le_\d+ms count=\d+)+)$",),
+        consts={"category": "telemetry", "event_type": "latency_histo"},
+    ),
+    Rule(
+        rule_id="R72_throttle",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[throttle\] component=(?P<component>[a-z_]+) action=(?P<action>pause|resume) ms=(?P<ms>\d+)$",),
+        casts=(Cast("ms", "int64"),),
+        consts={"category": "telemetry", "event_type": "throttle"},
+    ),
+    Rule(
+        rule_id="R73_anomaly",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[anomaly\] metric=(?P<metric>[a-z0-9_]+) zscore=(?P<zscore>-?\d+\.\d+) window_s=(?P<window_s>\d+)$",),
+        casts=(Cast("zscore", "float64"), Cast("window_s", "int64")),
+        consts={"category": "telemetry", "event_type": "anomaly"},
+    ),
+    # ---- v4 user families ----
+    Rule(
+        rule_id="R74_consent",
+        sink="sink_control",
+        gate={"role": ("user",)},
+        patterns=(r"^\[consent\] scope=(?P<scope>[a-z_]+) granted=(?P<granted>true|false)$",),
+        consts={"category": "control", "event_type": "consent"},
+    ),
+    Rule(
+        rule_id="R75_locale",
+        sink="sink_control",
+        gate={"role": ("user",)},
+        patterns=(r"^\[locale\] lang=(?P<lang>[a-z]{2}) region=(?P<region>[A-Z]{2})$",),
+        consts={"category": "control", "event_type": "locale"},
+    ),
     # ---- v3 user families (declared before the R09 catch-all) ----
     Rule(
         rule_id="R53_edit",
@@ -509,9 +679,11 @@ _DISPATCH_ORDER = [
     "R01_tool_call", "R11_thinking", "R05_metric", "R12_code_block",
     "R13_citation", "R33_plan", "R34_memory_op", "R36_summary",
     "R35_spawn", "R14_refusal", "R15_handoff",
+    "R55_delegate", "R56_draft", "R57_clarify", "R58_search_memory",
     "R02_tool_result_ok", "R17_tool_progress", "R16_tool_retry",
     "R03_tool_result_err", "R18_tool_stream", "R39_tool_cache",
     "R38_tool_stderr", "R04_traceback", "R37_tool_cancel",
+    "R60_tool_timeout", "R59_tool_denied", "R61_tool_stats",
     "R07_sys_prompt", "R20_banner", "R26_session_end", "R06_status",
     "R22_gc", "R30_pool_table", "R24_flush", "R27_warn_slow",
     "R23_compaction", "R28_quota", "R21_config", "R40_heartbeat",
@@ -519,7 +691,11 @@ _DISPATCH_ORDER = [
     "R47_sched", "R48_net", "R41_checkpoint", "R42_restore",
     "R43_schema_change", "R44_warn_context", "R45_warn_oversize",
     "R49_auth", "R50_billing", "R51_model_swap", "R52_span_table",
+    "R62_env", "R63_plugin", "R64_migration", "R65_replay", "R66_leader",
+    "R67_warn_backpressure", "R68_disk", "R69_audit", "R70_warn_deprecated",
+    "R71_latency_histo", "R72_throttle", "R73_anomaly",
     "R08_user_cmd", "R32_feedback", "R31_attach", "R54_paste", "R53_edit",
+    "R74_consent", "R75_locale",
     "R09_user_msg", "R10_assist_msg", "R99_default",
 ]
 _by_id = {r.rule_id: r for r in TRANSCRIPT_RULES}
