@@ -1257,6 +1257,82 @@ ORACLE_SQL["checkpoint_timeline_transcripts"] = f"""
     FROM ck GROUP BY 1
 """
 
+# ---- v4 rule-family oracles ----
+
+ORACLE_SQL["tool_cost_stats_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, '^\\[tool:([a-z_]+)\\]', 1) AS tool_name,
+           count(*) AS n,
+           sum(CAST(regexp_extract(text, 'cpu_ms=(\\d+)', 1) AS BIGINT)) AS sum_cpu_ms,
+           max(CAST(regexp_extract(text, 'mem_mb=(\\d+)', 1) AS BIGINT)) AS max_mem_mb,
+           round(avg(CAST(regexp_extract(text, 'cpu_ms=(\\d+)', 1) AS BIGINT)), 6) AS avg_cpu_ms
+    FROM cls WHERE rule_id = 'R61_tool_stats' GROUP BY 1
+"""
+
+ORACLE_SQL["audit_breakdown_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'action=(read|write|delete)', 1) AS action,
+           count(*) AS n,
+           CAST(count(DISTINCT regexp_extract(text, 'actor=(u[0-9]+)', 1)) AS BIGINT) AS n_actors
+    FROM cls WHERE rule_id = 'R69_audit' GROUP BY 1
+"""
+
+ORACLE_SQL["plugin_load_stats_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'name=([a-z_]+)', 1) AS plugin,
+           count(*) AS n,
+           max(CAST(regexp_extract(text, 'loaded_ms=(\\d+)', 1) AS BIGINT)) AS max_loaded_ms,
+           round(avg(CAST(regexp_extract(text, 'loaded_ms=(\\d+)', 1) AS BIGINT)), 6) AS avg_loaded_ms
+    FROM cls WHERE rule_id = 'R63_plugin' GROUP BY 1
+"""
+
+ORACLE_SQL["latency_histo_extract_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    lines AS (
+        SELECT unnest(string_split(text, chr(10))) AS l
+        FROM cls WHERE rule_id = 'R71_latency_histo'),
+    b AS (
+        SELECT CAST(regexp_extract(l, 'le_(\\d+)ms', 1) AS BIGINT) AS edge_ms,
+               CAST(regexp_extract(l, 'count=(\\d+)', 1) AS BIGINT) AS count
+        FROM lines WHERE l LIKE 'bucket=%')
+    SELECT edge_ms, count(*) AS n, sum(count) AS sum_count
+    FROM b GROUP BY edge_ms
+"""
+
+ORACLE_SQL["leader_terms_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'node=([a-z0-9-]+)', 1) AS hb_node,
+           count(*) AS n_elections,
+           max(CAST(regexp_extract(text, 'term=(\\d+)', 1) AS BIGINT)) AS max_term
+    FROM cls WHERE rule_id = 'R66_leader' GROUP BY 1
+"""
+
+ORACLE_SQL["consent_rates_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'scope=([a-z_]+)', 1) AS scope,
+           count(*) AS n,
+           CAST(sum(CASE WHEN regexp_extract(text, 'granted=(true|false)', 1) = 'true'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_granted
+    FROM cls WHERE rule_id = 'R74_consent' GROUP BY 1
+"""
+
+ORACLE_SQL["disk_pressure_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'path=(/[a-z0-9/_.-]*)', 1) AS path,
+           count(*) AS n,
+           max(CAST(regexp_extract(text, 'used_gb=(\\d+)', 1) AS BIGINT)) AS max_used_gb,
+           min(CAST(regexp_extract(text, 'free_gb=(\\d+)', 1) AS BIGINT)) AS min_free_gb
+    FROM cls WHERE rule_id = 'R68_disk' GROUP BY 1
+"""
+
+ORACLE_SQL["deprecation_report_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'feature=([a-z0-9_]+)', 1) AS feature,
+           count(*) AS n,
+           min(CAST(regexp_extract(text, 'removal=(\\d+\\.\\d+)', 1) AS DOUBLE)) AS min_removal
+    FROM cls WHERE rule_id = 'R70_warn_deprecated' GROUP BY 1
+"""
+
 ORACLE_SQL["restore_latency_transcripts"] = f"""
     WITH cls AS (SELECT conv_id, turn_idx, ts, text, {_RULE_CASE} AS rule_id
                  FROM {_CORPUS}),

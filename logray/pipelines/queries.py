@@ -6976,6 +6976,105 @@ def compaction_savings_transcripts(sf_dir: str):
         "sum_kept_tokens": ("kept_tokens", "sum")})
 
 
+# ------------------------------------------------ v4 rule-family queries --
+
+def tool_cost_stats_transcripts(sf_dir: str):
+    """Per-tool resource accounting from the R61 stats family."""
+    ds = _parse_rule_subset(sf_dir, "R61_tool_stats",
+                            ["tool_name", "cpu_ms", "mem_mb"])
+    out = relational.grouped_agg(ds, ["tool_name"], {
+        "n": ("cpu_ms", "count"),
+        "sum_cpu_ms": ("cpu_ms", "sum"),
+        "max_mem_mb": ("mem_mb", "max"),
+        "avg_cpu_ms": ("cpu_ms", "mean"),
+    })
+    return out.map_batches(lambda t: _round_col(t, "avg_cpu_ms", 6),
+                           batch_format="pyarrow")
+
+
+def audit_breakdown_transcripts(sf_dir: str):
+    """Per-action audit volume and distinct-actor count from the R69
+    family — grouped count-distinct via the two-level aggregate."""
+    ds = _parse_rule_subset(sf_dir, "R69_audit", ["action", "auth_user"])
+    pairs = relational.grouped_agg(ds, ["action", "auth_user"],
+                                   {"n": ("auth_user", "count")})
+    return relational.grouped_agg(pairs, ["action"], {
+        "n": ("n", "sum"), "n_actors": ("n", "count")})
+
+
+def plugin_load_stats_transcripts(sf_dir: str):
+    """Per-plugin load telemetry from the R63 family."""
+    ds = _parse_rule_subset(sf_dir, "R63_plugin", ["plugin", "loaded_ms"])
+    out = relational.grouped_agg(ds, ["plugin"], {
+        "n": ("loaded_ms", "count"),
+        "max_loaded_ms": ("loaded_ms", "max"),
+        "avg_loaded_ms": ("loaded_ms", "mean"),
+    })
+    return out.map_batches(lambda t: _round_col(t, "avg_loaded_ms", 6),
+                           batch_format="pyarrow")
+
+
+def latency_histo_extract_transcripts(sf_dir: str):
+    """Explode the THIRD multi-line record (R71 latency histogram) into
+    per-bucket rows and sum counts per bucket edge."""
+    ds = _parse_rule_subset(sf_dir, "R71_latency_histo", ["bucket_lines"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t["bucket_lines"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern(col, "\n"))
+        flat = flat.filter(pc.starts_with(flat, "bucket="))
+        st = pc.extract_regex(flat, r"^bucket=le_(?P<edge_ms>\d+)ms count=(?P<count>\d+)$")
+        return pa.table({
+            "edge_ms": pc.cast(st.field("edge_ms"), pa.int64()),
+            "count": pc.cast(st.field("count"), pa.int64()),
+        })
+
+    return relational.grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["edge_ms"], {"n": ("count", "count"), "sum_count": ("count", "sum")})
+
+
+def leader_terms_transcripts(sf_dir: str):
+    """Per-node election tally from the R66 family."""
+    ds = _parse_rule_subset(sf_dir, "R66_leader", ["hb_node", "term"])
+    return relational.grouped_agg(ds, ["hb_node"], {
+        "n_elections": ("term", "count"), "max_term": ("term", "max")})
+
+
+def consent_rates_transcripts(sf_dir: str):
+    """Per-scope consent counts from the R74 user family."""
+    ds = _parse_rule_subset(sf_dir, "R74_consent", ["scope", "granted"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "scope": t["scope"],
+            "granted": pc.cast(pc.equal(t["granted"], "true"), pa.int64())})
+
+    return relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"), ["scope"], {
+            "n": ("granted", "count"), "n_granted": ("granted", "sum")})
+
+
+def disk_pressure_transcripts(sf_dir: str):
+    """Per-path disk pressure from the R68 family."""
+    ds = _parse_rule_subset(sf_dir, "R68_disk", ["path", "used_gb", "free_gb"])
+    return relational.grouped_agg(ds, ["path"], {
+        "n": ("used_gb", "count"),
+        "max_used_gb": ("used_gb", "max"),
+        "min_free_gb": ("free_gb", "min")})
+
+
+def deprecation_report_transcripts(sf_dir: str):
+    """Per-feature deprecation pressure from the R70 WARN family: warning
+    volume and the earliest announced removal version."""
+    ds = _parse_rule_subset(sf_dir, "R70_warn_deprecated",
+                            ["feature", "removal"])
+    return relational.grouped_agg(ds, ["feature"], {
+        "n": ("removal", "count"), "min_removal": ("removal", "min")})
+
+
 # ------------------------------------------------ v3 rule-family queries --
 
 def heartbeat_lag_transcripts(sf_dir: str):
@@ -8998,6 +9097,14 @@ QUERIES = {
     "checkpoint_timeline_transcripts": checkpoint_timeline_transcripts,
     "warn_pressure_transcripts": warn_pressure_transcripts,
     "restore_latency_transcripts": restore_latency_transcripts,
+    "tool_cost_stats_transcripts": tool_cost_stats_transcripts,
+    "audit_breakdown_transcripts": audit_breakdown_transcripts,
+    "plugin_load_stats_transcripts": plugin_load_stats_transcripts,
+    "latency_histo_extract_transcripts": latency_histo_extract_transcripts,
+    "leader_terms_transcripts": leader_terms_transcripts,
+    "consent_rates_transcripts": consent_rates_transcripts,
+    "disk_pressure_transcripts": disk_pressure_transcripts,
+    "deprecation_report_transcripts": deprecation_report_transcripts,
     # TPC-H classic adaptations (round 3)
     "q4_late_orders_by_priority": q4_late_orders_by_priority,
     "q12_returnflag_priority": q12_returnflag_priority,
