@@ -103,6 +103,15 @@ EXTENDED_QUERIES = [
     "ppm_resize_dims_media",
     "max_lineitem_per_order",
     "label_centroids_embeddings",
+    # round-3 late additions (76-rule v3/v4 table families: multi-line
+    # explodes, timestamp-converter rollup, cross-family id pairing)
+    "span_table_extract_transcripts",
+    "latency_histo_extract_transcripts",
+    "checkpoint_timeline_transcripts",
+    "restore_latency_transcripts",
+    "cache_hit_ratio_transcripts",
+    "audit_breakdown_transcripts",
+    "warn_pressure_transcripts",
 ]
 
 
