@@ -139,6 +139,24 @@ def compile_re2_like(pattern: str) -> re.Pattern:
 
 _META = set(".^$*+?{}[]()|\\")
 
+# fully-anchored single-group dot-run pattern — ^(?P<g>.{m,n})$ / .* / .+ —
+# semantically: no newline anywhere (RE2 '.' excludes \n) and rune length
+# within [m,n]; the capture is the whole text. Compiled to vectorized
+# utf8_length + match_substring kernels instead of RE2 (the catch-all rules
+# of a log table route MOST rows, so this is the hottest pattern shape).
+_TRIVIAL_DOTRUN = re.compile(
+    r"^\^\(\?P<([A-Za-z_]\w*)>\.(?:\{(\d+),(\d+)\}|([*+]))\)\$$")
+
+
+def _trivial_spec(pattern: str) -> tuple[str, int, int] | None:
+    m = _TRIVIAL_DOTRUN.match(pattern)
+    if m is None:
+        return None
+    name, lo, hi, star = m.groups()
+    if star is not None:
+        return (name, 0 if star == "*" else 1, -1)
+    return (name, int(lo), int(hi))
+
 
 def _literal_prefix(pattern: str) -> str:
     r"""Longest REQUIRED literal prefix of an anchored pattern — the cheap
@@ -185,6 +203,43 @@ def _re2_ok(pattern: str) -> bool:
         return False
 
 
+class _NullPool:
+    """Zero-copy null runs: one cached all-null array per type, sliced per
+    run. ``pa.nulls`` allocates (and the kernel zeroes) a full data buffer
+    every call — across a 150-column union schema that is ~100 MB of fresh
+    pages per batch, measured as the dominant assembly cost."""
+
+    def __init__(self) -> None:
+        self._pool: dict[pa.DataType, pa.Array] = {}
+
+    def run(self, typ: pa.DataType, n: int) -> pa.Array:
+        arr = self._pool.get(typ)
+        if arr is None or len(arr) < n:
+            size = max(n, 2 * len(arr) if arr is not None else n)
+            arr = pa.nulls(size, typ)
+            self._pool[typ] = arr
+        return arr.slice(0, n)
+
+
+def _col_from_spans(spans: list[tuple[int, pa.Array]], total: int,
+                    typ: pa.DataType, pool: _NullPool) -> pa.ChunkedArray:
+    """Assemble one output column from (start_offset, values) spans owned by
+    few rules; gaps between spans become null runs. Spans must be ordered
+    and non-overlapping (they are: emits are visited in output order).
+    Returns a CHUNKED array — no buffer is copied or allocated for null
+    runs; Table columns are chunked anyway."""
+    arrays: list[pa.Array] = []
+    pos = 0
+    for off, vals in spans:
+        if off > pos:
+            arrays.append(pool.run(typ, off - pos))
+        arrays.append(vals if vals.type == typ else pc.cast(vals, typ))
+        pos = off + len(vals)
+    if pos < total:
+        arrays.append(pool.run(typ, total - pos))
+    return pa.chunked_array(arrays, typ)
+
+
 @dataclass
 class CompiledRule:
     rule: Rule
@@ -194,6 +249,17 @@ class CompiledRule:
     # per-arrow-pattern required literal prefix ('' = none): pc.starts_with
     # gate before the regex — the pattern-trie dispatch, vectorized
     arrow_prefixes: tuple[str, ...] = ()
+    # required literal prefixes of ALL patterns (arrow + py), for the
+    # batch-level trie dispatch; None when any pattern lacks one (the rule
+    # must then see every remaining row)
+    dispatch_prefixes: tuple[str, ...] | None = None
+    # per-arrow-pattern (name, min_len, max_len|-1) when the pattern is a
+    # trivial anchored dot-run — executed with length kernels, not RE2
+    arrow_trivial: tuple[tuple[str, int, int] | None, ...] = ()
+    # filled by RuleSet.__init__ (needs the union schema): the output
+    # columns this rule can own, and its casts keyed by destination
+    out_fields: tuple[str, ...] = ()
+    cast_by_dst: Mapping[str, Cast] = field(default_factory=dict)
 
     @property
     def is_default(self) -> bool:
@@ -205,16 +271,24 @@ def _compile_rule(rule: Rule) -> CompiledRule:
     arrow_pats: list[str] = []
     arrow_prefixes: list[str] = []
     py_pats: list[re.Pattern] = []
+    disp: list[str] = []
+    trivial: list[tuple[str, int, int] | None] = []
+    dispatchable = bool(rule.patterns)
     for p in rule.patterns:
         rx = compile_re2_like(p)
         for g in rx.groupindex:
             if g not in captures:
                 captures.append(g)
+        pre = _literal_prefix(p)
+        if pre:
+            disp.append(pre)
+        else:
+            dispatchable = False
         if _re2_ok(p):
             arrow_pats.append(p)
             # a 1-char prefix gate costs more than it saves; require >= 2
-            pre = _literal_prefix(p)
             arrow_prefixes.append(pre if len(pre) >= 2 else "")
+            trivial.append(_trivial_spec(p))
         else:
             py_pats.append(rx)
     cast_srcs = {c.src for c in rule.casts}
@@ -222,7 +296,9 @@ def _compile_rule(rule: Rule) -> CompiledRule:
     if missing and rule.patterns:
         raise ValueError(f"rule {rule.rule_id}: casts reference unknown captures {missing}")
     return CompiledRule(rule, tuple(captures), tuple(arrow_pats), tuple(py_pats),
-                        tuple(arrow_prefixes))
+                        tuple(arrow_prefixes),
+                        tuple(disp) if dispatchable else None,
+                        tuple(trivial))
 
 
 def _safe_cast(arr: pa.Array, cast: Cast) -> tuple[pa.Array, np.ndarray]:
@@ -326,6 +402,47 @@ class RuleSet:
         fields += [pa.field(n, capture_types[n]) for n in capture_types]
         fields.append(pa.field("parse_error", pa.bool_()))
         self.schema = pa.schema(fields)
+        # owner metadata: the columns each rule can emit (everything else is
+        # a null run in its output slice) — lets _assemble touch only
+        # O(total owners) pieces instead of O(rules × columns)
+        for cr in self.rules:
+            cbd = {c.dst_field: c for c in cr.rule.casts}
+            cr.cast_by_dst = cbd
+            outs = [d for d in cbd]
+            outs += [g for g in cr.capture_fields
+                     if g not in cbd and capture_types.get(g, None) == pa.string()]
+            cr.out_fields = tuple(outs)
+        # compiled pattern trie (BASELINE.json north_star): group every
+        # rule's required literal prefix by byte length; parse_batch then
+        # classifies each row with ONE binary_slice + hash-table index_in
+        # pass per distinct length, and a rule's regex only ever sees rows
+        # that carry one of its prefixes. Work becomes O(rows × lengths),
+        # not O(rows × rules).
+        # prefix lengths are quantized to a small ladder: each slice +
+        # index_in pass costs ~1.4 ms/87k rows, so 20+ distinct lengths
+        # would eat the dispatch win. Truncating a required prefix keeps
+        # it required (any prefix of a required prefix is required); 8-16
+        # literal bytes are near-unique in practice.
+        _Q = (1, 2, 3, 4, 6, 8, 12, 16)
+        trie: dict[int, dict[bytes, int]] = {}
+        self._rule_disp: list[tuple[tuple[int, int], ...] | None] = []
+        for cr in self.rules:
+            if cr.is_default or cr.dispatch_prefixes is None:
+                self._rule_disp.append(None)
+                continue
+            pairs: list[tuple[int, int]] = []
+            for p in cr.dispatch_prefixes:
+                b = p.encode()
+                qlen = max(q for q in _Q if q <= len(b))
+                b = b[:qlen]
+                d = trie.setdefault(qlen, {})
+                pairs.append((qlen, d.setdefault(b, len(d))))
+            self._rule_disp.append(tuple(pairs))
+        self._trie_sets = {
+            length: pa.array(list(d.keys()), pa.binary())
+            for length, d in trie.items()
+        }
+        self._null_pool = _NullPool()
 
     def sink_columns(self) -> dict[str, set[str]]:
         """Per-sink column allowlist for the fan-out writer (SURVEY.md §7
@@ -349,8 +466,14 @@ class RuleSet:
     def _gate_mask(self, cr: CompiledRule, table: pa.Table, n: int,
                    cache: dict | None = None) -> np.ndarray:
         # gates repeat across rules (e.g. several rules share role=assistant):
-        # memoize each (col, values) is_in scan per batch
-        mask = np.ones(n, dtype=bool)
+        # memoize the COMBINED mask per gate signature per batch (callers
+        # only read it), plus each (col, values) is_in scan underneath
+        sig = tuple(sorted(cr.rule.gate.items()))
+        if cache is not None:
+            cached = cache.get(sig)
+            if cached is not None:
+                return cached
+        mask: np.ndarray | None = None
         for col, values in cr.rule.gate.items():
             key = (col, values)
             m = cache.get(key) if cache is not None else None
@@ -359,7 +482,11 @@ class RuleSet:
                 m = np.asarray(pc.fill_null(ok, False).to_numpy(zero_copy_only=False))
                 if cache is not None:
                     cache[key] = m
-            mask &= m
+            mask = m if mask is None else (mask & m)
+        if mask is None:
+            mask = np.ones(n, dtype=bool)
+        if cache is not None:
+            cache[sig] = mask
         return mask
 
     def _extract(self, cr: CompiledRule, text: pa.ChunkedArray | pa.Array, idx: np.ndarray
@@ -374,7 +501,8 @@ class RuleSet:
         remaining = np.arange(len(idx))
         matched_pos: list[np.ndarray] = []
         matched_caps: list[dict[str, pa.Array]] = []
-        for pat, prefix in zip(cr.arrow_patterns, cr.arrow_prefixes):
+        for pat, prefix, triv in zip(cr.arrow_patterns, cr.arrow_prefixes,
+                                     cr.arrow_trivial):
             if len(remaining) == 0:
                 break
             s = sub.take(pa.array(remaining)) if len(remaining) != len(sub) else sub
@@ -400,18 +528,39 @@ class RuleSet:
                     use_prefix = True
                     s = s.take(pa.array(cand_local))
                     cand = remaining[cand_local]
-            struct = pc.extract_regex(s, pat)
-            valid = np.asarray(struct.is_valid())
+            if triv is None:
+                struct = pc.extract_regex(s, pat)
+                valid = np.asarray(struct.is_valid())
+            else:
+                # anchored dot-run fast path: no newline + rune length in
+                # range; the capture is the text itself (no RE2 run)
+                struct = None
+                ln = pc.utf8_length(s)
+                ok = pc.greater_equal(ln, pa.scalar(triv[1], ln.type))
+                if triv[2] >= 0:
+                    ok = pc.and_kleene(
+                        ok, pc.less_equal(ln, pa.scalar(triv[2], ln.type)))
+                ok = pc.and_kleene(
+                    ok, pc.invert(pc.match_substring(s, "\n")))
+                valid = np.asarray(
+                    pc.fill_null(ok, False).to_numpy(zero_copy_only=False))
             hit_local = np.flatnonzero(valid)
             if len(hit_local):
                 hit = cand[hit_local]
                 caps = {}
-                names = {f.name for f in struct.type}
-                for g in cr.capture_fields:
-                    if g in names:
-                        caps[g] = struct.field(g).take(pa.array(hit_local))
-                    else:
-                        caps[g] = pa.nulls(len(hit_local), pa.string())
+                if struct is not None:
+                    names = {f.name for f in struct.type}
+                    for g in cr.capture_fields:
+                        if g in names:
+                            caps[g] = struct.field(g).take(pa.array(hit_local))
+                        else:
+                            caps[g] = pa.nulls(len(hit_local), pa.string())
+                else:
+                    for g in cr.capture_fields:
+                        if g == triv[0]:
+                            caps[g] = s.take(pa.array(hit_local))
+                        else:
+                            caps[g] = pa.nulls(len(hit_local), pa.string())
                 matched_pos.append(hit)
                 matched_caps.append(caps)
                 if use_prefix:
@@ -466,12 +615,12 @@ class RuleSet:
             schema = schema.append(pa.field(c, table.schema.field(c).type))
         return schema
 
-    @staticmethod
-    def _concat_pieces(pieces: list[tuple[int, pa.Array | None]],
-                       typ: pa.DataType) -> pa.Array:
+    def _concat_pieces(self, pieces: list[tuple[int, pa.Array | None]],
+                       typ: pa.DataType) -> pa.ChunkedArray:
         """Assemble one output column from ordered (length, values|None)
         pieces, coalescing adjacent null runs — a column owned by few rules
-        costs O(owners) arrays, not O(rules)."""
+        costs O(owners) arrays, not O(rules). Chunked output: null runs are
+        zero-copy slices of the shared pool, nothing is concatenated."""
         arrays: list[pa.Array] = []
         null_run = 0
         for n, vals in pieces:
@@ -481,14 +630,12 @@ class RuleSet:
                 null_run += n
                 continue
             if null_run:
-                arrays.append(pa.nulls(null_run, typ))
+                arrays.append(self._null_pool.run(typ, null_run))
                 null_run = 0
             arrays.append(vals if vals.type == typ else pc.cast(vals, typ))
         if null_run:
-            arrays.append(pa.nulls(null_run, typ))
-        if not arrays:
-            return pa.nulls(0, typ)
-        return pa.concat_arrays(arrays) if len(arrays) > 1 else arrays[0]
+            arrays.append(self._null_pool.run(typ, null_run))
+        return pa.chunked_array(arrays, typ)
 
     def _assemble(self, table: pa.Table,
                   emits: list[tuple[CompiledRule, np.ndarray, dict[str, pa.Array]]],
@@ -516,27 +663,31 @@ class RuleSet:
                 [(n, pa.repeat(pa.scalar(v, pa.string()), n)
                   if (v := cr.rule.consts.get(f)) is not None else None)
                  for (cr, _, _), n in zip(emits, counts)], pa.string()))
-        # typed capture/cast columns + the parse_error union
+        # typed capture/cast columns + the parse_error union. Each emit only
+        # visits the columns its rule OWNS (precomputed out_fields); other
+        # columns get their null run reconstructed from span offsets — cost
+        # is O(total owner pieces + columns), not O(rules × columns).
         err_parts: list[np.ndarray] = []
-        cap_pieces: dict[str, list[tuple[int, pa.Array | None]]] = {
+        cap_spans: dict[str, list[tuple[int, pa.Array]]] = {
             name: [] for name in self.capture_fields}
+        offset = 0
         for (cr, _, caps), n in zip(emits, counts):
             err = np.zeros(n, dtype=bool)
-            cast_by_dst = {c.dst_field: c for c in cr.rule.casts}
-            for name in self.capture_fields:
-                piece: pa.Array | None = None
-                if name in cast_by_dst:
-                    c = cast_by_dst[name]
+            for name in cr.out_fields:
+                c = cr.cast_by_dst.get(name)
+                if c is not None:
                     if c.src in caps:
                         piece, e = _safe_cast(caps[c.src], c)
                         err |= e
-                elif name in caps and self.schema.field(name).type == pa.string():
-                    piece = caps[name]
-                cap_pieces[name].append((n, piece))
+                        cap_spans[name].append((offset, piece))
+                elif name in caps:
+                    cap_spans[name].append((offset, caps[name]))
             err_parts.append(err)
+            offset += n
         for name in self.capture_fields:
-            cols.append(self._concat_pieces(cap_pieces[name],
-                                            self.schema.field(name).type))
+            cols.append(_col_from_spans(cap_spans[name], offset,
+                                        self.schema.field(name).type,
+                                        self._null_pool))
         cols.append(pa.array(np.concatenate(err_parts)
                              if err_parts else np.zeros(0, bool)))
         for c in extra_cols:
@@ -562,25 +713,63 @@ class RuleSet:
         text = table[text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
+        # trie dispatch: one byte-slice + hash lookup per DISTINCT prefix
+        # length classifies every row once (computed lazily per length);
+        # each prefixed rule then reduces its candidate set to rows whose
+        # leading bytes equal one of its prefixes before any regex or take.
+        text_bin: pa.Array | None = None
+        trie_buckets: dict[int, list[np.ndarray]] = {}
+
+        def _buckets(length: int) -> list[np.ndarray]:
+            """Row indices per trie prefix of this length, computed once:
+            slice + hash lookup + stable argsort-split. Per-rule candidate
+            selection is then O(bucket size), not O(batch)."""
+            nonlocal text_bin
+            bs = trie_buckets.get(length)
+            if bs is None:
+                if text_bin is None:
+                    text_bin = pc.cast(text, pa.binary())  # zero-copy view
+                sl = pc.binary_slice(text_bin, 0, length)
+                mi = pc.index_in(sl, value_set=self._trie_sets[length])
+                col = np.asarray(
+                    pc.fill_null(mi, -1).to_numpy(zero_copy_only=False))
+                order = np.argsort(col, kind="stable")
+                counts = np.bincount(
+                    col + 1, minlength=len(self._trie_sets[length]) + 1)
+                bs = np.split(order, np.cumsum(counts)[:-1])[1:]
+                trie_buckets[length] = bs
+            return bs
+
         unmatched = np.ones(n, dtype=bool)
+        left = n
         gate_cache: dict = {}
         emits: list[tuple[CompiledRule, np.ndarray, dict[str, pa.Array]]] = []
-        for cr in self.rules:
-            if not unmatched.any():
+        for cr, disp in zip(self.rules, self._rule_disp):
+            if left == 0:
                 break
             gate = self._gate_mask(cr, table, n, gate_cache)
-            idx = np.flatnonzero(unmatched & gate)
+            if disp is not None:
+                parts = [_buckets(length)[pidx] for length, pidx in disp]
+                cand = (parts[0] if len(parts) == 1
+                        else np.sort(np.concatenate(parts)))
+                if len(cand) == 0:
+                    continue
+                idx = cand[unmatched[cand] & gate[cand]]
+            else:
+                idx = np.flatnonzero(unmatched & gate)
             if len(idx) == 0:
                 continue
             if cr.is_default:
                 emits.append((cr, idx, {}))
                 unmatched[idx] = False
+                left -= len(idx)
                 continue
             pos, caps = self._extract(cr, text, idx)
             if len(pos) == 0:
                 continue
             take_idx = idx[pos]
             unmatched[take_idx] = False
+            left -= len(take_idx)
             emits.append((cr, take_idx, caps))
         if unmatched.any():
             # gated default shouldn't happen (default has no gate), but never drop rows

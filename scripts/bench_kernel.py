@@ -1,0 +1,59 @@
+"""Single-core parse-kernel micro-benchmark (no Ray).
+
+Times ``RuleSet.parse_batch`` over the cached transcript corpus at a fixed
+batch size — the number BASELINE.md quotes as "M rows/s/core". Run on a
+quiet host (check /proc/loadavg first); best-of-N wall time is reported.
+
+Usage: python scripts/bench_kernel.py [sf] [batch_rows] [reps]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from logray.pipelines.queries import _corpus_dir  # noqa: E402
+from logray.rules_transcripts import transcript_ruleset  # noqa: E402
+
+
+def main() -> None:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.01
+    batch_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 87_000
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+
+    corpus = _corpus_dir(sf)
+    tbl = pq.read_table(corpus)
+    rs = transcript_ruleset()
+    batches = [
+        tbl.slice(off, batch_rows).combine_chunks()
+        for off in range(0, tbl.num_rows, batch_rows)
+    ]
+    # warm-up (compile caches, page in)
+    rs.parse_batch(batches[0])
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        total = 0
+        for b in batches:
+            out = rs.parse_batch(b)
+            total += out.num_rows
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        assert total == tbl.num_rows, (total, tbl.num_rows)
+    rate = tbl.num_rows / best / 1e6
+    n_rules = len(rs.rules)
+    print(
+        f"sf={sf} rows={tbl.num_rows} batch={batch_rows} rules={n_rules} "
+        f"best={best:.3f}s rate={rate:.3f} M rows/s/core"
+    )
+
+
+if __name__ == "__main__":
+    main()
