@@ -3657,3 +3657,82 @@ ORACLE_SQL["editdist_pairs_suppliers"] = """
     FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
     WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
+
+# ---- v6 rule-family oracles (generated-CASE classify + regexp extraction,
+# same protocol as the v2-v5 blocks) ----
+
+ORACLE_SQL["dns_latency_stats_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'dns_result=(ok|nxdomain|timeout)', 1) AS dns_result,
+           count(*) AS n,
+           round(avg(CAST(regexp_extract(text, 'ms=(\\d+)', 1) AS BIGINT)), 6) AS avg_ms,
+           max(CAST(regexp_extract(text, 'ms=(\\d+)', 1) AS BIGINT)) AS max_ms
+    FROM cls WHERE rule_id = 'R89_dns' GROUP BY 1
+"""
+
+ORACLE_SQL["tool_usage_credit_stats_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, '\\[tool:([a-z_]+)\\]', 1) AS tool_name,
+           count(*) AS n,
+           round(sum(CAST(regexp_extract(text, 'credits=(\\d+\\.\\d+)', 1) AS DOUBLE)), 4) AS sum_credits,
+           min(CAST(regexp_extract(text, 'quota_left=(\\d+\\.\\d+)', 1) AS DOUBLE)) AS min_quota_left
+    FROM cls WHERE rule_id = 'R88_tool_usage' GROUP BY 1
+"""
+
+ORACLE_SQL["rebalance_flows_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'src=([a-z0-9-]+)', 1) AS src,
+           regexp_extract(text, 'dst=([a-z0-9-]+)', 1) AS dst,
+           count(*) AS n,
+           sum(CAST(regexp_extract(text, 'moved=(\\d+)', 1) AS BIGINT)) AS sum_moved
+    FROM cls WHERE rule_id = 'R93_rebalance' GROUP BY 1, 2
+"""
+
+ORACLE_SQL["cron_job_stats_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'job=([a-z_]+)', 1) AS job,
+           count(*) AS n,
+           CAST(sum(CASE WHEN regexp_extract(text, 'cron_result=(ok|fail)', 1) = 'fail'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+           min(CAST(regexp_extract(text, 'next_s=(\\d+)', 1) AS BIGINT)) AS min_next_s
+    FROM cls WHERE rule_id = 'R94_cron' GROUP BY 1
+"""
+
+ORACLE_SQL["snapshot_growth_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT count(*) AS n,
+           sum(CAST(regexp_extract(text, 'bytes=(\\d+)', 1) AS BIGINT)) AS sum_bytes,
+           max(CAST(regexp_extract(text, 'tables=(\\d+)', 1) AS BIGINT)) AS max_tables
+    FROM cls WHERE rule_id = 'R92_snapshot'
+"""
+
+ORACLE_SQL["clock_skew_stats_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    p AS (
+        SELECT regexp_extract(text, 'peer=([a-z0-9.-]+)', 1) AS peer,
+               CAST(regexp_extract(text, 'offset_ms=(-?\\d+)', 1) AS BIGINT) AS offset_ms
+        FROM cls WHERE rule_id = 'R97_warn_clock')
+    SELECT peer, count(*) AS n,
+           min(offset_ms) AS min_offset_ms,
+           max(offset_ms) AS max_offset_ms,
+           max(abs(offset_ms)) AS max_abs_ms
+    FROM p GROUP BY peer
+"""
+
+ORACLE_SQL["vote_breakdown_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'poll=([a-z_]+)', 1) AS poll,
+           regexp_extract(text, 'option=([a-z]+)', 1) AS option,
+           count(*) AS n
+    FROM cls WHERE rule_id = 'R100_vote' GROUP BY 1, 2
+"""
+
+ORACLE_SQL["export_reliability_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'dest=([a-z_]+)', 1) AS dest,
+           count(*) AS n,
+           CAST(sum(CASE WHEN regexp_extract(text, 'ok=(true|false)', 1) = 'false'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+           sum(CAST(regexp_extract(text, 'events=(\\d+)', 1) AS BIGINT)) AS sum_events
+    FROM cls WHERE rule_id = 'R98_export' GROUP BY 1
+"""

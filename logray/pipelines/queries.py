@@ -7075,6 +7075,125 @@ def deprecation_report_transcripts(sf_dir: str):
         "n": ("removal", "count"), "min_removal": ("removal", "min")})
 
 
+# ------------------------------------------------ v6 rule-family queries --
+
+def dns_latency_stats_transcripts(sf_dir: str):
+    """Per-result DNS health from the R89 family: lookup volume, mean and
+    worst latency per outcome (ok / nxdomain / timeout)."""
+    ds = _parse_rule_subset(sf_dir, "R89_dns", ["dns_result", "ms"])
+    out = relational.grouped_agg(ds, ["dns_result"], {
+        "n": ("ms", "count"),
+        "avg_ms": ("ms", "mean"),
+        "max_ms": ("ms", "max"),
+    })
+    return out.map_batches(lambda t: _round_col(t, "avg_ms", 6),
+                           batch_format="pyarrow")
+
+
+def tool_usage_credit_stats_transcripts(sf_dir: str):
+    """Per-tool metering from the R88 usage family: call count, total
+    credits burned (rounded — float sum), tightest remaining quota."""
+    ds = _parse_rule_subset(sf_dir, "R88_tool_usage",
+                            ["tool_name", "credits", "quota_left"])
+    out = relational.grouped_agg(ds, ["tool_name"], {
+        "n": ("credits", "count"),
+        "sum_credits": ("credits", "sum"),
+        "min_quota_left": ("quota_left", "min"),
+    })
+    return out.map_batches(lambda t: _round_col(t, "sum_credits", 4),
+                           batch_format="pyarrow")
+
+
+def rebalance_flows_transcripts(sf_dir: str):
+    """Per-(src, dst) shard movement from the R93 family — the directed
+    flow matrix of the rebalancer (exact integer sums)."""
+    ds = _parse_rule_subset(sf_dir, "R93_rebalance", ["src", "dst", "moved"])
+    return relational.grouped_agg(ds, ["src", "dst"], {
+        "n": ("moved", "count"), "sum_moved": ("moved", "sum")})
+
+
+def cron_job_stats_transcripts(sf_dir: str):
+    """Per-job scheduler health from the R94 family: run count, failure
+    count (conditional int sum), soonest next run."""
+    ds = _parse_rule_subset(sf_dir, "R94_cron",
+                            ["job", "cron_result", "next_s"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "job": t["job"],
+            "failed": pc.cast(pc.equal(t["cron_result"], "fail"), pa.int64()),
+            "next_s": t["next_s"]})
+
+    return relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"), ["job"], {
+            "n": ("failed", "count"), "n_failed": ("failed", "sum"),
+            "min_next_s": ("next_s", "min")})
+
+
+def snapshot_growth_transcripts(sf_dir: str):
+    """Global snapshot footprint from the R92 family (keyless aggregate
+    via a constant group key): count, total bytes, widest table set."""
+    ds = _parse_rule_subset(sf_dir, "R92_snapshot", ["tables", "bytes"])
+    prepped = ds.map_batches(
+        lambda t: t.append_column("k", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    out = relational.grouped_agg(prepped, ["k"], {
+        "n": ("bytes", "count"),
+        "sum_bytes": ("bytes", "sum"),
+        "max_tables": ("tables", "max"),
+    })
+    return out.map_batches(lambda t: t.drop(["k"]), batch_format="pyarrow")
+
+
+def clock_skew_stats_transcripts(sf_dir: str):
+    """Per-peer clock drift from the R97 WARN family — exercises the
+    table's only SIGNED integer capture: count, extreme offsets both
+    directions, worst absolute skew."""
+    ds = _parse_rule_subset(sf_dir, "R97_warn_clock", ["peer", "offset_ms"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "peer": t["peer"], "offset_ms": t["offset_ms"],
+            "abs_ms": pc.abs(t["offset_ms"])})
+
+    return relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"), ["peer"], {
+            "n": ("offset_ms", "count"),
+            "min_offset_ms": ("offset_ms", "min"),
+            "max_offset_ms": ("offset_ms", "max"),
+            "max_abs_ms": ("abs_ms", "max")})
+
+
+def vote_breakdown_transcripts(sf_dir: str):
+    """Per-(poll, option) tallies from the R100 user vote family."""
+    ds = _parse_rule_subset(sf_dir, "R100_vote", ["poll", "option"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.append_column("one", pa.array(np.ones(t.num_rows, np.int64)))
+
+    return relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["poll", "option"], {"n": ("one", "count")})
+
+
+def export_reliability_transcripts(sf_dir: str):
+    """Per-destination export health from the R98 family: batches, failed
+    batches (ok=false), total events shipped."""
+    ds = _parse_rule_subset(sf_dir, "R98_export",
+                            ["dest", "export_ok", "events"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "dest": t["dest"],
+            "failed": pc.cast(pc.equal(t["export_ok"], "false"), pa.int64()),
+            "events": t["events"]})
+
+    return relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"), ["dest"], {
+            "n": ("failed", "count"), "n_failed": ("failed", "sum"),
+            "sum_events": ("events", "sum")})
+
+
 # ------------------------------------------------ v3 rule-family queries --
 
 def heartbeat_lag_transcripts(sf_dir: str):
@@ -9229,6 +9348,15 @@ QUERIES = {
         semdedup_planted_invariant_embeddings,
     "metadata_stats_orders": metadata_stats_orders,
     "editdist_pairs_suppliers": editdist_pairs_suppliers,
+    # v6 rule-family rollups (corpus v8, rules R82-R101)
+    "dns_latency_stats_transcripts": dns_latency_stats_transcripts,
+    "tool_usage_credit_stats_transcripts": tool_usage_credit_stats_transcripts,
+    "rebalance_flows_transcripts": rebalance_flows_transcripts,
+    "cron_job_stats_transcripts": cron_job_stats_transcripts,
+    "snapshot_growth_transcripts": snapshot_growth_transcripts,
+    "clock_skew_stats_transcripts": clock_skew_stats_transcripts,
+    "vote_breakdown_transcripts": vote_breakdown_transcripts,
+    "export_reliability_transcripts": export_reliability_transcripts,
 }
 
 

@@ -674,6 +674,164 @@ TRANSCRIPT_RULES: list[Rule] = [
         casts=(Cast("target_turn", "int64"),),
         consts={"category": "dialogue", "event_type": "reaction"},
     ),
+    # ---- v6 assistant families ----
+    Rule(
+        rule_id="R82_confidence",
+        sink="sink_telemetry",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[confidence\] score=(?P<score>\d\.\d{2}) basis=(?P<basis>[a-z_]+)$",),
+        casts=(Cast("score", "float64"),),
+        consts={"category": "telemetry", "event_type": "confidence"},
+    ),
+    Rule(
+        rule_id="R83_translate_msg",
+        sink="sink_action",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[translate\] from_lang=(?P<from_lang>[a-z]{2}) to_lang=(?P<to_lang>[a-z]{2}) chars=(?P<chars>\d+)$",),
+        casts=(Cast("chars", "int64"),),
+        consts={"category": "action", "event_type": "translate"},
+    ),
+    Rule(
+        # leading literal '[toolplan]' shares 6 bytes with '[tool:' — the
+        # trie's quantized 6-byte buckets keep them distinct ('[toolp')
+        rule_id="R84_toolplan",
+        sink="sink_control",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[toolplan\] calls=(?P<calls>\d+) parallel=(?P<parallel>true|false)$",),
+        casts=(Cast("calls", "int64"),),
+        consts={"category": "control", "event_type": "tool_plan"},
+    ),
+    Rule(
+        rule_id="R85_imagegen",
+        sink="sink_action",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[imagegen\] size=(?P<img_w>\d+)x(?P<img_h>\d+) seed=(?P<seed>\d+) style=(?P<style>[a-z]+)$",),
+        casts=(Cast("img_w", "int64"), Cast("img_h", "int64"), Cast("seed", "int64")),
+        consts={"category": "action", "event_type": "image_gen"},
+    ),
+    # ---- v6 tool verbs ----
+    Rule(
+        rule_id="R86_tool_stdout",
+        sink="sink_action",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] stdout id=(?P<call_id>\d+) lines=(?P<lines>\d+) bytes=(?P<bytes>\d+)$",),
+        casts=(Cast("call_id", "int64"), Cast("lines", "int64"), Cast("bytes", "int64")),
+        consts={"category": "action", "event_type": "tool_stdout"},
+    ),
+    Rule(
+        rule_id="R87_tool_sandbox",
+        sink="sink_action",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] sandboxed id=(?P<call_id>\d+) policy=(?P<policy>[a-z_]+) syscalls=(?P<syscalls>\d+)$",),
+        casts=(Cast("call_id", "int64"), Cast("syscalls", "int64")),
+        consts={"category": "action", "event_type": "tool_sandboxed"},
+    ),
+    Rule(
+        rule_id="R88_tool_usage",
+        sink="sink_telemetry",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] usage id=(?P<call_id>\d+) credits=(?P<credits>\d+\.\d{2}) quota_left=(?P<quota_left>\d+\.\d{2})$",),
+        casts=(Cast("call_id", "int64"), Cast("credits", "float64"),
+               Cast("quota_left", "float64")),
+        consts={"category": "telemetry", "event_type": "tool_usage"},
+    ),
+    # ---- v6 system families ----
+    Rule(
+        rule_id="R89_dns",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[dns\] host=(?P<host>[a-z0-9.-]+) ms=(?P<ms>\d+) dns_result=(?P<dns_result>ok|nxdomain|timeout)$",),
+        casts=(Cast("ms", "int64"),),
+        consts={"category": "telemetry", "event_type": "dns"},
+    ),
+    Rule(
+        rule_id="R90_tls",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[tls\] peer=(?P<peer>[a-z0-9.-]+) tls_version=(?P<tls_version>TLS1\.[23]) cipher=(?P<cipher>[a-z0-9]+)$",),
+        consts={"category": "control", "event_type": "tls"},
+    ),
+    Rule(
+        rule_id="R91_upgrade",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[upgrade\] from_v=(?P<from_v>\d+\.\d+\.\d+) to_v=(?P<to_v>\d+\.\d+\.\d+) ok$",),
+        consts={"category": "control", "event_type": "upgrade"},
+    ),
+    Rule(
+        rule_id="R92_snapshot",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[snapshot\] id=(?P<snap_id>[0-9a-f]{8}) tables=(?P<tables>\d+) bytes=(?P<bytes>\d+)$",),
+        casts=(Cast("tables", "int64"), Cast("bytes", "int64")),
+        consts={"category": "control", "event_type": "snapshot"},
+    ),
+    Rule(
+        rule_id="R93_rebalance",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[rebalance\] moved=(?P<moved>\d+) src=(?P<src>[a-z0-9-]+) dst=(?P<dst>[a-z0-9-]+)$",),
+        casts=(Cast("moved", "int64"),),
+        consts={"category": "telemetry", "event_type": "rebalance"},
+    ),
+    Rule(
+        rule_id="R94_cron",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[cron\] job=(?P<job>[a-z_]+) cron_result=(?P<cron_result>ok|fail) next_s=(?P<next_s>\d+)$",),
+        casts=(Cast("next_s", "int64"),),
+        consts={"category": "control", "event_type": "cron"},
+    ),
+    Rule(
+        rule_id="R95_retention",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[retention\] purged=(?P<purged>\d+) kept=(?P<kept>\d+) age_days=(?P<age_days>\d+)$",),
+        casts=(Cast("purged", "int64"), Cast("kept", "int64"), Cast("age_days", "int64")),
+        consts={"category": "telemetry", "event_type": "retention"},
+    ),
+    Rule(
+        rule_id="R96_index",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[index\] idx_name=(?P<idx_name>[a-z_]+) docs=(?P<docs>\d+) build_ms=(?P<build_ms>\d+)$",),
+        casts=(Cast("docs", "int64"), Cast("build_ms", "int64")),
+        consts={"category": "telemetry", "event_type": "index_build"},
+    ),
+    Rule(
+        # fourth WARN literal family; offset_ms is the table's only SIGNED
+        # integer capture (cast must accept a leading '-')
+        rule_id="R97_warn_clock",
+        sink="sink_error",
+        gate={"role": ("system",)},
+        patterns=(r"^WARN clock skew: offset_ms=(?P<offset_ms>-?\d+) peer=(?P<peer>[a-z0-9.-]+)$",),
+        casts=(Cast("offset_ms", "int64"),),
+        consts={"category": "error", "event_type": "warn_clock"},
+    ),
+    Rule(
+        rule_id="R98_export",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[export\] dest=(?P<dest>[a-z_]+) events=(?P<events>\d+) ok=(?P<export_ok>true|false)$",),
+        casts=(Cast("events", "int64"),),
+        consts={"category": "telemetry", "event_type": "export"},
+    ),
+    # ---- v6 user families ----
+    Rule(
+        rule_id="R100_vote",
+        sink="sink_dialogue",
+        gate={"role": ("user",)},
+        patterns=(r"^\[vote\] poll=(?P<poll>[a-z_]+) option=(?P<option>[a-z]+)$",),
+        consts={"category": "dialogue", "event_type": "vote"},
+    ),
+    Rule(
+        rule_id="R101_undo",
+        sink="sink_control",
+        gate={"role": ("user",)},
+        patterns=(r"^\[undo\] target_turn=(?P<target_turn>\d+) scope=(?P<scope>[a-z_]+)$",),
+        casts=(Cast("target_turn", "int64"),),
+        consts={"category": "control", "event_type": "undo"},
+    ),
     # ---- v3 user families (declared before the R09 catch-all) ----
     Rule(
         rule_id="R53_edit",
@@ -731,11 +889,13 @@ _DISPATCH_ORDER = [
     "R35_spawn", "R14_refusal", "R15_handoff",
     "R55_delegate", "R56_draft", "R57_clarify", "R58_search_memory",
     "R76_persona",
+    "R82_confidence", "R83_translate_msg", "R84_toolplan", "R85_imagegen",
     "R02_tool_result_ok", "R17_tool_progress", "R16_tool_retry",
     "R03_tool_result_err", "R18_tool_stream", "R39_tool_cache",
     "R38_tool_stderr", "R04_traceback", "R37_tool_cancel",
     "R60_tool_timeout", "R59_tool_denied", "R61_tool_stats",
     "R77_tool_deprecated",
+    "R86_tool_stdout", "R87_tool_sandbox", "R88_tool_usage",
     "R07_sys_prompt", "R20_banner", "R26_session_end", "R06_status",
     "R22_gc", "R30_pool_table", "R24_flush", "R27_warn_slow",
     "R23_compaction", "R28_quota", "R21_config", "R40_heartbeat",
@@ -747,8 +907,11 @@ _DISPATCH_ORDER = [
     "R67_warn_backpressure", "R68_disk", "R69_audit", "R70_warn_deprecated",
     "R71_latency_histo", "R72_throttle", "R73_anomaly",
     "R78_mem_pressure", "R79_queue_lag", "R81_incident",
+    "R89_dns", "R90_tls", "R91_upgrade", "R92_snapshot", "R93_rebalance",
+    "R94_cron", "R95_retention", "R96_index", "R97_warn_clock", "R98_export",
     "R08_user_cmd", "R32_feedback", "R31_attach", "R54_paste", "R53_edit",
     "R74_consent", "R75_locale", "R80_reaction",
+    "R100_vote", "R101_undo",
     "R09_user_msg", "R10_assist_msg", "R99_default",
 ]
 _by_id = {r.rule_id: r for r in TRANSCRIPT_RULES}
