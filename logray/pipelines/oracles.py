@@ -3736,3 +3736,70 @@ ORACLE_SQL["export_reliability_transcripts"] = f"""
            sum(CAST(regexp_extract(text, 'events=(\\d+)', 1) AS BIGINT)) AS sum_events
     FROM cls WHERE rule_id = 'R98_export' GROUP BY 1
 """
+
+# ---- cross-family proximity-correlation oracles (per-conversation
+# interval correlation between two parsed families; same generated-CASE
+# classify, correlation replayed as window self-joins) ----
+
+ORACLE_SQL["gc_drop_proximity_transcripts"] = f"""
+    WITH cls AS (SELECT conv_id, turn_idx, role, text,
+                        {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    g AS (SELECT conv_id, turn_idx,
+                 CAST(regexp_extract(text, 'pause_ms=(\\d+)', 1) AS BIGINT) AS pause_ms
+          FROM cls WHERE rule_id = 'R22_gc'),
+    d AS (SELECT conv_id, turn_idx,
+                 regexp_extract(text, 'kind=([A-Z_]+)', 1) AS kind
+          FROM cls WHERE rule_id = 'R25_dropped'),
+    pr AS (SELECT d.kind, d.conv_id, d.turn_idx, max(g.pause_ms) AS best_pause
+           FROM d JOIN g ON g.conv_id = d.conv_id
+                        AND g.turn_idx >= d.turn_idx - 5
+                        AND g.turn_idx < d.turn_idx
+           GROUP BY 1, 2, 3)
+    SELECT d.kind, count(*) AS n_drops,
+           CAST(sum(CASE WHEN p.best_pause IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_gc,
+           coalesce(max(p.best_pause), -1) AS max_near_pause_ms
+    FROM d LEFT JOIN pr p ON p.conv_id = d.conv_id
+                         AND p.turn_idx = d.turn_idx AND p.kind = d.kind
+    GROUP BY 1
+"""
+
+ORACLE_SQL["throttle_pairing_transcripts"] = f"""
+    WITH cls AS (SELECT conv_id, turn_idx, role, text,
+                        {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    t AS (SELECT conv_id, turn_idx,
+                 regexp_extract(text, 'component=([a-z_]+)', 1) AS component,
+                 regexp_extract(text, 'action=(pause|resume)', 1) AS action
+          FROM cls WHERE rule_id = 'R72_throttle'),
+    p AS (SELECT * FROM t WHERE action = 'pause'),
+    r AS (SELECT * FROM t WHERE action = 'resume'),
+    pair AS (SELECT r.conv_id, r.component, r.turn_idx,
+                    max(p.turn_idx) AS p_turn
+             FROM r JOIN p ON p.conv_id = r.conv_id
+                          AND p.component = r.component
+                          AND p.turn_idx < r.turn_idx
+             GROUP BY 1, 2, 3)
+    SELECT (SELECT count(*) FROM p) AS n_pauses,
+           (SELECT count(*) FROM r) AS n_resumes,
+           count(*) AS n_paired,
+           coalesce(CAST(sum(turn_idx - p_turn) AS BIGINT), 0) AS sum_gap_turns,
+           coalesce(CAST(max(turn_idx - p_turn) AS BIGINT), 0) AS max_gap_turns
+    FROM pair
+"""
+
+ORACLE_SQL["incident_warn_context_transcripts"] = f"""
+    WITH cls AS (SELECT conv_id, turn_idx, role, text,
+                        {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    i AS (SELECT conv_id, turn_idx FROM cls WHERE rule_id = 'R81_incident'),
+    w AS (SELECT conv_id, turn_idx, rule_id FROM cls
+          WHERE rule_id IN ('R27_warn_slow', 'R44_warn_context',
+                            'R45_warn_oversize', 'R67_warn_backpressure',
+                            'R70_warn_deprecated', 'R97_warn_clock')),
+    nr AS (SELECT i.conv_id, i.turn_idx, max_by(w.rule_id, w.turn_idx) AS wr
+           FROM i JOIN w ON w.conv_id = i.conv_id
+                        AND w.turn_idx >= i.turn_idx - 8
+                        AND w.turn_idx < i.turn_idx
+           GROUP BY 1, 2)
+    SELECT coalesce(nr.wr, 'none') AS warn_rule, count(*) AS n
+    FROM i LEFT JOIN nr ON nr.conv_id = i.conv_id AND nr.turn_idx = i.turn_idx
+    GROUP BY 1
+"""

@@ -7194,6 +7194,133 @@ def export_reliability_transcripts(sf_dir: str):
             "sum_events": ("events", "sum")})
 
 
+# ------------------------------------ cross-family proximity correlation --
+# The classic log-diagnostics pattern ("what happened NEAR this event"):
+# per-conversation interval correlation between two parsed rule families.
+# One conv-bucketed exchange co-locates both families; only tiny grouped
+# partials leave each bucket (same shape as restore_latency_transcripts).
+
+_WARN_FAMILIES = ("R27_warn_slow", "R44_warn_context", "R45_warn_oversize",
+                  "R67_warn_backpressure", "R70_warn_deprecated",
+                  "R97_warn_clock")
+
+
+def gc_drop_proximity_transcripts(sf_dir: str):
+    """For each R25 dropped-messages event, was there an R22 GC pause in
+    the 5 preceding turns of its conversation (the GC-pressure-drops-
+    messages diagnosis)? Per drop kind: total drops, drops with a nearby
+    GC, and the worst pause among those nearby GCs (-1 when none)."""
+    ds = _parse_rule_subset(
+        sf_dir, ("R22_gc", "R25_dropped"),
+        ["conv_id", "turn_idx", "rule_id", "kind", "pause_ms"],
+        read_cols=("conv_id", "turn_idx", "role", "text"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        gc = df[df["rule_id"] == "R22_gc"][["conv_id", "turn_idx", "pause_ms"]]
+        dr = df[df["rule_id"] == "R25_dropped"][["conv_id", "turn_idx", "kind"]]
+        if not len(dr):
+            return pd.DataFrame({
+                "kind": pd.Series([], dtype=object),
+                "n_drops": pd.Series([], dtype=np.int64),
+                "n_near_gc": pd.Series([], dtype=np.int64),
+                "max_near_pause_ms": pd.Series([], dtype=np.int64)})
+        m = dr.merge(gc, on="conv_id", suffixes=("", "_gc"))
+        m = m[(m["turn_idx_gc"] >= m["turn_idx"] - 5)
+              & (m["turn_idx_gc"] < m["turn_idx"])]
+        per_drop = m.groupby(["conv_id", "turn_idx", "kind"],
+                             as_index=False).agg(best=("pause_ms", "max"))
+        nd = dr.groupby("kind").size()
+        near = per_drop.groupby("kind").agg(n_near=("best", "size"),
+                                            mx=("best", "max"))
+        return pd.DataFrame({
+            "kind": nd.index.to_numpy(),
+            "n_drops": nd.to_numpy().astype(np.int64),
+            "n_near_gc": near["n_near"].reindex(nd.index).fillna(0)
+                .to_numpy().astype(np.int64),
+            "max_near_pause_ms": near["mx"].reindex(nd.index).fillna(-1)
+                .to_numpy().astype(np.int64)})
+
+    partials = window._bucketed_apply(ds, "conv_id", per_bucket)
+    return relational.grouped_agg(partials, ["kind"], {
+        "n_drops": ("n_drops", "sum"),
+        "n_near_gc": ("n_near_gc", "sum"),
+        "max_near_pause_ms": ("max_near_pause_ms", "max")})
+
+
+def throttle_pairing_transcripts(sf_dir: str):
+    """Pair every R72 throttle resume with the most recent preceding
+    pause of the same component in its conversation; report global
+    pause/resume/paired counts and the turn-gap stats (the pause->resume
+    duty-cycle diagnosis)."""
+    ds = _parse_rule_subset(
+        sf_dir, "R72_throttle",
+        ["conv_id", "turn_idx", "component", "action"],
+        read_cols=("conv_id", "turn_idx", "role", "text"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ps = df[df["action"] == "pause"]
+        rs = df[df["action"] == "resume"]
+        m = rs.merge(ps[["conv_id", "turn_idx", "component"]],
+                     on=["conv_id", "component"], suffixes=("", "_p"))
+        m = m[m["turn_idx_p"] < m["turn_idx"]]
+        m = m.sort_values("turn_idx_p").groupby(
+            ["conv_id", "component", "turn_idx"], sort=False,
+            as_index=False).last()
+        gaps = (m["turn_idx"] - m["turn_idx_p"]).to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "n_pauses": [np.int64(len(ps))],
+            "n_resumes": [np.int64(len(rs))],
+            "n_paired": [np.int64(len(m))],
+            "sum_gap_turns": [np.int64(gaps.sum())],
+            "max_gap_turns": [np.int64(gaps.max()) if len(m) else np.int64(0)],
+        })
+
+    partials = window._bucketed_apply(ds, "conv_id", per_bucket)
+    prepped = partials.map_batches(
+        lambda t: t.append_column("k", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    agg = relational.grouped_agg(prepped, ["k"], {
+        "n_pauses": ("n_pauses", "sum"),
+        "n_resumes": ("n_resumes", "sum"),
+        "n_paired": ("n_paired", "sum"),
+        "sum_gap_turns": ("sum_gap_turns", "sum"),
+        "max_gap_turns": ("max_gap_turns", "max")})
+    return agg.map_batches(lambda t: t.drop(["k"]), batch_format="pyarrow")
+
+
+def incident_warn_context_transcripts(sf_dir: str):
+    """For each R81 ERROR incident, which WARN family (if any) fired
+    nearest before it within 8 turns of its conversation? Count of
+    incidents per preceding warn rule ('none' when no warning preceded) —
+    the which-warning-predicts-incidents diagnosis."""
+    ds = _parse_rule_subset(
+        sf_dir, ("R81_incident",) + _WARN_FAMILIES,
+        ["conv_id", "turn_idx", "rule_id"],
+        read_cols=("conv_id", "turn_idx", "role", "text"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        inc = df[df["rule_id"] == "R81_incident"][["conv_id", "turn_idx"]]
+        wr = df[df["rule_id"] != "R81_incident"]
+        if not len(inc):
+            return pd.DataFrame({"warn_rule": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        m = inc.merge(wr, on="conv_id", suffixes=("", "_w"))
+        m = m[(m["turn_idx_w"] >= m["turn_idx"] - 8)
+              & (m["turn_idx_w"] < m["turn_idx"])]
+        m = m.sort_values("turn_idx_w").groupby(
+            ["conv_id", "turn_idx"], sort=False, as_index=False).last()
+        lab = inc.merge(m[["conv_id", "turn_idx", "rule_id"]],
+                        on=["conv_id", "turn_idx"], how="left")
+        lab["warn_rule"] = lab["rule_id"].fillna("none")
+        out = lab.groupby("warn_rule", as_index=False).size()
+        return pd.DataFrame({"warn_rule": out["warn_rule"].to_numpy(),
+                             "n": out["size"].to_numpy().astype(np.int64)})
+
+    partials = window._bucketed_apply(ds, "conv_id", per_bucket)
+    return relational.grouped_agg(partials, ["warn_rule"],
+                                  {"n": ("n", "sum")})
+
+
 # ------------------------------------------------ v3 rule-family queries --
 
 def heartbeat_lag_transcripts(sf_dir: str):
@@ -9357,6 +9484,10 @@ QUERIES = {
     "clock_skew_stats_transcripts": clock_skew_stats_transcripts,
     "vote_breakdown_transcripts": vote_breakdown_transcripts,
     "export_reliability_transcripts": export_reliability_transcripts,
+    # cross-family proximity correlation (per-conversation interval joins)
+    "gc_drop_proximity_transcripts": gc_drop_proximity_transcripts,
+    "throttle_pairing_transcripts": throttle_pairing_transcripts,
+    "incident_warn_context_transcripts": incident_warn_context_transcripts,
 }
 
 
