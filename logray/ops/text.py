@@ -654,6 +654,43 @@ def add_compression_ratio(batch: pa.Table, text_col: str = "text",
                                pa.array(ratio.to_numpy(), pa.float64()))
 
 
+# PII scrubbing (training-data hygiene): ordered (pattern, token) passes.
+# Patterns are RE2-compatible and translate VERBATIM to DuckDB's RE2
+# regexp_replace(..., 'g') — the oracle replays the same chain in the same
+# order, so redaction is value-checked end-to-end. Order matters only for
+# overlapping classes (an email's domain can't match the IP pattern — the
+# TLD class is alphabetic — but the fixed order makes agreement a
+# non-question). \b is an ASCII word boundary in both engines.
+PII_PASSES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d{1,2}-\d{3}-\d{3}-\d{4}", "<PHONE>"),
+)
+
+
+def pii_redact_batch(batch: pa.Table, text_col: str = "text",
+                     out_col: str = "redacted") -> pa.Table:
+    """Redact PII spans in one vectorized pass chain: per class, count
+    matches (``count_substring_regex``) then replace-all
+    (``replace_substring_regex`` — RE2 global semantics). Appends the
+    redacted column plus one int64 count per class (``n_email`` /
+    ``n_ip`` / ``n_phone``); the original column is preserved for
+    downstream audit. Stateless — safe as a task-pool ``map_batches``."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    counts = {}
+    red = text
+    for (pat, token), name in zip(PII_PASSES, ("n_email", "n_ip", "n_phone")):
+        counts[name] = pc.cast(
+            pc.fill_null(pc.count_substring_regex(red, pat), 0), pa.int64())
+        red = pc.replace_substring_regex(red, pattern=pat, replacement=token)
+    out = batch.append_column(out_col, red)
+    for name, arr in counts.items():
+        out = out.append_column(name, arr)
+    return out
+
+
 def ed1_blocking_keys(s: str) -> list[tuple[int, str]]:
     """Half-string pigeonhole blocking keys for the ed≤1 self-join:
     (band, key) pairs where band encodes (half-length h,

@@ -3803,3 +3803,82 @@ ORACLE_SQL["incident_warn_context_transcripts"] = f"""
     FROM i LEFT JOIN nr ON nr.conv_id = i.conv_id AND nr.turn_idx = i.turn_idx
     GROUP BY 1
 """
+
+# ---- v7 rule-family oracles (same generated-CASE classify + regexp
+# extraction protocol as the v2–v6 blocks) ----
+
+ORACLE_SQL["gpu_utilization_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT CAST(regexp_extract(text, 'dev=(\\d+)', 1) AS BIGINT) AS dev,
+           count(*) AS n,
+           round(avg(CAST(regexp_extract(text, 'util_pct=(\\d+)', 1) AS BIGINT)), 6) AS avg_util_pct,
+           max(CAST(regexp_extract(text, 'mem_used_mb=(\\d+)', 1) AS BIGINT)) AS max_mem_used_mb,
+           max(CAST(regexp_extract(text, 'temp_c=(\\d+)', 1) AS BIGINT)) AS max_temp_c
+    FROM cls WHERE rule_id = 'R115_gpu' GROUP BY 1
+"""
+
+ORACLE_SQL["oom_pressure_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    o AS (SELECT regexp_extract(text, 'victim=([a-z_]+)', 1) AS victim,
+                 CAST(regexp_extract(text, 'rss_mb=(\\d+)', 1) AS BIGINT) AS rss_mb,
+                 CAST(regexp_extract(text, 'limit_mb=(\\d+)', 1) AS BIGINT) AS limit_mb
+          FROM cls WHERE rule_id = 'R107_oom')
+    SELECT victim, count(*) AS n_ooms, max(rss_mb) AS max_rss_mb,
+           round(avg(rss_mb - limit_mb), 6) AS avg_overshoot_mb
+    FROM o GROUP BY 1
+"""
+
+ORACLE_SQL["flag_rollout_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'flag_name=([a-z_]+)', 1) AS flag_name,
+           count(*) AS n,
+           round(avg(CASE WHEN regexp_extract(text, 'enabled=(true|false)', 1) = 'true'
+                          THEN 1 ELSE 0 END), 6) AS enabled_share,
+           max(CAST(regexp_extract(text, 'rollout_pct=(\\d+)', 1) AS BIGINT)) AS max_rollout_pct
+    FROM cls WHERE rule_id = 'R111_flag' GROUP BY 1
+"""
+
+ORACLE_SQL["tool_kill_signals_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    k AS (SELECT regexp_extract(text, 'sig=(SIG[A-Z]+)', 1) AS sig,
+                 regexp_extract(text, '^\\[tool:([a-z_]+)\\]', 1) AS tool_name,
+                 CAST(regexp_extract(text, 'rss_mb=(\\d+)', 1) AS BIGINT) AS rss_mb
+          FROM cls WHERE rule_id = 'R105_tool_killed')
+    SELECT sig, count(*) AS n_kills,
+           count(DISTINCT tool_name) AS n_tools,
+           max(rss_mb) AS max_rss_mb
+    FROM k GROUP BY 1
+"""
+
+ORACLE_SQL["sampling_rollup_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT count(*) AS n,
+           sum(CAST(regexp_extract(text, 'sampled_out=(\\d+)', 1) AS BIGINT)) AS sum_sampled_out,
+           round(avg(CAST(regexp_extract(text, 'rate=(0\\.\\d{{4}})', 1) AS DOUBLE)), 6) AS avg_rate
+    FROM cls WHERE rule_id = 'R110_sampling'
+"""
+
+# PII redaction: the SAME ordered RE2 pass chain as text.PII_PASSES,
+# replayed progressively (each class counted on the output of the previous
+# replacement, exactly like the engine) — every redacted byte value-checks.
+_PII_EM = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PH = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
+
+ORACLE_SQL["pii_redact_transcripts"] = f"""
+    WITH u AS (SELECT conv_id, turn_idx, text FROM {_CORPUS}
+               WHERE role = 'user'),
+    s1 AS (SELECT conv_id, turn_idx,
+                  CAST(length(regexp_extract_all(text, '{_PII_EM}')) AS BIGINT) AS n_email,
+                  regexp_replace(text, '{_PII_EM}', '<EMAIL>', 'g') AS t1
+           FROM u),
+    s2 AS (SELECT conv_id, turn_idx, n_email,
+                  CAST(length(regexp_extract_all(t1, '{_PII_IP}')) AS BIGINT) AS n_ip,
+                  regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2
+           FROM s1)
+    SELECT conv_id, turn_idx,
+           regexp_replace(t2, '{_PII_PH}', '<PHONE>', 'g') AS redacted,
+           n_email, n_ip,
+           CAST(length(regexp_extract_all(t2, '{_PII_PH}')) AS BIGINT) AS n_phone
+    FROM s2
+"""

@@ -9128,6 +9128,127 @@ def editdist_pairs_suppliers(sf_dir: str):
                      "dist": pa.array(pairs["dist"], pa.int64())})
 
 
+# ------------------------------------------- v7 rule-family rollups --------
+
+def gpu_utilization_transcripts(sf_dir: str):
+    """Per-device GPU telemetry rollup from the R115 family (inference
+    fleet dashboard): sample count, mean utilization, peak memory and
+    temperature. Grouped partial+final aggregate."""
+    ds = _parse_rule_subset(sf_dir, "R115_gpu",
+                            ["dev", "util_pct", "mem_used_mb", "temp_c"])
+    out = relational.grouped_agg(ds, ["dev"], {
+        "n": ("util_pct", "count"),
+        "avg_util_pct": ("util_pct", "mean"),
+        "max_mem_used_mb": ("mem_used_mb", "max"),
+        "max_temp_c": ("temp_c", "max"),
+    })
+    return out.map_batches(lambda t: _round_col(t, "avg_util_pct", 6),
+                           batch_format="pyarrow")
+
+
+def oom_pressure_transcripts(sf_dir: str):
+    """Per-victim OOM-kill pressure from the R107 family ('OOM ' is the
+    table's fifth leading-literal class): kill count, worst RSS, mean
+    overshoot past the limit (derived column computed vectorized inside
+    the parse map_batches — only the 3 ints leave the scan)."""
+    ds = _parse_rule_subset(sf_dir, "R107_oom",
+                            ["victim", "rss_mb", "limit_mb"])
+
+    def overshoot(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "overshoot_mb", pc.subtract(t["rss_mb"], t["limit_mb"]))
+
+    out = relational.grouped_agg(
+        ds.map_batches(overshoot, batch_format="pyarrow"), ["victim"], {
+            "n_ooms": ("rss_mb", "count"),
+            "max_rss_mb": ("rss_mb", "max"),
+            "avg_overshoot_mb": ("overshoot_mb", "mean"),
+        })
+    return out.map_batches(lambda t: _round_col(t, "avg_overshoot_mb", 6),
+                           batch_format="pyarrow")
+
+
+def flag_rollout_transcripts(sf_dir: str):
+    """Per-flag rollout posture from the R111 family: event count, share
+    of enabled=true observations (deterministic-double ratio: exact int
+    sum / exact count, one terminating division), widest rollout."""
+    ds = _parse_rule_subset(sf_dir, "R111_flag",
+                            ["flag_name", "enabled", "rollout_pct"])
+
+    def enabled_int(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "enabled_i", pc.cast(pc.equal(t["enabled"], "true"), pa.int64()))
+
+    out = relational.grouped_agg(
+        ds.map_batches(enabled_int, batch_format="pyarrow"), ["flag_name"], {
+            "n": ("enabled_i", "count"),
+            "enabled_share": ("enabled_i", "mean"),
+            "max_rollout_pct": ("rollout_pct", "max"),
+        })
+    return out.map_batches(lambda t: _round_col(t, "enabled_share", 6),
+                           batch_format="pyarrow")
+
+
+def tool_kill_signals_transcripts(sf_dir: str):
+    """Per-signal kill telemetry from the R105 family: kill count, how
+    many distinct tools died by that signal (two-level grouped aggregate
+    — the distinct pass shuffles only (sig, tool_name) pairs), worst RSS
+    at death."""
+    ds = _parse_rule_subset(sf_dir, "R105_tool_killed",
+                            ["sig", "tool_name", "rss_mb"])
+    pairs = relational.grouped_agg(ds, ["sig", "tool_name"], {
+        "n": ("rss_mb", "count"), "max_rss_mb": ("rss_mb", "max")})
+    return relational.grouped_agg(pairs, ["sig"], {
+        "n_kills": ("n", "sum"),
+        "n_tools": ("n", "count"),
+        "max_rss_mb": ("max_rss_mb", "max"),
+    })
+
+
+def sampling_rollup_transcripts(sf_dir: str):
+    """Global sampling posture from the R110 family (keyless aggregate
+    via a constant group key, dropped in the final projection): config
+    events seen, total rows sampled out, mean sampling rate."""
+    ds = _parse_rule_subset(sf_dir, "R110_sampling", ["rate", "sampled_out"])
+    prepped = ds.map_batches(
+        lambda t: t.append_column("k", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    out = relational.grouped_agg(prepped, ["k"], {
+        "n": ("rate", "count"),
+        "sum_sampled_out": ("sampled_out", "sum"),
+        "avg_rate": ("rate", "mean"),
+    })
+    return out.map_batches(lambda t: _round_col(t.drop(["k"]), "avg_rate", 6),
+                           batch_format="pyarrow")
+
+
+def pii_redact_transcripts(sf_dir: str):
+    """PII scrub over user turns (training-data hygiene before any text
+    ships to a training mix): pruned scan (3 columns) with the role
+    predicate pushed into the read → one stateless ``map_batches`` chain
+    of RE2 count+replace passes (``text.pii_redact_batch``) → the FULL
+    redacted rows return (per-turn redacted text + per-class counts), so
+    the oracle value-checks every redaction byte-for-byte, not just the
+    totals. Corpus v11 plants email/IPv4/phone tokens in ~12% of user
+    messages; the pass patterns translate verbatim to DuckDB RE2."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import pyarrow.dataset as pads
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["conv_id", "turn_idx", "role", "text"],
+        filter=(pads.field("role") == "user"))
+
+    def redact(t: pa.Table) -> pa.Table:
+        out = text_ops.pii_redact_batch(t, "text", "redacted")
+        return out.select(["conv_id", "turn_idx", "redacted",
+                           "n_email", "n_ip", "n_phone"])
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -9488,6 +9609,13 @@ QUERIES = {
     "gc_drop_proximity_transcripts": gc_drop_proximity_transcripts,
     "throttle_pairing_transcripts": throttle_pairing_transcripts,
     "incident_warn_context_transcripts": incident_warn_context_transcripts,
+    # v7 rule-family rollups
+    "gpu_utilization_transcripts": gpu_utilization_transcripts,
+    "oom_pressure_transcripts": oom_pressure_transcripts,
+    "flag_rollout_transcripts": flag_rollout_transcripts,
+    "tool_kill_signals_transcripts": tool_kill_signals_transcripts,
+    "sampling_rollup_transcripts": sampling_rollup_transcripts,
+    "pii_redact_transcripts": pii_redact_transcripts,
 }
 
 

@@ -832,6 +832,128 @@ TRANSCRIPT_RULES: list[Rule] = [
         casts=(Cast("target_turn", "int64"),),
         consts={"category": "control", "event_type": "undo"},
     ),
+    # ---- v7 assistant families ----
+    Rule(
+        rule_id="R102_websearch",
+        sink="sink_action",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[websearch\] terms=(?P<terms>\d+) results=(?P<results>\d+) ws_ms=(?P<ws_ms>\d+)$",),
+        casts=(Cast("terms", "int64"), Cast("results", "int64"), Cast("ws_ms", "int64")),
+        consts={"category": "action", "event_type": "web_search"},
+    ),
+    Rule(
+        rule_id="R103_artifact",
+        sink="sink_action",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[artifact\] kind=(?P<artifact_kind>code|doc|diagram) artifact_id=(?P<artifact_id>[0-9a-f]{8}) bytes=(?P<bytes>\d+)$",),
+        casts=(Cast("bytes", "int64"),),
+        consts={"category": "action", "event_type": "artifact"},
+    ),
+    Rule(
+        rule_id="R104_eval",
+        sink="sink_telemetry",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[eval\] suite=(?P<suite>[a-z_]+) pass_rate=(?P<pass_rate>[01]\.\d{2}) cases=(?P<cases>\d+)$",),
+        casts=(Cast("pass_rate", "float64"), Cast("cases", "int64")),
+        consts={"category": "telemetry", "event_type": "eval"},
+    ),
+    # ---- v7 tool verbs ----
+    Rule(
+        rule_id="R105_tool_killed",
+        sink="sink_error",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] killed id=(?P<call_id>\d+) sig=(?P<sig>SIG[A-Z]+) rss_mb=(?P<rss_mb>\d+)$",),
+        casts=(Cast("call_id", "int64"), Cast("rss_mb", "int64")),
+        consts={"category": "error", "event_type": "tool_killed"},
+    ),
+    Rule(
+        rule_id="R106_tool_throttled",
+        sink="sink_telemetry",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] throttled id=(?P<call_id>\d+) retry_after_ms=(?P<retry_after_ms>\d+)$",),
+        casts=(Cast("call_id", "int64"), Cast("retry_after_ms", "int64")),
+        consts={"category": "telemetry", "event_type": "tool_throttled"},
+    ),
+    # ---- v7 system families ----
+    Rule(
+        # fifth leading-literal class ('OOM ' — after '[tag]', 'WARN',
+        # 'ERROR', 'Traceback'/'You are'); rss_mb > limit_mb by generator
+        # construction but the PARSER must not assume it
+        rule_id="R107_oom",
+        sink="sink_error",
+        gate={"role": ("system",)},
+        patterns=(r"^OOM killer: victim=(?P<victim>[a-z_]+) rss_mb=(?P<rss_mb>\d+) limit_mb=(?P<limit_mb>\d+)$",),
+        casts=(Cast("rss_mb", "int64"), Cast("limit_mb", "int64")),
+        consts={"category": "error", "event_type": "oom"},
+    ),
+    Rule(
+        rule_id="R108_vacuum",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[vacuum\] vtable=(?P<vtable>[a-z_]+) reclaimed_mb=(?P<reclaimed_mb>\d+) vac_ms=(?P<vac_ms>\d+)$",),
+        casts=(Cast("reclaimed_mb", "int64"), Cast("vac_ms", "int64")),
+        consts={"category": "telemetry", "event_type": "vacuum"},
+    ),
+    Rule(
+        # trie note: '[replica]' vs '[replay]' (R65) differ inside the
+        # 6-byte quantized prefix ('[repli' vs '[repla')
+        rule_id="R109_replica",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[replica\] follower=(?P<follower>[a-z0-9-]+) lag_ms=(?P<lag_ms>\d+)$",),
+        casts=(Cast("lag_ms", "int64"),),
+        consts={"category": "telemetry", "event_type": "replica_lag"},
+    ),
+    Rule(
+        rule_id="R110_sampling",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[sampling\] rate=(?P<rate>0\.\d{4}) sampled_out=(?P<sampled_out>\d+)$",),
+        casts=(Cast("rate", "float64"), Cast("sampled_out", "int64")),
+        consts={"category": "control", "event_type": "sampling"},
+    ),
+    Rule(
+        rule_id="R111_flag",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[flag\] flag_name=(?P<flag_name>[a-z_]+) enabled=(?P<enabled>true|false) rollout_pct=(?P<rollout_pct>\d+)$",),
+        casts=(Cast("rollout_pct", "int64"),),
+        consts={"category": "control", "event_type": "feature_flag"},
+    ),
+    Rule(
+        rule_id="R112_connpool",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[connpool\] in_use=(?P<in_use>\d+) idle=(?P<idle>\d+) waiters=(?P<waiters>\d+)$",),
+        casts=(Cast("in_use", "int64"), Cast("idle", "int64"), Cast("waiters", "int64")),
+        consts={"category": "telemetry", "event_type": "connpool"},
+    ),
+    Rule(
+        rule_id="R115_gpu",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[gpu\] dev=(?P<dev>\d+) util_pct=(?P<util_pct>\d+) mem_used_mb=(?P<mem_used_mb>\d+) temp_c=(?P<temp_c>\d+)$",),
+        casts=(Cast("dev", "int64"), Cast("util_pct", "int64"),
+               Cast("mem_used_mb", "int64"), Cast("temp_c", "int64")),
+        consts={"category": "telemetry", "event_type": "gpu"},
+    ),
+    # ---- v7 user families ----
+    Rule(
+        rule_id="R113_interrupt",
+        sink="sink_control",
+        gate={"role": ("user",)},
+        patterns=(r"^\[interrupt\] after_ms=(?P<after_ms>\d+)$",),
+        casts=(Cast("after_ms", "int64"),),
+        consts={"category": "control", "event_type": "interrupt"},
+    ),
+    Rule(
+        rule_id="R114_resume_req",
+        sink="sink_control",
+        gate={"role": ("user",)},
+        patterns=(r"^\[resume\] from_turn=(?P<from_turn>\d+) reason=(?P<resume_reason>manual|timeout)$",),
+        casts=(Cast("from_turn", "int64"),),
+        consts={"category": "control", "event_type": "resume"},
+    ),
     # ---- v3 user families (declared before the R09 catch-all) ----
     Rule(
         rule_id="R53_edit",
@@ -890,12 +1012,14 @@ _DISPATCH_ORDER = [
     "R55_delegate", "R56_draft", "R57_clarify", "R58_search_memory",
     "R76_persona",
     "R82_confidence", "R83_translate_msg", "R84_toolplan", "R85_imagegen",
+    "R102_websearch", "R103_artifact", "R104_eval",
     "R02_tool_result_ok", "R17_tool_progress", "R16_tool_retry",
     "R03_tool_result_err", "R18_tool_stream", "R39_tool_cache",
     "R38_tool_stderr", "R04_traceback", "R37_tool_cancel",
     "R60_tool_timeout", "R59_tool_denied", "R61_tool_stats",
     "R77_tool_deprecated",
     "R86_tool_stdout", "R87_tool_sandbox", "R88_tool_usage",
+    "R105_tool_killed", "R106_tool_throttled",
     "R07_sys_prompt", "R20_banner", "R26_session_end", "R06_status",
     "R22_gc", "R30_pool_table", "R24_flush", "R27_warn_slow",
     "R23_compaction", "R28_quota", "R21_config", "R40_heartbeat",
@@ -909,9 +1033,11 @@ _DISPATCH_ORDER = [
     "R78_mem_pressure", "R79_queue_lag", "R81_incident",
     "R89_dns", "R90_tls", "R91_upgrade", "R92_snapshot", "R93_rebalance",
     "R94_cron", "R95_retention", "R96_index", "R97_warn_clock", "R98_export",
+    "R107_oom", "R108_vacuum", "R109_replica", "R110_sampling",
+    "R111_flag", "R112_connpool", "R115_gpu",
     "R08_user_cmd", "R32_feedback", "R31_attach", "R54_paste", "R53_edit",
     "R74_consent", "R75_locale", "R80_reaction",
-    "R100_vote", "R101_undo",
+    "R100_vote", "R101_undo", "R113_interrupt", "R114_resume_req",
     "R09_user_msg", "R10_assist_msg", "R99_default",
 ]
 _by_id = {r.rule_id: r for r in TRANSCRIPT_RULES}

@@ -1896,3 +1896,33 @@ def test_edit_distance_selfjoin_complete_with_indels(ray_session):
         got_pairs = {(int(r.a), int(r.b)): int(r.dist)
                      for r in got.itertuples()}
         assert got_pairs == want, block
+
+
+def test_pii_redact_batch_all_classes_progressive():
+    """Each PII class redacts independently; counts reflect the
+    progressive chain (class k counted AFTER class k-1's replacement,
+    mirroring the SQL oracle); nulls and empties are safe."""
+    import pyarrow as pa
+
+    from logray.ops.text import pii_redact_batch
+
+    t = pa.table({"text": pa.array([
+        "reach me at jo.doe+spam@mail.example.com or +1-555-123-4567",
+        "server 10.0.254.3 then 192.168.1.1 rebooted",
+        "two mails a@b.io c@d.org one ip 8.8.8.8",
+        "",          # empty
+        None,        # null
+        "no pii here at all",
+        "version 1.2.3 is NOT an ip (three octets)",
+    ])})
+    out = pii_redact_batch(t)
+    red = out["redacted"].to_pylist()
+    assert red[0] == "reach me at <EMAIL> or <PHONE>"
+    assert red[1] == "server <IP> then <IP> rebooted"
+    assert red[2] == "two mails <EMAIL> <EMAIL> one ip <IP>"
+    assert red[3] == "" and red[4] is None
+    assert red[5] == "no pii here at all"
+    assert red[6] == "version 1.2.3 is NOT an ip (three octets)"
+    assert out["n_email"].to_pylist() == [1, 0, 2, 0, 0, 0, 0]
+    assert out["n_ip"].to_pylist() == [0, 2, 1, 0, 0, 0, 0]
+    assert out["n_phone"].to_pylist() == [1, 0, 0, 0, 0, 0, 0]
