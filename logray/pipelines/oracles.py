@@ -3882,3 +3882,17 @@ ORACLE_SQL["pii_redact_transcripts"] = f"""
            CAST(length(regexp_extract_all(t2, '{_PII_PH}')) AS BIGINT) AS n_phone
     FROM s2
 """
+
+ORACLE_SQL["citation_hosts_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    c AS (SELECT regexp_extract(text, 'url=(https?://[a-z0-9./_-]+) title=', 1) AS url
+          FROM cls WHERE rule_id = 'R13_citation'),
+    h AS (SELECT url, regexp_extract(url, '^https?://([a-z0-9._-]+)', 1) AS host,
+                 CAST(length(url) - length(replace(url, '/', '')) - 2 AS BIGINT) AS path_depth
+          FROM c),
+    pairs AS (SELECT host, url, count(*) AS n, max(path_depth) AS max_depth
+              FROM h GROUP BY 1, 2)
+    SELECT host, sum(n) AS n_citations, count(*) AS n_urls,
+           max(max_depth) AS max_path_depth
+    FROM pairs GROUP BY 1
+"""

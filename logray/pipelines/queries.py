@@ -9222,6 +9222,35 @@ def sampling_rollup_transcripts(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def citation_hosts_transcripts(sf_dir: str):
+    """Per-host citation profile from the R13 family (provenance
+    analysis: which sources does the assistant cite, how varied are the
+    pages): host split out of the captured url with one extract_regex,
+    path depth counted vectorized; two-level aggregate gives citations
+    per host + distinct urls per host."""
+    ds = _parse_rule_subset(sf_dir, "R13_citation", ["url"])
+
+    def host_depth(t: pa.Table) -> pa.Table:
+        url = t["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        st = pc.extract_regex(url, r"^https?://(?P<host>[a-z0-9._-]+)")
+        # path depth = '/' count beyond the two scheme slashes + authority
+        depth = pc.subtract(pc.count_substring(url, "/"), 2)
+        return pa.table({"host": st.field("host"), "url": url,
+                         "path_depth": pc.cast(depth, pa.int64())})
+
+    pairs = relational.grouped_agg(
+        ds.map_batches(host_depth, batch_format="pyarrow"),
+        ["host", "url"], {"n": ("url", "count"),
+                          "max_depth": ("path_depth", "max")})
+    return relational.grouped_agg(pairs, ["host"], {
+        "n_citations": ("n", "sum"),
+        "n_urls": ("n", "count"),
+        "max_path_depth": ("max_depth", "max"),
+    })
+
+
 def pii_redact_transcripts(sf_dir: str):
     """PII scrub over user turns (training-data hygiene before any text
     ships to a training mix): pruned scan (3 columns) with the role
@@ -9616,6 +9645,7 @@ QUERIES = {
     "tool_kill_signals_transcripts": tool_kill_signals_transcripts,
     "sampling_rollup_transcripts": sampling_rollup_transcripts,
     "pii_redact_transcripts": pii_redact_transcripts,
+    "citation_hosts_transcripts": citation_hosts_transcripts,
 }
 
 

@@ -73,10 +73,12 @@ class SinkWriter:
             for cols in sink_columns.values():
                 self.rule_universe |= cols
 
-    def _write_slice(self, sub: pa.Table, pid: str, sink_val: str,
-                     rows: dict[str, list]) -> None:
-        """Write one (pid, sink) slice (columns already pruned) + record
-        its per-rule partial counts."""
+    def _write_slice(self, sub: pa.Table, pid: str, sink_val: str) -> str:
+        """Write one (pid, sink) slice (columns already pruned); returns
+        the file path. Per-rule partial counts are aggregated ONCE per
+        batch in ``__call__`` (one acero group_by instead of one per
+        slice — the per-slice version measured ~19 ms/batch of pure
+        setup at 6 sinks)."""
         sink_dir = self.out_dir / f"partition={pid}" / f"sink={sink_val}"
         sink_dir.mkdir(parents=True, exist_ok=True)
         fname = sink_dir / f"part-{uuid.uuid4().hex}.parquet"
@@ -87,14 +89,7 @@ class SinkWriter:
         # goes disk-bound before CPU-bound at corpus scale)
         pq.write_table(sub, fname, compression=self.compression,
                        use_dictionary=False, write_statistics=False)
-        agg = sub.group_by("rule_id").aggregate([("rule_id", "count"), ("parse_error", "sum")])
-        for r in agg.to_pylist():
-            rows["pid"].append(pid)
-            rows["sink"].append(sink_val)
-            rows["rule_id"].append(r["rule_id"])
-            rows["n"].append(r["rule_id_count"])
-            rows["parse_errors"].append(int(r["parse_error_sum"] or 0))
-            rows["file"].append(str(fname))
+        return str(fname)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: dict[str, list] = {k: [] for k in SUMMARY_SCHEMA.names}
@@ -128,6 +123,7 @@ class SinkWriter:
                 for p in pids:
                     m = pc.equal(pid_arr, p)
                     per_pid.append((p, batch.filter(m), sinks.filter(m)))
+        files_map: dict[tuple[str, str], str] = {}
         for pid, tbl, snk in per_pid:
             for sink_val in pc.unique(snk).to_pylist():
                 if self.sink_columns and sink_val in self.sink_columns:
@@ -137,6 +133,26 @@ class SinkWriter:
                     pruned = tbl.select(keep)
                 else:
                     pruned = tbl
-                self._write_slice(pruned.filter(pc.equal(snk, sink_val)),
-                                  pid, sink_val, rows)
+                files_map[(pid, sink_val)] = self._write_slice(
+                    pruned.filter(pc.equal(snk, sink_val)), pid, sink_val)
+        # one summary pass over the whole batch: group (pid, sink,
+        # rule_id) once; each group's file is determined by its (pid,
+        # sink) — slices and files are 1:1 per call
+        if pid_arr is None:
+            pid_col = pa.nulls(batch.num_rows, pa.string()).fill_null(
+                self.partition_id)
+        else:
+            pid_col = pid_arr
+        keys = pa.table({"pid": pid_col, "sink": sinks,
+                         "rule_id": batch["rule_id"],
+                         "parse_error": batch["parse_error"]})
+        agg = keys.group_by(["pid", "sink", "rule_id"]).aggregate(
+            [("rule_id", "count"), ("parse_error", "sum")])
+        for r in agg.to_pylist():
+            rows["pid"].append(r["pid"])
+            rows["sink"].append(r["sink"])
+            rows["rule_id"].append(r["rule_id"])
+            rows["n"].append(r["rule_id_count"])
+            rows["parse_errors"].append(int(r["parse_error_sum"] or 0))
+            rows["file"].append(files_map[(r["pid"], r["sink"])])
         return pa.Table.from_pydict(rows, schema=SUMMARY_SCHEMA)

@@ -92,10 +92,14 @@ def main() -> int:
         # and Ray 2.49's task manager can hit an internal race
         # ("Tried to complete task that was not pending",
         # task_manager.cc:930 — observed once at ~2 090 datasets /
-        # ~240 queries; all completed queries were green). Fresh sessions
-        # every 100 queries keep the sweep below that regime.
+        # ~240 queries; a second flavor, reference_count.cc:581
+        # "submitted_task_ref_count > 0", aborted a sweep at query 179 —
+        # ~79 queries into a recycled session). Fresh sessions every 50
+        # queries keep each session's dataset churn below both observed
+        # failure points; on an abort, re-run the remaining names (the
+        # arg list) — completed results are unaffected.
         n_run += 1
-        if n_run % 100 == 0:
+        if n_run % 50 == 0:
             ray.shutdown()
             ray.init(address="local", num_cpus=8, include_dashboard=False,
                      ignore_reinit_error=True, logging_level="ERROR")
