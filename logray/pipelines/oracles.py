@@ -3896,3 +3896,25 @@ ORACLE_SQL["citation_hosts_transcripts"] = f"""
            max(max_depth) AS max_path_depth
     FROM pairs GROUP BY 1
 """
+
+# Windowed spike detection: same gap semantics (lag over PRESENT buckets),
+# same float op sequence ((r1+r2+r3)/3, 2.0*x) — doubles compare bit-exact.
+ORACLE_SQL["tool_error_spikes_transcripts"] = f"""
+    WITH cls AS (SELECT ts, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    t AS (SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) AS bucket,
+                 CASE WHEN rule_id = 'R03_tool_result_err' THEN 1 ELSE 0 END AS is_err
+          FROM cls
+          WHERE rule_id IN ('R02_tool_result_ok', 'R03_tool_result_err')),
+    b AS (SELECT bucket, count(*) AS n_tool,
+                 CAST(sum(is_err) AS BIGINT) AS n_err
+          FROM t GROUP BY 1),
+    w AS (SELECT bucket, n_tool, n_err,
+                 CAST(n_err AS DOUBLE) / n_tool AS err_rate,
+                 lag(CAST(n_err AS DOUBLE) / n_tool, 1) OVER (ORDER BY bucket) AS r1,
+                 lag(CAST(n_err AS DOUBLE) / n_tool, 2) OVER (ORDER BY bucket) AS r2,
+                 lag(CAST(n_err AS DOUBLE) / n_tool, 3) OVER (ORDER BY bucket) AS r3
+          FROM b)
+    SELECT bucket, n_tool, n_err, err_rate,
+           COALESCE(err_rate > 2.0 * ((r1 + r2 + r3) / 3.0), FALSE) AS spike
+    FROM w
+"""

@@ -9251,6 +9251,56 @@ def citation_hosts_transcripts(sf_dir: str):
     })
 
 
+def tool_error_spikes_transcripts(sf_dir: str):
+    """Windowed error-rate spike detection over parsed tool results (the
+    on-call 'did the error rate jump' analysis): 15-minute buckets of
+    R02/R03 volume → per-bucket error rate → spike = rate > 2× the
+    trailing mean of the three PRECEDING buckets (absent buckets are
+    gaps, not zeros — matching SQL lag over the grouped rows). Grouped
+    partials shuffle ~67 tiny rows; the ordered trailing window runs in
+    one single-partition pass. Float determinism: err_rate is one int/int
+    division and the trailing mean is (r1+r2+r3)/3 evaluated identically
+    in numpy and DuckDB, so the doubles compare bit-exact un-rounded."""
+    ds = _parse_rule_subset(
+        sf_dir, ("R02_tool_result_ok", "R03_tool_result_err"),
+        ["rule_id", "ts"], read_cols=("role", "text", "ts"))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        epoch_s = pc.divide(pc.cast(ts.cast(pa.int64()), pa.int64()), 1_000_000)
+        bucket = pc.floor(pc.divide(pc.cast(epoch_s, pa.float64()), 900.0))
+        return pa.table({
+            "bucket": pc.cast(bucket, pa.int64()),
+            "is_err": pc.cast(pc.equal(t["rule_id"], "R03_tool_result_err"),
+                              pa.int64()),
+        })
+
+    grouped = relational.grouped_agg(
+        ds.map_batches(bucketize, batch_format="pyarrow"), ["bucket"], {
+            "n_tool": ("is_err", "count"),
+            "n_err": ("is_err", "sum"),
+        })
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("bucket", kind="mergesort")
+        r = df["n_err"].to_numpy(np.float64) / df["n_tool"].to_numpy(np.float64)
+        r1 = np.roll(r, 1); r2 = np.roll(r, 2); r3 = np.roll(r, 3)
+        trail = (r1 + r2 + r3) / 3.0
+        valid = np.arange(len(r)) >= 3
+        spike = np.where(valid, r > 2.0 * trail, False)
+        return pa.table({
+            "bucket": pa.array(df["bucket"].to_numpy(), pa.int64()),
+            "n_tool": pa.array(df["n_tool"].to_numpy(), pa.int64()),
+            "n_err": pa.array(df["n_err"].to_numpy(), pa.int64()),
+            "err_rate": pa.array(r, pa.float64()),
+            "spike": pa.array(spike, pa.bool_()),
+        })
+
+    return grouped.repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
 def pii_redact_transcripts(sf_dir: str):
     """PII scrub over user turns (training-data hygiene before any text
     ships to a training mix): pruned scan (3 columns) with the role
@@ -9646,6 +9696,7 @@ QUERIES = {
     "sampling_rollup_transcripts": sampling_rollup_transcripts,
     "pii_redact_transcripts": pii_redact_transcripts,
     "citation_hosts_transcripts": citation_hosts_transcripts,
+    "tool_error_spikes_transcripts": tool_error_spikes_transcripts,
 }
 
 
