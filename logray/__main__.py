@@ -20,11 +20,20 @@ import sys
 
 
 def _init_ray(num_cpus: int | None) -> None:
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+        # Under `ray job submit` the job runtime exports RAY_ADDRESS to the
+        # cluster head — attach to it (forcing "local" there would spin a
+        # private single-node Ray inside the job container). Standalone,
+        # RAY_ADDRESS is unset (or preset to "local" in this sandbox) and
+        # a local session starts as before.
+        address = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {} if address != "local" else {"num_cpus": num_cpus}
+        ray.init(address=address, include_dashboard=False,
+                 logging_level="ERROR", **kwargs)
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -146,6 +146,13 @@ def run_wave(wave: list[str], parts: dict[str, list[str]], out_dir: str, *,
         amortized = round(total_est / 50_000)
         parallel_floor = min(int(pool_hi), round(total_est / 8_000))
         override_num_blocks = max(1, amortized, parallel_floor)
+    if isinstance(enrich_concurrency, tuple):
+        # never spawn more actors than there are blocks to feed them —
+        # actor spin-up (~40 ms + lookup fetch each) is pure waste past
+        # that; at corpus scale blocks ≫ pool and this is a no-op
+        lo, hi = enrich_concurrency
+        enrich_concurrency = (max(1, min(int(lo), override_num_blocks)),
+                              max(1, min(int(hi), override_num_blocks)))
     ds = ray.data.read_parquet(files, include_paths=True,
                                override_num_blocks=override_num_blocks,
                                ray_remote_args={"num_cpus": 0.5})

@@ -3918,3 +3918,33 @@ ORACLE_SQL["tool_error_spikes_transcripts"] = f"""
            COALESCE(err_rate > 2.0 * ((r1 + r2 + r3) / 3.0), FALSE) AS spike
     FROM w
 """
+
+# Enrich-stage oracle: lookup CASEs GENERATED from the same frozen tables
+# the actors broadcast (enrich.ROLE_DICT / build_tool_dict) — one source
+# of truth, same pattern as the rule CASE.
+
+def _gen_enrich_cases() -> tuple[str, str, str]:
+    from ..stages.enrich import ROLE_DICT, build_tool_dict
+
+    role = ("CASE " + " ".join(
+        f"WHEN role = '{r}' THEN '{grp}'" for r, (_, grp) in ROLE_DICT.items())
+        + " ELSE 'unknown' END")
+    td = build_tool_dict()
+    tier = ("CASE " + " ".join(
+        f"WHEN tool = '{t}' THEN '{v[0]}'" for t, v in td.items())
+        + " ELSE 'unknown' END")
+    cost = ("CASE " + " ".join(
+        f"WHEN tool = '{t}' THEN {v[2]}" for t, v in td.items())
+        + " ELSE NULL END")
+    return role, tier, cost
+
+
+_ROLE_GROUP_CASE, _TOOL_TIER_CASE, _COST_CLASS_CASE = _gen_enrich_cases()
+
+ORACLE_SQL["enrich_breakdown_transcripts"] = f"""
+    SELECT {_ROLE_GROUP_CASE} AS role_group,
+           {_TOOL_TIER_CASE} AS tool_tier,
+           count(*) AS n,
+           sum({_COST_CLASS_CASE}) AS sum_cost
+    FROM {_CORPUS} GROUP BY 1, 2
+"""

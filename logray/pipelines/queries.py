@@ -9251,6 +9251,32 @@ def citation_hosts_transcripts(sf_dir: str):
     })
 
 
+def enrich_breakdown_transcripts(sf_dir: str):
+    """Direct oracle over the enrich stage (the north rule's broadcast
+    lookup join): corpus scan → ``Enricher`` actor pool (dictionary-
+    encode → map-uniques → take per batch; lookups built once per actor)
+    → grouped rollup per (role_group, tool_tier) with the null-skipping
+    cost sum. The DuckDB oracle replays the SAME lookup tables via CASE
+    expressions GENERATED from ``enrich.build_tool_dict`` (one source of
+    truth, like the rule CASE); the crc32 conv-bucket column is not
+    SQL-expressible and is pytest-verified instead."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    from ..stages.enrich import Enricher
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["conv_id", "role", "tool"])
+    enriched = ds.map_batches(Enricher, concurrency=2, batch_format="pyarrow")
+    out = relational.grouped_agg(enriched, ["role_group", "tool_tier"], {
+        "n": ("role_group", "count"),
+        "sum_cost": ("cost_class", "sum"),
+    })
+    return out
+
+
 def tool_error_spikes_transcripts(sf_dir: str):
     """Windowed error-rate spike detection over parsed tool results (the
     on-call 'did the error rate jump' analysis): 15-minute buckets of
@@ -9697,6 +9723,7 @@ QUERIES = {
     "pii_redact_transcripts": pii_redact_transcripts,
     "citation_hosts_transcripts": citation_hosts_transcripts,
     "tool_error_spikes_transcripts": tool_error_spikes_transcripts,
+    "enrich_breakdown_transcripts": enrich_breakdown_transcripts,
 }
 
 

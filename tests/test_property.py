@@ -225,3 +225,40 @@ def test_ed1_blocking_keys_complete(s, pos, ch, op):
     assert int(levenshtein_batch([s], [t])[0]) <= 1  # construction check
     assert set(ed1_blocking_keys(s)) & set(ed1_blocking_keys(t))
     assert set(ed1_deletion_keys(s)) & set(ed1_deletion_keys(t))
+
+
+# --- PII redaction: engine (pyarrow RE2) vs pure-Python re replay --------
+
+_pii_filler = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40)
+_pii_tokens = st.sampled_from([
+    "a.b+c@mail.example.com", "x@y.io", "10.0.0.1", "255.255.255.255",
+    "+1-555-000-1234", "+44-123-456-7890", "1.2.3", "not@tld", "@", "+1-55",
+])
+
+
+@given(st.lists(
+    st.tuples(_pii_filler, _pii_tokens, _pii_filler), min_size=1, max_size=30))
+@settings(max_examples=60, deadline=None)
+def test_pii_redact_matches_pure_python_re(parts):
+    """The vectorized pass chain must agree with a row-by-row ``re`` replay
+    of the SAME progressive semantics on arbitrary unicode around planted
+    (and near-miss) PII tokens."""
+    import re
+
+    import pyarrow as pa
+
+    from logray.ops.text import PII_PASSES, pii_redact_batch
+
+    texts = [f"{a} {tok} {b}" for a, tok, b in parts]
+    out = pii_redact_batch(pa.table({"text": pa.array(texts, pa.string())}))
+
+    for i, t in enumerate(texts):
+        red = t
+        counts = []
+        for pat, token in PII_PASSES:
+            counts.append(len(re.findall(pat, red)))
+            red = re.sub(pat, token, red)
+        assert out["redacted"][i].as_py() == red, t
+        got = [out[c][i].as_py() for c in ("n_email", "n_ip", "n_phone")]
+        assert got == counts, (t, got, counts)
