@@ -386,3 +386,44 @@ def frame_sample_plan(batch: pa.Table, every_ms: int = 1000) -> pa.Table:
         "media_id": pa.array(out_ids, pa.int64()),
         "frame_ts_ms": pa.array(out_ts, pa.int32()),
     })
+
+
+def make_tar_shards(out_dir, n: int = 240, shards: int = 6,
+                    seed: int = 13) -> dict:
+    """WebDataset-style shard fixture: REAL netpbm P6 payloads packed into
+    ``shards`` tar archives (member name = ``{media_id:06d}.ppm``), plus a
+    ``truth.parquet`` sidecar carrying the generation-time analytic truth
+    (dims / Rec.601 luma / ahash / byte size) and each member's shard —
+    the oracle for any pipeline that must re-derive those from the tar
+    bytes alone. Members are assigned round-robin so every shard holds a
+    spread of ids (the way a sharded corpus is actually laid out)."""
+    import tarfile
+    from pathlib import Path
+
+    import pyarrow.parquet as _pq
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    t = make_ppm_media_table(n, seed=seed)
+    ids = t["media_id"].to_pylist()
+    payloads = t["payload"].to_pylist()
+    shard_of = [i % shards for i in range(n)]
+    writers = {}
+    for k in range(shards):
+        writers[k] = tarfile.open(out / f"shard-{k:02d}.tar", "w")
+    mtime = 1_767_225_600  # fixed 2026-01-01 — deterministic archives
+    for i, (mid, payload) in enumerate(zip(ids, payloads)):
+        info = tarfile.TarInfo(name=f"{mid:06d}.ppm")
+        info.size = len(payload)
+        info.mtime = mtime
+        import io as _io
+
+        writers[shard_of[i]].addfile(info, _io.BytesIO(payload))
+    for w in writers.values():
+        w.close()
+    truth = t.drop(["payload"]).append_column(
+        "shard", pa.array([f"shard-{k:02d}.tar" for k in shard_of], pa.string())
+    ).append_column(
+        "n_bytes", pa.array([len(p) for p in payloads], pa.int64()))
+    _pq.write_table(truth, out / "truth.parquet")
+    return {"shards": shards, "members": n, "dir": str(out)}

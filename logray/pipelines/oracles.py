@@ -3948,3 +3948,12 @@ ORACLE_SQL["enrich_breakdown_transcripts"] = f"""
            sum({_COST_CLASS_CASE}) AS sum_cost
     FROM {_CORPUS} GROUP BY 1, 2
 """
+
+# Tar-shard source: truth sidecar written next to the shards at pack time
+# (member byte sizes, shard assignment, and the same decode truths).
+ORACLE_SQL["tar_shard_decode_media"] = f"""
+    SELECT media_id, shard, n_bytes,
+           true_width AS width, true_height AS height,
+           true_mean_luma AS mean_luma, true_ahash AS ahash
+    FROM read_parquet('{_MEDIA}/tar/truth.parquet')
+"""

@@ -8216,6 +8216,57 @@ def _media_path(kind: str) -> str:
     return str(f)
 
 
+def _tar_media_dir() -> str:
+    from ..ops import multimodal as mm
+
+    p = Path(_MEDIA_CACHE) / "tar"
+    if not (p / "truth.parquet").exists():
+        mm.make_tar_shards(p)
+    return str(p)
+
+
+def tar_shard_decode_media(sf_dir: str):
+    """WebDataset-style ingestion end-to-end: tar shards of REAL netpbm
+    P6 members → ``read_tar_shards`` (one shard per task, payloads never
+    on the driver) → member-name parse → real decode (dims / Rec.601
+    luma / ahash) — value-checked against the generation-time truth
+    sidecar, including each member's byte size and which shard it rode
+    in. This is the sharded-corpus source every training pipeline starts
+    from; resume granularity = shard."""
+    from ..ops.multimodal import DecodeImageStage
+    from ..sources import read_tar_shards
+
+    d = _tar_media_dir()
+    ds = read_tar_shards(d)
+
+    def prep(t: pa.Table) -> pa.Table:
+        member = t["member"]
+        if isinstance(member, pa.ChunkedArray):
+            member = member.combine_chunks()
+        mid = pc.cast(pc.extract_regex(member, r"^(?P<id>\d{6})\.ppm$")
+                      .field("id"), pa.int64())
+        n = t.num_rows
+        return pa.table({
+            "media_id": mid, "shard": t["shard"],
+            "n_bytes": pc.cast(pc.binary_length(t["payload"]), pa.int64()),
+            "payload": t["payload"],
+            "width": pa.nulls(n, pa.int32()),
+            "height": pa.nulls(n, pa.int32()),
+        })
+
+    out = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        DecodeImageStage, fn_constructor_kwargs={"decode": "ppm"},
+        concurrency=2, batch_size=32, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"], "shard": t["shard"],
+            "n_bytes": t["n_bytes"],
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+            "mean_luma": t["mean_luma"], "ahash": t["phash64"]}),
+        batch_format="pyarrow")
+
+
 def wav_features_media(sf_dir: str):
     """REAL audio decode end-to-end: RIFF/WAVE PCM16 payloads decoded by
     an actor-pool stage (stdlib ``wave`` + numpy) into exact duration,
@@ -9603,6 +9654,7 @@ QUERIES = {
     # real multimodal decode lanes (stdlib codecs)
     "wav_features_media": wav_features_media,
     "ppm_features_media": ppm_features_media,
+    "tar_shard_decode_media": tar_shard_decode_media,
     "ppm_resize_dims_media": ppm_resize_dims_media,
     "multimodal_decode_features": multimodal_decode_features,
     # round-2 coverage adds

@@ -98,3 +98,33 @@ def test_ipc_roundtrip(ray_session, tmp_path):
     back = sources.read_ipc(tmp_path).to_pandas().sort_values("a")
     assert back["a"].tolist() == list(range(100))
     assert back["s"].iloc[3] == "v3"
+
+
+def test_tar_shard_roundtrip(ray_session, tmp_path):
+    """Pack → read_tar_shards explode: every member returns byte-identical
+    from the right shard; archives are deterministic (fixed mtime)."""
+    import pyarrow.parquet as pq
+
+    from logray.ops.multimodal import make_tar_shards
+    from logray.sources import read_tar_shards
+
+    meta = make_tar_shards(tmp_path, n=24, shards=3)
+    assert meta == {"shards": 3, "members": 24, "dir": str(tmp_path)}
+    truth = pq.read_table(tmp_path / "truth.parquet").to_pandas() \
+        .set_index("media_id")
+    got = read_tar_shards(tmp_path).to_pandas()
+    assert len(got) == 24
+    for r in got.itertuples():
+        mid = int(r.member.split(".")[0])
+        t = truth.loc[mid]
+        assert r.shard == t["shard"]
+        assert len(r.payload) == t["n_bytes"]
+        assert r.payload.startswith(b"P6\n")
+    # determinism: re-pack elsewhere -> identical shard bytes
+    import hashlib
+    d2 = tmp_path / "again"
+    make_tar_shards(d2, n=24, shards=3)
+    for k in range(3):
+        a = (tmp_path / f"shard-{k:02d}.tar").read_bytes()
+        b = (d2 / f"shard-{k:02d}.tar").read_bytes()
+        assert hashlib.sha256(a).digest() == hashlib.sha256(b).digest()
