@@ -247,8 +247,8 @@ class DecodeImageStage:
             self._pil = None
 
     def _decode_one(self, payload: bytes) -> tuple[int, int, float, int]:
-        if self.decode == "ppm":  # REAL decode (netpbm P6)
-            px = parse_ppm(payload)
+        if self.decode in ("ppm", "bmp"):  # REAL decodes (netpbm P6 / BMP24)
+            px = parse_ppm(payload) if self.decode == "ppm" else parse_bmp(payload)
             luma = _luma(px)
             return (px.shape[1], px.shape[0],
                     round(float(luma.mean()) / 255.0, 6), _ahash64(luma))
@@ -427,3 +427,78 @@ def make_tar_shards(out_dir, n: int = 240, shards: int = 6,
         "n_bytes", pa.array([len(p) for p in payloads], pa.int64()))
     _pq.write_table(truth, out / "truth.parquet")
     return {"shards": shards, "members": n, "dir": str(out)}
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """REAL 24-bit uncompressed BMP (BITMAPINFOHEADER): rows stored
+    BOTTOM-UP in BGR order, each padded to a 4-byte boundary — the three
+    classic BMP parsing hazards, all exercised on purpose."""
+    import struct
+
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = bytearray()
+    pad = b"\x00" * (stride - w * 3)
+    for y in range(h - 1, -1, -1):          # bottom-up
+        rows += px[y, :, ::-1].tobytes()    # BGR
+        rows += pad
+    return header + info + bytes(rows)
+
+
+def parse_bmp(payload: bytes) -> np.ndarray:
+    """REAL BMP decode (stdlib struct): 24-bit uncompressed
+    BITMAPINFOHEADER → (h, w, 3) RGB array. Handles bottom-up AND
+    top-down (negative height) row order and per-row 4-byte padding."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported "
+                         f"(hdr={hdr_size}, bpp={bpp}, comp={compression})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, np.uint8,
+                        count=stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR -> RGB
+
+
+def make_bmp_media_table(n: int, seed: int = 14) -> pa.Table:
+    """n REAL 24-bit BMP images (odd widths guaranteed present so the
+    4-byte row padding path is always exercised) + the same analytic
+    truths as the P6 lane."""
+    rng = np.random.default_rng(seed)
+    rows = {"media_id": [], "payload": [], "true_width": [],
+            "true_height": [], "true_mean_luma": [], "true_ahash": []}
+    for i in range(n):
+        w = int(rng.integers(16, 128))
+        if i % 2:
+            w |= 1  # force odd width -> nonzero row padding
+        h = int(rng.integers(16, 128))
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        luma = _luma(px)
+        rows["media_id"].append(i)
+        rows["payload"].append(encode_bmp(px))
+        rows["true_width"].append(w)
+        rows["true_height"].append(h)
+        rows["true_mean_luma"].append(round(float(luma.mean()) / 255.0, 6))
+        rows["true_ahash"].append(_ahash64(luma))
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "true_width": pa.array(rows["true_width"], pa.int64()),
+        "true_height": pa.array(rows["true_height"], pa.int64()),
+        "true_mean_luma": pa.array(rows["true_mean_luma"], pa.float64()),
+        "true_ahash": pa.array(rows["true_ahash"], pa.uint64()),
+    })

@@ -3957,3 +3957,9 @@ ORACLE_SQL["tar_shard_decode_media"] = f"""
            true_mean_luma AS mean_luma, true_ahash AS ahash
     FROM read_parquet('{_MEDIA}/tar/truth.parquet')
 """
+
+ORACLE_SQL["bmp_features_media"] = f"""
+    SELECT media_id, true_width AS width, true_height AS height,
+           true_mean_luma AS mean_luma, true_ahash AS ahash
+    FROM read_parquet('{_MEDIA}/bmp.parquet')
+"""

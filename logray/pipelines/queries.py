@@ -8210,10 +8210,41 @@ def _media_path(kind: str) -> str:
     p.mkdir(parents=True, exist_ok=True)
     f = p / f"{kind}.parquet"
     if not f.exists():
-        t = (mm.make_wav_media_table(200) if kind == "wav"
-             else mm.make_ppm_media_table(200))
+        t = {"wav": mm.make_wav_media_table,
+             "ppm": mm.make_ppm_media_table,
+             "bmp": mm.make_bmp_media_table}[kind](200)
         pq.write_table(t, f)
     return str(f)
+
+
+def bmp_features_media(sf_dir: str):
+    """REAL image decode lane #2: 24-bit BMP payloads (bottom-up rows,
+    BGR order, 4-byte row padding — odd widths guaranteed in the
+    fixture) decoded by the same actor-pool stage to dims / Rec.601
+    luma / ahash, value-checked against generation-time truth."""
+    import ray.data
+
+    from ..ops.multimodal import DecodeImageStage
+
+    ds = ray.data.read_parquet(_media_path("bmp"),
+                               columns=["media_id", "payload"])
+
+    def pad(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return t.append_column("width", pa.nulls(n, pa.int32())) \
+                .append_column("height", pa.nulls(n, pa.int32()))
+
+    out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+        DecodeImageStage, fn_constructor_kwargs={"decode": "bmp"},
+        concurrency=2, batch_size=32, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"],
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+            "mean_luma": t["mean_luma"],
+            "ahash": t["phash64"]}),
+        batch_format="pyarrow")
 
 
 def _tar_media_dir() -> str:
@@ -9655,6 +9686,7 @@ QUERIES = {
     "wav_features_media": wav_features_media,
     "ppm_features_media": ppm_features_media,
     "tar_shard_decode_media": tar_shard_decode_media,
+    "bmp_features_media": bmp_features_media,
     "ppm_resize_dims_media": ppm_resize_dims_media,
     "multimodal_decode_features": multimodal_decode_features,
     # round-2 coverage adds

@@ -1926,3 +1926,26 @@ def test_pii_redact_batch_all_classes_progressive():
     assert out["n_email"].to_pylist() == [1, 0, 2, 0, 0, 0, 0]
     assert out["n_ip"].to_pylist() == [0, 2, 1, 0, 0, 0, 0]
     assert out["n_phone"].to_pylist() == [1, 0, 0, 0, 0, 0, 0]
+
+
+def test_bmp_codec_roundtrip_and_hazards():
+    """BMP encode→decode round-trips exactly, including the three classic
+    hazards: bottom-up row order, BGR channel order, 4-byte row padding
+    (odd widths); top-down (negative height) input also decodes."""
+    import struct
+
+    import numpy as np
+
+    from logray.ops.multimodal import encode_bmp, parse_bmp
+
+    rng = np.random.default_rng(7)
+    for w, h in [(17, 9), (16, 16), (1, 1), (2, 33), (127, 3)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (parse_bmp(encode_bmp(px)) == px).all(), (w, h)
+    # top-down variant: encode_bmp(px[::-1]) lays the file rows out in
+    # px's original order (encoder reverses); flipping the height sign
+    # tells the decoder rows are already top-down, so it returns px as-is
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    b = bytearray(encode_bmp(px[::-1]))
+    struct.pack_into("<i", b, 22, -5)
+    assert (parse_bmp(bytes(b)) == px).all()
