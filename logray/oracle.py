@@ -16,6 +16,7 @@ Must implement the exact same normative semantics as ``logray.ruleset``:
 
 from __future__ import annotations
 
+import re
 from typing import Any, Iterable, Mapping
 
 from .ruleset import Rule, compile_re2_like
@@ -74,6 +75,13 @@ class OracleParser:
                     if not (-(2**63) <= x <= 2**63 - 1):
                         raise OverflowError(raw)
                     out[c.dst_field] = x / 100.0
+                elif c.converter == "duration":
+                    m = re.fullmatch(r"(?:(\d{1,15})h)?(?:(\d{1,15})m)?(\d{1,15})s", raw)
+                    if m is None:
+                        raise ValueError(raw)
+                    out[c.dst_field] = (int(m.group(1) or 0) * 3600
+                                        + int(m.group(2) or 0) * 60
+                                        + int(m.group(3)))
                 elif c.converter.startswith("timestamp:"):
                     from datetime import datetime
 

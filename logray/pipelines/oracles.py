@@ -3963,3 +3963,90 @@ ORACLE_SQL["bmp_features_media"] = f"""
            true_mean_luma AS mean_luma, true_ahash AS ahash
     FROM read_parquet('{_MEDIA}/bmp.parquet')
 """
+
+# ---- v8 rule-family oracles (same generated-CASE classify + regexp
+# extraction protocol; the duration spans replay as TRY_CAST + coalesce
+# unit arithmetic — non-participating optional groups extract as '' and
+# TRY_CAST('') is NULL, which coalesces to 0 exactly like the engine) ----
+
+_DUR_H = "coalesce(TRY_CAST(regexp_extract(text, '{tok}=(?:(\\d+)h)?(?:(\\d+)m)?(\\d+)s', 1) AS BIGINT), 0) * 3600"
+_DUR_M = "coalesce(TRY_CAST(regexp_extract(text, '{tok}=(?:(\\d+)h)?(?:(\\d+)m)?(\\d+)s', 2) AS BIGINT), 0) * 60"
+_DUR_S = "TRY_CAST(regexp_extract(text, '{tok}=(?:(\\d+)h)?(?:(\\d+)m)?(\\d+)s', 3) AS BIGINT)"
+
+
+def _dur_sql(tok: str) -> str:
+    """Total-seconds replay of the engine's 'duration' converter for a
+    ``<tok>=<span>`` capture."""
+    return ("(" + _DUR_H.format(tok=tok) + " + " + _DUR_M.format(tok=tok)
+            + " + " + _DUR_S.format(tok=tok) + ")")
+
+
+ORACLE_SQL["backup_duration_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    b AS (SELECT regexp_extract(text, 'dest=([a-z_]+)', 1) AS dest,
+                 CAST(regexp_extract(text, 'size_mb=(\\d+)', 1) AS BIGINT) AS size_mb,
+                 {_dur_sql('took')} AS took_s
+          FROM cls WHERE rule_id = 'R123_backup')
+    SELECT dest, count(*) AS n, sum(size_mb) AS sum_size_mb,
+           round(avg(took_s), 6) AS avg_took_s, max(took_s) AS max_took_s
+    FROM b GROUP BY 1
+"""
+
+ORACLE_SQL["tool_uptime_stats_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    u AS (SELECT regexp_extract(text, '^\\[tool:([a-z_]+)\\]', 1) AS tool_name,
+                 {_dur_sql('up')} AS up_s
+          FROM cls WHERE rule_id = 'R122_tool_uptime')
+    SELECT tool_name, count(*) AS n, max(up_s) AS max_up_s,
+           round(avg(up_s), 6) AS avg_up_s
+    FROM u GROUP BY 1
+"""
+
+ORACLE_SQL["webhook_health_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    w AS (SELECT regexp_extract(text, 'endpoint=([a-z_]+)', 1) AS endpoint,
+                 CAST(regexp_extract(text, 'status=(\\d{{3}})', 1) AS BIGINT) AS status,
+                 CAST(regexp_extract(text, 'attempt=(\\d+)', 1) AS BIGINT) AS attempt
+          FROM cls WHERE rule_id = 'R127_webhook')
+    SELECT endpoint, count(*) AS n,
+           round(avg(CASE WHEN status >= 400 THEN 1 ELSE 0 END), 6) AS fail_share,
+           max(attempt) AS max_attempt
+    FROM w GROUP BY 1
+"""
+
+ORACLE_SQL["cpu_load_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT count(*) AS n,
+           round(avg(CAST(regexp_extract(text, 'load1=(\\d+\\.\\d{{2}})', 1) AS DOUBLE)), 6) AS avg_load1,
+           max(CAST(regexp_extract(text, 'load5=(\\d+\\.\\d{{2}})', 1) AS DOUBLE)) AS max_load5,
+           max(CAST(regexp_extract(text, 'procs=(\\d+)', 1) AS BIGINT)) AS max_procs
+    FROM cls WHERE rule_id = 'R126_cpu'
+"""
+
+ORACLE_SQL["cert_expiry_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT regexp_extract(text, 'cn=([a-z0-9.-]+)', 1) AS cn,
+           count(*) AS n_warnings,
+           min(CAST(regexp_extract(text, 'days_left=(\\d+)', 1) AS BIGINT)) AS min_days_left
+    FROM cls WHERE rule_id = 'R129_warn_cert' GROUP BY 1
+"""
+
+ORACLE_SQL["form_funnel_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS})
+    SELECT count(*) AS n,
+           round(avg(CASE WHEN regexp_extract(text, 'submitted=(true|false)', 1) = 'true'
+                          THEN 1 ELSE 0 END), 6) AS submitted_share,
+           round(avg(CAST(regexp_extract(text, 'fields=(\\d+)', 1) AS BIGINT)), 6) AS avg_fields
+    FROM cls WHERE rule_id = 'R133_form'
+"""
+
+ORACLE_SQL["diffstat_churn_transcripts"] = f"""
+    WITH cls AS (SELECT conv_id, text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    d AS (SELECT conv_id,
+                 CAST(regexp_extract(text, 'insertions=(\\d+)', 1) AS BIGINT)
+                 + CAST(regexp_extract(text, 'deletions=(\\d+)', 1) AS BIGINT) AS churn
+          FROM cls WHERE rule_id = 'R116_diffstat')
+    SELECT conv_id, count(*) AS n_diffs, sum(churn) AS total_churn,
+           max(churn) AS max_churn
+    FROM d GROUP BY 1
+"""

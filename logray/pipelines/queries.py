@@ -9436,6 +9436,135 @@ def pii_redact_transcripts(sf_dir: str):
     return ds.map_batches(redact, batch_format="pyarrow")
 
 
+def backup_duration_transcripts(sf_dir: str):
+    """Per-destination backup posture from the R123 family — the first
+    rollup through the ``duration`` converter (took='[Hh][Mm]Ss' → int64
+    seconds at parse time, so the aggregate never touches the raw span
+    text): run count, bytes moved, mean/max wall seconds. The oracle
+    replays the unit arithmetic in DuckDB with TRY_CAST + coalesce."""
+    ds = _parse_rule_subset(sf_dir, "R123_backup",
+                            ["dest", "size_mb", "took_s"])
+    out = relational.grouped_agg(ds, ["dest"], {
+        "n": ("took_s", "count"),
+        "sum_size_mb": ("size_mb", "sum"),
+        "avg_took_s": ("took_s", "mean"),
+        "max_took_s": ("took_s", "max"),
+    })
+    return out.map_batches(lambda t: _round_col(t, "avg_took_s", 6),
+                           batch_format="pyarrow")
+
+
+def tool_uptime_stats_transcripts(sf_dir: str):
+    """Per-tool uptime telemetry from the R122 family (duration converter
+    on the tool role): sample count, longest and mean uptime seconds."""
+    ds = _parse_rule_subset(sf_dir, "R122_tool_uptime",
+                            ["tool_name", "up_s"])
+    out = relational.grouped_agg(ds, ["tool_name"], {
+        "n": ("up_s", "count"),
+        "max_up_s": ("up_s", "max"),
+        "avg_up_s": ("up_s", "mean"),
+    })
+    return out.map_batches(lambda t: _round_col(t, "avg_up_s", 6),
+                           batch_format="pyarrow")
+
+
+def webhook_health_transcripts(sf_dir: str):
+    """Per-endpoint webhook delivery health from the R127 family: event
+    count, non-2xx failure share (deterministic int/int ratio), worst
+    retry attempt."""
+    ds = _parse_rule_subset(sf_dir, "R127_webhook",
+                            ["endpoint", "status", "attempt"])
+
+    def fail_int(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "fail_i", pc.cast(pc.greater_equal(t["status"], 400), pa.int64()))
+
+    out = relational.grouped_agg(
+        ds.map_batches(fail_int, batch_format="pyarrow"), ["endpoint"], {
+            "n": ("fail_i", "count"),
+            "fail_share": ("fail_i", "mean"),
+            "max_attempt": ("attempt", "max"),
+        })
+    return out.map_batches(lambda t: _round_col(t, "fail_share", 6),
+                           batch_format="pyarrow")
+
+
+def cpu_load_transcripts(sf_dir: str):
+    """Global CPU telemetry from the R126 family (keyless aggregate via a
+    constant group key, dropped in the final projection): sample count,
+    mean 1-minute load, peak 5-minute load, peak process count."""
+    ds = _parse_rule_subset(sf_dir, "R126_cpu", ["load1", "load5", "procs"])
+    prepped = ds.map_batches(
+        lambda t: t.append_column("k", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    out = relational.grouped_agg(prepped, ["k"], {
+        "n": ("load1", "count"),
+        "avg_load1": ("load1", "mean"),
+        "max_load5": ("load5", "max"),
+        "max_procs": ("procs", "max"),
+    })
+    return out.map_batches(lambda t: _round_col(t.drop(["k"]), "avg_load1", 6),
+                           batch_format="pyarrow")
+
+
+def cert_expiry_transcripts(sf_dir: str):
+    """Per-CN certificate pressure from the R129 family (the sixth
+    'WARN '-literal family; shares its quantized trie prefix with R97
+    clock skew): warning count and soonest expiry."""
+    ds = _parse_rule_subset(sf_dir, "R129_warn_cert", ["cn", "days_left"])
+    return relational.grouped_agg(ds, ["cn"], {
+        "n_warnings": ("days_left", "count"),
+        "min_days_left": ("days_left", "min"),
+    })
+
+
+def form_funnel_transcripts(sf_dir: str):
+    """Form-submission funnel from the R133 family (user role): event
+    count, submitted share (deterministic int/int ratio), mean field
+    count."""
+    ds = _parse_rule_subset(sf_dir, "R133_form", ["fields", "submitted"])
+
+    def sub_int(t: pa.Table) -> pa.Table:
+        out = t.append_column(
+            "sub_i", pc.cast(pc.equal(t["submitted"], "true"), pa.int64()))
+        return out.append_column("k", pa.array(np.ones(t.num_rows, np.int64)))
+
+    out = relational.grouped_agg(
+        ds.map_batches(sub_int, batch_format="pyarrow"), ["k"], {
+            "n": ("sub_i", "count"),
+            "submitted_share": ("sub_i", "mean"),
+            "avg_fields": ("fields", "mean"),
+        })
+
+    def fin(t: pa.Table) -> pa.Table:
+        return _round_col(_round_col(t.drop(["k"]), "submitted_share", 6),
+                          "avg_fields", 6)
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def diffstat_churn_transcripts(sf_dir: str):
+    """Per-conversation code-churn profile from the R116 family: diffs
+    emitted, total insertions+deletions (churn), widest single diff.
+    Grouped on conv_id — the conversation-dimension rollup shape."""
+    ds = _parse_rule_subset(
+        sf_dir, "R116_diffstat",
+        ["conv_id", "files", "insertions", "deletions"],
+        read_cols=("conv_id", "role", "text"))
+
+    def churn(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "churn", pc.add(t["insertions"], t["deletions"]))
+
+    out = relational.grouped_agg(
+        ds.map_batches(churn, batch_format="pyarrow"), ["conv_id"], {
+            "n_diffs": ("files", "count"),
+            "total_churn": ("churn", "sum"),
+            "max_churn": ("churn", "max"),
+        })
+    return out
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -9807,6 +9936,13 @@ QUERIES = {
     "pii_redact_transcripts": pii_redact_transcripts,
     "citation_hosts_transcripts": citation_hosts_transcripts,
     "tool_error_spikes_transcripts": tool_error_spikes_transcripts,
+    "backup_duration_transcripts": backup_duration_transcripts,
+    "tool_uptime_stats_transcripts": tool_uptime_stats_transcripts,
+    "webhook_health_transcripts": webhook_health_transcripts,
+    "cpu_load_transcripts": cpu_load_transcripts,
+    "cert_expiry_transcripts": cert_expiry_transcripts,
+    "form_funnel_transcripts": form_funnel_transcripts,
+    "diffstat_churn_transcripts": diffstat_churn_transcripts,
     "enrich_breakdown_transcripts": enrich_breakdown_transcripts,
 }
 

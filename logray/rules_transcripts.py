@@ -954,6 +954,178 @@ TRANSCRIPT_RULES: list[Rule] = [
         casts=(Cast("from_turn", "int64"),),
         consts={"category": "control", "event_type": "resume"},
     ),
+    # ---- v8 assistant families ----
+    Rule(
+        rule_id="R116_diffstat",
+        sink="sink_action",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[diff\] files=(?P<files>\d+) insertions=(?P<insertions>\d+) deletions=(?P<deletions>\d+)$",),
+        casts=(Cast("files", "int64"), Cast("insertions", "int64"),
+               Cast("deletions", "int64")),
+        consts={"category": "action", "event_type": "diffstat"},
+    ),
+    Rule(
+        rule_id="R117_retrieval",
+        sink="sink_action",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[rag\] chunks=(?P<chunks>\d+) top_score=(?P<top_score>0\.\d{3}) rag_index=(?P<rag_index>[a-z_]+)$",),
+        casts=(Cast("chunks", "int64"), Cast("top_score", "float64")),
+        consts={"category": "action", "event_type": "retrieval"},
+    ),
+    Rule(
+        # second SIGNED int capture after R97 offset_ms (a rewrite can
+        # shrink the text)
+        rule_id="R118_rewrite",
+        sink="sink_dialogue",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[rewrite\] style=(?P<style>formal|concise|friendly) delta_chars=(?P<delta_chars>-?\d+)$",),
+        casts=(Cast("delta_chars", "int64"),),
+        consts={"category": "dialogue", "event_type": "rewrite"},
+    ),
+    Rule(
+        rule_id="R119_todo",
+        sink="sink_dialogue",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[todo\] items=(?P<items>\d+) done=(?P<done>\d+)$",),
+        casts=(Cast("items", "int64"), Cast("done", "int64")),
+        consts={"category": "dialogue", "event_type": "todo"},
+    ),
+    # ---- v8 tool verbs ----
+    Rule(
+        rule_id="R120_tool_started",
+        sink="sink_action",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] started id=(?P<call_id>\d+) pid=(?P<pid>\d+)$",),
+        casts=(Cast("call_id", "int64"), Cast("pid", "int64")),
+        consts={"category": "action", "event_type": "tool_started"},
+    ),
+    Rule(
+        rule_id="R121_tool_write",
+        sink="sink_action",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] wrote path=(?P<path>/[a-z0-9/_.-]+) bytes=(?P<bytes>\d+)$",),
+        casts=(Cast("bytes", "int64"),),
+        consts={"category": "action", "event_type": "tool_write"},
+    ),
+    Rule(
+        # first rule through the 'duration' converter ('[<H>h][<M>m]<S>s'
+        # span -> int64 seconds; malformed span -> null + parse_error)
+        rule_id="R122_tool_uptime",
+        sink="sink_telemetry",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] uptime id=(?P<call_id>\d+) up=(?P<up>(?:\d+h)?(?:\d+m)?\d+s)$",),
+        casts=(Cast("call_id", "int64"), Cast("up", "duration", "up_s")),
+        consts={"category": "telemetry", "event_type": "tool_uptime"},
+    ),
+    # ---- v8 system families ----
+    Rule(
+        rule_id="R123_backup",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[backup\] dest=(?P<dest>[a-z_]+) size_mb=(?P<size_mb>\d+) took=(?P<took>(?:\d+h)?(?:\d+m)?\d+s)$",),
+        casts=(Cast("size_mb", "int64"), Cast("took", "duration", "took_s")),
+        consts={"category": "telemetry", "event_type": "backup"},
+    ),
+    Rule(
+        rule_id="R124_wal",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[wal\] segment=(?P<segment>\d+) fsync_ms=(?P<fsync_ms>\d+) size_kb=(?P<size_kb>\d+)$",),
+        casts=(Cast("segment", "int64"), Cast("fsync_ms", "int64"),
+               Cast("size_kb", "int64")),
+        consts={"category": "telemetry", "event_type": "wal"},
+    ),
+    Rule(
+        rule_id="R125_shard_split",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[shard\] split shard=(?P<shard>\d+) at_key=(?P<at_key>[0-9a-f]{8}) moved=(?P<moved>\d+)$",),
+        casts=(Cast("shard", "int64"), Cast("moved", "int64")),
+        consts={"category": "telemetry", "event_type": "shard_split"},
+    ),
+    Rule(
+        rule_id="R126_cpu",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[cpu\] load1=(?P<load1>\d+\.\d{2}) load5=(?P<load5>\d+\.\d{2}) procs=(?P<procs>\d+)$",),
+        casts=(Cast("load1", "float64"), Cast("load5", "float64"),
+               Cast("procs", "int64")),
+        consts={"category": "telemetry", "event_type": "cpu"},
+    ),
+    Rule(
+        rule_id="R127_webhook",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[webhook\] endpoint=(?P<endpoint>[a-z_]+) status=(?P<status>\d{3}) attempt=(?P<attempt>\d+)$",),
+        casts=(Cast("status", "int64"), Cast("attempt", "int64")),
+        consts={"category": "telemetry", "event_type": "webhook"},
+    ),
+    Rule(
+        rule_id="R128_cache_evict",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[evict\] n_evicted=(?P<n_evicted>\d+) reason=(?P<reason>lru|ttl|pressure)$",),
+        casts=(Cast("n_evicted", "int64"),),
+        consts={"category": "telemetry", "event_type": "cache_evict"},
+    ),
+    Rule(
+        # SIXTH 'WARN '-literal family; shares the quantized trie prefix
+        # byte-run 'WARN c' with R97 clock skew (two rules in one bucket)
+        rule_id="R129_warn_cert",
+        sink="sink_error",
+        gate={"role": ("system",)},
+        patterns=(r"^WARN cert expiry: cn=(?P<cn>[a-z0-9.-]+) days_left=(?P<days_left>\d+)$",),
+        casts=(Cast("days_left", "int64"),),
+        consts={"category": "error", "event_type": "warn_cert"},
+    ),
+    Rule(
+        rule_id="R130_sessions",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[sessions\] active=(?P<active>\d+) evicted=(?P<evicted>\d+) peak=(?P<peak>\d+)$",),
+        casts=(Cast("active", "int64"), Cast("evicted", "int64"),
+               Cast("peak", "int64")),
+        consts={"category": "telemetry", "event_type": "sessions"},
+    ),
+    Rule(
+        rule_id="R131_trace",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[trace\] trace_id=(?P<trace_id>[0-9a-f]{16}) spans=(?P<spans>\d+) sampled=(?P<sampled>true|false)$",),
+        casts=(Cast("spans", "int64"),),
+        consts={"category": "telemetry", "event_type": "trace"},
+    ),
+    Rule(
+        rule_id="R132_license",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[license\] tier=(?P<tier>free|pro|enterprise) seats_used=(?P<seats_used>\d+) seats_max=(?P<seats_max>\d+)$",),
+        casts=(Cast("seats_used", "int64"), Cast("seats_max", "int64")),
+        consts={"category": "control", "event_type": "license"},
+    ),
+    # ---- v8 user families ----
+    Rule(
+        rule_id="R133_form",
+        sink="sink_action",
+        gate={"role": ("user",)},
+        patterns=(r"^\[form\] form_id=(?P<form_id>[0-9a-f]{8}) fields=(?P<fields>\d+) submitted=(?P<submitted>true|false)$",),
+        casts=(Cast("fields", "int64"),),
+        consts={"category": "action", "event_type": "form"},
+    ),
+    Rule(
+        rule_id="R134_share",
+        sink="sink_control",
+        gate={"role": ("user",)},
+        patterns=(r"^\[share\] scope=(?P<share_scope>team|public|private) link_id=(?P<link_id>[0-9a-f]{8})$",),
+        consts={"category": "control", "event_type": "share"},
+    ),
+    Rule(
+        rule_id="R135_bugreport",
+        sink="sink_control",
+        gate={"role": ("user",)},
+        patterns=(r"^\[bug\] area=(?P<area>[a-z_]+) severity=(?P<severity>low|medium|high)$",),
+        consts={"category": "control", "event_type": "bug_report"},
+    ),
     # ---- v3 user families (declared before the R09 catch-all) ----
     Rule(
         rule_id="R53_edit",
@@ -1013,6 +1185,7 @@ _DISPATCH_ORDER = [
     "R76_persona",
     "R82_confidence", "R83_translate_msg", "R84_toolplan", "R85_imagegen",
     "R102_websearch", "R103_artifact", "R104_eval",
+    "R116_diffstat", "R117_retrieval", "R118_rewrite", "R119_todo",
     "R02_tool_result_ok", "R17_tool_progress", "R16_tool_retry",
     "R03_tool_result_err", "R18_tool_stream", "R39_tool_cache",
     "R38_tool_stderr", "R04_traceback", "R37_tool_cancel",
@@ -1020,6 +1193,7 @@ _DISPATCH_ORDER = [
     "R77_tool_deprecated",
     "R86_tool_stdout", "R87_tool_sandbox", "R88_tool_usage",
     "R105_tool_killed", "R106_tool_throttled",
+    "R120_tool_started", "R121_tool_write", "R122_tool_uptime",
     "R07_sys_prompt", "R20_banner", "R26_session_end", "R06_status",
     "R22_gc", "R30_pool_table", "R24_flush", "R27_warn_slow",
     "R23_compaction", "R28_quota", "R21_config", "R40_heartbeat",
@@ -1035,9 +1209,13 @@ _DISPATCH_ORDER = [
     "R94_cron", "R95_retention", "R96_index", "R97_warn_clock", "R98_export",
     "R107_oom", "R108_vacuum", "R109_replica", "R110_sampling",
     "R111_flag", "R112_connpool", "R115_gpu",
+    "R123_backup", "R124_wal", "R125_shard_split", "R126_cpu",
+    "R127_webhook", "R128_cache_evict", "R129_warn_cert", "R130_sessions",
+    "R131_trace", "R132_license",
     "R08_user_cmd", "R32_feedback", "R31_attach", "R54_paste", "R53_edit",
     "R74_consent", "R75_locale", "R80_reaction",
     "R100_vote", "R101_undo", "R113_interrupt", "R114_resume_req",
+    "R133_form", "R134_share", "R135_bugreport",
     "R09_user_msg", "R10_assist_msg", "R99_default",
 ]
 _by_id = {r.rule_id: r for r in TRANSCRIPT_RULES}

@@ -54,11 +54,14 @@ __all__ = [
 ]
 
 # converter name -> output arrow type; 'percent' divides by 100 after int parse,
-# 'timestamp:<fmt>' parses with strptime(fmt) to timestamp[us].
+# 'timestamp:<fmt>' parses with strptime(fmt) to timestamp[us], 'duration'
+# parses '[<H>h][<M>m]<S>s' wall-clock spans (seconds required, larger units
+# optional) to total int64 seconds.
 CONVERTER_TYPES: dict[str, pa.DataType] = {
     "int64": pa.int64(),
     "float64": pa.float64(),
     "percent": pa.float64(),
+    "duration": pa.int64(),
     "string": pa.string(),
 }
 
@@ -70,7 +73,7 @@ class Cast:
     (e.g. ``pct`` → int64 ``pct`` and float64 ``frac``)."""
 
     src: str
-    converter: str  # 'int64' | 'float64' | 'percent' | 'timestamp:<fmt>' | 'string'
+    converter: str  # 'int64' | 'float64' | 'percent' | 'duration' | 'timestamp:<fmt>' | 'string'
     dst: str | None = None
 
     @property
@@ -319,6 +322,30 @@ def _safe_cast(arr: pa.Array, cast: Cast) -> tuple[pa.Array, np.ndarray]:
         fmt = conv.split(":", 1)[1]
         out = pc.strptime(arr, format=fmt, unit="us", error_is_null=True)
         errors = np.asarray(pc.and_(arr.is_valid(), out.is_null()).to_numpy(zero_copy_only=False))
+        return out, errors
+    if conv == "duration":
+        # '[<H>h][<M>m]<S>s' -> total seconds (int64). extract_regex yields a
+        # null struct slot on no-match and '' for non-participating optional
+        # groups; both coalesce to 0 before the unit arithmetic, and no-match
+        # rows are nulled + flagged afterwards (same contract as strptime).
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        # unit runs bounded to 15 digits so the int64 arithmetic cannot
+        # overflow (1e15 h/m/s each stay < 2^63 combined); longer runs are
+        # a no-match -> null + parse_error, matching the oracle parser
+        st = pc.extract_regex(
+            arr, r"^(?:(?P<h>\d{1,15})h)?(?:(?P<m>\d{1,15})m)?(?P<s>\d{1,15})s$")
+        matched = st.is_valid()
+
+        def _unit(name: str, mult: int) -> pa.Array:
+            f = pc.fill_null(st.field(name), "0")
+            f = pc.if_else(pc.equal(f, ""), pa.scalar("0"), f)
+            return pc.multiply(pc.cast(f, pa.int64()), pa.scalar(mult, pa.int64()))
+
+        secs = pc.add(pc.add(_unit("h", 3600), _unit("m", 60)), _unit("s", 1))
+        out = pc.if_else(matched, secs, pa.nulls(n, pa.int64()))
+        errors = np.asarray(pc.and_(arr.is_valid(), pc.invert(matched))
+                            .to_numpy(zero_copy_only=False))
         return out, errors
     target = pa.int64() if conv in ("int64",) else pa.float64()
     parse_as = pa.int64() if conv in ("int64", "percent") else pa.float64()
