@@ -4050,3 +4050,45 @@ ORACLE_SQL["diffstat_churn_transcripts"] = f"""
            max(churn) AS max_churn
     FROM d GROUP BY 1
 """
+
+# ---- v9 rule-family oracles ----
+
+ORACLE_SQL["maintenance_windows_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    m AS (SELECT regexp_extract(text, 'mwindow=([a-z_]+)', 1) AS mwindow,
+                 {_dur_sql('expected')} AS expected_s
+          FROM cls WHERE rule_id = 'R146_maintenance')
+    SELECT mwindow, count(*) AS n, round(avg(expected_s), 6) AS avg_expected_s,
+           max(expected_s) AS max_expected_s
+    FROM m GROUP BY 1
+"""
+
+ORACLE_SQL["download_hosts_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    d AS (SELECT regexp_extract(text, 'host=([a-z0-9.-]+)', 1) AS dl_host,
+                 CAST(regexp_extract(text, 'bytes=(\\d+)', 1) AS BIGINT) AS bytes,
+                 CAST(regexp_extract(text, 'http=(\\d{{3}})', 1) AS BIGINT) AS http
+          FROM cls WHERE rule_id = 'R140_tool_download')
+    SELECT dl_host, count(*) AS n, sum(bytes) AS sum_bytes,
+           round(avg(CASE WHEN http < 400 THEN 1 ELSE 0 END), 6) AS ok_share
+    FROM d GROUP BY 1
+"""
+
+ORACLE_SQL["fd_pressure_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    fd AS (SELECT CAST(regexp_extract(text, 'open_fds=(\\d+)', 1) AS BIGINT) AS open_fds,
+                  CAST(regexp_extract(text, 'max_fds=(\\d+)', 1) AS BIGINT) AS max_fds
+           FROM cls WHERE rule_id = 'R148_fdlimit')
+    SELECT count(*) AS n, max(open_fds) AS max_open_fds,
+           max(CAST(open_fds AS DOUBLE) / CAST(max_fds AS DOUBLE)) AS max_util
+    FROM fd
+"""
+
+ORACLE_SQL["reminder_horizon_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    r AS (SELECT {_dur_sql('in')} AS remind_s
+          FROM cls WHERE rule_id = 'R150_reminder')
+    SELECT count(*) AS n, round(avg(remind_s), 6) AS avg_remind_s,
+           max(remind_s) AS max_remind_s
+    FROM r
+"""

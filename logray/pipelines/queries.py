@@ -9565,6 +9565,79 @@ def diffstat_churn_transcripts(sf_dir: str):
     return out
 
 
+def maintenance_windows_transcripts(sf_dir: str):
+    """Per-window maintenance expectations from the R146 family (third
+    duration-converter rule): announcement count, mean and max expected
+    seconds."""
+    ds = _parse_rule_subset(sf_dir, "R146_maintenance",
+                            ["mwindow", "expected_s"])
+    out = relational.grouped_agg(ds, ["mwindow"], {
+        "n": ("expected_s", "count"),
+        "avg_expected_s": ("expected_s", "mean"),
+        "max_expected_s": ("expected_s", "max"),
+    })
+    return out.map_batches(lambda t: _round_col(t, "avg_expected_s", 6),
+                           batch_format="pyarrow")
+
+
+def download_hosts_transcripts(sf_dir: str):
+    """Per-host download profile from the R140 family: fetch count, bytes
+    moved, non-error share (deterministic int/int ratio on http < 400)."""
+    ds = _parse_rule_subset(sf_dir, "R140_tool_download",
+                            ["dl_host", "bytes", "http"])
+
+    def ok_int(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ok_i", pc.cast(pc.less(t["http"], 400), pa.int64()))
+
+    out = relational.grouped_agg(
+        ds.map_batches(ok_int, batch_format="pyarrow"), ["dl_host"], {
+            "n": ("ok_i", "count"),
+            "sum_bytes": ("bytes", "sum"),
+            "ok_share": ("ok_i", "mean"),
+        })
+    return out.map_batches(lambda t: _round_col(t, "ok_share", 6),
+                           batch_format="pyarrow")
+
+
+def fd_pressure_transcripts(sf_dir: str):
+    """Global fd-limit pressure from the R148 family (keyless aggregate):
+    sample count, worst open count, worst utilization ratio (per-row
+    open/max division is one exact double op; max of doubles is exact)."""
+    ds = _parse_rule_subset(sf_dir, "R148_fdlimit", ["open_fds", "max_fds"])
+
+    def util(t: pa.Table) -> pa.Table:
+        out = t.append_column(
+            "util", pc.divide(pc.cast(t["open_fds"], pa.float64()),
+                              pc.cast(t["max_fds"], pa.float64())))
+        return out.append_column("k", pa.array(np.ones(t.num_rows, np.int64)))
+
+    out = relational.grouped_agg(
+        ds.map_batches(util, batch_format="pyarrow"), ["k"], {
+            "n": ("open_fds", "count"),
+            "max_open_fds": ("open_fds", "max"),
+            "max_util": ("util", "max"),
+        })
+    return out.map_batches(lambda t: t.drop(["k"]), batch_format="pyarrow")
+
+
+def reminder_horizon_transcripts(sf_dir: str):
+    """Global reminder-horizon stats from the R150 family (the duration
+    converter on the user role): reminder count, mean and max horizon
+    seconds."""
+    ds = _parse_rule_subset(sf_dir, "R150_reminder", ["remind_s"])
+    prepped = ds.map_batches(
+        lambda t: t.append_column("k", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    out = relational.grouped_agg(prepped, ["k"], {
+        "n": ("remind_s", "count"),
+        "avg_remind_s": ("remind_s", "mean"),
+        "max_remind_s": ("remind_s", "max"),
+    })
+    return out.map_batches(lambda t: _round_col(t.drop(["k"]), "avg_remind_s", 6),
+                           batch_format="pyarrow")
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -9943,6 +10016,10 @@ QUERIES = {
     "cert_expiry_transcripts": cert_expiry_transcripts,
     "form_funnel_transcripts": form_funnel_transcripts,
     "diffstat_churn_transcripts": diffstat_churn_transcripts,
+    "maintenance_windows_transcripts": maintenance_windows_transcripts,
+    "download_hosts_transcripts": download_hosts_transcripts,
+    "fd_pressure_transcripts": fd_pressure_transcripts,
+    "reminder_horizon_transcripts": reminder_horizon_transcripts,
     "enrich_breakdown_transcripts": enrich_breakdown_transcripts,
 }
 

@@ -1126,6 +1126,133 @@ TRANSCRIPT_RULES: list[Rule] = [
         patterns=(r"^\[bug\] area=(?P<area>[a-z_]+) severity=(?P<severity>low|medium|high)$",),
         consts={"category": "control", "event_type": "bug_report"},
     ),
+    # ---- v9 assistant families ----
+    Rule(
+        rule_id="R136_chart",
+        sink="sink_action",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[chart\] kind=(?P<chart_kind>bar|line|scatter) points=(?P<points>\d+)$",),
+        casts=(Cast("points", "int64"),),
+        consts={"category": "action", "event_type": "chart"},
+    ),
+    Rule(
+        rule_id="R137_correction",
+        sink="sink_dialogue",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[correction\] corrects_turn=(?P<corrects_turn>\d+) corr_reason=(?P<corr_reason>[a-z_]+)$",),
+        casts=(Cast("corrects_turn", "int64"),),
+        consts={"category": "dialogue", "event_type": "correction"},
+    ),
+    Rule(
+        rule_id="R138_followup",
+        sink="sink_dialogue",
+        gate={"role": ("assistant",)},
+        patterns=(r"^\[followup\] suggestions=(?P<suggestions>\d+)$",),
+        casts=(Cast("suggestions", "int64"),),
+        consts={"category": "dialogue", "event_type": "followup"},
+    ),
+    # ---- v9 tool verbs ----
+    Rule(
+        rule_id="R139_tool_env",
+        sink="sink_telemetry",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] env id=(?P<call_id>\d+) vars=(?P<env_vars>\d+) shell=(?P<shell>[a-z]+)$",),
+        casts=(Cast("call_id", "int64"), Cast("env_vars", "int64")),
+        consts={"category": "telemetry", "event_type": "tool_env"},
+    ),
+    Rule(
+        rule_id="R140_tool_download",
+        sink="sink_action",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] downloaded host=(?P<dl_host>[a-z0-9.-]+) bytes=(?P<bytes>\d+) http=(?P<http>\d{3})$",),
+        casts=(Cast("bytes", "int64"), Cast("http", "int64")),
+        consts={"category": "action", "event_type": "tool_download"},
+    ),
+    Rule(
+        rule_id="R141_tool_patch",
+        sink="sink_action",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] patched hunks=(?P<hunks>\d+) rejected=(?P<rejected>\d+)$",),
+        casts=(Cast("hunks", "int64"), Cast("rejected", "int64")),
+        consts={"category": "action", "event_type": "tool_patch"},
+    ),
+    # ---- v9 system families ----
+    Rule(
+        # third SIGNED int capture (tz offsets go negative west of UTC)
+        rule_id="R142_tzchange",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[tz\] tz=(?P<tz>[A-Za-z_/]+) offset_min=(?P<offset_min>-?\d+)$",),
+        casts=(Cast("offset_min", "int64"),),
+        consts={"category": "control", "event_type": "tz_change"},
+    ),
+    Rule(
+        rule_id="R143_metrics_flush",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[mflush\] flushed=(?P<flushed>\d+) dropped_points=(?P<dropped_points>\d+)$",),
+        casts=(Cast("flushed", "int64"), Cast("dropped_points", "int64")),
+        consts={"category": "telemetry", "event_type": "metrics_flush"},
+    ),
+    Rule(
+        rule_id="R144_config_reload",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[reload\] changed_keys=(?P<changed_keys>\d+) cfg_ver=(?P<cfg_ver>[0-9a-f]{8})$",),
+        casts=(Cast("changed_keys", "int64"),),
+        consts={"category": "control", "event_type": "config_reload"},
+    ),
+    Rule(
+        rule_id="R145_secret_rotate",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[rotate\] key_id=(?P<key_id>[0-9a-f]{8}) age_days=(?P<age_days>\d+)$",),
+        casts=(Cast("age_days", "int64"),),
+        consts={"category": "control", "event_type": "secret_rotate"},
+    ),
+    Rule(
+        # third rule through the 'duration' converter
+        rule_id="R146_maintenance",
+        sink="sink_control",
+        gate={"role": ("system",)},
+        patterns=(r"^\[maint\] mwindow=(?P<mwindow>[a-z_]+) expected=(?P<expected>(?:\d+h)?(?:\d+m)?\d+s)$",),
+        casts=(Cast("expected", "duration", "expected_s"),),
+        consts={"category": "control", "event_type": "maintenance"},
+    ),
+    Rule(
+        rule_id="R147_cgroup",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[cgroup\] throttled_us=(?P<throttled_us>\d+) periods=(?P<periods>\d+)$",),
+        casts=(Cast("throttled_us", "int64"), Cast("periods", "int64")),
+        consts={"category": "telemetry", "event_type": "cgroup"},
+    ),
+    Rule(
+        rule_id="R148_fdlimit",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[fds\] open_fds=(?P<open_fds>\d+) max_fds=(?P<max_fds>\d+)$",),
+        casts=(Cast("open_fds", "int64"), Cast("max_fds", "int64")),
+        consts={"category": "telemetry", "event_type": "fd_limit"},
+    ),
+    # ---- v9 user families ----
+    Rule(
+        rule_id="R149_profile",
+        sink="sink_control",
+        gate={"role": ("user",)},
+        patterns=(r"^\[profile\] updated_fields=(?P<updated_fields>\d+)$",),
+        casts=(Cast("updated_fields", "int64"),),
+        consts={"category": "control", "event_type": "profile_update"},
+    ),
+    Rule(
+        # fourth duration-cast capture — and the first on the user role
+        rule_id="R150_reminder",
+        sink="sink_control",
+        gate={"role": ("user",)},
+        patterns=(r"^\[remind\] in=(?P<in_span>(?:\d+h)?(?:\d+m)?\d+s) note=(?P<note>.{1,80})$",),
+        casts=(Cast("in_span", "duration", "remind_s"),),
+        consts={"category": "control", "event_type": "reminder"},
+    ),
     # ---- v3 user families (declared before the R09 catch-all) ----
     Rule(
         rule_id="R53_edit",
@@ -1186,6 +1313,7 @@ _DISPATCH_ORDER = [
     "R82_confidence", "R83_translate_msg", "R84_toolplan", "R85_imagegen",
     "R102_websearch", "R103_artifact", "R104_eval",
     "R116_diffstat", "R117_retrieval", "R118_rewrite", "R119_todo",
+    "R136_chart", "R137_correction", "R138_followup",
     "R02_tool_result_ok", "R17_tool_progress", "R16_tool_retry",
     "R03_tool_result_err", "R18_tool_stream", "R39_tool_cache",
     "R38_tool_stderr", "R04_traceback", "R37_tool_cancel",
@@ -1194,6 +1322,7 @@ _DISPATCH_ORDER = [
     "R86_tool_stdout", "R87_tool_sandbox", "R88_tool_usage",
     "R105_tool_killed", "R106_tool_throttled",
     "R120_tool_started", "R121_tool_write", "R122_tool_uptime",
+    "R139_tool_env", "R140_tool_download", "R141_tool_patch",
     "R07_sys_prompt", "R20_banner", "R26_session_end", "R06_status",
     "R22_gc", "R30_pool_table", "R24_flush", "R27_warn_slow",
     "R23_compaction", "R28_quota", "R21_config", "R40_heartbeat",
@@ -1212,10 +1341,13 @@ _DISPATCH_ORDER = [
     "R123_backup", "R124_wal", "R125_shard_split", "R126_cpu",
     "R127_webhook", "R128_cache_evict", "R129_warn_cert", "R130_sessions",
     "R131_trace", "R132_license",
+    "R142_tzchange", "R143_metrics_flush", "R144_config_reload",
+    "R145_secret_rotate", "R146_maintenance", "R147_cgroup", "R148_fdlimit",
     "R08_user_cmd", "R32_feedback", "R31_attach", "R54_paste", "R53_edit",
     "R74_consent", "R75_locale", "R80_reaction",
     "R100_vote", "R101_undo", "R113_interrupt", "R114_resume_req",
     "R133_form", "R134_share", "R135_bugreport",
+    "R149_profile", "R150_reminder",
     "R09_user_msg", "R10_assist_msg", "R99_default",
 ]
 _by_id = {r.rule_id: r for r in TRANSCRIPT_RULES}
