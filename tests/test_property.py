@@ -262,3 +262,64 @@ def test_pii_redact_matches_pure_python_re(parts):
         assert out["redacted"][i].as_py() == red, t
         got = [out[c][i].as_py() for c in ("n_email", "n_ip", "n_phone")]
         assert got == counts, (t, got, counts)
+
+
+@given(st.lists(st.tuples(st.integers(0, 10**6), st.integers(0, 59),
+                          st.integers(0, 59), st.booleans(), st.booleans()),
+                min_size=1, max_size=50))
+def test_duration_converter_round_trips_any_span(spans):
+    """duration converter property: for any (h, m, s) rendered in the
+    '[Hh][Mm]Ss' surface form (with or without the optional larger
+    units), the vectorized Arrow cast and the pure-Python oracle both
+    recover exactly h*3600 + m*60 + s; rendering variants with
+    unpadded vs zero-padded minutes/seconds parse identically."""
+    import numpy as np
+
+    from logray.ruleset import Cast, _safe_cast
+
+    texts, want = [], []
+    for h, m, s, pad, with_units in spans:
+        if with_units and h:
+            txt = (f"{h}h{m:02d}m{s:02d}s" if pad else f"{h}h{m}m{s}s")
+            total = h * 3600 + m * 60 + s
+        elif with_units and m:
+            txt = f"{m}m{s:02d}s" if pad else f"{m}m{s}s"
+            total = m * 60 + s
+        else:
+            txt = f"{s}s"
+            total = s
+        texts.append(txt)
+        want.append(total)
+    out, err = _safe_cast(pa.array(texts, pa.string()), Cast("d", "duration"))
+    assert out.to_pylist() == want
+    assert not err.any()
+    # oracle parser parity through a rule that carries the cast
+    import re as _re
+    for txt, total in zip(texts, want):
+        mm = _re.fullmatch(r"(?:(\d{1,15})h)?(?:(\d{1,15})m)?(\d{1,15})s", txt)
+        assert mm is not None
+        got = (int(mm.group(1) or 0) * 3600 + int(mm.group(2) or 0) * 60
+               + int(mm.group(3)))
+        assert got == total
+
+
+@given(st.text(alphabet="0123456789hms", min_size=0, max_size=24))
+def test_duration_converter_malformed_never_crashes(junk):
+    """Any string over the duration alphabet either parses to the exact
+    reference value (re-derived with the bounded regex) or yields
+    null + error — the vectorized kernel must never raise or disagree
+    with the scalar reference."""
+    import re as _re
+
+    from logray.ruleset import Cast, _safe_cast
+
+    out, err = _safe_cast(pa.array([junk], pa.string()), Cast("d", "duration"))
+    mm = _re.fullmatch(r"(?:(\d{1,15})h)?(?:(\d{1,15})m)?(\d{1,15})s", junk) if junk else None
+    if junk == "":
+        assert out[0].as_py() is None and not err[0]
+    elif mm is None:
+        assert out[0].as_py() is None and err[0]
+    else:
+        want = (int(mm.group(1) or 0) * 3600 + int(mm.group(2) or 0) * 60
+                + int(mm.group(3)))
+        assert out[0].as_py() == want and not err[0]
