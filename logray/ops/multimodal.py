@@ -247,16 +247,18 @@ class DecodeImageStage:
             self._pil = None
 
     def _decode_one(self, payload: bytes) -> tuple[int, int, float, int]:
-        if self.decode in ("ppm", "bmp"):  # REAL decodes (netpbm P6 / BMP24)
-            px = parse_ppm(payload) if self.decode == "ppm" else parse_bmp(payload)
+        if self.decode in ("ppm", "bmp", "png"):  # REAL decode lanes
+            px = {"ppm": parse_ppm, "bmp": parse_bmp,
+                  "png": parse_png}[self.decode](payload)
             luma = _luma(px)
             return (px.shape[1], px.shape[0],
                     round(float(luma.mean()) / 255.0, 6), _ahash64(luma))
         if self.decode == "real":
             raise NotImplementedError(
-                "compressed image decode requires Pillow, not available in "
-                "this container; use decode='ppm' for the real netpbm lane "
-                "or decode='fake' for deterministic pseudo-features")
+                "JPEG/WebP decode requires Pillow, not available in this "
+                "container; use decode='png' (REAL zlib-compressed lane), "
+                "decode='ppm'/'bmp' (real uncompressed lanes) or "
+                "decode='fake' for deterministic pseudo-features")
         h = hashlib.blake2b(payload, digest_size=16).digest()
         w = 64 + h[0]  # deterministic pseudo dimensions
         ht = 64 + h[1]
@@ -472,6 +474,181 @@ def parse_bmp(payload: bytes) -> np.ndarray:
     if not top_down:
         rows = rows[::-1]
     return rows[..., ::-1].copy()  # BGR -> RGB
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_ = abs(p - a); pb = abs(p - b); pc_ = abs(p - c)
+    if pa_ <= pb and pa_ <= pc_:
+        return a
+    return b if pb <= pc_ else c
+
+
+def encode_png(px: np.ndarray, *, filters: list[int] | None = None,
+               idat_split: int = 1) -> bytes:
+    """REAL 8-bit RGB PNG (stdlib ``zlib`` + ``struct``): IHDR/IDAT/IEND
+    chunks with CRCs, scanlines filtered per row. ``filters`` picks the
+    per-row filter type (default cycles 0..4 so every unfilter path is
+    exercised); ``idat_split > 1`` splits the zlib stream across several
+    IDAT chunks (decoders must concatenate IDAT payloads before
+    inflating — a classic parsing hazard)."""
+    import struct
+    import zlib as _z
+
+    h, w, c = px.shape
+    assert c == 3, "RGB only"
+    bpp = 3
+    raw = px.astype(np.int64)
+    out = bytearray()
+    for y in range(h):
+        f = (filters[y % len(filters)] if filters else y % 5)
+        line = raw[y].reshape(-1)                      # w*3 ints
+        left = np.concatenate([np.zeros(bpp, np.int64),
+                               raw[y].reshape(-1)[:-bpp]])
+        up = raw[y - 1].reshape(-1) if y else np.zeros(w * bpp, np.int64)
+        upleft = (np.concatenate([np.zeros(bpp, np.int64), up[:-bpp]])
+                  if y else np.zeros(w * bpp, np.int64))
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = line - left
+        elif f == 2:
+            filt = line - up
+        elif f == 3:
+            filt = line - (left + up) // 2
+        else:
+            pred = np.array([_paeth(int(a), int(b), int(cc))
+                             for a, b, cc in zip(left, up, upleft)], np.int64)
+            filt = line - pred
+        out.append(f)
+        out += (filt % 256).astype(np.uint8).tobytes()
+    z = _z.compress(bytes(out), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    chunks = [_png_chunk(b"IHDR", ihdr)]
+    step = max(1, (len(z) + idat_split - 1) // idat_split)
+    for i in range(0, len(z), step):
+        chunks.append(_png_chunk(b"IDAT", z[i:i + step]))
+    chunks.append(_png_chunk(b"IEND", b""))
+    return _PNG_SIG + b"".join(chunks)
+
+
+def parse_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode (stdlib ``zlib``): chunk walk with CRC checks →
+    concatenated-IDAT inflate → per-row unfiltering of all five PNG
+    filter types (None/Sub/Up/Average/Paeth) → (h, w, 3) RGB array.
+    8-bit colortype-2 non-interlaced only (the shape this repo's
+    generator emits); anything else raises."""
+    import struct
+    import zlib as _z
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8:pos + 8 + ln]
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        if _z.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", data)
+            if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"only 8-bit RGB non-interlaced PNG supported "
+                    f"(depth={depth}, color={ctype}, interlace={ilace})")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = _z.decompress(bytes(idat))
+    bpp = 3
+    stride = w * bpp
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline payload size mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
+    fs = arr[:, 0]
+    lines = arr[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = int(fs[y])
+        line = lines[y]
+        if f == 0:
+            r = line
+        elif f == 1:
+            # Sub: recon[x] = line[x] + recon[x-bpp] — per-channel prefix
+            # sum mod 256 (addition mod 256 is associative, so cumsum in
+            # int64 then %256 is exact)
+            r = np.cumsum(line.reshape(w, bpp), axis=0).reshape(-1) % 256
+        elif f == 2:
+            r = (line + prev) % 256
+        elif f in (3, 4):
+            r = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = r[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 3:
+                    r[x] = (line[x] + (a + b) // 2) % 256
+                else:
+                    cc = prev[x - bpp] if x >= bpp else 0
+                    r[x] = (line[x] + _paeth(int(a), int(b), int(cc))) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        recon[y] = r
+        prev = recon[y]
+    return recon.astype(np.uint8).reshape(h, w, 3)
+
+
+def make_png_media_table(n: int, seed: int = 15) -> pa.Table:
+    """n REAL PNG images: per-row filters cycle through all five types,
+    every third payload splits its zlib stream across multiple IDAT
+    chunks, and 1-pixel-wide images (no left neighbor anywhere) are
+    guaranteed present. Same analytic truths as the P6/BMP lanes."""
+    rng = np.random.default_rng(seed)
+    rows = {"media_id": [], "payload": [], "true_width": [],
+            "true_height": [], "true_mean_luma": [], "true_ahash": []}
+    for i in range(n):
+        w = 1 if i % 7 == 3 else int(rng.integers(8, 96))
+        h = int(rng.integers(8, 96))
+        # smooth gradients + noise: exercises filters on realistic data
+        base = rng.integers(0, 256, size=(1, 1, 3))
+        gy = np.linspace(0, rng.integers(1, 128), h)[:, None, None]
+        gx = np.linspace(0, rng.integers(1, 128), w)[None, :, None]
+        px = ((base + gy + gx + rng.integers(0, 32, size=(h, w, 3)))
+              % 256).astype(np.uint8)
+        luma = _luma(px)
+        rows["media_id"].append(i)
+        rows["payload"].append(
+            encode_png(px, idat_split=3 if i % 3 == 0 else 1))
+        rows["true_width"].append(w)
+        rows["true_height"].append(h)
+        rows["true_mean_luma"].append(round(float(luma.mean()) / 255.0, 6))
+        rows["true_ahash"].append(_ahash64(luma))
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "true_width": pa.array(rows["true_width"], pa.int64()),
+        "true_height": pa.array(rows["true_height"], pa.int64()),
+        "true_mean_luma": pa.array(rows["true_mean_luma"], pa.float64()),
+        "true_ahash": pa.array(rows["true_ahash"], pa.uint64()),
+    })
 
 
 def make_bmp_media_table(n: int, seed: int = 14) -> pa.Table:

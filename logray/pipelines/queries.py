@@ -8212,7 +8212,8 @@ def _media_path(kind: str) -> str:
     if not f.exists():
         t = {"wav": mm.make_wav_media_table,
              "ppm": mm.make_ppm_media_table,
-             "bmp": mm.make_bmp_media_table}[kind](200)
+             "bmp": mm.make_bmp_media_table,
+             "png": mm.make_png_media_table}[kind](200)
         pq.write_table(t, f)
     return str(f)
 
@@ -8236,6 +8237,38 @@ def bmp_features_media(sf_dir: str):
 
     out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
         DecodeImageStage, fn_constructor_kwargs={"decode": "bmp"},
+        concurrency=2, batch_size=32, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"],
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+            "mean_luma": t["mean_luma"],
+            "ahash": t["phash64"]}),
+        batch_format="pyarrow")
+
+
+def png_features_media(sf_dir: str):
+    """REAL image decode lane #3 — the first COMPRESSED format decoded
+    for real (stdlib zlib, no Pillow): PNG payloads (chunk CRCs,
+    multi-IDAT zlib streams, all five scanline filter types incl.
+    sequential Average/Paeth, 1-pixel-wide images) decoded by the same
+    actor-pool stage to dims / Rec.601 luma / ahash, value-checked
+    against generation-time truth the decoder never sees."""
+    import ray.data
+
+    from ..ops.multimodal import DecodeImageStage
+
+    ds = ray.data.read_parquet(_media_path("png"),
+                               columns=["media_id", "payload"])
+
+    def pad(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return t.append_column("width", pa.nulls(n, pa.int32())) \
+                .append_column("height", pa.nulls(n, pa.int32()))
+
+    out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+        DecodeImageStage, fn_constructor_kwargs={"decode": "png"},
         concurrency=2, batch_size=32, batch_format="pyarrow")
     return out.map_batches(
         lambda t: pa.table({
@@ -9889,6 +9922,7 @@ QUERIES = {
     "ppm_features_media": ppm_features_media,
     "tar_shard_decode_media": tar_shard_decode_media,
     "bmp_features_media": bmp_features_media,
+    "png_features_media": png_features_media,
     "ppm_resize_dims_media": ppm_resize_dims_media,
     "multimodal_decode_features": multimodal_decode_features,
     # round-2 coverage adds

@@ -1949,3 +1949,51 @@ def test_bmp_codec_roundtrip_and_hazards():
     b = bytearray(encode_bmp(px[::-1]))
     struct.pack_into("<i", b, 22, -5)
     assert (parse_bmp(bytes(b)) == px).all()
+
+
+def test_png_codec_roundtrip_all_filters():
+    """PNG encode→decode round-trips exactly for EVERY scanline filter
+    type (None/Sub/Up/Average/Paeth), for mixed per-row filters, for
+    multi-IDAT zlib streams, and for 1-pixel-wide/-tall images where
+    the left/up neighbors vanish."""
+    import numpy as np
+
+    from logray.ops.multimodal import encode_png, parse_png
+
+    rng = np.random.default_rng(9)
+    for w, h in [(1, 9), (9, 1), (5, 5), (31, 17), (1, 1)]:
+        for filters in ([0], [1], [2], [3], [4], [3, 4, 1], None):
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            b = encode_png(px, filters=filters, idat_split=2)
+            assert (parse_png(b) == px).all(), (w, h, filters)
+
+
+def test_png_decode_rejects_corruption_and_unsupported():
+    """Chunk CRC corruption, truncated scanline payloads, wrong
+    signatures, and unsupported IHDR shapes all raise ValueError rather
+    than returning garbage pixels."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from logray.ops.multimodal import encode_png, parse_png
+
+    rng = np.random.default_rng(10)
+    px = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    good = encode_png(px)
+    # signature
+    with pytest.raises(ValueError, match="not a PNG"):
+        parse_png(b"GIF89a" + good[6:])
+    # CRC flip inside IHDR data
+    bad = bytearray(good)
+    bad[18] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        parse_png(bytes(bad))
+    # unsupported bit depth: rebuild IHDR with depth=16 and a VALID crc
+    import zlib as _z
+    ihdr = struct.pack(">IIBBBBB", 6, 6, 16, 2, 0, 0, 0)
+    chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+             + struct.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    with pytest.raises(ValueError, match="only 8-bit RGB"):
+        parse_png(good[:8] + chunk + good[8 + 12 + 13:])
