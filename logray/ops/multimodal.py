@@ -127,6 +127,106 @@ def decode_wav_features(payload: bytes) -> tuple[int, float, float]:
     return int(nf * 1000 / rate), _pcm_rms_db(pcm), _pcm_zcr(pcm)
 
 
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+def encode_mulaw(pcm: np.ndarray) -> bytes:
+    """G.711 µ-law compand (vectorized): int16 linear → one byte per
+    sample. Standard algorithm — bias 0x84, clip 32635, 3-bit exponent
+    from the leading-one position, 4-bit mantissa, complemented."""
+    x = pcm.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _MULAW_CLIP) + _MULAW_BIAS
+    # exponent = position of the leading one above bit 7 (0..7)
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int64)
+    exp = np.clip(exp, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8).tobytes()
+
+
+def decode_mulaw(data: bytes) -> np.ndarray:
+    """G.711 µ-law expand (vectorized): bytes → int16 linear samples."""
+    u = (~np.frombuffer(data, np.uint8).astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _riff_mulaw(samples: bytes, rate: int) -> bytes:
+    """RIFF/WAVE container with fmt code 7 (WAVE_FORMAT_MULAW, 8-bit mono)
+    — the stdlib ``wave`` module cannot write or read this format code,
+    so both sides are hand-rolled."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 7, 1, rate, rate, 1, 8)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"fact" + struct.pack("<II", 4, len(samples))
+              + b"data" + struct.pack("<I", len(samples)) + samples)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_mulaw_wav_features(payload: bytes) -> tuple[int, float, float]:
+    """REAL µ-law WAV decode: hand-rolled RIFF chunk walk (fmt code 7 —
+    outside stdlib ``wave``'s vocabulary) → µ-law expand → the same
+    (duration_ms, rms_db, zcr) features as the PCM16 lane, computed on
+    the EXPANDED linear samples."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid, ln = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8:pos + 8 + ln]
+        if cid == b"fmt ":
+            code, nch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
+            if code != 7 or nch != 1 or bits != 8:
+                raise ValueError(
+                    f"only mono 8-bit mu-law supported (code={code})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("RIFF missing fmt/data chunk")
+    pcm = decode_mulaw(data)
+    return int(len(pcm) * 1000 / rate), _pcm_rms_db(pcm), _pcm_zcr(pcm)
+
+
+def make_mulaw_media_table(n: int, seed: int = 16, rate: int = 8000) -> pa.Table:
+    """n REAL µ-law WAV payloads (fmt code 7). Truths are computed from
+    the µ-law-DECODED samples (companding is lossy, so the exact oracle
+    is decode(encode(x)), not x), making the distributed decode
+    value-check exact."""
+    rng = np.random.default_rng(seed)
+    rows = {"media_id": [], "payload": [], "true_duration_ms": [],
+            "true_rms_db": [], "true_zcr": []}
+    for i in range(n):
+        nf = int(rng.integers(rate // 10, rate))
+        t = np.arange(nf) / rate
+        f = float(rng.uniform(100, 2000))
+        x = np.clip(0.5 * np.sin(2 * np.pi * f * t)
+                    + 0.1 * rng.standard_normal(nf), -1, 1)
+        ulaw = encode_mulaw((x * 32767).astype(np.int16))
+        back = decode_mulaw(ulaw)
+        rows["media_id"].append(i)
+        rows["payload"].append(_riff_mulaw(ulaw, rate))
+        rows["true_duration_ms"].append(int(nf * 1000 / rate))
+        rows["true_rms_db"].append(_pcm_rms_db(back))
+        rows["true_zcr"].append(_pcm_zcr(back))
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "true_duration_ms": pa.array(rows["true_duration_ms"], pa.int64()),
+        "true_rms_db": pa.array(rows["true_rms_db"], pa.float64()),
+        "true_zcr": pa.array(rows["true_zcr"], pa.float64()),
+    })
+
+
 def make_ppm_media_table(n: int, seed: int = 12) -> pa.Table:
     """n REAL netpbm P6 images (random RGB, deterministic) + analytic
     truth (dimensions, Rec.601 mean luma, 8×8 average-hash)."""
@@ -337,9 +437,10 @@ class AudioFeatureStage:
         self.sample_rate = sample_rate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decode == "wav":  # REAL decode (RIFF/WAVE PCM16, stdlib)
-            feats = [decode_wav_features(p)
-                     for p in batch["payload"].to_pylist()]
+        if self.decode in ("wav", "mulaw"):  # REAL decode lanes
+            dec = (decode_wav_features if self.decode == "wav"
+                   else decode_mulaw_wav_features)
+            feats = [dec(p) for p in batch["payload"].to_pylist()]
             i = batch.schema.get_field_index("duration_ms")
             if i >= 0:
                 batch = batch.set_column(
@@ -354,8 +455,9 @@ class AudioFeatureStage:
                 "zcr", pa.array([f[2] for f in feats], pa.float64()))
         if self.decode == "real":
             raise NotImplementedError(
-                "compressed audio decode requires soundfile/ffmpeg, not in "
-                "this container; use decode='wav' for the real PCM lane or "
+                "MP3/FLAC decode requires soundfile/ffmpeg, not in this "
+                "container; use decode='wav' (real PCM16 lane), "
+                "decode='mulaw' (real G.711 companded lane) or "
                 "decode='fake'")
         payloads = batch["payload"].to_pylist()
         dur = [int(len(p) * 1000 / (2 * self.sample_rate)) for p in payloads]

@@ -4098,3 +4098,9 @@ ORACLE_SQL["reminder_horizon_transcripts"] = f"""
            max(remind_s) AS max_remind_s
     FROM r
 """
+
+ORACLE_SQL["mulaw_features_media"] = f"""
+    SELECT media_id, true_duration_ms AS duration_ms,
+           true_rms_db AS rms_db, true_zcr AS zcr
+    FROM read_parquet('{_MEDIA}/mulaw.parquet')
+"""

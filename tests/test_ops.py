@@ -1997,3 +1997,45 @@ def test_png_decode_rejects_corruption_and_unsupported():
              + struct.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
     with pytest.raises(ValueError, match="only 8-bit RGB"):
         parse_png(good[:8] + chunk + good[8 + 12 + 13:])
+
+
+def test_mulaw_codec_matches_g711_reference_exhaustively():
+    """Vectorized mu-law encode equals the scalar G.711 reference for
+    EVERY int16 value; expand(compand(x)) error is bounded by the top
+    segment's half-step; RIFF fmt-code-7 container round-trips through
+    the hand-rolled chunk walk (incl. the odd-length word-align rule)."""
+    import numpy as np
+
+    from logray.ops.multimodal import (_riff_mulaw, decode_mulaw,
+                                       decode_mulaw_wav_features,
+                                       encode_mulaw)
+
+    def ref_encode(x: int) -> int:
+        BIAS, CLIP = 0x84, 32635
+        sign = 0x80 if x < 0 else 0
+        mag = min(abs(x), CLIP) + BIAS
+        exp = 7
+        for e in range(8):
+            if mag < (1 << (e + 8)):
+                exp = e
+                break
+        return (~(sign | (exp << 4) | ((mag >> (exp + 3)) & 0x0F))) & 0xFF
+
+    xs = np.arange(-32768, 32768, dtype=np.int16)
+    enc = np.frombuffer(encode_mulaw(xs), np.uint8)
+    ref = np.array([ref_encode(int(v)) for v in range(-32768, 32768)],
+                   np.uint8)
+    assert (enc == ref).all()
+    dec = decode_mulaw(enc.tobytes()).astype(np.int64)
+    err = np.abs(dec - xs.astype(np.int64))
+    assert err[np.abs(xs) <= 32635].max() <= 1024  # top-segment half-step
+
+    # container round-trip with an ODD data length (word-align hazard)
+    pcm = xs[::97][:501].copy()
+    ulaw = encode_mulaw(pcm)
+    assert len(ulaw) % 2 == 1
+    d, r, z = decode_mulaw_wav_features(_riff_mulaw(ulaw, 8000))
+    back = decode_mulaw(ulaw)
+    from logray.ops.multimodal import _pcm_rms_db, _pcm_zcr
+    assert (d, r, z) == (int(len(back) * 1000 / 8000),
+                         _pcm_rms_db(back), _pcm_zcr(back))
