@@ -347,9 +347,9 @@ class DecodeImageStage:
             self._pil = None
 
     def _decode_one(self, payload: bytes) -> tuple[int, int, float, int]:
-        if self.decode in ("ppm", "bmp", "png"):  # REAL decode lanes
+        if self.decode in ("ppm", "bmp", "png", "gif"):  # REAL decode lanes
             px = {"ppm": parse_ppm, "bmp": parse_bmp,
-                  "png": parse_png}[self.decode](payload)
+                  "png": parse_png, "gif": parse_gif}[self.decode](payload)
             luma = _luma(px)
             return (px.shape[1], px.shape[0],
                     round(float(luma.mean()) / 255.0, 6), _ahash64(luma))
@@ -739,6 +739,235 @@ def make_png_media_table(n: int, seed: int = 15) -> pa.Table:
         rows["media_id"].append(i)
         rows["payload"].append(
             encode_png(px, idat_split=3 if i % 3 == 0 else 1))
+        rows["true_width"].append(w)
+        rows["true_height"].append(h)
+        rows["true_mean_luma"].append(round(float(luma.mean()) / 255.0, 6))
+        rows["true_ahash"].append(_ahash64(luma))
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "true_width": pa.array(rows["true_width"], pa.int64()),
+        "true_height": pa.array(rows["true_height"], pa.int64()),
+        "true_mean_luma": pa.array(rows["true_mean_luma"], pa.float64()),
+        "true_ahash": pa.array(rows["true_ahash"], pa.uint64()),
+    })
+
+
+def _lzw_compress(indices: np.ndarray, min_code_size: int) -> bytes:
+    """REAL GIF-flavor LZW compression: variable code width (grows at
+    2^width, capped at 12 bits, CLEAR resets the table), codes packed
+    LSB-first. Dictionary keyed on (prefix_code, next_symbol)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    emit(clear, width)
+    prefix = -1
+    for sym in indices.tolist():
+        if prefix < 0:
+            prefix = sym
+            continue
+        key = (prefix, sym)
+        if key in table:
+            prefix = table[key]
+            continue
+        emit(prefix, width)
+        table[key] = next_code
+        next_code += 1
+        # early-change rule: width grows as soon as the NEXT code to
+        # assign would not fit — mirrors the decoder growing when its
+        # table reaches 2^width entries after an append
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table.clear()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = sym
+    if prefix >= 0:
+        emit(prefix, width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> np.ndarray:
+    """REAL GIF LZW decode: LSB-first variable-width codes, CLEAR/EOI,
+    table growth with the KwKwK (code == next_index) case."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]          # KwKwK
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            # early-change: the decoder's table lags the encoder's by ONE
+            # entry at read time (the encoder assigns an entry with each
+            # emit; the decoder reconstructs it one code later), so width
+            # must grow at 2^width - 1 entries to read the next code with
+            # the same width the encoder used to write it
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    return np.frombuffer(bytes(out), np.uint8)
+
+
+def encode_gif(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """REAL single-frame GIF89a (from-scratch LZW): logical screen
+    descriptor, global color table, image descriptor, LZW-compressed
+    index stream split into ≤255-byte sub-blocks, trailer."""
+    import struct
+
+    h, w = idx.shape
+    ncol = len(palette)
+    gct_bits = max(1, (int(ncol) - 1).bit_length())
+    gct_size = 1 << gct_bits
+    gct = np.zeros((gct_size, 3), np.uint8)
+    gct[:ncol] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((gct_bits - 1) << 4)
+                       | (gct_bits - 1), 0, 0)
+    out += gct.tobytes()
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # no LCT/interlace
+    mcs = max(2, gct_bits)
+    out.append(mcs)
+    z = _lzw_compress(idx.reshape(-1), mcs)
+    for i in range(0, len(z), 255):
+        blk = z[i:i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def parse_gif(payload: bytes) -> np.ndarray:
+    """REAL GIF decode (from-scratch LZW, no imaging library): header +
+    screen descriptor + global color table, extension-block skipping,
+    image descriptor, sub-block reassembly, LZW decompression →
+    palette lookup → (h, w, 3) RGB. Single-frame non-interlaced GIFs
+    with a global color table (the shape this repo's generator emits)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise ValueError("GIF without a global color table unsupported")
+    gct_size = 2 << (flags & 0x07)
+    gct = np.frombuffer(payload, np.uint8, count=gct_size * 3,
+                        offset=pos).reshape(gct_size, 3)
+    pos += gct_size * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:                        # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            break
+        elif b == 0x3B:
+            raise ValueError("GIF trailer before any image descriptor")
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+    pos += 10
+    if iflags & 0xC0:
+        raise ValueError("local color tables / interlace unsupported")
+    mcs = payload[pos]
+    pos += 1
+    z = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF truncated inside the image data stream")
+        ln = payload[pos]
+        if ln == 0:
+            break
+        blk = payload[pos + 1:pos + 1 + ln]
+        if len(blk) < ln:
+            raise ValueError("GIF truncated inside a data sub-block")
+        z += blk
+        pos += 1 + ln
+    idx = _lzw_decompress(bytes(z), mcs)
+    if idx.size != w * h:
+        raise ValueError(f"GIF pixel count mismatch: {idx.size} != {w * h}")
+    if int(idx.max(initial=0)) >= gct_size:
+        raise ValueError("GIF index outside the color table")
+    return gct[idx.reshape(h, w)]
+
+
+def make_gif_media_table(n: int, seed: int = 17) -> pa.Table:
+    """n REAL single-frame GIFs (from-scratch LZW encode): palette sizes
+    4→256, gradient+noise index rasters (LZW-compressible AND
+    table-growth-forcing), a comment extension block on every fourth
+    payload, 1-pixel-wide images present. Truths as the other lanes."""
+    rng = np.random.default_rng(seed)
+    rows = {"media_id": [], "payload": [], "true_width": [],
+            "true_height": [], "true_mean_luma": [], "true_ahash": []}
+    for i in range(n):
+        w = 1 if i % 9 == 4 else int(rng.integers(8, 96))
+        h = int(rng.integers(8, 96))
+        ncol = int(rng.choice((4, 16, 64, 256)))
+        palette = rng.integers(0, 256, size=(ncol, 3)).astype(np.uint8)
+        gy = np.linspace(0, ncol - 1, h)[:, None]
+        gx = np.linspace(0, ncol - 1, w)[None, :]
+        idx = ((gy + gx) / 2 + rng.integers(0, max(2, ncol // 4),
+                                            size=(h, w))).astype(np.int64)
+        idx = (idx % ncol).astype(np.uint8)
+        payload = encode_gif(idx, palette)
+        if i % 4 == 0:  # comment extension between GCT and image
+            comment = b"\x21\xFE\x05logx!\x00"
+            sd_end = 13 + (2 << (payload[10] & 0x07)) * 3
+            payload = payload[:sd_end] + comment + payload[sd_end:]
+        px = palette[idx]
+        luma = _luma(px)
+        rows["media_id"].append(i)
+        rows["payload"].append(payload)
         rows["true_width"].append(w)
         rows["true_height"].append(h)
         rows["true_mean_luma"].append(round(float(luma.mean()) / 255.0, 6))

@@ -4104,3 +4104,9 @@ ORACLE_SQL["mulaw_features_media"] = f"""
            true_rms_db AS rms_db, true_zcr AS zcr
     FROM read_parquet('{_MEDIA}/mulaw.parquet')
 """
+
+ORACLE_SQL["gif_features_media"] = f"""
+    SELECT media_id, true_width AS width, true_height AS height,
+           true_mean_luma AS mean_luma, true_ahash AS ahash
+    FROM read_parquet('{_MEDIA}/gif.parquet')
+"""

@@ -8214,7 +8214,8 @@ def _media_path(kind: str) -> str:
              "ppm": mm.make_ppm_media_table,
              "bmp": mm.make_bmp_media_table,
              "png": mm.make_png_media_table,
-             "mulaw": mm.make_mulaw_media_table}[kind](200)
+             "mulaw": mm.make_mulaw_media_table,
+             "gif": mm.make_gif_media_table}[kind](200)
         pq.write_table(t, f)
     return str(f)
 
@@ -8270,6 +8271,39 @@ def png_features_media(sf_dir: str):
 
     out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
         DecodeImageStage, fn_constructor_kwargs={"decode": "png"},
+        concurrency=2, batch_size=32, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"],
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+            "mean_luma": t["mean_luma"],
+            "ahash": t["phash64"]}),
+        batch_format="pyarrow")
+
+
+def gif_features_media(sf_dir: str):
+    """REAL image decode lane #4 — dictionary-compressed format with a
+    FROM-SCRATCH LZW decoder (no imaging library): single-frame GIF89a
+    payloads (variable-width LSB-first codes, early-change width growth,
+    CLEAR resets at 4096 entries, KwKwK case, ≤255-byte sub-block
+    reassembly, extension-block skipping, palette lookup) decoded to
+    dims / Rec.601 luma / ahash, value-checked against generation-time
+    truth."""
+    import ray.data
+
+    from ..ops.multimodal import DecodeImageStage
+
+    ds = ray.data.read_parquet(_media_path("gif"),
+                               columns=["media_id", "payload"])
+
+    def pad(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return t.append_column("width", pa.nulls(n, pa.int32())) \
+                .append_column("height", pa.nulls(n, pa.int32()))
+
+    out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+        DecodeImageStage, fn_constructor_kwargs={"decode": "gif"},
         concurrency=2, batch_size=32, batch_format="pyarrow")
     return out.map_batches(
         lambda t: pa.table({
@@ -9954,6 +9988,7 @@ QUERIES = {
     "bmp_features_media": bmp_features_media,
     "png_features_media": png_features_media,
     "mulaw_features_media": mulaw_features_media,
+    "gif_features_media": gif_features_media,
     "ppm_resize_dims_media": ppm_resize_dims_media,
     "multimodal_decode_features": multimodal_decode_features,
     # round-2 coverage adds

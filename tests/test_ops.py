@@ -2039,3 +2039,39 @@ def test_mulaw_codec_matches_g711_reference_exhaustively():
     from logray.ops.multimodal import _pcm_rms_db, _pcm_zcr
     assert (d, r, z) == (int(len(back) * 1000 / 8000),
                          _pcm_rms_db(back), _pcm_zcr(back))
+
+
+def test_gif_lzw_roundtrip_and_hazards():
+    """From-scratch GIF LZW: raw-stream round-trips across alphabet
+    sizes incl. table growth to 12 bits, the 4096-entry CLEAR reset,
+    and KwKwK-heavy repetitive input; full GIFs round-trip with
+    palettes 4..256, 1-pixel-wide rasters, and extension blocks; bad
+    signatures and truncated streams raise."""
+    import numpy as np
+    import pytest
+
+    from logray.ops.multimodal import (_lzw_compress, _lzw_decompress,
+                                       encode_gif, parse_gif)
+
+    rng = np.random.default_rng(21)
+    for size in [1, 5, 4095, 20000]:
+        for alpha in [2, 7, 250]:
+            mcs = max(2, (alpha - 1).bit_length())
+            seq = rng.integers(0, alpha, size=size).astype(np.uint8)
+            back = _lzw_decompress(_lzw_compress(seq, mcs), mcs)
+            assert (back == seq).all(), (size, alpha)
+    seq = np.frombuffer(b"aaaaab" * 10000, np.uint8)
+    assert (_lzw_decompress(_lzw_compress(seq, 8), 8) == seq).all()
+
+    for (w, h, ncol) in [(1, 7, 4), (33, 21, 16), (95, 64, 256)]:
+        pal = rng.integers(0, 256, size=(ncol, 3)).astype(np.uint8)
+        idx = rng.integers(0, ncol, size=(h, w)).astype(np.uint8)
+        assert (parse_gif(encode_gif(idx, pal)) == pal[idx]).all()
+
+    pal = rng.integers(0, 256, size=(8, 3)).astype(np.uint8)
+    idx = rng.integers(0, 8, size=(5, 5)).astype(np.uint8)
+    good = encode_gif(idx, pal)
+    with pytest.raises(ValueError, match="not a GIF"):
+        parse_gif(b"PNG89a" + good[6:])
+    with pytest.raises(ValueError):
+        parse_gif(good[:-10])  # truncated sub-block stream
