@@ -165,6 +165,13 @@ def run_flagship_bench(corpus: str) -> float:
         run_flagship(corpus, out, wave_size=1_000_000)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
+    if os.environ.get("BENCH_STATS"):
+        # per-stage wall/CPU breakdown of the last wave (the ds.stats()
+        # feedback loop) — stderr so the JSON line on stdout stays clean
+        stats = Path(out) / "_last_wave_stats.txt"
+        if stats.exists():
+            print("--- flagship last-wave ds.stats() ---\n"
+                  + stats.read_text(), file=sys.stderr)
     return best
 
 
