@@ -7,8 +7,14 @@ Decode modes per stage:
   RMS/zero-crossings from real samples; real dimensions/Rec.601 luma/
   8×8 average-hash from real pixels; real nearest-neighbor resampling
   emitting a valid P6 payload.
-- ``decode="real"`` — the Pillow/ffmpeg lane for compressed formats
-  (JPEG/PNG/MP3/MP4): STUBBED with ``NotImplementedError`` (those
+- ``decode="png"`` / ``decode="gif"`` / ``decode="jpeg"`` — REAL
+  decoders for compressed formats, built from scratch on stdlib + numpy:
+  PNG (zlib inflate + all five scanline filters), GIF89a (hand-rolled
+  variable-width LZW), and baseline-sequential JPEG (numpy DCT, canonical
+  Huffman, byte stuffing, restart markers, 4:2:0 — see
+  ``logray/ops/jpegcodec.py``).
+- ``decode="real"`` — the Pillow/ffmpeg lane for the remaining formats
+  (WebP/AVIF/MP3/MP4): STUBBED with ``NotImplementedError`` (those
   libraries are not in this container, per the task mandate).
 - ``decode="fake"`` — deterministic pseudo-features from payload bytes,
   for plumbing tests that don't care about content.
@@ -347,17 +353,18 @@ class DecodeImageStage:
             self._pil = None
 
     def _decode_one(self, payload: bytes) -> tuple[int, int, float, int]:
-        if self.decode in ("ppm", "bmp", "png", "gif"):  # REAL decode lanes
-            px = {"ppm": parse_ppm, "bmp": parse_bmp,
-                  "png": parse_png, "gif": parse_gif}[self.decode](payload)
+        if self.decode in ("ppm", "bmp", "png", "gif", "jpeg"):  # REAL lanes
+            from .jpegcodec import parse_jpeg
+            px = {"ppm": parse_ppm, "bmp": parse_bmp, "png": parse_png,
+                  "gif": parse_gif, "jpeg": parse_jpeg}[self.decode](payload)
             luma = _luma(px)
             return (px.shape[1], px.shape[0],
                     round(float(luma.mean()) / 255.0, 6), _ahash64(luma))
         if self.decode == "real":
             raise NotImplementedError(
-                "JPEG/WebP decode requires Pillow, not available in this "
-                "container; use decode='png' (REAL zlib-compressed lane), "
-                "decode='ppm'/'bmp' (real uncompressed lanes) or "
+                "WebP/AVIF decode requires Pillow, not available in this "
+                "container; use decode='jpeg'/'png'/'gif' (REAL compressed "
+                "lanes), decode='ppm'/'bmp' (real uncompressed lanes) or "
                 "decode='fake' for deterministic pseudo-features")
         h = hashlib.blake2b(payload, digest_size=16).digest()
         w = 64 + h[0]  # deterministic pseudo dimensions
@@ -743,6 +750,59 @@ def make_png_media_table(n: int, seed: int = 15) -> pa.Table:
         rows["true_height"].append(h)
         rows["true_mean_luma"].append(round(float(luma.mean()) / 255.0, 6))
         rows["true_ahash"].append(_ahash64(luma))
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "true_width": pa.array(rows["true_width"], pa.int64()),
+        "true_height": pa.array(rows["true_height"], pa.int64()),
+        "true_mean_luma": pa.array(rows["true_mean_luma"], pa.float64()),
+        "true_ahash": pa.array(rows["true_ahash"], pa.uint64()),
+    })
+
+
+def make_jpeg_media_table(n: int, seed: int = 18) -> pa.Table:
+    """n REAL baseline JPEGs (from-scratch codec, logray/ops/jpegcodec.py)
+    covering the hazards a web-crawl decoder meets: 4:2:0 chroma
+    subsampling on every other payload, DRI/RSTn restart markers on every
+    third, non-multiple-of-8 dims throughout, 1-pixel-wide images, and
+    naturally-occurring byte stuffing (asserted present across the
+    fixture). JPEG is lossy, so — exactly like the µ-law audio lane —
+    the truth columns are computed from the DECODED pixels at generation
+    time; decoder correctness itself is pinned by the exact
+    quantized-coefficient inversion + round-trip tolerance tests in
+    tests/test_ops.py."""
+    from .jpegcodec import encode_jpeg, parse_jpeg
+
+    rng = np.random.default_rng(seed)
+    rows = {"media_id": [], "payload": [], "true_width": [],
+            "true_height": [], "true_mean_luma": [], "true_ahash": []}
+    stuffed_seen = False
+    for i in range(n):
+        w = 1 if i % 7 == 3 else int(rng.integers(8, 96))
+        h = int(rng.integers(8, 96))
+        # smooth clipped gradients + mild noise: realistic photographic
+        # statistics (the %256 wrap the lossless lanes use would put
+        # hard 255->0 edges everywhere, which JPEG ringing amplifies)
+        base = rng.integers(20, 200, size=(1, 1, 3)).astype(np.float64)
+        gy = np.linspace(0, float(rng.integers(1, 64)), h)[:, None, None]
+        gx = np.linspace(0, float(rng.integers(1, 64)), w)[None, :, None]
+        noise = rng.integers(0, 16, size=(h, w, 3))
+        px = np.clip(base + gy + gx + noise, 0, 255).astype(np.uint8)
+        payload = encode_jpeg(
+            px, quality=int(rng.integers(60, 96)),
+            subsample=(i % 2 == 1),
+            restart_interval=(2 if i % 3 == 0 else 0))
+        stuffed_seen = stuffed_seen or b"\xff\x00" in payload
+        dec = parse_jpeg(payload)
+        assert dec.shape == (h, w, 3)
+        luma = _luma(dec)
+        rows["media_id"].append(i)
+        rows["payload"].append(payload)
+        rows["true_width"].append(w)
+        rows["true_height"].append(h)
+        rows["true_mean_luma"].append(round(float(luma.mean()) / 255.0, 6))
+        rows["true_ahash"].append(_ahash64(luma))
+    assert stuffed_seen, "fixture must exercise FF 00 byte stuffing"
     return pa.table({
         "media_id": pa.array(rows["media_id"], pa.int64()),
         "payload": pa.array(rows["payload"], pa.binary()),

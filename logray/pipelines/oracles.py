@@ -3970,6 +3970,12 @@ ORACLE_SQL["png_features_media"] = f"""
     FROM read_parquet('{_MEDIA}/png.parquet')
 """
 
+ORACLE_SQL["jpeg_features_media"] = f"""
+    SELECT media_id, true_width AS width, true_height AS height,
+           true_mean_luma AS mean_luma, true_ahash AS ahash
+    FROM read_parquet('{_MEDIA}/jpeg.parquet')
+"""
+
 # ---- v8 rule-family oracles (same generated-CASE classify + regexp
 # extraction protocol; the duration spans replay as TRY_CAST + coalesce
 # unit arithmetic — non-participating optional groups extract as '' and

@@ -8215,7 +8215,8 @@ def _media_path(kind: str) -> str:
              "bmp": mm.make_bmp_media_table,
              "png": mm.make_png_media_table,
              "mulaw": mm.make_mulaw_media_table,
-             "gif": mm.make_gif_media_table}[kind](200)
+             "gif": mm.make_gif_media_table,
+             "jpeg": mm.make_jpeg_media_table}[kind](200)
         pq.write_table(t, f)
     return str(f)
 
@@ -8304,6 +8305,40 @@ def gif_features_media(sf_dir: str):
 
     out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
         DecodeImageStage, fn_constructor_kwargs={"decode": "gif"},
+        concurrency=2, batch_size=32, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"],
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+            "mean_luma": t["mean_luma"],
+            "ahash": t["phash64"]}),
+        batch_format="pyarrow")
+
+
+def jpeg_features_media(sf_dir: str):
+    """REAL image decode lane #5 — baseline-sequential JPEG with a
+    from-scratch codec (logray/ops/jpegcodec.py: numpy matrix-product
+    DCT, canonical Huffman rebuilt from the stream's own DHT segments,
+    FF 00 byte unstuffing, RSTn restart handling with DC-predictor
+    resets, generic (Hi, Vi) MCU loop covering 4:4:4 and 4:2:0, edge
+    padding cropped back). Decoded to dims / Rec.601 luma / ahash and
+    value-checked against generation-time truth computed from the
+    decoded samples (lossy codec ⇒ µ-law-lane oracle protocol)."""
+    import ray.data
+
+    from ..ops.multimodal import DecodeImageStage
+
+    ds = ray.data.read_parquet(_media_path("jpeg"),
+                               columns=["media_id", "payload"])
+
+    def pad(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return t.append_column("width", pa.nulls(n, pa.int32())) \
+                .append_column("height", pa.nulls(n, pa.int32()))
+
+    out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+        DecodeImageStage, fn_constructor_kwargs={"decode": "jpeg"},
         concurrency=2, batch_size=32, batch_format="pyarrow")
     return out.map_batches(
         lambda t: pa.table({
@@ -9989,6 +10024,7 @@ QUERIES = {
     "png_features_media": png_features_media,
     "mulaw_features_media": mulaw_features_media,
     "gif_features_media": gif_features_media,
+    "jpeg_features_media": jpeg_features_media,
     "ppm_resize_dims_media": ppm_resize_dims_media,
     "multimodal_decode_features": multimodal_decode_features,
     # round-2 coverage adds

@@ -2075,3 +2075,89 @@ def test_gif_lzw_roundtrip_and_hazards():
         parse_gif(b"PNG89a" + good[6:])
     with pytest.raises(ValueError):
         parse_gif(good[:-10])  # truncated sub-block stream
+
+
+def test_jpeg_entropy_layer_inverts_exactly():
+    """The decoder's Huffman/zigzag/DC-prediction layer is EXACT: for
+    every geometry × subsampling × restart-interval combination, parsing
+    the encoded bytes reproduces the encoder's quantized coefficient
+    arrays bit-for-bit (the only loss in JPEG is quantization, which
+    happens before the entropy layer)."""
+    import numpy as np
+
+    from logray.ops.jpegcodec import (_decode_qblocks, _forward_qblocks,
+                                      encode_jpeg)
+
+    rng = np.random.default_rng(31)
+    for (w, h, sub, ri, q) in [(16, 16, False, 0, 85), (17, 23, True, 0, 85),
+                               (33, 9, True, 3, 70), (1, 12, False, 0, 95),
+                               (1, 12, True, 2, 95), (8, 8, False, 0, 100),
+                               (41, 26, False, 1, 50)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        b = encode_jpeg(px, q, subsample=sub, restart_interval=ri)
+        fwd, _, _, _ = _forward_qblocks(px, q, sub)
+        comps, _, _, _, _, _ = _decode_qblocks(b)
+        for ci in range(3):
+            assert (fwd[ci] == comps[ci]["blocks"]).all(), (w, h, sub, ri)
+
+
+def test_jpeg_roundtrip_tolerance_and_restart_equivalence():
+    """Smooth images round-trip within a small tolerance at q>=85; flat
+    colors recover exactly; and restart markers change the entropy
+    layout but NOT the decoded pixels (same quantized coefficients)."""
+    import numpy as np
+
+    from logray.ops.jpegcodec import encode_jpeg, parse_jpeg
+
+    rng = np.random.default_rng(32)
+    for _ in range(6):
+        w, h = int(rng.integers(8, 80)), int(rng.integers(8, 80))
+        base = rng.integers(30, 200, size=(1, 1, 3)).astype(float)
+        gy = np.linspace(0, float(rng.integers(1, 50)), h)[:, None, None]
+        gx = np.linspace(0, float(rng.integers(1, 50)), w)[None, :, None]
+        px = np.clip(base + gy + gx, 0, 255).astype(np.uint8)
+        for sub in (False, True):
+            dec = parse_jpeg(encode_jpeg(px, 90, subsample=sub))
+            err = np.abs(dec.astype(int) - px.astype(int)).max()
+            assert err <= 8, (w, h, sub, err)
+        plain = parse_jpeg(encode_jpeg(px, 80, subsample=True))
+        rst = parse_jpeg(encode_jpeg(px, 80, subsample=True,
+                                     restart_interval=1))
+        assert (plain == rst).all()
+
+    flat = np.full((24, 24, 3), (12, 200, 77), np.uint8)
+    assert (parse_jpeg(encode_jpeg(flat, 95, subsample=True)) == flat).all()
+
+
+def test_jpeg_decode_rejects_unsupported_and_corruption():
+    """Missing SOI, progressive SOF2, truncated entropy streams, and a
+    wrong restart marker sequence all raise ValueError; byte stuffing
+    (FF 00) actually occurs in the fixture's streams (so the unstuffing
+    path is exercised, not just present)."""
+    import numpy as np
+    import pytest
+
+    from logray.ops.jpegcodec import encode_jpeg, parse_jpeg
+    from logray.ops.multimodal import make_jpeg_media_table
+
+    rng = np.random.default_rng(33)
+    px = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    good = encode_jpeg(px, 85)
+    with pytest.raises(ValueError, match="missing SOI"):
+        parse_jpeg(b"\x89PNG" + good[4:])
+    # flip SOF0 (FFC0) to progressive SOF2 (FFC2)
+    i = good.index(b"\xff\xc0")
+    with pytest.raises(ValueError, match="SOF"):
+        parse_jpeg(good[:i] + b"\xff\xc2" + good[i + 2:])
+    with pytest.raises(ValueError):
+        parse_jpeg(good[:len(good) // 2])  # truncated mid-scan
+    # corrupt the first restart marker's index (RST0 -> RST5)
+    rb = bytearray(encode_jpeg(px, 85, restart_interval=1))
+    j = rb.find(b"\xff\xd0", rb.index(b"\xff\xda"))
+    assert j > 0
+    rb[j + 1] = 0xD5
+    with pytest.raises(ValueError):
+        parse_jpeg(bytes(rb))
+
+    t = make_jpeg_media_table(12)
+    assert any(b"\xff\x00" in p.as_py() for p in t["payload"])
