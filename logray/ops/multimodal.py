@@ -403,10 +403,18 @@ class ResizeImageStage:
             ih, iw = px.shape[:2]
             ow, oh = thumb_dims(iw, ih, self.max_side)
             return encode_ppm(resize_nearest(px, ow, oh)), ow, oh
+        if self.decode == "jpeg":  # REAL compressed-in/compressed-out lane
+            from .jpegcodec import encode_jpeg, parse_jpeg
+            px = parse_jpeg(payload)
+            ih, iw = px.shape[:2]
+            ow, oh = thumb_dims(iw, ih, self.max_side)
+            return (encode_jpeg(resize_nearest(px, ow, oh),
+                                quality=THUMB_JPEG_QUALITY), ow, oh)
         if self.decode == "real":
             raise NotImplementedError(
-                "compressed image resize requires Pillow, not available in "
-                "this container; use decode='ppm' or decode='fake'")
+                "compressed image resize beyond JPEG requires Pillow, not "
+                "available in this container; use decode='jpeg' (REAL "
+                "decode->resample->re-encode), decode='ppm' or decode='fake'")
         if max(w, h) <= self.max_side:
             ow, oh = max(w, 1), max(h, 1)
         elif w >= h:
@@ -760,6 +768,13 @@ def make_png_media_table(n: int, seed: int = 15) -> pa.Table:
     })
 
 
+# thumbnail re-encode quality: one constant shared by the resize stage
+# and the fixture's truth computation (the sidecar oracle is only valid
+# if both sides re-encode identically)
+THUMB_JPEG_QUALITY = 90
+THUMB_MAX_SIDE = 32
+
+
 def make_jpeg_media_table(n: int, seed: int = 18) -> pa.Table:
     """n REAL baseline JPEGs (from-scratch codec, logray/ops/jpegcodec.py)
     covering the hazards a web-crawl decoder meets: 4:2:0 chroma
@@ -775,7 +790,9 @@ def make_jpeg_media_table(n: int, seed: int = 18) -> pa.Table:
 
     rng = np.random.default_rng(seed)
     rows = {"media_id": [], "payload": [], "true_width": [],
-            "true_height": [], "true_mean_luma": [], "true_ahash": []}
+            "true_height": [], "true_mean_luma": [], "true_ahash": [],
+            "true_thumb_w": [], "true_thumb_h": [], "true_thumb_luma": [],
+            "true_thumb_ahash": []}
     stuffed_seen = False
     for i in range(n):
         w = 1 if i % 7 == 3 else int(rng.integers(8, 96))
@@ -802,6 +819,16 @@ def make_jpeg_media_table(n: int, seed: int = 18) -> pa.Table:
         rows["true_height"].append(h)
         rows["true_mean_luma"].append(round(float(luma.mean()) / 255.0, 6))
         rows["true_ahash"].append(_ahash64(luma))
+        # resize-lane truth: the full decode->resample->re-encode->decode
+        # chain the distributed pipeline must reproduce from bytes alone
+        ow, oh = thumb_dims(w, h, THUMB_MAX_SIDE)
+        thumb = encode_jpeg(resize_nearest(dec, ow, oh),
+                            quality=THUMB_JPEG_QUALITY)
+        tluma = _luma(parse_jpeg(thumb))
+        rows["true_thumb_w"].append(ow)
+        rows["true_thumb_h"].append(oh)
+        rows["true_thumb_luma"].append(round(float(tluma.mean()) / 255.0, 6))
+        rows["true_thumb_ahash"].append(_ahash64(tluma))
     assert stuffed_seen, "fixture must exercise FF 00 byte stuffing"
     return pa.table({
         "media_id": pa.array(rows["media_id"], pa.int64()),
@@ -810,6 +837,10 @@ def make_jpeg_media_table(n: int, seed: int = 18) -> pa.Table:
         "true_height": pa.array(rows["true_height"], pa.int64()),
         "true_mean_luma": pa.array(rows["true_mean_luma"], pa.float64()),
         "true_ahash": pa.array(rows["true_ahash"], pa.uint64()),
+        "true_thumb_w": pa.array(rows["true_thumb_w"], pa.int64()),
+        "true_thumb_h": pa.array(rows["true_thumb_h"], pa.int64()),
+        "true_thumb_luma": pa.array(rows["true_thumb_luma"], pa.float64()),
+        "true_thumb_ahash": pa.array(rows["true_thumb_ahash"], pa.uint64()),
     })
 
 

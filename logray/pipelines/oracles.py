@@ -948,7 +948,7 @@ ORACLE_SQL["pca_variance_embeddings"] = f"""
 # analytic truth stored beside the payload bytes (decode must reproduce
 # it from bytes alone). Fixed cache paths, same protocol as _CORPUS.
 
-_MEDIA = "/tmp/logray/media/v1"
+from .queries import _MEDIA_CACHE as _MEDIA  # single source of truth
 
 ORACLE_SQL["wav_features_media"] = f"""
     SELECT media_id, true_duration_ms AS duration_ms,
@@ -3973,6 +3973,12 @@ ORACLE_SQL["png_features_media"] = f"""
 ORACLE_SQL["jpeg_features_media"] = f"""
     SELECT media_id, true_width AS width, true_height AS height,
            true_mean_luma AS mean_luma, true_ahash AS ahash
+    FROM read_parquet('{_MEDIA}/jpeg.parquet')
+"""
+
+ORACLE_SQL["jpeg_resize_media"] = f"""
+    SELECT media_id, true_thumb_w AS thumb_w, true_thumb_h AS thumb_h,
+           true_thumb_luma AS thumb_luma, true_thumb_ahash AS thumb_ahash
     FROM read_parquet('{_MEDIA}/jpeg.parquet')
 """
 

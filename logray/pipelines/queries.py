@@ -8200,7 +8200,7 @@ def pca_variance_embeddings(sf_dir: str):
 # duration/RMS/dims/luma/hash from the bytes alone (same protocol as the
 # corpus _expected sidecar).
 
-_MEDIA_CACHE = "/tmp/logray/media/v1"
+_MEDIA_CACHE = "/tmp/logray/media/v2"  # v2: jpeg fixture grew thumb truth
 
 
 def _media_path(kind: str) -> str:
@@ -8347,6 +8347,44 @@ def jpeg_features_media(sf_dir: str):
             "height": pc.cast(t["height"], pa.int64()),
             "mean_luma": t["mean_luma"],
             "ahash": t["phash64"]}),
+        batch_format="pyarrow")
+
+
+def jpeg_resize_media(sf_dir: str):
+    """Compressed-in/compressed-out thumbnailing with the REAL JPEG
+    codec: decode → nearest-neighbor resample to max-side-32 → re-encode
+    (fixed quality) in one actor-pool stage, then a SECOND decode stage
+    extracts features from the thumbnail bytes — so the binary column
+    crosses the object store between two codec stages, which is the
+    whole point of binary-payload plumbing. Every output value-checks
+    against generation-time truth of the same chain."""
+    import ray.data
+
+    from ..ops.multimodal import (THUMB_MAX_SIDE, DecodeImageStage,
+                                  ResizeImageStage)
+
+    ds = ray.data.read_parquet(_media_path("jpeg"),
+                               columns=["media_id", "payload"])
+
+    def pad(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return t.append_column("width", pa.nulls(n, pa.int32())) \
+                .append_column("height", pa.nulls(n, pa.int32()))
+
+    thumbs = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+        ResizeImageStage,
+        fn_constructor_kwargs={"decode": "jpeg", "max_side": THUMB_MAX_SIDE},
+        concurrency=2, batch_size=32, batch_format="pyarrow")
+    out = thumbs.map_batches(
+        DecodeImageStage, fn_constructor_kwargs={"decode": "jpeg"},
+        concurrency=2, batch_size=32, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"],
+            "thumb_w": pc.cast(t["width"], pa.int64()),
+            "thumb_h": pc.cast(t["height"], pa.int64()),
+            "thumb_luma": t["mean_luma"],
+            "thumb_ahash": t["phash64"]}),
         batch_format="pyarrow")
 
 
@@ -10025,6 +10063,7 @@ QUERIES = {
     "mulaw_features_media": mulaw_features_media,
     "gif_features_media": gif_features_media,
     "jpeg_features_media": jpeg_features_media,
+    "jpeg_resize_media": jpeg_resize_media,
     "ppm_resize_dims_media": ppm_resize_dims_media,
     "multimodal_decode_features": multimodal_decode_features,
     # round-2 coverage adds

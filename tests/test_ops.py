@@ -2161,3 +2161,40 @@ def test_jpeg_decode_rejects_unsupported_and_corruption():
 
     t = make_jpeg_media_table(12)
     assert any(b"\xff\x00" in p.as_py() for p in t["payload"])
+
+
+def test_jpeg_resize_stage_real_path():
+    """ResizeImageStage's JPEG lane emits REAL thumbnail JPEGs: output
+    payload decodes, dims are clamped to max_side with aspect preserved,
+    and the result matches the decode->resample->re-encode chain run
+    locally on the same bytes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from logray.ops.jpegcodec import encode_jpeg, parse_jpeg
+    from logray.ops.multimodal import (THUMB_JPEG_QUALITY, ResizeImageStage,
+                                       resize_nearest, thumb_dims)
+
+    rng = np.random.default_rng(41)
+    payloads = []
+    for w, h in [(64, 40), (9, 80), (31, 31)]:
+        px = np.clip(rng.integers(20, 200, size=(1, 1, 3))
+                     + np.linspace(0, 40, h)[:, None, None]
+                     + np.linspace(0, 40, w)[None, :, None],
+                     0, 255).astype(np.uint8)
+        payloads.append(encode_jpeg(px, 85, subsample=(w % 2 == 0)))
+    batch = pa.table({
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.nulls(3, pa.int32()),
+        "height": pa.nulls(3, pa.int32()),
+    })
+    out = ResizeImageStage(max_side=32, decode="jpeg")(batch)
+    for i, (w, h) in enumerate([(64, 40), (9, 80), (31, 31)]):
+        tw, th = thumb_dims(w, h, 32)
+        assert (out["width"][i].as_py(), out["height"][i].as_py()) == (tw, th)
+        got = out["payload"][i].as_py()
+        expect = encode_jpeg(
+            resize_nearest(parse_jpeg(payloads[i]), tw, th),
+            quality=THUMB_JPEG_QUALITY)
+        assert got == expect
+        assert parse_jpeg(got).shape == (th, tw, 3)
