@@ -233,6 +233,64 @@ def make_mulaw_media_table(n: int, seed: int = 16, rate: int = 8000) -> pa.Table
     })
 
 
+def decode_flac_features(payload: bytes) -> tuple[int, float, float]:
+    """REAL FLAC-subset decode (logray/ops/flaccodec.py): lossless, so
+    (duration_ms, rms_db, zcr) — channel 0 for stereo — are EXACTLY the
+    original samples' features. The decoder also verifies frame CRCs and
+    the STREAMINFO MD5, so a successful decode is an integrity proof."""
+    from .flaccodec import decode_flac
+
+    pcm, rate = decode_flac(payload)
+    ch0 = pcm[:, 0]
+    return int(len(ch0) * 1000 / rate), _pcm_rms_db(ch0), _pcm_zcr(ch0)
+
+
+def make_flac_media_table(n: int, seed: int = 19, rate: int = 8000) -> pa.Table:
+    """n REAL FLAC-subset payloads: mono/stereo alternating, sine+noise
+    with planted silence gaps (CONSTANT subframes) and occasional pure
+    noise (verbatim/escape residuals), partial final frames throughout.
+    LOSSLESS codec ⇒ the truth columns are computed from the ORIGINAL
+    samples — the strongest oracle protocol of the media lanes (the
+    µ-law/JPEG lanes can only use decoded-sample truth)."""
+    from .flaccodec import encode_flac
+
+    rng = np.random.default_rng(seed)
+    rows = {"media_id": [], "payload": [], "true_duration_ms": [],
+            "true_rms_db": [], "true_zcr": [], "true_channels": []}
+    for i in range(n):
+        nf = int(rng.integers(rate // 10, rate))  # 0.1–1.0 s
+        t = np.arange(nf) / rate
+        f = float(rng.uniform(100, 2000))
+        x = np.clip(0.5 * np.sin(2 * np.pi * f * t)
+                    + 0.1 * rng.standard_normal(nf), -1, 1)
+        if i % 4 == 0:  # plant a silence gap -> CONSTANT subframes
+            g0 = int(rng.integers(0, max(1, nf - nf // 4)))
+            x[g0:g0 + nf // 4] = 0.0
+        if i % 11 == 5:  # pure noise -> verbatim/escape residuals
+            x = rng.uniform(-1, 1, nf)
+        pcm = (x * 32767).astype(np.int16)
+        if i % 2 == 1:  # stereo: correlated right channel
+            r = np.clip(pcm.astype(np.int64) * 0.97
+                        + rng.integers(-64, 64, nf), -32768, 32767)
+            pcm = np.stack([pcm, r.astype(np.int16)], axis=1)
+        payload = encode_flac(pcm, rate, block_size=1024)
+        ch0 = pcm if pcm.ndim == 1 else pcm[:, 0]
+        rows["media_id"].append(i)
+        rows["payload"].append(payload)
+        rows["true_duration_ms"].append(int(nf * 1000 / rate))
+        rows["true_rms_db"].append(_pcm_rms_db(ch0))
+        rows["true_zcr"].append(_pcm_zcr(ch0))
+        rows["true_channels"].append(1 if pcm.ndim == 1 else 2)
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "true_duration_ms": pa.array(rows["true_duration_ms"], pa.int64()),
+        "true_rms_db": pa.array(rows["true_rms_db"], pa.float64()),
+        "true_zcr": pa.array(rows["true_zcr"], pa.float64()),
+        "true_channels": pa.array(rows["true_channels"], pa.int64()),
+    })
+
+
 def make_ppm_media_table(n: int, seed: int = 12) -> pa.Table:
     """n REAL netpbm P6 images (random RGB, deterministic) + analytic
     truth (dimensions, Rec.601 mean luma, 8×8 average-hash)."""
@@ -452,9 +510,10 @@ class AudioFeatureStage:
         self.sample_rate = sample_rate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decode in ("wav", "mulaw"):  # REAL decode lanes
-            dec = (decode_wav_features if self.decode == "wav"
-                   else decode_mulaw_wav_features)
+        if self.decode in ("wav", "mulaw", "flac"):  # REAL decode lanes
+            dec = {"wav": decode_wav_features,
+                   "mulaw": decode_mulaw_wav_features,
+                   "flac": decode_flac_features}[self.decode]
             feats = [dec(p) for p in batch["payload"].to_pylist()]
             i = batch.schema.get_field_index("duration_ms")
             if i >= 0:
@@ -470,10 +529,10 @@ class AudioFeatureStage:
                 "zcr", pa.array([f[2] for f in feats], pa.float64()))
         if self.decode == "real":
             raise NotImplementedError(
-                "MP3/FLAC decode requires soundfile/ffmpeg, not in this "
-                "container; use decode='wav' (real PCM16 lane), "
-                "decode='mulaw' (real G.711 companded lane) or "
-                "decode='fake'")
+                "MP3/AAC decode requires soundfile/ffmpeg, not in this "
+                "container; use decode='flac' (REAL lossless compressed "
+                "lane), decode='wav' (real PCM16 lane), decode='mulaw' "
+                "(real G.711 companded lane) or decode='fake'")
         payloads = batch["payload"].to_pylist()
         dur = [int(len(p) * 1000 / (2 * self.sample_rate)) for p in payloads]
         def _rms(p: bytes) -> float:

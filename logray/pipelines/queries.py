@@ -8216,7 +8216,8 @@ def _media_path(kind: str) -> str:
              "png": mm.make_png_media_table,
              "mulaw": mm.make_mulaw_media_table,
              "gif": mm.make_gif_media_table,
-             "jpeg": mm.make_jpeg_media_table}[kind](200)
+             "jpeg": mm.make_jpeg_media_table,
+             "flac": mm.make_flac_media_table}[kind](200)
         pq.write_table(t, f)
     return str(f)
 
@@ -8484,6 +8485,37 @@ def mulaw_features_media(sf_dir: str):
 
     out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
         AudioFeatureStage, fn_constructor_kwargs={"decode": "mulaw"},
+        concurrency=2, batch_size=32, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"],
+            "duration_ms": pc.cast(t["duration_ms"], pa.int64()),
+            "rms_db": t["rms_db"], "zcr": t["zcr"]}),
+        batch_format="pyarrow")
+
+
+def flac_features_media(sf_dir: str):
+    """REAL lossless-compressed audio decode end-to-end: FLAC-subset
+    payloads (from-scratch codec, logray/ops/flaccodec.py — Rice-coded
+    fixed-predictor residuals incl. the raw-binary escape, CONSTANT/
+    VERBATIM subframes, four stereo decorrelation modes, CRC-8/CRC-16
+    per frame, STREAMINFO MD5 verified against the decoded samples)
+    decoded by the same actor-pool stage. Lossless ⇒ features
+    value-check against truth computed from the ORIGINAL samples, the
+    strongest oracle protocol of the media lanes."""
+    import ray.data
+
+    from ..ops.multimodal import AudioFeatureStage
+
+    ds = ray.data.read_parquet(_media_path("flac"),
+                               columns=["media_id", "payload"])
+
+    def pad(t: pa.Table) -> pa.Table:
+        return t.append_column("duration_ms",
+                               pa.nulls(t.num_rows, pa.int32()))
+
+    out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+        AudioFeatureStage, fn_constructor_kwargs={"decode": "flac"},
         concurrency=2, batch_size=32, batch_format="pyarrow")
     return out.map_batches(
         lambda t: pa.table({
@@ -10061,6 +10093,7 @@ QUERIES = {
     "bmp_features_media": bmp_features_media,
     "png_features_media": png_features_media,
     "mulaw_features_media": mulaw_features_media,
+    "flac_features_media": flac_features_media,
     "gif_features_media": gif_features_media,
     "jpeg_features_media": jpeg_features_media,
     "jpeg_resize_media": jpeg_resize_media,

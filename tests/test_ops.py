@@ -2198,3 +2198,93 @@ def test_jpeg_resize_stage_real_path():
             quality=THUMB_JPEG_QUALITY)
         assert got == expect
         assert parse_jpeg(got).shape == (th, tw, 3)
+
+
+def test_flac_codec_bitexact_roundtrip_all_modes():
+    """The FLAC-subset codec is LOSSLESS: decode(encode(x)) == x exactly
+    for mono/stereo, every forced stereo decorrelation mode, planted
+    silence (CONSTANT subframes), pure noise (verbatim/escape
+    residuals), extremes at the int16 rails, partial final frames, and
+    tiny inputs shorter than any predictor's warmup."""
+    import numpy as np
+
+    from logray.ops.flaccodec import decode_flac, encode_flac
+
+    rng = np.random.default_rng(51)
+    t = np.arange(3001) / 8000.0
+    sine = (np.clip(0.4 * np.sin(2 * np.pi * 440 * t)
+                    + 0.05 * rng.standard_normal(3001), -1, 1)
+            * 32767).astype(np.int16)
+    left = (np.clip(0.3 * np.sin(2 * np.pi * 220 * t), -1, 1)
+            * 32767).astype(np.int16)
+    right = np.clip(left.astype(np.int64) * 0.98
+                    + rng.integers(-50, 50, len(left)),
+                    -32768, 32767).astype(np.int16)
+    stereo = np.stack([left, right], axis=1)
+
+    cases = [sine, np.zeros(2500, np.int16),
+             rng.integers(-32768, 32768, 5000).astype(np.int16),
+             np.array([32767, -32768, -32768, 32767, 0] * 300, np.int16),
+             np.array([5, -3, 7], np.int16), np.array([12], np.int16),
+             stereo]
+    for pcm in cases:
+        dec, rate = decode_flac(encode_flac(pcm, 8000, block_size=1024))
+        want = pcm[:, None] if pcm.ndim == 1 else pcm
+        assert rate == 8000 and (dec == want).all()
+    for mode in ("indep", "left_side", "right_side", "mid_side"):
+        dec, _ = decode_flac(encode_flac(stereo, 8000, force_mode=mode))
+        assert (dec == stereo).all(), mode
+    # block size not dividing n, and block size > n
+    for bs in (7, 100, 10000):
+        dec, _ = decode_flac(encode_flac(sine, 8000, block_size=bs))
+        assert (dec == sine[:, None]).all(), bs
+
+
+def test_flac_decode_verifies_integrity():
+    """Wrong magic, frame-header CRC-8 damage, frame-body CRC-16 damage,
+    truncation, and a tampered STREAMINFO MD5 all raise ValueError —
+    a successful decode is an integrity proof, not just a parse."""
+    import numpy as np
+    import pytest
+
+    from logray.ops.flaccodec import decode_flac, encode_flac
+
+    rng = np.random.default_rng(52)
+    pcm = (np.clip(0.3 * np.sin(np.arange(2000) * 0.05)
+                   + 0.05 * rng.standard_normal(2000), -1, 1)
+           * 32767).astype(np.int16)
+    good = encode_flac(pcm, 8000, block_size=512)
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"OggS" + good[4:])
+    # STREAMINFO is 4 (magic) + 4 (block hdr) + 34 bytes; frames follow.
+    frame0 = 4 + 4 + 34
+    b = bytearray(good)
+    b[frame0 + 2] ^= 0x10                 # inside the frame header
+    with pytest.raises(ValueError, match="CRC-8"):
+        decode_flac(bytes(b))
+    b = bytearray(good)
+    b[frame0 + 30] ^= 0x01                # inside the first frame's body
+    with pytest.raises(ValueError, match="CRC-16|MD5|truncated|sync|subframe|rice|order"):
+        decode_flac(bytes(b))
+    with pytest.raises(ValueError):
+        decode_flac(good[: len(good) // 2])
+    b = bytearray(good)
+    b[8 + 18] ^= 0xFF                     # first MD5 byte in STREAMINFO
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac(bytes(b))
+
+
+def test_flac_feature_stage_and_fixture():
+    """decode_flac_features reproduces the fixture's original-sample
+    truth exactly (lossless), and the fixture actually contains both
+    channel counts and a CONSTANT-subframe (silence) payload."""
+    from logray.ops.multimodal import (decode_flac_features,
+                                       make_flac_media_table)
+
+    t = make_flac_media_table(16)
+    assert set(t["true_channels"].to_pylist()) == {1, 2}
+    for i in range(16):
+        d, r, z = decode_flac_features(t["payload"][i].as_py())
+        assert d == t["true_duration_ms"][i].as_py()
+        assert r == t["true_rms_db"][i].as_py()
+        assert z == t["true_zcr"][i].as_py()
