@@ -272,11 +272,15 @@ def _read_subframe(r: _BitReader, n: int, bps: int) -> np.ndarray:
     res = np.empty(nres, np.int64)
     if p == 0b1111:                                  # escape: raw binary
         width = r.read_bits(5)
-        s2 = 1 << (width - 1)
-        f2 = 1 << width
-        for i in range(nres):
-            v = r.read_bits(width)
-            res[i] = v - f2 if v & s2 else v
+        if width == 0:
+            # legal in real FLAC: all residuals stored in zero bits
+            res.fill(0)
+        else:
+            s2 = 1 << (width - 1)
+            f2 = 1 << width
+            for i in range(nres):
+                v = r.read_bits(width)
+                res[i] = v - f2 if v & s2 else v
     else:
         for i in range(nres):
             q = r.read_unary()
@@ -318,29 +322,41 @@ def encode_flac(pcm: np.ndarray, rate: int = 8000,
     info = bytes(si.buf) + md5
     out += bytes([0x80, 0, 0, len(info)]) + info   # last-block flag set
 
-    for fi in range(0, max(1, -(-n // block_size))):
+    # n == 0 emits zero frames; the decoder's `while got < total` loop
+    # never starts and the MD5 of zero samples still verifies.
+    for fi in range(-(-n // block_size)):
         lo = fi * block_size
         hi = min(n, lo + block_size)
-        if lo >= n and n > 0:
-            break
         bs = hi - lo
         chans = [pcm[lo:hi, c].astype(np.int64) for c in range(nch)]
+        # plan each distinct (channel, bps) pair once per frame — the four
+        # stereo modes share channels (4 plans, not 8) and the chosen
+        # mode's plans are reused by the write loop below
+        memo: dict[tuple[int, int], tuple] = {}
+
+        def _plan(x: np.ndarray, b: int):
+            key = (id(x), b)
+            if key not in memo:
+                memo[key] = _subframe_plan(x, b)
+            return memo[key]
+
         if nch == 1:
-            mode = "mono"
             subs = [(chans[0], 16)]
+            mode = "mono"
         else:
             left, right = chans
+            side = left - right
             cands = {
                 "indep": [(left, 16), (right, 16)],
-                "left_side": [(left, 16), (left - right, 17)],
-                "right_side": [(left - right, 17), (right, 16)],
-                "mid_side": [((left + right) >> 1, 16), (left - right, 17)],
+                "left_side": [(left, 16), (side, 17)],
+                "right_side": [(side, 17), (right, 16)],
+                "mid_side": [((left + right) >> 1, 16), (side, 17)],
             }
             if force_mode:
                 mode = force_mode
             else:
                 mode = min(cands, key=lambda m: sum(
-                    _subframe_plan(x, b)[3] for x, b in cands[m]))
+                    _plan(x, b)[3] for x, b in cands[m]))
             subs = cands[mode]
 
         hdr = bytearray(b"\xff\xf8")
@@ -352,7 +368,7 @@ def encode_flac(pcm: np.ndarray, rate: int = 8000,
 
         w = _BitWriter()
         for x, bps in subs:
-            _write_subframe(w, x, bps, _subframe_plan(x, bps))
+            _write_subframe(w, x, bps, _plan(x, bps))
         w.align()
         frame = bytes(hdr) + bytes(w.buf)
         out += frame + struct.pack(">H", _crc16(frame))
@@ -394,6 +410,10 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     chans_out: list[np.ndarray] = []
     got = 0
     while got < total:
+        # fixed header (4) + shortest utf8 number (1) + blocksize (2) +
+        # crc8 (1) is the minimum a frame header can occupy
+        if pos + 8 > len(payload):
+            raise ValueError("FLAC stream truncated")
         if payload[pos] != 0xFF or (payload[pos + 1] & 0xFE) != 0xF8:
             raise ValueError(f"bad frame sync at {pos}")
         # header: fixed 4 bytes + utf8 number + 2-byte blocksize + crc8
@@ -408,6 +428,8 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         else:
             nfollow = 3
         hpos += 1 + nfollow
+        if hpos + 3 > len(payload):                  # blocksize (2) + crc8
+            raise ValueError("FLAC frame header truncated")
         bs = struct.unpack_from(">H", payload, hpos)[0] + 1
         hpos += 2
         if _crc8(payload[pos:hpos]) != payload[hpos]:

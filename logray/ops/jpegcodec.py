@@ -496,6 +496,10 @@ def _parse_segments(payload: bytes):
             prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
+            if nc != 3:
+                raise ValueError(
+                    f"unsupported component count {nc} in SOF0 "
+                    "(3-component YCbCr only; grayscale/CMYK not handled)")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = data[6 + 3 * ci:9 + 3 * ci]
@@ -540,9 +544,19 @@ def _decode_qblocks(payload: bytes):
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        if c["tq"] not in qtabs:
+            raise ValueError(
+                f"component references undefined quant table {c['tq']}")
     by_id = {c["id"]: c for c in comps}
+    if any(s["cs"] not in by_id for s in scomps):
+        raise ValueError("SOS references a component id not in SOF0")
     order = [by_id[s["cs"]] for s in scomps]
     for c, s in zip(order, scomps):
+        if (0, s["td"]) not in htabs or (1, s["ta"]) not in htabs:
+            raise ValueError(
+                f"scan references undefined Huffman table "
+                f"(dc={s['td']}, ac={s['ta']})")
         c["dc"] = htabs[(0, s["td"])]
         c["ac"] = htabs[(1, s["ta"])]
         c["blocks"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
@@ -572,6 +586,9 @@ def _decode_qblocks(payload: bytes):
                             if s == 0:
                                 if r == 15:
                                     k += 16          # ZRL
+                                    if k > 64:       # 16 zeros must fit
+                                        raise ValueError(
+                                            "ZRL run past block end")
                                     continue
                                 break                # EOB
                             k += r

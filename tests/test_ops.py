@@ -2274,6 +2274,110 @@ def test_flac_decode_verifies_integrity():
         decode_flac(bytes(b))
 
 
+def test_flac_edge_hardening():
+    """Review-found edge cases: empty input round-trips (zero frames);
+    truncation exactly at a frame boundary raises ValueError (not
+    IndexError); a foreign stream using the legal escape width 0
+    (all-zero residuals in zero bits) decodes."""
+    import hashlib
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from logray.ops.flaccodec import (_MODE_CODE, _BitWriter, _crc8, _crc16,
+                                      _utf8_number, decode_flac, encode_flac)
+
+    # n == 0: encoder emits zero frames, decoder returns an empty array
+    dec, rate = decode_flac(encode_flac(np.zeros(0, np.int16), 8000))
+    assert rate == 8000 and dec.shape == (0, 1)
+    dec, _ = decode_flac(encode_flac(np.zeros((0, 2), np.int16), 8000))
+    assert dec.shape == (0, 2)
+
+    # truncation exactly at the first frame boundary (metadata complete,
+    # zero frame bytes, total > 0) must be a ValueError
+    pcm = (np.arange(600) % 97).astype(np.int16)
+    good = encode_flac(pcm, 8000, block_size=512)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_flac(good[:4 + 4 + 34])
+    # and truncation inside a multi-byte frame header region
+    with pytest.raises(ValueError, match="truncated|sync"):
+        decode_flac(good[:4 + 4 + 34 + 5])
+
+    # hand-build a mono frame whose residuals use escape width 0 — our
+    # encoder never emits it, but it is legal FLAC for all-zero residuals
+    n, rate = 4, 8000
+    pcm0 = np.zeros((n, 1), np.int16)
+    si = _BitWriter()
+    si.write(n, 16); si.write(n, 16); si.write(0, 24); si.write(0, 24)
+    si.write(rate, 20); si.write(0, 3); si.write(16 - 1, 5); si.write(n, 36)
+    info = bytes(si.buf) + hashlib.md5(pcm0.astype("<i2").tobytes()).digest()
+    out = bytearray(b"fLaC") + bytes([0x80, 0, 0, len(info)]) + info
+    hdr = bytearray(b"\xff\xf8")
+    hdr.append(0b0111 << 4)
+    hdr.append((_MODE_CODE["mono"] << 4) | (0b100 << 1))
+    hdr += _utf8_number(0)
+    hdr += struct.pack(">H", n - 1)
+    hdr.append(_crc8(bytes(hdr)))
+    w = _BitWriter()
+    w.write(0, 1); w.write(0b001000, 6); w.write(0, 1)   # fixed, order 0
+    w.write(0b00, 2); w.write(0, 4)                      # rice, part order 0
+    w.write(0b1111, 4); w.write(0, 5)                    # escape, width 0
+    w.align()
+    frame = bytes(hdr) + bytes(w.buf)
+    out += frame + struct.pack(">H", _crc16(frame))
+    dec, _ = decode_flac(bytes(out))
+    assert dec.shape == (n, 1) and (dec == 0).all()
+
+
+def test_jpeg_edge_hardening():
+    """Review-found edge cases: grayscale (1-component) SOF0, undefined
+    quant/Huffman table references, and a ZRL run past the block end all
+    raise ValueError instead of IndexError/KeyError/silent garbage."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from logray.ops.jpegcodec import (AC_LUMA_SPEC, DC_LUMA_SPEC,
+                                      _BitWriter, _build_codes, encode_jpeg,
+                                      parse_jpeg)
+
+    rng = np.random.default_rng(34)
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    good = encode_jpeg(px, 85)
+
+    i = good.index(b"\xff\xc0")
+    b = bytearray(good)
+    b[i + 9] = 1                          # SOF0 component count -> 1
+    with pytest.raises(ValueError, match="component count"):
+        parse_jpeg(bytes(b))
+    b = bytearray(good)
+    b[i + 12] = 3                         # comp 0 quant table id -> 3
+    with pytest.raises(ValueError, match="quant table"):
+        parse_jpeg(bytes(b))
+    j = good.index(b"\xff\xda")
+    b = bytearray(good)
+    b[j + 6] = 0x22                       # comp 0 scan tables -> id 2
+    with pytest.raises(ValueError, match="Huffman table"):
+        parse_jpeg(bytes(b))
+
+    # splice in a scan whose first block emits 4 ZRLs (k = 1+64 > 64)
+    dc = _build_codes(DC_LUMA_SPEC)
+    ac = _build_codes(AC_LUMA_SPEC)
+    wtr = _BitWriter()
+    c, ln = dc[0]
+    wtr.write(c, ln)                      # DC size 0 (diff = 0)
+    zc, zl = ac[0xF0]                     # ZRL
+    for _ in range(4):
+        wtr.write(zc, zl)
+    wtr.flush()
+    sln = struct.unpack(">H", good[j + 2:j + 4])[0]
+    spliced = good[:j + 2 + sln] + bytes(wtr.buf) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="ZRL"):
+        parse_jpeg(spliced)
+
+
 def test_flac_feature_stage_and_fixture():
     """decode_flac_features reproduces the fixture's original-sample
     truth exactly (lossless), and the fixture actually contains both
