@@ -82,6 +82,16 @@ class OracleParser:
                     out[c.dst_field] = (int(m.group(1) or 0) * 3600
                                         + int(m.group(2) or 0) * 60
                                         + int(m.group(3)))
+                elif c.converter == "size":
+                    m = re.fullmatch(
+                        r"(\d{1,6})(?:\.(\d{1,3}))?(B|KiB|MiB|GiB|TiB)", raw)
+                    if m is None:
+                        raise ValueError(raw)
+                    mult = {"B": 1, "KiB": 1024, "MiB": 1024 ** 2,
+                            "GiB": 1024 ** 3, "TiB": 1024 ** 4}[m.group(3)]
+                    frac3 = int((m.group(2) or "").ljust(3, "0") or "0")
+                    out[c.dst_field] = (int(m.group(1)) * mult
+                                        + frac3 * mult // 1000)
                 elif c.converter.startswith("timestamp:"):
                     from datetime import datetime
 

@@ -4117,6 +4117,57 @@ ORACLE_SQL["reminder_horizon_transcripts"] = f"""
     FROM r
 """
 
+# ---- v10 size-converter oracles. The 'size' converter replay: bytes =
+# whole*mult + frac3*mult // 1000, where frac3 right-pads the fraction to
+# 3 digits (rpad; a non-participating group extracts as '' -> rpad '000'
+# -> 0) and // is DuckDB integer division — exactly the engine's integer
+# decomposition, so the sums are bit-identical, not float-close. ----
+
+_SIZE_PAT = r"size=(\d{1,6})(?:\.(\d{1,3}))?(B|KiB|MiB|GiB|TiB)"
+
+
+def _size_sql() -> str:
+    unit = f"regexp_extract(text, '{_SIZE_PAT}', 3)"
+    mult = (f"CASE {unit} WHEN 'B' THEN 1 WHEN 'KiB' THEN 1024 "
+            "WHEN 'MiB' THEN 1048576 WHEN 'GiB' THEN 1073741824 "
+            "WHEN 'TiB' THEN 1099511627776 END")
+    whole = f"CAST(regexp_extract(text, '{_SIZE_PAT}', 1) AS BIGINT)"
+    frac3 = (f"coalesce(TRY_CAST(rpad(regexp_extract(text, '{_SIZE_PAT}', 2),"
+             " 3, '0') AS BIGINT), 0)")
+    return f"({whole} * ({mult}) + ({frac3} * ({mult})) // 1000)"
+
+
+ORACLE_SQL["sstable_write_stats_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    s AS (SELECT CAST(regexp_extract(text, 'lvl=(\\d)', 1) AS BIGINT) AS lvl,
+                 {_size_sql()} AS size_bytes,
+                 {_dur_sql('took')} AS took_s
+          FROM cls WHERE rule_id = 'R151_sstable')
+    SELECT lvl, count(*) AS n, sum(size_bytes) AS sum_bytes,
+           max(size_bytes) AS max_bytes, round(avg(took_s), 6) AS avg_took_s
+    FROM s GROUP BY 1
+"""
+
+ORACLE_SQL["upload_volume_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    u AS (SELECT regexp_extract(text, 'kind=([a-z]+)', 1) AS kind,
+                 CASE WHEN regexp_matches(text, '{_SIZE_PAT}$')
+                      THEN {_size_sql()} END AS size_bytes
+          FROM cls WHERE rule_id = 'R152_upload')
+    SELECT kind, count(*) AS n,
+           sum(size_bytes) AS sum_bytes, max(size_bytes) AS max_bytes
+    FROM u GROUP BY 1
+"""
+
+ORACLE_SQL["tool_fetch_hosts_transcripts"] = f"""
+    WITH cls AS (SELECT text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    f AS (SELECT regexp_extract(text, 'host=([a-z0-9.-]+)', 1) AS host,
+                 {_size_sql()} AS size_bytes
+          FROM cls WHERE rule_id = 'R153_tool_fetch')
+    SELECT host, count(*) AS n, sum(size_bytes) AS sum_bytes
+    FROM f GROUP BY 1
+"""
+
 ORACLE_SQL["mulaw_features_media"] = f"""
     SELECT media_id, true_duration_ms AS duration_ms,
            true_rms_db AS rms_db, true_zcr AS zcr

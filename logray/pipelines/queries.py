@@ -9840,6 +9840,50 @@ def reminder_horizon_transcripts(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def sstable_write_stats_transcripts(sf_dir: str):
+    """Per-level SSTable write posture from the R151 family — the first
+    rollup through the ``size`` converter ('<int>[.<frac>]<unit>' binary
+    byte sizes -> int64 bytes at parse time, so the aggregate sums exact
+    integers, never the raw token) plus the duration converter on the same
+    rule: write count, bytes written, largest file, mean wall seconds. The
+    oracle replays the whole*mult + frac3*mult//1000 arithmetic in DuckDB
+    with rpad + TRY_CAST + integer division."""
+    ds = _parse_rule_subset(sf_dir, "R151_sstable",
+                            ["lvl", "size_bytes", "took_s"])
+    out = relational.grouped_agg(ds, ["lvl"], {
+        "n": ("size_bytes", "count"),
+        "sum_bytes": ("size_bytes", "sum"),
+        "max_bytes": ("size_bytes", "max"),
+        "avg_took_s": ("took_s", "mean"),
+    })
+    return out.map_batches(lambda t: _round_col(t, "avg_took_s", 6),
+                           batch_format="pyarrow")
+
+
+def upload_volume_transcripts(sf_dir: str):
+    """Per-kind user upload volume from the R152 family (size converter on
+    the user role; the rule's loose size capture means a malformed token
+    still classifies as R152 — it counts as an upload event but its null
+    size_bytes drops out of sum/max, and the oracle mirrors both)."""
+    ds = _parse_rule_subset(sf_dir, "R152_upload", ["kind", "size_bytes"])
+    return relational.grouped_agg(ds, ["kind"], {
+        "n": ("size_bytes", "count"),
+        "sum_bytes": ("size_bytes", "sum"),
+        "max_bytes": ("size_bytes", "max"),
+    })
+
+
+def tool_fetch_hosts_transcripts(sf_dir: str):
+    """Per-host tool download volume from the R153 family (size converter
+    on the tool role): fetch count and exact bytes moved."""
+    ds = _parse_rule_subset(sf_dir, "R153_tool_fetch",
+                            ["host", "size_bytes"])
+    return relational.grouped_agg(ds, ["host"], {
+        "n": ("size_bytes", "count"),
+        "sum_bytes": ("size_bytes", "sum"),
+    })
+
+
 QUERIES = {
     # aggregation
     "grouped_count_events": grouped_count_events,
@@ -10229,6 +10273,10 @@ QUERIES = {
     "fd_pressure_transcripts": fd_pressure_transcripts,
     "reminder_horizon_transcripts": reminder_horizon_transcripts,
     "enrich_breakdown_transcripts": enrich_breakdown_transcripts,
+    # v10 size-converter family rollups
+    "sstable_write_stats_transcripts": sstable_write_stats_transcripts,
+    "upload_volume_transcripts": upload_volume_transcripts,
+    "tool_fetch_hosts_transcripts": tool_fetch_hosts_transcripts,
 }
 
 

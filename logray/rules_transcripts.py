@@ -1176,6 +1176,15 @@ TRANSCRIPT_RULES: list[Rule] = [
         casts=(Cast("hunks", "int64"), Cast("rejected", "int64")),
         consts={"category": "action", "event_type": "tool_patch"},
     ),
+    Rule(
+        # v10: size converter on the tool role (download volume by host)
+        rule_id="R153_tool_fetch",
+        sink="sink_action",
+        gate={"role": ("tool",)},
+        patterns=(r"^\[tool:(?P<tool_name>[a-z_]+)\] fetched host=(?P<host>[a-z0-9.-]+) size=(?P<size>\d{1,6}(?:\.\d{1,3})?(?:B|KiB|MiB|GiB|TiB))$",),
+        casts=(Cast("size", "size", "size_bytes"),),
+        consts={"category": "action", "event_type": "tool_fetch"},
+    ),
     # ---- v9 system families ----
     Rule(
         # third SIGNED int capture (tz offsets go negative west of UTC)
@@ -1235,6 +1244,18 @@ TRANSCRIPT_RULES: list[Rule] = [
         casts=(Cast("open_fds", "int64"), Cast("max_fds", "int64")),
         consts={"category": "telemetry", "event_type": "fd_limit"},
     ),
+    # ---- v10 size-converter families ----
+    Rule(
+        # first rule through the 'size' converter ('<int>[.<frac>]<unit>'
+        # binary byte sizes -> int64 bytes) — and a size+duration combo
+        rule_id="R151_sstable",
+        sink="sink_telemetry",
+        gate={"role": ("system",)},
+        patterns=(r"^\[sstable\] wrote lvl=(?P<lvl>\d) size=(?P<size>\d{1,6}(?:\.\d{1,3})?(?:B|KiB|MiB|GiB|TiB)) took=(?P<took>(?:\d+h)?(?:\d+m)?\d+s)$",),
+        casts=(Cast("lvl", "int64"), Cast("size", "size", "size_bytes"),
+               Cast("took", "duration", "took_s")),
+        consts={"category": "telemetry", "event_type": "sstable_write"},
+    ),
     # ---- v9 user families ----
     Rule(
         rule_id="R149_profile",
@@ -1252,6 +1273,19 @@ TRANSCRIPT_RULES: list[Rule] = [
         patterns=(r"^\[remind\] in=(?P<in_span>(?:\d+h)?(?:\d+m)?\d+s) note=(?P<note>.{1,80})$",),
         casts=(Cast("in_span", "duration", "remind_s"),),
         consts={"category": "control", "event_type": "reminder"},
+    ),
+    Rule(
+        # v10: size converter on the user role. The size capture is
+        # DELIBERATELY looser than the converter (any token-ish run) so a
+        # malformed size matches the rule but fails the cast -> null +
+        # parse_error — the same converter-failure contract R41 exercises
+        # for timestamp:<fmt>.
+        rule_id="R152_upload",
+        sink="sink_action",
+        gate={"role": ("user",)},
+        patterns=(r"^\[upload\] kind=(?P<kind>image|video|archive|doc) size=(?P<size>[0-9][0-9.]{0,11}[A-Za-z]{1,3})$",),
+        casts=(Cast("size", "size", "size_bytes"),),
+        consts={"category": "action", "event_type": "upload"},
     ),
     # ---- v3 user families (declared before the R09 catch-all) ----
     Rule(
@@ -1323,6 +1357,7 @@ _DISPATCH_ORDER = [
     "R105_tool_killed", "R106_tool_throttled",
     "R120_tool_started", "R121_tool_write", "R122_tool_uptime",
     "R139_tool_env", "R140_tool_download", "R141_tool_patch",
+    "R153_tool_fetch",
     "R07_sys_prompt", "R20_banner", "R26_session_end", "R06_status",
     "R22_gc", "R30_pool_table", "R24_flush", "R27_warn_slow",
     "R23_compaction", "R28_quota", "R21_config", "R40_heartbeat",
@@ -1343,11 +1378,12 @@ _DISPATCH_ORDER = [
     "R131_trace", "R132_license",
     "R142_tzchange", "R143_metrics_flush", "R144_config_reload",
     "R145_secret_rotate", "R146_maintenance", "R147_cgroup", "R148_fdlimit",
+    "R151_sstable",
     "R08_user_cmd", "R32_feedback", "R31_attach", "R54_paste", "R53_edit",
     "R74_consent", "R75_locale", "R80_reaction",
     "R100_vote", "R101_undo", "R113_interrupt", "R114_resume_req",
     "R133_form", "R134_share", "R135_bugreport",
-    "R149_profile", "R150_reminder",
+    "R149_profile", "R150_reminder", "R152_upload",
     "R09_user_msg", "R10_assist_msg", "R99_default",
 ]
 _by_id = {r.rule_id: r for r in TRANSCRIPT_RULES}

@@ -56,12 +56,15 @@ __all__ = [
 # converter name -> output arrow type; 'percent' divides by 100 after int parse,
 # 'timestamp:<fmt>' parses with strptime(fmt) to timestamp[us], 'duration'
 # parses '[<H>h][<M>m]<S>s' wall-clock spans (seconds required, larger units
-# optional) to total int64 seconds.
+# optional) to total int64 seconds, 'size' parses '<int>[.<frac>]<unit>'
+# human-readable binary byte sizes (unit in B/KiB/MiB/GiB/TiB) to int64
+# bytes, flooring any sub-byte remainder.
 CONVERTER_TYPES: dict[str, pa.DataType] = {
     "int64": pa.int64(),
     "float64": pa.float64(),
     "percent": pa.float64(),
     "duration": pa.int64(),
+    "size": pa.int64(),
     "string": pa.string(),
 }
 
@@ -344,6 +347,40 @@ def _safe_cast(arr: pa.Array, cast: Cast) -> tuple[pa.Array, np.ndarray]:
 
         secs = pc.add(pc.add(_unit("h", 3600), _unit("m", 60)), _unit("s", 1))
         out = pc.if_else(matched, secs, pa.nulls(n, pa.int64()))
+        errors = np.asarray(pc.and_(arr.is_valid(), pc.invert(matched))
+                            .to_numpy(zero_copy_only=False))
+        return out, errors
+    if conv == "size":
+        # '<int>[.<frac>]<unit>' -> bytes (int64), binary units. Exact
+        # integer arithmetic: bytes = whole*mult + frac3*mult // 1000 where
+        # frac3 is the fraction right-padded to 3 digits (floor(a + b) ==
+        # a + floor(b) when a is integral, so the decomposition is exact).
+        # Whole part bounded to 6 digits so whole*mult fits int64 even at
+        # TiB (1e6 * 2^40 < 2^63); longer runs / unknown units -> null +
+        # parse_error, same contract as duration.
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        st = pc.extract_regex(
+            arr, r"^(?P<w>\d{1,6})(?:\.(?P<f>\d{1,3}))?(?P<u>B|KiB|MiB|GiB|TiB)$")
+        matched = st.is_valid()
+        units = pa.array(["B", "KiB", "MiB", "GiB", "TiB"])
+        mults = pa.array([1, 1024, 1024**2, 1024**3, 1024**4], pa.int64())
+        mult = pc.take(mults, pc.index_in(pc.fill_null(st.field("u"), "B"),
+                                          value_set=units))
+        w = pc.fill_null(st.field("w"), "0")
+        whole = pc.cast(pc.if_else(pc.equal(w, ""), pa.scalar("0"), w),
+                        pa.int64())
+        f = pc.fill_null(st.field("f"), "")
+        fint = pc.cast(pc.if_else(pc.equal(f, ""), pa.scalar("0"), f),
+                       pa.int64())
+        # right-pad the fraction to 3 digits via a power-of-ten scale
+        scale = pc.take(pa.array([1000, 100, 10, 1], pa.int64()),
+                        pc.utf8_length(f))
+        frac3 = pc.multiply(fint, scale)
+        bytes_ = pc.add(
+            pc.multiply(whole, mult),
+            pc.divide(pc.multiply(frac3, mult), pa.scalar(1000, pa.int64())))
+        out = pc.if_else(matched, bytes_, pa.nulls(n, pa.int64()))
         errors = np.asarray(pc.and_(arr.is_valid(), pc.invert(matched))
                             .to_numpy(zero_copy_only=False))
         return out, errors

@@ -323,3 +323,59 @@ def test_duration_converter_malformed_never_crashes(junk):
         want = (int(mm.group(1) or 0) * 3600 + int(mm.group(2) or 0) * 60
                 + int(mm.group(3)))
         assert out[0].as_py() == want and not err[0]
+
+
+_SIZE_MULT = {"B": 1, "KiB": 1024, "MiB": 1024 ** 2,
+              "GiB": 1024 ** 3, "TiB": 1024 ** 4}
+
+
+@given(st.lists(st.tuples(st.integers(0, 999_999),
+                          st.one_of(st.none(), st.text("0123456789",
+                                                       min_size=1,
+                                                       max_size=3)),
+                          st.sampled_from(sorted(_SIZE_MULT))),
+                min_size=1, max_size=50))
+def test_size_converter_exact_for_any_rendered_size(sizes):
+    """size converter property: for any '<whole>[.<frac>]<unit>' surface
+    form, the vectorized Arrow cast recovers EXACTLY
+    whole*mult + frac3*mult // 1000 (frac right-padded to 3 digits) —
+    integer floor semantics, no float rounding — and never flags an
+    error."""
+    from logray.ruleset import Cast, _safe_cast
+
+    texts, want = [], []
+    for whole, frac, unit in sizes:
+        mult = _SIZE_MULT[unit]
+        if frac is None:
+            texts.append(f"{whole}{unit}")
+            want.append(whole * mult)
+        else:
+            texts.append(f"{whole}.{frac}{unit}")
+            want.append(whole * mult + int(frac.ljust(3, "0")) * mult // 1000)
+    out, err = _safe_cast(pa.array(texts, pa.string()), Cast("z", "size"))
+    assert out.to_pylist() == want
+    assert not err.any()
+
+
+@given(st.text(alphabet="0123456789.BKMGTi", min_size=0, max_size=16))
+def test_size_converter_malformed_never_crashes(junk):
+    """Any string over the size alphabet either parses to the exact
+    reference value (re-derived with the bounded regex) or yields
+    null + error — the vectorized kernel must never raise or disagree
+    with the scalar reference."""
+    import re as _re
+
+    from logray.ruleset import Cast, _safe_cast
+
+    out, err = _safe_cast(pa.array([junk], pa.string()), Cast("z", "size"))
+    mm = (_re.fullmatch(r"(\d{1,6})(?:\.(\d{1,3}))?(B|KiB|MiB|GiB|TiB)", junk)
+          if junk else None)
+    if junk == "":
+        assert out[0].as_py() is None and not err[0]
+    elif mm is None:
+        assert out[0].as_py() is None and err[0]
+    else:
+        mult = _SIZE_MULT[mm.group(3)]
+        want = (int(mm.group(1)) * mult
+                + int((mm.group(2) or "").ljust(3, "0") or "0") * mult // 1000)
+        assert out[0].as_py() == want and not err[0]
