@@ -3976,6 +3976,27 @@ ORACLE_SQL["flac_features_media"] = f"""
     FROM read_parquet('{_MEDIA}/flac.parquet')
 """
 
+ORACLE_SQL["mp3_meta_media"] = f"""
+    SELECT media_id, true_n_frames AS n_frames,
+           true_duration_ms AS duration_ms, true_kbps_sum AS kbps_sum,
+           true_sample_rate AS sample_rate
+    FROM read_parquet('{_MEDIA}/mp3.parquet')
+"""
+
+ORACLE_SQL["mp4_meta_media"] = f"""
+    SELECT media_id, true_duration_ms AS duration_ms,
+           true_n_tracks AS n_tracks, true_n_video AS n_video,
+           true_n_audio AS n_audio, true_max_width AS max_width,
+           true_max_height AS max_height
+    FROM read_parquet('{_MEDIA}/mp4.parquet')
+"""
+
+ORACLE_SQL["webp_meta_media"] = f"""
+    SELECT media_id, true_width AS width, true_height AS height,
+           true_variant AS variant, true_has_alpha AS has_alpha
+    FROM read_parquet('{_MEDIA}/webp.parquet')
+"""
+
 ORACLE_SQL["jpeg_features_media"] = f"""
     SELECT media_id, true_width AS width, true_height AS height,
            true_mean_luma AS mean_luma, true_ahash AS ahash

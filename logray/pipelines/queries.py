@@ -8217,7 +8217,10 @@ def _media_path(kind: str) -> str:
              "mulaw": mm.make_mulaw_media_table,
              "gif": mm.make_gif_media_table,
              "jpeg": mm.make_jpeg_media_table,
-             "flac": mm.make_flac_media_table}[kind](200)
+             "flac": mm.make_flac_media_table,
+             "mp3": mm.make_mp3_media_table,
+             "mp4": mm.make_mp4_media_table,
+             "webp": mm.make_webp_media_table}[kind](200)
         pq.write_table(t, f)
     return str(f)
 
@@ -8387,6 +8390,58 @@ def jpeg_resize_media(sf_dir: str):
             "thumb_luma": t["mean_luma"],
             "thumb_ahash": t["phash64"]}),
         batch_format="pyarrow")
+
+
+def _media_meta_query(kind: str, cols: dict[str, pa.DataType]):
+    """Shared shape of the container-METADATA lanes (MP3/MP4/WebP): an
+    actor-pool ``MediaMetaStage`` walks each payload's headers only —
+    never the coded samples — so a 100 TB corpus can be routed/filtered
+    by duration and dims at O(header bytes) per file. Value-checked
+    against generation-time analytic truth the parser never sees."""
+    import ray.data
+
+    from ..ops.multimodal import MediaMetaStage
+
+    ds = ray.data.read_parquet(_media_path(kind),
+                               columns=["media_id", "payload"])
+    out = ds.map_batches(MediaMetaStage, fn_constructor_kwargs={"kind": kind},
+                         concurrency=2, batch_size=32, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({"media_id": t["media_id"],
+                            **{c: pc.cast(t[c], typ)
+                               for c, typ in cols.items()}}),
+        batch_format="pyarrow")
+
+
+def mp3_meta_media(sf_dir: str):
+    """REAL MPEG-1 Layer III metadata walk: ID3v2 syncsafe skip, frame
+    hops by the Layer-III length formula (sync + field validation at
+    every hop, padding bits, CBR and VBR, ID3v1 trailer) → frame count /
+    duration / bitrate sum / samplerate, without reading one coded
+    audio byte."""
+    return _media_meta_query("mp3", {
+        "n_frames": pa.int64(), "duration_ms": pa.int64(),
+        "kbps_sum": pa.int64(), "sample_rate": pa.int64()})
+
+
+def mp4_meta_media(sf_dir: str):
+    """REAL ISO-BMFF box walk: recursive container traversal, 64-bit
+    largesize, version-0/1 mvhd/tkhd, 16.16 fixed-point dims, hdlr
+    vide/soun track counting — mdat never touched (the fast-probe shape
+    every video pipeline runs before deciding what to decode)."""
+    return _media_meta_query("mp4", {
+        "duration_ms": pa.int64(), "n_tracks": pa.int64(),
+        "n_video": pa.int64(), "n_audio": pa.int64(),
+        "max_width": pa.int64(), "max_height": pa.int64()})
+
+
+def webp_meta_media(sf_dir: str):
+    """REAL RIFF/WEBP header parse across all three container variants
+    (VP8 lossy start-code, VP8L bit-packed dims + alpha bit, VP8X
+    24-bit canvas), even-padded chunk walk."""
+    return _media_meta_query("webp", {
+        "width": pa.int64(), "height": pa.int64(),
+        "variant": pa.string(), "has_alpha": pa.bool_()})
 
 
 def _tar_media_dir() -> str:
@@ -10277,6 +10332,10 @@ QUERIES = {
     "sstable_write_stats_transcripts": sstable_write_stats_transcripts,
     "upload_volume_transcripts": upload_volume_transcripts,
     "tool_fetch_hosts_transcripts": tool_fetch_hosts_transcripts,
+    # container-metadata lanes (no-decode fast path)
+    "mp3_meta_media": mp3_meta_media,
+    "mp4_meta_media": mp4_meta_media,
+    "webp_meta_media": webp_meta_media,
 }
 
 

@@ -2392,3 +2392,109 @@ def test_flac_feature_stage_and_fixture():
         assert d == t["true_duration_ms"][i].as_py()
         assert r == t["true_rms_db"][i].as_py()
         assert z == t["true_zcr"][i].as_py()
+
+
+def test_mp3_meta_walk_roundtrip_and_hazards():
+    """MPEG-1 Layer III frame walk: fixture truth recovered exactly for
+    CBR/VBR/ID3-wrapped streams; truncated frames, lost sync,
+    free-format bitrate, mid-stream samplerate changes and non-syncsafe
+    ID3v2 sizes all raise."""
+    import numpy as np
+    import pytest
+
+    from logray.ops.multimodal import (build_mp3, make_mp3_media_table,
+                                       parse_mp3_meta)
+
+    t = make_mp3_media_table(60)
+    for i in range(t.num_rows):
+        m = parse_mp3_meta(t["payload"][i].as_py())
+        for k in ("n_frames", "duration_ms", "kbps_sum", "sample_rate"):
+            assert m[k] == t[f"true_{k}"][i].as_py(), (i, k)
+
+    rng = np.random.default_rng(7)
+    good = build_mp3([5, 9, 14], 1, [0, 1, 0], rng, id3v2_size=64,
+                     id3v1=True)
+    m = parse_mp3_meta(good)
+    assert m["n_frames"] == 3 and m["sample_rate"] == 48000
+    assert m["kbps_sum"] == 64 + 128 + 320
+    with pytest.raises(ValueError, match="truncated final frame"):
+        parse_mp3_meta(build_mp3([5, 9], 1, [0, 0], rng)[:-10])
+    with pytest.raises(ValueError, match="lost sync"):
+        parse_mp3_meta(b"\x00\x00" + build_mp3([5], 1, [0], rng))
+    # free-format bitrate index (0) is rejected
+    hdr = bytearray(build_mp3([5], 1, [0], rng))
+    hdr[2] &= 0x0F  # zero the bitrate index nibble
+    with pytest.raises(ValueError, match="free-format"):
+        parse_mp3_meta(bytes(hdr))
+    # samplerate flips mid-stream
+    two = (build_mp3([5], 0, [0], rng) + build_mp3([5], 2, [0], rng))
+    with pytest.raises(ValueError, match="samplerate changes"):
+        parse_mp3_meta(two)
+    with pytest.raises(ValueError, match="non-syncsafe"):
+        parse_mp3_meta(b"ID3\x03\x00\x00\xff\xff\xff\xff" + bytes(4))
+
+
+def test_mp4_box_walk_roundtrip_and_hazards():
+    """ISO-BMFF walk: fixture truth recovered exactly (incl. version-1
+    64-bit times and largesize mdat); size==0 to-EOF boxes parse;
+    out-of-bounds box sizes and missing moov raise; unknown boxes are
+    skipped."""
+    import numpy as np
+    import pytest
+
+    from logray.ops.multimodal import (_mp4_box, build_mp4,
+                                       make_mp4_media_table, parse_mp4_meta)
+
+    t = make_mp4_media_table(60)
+    for i in range(t.num_rows):
+        m = parse_mp4_meta(t["payload"][i].as_py())
+        for k in ("duration_ms", "n_tracks", "n_video", "n_audio",
+                  "max_width", "max_height"):
+            assert m[k] == t[f"true_{k}"][i].as_py(), (i, k)
+
+    rng = np.random.default_rng(9)
+    good = build_mp4(1000, 90_000, [(b"vide", 640, 360)], rng, version=1)
+    m = parse_mp4_meta(good)
+    assert (m["duration_ms"], m["n_video"], m["max_width"]) == (90_000, 1, 640)
+    # size==0 = "to end of file" on the final box
+    trail = bytearray(_mp4_box(b"skip", bytes(32)))
+    trail[:4] = b"\x00\x00\x00\x00"
+    parse_mp4_meta(good + bytes(trail))  # must not raise
+    with pytest.raises(ValueError, match="out of bounds"):
+        bad = bytearray(good)
+        bad[0:4] = (1 << 30).to_bytes(4, "big")  # ftyp size overruns
+        parse_mp4_meta(bytes(bad))
+    with pytest.raises(ValueError, match="no moov"):
+        parse_mp4_meta(_mp4_box(b"ftyp", b"isom" + bytes(8)))
+
+
+def test_webp_header_parse_roundtrip_and_hazards():
+    """RIFF/WEBP parse: fixture truth recovered exactly across all three
+    variants; even-padding honored on odd chunks; foreign containers,
+    RIFF size mismatches and a bad VP8 start code raise."""
+    import numpy as np
+    import pytest
+
+    from logray.ops.multimodal import (build_webp, make_webp_media_table,
+                                       parse_webp_meta)
+
+    t = make_webp_media_table(60)
+    for i in range(t.num_rows):
+        m = parse_webp_meta(t["payload"][i].as_py())
+        for k in ("width", "height", "variant", "has_alpha"):
+            assert m[k] == t[f"true_{k}"][i].as_py(), (i, k)
+
+    rng = np.random.default_rng(11)
+    for v, alpha in (("lossy", False), ("lossless", True),
+                     ("extended", True)):
+        m = parse_webp_meta(build_webp(v, 16383, 1, rng, has_alpha=alpha))
+        assert (m["width"], m["height"], m["variant"]) == (16383, 1, v)
+        assert m["has_alpha"] == alpha
+    with pytest.raises(ValueError, match="not a RIFF/WEBP"):
+        parse_webp_meta(b"RIFX" + build_webp("lossy", 4, 4, rng)[4:])
+    with pytest.raises(ValueError, match="size mismatch"):
+        parse_webp_meta(build_webp("lossy", 4, 4, rng) + b"x")
+    bad = bytearray(build_webp("lossy", 8, 8, rng))
+    bad[12 + 8 + 3] = 0x00  # clobber the 9D 01 2A start code
+    with pytest.raises(ValueError, match="start code"):
+        parse_webp_meta(bytes(bad))
