@@ -1424,6 +1424,8 @@ def parse_mp4_meta(payload: bytes) -> dict:
             elif typ in _MP4_CONTAINERS:
                 walk(body, pos + size, depth + 1)
             elif typ == b"mvhd":
+                if pos + size - body < 20:
+                    raise ValueError("mvhd box too short")
                 v = payload[body]
                 if v:
                     ts = int.from_bytes(payload[body + 20:body + 24], "big")
@@ -1435,6 +1437,8 @@ def parse_mp4_meta(payload: bytes) -> dict:
                     raise ValueError("mvhd timescale 0")
                 meta["duration_ms"] = dur * 1000 // ts
             elif typ == b"tkhd":
+                if size < 8 + 84:  # v0 payload is 84 bytes minimum
+                    raise ValueError("tkhd box too short")
                 end = pos + size
                 in_trak_w = int.from_bytes(payload[end - 8:end - 4],
                                            "big") >> 16
@@ -1563,12 +1567,16 @@ def parse_webp_meta(payload: bytes) -> dict:
         if body + clen > len(payload):
             raise ValueError(f"chunk {fourcc!r} overruns payload")
         if fourcc == b"VP8 ":
+            if clen < 10:
+                raise ValueError("VP8 chunk too short")
             if payload[body + 3:body + 6] != b"\x9d\x01\x2a":
                 raise ValueError("bad VP8 start code")
             w, h = struct.unpack("<HH", payload[body + 6:body + 10])
             return {"width": w & 0x3FFF, "height": h & 0x3FFF,
                     "variant": "lossy", "has_alpha": False}
         if fourcc == b"VP8L":
+            if clen < 5:
+                raise ValueError("VP8L chunk too short")
             if payload[body] != 0x2F:
                 raise ValueError("bad VP8L signature")
             bits = struct.unpack("<I", payload[body + 1:body + 5])[0]
@@ -1579,6 +1587,8 @@ def parse_webp_meta(payload: bytes) -> dict:
                     "variant": "lossless",
                     "has_alpha": bool((bits >> 28) & 1)}
         if fourcc == b"VP8X":
+            if clen < 10:
+                raise ValueError("VP8X chunk too short")
             flags = payload[body]
             w = int.from_bytes(payload[body + 4:body + 7], "little") + 1
             h = int.from_bytes(payload[body + 7:body + 10], "little") + 1

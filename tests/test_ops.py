@@ -2498,3 +2498,62 @@ def test_webp_header_parse_roundtrip_and_hazards():
     bad[12 + 8 + 3] = 0x00  # clobber the 9D 01 2A start code
     with pytest.raises(ValueError, match="start code"):
         parse_webp_meta(bytes(bad))
+
+
+def test_media_meta_parsers_fuzz_contract():
+    """The three container-metadata parsers must raise ValueError (never
+    IndexError/struct.error, never hang) on arbitrary junk, truncations
+    and bit flips — same foreign-stream contract the codec lanes pin.
+    Includes the crafted empty-box edge cases (zero-length mvhd/tkhd/
+    VP8L/VP8X at end of payload) that random flips rarely reach."""
+    import numpy as np
+    import pytest
+
+    from logray.ops.multimodal import (_mp4_box, build_mp3, build_mp4,
+                                       build_webp, parse_mp3_meta,
+                                       parse_mp4_meta, parse_webp_meta)
+
+    rng = np.random.default_rng(13)
+    cases = [
+        ("mp3", parse_mp3_meta,
+         lambda r: build_mp3([int(r.integers(1, 15))] * 3, 1, [0, 1, 0], r)),
+        ("mp4", parse_mp4_meta,
+         lambda r: build_mp4(1000, 5000, [(b"vide", 64, 48)], r)),
+        ("webp", parse_webp_meta,
+         lambda r: build_webp("lossless", 10, 10, r)),
+    ]
+    for name, fn, builder in cases:
+        for trial in range(600):
+            mode = trial % 3
+            if mode == 0:
+                b = rng.integers(0, 256, int(rng.integers(0, 64))).astype(
+                    np.uint8).tobytes()
+            elif mode == 1:
+                g = builder(rng)
+                b = g[:int(rng.integers(0, len(g)))]
+            else:
+                g = bytearray(builder(rng))
+                for _ in range(int(rng.integers(1, 4))):
+                    g[int(rng.integers(0, len(g)))] ^= 1 << int(
+                        rng.integers(0, 8))
+                b = bytes(g)
+            try:
+                fn(b)
+            except ValueError:
+                pass  # the allowed failure mode
+
+    # crafted empty/short metadata boxes at end-of-payload (the direct
+    # payload[body] reads) must be ValueError, not IndexError
+    import struct
+    with pytest.raises(ValueError, match="mvhd box too short"):
+        parse_mp4_meta(_mp4_box(b"moov", _mp4_box(b"mvhd", b"")))
+    with pytest.raises(ValueError, match="tkhd box too short"):
+        parse_mp4_meta(_mp4_box(b"moov", _mp4_box(b"trak",
+                                                  _mp4_box(b"tkhd", b""))))
+    for fourcc, msg in ((b"VP8L", "VP8L chunk too short"),
+                        (b"VP8X", "VP8X chunk too short"),
+                        (b"VP8 ", "VP8 chunk too short")):
+        body = fourcc + struct.pack("<I", 0)
+        payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+        with pytest.raises(ValueError, match=msg):
+            parse_webp_meta(payload)
