@@ -7,15 +7,19 @@ Decode modes per stage:
   RMS/zero-crossings from real samples; real dimensions/Rec.601 luma/
   8×8 average-hash from real pixels; real nearest-neighbor resampling
   emitting a valid P6 payload.
-- ``decode="png"`` / ``decode="gif"`` / ``decode="jpeg"`` — REAL
-  decoders for compressed formats, built from scratch on stdlib + numpy:
-  PNG (zlib inflate + all five scanline filters), GIF89a (hand-rolled
-  variable-width LZW), and baseline-sequential JPEG (numpy DCT, canonical
-  Huffman, byte stuffing, restart markers, 4:2:0 — see
-  ``logray/ops/jpegcodec.py``).
+- ``decode="png"`` / ``decode="gif"`` / ``decode="jpeg"`` /
+  ``decode="webp"`` — REAL decoders for compressed formats, built from
+  scratch on stdlib + numpy: PNG (zlib inflate + all five scanline
+  filters), GIF89a (hand-rolled variable-width LZW), baseline-sequential
+  JPEG (numpy DCT, canonical Huffman, byte stuffing, restart markers,
+  4:2:0 — see ``logray/ops/jpegcodec.py``), and WebP-lossless VP8L
+  (canonical prefix codes, LZ77 plane-code distances, color cache,
+  SUBTRACT_GREEN — see ``logray/ops/vp8lcodec.py``).
 - ``decode="real"`` — the Pillow/ffmpeg lane for the remaining formats
-  (WebP/AVIF/MP3/MP4): STUBBED with ``NotImplementedError`` (those
-  libraries are not in this container, per the task mandate).
+  (lossy-VP8 WebP/AVIF/MP3/MP4 samples): STUBBED with
+  ``NotImplementedError`` (those libraries are not in this container,
+  per the task mandate; their container METADATA walks are real — see
+  the MP3/MP4/WebP meta lanes below).
 - ``decode="fake"`` — deterministic pseudo-features from payload bytes,
   for plumbing tests that don't care about content.
 
@@ -411,19 +415,23 @@ class DecodeImageStage:
             self._pil = None
 
     def _decode_one(self, payload: bytes) -> tuple[int, int, float, int]:
-        if self.decode in ("ppm", "bmp", "png", "gif", "jpeg"):  # REAL lanes
+        if self.decode in ("ppm", "bmp", "png", "gif", "jpeg",
+                           "webp"):  # REAL lanes
             from .jpegcodec import parse_jpeg
+            from .vp8lcodec import decode_vp8l
             px = {"ppm": parse_ppm, "bmp": parse_bmp, "png": parse_png,
-                  "gif": parse_gif, "jpeg": parse_jpeg}[self.decode](payload)
+                  "gif": parse_gif, "jpeg": parse_jpeg,
+                  "webp": decode_vp8l}[self.decode](payload)
             luma = _luma(px)
             return (px.shape[1], px.shape[0],
                     round(float(luma.mean()) / 255.0, 6), _ahash64(luma))
         if self.decode == "real":
             raise NotImplementedError(
-                "WebP/AVIF decode requires Pillow, not available in this "
-                "container; use decode='jpeg'/'png'/'gif' (REAL compressed "
-                "lanes), decode='ppm'/'bmp' (real uncompressed lanes) or "
-                "decode='fake' for deterministic pseudo-features")
+                "lossy-VP8 WebP/AVIF decode requires Pillow, not available "
+                "in this container; use decode='jpeg'/'png'/'gif'/'webp' "
+                "(REAL compressed lanes), decode='ppm'/'bmp' (real "
+                "uncompressed lanes) or decode='fake' for deterministic "
+                "pseudo-features")
         h = hashlib.blake2b(payload, digest_size=16).digest()
         w = 64 + h[0]  # deterministic pseudo dimensions
         ht = 64 + h[1]
@@ -813,6 +821,54 @@ def make_png_media_table(n: int, seed: int = 15) -> pa.Table:
         rows["media_id"].append(i)
         rows["payload"].append(
             encode_png(px, idat_split=3 if i % 3 == 0 else 1))
+        rows["true_width"].append(w)
+        rows["true_height"].append(h)
+        rows["true_mean_luma"].append(round(float(luma.mean()) / 255.0, 6))
+        rows["true_ahash"].append(_ahash64(luma))
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "true_width": pa.array(rows["true_width"], pa.int64()),
+        "true_height": pa.array(rows["true_height"], pa.int64()),
+        "true_mean_luma": pa.array(rows["true_mean_luma"], pa.float64()),
+        "true_ahash": pa.array(rows["true_ahash"], pa.uint64()),
+    })
+
+
+def make_webpl_media_table(n: int, seed: int = 24) -> pa.Table:
+    """n REAL WebP-lossless (VP8L) images cycling content kinds (noise /
+    tiled-repetitive so LZ77 backrefs dominate / smooth gradient) and
+    encoder configurations (color cache off/4/6 bits × SUBTRACT_GREEN
+    on/off), with 1-pixel-wide images guaranteed present. Same analytic
+    truth sidecar as the P6/BMP/PNG lanes: the distributed decoder must
+    reproduce dims / Rec.601 luma / ahash from the compressed bytes
+    alone (lossless, so equality is exact)."""
+    from .vp8lcodec import encode_vp8l
+
+    rng = np.random.default_rng(seed)
+    rows = {"media_id": [], "payload": [], "true_width": [],
+            "true_height": [], "true_mean_luma": [], "true_ahash": []}
+    configs = [(0, False), (4, True), (6, False), (4, False), (6, True)]
+    for i in range(n):
+        w = 1 if i % 7 == 3 else int(rng.integers(8, 72))
+        h = int(rng.integers(8, 72))
+        kind = i % 3
+        if kind == 0:
+            px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        elif kind == 1:
+            tile = rng.integers(0, 256, size=(4, 4, 3))
+            px = np.tile(tile, (h // 4 + 1, w // 4 + 1, 1))[:h, :w]
+            px = px.astype(np.uint8)
+        else:
+            base = rng.integers(0, 256, size=(1, 1, 3))
+            gy = np.linspace(0, rng.integers(1, 128), h)[:, None, None]
+            gx = np.linspace(0, rng.integers(1, 128), w)[None, :, None]
+            px = ((base + gy + gx) % 256).astype(np.uint8)
+        cache_bits, sg = configs[i % len(configs)]
+        luma = _luma(px)
+        rows["media_id"].append(i)
+        rows["payload"].append(
+            encode_vp8l(px, cache_bits=cache_bits, subtract_green=sg))
         rows["true_width"].append(w)
         rows["true_height"].append(h)
         rows["true_mean_luma"].append(round(float(luma.mean()) / 255.0, 6))

@@ -1,0 +1,663 @@
+"""WebP-lossless (VP8L) image codec from scratch (stdlib + numpy).
+
+The encoder emits a real RIFF/WEBP container holding a real VP8L
+bitstream: the 0x2F signature, LSB-first-packed 14-bit dimensions, the
+optional SUBTRACT_GREEN transform, an optional color cache (the spec's
+``(0x1e35a7bd * ARGB) >> (32 - bits)`` keying), and the spatially-coded
+image — five canonical prefix codes (green+length+cache / red / blue /
+alpha / distance) serialized through the spec's code-length code
+(alphabet 19, ``kCodeLengthCodeOrder``, zero-run repeats 17/18, the
+"simple code" 1/2-symbol form), pixels as literals, color-cache refs,
+or LZ77 backward references whose lengths/distances use the
+``(prefix, extra-bits)`` scheme and whose short distances go through
+the 120-entry close-neighborhood plane-code mapping.
+
+The decoder is a full inverse for that subset and validates what the
+spec validates: signature/version, prefix-code completeness (Kraft),
+repeat overruns, in-bounds distances and cache indices, bitstream
+overrun. Round-trip is bit-exact on pixels (lossless), so the pipeline
+lane's truth sidecar (dims / luma / ahash computed from the ORIGINAL
+pixels) is reproduced exactly from compressed bytes.
+
+Subset scope (documented, not hidden): no PREDICTOR / COLOR /
+COLOR_INDEXING transforms and no meta-prefix (entropy image) — the
+encoder never emits them and the decoder raises on streams that use
+them. General-encoder WebP files using those features are outside the
+subset. Bit-order conventions follow the public spec (RFC 9649):
+non-prefix values LSB-first, prefix codes MSB-first, canonical code
+assignment as in DEFLATE.
+
+Cross-implementation caveat (same status as the GIF/JPEG lanes): no
+imaging library exists in this container, so conformance is established
+by spec transcription + round-trip + hazard tests, not by decoding a
+foreign encoder's output. The close-neighborhood distance table is
+generated from the spec's ordering rule (distance, then |dx|, positive
+dx first) over its domain dx∈[-7,8], dy∈[0,7]; head entries are pinned
+in tests.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# code-length-code symbol transmission order (spec kCodeLengthCodeOrder)
+_KORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+_MAX_CODE_LEN = 15        # pixel-code trees
+_MAX_CLC_LEN = 7          # code-length-code lengths are stored in 3 bits
+_NUM_LITERALS = 256
+_NUM_LENGTH_CODES = 24    # max copy length (2+1)<<10 + 2^10 = 4096
+_NUM_DIST_CODES = 40
+_MAX_COPY_LEN = 4096
+_HASH_MUL = 0x1E35A7BD    # color-cache multiplier (spec constant)
+
+
+def _plane_codes() -> list[tuple[int, int]]:
+    """The 120 close-neighborhood (dx, dy) pairs: dx in [-7, 8],
+    dy in [0, 7], excluding non-positive raster offsets (dy == 0 needs
+    dx >= 1), ordered by squared distance, then |dx|, positive first."""
+    cand = [(dx, dy) for dy in range(8) for dx in range(-7, 9)
+            if dy > 0 or dx >= 1]
+    cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]), p[0] < 0))
+    assert len(cand) == 120
+    return cand
+
+
+_PLANE = _plane_codes()
+
+
+# ---------------------------------------------------------------- bit I/O
+
+class _BitWriter:
+    """LSB-first bit packer; `code()` writes prefix codes MSB-first."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, val: int, n: int) -> None:
+        self.acc |= (val & ((1 << n) - 1)) << self.n
+        self.n += n
+        while self.n >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def code(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.bits((code >> i) & 1, 1)
+
+    def done(self) -> bytes:
+        if self.n:
+            self.buf.append(self.acc & 0xFF)
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """LSB-first bit reader over a bytes buffer."""
+
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.pos = 0
+
+    def bit(self) -> int:
+        byte = self.pos >> 3
+        if byte >= len(self.d):
+            raise ValueError("vp8l: bitstream overrun")
+        b = (self.d[byte] >> (self.pos & 7)) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            v |= self.bit() << i
+        return v
+
+
+# ------------------------------------------------- canonical prefix codes
+
+def _huff_once(freqs: list[int]) -> list[int]:
+    """Optimal prefix-code lengths for positive frequencies (>=2 syms)."""
+    import heapq
+
+    heap = [(f, i, None) for i, f in enumerate(freqs)]
+    heapq.heapify(heap)
+    cnt = len(heap)
+    parent: dict[int, tuple] = {}
+    while len(heap) > 1:
+        a = heapq.heappop(heap)
+        b = heapq.heappop(heap)
+        node = (a[0] + b[0], cnt, (a, b))
+        cnt += 1
+        heapq.heappush(heap, node)
+    lens = [0] * len(freqs)
+    stack = [(heap[0], 0)]
+    while stack:
+        (f, i, kids), depth = stack.pop()
+        if kids is None:
+            lens[i] = max(depth, 1)
+        else:
+            stack.append((kids[0], depth + 1))
+            stack.append((kids[1], depth + 1))
+    return lens
+
+
+def _huff_lengths(freqs: list[int], max_len: int) -> list[int]:
+    """Length-limited prefix-code lengths via frequency halving (halving
+    converges to a balanced tree, depth <= ceil(log2(k)) <= max_len for
+    every alphabet used here)."""
+    used = [i for i, f in enumerate(freqs) if f > 0]
+    out = [0] * len(freqs)
+    if not used:
+        return out
+    if len(used) == 1:
+        out[used[0]] = 1
+        return out
+    f = [freqs[i] for i in used]
+    while True:
+        lens = _huff_once(f)
+        if max(lens) <= max_len:
+            break
+        f = [max(1, x >> 1) for x in f]
+    for s, ln in zip(used, lens):
+        out[s] = ln
+    return out
+
+
+def _canon_codes(lengths: list[int]) -> list[int]:
+    """DEFLATE-style canonical code assignment from code lengths."""
+    max_l = max(lengths) if lengths else 0
+    bl = [0] * (max_l + 1)
+    for ln in lengths:
+        if ln:
+            bl[ln] += 1
+    code = 0
+    next_code = [0] * (max_l + 1)
+    for ln in range(1, max_l + 1):
+        code = (code + bl[ln - 1]) << 1
+        next_code[ln] = code
+    out = [0] * len(lengths)
+    for s, ln in enumerate(lengths):
+        if ln:
+            out[s] = next_code[ln]
+            next_code[ln] += 1
+    return out
+
+
+class _Tree:
+    """Canonical prefix-code decoder (MSB-first bit-at-a-time); validates
+    Kraft completeness. A one-symbol tree consumes zero bits (the spec's
+    simple-code degenerate case)."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        nz = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+        if not nz:
+            raise ValueError("vp8l: empty prefix code")
+        if len(nz) == 1:
+            self.single: int | None = nz[0][1]
+            return
+        self.single = None
+        if sum(1 << (_MAX_CODE_LEN - ln) for ln, _ in nz) != 1 << _MAX_CODE_LEN:
+            raise ValueError("vp8l: incomplete or oversubscribed prefix code")
+        codes = _canon_codes(lengths)
+        self.first: dict[int, int] = {}
+        self.syms: dict[int, list[int]] = {}
+        for ln, s in sorted(nz):
+            if ln not in self.first:
+                self.first[ln] = codes[s]
+                self.syms[ln] = []
+            self.syms[ln].append(s)
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, _MAX_CODE_LEN + 1):
+            code = (code << 1) | br.bit()
+            syms = self.syms.get(ln)
+            if syms is not None:
+                idx = code - self.first[ln]
+                if 0 <= idx < len(syms):
+                    return syms[idx]
+        raise ValueError("vp8l: invalid prefix code in stream")
+
+
+# ------------------------------------- prefix-code (de)serialization
+
+def _zero_run_tokens(lengths: list[int]):
+    """Tokenize code lengths with the spec's 17/18 zero-run repeats."""
+    toks: list[tuple[int, int]] = []  # (symbol, extra_value)
+    i = 0
+    n = len(lengths)
+    while i < n:
+        if lengths[i] == 0:
+            run = 1
+            while i + run < n and lengths[i + run] == 0:
+                run += 1
+            i += run
+            while run:
+                if run >= 11:
+                    take = min(run, 138)
+                    toks.append((18, take - 11))
+                elif run >= 3:
+                    take = min(run, 10)
+                    toks.append((17, take - 3))
+                else:
+                    toks.extend((0, 0) for _ in range(run))
+                    take = run
+                run -= take
+        else:
+            toks.append((lengths[i], 0))
+            i += 1
+    return toks
+
+
+def _write_prefix_code(bw: _BitWriter, freqs: list[int]):
+    """Serialize one prefix code; returns (lengths, codes) for writing
+    symbols. Uses the simple form for <=2 used symbols that fit 8 bits,
+    the normal code-length-code form otherwise."""
+    used = [s for s, f in enumerate(freqs) if f > 0]
+    if not used:
+        used = [0]
+    if len(used) <= 2 and used[-1] <= 255:
+        bw.bits(1, 1)                       # simple code
+        bw.bits(len(used) - 1, 1)           # num_symbols - 1
+        if len(used) == 1:
+            first_8 = 1 if used[0] > 1 else 0
+            bw.bits(first_8, 1)
+            bw.bits(used[0], 8 if first_8 else 1)
+            lengths = [0] * len(freqs)
+            lengths[used[0]] = 0            # zero-bit code
+            codes = [0] * len(freqs)
+            return lengths, codes, {used[0]: (0, 0)}
+        bw.bits(1, 1)                       # first symbol in 8 bits
+        bw.bits(used[0], 8)
+        bw.bits(used[1], 8)
+        sym_bits = {used[0]: (0, 1), used[1]: (1, 1)}
+        return None, None, sym_bits
+    lengths = _huff_lengths(freqs, _MAX_CODE_LEN)
+    codes = _canon_codes(lengths)
+    toks = _zero_run_tokens(lengths)
+    clf = [0] * 19
+    for s, _ in toks:
+        clf[s] += 1
+    cl_lengths = _huff_lengths(clf, _MAX_CLC_LEN)
+    cl_codes = _canon_codes(cl_lengths)
+    bw.bits(0, 1)                           # not simple
+    bw.bits(19 - 4, 4)                      # transmit all 19 CLC lengths
+    for s in _KORDER:
+        bw.bits(cl_lengths[s], 3)
+    bw.bits(0, 1)                           # no explicit max_symbol
+    one_sym = sum(1 for ln in cl_lengths if ln) == 1
+    for s, extra in toks:
+        if not one_sym:                     # single-symbol CLC: zero bits
+            bw.code(cl_codes[s], cl_lengths[s])
+        if s == 17:
+            bw.bits(extra, 3)
+        elif s == 18:
+            bw.bits(extra, 7)
+    sym_bits = {s: (codes[s], lengths[s])
+                for s, ln in enumerate(lengths) if ln}
+    return lengths, codes, sym_bits
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Tree:
+    if br.bit():                            # simple code
+        num_symbols = br.bit() + 1
+        first_8 = br.bit()
+        s0 = br.bits(8 if first_8 else 1)
+        lengths = [0] * alphabet_size
+        if s0 >= alphabet_size:
+            raise ValueError("vp8l: simple-code symbol out of range")
+        if num_symbols == 1:
+            lengths[s0] = 1                 # _Tree treats 1 symbol as 0-bit
+            return _Tree(lengths)
+        s1 = br.bits(8)
+        if s1 >= alphabet_size or s1 == s0:
+            raise ValueError("vp8l: bad simple-code symbol pair")
+        # canonical order would sort by symbol; the spec maps bit 0 to the
+        # FIRST transmitted symbol, so build the tree explicitly
+        t = _Tree.__new__(_Tree)
+        t.single = None
+        t.first = {1: 0}
+        t.syms = {1: [s0, s1]}
+        return t
+    num_codes = br.bits(4) + 4
+    if num_codes > 19:
+        raise ValueError("vp8l: bad code-length-code count")
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_KORDER[i]] = br.bits(3)
+    clt = _Tree(cl_lengths)
+    if br.bit():                            # explicit max_symbol
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    sym = 0
+    prev_len = 8
+    while sym < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = clt.read(br)
+        if code_len < 16:
+            lengths[sym] = code_len
+            sym += 1
+            if code_len:
+                prev_len = code_len
+        else:
+            if code_len == 16:
+                repeat, fill = br.bits(2) + 3, prev_len
+            elif code_len == 17:
+                repeat, fill = br.bits(3) + 3, 0
+            else:
+                repeat, fill = br.bits(7) + 11, 0
+            if sym + repeat > alphabet_size:
+                raise ValueError("vp8l: code-length repeat overruns alphabet")
+            for _ in range(repeat):
+                lengths[sym] = fill
+                sym += 1
+    return _Tree(lengths)
+
+
+# ------------------------------------------- (prefix, extra) value coding
+
+def _prefix_encode(value: int) -> tuple[int, int, int]:
+    """value >= 1 -> (prefix_symbol, extra_bits, extra_value)."""
+    x = value - 1
+    if x < 4:
+        return x, 0, 0
+    n = x.bit_length() - 1
+    extra = n - 1
+    lsb = (x >> extra) & 1
+    sym = 2 * extra + 2 + lsb
+    rem = x - ((2 + lsb) << extra)
+    return sym, extra, rem
+
+
+def _prefix_decode(sym: int, br: _BitReader) -> int:
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+def _cache_key(argb: int, bits: int) -> int:
+    return ((_HASH_MUL * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+# ----------------------------------------------------------------- encode
+
+def encode_vp8l(px: np.ndarray, *, cache_bits: int = 0,
+                subtract_green: bool = False, min_match: int = 3) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a RIFF/WEBP VP8L stream."""
+    if px.dtype != np.uint8 or px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_vp8l expects (h, w, 3) uint8")
+    if not 0 <= cache_bits <= 11:
+        raise ValueError("cache_bits must be in [0, 11]")
+    h, w = px.shape[:2]
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("vp8l dimensions out of range")
+    r = px[:, :, 0].astype(np.int32)
+    g = px[:, :, 1].astype(np.int32)
+    b = px[:, :, 2].astype(np.int32)
+    if subtract_green:
+        r = (r - g) & 0xFF
+        b = (b - g) & 0xFF
+    argb = ((0xFF << 24) | (r << 16) | (g << 8) | b).ravel().tolist()
+    n = len(argb)
+
+    # plane-code lookup: raster distance -> smallest neighborhood code
+    dist_to_plane: dict[int, int] = {}
+    for ci, (dx, dy) in enumerate(_PLANE):
+        d = dy * w + dx
+        if d >= 1 and d not in dist_to_plane:
+            dist_to_plane[d] = ci + 1
+
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+    filled = [False] * cache_size
+
+    # tokenize: ('lit', argb) | ('copy', len, dist_code, extra_bits, extra)
+    #           | ('cache', idx)
+    tokens: list[tuple] = []
+    gfreq = [0] * (_NUM_LITERALS + _NUM_LENGTH_CODES + cache_size)
+    rfreq = [0] * 256
+    bfreq = [0] * 256
+    afreq = [0] * 256
+    dfreq = [0] * _NUM_DIST_CODES
+    chains: dict[tuple[int, int], list[int]] = {}
+
+    def note_pixel(pos: int) -> None:
+        v = argb[pos]
+        if cache_size:
+            k = _cache_key(v, cache_bits)
+            cache[k] = v
+            filled[k] = True
+        if pos + 1 < n:
+            key = (v, argb[pos + 1])
+            lst = chains.setdefault(key, [])
+            lst.append(pos)
+            if len(lst) > 8:
+                del lst[0]
+
+    i = 0
+    while i < n:
+        best_len = 0
+        best_dist = 0
+        if i + 1 < n:
+            cands = list(chains.get((argb[i], argb[i + 1]), ()))
+        else:
+            cands = []
+        if i >= 1:
+            cands.append(i - 1)
+        if i >= w:
+            cands.append(i - w)
+        lim = min(_MAX_COPY_LEN, n - i)
+        for j in cands:
+            if argb[j] != argb[i]:
+                continue
+            ln = 1
+            while ln < lim and argb[j + ln] == argb[i + ln]:
+                ln += 1
+            if ln > best_len:
+                best_len, best_dist = ln, i - j
+        if best_len >= min_match:
+            dist_code = dist_to_plane.get(best_dist, best_dist + 120)
+            lsym, lxb, lxv = _prefix_encode(best_len)
+            dsym, dxb, dxv = _prefix_encode(dist_code)
+            gfreq[_NUM_LITERALS + lsym] += 1
+            dfreq[dsym] += 1
+            tokens.append(("copy", lsym, lxb, lxv, dsym, dxb, dxv))
+            for k in range(best_len):
+                note_pixel(i + k)
+            i += best_len
+            continue
+        v = argb[i]
+        if cache_size:
+            k = _cache_key(v, cache_bits)
+            if filled[k] and cache[k] == v:
+                gfreq[_NUM_LITERALS + _NUM_LENGTH_CODES + k] += 1
+                tokens.append(("cache", k))
+                note_pixel(i)
+                i += 1
+                continue
+        gfreq[(v >> 8) & 0xFF] += 1
+        rfreq[(v >> 16) & 0xFF] += 1
+        bfreq[v & 0xFF] += 1
+        afreq[(v >> 24) & 0xFF] += 1
+        tokens.append(("lit", v))
+        note_pixel(i)
+        i += 1
+
+    bw = _BitWriter()
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(0, 1)                           # alpha hint: opaque
+    bw.bits(0, 3)                           # version 0
+    if subtract_green:
+        bw.bits(1, 1)                       # transform present
+        bw.bits(2, 2)                       # SUBTRACT_GREEN
+    bw.bits(0, 1)                           # end of transforms
+    if cache_size:
+        bw.bits(1, 1)
+        bw.bits(cache_bits, 4)
+    else:
+        bw.bits(0, 1)
+    bw.bits(0, 1)                           # no meta prefix codes
+    _, _, gsym = _write_prefix_code(bw, gfreq)
+    _, _, rsym = _write_prefix_code(bw, rfreq)
+    _, _, bsym = _write_prefix_code(bw, bfreq)
+    _, _, asym = _write_prefix_code(bw, afreq)
+    _, _, dsym_codes = _write_prefix_code(bw, dfreq)
+
+    for tok in tokens:
+        if tok[0] == "lit":
+            v = tok[1]
+            c, ln = gsym[(v >> 8) & 0xFF]
+            bw.code(c, ln)
+            c, ln = rsym[(v >> 16) & 0xFF]
+            bw.code(c, ln)
+            c, ln = bsym[v & 0xFF]
+            bw.code(c, ln)
+            c, ln = asym[(v >> 24) & 0xFF]
+            bw.code(c, ln)
+        elif tok[0] == "copy":
+            _, lsym, lxb, lxv, ds, dxb, dxv = tok
+            c, ln = gsym[_NUM_LITERALS + lsym]
+            bw.code(c, ln)
+            if lxb:
+                bw.bits(lxv, lxb)
+            c, ln = dsym_codes[ds]
+            bw.code(c, ln)
+            if dxb:
+                bw.bits(dxv, dxb)
+        else:
+            c, ln = gsym[_NUM_LITERALS + _NUM_LENGTH_CODES + tok[1]]
+            bw.code(c, ln)
+
+    payload = b"\x2f" + bw.done()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# ----------------------------------------------------------------- decode
+
+def decode_vp8l(payload: bytes, *, return_alpha: bool = False) -> np.ndarray:
+    """Decode a RIFF/WEBP VP8L stream (this codec's subset) to an
+    (h, w, 3) uint8 RGB array ((h, w, 4) RGBA with ``return_alpha``)."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("vp8l: not a RIFF/WEBP container")
+    pos = 12
+    data = None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("vp8l: truncated chunk")
+        if fourcc == b"VP8L":
+            data = body
+            break
+        pos += 8 + size + (size & 1)
+    if data is None:
+        raise ValueError("vp8l: no VP8L chunk")
+    if not data or data[0] != 0x2F:
+        raise ValueError("vp8l: bad signature byte")
+    br = _BitReader(data[1:])
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bit()                                # alpha hint (informational)
+    if br.bits(3) != 0:
+        raise ValueError("vp8l: unsupported version")
+
+    subtract_green = False
+    while br.bit():
+        ttype = br.bits(2)
+        if ttype == 2:
+            if subtract_green:
+                raise ValueError("vp8l: duplicate SUBTRACT_GREEN transform")
+            subtract_green = True
+        else:
+            raise ValueError(
+                f"vp8l: transform type {ttype} outside this codec's subset "
+                "(PREDICTOR/COLOR/COLOR_INDEXING not implemented)")
+
+    cache_bits = 0
+    if br.bit():
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("vp8l: bad color-cache size")
+    if br.bit():
+        raise ValueError("vp8l: meta prefix codes outside this codec's subset")
+
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    gtree = _read_prefix_code(
+        br, _NUM_LITERALS + _NUM_LENGTH_CODES + cache_size)
+    rtree = _read_prefix_code(br, 256)
+    btree = _read_prefix_code(br, 256)
+    atree = _read_prefix_code(br, 256)
+    dtree = _read_prefix_code(br, _NUM_DIST_CODES)
+
+    n = w * h
+    out = [0] * n
+    cache = [0] * cache_size
+    i = 0
+    while i < n:
+        s = gtree.read(br)
+        if s < _NUM_LITERALS:
+            green = s
+            red = rtree.read(br)
+            blue = btree.read(br)
+            alpha = atree.read(br)
+            v = (alpha << 24) | (red << 16) | (green << 8) | blue
+            out[i] = v
+            if cache_size:
+                cache[_cache_key(v, cache_bits)] = v
+            i += 1
+        elif s < _NUM_LITERALS + _NUM_LENGTH_CODES:
+            length = _prefix_decode(s - _NUM_LITERALS, br)
+            dist_code = _prefix_decode(dtree.read(br), br)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _PLANE[dist_code - 1]
+                dist = max(1, dy * w + dx)
+            if dist > i:
+                raise ValueError("vp8l: backward reference before start")
+            if i + length > n:
+                raise ValueError("vp8l: backward reference overruns image")
+            for _ in range(length):
+                v = out[i - dist]
+                out[i] = v
+                if cache_size:
+                    cache[_cache_key(v, cache_bits)] = v
+                i += 1
+        else:
+            idx = s - _NUM_LITERALS - _NUM_LENGTH_CODES
+            if idx >= cache_size:
+                raise ValueError("vp8l: color-cache index out of range")
+            out[i] = cache[idx]
+            i += 1
+
+    arr = np.array(out, dtype=np.uint32).reshape(h, w)
+    a = (arr >> 24).astype(np.uint8)
+    r = ((arr >> 16) & 0xFF).astype(np.int32)
+    g = ((arr >> 8) & 0xFF).astype(np.int32)
+    b = (arr & 0xFF).astype(np.int32)
+    if subtract_green:
+        r = (r + g) & 0xFF
+        b = (b + g) & 0xFF
+    if return_alpha:
+        return np.stack([r, g, b, a.astype(np.int32)],
+                        axis=-1).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)

@@ -3970,6 +3970,12 @@ ORACLE_SQL["png_features_media"] = f"""
     FROM read_parquet('{_MEDIA}/png.parquet')
 """
 
+ORACLE_SQL["webp_features_media"] = f"""
+    SELECT media_id, true_width AS width, true_height AS height,
+           true_mean_luma AS mean_luma, true_ahash AS ahash
+    FROM read_parquet('{_MEDIA}/webpl.parquet')
+"""
+
 ORACLE_SQL["flac_features_media"] = f"""
     SELECT media_id, true_duration_ms AS duration_ms,
            true_rms_db AS rms_db, true_zcr AS zcr

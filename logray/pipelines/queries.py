@@ -1286,7 +1286,13 @@ def flagship_transcripts(sf_dir: str):
     from .flagship import run_flagship
 
     out = tempfile.mkdtemp(prefix="logray_flagship_", dir="/tmp")
-    run_flagship(corpus, out, enrich_concurrency=4)
+    # clamp the fixed pool below the cluster size: a pool that holds every
+    # CPU starves the 0.5-CPU read tasks upstream and deadlocks the
+    # streaming executor (observed live on a 4-CPU ray.init)
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    run_flagship(corpus, out, enrich_concurrency=min(4, max(1, cpus - 1)))
     return pq.read_table(Path(out) / "_aggregates.parquet")
 
 
@@ -8220,7 +8226,8 @@ def _media_path(kind: str) -> str:
              "flac": mm.make_flac_media_table,
              "mp3": mm.make_mp3_media_table,
              "mp4": mm.make_mp4_media_table,
-             "webp": mm.make_webp_media_table}[kind](200)
+             "webp": mm.make_webp_media_table,
+             "webpl": mm.make_webpl_media_table}[kind](200)
         pq.write_table(t, f)
     return str(f)
 
@@ -8309,6 +8316,40 @@ def gif_features_media(sf_dir: str):
 
     out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
         DecodeImageStage, fn_constructor_kwargs={"decode": "gif"},
+        concurrency=2, batch_size=32, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"],
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+            "mean_luma": t["mean_luma"],
+            "ahash": t["phash64"]}),
+        batch_format="pyarrow")
+
+
+def webp_features_media(sf_dir: str):
+    """REAL image decode lane #6 — WebP-lossless VP8L with a from-scratch
+    codec (logray/ops/vp8lcodec.py: canonical prefix codes serialized
+    through the spec's code-length code with 17/18 zero-run repeats and
+    the simple 1/2-symbol form, LZ77 backward references with the
+    120-entry close-neighborhood plane-code distance mapping, color
+    cache keyed by the spec's 0x1e35a7bd multiplier, SUBTRACT_GREEN
+    transform). Lossless ⇒ the truth sidecar (computed from the ORIGINAL
+    pixels) must be reproduced exactly from compressed bytes."""
+    import ray.data
+
+    from ..ops.multimodal import DecodeImageStage
+
+    ds = ray.data.read_parquet(_media_path("webpl"),
+                               columns=["media_id", "payload"])
+
+    def pad(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return t.append_column("width", pa.nulls(n, pa.int32())) \
+                .append_column("height", pa.nulls(n, pa.int32()))
+
+    out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+        DecodeImageStage, fn_constructor_kwargs={"decode": "webp"},
         concurrency=2, batch_size=32, batch_format="pyarrow")
     return out.map_batches(
         lambda t: pa.table({
@@ -10195,6 +10236,7 @@ QUERIES = {
     "flac_features_media": flac_features_media,
     "gif_features_media": gif_features_media,
     "jpeg_features_media": jpeg_features_media,
+    "webp_features_media": webp_features_media,
     "jpeg_resize_media": jpeg_resize_media,
     "ppm_resize_dims_media": ppm_resize_dims_media,
     "multimodal_decode_features": multimodal_decode_features,

@@ -2557,3 +2557,148 @@ def test_media_meta_parsers_fuzz_contract():
         payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
         with pytest.raises(ValueError, match=msg):
             parse_webp_meta(payload)
+
+
+def test_vp8l_roundtrip_matrix():
+    """From-scratch WebP-lossless codec: bit-exact pixel round-trip
+    across content kinds (noise / LZ77-heavy tiles / gradients), encoder
+    configurations (color cache off/4/6 bits × SUBTRACT_GREEN), and
+    degenerate shapes (1×1, 1-pixel-wide, 1-pixel-tall); the emitted
+    container also satisfies the independent metadata walk
+    (parse_webp_meta: format VP8L, exact dims, no alpha)."""
+    import numpy as np
+
+    from logray.ops.multimodal import parse_webp_meta
+    from logray.ops.vp8lcodec import decode_vp8l, encode_vp8l
+
+    rng = np.random.default_rng(31)
+    shapes = [(1, 1), (1, 17), (17, 1), (23, 40), (64, 48)]
+    for si, (h, w) in enumerate(shapes):
+        for kind in range(3):
+            if kind == 0:
+                px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+            elif kind == 1:
+                tile = rng.integers(0, 256, size=(3, 3, 3))
+                px = np.tile(tile, (h // 3 + 1, w // 3 + 1, 1))[:h, :w]
+                px = px.astype(np.uint8)
+            else:
+                px = ((np.arange(h)[:, None, None] * 3
+                       + np.arange(w)[None, :, None] * 5
+                       + np.arange(3)[None, None, :] * 40) % 256
+                      ).astype(np.uint8)
+            for cb, sg in [(0, False), (4, False), (6, True), (2, True)]:
+                enc = encode_vp8l(px, cache_bits=cb, subtract_green=sg)
+                assert np.array_equal(decode_vp8l(enc), px), (si, kind, cb, sg)
+                meta = parse_webp_meta(enc)
+                assert meta["variant"] == "lossless"
+                assert not meta["has_alpha"]
+                assert (meta["width"], meta["height"]) == (w, h)
+    # RGBA return path: alpha is opaque on this codec's own streams
+    px = rng.integers(0, 256, size=(9, 9, 3)).astype(np.uint8)
+    rgba = decode_vp8l(encode_vp8l(px), return_alpha=True)
+    assert rgba.shape == (9, 9, 4) and (rgba[:, :, 3] == 255).all()
+    assert np.array_equal(rgba[:, :, :3], px)
+
+
+def test_vp8l_plane_code_table_and_compression():
+    """The 120-entry close-neighborhood distance table matches the
+    spec's head ordering and its documented domain (dx∈[-7,8], dy∈[0,7],
+    raster-positive); LZ77-heavy input actually compresses (backrefs and
+    the color cache are exercised, not just literals)."""
+    import numpy as np
+
+    from logray.ops.vp8lcodec import _PLANE, encode_vp8l
+
+    assert len(_PLANE) == 120
+    assert _PLANE[:14] == [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+                           (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2),
+                           (0, 3), (3, 0)]
+    assert all(-7 <= dx <= 8 and 0 <= dy <= 7 for dx, dy in _PLANE)
+    assert all(dy > 0 or dx >= 1 for dx, dy in _PLANE)
+    assert len(set(_PLANE)) == 120
+
+    rng = np.random.default_rng(5)
+    tile = rng.integers(0, 256, size=(4, 4, 3))
+    px = np.tile(tile, (16, 16, 1)).astype(np.uint8)  # 64×64
+    enc = encode_vp8l(px, cache_bits=4)
+    assert len(enc) < px.nbytes // 8  # real compression, not a store
+
+
+def test_vp8l_rejects_corruption_and_unsupported():
+    """Foreign/malformed streams fail loudly: bad container, bad
+    signature byte, nonzero version, out-of-subset transforms, truncated
+    bitstreams, and backward references landing before the image start
+    all raise ValueError (never a silent wrong image or an IndexError)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from logray.ops.vp8lcodec import (_BitWriter, decode_vp8l, encode_vp8l)
+
+    px = np.arange(12 * 12 * 3, dtype=np.uint8).reshape(12, 12, 3) % 251
+    good = encode_vp8l(px, cache_bits=3)
+
+    with pytest.raises(ValueError, match="RIFF/WEBP"):
+        decode_vp8l(b"JUNK" + good[4:])
+    with pytest.raises(ValueError, match="signature"):
+        i = good.index(b"VP8L") + 8
+        decode_vp8l(good[:i] + b"\x30" + good[i + 1:])
+    with pytest.raises(ValueError):
+        decode_vp8l(good[:len(good) // 2])  # truncated mid-bitstream
+
+    def craft(header_bits):
+        bw = _BitWriter()
+        for val, n in header_bits:
+            bw.bits(val, n)
+        payload = b"\x2f" + bw.done()
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunk += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    dims = [(3, 14), (3, 14), (0, 1)]  # 4×4, no alpha
+    with pytest.raises(ValueError, match="version"):
+        decode_vp8l(craft(dims + [(5, 3)]))
+    with pytest.raises(ValueError, match="subset"):
+        # PREDICTOR transform (type 0) is outside the codec's subset
+        decode_vp8l(craft(dims + [(0, 3), (1, 1), (0, 2)]))
+    with pytest.raises(ValueError, match="subset"):
+        # meta prefix codes (entropy image) likewise
+        decode_vp8l(craft(dims + [(0, 3), (0, 1), (0, 1), (1, 1)]))
+    # systematic bit-flip fuzz: every failure must be ValueError
+    rng = np.random.default_rng(13)
+    body = bytearray(good)
+    start = good.index(b"VP8L") + 8
+    bad_count = 0
+    for _ in range(300):
+        b = bytearray(body)
+        j = int(rng.integers(start, len(b)))
+        b[j] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = decode_vp8l(bytes(b))
+            # a flipped header bit can legally change dims; the contract
+            # is only that nothing but ValueError ever escapes
+            assert out.ndim == 3 and out.shape[2] == 3
+        except ValueError:
+            bad_count += 1
+    assert bad_count > 0  # the guards do fire under fuzz
+
+
+def test_vp8l_fixture_and_stage():
+    """The webpl fixture's truth sidecar is reproduced exactly by the
+    actor-pool decode stage from compressed bytes alone (lossless), and
+    the fixture contains the intended variety (1-wide images, both
+    transforms, cache on and off)."""
+    from logray.ops.multimodal import DecodeImageStage, make_webpl_media_table
+
+    t = make_webpl_media_table(25)
+    assert 1 in t["true_width"].to_pylist()
+    stage = DecodeImageStage(decode="webp")
+    padded = t.append_column("width", pa.nulls(25, pa.int32())) \
+              .append_column("height", pa.nulls(25, pa.int32()))
+    out = stage(padded)
+    assert out["width"].to_pylist() == t["true_width"].to_pylist()
+    assert out["height"].to_pylist() == t["true_height"].to_pylist()
+    assert out["mean_luma"].to_pylist() == t["true_mean_luma"].to_pylist()
+    assert out["phash64"].to_pylist() == t["true_ahash"].to_pylist()
