@@ -3970,6 +3970,13 @@ ORACLE_SQL["png_features_media"] = f"""
     FROM read_parquet('{_MEDIA}/png.parquet')
 """
 
+# WARC source: truth sidecar written next to the shards at pack time
+# (per-response host/status/body bytes/CRC32 and shard assignment).
+ORACLE_SQL["warc_ingest_responses"] = f"""
+    SELECT rec_id, shard, host, status, n_bytes, body_crc32
+    FROM read_parquet('{_MEDIA}/warc/truth.parquet')
+"""
+
 ORACLE_SQL["webp_features_media"] = f"""
     SELECT media_id, true_width AS width, true_height AS height,
            true_mean_luma AS mean_luma, true_ahash AS ahash

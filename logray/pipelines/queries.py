@@ -8327,6 +8327,47 @@ def gif_features_media(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _warc_dir() -> str:
+    from ..sources import make_warc_shards
+
+    p = Path(_MEDIA_CACHE) / "warc"
+    if not (p / "truth.parquet").exists():
+        make_warc_shards(p)
+    return str(p)
+
+
+def warc_ingest_responses(sf_dir: str):
+    """WARC crawl-archive ingestion end-to-end (the Common Crawl source
+    format, ISO 28500): plain `.warc` AND multi-member `.warc.gz` shards
+    → ``read_warc_shards`` (one shard per task, spec-exact
+    Content-Length record walk, per-record gzip members, HTTP response
+    split) → keep 'response' records (warcinfo/request interleaved in
+    the fixture must be skipped) → host extracted from the target URI,
+    CRC32 over the HTTP body — value-checked against the pack-time truth
+    sidecar, including which shard each record rode in. This is the
+    first stage of every web-crawl training pipeline; resume granularity
+    = shard."""
+    import zlib
+
+    from ..sources import read_warc_shards
+
+    ds = read_warc_shards(_warc_dir())
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["rec_type"], "response"))
+        url = t["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        host = pc.extract_regex(url, r"^https?://(?P<h>[^/]+)/").field("h")
+        crc = [zlib.crc32(p) for p in t["payload"].to_pylist()]
+        return pa.table({
+            "rec_id": t["rec_id"], "shard": t["shard"], "host": host,
+            "status": t["http_status"], "n_bytes": t["n_bytes"],
+            "body_crc32": pa.array(crc, pa.int64())})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
 def webp_features_media(sf_dir: str):
     """REAL image decode lane #6 — WebP-lossless VP8L with a from-scratch
     codec (logray/ops/vp8lcodec.py: canonical prefix codes serialized
@@ -10237,6 +10278,7 @@ QUERIES = {
     "gif_features_media": gif_features_media,
     "jpeg_features_media": jpeg_features_media,
     "webp_features_media": webp_features_media,
+    "warc_ingest_responses": warc_ingest_responses,
     "jpeg_resize_media": jpeg_resize_media,
     "ppm_resize_dims_media": ppm_resize_dims_media,
     "multimodal_decode_features": multimodal_decode_features,

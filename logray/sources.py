@@ -249,3 +249,243 @@ def read_tar_shards(in_dir):
 
     return (ray.data.read_binary_files(files, include_paths=True)
             .map_batches(explode, batch_format="pyarrow", batch_size=1))
+
+
+# --------------------------------------------------------------- WARC source
+# The web-archive container format crawl corpora ship in (ISO 28500; the
+# Common Crawl layout). Spec-exact record walk: the Content-Length header
+# governs the block extent (never boundary scanning), every record must be
+# terminated by exactly two CRLFs, and `.warc.gz` shards are MULTI-MEMBER
+# gzip streams — one gzip member per record — walked via zlib's
+# unused_data chaining (the layout that makes per-record random access
+# possible in real crawl archives).
+
+_WARC_REQUIRED = ("warc-type", "warc-record-id", "warc-date",
+                  "content-length")
+
+
+def _gunzip_members(blob: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the .warc.gz layout)."""
+    import zlib
+
+    parts = []
+    while blob:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            parts.append(d.decompress(blob))
+        except zlib.error as e:
+            raise ValueError(f"warc.gz: corrupt gzip member: {e}") from e
+        if not d.eof:
+            raise ValueError("warc.gz: truncated gzip member")
+        blob = d.unused_data
+    return b"".join(parts)
+
+
+def warc_split_records(blob: bytes) -> list[tuple[dict, bytes]]:
+    """Split one (decompressed) WARC stream into (headers, block) records.
+
+    Validates the version line (WARC/1.0 or 1.1), the presence of the
+    spec's mandatory headers, and the two-CRLF record terminator; header
+    names are case-insensitive per the spec."""
+    records = []
+    pos, n = 0, len(blob)
+    while pos < n:
+        end = blob.find(b"\r\n\r\n", pos)
+        if end < 0:
+            raise ValueError("warc: missing header terminator")
+        try:
+            header = blob[pos:end].decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise ValueError("warc: non-UTF-8 header block") from e
+        lines = header.split("\r\n")
+        if lines[0] not in ("WARC/1.0", "WARC/1.1"):
+            raise ValueError(f"warc: bad version line {lines[0][:24]!r}")
+        fields: dict[str, str] = {}
+        for ln in lines[1:]:
+            name, sep, value = ln.partition(":")
+            if not sep:
+                raise ValueError(f"warc: malformed header line {ln[:40]!r}")
+            fields[name.strip().lower()] = value.strip()
+        missing = [k for k in _WARC_REQUIRED if k not in fields]
+        if missing:
+            raise ValueError(f"warc: missing mandatory header {missing[0]}")
+        try:
+            clen = int(fields["content-length"])
+        except ValueError as e:
+            raise ValueError("warc: non-integer Content-Length") from e
+        body_start = end + 4
+        body_end = body_start + clen
+        if body_end + 4 > n:
+            raise ValueError("warc: truncated record block")
+        if blob[body_end:body_end + 4] != b"\r\n\r\n":
+            raise ValueError("warc: record block not followed by CRLFCRLF")
+        records.append((fields, blob[body_start:body_end]))
+        pos = body_end + 4
+    return records
+
+
+def http_response_split(block: bytes) -> tuple[int, dict, bytes]:
+    """Split an HTTP response payload (a 'response' record's block) into
+    (status_code, headers, body)."""
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("warc: http payload missing header terminator")
+    head = block[:sep].decode("latin-1")
+    lines = head.split("\r\n")
+    parts = lines[0].split(" ", 2)
+    if not parts[0].startswith("HTTP/") or len(parts) < 2:
+        raise ValueError(f"warc: bad http status line {lines[0][:40]!r}")
+    try:
+        status = int(parts[1])
+    except ValueError as e:
+        raise ValueError("warc: non-integer http status") from e
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        name, sep2, value = ln.partition(":")
+        if sep2:
+            headers[name.strip().lower()] = value.strip()
+    return status, headers, block[sep + 4:]
+
+
+def read_warc_shards(in_dir):
+    """WARC source: `.warc` / `.warc.gz` shards → Dataset of
+    (shard, rec_id, rec_type, url, date, http_status, payload, n_bytes).
+
+    One shard per task via ``read_binary_files`` (shards are the crawl's
+    unit of parallelism and resume); records are walked in the task, so
+    payloads stream through the object store and never concentrate on
+    the driver. ``payload`` is the HTTP BODY for 'response' records
+    (status surfaced as a column) and the raw block otherwise;
+    ``http_status`` is null for non-response records. Per-record loop is
+    payload-bound by nature (same note as the tar/codec stages)."""
+    import ray.data
+
+    files = sorted(str(p) for p in list(Path(in_dir).glob("*.warc"))
+                   + list(Path(in_dir).glob("*.warc.gz")))
+    if not files:
+        raise FileNotFoundError(f"no .warc/.warc.gz shards in {in_dir}")
+
+    def explode(t: pa.Table) -> pa.Table:
+        out = {"shard": [], "rec_id": [], "rec_type": [], "url": [],
+               "date": [], "http_status": [], "payload": [], "n_bytes": []}
+        for path, blob in zip(t["path"].to_pylist(), t["bytes"].to_pylist()):
+            name = Path(path).name
+            # sniff the gzip magic rather than trusting the extension:
+            # ray.data.read_binary_files already auto-inflates *.gz via
+            # the Arrow filesystem (incl. concatenated members), so bytes
+            # may arrive either way
+            if blob[:2] == b"\x1f\x8b":
+                blob = _gunzip_members(blob)
+            for fields, block in warc_split_records(blob):
+                rtype = fields["warc-type"]
+                status, payload = None, block
+                if rtype == "response":
+                    status, _, payload = http_response_split(block)
+                out["shard"].append(name)
+                out["rec_id"].append(fields["warc-record-id"])
+                out["rec_type"].append(rtype)
+                out["url"].append(fields.get("warc-target-uri"))
+                out["date"].append(fields["warc-date"])
+                out["http_status"].append(status)
+                out["payload"].append(payload)
+                out["n_bytes"].append(len(payload))
+        return pa.table({
+            "shard": pa.array(out["shard"], pa.string()),
+            "rec_id": pa.array(out["rec_id"], pa.string()),
+            "rec_type": pa.array(out["rec_type"], pa.string()),
+            "url": pa.array(out["url"], pa.string()),
+            "date": pa.array(out["date"], pa.string()),
+            "http_status": pa.array(out["http_status"], pa.int64()),
+            "payload": pa.array(out["payload"], pa.binary()),
+            "n_bytes": pa.array(out["n_bytes"], pa.int64()),
+        })
+
+    return (ray.data.read_binary_files(files, include_paths=True)
+            .map_batches(explode, batch_format="pyarrow", batch_size=1))
+
+
+def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
+                     seed: int = 29) -> dict:
+    """Deterministic crawl fixture: ``n`` HTTP response records (plus a
+    warcinfo record and an interleaved request record per shard) spread
+    round-robin over ``shards`` shards — half written plain ``.warc``,
+    half ``.warc.gz`` with ONE GZIP MEMBER PER RECORD (the Common Crawl
+    layout) — and a ``truth.parquet`` sidecar carrying each response's
+    generation-time truth (url/host/status/body bytes/CRC32). The reader
+    must re-derive all of it from the container bytes alone."""
+    import gzip
+    import zlib
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    statuses = [200, 200, 200, 200, 404, 301, 500, 503]
+    words = ["crawl", "corpus", "stream", "shard", "record", "archive",
+             "parse", "filter", "dedup", "tokens"]
+
+    def record(fields: dict, block: bytes) -> bytes:
+        head = "WARC/1.0\r\n" + "".join(
+            f"{k}: {v}\r\n" for k, v in fields.items())
+        head += f"Content-Length: {len(block)}\r\n"
+        return head.encode() + b"\r\n" + block + b"\r\n\r\n"
+
+    shard_bufs: dict[int, list[bytes]] = {k: [] for k in range(shards)}
+    names = {k: (f"crawl-{k:02d}.warc" if k < shards - shards // 2
+                 else f"crawl-{k:02d}.warc.gz") for k in range(shards)}
+    for k in range(shards):
+        shard_bufs[k].append(record(
+            {"WARC-Type": "warcinfo",
+             "WARC-Record-ID": f"<urn:uuid:info-{k:04d}>",
+             "WARC-Date": "2026-01-01T00:00:00Z"},
+            b"software: logray-fixture\r\n"))
+    truth = {"rec_id": [], "shard": [], "host": [], "status": [],
+             "n_bytes": [], "body_crc32": []}
+    for i in range(n):
+        k = i % shards
+        host = f"host-{int(rng.integers(0, 12)):02d}.example"
+        url = f"http://{host}/page/{i}"
+        status = int(statuses[int(rng.integers(0, len(statuses)))])
+        body_words = rng.choice(words, size=int(rng.integers(5, 120)))
+        body = ("<html><body>" + " ".join(body_words)
+                + f" doc {i}</body></html>").encode()
+        if i % 11 == 0:  # interleave a request record (must be skipped)
+            shard_bufs[k].append(record(
+                {"WARC-Type": "request",
+                 "WARC-Record-ID": f"<urn:uuid:req-{i:06d}>",
+                 "WARC-Target-URI": url,
+                 "WARC-Date": "2026-01-01T00:00:00Z"},
+                f"GET /page/{i} HTTP/1.1\r\nHost: {host}\r\n\r\n".encode()))
+        http = (f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+        shard_bufs[k].append(record(
+            {"WARC-Type": "response",
+             "WARC-Record-ID": f"<urn:uuid:resp-{i:06d}>",
+             "WARC-Target-URI": url,
+             "WARC-Date": "2026-01-01T00:00:00Z"},
+            http))
+        truth["rec_id"].append(f"<urn:uuid:resp-{i:06d}>")
+        truth["shard"].append(names[k])
+        truth["host"].append(host)
+        truth["status"].append(status)
+        truth["n_bytes"].append(len(body))
+        truth["body_crc32"].append(zlib.crc32(body))
+    for k in range(shards):
+        name = names[k]
+        if name.endswith(".gz"):
+            blob = b"".join(
+                gzip.compress(r, mtime=0) for r in shard_bufs[k])
+        else:
+            blob = b"".join(shard_bufs[k])
+        (out / name).write_bytes(blob)
+    _pq.write_table(pa.table({
+        "rec_id": pa.array(truth["rec_id"], pa.string()),
+        "shard": pa.array(truth["shard"], pa.string()),
+        "host": pa.array(truth["host"], pa.string()),
+        "status": pa.array(truth["status"], pa.int64()),
+        "n_bytes": pa.array(truth["n_bytes"], pa.int64()),
+        "body_crc32": pa.array(truth["body_crc32"], pa.int64()),
+    }), out / "truth.parquet")
+    return {"shards": shards, "responses": n, "dir": str(out)}

@@ -128,3 +128,73 @@ def test_tar_shard_roundtrip(ray_session, tmp_path):
         a = (tmp_path / f"shard-{k:02d}.tar").read_bytes()
         b = (d2 / f"shard-{k:02d}.tar").read_bytes()
         assert hashlib.sha256(a).digest() == hashlib.sha256(b).digest()
+
+
+def test_warc_record_walk_and_hazards():
+    """Spec-exact WARC walk: fixture shards parse to the sidecar truth
+    (plain and multi-member-gzip shards identically); bad version lines,
+    missing mandatory headers, truncated blocks, missing CRLFCRLF
+    terminators, non-integer Content-Length, truncated gzip members and
+    malformed HTTP payloads all raise ValueError."""
+    import gzip
+    import zlib
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from logray.sources import (_gunzip_members, http_response_split,
+                                make_warc_shards, warc_split_records)
+
+    d = Path("/tmp/logray/test_warc_fixture")
+    make_warc_shards(d, n=40, shards=4)
+    truth = pq.read_table(d / "truth.parquet").to_pydict()
+
+    got = {}
+    for f in sorted(d.glob("*.warc")) + sorted(d.glob("*.warc.gz")):
+        blob = f.read_bytes()
+        if f.name.endswith(".gz"):
+            blob = _gunzip_members(blob)
+        for fields, block in warc_split_records(blob):
+            if fields["warc-type"] != "response":
+                continue
+            status, headers, body = http_response_split(block)
+            assert headers["content-type"] == "text/html"
+            got[fields["warc-record-id"]] = (f.name, status, len(body),
+                                             zlib.crc32(body))
+    assert len(got) == 40
+    for i, rid in enumerate(truth["rec_id"]):
+        assert got[rid] == (truth["shard"][i], truth["status"][i],
+                            truth["n_bytes"][i], truth["body_crc32"][i])
+
+    def rec(headers: str, block: bytes, version=b"WARC/1.0") -> bytes:
+        return (version + b"\r\n" + headers.encode()
+                + f"Content-Length: {len(block)}\r\n\r\n".encode()
+                + block + b"\r\n\r\n")
+
+    base_hdr = ("WARC-Type: resource\r\nWARC-Record-ID: <urn:uuid:x>\r\n"
+                "WARC-Date: 2026-01-01T00:00:00Z\r\n")
+    good = rec(base_hdr, b"hello")
+    assert len(warc_split_records(good * 3)) == 3
+
+    with pytest.raises(ValueError, match="bad version"):
+        warc_split_records(rec(base_hdr, b"x", version=b"WARC/9.9"))
+    with pytest.raises(ValueError, match="missing mandatory"):
+        warc_split_records(rec("WARC-Type: resource\r\n", b"x"))
+    with pytest.raises(ValueError, match="truncated record block"):
+        warc_split_records(good[:-6])
+    with pytest.raises(ValueError, match="CRLFCRLF"):
+        warc_split_records(good[:-4] + b"XX\r\n")
+    with pytest.raises(ValueError, match="non-integer Content-Length"):
+        warc_split_records(b"WARC/1.0\r\n" + base_hdr.encode()
+                           + b"Content-Length: ten\r\n\r\nx\r\n\r\n")
+    with pytest.raises(ValueError, match="missing header terminator"):
+        warc_split_records(b"WARC/1.0\r\nWARC-Type: resource\r\n")
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        _gunzip_members(gzip.compress(good, mtime=0)[:-5])
+    with pytest.raises(ValueError, match="http payload missing"):
+        http_response_split(b"HTTP/1.1 200 OK\r\nonly-headers: 1\r\n")
+    with pytest.raises(ValueError, match="bad http status"):
+        http_response_split(b"GET / HTTP/1.1\r\n\r\nbody")
+    with pytest.raises(ValueError, match="non-integer http status"):
+        http_response_split(b"HTTP/1.1 2xx Z\r\n\r\nbody")
