@@ -12,15 +12,25 @@ or LZ77 backward references whose lengths/distances use the
 ``(prefix, extra-bits)`` scheme and whose short distances go through
 the 120-entry close-neighborhood plane-code mapping.
 
+The PREDICTOR transform is implemented end-to-end: the encoder picks
+the cheapest of the spec's 14 spatial predictors per 2^b × 2^b block,
+ships the mode image as an entropy-coded sub-resolution image (the
+recursive image-stream form), and codes residuals; the decoder runs the
+inverse transforms in reverse bitstream order with the spec's edge
+rules (top-left predicts black, row 0 predicts L, column 0 predicts T,
+the rightmost column's top-right wraps to the current row's first
+pixel).
+
 The decoder is a full inverse for that subset and validates what the
 spec validates: signature/version, prefix-code completeness (Kraft),
-repeat overruns, in-bounds distances and cache indices, bitstream
-overrun. Round-trip is bit-exact on pixels (lossless), so the pipeline
-lane's truth sidecar (dims / luma / ahash computed from the ORIGINAL
-pixels) is reproduced exactly from compressed bytes.
+repeat overruns, in-bounds distances and cache indices, predictor-mode
+range, duplicate transforms, bitstream overrun. Round-trip is bit-exact
+on pixels (lossless), so the pipeline lane's truth sidecar (dims /
+luma / ahash computed from the ORIGINAL pixels) is reproduced exactly
+from compressed bytes.
 
-Subset scope (documented, not hidden): no PREDICTOR / COLOR /
-COLOR_INDEXING transforms and no meta-prefix (entropy image) — the
+Subset scope (documented, not hidden): no COLOR (cross-color) /
+COLOR_INDEXING (palette) transforms and no meta-prefix codes — the
 encoder never emits them and the decoder raises on streams that use
 them. General-encoder WebP files using those features are outside the
 subset. Bit-order conventions follow the public spec (RFC 9649):
@@ -393,28 +403,159 @@ def _cache_key(argb: int, bits: int) -> int:
     return ((_HASH_MUL * argb) & 0xFFFFFFFF) >> (32 - bits)
 
 
-# ----------------------------------------------------------------- encode
+# ------------------------------------------------ predictor transform math
 
-def encode_vp8l(px: np.ndarray, *, cache_bits: int = 0,
-                subtract_green: bool = False, min_match: int = 3) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a RIFF/WEBP VP8L stream."""
-    if px.dtype != np.uint8 or px.ndim != 3 or px.shape[2] != 3:
-        raise ValueError("encode_vp8l expects (h, w, 3) uint8")
-    if not 0 <= cache_bits <= 11:
-        raise ValueError("cache_bits must be in [0, 11]")
-    h, w = px.shape[:2]
-    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
-        raise ValueError("vp8l dimensions out of range")
-    r = px[:, :, 0].astype(np.int32)
-    g = px[:, :, 1].astype(np.int32)
-    b = px[:, :, 2].astype(np.int32)
-    if subtract_green:
-        r = (r - g) & 0xFF
-        b = (b - g) & 0xFF
-    argb = ((0xFF << 24) | (r << 16) | (g << 8) | b).ravel().tolist()
+def _ch(v: int) -> tuple[int, int, int, int]:
+    return ((v >> 24) & 255, (v >> 16) & 255, (v >> 8) & 255, v & 255)
+
+
+def _argb(c: tuple[int, int, int, int]) -> int:
+    return (c[0] << 24) | (c[1] << 16) | (c[2] << 8) | c[3]
+
+
+def _avg2(a, b):
+    return ((a[0] + b[0]) >> 1, (a[1] + b[1]) >> 1,
+            (a[2] + b[2]) >> 1, (a[3] + b[3]) >> 1)
+
+
+def _clamp255(x: int) -> int:
+    return 0 if x < 0 else (255 if x > 255 else x)
+
+
+def _predict(mode: int, L, T, TL, TR):
+    """The spec's 14 spatial predictors over (a, r, g, b) tuples.
+
+    Select's tie (mode 11) goes to T and ClampAddSubtractHalf truncates
+    toward zero, mirroring the C reference arithmetic; encoder and
+    decoder share this function, so the choice is self-consistent."""
+    if mode == 0:
+        return (255, 0, 0, 0)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:
+        p = (L[0] + T[0] - TL[0], L[1] + T[1] - TL[1],
+             L[2] + T[2] - TL[2], L[3] + T[3] - TL[3])
+        pL = (abs(p[0] - L[0]) + abs(p[1] - L[1])
+              + abs(p[2] - L[2]) + abs(p[3] - L[3]))
+        pT = (abs(p[0] - T[0]) + abs(p[1] - T[1])
+              + abs(p[2] - T[2]) + abs(p[3] - T[3]))
+        return T if pT <= pL else L
+    if mode == 12:
+        return tuple(_clamp255(l + t - tl) for l, t, tl in zip(L, T, TL))
+    if mode == 13:
+        a = _avg2(L, T)
+        out = []
+        for ac, tlc in zip(a, TL):
+            d = ac - tlc
+            half = d // 2 if d >= 0 else -((-d) // 2)
+            out.append(_clamp255(ac + half))
+        return tuple(out)
+    raise ValueError(f"vp8l: invalid predictor mode {mode}")
+
+
+def _pred_at(buf, i, x, y, w, mode):
+    """Prediction for pixel i given already-known pixels in buf; edge
+    rules per the spec: (0,0) predicts BLACK, the rest of row 0 predicts
+    L, column 0 predicts T. TR of the rightmost column is buf[i-w+1] =
+    the current row's first pixel (raster order makes it well-defined)."""
+    if y == 0:
+        return (255, 0, 0, 0) if x == 0 else buf[i - 1]
+    if x == 0:
+        return buf[i - w]
+    return _predict(mode, buf[i - 1], buf[i - w], buf[i - w - 1],
+                    buf[i - w + 1])
+
+
+def _apply_predictor(ch_px, w, h, size_bits):
+    """Forward predictor transform: pick the cheapest of the 14 modes per
+    block (cost = sum of per-channel signed-residual magnitudes), return
+    (residual argb ints, mode-image argb ints)."""
+    pw = (w + (1 << size_bits) - 1) >> size_bits
+    ph = (h + (1 << size_bits) - 1) >> size_bits
+    modes = [0] * (pw * ph)
+    for by in range(ph):
+        y0, y1 = by << size_bits, min((by + 1) << size_bits, h)
+        for bx in range(pw):
+            x0, x1 = bx << size_bits, min((bx + 1) << size_bits, w)
+            best_mode, best_cost = 0, None
+            for mode in range(14):
+                cost = 0
+                for y in range(y0, y1):
+                    base = y * w
+                    for x in range(x0, x1):
+                        i = base + x
+                        pred = _pred_at(ch_px, i, x, y, w, mode)
+                        v = ch_px[i]
+                        for c in range(4):
+                            r = (v[c] - pred[c]) & 255
+                            cost += r if r < 128 else 256 - r
+                    if best_cost is not None and cost >= best_cost:
+                        break
+                if best_cost is None or cost < best_cost:
+                    best_mode, best_cost = mode, cost
+            modes[by * pw + bx] = best_mode
+    res = [0] * (w * h)
+    for i, v in enumerate(ch_px):
+        y, x = divmod(i, w)
+        mode = modes[(y >> size_bits) * pw + (x >> size_bits)]
+        pred = _pred_at(ch_px, i, x, y, w, mode)
+        res[i] = _argb(((v[0] - pred[0]) & 255, (v[1] - pred[1]) & 255,
+                        (v[2] - pred[2]) & 255, (v[3] - pred[3]) & 255))
+    return res, [0xFF000000 | (m << 8) for m in modes]
+
+
+def _inverse_predictor(res, w, h, size_bits, sub):
+    """Inverse predictor transform over residual argb ints."""
+    pw = (w + (1 << size_bits) - 1) >> size_bits
+    ph = (h + (1 << size_bits) - 1) >> size_bits
+    if len(sub) != pw * ph:
+        raise ValueError("vp8l: predictor image size mismatch")
+    out = [None] * len(res)
+    for i, rv in enumerate(res):
+        y, x = divmod(i, w)
+        if y == 0 or x == 0:
+            pred = _pred_at(out, i, x, y, w, 0)
+        else:
+            mode = (sub[(y >> size_bits) * pw + (x >> size_bits)] >> 8) & 255
+            if mode > 13:
+                raise ValueError(f"vp8l: invalid predictor mode {mode}")
+            pred = _pred_at(out, i, x, y, w, mode)
+        r = _ch(rv)
+        out[i] = ((r[0] + pred[0]) & 255, (r[1] + pred[1]) & 255,
+                  (r[2] + pred[2]) & 255, (r[3] + pred[3]) & 255)
+    return [_argb(c) for c in out]
+
+
+# --------------------------------------------------- entropy-coded images
+
+def _write_image_stream(bw: _BitWriter, argb: list[int], w: int, *,
+                        cache_bits: int = 0, min_match: int = 3,
+                        is_level0: bool = False) -> None:
+    """Serialize one entropy-coded image (the spatially-coded main image
+    or a transform's sub-resolution image): color-cache bit(s), the
+    level-0 meta-prefix bit (read between cache info and the codes), five
+    prefix codes, then literals / LZ77 backrefs / cache refs. The caller
+    writes everything upstream (dims, transforms)."""
     n = len(argb)
 
-    # plane-code lookup: raster distance -> smallest neighborhood code
     dist_to_plane: dict[int, int] = {}
     for ci, (dx, dy) in enumerate(_PLANE):
         d = dy * w + dx
@@ -425,8 +566,6 @@ def encode_vp8l(px: np.ndarray, *, cache_bits: int = 0,
     cache = [0] * cache_size
     filled = [False] * cache_size
 
-    # tokenize: ('lit', argb) | ('copy', len, dist_code, extra_bits, extra)
-    #           | ('cache', idx)
     tokens: list[tuple] = []
     gfreq = [0] * (_NUM_LITERALS + _NUM_LENGTH_CODES + cache_size)
     rfreq = [0] * 256
@@ -497,21 +636,13 @@ def encode_vp8l(px: np.ndarray, *, cache_bits: int = 0,
         note_pixel(i)
         i += 1
 
-    bw = _BitWriter()
-    bw.bits(w - 1, 14)
-    bw.bits(h - 1, 14)
-    bw.bits(0, 1)                           # alpha hint: opaque
-    bw.bits(0, 3)                           # version 0
-    if subtract_green:
-        bw.bits(1, 1)                       # transform present
-        bw.bits(2, 2)                       # SUBTRACT_GREEN
-    bw.bits(0, 1)                           # end of transforms
     if cache_size:
         bw.bits(1, 1)
         bw.bits(cache_bits, 4)
     else:
         bw.bits(0, 1)
-    bw.bits(0, 1)                           # no meta prefix codes
+    if is_level0:
+        bw.bits(0, 1)                       # no meta prefix codes
     _, _, gsym = _write_prefix_code(bw, gfreq)
     _, _, rsym = _write_prefix_code(bw, rfreq)
     _, _, bsym = _write_prefix_code(bw, bfreq)
@@ -543,61 +674,39 @@ def encode_vp8l(px: np.ndarray, *, cache_bits: int = 0,
             c, ln = gsym[_NUM_LITERALS + _NUM_LENGTH_CODES + tok[1]]
             bw.code(c, ln)
 
-    payload = b"\x2f" + bw.done()
-    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
-    if len(payload) & 1:
-        chunk += b"\x00"
-    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
-
-# ----------------------------------------------------------------- decode
-
-def decode_vp8l(payload: bytes, *, return_alpha: bool = False) -> np.ndarray:
-    """Decode a RIFF/WEBP VP8L stream (this codec's subset) to an
-    (h, w, 3) uint8 RGB array ((h, w, 4) RGBA with ``return_alpha``)."""
-    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
-        raise ValueError("vp8l: not a RIFF/WEBP container")
-    pos = 12
-    data = None
-    while pos + 8 <= len(payload):
-        fourcc = payload[pos:pos + 4]
-        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
-        body = payload[pos + 8:pos + 8 + size]
-        if len(body) < size:
-            raise ValueError("vp8l: truncated chunk")
-        if fourcc == b"VP8L":
-            data = body
-            break
-        pos += 8 + size + (size & 1)
-    if data is None:
-        raise ValueError("vp8l: no VP8L chunk")
-    if not data or data[0] != 0x2F:
-        raise ValueError("vp8l: bad signature byte")
-    br = _BitReader(data[1:])
-    w = br.bits(14) + 1
-    h = br.bits(14) + 1
-    br.bit()                                # alpha hint (informational)
-    if br.bits(3) != 0:
-        raise ValueError("vp8l: unsupported version")
-
-    subtract_green = False
-    while br.bit():
-        ttype = br.bits(2)
-        if ttype == 2:
-            if subtract_green:
-                raise ValueError("vp8l: duplicate SUBTRACT_GREEN transform")
-            subtract_green = True
-        else:
-            raise ValueError(
-                f"vp8l: transform type {ttype} outside this codec's subset "
-                "(PREDICTOR/COLOR/COLOR_INDEXING not implemented)")
+def _read_image_stream(br: _BitReader, w: int, h: int, *,
+                       is_level0: bool):
+    """Decode one entropy-coded image; at level 0 also reads the
+    transform list (recursing into predictor sub-resolution images).
+    Returns (argb_list, transforms) — transforms in read order."""
+    transforms: list[tuple] = []
+    if is_level0:
+        seen = set()
+        while br.bit():
+            ttype = br.bits(2)
+            if ttype in seen:
+                raise ValueError("vp8l: duplicate transform")
+            seen.add(ttype)
+            if ttype == 2:
+                transforms.append(("subtract_green",))
+            elif ttype == 0:
+                size_bits = br.bits(3) + 2
+                pw = (w + (1 << size_bits) - 1) >> size_bits
+                ph = (h + (1 << size_bits) - 1) >> size_bits
+                sub, _ = _read_image_stream(br, pw, ph, is_level0=False)
+                transforms.append(("predictor", size_bits, sub))
+            else:
+                raise ValueError(
+                    f"vp8l: transform type {ttype} outside this codec's "
+                    "subset (COLOR/COLOR_INDEXING not implemented)")
 
     cache_bits = 0
     if br.bit():
         cache_bits = br.bits(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError("vp8l: bad color-cache size")
-    if br.bit():
+    if is_level0 and br.bit():
         raise ValueError("vp8l: meta prefix codes outside this codec's subset")
 
     cache_size = (1 << cache_bits) if cache_bits else 0
@@ -648,13 +757,113 @@ def decode_vp8l(payload: bytes, *, return_alpha: bool = False) -> np.ndarray:
                 raise ValueError("vp8l: color-cache index out of range")
             out[i] = cache[idx]
             i += 1
+    return out, transforms
+
+
+# ----------------------------------------------------------------- encode
+
+def encode_vp8l(px: np.ndarray, *, cache_bits: int = 0,
+                subtract_green: bool = False,
+                predictor_bits: int | None = None,
+                min_match: int = 3) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a RIFF/WEBP VP8L stream.
+
+    ``predictor_bits`` (2..9) enables the PREDICTOR transform with
+    2^bits × 2^bits blocks: the cheapest of the spec's 14 spatial
+    predictors is chosen per block, the mode image rides as an
+    entropy-coded sub-resolution image, and the main image codes the
+    residuals. ``subtract_green`` composes with it (applied first, as
+    the transform order in the stream dictates)."""
+    if px.dtype != np.uint8 or px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_vp8l expects (h, w, 3) uint8")
+    if not 0 <= cache_bits <= 11:
+        raise ValueError("cache_bits must be in [0, 11]")
+    if predictor_bits is not None and not 2 <= predictor_bits <= 9:
+        raise ValueError("predictor_bits must be in [2, 9]")
+    h, w = px.shape[:2]
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("vp8l dimensions out of range")
+    r = px[:, :, 0].astype(np.int32)
+    g = px[:, :, 1].astype(np.int32)
+    b = px[:, :, 2].astype(np.int32)
+    if subtract_green:
+        r = (r - g) & 0xFF
+        b = (b - g) & 0xFF
+    argb = ((0xFF << 24) | (r << 16) | (g << 8) | b).ravel().tolist()
+
+    bw = _BitWriter()
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(0, 1)                           # alpha hint: opaque
+    bw.bits(0, 3)                           # version 0
+    if subtract_green:
+        bw.bits(1, 1)                       # transform present
+        bw.bits(2, 2)                       # SUBTRACT_GREEN
+    if predictor_bits is not None:
+        ch_px = [_ch(v) for v in argb]
+        argb, mode_img = _apply_predictor(ch_px, w, h, predictor_bits)
+        bw.bits(1, 1)                       # transform present
+        bw.bits(0, 2)                       # PREDICTOR
+        bw.bits(predictor_bits - 2, 3)
+        pw = (w + (1 << predictor_bits) - 1) >> predictor_bits
+        _write_image_stream(bw, mode_img, pw, cache_bits=0,
+                            min_match=min_match)
+    bw.bits(0, 1)                           # end of transforms
+    _write_image_stream(bw, argb, w, cache_bits=cache_bits,
+                        min_match=min_match, is_level0=True)
+
+    payload = b"\x2f" + bw.done()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# ----------------------------------------------------------------- decode
+
+def decode_vp8l(payload: bytes, *, return_alpha: bool = False) -> np.ndarray:
+    """Decode a RIFF/WEBP VP8L stream (this codec's subset: PREDICTOR and
+    SUBTRACT_GREEN transforms, color cache, LZ77, all prefix-code forms)
+    to an (h, w, 3) uint8 RGB array ((h, w, 4) RGBA with
+    ``return_alpha``)."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("vp8l: not a RIFF/WEBP container")
+    pos = 12
+    data = None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("vp8l: truncated chunk")
+        if fourcc == b"VP8L":
+            data = body
+            break
+        pos += 8 + size + (size & 1)
+    if data is None:
+        raise ValueError("vp8l: no VP8L chunk")
+    if not data or data[0] != 0x2F:
+        raise ValueError("vp8l: bad signature byte")
+    br = _BitReader(data[1:])
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bit()                                # alpha hint (informational)
+    if br.bits(3) != 0:
+        raise ValueError("vp8l: unsupported version")
+
+    out, transforms = _read_image_stream(br, w, h, is_level0=True)
+
+    # inverse transforms run in REVERSE read order (spec)
+    for t in reversed(transforms):
+        if t[0] == "predictor":
+            out = _inverse_predictor(out, w, h, t[1], t[2])
 
     arr = np.array(out, dtype=np.uint32).reshape(h, w)
     a = (arr >> 24).astype(np.uint8)
     r = ((arr >> 16) & 0xFF).astype(np.int32)
     g = ((arr >> 8) & 0xFF).astype(np.int32)
     b = (arr & 0xFF).astype(np.int32)
-    if subtract_green:
+    if any(t[0] == "subtract_green" for t in transforms):
         r = (r + g) & 0xFF
         b = (b + g) & 0xFF
     if return_alpha:

@@ -8206,7 +8206,7 @@ def pca_variance_embeddings(sf_dir: str):
 # duration/RMS/dims/luma/hash from the bytes alone (same protocol as the
 # corpus _expected sidecar).
 
-_MEDIA_CACHE = "/tmp/logray/media/v2"  # v2: jpeg fixture grew thumb truth
+_MEDIA_CACHE = "/tmp/logray/media/v3"  # v3: webpl fixture grew PREDICTOR configs
 
 
 def _media_path(kind: str) -> str:

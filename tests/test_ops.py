@@ -2586,9 +2586,13 @@ def test_vp8l_roundtrip_matrix():
                        + np.arange(w)[None, :, None] * 5
                        + np.arange(3)[None, None, :] * 40) % 256
                       ).astype(np.uint8)
-            for cb, sg in [(0, False), (4, False), (6, True), (2, True)]:
-                enc = encode_vp8l(px, cache_bits=cb, subtract_green=sg)
-                assert np.array_equal(decode_vp8l(enc), px), (si, kind, cb, sg)
+            for cb, sg, pb in [(0, False, None), (4, False, None),
+                               (6, True, None), (2, True, None),
+                               (0, False, 3), (4, True, 2), (2, False, 5)]:
+                enc = encode_vp8l(px, cache_bits=cb, subtract_green=sg,
+                                  predictor_bits=pb)
+                assert np.array_equal(decode_vp8l(enc), px), \
+                    (si, kind, cb, sg, pb)
                 meta = parse_webp_meta(enc)
                 assert meta["variant"] == "lossless"
                 assert not meta["has_alpha"]
@@ -2661,8 +2665,10 @@ def test_vp8l_rejects_corruption_and_unsupported():
     with pytest.raises(ValueError, match="version"):
         decode_vp8l(craft(dims + [(5, 3)]))
     with pytest.raises(ValueError, match="subset"):
-        # PREDICTOR transform (type 0) is outside the codec's subset
-        decode_vp8l(craft(dims + [(0, 3), (1, 1), (0, 2)]))
+        # COLOR transform (type 1) is outside the codec's subset
+        decode_vp8l(craft(dims + [(0, 3), (1, 1), (1, 2)]))
+    with pytest.raises(ValueError, match="duplicate transform"):
+        decode_vp8l(craft(dims + [(0, 3), (1, 1), (2, 2), (1, 1), (2, 2)]))
     with pytest.raises(ValueError, match="subset"):
         # meta prefix codes (entropy image) likewise
         decode_vp8l(craft(dims + [(0, 3), (0, 1), (0, 1), (1, 1)]))
@@ -2702,3 +2708,54 @@ def test_vp8l_fixture_and_stage():
     assert out["height"].to_pylist() == t["true_height"].to_pylist()
     assert out["mean_luma"].to_pylist() == t["true_mean_luma"].to_pylist()
     assert out["phash64"].to_pylist() == t["true_ahash"].to_pylist()
+
+
+def test_vp8l_predictor_transform():
+    """The PREDICTOR transform earns its keep (gradient images compress
+    several× smaller than literal coding) and the decoder enforces the
+    transform contract: mode values above 13 in the sub-resolution image
+    and predictor streams truncated mid-sub-image raise ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from logray.ops.vp8lcodec import (_BitWriter, _write_image_stream,
+                                      decode_vp8l, encode_vp8l)
+
+    gy = np.linspace(0, 120, 48)[:, None, None]
+    gx = np.linspace(0, 77, 40)[None, :, None]
+    px = ((10 + gy + gx) % 256).astype(np.uint8).repeat(3, axis=2)[:, :, :3]
+    plain = encode_vp8l(px, subtract_green=True)
+    pred = encode_vp8l(px, subtract_green=True, predictor_bits=4)
+    # gray gradient: subtract-green already zeroes r/b, so the win is
+    # bounded; a colored gradient shows the full predictor effect below
+    assert len(pred) < int(len(plain) * 0.8)
+    assert np.array_equal(decode_vp8l(pred), px)
+    base = np.random.default_rng(2).integers(0, 256, size=(1, 1, 3))
+    color = ((base + gy * 1.7 + gx * 0.9) % 256).astype(np.uint8)
+    plain_c = encode_vp8l(color, subtract_green=True)
+    pred_c = encode_vp8l(color, subtract_green=True, predictor_bits=4)
+    assert len(pred_c) < len(plain_c) // 2
+    assert np.array_equal(decode_vp8l(pred_c), color)
+
+    def wrap(bw: _BitWriter) -> bytes:
+        payload = b"\x2f" + bw.done()
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunk += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    # 8×8 image, predictor blocks 4×4 → 2×2 mode image carrying mode 14
+    bw = _BitWriter()
+    for val, n in [(7, 14), (7, 14), (0, 1), (0, 3), (1, 1), (0, 2), (0, 3)]:
+        bw.bits(val, n)
+    _write_image_stream(bw, [0xFF000000 | (14 << 8)] * 4, 2)
+    bw.bits(0, 1)                       # end of transforms
+    _write_image_stream(bw, [0xFF000000 | (1 << 16)] * 64, 8,
+                        is_level0=True)
+    with pytest.raises(ValueError, match="invalid predictor mode"):
+        decode_vp8l(wrap(bw))
+
+    with pytest.raises(ValueError):     # truncated inside the sub-image
+        decode_vp8l(pred[:pred.index(b"VP8L") + 16])
