@@ -838,19 +838,24 @@ def make_png_media_table(n: int, seed: int = 15) -> pa.Table:
 def make_webpl_media_table(n: int, seed: int = 24) -> pa.Table:
     """n REAL WebP-lossless (VP8L) images cycling content kinds (noise /
     tiled-repetitive so LZ77 backrefs dominate / smooth gradient) and
-    encoder configurations (color cache off/4/6 bits × SUBTRACT_GREEN ×
-    the PREDICTOR transform with 8/16-pixel blocks), with 1-pixel-wide
-    images guaranteed present. Same analytic truth sidecar as the
-    P6/BMP/PNG lanes: the distributed decoder must reproduce dims /
-    Rec.601 luma / ahash from the compressed bytes alone (lossless, so
-    equality is exact)."""
+    encoder configurations spanning the FULL format: color cache,
+    SUBTRACT_GREEN, the 14-mode PREDICTOR, the cross-color COLOR
+    transform, meta prefix codes (two real groups), and — on the
+    low-color tiled images — COLOR_INDEXING with pixel bundling.
+    1-pixel-wide images guaranteed present. Same analytic truth sidecar
+    as the P6/BMP/PNG lanes: the distributed decoder must reproduce
+    dims / Rec.601 luma / ahash from the compressed bytes alone
+    (lossless, so equality is exact)."""
     from .vp8lcodec import encode_vp8l
 
     rng = np.random.default_rng(seed)
     rows = {"media_id": [], "payload": [], "true_width": [],
             "true_height": [], "true_mean_luma": [], "true_ahash": []}
-    configs = [(0, False, None), (4, True, None), (6, False, 4),
-               (4, False, 3), (6, True, None), (0, True, 4)]
+    configs = [dict(), dict(cache_bits=4, subtract_green=True),
+               dict(cache_bits=6, predictor_bits=4),
+               dict(color_bits=4, cache_bits=4),
+               dict(meta_bits=3, cache_bits=4, subtract_green=True),
+               dict(predictor_bits=3, subtract_green=True, cache_bits=6)]
     for i in range(n):
         w = 1 if i % 7 == 3 else int(rng.integers(8, 72))
         h = int(rng.integers(8, 72))
@@ -866,12 +871,12 @@ def make_webpl_media_table(n: int, seed: int = 24) -> pa.Table:
             gy = np.linspace(0, rng.integers(1, 128), h)[:, None, None]
             gx = np.linspace(0, rng.integers(1, 128), w)[None, :, None]
             px = ((base + gy + gx) % 256).astype(np.uint8)
-        cache_bits, sg, pred = configs[i % len(configs)]
+        cfg = configs[i % len(configs)]
+        if kind == 1 and i % 4 == 1:
+            cfg = dict(palette=True)    # tiles have ≤16 colors → bundling
         luma = _luma(px)
         rows["media_id"].append(i)
-        rows["payload"].append(
-            encode_vp8l(px, cache_bits=cache_bits, subtract_green=sg,
-                        predictor_bits=pred))
+        rows["payload"].append(encode_vp8l(px, **cfg))
         rows["true_width"].append(w)
         rows["true_height"].append(h)
         rows["true_mean_luma"].append(round(float(luma.mean()) / 255.0, 6))

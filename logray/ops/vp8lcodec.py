@@ -12,30 +12,38 @@ or LZ77 backward references whose lengths/distances use the
 ``(prefix, extra-bits)`` scheme and whose short distances go through
 the 120-entry close-neighborhood plane-code mapping.
 
-The PREDICTOR transform is implemented end-to-end: the encoder picks
-the cheapest of the spec's 14 spatial predictors per 2^b × 2^b block,
-ships the mode image as an entropy-coded sub-resolution image (the
-recursive image-stream form), and codes residuals; the decoder runs the
-inverse transforms in reverse bitstream order with the spec's edge
-rules (top-left predicts black, row 0 predicts L, column 0 predicts T,
-the rightmost column's top-right wraps to the current row's first
-pixel).
+ALL FOUR spec transforms are implemented end-to-end, plus meta prefix
+codes — this is a complete VP8L decoder, not a subset:
 
-The decoder is a full inverse for that subset and validates what the
-spec validates: signature/version, prefix-code completeness (Kraft),
-repeat overruns, in-bounds distances and cache indices, predictor-mode
-range, duplicate transforms, bitstream overrun. Round-trip is bit-exact
-on pixels (lossless), so the pipeline lane's truth sidecar (dims /
-luma / ahash computed from the ORIGINAL pixels) is reproduced exactly
-from compressed bytes.
+- PREDICTOR: the encoder picks the cheapest of the 14 spatial
+  predictors per 2^b × 2^b block, ships the mode image as a recursive
+  entropy-coded sub-resolution image, codes residuals; the decoder
+  applies the spec's edge rules (top-left predicts black, row 0
+  predicts L, column 0 predicts T, the rightmost column's top-right
+  wraps to the current row's first pixel).
+- COLOR (cross-color): per-block green→red / green→blue / red→blue
+  3.5-fixed-point signed multipliers ((int8)t * (int8)c >> 5); the
+  blue reconstruction uses the already-reconstructed red, so the
+  forward direction uses the original red.
+- SUBTRACT_GREEN: r/b deltas against green.
+- COLOR_INDEXING: delta-coded palette image + pixel bundling (2/4/8
+  indices per green byte for palettes ≤16/≤4/≤2 colors, earliest pixel
+  in the least significant bits); bundling shrinks the coded width for
+  every later read, tracked per-transform for the inverse.
+- Meta prefix codes: an entropy image maps 2^b-pixel blocks to prefix-
+  code groups ((red<<8)|green); every symbol is coded with its pixel's
+  group. The encoder exercises a real two-group split.
 
-Subset scope (documented, not hidden): no COLOR (cross-color) /
-COLOR_INDEXING (palette) transforms and no meta-prefix codes — the
-encoder never emits them and the decoder raises on streams that use
-them. General-encoder WebP files using those features are outside the
-subset. Bit-order conventions follow the public spec (RFC 9649):
-non-prefix values LSB-first, prefix codes MSB-first, canonical code
-assignment as in DEFLATE.
+Inverse transforms run in REVERSE bitstream order, each at the width
+recorded when it was read. The decoder validates what the spec
+validates: signature/version, prefix-code completeness (Kraft), repeat
+overruns, in-bounds distances / cache indices / palette indices,
+predictor-mode range, duplicate transforms, bitstream overrun.
+Round-trip is bit-exact on pixels (lossless), so the pipeline lane's
+truth sidecar (dims / luma / ahash computed from the ORIGINAL pixels)
+is reproduced exactly from compressed bytes. Bit-order conventions
+follow the public spec (RFC 9649): non-prefix values LSB-first, prefix
+codes MSB-first, canonical code assignment as in DEFLATE.
 
 Cross-implementation caveat (same status as the GIF/JPEG lanes): no
 imaging library exists in this container, so conformance is established
@@ -310,8 +318,15 @@ def _write_prefix_code(bw: _BitWriter, freqs: list[int]):
             bw.bits(extra, 3)
         elif s == 18:
             bw.bits(extra, 7)
-    sym_bits = {s: (codes[s], lengths[s])
-                for s, ln in enumerate(lengths) if ln}
+    if sum(1 for ln in lengths if ln) == 1:
+        # a normal-coded tree with ONE used symbol decodes with ZERO bits
+        # (the reader's single-symbol tree) — symbols >255 can't take the
+        # simple form, so this path is reachable, e.g. a prefix-code
+        # group whose every token is a backreference
+        sym_bits = {s: (0, 0) for s, ln in enumerate(lengths) if ln}
+    else:
+        sym_bits = {s: (codes[s], lengths[s])
+                    for s, ln in enumerate(lengths) if ln}
     return lengths, codes, sym_bits
 
 
@@ -528,6 +543,8 @@ def _inverse_predictor(res, w, h, size_bits, sub):
     ph = (h + (1 << size_bits) - 1) >> size_bits
     if len(sub) != pw * ph:
         raise ValueError("vp8l: predictor image size mismatch")
+    if len(res) != w * h:
+        raise ValueError("vp8l: predictor input size mismatch")
     out = [None] * len(res)
     for i, rv in enumerate(res):
         y, x = divmod(i, w)
@@ -544,34 +561,182 @@ def _inverse_predictor(res, w, h, size_bits, sub):
     return [_argb(c) for c in out]
 
 
+# ------------------------------------------------ color (cross-color)
+
+def _as_int8(a):
+    """Reinterpret uint8-valued ints as signed int8 (numpy-safe)."""
+    return ((a + 128) % 256) - 128
+
+
+def _color_delta_np(t: int, c):
+    """Vectorized ColorTransformDelta: (int8)t * (int8)c >> 5 (arithmetic
+    shift, matching the C reference)."""
+    return (_as_int8(t) * _as_int8(c)) >> 5
+
+
+def _apply_color(argb, w, h, size_bits):
+    """Forward cross-color transform: per block, pick (green_to_red,
+    green_to_blue, red_to_blue) from a candidate grid minimizing the
+    signed-residual magnitude (numpy-vectorized per candidate); returns
+    (residual argb ints, cte-image argb ints). The r2b delta uses the
+    ORIGINAL red, mirroring the inverse which reconstructs red first."""
+    arr = np.array(argb, dtype=np.uint32).reshape(h, w)
+    red = ((arr >> 16) & 255).astype(np.int64)
+    green = ((arr >> 8) & 255).astype(np.int64)
+    blue = (arr & 255).astype(np.int64)
+    pw = (w + (1 << size_bits) - 1) >> size_bits
+    ph = (h + (1 << size_bits) - 1) >> size_bits
+    cands = (-96, -64, -32, 0, 32, 64, 96)
+    r2b_cands = (-32, 0, 32)
+    ctes = [0] * (pw * ph)
+    new_red = np.zeros_like(red)
+    new_blue = np.zeros_like(blue)
+
+    def mag(x):
+        m = x % 256
+        return np.minimum(m, 256 - m).sum()
+
+    for by in range(ph):
+        y0, y1 = by << size_bits, min((by + 1) << size_bits, h)
+        for bx in range(pw):
+            x0, x1 = bx << size_bits, min((bx + 1) << size_bits, w)
+            rb = red[y0:y1, x0:x1]
+            gb = green[y0:y1, x0:x1]
+            bb = blue[y0:y1, x0:x1]
+            g2r = min(cands, key=lambda t: mag(rb - _color_delta_np(t, gb)))
+            res_r = (rb - _color_delta_np(g2r, gb)) % 256
+            best = None
+            for g2b in cands:
+                part = bb - _color_delta_np(g2b, gb)
+                for r2b in r2b_cands:
+                    cost = mag(part - _color_delta_np(r2b, rb))
+                    if best is None or cost < best[0]:
+                        best = (cost, g2b, r2b)
+            _, g2b, r2b = best
+            res_b = (bb - _color_delta_np(g2b, gb)
+                     - _color_delta_np(r2b, rb)) % 256
+            new_red[y0:y1, x0:x1] = res_r
+            new_blue[y0:y1, x0:x1] = res_b
+            ctes[by * pw + bx] = (0xFF000000 | ((r2b & 255) << 16)
+                                  | ((g2b & 255) << 8) | (g2r & 255))
+    out = ((arr & 0xFF00FF00)
+           | (new_red.astype(np.uint32) << 16)
+           | new_blue.astype(np.uint32))
+    return [int(v) for v in out.ravel()], ctes
+
+
+def _inverse_color(res, w, h, size_bits, sub):
+    """Inverse cross-color transform (vectorized: no sequential pixel
+    dependency — red reconstructs from green alone, blue from green and
+    the reconstructed red)."""
+    pw = (w + (1 << size_bits) - 1) >> size_bits
+    ph = (h + (1 << size_bits) - 1) >> size_bits
+    if len(sub) != pw * ph:
+        raise ValueError("vp8l: color image size mismatch")
+    if len(res) != w * h:
+        raise ValueError("vp8l: color input size mismatch")
+    arr = np.array(res, dtype=np.uint32).reshape(h, w)
+    ys = (np.arange(h) >> size_bits)[:, None]
+    xs = (np.arange(w) >> size_bits)[None, :]
+    cte = np.array(sub, dtype=np.uint32).reshape(ph, pw)[ys, xs]
+    g2r = ((cte & 255)).astype(np.int64)
+    g2b = ((cte >> 8) & 255).astype(np.int64)
+    r2b = ((cte >> 16) & 255).astype(np.int64)
+    red = ((arr >> 16) & 255).astype(np.int64)
+    green = ((arr >> 8) & 255).astype(np.int64)
+    blue = (arr & 255).astype(np.int64)
+    red = (red + (_as_int8(g2r) * _as_int8(green) >> 5)) % 256
+    blue = (blue + (_as_int8(g2b) * _as_int8(green) >> 5)
+            + (_as_int8(r2b) * _as_int8(red) >> 5)) % 256
+    out = ((arr & 0xFF00FF00)
+           | (red.astype(np.uint32) << 16) | blue.astype(np.uint32))
+    return [int(v) for v in out.ravel()]
+
+
+# ------------------------------------------------ color indexing (palette)
+
+def _palette_width_bits(size: int) -> int:
+    return 3 if size <= 2 else 2 if size <= 4 else 1 if size <= 16 else 0
+
+
+def _apply_palette(argb, w, h):
+    """Forward color-indexing transform: order-preserving palette, the
+    spec's delta-coded palette image, and pixel bundling for palettes of
+    at most 16 colors (2/4/8 indices packed into one green byte, earliest
+    pixel in the least significant bits). Returns (packed argb ints,
+    packed width, coded palette argb ints, width_bits) or None when the
+    image has more than 256 distinct colors."""
+    pal: list[int] = []
+    index: dict[int, int] = {}
+    for v in argb:
+        if v not in index:
+            if len(pal) == 256:
+                return None
+            index[v] = len(pal)
+            pal.append(v)
+    width_bits = _palette_width_bits(len(pal))
+    per = 1 << width_bits
+    bpp = 8 >> width_bits
+    packed_w = (w + per - 1) >> width_bits
+    packed = [0] * (packed_w * h)
+    for y in range(h):
+        row = y * w
+        for gx in range(packed_w):
+            gval = 0
+            for k in range(per):
+                x = (gx << width_bits) + k
+                if x >= w:
+                    break
+                gval |= index[argb[row + x]] << (k * bpp)
+            packed[y * packed_w + gx] = 0xFF000000 | (gval << 8)
+    coded = []
+    prev = (0, 0, 0, 0)
+    for v in pal:
+        c = _ch(v)
+        coded.append(_argb(tuple((cc - pc) & 255 for cc, pc in zip(c, prev))))
+        prev = c
+    return packed, packed_w, coded, width_bits
+
+
+def _inverse_palette(packed, packed_w, w, h, pal, width_bits):
+    """Inverse color-indexing: unbundle indices from the green channel
+    and look them up; out-of-range indices raise (strict, unlike decoders
+    that emit black)."""
+    if len(packed) != packed_w * h:
+        raise ValueError("vp8l: palette input size mismatch")
+    per = 1 << width_bits
+    bpp = 8 >> width_bits
+    mask = (1 << bpp) - 1
+    npal = len(pal)
+    out = [0] * (w * h)
+    for y in range(h):
+        prow = y * packed_w
+        orow = y * w
+        for x in range(w):
+            green = (packed[prow + (x >> width_bits)] >> 8) & 255
+            idx = (green >> ((x % per) * bpp)) & mask
+            if idx >= npal:
+                raise ValueError("vp8l: palette index out of range")
+            out[orow + x] = pal[idx]
+    return out
+
+
 # --------------------------------------------------- entropy-coded images
 
-def _write_image_stream(bw: _BitWriter, argb: list[int], w: int, *,
-                        cache_bits: int = 0, min_match: int = 3,
-                        is_level0: bool = False) -> None:
-    """Serialize one entropy-coded image (the spatially-coded main image
-    or a transform's sub-resolution image): color-cache bit(s), the
-    level-0 meta-prefix bit (read between cache info and the codes), five
-    prefix codes, then literals / LZ77 backrefs / cache refs. The caller
-    writes everything upstream (dims, transforms)."""
+def _tokenize_stream(argb, w, *, cache_bits, min_match):
+    """LZ77 + color-cache tokenization shared by all group layouts.
+    Returns (tokens, positions): token k starts at pixel positions[k]."""
     n = len(argb)
-
     dist_to_plane: dict[int, int] = {}
     for ci, (dx, dy) in enumerate(_PLANE):
         d = dy * w + dx
         if d >= 1 and d not in dist_to_plane:
             dist_to_plane[d] = ci + 1
-
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [0] * cache_size
     filled = [False] * cache_size
-
     tokens: list[tuple] = []
-    gfreq = [0] * (_NUM_LITERALS + _NUM_LENGTH_CODES + cache_size)
-    rfreq = [0] * 256
-    bfreq = [0] * 256
-    afreq = [0] * 256
-    dfreq = [0] * _NUM_DIST_CODES
+    positions: list[int] = []
     chains: dict[tuple[int, int], list[int]] = {}
 
     def note_pixel(pos: int) -> None:
@@ -612,9 +777,8 @@ def _write_image_stream(bw: _BitWriter, argb: list[int], w: int, *,
             dist_code = dist_to_plane.get(best_dist, best_dist + 120)
             lsym, lxb, lxv = _prefix_encode(best_len)
             dsym, dxb, dxv = _prefix_encode(dist_code)
-            gfreq[_NUM_LITERALS + lsym] += 1
-            dfreq[dsym] += 1
             tokens.append(("copy", lsym, lxb, lxv, dsym, dxb, dxv))
+            positions.append(i)
             for k in range(best_len):
                 note_pixel(i + k)
             i += best_len
@@ -623,18 +787,79 @@ def _write_image_stream(bw: _BitWriter, argb: list[int], w: int, *,
         if cache_size:
             k = _cache_key(v, cache_bits)
             if filled[k] and cache[k] == v:
-                gfreq[_NUM_LITERALS + _NUM_LENGTH_CODES + k] += 1
                 tokens.append(("cache", k))
+                positions.append(i)
                 note_pixel(i)
                 i += 1
                 continue
-        gfreq[(v >> 8) & 0xFF] += 1
-        rfreq[(v >> 16) & 0xFF] += 1
-        bfreq[v & 0xFF] += 1
-        afreq[(v >> 24) & 0xFF] += 1
         tokens.append(("lit", v))
+        positions.append(i)
         note_pixel(i)
         i += 1
+    return tokens, positions
+
+
+def _write_image_stream(bw: _BitWriter, argb: list[int], w: int, *,
+                        cache_bits: int = 0, min_match: int = 3,
+                        is_level0: bool = False,
+                        meta_bits: int | None = None) -> None:
+    """Serialize one entropy-coded image (the spatially-coded main image
+    or a transform's sub-resolution image): color-cache bit(s), the
+    level-0 meta-prefix bit — with an optional REAL meta-prefix layout
+    when ``meta_bits`` is set: the entropy image maps each 2^b × 2^b
+    block to a prefix-code group, frequencies accumulate per group, and
+    every token is coded with its start pixel's group — then the groups'
+    prefix codes and the token stream. The caller writes everything
+    upstream (dims, transforms)."""
+    n = len(argb)
+    h = (n + w - 1) // w
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    tokens, positions = _tokenize_stream(argb, w, cache_bits=cache_bits,
+                                         min_match=min_match)
+
+    if meta_bits is not None:
+        if not is_level0:
+            raise ValueError("meta prefix codes are a level-0 feature")
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        # two groups: top half of meta rows vs bottom half (exercises
+        # real group switching without an open-ended search)
+        split = max(1, mh // 2)
+        meta_img = [0xFF000000 | ((0 if my < split else 1) << 8)
+                    for my in range(mh) for _ in range(mw)]
+        ngroups = 2 if mh > 1 else 1
+
+        def group_of(pos: int) -> int:
+            y, x = divmod(pos, w)
+            return (meta_img[(y >> meta_bits) * mw
+                             + (x >> meta_bits)] >> 8) & 0xFFFF
+    else:
+        ngroups = 1
+
+        def group_of(pos: int) -> int:
+            return 0
+
+    gfreq = [[0] * (_NUM_LITERALS + _NUM_LENGTH_CODES + cache_size)
+             for _ in range(ngroups)]
+    rfreq = [[0] * 256 for _ in range(ngroups)]
+    bfreq = [[0] * 256 for _ in range(ngroups)]
+    afreq = [[0] * 256 for _ in range(ngroups)]
+    dfreq = [[0] * _NUM_DIST_CODES for _ in range(ngroups)]
+    tok_groups = []
+    for tok, pos in zip(tokens, positions):
+        gi = group_of(pos)
+        tok_groups.append(gi)
+        if tok[0] == "lit":
+            v = tok[1]
+            gfreq[gi][(v >> 8) & 0xFF] += 1
+            rfreq[gi][(v >> 16) & 0xFF] += 1
+            bfreq[gi][v & 0xFF] += 1
+            afreq[gi][(v >> 24) & 0xFF] += 1
+        elif tok[0] == "copy":
+            gfreq[gi][_NUM_LITERALS + tok[1]] += 1
+            dfreq[gi][tok[4]] += 1
+        else:
+            gfreq[gi][_NUM_LITERALS + _NUM_LENGTH_CODES + tok[1]] += 1
 
     if cache_size:
         bw.bits(1, 1)
@@ -642,14 +867,25 @@ def _write_image_stream(bw: _BitWriter, argb: list[int], w: int, *,
     else:
         bw.bits(0, 1)
     if is_level0:
-        bw.bits(0, 1)                       # no meta prefix codes
-    _, _, gsym = _write_prefix_code(bw, gfreq)
-    _, _, rsym = _write_prefix_code(bw, rfreq)
-    _, _, bsym = _write_prefix_code(bw, bfreq)
-    _, _, asym = _write_prefix_code(bw, afreq)
-    _, _, dsym_codes = _write_prefix_code(bw, dfreq)
+        if meta_bits is not None:
+            bw.bits(1, 1)
+            bw.bits(meta_bits - 2, 3)
+            _write_image_stream(bw, meta_img, mw, cache_bits=0,
+                                min_match=min_match)
+        else:
+            bw.bits(0, 1)               # no meta prefix codes
 
-    for tok in tokens:
+    groups = []
+    for gi in range(ngroups):
+        _, _, gsym = _write_prefix_code(bw, gfreq[gi])
+        _, _, rsym = _write_prefix_code(bw, rfreq[gi])
+        _, _, bsym = _write_prefix_code(bw, bfreq[gi])
+        _, _, asym = _write_prefix_code(bw, afreq[gi])
+        _, _, dsym = _write_prefix_code(bw, dfreq[gi])
+        groups.append((gsym, rsym, bsym, asym, dsym))
+
+    for tok, gi in zip(tokens, tok_groups):
+        gsym, rsym, bsym, asym, dsym_codes = groups[gi]
         if tok[0] == "lit":
             v = tok[1]
             c, ln = gsym[(v >> 8) & 0xFF]
@@ -678,8 +914,11 @@ def _write_image_stream(bw: _BitWriter, argb: list[int], w: int, *,
 def _read_image_stream(br: _BitReader, w: int, h: int, *,
                        is_level0: bool):
     """Decode one entropy-coded image; at level 0 also reads the
-    transform list (recursing into predictor sub-resolution images).
-    Returns (argb_list, transforms) — transforms in read order."""
+    transform list (recursing into sub-resolution images for PREDICTOR /
+    COLOR / COLOR_INDEXING) and the meta-prefix entropy image. Returns
+    (argb_list, transforms) — transforms in read order, each carrying
+    the image width in effect when it was read (COLOR_INDEXING shrinks
+    the width for everything downstream via pixel bundling)."""
     transforms: list[tuple] = []
     if is_level0:
         seen = set()
@@ -689,39 +928,67 @@ def _read_image_stream(br: _BitReader, w: int, h: int, *,
                 raise ValueError("vp8l: duplicate transform")
             seen.add(ttype)
             if ttype == 2:
-                transforms.append(("subtract_green",))
-            elif ttype == 0:
+                transforms.append(("subtract_green", w))
+            elif ttype in (0, 1):
                 size_bits = br.bits(3) + 2
                 pw = (w + (1 << size_bits) - 1) >> size_bits
                 ph = (h + (1 << size_bits) - 1) >> size_bits
                 sub, _ = _read_image_stream(br, pw, ph, is_level0=False)
-                transforms.append(("predictor", size_bits, sub))
-            else:
-                raise ValueError(
-                    f"vp8l: transform type {ttype} outside this codec's "
-                    "subset (COLOR/COLOR_INDEXING not implemented)")
+                kind = "predictor" if ttype == 0 else "color"
+                transforms.append((kind, w, size_bits, sub))
+            else:                       # ttype == 3: COLOR_INDEXING
+                psize = br.bits(8) + 1
+                coded, _ = _read_image_stream(br, psize, 1,
+                                              is_level0=False)
+                pal = []
+                prev = (0, 0, 0, 0)
+                for v in coded:
+                    c = _ch(v)
+                    prev = tuple((pc + cc) & 255 for pc, cc in zip(prev, c))
+                    pal.append(_argb(prev))
+                width_bits = _palette_width_bits(psize)
+                transforms.append(("palette", w, pal, width_bits))
+                w = (w + (1 << width_bits) - 1) >> width_bits
 
     cache_bits = 0
     if br.bit():
         cache_bits = br.bits(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError("vp8l: bad color-cache size")
+
+    meta = None
+    ngroups = 1
     if is_level0 and br.bit():
-        raise ValueError("vp8l: meta prefix codes outside this codec's subset")
+        meta_bits = br.bits(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img, _ = _read_image_stream(br, mw, mh, is_level0=False)
+        meta = (meta_bits, mw, [((v >> 8) & 0xFFFF) for v in meta_img])
+        ngroups = max(meta[2]) + 1
 
     cache_size = (1 << cache_bits) if cache_bits else 0
-    gtree = _read_prefix_code(
-        br, _NUM_LITERALS + _NUM_LENGTH_CODES + cache_size)
-    rtree = _read_prefix_code(br, 256)
-    btree = _read_prefix_code(br, 256)
-    atree = _read_prefix_code(br, 256)
-    dtree = _read_prefix_code(br, _NUM_DIST_CODES)
+    groups = []
+    for _ in range(ngroups):
+        gtree = _read_prefix_code(
+            br, _NUM_LITERALS + _NUM_LENGTH_CODES + cache_size)
+        rtree = _read_prefix_code(br, 256)
+        btree = _read_prefix_code(br, 256)
+        atree = _read_prefix_code(br, 256)
+        dtree = _read_prefix_code(br, _NUM_DIST_CODES)
+        groups.append((gtree, rtree, btree, atree, dtree))
 
     n = w * h
     out = [0] * n
     cache = [0] * cache_size
     i = 0
     while i < n:
+        if meta is None:
+            gtree, rtree, btree, atree, dtree = groups[0]
+        else:
+            meta_bits, mw, mvals = meta
+            y, x = divmod(i, w)
+            gi = mvals[(y >> meta_bits) * mw + (x >> meta_bits)]
+            gtree, rtree, btree, atree, dtree = groups[gi]
         s = gtree.read(br)
         if s < _NUM_LITERALS:
             green = s
@@ -765,21 +1032,33 @@ def _read_image_stream(br: _BitReader, w: int, h: int, *,
 def encode_vp8l(px: np.ndarray, *, cache_bits: int = 0,
                 subtract_green: bool = False,
                 predictor_bits: int | None = None,
+                color_bits: int | None = None,
+                palette: bool = False,
+                meta_bits: int | None = None,
                 min_match: int = 3) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a RIFF/WEBP VP8L stream.
 
-    ``predictor_bits`` (2..9) enables the PREDICTOR transform with
-    2^bits × 2^bits blocks: the cheapest of the spec's 14 spatial
-    predictors is chosen per block, the mode image rides as an
-    entropy-coded sub-resolution image, and the main image codes the
-    residuals. ``subtract_green`` composes with it (applied first, as
-    the transform order in the stream dictates)."""
+    All four spec transforms are available: ``subtract_green``;
+    ``predictor_bits`` (2..9) for the 14-mode spatial predictor;
+    ``color_bits`` (2..9) for the cross-color transform (per-block
+    green→red / green→blue / red→blue 3.5-fixed-point multipliers);
+    ``palette=True`` for color indexing with the spec's delta-coded
+    palette image and pixel bundling (requires ≤256 distinct colors and
+    excludes the other transforms, matching how real encoders use it).
+    ``meta_bits`` (2..9) enables meta prefix codes: a real two-group
+    entropy image splitting the image's upper and lower meta-block rows.
+    Transforms are applied in stream-read order (SG → COLOR → PREDICTOR)
+    and inverted by the decoder in reverse."""
     if px.dtype != np.uint8 or px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("encode_vp8l expects (h, w, 3) uint8")
     if not 0 <= cache_bits <= 11:
         raise ValueError("cache_bits must be in [0, 11]")
-    if predictor_bits is not None and not 2 <= predictor_bits <= 9:
-        raise ValueError("predictor_bits must be in [2, 9]")
+    for name, val in (("predictor_bits", predictor_bits),
+                      ("color_bits", color_bits), ("meta_bits", meta_bits)):
+        if val is not None and not 2 <= val <= 9:
+            raise ValueError(f"{name} must be in [2, 9]")
+    if palette and (subtract_green or predictor_bits or color_bits):
+        raise ValueError("palette excludes the pixel-space transforms")
     h, w = px.shape[:2]
     if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
         raise ValueError("vp8l dimensions out of range")
@@ -796,21 +1075,39 @@ def encode_vp8l(px: np.ndarray, *, cache_bits: int = 0,
     bw.bits(h - 1, 14)
     bw.bits(0, 1)                           # alpha hint: opaque
     bw.bits(0, 3)                           # version 0
+    code_w = w
+    if palette:
+        packed = _apply_palette(argb, w, h)
+        if packed is None:
+            raise ValueError("palette requires <=256 distinct colors")
+        argb, code_w, coded_pal, width_bits = packed
+        bw.bits(1, 1)                       # transform present
+        bw.bits(3, 2)                       # COLOR_INDEXING
+        bw.bits(len(coded_pal) - 1, 8)
+        _write_image_stream(bw, coded_pal, len(coded_pal),
+                            min_match=min_match)
     if subtract_green:
         bw.bits(1, 1)                       # transform present
         bw.bits(2, 2)                       # SUBTRACT_GREEN
+    if color_bits is not None:
+        argb, cte_img = _apply_color(argb, w, h, color_bits)
+        bw.bits(1, 1)
+        bw.bits(1, 2)                       # COLOR
+        bw.bits(color_bits - 2, 3)
+        cw = (w + (1 << color_bits) - 1) >> color_bits
+        _write_image_stream(bw, cte_img, cw, min_match=min_match)
     if predictor_bits is not None:
         ch_px = [_ch(v) for v in argb]
         argb, mode_img = _apply_predictor(ch_px, w, h, predictor_bits)
-        bw.bits(1, 1)                       # transform present
+        bw.bits(1, 1)
         bw.bits(0, 2)                       # PREDICTOR
         bw.bits(predictor_bits - 2, 3)
         pw = (w + (1 << predictor_bits) - 1) >> predictor_bits
-        _write_image_stream(bw, mode_img, pw, cache_bits=0,
-                            min_match=min_match)
+        _write_image_stream(bw, mode_img, pw, min_match=min_match)
     bw.bits(0, 1)                           # end of transforms
-    _write_image_stream(bw, argb, w, cache_bits=cache_bits,
-                        min_match=min_match, is_level0=True)
+    _write_image_stream(bw, argb, code_w, cache_bits=cache_bits,
+                        min_match=min_match, is_level0=True,
+                        meta_bits=meta_bits)
 
     payload = b"\x2f" + bw.done()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
@@ -822,10 +1119,12 @@ def encode_vp8l(px: np.ndarray, *, cache_bits: int = 0,
 # ----------------------------------------------------------------- decode
 
 def decode_vp8l(payload: bytes, *, return_alpha: bool = False) -> np.ndarray:
-    """Decode a RIFF/WEBP VP8L stream (this codec's subset: PREDICTOR and
-    SUBTRACT_GREEN transforms, color cache, LZ77, all prefix-code forms)
-    to an (h, w, 3) uint8 RGB array ((h, w, 4) RGBA with
-    ``return_alpha``)."""
+    """Decode a RIFF/WEBP VP8L stream to an (h, w, 3) uint8 RGB array
+    ((h, w, 4) RGBA with ``return_alpha``). The full lossless format is
+    supported: all four transforms (PREDICTOR, COLOR, SUBTRACT_GREEN,
+    COLOR_INDEXING incl. pixel bundling), color cache, LZ77 with
+    plane-code distances, meta prefix codes, and every prefix-code
+    serialization form."""
     if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("vp8l: not a RIFF/WEBP container")
     pos = 12
@@ -853,19 +1152,31 @@ def decode_vp8l(payload: bytes, *, return_alpha: bool = False) -> np.ndarray:
 
     out, transforms = _read_image_stream(br, w, h, is_level0=True)
 
-    # inverse transforms run in REVERSE read order (spec)
+    # inverse transforms run in REVERSE read order (spec); each runs at
+    # the width recorded when it was read (palette expands the width)
     for t in reversed(transforms):
         if t[0] == "predictor":
-            out = _inverse_predictor(out, w, h, t[1], t[2])
+            out = _inverse_predictor(out, t[1], h, t[2], t[3])
+        elif t[0] == "color":
+            out = _inverse_color(out, t[1], h, t[2], t[3])
+        elif t[0] == "palette":
+            full_w, pal, width_bits = t[1], t[2], t[3]
+            packed_w = (full_w + (1 << width_bits) - 1) >> width_bits
+            out = _inverse_palette(out, packed_w, full_w, h, pal,
+                                   width_bits)
+        else:                               # subtract_green, in place
+            arr = np.array(out, dtype=np.uint32)
+            g = (arr >> 8) & 0xFF
+            r = (((arr >> 16) & 0xFF) + g) & 0xFF
+            b = ((arr & 0xFF) + g) & 0xFF
+            arr = (arr & 0xFF00FF00) | (r << 16) | b
+            out = [int(v) for v in arr]
 
     arr = np.array(out, dtype=np.uint32).reshape(h, w)
     a = (arr >> 24).astype(np.uint8)
     r = ((arr >> 16) & 0xFF).astype(np.int32)
     g = ((arr >> 8) & 0xFF).astype(np.int32)
     b = (arr & 0xFF).astype(np.int32)
-    if any(t[0] == "subtract_green" for t in transforms):
-        r = (r + g) & 0xFF
-        b = (b + g) & 0xFF
     if return_alpha:
         return np.stack([r, g, b, a.astype(np.int32)],
                         axis=-1).astype(np.uint8)

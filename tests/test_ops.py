@@ -2664,13 +2664,13 @@ def test_vp8l_rejects_corruption_and_unsupported():
     dims = [(3, 14), (3, 14), (0, 1)]  # 4×4, no alpha
     with pytest.raises(ValueError, match="version"):
         decode_vp8l(craft(dims + [(5, 3)]))
-    with pytest.raises(ValueError, match="subset"):
-        # COLOR transform (type 1) is outside the codec's subset
-        decode_vp8l(craft(dims + [(0, 3), (1, 1), (1, 2)]))
     with pytest.raises(ValueError, match="duplicate transform"):
         decode_vp8l(craft(dims + [(0, 3), (1, 1), (2, 2), (1, 1), (2, 2)]))
-    with pytest.raises(ValueError, match="subset"):
-        # meta prefix codes (entropy image) likewise
+    with pytest.raises(ValueError, match="overrun"):
+        # COLOR transform announced, stream ends before its sub-image
+        decode_vp8l(craft(dims + [(0, 3), (1, 1), (1, 2)]))
+    with pytest.raises(ValueError, match="overrun"):
+        # meta-prefix bit set, stream ends before the entropy image
         decode_vp8l(craft(dims + [(0, 3), (0, 1), (0, 1), (1, 1)]))
     # systematic bit-flip fuzz: every failure must be ValueError
     rng = np.random.default_rng(13)
@@ -2759,3 +2759,67 @@ def test_vp8l_predictor_transform():
 
     with pytest.raises(ValueError):     # truncated inside the sub-image
         decode_vp8l(pred[:pred.index(b"VP8L") + 16])
+
+
+def test_vp8l_color_palette_and_meta():
+    """The remaining VP8L features round-trip bit-exactly: the
+    cross-color COLOR transform (and it actually helps on
+    channel-correlated content), COLOR_INDEXING across every bundling
+    width (2/4/8 indices per byte and the unbundled >16-color case),
+    meta prefix codes, and transform composition; out-of-range palette
+    indices in a crafted stream raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from logray.ops.vp8lcodec import (_BitWriter, _write_image_stream,
+                                      decode_vp8l, encode_vp8l)
+
+    rng = np.random.default_rng(41)
+    # channel-correlated image: r/b follow g closely -> cross-color wins
+    g = rng.integers(0, 256, size=(40, 40)).astype(np.int32)
+    px = np.stack([(g + rng.integers(-6, 7, g.shape)) % 256,
+                   g,
+                   (g + rng.integers(-6, 7, g.shape)) % 256],
+                  axis=-1).astype(np.uint8)
+    plain = encode_vp8l(px)
+    colored = encode_vp8l(px, color_bits=4, subtract_green=True)
+    assert np.array_equal(decode_vp8l(colored), px)
+    assert len(colored) < len(plain)
+
+    # palette: every bundling width (1/2/4 bits per index) + unbundled
+    for ncol in (2, 4, 13, 200):
+        pal = rng.integers(0, 256, size=(ncol, 3))
+        idx = rng.integers(0, ncol, size=(23, 31))
+        ppx = pal[idx].astype(np.uint8)
+        enc = encode_vp8l(ppx, palette=True)
+        assert np.array_equal(decode_vp8l(enc), ppx), ncol
+    two = encode_vp8l((pal[:2][rng.integers(0, 2, size=(64, 64))]
+                       ).astype(np.uint8), palette=True)
+    assert len(two) < 64 * 64 * 3 // 20  # 1-bit bundling earns its keep
+
+    # meta prefix codes with statistically distinct halves
+    top = rng.integers(0, 32, size=(16, 32, 3))
+    bot = rng.integers(224, 256, size=(16, 32, 3))
+    mpx = np.concatenate([top, bot]).astype(np.uint8)
+    enc = encode_vp8l(mpx, meta_bits=3, cache_bits=4)
+    assert np.array_equal(decode_vp8l(enc), mpx)
+
+    # crafted stream: palette of 5 entries but a packed index of 15
+    bw = _BitWriter()
+    for val, n in [(3, 14), (0, 14), (0, 1), (0, 3)]:  # 4×1 image
+        bw.bits(val, n)
+    bw.bits(1, 1)
+    bw.bits(3, 2)                       # COLOR_INDEXING
+    bw.bits(4, 8)                       # palette size 5 -> 4-bit bundling
+    _write_image_stream(bw, [0xFF000000 | (7 << 8)] * 5, 5)
+    bw.bits(0, 1)                       # end of transforms
+    _write_image_stream(bw, [0xFF00FF00] * 2, 2, is_level0=True)
+    payload = b"\x2f" + bw.done()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    blob = (b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk)
+    with pytest.raises(ValueError, match="palette index out of range"):
+        decode_vp8l(blob)
