@@ -476,11 +476,19 @@ class ResizeImageStage:
             ow, oh = thumb_dims(iw, ih, self.max_side)
             return (encode_jpeg(resize_nearest(px, ow, oh),
                                 quality=THUMB_JPEG_QUALITY), ow, oh)
+        if self.decode == "webp":  # REAL compressed-in/compressed-out #2
+            from .vp8lcodec import decode_vp8l, encode_vp8l
+            px = decode_vp8l(payload)
+            ih, iw = px.shape[:2]
+            ow, oh = thumb_dims(iw, ih, self.max_side)
+            return (encode_vp8l(resize_nearest(px, ow, oh),
+                                subtract_green=True, cache_bits=4), ow, oh)
         if self.decode == "real":
             raise NotImplementedError(
-                "compressed image resize beyond JPEG requires Pillow, not "
-                "available in this container; use decode='jpeg' (REAL "
-                "decode->resample->re-encode), decode='ppm' or decode='fake'")
+                "compressed image resize beyond JPEG/WebP-lossless requires "
+                "Pillow, not available in this container; use decode='jpeg' "
+                "or decode='webp' (REAL decode->resample->re-encode), "
+                "decode='ppm' or decode='fake'")
         if max(w, h) <= self.max_side:
             ow, oh = max(w, 1), max(h, 1)
         elif w >= h:
@@ -850,7 +858,9 @@ def make_webpl_media_table(n: int, seed: int = 24) -> pa.Table:
 
     rng = np.random.default_rng(seed)
     rows = {"media_id": [], "payload": [], "true_width": [],
-            "true_height": [], "true_mean_luma": [], "true_ahash": []}
+            "true_height": [], "true_mean_luma": [], "true_ahash": [],
+            "true_thumb_w": [], "true_thumb_h": [],
+            "true_thumb_luma": [], "true_thumb_ahash": []}
     configs = [dict(), dict(cache_bits=4, subtract_green=True),
                dict(cache_bits=6, predictor_bits=4),
                dict(color_bits=4, cache_bits=4),
@@ -881,6 +891,16 @@ def make_webpl_media_table(n: int, seed: int = 24) -> pa.Table:
         rows["true_height"].append(h)
         rows["true_mean_luma"].append(round(float(luma.mean()) / 255.0, 6))
         rows["true_ahash"].append(_ahash64(luma))
+        # thumbnail truth: the codec is LOSSLESS, so the re-encoded
+        # thumbnail's features equal the resampled pixels' features
+        tw, th = thumb_dims(w, h, THUMB_MAX_SIDE)
+        tpx = resize_nearest(px, tw, th)
+        tluma = _luma(tpx)
+        rows["true_thumb_w"].append(tw)
+        rows["true_thumb_h"].append(th)
+        rows["true_thumb_luma"].append(
+            round(float(tluma.mean()) / 255.0, 6))
+        rows["true_thumb_ahash"].append(_ahash64(tluma))
     return pa.table({
         "media_id": pa.array(rows["media_id"], pa.int64()),
         "payload": pa.array(rows["payload"], pa.binary()),
@@ -888,6 +908,10 @@ def make_webpl_media_table(n: int, seed: int = 24) -> pa.Table:
         "true_height": pa.array(rows["true_height"], pa.int64()),
         "true_mean_luma": pa.array(rows["true_mean_luma"], pa.float64()),
         "true_ahash": pa.array(rows["true_ahash"], pa.uint64()),
+        "true_thumb_w": pa.array(rows["true_thumb_w"], pa.int64()),
+        "true_thumb_h": pa.array(rows["true_thumb_h"], pa.int64()),
+        "true_thumb_luma": pa.array(rows["true_thumb_luma"], pa.float64()),
+        "true_thumb_ahash": pa.array(rows["true_thumb_ahash"], pa.uint64()),
     })
 
 

@@ -3983,6 +3983,12 @@ ORACLE_SQL["webp_features_media"] = f"""
     FROM read_parquet('{_MEDIA}/webpl.parquet')
 """
 
+ORACLE_SQL["webp_resize_media"] = f"""
+    SELECT media_id, true_thumb_w AS thumb_w, true_thumb_h AS thumb_h,
+           true_thumb_luma AS thumb_luma, true_thumb_ahash AS thumb_ahash
+    FROM read_parquet('{_MEDIA}/webpl.parquet')
+"""
+
 ORACLE_SQL["flac_features_media"] = f"""
     SELECT media_id, true_duration_ms AS duration_ms,
            true_rms_db AS rms_db, true_zcr AS zcr

@@ -8474,6 +8474,43 @@ def jpeg_resize_media(sf_dir: str):
         batch_format="pyarrow")
 
 
+def webp_resize_media(sf_dir: str):
+    """Compressed-in/compressed-out thumbnailing #2, with the LOSSLESS
+    VP8L codec: decode → nearest-neighbor resample to max-side-32 →
+    re-encode in one actor-pool stage, then a second decode stage
+    extracts features from the thumbnail bytes. Lossless ⇒ the truth
+    (computed from the resampled pixels at generation time) must match
+    EXACTLY — a stronger bar than the JPEG lane's lossy-chain replay."""
+    import ray.data
+
+    from ..ops.multimodal import (THUMB_MAX_SIDE, DecodeImageStage,
+                                  ResizeImageStage)
+
+    ds = ray.data.read_parquet(_media_path("webpl"),
+                               columns=["media_id", "payload"])
+
+    def pad(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return t.append_column("width", pa.nulls(n, pa.int32())) \
+                .append_column("height", pa.nulls(n, pa.int32()))
+
+    thumbs = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+        ResizeImageStage,
+        fn_constructor_kwargs={"decode": "webp", "max_side": THUMB_MAX_SIDE},
+        concurrency=2, batch_size=32, batch_format="pyarrow")
+    out = thumbs.map_batches(
+        DecodeImageStage, fn_constructor_kwargs={"decode": "webp"},
+        concurrency=2, batch_size=32, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"],
+            "thumb_w": pc.cast(t["width"], pa.int64()),
+            "thumb_h": pc.cast(t["height"], pa.int64()),
+            "thumb_luma": t["mean_luma"],
+            "thumb_ahash": t["phash64"]}),
+        batch_format="pyarrow")
+
+
 def _media_meta_query(kind: str, cols: dict[str, pa.DataType]):
     """Shared shape of the container-METADATA lanes (MP3/MP4/WebP): an
     actor-pool ``MediaMetaStage`` walks each payload's headers only —
@@ -10279,6 +10316,7 @@ QUERIES = {
     "jpeg_features_media": jpeg_features_media,
     "webp_features_media": webp_features_media,
     "warc_ingest_responses": warc_ingest_responses,
+    "webp_resize_media": webp_resize_media,
     "jpeg_resize_media": jpeg_resize_media,
     "ppm_resize_dims_media": ppm_resize_dims_media,
     "multimodal_decode_features": multimodal_decode_features,

@@ -2823,3 +2823,25 @@ def test_vp8l_color_palette_and_meta():
     blob = (b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk)
     with pytest.raises(ValueError, match="palette index out of range"):
         decode_vp8l(blob)
+
+
+def test_vp8l_resize_stage_real_path():
+    """The webp resize stage really decodes, resamples and re-encodes:
+    thumbnail payloads are valid VP8L whose decoded features equal the
+    fixture's generation-time thumbnail truth exactly (lossless chain)."""
+    from logray.ops.multimodal import (THUMB_MAX_SIDE, ResizeImageStage,
+                                       make_webpl_media_table)
+    from logray.ops.vp8lcodec import decode_vp8l
+
+    t = make_webpl_media_table(18)
+    stage = ResizeImageStage(decode="webp", max_side=THUMB_MAX_SIDE)
+    padded = t.append_column("width", pa.nulls(18, pa.int32())) \
+              .append_column("height", pa.nulls(18, pa.int32()))
+    out = stage(padded)
+    assert out["width"].to_pylist() == t["true_thumb_w"].to_pylist()
+    assert out["height"].to_pylist() == t["true_thumb_h"].to_pylist()
+    from logray.ops.multimodal import _ahash64, _luma
+    for i in range(18):
+        px = decode_vp8l(out["payload"][i].as_py())
+        assert px.shape[1] == t["true_thumb_w"][i].as_py()
+        assert _ahash64(_luma(px)) == t["true_thumb_ahash"][i].as_py()
