@@ -47,11 +47,24 @@ def main() -> None:
         dt = time.perf_counter() - t0
         best = min(best, dt)
         assert total == tbl.num_rows, (total, tbl.num_rows)
-    rate = tbl.num_rows / best / 1e6
+    # headline rate = the largest full batch alone: a sub-batch_rows tail
+    # (e.g. 580 rows after an 87k slice) is ~pure per-rule fixed dispatch
+    # (~0.3 ms/rule) and would understate the kernel by 2x at some corpus
+    # sizes; real blocks at scale are full-sized, so the full-batch rate
+    # is the number BASELINE.md quotes
+    big = max(batches, key=lambda b: b.num_rows)
+    best_big = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        rs.parse_batch(big)
+        best_big = min(best_big, time.perf_counter() - t0)
+    rate = big.num_rows / best_big / 1e6
     n_rules = len(rs.rules)
     print(
         f"sf={sf} rows={tbl.num_rows} batch={batch_rows} rules={n_rules} "
-        f"best={best:.3f}s rate={rate:.3f} M rows/s/core"
+        f"full-batch rate={rate:.3f} M rows/s/core "
+        f"({big.num_rows} rows in {best_big * 1000:.1f} ms); "
+        f"all-batches best={best:.3f}s incl. tail dispatch"
     )
 
 
