@@ -69,6 +69,10 @@ _NUM_LITERALS = 256
 _NUM_LENGTH_CODES = 24    # max copy length (2+1)<<10 + 2^10 = 4096
 _NUM_DIST_CODES = 40
 _MAX_COPY_LEN = 4096
+# largest distance the 40-code (prefix, extra-bits) alphabet can express:
+# code 39 -> offset (2+1)<<18, plus 2^18 extra values -> 1,048,576; the
+# plane-code mapping adds 120, so raw distances clamp 120 lower
+_MAX_DIST_CODE = (3 << 18) + (1 << 18)
 _HASH_MUL = 0x1E35A7BD    # color-cache multiplier (spec constant)
 
 
@@ -145,7 +149,6 @@ def _huff_once(freqs: list[int]) -> list[int]:
     heap = [(f, i, None) for i, f in enumerate(freqs)]
     heapq.heapify(heap)
     cnt = len(heap)
-    parent: dict[int, tuple] = {}
     while len(heap) > 1:
         a = heapq.heappop(heap)
         b = heapq.heappop(heap)
@@ -344,13 +347,12 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Tree:
         s1 = br.bits(8)
         if s1 >= alphabet_size or s1 == s0:
             raise ValueError("vp8l: bad simple-code symbol pair")
-        # canonical order would sort by symbol; the spec maps bit 0 to the
-        # FIRST transmitted symbol, so build the tree explicitly
-        t = _Tree.__new__(_Tree)
-        t.single = None
-        t.first = {1: 0}
-        t.syms = {1: [s0, s1]}
-        return t
+        # the simple form only lists the symbols; decoding is canonical
+        # like every other prefix code (both lengths are 1, so bit 0 maps
+        # to the SMALLER symbol regardless of transmission order)
+        lengths = [0] * alphabet_size
+        lengths[s0] = lengths[s1] = 1
+        return _Tree(lengths)
     num_codes = br.bits(4) + 4
     if num_codes > 19:
         raise ValueError("vp8l: bad code-length-code count")
@@ -768,6 +770,8 @@ def _tokenize_stream(argb, w, *, cache_bits, min_match):
         for j in cands:
             if argb[j] != argb[i]:
                 continue
+            if i - j + 120 > _MAX_DIST_CODE:
+                continue    # beyond the distance alphabet's reach
             ln = 1
             while ln < lim and argb[j + ln] == argb[i + ln]:
                 ln += 1

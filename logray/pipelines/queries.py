@@ -1291,7 +1291,8 @@ def flagship_transcripts(sf_dir: str):
     # streaming executor (observed live on a 4-CPU ray.init)
     import ray
 
-    cpus = int(ray.cluster_resources().get("CPU", 4))
+    cpus = (int(ray.cluster_resources().get("CPU", 4))
+            if ray.is_initialized() else 4)
     run_flagship(corpus, out, enrich_concurrency=min(4, max(1, cpus - 1)))
     return pq.read_table(Path(out) / "_aggregates.parquet")
 
@@ -8232,6 +8233,14 @@ def _media_path(kind: str) -> str:
     return str(f)
 
 
+def _pad_wh(t: pa.Table) -> pa.Table:
+    """Append null int32 width/height columns (the decode stages' input
+    contract) — shared by every media lane."""
+    n = t.num_rows
+    return t.append_column("width", pa.nulls(n, pa.int32())) \
+            .append_column("height", pa.nulls(n, pa.int32()))
+
+
 def bmp_features_media(sf_dir: str):
     """REAL image decode lane #2: 24-bit BMP payloads (bottom-up rows,
     BGR order, 4-byte row padding — odd widths guaranteed in the
@@ -8244,12 +8253,7 @@ def bmp_features_media(sf_dir: str):
     ds = ray.data.read_parquet(_media_path("bmp"),
                                columns=["media_id", "payload"])
 
-    def pad(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return t.append_column("width", pa.nulls(n, pa.int32())) \
-                .append_column("height", pa.nulls(n, pa.int32()))
-
-    out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+    out = ds.map_batches(_pad_wh, batch_format="pyarrow").map_batches(
         DecodeImageStage, fn_constructor_kwargs={"decode": "bmp"},
         concurrency=2, batch_size=32, batch_format="pyarrow")
     return out.map_batches(
@@ -8276,12 +8280,7 @@ def png_features_media(sf_dir: str):
     ds = ray.data.read_parquet(_media_path("png"),
                                columns=["media_id", "payload"])
 
-    def pad(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return t.append_column("width", pa.nulls(n, pa.int32())) \
-                .append_column("height", pa.nulls(n, pa.int32()))
-
-    out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+    out = ds.map_batches(_pad_wh, batch_format="pyarrow").map_batches(
         DecodeImageStage, fn_constructor_kwargs={"decode": "png"},
         concurrency=2, batch_size=32, batch_format="pyarrow")
     return out.map_batches(
@@ -8309,12 +8308,7 @@ def gif_features_media(sf_dir: str):
     ds = ray.data.read_parquet(_media_path("gif"),
                                columns=["media_id", "payload"])
 
-    def pad(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return t.append_column("width", pa.nulls(n, pa.int32())) \
-                .append_column("height", pa.nulls(n, pa.int32()))
-
-    out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+    out = ds.map_batches(_pad_wh, batch_format="pyarrow").map_batches(
         DecodeImageStage, fn_constructor_kwargs={"decode": "gif"},
         concurrency=2, batch_size=32, batch_format="pyarrow")
     return out.map_batches(
@@ -8384,12 +8378,7 @@ def webp_features_media(sf_dir: str):
     ds = ray.data.read_parquet(_media_path("webpl"),
                                columns=["media_id", "payload"])
 
-    def pad(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return t.append_column("width", pa.nulls(n, pa.int32())) \
-                .append_column("height", pa.nulls(n, pa.int32()))
-
-    out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+    out = ds.map_batches(_pad_wh, batch_format="pyarrow").map_batches(
         DecodeImageStage, fn_constructor_kwargs={"decode": "webp"},
         concurrency=2, batch_size=32, batch_format="pyarrow")
     return out.map_batches(
@@ -8418,12 +8407,7 @@ def jpeg_features_media(sf_dir: str):
     ds = ray.data.read_parquet(_media_path("jpeg"),
                                columns=["media_id", "payload"])
 
-    def pad(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return t.append_column("width", pa.nulls(n, pa.int32())) \
-                .append_column("height", pa.nulls(n, pa.int32()))
-
-    out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+    out = ds.map_batches(_pad_wh, batch_format="pyarrow").map_batches(
         DecodeImageStage, fn_constructor_kwargs={"decode": "jpeg"},
         concurrency=2, batch_size=32, batch_format="pyarrow")
     return out.map_batches(
@@ -8452,12 +8436,7 @@ def jpeg_resize_media(sf_dir: str):
     ds = ray.data.read_parquet(_media_path("jpeg"),
                                columns=["media_id", "payload"])
 
-    def pad(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return t.append_column("width", pa.nulls(n, pa.int32())) \
-                .append_column("height", pa.nulls(n, pa.int32()))
-
-    thumbs = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+    thumbs = ds.map_batches(_pad_wh, batch_format="pyarrow").map_batches(
         ResizeImageStage,
         fn_constructor_kwargs={"decode": "jpeg", "max_side": THUMB_MAX_SIDE},
         concurrency=2, batch_size=32, batch_format="pyarrow")
@@ -8489,12 +8468,7 @@ def webp_resize_media(sf_dir: str):
     ds = ray.data.read_parquet(_media_path("webpl"),
                                columns=["media_id", "payload"])
 
-    def pad(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return t.append_column("width", pa.nulls(n, pa.int32())) \
-                .append_column("height", pa.nulls(n, pa.int32()))
-
-    thumbs = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+    thumbs = ds.map_batches(_pad_wh, batch_format="pyarrow").map_batches(
         ResizeImageStage,
         fn_constructor_kwargs={"decode": "webp", "max_side": THUMB_MAX_SIDE},
         concurrency=2, batch_size=32, batch_format="pyarrow")
@@ -8710,12 +8684,7 @@ def ppm_features_media(sf_dir: str):
     ds = ray.data.read_parquet(_media_path("ppm"),
                                columns=["media_id", "payload"])
 
-    def pad(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return t.append_column("width", pa.nulls(n, pa.int32())) \
-                .append_column("height", pa.nulls(n, pa.int32()))
-
-    out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+    out = ds.map_batches(_pad_wh, batch_format="pyarrow").map_batches(
         DecodeImageStage, fn_constructor_kwargs={"decode": "ppm"},
         concurrency=2, batch_size=32, batch_format="pyarrow")
     return out.map_batches(
@@ -8740,12 +8709,7 @@ def ppm_resize_dims_media(sf_dir: str):
     ds = ray.data.read_parquet(_media_path("ppm"),
                                columns=["media_id", "payload"])
 
-    def pad(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return t.append_column("width", pa.nulls(n, pa.int32())) \
-                .append_column("height", pa.nulls(n, pa.int32()))
-
-    out = ds.map_batches(pad, batch_format="pyarrow").map_batches(
+    out = ds.map_batches(_pad_wh, batch_format="pyarrow").map_batches(
         ResizeImageStage,
         fn_constructor_kwargs={"decode": "ppm", "max_side": 64},
         concurrency=2, batch_size=32, batch_format="pyarrow")

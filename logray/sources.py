@@ -309,10 +309,12 @@ def warc_split_records(blob: bytes) -> list[tuple[dict, bytes]]:
         missing = [k for k in _WARC_REQUIRED if k not in fields]
         if missing:
             raise ValueError(f"warc: missing mandatory header {missing[0]}")
-        try:
-            clen = int(fields["content-length"])
-        except ValueError as e:
-            raise ValueError("warc: non-integer Content-Length") from e
+        cl = fields["content-length"]
+        # digits-only: int() also accepts '+5'/'1_0'/unicode digits, and a
+        # NEGATIVE length would walk pos backward into an infinite loop
+        if not (cl.isascii() and cl.isdigit()):
+            raise ValueError("warc: non-integer Content-Length")
+        clen = int(cl)
         body_start = end + 4
         body_end = body_start + clen
         if body_end + 4 > n:

@@ -2845,3 +2845,66 @@ def test_vp8l_resize_stage_real_path():
         px = decode_vp8l(out["payload"][i].as_py())
         assert px.shape[1] == t["true_thumb_w"][i].as_py()
         assert _ahash64(_luma(px)) == t["true_thumb_ahash"][i].as_py()
+
+
+def test_vp8l_review_hardening():
+    """Review-pass regressions: (a) the LZ77 tokenizer never emits a
+    distance beyond the 40-code alphabet's reach (a >1M-pixel image with
+    a far repeat used to crash the encoder with IndexError); (b) simple
+    2-symbol prefix codes decode canonically — bit 0 maps to the SMALLER
+    symbol even when the larger one is transmitted first (foreign-stream
+    conformance)."""
+    from logray.ops.vp8lcodec import (_MAX_DIST_CODE, _BitReader,
+                                      _BitWriter, _prefix_encode,
+                                      _read_prefix_code, _tokenize_stream)
+
+    # (a) motif at 0 and again past the max expressible distance, with
+    # unique filler so the hash chain still holds position 0
+    far = _MAX_DIST_CODE - 120 + 5
+    motif = [0xFF000001, 0xFF000002, 0xFF000003, 0xFF000004]
+    seq = (motif
+           + [0xFF100000 + i for i in range(far - 4)]
+           + motif)
+    tokens, _ = _tokenize_stream(seq, 1024, cache_bits=0, min_match=3)
+    for tok in tokens:
+        if tok[0] == "copy":
+            assert tok[4] < 40  # distance prefix symbol in-alphabet
+    # the same copy at a legal distance IS taken (clamp, not disable)
+    near = motif + [0xFF100000 + i for i in range(100)] + motif
+    toks2, _ = _tokenize_stream(near, 16, cache_bits=0, min_match=3)
+    assert any(t[0] == "copy" for t in toks2)
+
+    # (b) simple code transmitting (200, 3) in that order: canonical
+    # decoding must map bit 0 to symbol 3, not to the first-transmitted
+    bw = _BitWriter()
+    bw.bits(1, 1)   # simple
+    bw.bits(1, 1)   # two symbols
+    bw.bits(1, 1)   # first symbol in 8 bits
+    bw.bits(200, 8)
+    bw.bits(3, 8)
+    bw.bits(0, 1)   # next code bit: 0
+    bw.bits(1, 1)   # then: 1
+    br = _BitReader(bw.done())
+    tree = _read_prefix_code(br, 256)
+    assert tree.read(br) == 3
+    assert tree.read(br) == 200
+
+
+def test_warc_rejects_negative_content_length():
+    """A crafted record whose Content-Length is negative (or '+5'-style)
+    must raise, not walk the cursor backward into an infinite loop."""
+    import pytest
+
+    from logray.sources import warc_split_records
+
+    def rec(clen_field: str) -> bytes:
+        return (b"WARC/1.0\r\n"
+                b"WARC-Type: resource\r\n"
+                b"WARC-Record-ID: <urn:uuid:x>\r\n"
+                b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                + f"Content-Length: {clen_field}\r\n\r\n".encode()
+                + b"xxxxx\r\n\r\n")
+
+    for bad in ("-63", "+5", "1_0", " 5 x"):
+        with pytest.raises(ValueError, match="non-integer Content-Length"):
+            warc_split_records(rec(bad))
