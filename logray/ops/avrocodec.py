@@ -1,0 +1,290 @@
+"""From-scratch Apache Avro object-container codec (binary encoding).
+
+Implements the PUBLIC Avro 1.11 specification (no avro/fastavro in the
+sandbox — and none is imported): zigzag base-128 varints, the full
+primitive set, records, enums, unions, arrays/maps with the spec's
+count-prefixed block series (including the NEGATIVE-count form that
+prefixes a byte size for skippability), fixed, and the object container
+file layout (magic ``Obj\\x01``, metadata map, 16-byte sync marker,
+count+size data blocks, per-block sync validation) with the ``null`` and
+``deflate`` codecs (raw RFC-1951 DEFLATE, zlib ``wbits=-15`` — the spec
+notes the deflate codec carries no zlib header/checksum).
+
+Both directions are provided so the container tests can round-trip
+encoder→decoder AND the decoder can be hazard-tested against crafted
+foreign streams. The reader is the trust boundary for foreign data:
+every length/count/index is validated before use (truncated or overlong
+varints, negative block byte-sizes, out-of-range enum/union indexes,
+sync-marker mismatches and unknown codecs all raise ``ValueError``
+rather than mis-decoding).
+
+Reference parity note: the reference repo (`/root/reference`) is empty
+this round; the format is reconstructed from the public Avro spec, per
+SURVEY.md's sources-coverage row (§2 B5).
+"""
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+
+MAGIC = b"Obj\x01"
+_MAX_VARINT_BYTES = 10  # 64-bit zigzag values never need more
+
+
+# --------------------------------------------------------------- primitives
+
+def encode_long(value: int) -> bytes:
+    """Zigzag base-128 varint (Avro int and long share this encoding)."""
+    n = (value << 1) ^ (value >> 63) if value < 0 else (value << 1)
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_long(buf: io.BytesIO) -> int:
+    n, shift = 0, 0
+    for _ in range(_MAX_VARINT_BYTES):
+        raw = buf.read(1)
+        if not raw:
+            raise ValueError("avro: truncated varint")
+        b = raw[0]
+        n |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return (n >> 1) ^ -(n & 1)
+        shift += 7
+    raise ValueError("avro: varint longer than 10 bytes")
+
+
+def _read_exact(buf: io.BytesIO, n: int, what: str) -> bytes:
+    if n < 0:
+        raise ValueError(f"avro: negative {what} length")
+    data = buf.read(n)
+    if len(data) != n:
+        raise ValueError(f"avro: truncated {what}")
+    return data
+
+
+def encode_bytes(value: bytes) -> bytes:
+    return encode_long(len(value)) + value
+
+
+def decode_bytes(buf: io.BytesIO) -> bytes:
+    return _read_exact(buf, decode_long(buf), "bytes")
+
+
+# --------------------------------------------------------------- schema walk
+
+def _named_type(schema):
+    """Normalize a schema node to (type_name, node_dict_or_None)."""
+    if isinstance(schema, str):
+        return schema, None
+    if isinstance(schema, list):
+        return "union", None
+    if isinstance(schema, dict):
+        return schema["type"], schema
+    raise ValueError(f"avro: bad schema node {schema!r}")
+
+
+def encode_datum(schema, value) -> bytes:
+    """Encode one datum against ``schema`` (parsed JSON, not a string)."""
+    t, node = _named_type(schema)
+    if t == "null":
+        if value is not None:
+            raise ValueError("avro: non-None for null type")
+        return b""
+    if t == "boolean":
+        return b"\x01" if value else b"\x00"
+    if t in ("int", "long"):
+        return encode_long(int(value))
+    if t == "float":
+        return struct.pack("<f", float(value))
+    if t == "double":
+        return struct.pack("<d", float(value))
+    if t == "bytes":
+        return encode_bytes(bytes(value))
+    if t == "string":
+        return encode_bytes(value.encode("utf-8"))
+    if t == "fixed":
+        v = bytes(value)
+        if len(v) != node["size"]:
+            raise ValueError("avro: fixed size mismatch")
+        return v
+    if t == "enum":
+        return encode_long(node["symbols"].index(value))
+    if t == "union":
+        branches = schema
+        for i, br in enumerate(branches):
+            bt, _ = _named_type(br)
+            if (value is None) == (bt == "null"):
+                return encode_long(i) + encode_datum(br, value)
+        raise ValueError("avro: no union branch for value")
+    if t == "record":
+        return b"".join(encode_datum(f["type"], value[f["name"]])
+                        for f in node["fields"])
+    if t == "array":
+        items = list(value)
+        if not items:
+            return encode_long(0)
+        body = b"".join(encode_datum(node["items"], v) for v in items)
+        # negative-count block form: |count| items prefixed by the byte
+        # size, the spec's skippability affordance — emitted for real so
+        # foreign readers (and our own) exercise the path
+        return (encode_long(-len(items)) + encode_long(len(body)) + body
+                + encode_long(0))
+    if t == "map":
+        pairs = list(value.items())
+        if not pairs:
+            return encode_long(0)
+        body = b"".join(encode_bytes(k.encode("utf-8"))
+                        + encode_datum(node["values"], v)
+                        for k, v in pairs)
+        return encode_long(len(pairs)) + body + encode_long(0)
+    raise ValueError(f"avro: unsupported type {t!r}")
+
+
+def decode_datum(schema, buf: io.BytesIO):
+    t, node = _named_type(schema)
+    if t == "null":
+        return None
+    if t == "boolean":
+        return _read_exact(buf, 1, "boolean")[0] != 0
+    if t in ("int", "long"):
+        return decode_long(buf)
+    if t == "float":
+        return struct.unpack("<f", _read_exact(buf, 4, "float"))[0]
+    if t == "double":
+        return struct.unpack("<d", _read_exact(buf, 8, "double"))[0]
+    if t == "bytes":
+        return decode_bytes(buf)
+    if t == "string":
+        return decode_bytes(buf).decode("utf-8")
+    if t == "fixed":
+        return _read_exact(buf, node["size"], "fixed")
+    if t == "enum":
+        i = decode_long(buf)
+        syms = node["symbols"]
+        if not 0 <= i < len(syms):
+            raise ValueError(f"avro: enum index {i} out of range")
+        return syms[i]
+    if t == "union":
+        i = decode_long(buf)
+        if not 0 <= i < len(schema):
+            raise ValueError(f"avro: union index {i} out of range")
+        return decode_datum(schema[i], buf)
+    if t == "record":
+        return {f["name"]: decode_datum(f["type"], buf)
+                for f in node["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            count = decode_long(buf)
+            if count == 0:
+                return out
+            if count < 0:
+                count = -count
+                if decode_long(buf) < 0:  # block byte size (skippability)
+                    raise ValueError("avro: negative array block size")
+            for _ in range(count):
+                out.append(decode_datum(node["items"], buf))
+    if t == "map":
+        out = {}
+        while True:
+            count = decode_long(buf)
+            if count == 0:
+                return out
+            if count < 0:
+                count = -count
+                if decode_long(buf) < 0:
+                    raise ValueError("avro: negative map block size")
+            for _ in range(count):
+                key = decode_bytes(buf).decode("utf-8")
+                out[key] = decode_datum(node["values"], buf)
+    raise ValueError(f"avro: unsupported type {t!r}")
+
+
+# ----------------------------------------------------------- container file
+
+def write_container(schema: dict, records: list, sync: bytes,
+                    codec: str = "null", block_records: int = 40) -> bytes:
+    """Serialize ``records`` into one Avro object-container file."""
+    if len(sync) != 16:
+        raise ValueError("avro: sync marker must be 16 bytes")
+    meta = {"avro.schema": json.dumps(schema).encode("utf-8"),
+            "avro.codec": codec.encode("utf-8")}
+    out = bytearray(MAGIC)
+    out += encode_long(len(meta))
+    for k, v in meta.items():
+        out += encode_bytes(k.encode("utf-8")) + encode_bytes(v)
+    out += encode_long(0)
+    out += sync
+    for i in range(0, len(records), block_records):
+        chunk = records[i:i + block_records]
+        body = b"".join(encode_datum(schema, r) for r in chunk)
+        if codec == "deflate":
+            body = zlib.compress(body, 6)[2:-4]  # strip zlib hdr+adler -> raw
+        elif codec != "null":
+            raise ValueError(f"avro: unsupported codec {codec!r}")
+        out += encode_long(len(chunk)) + encode_long(len(body)) + body + sync
+    return bytes(out)
+
+
+def read_container(blob: bytes) -> tuple[dict, list]:
+    """Parse one object-container file → (schema, records).
+
+    Spec-exact walk: magic, metadata map (count-prefixed block series,
+    negative counts carry a byte size), 16-byte sync, then data blocks of
+    (count, size, data) each terminated by the file's sync marker.
+    """
+    buf = io.BytesIO(blob)
+    if _read_exact(buf, 4, "magic") != MAGIC:
+        raise ValueError("avro: bad magic")
+    meta: dict[str, bytes] = {}
+    while True:
+        count = decode_long(buf)
+        if count == 0:
+            break
+        if count < 0:
+            count = -count
+            if decode_long(buf) < 0:
+                raise ValueError("avro: negative metadata block size")
+        for _ in range(count):
+            key = decode_bytes(buf).decode("utf-8")
+            meta[key] = decode_bytes(buf)
+    if "avro.schema" not in meta:
+        raise ValueError("avro: missing avro.schema metadata")
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro: unsupported codec {codec!r}")
+    sync = _read_exact(buf, 16, "sync marker")
+    records = []
+    while True:
+        probe = buf.read(1)
+        if not probe:
+            return schema, records
+        buf.seek(-1, io.SEEK_CUR)
+        count = decode_long(buf)
+        if count < 0:
+            raise ValueError("avro: negative block record count")
+        size = decode_long(buf)
+        body = _read_exact(buf, size, "data block")
+        if codec == "deflate":
+            try:
+                body = zlib.decompress(body, wbits=-15)
+            except zlib.error as e:
+                raise ValueError(f"avro: corrupt deflate block: {e}") from e
+        if _read_exact(buf, 16, "block sync") != sync:
+            raise ValueError("avro: sync marker mismatch")
+        bbuf = io.BytesIO(body)
+        for _ in range(count):
+            records.append(decode_datum(schema, bbuf))
+        if bbuf.read(1):
+            raise ValueError("avro: trailing bytes in data block")

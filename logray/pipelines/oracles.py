@@ -3977,6 +3977,15 @@ ORACLE_SQL["warc_ingest_responses"] = f"""
     FROM read_parquet('{_MEDIA}/warc/truth.parquet')
 """
 
+# Avro source: truth sidecar written next to the container shards at
+# pack time (per-record enum/union/array/map/fixed truths); the reader
+# must re-derive every column from container bytes alone.
+ORACLE_SQL["avro_ingest_turns"] = f"""
+    SELECT shard, conv_id, turn_idx, role, tool, n_chars, ts_micros,
+           score, n_flags, attr_sum, fp_hex
+    FROM read_parquet('{_MEDIA}/avro/truth.parquet')
+"""
+
 ORACLE_SQL["webp_features_media"] = f"""
     SELECT media_id, true_width AS width, true_height AS height,
            true_mean_luma AS mean_luma, true_ahash AS ahash

@@ -8362,6 +8362,56 @@ def warc_ingest_responses(sf_dir: str):
     return ds.map_batches(proj, batch_format="pyarrow")
 
 
+def _avro_dir() -> str:
+    from ..sources import make_avro_shards
+
+    p = Path(_MEDIA_CACHE) / "avro"
+    if not (p / "truth.parquet").exists():
+        make_avro_shards(p)
+    return str(p)
+
+
+def avro_ingest_turns(sf_dir: str):
+    """Avro object-container ingestion end-to-end (the row-oriented
+    format Kafka→archive landings ship in), with a FROM-SCRATCH spec
+    codec (logray/ops/avrocodec.py: zigzag varints, enum/union/array/
+    map/fixed datum decode incl. the negative-count skippable block
+    form, metadata map, per-block sync-marker validation, null AND
+    raw-DEFLATE codecs) → ``read_avro_shards`` (one container per task,
+    Arrow types derived from the embedded writer schema) → projection
+    re-deriving every sidecar truth column from decoded values alone:
+    enum symbol, union-null tool, text length, timestamp-micros, array
+    length, map value sum (vectorized over MapArray offsets), fixed
+    bytes hex."""
+    import numpy as np
+
+    from ..sources import read_avro_shards
+
+    ds = read_avro_shards(_avro_dir())
+
+    def proj(t: pa.Table) -> pa.Table:
+        attrs = t["attrs"]
+        if isinstance(attrs, pa.ChunkedArray):
+            attrs = attrs.combine_chunks()
+        offs = np.asarray(attrs.offsets)
+        vals = np.asarray(attrs.items, dtype=np.int64)
+        csum = np.concatenate([[0], np.cumsum(vals)])
+        attr_sum = csum[offs[1:]] - csum[offs[:-1]]
+        fp_hex = [v.hex() for v in t["fp"].to_pylist()]
+        return pa.table({
+            "shard": t["shard"], "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "role": t["role"], "tool": t["tool"],
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            "ts_micros": t["ts"], "score": t["score"],
+            "n_flags": pc.cast(pc.list_value_length(t["flags"]),
+                               pa.int64()),
+            "attr_sum": pa.array(attr_sum, pa.int64()),
+            "fp_hex": pa.array(fp_hex, pa.string())})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
 def webp_features_media(sf_dir: str):
     """REAL image decode lane #6 — WebP-lossless VP8L with a from-scratch
     codec (logray/ops/vp8lcodec.py: canonical prefix codes serialized
@@ -10280,6 +10330,7 @@ QUERIES = {
     "jpeg_features_media": jpeg_features_media,
     "webp_features_media": webp_features_media,
     "warc_ingest_responses": warc_ingest_responses,
+    "avro_ingest_turns": avro_ingest_turns,
     "webp_resize_media": webp_resize_media,
     "jpeg_resize_media": jpeg_resize_media,
     "ppm_resize_dims_media": ppm_resize_dims_media,

@@ -491,3 +491,183 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
         "body_crc32": pa.array(truth["body_crc32"], pa.int64()),
     }), out / "truth.parquet")
     return {"shards": shards, "responses": n, "dir": str(out)}
+
+
+# --------------------------------------------------------------- Avro source
+# The row-oriented serialization format data-engineering pipelines ship
+# event streams in (Kafka→archive landings). From-scratch spec codec in
+# logray/ops/avrocodec.py (public Avro 1.11 spec; no avro/fastavro in the
+# sandbox). One container file per task = the format's native resume
+# granularity (each file is independently decodable; blocks inside a
+# file are sync-marker-delimited for mid-file recovery, which the reader
+# validates per block).
+
+def _avro_to_arrow_type(schema) -> pa.DataType:
+    """Map an Avro schema node to the Arrow type the reader emits."""
+    if isinstance(schema, list):  # union: only [null, X] maps to Arrow
+        branches = [b for b in schema if b != "null"]
+        if len(schema) != 2 or len(branches) != 1:
+            raise ValueError("avro: only [null, X] unions map to Arrow")
+        return _avro_to_arrow_type(branches[0])
+    t = schema if isinstance(schema, str) else schema["type"]
+    prim = {"boolean": pa.bool_(), "int": pa.int32(), "long": pa.int64(),
+            "float": pa.float32(), "double": pa.float64(),
+            "bytes": pa.binary(), "string": pa.string(),
+            "null": pa.null()}
+    if t in prim:
+        return prim[t]
+    if t == "enum":
+        return pa.string()
+    if t == "fixed":
+        return pa.binary(schema["size"])
+    if t == "array":
+        return pa.list_(_avro_to_arrow_type(schema["items"]))
+    if t == "map":
+        return pa.map_(pa.string(), _avro_to_arrow_type(schema["values"]))
+    if t == "record":
+        return pa.struct([(f["name"], _avro_to_arrow_type(f["type"]))
+                          for f in schema["fields"]])
+    raise ValueError(f"avro: unsupported type {t!r}")
+
+
+def avro_arrow_schema(schema: dict, extra: list | None = None) -> pa.Schema:
+    """Arrow schema for a top-level Avro record, plus reader-added fields."""
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        raise ValueError("avro: container schema must be a record")
+    fields = [pa.field(f["name"], _avro_to_arrow_type(f["type"]))
+              for f in schema["fields"]]
+    return pa.schema((extra or []) + fields)
+
+
+def read_avro_shards(in_dir):
+    """Avro object-container source: `.avro` shards → Dataset with one row
+    per record, Arrow-typed from the embedded writer schema (enum→string,
+    fixed→fixed_size_binary, [null,X] union→nullable X, array→list,
+    map→map, nested record→struct). One file per task via
+    ``read_binary_files``; records decode in the task, so rows stream
+    through the object store and never concentrate on the driver.
+    Per-record decode is a Python walk by nature of the row-oriented
+    format (same note as the tar/WARC stages) — the ingestion boundary,
+    not a hot analytic path."""
+    import ray.data
+
+    from .ops.avrocodec import read_container
+
+    files = sorted(str(p) for p in Path(in_dir).glob("*.avro"))
+    if not files:
+        raise FileNotFoundError(f"no .avro shards in {in_dir}")
+
+    def explode(t: pa.Table) -> pa.Table:
+        tables = []
+        for path, blob in zip(t["path"].to_pylist(), t["bytes"].to_pylist()):
+            schema, records = read_container(blob)
+            arrow = avro_arrow_schema(schema, [pa.field("shard", pa.string())])
+            name = Path(path).name
+            for r in records:
+                r["shard"] = name
+            tables.append(pa.Table.from_pylist(records, schema=arrow))
+        return pa.concat_tables(tables)
+
+    return (ray.data.read_binary_files(files, include_paths=True)
+            .map_batches(explode, batch_format="pyarrow", batch_size=1))
+
+
+AVRO_TURN_SCHEMA = {
+    "type": "record", "name": "turn", "fields": [
+        {"name": "conv_id", "type": "string"},
+        {"name": "turn_idx", "type": "int"},
+        {"name": "role", "type": {"type": "enum", "name": "role_e",
+                                  "symbols": ["user", "assistant",
+                                              "system", "tool"]}},
+        {"name": "text", "type": "string"},
+        {"name": "tool", "type": ["null", "string"], "default": None},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "score", "type": "double"},
+        {"name": "flags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        {"name": "fp", "type": {"type": "fixed", "name": "fp8", "size": 8}},
+    ]}
+
+
+def make_avro_shards(out_dir, n: int = 600, shards: int = 6,
+                     seed: int = 47) -> dict:
+    """Deterministic Avro fixture: ``n`` transcript-shaped records (the
+    input_hint columns plus union/enum/array/map/fixed fields so every
+    branch of the datum codec is exercised) spread round-robin over
+    ``shards`` container files — half ``null`` codec, half ``deflate``
+    (raw RFC-1951) — plus a ``truth.parquet`` sidecar carrying each
+    record's generation-time truth. The reader must re-derive all of it
+    from container bytes alone."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from .ops.avrocodec import write_container
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    roles = ["user", "assistant", "system", "tool"]
+    tools = [None, "bash", "search", "editor", "python"]
+    words = ["stream", "shard", "record", "schema", "union", "varint",
+             "zigzag", "block", "marker", "codec"]
+    flag_pool = ["pii", "long", "truncated", "retry", "final"]
+
+    per_shard: dict[int, list[dict]] = {k: [] for k in range(shards)}
+    truth = {c: [] for c in ("rec_idx", "shard", "conv_id", "turn_idx",
+                             "role", "tool", "n_chars", "ts_micros",
+                             "score", "n_flags", "attr_sum", "fp_hex")}
+    names = {k: f"turns-{k:02d}.avro" for k in range(shards)}
+    for i in range(n):
+        k = i % shards
+        conv = f"c{int(rng.integers(0, 40)):07d}"
+        role = roles[int(rng.integers(0, 4))]
+        tool = tools[int(rng.integers(0, len(tools)))]
+        text = " ".join(rng.choice(words,
+                                   size=int(rng.integers(3, 30)))) + f" #{i}"
+        ts = 1_767_225_600_000_000 + i * 1_000_003  # µs since epoch
+        score = round(float(rng.random()), 6)
+        flags = list(rng.choice(flag_pool, size=int(rng.integers(0, 4)),
+                                replace=False))
+        attrs = {f"k{j}": int(rng.integers(0, 1000))
+                 for j in range(int(rng.integers(0, 4)))}
+        fp = hashlib.md5(f"turn-{i}".encode()).digest()[:8]
+        per_shard[k].append({
+            "conv_id": conv, "turn_idx": i // shards, "role": role,
+            "text": text, "tool": tool, "ts": ts, "score": score,
+            "flags": flags, "attrs": attrs, "fp": fp})
+        truth["rec_idx"].append(i)
+        truth["shard"].append(names[k])
+        truth["conv_id"].append(conv)
+        truth["turn_idx"].append(i // shards)
+        truth["role"].append(role)
+        truth["tool"].append(tool)
+        truth["n_chars"].append(len(text))
+        truth["ts_micros"].append(ts)
+        truth["score"].append(score)
+        truth["n_flags"].append(len(flags))
+        truth["attr_sum"].append(sum(attrs.values()))
+        truth["fp_hex"].append(fp.hex())
+    for k in range(shards):
+        codec = "deflate" if k >= shards - shards // 2 else "null"
+        sync = hashlib.md5(f"logray-avro-{k}".encode()).digest()
+        blob = write_container(AVRO_TURN_SCHEMA, per_shard[k], sync,
+                               codec=codec, block_records=40)
+        (out / names[k]).write_bytes(blob)
+    _pq.write_table(pa.table({
+        "rec_idx": pa.array(truth["rec_idx"], pa.int64()),
+        "shard": pa.array(truth["shard"], pa.string()),
+        "conv_id": pa.array(truth["conv_id"], pa.string()),
+        "turn_idx": pa.array(truth["turn_idx"], pa.int64()),
+        "role": pa.array(truth["role"], pa.string()),
+        "tool": pa.array(truth["tool"], pa.string()),
+        "n_chars": pa.array(truth["n_chars"], pa.int64()),
+        "ts_micros": pa.array(truth["ts_micros"], pa.int64()),
+        "score": pa.array(truth["score"], pa.float64()),
+        "n_flags": pa.array(truth["n_flags"], pa.int64()),
+        "attr_sum": pa.array(truth["attr_sum"], pa.int64()),
+        "fp_hex": pa.array(truth["fp_hex"], pa.string()),
+    }), out / "truth.parquet")
+    return {"n": n, "shards": shards}

@@ -198,3 +198,155 @@ def test_warc_record_walk_and_hazards():
         http_response_split(b"GET / HTTP/1.1\r\n\r\nbody")
     with pytest.raises(ValueError, match="non-integer http status"):
         http_response_split(b"HTTP/1.1 2xx Z\r\n\r\nbody")
+
+
+def test_avro_codec_roundtrip_and_hazards():
+    """From-scratch Avro object-container codec: zigzag varint edge
+    values, every datum type through encode→decode, container round-trip
+    under both codecs with truth-sidecar parity, and crafted foreign
+    streams (bad magic, unknown codec, sync mismatch, truncated/overlong
+    varints, out-of-range enum/union indexes, truncated blocks, trailing
+    bytes) all raise ValueError."""
+    import hashlib
+    import io
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from logray.ops.avrocodec import (MAGIC, decode_datum, decode_long,
+                                      encode_datum, encode_long,
+                                      read_container, write_container)
+    from logray.sources import AVRO_TURN_SCHEMA, make_avro_shards
+
+    # zigzag varint: spec edge values round-trip
+    for v in (0, -1, 1, -2, 63, 64, -64, -65, 2**31 - 1, -2**31,
+              2**63 - 1, -2**63):
+        assert decode_long(io.BytesIO(encode_long(v))) == v
+    assert encode_long(0) == b"\x00" and encode_long(-1) == b"\x01"
+    assert encode_long(1) == b"\x02" and encode_long(-2) == b"\x03"
+
+    # every datum type round-trips (incl. nested record + both union arms)
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "b", "type": "boolean"},
+        {"name": "i", "type": "int"},
+        {"name": "f", "type": "float"},
+        {"name": "d", "type": "double"},
+        {"name": "by", "type": "bytes"},
+        {"name": "u", "type": ["null", "string"]},
+        {"name": "a", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {"name": "e", "type": {"type": "enum", "name": "e_", "symbols":
+                               ["x", "y"]}},
+        {"name": "fx", "type": {"type": "fixed", "name": "f4", "size": 4}},
+        {"name": "nest", "type": {"type": "record", "name": "n",
+                                  "fields": [{"name": "s",
+                                              "type": "string"}]}},
+    ]}
+    for u in ("hello", None):
+        val = {"b": True, "i": -7, "f": 0.5, "d": 2.25, "by": b"\x00\xff",
+               "u": u, "a": [1, -2, 3], "m": {"k": "v", "z": ""},
+               "e": "y", "fx": b"abcd", "nest": {"s": "s"}}
+        assert decode_datum(sch, io.BytesIO(encode_datum(sch, val))) == val
+    # empty array/map take the zero-count fast path
+    val0 = dict(val, a=[], m={})
+    assert decode_datum(sch, io.BytesIO(encode_datum(sch, val0))) == val0
+
+    # container round-trip under both codecs, fixture vs sidecar truth
+    d = Path("/tmp/logray/test_avro_fixture")
+    make_avro_shards(d, n=36, shards=4)
+    truth = pq.read_table(d / "truth.parquet").to_pydict()
+    got = {}
+    codecs = set()
+    for f in sorted(d.glob("*.avro")):
+        schema, recs = read_container(f.read_bytes())
+        assert schema == AVRO_TURN_SCHEMA
+        codecs.add(f.read_bytes()[:4] == MAGIC)
+        for r in recs:
+            got[(f.name, r["conv_id"], r["turn_idx"])] = r
+    assert len(got) == 36
+    for i in range(36):
+        r = got[(truth["shard"][i], truth["conv_id"][i],
+                 truth["turn_idx"][i])]
+        assert r["role"] == truth["role"][i]
+        assert r["tool"] == truth["tool"][i]
+        assert len(r["text"]) == truth["n_chars"][i]
+        assert r["ts"] == truth["ts_micros"][i]
+        assert len(r["flags"]) == truth["n_flags"][i]
+        assert sum(r["attrs"].values()) == truth["attr_sum"][i]
+        assert r["fp"].hex() == truth["fp_hex"][i]
+
+    # hazards: crafted foreign streams must raise, never mis-decode
+    sync = hashlib.md5(b"t").digest()
+    good = write_container(sch, [val], sync, codec="deflate")
+    assert read_container(good)[1] == [val]
+    with pytest.raises(ValueError, match="bad magic"):
+        read_container(b"Obj\x02" + good[4:])
+    with pytest.raises(ValueError, match="unsupported codec"):
+        read_container(write_container(sch, [], sync, codec="snappy"))
+    bad_sync = bytearray(good)
+    bad_sync[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="sync marker mismatch"):
+        read_container(bytes(bad_sync))
+    with pytest.raises(ValueError, match="truncated data block"):
+        read_container(good[:-20])
+    with pytest.raises(ValueError, match="truncated varint"):
+        decode_long(io.BytesIO(b"\x80\x80"))
+    with pytest.raises(ValueError, match="longer than 10"):
+        decode_long(io.BytesIO(b"\x80" * 11))
+    with pytest.raises(ValueError, match="enum index"):
+        decode_datum({"type": "enum", "name": "e", "symbols": ["x"]},
+                     io.BytesIO(encode_long(5)))
+    with pytest.raises(ValueError, match="union index"):
+        decode_datum(["null", "string"], io.BytesIO(encode_long(2)))
+    with pytest.raises(ValueError, match="truncated bytes"):
+        decode_datum("string", io.BytesIO(encode_long(10) + b"ab"))
+    with pytest.raises(ValueError, match="corrupt deflate"):
+        blk = write_container(sch, [val], sync, codec="deflate")
+        # flip a byte inside the deflate body (after header+sync)
+        hdr_end = blk.index(sync) + 16
+        bad = bytearray(blk)
+        bad[hdr_end + 3] ^= 0xFF
+        read_container(bytes(bad))
+    with pytest.raises(ValueError, match="missing avro.schema"):
+        read_container(MAGIC + encode_long(0) + sync)
+
+
+def test_avro_shard_reader(ray_session):
+    """read_avro_shards end-to-end: Arrow-typed Dataset matches the
+    sidecar truth row-for-row, nullable union + map/list columns intact;
+    fixture packing is deterministic."""
+    import hashlib
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from logray.sources import make_avro_shards, read_avro_shards
+
+    d = Path("/tmp/logray/test_avro_fixture2")
+    make_avro_shards(d, n=48, shards=4)
+    got = read_avro_shards(d).to_pandas()
+    assert len(got) == 48
+    truth = pq.read_table(d / "truth.parquet").to_pandas()
+    t = truth.set_index(["shard", "conv_id", "turn_idx"])
+    n_null_tool = 0
+    for r in got.itertuples():
+        tr = t.loc[(r.shard, r.conv_id, r.turn_idx)]
+        assert tr["role"] == r.role
+        if r.tool is None:
+            n_null_tool += 1
+            assert tr["tool"] is None
+        else:
+            assert tr["tool"] == r.tool
+        assert tr["n_chars"] == len(r.text)
+        assert tr["ts_micros"] == r.ts
+        assert tr["n_flags"] == len(r.flags)
+        assert tr["attr_sum"] == sum(v for _, v in r.attrs)
+        assert tr["fp_hex"] == r.fp.hex()
+    assert n_null_tool > 0  # the union's null arm is actually exercised
+    d2 = Path("/tmp/logray/test_avro_fixture3")
+    make_avro_shards(d2, n=48, shards=4)
+    for f in sorted(d.glob("*.avro")):
+        a = f.read_bytes()
+        b = (d2 / f.name).read_bytes()
+        assert hashlib.sha256(a).digest() == hashlib.sha256(b).digest()
