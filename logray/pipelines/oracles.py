@@ -927,6 +927,15 @@ ORACLE_SQL["kmeans_recovery_embeddings"] = """
     FROM embeddings
 """
 
+# trained quality classifier: exact counts SQL-verified (holdout =
+# every 5th doc_id), bound assertions expected TRUE
+ORACLE_SQL["classifier_quality_documents"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE doc_id % 5 = 0) AS BIGINT) AS n_test,
+           TRUE AS test_acc_ok, TRUE AS loss_improved_ok
+    FROM documents
+"""
+
 ORACLE_SQL["ivf_recall_embeddings"] = """
     SELECT CAST(count(*) AS BIGINT) AS n_queries,
            TRUE AS min_recall_ok, TRUE AS mean_recall_ok

@@ -8145,6 +8145,75 @@ def kmeans_recovery_embeddings(sf_dir: str):
     })
 
 
+def classifier_quality_documents(sf_dir: str):
+    """Distributed TRAINED quality classifier end-to-end (the CCNet /
+    GPT-3 quality-filter shape): plant a deterministic two-class signal
+    on the documents table (class vocab words appended by ``doc_id``
+    parity, 10% cross-contaminated so no single feature separates), hold
+    out every 5th doc, train hashed-bag-of-words logistic regression
+    with full-batch distributed GD (sparse per-block gradient partials,
+    weights broadcast once per iteration via ``ray.put``), then score
+    the holdout through the actor-pool stage. n_docs/n_test are
+    SQL-exact; the bound rows assert holdout accuracy ≥ 0.95 and a
+    net-decreasing loss trace (tolerance-oracle protocol, as the
+    k-means/IVF rows)."""
+    import ray
+
+    from ..ops.classifier import (ClassifierScoreStage,
+                                  train_text_classifier)
+
+    dim = 1 << 16
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        lab = (did % 2).astype(np.int64)
+        # own-class words (varying count) + a cross-class word for every
+        # doc_id ending in 7 — deterministic, no RNG, impossible in the
+        # source text (invented stems)
+        vocab = [["qzaur" + str(j) for j in range(8)],
+                 ["vxbor" + str(j) for j in range(8)]]
+        extra = []
+        for d, y in zip(did, lab):
+            own = vocab[int(y)]
+            k = 4 + int(d) % 3
+            words = [own[(int(d) + j) % 8] for j in range(k)]
+            if int(d) % 10 == 7:
+                words.append(vocab[1 - int(y)][int(d) % 8])
+            extra.append(" " + " ".join(words))
+        text = pc.binary_join_element_wise(
+            t["text"], pa.array(extra, pa.string()), "")
+        return pa.table({"doc_id": t["doc_id"], "text": text,
+                         "label": pa.array(lab, pa.int64()),
+                         "is_test": pa.array(did % 5 == 0)})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    train = planted.map_batches(
+        lambda t: t.filter(pc.invert(t["is_test"])), batch_format="pyarrow")
+    test = planted.map_batches(
+        lambda t: t.filter(t["is_test"]), batch_format="pyarrow")
+
+    w, b, losses = train_text_classifier(train, dim=dim, iters=12)
+    scored = test.map_batches(
+        ClassifierScoreStage,
+        fn_constructor_kwargs={"w_ref": ray.put(w), "b": b, "dim": dim},
+        concurrency=2, batch_size=4096, batch_format="pyarrow")
+    agg = scored.map_batches(
+        lambda t: pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "hit": pa.array([int(pc.sum(pc.equal(
+                t["pred"], t["label"])).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow").take_all()
+    n_test = sum(r["n"] for r in agg)
+    acc = sum(r["hit"] for r in agg) / max(n_test, 1)
+    return pa.table({
+        "n_docs": pa.array([planted.count()], pa.int64()),
+        "n_test": pa.array([n_test], pa.int64()),
+        "test_acc_ok": pa.array([bool(acc >= 0.95)]),
+        "loss_improved_ok": pa.array([bool(losses[-1] < losses[0])]),
+    })
+
+
 def ivf_recall_embeddings(sf_dir: str):
     """IVF-ANN recall bound vs the exact brute-force top-k (the already
     SQL-oracled ann path): top-10 with nprobe=12/16 must reach ≥0.6
@@ -10307,6 +10376,7 @@ QUERIES = {
     "kcore_suppliers": kcore_suppliers,
     # ML-pipeline tolerance oracles (round-3: rows-only -> value-checked)
     "kmeans_recovery_embeddings": kmeans_recovery_embeddings,
+    "classifier_quality_documents": classifier_quality_documents,
     "ivf_recall_embeddings": ivf_recall_embeddings,
     "pca_variance_embeddings": pca_variance_embeddings,
     "pack_coverage_documents": pack_coverage_documents,

@@ -2908,3 +2908,77 @@ def test_warc_rejects_negative_content_length():
     for bad in ("-63", "+5", "1_0", " 5 x"):
         with pytest.raises(ValueError, match="non-integer Content-Length"):
             warc_split_records(rec(bad))
+
+
+def test_classifier_featurize_and_score_kernel():
+    """Hashed-BoW featurization matches a naive per-row loop (mean
+    pooling, lower-casing, non-alnum split, empty-token drop), and the
+    bincount matvec reproduces the naive dot product."""
+    import numpy as np
+    import pyarrow as pa
+
+    from logray.functions.hashing import stable_hash64
+    from logray.ops.classifier import _hashed_rows, _scores
+
+    texts = pa.array(["The cat, the CAT!", "", "one  two\tthree", "Zz"],
+                     pa.string())
+    dim = 64
+    ri, ids, rl = _hashed_rows(texts, dim)
+    # naive reference
+    import re
+    import zlib
+    rows = [[w for w in re.split(r"[^a-z0-9]+", s.lower()) if w]
+            for s in texts.to_pylist()]
+    naive = [[zlib.crc32(w.encode()) % dim for w in r] for r in rows]
+    got = [[] for _ in rows]
+    for r, i in zip(ri, ids):
+        got[r].append(int(i))
+    assert got == naive
+    assert list(rl) == [max(len(r), 1) for r in rows]
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=dim)
+    z = _scores(ri, ids, rl, w, 0.25, len(rows))
+    for k, r in enumerate(naive):
+        want = (sum(w[i] for i in r) / max(len(r), 1)) + 0.25
+        assert abs(z[k] - want) < 1e-12
+
+
+def test_classifier_trains_separable(ray_session):
+    """Distributed Adagrad training separates a planted two-vocab corpus
+    (loss net-decreases, holdout accuracy 1.0) and the scoring stage
+    threads a custom text column name."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from logray.ops.classifier import (ClassifierScoreStage,
+                                       train_text_classifier)
+
+    n, dim = 240, 1 << 12
+    rows = []
+    for i in range(n):
+        y = i % 2
+        vocab = ["alphaa", "alphab", "alphac"] if y else \
+            ["betaa", "betab", "betac"]
+        filler = f"common{i % 5} noise{i % 7} pad"
+        rows.append({"body": filler + " " + " ".join(
+            vocab[(i + j) % 3] for j in range(2 + i % 2)),
+            "label": y, "is_test": i % 4 == 0})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    import pyarrow.compute as pc
+    train = ds.map_batches(lambda t: t.filter(pc.invert(t["is_test"])),
+                           batch_format="pyarrow")
+    w, b, losses = train_text_classifier(train, text_col="body", dim=dim,
+                                         iters=10)
+    assert losses[-1] < losses[0] < 0.70
+    test = ds.map_batches(lambda t: t.filter(t["is_test"]),
+                          batch_format="pyarrow")
+    scored = test.map_batches(
+        ClassifierScoreStage,
+        fn_constructor_kwargs={"w_ref": ray.put(w), "b": b, "dim": dim,
+                               "text_col": "body"},
+        concurrency=1, batch_size=256, batch_format="pyarrow").to_pandas()
+    assert len(scored) == n // 4
+    assert (scored["pred"] == scored["label"]).mean() == 1.0
+    assert ((scored["score"] >= 0) & (scored["score"] <= 1)).all()
