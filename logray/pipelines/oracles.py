@@ -1119,6 +1119,9 @@ ORACLE_SQL["transcript_parse_counts"] = f"""
 # it through the envelope regex — the per-rule histogram is the identical
 # first-match-wins classification, so it shares the transcript oracle.
 ORACLE_SQL["raw_log_parse_counts"] = ORACLE_SQL["transcript_parse_counts"]
+# lz4_log_parse_counts re-ingests the same corpus through the
+# from-scratch LZ4 frame codec — identical per-rule histogram expected
+ORACLE_SQL["lz4_log_parse_counts"] = ORACLE_SQL["transcript_parse_counts"]
 
 # The full flagship DAG's aggregate output: per-(sink, rule) counts.
 ORACLE_SQL["flagship_transcripts"] = f"""

@@ -1404,6 +1404,32 @@ def raw_log_parse_counts(sf_dir: str):
     return relational.grouped_agg(parsed, ["rule_id"], {"n": ("rule_id", "count")})
 
 
+def lz4_log_parse_counts(sf_dir: str):
+    """Raw-text ingestion over LZ4-framed shards (B5 breadth): render the
+    corpus to ``.log.lz4`` with the FROM-SCRATCH LZ4 frame codec
+    (logray/ops/lz4codec.py: block sequences with overlap-safe match
+    copy, frame descriptor + xxHash32 header/block/content checksums),
+    re-ingest (per-shard decompress in the task, '\\n'-split to
+    read_text semantics), envelope-parse and run the rule engine —
+    per-rule histogram must equal the parquet path's exactly (same
+    oracle as ``transcript_parse_counts``)."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    from ..sources import read_raw_log, render_raw_log
+
+    raw = Path(_RAW_LOG_CACHE) / f"lz4-sf{sf}"
+    if not list(raw.glob("*.log.lz4")):
+        render_raw_log(corpus, raw, compression="lz4")
+    from ..stages.parse import parse_batch_fn
+
+    ds = read_raw_log(raw)
+    parsed = ds.map_batches(
+        lambda t: parse_batch_fn(t.drop(["envelope_error"])),
+        batch_format="pyarrow")
+    return relational.grouped_agg(parsed, ["rule_id"],
+                                  {"n": ("rule_id", "count")})
+
+
 def tool_error_followup_transcripts(sf_dir: str):
     """Ordered per-conversation downstream analysis (the reference's
     consumers do exactly this shape: filter on event_type, then reason
@@ -10324,6 +10350,7 @@ QUERIES = {
     "flagship_transcripts": flagship_transcripts,
     "transcript_parse_counts": transcript_parse_counts,
     "raw_log_parse_counts": raw_log_parse_counts,
+    "lz4_log_parse_counts": lz4_log_parse_counts,
     "csv_source_event_counts": csv_source_event_counts,
     "json_source_doc_counts": json_source_doc_counts,
     "fold_continuations_transcripts": fold_continuations_transcripts,

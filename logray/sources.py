@@ -42,7 +42,10 @@ def render_raw_log(corpus_dir: str | Path, out_dir: str | Path,
                    compression: str | None = None) -> list[str]:
     """Render each corpus parquet partition to one ``.log`` text file
     (``compression="gzip"`` writes ``.log.gz`` — the reference's callers
-    commonly feed gzipped system logs).
+    commonly feed gzipped system logs; ``compression="lz4"`` writes
+    ``.log.lz4`` frames via the from-scratch codec in
+    logray/ops/lz4codec.py, the shard-compression format modern
+    pipelines ship text shards in).
 
     Fully vectorized (strftime + element-wise join); deterministic for a
     given corpus. Returns the list of written files."""
@@ -64,6 +67,12 @@ def render_raw_log(corpus_dir: str | Path, out_dir: str | Path,
             out = out_dir / (f.stem + ".log.gz")
             with gzip.open(out, "wt") as fh:
                 fh.write(payload)
+        elif compression == "lz4":
+            from .ops.lz4codec import compress_frame
+
+            out = out_dir / (f.stem + ".log.lz4")
+            out.write_bytes(compress_frame(
+                payload.encode(), block_checksums=True, content_size=True))
         else:
             out = out_dir / (f.stem + ".log")
             with open(out, "w") as fh:
@@ -113,14 +122,42 @@ def read_raw_log(log_dir: str | Path):
 
     files = sorted(str(p) for p in Path(log_dir).glob("*.log"))
     gz = sorted(str(p) for p in Path(log_dir).glob("*.log.gz"))
+    lz4 = sorted(str(p) for p in Path(log_dir).glob("*.log.lz4"))
     parts = []
     if files:
         parts.append(ray.data.read_text(files))
     if gz:
         parts.append(ray.data.read_text(
             gz, arrow_open_stream_args={"compression": "gzip"}))
+    if lz4:
+        from .ops.lz4codec import MAGIC, decompress_frame
+
+        def inflate(t: pa.Table) -> pa.Table:
+            import struct
+
+            magic = struct.pack("<I", MAGIC)
+            lines: list[str] = []
+            for blob in t["bytes"].to_pylist():
+                # sniff the frame magic rather than trusting the
+                # extension: read_binary_files auto-inflates *.lz4 via
+                # the Arrow filesystem (same gotcha as the WARC .gz
+                # shards), so bytes may arrive either way — our codec's
+                # conformance against Arrow's is pinned in tests
+                if blob[:4] == magic:
+                    blob = decompress_frame(blob)
+                text = blob.decode("utf-8")
+                # split on '\n' ONLY (read_text semantics) — splitlines()
+                # would also split on VT/FF/U+2028 inside turn text
+                segs = text.split("\n")
+                if segs and segs[-1] == "":
+                    segs.pop()
+                lines.extend(segs)
+            return pa.table({"text": pa.array(lines, pa.string())})
+
+        parts.append(ray.data.read_binary_files(lz4).map_batches(
+            inflate, batch_format="pyarrow", batch_size=1))
     if not parts:
-        raise FileNotFoundError(f"no .log/.log.gz files in {log_dir}")
+        raise FileNotFoundError(f"no .log/.log.gz/.log.lz4 in {log_dir}")
     ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     return ds.map_batches(envelope_parse, batch_format="pyarrow")
 

@@ -350,3 +350,109 @@ def test_avro_shard_reader(ray_session):
         a = f.read_bytes()
         b = (d2 / f.name).read_bytes()
         assert hashlib.sha256(a).digest() == hashlib.sha256(b).digest()
+
+
+def test_lz4_codec_conformance_and_hazards():
+    """From-scratch LZ4: xxHash32 public vectors, block + frame
+    round-trips over varied content, BIDIRECTIONAL conformance against
+    pyarrow's real LZ4-frame codec (a foreign implementation — stronger
+    than self-round-trip), and crafted foreign streams all raise."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from logray.ops.lz4codec import (compress_block, compress_frame,
+                                     decompress_block, decompress_frame,
+                                     xxh32)
+
+    # public xxHash32 vectors (seed 0)
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    assert xxh32(b"Nobody inspects the spammish repetition") == 0xE2293B2F
+    assert xxh32(b"abc", seed=1) != xxh32(b"abc")
+
+    rng = np.random.default_rng(11)
+    cases = [b"", b"x", b"hello world " * 40, bytes(20),
+             bytes(rng.integers(0, 4, 5000, dtype=np.uint8) + 97),
+             bytes(rng.integers(0, 256, 3000, dtype=np.uint8)),
+             b"ab" * 40000]
+    for c in cases:
+        assert decompress_block(compress_block(c), max(len(c), 1) + 1) == c
+        for kw in ({}, {"block_checksums": True, "content_size": True},
+                   {"block_size_code": 5, "content_checksum": False}):
+            assert decompress_frame(compress_frame(c, **kw)) == c
+
+    # bidirectional conformance vs pyarrow's LZ4-frame codec
+    if pa.Codec.is_available("lz4"):
+        arrow = pa.Codec("lz4")
+        for c in cases:
+            assert arrow.decompress(
+                compress_frame(c, block_checksums=True),
+                len(c)).to_pybytes() == c
+            assert decompress_frame(bytes(arrow.compress(c))) == c
+
+    # hazards — every crafted stream must raise, never mis-decode
+    def with_desc(flg: int, bd: int, rest: bytes) -> bytes:
+        desc = bytes([flg, bd])
+        return (good[:4] + desc + bytes([(xxh32(desc) >> 8) & 0xFF])
+                + rest)
+
+    good = compress_frame(b"payload " * 100, block_checksums=True)
+    with pytest.raises(ValueError, match="bad magic"):
+        decompress_frame(b"\x00" + good[1:])
+    with pytest.raises(ValueError, match="header checksum"):
+        bad = bytearray(good)
+        bad[6] ^= 0xFF  # the HC byte itself
+        decompress_frame(bytes(bad))
+    with pytest.raises(ValueError, match="reserved/dict FLG"):
+        decompress_frame(with_desc(good[4] | 0x01, good[5], good[7:]))
+    with pytest.raises(ValueError, match="unsupported frame version"):
+        decompress_frame(with_desc(good[4] & 0x3F | 0x80, good[5],
+                                   good[7:]))
+    with pytest.raises(ValueError, match="reserved BD"):
+        decompress_frame(with_desc(good[4], good[5] | 0x08, good[7:]))
+    with pytest.raises(ValueError, match="block checksum mismatch"):
+        bad = bytearray(good)
+        bad[-9] ^= 0xFF  # last block's stored checksum region
+        decompress_frame(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decompress_frame(good[:10])
+    with pytest.raises(ValueError, match="content checksum mismatch"):
+        tweaked = bytearray(compress_frame(b"payload " * 100))
+        tweaked[-1] ^= 0xFF  # the stored content checksum
+        decompress_frame(bytes(tweaked))
+    nocheck = compress_frame(b"payload " * 100, content_checksum=False)
+    with pytest.raises(ValueError, match="truncated block size"):
+        decompress_frame(nocheck[:-4])  # EndMark removed
+    with pytest.raises(ValueError, match="zero match offset"):
+        decompress_block(b"\x10a\x00\x00", 64)
+    with pytest.raises(ValueError, match="offset beyond output"):
+        decompress_block(b"\x11ab\x05\x00", 64)
+    with pytest.raises(ValueError, match="literal run past end"):
+        decompress_block(b"\xf0" + b"\x05" + b"ab", 64)
+    with pytest.raises(ValueError, match="exceeds declared block size"):
+        decompress_block(compress_block(b"z" * 100), 10)
+
+
+def test_lz4_raw_log_roundtrip(ray_session, corpus, tmp_path_factory):
+    """LZ4-framed raw-log lane: render corpus → .log.lz4 → read_raw_log
+    reconstructs the exact transcript rows the parquet path yields."""
+    import pandas as pd
+
+    from logray.sources import read_raw_log, render_raw_log
+
+    in_dir, meta = corpus
+    out = tmp_path_factory.mktemp("lz4logs")
+    written = render_raw_log(in_dir, out, compression="lz4")
+    assert all(w.endswith(".log.lz4") for w in written)
+    got = read_raw_log(out).to_pandas()
+    assert not got["envelope_error"].any()
+    want = pd.concat([pq.read_table(f).to_pandas()
+                      for f in sorted(in_dir.glob("*.parquet"))])
+    key = ["conv_id", "turn_idx"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    for col in ("conv_id", "turn_idx", "role", "text", "tool"):
+        assert got[col].tolist() == want[col].tolist()
+    assert (got["ts"].astype("int64") == want["ts"].astype("int64")).all()
