@@ -24,6 +24,7 @@ SURVEY.md's sources-coverage row (§2 B5).
 """
 from __future__ import annotations
 
+import datetime as _dt
 import io
 import json
 import struct
@@ -103,6 +104,9 @@ def encode_datum(schema, value) -> bytes:
     if t == "boolean":
         return b"\x01" if value else b"\x00"
     if t in ("int", "long"):
+        if isinstance(value, _dt.datetime):  # logicalType timestamp-micros
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+            value = (value - epoch) // _dt.timedelta(microseconds=1)
         return encode_long(int(value))
     if t == "float":
         return struct.pack("<f", float(value))
@@ -140,7 +144,10 @@ def encode_datum(schema, value) -> bytes:
         return (encode_long(-len(items)) + encode_long(len(body)) + body
                 + encode_long(0))
     if t == "map":
-        pairs = list(value.items())
+        # dict OR list-of-(key, value) pairs (the shape Arrow MapArray
+        # yields from to_pylist) — both are real caller shapes
+        pairs = list(value.items()) if isinstance(value, dict) \
+            else list(value)
         if not pairs:
             return encode_long(0)
         body = b"".join(encode_bytes(k.encode("utf-8"))

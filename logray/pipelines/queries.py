@@ -8498,7 +8498,10 @@ def avro_ingest_turns(sf_dir: str):
             "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
             "role": t["role"], "tool": t["tool"],
             "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
-            "ts_micros": t["ts"], "score": t["score"],
+            # ts decodes as timestamp[us] via the logicalType — the
+            # sidecar stores raw epoch micros
+            "ts_micros": pc.cast(t["ts"], pa.int64()),
+            "score": t["score"],
             "n_flags": pc.cast(pc.list_value_length(t["flags"]),
                                pa.int64()),
             "attr_sum": pa.array(attr_sum, pa.int64()),

@@ -547,6 +547,9 @@ def _avro_to_arrow_type(schema) -> pa.DataType:
             raise ValueError("avro: only [null, X] unions map to Arrow")
         return _avro_to_arrow_type(branches[0])
     t = schema if isinstance(schema, str) else schema["type"]
+    if (isinstance(schema, dict) and t == "long"
+            and schema.get("logicalType") == "timestamp-micros"):
+        return pa.timestamp("us")
     prim = {"boolean": pa.bool_(), "int": pa.int32(), "long": pa.int64(),
             "float": pa.float32(), "double": pa.float64(),
             "bytes": pa.binary(), "string": pa.string(),
@@ -607,6 +610,87 @@ def read_avro_shards(in_dir):
 
     return (ray.data.read_binary_files(files, include_paths=True)
             .map_batches(explode, batch_format="pyarrow", batch_size=1))
+
+
+def _arrow_to_avro_type(t: pa.DataType, name: str):
+    """Reverse mapping for the sink: Arrow type → Avro schema node.
+    Named Avro types (fixed/record) derive their name from the column."""
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_integer(t):
+        return "long" if t.bit_width > 32 else "int"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_floating(t):
+        return "double"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_fixed_size_binary(t):
+        return {"type": "fixed", "name": f"fx_{name}", "size": t.byte_width}
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_timestamp(t):
+        if t.unit != "us":
+            raise ValueError("avro sink: only µs timestamps supported")
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return {"type": "array",
+                "items": _arrow_to_avro_type(t.value_type, name)}
+    if pa.types.is_map(t):
+        if not pa.types.is_string(t.key_type):
+            raise ValueError("avro sink: map keys must be strings")
+        return {"type": "map",
+                "values": _arrow_to_avro_type(t.item_type, name)}
+    if pa.types.is_struct(t):
+        return {"type": "record", "name": f"rec_{name}", "fields": [
+            {"name": f.name,
+             "type": _arrow_to_avro_type(f.type, f"{name}_{f.name}")}
+            for f in t]}
+    raise ValueError(f"avro sink: unsupported Arrow type {t}")
+
+
+def arrow_to_avro_schema(schema: pa.Schema, name: str = "row") -> dict:
+    """Arrow schema → top-level Avro record. Every field is wrapped in a
+    ``[null, T]`` union (Arrow columns are nullable by definition); the
+    reader maps that union straight back to a nullable Arrow column."""
+    return {"type": "record", "name": name, "fields": [
+        {"name": f.name,
+         "type": ["null", _arrow_to_avro_type(f.type, f.name)],
+         "default": None}
+        for f in schema]}
+
+
+def write_avro(ds, out_dir: str | Path, *, codec: str = "deflate",
+               block_records: int = 1000):
+    """Avro object-container sink (B6 format breadth): each task encodes
+    its batch as ONE container file through the from-scratch codec —
+    partitioned output, no driver funnel, atomic tmp→rename like the
+    IPC/ORC sinks so readers never see partials. The Avro schema is
+    derived from the batch's Arrow schema (``arrow_to_avro_schema``);
+    per-record encode is a Python walk by nature of the row-oriented
+    format (the egress boundary, not a hot analytic path)."""
+    import hashlib
+    import uuid
+
+    from .ops.avrocodec import write_container
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def write_batch(t: pa.Table) -> pa.Table:
+        schema = arrow_to_avro_schema(t.schema)
+        token = uuid.uuid4().hex
+        sync = hashlib.md5(token.encode()).digest()
+        blob = write_container(schema, t.to_pylist(), sync, codec=codec,
+                               block_records=block_records)
+        name = out / f"part-{token}.avro"
+        tmp = name.with_suffix(".tmp")
+        tmp.write_bytes(blob)
+        tmp.rename(name)
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    n = ds.map_batches(write_batch, batch_format="pyarrow").sum("rows")
+    return int(n or 0)
 
 
 AVRO_TURN_SCHEMA = {

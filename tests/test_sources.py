@@ -339,7 +339,9 @@ def test_avro_shard_reader(ray_session):
         else:
             assert tr["tool"] == r.tool
         assert tr["n_chars"] == len(r.text)
-        assert tr["ts_micros"] == r.ts
+        # ts surfaces as timestamp[us] (Avro logicalType) — compare micros
+        import pandas as pd
+        assert tr["ts_micros"] == pd.Timestamp(r.ts).value // 1000
         assert tr["n_flags"] == len(r.flags)
         assert tr["attr_sum"] == sum(v for _, v in r.attrs)
         assert tr["fp_hex"] == r.fp.hex()
@@ -456,3 +458,43 @@ def test_lz4_raw_log_roundtrip(ray_session, corpus, tmp_path_factory):
     for col in ("conv_id", "turn_idx", "role", "text", "tool"):
         assert got[col].tolist() == want[col].tolist()
     assert (got["ts"].astype("int64") == want["ts"].astype("int64")).all()
+
+
+def test_avro_sink_roundtrip(ray_session, tmp_path):
+    """write_avro → read_avro_shards round-trips a transcript-shaped
+    Dataset exactly (nullable union per column, timestamp-micros logical
+    type, list + map + fixed columns), under both container codecs."""
+    import pyarrow as pa
+    import ray.data
+
+    from logray.sources import read_avro_shards, write_avro
+
+    rows = []
+    for i in range(57):
+        rows.append({
+            "conv_id": f"c{i % 5}", "turn_idx": i,
+            "tool": None if i % 3 == 0 else f"t{i % 4}",
+            "ts": 1_700_000_000_000_000 + i,
+            "score": i / 8, "flags": [f"f{j}" for j in range(i % 3)],
+            "attrs": {f"k{j}": j * i for j in range(i % 2 + 1)},
+            "fp": bytes([i % 256] * 8)})
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("tool", pa.string()), ("ts", pa.timestamp("us")),
+        ("score", pa.float64()), ("flags", pa.list_(pa.string())),
+        ("attrs", pa.map_(pa.string(), pa.int64())),
+        ("fp", pa.binary(8))])
+    want = pa.Table.from_pylist(rows, schema=schema)
+    for codec in ("null", "deflate"):
+        out = tmp_path / codec
+        n = write_avro(ray.data.from_arrow(want), out, codec=codec)
+        assert n == 57
+        got = read_avro_shards(out).to_pandas().sort_values(
+            "turn_idx").reset_index(drop=True)
+        wdf = want.to_pandas()
+        for col in ("conv_id", "turn_idx", "tool", "ts", "score", "fp"):
+            assert got[col].tolist() == wdf[col].tolist(), (codec, col)
+        assert [list(v) for v in got["flags"]] == \
+            [list(v) for v in wdf["flags"]]
+        assert [sorted(v) for v in got["attrs"]] == \
+            [sorted(v) for v in wdf["attrs"]]
