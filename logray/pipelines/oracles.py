@@ -927,6 +927,28 @@ ORACLE_SQL["kmeans_recovery_embeddings"] = """
     FROM embeddings
 """
 
+# DSIR planted-shift recovery: slice arithmetic SQL-exact, bound TRUE
+ORACLE_SQL["dsir_shift_recovery_documents"] = """
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 25 <> 0) AS BIGINT)
+               AS n_raw,
+           CAST(count(*) FILTER (WHERE doc_id % 25 <> 0
+                                 AND doc_id % 7 = 3) AS BIGINT)
+               AS n_planted,
+           TRUE AS recovery_ok
+    FROM documents
+"""
+
+# fuzzy-decontamination planted recall: slice + length cutoff SQL-exact
+ORACLE_SQL["fuzzy_decontam_recall_documents"] = """
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 25 = 0) AS BIGINT)
+               AS n_bench,
+           CAST(count(*) FILTER (WHERE doc_id % 25 = 0
+                                 AND n_chars >= 120) AS BIGINT)
+               AS n_planted,
+           TRUE AS recall_ok
+    FROM documents
+"""
+
 # trained quality classifier: exact counts SQL-verified (holdout =
 # every 5th doc_id), bound assertions expected TRUE
 ORACLE_SQL["classifier_quality_documents"] = """

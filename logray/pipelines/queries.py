@@ -2929,6 +2929,107 @@ def dsir_scores_documents(sf_dir: str):
     return top
 
 
+def dsir_shift_recovery_documents(sf_dir: str):
+    """DSIR planted-shift recovery as a pass/fail row (the tolerance-
+    oracle companion to the rows-only ``dsir_scores_documents``): append
+    an invented target vocabulary to the target slice (doc_id % 25 == 0)
+    AND to a known planted raw subset (doc_id % 7 == 3), run the full
+    distributed DSIR scoring, and assert the top-|planted| raw docs by
+    importance score are ≥ 90% planted. n_raw / n_planted are SQL-exact
+    (pure doc_id arithmetic)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tgt_vocab = " xtgta xtgtb xtgtc xtgtd xtgte"
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        mark = (d % 25 == 0) | ((d % 25 != 0) & (d % 7 == 3))
+        text = pc.binary_join_element_wise(
+            t["text"],
+            pa.array(np.where(mark, tgt_vocab, ""), pa.string()), "")
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    planted = docs.map_batches(plant, batch_format="pyarrow")
+
+    def side(bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (d % 25 == 0) if bench else (d % 25 != 0)
+            return t.filter(pa.array(m))
+        return fn
+
+    raw = planted.map_batches(side(False), batch_format="pyarrow")
+    target = planted.map_batches(side(True), batch_format="pyarrow")
+    scored = text_ops.dsir_importance_scores(raw, target)
+    n_raw = scored.count()
+    n_planted = int(raw.map_batches(
+        lambda t: pa.table({"n": pa.array([int(np.sum(
+            t["doc_id"].to_numpy(zero_copy_only=False) % 7 == 3))],
+            pa.int64())}),
+        batch_format="pyarrow").sum("n") or 0)
+    top = relational.topk(scored, [("dsir_score", True),
+                                   ("doc_id", False)], n_planted)
+    hit = int((top["doc_id"].to_numpy() % 7 == 3).sum())
+    return pa.table({
+        "n_raw": pa.array([n_raw], pa.int64()),
+        "n_planted": pa.array([n_planted], pa.int64()),
+        "recovery_ok": pa.array([bool(hit >= 0.9 * n_planted)]),
+    })
+
+
+def fuzzy_decontam_recall_documents(sf_dir: str):
+    """Fuzzy-decontamination planted recall as a pass/fail row (the
+    tolerance-oracle companion to the rows-only
+    ``fuzzy_decontaminate_documents``): synthesize perturbed copies of
+    every long-enough benchmark doc (one token swapped — the
+    edited-leakage case exact n-grams miss), union them into the train
+    side under ids ≥ 10^7, run the full cross-corpus MinHash LSH path,
+    and assert ≥ 90% of the planted copies are flagged. n_bench /
+    n_planted are SQL-exact (doc_id % 25 and the n_chars cutoff)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def side(bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (d % 25 == 0) if bench else (d % 25 != 0)
+            return t.filter(pa.array(m)).select(["doc_id", "text"])
+        return fn
+
+    def perturb(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_chars = t["n_chars"].to_numpy(zero_copy_only=False)
+        m = (d % 25 == 0) & (n_chars >= 120)
+        sub = t.filter(pa.array(m))
+        texts = []
+        for s in sub["text"].to_pylist():
+            w = s.split()
+            w[3] = "xqleak"
+            texts.append(" ".join(w))
+        return pa.table({
+            "doc_id": pc.add(pc.cast(sub["doc_id"], pa.int64()),
+                             pa.scalar(10_000_000, pa.int64())),
+            "text": pa.array(texts, pa.string())})
+
+    train = docs.map_batches(side(False), batch_format="pyarrow").union(
+        docs.map_batches(perturb, batch_format="pyarrow"))
+    bench = docs.map_batches(side(True), batch_format="pyarrow")
+    flagged = dedup.minhash_decontaminate(train, bench,
+                                          threshold=0.6).to_pandas()
+    n_planted = int(docs.map_batches(
+        lambda t: pa.table({"n": pa.array([int(np.sum(
+            (t["doc_id"].to_numpy(zero_copy_only=False) % 25 == 0)
+            & (t["n_chars"].to_numpy(zero_copy_only=False) >= 120)))],
+            pa.int64())}),
+        batch_format="pyarrow").sum("n") or 0)
+    planted_ids = flagged.loc[flagged["doc_id"] >= 10_000_000, "doc_id"]
+    hit = planted_ids.nunique()
+    n_bench = int(bench.count())
+    return pa.table({
+        "n_bench": pa.array([n_bench], pa.int64()),
+        "n_planted": pa.array([n_planted], pa.int64()),
+        "recall_ok": pa.array([bool(hit >= 0.9 * n_planted)]),
+    })
+
+
 def _snapshot_side(new: bool, cols_keep=None):
     """Shared deterministic snapshot definitions for the CDC queries:
     old drops event_id % 13 == 0, new drops % 17 == 0 and bumps value
@@ -10407,6 +10508,8 @@ QUERIES = {
     # ML-pipeline tolerance oracles (round-3: rows-only -> value-checked)
     "kmeans_recovery_embeddings": kmeans_recovery_embeddings,
     "classifier_quality_documents": classifier_quality_documents,
+    "dsir_shift_recovery_documents": dsir_shift_recovery_documents,
+    "fuzzy_decontam_recall_documents": fuzzy_decontam_recall_documents,
     "ivf_recall_embeddings": ivf_recall_embeddings,
     "pca_variance_embeddings": pca_variance_embeddings,
     "pack_coverage_documents": pack_coverage_documents,
