@@ -484,6 +484,11 @@ ORACLE_SQL: dict[str, str] = {
     "json_source_doc_counts": """
         SELECT lang, count(*) AS n FROM documents GROUP BY lang
     """,
+    # snappy_jsonl_doc_counts re-ingests the same projection through the
+    # from-scratch raw-Snappy codec — identical per-lang counts expected
+    "snappy_jsonl_doc_counts": """
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    """,
     "ann_topk_embeddings": """
         WITH q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -2052,6 +2052,58 @@ def json_source_doc_counts(sf_dir: str):
     return relational.grouped_agg(ds, ["lang"], {"n": ("doc_id", "count")})
 
 
+def snappy_jsonl_doc_counts(sf_dir: str):
+    """Raw-Snappy-compressed JSONL shard lane (B5 breadth; the Kinesis /
+    Firehose landing shape, and Parquet's default codec implemented
+    from scratch — logray/ops/snappycodec.py, conformance pinned
+    bidirectionally against pyarrow's real Snappy): write
+    documents(doc_id, lang) as ``.jsonl-snappy`` shards through OUR
+    encoder (one shard per task, atomic rename), read back via
+    read_binary_files + OUR decoder + a vectorized Arrow JSON parse,
+    count per lang — same oracle as the plain JSONL round-trip."""
+    import ray.data
+
+    from ..ops.snappycodec import compress, decompress
+
+    import uuid
+
+    path = _scratch_dir("snappy_jsonl", sf_dir)
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        lines = pc.binary_join_element_wise(
+            '{"doc_id": ', pc.cast(t["doc_id"], pa.string()),
+            ', "lang": "', t["lang"], '"}', "")
+        payload = ("\n".join(lines.to_pylist()) + "\n").encode()
+        # NOT *.snappy: the Arrow filesystem would try (and fail) to
+        # auto-inflate that extension via the absent python-snappy
+        name = Path(path) / f"part-{uuid.uuid4().hex}.jsonl-snappy"
+        tmp = name.with_suffix(".tmp")
+        tmp.write_bytes(compress(payload))
+        tmp.rename(name)
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    n = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        write_shard, batch_format="pyarrow").sum("rows")
+    assert n
+
+    files = sorted(str(p) for p in Path(path).glob("*.jsonl-snappy"))
+
+    def decode(t: pa.Table) -> pa.Table:
+        import io
+
+        from pyarrow import json as pa_json
+
+        tables = []
+        for blob in t["bytes"].to_pylist():
+            raw = decompress(blob)
+            tables.append(pa_json.read_json(io.BytesIO(raw)))
+        return pa.concat_tables(tables)
+
+    ds = ray.data.read_binary_files(files).map_batches(
+        decode, batch_format="pyarrow", batch_size=1)
+    return relational.grouped_agg(ds, ["lang"], {"n": ("doc_id", "count")})
+
+
 # ------------------------------------------------- round-2 coverage adds ---
 
 def users_intersect_purchase_error(sf_dir: str):
@@ -10457,6 +10509,7 @@ QUERIES = {
     "lz4_log_parse_counts": lz4_log_parse_counts,
     "csv_source_event_counts": csv_source_event_counts,
     "json_source_doc_counts": json_source_doc_counts,
+    "snappy_jsonl_doc_counts": snappy_jsonl_doc_counts,
     "fold_continuations_transcripts": fold_continuations_transcripts,
     "salted_conv_counts": salted_conv_counts,
     "tool_error_followup_transcripts": tool_error_followup_transcripts,

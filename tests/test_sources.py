@@ -498,3 +498,62 @@ def test_avro_sink_roundtrip(ray_session, tmp_path):
             [list(v) for v in wdf["flags"]]
         assert [sorted(v) for v in got["attrs"]] == \
             [sorted(v) for v in wdf["attrs"]]
+
+
+def test_snappy_codec_conformance_and_hazards():
+    """From-scratch raw Snappy: round-trips over varied content,
+    BIDIRECTIONAL conformance against pyarrow's real Snappy codec, all
+    four tag forms decoded (incl. 11-bit-offset and 32-bit-offset copies
+    we craft by hand since our encoder emits only 16-bit), and crafted
+    foreign streams raise."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from logray.ops.snappycodec import (_uvarint_encode, compress,
+                                        decompress)
+
+    rng = np.random.default_rng(17)
+    cases = [b"", b"x", b"hello world " * 50, bytes(100),
+             bytes(rng.integers(0, 4, 7000, dtype=np.uint8) + 97),
+             bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),
+             b"ab" * 50000, b"a" * 300, b"abcd" * 100 + b"tail"]
+    arrow = pa.Codec("snappy")
+    for c in cases:
+        assert decompress(compress(c)) == c
+        assert arrow.decompress(compress(c), len(c)).to_pybytes() == c
+        assert decompress(bytes(arrow.compress(c))) == c
+
+    # hand-crafted tag forms our encoder never emits
+    # copy-1 (11-bit offset): literal 'abcd' then copy len 4 offset 4
+    blob = _uvarint_encode(8) + bytes([3 << 2]) + b"abcd" \
+        + bytes([0b01 | (0 << 2) | (0 << 5), 4])
+    assert decompress(blob) == b"abcdabcd"
+    # copy-4 (32-bit offset)
+    blob = _uvarint_encode(8) + bytes([3 << 2]) + b"abcd" \
+        + bytes([0b11 | (3 << 2)]) + struct.pack("<I", 4)
+    assert decompress(blob) == b"abcdabcd"
+    # 4-byte literal-length form
+    blob = _uvarint_encode(3) + bytes([63 << 2]) \
+        + struct.pack("<I", 2) + b"xyz"
+    assert decompress(blob) == b"xyz"
+
+    # hazards
+    with pytest.raises(ValueError, match="truncated length varint"):
+        decompress(b"")
+    with pytest.raises(ValueError, match="longer than 5"):
+        decompress(b"\x80" * 6)
+    with pytest.raises(ValueError, match="truncated literal"):
+        decompress(_uvarint_encode(10) + bytes([9 << 2]) + b"abc")
+    with pytest.raises(ValueError, match="zero copy offset"):
+        decompress(_uvarint_encode(8) + bytes([3 << 2]) + b"abcd"
+                   + bytes([0b10 | (3 << 2)]) + struct.pack("<H", 0))
+    with pytest.raises(ValueError, match="offset beyond output"):
+        decompress(_uvarint_encode(8) + bytes([3 << 2]) + b"abcd"
+                   + bytes([0b10 | (3 << 2)]) + struct.pack("<H", 9))
+    with pytest.raises(ValueError, match="exceeds declared"):
+        decompress(_uvarint_encode(2) + bytes([3 << 2]) + b"abcd")
+    with pytest.raises(ValueError, match="shorter than declared"):
+        decompress(_uvarint_encode(9) + bytes([3 << 2]) + b"abcd")
