@@ -4016,6 +4016,21 @@ ORACLE_SQL["warc_ingest_responses"] = f"""
     FROM read_parquet('{_MEDIA}/warc/truth.parquet')
 """
 
+# Access-log (CLF) lane: truth sidecar written beside the .log shards;
+# the parser must re-derive every field from text alone.
+ORACLE_SQL["access_log_ingest"] = f"""
+    SELECT ts_us, ip, user, method, path, status, n_bytes, agent
+    FROM read_parquet('{_MEDIA}/accesslog/truth.parquet')
+"""
+
+ORACLE_SQL["access_log_status_rollup"] = f"""
+    SELECT method, CAST(status // 100 AS VARCHAR) || 'xx' AS status_class,
+           count(*) AS n_req,
+           CAST(coalesce(sum(n_bytes), 0) AS BIGINT) AS total_bytes
+    FROM read_parquet('{_MEDIA}/accesslog/truth.parquet')
+    GROUP BY 1, 2
+"""
+
 # Avro source: truth sidecar written next to the container shards at
 # pack time (per-record enum/union/array/map/fixed truths); the reader
 # must re-derive every column from container bytes alone.

@@ -8610,6 +8610,64 @@ def warc_ingest_responses(sf_dir: str):
     return ds.map_batches(proj, batch_format="pyarrow")
 
 
+def _accesslog_dir() -> str:
+    from ..sources import make_access_logs
+
+    p = Path(_MEDIA_CACHE) / "accesslog"
+    if not (p / "truth.parquet").exists():
+        make_access_logs(p)
+    return str(p)
+
+
+def access_log_ingest(sf_dir: str):
+    """Common-Log-Format ingestion end-to-end (a THIRD raw-text format
+    with its own envelope ruleset — sources.access_log_parse: one
+    vectorized extract_regex covering bare CLF and combined format,
+    bracketed %d/%b/%Y strptime timestamp, '-' byte/user markers
+    surfacing as converter nulls, malformed lines surviving as error
+    rows). Every parsed field is value-checked against the pack-time
+    truth sidecar; ts_us (strictly increasing in the fixture) is the
+    row identity."""
+    from ..sources import read_access_log
+
+    ds = read_access_log(_accesslog_dir())
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t["parse_error"]))
+        return pa.table({
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "ip": t["ip"], "user": t["user"], "method": t["method"],
+            "path": t["path"],
+            "status": pc.cast(t["status"], pa.int64()),
+            "n_bytes": t["n_bytes"], "agent": t["agent"]})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def access_log_status_rollup(sf_dir: str):
+    """Access-log rollup (the first report every log consumer builds):
+    per method × status-class request counts and byte totals over the
+    parsed CLF lane — combiner-first grouped aggregate, null-byte rows
+    ('-' marker) counted but not summed."""
+    from ..sources import read_access_log
+
+    ds = read_access_log(_accesslog_dir())
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t["parse_error"]))
+        klass = pc.binary_join_element_wise(
+            pc.cast(pc.divide(t["status"], 100), pa.string()), "xx", "")
+        return pa.table({
+            "method": t["method"], "status_class": klass,
+            "n_bytes": pc.fill_null(t["n_bytes"], 0),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["method", "status_class"],
+        {"n_req": ("one", "sum"), "total_bytes": ("n_bytes", "sum")})
+
+
 def _avro_dir() -> str:
     from ..sources import make_avro_shards
 
@@ -10587,6 +10645,8 @@ QUERIES = {
     "webp_features_media": webp_features_media,
     "warc_ingest_responses": warc_ingest_responses,
     "avro_ingest_turns": avro_ingest_turns,
+    "access_log_ingest": access_log_ingest,
+    "access_log_status_rollup": access_log_status_rollup,
     "webp_resize_media": webp_resize_media,
     "jpeg_resize_media": jpeg_resize_media,
     "ppm_resize_dims_media": ppm_resize_dims_media,

@@ -792,3 +792,155 @@ def make_avro_shards(out_dir, n: int = 600, shards: int = 6,
         "fp_hex": pa.array(truth["fp_hex"], pa.string()),
     }), out / "truth.parquet")
     return {"n": n, "shards": shards}
+
+
+# --------------------------------------------------- access-log (CLF) source
+# The web-server log format every log-parsing tool is eventually pointed
+# at (Common Log Format + the combined-format referer/agent tail). A
+# SECOND envelope ruleset over raw text: its own capture regex, its own
+# converter set (bracketed %d/%b/%Y strptime timestamp, int status,
+# byte-size with the '-' empty marker), reference default semantics
+# (malformed lines survive as error rows).
+
+ACCESS_LOG_REGEX = (
+    r'^(?P<ip>\S+) \S+ (?P<user>\S+) \[(?P<ts>[^\]]+) \+0000\] '
+    r'"(?P<method>[A-Z]+) (?P<path>\S+) HTTP/[0-9.]+" '
+    r'(?P<status>\d{3}) (?P<nbytes>\d+|-)'
+    r'(?: "(?P<referer>[^"]*)" "(?P<agent>[^"]*)")?$'
+)
+
+
+def access_log_parse(batch: pa.Table, line_col: str = "text") -> pa.Table:
+    """Vectorized CLF envelope: one ``extract_regex`` pass + typed
+    converters. Unmatched lines are never dropped (``parse_error``)."""
+    lines = batch[line_col]
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    st = pc.extract_regex(lines, ACCESS_LOG_REGEX)
+    env_err = st.is_null()
+
+    def raw(name: str) -> pa.Array:
+        return pc.if_else(env_err, pa.scalar(None, pa.string()),
+                          st.field(name))
+
+    # the bracketed timestamp is the one converter whose failure makes
+    # the whole line unusable — an unparseable date is a malformed line
+    # (reference converter-failure semantics), not a null field
+    ts = pc.strptime(raw("ts"), format="%d/%b/%Y:%H:%M:%S", unit="us",
+                     error_is_null=True)
+    err = pc.or_(env_err, pc.and_(ts.is_null(), pc.invert(env_err)))
+
+    def field(name: str) -> pa.Array:
+        return pc.if_else(err, pa.scalar(None, pa.string()), raw(name))
+    nb = field("nbytes")
+    # CLF writes '-' for "no body" — a CONVERTER failure distinct from an
+    # envelope failure; surface as null bytes, not an error row
+    nb = pc.if_else(pc.equal(nb, "-"), pa.scalar(None, pa.string()), nb)
+    def dash_null(name: str) -> pa.Array:
+        # '-' is CLF's explicit empty marker; '' is an optional combined
+        # tail that didn't participate in the match (bare CLF line) —
+        # both mean "absent" and surface as null
+        v = field(name)
+        return pc.if_else(pc.is_in(v, value_set=pa.array(["-", ""])),
+                          pa.scalar(None, pa.string()), v)
+
+    return pa.table({
+        "ip": field("ip"),
+        "user": dash_null("user"),
+        "ts": ts,
+        "method": field("method"),
+        "path": field("path"),
+        "status": pc.cast(field("status"), pa.int32()),
+        "n_bytes": pc.cast(nb, pa.int64()),
+        "referer": dash_null("referer"),
+        "agent": dash_null("agent"),
+        "parse_error": err,
+    })
+
+
+def read_access_log(log_dir: str | Path):
+    """``read_text`` over ``.log`` access-log files → CLF envelope."""
+    import ray.data
+
+    files = sorted(str(p) for p in Path(log_dir).glob("*.log"))
+    if not files:
+        raise FileNotFoundError(f"no .log files in {log_dir}")
+    return ray.data.read_text(files).map_batches(
+        access_log_parse, batch_format="pyarrow")
+
+
+def make_access_logs(out_dir, n: int = 800, shards: int = 4,
+                     seed: int = 59) -> dict:
+    """Deterministic CLF fixture: ``n`` requests over ``shards`` files
+    (combined format on even shards, bare CLF on odd; a few '-' byte
+    markers and anonymous users) plus a ``truth.parquet`` sidecar with
+    each line's generation-time fields. The parser must re-derive all of
+    it from text alone."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    methods = ["GET", "GET", "GET", "POST", "PUT", "DELETE"]
+    statuses = [200, 200, 200, 204, 301, 304, 404, 500, 503]
+    paths = ["/", "/index.html", "/api/v1/items", "/static/app.js",
+             "/login", "/health", "/search?q=ray"]
+    agents = ["curl/8.0", "Mozilla/5.0 (X11; Linux)", "bot/2.1"]
+    base = 1_767_225_600  # epoch seconds, 2026-01-01T00:00:00Z
+    months = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+              "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+    bufs: dict[int, list[str]] = {k: [] for k in range(shards)}
+    truth = {c: [] for c in ("line_id", "shard", "ip", "user", "ts_us",
+                             "method", "path", "status", "n_bytes",
+                             "agent")}
+    names = {k: f"access-{k:02d}.log" for k in range(shards)}
+    for i in range(n):
+        k = i % shards
+        ip = (f"10.{int(rng.integers(0, 4))}."
+              f"{int(rng.integers(0, 256))}.{int(rng.integers(1, 255))}")
+        user = None if rng.random() < 0.8 else f"u{int(rng.integers(0, 9))}"
+        secs = base + i * 7
+        import datetime as dt
+        t = dt.datetime.fromtimestamp(secs, dt.timezone.utc)
+        ts_str = (f"{t.day:02d}/{months[t.month - 1]}/{t.year}:"
+                  f"{t.hour:02d}:{t.minute:02d}:{t.second:02d} +0000")
+        method = methods[int(rng.integers(0, len(methods)))]
+        path = paths[int(rng.integers(0, len(paths)))]
+        status = int(statuses[int(rng.integers(0, len(statuses)))])
+        nbytes = None if status in (204, 304) \
+            else int(rng.integers(64, 200_000))
+        agent = agents[int(rng.integers(0, len(agents)))] \
+            if k % 2 == 0 else None
+        line = (f"{ip} - {user or '-'} [{ts_str}] "
+                f'"{method} {path} HTTP/1.1" {status} '
+                f"{nbytes if nbytes is not None else '-'}")
+        if agent is not None:  # combined format tail
+            line += f' "-" "{agent}"'
+        bufs[k].append(line)
+        truth["line_id"].append(i)
+        truth["shard"].append(names[k])
+        truth["ip"].append(ip)
+        truth["user"].append(user)
+        truth["ts_us"].append(secs * 1_000_000)
+        truth["method"].append(method)
+        truth["path"].append(path)
+        truth["status"].append(status)
+        truth["n_bytes"].append(nbytes)
+        truth["agent"].append(agent)
+    for k in range(shards):
+        (out / names[k]).write_text("\n".join(bufs[k]) + "\n")
+    _pq.write_table(pa.table({
+        "line_id": pa.array(truth["line_id"], pa.int64()),
+        "shard": pa.array(truth["shard"], pa.string()),
+        "ip": pa.array(truth["ip"], pa.string()),
+        "user": pa.array(truth["user"], pa.string()),
+        "ts_us": pa.array(truth["ts_us"], pa.int64()),
+        "method": pa.array(truth["method"], pa.string()),
+        "path": pa.array(truth["path"], pa.string()),
+        "status": pa.array(truth["status"], pa.int64()),
+        "n_bytes": pa.array(truth["n_bytes"], pa.int64()),
+        "agent": pa.array(truth["agent"], pa.string()),
+    }), out / "truth.parquet")
+    return {"n": n, "shards": shards}

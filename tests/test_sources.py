@@ -557,3 +557,53 @@ def test_snappy_codec_conformance_and_hazards():
         decompress(_uvarint_encode(2) + bytes([3 << 2]) + b"abcd")
     with pytest.raises(ValueError, match="shorter than declared"):
         decompress(_uvarint_encode(9) + bytes([3 << 2]) + b"abcd")
+
+
+def test_access_log_parse_and_hazards(ray_session):
+    """CLF envelope: fixture shards parse to the sidecar truth (bare CLF
+    and combined format, '-' markers → nulls, 204/304 bodyless rows);
+    malformed lines survive as error rows, never dropped."""
+    from pathlib import Path
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from logray.sources import (access_log_parse, make_access_logs,
+                                read_access_log)
+
+    d = Path("/tmp/logray/test_accesslog_fixture")
+    make_access_logs(d, n=120, shards=4)
+    got = read_access_log(d).to_pandas()
+    assert len(got) == 120 and not got["parse_error"].any()
+    truth = pq.read_table(d / "truth.parquet").to_pandas()
+    got = got.sort_values("ts").reset_index(drop=True)
+    truth = truth.sort_values("ts_us").reset_index(drop=True)
+    assert (got["ts"].astype("int64") == truth["ts_us"]).all()
+    for col in ("ip", "method", "path"):
+        assert got[col].tolist() == truth[col].tolist()
+    assert got["status"].astype("int64").tolist() == \
+        truth["status"].tolist()
+    # nullable columns: NaN-safe compare
+    for col in ("user", "agent", "n_bytes"):
+        a = got[col].astype(object).where(got[col].notna(), None).tolist()
+        b = truth[col].astype(object).where(truth[col].notna(),
+                                            None).tolist()
+        assert a == b, col
+    # 204/304 rows exist and carry null bytes (the '-' marker)
+    assert got.loc[got["status"].isin([204, 304]), "n_bytes"] \
+        .isna().all()
+    assert got.loc[~got["status"].isin([204, 304]), "n_bytes"] \
+        .notna().all()
+    # referer: combined-format lines write "-" -> null
+    assert got["referer"].isna().all()
+
+    # malformed lines: reference default semantics
+    t = pa.table({"text": [
+        '1.2.3.4 - - [19/Aug/2026:01:02:03 +0000] "GET / HTTP/1.1" 200 5',
+        "total garbage",
+        '9.9.9.9 - - [not-a-date +0000] "GET / HTTP/1.1" 200 5',
+    ]})
+    out = access_log_parse(t)
+    assert out["parse_error"].to_pylist() == [False, True, True]
+    assert out["ip"].to_pylist() == ["1.2.3.4", None, None]
+    assert out["n_bytes"].to_pylist() == [5, None, None]
