@@ -32,6 +32,22 @@ import zlib
 
 MAGIC = b"Obj\x01"
 _MAX_VARINT_BYTES = 10  # 64-bit zigzag values never need more
+_MAX_INFLATE = 256 << 20  # deflate-bomb cap per block (foreign input)
+# Zero-byte-wide items (null arrays, all-null records) decouple block
+# counts from input size — an amplification vector. A declared count may
+# exceed the remaining input bytes by at most this slack before the
+# reader rejects it (legitimate encoders never ship astronomically more
+# items than bytes).
+_ZERO_WIDTH_SLACK = 16
+
+
+def _remaining(buf: io.BytesIO) -> int:
+    return buf.getbuffer().nbytes - buf.tell()
+
+
+def _check_count(count: int, buf: io.BytesIO, what: str) -> None:
+    if count > _remaining(buf) + _ZERO_WIDTH_SLACK:
+        raise ValueError(f"avro: {what} count {count} exceeds input size")
 
 
 # --------------------------------------------------------------- primitives
@@ -94,6 +110,35 @@ def _named_type(schema):
     raise ValueError(f"avro: bad schema node {schema!r}")
 
 
+def _branch_accepts(branch, value) -> bool:
+    """Python-type → Avro-branch compatibility for union encoding."""
+    bt, _ = _named_type(branch)
+    if bt == "null":
+        return value is None
+    if value is None:
+        return False
+    if bt == "boolean":
+        return isinstance(value, bool)
+    if bt in ("int", "long"):
+        return (isinstance(value, (int, _dt.datetime))
+                and not isinstance(value, bool))
+    if bt in ("float", "double"):
+        return isinstance(value, float)
+    if bt in ("bytes", "fixed"):
+        return isinstance(value, (bytes, bytearray))
+    if bt in ("string", "enum"):
+        return isinstance(value, str)
+    if bt == "array":
+        return isinstance(value, (list, tuple))
+    if bt == "map":
+        return isinstance(value, dict) or (
+            isinstance(value, list)
+            and all(isinstance(p, tuple) and len(p) == 2 for p in value))
+    if bt == "record":
+        return isinstance(value, dict)
+    return False
+
+
 def encode_datum(schema, value) -> bytes:
     """Encode one datum against ``schema`` (parsed JSON, not a string)."""
     t, node = _named_type(schema)
@@ -124,10 +169,11 @@ def encode_datum(schema, value) -> bytes:
     if t == "enum":
         return encode_long(node["symbols"].index(value))
     if t == "union":
-        branches = schema
-        for i, br in enumerate(branches):
-            bt, _ = _named_type(br)
-            if (value is None) == (bt == "null"):
+        # branch selection is TYPE-aware, not first-non-null: a
+        # [null, long, string] union must route "abc" to the string
+        # branch, never coerce it through long
+        for i, br in enumerate(schema):
+            if _branch_accepts(br, value):
                 return encode_long(i) + encode_datum(br, value)
         raise ValueError("avro: no union branch for value")
     if t == "record":
@@ -199,6 +245,7 @@ def decode_datum(schema, buf: io.BytesIO):
                 count = -count
                 if decode_long(buf) < 0:  # block byte size (skippability)
                     raise ValueError("avro: negative array block size")
+            _check_count(count, buf, "array block")
             for _ in range(count):
                 out.append(decode_datum(node["items"], buf))
     if t == "map":
@@ -211,27 +258,85 @@ def decode_datum(schema, buf: io.BytesIO):
                 count = -count
                 if decode_long(buf) < 0:
                     raise ValueError("avro: negative map block size")
+            _check_count(count, buf, "map block")
             for _ in range(count):
                 key = decode_bytes(buf).decode("utf-8")
                 out[key] = decode_datum(node["values"], buf)
     raise ValueError(f"avro: unsupported type {t!r}")
 
 
+_PRIMITIVES = ("null", "boolean", "int", "long", "float", "double",
+               "bytes", "string")
+
+
+def validate_schema(schema) -> None:
+    """Structural validation of a (possibly hostile) parsed Avro schema:
+    every malformed node raises ``ValueError`` — without this, decode
+    walks would surface raw ``KeyError``/``TypeError`` from fuzzed
+    metadata, breaking the module's all-errors-are-ValueError contract."""
+    if isinstance(schema, str):
+        if schema not in _PRIMITIVES:
+            raise ValueError(f"avro: unknown type name {schema!r}")
+        return
+    if isinstance(schema, list):
+        if not schema:
+            raise ValueError("avro: empty union")
+        for br in schema:
+            validate_schema(br)
+        return
+    if not isinstance(schema, dict) or "type" not in schema:
+        raise ValueError(f"avro: bad schema node {schema!r}")
+    t = schema["type"]
+    if t in _PRIMITIVES:
+        return
+    if t == "enum":
+        syms = schema.get("symbols")
+        if not (isinstance(syms, list) and syms
+                and all(isinstance(s, str) for s in syms)):
+            raise ValueError("avro: enum without valid symbols")
+        return
+    if t == "fixed":
+        size = schema.get("size")
+        if not (isinstance(size, int) and 0 <= size <= (1 << 30)):
+            raise ValueError("avro: fixed without valid size")
+        return
+    if t == "array":
+        if "items" not in schema:
+            raise ValueError("avro: array without items")
+        validate_schema(schema["items"])
+        return
+    if t == "map":
+        if "values" not in schema:
+            raise ValueError("avro: map without values")
+        validate_schema(schema["values"])
+        return
+    if t == "record":
+        fields = schema.get("fields")
+        if not isinstance(fields, list):
+            raise ValueError("avro: record without fields")
+        for f in fields:
+            if not (isinstance(f, dict) and isinstance(f.get("name"), str)
+                    and "type" in f):
+                raise ValueError("avro: bad record field")
+            validate_schema(f["type"])
+        return
+    raise ValueError(f"avro: unsupported type {t!r}")
+
+
 # ----------------------------------------------------------- container file
 
-def write_container(schema: dict, records: list, sync: bytes,
+def write_container(schema: dict, records: list, sync: bytes | None,
                     codec: str = "null", block_records: int = 40) -> bytes:
-    """Serialize ``records`` into one Avro object-container file."""
-    if len(sync) != 16:
-        raise ValueError("avro: sync marker must be 16 bytes")
-    meta = {"avro.schema": json.dumps(schema).encode("utf-8"),
-            "avro.codec": codec.encode("utf-8")}
-    out = bytearray(MAGIC)
-    out += encode_long(len(meta))
-    for k, v in meta.items():
-        out += encode_bytes(k.encode("utf-8")) + encode_bytes(v)
-    out += encode_long(0)
-    out += sync
+    """Serialize ``records`` into one Avro object-container file.
+
+    ``sync=None`` derives the 16-byte sync marker from the encoded
+    content (md5 over schema + block bodies) so the whole container is
+    deterministic for given records — retried writer tasks regenerate
+    byte-identical files."""
+    import hashlib
+
+    schema_json = json.dumps(schema).encode("utf-8")
+    blocks: list[tuple[int, bytes]] = []
     for i in range(0, len(records), block_records):
         chunk = records[i:i + block_records]
         body = b"".join(encode_datum(schema, r) for r in chunk)
@@ -239,7 +344,24 @@ def write_container(schema: dict, records: list, sync: bytes,
             body = zlib.compress(body, 6)[2:-4]  # strip zlib hdr+adler -> raw
         elif codec != "null":
             raise ValueError(f"avro: unsupported codec {codec!r}")
-        out += encode_long(len(chunk)) + encode_long(len(body)) + body + sync
+        blocks.append((len(chunk), body))
+    if sync is None:
+        h = hashlib.md5(schema_json)
+        for _, body in blocks:
+            h.update(body)
+        sync = h.digest()
+    if len(sync) != 16:
+        raise ValueError("avro: sync marker must be 16 bytes")
+    meta = {"avro.schema": schema_json,
+            "avro.codec": codec.encode("utf-8")}
+    out = bytearray(MAGIC)
+    out += encode_long(len(meta))
+    for k, v in meta.items():
+        out += encode_bytes(k.encode("utf-8")) + encode_bytes(v)
+    out += encode_long(0)
+    out += sync
+    for n, body in blocks:
+        out += encode_long(n) + encode_long(len(body)) + body + sync
     return bytes(out)
 
 
@@ -262,12 +384,19 @@ def read_container(blob: bytes) -> tuple[dict, list]:
             count = -count
             if decode_long(buf) < 0:
                 raise ValueError("avro: negative metadata block size")
+        _check_count(count, buf, "metadata block")
         for _ in range(count):
             key = decode_bytes(buf).decode("utf-8")
             meta[key] = decode_bytes(buf)
     if "avro.schema" not in meta:
         raise ValueError("avro: missing avro.schema metadata")
-    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    try:
+        schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    except UnicodeDecodeError as e:
+        raise ValueError("avro: non-UTF-8 schema metadata") from e
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        raise ValueError("avro: container schema must be a record")
+    validate_schema(schema)
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     if codec not in ("null", "deflate"):
         raise ValueError(f"avro: unsupported codec {codec!r}")
@@ -285,12 +414,19 @@ def read_container(blob: bytes) -> tuple[dict, list]:
         body = _read_exact(buf, size, "data block")
         if codec == "deflate":
             try:
-                body = zlib.decompress(body, wbits=-15)
+                d = zlib.decompressobj(wbits=-15)
+                body = d.decompress(body, _MAX_INFLATE)
+                if d.unconsumed_tail:
+                    raise ValueError(
+                        "avro: deflate block inflates beyond cap")
             except zlib.error as e:
                 raise ValueError(f"avro: corrupt deflate block: {e}") from e
         if _read_exact(buf, 16, "block sync") != sync:
             raise ValueError("avro: sync marker mismatch")
         bbuf = io.BytesIO(body)
+        if count > len(body) + _ZERO_WIDTH_SLACK:
+            raise ValueError(
+                f"avro: block record count {count} exceeds block size")
         for _ in range(count):
             records.append(decode_datum(schema, bbuf))
         if bbuf.read(1):

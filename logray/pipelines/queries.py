@@ -2065,7 +2065,7 @@ def snappy_jsonl_doc_counts(sf_dir: str):
 
     from ..ops.snappycodec import compress, decompress
 
-    import uuid
+    from ..sources import shard_token
 
     path = _scratch_dir("snappy_jsonl", sf_dir)
 
@@ -2075,8 +2075,10 @@ def snappy_jsonl_doc_counts(sf_dir: str):
             ', "lang": "', t["lang"], '"}', "")
         payload = ("\n".join(lines.to_pylist()) + "\n").encode()
         # NOT *.snappy: the Arrow filesystem would try (and fail) to
-        # auto-inflate that extension via the absent python-snappy
-        name = Path(path) / f"part-{uuid.uuid4().hex}.jsonl-snappy"
+        # auto-inflate that extension via the absent python-snappy.
+        # Task-scoped content-hash name: a retried write task rewrites
+        # the SAME file instead of leaking a double-counted duplicate
+        name = Path(path) / f"part-{shard_token(payload)}.jsonl-snappy"
         tmp = name.with_suffix(".tmp")
         tmp.write_bytes(compress(payload))
         tmp.rename(name)
@@ -3054,7 +3056,9 @@ def fuzzy_decontam_recall_documents(sf_dir: str):
         texts = []
         for s in sub["text"].to_pylist():
             w = s.split()
-            w[3] = "xqleak"
+            # n_chars >= 120 guarantees tokens exist but NOT >= 4 of
+            # them (one long blob is possible) — clamp the swap position
+            w[min(3, len(w) - 1)] = "xqleak"
             texts.append(" ".join(w))
         return pa.table({
             "doc_id": pc.add(pc.cast(sub["doc_id"], pa.int64()),
@@ -8386,7 +8390,9 @@ def classifier_quality_documents(sf_dir: str):
     n_test = sum(r["n"] for r in agg)
     acc = sum(r["hit"] for r in agg) / max(n_test, 1)
     return pa.table({
-        "n_docs": pa.array([planted.count()], pa.int64()),
+        # plant is 1:1 — count the PARQUET source (metadata-only), not
+        # the planted pipeline (a full re-execution of the Python loop)
+        "n_docs": pa.array([ds.count()], pa.int64()),
         "n_test": pa.array([n_test], pa.int64()),
         "test_acc_ok": pa.array([bool(acc >= 0.95)]),
         "loss_improved_ok": pa.array([bool(losses[-1] < losses[0])]),

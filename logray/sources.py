@@ -617,6 +617,12 @@ def _arrow_to_avro_type(t: pa.DataType, name: str):
     Named Avro types (fixed/record) derive their name from the column."""
     if pa.types.is_boolean(t):
         return "boolean"
+    if pa.types.is_unsigned_integer(t):
+        # unsigned needs the NEXT-size signed Avro type; uint64 has no
+        # lossless Avro integer representation at all
+        if t.bit_width >= 64:
+            raise ValueError("avro sink: uint64 exceeds Avro long range")
+        return "long" if t.bit_width >= 32 else "int"
     if pa.types.is_integer(t):
         return "long" if t.bit_width > 32 else "int"
     if pa.types.is_float32(t):
@@ -660,6 +666,25 @@ def arrow_to_avro_schema(schema: pa.Schema, name: str = "row") -> dict:
         for f in schema]}
 
 
+def shard_token(payload: bytes) -> str:
+    """Retry-idempotent shard name token: Ray task id (stable across
+    task RETRIES — only the attempt number changes) + payload content
+    hash. A uuid here would leak one duplicate shard per retried write
+    task and double-count rows on re-read; with this token the retry
+    regenerates the SAME name and the atomic tmp→rename collapses the
+    two writes. Falls back to a pure content hash outside a task."""
+    import hashlib
+
+    try:
+        import ray
+
+        tid = ray.get_runtime_context().get_task_id() or ""
+    except Exception:
+        tid = ""
+    h = hashlib.sha1(payload).hexdigest()[:16]
+    return f"{tid[:16]}-{h}" if tid else h
+
+
 def write_avro(ds, out_dir: str | Path, *, codec: str = "deflate",
                block_records: int = 1000):
     """Avro object-container sink (B6 format breadth): each task encodes
@@ -669,9 +694,6 @@ def write_avro(ds, out_dir: str | Path, *, codec: str = "deflate",
     derived from the batch's Arrow schema (``arrow_to_avro_schema``);
     per-record encode is a Python walk by nature of the row-oriented
     format (the egress boundary, not a hot analytic path)."""
-    import hashlib
-    import uuid
-
     from .ops.avrocodec import write_container
 
     out = Path(out_dir)
@@ -679,11 +701,11 @@ def write_avro(ds, out_dir: str | Path, *, codec: str = "deflate",
 
     def write_batch(t: pa.Table) -> pa.Table:
         schema = arrow_to_avro_schema(t.schema)
-        token = uuid.uuid4().hex
-        sync = hashlib.md5(token.encode()).digest()
-        blob = write_container(schema, t.to_pylist(), sync, codec=codec,
+        # sync=None derives the marker from content → the container is
+        # deterministic for a given batch, making retries byte-identical
+        blob = write_container(schema, t.to_pylist(), None, codec=codec,
                                block_records=block_records)
-        name = out / f"part-{token}.avro"
+        name = out / f"part-{shard_token(blob)}.avro"
         tmp = name.with_suffix(".tmp")
         tmp.write_bytes(blob)
         tmp.rename(name)
@@ -828,7 +850,9 @@ def access_log_parse(batch: pa.Table, line_col: str = "text") -> pa.Table:
     # (reference converter-failure semantics), not a null field
     ts = pc.strptime(raw("ts"), format="%d/%b/%Y:%H:%M:%S", unit="us",
                      error_is_null=True)
-    err = pc.or_(env_err, pc.and_(ts.is_null(), pc.invert(env_err)))
+    # raw("ts") is already null on envelope failure, so a null parsed ts
+    # is exactly "envelope failed OR date unparseable"
+    err = ts.is_null()
 
     def field(name: str) -> pa.Array:
         return pc.if_else(err, pa.scalar(None, pa.string()), raw(name))
