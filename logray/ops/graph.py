@@ -489,6 +489,78 @@ def bfs_levels(edges, source, *, u_col: str = "u", v_col: str = "v",
     return pd.concat(out, ignore_index=True)
 
 
+def sssp(edges, source, *, u_col: str = "u", v_col: str = "v",
+         w_col: str = "w", rounds: int = 3):
+    """Weighted single-source shortest paths over an undirected edge
+    Dataset, by bounded frontier relaxation (the Bellman–Ford frontier
+    form): after ``rounds`` rounds every returned ``(node, dist)`` is the
+    EXACT minimum cost over paths of ≤ ``rounds`` edges from ``source``
+    (set ``rounds ≥ V−1`` for full convergence; non-negative int64
+    weights keep parity with SQL exact).
+
+    Distributed shape per round: the IMPROVED frontier — O(improved
+    nodes), orders below the edge list — joins the symmetrized edges
+    (one key exchange); relaxed candidates and the current distance
+    table reduce together through ONE grouped min carrying a
+    null-tagged ``d_old`` column, so "new best" and "did it improve"
+    come out of the same exchange. The distance table stays a Dataset
+    end to end — never driver-resident. Converges early when no node
+    improves."""
+    import ray.data
+
+    from .relational import grouped_agg
+
+    sym = edges.map_batches(
+        lambda t: pa.table({
+            "node": pa.concat_arrays([t[u_col].combine_chunks(),
+                                      t[v_col].combine_chunks()]),
+            "nbr": pa.concat_arrays([t[v_col].combine_chunks(),
+                                     t[u_col].combine_chunks()]),
+            "w": pa.concat_arrays(
+                [pc.cast(t[w_col], pa.int64()).combine_chunks()] * 2)}),
+        batch_format="pyarrow").materialize()
+
+    dist = ray.data.from_arrow(pa.table({
+        "node": pa.array([source], pa.int64()),
+        "dist": pa.array([0], pa.int64())})).materialize()
+    frontier = dist
+    dist_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+    sym_schema = pa.schema([("node", pa.int64()), ("nbr", pa.int64()),
+                            ("w", pa.int64())])
+
+    for _ in range(rounds):
+        cand = hash_join(frontier, sym, on="node",
+                         left_schema=dist_schema,
+                         right_schema=sym_schema).map_batches(
+            lambda t: pa.table({
+                "node": t["nbr"],
+                "d_old": pa.nulls(t.num_rows, pa.int64()),
+                "d_all": pc.add(t["dist"], t["w"])}),
+            batch_format="pyarrow")
+        old = dist.map_batches(
+            lambda t: pa.table({"node": t["node"], "d_old": t["dist"],
+                                "d_all": t["dist"]}),
+            batch_format="pyarrow")
+        # grouped min skips nulls: d_old = previous distance (null when
+        # the node is newly reached), d_all = best over old ∪ candidates
+        agg = grouped_agg(old.union(cand), ["node"],
+                          {"d_old": ("d_old", "min"),
+                           "d_all": ("d_all", "min")}).materialize()
+        frontier = agg.map_batches(
+            lambda t: (lambda keep: pa.table({
+                "node": t.filter(keep)["node"],
+                "dist": t.filter(keep)["d_all"]}))(
+                pc.or_kleene(t["d_old"].is_null(),
+                             pc.less(t["d_all"], t["d_old"]))),
+            batch_format="pyarrow").materialize()
+        dist = agg.map_batches(
+            lambda t: pa.table({"node": t["node"], "dist": t["d_all"]}),
+            batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+    return dist
+
+
 def k_core(edges, k: int, *, max_rounds: int = 200):
     """k-core via distributed iterative peel: repeatedly drop nodes of
     degree < k (and their incident edges) until a fixpoint. Returns a

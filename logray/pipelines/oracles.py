@@ -2222,6 +2222,25 @@ ORACLE_SQL["bfs_levels_parts"] = """
     FROM bfs GROUP BY node
 """
 
+ORACLE_SQL["sssp_parts"] = """
+    WITH RECURSIVE
+    op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT a.p AS u, b.p AS v,
+                 10 - least(9, count(*)) AS w
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2),
+    sym AS (SELECT u AS node, v AS nbr, w FROM e
+            UNION ALL SELECT v, u, w FROM e),
+    walk(node, d, hops) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+        UNION
+        SELECT sym.nbr, walk.d + sym.w, walk.hops + 1
+        FROM walk JOIN sym ON sym.node = walk.node
+        WHERE walk.hops < 3)
+    SELECT node, CAST(min(d) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+"""
+
 ORACLE_SQL["basket_affinity_parts"] = """
     WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                 FROM lineitem),

@@ -5678,6 +5678,46 @@ def bfs_levels_parts(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def sssp_parts(sf_dir: str):
+    """Weighted single-source shortest paths over the part co-occurrence
+    graph: edge weight = 10 − least(9, shared-order count), so strongly
+    co-purchased parts are "closer"; distances from part 0 bounded at 3
+    relaxation rounds (= exact min cost over ≤3-edge paths — the same
+    bound the recursive-CTE oracle walks). Per round: improved-frontier ⋈
+    edges (one key exchange) + one grouped min; the distance table never
+    leaves the cluster. Completes the graph family (CC / PageRank /
+    triangles / BFS / k-core / SSSP)."""
+    from ..ops import graph
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    pairs_src = relational.distinct(
+        li.map_batches(lambda t: t.rename_columns(["o", "p"]),
+                       batch_format="pyarrow"), ["o", "p"])
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="o")
+        m = m[m["p_x"] < m["p_y"]]
+        g = m.groupby(["p_x", "p_y"], sort=False).size()
+        return g.rename("n_ab").reset_index()
+
+    pair_partial = window._bucketed_apply(pairs_src, "o", pair_counts)
+    edges = relational.grouped_agg(
+        pair_partial, ["p_x", "p_y"], {"n_ab": ("n_ab", "sum")}).map_batches(
+        lambda t: pa.table({
+            "u": t["p_x"], "v": t["p_y"],
+            "w": pc.subtract(pa.scalar(10, pa.int64()),
+                             pc.min_element_wise(
+                                 pc.cast(t["n_ab"], pa.int64()),
+                                 pa.scalar(9, pa.int64())))}),
+        batch_format="pyarrow")
+    out = graph.sssp(edges, 0, rounds=3)
+    return out.map_batches(
+        lambda t: pa.table({"node": pc.cast(t["node"], pa.int64()),
+                            "dist": pc.cast(t["dist"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def dup_cluster_size_histogram(sf_dir: str):
     """Duplicate-cluster size distribution (the dedup monitoring rollup):
     how many duplicate clusters exist of each size, from the distributed
@@ -10479,6 +10519,7 @@ QUERIES = {
     "time_to_purchase_quantiles": time_to_purchase_quantiles,
     "basket_affinity_parts": basket_affinity_parts,
     "bfs_levels_parts": bfs_levels_parts,
+    "sssp_parts": sssp_parts,
     "dup_cluster_size_histogram": dup_cluster_size_histogram,
     "gini_value_by_type": gini_value_by_type,
     "pareto_top20_revenue_share": pareto_top20_revenue_share,

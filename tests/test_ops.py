@@ -1727,6 +1727,23 @@ def test_bfs_levels_path_graph(ray_session):
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 4 beyond depth; 8/9 unreachable
 
 
+def test_sssp_bounded_rounds_and_convergence(ray_session):
+    import ray.data
+    from logray.ops import graph
+
+    # 0-1(1), 1-2(1), 0-2(5), 2-3(1), 3-4(9): the cheap route to 4 is
+    # 0-1-2-3-4 (cost 12, 4 edges); at rounds=3 only 0-2-3-4 (15) fits
+    edges = pd.DataFrame({"u": [0, 1, 0, 2, 3], "v": [1, 2, 2, 3, 4],
+                          "w": [1, 1, 5, 1, 9]})
+    got3 = (graph.sssp(ray.data.from_pandas(edges), 0, rounds=3)
+            .to_pandas().set_index("node")["dist"].to_dict())
+    assert got3 == {0: 0, 1: 1, 2: 2, 3: 3, 4: 15}
+    # plenty of rounds: converges (early exit) to the true shortest paths
+    got = (graph.sssp(ray.data.from_pandas(edges), 0, rounds=10)
+           .to_pandas().set_index("node")["dist"].to_dict())
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 12}
+
+
 def test_kmeans_kpp_init_seeds_every_separated_cluster(ray_session):
     """Farthest-first (k-means++-style) init must recover ALL planted
     clusters even when uniform-random init would drop one — the failure
