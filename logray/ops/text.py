@@ -822,3 +822,162 @@ def edit_distance_selfjoin(ds, text_col: str = "text",
                                  ("band_hash", pa.int64()),
                                  (text_col, pa.string())]))
     return pairs
+
+
+def dup_substring_spans(ds, *, min_len: int = 40, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        num_buckets: int | None = None):
+    """ExactSubstr-style maximal duplicate-span extraction (the
+    suffix-array dedup of Lee et al. 2022, re-expressed as three keyed
+    exchanges): every maximal substring of length ≥ ``min_len`` BYTES
+    shared by two distinct documents, as
+    ``(a_id, b_id, a_start, b_start, length)`` with ``a_id < b_id`` and
+    0-based byte offsets.
+
+    Shape: (1) an anchor pass emits one rolling polynomial hash per
+    min_len-byte window — vectorized over each batch's flat Arrow string
+    buffer (prefix products/sums mod 2^64, odd base so window hashes
+    normalize by a modular-inverse power; no per-row Python). This is
+    O(corpus bytes) rows of (hash, id, pos), the same order as the
+    suffix-array the reference technique materializes — the honest cost
+    of EXACT all-pairs span discovery. (2) one exchange groups anchors
+    by hash; multi-member groups expand to cross-doc position pairs.
+    (3) a second exchange groups pairs by (a, b, offset-delta); runs of
+    consecutive positions ARE the maximal spans (a shared span of length
+    M contributes exactly M−min_len+1 consecutive anchor pairs at one
+    delta, and a matching byte beyond either end would extend the run,
+    so run-maximality == span-maximality). (4) spans join the two texts
+    back (spans are bounded by duplicate content, orders below the
+    corpus) and every span is verified by exact byte compare — a hash
+    collision (~2⁻⁶⁴) can only create or over-extend a run, never hide
+    one, so collisions surface as a failed verify, never a missed span.
+
+    Inputs must be non-null; positions are BYTE offsets (equal to
+    character offsets for ASCII corpora — the SQL-oracle parity
+    condition).
+    """
+    import pandas as pd
+
+    from .relational import hash_join
+    from .window import _bucketed_apply
+
+    L = int(min_len)
+
+    def anchors(t: pa.Table) -> pa.Table:
+        a = pc.fill_null(t[text_col], "").combine_chunks()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        off_dtype = (np.int64 if pa.types.is_large_string(a.type)
+                     else np.int32)
+        off = np.frombuffer(a.buffers()[1], dtype=off_dtype)[
+            a.offset: a.offset + len(a) + 1].astype(np.int64)
+        data = np.frombuffer(a.buffers()[2], dtype=np.uint8)[
+            off[0]: off[-1]]
+        off = off - off[0]
+        n = data.shape[0]
+        empty = pa.table({"h": pa.array([], pa.int64()),
+                          "id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+        if n < L:
+            return empty
+        base = 1099511628211  # odd → invertible mod 2^64
+        pw = np.empty(n, np.uint64)
+        pw[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, base, np.uint64), out=pw[1:])
+        ipw = np.empty(n, np.uint64)
+        ipw[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, pow(base, -1, 1 << 64), np.uint64),
+                       out=ipw[1:])
+        # S[i] = Σ_{j<i} byte[j]·base^(n−1−j) (wrapping); window [i,i+L)
+        # hash = (S[i+L]−S[i])·base^−(n−L−i) — position-independent
+        S = np.zeros(n + 1, np.uint64)
+        np.cumsum(data.astype(np.uint64) * pw[::-1], out=S[1:])
+        norm = (S[L:] - S[:-L]) * ipw[n - L::-1]
+        lens = np.diff(off)
+        nwin = np.maximum(lens - L + 1, 0)
+        total = int(nwin.sum())
+        if total == 0:
+            return empty
+        starts = np.repeat(off[:-1], nwin)
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(nwin) - nwin, nwin)
+        return pa.table({
+            "h": pa.array(norm[starts + intra].view(np.int64)),
+            "id": pa.array(np.repeat(ids, nwin)),
+            "pos": pa.array(intra)})
+
+    anchor_ds = ds.map_batches(anchors, batch_format="pyarrow")
+
+    def pair_fn(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="h")
+        m = m[m["id_x"] < m["id_y"]]
+        if m.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("k", "a", "b", "delta", "pos")})
+        a = m["id_x"].to_numpy()
+        b = m["id_y"].to_numpy()
+        delta = m["pos_x"].to_numpy() - m["pos_y"].to_numpy()
+        # composite co-location key for the run exchange (wrapping is
+        # fine — it only places (a,b,delta) groups, grouping is exact)
+        k = (a * np.int64(1000003) + b) * np.int64(1000003) + delta
+        return pd.DataFrame({"k": k, "a": a, "b": b, "delta": delta,
+                             "pos": m["pos_x"].to_numpy()})
+
+    pairs = _bucketed_apply(anchor_ds, "h", pair_fn,
+                            num_buckets=num_buckets)
+
+    def run_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["a", "b", "delta", "pos"], kind="mergesort")
+        brk = (df[["a", "b", "delta"]].ne(
+            df[["a", "b", "delta"]].shift()).any(axis=1).to_numpy()
+            | (df["pos"].diff().fillna(2) != 1).to_numpy())
+        isl = np.cumsum(brk)
+        g = df.groupby(isl, sort=False)
+        out = pd.DataFrame({
+            "a_id": g["a"].first(), "b_id": g["b"].first(),
+            "a_start": g["pos"].min(),
+            "delta": g["delta"].first(), "n": g["pos"].size()})
+        out["b_start"] = out["a_start"] - out["delta"]
+        out["length"] = out["n"] + L - 1
+        return out[["a_id", "b_id", "a_start", "b_start",
+                    "length"]].reset_index(drop=True)
+
+    spans = _bucketed_apply(pairs, "k", run_fn, num_buckets=num_buckets)
+
+    span_schema = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()),
+                             ("a_start", pa.int64()), ("b_start", pa.int64()),
+                             ("length", pa.int64())])
+    docs = ds.map_batches(
+        lambda t: pa.table({"a_id": pc.cast(t[id_col], pa.int64()),
+                            "__ta": pc.fill_null(t[text_col], "")}),
+        batch_format="pyarrow")
+    j1 = hash_join(spans, docs, on="a_id", left_schema=span_schema,
+                   right_schema=pa.schema([("a_id", pa.int64()),
+                                           ("__ta", pa.string())]))
+    docs_b = ds.map_batches(
+        lambda t: pa.table({"b_id": pc.cast(t[id_col], pa.int64()),
+                            "__tb": pc.fill_null(t[text_col], "")}),
+        batch_format="pyarrow")
+    j2 = hash_join(j1, docs_b, on="b_id",
+                   left_schema=span_schema.append(pa.field("__ta",
+                                                           pa.string())),
+                   right_schema=pa.schema([("b_id", pa.int64()),
+                                           ("__tb", pa.string())]))
+
+    def verify(t: pa.Table) -> pa.Table:
+        # spans are few (bounded by shared content); the per-span slice
+        # compare is O(span bytes) each and stays off any O(corpus) path
+        ta = t["__ta"].to_pylist()
+        tb = t["__tb"].to_pylist()
+        sa = t["a_start"].to_numpy()
+        sb = t["b_start"].to_numpy()
+        ln = t["length"].to_numpy()
+        keep = np.fromiter(
+            (ta[i].encode()[sa[i]:sa[i] + ln[i]]
+             == tb[i].encode()[sb[i]:sb[i] + ln[i]]
+             for i in range(t.num_rows)), dtype=bool, count=t.num_rows)
+        return t.filter(pa.array(keep)).select(
+            ["a_id", "b_id", "a_start", "b_start", "length"])
+
+    return j2.map_batches(verify, batch_format="pyarrow")

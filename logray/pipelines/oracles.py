@@ -2222,6 +2222,37 @@ ORACLE_SQL["bfs_levels_parts"] = """
     FROM bfs GROUP BY node
 """
 
+ORACLE_SQL["dup_substring_spans_documents"] = """
+    WITH corpus AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 50 = 1 AND a.text IS NOT NULL
+                       AND length(a.text) >= 108 AND length(d.text) >= 37
+                  THEN substr(d.text, 1, 37) || substr(a.text, 12, 97)
+                       || substr(d.text, 38)
+                  ELSE d.text END AS text
+      FROM documents d
+      LEFT JOIN documents a
+        ON a.doc_id = d.doc_id - 1 AND (d.doc_id % 50) = 1),
+    g AS (
+      SELECT doc_id, pos, substr(text, pos, 40) AS gram
+      FROM corpus, LATERAL (SELECT unnest(generate_series(
+               1, length(text) - 39)) AS pos) p),
+    pr AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.pos - b.pos AS delta, a.pos AS pos
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    isl AS (
+      SELECT a_id, b_id, delta, pos,
+             pos - row_number() OVER (
+                 PARTITION BY a_id, b_id, delta ORDER BY pos) AS grp
+      FROM pr)
+    SELECT a_id, b_id,
+           CAST(min(pos) - 1 AS BIGINT) AS a_start,
+           CAST(min(pos) - 1 - delta AS BIGINT) AS b_start,
+           CAST(count(*) + 39 AS BIGINT) AS length
+    FROM isl GROUP BY a_id, b_id, delta, grp
+"""
+
 ORACLE_SQL["sssp_parts"] = """
     WITH RECURSIVE
     op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -5718,6 +5718,45 @@ def sssp_parts(sf_dir: str):
         batch_format="pyarrow")
 
 
+def dup_substring_spans_documents(sf_dir: str):
+    """ExactSubstr dedup (Lee et al. 2022 shape): every maximal substring
+    of ≥ 40 bytes shared by two distinct documents, with exact 0-based
+    coordinates — rolling-hash anchors over flat Arrow buffers, one
+    exchange per (hash) and one per (pair, offset-delta), runs of
+    consecutive anchor matches ARE the maximal spans, byte-exact verify.
+    To guarantee non-degeneracy a 97-char slice of each doc_id%50==0
+    donor is spliced into its successor (deterministic surgery the SQL
+    oracle replays verbatim); the oracle then re-derives the ENTIRE span
+    set independently via a 40-gram equality join + gaps-and-islands —
+    value-checking completeness, coordinates and maximality, with no
+    hashes involved on the SQL side."""
+    from ..ops import text as text_ops
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    donors = ds.map_batches(
+        lambda t: t.filter(pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % 50 == 0)),
+        batch_format="pyarrow").to_pandas()
+    donor_map = {int(i) + 1: s for i, s in
+                 zip(donors["doc_id"], donors["text"]) if len(s) >= 108}
+
+    def plant(t: pa.Table) -> pa.Table:
+        # test-scaffolding loop over the handful of planted rows; the
+        # operator under test is the vectorized one in ops.text
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out = []
+        for i, s in zip(ids, t["text"].to_pylist()):
+            d = donor_map.get(int(i)) if i % 50 == 1 else None
+            out.append(s[:37] + d[11:108] + s[37:]
+                       if (d is not None and len(s) >= 37) else s)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    corpus = ds.map_batches(plant, batch_format="pyarrow")
+    return text_ops.dup_substring_spans(corpus, min_len=40)
+
+
 def dup_cluster_size_histogram(sf_dir: str):
     """Duplicate-cluster size distribution (the dedup monitoring rollup):
     how many duplicate clusters exist of each size, from the distributed
@@ -10520,6 +10559,7 @@ QUERIES = {
     "basket_affinity_parts": basket_affinity_parts,
     "bfs_levels_parts": bfs_levels_parts,
     "sssp_parts": sssp_parts,
+    "dup_substring_spans_documents": dup_substring_spans_documents,
     "dup_cluster_size_histogram": dup_cluster_size_histogram,
     "gini_value_by_type": gini_value_by_type,
     "pareto_top20_revenue_share": pareto_top20_revenue_share,

@@ -2999,3 +2999,28 @@ def test_classifier_trains_separable(ray_session):
     assert len(scored) == n // 4
     assert (scored["pred"] == scored["label"]).mean() == 1.0
     assert ((scored["score"] >= 0) & (scored["score"] <= 1)).all()
+
+
+def test_dup_substring_spans_exact_and_maximal(ray_session):
+    import random
+
+    from logray.ops.text import dup_substring_spans
+
+    rng = random.Random(7)
+    P = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(60))
+    Q = "".join(rng.choice("ABCDEFGHIJKLMNOPQRSTUVWXYZ") for _ in range(39))
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "0000" + P + "1111",   # P at 4
+            "22" + P + "3333",     # P at 2
+            Q + "zz",              # 39-char share: below min_len=40
+            "yy" + Q,
+            "kkkkk" + P + "mmmmm",  # P at 5 → multiplicity-3 anchors
+        ])})
+    out = (dup_substring_spans(_ds(docs).repartition(3), min_len=40)
+           .to_pandas().sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    got = {tuple(r) for r in out.to_numpy()}
+    # exactly the three P-pairs, each maximal at 60 (neighbors differ);
+    # the 39-char Q share never appears
+    assert got == {(0, 1, 4, 2, 60), (0, 4, 4, 5, 60), (1, 4, 2, 5, 60)}
