@@ -2253,6 +2253,57 @@ ORACLE_SQL["dup_substring_spans_documents"] = """
     FROM isl GROUP BY a_id, b_id, delta, grp
 """
 
+ORACLE_SQL["dup_substring_coverage_documents"] = """
+    WITH corpus AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 50 = 1 AND a.text IS NOT NULL
+                       AND length(a.text) >= 108 AND length(d.text) >= 37
+                  THEN substr(d.text, 1, 37) || substr(a.text, 12, 97)
+                       || substr(d.text, 38)
+                  ELSE d.text END AS text
+      FROM documents d
+      LEFT JOIN documents a
+        ON a.doc_id = d.doc_id - 1 AND (d.doc_id % 50) = 1),
+    g AS (
+      SELECT doc_id, pos, substr(text, pos, 40) AS gram
+      FROM corpus, LATERAL (SELECT unnest(generate_series(
+               1, length(text) - 39)) AS pos) p),
+    pr AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.pos - b.pos AS delta, a.pos AS pos
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    il AS (
+      SELECT a_id, b_id, delta, pos,
+             pos - row_number() OVER (
+                 PARTITION BY a_id, b_id, delta ORDER BY pos) AS grp
+      FROM pr),
+    spans AS (
+      -- DISTINCT: identical intervals from different a-docs collapse
+      -- (free under union semantics) so ORDER BY (st, en) is a TOTAL
+      -- order — with tied rows, brk and its running sum are otherwise
+      -- evaluated in two independent arbitrary tie orders and can
+      -- split one island in two
+      SELECT DISTINCT b_id, min(pos) - 1 - delta AS st,
+             min(pos) - 1 - delta + count(*) + 39 AS en
+      FROM il GROUP BY a_id, b_id, delta, grp),
+    o AS (
+      SELECT b_id, st, en,
+             CASE WHEN st > coalesce(max(en) OVER (
+                      PARTITION BY b_id ORDER BY st, en
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) THEN 1 ELSE 0 END AS brk
+      FROM spans),
+    i AS (
+      SELECT b_id, st, en,
+             sum(brk) OVER (PARTITION BY b_id ORDER BY st, en
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM o)
+    SELECT b_id AS doc_id, CAST(sum(mx - mn) AS BIGINT) AS dup_bytes
+    FROM (SELECT b_id, isl, min(st) AS mn, max(en) AS mx
+          FROM i GROUP BY 1, 2) t
+    GROUP BY 1
+"""
+
 ORACLE_SQL["sssp_parts"] = """
     WITH RECURSIVE
     op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -5757,6 +5757,38 @@ def dup_substring_spans_documents(sf_dir: str):
     return text_ops.dup_substring_spans(corpus, min_len=40)
 
 
+def dup_substring_coverage_documents(sf_dir: str):
+    """ExactSubstr cut accounting: per LATER document (the b-side of the
+    a<b span convention — the copy Lee et al. would cut), how many bytes
+    are covered by the union of its duplicate spans. One bucketed
+    exchange by b_id over the span set; interval union via vectorized
+    per-group running-max sweep (a set union, so tie order is
+    irrelevant). The oracle wraps the independent 40-gram span CTE in
+    the same sweep as window SQL — coverage is value-checked end to
+    end."""
+    spans = dup_substring_spans_documents(sf_dir)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["b_id", "b_start", "length"],
+                            kind="mergesort")
+        bid = df["b_id"].to_numpy()
+        st = df["b_start"].to_numpy()
+        en = st + df["length"].to_numpy()
+        cm = pd.Series(en).groupby(bid).cummax()
+        prev = cm.groupby(bid).shift(1).fillna(-1).to_numpy()
+        isl = np.cumsum(st > prev)
+        g = pd.DataFrame({"bid": bid, "st": st, "en": en,
+                          "isl": isl}).groupby("isl", sort=False)
+        per_isl = pd.DataFrame({"doc_id": g["bid"].first(),
+                                "mn": g["st"].min(), "mx": g["en"].max()})
+        per_isl["len"] = per_isl["mx"] - per_isl["mn"]
+        out = per_isl.groupby("doc_id", sort=False)["len"].sum()
+        return (out.rename("dup_bytes").reset_index()
+                .astype({"doc_id": "int64", "dup_bytes": "int64"}))
+
+    return window._bucketed_apply(spans, "b_id", per_bucket)
+
+
 def dup_cluster_size_histogram(sf_dir: str):
     """Duplicate-cluster size distribution (the dedup monitoring rollup):
     how many duplicate clusters exist of each size, from the distributed
@@ -10560,6 +10592,7 @@ QUERIES = {
     "bfs_levels_parts": bfs_levels_parts,
     "sssp_parts": sssp_parts,
     "dup_substring_spans_documents": dup_substring_spans_documents,
+    "dup_substring_coverage_documents": dup_substring_coverage_documents,
     "dup_cluster_size_histogram": dup_cluster_size_histogram,
     "gini_value_by_type": gini_value_by_type,
     "pareto_top20_revenue_share": pareto_top20_revenue_share,
