@@ -1149,6 +1149,10 @@ ORACLE_SQL["raw_log_parse_counts"] = ORACLE_SQL["transcript_parse_counts"]
 # lz4_log_parse_counts re-ingests the same corpus through the
 # from-scratch LZ4 frame codec — identical per-rule histogram expected
 ORACLE_SQL["lz4_log_parse_counts"] = ORACLE_SQL["transcript_parse_counts"]
+# bz2/xz lanes re-ingest the same corpus through stdlib-archival shards;
+# the rule histogram must be byte-identical to the parquet path's.
+ORACLE_SQL["bz2_log_parse_counts"] = ORACLE_SQL["transcript_parse_counts"]
+ORACLE_SQL["xz_log_parse_counts"] = ORACLE_SQL["transcript_parse_counts"]
 
 # The full flagship DAG's aggregate output: per-(sink, rule) counts.
 ORACLE_SQL["flagship_transcripts"] = f"""

@@ -1430,6 +1430,45 @@ def lz4_log_parse_counts(sf_dir: str):
                                   {"n": ("rule_id", "count")})
 
 
+def _archive_log_parse_counts(sf_dir: str, compression: str):
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    from ..sources import read_raw_log, render_raw_log
+
+    raw = Path(_RAW_LOG_CACHE) / f"{compression}-sf{sf}"
+    if not list(raw.glob(f"*.log.{compression}")):
+        render_raw_log(corpus, raw, compression=compression)
+    from ..stages.parse import parse_batch_fn
+
+    ds = read_raw_log(raw)
+    parsed = ds.map_batches(
+        lambda t: parse_batch_fn(t.drop(["envelope_error"])),
+        batch_format="pyarrow")
+    return relational.grouped_agg(parsed, ["rule_id"],
+                                  {"n": ("rule_id", "count")})
+
+
+def bz2_log_parse_counts(sf_dir: str):
+    """Raw-text ingestion over bzip2 shards (B5 breadth — the archival
+    compression long-retention log stores hand over): render the corpus
+    to ``.log.bz2``, re-ingest through Arrow's streaming bz2 inflate
+    (``read_text`` + ``compression="bz2"`` — no whole-file buffer in the
+    task), envelope-parse and run the rule engine; per-rule histogram
+    must equal the parquet path's exactly (same oracle as
+    ``transcript_parse_counts``)."""
+    return _archive_log_parse_counts(sf_dir, "bz2")
+
+
+def xz_log_parse_counts(sf_dir: str):
+    """Raw-text ingestion over LZMA/xz shards (B5 breadth): LZMA is not
+    an Arrow codec, so this lane exercises the other ingest shape — one
+    ``read_binary_files`` task per shard, stdlib ``lzma`` inflate with
+    stream-magic sniffing, '\\n'-split to read_text semantics — then the
+    same envelope parse + rule engine; per-rule histogram must equal the
+    parquet path's exactly."""
+    return _archive_log_parse_counts(sf_dir, "xz")
+
+
 def tool_error_followup_transcripts(sf_dir: str):
     """Ordered per-conversation downstream analysis (the reference's
     consumers do exactly this shape: filter on event_type, then reason
@@ -10685,6 +10724,8 @@ QUERIES = {
     "transcript_parse_counts": transcript_parse_counts,
     "raw_log_parse_counts": raw_log_parse_counts,
     "lz4_log_parse_counts": lz4_log_parse_counts,
+    "bz2_log_parse_counts": bz2_log_parse_counts,
+    "xz_log_parse_counts": xz_log_parse_counts,
     "csv_source_event_counts": csv_source_event_counts,
     "json_source_doc_counts": json_source_doc_counts,
     "snappy_jsonl_doc_counts": snappy_jsonl_doc_counts,

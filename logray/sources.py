@@ -45,7 +45,9 @@ def render_raw_log(corpus_dir: str | Path, out_dir: str | Path,
     commonly feed gzipped system logs; ``compression="lz4"`` writes
     ``.log.lz4`` frames via the from-scratch codec in
     logray/ops/lz4codec.py, the shard-compression format modern
-    pipelines ship text shards in).
+    pipelines ship text shards in; ``"bz2"``/``"xz"`` write stdlib
+    bzip2/LZMA shards — the archival formats long-retention log stores
+    hand over).
 
     Fully vectorized (strftime + element-wise join); deterministic for a
     given corpus. Returns the list of written files."""
@@ -73,6 +75,16 @@ def render_raw_log(corpus_dir: str | Path, out_dir: str | Path,
             out = out_dir / (f.stem + ".log.lz4")
             out.write_bytes(compress_frame(
                 payload.encode(), block_checksums=True, content_size=True))
+        elif compression == "bz2":
+            import bz2
+
+            out = out_dir / (f.stem + ".log.bz2")
+            out.write_bytes(bz2.compress(payload.encode()))
+        elif compression == "xz":
+            import lzma
+
+            out = out_dir / (f.stem + ".log.xz")
+            out.write_bytes(lzma.compress(payload.encode()))
         else:
             out = out_dir / (f.stem + ".log")
             with open(out, "w") as fh:
@@ -123,12 +135,39 @@ def read_raw_log(log_dir: str | Path):
     files = sorted(str(p) for p in Path(log_dir).glob("*.log"))
     gz = sorted(str(p) for p in Path(log_dir).glob("*.log.gz"))
     lz4 = sorted(str(p) for p in Path(log_dir).glob("*.log.lz4"))
+    bz2_files = sorted(str(p) for p in Path(log_dir).glob("*.log.bz2"))
+    xz = sorted(str(p) for p in Path(log_dir).glob("*.log.xz"))
     parts = []
     if files:
         parts.append(ray.data.read_text(files))
     if gz:
         parts.append(ray.data.read_text(
             gz, arrow_open_stream_args={"compression": "gzip"}))
+    if bz2_files:
+        # bz2 is an Arrow codec on this build — same streaming-inflate
+        # path as gzip, no whole-file buffer in the task
+        parts.append(ray.data.read_text(
+            bz2_files, arrow_open_stream_args={"compression": "bz2"}))
+    if xz:
+        import lzma
+
+        def inflate_xz(t: pa.Table) -> pa.Table:
+            lines: list[str] = []
+            for blob in t["bytes"].to_pylist():
+                # LZMA is NOT an Arrow codec, so read_binary_files can
+                # never auto-inflate .xz — but sniff the stream magic
+                # anyway (house rule from the .gz/.lz4 lanes: trust
+                # bytes, not extensions)
+                if blob[:6] == b"\xfd7zXZ\x00":
+                    blob = lzma.decompress(blob)
+                segs = blob.decode("utf-8").split("\n")
+                if segs and segs[-1] == "":
+                    segs.pop()
+                lines.extend(segs)
+            return pa.table({"text": pa.array(lines, pa.string())})
+
+        parts.append(ray.data.read_binary_files(xz).map_batches(
+            inflate_xz, batch_format="pyarrow", batch_size=1))
     if lz4:
         from .ops.lz4codec import MAGIC, decompress_frame
 
@@ -157,7 +196,8 @@ def read_raw_log(log_dir: str | Path):
         parts.append(ray.data.read_binary_files(lz4).map_batches(
             inflate, batch_format="pyarrow", batch_size=1))
     if not parts:
-        raise FileNotFoundError(f"no .log/.log.gz/.log.lz4 in {log_dir}")
+        raise FileNotFoundError(
+            f"no .log/.log.gz/.log.lz4/.log.bz2/.log.xz in {log_dir}")
     ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     return ds.map_batches(envelope_parse, batch_format="pyarrow")
 

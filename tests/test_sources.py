@@ -607,3 +607,28 @@ def test_access_log_parse_and_hazards(ray_session):
     assert out["parse_error"].to_pylist() == [False, True, True]
     assert out["ip"].to_pylist() == ["1.2.3.4", None, None]
     assert out["n_bytes"].to_pylist() == [5, None, None]
+
+
+def test_bz2_xz_raw_log_roundtrip(ray_session, corpus, tmp_path_factory):
+    """Archival-compression lanes: .log.bz2 (Arrow streaming inflate)
+    and .log.xz (stdlib lzma, non-Arrow codec → read_binary_files path)
+    both reconstruct the exact transcript rows."""
+    import pandas as pd
+
+    from logray.sources import read_raw_log, render_raw_log
+
+    in_dir, meta = corpus
+    want = pd.concat([pq.read_table(f).to_pandas()
+                      for f in sorted(in_dir.glob("*.parquet"))])
+    want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    for comp in ("bz2", "xz"):
+        out = tmp_path_factory.mktemp(f"{comp}logs")
+        written = render_raw_log(in_dir, out, compression=comp)
+        assert all(w.endswith(f".log.{comp}") for w in written)
+        got = read_raw_log(out).to_pandas()
+        assert not got["envelope_error"].any()
+        got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        for col in ("conv_id", "turn_idx", "role", "text", "tool"):
+            assert got[col].tolist() == want[col].tolist()
+        assert (got["ts"].astype("int64")
+                == want["ts"].astype("int64")).all()
