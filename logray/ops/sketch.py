@@ -187,6 +187,95 @@ def approx_quantiles(ds, group_cols: list[str], value_col: str,
     return pd.DataFrame(rows)
 
 
+def _k1(q: np.ndarray, delta: float) -> np.ndarray:
+    """t-digest k1 scale function (Dunning & Ertl): k = δ/(2π)·asin(2q−1).
+    dk/dq = δ/(2π·√(q(1−q))), so one unit of k-space spans
+    Δq ≈ 2π·√(q(1−q))/δ of rank space — clusters are tight at the tails
+    and widest at the median, which is what makes t-digest's p99/p999
+    accuracy scale-free."""
+    return delta / (2 * np.pi) * np.arcsin(np.clip(2 * q - 1, -1.0, 1.0))
+
+
+def _tdigest_cluster(means: np.ndarray, weights: np.ndarray,
+                     delta: float) -> tuple[np.ndarray, np.ndarray]:
+    """Re-cluster (mean, weight) points into ≤ ~δ centroids by k-space
+    quantization: sort by mean, quantize each point's mid-rank through
+    _k1, and merge runs that share a floor(k) cell (weighted mean). Fully
+    vectorized (argsort + cumsum + bincount); used both for the per-batch
+    build (weights all 1) and for merging partial digests."""
+    order = np.argsort(means, kind="stable")
+    m, w = means[order], weights[order]
+    W = float(w.sum())
+    qmid = (np.cumsum(w) - 0.5 * w) / W
+    k = np.floor(_k1(qmid, delta)).astype(np.int64)
+    new = np.empty(len(k), dtype=bool)
+    new[0] = True
+    new[1:] = k[1:] != k[:-1]
+    gid = np.cumsum(new) - 1
+    n = int(gid[-1]) + 1
+    wsum = np.bincount(gid, weights=w, minlength=n)
+    msum = np.bincount(gid, weights=w * m, minlength=n)
+    return msum / wsum, wsum
+
+
+def _tdigest_quantile(means: np.ndarray, weights: np.ndarray,
+                      q: float) -> float:
+    """Estimate the q-quantile from a digest: centroid centers sit at
+    cumulative mid-ranks; interpolate linearly between adjacent centroid
+    means (np.interp clamps to the extreme centroids outside the range)."""
+    centers = np.cumsum(weights) - 0.5 * weights
+    return float(np.interp(q * float(weights.sum()), centers, means))
+
+
+def tdigest_quantiles(ds, group_cols: list[str], value_col: str,
+                      qs: list[float], *, delta: float = 256.0):
+    """Approximate grouped quantiles via a mergeable t-digest.
+
+    Unlike the fixed-bin histogram (``approx_quantiles``), accuracy needs
+    no global (min, max) pre-pass and the RANK error — not the value
+    error — is bounded: each k-cell spans ≤ 2π√(q(1−q))/δ of rank space,
+    so tail quantiles (p99) are far tighter than central ones. Each batch
+    reduces per group to ≤ ~δ (mean, weight) centroid rows (one argsort +
+    bincount); partials merge by one more k-space re-clustering inside a
+    grouped map_groups — merging sorted centroid streams can at most
+    double a cluster's q-span, so the sound post-merge rank bound is
+    ~3 × 2π√(q(1−q))/δ (one span interpolation + doubled spans).
+
+    Returns a Dataset ``group_cols + [f"q{q}" ...]``.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(group_cols + [value_col]).to_pandas()
+        rows = {c: [] for c in group_cols}
+        ms, ws = [], []
+        for key, g in df.groupby(group_cols, sort=False):
+            key = key if isinstance(key, tuple) else (key,)
+            v = g[value_col].to_numpy(np.float64)
+            v = v[~np.isnan(v)]
+            if not len(v):
+                continue
+            m, w = _tdigest_cluster(v, np.ones(len(v)), delta)
+            for c, kv in zip(group_cols, key):
+                rows[c].extend([kv] * len(m))
+            ms.append(m)
+            ws.append(w)
+        out = {c: pa.array(rows[c]) for c in group_cols}
+        out["_m"] = pa.array(np.concatenate(ms) if ms else [], pa.float64())
+        out["_w"] = pa.array(np.concatenate(ws) if ws else [], pa.float64())
+        return pa.table(out)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m, w = _tdigest_cluster(g["_m"].to_numpy(), g["_w"].to_numpy(), delta)
+        out = g.iloc[:1][group_cols].copy()
+        for q in qs:
+            out[f"q{q}"] = _tdigest_quantile(m, w, q)
+        return out
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_cols).map_groups(merge, batch_format="pandas"))
+
+
 _CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
                        0x165667B19E3779F9, 0x27D4EB2F165667C5],
                       dtype=np.uint64)

@@ -527,6 +527,13 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS p50_ok, TRUE AS p95_ok
         FROM events GROUP BY event_type
     """,
+    "tdigest_value_quantiles_by_type": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50_exact,
+               round(quantile_cont(value, 0.99), 6) AS p99_exact,
+               TRUE AS p50_ok, TRUE AS p99_ok
+        FROM events GROUP BY event_type
+    """,
     "users_intersect_purchase_error": """
         SELECT user_id FROM events WHERE event_type = 'purchase'
         INTERSECT

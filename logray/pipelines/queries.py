@@ -1252,6 +1252,59 @@ def approx_value_percentiles_by_type(sf_dir: str):
         preserve_index=False)
 
 
+def tdigest_value_quantiles_by_type(sf_dir: str):
+    """Mergeable t-digest quantiles (C5 sketch breadth — the
+    rank-error-bounded sketch, vs the fixed-bin histogram's value-error
+    bound): p50/p99 of value per event type via ``sketch.tdigest_quantiles``
+    (k1 scale function, per-batch k-space clustering to ≤ ~δ centroids,
+    one grouped re-cluster merge; no global min/max pre-pass needed).
+
+    Tolerance-oracle form like ``approx_value_percentiles_by_type``: the
+    query emits the engine's EXACT quantiles (SQL-checked vs DuckDB
+    quantile_cont) plus assertions that each estimate lands between the
+    order statistics bracketing rank q ± ε(q), with the sound post-merge
+    bound ε(q) = 3·2π·√(q(1−q))/δ (one-span interpolation error + merge
+    can at most double a cluster's q-span). p99's ε is 5× tighter than
+    p50's — the t-digest's defining property."""
+    from ..ops import sketch
+    from ..ops.window import _bucketed_apply
+
+    delta = 256.0
+    qs = (0.5, 0.99)
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    est = sketch.tdigest_quantiles(ds, ["event_type"], "value",
+                                   list(qs), delta=delta).to_pandas()
+    est = est.rename(columns={"q0.5": "p50_est", "q0.99": "p99_est"})
+
+    def brackets(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy(np.float64))
+            n = len(v)
+            row = {"event_type": et}
+            for q, tag in zip(qs, ("p50", "p99")):
+                # DuckDB quantile_cont: linear interpolation at h=(n-1)q
+                h = (n - 1) * q
+                lo_i, frac = int(np.floor(h)), (n - 1) * q % 1
+                exact = v[lo_i] + frac * (v[min(lo_i + 1, n - 1)] - v[lo_i])
+                row[f"{tag}_exact"] = round(float(exact), 6)
+                eps = 3 * 2 * np.pi * np.sqrt(q * (1 - q)) / delta
+                row[f"{tag}_lo"] = v[max(int(np.floor((q - eps) * n)) - 2, 0)]
+                row[f"{tag}_hi"] = v[min(int(np.ceil((q + eps) * n)) + 2,
+                                         n - 1)]
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    brk = _bucketed_apply(ds, "event_type", brackets, num_buckets=8).to_pandas()
+    out = brk.merge(est, on="event_type")
+    for tag in ("p50", "p99"):
+        out[f"{tag}_ok"] = ((out[f"{tag}_est"] >= out[f"{tag}_lo"] - 1e-9)
+                            & (out[f"{tag}_est"] <= out[f"{tag}_hi"] + 1e-9))
+    return pa.Table.from_pandas(
+        out[["event_type", "p50_exact", "p99_exact", "p50_ok", "p99_ok"]],
+        preserve_index=False)
+
+
 # -------------------------------------------------------------- transcripts --
 
 # version-keyed so a corpus generated by an older rule table is never
@@ -10555,6 +10608,7 @@ QUERIES = {
     "approx_distinct_users_by_type": approx_distinct_users_by_type,
     "heavy_hitter_users": heavy_hitter_users,
     "approx_value_percentiles_by_type": approx_value_percentiles_by_type,
+    "tdigest_value_quantiles_by_type": tdigest_value_quantiles_by_type,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
     "orders_rollup_status_priority": orders_rollup_status_priority,

@@ -507,6 +507,36 @@ def test_approx_quantiles_tolerance(ray_session):
             assert abs(out.loc[grp, col] - np.quantile(sel, q)) <= 2 * width
 
 
+def test_tdigest_quantiles_rank_bound(ray_session):
+    """t-digest grouped quantiles: realized RANK error stays inside the
+    documented post-merge bound 3·2π√(q(1−q))/δ on a heavy-tailed
+    distribution, across batch splits (merge path exercised by
+    repartition); centroid partials stay ≤ ~δ per group per batch."""
+    import ray.data
+
+    from logray.ops.sketch import _tdigest_cluster, tdigest_quantiles
+
+    rng = np.random.default_rng(11)
+    n = 60_000
+    v = rng.lognormal(0, 2, n)
+    g = np.array(["x", "y"])[(np.arange(n) % 2)]
+    ds = ray.data.from_arrow(
+        pa.table({"g": pa.array(g), "v": pa.array(v)})).repartition(8)
+    delta = 256.0
+    out = (tdigest_quantiles(ds, ["g"], "v", [0.5, 0.99], delta=delta)
+           .to_pandas().set_index("g"))
+    for grp in ("x", "y"):
+        sel = np.sort(v[g == grp])
+        for q, col in ((0.5, "q0.5"), (0.99, "q0.99")):
+            est = out.loc[grp, col]
+            rank = np.searchsorted(sel, est) / len(sel)
+            assert abs(rank - q) <= 3 * 2 * np.pi * np.sqrt(q * (1 - q)) / delta
+    # size bound: one clustering pass emits ≤ ~δ centroids (+1 slack)
+    m, w = _tdigest_cluster(v, np.ones(n), delta)
+    assert len(m) <= delta + 1
+    assert abs(w.sum() - n) < 1e-6  # weight conservation
+
+
 def test_rolling_mean_and_dense_rank(ray_session):
     import ray.data
 
