@@ -304,17 +304,21 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
 
 
 def cooccurrence_edges(ds, group_col: str, item_col: str, *,
+                       min_support: int = 1,
                        num_buckets: int | None = None):
     """Canonical co-occurrence edge list: two items are linked iff they
     appear under the same ``group_col`` value (e.g. parts in the same
-    order). Output columns (u, v) with u < v, globally distinct.
+    order) — at least ``min_support`` times when > 1 (the basket-support
+    threshold, the standard sparsifier for dense co-occurrence graphs).
+    Output columns (u, v) with u < v, globally distinct.
 
     One bucket shuffle by group (groups never straddle buckets), then a
     vectorized within-bucket self-merge generates pairs; per-bucket dedup
-    keeps the second (distinct) exchange small. Pair fan-out is bounded by
-    the largest group's size squared — callers with huge groups should cap
-    or sample groups first."""
-    from .relational import distinct
+    (or partial pair counts under a support threshold) keeps the second
+    exchange small. Pair fan-out is bounded by the largest group's size
+    squared — callers with huge groups should cap or sample groups
+    first."""
+    from .relational import distinct, grouped_agg
     from .window import _bucketed_apply
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -324,10 +328,22 @@ def cooccurrence_edges(ds, group_col: str, item_col: str, *,
         b = m[f"{item_col}_b"].to_numpy()
         keep = a < b
         out = pd.DataFrame({"u": a[keep], "v": b[keep]})
+        if min_support > 1:
+            # partial per-bucket counts; the global support filter runs
+            # after the grouped combine (a pair's groups span buckets)
+            return (out.groupby(["u", "v"], sort=False).size()
+                    .rename("c").reset_index())
         return out.drop_duplicates()
 
     pairs = _bucketed_apply(ds, group_col, per_bucket,
                             num_buckets=num_buckets)
+    if min_support > 1:
+        import pyarrow.compute as _pc
+
+        counted = grouped_agg(pairs, ["u", "v"], {"c": ("c", "sum")})
+        return counted.map_batches(
+            lambda t: t.filter(_pc.greater_equal(t["c"], min_support))
+            .select(["u", "v"]), batch_format="pyarrow")
     return distinct(pairs, ["u", "v"])
 
 
@@ -606,3 +622,93 @@ def k_core(edges, k: int, *, max_rounds: int = 200):
                                right_schema=d_schema).materialize()
     return grouped_agg(alive, ["s"], {"n": ("s", "count")}).map_batches(
         lambda t: pa.table({"node": t["s"]}), batch_format="pyarrow")
+
+
+def link_prediction(edges, *, max_middle_degree: int | None = None,
+                    k: int = 50, num_buckets: int | None = None):
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg 2007)
+    over an undirected simple graph given canonical distinct edges
+    (u < v): score every NON-adjacent pair sharing ≥ 1 common neighbor
+    with three classic indices —
+
+      ``cn``    common-neighbor count;
+      ``ra_q``  Resource Allocation index Σ 1/deg(w) (Zhou et al. 2009)
+                in exact 1e-9 units: Σ (10**9 // deg(w)). Integer
+                division keeps partial sums order-free and lets the SQL
+                oracle compare bit-identically — Adamic–Adar's 1/ln(deg)
+                would drag libm floats into the exchange;
+      ``jac_q`` Jaccard coefficient cn/(deg(a)+deg(b)−cn) in exact 1e-6
+                units via the same integer-division trick.
+
+    Shapes: wedges generate bucket-shuffled by MIDDLE vertex, where
+    deg(w) is simply the bucket-local group size (no degree join on the
+    hot path); ``max_middle_degree`` excludes hubs from the middle role —
+    the standard scale lever, since a hub's RA contribution is ~0 by
+    construction while its deg² wedge fan-out dominates the exchange
+    (callers must replay the same cap in any oracle). Per-bucket (a, b)
+    partials pre-aggregate before the ONE grouped combine; known edges
+    leave via the large×large hash anti join; per-node degrees (O(V)
+    rows) broadcast for the Jaccard denominator. Returns the top-k
+    candidates by (ra_q, cn, u, v) as a pandas DataFrame.
+    """
+    import numpy as np
+
+    from .relational import broadcast_join, grouped_agg, hash_semi_join
+    from .relational import topk as _topk
+    from .window import _bucketed_apply
+
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"w": t["u"], "n": t["v"]}),
+            pa.table({"w": t["v"], "n": t["u"]}),
+        ])
+
+    symd = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        deg = df.groupby("w")["n"].transform("size")
+        if max_middle_degree is not None:
+            keep = deg <= max_middle_degree
+            df, deg = df[keep], deg[keep]
+        df = df.assign(_ra=np.int64(10**9) // deg.to_numpy(np.int64))
+        m = df.merge(df, on="w")
+        m = m[m["n_x"] < m["n_y"]]
+        g = (m.groupby(["n_x", "n_y"], sort=False)
+             .agg(cn=("w", "size"), ra_q=("_ra_x", "sum")).reset_index()
+             .rename(columns={"n_x": "u", "n_y": "v"}))
+        return g.astype({"cn": np.int64, "ra_q": np.int64})
+
+    wedged = _bucketed_apply(symd, "w", per_bucket, num_buckets=num_buckets)
+    cand = grouped_agg(wedged, ["u", "v"],
+                       {"cn": ("cn", "sum"), "ra_q": ("ra_q", "sum")})
+    # cand (and often edges) flow out of pandas map_groups blocks whose
+    # reported schema carries numpy dtypes — hand both sides explicit
+    # Arrow schemas, with the key type taken from the always-Arrow symd
+    kt = symd.schema().base_schema.field("w").type
+    cand = hash_semi_join(
+        cand, edges, ["u", "v"], anti=True,
+        left_schema=pa.schema([("u", kt), ("v", kt), ("cn", pa.int64()),
+                               ("ra_q", pa.int64())]),
+        right_schema=pa.schema([("u", kt), ("v", kt)])).materialize()
+    if cand.count() == 0:
+        # zero groups upstream yield a schemaless dataset — hand back a
+        # typed empty frame instead of letting the sort KeyError
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("u", "v", "cn", "ra_q", "jac_q")})
+
+    deg_df = (grouped_agg(symd, ["w"], {"deg": ("n", "count")})
+              .to_pandas())
+    cand = broadcast_join(cand, deg_df.rename(
+        columns={"w": "u", "deg": "deg_u"}), "u")
+    cand = broadcast_join(cand, deg_df.rename(
+        columns={"w": "v", "deg": "deg_v"}), "v")
+
+    def add_jaccard(df: pd.DataFrame) -> pd.DataFrame:
+        denom = df["deg_u"] + df["deg_v"] - df["cn"]
+        df = df.assign(jac_q=(df["cn"].to_numpy(np.int64) * np.int64(10**6))
+                       // denom.to_numpy(np.int64))
+        return df[["u", "v", "cn", "ra_q", "jac_q"]]
+
+    scored = cand.map_batches(add_jaccard, batch_format="pandas")
+    return _topk(scored, [("ra_q", True), ("cn", True),
+                          ("u", False), ("v", False)], k)

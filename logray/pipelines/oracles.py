@@ -3662,6 +3662,38 @@ ORACLE_SQL["dialog_pairs_transcripts"] = f"""
     FROM o WHERE role = 'user' AND next_role = 'assistant'
 """
 
+# Link prediction: triangle-oracle edge construction plus the basket
+# support threshold (pairs co-occurring in >= 2 orders); the integer
+# micro-unit divisions replay the engine's exact arithmetic, so values
+# compare bit-identically.
+ORACLE_SQL["link_prediction_parts"] = """
+    WITH so AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),
+    e AS (
+        SELECT a.s AS u, b.s AS v
+        FROM so a JOIN so b ON a.o = b.o AND a.s < b.s
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+    sym AS (SELECT u AS w, v AS n FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY w),
+    mid AS (SELECT s.w, s.n, d.d FROM sym s JOIN deg d USING (w)),
+    wed AS (
+        SELECT a.n AS u, b.n AS v, CAST(count(*) AS BIGINT) AS cn,
+               CAST(sum(1000000000 // a.d) AS BIGINT) AS ra_q
+        FROM mid a JOIN mid b ON a.w = b.w AND a.n < b.n
+        GROUP BY 1, 2),
+    cand AS (
+        SELECT * FROM wed
+        WHERE NOT EXISTS (SELECT 1 FROM e
+                          WHERE e.u = wed.u AND e.v = wed.v))
+    SELECT c.u, c.v, c.cn, c.ra_q,
+           CAST(c.cn * 1000000 // (du.d + dv.d - c.cn) AS BIGINT) AS jac_q
+    FROM cand c
+    JOIN deg du ON du.w = c.u
+    JOIN deg dv ON dv.w = c.v
+    ORDER BY c.ra_q DESC, c.cn DESC, c.u, c.v
+    LIMIT 50
+"""
+
 ORACLE_SQL["triangle_counts_parts"] = """
     WITH so AS (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem),

@@ -4220,6 +4220,26 @@ def triangle_counts_parts(sf_dir: str):
         batch_format="pyarrow")
 
 
+def link_prediction_parts(sf_dir: str):
+    """Link prediction over the part co-occurrence graph
+    (graph.link_prediction): for every non-adjacent part pair sharing a
+    common neighbor, three classic indices — common-neighbor count,
+    Resource Allocation Σ 1/deg(w), Jaccard cn/(deg_u+deg_v−cn) — with
+    RA/Jaccard in exact integer micro-units (10⁹//deg, 10⁶-scaled) so
+    every value compares bit-identically against the SQL replay. Edges
+    carry a basket-support threshold (co-occurring in ≥ 2 orders — the
+    standard sparsifier: the raw part graph is near-dense at gate scale,
+    1M candidate pairs for 2k nodes; support ≥ 2 leaves a real topology);
+    top 50 by (ra_q, cn, u, v)."""
+    from ..ops import graph
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                                     min_support=2).materialize()
+    out = graph.link_prediction(edges, k=50)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def context_budget_truncate_transcripts(sf_dir: str, budget: int = 512):
     """Context-window budget truncation (chat-training prep): per
     conversation keep the longest SUFFIX of turns whose total whitespace
@@ -10684,6 +10704,7 @@ QUERIES = {
     "basket_affinity_parts": basket_affinity_parts,
     "bfs_levels_parts": bfs_levels_parts,
     "sssp_parts": sssp_parts,
+    "link_prediction_parts": link_prediction_parts,
     "dup_substring_spans_documents": dup_substring_spans_documents,
     "dup_substring_coverage_documents": dup_substring_coverage_documents,
     "dup_cluster_size_histogram": dup_cluster_size_histogram,

@@ -507,6 +507,41 @@ def test_approx_quantiles_tolerance(ray_session):
             assert abs(out.loc[grp, col] - np.quantile(sel, q)) <= 2 * width
 
 
+def test_link_prediction_hand_graph(ray_session):
+    """4-cycle 1-2-3-4-1: the two diagonals (1,3) and (2,4) are the only
+    non-adjacent candidate pairs, each closed by two degree-2 middles →
+    cn=2, ra_q=2·(1e9//2)=1e9, jaccard=2/(2+2−2)=1 → jac_q=1e6."""
+    import ray.data
+
+    from logray.ops.graph import link_prediction
+
+    edges = ray.data.from_arrow(pa.table({
+        "u": pa.array([1, 2, 1, 3], pa.int64()),
+        "v": pa.array([2, 3, 4, 4], pa.int64())}))
+    out = link_prediction(edges, k=10)
+    got = {(r.u, r.v): (r.cn, r.ra_q, r.jac_q) for r in out.itertuples()}
+    assert got == {(1, 3): (2, 10**9, 10**6), (2, 4): (2, 10**9, 10**6)}
+    # hub cap: with max_middle_degree=1 no middle qualifies → no pairs
+    assert len(link_prediction(edges, max_middle_degree=1, k=10)) == 0
+
+
+def test_cooccurrence_min_support(ray_session):
+    """Support threshold: pair (1,2) co-occurs in two groups, (1,3) in
+    one — min_support=2 keeps only the former."""
+    import ray.data
+
+    from logray.ops.graph import cooccurrence_edges
+
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array([10, 10, 20, 20, 20], pa.int64()),
+        "i": pa.array([1, 2, 1, 2, 3], pa.int64())}))
+    got = cooccurrence_edges(ds, "g", "i", min_support=2).to_pandas()
+    assert sorted(map(tuple, got[["u", "v"]].to_numpy())) == [(1, 2)]
+    all_edges = cooccurrence_edges(ds, "g", "i").to_pandas()
+    assert sorted(map(tuple, all_edges[["u", "v"]].to_numpy())) == [
+        (1, 2), (1, 3), (2, 3)]
+
+
 def test_tdigest_quantiles_rank_bound(ray_session):
     """t-digest grouped quantiles: realized RANK error stays inside the
     documented post-merge bound 3·2π√(q(1−q))/δ on a heavy-tailed
