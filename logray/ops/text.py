@@ -981,3 +981,81 @@ def dup_substring_spans(ds, *, min_len: int = 40, id_col: str = "doc_id",
             ["a_id", "b_id", "a_start", "b_start", "length"])
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ URLs ----
+
+_URL_RE = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/:?#]+)"
+           r"(?::(?P<port>[0-9]+))?(?P<path>[^?#]*)"
+           r"(?:\?(?P<query>[^#]*))?(?:#(?P<frag>.*))?$")
+
+_DEFAULT_PORTS = (("http", "80"), ("https", "443"))
+
+
+def canonicalize_urls(urls, *, drop_param_prefixes: tuple[str, ...] = ("utm_",)):
+    """Vectorized URL canonicalization — the first normalization pass of
+    every web-crawl dedup pipeline (two fetches of the same resource must
+    collide BEFORE content dedup ever runs):
+
+    - scheme and host lowercased;
+    - default ports stripped (http:80, https:443), others kept;
+    - path: runs of '/' collapsed, trailing '/' stripped (root kept),
+      empty path → '/';
+    - fragment dropped;
+    - query: params with a ``drop_param_prefixes`` prefix (tracking
+      params) removed, the rest SORTED by byte order and rejoined — order
+      differences stop mattering.
+
+    One ``extract_regex`` + Arrow string kernels; the per-row param sort
+    is two stable argsorts over the flattened param list (offset
+    arithmetic, no Python loop). Non-URL rows return null. Returns a
+    ``pa.Array`` aligned with the input.
+    """
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    st = pc.extract_regex(urls, _URL_RE)
+    bad = st.is_null()
+    scheme = pc.utf8_lower(st.field("scheme"))
+    host = pc.utf8_lower(st.field("host"))
+    port = st.field("port")
+    drop_port = pc.equal(port, "")
+    for sch, prt in _DEFAULT_PORTS:
+        drop_port = pc.or_(drop_port, pc.and_(pc.equal(scheme, sch),
+                                              pc.equal(port, prt)))
+    port_sfx = pc.if_else(drop_port, "",
+                          pc.binary_join_element_wise(":", port, ""))
+    path = st.field("path")
+    path = pc.replace_substring_regex(path, "/{2,}", "/")
+    path = pc.replace_substring_regex(path, "^$", "/")
+    path = pc.replace_substring_regex(path, "(.)/$", "\\1")
+
+    # query params: flatten → drop tracking/empty → stable two-pass sort
+    # (by param bytes, then by row) → regroup → join
+    query = st.field("query")
+    parts = pc.split_pattern(query, "&")
+    flat = parts.flatten()
+    n = len(urls)
+    counts = np.diff(parts.offsets.to_numpy(zero_copy_only=False))
+    rowidx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    keep = pc.invert(pc.equal(flat, ""))
+    for pref in drop_param_prefixes:
+        keep = pc.and_(keep, pc.invert(pc.starts_with(flat, pref)))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    flat_np = flat.to_numpy(zero_copy_only=False)[keep_np]
+    rowidx = rowidx[keep_np]
+    o1 = np.argsort(flat_np, kind="stable")
+    o2 = np.argsort(rowidx[o1], kind="stable")
+    order = o1[o2]
+    kept_counts = np.bincount(rowidx, minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(kept_counts, out=offsets[1:])
+    relist = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        pa.array(flat_np[order], pa.string()))
+    joined = pc.binary_join(relist, "&")
+    q_sfx = pc.if_else(pc.equal(joined, ""), "",
+                       pc.binary_join_element_wise("?", joined, ""))
+
+    out = pc.binary_join_element_wise(
+        scheme, "://", host, port_sfx, path, q_sfx, "")
+    return pc.if_else(bad, pa.scalar(None, pa.string()), out)

@@ -3662,6 +3662,19 @@ ORACLE_SQL["dialog_pairs_transcripts"] = f"""
     FROM o WHERE role = 'user' AND next_role = 'assistant'
 """
 
+# URL canonicalization: the oracle derives the EXPECTED canonical form
+# analytically from the document columns — it never parses the messy
+# input the engine normalizes, so every byte is independently checked.
+# Variants 0-3 and 5 all canonicalize to the plain form; variant 4 keeps
+# its one non-tracking query param.
+ORACLE_SQL["url_canonicalize_documents"] = """
+    SELECT doc_id,
+           'http://www.' || source || '.example/' || lang || '/doc/'
+           || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 6 = 4 THEN '?page=2' ELSE '' END AS url
+    FROM documents
+"""
+
 # Link prediction: triangle-oracle edge construction plus the basket
 # support threshold (pairs co-occurring in >= 2 orders); the integer
 # micro-unit divisions replay the engine's exact arithmetic, so values

@@ -4220,6 +4220,45 @@ def triangle_counts_parts(sf_dir: str):
         batch_format="pyarrow")
 
 
+def url_canonicalize_documents(sf_dir: str):
+    """URL canonicalization (text.canonicalize_urls) — the first pass of
+    every web-crawl dedup pipeline: two fetches of one resource must
+    collide on URL BEFORE content dedup runs. Each document derives a
+    deterministic messy URL from its own columns (doc_id % 6 picks the
+    hazard: uppercase scheme+host, explicit default :80 port, fragment,
+    unordered tracking params, doubled-slash + trailing-slash path); the
+    engine normalizes it with one extract_regex + Arrow string kernels
+    and an offset-arithmetic per-row param sort. The oracle derives the
+    expected canonical form ANALYTICALLY from the same columns — it never
+    sees the messy input, so every output byte is independently checked
+    (truth-sidecar pattern)."""
+    from ..ops.text import canonicalize_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def build_and_canon(t: pa.Table) -> pa.Table:
+        idstr = pc.cast(t["doc_id"], pa.string())
+        host = pc.binary_join_element_wise("www.", t["source"], ".example", "")
+        tail = pc.binary_join_element_wise(t["lang"], "/doc/", idstr, "")
+        plain = pc.binary_join_element_wise("http://", host, "/", tail, "")
+        v = pa.array(t["doc_id"].to_numpy() % 6)
+        raw = plain
+        raw = pc.if_else(pc.equal(v, 1), pc.binary_join_element_wise(
+            "HTTP://", pc.utf8_upper(host), "/", tail, ""), raw)
+        raw = pc.if_else(pc.equal(v, 2), pc.binary_join_element_wise(
+            "http://", host, ":80/", tail, ""), raw)
+        raw = pc.if_else(pc.equal(v, 3), pc.binary_join_element_wise(
+            plain, "#section-2", ""), raw)
+        raw = pc.if_else(pc.equal(v, 4), pc.binary_join_element_wise(
+            plain, "?utm_campaign=feed&page=2&utm_source=rss", ""), raw)
+        raw = pc.if_else(pc.equal(v, 5), pc.binary_join_element_wise(
+            "http://", host, "//", tail, "/", ""), raw)
+        return pa.table({"doc_id": t["doc_id"],
+                         "url": canonicalize_urls(raw)})
+
+    return ds.map_batches(build_and_canon, batch_format="pyarrow")
+
+
 def link_prediction_parts(sf_dir: str):
     """Link prediction over the part co-occurrence graph
     (graph.link_prediction): for every non-adjacent part pair sharing a
@@ -10705,6 +10744,7 @@ QUERIES = {
     "bfs_levels_parts": bfs_levels_parts,
     "sssp_parts": sssp_parts,
     "link_prediction_parts": link_prediction_parts,
+    "url_canonicalize_documents": url_canonicalize_documents,
     "dup_substring_spans_documents": dup_substring_spans_documents,
     "dup_substring_coverage_documents": dup_substring_coverage_documents,
     "dup_cluster_size_histogram": dup_cluster_size_histogram,

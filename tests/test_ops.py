@@ -507,6 +507,31 @@ def test_approx_quantiles_tolerance(ray_session):
             assert abs(out.loc[grp, col] - np.quantile(sel, q)) <= 2 * width
 
 
+def test_canonicalize_urls_hazards():
+    from logray.ops.text import canonicalize_urls
+
+    urls = pa.array([
+        "HTTPS://EXAMPLE.com:443//a//b/?b=2&a=1&utm_x=9#z",
+        "http://h:8080/x",            # non-default port kept
+        "http://WWW.Site.example:80/en/doc/5#frag",
+        "http://h/p?utm_a=1&utm_b=2",  # all params tracking → no query
+        "http://h",                    # empty path → '/'
+        "http://h/p?z=1&y=2&z=0",      # duplicate names keep both, sorted
+        "not a url",
+        None,
+    ])
+    assert canonicalize_urls(urls).to_pylist() == [
+        "https://example.com/a/b?a=1&b=2",
+        "http://h:8080/x",
+        "http://www.site.example/en/doc/5",
+        "http://h/p",
+        "http://h/",
+        "http://h/p?y=2&z=0&z=1",
+        None,
+        None,
+    ]
+
+
 def test_link_prediction_hand_graph(ray_session):
     """4-cycle 1-2-3-4-1: the two diagonals (1,3) and (2,4) are the only
     non-adjacent candidate pairs, each closed by two degree-2 middles →
