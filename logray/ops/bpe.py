@@ -156,7 +156,16 @@ def bpe_token_counts(ds, text_col: str = "text", id_col: str = "doc_id", *,
     n_bpe_tokens)."""
     wf = word_frequencies(ds, text_col, max_vocab=max_vocab)
     merges = train_bpe(dict(zip(wf["word"], wf["c"])), num_merges)
-    kwargs = {"concurrency": concurrency} if concurrency else {"concurrency": 4}
+    if concurrency is None:
+        # clamp the actor pool below the cluster CPU count — a pool that
+        # holds every CPU starves the 0.5-CPU read tasks (the flagship's
+        # live streaming-executor deadlock at ray.init(num_cpus=4))
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if \
+            ray.is_initialized() else 8
+        concurrency = max(1, min(4, cpus - 1))
+    kwargs = {"concurrency": concurrency}
     return ds.map_batches(BpeEncodeStage,
                           fn_constructor_args=(merges, text_col, id_col),
                           batch_format="pyarrow", **kwargs)

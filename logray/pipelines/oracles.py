@@ -1035,6 +1035,17 @@ ORACLE_SQL["bpe_bounds_documents"] = """
     FROM documents
 """
 
+# Unigram-LM tokenizer: n_words SQL-exact; Viterbi roundtrip and the
+# provable piece-count bounds assert TRUE per doc (same shape as the BPE
+# bounds oracle).
+ORACLE_SQL["unigram_tokens_documents"] = """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                AS BIGINT) AS n_words,
+           TRUE AS roundtrip_ok, TRUE AS pieces_in_bounds
+    FROM documents
+"""
+
 _DUP_GROUPS = """(SELECT CAST(count(*) AS BIGINT) FROM
     (SELECT text FROM documents GROUP BY text HAVING count(*) > 1))"""
 

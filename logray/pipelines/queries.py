@@ -3427,6 +3427,44 @@ def bpe_bounds_documents(sf_dir: str):
     return joined.map_batches(fin, batch_format="pyarrow")
 
 
+def unigram_tokens_documents(sf_dir: str):
+    """SentencePiece-style unigram-LM tokenization (ops/unigram.py, Kudo
+    2018) — the other major subword family next to BPE: distributed word
+    frequencies → substring-seeded vocabulary → DISTRIBUTED EM rounds
+    (lattice forward–backward per distinct word, piece vocabulary
+    broadcast, M-step one grouped sum) → pruned vocab → actor-pool
+    Viterbi encode with per-actor memoization. Value-checked per doc:
+    n_words is SQL-exact (same RE2 split both engines), every word's
+    Viterbi pieces must concatenate back to it (roundtrip_ok), and the
+    piece count must sit in its provable bounds — ≥ n_words (≥ 1 piece
+    per word) and ≤ non-space chars (every piece ≥ 1 char)."""
+    from ..ops import unigram
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    counts = unigram.unigram_token_counts(docs, vocab_size=512,
+                                          em_rounds=2)
+    chars = docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "nsc": pc.utf8_length(pc.replace_substring_regex(
+                pc.utf8_trim_whitespace(pc.fill_null(t["text"], "")),
+                r"\s+", ""))}),
+        batch_format="pyarrow")
+    joined = relational.hash_join(counts, chars, on="doc_id")
+
+    def fin(t: pa.Table) -> pa.Table:
+        nsc = pc.cast(t["nsc"], pa.int64())
+        lo_ok = pc.or_(pc.greater_equal(t["n_pieces"], t["n_words"]),
+                       pc.equal(nsc, 0))  # empty text: 1 'word', 0 pieces
+        hi_ok = pc.less_equal(t["n_pieces"], nsc)
+        return pa.table({
+            "doc_id": t["doc_id"], "n_words": t["n_words"],
+            "roundtrip_ok": t["roundtrip_ok"],
+            "pieces_in_bounds": pc.and_(lo_ok, hi_ok)})
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
 def asof_tolerance_purchase_click(sf_dir: str):
     """As-of join WITH tolerance (C9): each purchase matched to the
     user's latest click at or before it, but only within a 30-minute
@@ -10974,6 +11012,7 @@ QUERIES = {
     "q10_returned_customers": q10_returned_customers,
     "hard_negative_embeddings": hard_negative_embeddings,
     "bpe_tokens_documents": bpe_tokens_documents,
+    "unigram_tokens_documents": unigram_tokens_documents,
     "asof_tolerance_purchase_click": asof_tolerance_purchase_click,
     "cms_heavy_users": cms_heavy_users,
     "curriculum_pack_documents": curriculum_pack_documents,

@@ -507,6 +507,48 @@ def test_approx_quantiles_tolerance(ray_session):
             assert abs(out.loc[grp, col] - np.quantile(sel, q)) <= 2 * width
 
 
+def test_unigram_tokenizer_em_and_viterbi(ray_session):
+    """Unigram-LM tokenizer: (1) EM log-likelihood is non-decreasing
+    (the EM guarantee — each round's ll is computed under the incoming
+    θ); (2) a heavily shared suffix survives pruning as a multi-char
+    piece and Viterbi actually uses it (pieces < chars); (3) every
+    word's pieces concatenate back to it."""
+    import ray.data
+
+    from logray.ops import unigram
+    from logray.ops.bpe import word_frequencies
+
+    words = (["darkness", "kindness", "happiness", "unhappiness",
+              "sadness", "boldness"] * 30 + ["dark", "kind", "happy",
+              "un", "sad", "bold"] * 10)
+    rng = np.random.default_rng(3)
+    docs = [" ".join(rng.choice(words, size=12)) for _ in range(80)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(80), pa.int64()),
+        "text": pa.array(docs)})).repartition(4)
+
+    wf = word_frequencies(ds)
+    theta = unigram.seed_vocab(dict(zip(wf["word"], wf["c"])))
+    wfd = ray.data.from_pandas(wf).repartition(2)
+    lls = []
+    for _ in range(3):
+        theta, ll = unigram._em_round(wfd, theta, 8)
+        lls.append(ll)
+    assert lls[1] >= lls[0] - 1e-9 and lls[2] >= lls[1] - 1e-9
+
+    final = unigram.train_unigram(wf, vocab_size=64, em_rounds=2)
+    assert any(len(p) > 1 for p in final), "no multi-char piece survived"
+    logtheta = {p: float(np.log(v)) for p, v in final.items() if v > 0}
+    pieces = unigram.viterbi_encode("unhappiness", logtheta, 8)
+    assert "".join(pieces) == "unhappiness"
+    assert len(pieces) < len("unhappiness"), "Viterbi never compressed"
+
+    out = unigram.unigram_token_counts(
+        ds, vocab_size=64, em_rounds=1).to_pandas()
+    assert out["roundtrip_ok"].all()
+    assert (out["n_pieces"] >= out["n_words"]).all()
+
+
 def test_canonicalize_urls_hazards():
     from logray.ops.text import canonicalize_urls
 
