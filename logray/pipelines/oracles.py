@@ -1171,6 +1171,7 @@ ORACLE_SQL["lz4_log_parse_counts"] = ORACLE_SQL["transcript_parse_counts"]
 # the rule histogram must be byte-identical to the parquet path's.
 ORACLE_SQL["bz2_log_parse_counts"] = ORACLE_SQL["transcript_parse_counts"]
 ORACLE_SQL["xz_log_parse_counts"] = ORACLE_SQL["transcript_parse_counts"]
+ORACLE_SQL["zstd_log_parse_counts"] = ORACLE_SQL["transcript_parse_counts"]
 
 # The full flagship DAG's aggregate output: per-(sink, rule) counts.
 ORACLE_SQL["flagship_transcripts"] = f"""

@@ -1501,6 +1501,28 @@ def _archive_log_parse_counts(sf_dir: str, compression: str):
                                   {"n": ("rule_id", "count")})
 
 
+def zstd_log_parse_counts(sf_dir: str):
+    """Raw-text ingestion over zstd shards — the default shard
+    compression of modern data platforms: render to ``.log.zst`` (Arrow
+    codec frame), re-ingest through Arrow's streaming zstd inflate, and
+    run the envelope parse + rule engine; per-rule histogram must equal
+    the parquet path's exactly."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    from ..sources import read_raw_log, render_raw_log
+    from ..stages.parse import parse_batch_fn
+
+    raw = Path(_RAW_LOG_CACHE) / f"zstd-sf{sf}"
+    if not list(raw.glob("*.log.zst")):
+        render_raw_log(corpus, raw, compression="zstd")
+    ds = read_raw_log(raw)
+    parsed = ds.map_batches(
+        lambda t: parse_batch_fn(t.drop(["envelope_error"])),
+        batch_format="pyarrow")
+    return relational.grouped_agg(parsed, ["rule_id"],
+                                  {"n": ("rule_id", "count")})
+
+
 def bz2_log_parse_counts(sf_dir: str):
     """Raw-text ingestion over bzip2 shards (B5 breadth — the archival
     compression long-retention log stores hand over): render the corpus
@@ -10879,6 +10901,7 @@ QUERIES = {
     "lz4_log_parse_counts": lz4_log_parse_counts,
     "bz2_log_parse_counts": bz2_log_parse_counts,
     "xz_log_parse_counts": xz_log_parse_counts,
+    "zstd_log_parse_counts": zstd_log_parse_counts,
     "csv_source_event_counts": csv_source_event_counts,
     "json_source_doc_counts": json_source_doc_counts,
     "snappy_jsonl_doc_counts": snappy_jsonl_doc_counts,

@@ -80,6 +80,10 @@ def render_raw_log(corpus_dir: str | Path, out_dir: str | Path,
 
             out = out_dir / (f.stem + ".log.bz2")
             out.write_bytes(bz2.compress(payload.encode()))
+        elif compression == "zstd":
+            out = out_dir / (f.stem + ".log.zst")
+            out.write_bytes(pa.Codec("zstd").compress(
+                payload.encode(), asbytes=True))
         elif compression == "xz":
             import lzma
 
@@ -148,6 +152,10 @@ def read_raw_log(log_dir: str | Path):
         # path as gzip, no whole-file buffer in the task
         parts.append(ray.data.read_text(
             bz2_files, arrow_open_stream_args={"compression": "bz2"}))
+    zst = sorted(str(p) for p in Path(log_dir).glob("*.log.zst"))
+    if zst:
+        parts.append(ray.data.read_text(
+            zst, arrow_open_stream_args={"compression": "zstd"}))
     if xz:
         import lzma
 

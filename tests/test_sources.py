@@ -621,10 +621,10 @@ def test_bz2_xz_raw_log_roundtrip(ray_session, corpus, tmp_path_factory):
     want = pd.concat([pq.read_table(f).to_pandas()
                       for f in sorted(in_dir.glob("*.parquet"))])
     want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
-    for comp in ("bz2", "xz"):
+    for comp, ext in (("bz2", "bz2"), ("xz", "xz"), ("zstd", "zst")):
         out = tmp_path_factory.mktemp(f"{comp}logs")
         written = render_raw_log(in_dir, out, compression=comp)
-        assert all(w.endswith(f".log.{comp}") for w in written)
+        assert all(w.endswith(f".log.{ext}") for w in written)
         got = read_raw_log(out).to_pandas()
         assert not got["envelope_error"].any()
         got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
