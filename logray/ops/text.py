@@ -1059,3 +1059,35 @@ def canonicalize_urls(urls, *, drop_param_prefixes: tuple[str, ...] = ("utm_",))
     out = pc.binary_join_element_wise(
         scheme, "://", host, port_sfx, path, q_sfx, "")
     return pc.if_else(bad, pa.scalar(None, pa.string()), out)
+
+
+def extract_links(texts) -> pa.ListArray:
+    """All ``<a href="...">`` targets per row, in document order —
+    vectorized explode, no per-row Python: split each row on the literal
+    anchor prefix, drop every row's FIRST segment (pre-anchor text, an
+    offset-arithmetic mask), take each remaining segment's prefix up to
+    the closing quote. Segments with no closing quote (truncated HTML)
+    drop out as extract_regex nulls. Returns a ListArray aligned with
+    the input; callers filter relative targets with their own host
+    regex."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    parts = pc.split_pattern(pc.fill_null(texts, ""), '<a href="')
+    flat = parts.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = len(texts)
+    offs = parts.offsets.to_numpy(zero_copy_only=False)
+    counts = np.diff(offs)
+    mask = np.ones(len(flat), dtype=bool)
+    mask[offs[:-1]] = False  # each row's first segment precedes any anchor
+    st = pc.extract_regex(flat, '^(?P<u>[^"]*)"')
+    # children of null struct rows hold '' (not null) — gate on the
+    # STRUCT's validity, not the child's
+    keep = mask & st.is_valid().to_numpy(zero_copy_only=False)
+    rowidx = np.repeat(np.arange(n, dtype=np.int64), counts)[keep]
+    vals = st.field("u").filter(pa.array(keep))
+    kept_counts = np.bincount(rowidx, minlength=n)
+    out_offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(kept_counts, out=out_offs[1:])
+    return pa.ListArray.from_arrays(pa.array(out_offs, pa.int32()), vals)

@@ -4187,6 +4187,17 @@ ORACLE_SQL["warc_ingest_responses"] = f"""
 
 # Access-log (CLF) lane: truth sidecar written beside the .log shards;
 # the parser must re-derive every field from text alone.
+# WARC host graph: the links.parquet sidecar records every ABSOLUTE
+# planted href (relative hrefs are planted but unrecorded — the engine's
+# host filter must drop them); the oracle never touches container bytes.
+ORACLE_SQL["warc_link_hostgraph"] = f"""
+    SELECT src_host,
+           regexp_extract(target, '^https?://([^/]+)/', 1) AS tgt_host,
+           count(*) AS n_links
+    FROM read_parquet('{_MEDIA}/warc/links.parquet')
+    GROUP BY 1, 2
+"""
+
 ORACLE_SQL["access_log_ingest"] = f"""
     SELECT ts_us, ip, user, method, path, status, n_bytes, agent
     FROM read_parquet('{_MEDIA}/accesslog/truth.parquet')

@@ -8901,7 +8901,10 @@ def _warc_dir() -> str:
     from ..sources import make_warc_shards
 
     p = Path(_MEDIA_CACHE) / "warc"
-    if not (p / "truth.parquet").exists():
+    # links.parquet arrived with the hyperlink-planting fixture revision;
+    # its absence means a pre-revision cache — regenerate (deterministic,
+    # same shard names)
+    if not (p / "truth.parquet").exists() or not (p / "links.parquet").exists():
         make_warc_shards(p)
     return str(p)
 
@@ -8936,6 +8939,46 @@ def warc_ingest_responses(sf_dir: str):
             "body_crc32": pa.array(crc, pa.int64())})
 
     return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def warc_link_hostgraph(sf_dir: str):
+    """Hyperlink host graph from crawl bytes (the second stage of a
+    web-crawl pipeline, right after ingest): WARC responses →
+    ``text.extract_links`` (vectorized anchor explode — split on the
+    anchor literal, offset-arithmetic first-segment mask, closing-quote
+    regex) → keep ABSOLUTE targets only (the fixture plants unrecorded
+    relative hrefs that must drop) → per (source host, target host) edge
+    counts through one grouped combine. Value-checked against the
+    pack-time ``links.parquet`` sidecar — the engine sees only container
+    bytes; the oracle only the sidecar."""
+    from ..ops.text import extract_links
+    from ..sources import read_warc_shards
+
+    ds = read_warc_shards(_warc_dir())
+
+    def edges(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["rec_type"], "response"))
+        url = t["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        src = pc.extract_regex(url, r"^https?://(?P<h>[^/]+)/").field("h")
+        body = pc.cast(t["payload"], pa.string())
+        links = extract_links(body)
+        counts = pc.list_value_length(links).to_numpy(zero_copy_only=False)
+        src_rep = src.take(pa.array(np.repeat(
+            np.arange(len(counts), dtype=np.int64), counts)))
+        flat = links.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        tgt_st = pc.extract_regex(flat, r"^https?://(?P<h>[^/]+)/")
+        keep = tgt_st.is_valid()
+        return pa.table({
+            "src_host": src_rep.filter(keep),
+            "tgt_host": tgt_st.field("h").filter(keep)})
+
+    e = ds.map_batches(edges, batch_format="pyarrow")
+    return relational.grouped_agg(e, ["src_host", "tgt_host"],
+                                  {"n_links": ("src_host", "count")})
 
 
 def _accesslog_dir() -> str:
@@ -10981,6 +11024,7 @@ QUERIES = {
     "jpeg_features_media": jpeg_features_media,
     "webp_features_media": webp_features_media,
     "warc_ingest_responses": warc_ingest_responses,
+    "warc_link_hostgraph": warc_link_hostgraph,
     "avro_ingest_turns": avro_ingest_turns,
     "access_log_ingest": access_log_ingest,
     "access_log_status_rollup": access_log_status_rollup,

@@ -498,8 +498,12 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
     round-robin over ``shards`` shards — half written plain ``.warc``,
     half ``.warc.gz`` with ONE GZIP MEMBER PER RECORD (the Common Crawl
     layout) — and a ``truth.parquet`` sidecar carrying each response's
-    generation-time truth (url/host/status/body bytes/CRC32). The reader
-    must re-derive all of it from the container bytes alone."""
+    generation-time truth (url/host/status/body bytes/CRC32). Response
+    bodies embed 0–4 absolute ``<a href>`` hyperlinks (recorded per-link
+    in a second ``links.parquet`` sidecar) plus an occasional RELATIVE
+    href that is deliberately NOT recorded — link extractors must keep
+    absolute targets only. The reader must re-derive all of it from the
+    container bytes alone."""
     import gzip
     import zlib
 
@@ -530,13 +534,25 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
             b"software: logray-fixture\r\n"))
     truth = {"rec_id": [], "shard": [], "host": [], "status": [],
              "n_bytes": [], "body_crc32": []}
+    links: dict[str, list] = {"rec_id": [], "src_host": [], "target": []}
     for i in range(n):
         k = i % shards
         host = f"host-{int(rng.integers(0, 12)):02d}.example"
         url = f"http://{host}/page/{i}"
         status = int(statuses[int(rng.integers(0, len(statuses)))])
         body_words = rng.choice(words, size=int(rng.integers(5, 120)))
-        body = ("<html><body>" + " ".join(body_words)
+        anchors = []
+        for _ in range(int(rng.integers(0, 5))):
+            tgt_host = f"host-{int(rng.integers(0, 12)):02d}.example"
+            tgt = f"http://{tgt_host}/page/{int(rng.integers(0, 10000))}"
+            anchors.append(f'<a href="{tgt}">link</a>')
+            links["rec_id"].append(f"<urn:uuid:resp-{i:06d}>")
+            links["src_host"].append(host)
+            links["target"].append(tgt)
+        if i % 7 == 0:  # relative href: extractors must drop it
+            anchors.append('<a href="/local/nav">nav</a>')
+        body = ("<html><body>" + " ".join(body_words) + " "
+                + " ".join(anchors)
                 + f" doc {i}</body></html>").encode()
         if i % 11 == 0:  # interleave a request record (must be skipped)
             shard_bufs[k].append(record(
@@ -575,6 +591,11 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
         "n_bytes": pa.array(truth["n_bytes"], pa.int64()),
         "body_crc32": pa.array(truth["body_crc32"], pa.int64()),
     }), out / "truth.parquet")
+    _pq.write_table(pa.table({
+        "rec_id": pa.array(links["rec_id"], pa.string()),
+        "src_host": pa.array(links["src_host"], pa.string()),
+        "target": pa.array(links["target"], pa.string()),
+    }), out / "links.parquet")
     return {"shards": shards, "responses": n, "dir": str(out)}
 
 

@@ -549,6 +549,21 @@ def test_unigram_tokenizer_em_and_viterbi(ray_session):
     assert (out["n_pieces"] >= out["n_words"]).all()
 
 
+def test_extract_links_hazards():
+    from logray.ops.text import extract_links
+
+    t = pa.array([
+        '<a href="http://a/1">x</a> mid <a href="/rel">y</a>'
+        ' <a href="http://b/2">',   # unterminated anchor tag still parses
+        "no links at all",
+        '<a href="broken',           # no closing quote → dropped
+        None,
+        '<a href=""></a>',           # empty target kept (caller filters)
+    ])
+    assert extract_links(t).to_pylist() == [
+        ["http://a/1", "/rel", "http://b/2"], [], [], [], [""]]
+
+
 def test_canonicalize_urls_hazards():
     from logray.ops.text import canonicalize_urls
 
