@@ -4198,6 +4198,14 @@ ORACLE_SQL["warc_link_hostgraph"] = f"""
     GROUP BY 1, 2
 """
 
+# Robots verdicts come from the fixture's hand-derived RFC 9309 matrix
+# stored at pack time — never from the parser under test.
+ORACLE_SQL["robots_filter_warc"] = f"""
+    SELECT rec_id, host, path, robots_allowed AS robots_ok
+    FROM read_parquet('{_MEDIA}/warc/truth.parquet')
+    WHERE path <> '/robots.txt'
+"""
+
 ORACLE_SQL["access_log_ingest"] = f"""
     SELECT ts_us, ip, user, method, path, status, n_bytes, agent
     FROM read_parquet('{_MEDIA}/accesslog/truth.parquet')

@@ -491,6 +491,47 @@ def read_warc_shards(in_dir):
             .map_batches(explode, batch_format="pyarrow", batch_size=1))
 
 
+# Robots fixture: rule-set templates (host h uses template h % 3), URL
+# path categories (response i uses category i % 5), and the RFC 9309
+# verdict matrix HAND-DERIVED from the spec — never computed by the
+# parser under test, so it checks the implementation independently.
+ROBOTS_TEMPLATES = (
+    # 0: longest-match precedence, Allow carve-out, wildcard + $ anchor
+    "User-agent: *\n"
+    "Disallow: /private/\n"
+    "Allow: /private/ok/\n"
+    "Disallow: /*.tmp$\n",
+    # 1: a specific group that must be IGNORED for agent '*', plus an
+    # equal-length Allow/Disallow tie (RFC: Allow wins ties)
+    "User-agent: archiver\n"
+    "Disallow: /\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /cgi-bin/\n"
+    "Disallow: /page/\n"
+    "Allow: /page/\n",
+    # 2: comments, blank lines, empty Disallow (allow-all)
+    "# nothing to see here\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow:\n",
+)
+ROBOTS_URL_CATEGORIES = ("/page/{i}", "/private/{i}", "/private/ok/{i}",
+                         "/files/{i}.tmp", "/cgi-bin/{i}")
+# Verdicts[template][category], derived by hand:
+#  t0: /page allow (no rule) · /private deny (/private/, len 9)
+#      · /private/ok allow (/private/ok/, len 12 beats 9)
+#      · .tmp deny (/*.tmp$) · /cgi-bin allow (no rule)
+#  t1: /page allow (6-byte tie → Allow) · /private allow · ok allow
+#      · .tmp allow · /cgi-bin deny (and the archiver group is ignored)
+#  t2: everything allowed (empty Disallow is allow-all)
+ROBOTS_VERDICTS = (
+    (True, False, True, False, True),
+    (True, True, True, True, False),
+    (True, True, True, True, True),
+)
+
+
 def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
                      seed: int = 29) -> dict:
     """Deterministic crawl fixture: ``n`` HTTP response records (plus a
@@ -516,6 +557,7 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
     statuses = [200, 200, 200, 200, 404, 301, 500, 503]
     words = ["crawl", "corpus", "stream", "shard", "record", "archive",
              "parse", "filter", "dedup", "tokens"]
+    n_hosts = 12
 
     def record(fields: dict, block: bytes) -> bytes:
         head = "WARC/1.0\r\n" + "".join(
@@ -533,12 +575,17 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
              "WARC-Date": "2026-01-01T00:00:00Z"},
             b"software: logray-fixture\r\n"))
     truth = {"rec_id": [], "shard": [], "host": [], "status": [],
-             "n_bytes": [], "body_crc32": []}
+             "n_bytes": [], "body_crc32": [], "path": [],
+             "robots_allowed": []}
     links: dict[str, list] = {"rec_id": [], "src_host": [], "target": []}
     for i in range(n):
         k = i % shards
-        host = f"host-{int(rng.integers(0, 12)):02d}.example"
-        url = f"http://{host}/page/{i}"
+        h_idx = int(rng.integers(0, n_hosts))
+        host = f"host-{h_idx:02d}.example"
+        cat = i % len(ROBOTS_URL_CATEGORIES)
+        path = ROBOTS_URL_CATEGORIES[cat].format(i=i)
+        url = f"http://{host}{path}"
+        allowed = ROBOTS_VERDICTS[h_idx % len(ROBOTS_TEMPLATES)][cat]
         status = int(statuses[int(rng.integers(0, len(statuses)))])
         body_words = rng.choice(words, size=int(rng.integers(5, 120)))
         anchors = []
@@ -560,7 +607,7 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
                  "WARC-Record-ID": f"<urn:uuid:req-{i:06d}>",
                  "WARC-Target-URI": url,
                  "WARC-Date": "2026-01-01T00:00:00Z"},
-                f"GET /page/{i} HTTP/1.1\r\nHost: {host}\r\n\r\n".encode()))
+                f"GET {path} HTTP/1.1\r\nHost: {host}\r\n\r\n".encode()))
         http = (f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n"
                 f"Content-Length: {len(body)}\r\n\r\n").encode() + body
         shard_bufs[k].append(record(
@@ -575,6 +622,31 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
         truth["status"].append(status)
         truth["n_bytes"].append(len(body))
         truth["body_crc32"].append(zlib.crc32(body))
+        truth["path"].append(path)
+        truth["robots_allowed"].append(allowed)
+    # one /robots.txt response per host (text/plain; deliberately NOT in
+    # the truth rollup columns the page queries use — robots_allowed is
+    # null). Engines must read the rules from crawl bytes alone.
+    for h_idx in range(n_hosts):
+        k = h_idx % shards
+        host = f"host-{h_idx:02d}.example"
+        body = ROBOTS_TEMPLATES[h_idx % len(ROBOTS_TEMPLATES)].encode()
+        http = (f"HTTP/1.1 200 X\r\nContent-Type: text/plain\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+        shard_bufs[k].append(record(
+            {"WARC-Type": "response",
+             "WARC-Record-ID": f"<urn:uuid:robots-{h_idx:04d}>",
+             "WARC-Target-URI": f"http://{host}/robots.txt",
+             "WARC-Date": "2026-01-01T00:00:00Z"},
+            http))
+        truth["rec_id"].append(f"<urn:uuid:robots-{h_idx:04d}>")
+        truth["shard"].append(names[k])
+        truth["host"].append(host)
+        truth["status"].append(200)
+        truth["n_bytes"].append(len(body))
+        truth["body_crc32"].append(zlib.crc32(body))
+        truth["path"].append("/robots.txt")
+        truth["robots_allowed"].append(None)
     for k in range(shards):
         name = names[k]
         if name.endswith(".gz"):
@@ -590,6 +662,8 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
         "status": pa.array(truth["status"], pa.int64()),
         "n_bytes": pa.array(truth["n_bytes"], pa.int64()),
         "body_crc32": pa.array(truth["body_crc32"], pa.int64()),
+        "path": pa.array(truth["path"], pa.string()),
+        "robots_allowed": pa.array(truth["robots_allowed"], pa.bool_()),
     }), out / "truth.parquet")
     _pq.write_table(pa.table({
         "rec_id": pa.array(links["rec_id"], pa.string()),

@@ -549,6 +549,34 @@ def test_unigram_tokenizer_em_and_viterbi(ray_session):
     assert (out["n_pieces"] >= out["n_words"]).all()
 
 
+def test_robots_rfc_semantics():
+    """RFC 9309 rules pinned case by case: longest match wins, Allow
+    wins length ties, wildcards and $ anchors, group selection with an
+    exact agent beating '*', empty Disallow is allow-all."""
+    from logray.ops.robots import allowed_mask, compile_rules, parse_robots
+
+    txt = ("User-agent: archiver\nDisallow: /\n\n"
+           "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+           "Disallow: /*.tmp$\nDisallow: /page/\nAllow: /page/\n")
+    rules = compile_rules(parse_robots(txt))
+    paths = pa.array(["/page/1", "/private/x", "/private/ok/x",
+                      "/a/b.tmp", "/a/b.tmp.bak", "/other"])
+    assert allowed_mask(paths, rules).tolist() == [
+        True,   # equal-length Allow/Disallow tie → Allow
+        False,  # /private/ matches
+        True,   # /private/ok/ (len 12) beats /private/ (len 9)
+        False,  # /*.tmp$ anchors at end
+        True,   # .tmp not at end → $ anchor must not fire
+        True,   # no rule
+    ]
+    # exact agent group beats '*', and its Disallow:/ blocks everything
+    arch = compile_rules(parse_robots(txt, agent="archiver"))
+    assert allowed_mask(paths, arch).tolist() == [False] * 6
+    # empty robots / empty Disallow → allow-all
+    assert parse_robots("User-agent: *\nDisallow:\n") == []
+    assert parse_robots("# only comments\n") == []
+
+
 def test_extract_links_hazards():
     from logray.ops.text import extract_links
 

@@ -159,10 +159,12 @@ def test_warc_record_walk_and_hazards():
             if fields["warc-type"] != "response":
                 continue
             status, headers, body = http_response_split(block)
-            assert headers["content-type"] == "text/html"
+            is_robots = fields["warc-target-uri"].endswith("/robots.txt")
+            assert headers["content-type"] == (
+                "text/plain" if is_robots else "text/html")
             got[fields["warc-record-id"]] = (f.name, status, len(body),
                                              zlib.crc32(body))
-    assert len(got) == 40
+    assert len(got) == 40 + 12  # pages + one robots.txt per host
     for i, rid in enumerate(truth["rec_id"]):
         assert got[rid] == (truth["shard"][i], truth["status"][i],
                             truth["n_bytes"][i], truth["body_crc32"][i])
