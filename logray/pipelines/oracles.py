@@ -4206,6 +4206,26 @@ ORACLE_SQL["robots_filter_warc"] = f"""
     WHERE path <> '/robots.txt'
 """
 
+# Crawl funnel: every stage count replayed from the sidecar alone —
+# robots verdicts from the hand-derived matrix, dedup via a window rank
+# over the stored body CRCs.
+ORACLE_SQL["crawl_funnel_warc"] = f"""
+    WITH t AS (SELECT * FROM read_parquet('{_MEDIA}/warc/truth.parquet')
+               WHERE path <> '/robots.txt'),
+    p AS (SELECT * FROM t WHERE status = 200 AND robots_allowed),
+    d AS (SELECT count(*) AS n FROM (
+            SELECT row_number() OVER (PARTITION BY body_crc32
+                                      ORDER BY rec_id) AS rn FROM p)
+          WHERE rn = 1)
+    SELECT 'responses' AS stage, CAST(count(*) AS BIGINT) AS n FROM t
+    UNION ALL
+    SELECT 'http_200', CAST(count(*) AS BIGINT) FROM t WHERE status = 200
+    UNION ALL
+    SELECT 'robots_ok', CAST(count(*) AS BIGINT) FROM p
+    UNION ALL
+    SELECT 'unique_body', CAST(n AS BIGINT) FROM d
+"""
+
 ORACLE_SQL["access_log_ingest"] = f"""
     SELECT ts_us, ip, user, method, path, status, n_bytes, agent
     FROM read_parquet('{_MEDIA}/accesslog/truth.parquet')

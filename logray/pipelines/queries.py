@@ -9032,6 +9032,75 @@ def robots_filter_warc(sf_dir: str):
         batch_format="pyarrow")
 
 
+def crawl_funnel_warc(sf_dir: str):
+    """End-to-end crawl-selection funnel over archive bytes — the composed
+    shape a real web pipeline runs before any text processing: responses
+    → HTTP 200 only → robots-allowed only (RFC evaluation from the
+    archive's own /robots.txt records) → exact body dedup (first
+    occurrence by rec_id per body CRC32). Emits one row per stage with
+    surviving-record counts; every stage count is independently
+    SQL-replayed from the pack-time sidecar (robots verdicts from the
+    hand-derived RFC matrix, dedup from a window rank over the stored
+    CRCs)."""
+    import zlib
+
+    import ray
+
+    from ..ops.robots import RobotsFilterStage
+    from ..sources import read_warc_shards
+
+    ds = read_warc_shards(_warc_dir())
+
+    def rules(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["rec_type"], "response"),
+                       pc.match_substring_regex(t["url"], r"/robots\.txt$"))
+        t = t.filter(keep)
+        url = t["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        host = pc.extract_regex(url, r"^https?://(?P<h>[^/]+)/").field("h")
+        return pa.table({"host": host,
+                         "txt": pc.cast(t["payload"], pa.string())})
+
+    rdf = ds.map_batches(rules, batch_format="pyarrow").to_pandas()
+    ref = ray.put(dict(zip(rdf["host"], rdf["txt"])))
+
+    def pages(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t["rec_type"], "response"),
+            pc.invert(pc.match_substring_regex(t["url"], r"/robots\.txt$")))
+        t = t.filter(keep)
+        url = t["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        st = pc.extract_regex(url, r"^https?://(?P<h>[^/]+)(?P<p>/.*)$")
+        crc = pa.array([zlib.crc32(p) for p in t["payload"].to_pylist()],
+                       pa.int64())
+        return pa.table({"rec_id": t["rec_id"], "host": st.field("h"),
+                         "path": st.field("p"),
+                         "status": t["http_status"], "crc": crc})
+
+    flt = ds.map_batches(pages, batch_format="pyarrow").map_batches(
+        RobotsFilterStage, fn_constructor_args=(ref,),
+        batch_format="pyarrow", concurrency=2).materialize()
+
+    n_resp = flt.count()
+    ok200 = flt.map_batches(
+        lambda t: t.filter(pc.equal(t["status"], 200)),
+        batch_format="pyarrow").materialize()
+    n_200 = ok200.count()
+    polite = ok200.map_batches(
+        lambda t: t.filter(pc.cast(t["robots_ok"], pa.bool_())),
+        batch_format="pyarrow").materialize()
+    n_polite = polite.count()
+    deduped = relational.keep_first(polite, ["crc"], "rec_id")
+    n_unique = deduped.count()
+    return pa.table({
+        "stage": pa.array(["responses", "http_200", "robots_ok",
+                           "unique_body"]),
+        "n": pa.array([n_resp, n_200, n_polite, n_unique], pa.int64())})
+
+
 def _accesslog_dir() -> str:
     from ..sources import make_access_logs
 
@@ -11077,6 +11146,7 @@ QUERIES = {
     "warc_ingest_responses": warc_ingest_responses,
     "warc_link_hostgraph": warc_link_hostgraph,
     "robots_filter_warc": robots_filter_warc,
+    "crawl_funnel_warc": crawl_funnel_warc,
     "avro_ingest_turns": avro_ingest_turns,
     "access_log_ingest": access_log_ingest,
     "access_log_status_rollup": access_log_status_rollup,

@@ -578,6 +578,7 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
              "n_bytes": [], "body_crc32": [], "path": [],
              "robots_allowed": []}
     links: dict[str, list] = {"rec_id": [], "src_host": [], "target": []}
+    bodies: list[tuple[bytes, list[str]]] = []
     for i in range(n):
         k = i % shards
         h_idx = int(rng.integers(0, n_hosts))
@@ -587,20 +588,30 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
         url = f"http://{host}{path}"
         allowed = ROBOTS_VERDICTS[h_idx % len(ROBOTS_TEMPLATES)][cat]
         status = int(statuses[int(rng.integers(0, len(statuses)))])
-        body_words = rng.choice(words, size=int(rng.integers(5, 120)))
-        anchors = []
-        for _ in range(int(rng.integers(0, 5))):
-            tgt_host = f"host-{int(rng.integers(0, 12)):02d}.example"
-            tgt = f"http://{tgt_host}/page/{int(rng.integers(0, 10000))}"
-            anchors.append(f'<a href="{tgt}">link</a>')
+        if i % 13 == 12 and bodies:
+            # exact-duplicate body (mirror crawl / CDN copy): reuse a
+            # prior record's bytes AND its planted absolute links so the
+            # links sidecar stays byte-faithful
+            body, targets = bodies[i - 13]
+        else:
+            body_words = rng.choice(words, size=int(rng.integers(5, 120)))
+            anchors, targets = [], []
+            for _ in range(int(rng.integers(0, 5))):
+                tgt_host = f"host-{int(rng.integers(0, 12)):02d}.example"
+                tgt = (f"http://{tgt_host}/page/"
+                       f"{int(rng.integers(0, 10000))}")
+                anchors.append(f'<a href="{tgt}">link</a>')
+                targets.append(tgt)
+            if i % 7 == 0:  # relative href: extractors must drop it
+                anchors.append('<a href="/local/nav">nav</a>')
+            body = ("<html><body>" + " ".join(body_words) + " "
+                    + " ".join(anchors)
+                    + f" doc {i}</body></html>").encode()
+        bodies.append((body, targets))
+        for tgt in targets:
             links["rec_id"].append(f"<urn:uuid:resp-{i:06d}>")
             links["src_host"].append(host)
             links["target"].append(tgt)
-        if i % 7 == 0:  # relative href: extractors must drop it
-            anchors.append('<a href="/local/nav">nav</a>')
-        body = ("<html><body>" + " ".join(body_words) + " "
-                + " ".join(anchors)
-                + f" doc {i}</body></html>").encode()
         if i % 11 == 0:  # interleave a request record (must be skipped)
             shard_bufs[k].append(record(
                 {"WARC-Type": "request",
