@@ -4490,3 +4490,18 @@ ORACLE_SQL["gif_features_media"] = f"""
            true_mean_luma AS mean_luma, true_ahash AS ahash
     FROM read_parquet('{_MEDIA}/gif.parquet')
 """
+
+# Phrase-blocklist gate: both engines are RE2, so the oracle replays the
+# SAME alternation (imported from the op — one source of truth) with
+# regexp_extract_all; non-overlapping scan semantics agree by engine.
+from ..ops.blocklist import blocklist_pattern as _bl_pat  # noqa: E402
+from .queries import BLOCK_PHRASES as _BLOCK  # noqa: E402
+
+ORACLE_SQL["blocklist_filter_documents"] = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                '{_bl_pat(list(_BLOCK))}')) AS BIGINT) AS n_hits,
+           len(regexp_extract_all(lower(coalesce(text, '')),
+                '{_bl_pat(list(_BLOCK))}')) > 0 AS blocked
+    FROM documents
+"""

@@ -1047,6 +1047,23 @@ def quality_documents(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow")
 
 
+BLOCK_PHRASES = ("slow scan", "hash join", "table scan", "merge sort")
+
+
+def blocklist_filter_documents(sf_dir: str):
+    """Phrase-blocklist gate (the UT1/RefinedWeb content filter): K
+    literal phrases compiled into ONE RE2 alternation per actor — the
+    Aho-Corasick shape, O(bytes) regardless of K — then one vectorized
+    count kernel per batch. SQL-oracled exactly: DuckDB's regex engine
+    is the same RE2, so ``regexp_extract_all`` over the identical
+    alternation replays the non-overlapping scan verbatim."""
+    from ..ops.blocklist import BlocklistStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(BlocklistStage, fn_constructor_args=(list(BLOCK_PHRASES),),
+                          batch_format="pyarrow", concurrency=2)
+
+
 def rolling_fingerprint_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
@@ -11047,6 +11064,7 @@ QUERIES = {
     # text analysis
     "langid_documents": langid_documents,
     "quality_documents": quality_documents,
+    "blocklist_filter_documents": blocklist_filter_documents,
     "rolling_fingerprint_documents": rolling_fingerprint_documents,
     # sampling
     "deterministic_sample_events": deterministic_sample_events,

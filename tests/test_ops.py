@@ -3199,3 +3199,27 @@ def test_dup_substring_spans_exact_and_maximal(ray_session):
     # exactly the three P-pairs, each maximal at 60 (neighbors differ);
     # the 39-char Q share never appears
     assert got == {(0, 1, 4, 2, 60), (0, 4, 4, 5, 60), (1, 4, 2, 5, 60)}
+
+
+def test_blocklist_stage_counts_and_semantics():
+    import pyarrow as pa
+    import pytest as _pt
+
+    from logray.ops.blocklist import BlocklistStage, blocklist_pattern
+
+    st = BlocklistStage(["hash join", "hash", "table scan"])
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a HASH JOIN b hash c", "table scan table scan", None,
+                 "hashes rehash"],  # word-boundary: no partial-word hits
+    })
+    out = st(t)
+    # longest-first alternation: "hash join" wins over "hash" at the
+    # shared start, plus the later bare "hash" → 2 hits for doc 1
+    assert out["n_hits"].to_pylist() == [2, 2, 0, 0]
+    assert out["blocked"].to_pylist() == [True, True, False, False]
+    # pattern builder prefers longer phrase first and escapes literals
+    pat = blocklist_pattern(["a.c", "abcd"])
+    assert pat.index("abcd") < pat.index("a\\.c")
+    with _pt.raises(ValueError):
+        blocklist_pattern([])
