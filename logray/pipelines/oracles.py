@@ -4505,3 +4505,48 @@ ORACLE_SQL["blocklist_filter_documents"] = f"""
                 '{_bl_pat(list(_BLOCK))}')) > 0 AS blocked
     FROM documents
 """
+
+# Temperature upsampling: integer repeat factors (floor(sqrt(N//n)) ==
+# math.isqrt for int64 < 2^52 — correctly-rounded IEEE sqrt of an
+# integer can never cross the next integer) → generate_series replay.
+ORACLE_SQL["temperature_upsample_documents"] = """
+    WITH c AS (SELECT lang, count(*) AS n,
+                      (SELECT count(*) FROM documents) AS tot
+               FROM documents GROUP BY lang),
+    r AS (SELECT lang,
+                 greatest(1, CAST(floor(sqrt(CAST(tot // n AS DOUBLE)))
+                                  AS BIGINT)) AS rep
+          FROM c)
+    SELECT d.doc_id, d.lang, u.epoch
+    FROM documents d
+    JOIN r USING (lang),
+         unnest(generate_series(0, r.rep - 1)) AS u(epoch)
+"""
+
+# Quality-percentile gate: reuses the exact quality formula above (same
+# _NSTOP RE2 counts) + per-lang quantile_cont(0.25); the threshold is
+# compared but never emitted, so interpolation ulps can't flip rows.
+ORACLE_SQL["quality_percentile_gate_documents"] = f"""
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST(length(text) AS DOUBLE) AS chars,
+               CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                   AS npunct,
+               CAST({_NSTOP} AS DOUBLE) AS nstop,
+               greatest(CAST(len(regexp_extract_all(
+                   lower(coalesce(text, '')), '[a-z]+')) AS DOUBLE), 1.0)
+                   AS nalpha
+        FROM documents),
+    q AS (
+        SELECT doc_id, lang,
+               round(least(chars / 200.0, 1.0)
+                     * (1.0 - least(npunct / greatest(chars, 1.0) * 2.0,
+                                    1.0))
+                     * (0.5 + (nstop / nalpha) * 0.5), 6) AS quality
+        FROM b),
+    thr AS (SELECT lang, quantile_cont(quality, 0.25) AS t
+            FROM q GROUP BY lang)
+    SELECT q.doc_id, q.lang, q.quality
+    FROM q JOIN thr USING (lang)
+    WHERE q.quality >= thr.t
+"""

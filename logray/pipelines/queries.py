@@ -1047,6 +1047,44 @@ def quality_documents(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow")
 
 
+def quality_percentile_gate_documents(sf_dir: str):
+    """Composed quality gate (the CCNet/RefinedWeb shape: score → per-
+    language percentile threshold → filter): pass 1 scores quality and
+    reduces to ONE interpolated p25 per language (co-partitioned exact
+    quantile — tiny result); the thresholds broadcast into a second
+    streaming scoring pass that keeps docs at-or-above their language's
+    cutoff. The threshold is never rounded or emitted: it lies strictly
+    between two 6-decimal-rounded quality values (or exactly on one when
+    the quantile index is integral), so engine/oracle ulp differences in
+    the interpolation arithmetic cannot flip any doc's verdict."""
+    from ..ops.window import _bucketed_apply
+
+    def score(t: pa.Table) -> pa.Table:
+        q = text_ops.add_quality_score(t)
+        return pa.table({
+            "doc_id": t["doc_id"], "lang": t["lang"],
+            "quality": pc.round(q["quality"], ndigits=6,
+                                round_mode="half_towards_infinity")})
+
+    scored = _read(sf_dir, "documents", ["doc_id", "text", "lang"]
+                   ).map_batches(score, batch_format="pyarrow")
+
+    def p25(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [{"lang": lang, "thr": float(np.quantile(
+            g["quality"].to_numpy(), 0.25))}
+            for lang, g in df.groupby("lang", sort=False)]
+        return pd.DataFrame(rows)
+
+    thr = _bucketed_apply(scored, "lang", p25, num_buckets=4).to_pandas()
+    cut = dict(zip(thr["lang"], thr["thr"]))
+
+    def gate(t: pa.Table) -> pa.Table:
+        lo = pa.array([cut[v] for v in t["lang"].to_pylist()], pa.float64())
+        return t.filter(pc.greater_equal(t["quality"], lo))
+
+    return scored.map_batches(gate, batch_format="pyarrow")
+
+
 BLOCK_PHRASES = ("slow scan", "hash join", "table scan", "merge sort")
 
 
@@ -1926,6 +1964,39 @@ def mixture_sample_documents(sf_dir: str):
         return t.filter(pa.array(first.to_numpy() < rate_bucket))
 
     return ds.map_batches(sample, batch_format="pyarrow")
+
+
+def temperature_upsample_documents(sf_dir: str):
+    """Temperature-based mixture upsampling (the multilingual balancing
+    pass training pipelines run before packing — sampling q ∝ p^α,
+    α=0.5, realized as integer repeat factors): per-lang counts are a
+    tiny grouped aggregate broadcast into a flat_map-style repeat stage
+    — each doc of a language with share n/N is emitted
+    ``max(1, isqrt(N // n))`` times with an epoch index. Exact-integer
+    repeat factors (math.isqrt == floor(sqrt) for int64 < 2^52) make the
+    DuckDB generate_series replay bit-identical."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    counts = relational.grouped_agg(
+        ds, ["lang"], {"n": ("doc_id", "count")}).to_pandas()
+    total = int(counts["n"].sum())
+    langs = counts["lang"].tolist()
+    reps = np.array([max(1, math.isqrt(total // int(n)))
+                     for n in counts["n"]], dtype=np.int64)
+    lang_arr = pa.array(langs, pa.string())
+
+    def upsample(t: pa.Table) -> pa.Table:
+        pos = pc.index_in(t["lang"], value_set=lang_arr)
+        r = reps[pos.to_numpy(zero_copy_only=False)]
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), r)
+        epoch = np.arange(int(r.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(r) - r, r)
+        rep = t.take(pa.array(idx))
+        return pa.table({"doc_id": rep["doc_id"], "lang": rep["lang"],
+                         "epoch": pa.array(epoch, pa.int64())})
+
+    return ds.map_batches(upsample, batch_format="pyarrow")
 
 
 def corr_value_user_by_type(sf_dir: str):
@@ -11065,6 +11136,7 @@ QUERIES = {
     "langid_documents": langid_documents,
     "quality_documents": quality_documents,
     "blocklist_filter_documents": blocklist_filter_documents,
+    "quality_percentile_gate_documents": quality_percentile_gate_documents,
     "rolling_fingerprint_documents": rolling_fingerprint_documents,
     # sampling
     "deterministic_sample_events": deterministic_sample_events,
@@ -11074,6 +11146,7 @@ QUERIES = {
     "stratified_sample_events": stratified_sample_events,
     "random_sample_events": random_sample_events,
     "mixture_sample_documents": mixture_sample_documents,
+    "temperature_upsample_documents": temperature_upsample_documents,
     "shuffled_documents_sample": shuffled_documents_sample,
     # transcripts (flagship) + raw-text source + multimodal
     "flagship_transcripts": flagship_transcripts,
