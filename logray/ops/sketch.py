@@ -331,3 +331,84 @@ def countmin_estimate(M: np.ndarray, keys: pa.Array) -> np.ndarray:
         b = (_splitmix64(h ^ _CMS_SEEDS[d]) % np.uint64(width)).astype(np.int64)
         est = np.minimum(est, M[d, b])
     return est
+
+
+def _kmv_partial(keys: pa.Array | pa.ChunkedArray, k: int) -> np.ndarray:
+    """Bottom-k of the 64-bit key hashes in one batch (sorted uint64).
+
+    stable_hash64 (crc32 over string uniques) only fills 32 bits, so the
+    values are spread over the full uint64 range through one splitmix64
+    round (a bijection — distinct stays distinct) before taking the k
+    minima; the KMV estimator needs hashes ~Uniform[0, 2^64)."""
+    from ..functions.hashing import stable_hash64
+    from .bloom import _splitmix64
+
+    h = np.unique(_splitmix64(stable_hash64(keys).view(np.uint64)))
+    return h[:k]  # np.unique sorts ascending → prefix = bottom-k
+
+
+def _kmv_estimate(sk: np.ndarray, k: int) -> float:
+    """Distinct-count estimate from a bottom-k sketch: exact while the
+    sketch is unsaturated, else (k-1)/U_(k) (Bar-Yossef et al. 2002)."""
+    if len(sk) < k:
+        return float(len(sk))
+    u = (float(sk[k - 1]) + 1.0) / 2.0 ** 64
+    return (k - 1) / u
+
+
+def kmv_set_relations(ds, tag_col: str, key_col: str, *, k: int = 256):
+    """Distinct-set algebra between tagged key populations via mergeable
+    bottom-k (KMV / theta-style) sketches.
+
+    Each batch reduces to one sorted uint64[<=k] blob per tag (its bottom-k
+    distinct key hashes); partials merge by re-taking the bottom-k of the
+    union — exact under any batch split, O(tags x k x 8B) ever shuffled.
+    Per tag pair the merged union sketch K = bottom-k(A ∪ B) is an
+    order-statistics sample of A ∪ B, so
+        |A∪B| ≈ (k-1)/U_(k),   ρ̂ = |{v ∈ K: v ∈ A ∧ v ∈ B}| / |K|,
+        |A∩B| ≈ ρ̂·|A∪B|,       Jaccard ≈ ρ̂
+    (Beyer et al. 2007). Relative error of the cardinalities ~1/√(k-2);
+    ρ̂ is a without-replacement proportion with SE ≤ √(ρ(1-ρ)/|K|).
+
+    Returns a pandas DataFrame with one row per unordered tag pair:
+    [tag_a, tag_b, n_a_est, n_b_est, union_est, inter_est, jaccard_est]
+    (driver-side algebra over the O(tags) merged sketches only).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tags, blobs = [], []
+        enc = batch[tag_col].combine_chunks().dictionary_encode()
+        idx = np.asarray(enc.indices.to_numpy(zero_copy_only=False))
+        for ti, tag in enumerate(enc.dictionary.to_pylist()):
+            keys = batch[key_col].combine_chunks().take(
+                pa.array(np.flatnonzero(idx == ti)))
+            tags.append(tag)
+            blobs.append(_kmv_partial(keys, k).tobytes())
+        return pa.table({tag_col: pa.array(tags, batch.schema.field(tag_col).type),
+                         "_sk": pa.array(blobs, pa.binary())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        sk = np.unique(np.concatenate(
+            [np.frombuffer(b, dtype=np.uint64) for b in g["_sk"]]))[:k]
+        out = g.iloc[:1][[tag_col]].copy()
+        out["_sk"] = [sk.tobytes()]
+        return out
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(tag_col).map_groups(merge, batch_format="pandas")
+              .to_pandas())
+    sketches = {r[tag_col]: np.frombuffer(r["_sk"], dtype=np.uint64)
+                for _, r in merged.iterrows()}
+    rows = []
+    for a, b in ((a, b) for a in sorted(sketches) for b in sorted(sketches)
+                 if a < b):
+        A, B = sketches[a], sketches[b]
+        K = np.unique(np.concatenate([A, B]))[:k]
+        union = _kmv_estimate(K, k)
+        rho = float(np.mean(np.isin(K, A) & np.isin(K, B))) if len(K) else 0.0
+        rows.append({"tag_a": a, "tag_b": b,
+                     "n_a_est": _kmv_estimate(A, k),
+                     "n_b_est": _kmv_estimate(B, k),
+                     "union_est": union, "inter_est": rho * union,
+                     "jaccard_est": rho})
+    return pd.DataFrame(rows)

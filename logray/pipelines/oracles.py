@@ -534,6 +534,22 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS p50_ok, TRUE AS p99_ok
         FROM events GROUP BY event_type
     """,
+    "kmv_set_users_click_purchase": """
+        WITH ud AS (
+            SELECT event_type,
+                   user_id || '|' || strftime(ts, '%Y-%m-%d') AS ud
+            FROM events WHERE event_type IN ('click', 'purchase')),
+        a AS (SELECT DISTINCT ud FROM ud WHERE event_type = 'click'),
+        b AS (SELECT DISTINCT ud FROM ud WHERE event_type = 'purchase')
+        SELECT (SELECT count(*) FROM a) AS n_click_exact,
+               (SELECT count(*) FROM b) AS n_purchase_exact,
+               (SELECT count(*) FROM (SELECT ud FROM a UNION
+                                      SELECT ud FROM b)) AS union_exact,
+               (SELECT count(*) FROM (SELECT ud FROM a INTERSECT
+                                      SELECT ud FROM b)) AS inter_exact,
+               TRUE AS n_click_ok, TRUE AS n_purchase_ok,
+               TRUE AS union_ok, TRUE AS inter_ok, TRUE AS jaccard_ok
+    """,
     "users_intersect_purchase_error": """
         SELECT user_id FROM events WHERE event_type = 'purchase'
         INTERSECT

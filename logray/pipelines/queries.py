@@ -1360,6 +1360,64 @@ def tdigest_value_quantiles_by_type(sf_dir: str):
         preserve_index=False)
 
 
+def kmv_set_users_click_purchase(sf_dir: str):
+    """Distinct-set algebra via mergeable bottom-k (KMV/theta) sketches
+    (C5 sketch breadth — the sketch family whose UNION/INTERSECTION are
+    first-class, which HLL registers don't give): |A|, |B|, |A∪B|, |A∩B|
+    and Jaccard between the click and purchase user-day populations, each
+    batch reduced to one sorted uint64[≤k] blob per tag
+    (``sketch.kmv_set_relations``; O(tags×k×8B) ever shuffled).
+
+    Tolerance-oracle form: the exact counts are computed by the engine's
+    own distinct pipeline (SQL-checked vs DuckDB INTERSECT/UNION) plus
+    booleans asserting each estimate lands within its sampling bound —
+    6σ with σ/D = 1/√(k−2) for the cardinalities (Bar-Yossef et al.
+    2002) and σ(ρ̂) = √(ρ(1−ρ)/k) for the intersection proportion
+    (Beyer et al. 2007), both evaluated at the exact values."""
+    from ..ops import sketch
+    from ..ops.relational import grouped_agg
+
+    k = 256
+    ds = (_read(sf_dir, "events", ["event_type", "user_id", "ts"])
+          .filter(expr="event_type == 'click' or event_type == 'purchase'")
+          .map_batches(lambda t: pa.table({
+              "event_type": t["event_type"],
+              "ud": pc.binary_join_element_wise(
+                  pc.cast(t["user_id"], pa.string()),
+                  pc.strftime(t["ts"], format="%Y-%m-%d"),
+                  "|")}), batch_format="pyarrow"))
+
+    est = sketch.kmv_set_relations(ds, "event_type", "ud", k=k)
+    # exact algebra through the engine: distinct (tag, ud) pairs, then
+    # per-tag counts and a both-tags count — all O(distinct) rows
+    pairs = grouped_agg(ds, ["event_type", "ud"], {"n": ("ud", "count")})
+    per_tag = grouped_agg(pairs, ["event_type"],
+                          {"n": ("ud", "count")}).to_pandas()
+    both = grouped_agg(pairs, ["ud"], {"t": ("event_type", "count")})
+    inter_exact = int(both.filter(expr="t == 2").count())
+    n_a = int(per_tag.loc[per_tag["event_type"] == "click", "n"].iloc[0])
+    n_b = int(per_tag.loc[per_tag["event_type"] == "purchase", "n"].iloc[0])
+    union_exact = n_a + n_b - inter_exact
+
+    r = est.iloc[0]  # exactly one pair: (click, purchase)
+    rel = 6.0 / np.sqrt(k - 2)  # 6σ relative bound, exact below saturation
+    rho = inter_exact / union_exact
+    rho_bound = 6.0 * np.sqrt(rho * (1 - rho) / k) + 0.02
+    out = {
+        "n_click_exact": n_a, "n_purchase_exact": n_b,
+        "union_exact": union_exact, "inter_exact": inter_exact,
+        "n_click_ok": bool(abs(r["n_a_est"] - n_a) <= rel * n_a + 1),
+        "n_purchase_ok": bool(abs(r["n_b_est"] - n_b) <= rel * n_b + 1),
+        "union_ok": bool(abs(r["union_est"] - union_exact)
+                         <= rel * union_exact + 1),
+        "inter_ok": bool(abs(r["inter_est"] - inter_exact)
+                         <= (rho_bound + rho * rel) * union_exact + 2),
+        "jaccard_ok": bool(abs(r["jaccard_est"] - rho)
+                           <= rho_bound + rho * rel),
+    }
+    return pa.table({c: [v] for c, v in out.items()})
+
+
 # -------------------------------------------------------------- transcripts --
 
 # version-keyed so a corpus generated by an older rule table is never
@@ -10979,6 +11037,7 @@ QUERIES = {
     "heavy_hitter_users": heavy_hitter_users,
     "approx_value_percentiles_by_type": approx_value_percentiles_by_type,
     "tdigest_value_quantiles_by_type": tdigest_value_quantiles_by_type,
+    "kmv_set_users_click_purchase": kmv_set_users_click_purchase,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
     "orders_rollup_status_priority": orders_rollup_status_priority,

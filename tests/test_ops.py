@@ -3223,3 +3223,45 @@ def test_blocklist_stage_counts_and_semantics():
     assert pat.index("abcd") < pat.index("a\\.c")
     with _pt.raises(ValueError):
         blocklist_pattern([])
+
+
+def test_kmv_set_relations_accuracy_and_merge(ray_session):
+    """Bottom-k sketch: estimates within the 6σ bound of exact set sizes
+    for overlapping populations, exact below saturation, and merge-exact
+    across arbitrary batch splits."""
+    import numpy as np
+    import ray.data
+
+    from logray.ops.sketch import _kmv_estimate, _kmv_partial, kmv_set_relations
+
+    rng = np.random.default_rng(7)
+    # A = [0, 6000), B = [4000, 10000) → |A∩B|=2000, |A∪B|=10000
+    a = rng.integers(0, 6_000, 30_000)
+    b = rng.integers(4_000, 10_000, 30_000)
+    keys = np.concatenate([a, b]).astype(str)
+    tags = np.array(["A"] * len(a) + ["B"] * len(b))
+    t = pa.table({"tag": pa.array(tags), "key": pa.array(keys)})
+    k = 256
+    out = kmv_set_relations(
+        ray.data.from_arrow(t).repartition(8), "tag", "key", k=k).iloc[0]
+    na, nb = len(set(a)), len(set(b))
+    inter = len(set(a) & set(b))
+    union = len(set(a) | set(b))
+    rel = 6.0 / np.sqrt(k - 2)
+    rho = inter / union
+    assert abs(out["n_a_est"] - na) <= rel * na
+    assert abs(out["n_b_est"] - nb) <= rel * nb
+    assert abs(out["union_est"] - union) <= rel * union
+    assert abs(out["jaccard_est"] - rho) <= 6 * np.sqrt(rho * (1 - rho) / k) + rho * rel
+    assert abs(out["inter_est"] - inter) <= (6 * np.sqrt(rho * (1 - rho) / k) + rho * rel) * union + 2
+
+    # unsaturated sketches are exact
+    small = pa.array([f"u{i}" for i in range(100)])
+    assert _kmv_estimate(_kmv_partial(small, k), k) == 100.0
+
+    # merge-exactness: bottom-k of whole == bottom-k of merged split prefixes
+    col = pa.array(keys)
+    whole = _kmv_partial(col, k)
+    m = np.unique(np.concatenate([_kmv_partial(col.slice(0, 17_000), k),
+                                  _kmv_partial(col.slice(17_000), k)]))[:k]
+    assert (whole == m).all()
