@@ -2645,6 +2645,35 @@ ORACLE_SQL["bm25_documents"] = """
     WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
 """
 
+# Hybrid RRF reuses the BM25 oracle verbatim as its lexical-leg CTE —
+# one source of truth for the scoring formula; ranks are integers after
+# the (score DESC, doc_id) order, so the 1.0/(60+r) fusion is bit-exact.
+ORACLE_SQL["hybrid_rrf_documents"] = f"""
+    WITH bm AS ({ORACLE_SQL["bm25_documents"]}),
+    lex AS (
+        SELECT doc_id, r AS lex_rank FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM bm) WHERE r <= 50),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id = 0),
+    sem AS (
+        SELECT doc_id, r AS sem_rank FROM (
+            SELECT e.vec_id AS doc_id,
+                   row_number() OVER (
+                       ORDER BY list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
+                       e.vec_id) AS r
+            FROM embeddings e, q) WHERE r <= 50)
+    SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+           COALESCE(lex_rank, 0) AS lex_rank,
+           COALESCE(sem_rank, 0) AS sem_rank,
+           COALESCE(1.0 / (60 + lex_rank), 0.0)
+               + COALESCE(1.0 / (60 + sem_rank), 0.0) AS rrf_score
+    FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
 ORACLE_SQL["kwic_documents"] = """
     WITH w AS (
         SELECT doc_id,

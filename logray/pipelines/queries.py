@@ -5554,6 +5554,45 @@ def bm25_documents(sf_dir: str):
     return stats.map_batches(score, batch_format="pyarrow")
 
 
+def hybrid_rrf_documents(sf_dir: str):
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al. 2009):
+    the lexical leg ranks docs by BM25 for the fixed query {merge, window,
+    key} (``bm25_documents``'s exact distributed scorer), the semantic leg
+    ranks by cosine against the vec_id=0 embedding (``similarity.ann_topk``
+    — per-batch matmul + local top-k, driver combine over blocks×k
+    candidates; embeddings.vec_id is the corpus doc_id), and the fused
+    score is Σ_legs 1/(60 + rank) over each leg's top-50, absent leg = 0.
+
+    Fully SQL-oracled: ranks are integers (both engines break ties on
+    doc_id; BM25 scores are bit-identical by construction, cosine order
+    matches as ``ann_topk_embeddings`` proves), so 1.0/(60+r) sums are
+    bit-exact. Emits the fused top-20."""
+    from ..ops.relational import topk
+
+    LEG_K, C = 50, 60
+    lex = topk(bm25_documents(sf_dir), [("score", True), ("doc_id", False)],
+               LEG_K)
+    lex["lex_rank"] = np.arange(1, len(lex) + 1, dtype=np.int64)
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sem = similarity.ann_topk(emb, _query_vectors(sf_dir, ids=(0,)), k=LEG_K)
+    sem = sem.rename(columns={"vec_id": "doc_id", "rank": "sem_rank"})
+
+    fused = lex[["doc_id", "lex_rank"]].merge(
+        sem[["doc_id", "sem_rank"]], on="doc_id", how="outer")
+    lex_r = fused["lex_rank"].fillna(0).astype(np.int64).to_numpy()
+    sem_r = fused["sem_rank"].fillna(0).astype(np.int64).to_numpy()
+    rrf = (np.where(lex_r > 0, 1.0 / (C + lex_r), 0.0)
+           + np.where(sem_r > 0, 1.0 / (C + sem_r), 0.0))
+    fused = pd.DataFrame({"doc_id": fused["doc_id"].astype(np.int64),
+                          "lex_rank": lex_r, "sem_rank": sem_r,
+                          "rrf_score": rrf})
+    fused = fused.sort_values(["rrf_score", "doc_id"],
+                              ascending=[False, True]).head(20)
+    return pa.Table.from_pandas(fused.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def yoy_monthly_orders(sf_dir: str):
     """Year-over-year seasonality: monthly order revenue with the
     same-month-last-year total and the YoY ratio. Per-batch (month,
@@ -11038,6 +11077,7 @@ QUERIES = {
     "approx_value_percentiles_by_type": approx_value_percentiles_by_type,
     "tdigest_value_quantiles_by_type": tdigest_value_quantiles_by_type,
     "kmv_set_users_click_purchase": kmv_set_users_click_purchase,
+    "hybrid_rrf_documents": hybrid_rrf_documents,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
     "orders_rollup_status_priority": orders_rollup_status_priority,
