@@ -4276,6 +4276,21 @@ ORACLE_SQL["access_log_ingest"] = f"""
     FROM read_parquet('{_MEDIA}/accesslog/truth.parquet')
 """
 
+ORACLE_SQL["logfmt_ingest"] = f"""
+    SELECT ts_us, level, svc, conv, turn, msg, dur_ms,
+           CAST(ok AS BIGINT) AS ok
+    FROM read_parquet('{_MEDIA}/logfmt/truth.parquet')
+"""
+
+ORACLE_SQL["logfmt_svc_level_stats"] = f"""
+    SELECT svc, level, count(*) AS n,
+           CAST(sum(CASE WHEN ok = false THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail,
+           CAST(coalesce(sum(dur_ms), 0) AS BIGINT) AS total_ms
+    FROM read_parquet('{_MEDIA}/logfmt/truth.parquet')
+    GROUP BY 1, 2
+"""
+
 ORACLE_SQL["access_log_status_rollup"] = f"""
     SELECT method, CAST(status // 100 AS VARCHAR) || 'xx' AS status_class,
            count(*) AS n_req,

@@ -9295,6 +9295,63 @@ def _accesslog_dir() -> str:
     return str(p)
 
 
+def _logfmt_dir() -> str:
+    from ..sources import make_logfmt_logs
+
+    p = Path(_MEDIA_CACHE) / "logfmt"
+    if not (p / "truth.parquet").exists():
+        make_logfmt_logs(p)
+    return str(p)
+
+
+def logfmt_ingest(sf_dir: str):
+    """logfmt ingestion end-to-end (a FOURTH raw-text envelope — key=value
+    pairs in per-line-shuffled order, the property positional formats
+    don't have; sources.logfmt_parse: quoted msg extracted+blanked first
+    so key-spoofing text inside quotes can't leak into other fields, one
+    extract_regex pass per bare key, RE2 escape rewrite, malformed lines
+    surviving as error rows). Every field value-checks against the
+    pack-time truth sidecar; ts_us (strictly increasing) is row identity."""
+    from ..sources import read_logfmt
+
+    ds = read_logfmt(_logfmt_dir())
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t["parse_error"]))
+        return pa.table({
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "level": t["level"], "svc": t["svc"], "conv": t["conv"],
+            "turn": t["turn"], "msg": t["msg"], "dur_ms": t["dur_ms"],
+            "ok": pc.cast(t["ok"], pa.int64())})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def logfmt_svc_level_stats(sf_dir: str):
+    """Per service × level rollup over the parsed logfmt lane: request
+    count, failure count (ok=false), and duration totals with nulls
+    (absent dur_ms keys) counted but not summed — combiner-first
+    grouped aggregate."""
+    from ..sources import read_logfmt
+
+    ds = read_logfmt(_logfmt_dir())
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t["parse_error"]))
+        return pa.table({
+            "svc": t["svc"], "level": t["level"],
+            "dur_ms": pc.fill_null(t["dur_ms"], 0),
+            "fail": pc.fill_null(
+                pc.cast(pc.equal(t["ok"], False), pa.int64()), 0),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["svc", "level"],
+        {"n": ("one", "sum"), "n_fail": ("fail", "sum"),
+         "total_ms": ("dur_ms", "sum")})
+
+
 def access_log_ingest(sf_dir: str):
     """Common-Log-Format ingestion end-to-end (a THIRD raw-text format
     with its own envelope ruleset — sources.access_log_parse: one
@@ -11078,6 +11135,8 @@ QUERIES = {
     "tdigest_value_quantiles_by_type": tdigest_value_quantiles_by_type,
     "kmv_set_users_click_purchase": kmv_set_users_click_purchase,
     "hybrid_rrf_documents": hybrid_rrf_documents,
+    "logfmt_ingest": logfmt_ingest,
+    "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
     "orders_rollup_status_priority": orders_rollup_status_priority,

@@ -1122,3 +1122,153 @@ def make_access_logs(out_dir, n: int = 800, shards: int = 4,
         "agent": pa.array(truth["agent"], pa.string()),
     }), out / "truth.parquet")
     return {"n": n, "shards": shards}
+
+
+# --------------------------------------------------------------- logfmt ----
+
+LOGFMT_KEYS = ("level", "svc", "conv", "turn", "dur_ms", "ok")
+
+
+def logfmt_parse(batch: pa.Table, line_col: str = "text") -> pa.Table:
+    """Vectorized logfmt envelope (key=value pairs in ARBITRARY order —
+    the property that distinguishes it from positional formats like CLF).
+
+    The one quoted free-text key (``msg``) is extracted first and then
+    BLANKED from the line before the per-key passes, so message text
+    containing ``turn=`` / ``level=`` can never satisfy another key's
+    pattern — the vectorized equivalent of a sequential tokenizer's
+    quote state. Remaining keys are bare tokens: one anchored
+    ``extract_regex`` kernel pass per key, order-independent. ``msg``
+    unescapes \\" and \\\\ via one RE2 rewrite. A line without a parseable
+    ``ts`` key is malformed (parse_error=true, all fields null) but
+    never dropped."""
+    lines = batch[line_col]
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+
+    msg_st = pc.extract_regex(lines, r'(?:^| )msg="(?P<m>(?:[^"\\]|\\.)*)"')
+    msg = pc.if_else(msg_st.is_null(), pa.scalar(None, pa.string()),
+                     msg_st.field("m"))
+    msg = pc.replace_substring_regex(msg, pattern=r"\\(.)", replacement=r"\1")
+    clean = pc.replace_substring_regex(
+        lines, pattern=r'(?:^| )msg="(?:[^"\\]|\\.)*"', replacement="")
+
+    def key(name: str) -> pa.Array:
+        st = pc.extract_regex(clean, rf'(?:^| ){name}=(?P<v>[^"\s]\S*)')
+        return pc.if_else(st.is_null(), pa.scalar(None, pa.string()),
+                          st.field("v"))
+
+    ts = pc.strptime(key("ts"), format="%Y-%m-%dT%H:%M:%SZ", unit="us",
+                     error_is_null=True)
+    err = ts.is_null()
+
+    def gated(v, typ=None):
+        v = pc.if_else(err, pa.scalar(None, pa.string()), v)
+        return pc.cast(v, typ) if typ is not None else v
+
+    ok = gated(key("ok"))
+    return pa.table({
+        "ts": ts,
+        "level": gated(key("level")),
+        "svc": gated(key("svc")),
+        "conv": gated(key("conv")),
+        "turn": gated(key("turn"), pa.int32()),
+        "msg": gated(msg),
+        "dur_ms": gated(key("dur_ms"), pa.int64()),
+        "ok": pc.equal(ok, "true"),  # null stays null
+        "parse_error": err,
+    })
+
+
+def read_logfmt(log_dir: str | Path):
+    """``read_text`` over ``.log`` logfmt files → logfmt envelope."""
+    import ray.data
+
+    files = sorted(str(p) for p in Path(log_dir).glob("*.log"))
+    if not files:
+        raise FileNotFoundError(f"no .log files in {log_dir}")
+    return ray.data.read_text(files).map_batches(
+        logfmt_parse, batch_format="pyarrow")
+
+
+def make_logfmt_logs(out_dir, n: int = 900, shards: int = 3,
+                     seed: int = 67) -> dict:
+    """Deterministic logfmt fixture: ``n`` records over ``shards`` files
+    with PER-LINE-SHUFFLED key order, optional keys, quoted messages
+    carrying escape and key-spoofing hazards (a msg containing
+    ``turn=99 level=evil`` must not leak into those fields), ~2%
+    malformed lines, plus a ``truth.parquet`` sidecar of the
+    generation-time fields the parser must re-derive from text alone."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    levels = ["info", "info", "info", "warn", "error", "debug"]
+    svcs = ["gateway", "parser", "router", "sink"]
+    msgs = [
+        'routed batch',
+        'tool call ok',
+        'retry turn=99 level=evil injection',   # key-spoof hazard
+        'path "quoted" segment',                # escaped-quote hazard
+        'backslash C:\\tmp\\x',                 # escaped-backslash hazard
+        'flush q=ray done',
+        None,                                   # msg absent
+    ]
+    base = 1_767_312_000  # 2026-01-02T00:00:00Z
+    bufs: dict[int, list[str]] = {k: [] for k in range(shards)}
+    names = {k: f"app-{k:02d}.log" for k in range(shards)}
+    truth = {c: [] for c in ("ts_us", "shard", "level", "svc", "conv",
+                             "turn", "msg", "dur_ms", "ok")}
+    for i in range(n):
+        k = i % shards
+        if i % 53 == 17:  # malformed: no ts key → parse_error row
+            bufs[k].append("!!corrupt line #%d without structure" % i)
+            continue
+        secs = base + i * 3
+        t = dt.datetime.fromtimestamp(secs, dt.timezone.utc)
+        level = levels[int(rng.integers(0, len(levels)))]
+        svc = svcs[int(rng.integers(0, len(svcs)))]
+        conv = f"c{int(rng.integers(0, 40)):03d}"
+        turn = int(rng.integers(0, 50))
+        msg = msgs[int(rng.integers(0, len(msgs)))]
+        dur = None if rng.random() < 0.3 else int(rng.integers(1, 5000))
+        ok = None if rng.random() < 0.5 else bool(rng.random() < 0.9)
+        parts = [f"ts={t.strftime('%Y-%m-%dT%H:%M:%SZ')}",
+                 f"level={level}", f"svc={svc}", f"conv={conv}",
+                 f"turn={turn}"]
+        if msg is not None:
+            esc = msg.replace("\\", "\\\\").replace('"', '\\"')
+            parts.append(f'msg="{esc}"')
+        if dur is not None:
+            parts.append(f"dur_ms={dur}")
+        if ok is not None:
+            parts.append(f"ok={'true' if ok else 'false'}")
+        order = rng.permutation(len(parts))
+        bufs[k].append(" ".join(parts[j] for j in order))
+        truth["ts_us"].append(secs * 1_000_000)
+        truth["shard"].append(names[k])
+        truth["level"].append(level)
+        truth["svc"].append(svc)
+        truth["conv"].append(conv)
+        truth["turn"].append(turn)
+        truth["msg"].append(msg)
+        truth["dur_ms"].append(dur)
+        truth["ok"].append(ok)
+    for k in range(shards):
+        (out / names[k]).write_text("\n".join(bufs[k]) + "\n")
+    _pq.write_table(pa.table({
+        "ts_us": pa.array(truth["ts_us"], pa.int64()),
+        "shard": pa.array(truth["shard"], pa.string()),
+        "level": pa.array(truth["level"], pa.string()),
+        "svc": pa.array(truth["svc"], pa.string()),
+        "conv": pa.array(truth["conv"], pa.string()),
+        "turn": pa.array(truth["turn"], pa.int32()),
+        "msg": pa.array(truth["msg"], pa.string()),
+        "dur_ms": pa.array(truth["dur_ms"], pa.int64()),
+        "ok": pa.array(truth["ok"], pa.bool_()),
+    }), out / "truth.parquet")
+    return {"n": n, "shards": shards}

@@ -634,3 +634,39 @@ def test_bz2_xz_raw_log_roundtrip(ray_session, corpus, tmp_path_factory):
             assert got[col].tolist() == want[col].tolist()
         assert (got["ts"].astype("int64")
                 == want["ts"].astype("int64")).all()
+
+
+def test_logfmt_envelope_hazards(ray_session):
+    """Key order is irrelevant; quoted msg text containing other keys'
+    patterns must not leak; escapes round-trip; malformed lines survive
+    as error rows; absent optional keys surface as nulls."""
+    import pyarrow as pa
+
+    from logray.sources import logfmt_parse
+
+    lines = [
+        # shuffled order + all keys
+        'ok=true svc=gw msg="hello" ts=2026-01-02T00:00:00Z level=info '
+        'conv=c001 turn=3 dur_ms=42',
+        # key-spoof hazard: turn=/level= inside the quoted msg
+        'ts=2026-01-02T00:00:03Z level=warn svc=rt conv=c002 turn=7 '
+        'msg="retry turn=99 level=evil" dur_ms=5',
+        # escape hazards
+        'ts=2026-01-02T00:00:06Z level=error svc=gw conv=c003 turn=1 '
+        'msg="path \\"quoted\\" and C:\\\\tmp"',
+        # malformed: no ts
+        'level=info svc=gw conv=c004 turn=2',
+        # minimal: optional keys absent
+        'ts=2026-01-02T00:00:09Z level=debug svc=sk conv=c005 turn=0',
+    ]
+    out = logfmt_parse(pa.table({"text": pa.array(lines)}))
+    assert out["parse_error"].to_pylist() == [False, False, False, True,
+                                              False]
+    assert out["turn"].to_pylist() == [3, 7, 1, None, 0]
+    assert out["level"].to_pylist() == ["info", "warn", "error", None,
+                                        "debug"]
+    assert out["msg"].to_pylist() == [
+        "hello", "retry turn=99 level=evil", 'path "quoted" and C:\\tmp',
+        None, None]
+    assert out["dur_ms"].to_pylist() == [42, 5, None, None, None]
+    assert out["ok"].to_pylist() == [True, None, None, None, None]
