@@ -534,6 +534,19 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS p50_ok, TRUE AS p99_ok
         FROM events GROUP BY event_type
     """,
+    "top_event_paths_users": """
+        WITH s AS (
+            SELECT user_id, event_type,
+                   lag(event_type, 2) OVER w AS a,
+                   lag(event_type, 1) OVER w AS b
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT a || '>' || b || '>' || event_type AS path,
+               CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE a IS NOT NULL AND b IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
     "kmv_set_users_click_purchase": """
         WITH ud AS (
             SELECT event_type,

@@ -4410,6 +4410,35 @@ def role_transition_counts_transcripts(sf_dir: str):
                                   {"n": ("n", "sum")})
 
 
+def top_event_paths_users(sf_dir: str):
+    """Behavioral path mining: the 10 most frequent length-3 event-type
+    paths users take (consecutive by ts within a user — clickstream
+    n-grams, the sequence analogue of the text bigram ops). One bucket
+    shuffle by user_id; per-bucket double-shift builds the trigrams
+    vectorized and pre-counts them (combiner), the final aggregate sees
+    ≤ |types|³ groups per bucket. Deterministic ordering: ties broken
+    on the path string."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # event_id tiebreak: same-microsecond events order deterministically
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)["event_type"]
+        a, b, c = g.shift(2), g.shift(1), df["event_type"]
+        m = a.notna().to_numpy() & b.notna().to_numpy()
+        path = (a.to_numpy()[m].astype(object) + ">"
+                + b.to_numpy()[m] + ">" + c.to_numpy()[m])
+        out = pd.Series(path).groupby(path, sort=False).size()
+        return pd.DataFrame({"path": out.index.to_numpy(),
+                             "n": out.to_numpy()})
+
+    partial = window._bucketed_apply(ds, "user_id", per_bucket)
+    counts = relational.grouped_agg(partial, ["path"], {"n": ("n", "sum")})
+    top = relational.topk(counts, [("n", True), ("path", False)], 10)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
 def triangle_counts_parts(sf_dir: str):
     """Distributed triangle counting (graph analytics) over the part
     co-occurrence graph: parts appearing in the same order are linked;
@@ -11136,6 +11165,7 @@ QUERIES = {
     "kmv_set_users_click_purchase": kmv_set_users_click_purchase,
     "hybrid_rrf_documents": hybrid_rrf_documents,
     "logfmt_ingest": logfmt_ingest,
+    "top_event_paths_users": top_event_paths_users,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
