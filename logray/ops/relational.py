@@ -24,6 +24,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def broadcast_join(ds, small: pd.DataFrame, on: str | list[str], *,
@@ -717,3 +718,40 @@ def cogroup(left, right, keys: list[str], fn, *,
         return fn(l, r)
 
     return _bucketed_apply(uni, keys[0], per_bucket, num_buckets=num_buckets)
+
+
+def pruned_read(path: str, columns: list[str], key_col: str, keys,
+                *, isin_threshold: int = 100_000):
+    """Dynamic partition pruning: read only the fraction of a big table
+    that can join a small side's already-known key set.
+
+    The runtime analogue of static predicate pushdown — the predicate is
+    DERIVED from the small side at execution time (Spark/Trino's "dynamic
+    filtering"). Small key sets (≤ ``isin_threshold``) ship into the scan
+    as an ``isin`` dataset expression, so parquet row-group statistics
+    and dictionary/page filtering drop non-matching stripes at the
+    SOURCE; larger sets push only their [min, max] envelope (stats-only
+    pruning, still skips disjoint row groups) and apply the exact
+    membership test vectorized right behind the read. Either way the
+    result is exactly the semi-filtered scan, and the object store never
+    sees rows that cannot join.
+    """
+    import pyarrow.dataset as pads
+    import ray.data
+
+    ks = pa.array(keys) if not isinstance(keys, (pa.Array, pa.ChunkedArray)) \
+        else keys
+    ks = pc.unique(ks if isinstance(ks, pa.Array) else ks.combine_chunks())
+    if len(ks) == 0:
+        # empty small side: nothing can join; emit an empty typed scan
+        expr = pads.field(key_col).isin(ks)
+        return ray.data.read_parquet(path, columns=columns, filter=expr)
+    if len(ks) <= isin_threshold:
+        return ray.data.read_parquet(path, columns=columns,
+                                     filter=pads.field(key_col).isin(ks))
+    lo, hi = pc.min(ks).as_py(), pc.max(ks).as_py()
+    expr = (pads.field(key_col) >= lo) & (pads.field(key_col) <= hi)
+    ds = ray.data.read_parquet(path, columns=columns, filter=expr)
+    # exact membership behind the stats-pruned scan, broadcast via the
+    # established ray.put + searchsorted semi-filter
+    return semi_filter(ds, key_col, ks.to_numpy(zero_copy_only=False))

@@ -534,6 +534,16 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS p50_ok, TRUE AS p99_ok
         FROM events GROUP BY event_type
     """,
+    "dpp_join_orders_lineitem": """
+        SELECT o_orderdate, CAST(count(*) AS BIGINT) AS n_items,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                        AS BIGINT)) / 10000.0 AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-03-01 00:00:00'
+        GROUP BY o_orderdate
+    """,
     "top_event_paths_users": """
         WITH s AS (
             SELECT user_id, event_type,

@@ -4410,6 +4410,59 @@ def role_transition_counts_transcripts(sf_dir: str):
                                   {"n": ("n", "sum")})
 
 
+def dpp_join_orders_lineitem(sf_dir: str):
+    """Dynamic partition pruning (``relational.pruned_read`` — runtime
+    dynamic filtering, the join-side analogue of static pushdown): the
+    small side's filter (urgent orders in a two-month window, ~0.5% of
+    orders) resolves to a key set FIRST, and that set ships INTO the
+    lineitem scan as an ``isin`` dataset expression, so row groups that
+    cannot join are dropped at the source and the object store never
+    sees unjoinable lineitem rows. Order attributes then broadcast onto
+    the pruned scan (keys are tiny by construction) and revenue rolls
+    up per order date — exact integer cents."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-03-01", "us"))
+    expr = ((pads.field("o_orderdate") >= lo)
+            & (pads.field("o_orderdate") < hi)
+            & (pads.field("o_orderpriority") == "1-URGENT"))
+    small = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"], filter=expr).to_pandas()
+
+    li = relational.pruned_read(
+        f"{sf_dir}/lineitem.parquet",
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+        "l_orderkey", small["o_orderkey"].to_numpy())
+
+    dates = dict(zip(small["o_orderkey"].to_numpy(),
+                     small["o_orderdate"].to_numpy()))
+    date_keys = np.array(sorted(dates))
+    date_vals = np.array([dates[k] for k in date_keys])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        units = pc.cast(pc.round(pc.multiply(rev, 10000.0)), pa.int64())
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        day = date_vals[np.searchsorted(date_keys, ok)]
+        return pa.table({
+            "o_orderdate": pa.array(day).cast(pa.timestamp("us")),
+            "__rev_u": units})
+
+    out = relational.grouped_agg(
+        li.map_batches(revenue, batch_format="pyarrow"),
+        ["o_orderdate"], {"n_items": ("__rev_u", "count"),
+                          "revenue": ("__rev_u", "sum")})
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("revenue"), "revenue",
+            pc.divide(pc.cast(t["revenue"], pa.float64()), 10000.0)),
+        batch_format="pyarrow")
+
+
 def top_event_paths_users(sf_dir: str):
     """Behavioral path mining: the 10 most frequent length-3 event-type
     paths users take (consecutive by ts within a user — clickstream
@@ -11166,6 +11219,7 @@ QUERIES = {
     "hybrid_rrf_documents": hybrid_rrf_documents,
     "logfmt_ingest": logfmt_ingest,
     "top_event_paths_users": top_event_paths_users,
+    "dpp_join_orders_lineitem": dpp_join_orders_lineitem,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,

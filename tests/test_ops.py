@@ -3265,3 +3265,37 @@ def test_kmv_set_relations_accuracy_and_merge(ray_session):
     m = np.unique(np.concatenate([_kmv_partial(col.slice(0, 17_000), k),
                                   _kmv_partial(col.slice(17_000), k)]))[:k]
     assert (whole == m).all()
+
+
+def test_pruned_read_paths_equal_plain_semi(ray_session, tmp_path):
+    """Dynamic partition pruning: the isin-pushed path, the range+exact
+    path (keys above threshold) and the empty-keys path all return
+    exactly the semi-filtered scan."""
+    import pyarrow.parquet as _pq
+
+    from logray.ops.relational import pruned_read
+
+    n = 5_000
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                  "v": pa.array(np.arange(n, dtype=np.int64) * 3)})
+    p = tmp_path / "big.parquet"
+    _pq.write_table(t, p, row_group_size=500)
+
+    keys = np.arange(1_000, 1_400, dtype=np.int64)
+    want = {(int(k), int(k) * 3) for k in keys}
+
+    for thr in (100_000, 10):  # isin-pushed vs range+broadcast-exact
+        got = pruned_read(str(p), ["k", "v"], "k", keys,
+                          isin_threshold=thr).to_pandas()
+        assert set(zip(got["k"], got["v"])) == want
+
+    # sparse keys inside a wide range: range pruning alone would keep
+    # everything in [0, 4999] — the exact member test must still drop them
+    sparse = np.array([0, 2_500, 4_999], dtype=np.int64)
+    got = pruned_read(str(p), ["k", "v"], "k", sparse,
+                      isin_threshold=1).to_pandas()
+    assert sorted(got["k"]) == [0, 2500, 4999]
+
+    empty = pruned_read(str(p), ["k", "v"], "k",
+                        np.array([], dtype=np.int64)).to_pandas()
+    assert len(empty) == 0
