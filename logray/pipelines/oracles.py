@@ -1212,6 +1212,27 @@ ORACLE_SQL["bz2_log_parse_counts"] = ORACLE_SQL["transcript_parse_counts"]
 ORACLE_SQL["xz_log_parse_counts"] = ORACLE_SQL["transcript_parse_counts"]
 ORACLE_SQL["zstd_log_parse_counts"] = ORACLE_SQL["transcript_parse_counts"]
 
+# Severity-aware downsampling: the md5 retention rule replayed in SQL
+# over the same generated rule/sink CASE.
+ORACLE_SQL["severity_sampled_transcripts"] = f"""
+    WITH cls AS (
+        SELECT conv_id, turn_idx, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    s AS (
+        SELECT {_SINK_CASE} AS sink,
+               CAST(substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)),
+                           1, 1) AS VARCHAR) AS hex1
+        FROM cls)
+    SELECT sink, count(*) AS n_total,
+           CAST(sum(CASE
+               WHEN sink = 'sink_error' THEN 1
+               WHEN sink = 'sink_telemetry'
+                    AND hex1 IN ('0', '1', '2', '3') THEN 1
+               WHEN sink NOT IN ('sink_error', 'sink_telemetry')
+                    AND hex1 = '0' THEN 1
+               ELSE 0 END) AS BIGINT) AS n_kept
+    FROM s GROUP BY sink
+"""
+
 # The full flagship DAG's aggregate output: per-(sink, rule) counts.
 ORACLE_SQL["flagship_transcripts"] = f"""
     WITH cls AS (SELECT {_RULE_CASE} AS rule_id FROM {_CORPUS})

@@ -1476,6 +1476,46 @@ def transcript_parse_counts(sf_dir: str):
     return relational.grouped_agg(parsed, ["rule_id"], {"n": ("rule_id", "count")})
 
 
+def severity_sampled_transcripts(sf_dir: str):
+    """Severity-aware ingest downsampling — the log-pipeline stage that
+    keeps every error but a deterministic sliver of the chatter: after
+    the rule parse routes each turn to its sink, retention is decided by
+    the first hex digit of md5(conv_id:turn_idx) — sink_error keeps all
+    16 digits, sink_telemetry digits 0–3 (1/4), every other sink digit 0
+    only (1/16). md5 keeps the op DuckDB-oracle-able (the documented
+    oracle-mode price; splitmix64 is the scale path, as in
+    ``negative_sample_parts``). Emits per-sink total vs kept counts —
+    the retention audit a real ingest pipeline ships with."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import hashlib
+
+    import ray.data
+
+    from ..stages.parse import parse_batch_fn
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))])
+    parsed = ds.map_batches(parse_batch_fn, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def decide(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t["conv_id"], pc.cast(t["turn_idx"], pa.string()), ":")
+        digit = key.to_pandas().map(
+            lambda s: int(hashlib.md5(s.encode()).hexdigest()[0], 16))
+        d = digit.to_numpy()
+        sink = t["sink"].to_numpy(zero_copy_only=False)
+        kept = np.where(sink == "sink_error", True,
+                        np.where(sink == "sink_telemetry", d < 4, d < 1))
+        return pa.table({"sink": t["sink"],
+                         "kept": pa.array(kept.astype(np.int64))})
+
+    return relational.grouped_agg(
+        parsed.map_batches(decide, batch_format="pyarrow"),
+        ["sink"], {"n_total": ("kept", "count"), "n_kept": ("kept", "sum")})
+
+
 def melt_lineitem_measures(sf_dir: str):
     """Unpivot / melt (wide → long): the four lineitem measure columns
     become (measure, value) rows — per batch a zero-copy column slice per
@@ -11220,6 +11260,7 @@ QUERIES = {
     "logfmt_ingest": logfmt_ingest,
     "top_event_paths_users": top_event_paths_users,
     "dpp_join_orders_lineitem": dpp_join_orders_lineitem,
+    "severity_sampled_transcripts": severity_sampled_transcripts,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
