@@ -611,3 +611,39 @@ def grouped_topk_ties(ds, part_col: str, val_col: str, n: int, *,
         return df[df[rank_col] <= n]
 
     return _bucketed_apply(ds, part_col, per_bucket, num_buckets=num_buckets)
+
+
+def global_running_sum(ds, order_cols: list[str], ascending: list[bool],
+                       val_col: str, range_key: str, *,
+                       out_col: str = "running"):
+    """Distributed global prefix sum — a running aggregate over ONE total
+    order (what per-key running ops can't give), without ever holding
+    the stream in one place.
+
+    Requirement: ``range_key`` must be a coarsening of the leading order
+    column (e.g. the hour of the ordering timestamp), so the key's sort
+    order prefixes ``order_cols`` — then partitions ARE contiguous runs
+    of the total order. Two passes: (1) per-key totals (a tiny combiner
+    aggregate, O(keys) rows to the driver) whose exclusive scan in key
+    order yields each partition's carry-in; (2) one groupby(range_key)
+    exchange where each partition sorts locally, takes a vectorized
+    cumsum and adds its carry. Nothing global materializes; driver state
+    is O(partitions)."""
+    from .relational import grouped_agg
+
+    totals = grouped_agg(ds, [range_key],
+                         {"__t": (val_col, "sum")}).to_pandas()
+    totals = totals.sort_values(range_key).reset_index(drop=True)
+    carry = dict(zip(
+        totals[range_key],
+        np.concatenate(([0], np.cumsum(totals["__t"].to_numpy())[:-1]))))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, ascending=ascending,
+                            kind="mergesort").reset_index(drop=True)
+        base = carry[df[range_key].iloc[0]]
+        df[out_col] = base + np.cumsum(df[val_col].to_numpy())
+        return df
+
+    return ds.groupby(range_key).map_groups(per_partition,
+                                            batch_format="pandas")

@@ -1233,6 +1233,27 @@ ORACLE_SQL["severity_sampled_transcripts"] = f"""
     FROM s GROUP BY sink
 """
 
+# Distributed prefix sum: the sweep-line concurrency replayed as one
+# SQL window running sum with the identical (ts, delta DESC, conv_id)
+# tie order.
+ORACLE_SQL["peak_concurrency_transcripts"] = f"""
+    WITH iv AS (
+        SELECT conv_id, min(ts) AS s, max(ts) AS e FROM {_CORPUS}
+        GROUP BY conv_id),
+    d AS (
+        SELECT conv_id, s AS ts, 1 AS delta FROM iv
+        UNION ALL
+        SELECT conv_id, e AS ts, -1 AS delta FROM iv),
+    r AS (
+        SELECT ts, CAST(sum(delta) OVER (
+                   ORDER BY ts, delta DESC, conv_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+        FROM d)
+    SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+           max(running) AS peak
+    FROM r GROUP BY 1
+"""
+
 # The full flagship DAG's aggregate output: per-(sink, rule) counts.
 ORACLE_SQL["flagship_transcripts"] = f"""
     WITH cls AS (SELECT {_RULE_CASE} AS rule_id FROM {_CORPUS})

@@ -4422,6 +4422,48 @@ def scd2_event_state(sf_dir: str):
                        keep_cols=["user_id", "event_id"])
 
 
+def peak_concurrency_transcripts(sf_dir: str):
+    """Peak concurrent conversations per hour — the capacity-planning
+    number every serving team asks of its logs. Needs a running sum over
+    ONE total order (interval starts +1 / ends −1 ordered by time), which
+    per-key window ops can't express: ``window.global_running_sum``
+    range-partitions by the hour (a coarsening of the order column, so
+    partitions are contiguous runs), carries each partition's offset via
+    an exclusive scan over O(hours) per-partition totals, and scans
+    locally — the distributed prefix-sum shape. Ties order (ts, delta
+    DESC, conv_id) so a start at an end's instant counts as overlapping."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))],
+        columns=["conv_id", "ts"])
+    iv = relational.grouped_agg(ds, ["conv_id"],
+                                {"s": ("ts", "min"), "e": ("ts", "max")})
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "conv_id": pa.concat_arrays(
+                [t["conv_id"].combine_chunks()] * 2),
+            "ts": pa.concat_arrays([t["s"].combine_chunks().cast(
+                pa.timestamp("us")), t["e"].combine_chunks().cast(
+                pa.timestamp("us"))]),
+            "delta": pa.array(np.concatenate(
+                [np.ones(n, np.int64), -np.ones(n, np.int64)]))})
+
+    deltas = iv.map_batches(explode, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column(
+            "hour", pc.strftime(t["ts"], format="%Y-%m-%d %H")),
+        batch_format="pyarrow")
+    run = window.global_running_sum(
+        deltas, ["ts", "delta", "conv_id"], [True, False, True],
+        "delta", "hour", out_col="running")
+    return relational.grouped_agg(run, ["hour"],
+                                  {"peak": ("running", "max")})
+
+
 def role_transition_counts_transcripts(sf_dir: str):
     """Markov transition counts over conversation roles: per conversation
     ordered by turn_idx, count each (prev_role → role) bigram corpus-wide
@@ -11261,6 +11303,7 @@ QUERIES = {
     "top_event_paths_users": top_event_paths_users,
     "dpp_join_orders_lineitem": dpp_join_orders_lineitem,
     "severity_sampled_transcripts": severity_sampled_transcripts,
+    "peak_concurrency_transcripts": peak_concurrency_transcripts,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,

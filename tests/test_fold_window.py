@@ -287,3 +287,35 @@ def test_rolling_mean_centered_matches_naive(ray_session):
         want = [v[max(i - 2, 0):i + 2].mean() for i in range(len(v))]
         got = out[out["k"] == k].sort_values("o")["ca"].tolist()
         assert np.allclose(got, want)
+
+
+def test_global_running_sum_matches_single_stream(ray_session):
+    """Distributed prefix sum == pandas cumsum over the same total order,
+    across partition boundaries, ties and negative carries."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from logray.ops.window import global_running_sum
+
+    rng = np.random.default_rng(23)
+    n = 4_000
+    hours = rng.integers(0, 24, n)
+    # ties on the order column inside and across hour buckets
+    ts = hours * 3600 + rng.integers(0, 3600, n) // 7 * 7
+    val = rng.integers(-5, 6, n)
+    tie = np.arange(n, dtype=np.int64)  # unique final tiebreak
+    t = pa.table({"hour": pa.array(hours, pa.int64()),
+                  "ts": pa.array(ts, pa.int64()),
+                  "tie": pa.array(tie),
+                  "val": pa.array(val, pa.int64())})
+    out = global_running_sum(
+        ray.data.from_arrow(t).repartition(16),
+        ["ts", "val", "tie"], [True, False, True], "val", "hour"
+    ).to_pandas().sort_values(["ts", "val", "tie"],
+                              ascending=[True, False, True])
+    ref = (pd.DataFrame({"ts": ts, "val": val, "tie": tie})
+           .sort_values(["ts", "val", "tie"], ascending=[True, False, True]))
+    assert (out["running"].to_numpy()
+            == np.cumsum(ref["val"].to_numpy())).all()
