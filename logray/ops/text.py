@@ -726,10 +726,32 @@ def ed1_deletion_keys(s: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
+def edk_deletion_keys(s: str, k: int) -> list[tuple[int, str]]:
+    """FastSS deletion-neighborhood keys for ed≤k: every variant of ``s``
+    with AT MOST ``k`` single-character deletions, deduped. Completeness
+    (Bocek et al. 2007): take an optimal alignment witnessing
+    ed(s,t) ≤ k and delete from ``s`` the positions it substitutes or
+    deletes and from ``t`` the positions it substitutes or inserts —
+    both sides reach the SAME string with ≤ k deletions each, so the
+    neighborhoods intersect. Key count grows O(L^k / k!) (L=20, k=2 →
+    ~211 hashed keys/row) — the identifier-length domain this join is
+    for, not free text."""
+    frontier = {s}
+    out = {(0, s)}
+    for _ in range(k):
+        nxt = set()
+        for v in frontier:
+            for i in range(len(v)):
+                nxt.add(v[:i] + v[i + 1:])
+        out.update((0, v) for v in nxt)
+        frontier = nxt
+    return sorted(out)
+
+
 def edit_distance_selfjoin(ds, text_col: str = "text",
                            id_col: str = "doc_id", *, k: int = 1,
                            block: str = "deletions"):
-    """EXACT edit-distance-≤1 similarity self-join (entity-resolution /
+    """EXACT edit-distance-≤k similarity self-join (entity-resolution /
     data-cleaning C4 shape) via complete blocking + DP verify.
 
     ``block`` selects the (provably complete) blocking-key scheme:
@@ -747,8 +769,9 @@ def edit_distance_selfjoin(ds, text_col: str = "text",
 
     Scale shape: rides ``dedup._hot_bucket_pairs`` — the blocking-key
     count exchange is keys-only (hashed, 16 B/key); TEXT ships only for
-    rows already in a ≥2-member bucket. k>1 needs k+1 positional
-    segments (PassJoin) and is not implemented.
+    rows already in a ≥2-member bucket. k ∈ {2, 3} uses the generalized
+    ``edk_deletion_keys`` neighborhood (key count O(L^k) — identifier
+    domains, not free text).
 
     Returns a Dataset of (a, b, dist) with a < b and dist ≤ k.
     """
@@ -756,10 +779,21 @@ def edit_distance_selfjoin(ds, text_col: str = "text",
 
     from .dedup import _hot_bucket_pairs, _stable_hash64
 
-    if k != 1:
-        raise NotImplementedError("pigeonhole keys are implemented for k=1")
-    keys_fn = {"deletions": ed1_deletion_keys,
-               "halves": ed1_blocking_keys}[block]
+    if block == "halves":
+        if k != 1:
+            raise NotImplementedError("half-string pigeonhole keys only "
+                                      "cover k=1; use block='deletions'")
+        keys_fn = ed1_blocking_keys
+    elif block == "deletions":
+        if k == 1:
+            keys_fn = ed1_deletion_keys
+        elif k in (2, 3):
+            keys_fn = lambda s: edk_deletion_keys(s, k)  # noqa: E731
+        else:
+            raise NotImplementedError("deletion-neighborhood key count is "
+                                      "O(L^k); k ≤ 3 supported")
+    else:
+        raise ValueError(f"unknown blocking scheme {block!r}")
 
     def to_bands(batch: pa.Table, carry_text: bool) -> pa.Table:
         txt = batch[text_col].to_pandas().fillna("")

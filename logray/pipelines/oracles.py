@@ -3976,6 +3976,13 @@ ORACLE_SQL["editdist_pairs_suppliers"] = """
     WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
+ORACLE_SQL["editdist2_pairs_suppliers"] = """
+    SELECT a.s_suppkey AS a, b.s_suppkey AS b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+"""
+
 # ---- v6 rule-family oracles (generated-CASE classify + regexp extraction,
 # same protocol as the v2-v5 blocks) ----
 

@@ -10806,6 +10806,26 @@ def editdist_pairs_suppliers(sf_dir: str):
                      "dist": pa.array(pairs["dist"], pa.int64())})
 
 
+def editdist2_pairs_suppliers(sf_dir: str):
+    """EXACT edit-distance-≤2 similarity self-join on supplier names:
+    the generalized FastSS deletion neighborhood (``edk_deletion_keys``,
+    ≤2 deletions per variant — complete by the Bocek alignment argument)
+    feeds the same keys-only hot-bucket exchange and vectorized DP
+    verify as the k=1 join, so the full pair set value-checks against
+    DuckDB's levenshtein cross join."""
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["s_suppkey"], pa.int64()),
+                            "text": t["s_name"]}),
+        batch_format="pyarrow")
+    pairs = text_ops.edit_distance_selfjoin(ds, k=2).to_pandas()
+    if pairs.empty:
+        pairs = pd.DataFrame({"a": [], "b": [], "dist": []})
+    pairs = pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+    return pa.table({"a": pa.array(pairs["a"], pa.int64()),
+                     "b": pa.array(pairs["b"], pa.int64()),
+                     "dist": pa.array(pairs["dist"], pa.int64())})
+
+
 # ------------------------------------------- v7 rule-family rollups --------
 
 def gpu_utilization_transcripts(sf_dir: str):
@@ -11304,6 +11324,7 @@ QUERIES = {
     "dpp_join_orders_lineitem": dpp_join_orders_lineitem,
     "severity_sampled_transcripts": severity_sampled_transcripts,
     "peak_concurrency_transcripts": peak_concurrency_transcripts,
+    "editdist2_pairs_suppliers": editdist2_pairs_suppliers,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,

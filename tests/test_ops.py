@@ -3299,3 +3299,42 @@ def test_pruned_read_paths_equal_plain_semi(ray_session, tmp_path):
     empty = pruned_read(str(p), ["k", "v"], "k",
                         np.array([], dtype=np.int64)).to_pandas()
     assert len(empty) == 0
+
+
+def test_editdist2_selfjoin_complete_vs_bruteforce(ray_session):
+    """k=2 deletion-neighborhood blocking finds EVERY pair with ed<=2
+    (brute-force DP ground truth) and nothing above it."""
+    import itertools
+
+    import ray.data
+
+    from logray.ops.text import edk_deletion_keys, levenshtein_batch
+    from logray.ops.text import edit_distance_selfjoin
+
+    rng = np.random.default_rng(31)
+    base = ["agent-007", "agnt-007", "agent-017", "aXent-0Y7", "router",
+            "route", "rout", "sinker", "sink", "snik", "parser-x"]
+    names = base + ["".join(rng.choice(list("abcd"), 6)) for _ in range(30)]
+    names = sorted(set(names))
+    t = pa.table({"doc_id": pa.array(np.arange(len(names), dtype=np.int64)),
+                  "text": pa.array(names)})
+    got = (edit_distance_selfjoin(
+        ray.data.from_arrow(t).repartition(4), k=2).to_pandas()
+        .drop_duplicates(["a", "b"]))
+    got_pairs = {(int(r.a), int(r.b), int(r.dist))
+                 for r in got.itertuples()}
+    want = set()
+    for i, j in itertools.combinations(range(len(names)), 2):
+        d = int(levenshtein_batch(np.array([names[i]]),
+                                  np.array([names[j]]))[0])
+        if d <= 2:
+            want.add((i, j, d))
+    assert got_pairs == want
+
+    # neighborhood-intersection completeness, directly
+    for a, b in itertools.combinations(base, 2):
+        d = int(levenshtein_batch(np.array([a]), np.array([b]))[0])
+        if d <= 2:
+            ka = {v for _, v in edk_deletion_keys(a, 2)}
+            kb = {v for _, v in edk_deletion_keys(b, 2)}
+            assert ka & kb, (a, b)
