@@ -755,3 +755,131 @@ def pruned_read(path: str, columns: list[str], key_col: str, keys,
     # exact membership behind the stats-pruned scan, broadcast via the
     # established ray.put + searchsorted semi-filter
     return semi_filter(ds, key_col, ks.to_numpy(zero_copy_only=False))
+
+
+def nth_element(ds, col: str, ranks, *, passes_max: int = 64,
+                pull_threshold: int = 200_000, nbins: int = 1024):
+    """EXACT global order statistics WITHOUT a global sort: distributed
+    QuickSelect by iterative histogram narrowing.
+
+    ``ds.sort`` answers an O(1)-sized question with an all-to-all over
+    every row; this instead repeats an aggregate-shaped pass — each
+    iteration scans the (single, pruned) column, bins the values falling
+    in each live candidate range into ``nbins`` buckets (per-batch
+    ``np.histogram`` partials; the exchange carries ≤ nbins counts per
+    batch per range, never values), and descends into the bucket holding
+    each requested rank. A range is resolved by pulling its DISTINCT
+    values with counts (bounded by the bucket count ≤ ``pull_threshold``,
+    and by ≤ 2 representable floats for degenerate-width tie buckets
+    however many ROWS they hold) and indexing the cumulative counts.
+
+    Values are compared as float64 — exact for doubles and for integers
+    up to 2^53 (use minor units for money, as the house style does
+    anyway). Nulls/NaNs are ignored (SQL ORDER BY ... OFFSET over the
+    non-null values). ``ranks``: 0-based global ranks, ascending order;
+    returns {rank: value}. Equivalent SQL:
+    ``ORDER BY col LIMIT 1 OFFSET rank``.
+    """
+    from ray.data.aggregate import Sum as _RaySum
+
+    ranks = sorted(set(int(r) for r in ranks))
+
+    def minmax(t: pa.Table) -> pa.Table:
+        v = t[col]
+        n = t.num_rows - v.null_count
+        lo = pc.min(v).as_py() if n else None
+        hi = pc.max(v).as_py() if n else None
+        return pa.table({"lo": pa.array([lo], pa.float64()),
+                         "hi": pa.array([hi], pa.float64()),
+                         "n": pa.array([n], pa.int64())})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    n_total = int(mm["n"].sum())
+    if n_total == 0:
+        return {r: None for r in ranks}
+    for r in ranks:
+        if not 0 <= r < n_total:
+            raise ValueError(f"rank {r} out of range for {n_total} values")
+    glo, ghi = float(mm["lo"].min()), float(mm["hi"].max())
+
+    # per unresolved rank: closed candidate range + rank within it
+    state: dict[int, tuple[float, float, int]] = {
+        r: (glo, ghi, r) for r in ranks}
+    out: dict[int, float] = {}
+
+    def resolve(lo: float, hi: float, within: int) -> float:
+        """Pull the sliver's distinct values + counts and index them."""
+        def uniq(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            v = v[(v >= lo) & (v <= hi)]
+            u, c = np.unique(v, return_counts=True)
+            return pa.table({"v": pa.array(u, pa.float64()),
+                             "c": pa.array(c, pa.int64())})
+
+        agg = (ds.map_batches(uniq, batch_format="pyarrow")
+               .groupby("v").aggregate(_RaySum("c", alias_name="c"))
+               .to_pandas().sort_values("v").reset_index(drop=True))
+        csum = np.cumsum(agg["c"].to_numpy())
+        return float(agg["v"].iloc[int(np.searchsorted(csum, within + 1))])
+
+    for _ in range(passes_max):
+        # zero-width candidate range: every value in it is identical —
+        # the answer IS the bound (covers the all-equal column upfront
+        # and tie slivers that narrow to one representable float)
+        for r, (lo, hi, _k) in list(state.items()):
+            if r not in out and lo >= hi:
+                out[r] = lo
+        live = {r: s for r, s in state.items() if r not in out}
+        if not live:
+            break
+        ranges = sorted({(lo, hi) for lo, hi, _ in live.values()})
+
+        def hist(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            rows_ri, rows_bin, rows_c = [], [], []
+            for ri, (lo, hi) in enumerate(ranges):
+                sel = v[(v >= lo) & (v <= hi)]
+                if not len(sel):
+                    continue
+                c, _ = np.histogram(sel, bins=nbins, range=(lo, hi))
+                nz = np.flatnonzero(c)
+                rows_ri.append(np.full(len(nz), ri, np.int32))
+                rows_bin.append(nz.astype(np.int32))
+                rows_c.append(c[nz])
+            if not rows_ri:
+                return pa.table({"ri": pa.array([], pa.int32()),
+                                 "bin": pa.array([], pa.int32()),
+                                 "c": pa.array([], pa.int64())})
+            return pa.table({
+                "ri": pa.array(np.concatenate(rows_ri)),
+                "bin": pa.array(np.concatenate(rows_bin)),
+                "c": pa.array(np.concatenate(rows_c), pa.int64())})
+
+        agg = (ds.map_batches(hist, batch_format="pyarrow")
+               .groupby(["ri", "bin"]).aggregate(_RaySum("c", alias_name="c"))
+               .to_pandas())
+        for r, (lo, hi, k) in list(live.items()):
+            ri = ranges.index((lo, hi))
+            h = np.zeros(nbins, dtype=np.int64)
+            sub = agg[agg["ri"] == ri]
+            h[sub["bin"].to_numpy()] = sub["c"].to_numpy()
+            csum = np.cumsum(h)
+            b = int(np.searchsorted(csum, k + 1))
+            within = int(k - (csum[b - 1] if b else 0))
+            edges = np.linspace(lo, hi, nbins + 1)
+            # histogram bins are [e_b, e_{b+1}) except the last (closed);
+            # keep ranges CLOSED by shaving one ulp off non-final tops
+            nlo = float(edges[b])
+            nhi = hi if b == nbins - 1 else float(
+                np.nextafter(edges[b + 1], -np.inf))
+            cnt = int(h[b])
+            if cnt <= pull_threshold or nhi <= np.nextafter(nlo, np.inf):
+                out[r] = resolve(nlo, nhi, within)
+            else:
+                state[r] = (nlo, nhi, within)
+    missing = [r for r in ranks if r not in out]
+    if missing:
+        raise RuntimeError(f"nth_element did not converge for {missing}")
+    return out

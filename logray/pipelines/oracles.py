@@ -3976,6 +3976,13 @@ ORACLE_SQL["editdist_pairs_suppliers"] = """
     WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
+ORACLE_SQL["exact_quickselect_quantiles_lineitem"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           quantile_disc(l_extendedprice, 0.5) AS q50,
+           quantile_disc(l_extendedprice, 0.99) AS q99
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+"""
+
 ORACLE_SQL["editdist2_pairs_suppliers"] = """
     SELECT a.s_suppkey AS a, b.s_suppkey AS b,
            CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist

@@ -10806,6 +10806,24 @@ def editdist_pairs_suppliers(sf_dir: str):
                      "dist": pa.array(pairs["dist"], pa.int64())})
 
 
+def exact_quickselect_quantiles_lineitem(sf_dir: str):
+    """EXACT global median and p99 of l_extendedprice WITHOUT a global
+    sort: ``relational.nth_element`` — distributed QuickSelect by
+    iterative histogram narrowing (each pass an aggregate-shaped scan of
+    the single pruned column whose exchange carries ≤1024 counts per
+    batch, never values; tie slivers resolve via distinct-value counts,
+    bounded however many rows tie). Ranks use DuckDB's quantile_disc
+    convention, floor((n−1)·q), so the oracle is the built-in."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    n = int(ds.count())
+    ranks = {(n - 1) // 2: "q50", ((n - 1) * 99) // 100: "q99"}
+    got = relational.nth_element(ds, "l_extendedprice", list(ranks))
+    out = {"n": pa.array([n], pa.int64())}
+    for r, name in sorted(ranks.items()):
+        out[name] = pa.array([got[r]], pa.float64())
+    return pa.table(out)
+
+
 def editdist2_pairs_suppliers(sf_dir: str):
     """EXACT edit-distance-≤2 similarity self-join on supplier names:
     the generalized FastSS deletion neighborhood (``edk_deletion_keys``,
@@ -11325,6 +11343,7 @@ QUERIES = {
     "severity_sampled_transcripts": severity_sampled_transcripts,
     "peak_concurrency_transcripts": peak_concurrency_transcripts,
     "editdist2_pairs_suppliers": editdist2_pairs_suppliers,
+    "exact_quickselect_quantiles_lineitem": exact_quickselect_quantiles_lineitem,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,

@@ -3338,3 +3338,32 @@ def test_editdist2_selfjoin_complete_vs_bruteforce(ray_session):
             ka = {v for _, v in edk_deletion_keys(a, 2)}
             kb = {v for _, v in edk_deletion_keys(b, 2)}
             assert ka & kb, (a, b)
+
+
+def test_nth_element_exact_vs_numpy_sort(ray_session):
+    """Distributed QuickSelect == numpy full sort at every tested rank,
+    including massive-tie columns and thresholds that force deep
+    narrowing and the degenerate-width tie path."""
+    import ray.data
+
+    from logray.ops.relational import nth_element
+
+    rng = np.random.default_rng(41)
+    # heavy ties: half the column is one of 3 values, rest continuous
+    a = rng.choice(np.array([7.5, 7.5, 7.5, 100.25, -3.0]), 20_000)
+    b = rng.normal(50, 30, 20_000)
+    v = np.concatenate([a, b])
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(v, pa.float64())})).repartition(8)
+    s = np.sort(v)
+    n = len(v)
+    ranks = [0, 1, n // 2, (n - 1) * 99 // 100, n - 1]
+    got = nth_element(ds, "x", ranks, pull_threshold=64, nbins=16)
+    for r in ranks:
+        assert got[r] == s[r], (r, got[r], s[r])
+
+    # all-equal column: resolves via the tie path at any rank
+    ties = ray.data.from_arrow(
+        pa.table({"x": pa.array(np.full(5_000, 3.25))})).repartition(4)
+    assert nth_element(ties, "x", [0, 2_499, 4_999],
+                       pull_threshold=10)[2_499] == 3.25
