@@ -3976,6 +3976,43 @@ ORACLE_SQL["editdist_pairs_suppliers"] = """
     WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
+ORACLE_SQL["sliding_3h_distinct_users"] = """
+    WITH e AS (
+        SELECT date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR
+                   AS window_start,
+               user_id
+        FROM events, (VALUES (0), (1), (2)) k(k))
+    SELECT window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM e GROUP BY window_start
+"""
+
+ORACLE_SQL["ks_weekend_value_events"] = """
+    WITH v AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wk
+        FROM events),
+    a AS (SELECT cents,
+                 sum(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS c1,
+                 sum(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS c0
+          FROM v GROUP BY cents),
+    c AS (SELECT CAST(sum(c1) OVER (ORDER BY cents
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS f1,
+                 CAST(sum(c0) OVER (ORDER BY cents
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS f0
+          FROM a),
+    n AS (SELECT CAST(sum(c0) AS DOUBLE) AS n0,
+                 CAST(sum(c1) AS DOUBLE) AS n1 FROM a)
+    SELECT CAST(n.n0 AS BIGINT) AS n_weekday,
+           CAST(n.n1 AS BIGINT) AS n_weekend,
+           max(abs(c.f1 / n.n1 - c.f0 / n.n0)) AS ks_d,
+           1.358 * sqrt((n.n0 + n.n1) / (n.n0 * n.n1)) AS ks_crit,
+           max(abs(c.f1 / n.n1 - c.f0 / n.n0))
+               > 1.358 * sqrt((n.n0 + n.n1) / (n.n0 * n.n1)) AS reject_05
+    FROM c, n GROUP BY n.n0, n.n1
+"""
+
 ORACLE_SQL["exact_quickselect_quantiles_lineitem"] = """
     SELECT CAST(count(*) AS BIGINT) AS n,
            quantile_disc(l_extendedprice, 0.5) AS q50,

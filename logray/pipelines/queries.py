@@ -6075,6 +6075,91 @@ def autocorr_lag1_by_type(sf_dir: str):
         .sort_values("event_type").reset_index(drop=True)
 
 
+def sliding_3h_distinct_users(sf_dir: str):
+    """Sliding-window COUNT DISTINCT via mergeable sketches: 3-hour
+    windows hopping hourly, each event's hour feeding the 3 covering
+    windows (the same vectorized explode as ``sliding_3h_event_counts``),
+    with the per-window distinct answered TWICE — exactly (distinct
+    (window, user) combiner → grouped count, SQL-checked) and by HLL
+    register merge (``sketch.approx_distinct`` over the exploded stream:
+    one 4 KiB register row per window per batch, so overlapping windows
+    reuse the same partial pass instead of re-scanning — the
+    pre-aggregate-once / answer-many-windows sketch pattern). Tolerance
+    booleans assert the estimate within 5% + 3 of exact."""
+    import datetime
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t["ts"], unit="hour")
+        pieces = []
+        for k in range(3):
+            ws = pc.subtract(base, pa.scalar(datetime.timedelta(hours=k)))
+            pieces.append(pa.table({
+                "window_start": pc.cast(ws, pa.timestamp("us")),
+                "user_id": t["user_id"]}))
+        return pa.concat_tables(pieces)
+
+    from ..ops import sketch
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    est = sketch.approx_distinct(exploded, ["window_start"], "user_id") \
+        .to_pandas().rename(columns={"n_approx": "n_est"})
+    pairs = relational.grouped_agg(exploded, ["window_start", "user_id"],
+                                   {"n": ("user_id", "count")})
+    exact = relational.grouped_agg(pairs, ["window_start"],
+                                   {"n_exact": ("user_id", "count")}
+                                   ).to_pandas()
+    out = exact.merge(est, on="window_start")
+    out["within_5pct"] = (abs(out["n_est"] - out["n_exact"])
+                          <= 0.05 * out["n_exact"] + 3)
+    out = out.sort_values("window_start").reset_index(drop=True)
+    return pa.table({
+        "window_start": pa.array(out["window_start"],
+                                 pa.timestamp("us")),
+        "n_exact": pa.array(out["n_exact"].astype(np.int64)),
+        "within_5pct": pa.array(out["within_5pct"].astype(bool))})
+
+
+def ks_weekend_value_events(sf_dir: str):
+    """EXACT two-sample Kolmogorov–Smirnov distance between the weekend
+    and weekday value distributions — the distribution-drift test that
+    catches what mean-based monitors (the Welch t-test next door) miss.
+    Distributed shape: values quantize to cents, one combiner exchange
+    reduces the stream to per-(cents, group) counts (O(distinct values)
+    rows — bounded for fixed-decimal domains however many events flow),
+    and the ECDF sup-distance is a vectorized cumsum over that tiny
+    sorted table. Emits D, the α=0.05 critical value
+    1.358·√((n0+n1)/(n0·n1)) and the reject decision; every float is a
+    fixed-order expression identical in SQL."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        wk = pc.cast(pc.greater_equal(pc.day_of_week(t["ts"]), 5), pa.int64())
+        return pa.table({"cents": cents, "wk": wk})
+
+    counts = relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["cents", "wk"], {"n": ("cents", "count")}).to_pandas()
+    piv = (counts.pivot_table(index="cents", columns="wk", values="n",
+                              fill_value=0, aggfunc="sum")
+           .reindex(columns=[0, 1], fill_value=0).sort_index())
+    c0 = piv[0].to_numpy(np.int64)
+    c1 = piv[1].to_numpy(np.int64)
+    n0, n1 = float(c0.sum()), float(c1.sum())
+    f0 = np.cumsum(c0).astype(np.float64)
+    f1 = np.cumsum(c1).astype(np.float64)
+    d = float(np.max(np.abs(f1 / n1 - f0 / n0)))
+    crit = 1.358 * np.sqrt((n0 + n1) / (n0 * n1))
+    return pa.table({
+        "n_weekday": pa.array([int(n0)], pa.int64()),
+        "n_weekend": pa.array([int(n1)], pa.int64()),
+        "ks_d": pa.array([d], pa.float64()),
+        "ks_crit": pa.array([crit], pa.float64()),
+        "reject_05": pa.array([bool(d > crit)])})
+
+
 def weekend_effect_ttest(sf_dir: str):
     """Welch's two-sample t statistic per event_type: does value differ
     between weekday and weekend events? Group moments (n, Σd, Σd²) are
@@ -11344,6 +11429,8 @@ QUERIES = {
     "peak_concurrency_transcripts": peak_concurrency_transcripts,
     "editdist2_pairs_suppliers": editdist2_pairs_suppliers,
     "exact_quickselect_quantiles_lineitem": exact_quickselect_quantiles_lineitem,
+    "ks_weekend_value_events": ks_weekend_value_events,
+    "sliding_3h_distinct_users": sliding_3h_distinct_users,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
