@@ -3976,6 +3976,36 @@ ORACLE_SQL["editdist_pairs_suppliers"] = """
     WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
+ORACLE_SQL["mannwhitney_weekend_value_events"] = """
+    WITH v AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wk
+        FROM events),
+    a AS (SELECT cents,
+                 CAST(sum(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+                 CAST(sum(CASE WHEN wk = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS c1
+          FROM v GROUP BY cents),
+    w AS (SELECT c0, c1, c0 + c1 AS t,
+                 coalesce(sum(c0 + c1) OVER (ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0.0) AS cum_before
+          FROM a),
+    s AS (SELECT sum(c0) AS n0, sum(c1) AS n1,
+                 sum(c1 * (cum_before + (t + 1.0) / 2.0)) AS r1,
+                 sum(t * t * t - t) AS tie
+          FROM w)
+    SELECT CAST(n0 AS BIGINT) AS n_weekday, CAST(n1 AS BIGINT) AS n_weekend,
+           r1 - n1 * (n1 + 1.0) / 2.0 AS u1,
+           (r1 - n1 * (n1 + 1.0) / 2.0 - n0 * n1 / 2.0)
+               / sqrt(n0 * n1 / 12.0 * ((n0 + n1 + 1.0)
+                      - tie / ((n0 + n1) * (n0 + n1 - 1.0)))) AS z,
+           abs((r1 - n1 * (n1 + 1.0) / 2.0 - n0 * n1 / 2.0)
+               / sqrt(n0 * n1 / 12.0 * ((n0 + n1 + 1.0)
+                      - tie / ((n0 + n1) * (n0 + n1 - 1.0))))) > 1.959964
+               AS reject_05
+    FROM s
+"""
+
 ORACLE_SQL["sliding_3h_distinct_users"] = """
     WITH e AS (
         SELECT date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR

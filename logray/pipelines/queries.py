@@ -6121,6 +6121,48 @@ def sliding_3h_distinct_users(sf_dir: str):
         "within_5pct": pa.array(out["within_5pct"].astype(bool))})
 
 
+def mannwhitney_weekend_value_events(sf_dir: str):
+    """Mann–Whitney U rank-sum test (weekend vs weekday values) — the
+    nonparametric location test beside the KS distribution test and the
+    Welch t-test: ranks never materialize per row; the same
+    per-(cents, group) combiner reduction gives tie-group average ranks
+    from a cumsum over the O(distinct values) sorted table, with the
+    exact tie-corrected normal approximation
+    z = (U1 − n0n1/2) / √(n0n1/12 · (N+1 − Σ(t³−t)/(N(N−1)))).
+    All floats are fixed-order expressions the SQL oracle replays."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        wk = pc.cast(pc.greater_equal(pc.day_of_week(t["ts"]), 5), pa.int64())
+        return pa.table({"cents": cents, "wk": wk})
+
+    counts = relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["cents", "wk"], {"n": ("cents", "count")}).to_pandas()
+    piv = (counts.pivot_table(index="cents", columns="wk", values="n",
+                              fill_value=0, aggfunc="sum")
+           .reindex(columns=[0, 1], fill_value=0).sort_index())
+    c0 = piv[0].to_numpy(np.int64).astype(np.float64)
+    c1 = piv[1].to_numpy(np.int64).astype(np.float64)
+    t_g = c0 + c1
+    n0, n1 = float(c0.sum()), float(c1.sum())
+    n = n0 + n1
+    cum_before = np.cumsum(t_g) - t_g
+    avgrank = cum_before + (t_g + 1.0) / 2.0
+    r1 = float(np.sum(c1 * avgrank))
+    u1 = r1 - n1 * (n1 + 1.0) / 2.0
+    tie = float(np.sum(t_g ** 3 - t_g))
+    sigma = np.sqrt(n0 * n1 / 12.0 * ((n + 1.0) - tie / (n * (n - 1.0))))
+    z = (u1 - n0 * n1 / 2.0) / sigma
+    return pa.table({
+        "n_weekday": pa.array([int(n0)], pa.int64()),
+        "n_weekend": pa.array([int(n1)], pa.int64()),
+        "u1": pa.array([u1], pa.float64()),
+        "z": pa.array([z], pa.float64()),
+        "reject_05": pa.array([bool(abs(z) > 1.959964)])})
+
+
 def ks_weekend_value_events(sf_dir: str):
     """EXACT two-sample Kolmogorov–Smirnov distance between the weekend
     and weekday value distributions — the distribution-drift test that
@@ -11431,6 +11473,7 @@ QUERIES = {
     "exact_quickselect_quantiles_lineitem": exact_quickselect_quantiles_lineitem,
     "ks_weekend_value_events": ks_weekend_value_events,
     "sliding_3h_distinct_users": sliding_3h_distinct_users,
+    "mannwhitney_weekend_value_events": mannwhitney_weekend_value_events,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,

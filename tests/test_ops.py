@@ -3367,3 +3367,37 @@ def test_nth_element_exact_vs_numpy_sort(ray_session):
         pa.table({"x": pa.array(np.full(5_000, 3.25))})).repartition(4)
     assert nth_element(ties, "x", [0, 2_499, 4_999],
                        pull_threshold=10)[2_499] == 3.25
+
+
+def test_mannwhitney_grouped_counts_equal_per_row_ranks():
+    """The grouped-count U/z derivation == the textbook per-row
+    average-rank computation (pandas rank), including tie correction."""
+    import pandas as pd
+
+    rng = np.random.default_rng(53)
+    a = np.round(rng.normal(50, 10, 3_000), 2)   # group 0
+    b = np.round(rng.normal(52, 10, 2_000), 2)   # group 1, shifted
+    v = np.concatenate([a, b])
+    g = np.concatenate([np.zeros(len(a)), np.ones(len(b))])
+    ranks = pd.Series(v).rank(method="average").to_numpy()
+    n0, n1 = float(len(a)), float(len(b))
+    r1 = float(ranks[g == 1].sum())
+    u1_ref = r1 - n1 * (n1 + 1) / 2.0
+
+    # grouped-count derivation (the distributed shape)
+    cents = np.round(v * 100).astype(np.int64)
+    df = pd.DataFrame({"c": cents, "g": g})
+    piv = (df.value_counts(["c", "g"]).unstack(fill_value=0)
+           .reindex(columns=[0.0, 1.0], fill_value=0).sort_index())
+    c0 = piv[0.0].to_numpy().astype(np.float64)
+    c1 = piv[1.0].to_numpy().astype(np.float64)
+    t = c0 + c1
+    avgrank = (np.cumsum(t) - t) + (t + 1.0) / 2.0
+    u1 = float(np.sum(c1 * avgrank)) - n1 * (n1 + 1) / 2.0
+    assert abs(u1 - u1_ref) < 1e-6
+    # planted +2 shift at n=5k must reject at alpha=0.05
+    n = n0 + n1
+    tie = float(np.sum(t ** 3 - t))
+    sigma = np.sqrt(n0 * n1 / 12.0 * ((n + 1.0) - tie / (n * (n - 1.0))))
+    z = (u1 - n0 * n1 / 2.0) / sigma
+    assert abs(z) > 1.959964
