@@ -1212,6 +1212,44 @@ ORACLE_SQL["bz2_log_parse_counts"] = ORACLE_SQL["transcript_parse_counts"]
 ORACLE_SQL["xz_log_parse_counts"] = ORACLE_SQL["transcript_parse_counts"]
 ORACLE_SQL["zstd_log_parse_counts"] = ORACLE_SQL["transcript_parse_counts"]
 
+# Declarative alert rules replayed in SQL: generated rule CASE gates
+# each branch, field regexps re-extract the metrics, time_bucket is the
+# 10-minute tumbling window; integer-only thresholds.
+ORACLE_SQL["alerts_transcripts"] = f"""
+    WITH cls AS (
+        SELECT ts, text, {_RULE_CASE} AS rule_id FROM {_CORPUS}),
+    gc AS (
+        SELECT 'gc_pause_spike' AS alert,
+               time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+               max(CAST(regexp_extract(text, 'pause_ms=(\\d+)', 1)
+                        AS BIGINT)) AS metric
+        FROM cls WHERE rule_id = 'R22_gc'
+        GROUP BY 2 HAVING max(CAST(regexp_extract(text,
+            'pause_ms=(\\d+)', 1) AS BIGINT)) > 1000),
+    er AS (
+        SELECT 'tool_error_rate' AS alert,
+               time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+               sum(CASE WHEN rule_id = 'R03_tool_result_err'
+                        THEN 1 ELSE 0 END) AS metric
+        FROM cls
+        WHERE rule_id IN ('R02_tool_result_ok', 'R03_tool_result_err')
+        GROUP BY 2
+        HAVING count(*) >= 5
+           AND 5 * sum(CASE WHEN rule_id = 'R03_tool_result_err'
+                            THEN 1 ELSE 0 END) >= count(*)),
+    dr AS (
+        SELECT 'dropped_messages' AS alert,
+               time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
+               sum(CAST(regexp_extract(text, 'count=(\\d+)', 1)
+                        AS BIGINT)) AS metric
+        FROM cls WHERE rule_id = 'R25_dropped'
+        GROUP BY 2 HAVING sum(CAST(regexp_extract(text,
+            'count=(\\d+)', 1) AS BIGINT)) > 10000)
+    SELECT alert, window_start, CAST(metric AS BIGINT) AS metric
+    FROM (SELECT * FROM gc UNION ALL SELECT * FROM er
+          UNION ALL SELECT * FROM dr)
+"""
+
 # Severity-aware downsampling: the md5 retention rule replayed in SQL
 # over the same generated rule/sink CASE.
 ORACLE_SQL["severity_sampled_transcripts"] = f"""

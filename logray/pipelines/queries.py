@@ -1476,6 +1476,70 @@ def transcript_parse_counts(sf_dir: str):
     return relational.grouped_agg(parsed, ["rule_id"], {"n": ("rule_id", "count")})
 
 
+def alerts_transcripts(sf_dir: str):
+    """Declarative alerting over the parsed telemetry lane — the layer a
+    logparse user builds next: three alert rules evaluated on 10-minute
+    tumbling windows over the rule-table output. gc_pause_spike fires on
+    max(pause_ms) > 1000 (R22), tool_error_rate on ≥20% errors with ≥5
+    results (R02/R03 — kept in INTEGER arithmetic, 5·err ≥ total, so no
+    float crosses the oracle), dropped_messages on Σcount > 10000 (R25).
+    One parse pass feeds three combiner-shaped grouped aggregates; only
+    fired windows emit. Oracle replays the generated rule CASE + field
+    regexps + time_bucket in SQL."""
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.001)
+    corpus = _corpus_dir(sf)
+    import ray.data
+
+    from ..stages.parse import parse_batch_fn
+
+    ds = ray.data.read_parquet(
+        [str(p) for p in sorted(Path(corpus).glob("*.parquet"))])
+    parsed = ds.map_batches(parse_batch_fn, batch_format="pyarrow",
+                            zero_copy_batch=True).map_batches(
+        lambda t: pa.table({
+            "w": pc.cast(pc.floor_temporal(t["ts"], multiple=10,
+                                           unit="minute"),
+                         pa.timestamp("us")),
+            "rule_id": t["rule_id"],
+            "pause_ms": t["pause_ms"],
+            "count": t["count"]}),
+        batch_format="pyarrow")
+
+    gc = relational.grouped_agg(
+        parsed.filter(expr="rule_id == 'R22_gc'"),
+        ["w"], {"metric": ("pause_ms", "max")}).to_pandas()
+    gc = gc[gc["metric"] > 1000].assign(alert="gc_pause_spike")
+
+    res = parsed.filter(
+        expr="rule_id == 'R02_tool_result_ok' or rule_id == 'R03_tool_result_err'"
+    ).map_batches(
+        lambda t: pa.table({
+            "w": t["w"],
+            "err": pc.cast(pc.equal(t["rule_id"], "R03_tool_result_err"),
+                           pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    er = relational.grouped_agg(res, ["w"], {"err": ("err", "sum"),
+                                             "total": ("one", "sum")}
+                                ).to_pandas()
+    er = er[(er["total"] >= 5) & (5 * er["err"] >= er["total"])]
+    er = er.assign(alert="tool_error_rate")[["w", "err"]].rename(
+        columns={"err": "metric"}).assign(alert="tool_error_rate")
+
+    dr = relational.grouped_agg(
+        parsed.filter(expr="rule_id == 'R25_dropped'"),
+        ["w"], {"metric": ("count", "sum")}).to_pandas()
+    dr = dr[dr["metric"] > 10000].assign(alert="dropped_messages")
+
+    out = pd.concat([gc[["alert", "w", "metric"]],
+                     er[["alert", "w", "metric"]],
+                     dr[["alert", "w", "metric"]]], ignore_index=True)
+    out = out.sort_values(["alert", "w"]).reset_index(drop=True)
+    return pa.table({"alert": pa.array(out["alert"], pa.string()),
+                     "window_start": pa.array(out["w"], pa.timestamp("us")),
+                     "metric": pa.array(out["metric"].astype(np.int64))})
+
+
 def severity_sampled_transcripts(sf_dir: str):
     """Severity-aware ingest downsampling — the log-pipeline stage that
     keeps every error but a deterministic sliver of the chatter: after
@@ -11474,6 +11538,7 @@ QUERIES = {
     "ks_weekend_value_events": ks_weekend_value_events,
     "sliding_3h_distinct_users": sliding_3h_distinct_users,
     "mannwhitney_weekend_value_events": mannwhitney_weekend_value_events,
+    "alerts_transcripts": alerts_transcripts,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
