@@ -1250,6 +1250,22 @@ ORACLE_SQL["alerts_transcripts"] = f"""
           UNION ALL SELECT * FROM dr)
 """
 
+# Incident islands over the fired-alert grid: the alerts CTE reused
+# verbatim, island id = window_start − row_number·10min.
+ORACLE_SQL["alert_incidents_transcripts"] = f"""
+    WITH fired AS ({ORACLE_SQL["alerts_transcripts"]}),
+    g AS (
+        SELECT alert, window_start, metric,
+               window_start - (row_number() OVER (
+                   PARTITION BY alert ORDER BY window_start) - 1)
+                   * INTERVAL 10 MINUTE AS island
+        FROM fired)
+    SELECT alert, min(window_start) AS start, max(window_start) AS "end",
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(max(metric) AS BIGINT) AS peak_metric
+    FROM g GROUP BY alert, island
+"""
+
 # Severity-aware downsampling: the md5 retention rule replayed in SQL
 # over the same generated rule/sink CASE.
 ORACLE_SQL["severity_sampled_transcripts"] = f"""

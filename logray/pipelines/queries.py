@@ -1540,6 +1540,38 @@ def alerts_transcripts(sf_dir: str):
                      "metric": pa.array(out["metric"].astype(np.int64))})
 
 
+def alert_incidents_transcripts(sf_dir: str):
+    """Alert flap suppression: consecutive fired windows of the same
+    alert collapse into ONE incident (gaps-and-islands over the
+    10-minute alert grid — island id = window_start − rank·10min),
+    emitting per-incident start/end/window-count/peak metric. This is
+    the paging layer above ``alerts_transcripts``: a 6-window gc spike
+    pages once, not six times. The alert evaluation is recomputed (same
+    three rules), islands group on the driver-side fired set (tiny by
+    construction — only fired windows)."""
+    import datetime
+
+    fired = alerts_transcripts(sf_dir).to_pandas()
+    fired = fired.sort_values(["alert", "window_start"])
+    rank = fired.groupby("alert").cumcount()
+    island = (fired["window_start"]
+              - pd.to_timedelta(rank * 10, unit="m"))
+    fired = fired.assign(island=island)
+    inc = (fired.groupby(["alert", "island"], as_index=False)
+           .agg(start=("window_start", "min"),
+                end=("window_start", "max"),
+                n_windows=("window_start", "count"),
+                peak_metric=("metric", "max")))
+    inc = inc.drop(columns="island").sort_values(
+        ["alert", "start"]).reset_index(drop=True)
+    return pa.table({
+        "alert": pa.array(inc["alert"], pa.string()),
+        "start": pa.array(inc["start"], pa.timestamp("us")),
+        "end": pa.array(inc["end"], pa.timestamp("us")),
+        "n_windows": pa.array(inc["n_windows"].astype(np.int64)),
+        "peak_metric": pa.array(inc["peak_metric"].astype(np.int64))})
+
+
 def severity_sampled_transcripts(sf_dir: str):
     """Severity-aware ingest downsampling — the log-pipeline stage that
     keeps every error but a deterministic sliver of the chatter: after
@@ -11539,6 +11571,7 @@ QUERIES = {
     "sliding_3h_distinct_users": sliding_3h_distinct_users,
     "mannwhitney_weekend_value_events": mannwhitney_weekend_value_events,
     "alerts_transcripts": alerts_transcripts,
+    "alert_incidents_transcripts": alert_incidents_transcripts,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
