@@ -883,3 +883,45 @@ def nth_element(ds, col: str, ranks, *, passes_max: int = 64,
     if missing:
         raise RuntimeError(f"nth_element did not converge for {missing}")
     return out
+
+
+def auto_join(left, right, on: str, *, how: str = "inner",
+              broadcast_threshold_rows: int = 500_000,
+              skew_hot_threshold: int = 100_000,
+              sample_rows: int = 100_000,
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
+    """Adaptive join: pick broadcast / skew-split / hash-shuffle from
+    DATA statistics at plan time (the AQE decision, made explicit).
+
+    1. Size the right side with ``count()`` — metadata-cheap on a fresh
+       parquet scan (footer row counts), aggregate-shaped otherwise.
+       Small enough → ``broadcast_join`` (no shuffle at all).
+    2. Otherwise sample the LEFT's leading blocks (``limit(sample_rows)``
+       — a streaming prefix, never a full scan) and extrapolate the top
+       key's total count; above ``skew_hot_threshold`` → ``skew_join``
+       (hot keys broadcast, cold keys shuffle), else plain ``hash_join``.
+
+    Returns ``(strategy, dataset)`` with strategy in
+    {'broadcast', 'skew', 'hash'} so callers can log the decision the
+    planner made. The sampled estimate only STEERS the strategy — every
+    path computes the identical join (equality-tested across all three).
+    INNER-only for the skew path (its documented restriction); non-inner
+    ``how`` falls back to broadcast/hash.
+    """
+    n_right = right.count()
+    if n_right <= broadcast_threshold_rows:
+        small = right.to_pandas()
+        return "broadcast", broadcast_join(left, small, on, how=how)
+
+    if how == "inner":
+        sample = left.limit(sample_rows).select_columns([on]).to_pandas()
+        if len(sample):
+            top = sample[on].value_counts()
+            n_left = left.count()
+            est_top = float(top.iloc[0]) / len(sample) * float(n_left)
+            if est_top >= skew_hot_threshold:
+                return "skew", skew_join(
+                    left, right, on, hot_threshold=skew_hot_threshold,
+                    left_schema=left_schema, right_schema=right_schema)
+    return "hash", hash_join(left, right, on, how=how)

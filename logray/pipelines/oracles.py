@@ -534,6 +534,14 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS p50_ok, TRUE AS p99_ok
         FROM events GROUP BY event_type
     """,
+    "auto_join_orders_customer": """
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     / 100.0, 2) AS revenue,
+               'broadcast' AS strategy
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
     "dpp_join_orders_lineitem": """
         SELECT o_orderdate, CAST(count(*) AS BIGINT) AS n_items,
                sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)

@@ -4588,6 +4588,39 @@ def role_transition_counts_transcripts(sf_dir: str):
                                   {"n": ("n", "sum")})
 
 
+def auto_join_orders_customer(sf_dir: str):
+    """Adaptive join planning (``relational.auto_join`` — the AQE
+    decision made explicit): right-side row count and a sampled left-key
+    histogram pick broadcast vs skew-split vs hash-shuffle at plan time;
+    every path computes the identical join (equality-tested in pytest),
+    the statistics only steer the strategy. Here customer is footer-
+    counted small → the planner takes the no-shuffle broadcast path at
+    bench scale and would flip to shuffle at 100 TB without a code
+    change. Revenue per market segment in exact integer cents."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "__cents": pc.cast(pc.round(pc.multiply(
+                    t["o_totalprice"], 100.0)), pa.int64())}),
+            batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_mktsegment": t["c_mktsegment"]}),
+            batch_format="pyarrow")
+    strategy, joined = relational.auto_join(orders, cust, "custkey")
+    out = relational.grouped_agg(joined, ["c_mktsegment"],
+                                 {"n_orders": ("__cents", "count"),
+                                  "revenue": ("__cents", "sum")}).to_pandas()
+    out["strategy"] = strategy
+    out["revenue"] = (out["revenue"].astype(np.float64) / 100.0).round(2)
+    return pa.Table.from_pandas(
+        out[["c_mktsegment", "n_orders", "revenue", "strategy"]],
+        preserve_index=False)
+
+
 def dpp_join_orders_lineitem(sf_dir: str):
     """Dynamic partition pruning (``relational.pruned_read`` — runtime
     dynamic filtering, the join-side analogue of static pushdown): the
@@ -11572,6 +11605,7 @@ QUERIES = {
     "mannwhitney_weekend_value_events": mannwhitney_weekend_value_events,
     "alerts_transcripts": alerts_transcripts,
     "alert_incidents_transcripts": alert_incidents_transcripts,
+    "auto_join_orders_customer": auto_join_orders_customer,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,

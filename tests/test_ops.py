@@ -3401,3 +3401,41 @@ def test_mannwhitney_grouped_counts_equal_per_row_ranks():
     sigma = np.sqrt(n0 * n1 / 12.0 * ((n + 1.0) - tie / (n * (n - 1.0))))
     z = (u1 - n0 * n1 / 2.0) / sigma
     assert abs(z) > 1.959964
+
+
+def test_auto_join_picks_each_strategy_and_results_match(ray_session):
+    """The planner's choice follows the thresholds, and all three
+    strategies compute the identical inner join."""
+    import ray.data
+
+    from logray.ops.relational import auto_join
+
+    rng = np.random.default_rng(61)
+    # skewed left: one hot key holds half the rows
+    k = np.where(rng.random(6_000) < 0.5, 7,
+                 rng.integers(0, 500, 6_000))
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(k, pa.int64()),
+        "lv": pa.array(np.arange(6_000, dtype=np.int64))})).repartition(4)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(500, dtype=np.int64)),
+        "rv": pa.array(np.arange(500, dtype=np.int64) * 10)})).repartition(2)
+
+    def norm(df):
+        return set(zip(df["k"], df["lv"], df["rv"]))
+
+    ref = None
+    outs = {}
+    # broadcast: right under threshold / skew: hot key extrapolates big /
+    # hash: skew threshold out of reach
+    for kwargs, expect in (
+            (dict(broadcast_threshold_rows=1_000), "broadcast"),
+            (dict(broadcast_threshold_rows=10, skew_hot_threshold=1_000),
+             "skew"),
+            (dict(broadcast_threshold_rows=10,
+                  skew_hot_threshold=10_000_000), "hash")):
+        strat, ds = auto_join(left, right, "k", **kwargs)
+        assert strat == expect, (strat, expect)
+        outs[expect] = norm(ds.to_pandas())
+        ref = ref or outs[expect]
+    assert outs["broadcast"] == outs["skew"] == outs["hash"]
