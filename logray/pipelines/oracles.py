@@ -534,6 +534,46 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS p50_ok, TRUE AS p99_ok
         FROM events GROUP BY event_type
     """,
+    "expectations_report_events": """
+        WITH v AS (
+            SELECT 'event_id_not_null' AS expectation,
+                   sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n
+            FROM events
+            UNION ALL
+            SELECT 'user_id_not_null',
+                   sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+            FROM events
+            UNION ALL
+            SELECT 'value_in_range',
+                   sum(CASE WHEN value < 0 OR value > 10000
+                       THEN 1 ELSE 0 END)
+            FROM events
+            UNION ALL
+            SELECT 'event_type_in_enum',
+                   sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+                       ('click', 'purchase', 'error', 'view', 'signup')
+                       THEN 1 ELSE 0 END)
+            FROM events
+            UNION ALL
+            SELECT 'ts_in_range',
+                   sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                            OR ts >= TIMESTAMP '2027-01-01'
+                       THEN 1 ELSE 0 END)
+            FROM events
+            UNION ALL
+            SELECT 'props_is_json_object',
+                   sum(CASE WHEN props IS NULL
+                            OR NOT regexp_matches(props, '^\\{.*\\}$')
+                       THEN 1 ELSE 0 END)
+            FROM events
+            UNION ALL
+            SELECT 'event_id_unique',
+                   count(*) - count(DISTINCT event_id)
+            FROM events)
+        SELECT expectation, CAST(n AS BIGINT) AS violations,
+               n = 0 AS passed
+        FROM v
+    """,
     "auto_join_orders_customer": """
         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
                round(sum(CAST(round(o_totalprice * 100) AS BIGINT))

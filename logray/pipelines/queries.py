@@ -4060,6 +4060,66 @@ def train_val_test_split_documents(sf_dir: str):
         "n_docs": ("split", "count"), "n_tokens": ("n_tokens", "sum")})
 
 
+def expectations_report_events(sf_dir: str):
+    """Declarative data-quality expectations suite (the assertion layer
+    over profiling): seven named expectations over events — not-null /
+    unique key, value range, enum membership, timestamp sanity, JSON
+    shape — each reporting its measured violation count and pass flag.
+    One combiner pass computes every per-row check vectorized (row
+    violations are per-batch partial sums); uniqueness rides a distinct
+    combiner (per-batch unique ids, grouped count). The report is the
+    contract a pipeline gates deploys on."""
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value",
+                "props"])
+    lo = pa.scalar(np.datetime64("2024-01-01", "us"))
+    hi = pa.scalar(np.datetime64("2027-01-01", "us"))
+    enum = pa.array(["click", "purchase", "error", "view", "signup"])
+
+    def checks(t: pa.Table) -> pa.Table:
+        def n(mask) -> int:
+            return int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+
+        viol = {
+            "event_id_not_null": n(t["event_id"].is_null()),
+            "user_id_not_null": n(t["user_id"].is_null()),
+            "value_in_range": n(pc.or_kleene(
+                pc.less(t["value"], 0.0),
+                pc.greater(t["value"], 10_000.0))),
+            "event_type_in_enum": n(pc.invert(pc.fill_null(
+                pc.is_in(t["event_type"], value_set=enum), False))),
+            "ts_in_range": n(pc.or_kleene(
+                pc.less(t["ts"], lo), pc.greater_equal(t["ts"], hi))),
+            "props_is_json_object": n(pc.invert(pc.fill_null(
+                pc.match_substring_regex(t["props"], r"^\{.*\}$"),
+                False))),
+        }
+        return pa.table({"expectation": pa.array(list(viol)),
+                         "violations": pa.array(
+                             list(viol.values()), pa.int64())})
+
+    per_row = relational.grouped_agg(
+        ds.map_batches(checks, batch_format="pyarrow"),
+        ["expectation"], {"violations": ("violations", "sum")}).to_pandas()
+
+    ids = ds.map_batches(
+        lambda t: pa.table({"event_id": pc.unique(
+            t["event_id"].combine_chunks())}),
+        batch_format="pyarrow")
+    id_counts = relational.grouped_agg(ids, ["event_id"],
+                                       {"n": ("event_id", "count")})
+    n_ids = int(id_counts.count())
+    n_rows = int(ds.count())
+    rows = pd.concat([per_row, pd.DataFrame(
+        {"expectation": ["event_id_unique"],
+         "violations": [n_rows - n_ids]})], ignore_index=True)
+    rows = rows.sort_values("expectation").reset_index(drop=True)
+    return pa.table({
+        "expectation": pa.array(rows["expectation"], pa.string()),
+        "violations": pa.array(rows["violations"].astype(np.int64)),
+        "passed": pa.array((rows["violations"] == 0).astype(bool))})
+
+
 def fk_violations_check(sf_dir: str):
     """Referential-integrity validation (data-quality surface): for each
     foreign-key pair, how many child rows point at a missing parent —
@@ -11606,6 +11666,7 @@ QUERIES = {
     "alerts_transcripts": alerts_transcripts,
     "alert_incidents_transcripts": alert_incidents_transcripts,
     "auto_join_orders_customer": auto_join_orders_customer,
+    "expectations_report_events": expectations_report_events,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
