@@ -647,3 +647,44 @@ def global_running_sum(ds, order_cols: list[str], ascending: list[bool],
 
     return ds.groupby(range_key).map_groups(per_partition,
                                             batch_format="pandas")
+
+
+def scd2_merge(history_ds, changes_ds, key: str, order_cols: list[str],
+               state_col: str, ts_col: str, *,
+               keep_cols: list[str] | None = None,
+               num_buckets: int | None = None):
+    """Incremental SCD2 maintenance (the CDC merge): fold a batch of new
+    change rows into an EXISTING dimension history without reprocessing
+    the raw prefix.
+
+    Identity that makes it exact: an SCD2 history's run-opening rows ARE
+    the change log's state-change events, so re-collapsing
+    (history-as-changes ∪ new changes) equals recomputing SCD2 over the
+    full stream — ``scd2_merge(scd2(prefix), suffix) == scd2(full)``
+    (the invariant pytest pins). The incremental win at scale: the
+    history side carries one row per RUN (≪ raw rows), so each merge
+    shuffles O(runs + batch), not O(stream). New change rows must carry
+    ``ts_col`` ≥ their key's open run (late data is the watermark
+    family's concern, not the merge's)."""
+    import pyarrow.compute as pc
+
+    cols = ([key] if keep_cols is None else list(keep_cols))
+    cols += [c for c in (state_col, ts_col) if c not in cols]
+    extra = [c for c in order_cols if c not in cols and c != ts_col]
+
+    def strip(t: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols + extra:
+            out[c] = (t[c] if c != ts_col
+                      else pc.cast(t["valid_from"], pa.timestamp("us")))
+        return pa.table(out)
+
+    def align(t: pa.Table) -> pa.Table:
+        return pa.table({c: pc.cast(t[c], pa.timestamp("us"))
+                         if c == ts_col else t[c] for c in cols + extra})
+
+    as_changes = history_ds.map_batches(strip, batch_format="pyarrow")
+    unioned = as_changes.union(
+        changes_ds.map_batches(align, batch_format="pyarrow"))
+    return scd2(unioned, key, order_cols, state_col, ts_col,
+                keep_cols=keep_cols, num_buckets=num_buckets)

@@ -3604,6 +3604,10 @@ ORACLE_SQL["scd2_event_state"] = """
     FROM runs
 """
 
+# Incremental SCD2 merge must equal the batch recompute over the full
+# stream — the oracle IS the full-stream SCD2.
+ORACLE_SQL["scd2_incremental_events"] = ORACLE_SQL["scd2_event_state"]
+
 # Exact integer moments (x = epoch-day - 19723, y = cents), then the
 # slope/intercept float expressions in the SAME operation order as the
 # engine's numpy — both sides' doubles are bit-identical.

@@ -4620,6 +4620,31 @@ def peak_concurrency_transcripts(sf_dir: str):
                                   {"peak": ("running", "max")})
 
 
+def scd2_incremental_events(sf_dir: str):
+    """Incremental SCD2 maintenance (CDC merge, ``window.scd2_merge``):
+    the event stream splits at 2024-01-20 into an already-built
+    dimension history and a late batch of changes; the merge re-collapses
+    (history run-starts ∪ new changes) — O(runs + batch) shuffled, never
+    the raw prefix — and must equal the batch recompute over the FULL
+    stream, which is exactly what the SQL oracle computes (same oracle
+    shape as ``scd2_event_state``)."""
+    split = pa.scalar(np.datetime64("2024-01-20", "us"))
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    base = ds.map_batches(lambda t: t.filter(pc.less(t["ts"], split)),
+                          batch_format="pyarrow")
+    changes = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], split)),
+        batch_format="pyarrow")
+    history = window.scd2(base, "user_id", ["ts", "event_id"],
+                          "event_type", "ts",
+                          keep_cols=["user_id", "event_id"])
+    merged = window.scd2_merge(history, changes, "user_id",
+                               ["ts", "event_id"], "event_type", "ts",
+                               keep_cols=["user_id", "event_id"])
+    return merged
+
+
 def role_transition_counts_transcripts(sf_dir: str):
     """Markov transition counts over conversation roles: per conversation
     ordered by turn_idx, count each (prev_role → role) bigram corpus-wide
@@ -11667,6 +11692,7 @@ QUERIES = {
     "alert_incidents_transcripts": alert_incidents_transcripts,
     "auto_join_orders_customer": auto_join_orders_customer,
     "expectations_report_events": expectations_report_events,
+    "scd2_incremental_events": scd2_incremental_events,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,

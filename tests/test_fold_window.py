@@ -319,3 +319,40 @@ def test_global_running_sum_matches_single_stream(ray_session):
            .sort_values(["ts", "val", "tie"], ascending=[True, False, True]))
     assert (out["running"].to_numpy()
             == np.cumsum(ref["val"].to_numpy())).all()
+
+
+def test_scd2_merge_equals_full_recompute(ray_session):
+    """scd2_merge(scd2(prefix), suffix) == scd2(full) for a random
+    change stream split at several points (the CDC-merge identity)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from logray.ops.window import scd2, scd2_merge
+
+    rng = np.random.default_rng(71)
+    n = 3_000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "ts": pa.array((np.arange(n) * 1_000_000).astype("datetime64[us]")),
+        "eid": pa.array(np.arange(n, dtype=np.int64)),
+        "state": pa.array(rng.choice(list("abc"), n))})
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values(["k", "valid_from"]) \
+            .reset_index(drop=True)
+        return [tuple(r) for r in df[["k", "eid", "state", "valid_from",
+                                      "valid_to", "is_current"]]
+                .itertuples(index=False)]
+
+    full = norm(scd2(ray.data.from_arrow(t).repartition(4), "k",
+                     ["ts", "eid"], "state", "ts", keep_cols=["k", "eid"]))
+    for cut in (1, 700, 2_999):
+        base = ray.data.from_arrow(t.slice(0, cut)).repartition(3)
+        suffix = ray.data.from_arrow(t.slice(cut)).repartition(3)
+        hist = scd2(base, "k", ["ts", "eid"], "state", "ts",
+                    keep_cols=["k", "eid"])
+        merged = scd2_merge(hist, suffix, "k", ["ts", "eid"], "state",
+                            "ts", keep_cols=["k", "eid"])
+        assert norm(merged) == full, f"cut={cut}"
