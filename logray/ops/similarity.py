@@ -388,3 +388,63 @@ def pca(ds, *, vec_col: str = "embedding", id_col: str = "vec_id", k: int = 8):
         return pa.table(cols)
 
     return comps, evar, ds.map_batches(project, batch_format="pyarrow")
+
+
+def knn_join(ds, k: int = 3, *, vec_col: str = "embedding",
+             id_col: str = "vec_id", exclude_self: bool = True):
+    """Exact cosine k-nearest-neighbor SELF-join: for EVERY row, its k
+    closest other rows — the all-rows generalization of ``ann_topk``
+    (whose queries are a handful) and the primitive under SemDeDup-style
+    clustering and recsys candidate generation.
+
+    Shape: the corpus matrix is collected once, L2-normalized and
+    broadcast via ``ray.put``; each batch computes one (batch × corpus)
+    matmul + argpartition and emits its own rows' top-k — no pairwise
+    shuffle ever exists. The broadcast bounds this exact path to
+    corpora whose matrix fits a worker (~10⁶×256 floats ≈ 1 GB); past
+    that, ``IvfIndex`` with queries=corpus is the documented scale path
+    (recall-tested separately).
+
+    Returns a Dataset of (src_id, nbr_id, cosine, rank), rank 1 = best,
+    ties broken on nbr_id ascending (matching SQL row_number order)."""
+    import ray
+
+    mat_tbl = (ds.map_batches(
+        lambda t: pa.table({id_col: t[id_col], vec_col: t[vec_col]}),
+        batch_format="pyarrow").to_pandas())
+    mat_tbl = mat_tbl.sort_values(id_col).reset_index(drop=True)
+    C = _normalize(np.stack(mat_tbl[vec_col].to_numpy()).astype(np.float64))
+    ids = mat_tbl[id_col].to_numpy()
+    ref = ray.put((C, ids)) if ray.is_initialized() else (C, ids)
+
+    def local(batch: pa.Table) -> pa.Table:
+        Cb, idsb = (ray.get(ref) if not isinstance(ref, tuple) else ref)
+        X = _normalize(_vec_matrix(batch, vec_col))
+        src = batch[id_col].to_pandas().to_numpy()
+        S = X @ Cb.T  # (b, n)
+        if exclude_self:
+            self_pos = np.searchsorted(idsb, src)
+            hit = (self_pos < len(idsb)) & (idsb[np.clip(
+                self_pos, 0, len(idsb) - 1)] == src)
+            S[np.flatnonzero(hit), self_pos[hit]] = -np.inf
+        kk = min(k, S.shape[1] - (1 if exclude_self else 0))
+        rows = {"src_id": [], "nbr_id": [], "cosine": [], "rank": []}
+        for i in range(S.shape[0]):
+            # candidates = everything >= the kk-th largest score, so a
+            # tie AT the cut can never be dropped before the id
+            # tie-break (lexsort on (-cosine, nbr_id)) decides it
+            thresh = np.partition(S[i], -kk)[-kk]
+            cand = np.flatnonzero(S[i] >= thresh)
+            order = np.lexsort((idsb[cand], -S[i, cand]))[:kk]
+            sel = cand[order]
+            rows["src_id"].extend([src[i]] * len(sel))
+            rows["nbr_id"].extend(idsb[sel])
+            rows["cosine"].extend(S[i, sel])
+            rows["rank"].extend(range(1, len(sel) + 1))
+        return pa.table({
+            "src_id": pa.array(rows["src_id"], pa.int64()),
+            "nbr_id": pa.array(rows["nbr_id"], pa.int64()),
+            "cosine": pa.array(rows["cosine"], pa.float64()),
+            "rank": pa.array(rows["rank"], pa.int64())})
+
+    return ds.map_batches(local, batch_format="pyarrow")

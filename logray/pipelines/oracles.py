@@ -605,6 +605,19 @@ ORACLE_SQL: dict[str, str] = {
         FROM s WHERE a IS NOT NULL AND b IS NOT NULL
         GROUP BY 1 ORDER BY n DESC, path LIMIT 10
     """,
+    "knn_join_embeddings": """
+        WITH s AS (
+            SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(b.embedding AS DOUBLE[]),
+                           CAST(a.embedding AS DOUBLE[])) DESC,
+                       b.vec_id) AS rank
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id <> b.vec_id)
+        SELECT src_id, nbr_id, rank FROM s WHERE rank <= 3
+    """,
     "kmv_set_users_click_purchase": """
         WITH ud AS (
             SELECT event_type,

@@ -1011,6 +1011,23 @@ def ivf_ann_embeddings(sf_dir: str):
 
 # ------------------------------------------------------------ text analysis --
 
+def knn_join_embeddings(sf_dir: str):
+    """Exact cosine kNN SELF-join (``similarity.knn_join``): every
+    vector's top-3 neighbors — the all-rows generalization of
+    ``ann_topk`` and the primitive under SemDeDup clustering / recsys
+    candidate generation. Corpus matrix broadcast once via ray.put, one
+    (batch × corpus) matmul per batch, candidates complete at the
+    tie boundary (everything ≥ the k-th score enters the id
+    tie-break), no pairwise shuffle; IVF is the documented path past
+    broadcast scale. Ranks value-check against DuckDB's cross-join
+    row_number."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = similarity.knn_join(ds, k=3)
+    return out.map_batches(
+        lambda t: t.select(["src_id", "nbr_id", "rank"]),
+        batch_format="pyarrow")
+
+
 def langid_documents(sf_dir: str):
     """Language-ID actor stage (SQL-oracled: the stopword-profile argmax +
     CJK-ratio heuristic is deterministic RE2 arithmetic, so the oracle
@@ -11693,6 +11710,7 @@ QUERIES = {
     "auto_join_orders_customer": auto_join_orders_customer,
     "expectations_report_events": expectations_report_events,
     "scd2_incremental_events": scd2_incremental_events,
+    "knn_join_embeddings": knn_join_embeddings,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
