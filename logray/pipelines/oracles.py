@@ -574,6 +574,24 @@ ORACLE_SQL: dict[str, str] = {
                n = 0 AS passed
         FROM v
     """,
+    "skyline_orders": """
+        WITH u AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                   o_orderdate AS d
+            FROM orders GROUP BY 1, 2),
+        s AS (
+            SELECT c, d,
+                   min(d) OVER (ORDER BY c DESC, d ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS pm
+            FROM u)
+        SELECT o.o_orderkey, o.o_orderdate,
+               round(CAST(s.c AS DOUBLE) / 100.0, 2) AS o_totalprice
+        FROM orders o
+        JOIN s ON CAST(round(o.o_totalprice * 100) AS BIGINT) = s.c
+              AND o.o_orderdate = s.d
+        WHERE s.pm IS NULL OR s.d < s.pm
+    """,
     "auto_join_orders_customer": """
         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
                round(sum(CAST(round(o_totalprice * 100) AS BIGINT))

@@ -4690,6 +4690,53 @@ def role_transition_counts_transcripts(sf_dir: str):
                                   {"n": ("n", "sum")})
 
 
+def skyline_orders(sf_dir: str):
+    """Pareto skyline (the classic dominance query): orders not
+    dominated on (maximize o_totalprice, minimize o_orderdate) — every
+    cheaper-later order is pruned. Distributable by the skyline algebra
+    identity skyline(A ∪ B) ⊆ skyline(skyline(A) ∪ skyline(B)): each
+    batch reduces to its LOCAL skyline vectorized (sort by price desc,
+    keep the strictly-running-min order dates), the candidates (tiny —
+    skylines are small on anticorrelated-free data) combine once on the
+    driver with the same kernel. Oracle: NOT EXISTS dominance. Exact
+    cents avoid float compare; dominance is strict-or-equal on both
+    dims with at least one strict."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        if "cents" not in df.columns:
+            df = df.assign(cents=(df["o_totalprice"] * 100.0).round()
+                           .astype(np.int64))
+        # dominance is decided on DISTINCT (price, date) points —
+        # exact ties survive together, so compute on uniques and
+        # fan survivors back out to their rows
+        u = (df[["cents", "o_orderdate"]].drop_duplicates()
+             .sort_values(["cents", "o_orderdate"],
+                          ascending=[False, True], kind="mergesort"))
+        d = u["o_orderdate"].to_numpy()
+        prev_min = np.concatenate(
+            ([np.datetime64("9999-01-01", "us")],
+             np.minimum.accumulate(d)[:-1]))
+        # unique points sorted by (price desc, date asc): an earlier
+        # point with date ≤ ours always strictly dominates
+        surv = u.loc[d < prev_min]
+        return df.merge(surv, on=["cents", "o_orderdate"])[
+            ["o_orderkey", "o_orderdate", "cents"]]
+
+    cand = ds.map_batches(local_skyline,
+                          batch_format="pandas").to_pandas()
+    final = local_skyline(cand)
+    final = final.sort_values("o_orderkey").reset_index(drop=True)
+    return pa.table({
+        "o_orderkey": pa.array(final["o_orderkey"].astype(np.int64)),
+        "o_orderdate": pa.array(final["o_orderdate"],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array(
+            (final["cents"].astype(np.float64) / 100.0).round(2),
+            pa.float64())})
+
+
 def auto_join_orders_customer(sf_dir: str):
     """Adaptive join planning (``relational.auto_join`` — the AQE
     decision made explicit): right-side row count and a sampled left-key
@@ -11711,6 +11758,7 @@ QUERIES = {
     "expectations_report_events": expectations_report_events,
     "scd2_incremental_events": scd2_incremental_events,
     "knn_join_embeddings": knn_join_embeddings,
+    "skyline_orders": skyline_orders,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,

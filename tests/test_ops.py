@@ -3439,3 +3439,36 @@ def test_auto_join_picks_each_strategy_and_results_match(ray_session):
         outs[expect] = norm(ds.to_pandas())
         ref = ref or outs[expect]
     assert outs["broadcast"] == outs["skew"] == outs["hash"]
+
+
+def test_skyline_matches_bruteforce_dominance(ray_session, tmp_path):
+    """Skyline survivors == brute-force NOT-EXISTS dominance, including
+    exact (price, date) ties that must BOTH survive."""
+    import pyarrow.parquet as _pq
+
+    from logray.pipelines.queries import skyline_orders
+
+    rng = np.random.default_rng(83)
+    n = 400
+    price = np.round(rng.uniform(10, 1000, n), 2)
+    days = rng.integers(0, 200, n)
+    # planted exact tie on the global best point
+    best = np.argmax(price - days * 0.001)
+    price[5], days[5] = price[best], days[best]
+    dates = (np.datetime64("1995-01-01", "us")
+             + days.astype("timedelta64[D]").astype("timedelta64[us]"))
+    t = pa.table({"o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+                  "o_orderdate": pa.array(dates),
+                  "o_totalprice": pa.array(price, pa.float64())})
+    _pq.write_table(t, tmp_path / "orders.parquet")
+    got = set(skyline_orders(str(tmp_path))["o_orderkey"].to_pylist())
+
+    c = np.round(price * 100).astype(np.int64)
+    want = set()
+    for i in range(n):
+        dom = ((c >= c[i]) & (days <= days[i])
+               & ((c > c[i]) | (days < days[i])))
+        if not dom.any():
+            want.add(i)
+    assert got == want
+    assert 5 in got and best in got  # the tie pair both survive
