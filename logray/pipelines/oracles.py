@@ -574,6 +574,27 @@ ORACLE_SQL: dict[str, str] = {
                n = 0 AS passed
         FROM v
     """,
+    "missing_partitions_events": """
+        WITH d AS (
+            SELECT date_trunc('day', ts) AS day, count(*) AS n
+            FROM events GROUP BY 1),
+        b AS (SELECT min(day) AS lo, max(day) AS hi,
+                     CAST(count(*) AS BIGINT) AS present,
+                     median(n) AS med
+              FROM d),
+        cal AS (SELECT unnest(generate_series(
+                    (SELECT lo FROM b), (SELECT hi FROM b),
+                    INTERVAL 1 DAY)) AS day)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM cal)
+                   AS n_days_expected,
+               (SELECT present FROM b) AS n_days_present,
+               (SELECT CAST(count(*) AS BIGINT) FROM cal
+                WHERE day NOT IN (SELECT day FROM d)) AS n_missing,
+               (SELECT CAST(count(*) AS BIGINT) FROM d, b
+                WHERE 4 * n < med) AS n_sparse,
+               (SELECT lo FROM b) AS first_day,
+               (SELECT hi FROM b) AS last_day
+    """,
     "skyline_orders": """
         WITH u AS (
             SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,

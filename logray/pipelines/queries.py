@@ -4690,6 +4690,40 @@ def role_transition_counts_transcripts(sf_dir: str):
                                   {"n": ("n", "sum")})
 
 
+def missing_partitions_events(sf_dir: str):
+    """Backfill planning: which calendar days between the stream's first
+    and last event have NO data (the partitions a scheduler must
+    re-run), plus sparse days under 25% of the median daily volume (the
+    partial-load suspects). One combiner pass reduces the stream to
+    per-day counts; the calendar diff is driver-side over O(days)
+    rows. Emits a one-row audit summary (never empty — the empty-frame
+    oracle trap from the round-2 notes); SQL re-derives the calendar
+    via generate_series."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def per_day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.cast(
+            pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us"))})
+
+    days = relational.grouped_agg(
+        ds.map_batches(per_day, batch_format="pyarrow"),
+        ["day"], {"n": ("day", "count")}).to_pandas().sort_values("day")
+    lo, hi = days["day"].min(), days["day"].max()
+    cal = pd.date_range(lo, hi, freq="D")
+    obs = dict(zip(days["day"], days["n"]))
+    med = float(days["n"].median())
+    n_missing = sum(1 for d in cal if d not in obs)
+    n_sparse = sum(1 for d in cal
+                   if obs.get(d, 0) > 0 and 4 * obs.get(d, 0) < med)
+    return pa.table({
+        "n_days_expected": pa.array([len(cal)], pa.int64()),
+        "n_days_present": pa.array([len(days)], pa.int64()),
+        "n_missing": pa.array([int(n_missing)], pa.int64()),
+        "n_sparse": pa.array([int(n_sparse)], pa.int64()),
+        "first_day": pa.array([lo], pa.timestamp("us")),
+        "last_day": pa.array([hi], pa.timestamp("us"))})
+
+
 def skyline_orders(sf_dir: str):
     """Pareto skyline (the classic dominance query): orders not
     dominated on (maximize o_totalprice, minimize o_orderdate) — every
@@ -11759,6 +11793,7 @@ QUERIES = {
     "scd2_incremental_events": scd2_incremental_events,
     "knn_join_embeddings": knn_join_embeddings,
     "skyline_orders": skyline_orders,
+    "missing_partitions_events": missing_partitions_events,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
