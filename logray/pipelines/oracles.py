@@ -574,6 +574,32 @@ ORACLE_SQL: dict[str, str] = {
                n = 0 AS passed
         FROM v
     """,
+    "seasonal_naive_backtest_events": """
+        WITH c AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+        b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM c),
+        g AS (
+            SELECT t.event_type, h.hour
+            FROM (SELECT DISTINCT event_type FROM c) t
+            CROSS JOIN (SELECT unnest(generate_series(
+                (SELECT lo FROM b), (SELECT hi FROM b),
+                INTERVAL 1 HOUR)) AS hour) h),
+        d AS (
+            SELECT g.event_type, g.hour, coalesce(c.n, 0) AS n
+            FROM g LEFT JOIN c USING (event_type, hour)),
+        l AS (
+            SELECT event_type, hour, n,
+                   lag(n, 168) OVER (PARTITION BY event_type
+                                     ORDER BY hour) AS pred
+            FROM d)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval_hours,
+               CAST(sum(abs(n - pred)) AS DOUBLE) / count(*) AS mae
+        FROM l, b
+        WHERE hour >= hi - INTERVAL 167 HOUR AND pred IS NOT NULL
+        GROUP BY event_type
+    """,
     "missing_partitions_events": """
         WITH d AS (
             SELECT date_trunc('day', ts) AS day, count(*) AS n

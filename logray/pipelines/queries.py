@@ -4690,6 +4690,47 @@ def role_transition_counts_transcripts(sf_dir: str):
                                   {"n": ("n", "sum")})
 
 
+def seasonal_naive_backtest_events(sf_dir: str):
+    """Forecast backtesting with the seasonal-naive baseline (the
+    model every capacity forecast is judged against): per event type,
+    predict each hour's event count with the same-hour-last-week count
+    (lag 168) and score MAE over the final 7 days. One combiner pass
+    reduces the stream to (type, hour) counts; the dense hour×type grid
+    (absent hours count 0), lag and error are driver-side over O(hours
+    × types) rows. Integer errors → the MAE division is the only
+    float, identical in SQL."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
+                            pa.timestamp("us"))})
+
+    counts = relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hour"], {"n": ("hour", "count")}).to_pandas()
+    lo, hi = counts["hour"].min(), counts["hour"].max()
+    grid = pd.date_range(lo, hi, freq="h")
+    out_rows = []
+    for et, g in counts.groupby("event_type"):
+        s = g.set_index("hour")["n"].reindex(grid, fill_value=0) \
+            .astype(np.int64)
+        pred = s.shift(168)
+        err = (s - pred).abs()
+        cut = hi - pd.Timedelta(hours=167)
+        ev = err[err.index >= cut].dropna()
+        out_rows.append((et, int(len(ev)),
+                         float(ev.sum()) / float(len(ev))))
+    out = pd.DataFrame(out_rows,
+                       columns=["event_type", "n_eval_hours", "mae"])
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_eval_hours": pa.array(out["n_eval_hours"].astype(np.int64)),
+        "mae": pa.array(out["mae"], pa.float64())})
+
+
 def missing_partitions_events(sf_dir: str):
     """Backfill planning: which calendar days between the stream's first
     and last event have NO data (the partitions a scheduler must
@@ -11794,6 +11835,7 @@ QUERIES = {
     "knn_join_embeddings": knn_join_embeddings,
     "skyline_orders": skyline_orders,
     "missing_partitions_events": missing_partitions_events,
+    "seasonal_naive_backtest_events": seasonal_naive_backtest_events,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
