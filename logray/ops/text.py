@@ -1125,3 +1125,22 @@ def extract_links(texts) -> pa.ListArray:
     out_offs = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(kept_counts, out=out_offs[1:])
     return pa.ListArray.from_arrays(pa.array(out_offs, pa.int32()), vals)
+
+
+def html_to_text(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Boilerplate-free text from simple HTML: tags strip to spaces
+    (one RE2 pass), the five standard entities decode with ``&amp;``
+    LAST — so a literal ``&amp;lt;`` correctly renders ``&lt;`` rather
+    than double-decoding — and whitespace collapses to single spaces.
+    All pyarrow kernel passes, no per-row Python; the crawl-lane
+    text-extraction stage between WARC ingest and the document
+    cleanup funnel."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    s = pc.replace_substring_regex(arr, pattern=r"<[^>]*>",
+                                   replacement=" ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")):
+        s = pc.replace_substring(s, pattern=ent, replacement=ch)
+    s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(s)

@@ -4560,6 +4560,15 @@ ORACLE_SQL["warc_ingest_responses"] = f"""
     FROM read_parquet('{_MEDIA}/warc/truth.parquet')
 """
 
+# Text extraction: expected text was BUILT from the fixture's word /
+# anchor components at pack time (no parser involved); the distributed
+# extractor must recover it from HTML bytes alone.
+ORACLE_SQL["warc_text_extract"] = f"""
+    SELECT rec_id, body_text AS text
+    FROM read_parquet('{_MEDIA}/warc/truth.parquet')
+    WHERE body_text IS NOT NULL
+"""
+
 # Access-log (CLF) lane: truth sidecar written beside the .log shards;
 # the parser must re-derive every field from text alone.
 # WARC host graph: the links.parquet sidecar records every ABSOLUTE

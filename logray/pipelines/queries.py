@@ -9730,10 +9730,16 @@ def _warc_dir() -> str:
     from ..sources import make_warc_shards
 
     p = Path(_MEDIA_CACHE) / "warc"
-    # links.parquet arrived with the hyperlink-planting fixture revision;
-    # its absence means a pre-revision cache — regenerate (deterministic,
-    # same shard names)
-    if not (p / "truth.parquet").exists() or not (p / "links.parquet").exists():
+    # links.parquet arrived with the hyperlink-planting fixture revision,
+    # truth.body_text with the text-extraction revision; a missing piece
+    # means a pre-revision cache — regenerate (deterministic, same shard
+    # names, all sidecars rewritten together)
+    stale = (not (p / "truth.parquet").exists()
+             or not (p / "links.parquet").exists())
+    if not stale:
+        stale = "body_text" not in pq.read_schema(
+            p / "truth.parquet").names
+    if stale:
         make_warc_shards(p)
     return str(p)
 
@@ -9808,6 +9814,34 @@ def warc_link_hostgraph(sf_dir: str):
     e = ds.map_batches(edges, batch_format="pyarrow")
     return relational.grouped_agg(e, ["src_host", "tgt_host"],
                                   {"n_links": ("src_host", "count")})
+
+
+def warc_text_extract(sf_dir: str):
+    """Crawl text extraction (``text.html_to_text`` — the stage between
+    WARC ingest and the document cleanup funnel): HTML response bodies
+    strip to boilerplate-free text with tag removal, correct-order
+    entity decoding (``&amp;`` last, so a literal ``&amp;lt;`` renders
+    ``&lt;``) and whitespace collapse, all pyarrow kernel passes.
+    Value-checked against the GENERATION-TIME expected text (built from
+    the fixture's word/anchor components, not by running any parser) —
+    the extractor must recover it from container bytes alone. robots.txt
+    responses (text/plain) are skipped by record id."""
+    from ..sources import read_warc_shards
+
+    ds = read_warc_shards(_warc_dir())
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.equal(t["rec_type"], "response"),
+            pc.match_substring(t["rec_id"], "uuid:resp-")))
+        payload = t["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        html = pc.cast(payload, pa.string())
+        return pa.table({"rec_id": t["rec_id"],
+                         "text": text_ops.html_to_text(html)})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
 
 
 def robots_filter_warc(sf_dir: str):
@@ -11836,6 +11870,7 @@ QUERIES = {
     "skyline_orders": skyline_orders,
     "missing_partitions_events": missing_partitions_events,
     "seasonal_naive_backtest_events": seasonal_naive_backtest_events,
+    "warc_text_extract": warc_text_extract,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,

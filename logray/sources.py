@@ -576,9 +576,16 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
             b"software: logray-fixture\r\n"))
     truth = {"rec_id": [], "shard": [], "host": [], "status": [],
              "n_bytes": [], "body_crc32": [], "path": [],
-             "robots_allowed": []}
+             "robots_allowed": [], "body_text": []}
     links: dict[str, list] = {"rec_id": [], "src_host": [], "target": []}
-    bodies: list[tuple[bytes, list[str]]] = []
+    # (html form, rendered text) hazard words: entity decoding — &amp;
+    # must decode LAST so literal "&amp;lt;" renders "&lt;" — plus an
+    # inline tag that strips to its text
+    specials = [("r&amp;d", "r&d"), ("&lt;tag&gt;", "<tag>"),
+                ('&quot;quoted&quot;', '"quoted"'),
+                ("A&#39;s", "A's"), ("<b>inline</b>", "inline"),
+                ("&amp;lt;", "&lt;")]
+    bodies: list[tuple[bytes, list[str], str]] = []
     for i in range(n):
         k = i % shards
         h_idx = int(rng.integers(0, n_hosts))
@@ -592,22 +599,32 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
             # exact-duplicate body (mirror crawl / CDN copy): reuse a
             # prior record's bytes AND its planted absolute links so the
             # links sidecar stays byte-faithful
-            body, targets = bodies[i - 13]
+            body, targets, body_text = bodies[i - 13]
         else:
-            body_words = rng.choice(words, size=int(rng.integers(5, 120)))
-            anchors, targets = [], []
+            body_words = list(rng.choice(words,
+                                         size=int(rng.integers(5, 120))))
+            text_words = list(body_words)
+            if i % 3 == 1:  # entity / inline-tag hazards
+                sp = specials[int(rng.integers(0, len(specials)))]
+                pos = int(rng.integers(0, len(body_words) + 1))
+                body_words.insert(pos, sp[0])
+                text_words.insert(pos, sp[1])
+            anchors, anchor_texts, targets = [], [], []
             for _ in range(int(rng.integers(0, 5))):
                 tgt_host = f"host-{int(rng.integers(0, 12)):02d}.example"
                 tgt = (f"http://{tgt_host}/page/"
                        f"{int(rng.integers(0, 10000))}")
                 anchors.append(f'<a href="{tgt}">link</a>')
+                anchor_texts.append("link")
                 targets.append(tgt)
             if i % 7 == 0:  # relative href: extractors must drop it
                 anchors.append('<a href="/local/nav">nav</a>')
+                anchor_texts.append("nav")
             body = ("<html><body>" + " ".join(body_words) + " "
                     + " ".join(anchors)
                     + f" doc {i}</body></html>").encode()
-        bodies.append((body, targets))
+            body_text = " ".join(text_words + anchor_texts + [f"doc {i}"])
+        bodies.append((body, targets, body_text))
         for tgt in targets:
             links["rec_id"].append(f"<urn:uuid:resp-{i:06d}>")
             links["src_host"].append(host)
@@ -635,6 +652,7 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
         truth["body_crc32"].append(zlib.crc32(body))
         truth["path"].append(path)
         truth["robots_allowed"].append(allowed)
+        truth["body_text"].append(body_text)
     # one /robots.txt response per host (text/plain; deliberately NOT in
     # the truth rollup columns the page queries use — robots_allowed is
     # null). Engines must read the rules from crawl bytes alone.
@@ -658,6 +676,7 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
         truth["body_crc32"].append(zlib.crc32(body))
         truth["path"].append("/robots.txt")
         truth["robots_allowed"].append(None)
+        truth["body_text"].append(None)  # not HTML; extractor skips
     for k in range(shards):
         name = names[k]
         if name.endswith(".gz"):
@@ -675,6 +694,7 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
         "body_crc32": pa.array(truth["body_crc32"], pa.int64()),
         "path": pa.array(truth["path"], pa.string()),
         "robots_allowed": pa.array(truth["robots_allowed"], pa.bool_()),
+        "body_text": pa.array(truth["body_text"], pa.string()),
     }), out / "truth.parquet")
     _pq.write_table(pa.table({
         "rec_id": pa.array(links["rec_id"], pa.string()),
