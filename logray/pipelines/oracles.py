@@ -574,6 +574,19 @@ ORACLE_SQL: dict[str, str] = {
                n = 0 AS passed
         FROM v
     """,
+    "l_diversity_events": """
+        WITH q AS (
+            SELECT event_type,
+                   CAST(floor(value * 0.02) AS BIGINT) AS vb, user_id
+            FROM events),
+        g AS (
+            SELECT event_type, vb, CAST(count(*) AS BIGINT) AS group_size,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
+            FROM q GROUP BY 1, 2)
+        SELECT event_type, vb, group_size, n_sensitive,
+               n_sensitive >= 3 AS diverse
+        FROM g WHERE group_size >= 20
+    """,
     "seasonal_naive_backtest_events": """
         WITH c AS (
             SELECT event_type, date_trunc('hour', ts) AS hour,

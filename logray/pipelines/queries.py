@@ -5274,6 +5274,42 @@ def topk_with_ties_events(sf_dir: str):
         batch_format="pyarrow")
 
 
+def l_diversity_events(sf_dir: str, k: int = 20, l: int = 3):
+    """l-diversity audit — the privacy check k-anonymity alone misses:
+    a QI group can be large yet reveal everyone's sensitive value if it
+    is homogeneous. Over the k-anonymity-surviving quasi-identifier
+    groups (same QI as ``k_anonymize_events``: event_type × value/50
+    bucket), the sensitive attribute is the user id; one combiner
+    exchange over (QI, user) distinct pairs gives each group's distinct
+    sensitive count, reported with the l≥3 verdict. Output: per-QI-group
+    size, distinct sensitive values, diverse flag — only groups ≥ k."""
+    ds = _read(sf_dir, "events", ["event_type", "value", "user_id"])
+
+    def add_qi(t: pa.Table) -> pa.Table:
+        vb = pc.cast(pc.floor(pc.multiply(t["value"], 0.02)), pa.int64())
+        return pa.table({"event_type": t["event_type"], "vb": vb,
+                         "user_id": t["user_id"]})
+
+    qi = ds.map_batches(add_qi, batch_format="pyarrow")
+    sizes = relational.grouped_agg(qi, ["event_type", "vb"],
+                                   {"n": ("vb", "count")})
+    pairs = relational.grouped_agg(qi, ["event_type", "vb", "user_id"],
+                                   {"m": ("user_id", "count")})
+    distinct = relational.grouped_agg(pairs, ["event_type", "vb"],
+                                      {"n_sensitive": ("user_id",
+                                                       "count")})
+    out = sizes.to_pandas().merge(distinct.to_pandas(),
+                                  on=["event_type", "vb"])
+    out = out[out["n"] >= k].sort_values(["event_type", "vb"]) \
+        .reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "vb": pa.array(out["vb"].astype(np.int64)),
+        "group_size": pa.array(out["n"].astype(np.int64)),
+        "n_sensitive": pa.array(out["n_sensitive"].astype(np.int64)),
+        "diverse": pa.array((out["n_sensitive"] >= l).astype(bool))})
+
+
 def k_anonymize_events(sf_dir: str, k: int = 20):
     """k-anonymity suppression (privacy prep for data release): the
     quasi-identifier is (event_type, value bucketed to width 50); rows
@@ -11871,6 +11907,7 @@ QUERIES = {
     "missing_partitions_events": missing_partitions_events,
     "seasonal_naive_backtest_events": seasonal_naive_backtest_events,
     "warc_text_extract": warc_text_extract,
+    "l_diversity_events": l_diversity_events,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
