@@ -3472,3 +3472,24 @@ def test_skyline_matches_bruteforce_dominance(ray_session, tmp_path):
             want.add(i)
     assert got == want
     assert 5 in got and best in got  # the tie pair both survive
+
+
+def test_html_to_text_entity_order_and_tags():
+    """Entity decode order: &amp; decodes LAST, so a literal &amp;lt;
+    renders '&lt;' and never double-decodes; tags strip to spaces and
+    whitespace collapses."""
+    from logray.ops.text import html_to_text
+
+    cases = {
+        "<html><body>a b</body></html>": "a b",
+        "x <b>bold</b> y": "x bold y",
+        "r&amp;d": "r&d",
+        "&amp;lt;": "&lt;",
+        "&lt;tag&gt;": "<tag>",
+        '&quot;q&quot; A&#39;s': '"q" A\'s',
+        "  lots\n\tof   space  ": "lots of space",
+        '<a href="http://h/p">link</a> tail': "link tail",
+        "": "",
+    }
+    out = html_to_text(pa.array(list(cases))).to_pylist()
+    assert out == list(cases.values())
