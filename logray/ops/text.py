@@ -1144,3 +1144,30 @@ def html_to_text(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
         s = pc.replace_substring(s, pattern=ent, replacement=ch)
     s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
     return pc.utf8_trim_whitespace(s)
+
+
+def sanitize_utf8(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Binary → valid-UTF-8 string with U+FFFD replacement — the
+    decoder real web crawls need (mojibake, truncated multibyte tails,
+    latin-1 strays). Fast path: one zero-copy cast attempt for the
+    whole array — clean batches (the overwhelming majority) never see
+    Python; only a batch Arrow rejects pays the per-row decode, with
+    ``errors='replace'`` applied just to rows strict decode refuses.
+    Nulls stay null."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    try:
+        return pc.cast(arr, pa.string())
+    except pa.ArrowInvalid:
+        pass
+    out = []
+    for v in arr:
+        b = v.as_py()
+        if b is None:
+            out.append(None)
+            continue
+        try:
+            out.append(b.decode("utf-8"))
+        except UnicodeDecodeError:
+            out.append(b.decode("utf-8", errors="replace"))
+    return pa.array(out, pa.string())

@@ -9772,9 +9772,9 @@ def _warc_dir() -> str:
     # names, all sidecars rewritten together)
     stale = (not (p / "truth.parquet").exists()
              or not (p / "links.parquet").exists())
-    if not stale:
-        stale = "body_text" not in pq.read_schema(
-            p / "truth.parquet").names
+    if not stale:  # rev 3 = body_text sidecar + utf8 hazards
+        rev = p / "fixture_rev"
+        stale = not rev.exists() or int(rev.read_text()) < 3
     if stale:
         make_warc_shards(p)
     return str(p)
@@ -9833,7 +9833,9 @@ def warc_link_hostgraph(sf_dir: str):
         if isinstance(url, pa.ChunkedArray):
             url = url.combine_chunks()
         src = pc.extract_regex(url, r"^https?://(?P<h>[^/]+)/").field("h")
-        body = pc.cast(t["payload"], pa.string())
+        # lossy-decode: crawl bodies carry invalid UTF-8 (fixture rev 3
+        # plants some); a plain cast would abort the whole task
+        body = text_ops.sanitize_utf8(t["payload"])
         links = extract_links(body)
         counts = pc.list_value_length(links).to_numpy(zero_copy_only=False)
         src_rep = src.take(pa.array(np.repeat(
@@ -9870,10 +9872,9 @@ def warc_text_extract(sf_dir: str):
         t = t.filter(pc.and_(
             pc.equal(t["rec_type"], "response"),
             pc.match_substring(t["rec_id"], "uuid:resp-")))
-        payload = t["payload"]
-        if isinstance(payload, pa.ChunkedArray):
-            payload = payload.combine_chunks()
-        html = pc.cast(payload, pa.string())
+        # real crawls carry invalid UTF-8 (the fixture plants some):
+        # lossy-decode with U+FFFD replacement, never throw
+        html = text_ops.sanitize_utf8(t["payload"])
         return pa.table({"rec_id": t["rec_id"],
                          "text": text_ops.html_to_text(html)})
 
@@ -9906,7 +9907,7 @@ def robots_filter_warc(sf_dir: str):
             url = url.combine_chunks()
         host = pc.extract_regex(url, r"^https?://(?P<h>[^/]+)/").field("h")
         return pa.table({"host": host,
-                         "txt": pc.cast(t["payload"], pa.string())})
+                         "txt": text_ops.sanitize_utf8(t["payload"])})
 
     rdf = ds.map_batches(rules, batch_format="pyarrow").to_pandas()
     ref = ray.put(dict(zip(rdf["host"], rdf["txt"])))
@@ -9959,7 +9960,7 @@ def crawl_funnel_warc(sf_dir: str):
             url = url.combine_chunks()
         host = pc.extract_regex(url, r"^https?://(?P<h>[^/]+)/").field("h")
         return pa.table({"host": host,
-                         "txt": pc.cast(t["payload"], pa.string())})
+                         "txt": text_ops.sanitize_utf8(t["payload"])})
 
     rdf = ds.map_batches(rules, batch_format="pyarrow").to_pandas()
     ref = ray.put(dict(zip(rdf["host"], rdf["txt"])))

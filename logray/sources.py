@@ -609,6 +609,11 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
                 pos = int(rng.integers(0, len(body_words) + 1))
                 body_words.insert(pos, sp[0])
                 text_words.insert(pos, sp[1])
+            if i % 23 == 21:
+                # invalid-UTF-8 hazard: a latin-1 stray byte the
+                # extractor must decode with U+FFFD replacement
+                body_words.append("UTF8HAZARD")
+                text_words.append("caf�")
             anchors, anchor_texts, targets = [], [], []
             for _ in range(int(rng.integers(0, 5))):
                 tgt_host = f"host-{int(rng.integers(0, 12)):02d}.example"
@@ -623,6 +628,7 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
             body = ("<html><body>" + " ".join(body_words) + " "
                     + " ".join(anchors)
                     + f" doc {i}</body></html>").encode()
+            body = body.replace(b"UTF8HAZARD", b"caf\xe9")
             body_text = " ".join(text_words + anchor_texts + [f"doc {i}"])
         bodies.append((body, targets, body_text))
         for tgt in targets:
@@ -701,6 +707,7 @@ def make_warc_shards(out_dir, n: int = 180, shards: int = 6,
         "src_host": pa.array(links["src_host"], pa.string()),
         "target": pa.array(links["target"], pa.string()),
     }), out / "links.parquet")
+    (out / "fixture_rev").write_text("3\n")  # rev 3: utf8 hazards
     return {"shards": shards, "responses": n, "dir": str(out)}
 
 

@@ -3493,3 +3493,14 @@ def test_html_to_text_entity_order_and_tags():
     }
     out = html_to_text(pa.array(list(cases))).to_pylist()
     assert out == list(cases.values())
+
+
+def test_sanitize_utf8_replacement_paths():
+    from logray.ops.text import sanitize_utf8
+
+    clean = pa.array([b"plain", b"caf\xc3\xa9", None], pa.binary())
+    assert sanitize_utf8(clean).to_pylist() == ["plain", "café", None]
+    dirty = pa.array([b"ok", b"caf\xe9 x", b"\xff\xfe", None],
+                     pa.binary())
+    assert sanitize_utf8(dirty).to_pylist() == [
+        "ok", "caf� x", "��", None]
