@@ -4173,6 +4173,42 @@ ORACLE_SQL["editdist_pairs_suppliers"] = """
     WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
+ORACLE_SQL["conversion_ab_ztest_events"] = """
+    WITH u AS (
+        SELECT user_id,
+               CAST(floor(date_part('epoch', date_trunc('day', ts))
+                    / 86400) AS BIGINT) AS day,
+               (user_id + CAST(floor(date_part('epoch',
+                    date_trunc('day', ts)) / 86400) AS BIGINT)) % 2
+                   AS wk,
+               max(CASE WHEN event_type = 'purchase'
+                   THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1, 2, 3),
+    s AS (
+        SELECT CAST(sum(CASE WHEN wk = 0 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS n0,
+               CAST(sum(CASE WHEN wk = 0 THEN conv ELSE 0 END)
+                    AS DOUBLE) AS x0,
+               CAST(sum(CASE WHEN wk = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS n1,
+               CAST(sum(CASE WHEN wk = 1 THEN conv ELSE 0 END)
+                    AS DOUBLE) AS x1
+        FROM u)
+    SELECT CAST(n0 AS BIGINT) AS n_arm0,
+           CAST(n1 AS BIGINT) AS n_arm1,
+           CAST(x0 AS BIGINT) AS conv_arm0,
+           CAST(x1 AS BIGINT) AS conv_arm1,
+           (x1 / n1 - x0 / n0)
+               / sqrt(((x0 + x1) / (n0 + n1))
+                      * (1 - (x0 + x1) / (n0 + n1))
+                      * (1 / n0 + 1 / n1)) AS z,
+           abs((x1 / n1 - x0 / n0)
+               / sqrt(((x0 + x1) / (n0 + n1))
+                      * (1 - (x0 + x1) / (n0 + n1))
+                      * (1 / n0 + 1 / n1))) > 1.959964 AS reject_05
+    FROM s
+"""
+
 ORACLE_SQL["mannwhitney_weekend_value_events"] = """
     WITH v AS (
         SELECT CAST(round(value * 100) AS BIGINT) AS cents,

@@ -6510,6 +6510,46 @@ def sliding_3h_distinct_users(sf_dir: str):
         "within_5pct": pa.array(out["within_5pct"].astype(bool))})
 
 
+def conversion_ab_ztest_events(sf_dir: str):
+    """Two-proportion z-test on conversion (the A/B readout): does the
+    conversion rate differ between the two experiment arms? Units are
+    user-DAYS (user-level conversion saturates at 100% on this dense
+    fixture), deterministically assigned arm = (user_id + epoch_day)
+    % 2 — the canonical stable bucketing; converted = the user-day saw
+    ≥1 purchase. One combiner exchange reduces the stream to per-unit
+    converted flags, the pooled-rate z statistic is a fixed-order
+    float expression identical in SQL. On an unbiased split the test
+    should NOT reject — a rejection here is the guardrail firing."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                                pa.int64()), 86_400_000_000)
+        return pa.table({
+            "user_id": t["user_id"], "day": day,
+            "conv": pc.cast(pc.equal(t["event_type"], "purchase"),
+                            pa.int64())})
+
+    per_unit = relational.grouped_agg(
+        ds.map_batches(flags, batch_format="pyarrow"),
+        ["user_id", "day"], {"conv": ("conv", "max")}).to_pandas()
+    per_unit["wk"] = ((per_unit["user_id"] + per_unit["day"]) % 2) \
+        .astype(int)
+    g = per_unit.groupby("wk")["conv"].agg(["count", "sum"])
+    n0, x0 = float(g.loc[0, "count"]), float(g.loc[0, "sum"])
+    n1, x1 = float(g.loc[1, "count"]), float(g.loc[1, "sum"])
+    p_pool = (x0 + x1) / (n0 + n1)
+    se = np.sqrt(p_pool * (1 - p_pool) * (1 / n0 + 1 / n1))
+    z = (x1 / n1 - x0 / n0) / se
+    return pa.table({
+        "n_arm0": pa.array([int(n0)], pa.int64()),
+        "n_arm1": pa.array([int(n1)], pa.int64()),
+        "conv_arm0": pa.array([int(x0)], pa.int64()),
+        "conv_arm1": pa.array([int(x1)], pa.int64()),
+        "z": pa.array([float(z)], pa.float64()),
+        "reject_05": pa.array([bool(abs(z) > 1.959964)])})
+
+
 def mannwhitney_weekend_value_events(sf_dir: str):
     """Mann–Whitney U rank-sum test (weekend vs weekday values) — the
     nonparametric location test beside the KS distribution test and the
@@ -11909,6 +11949,7 @@ QUERIES = {
     "seasonal_naive_backtest_events": seasonal_naive_backtest_events,
     "warc_text_extract": warc_text_extract,
     "l_diversity_events": l_diversity_events,
+    "conversion_ab_ztest_events": conversion_ab_ztest_events,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
