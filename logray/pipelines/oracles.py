@@ -4679,6 +4679,17 @@ ORACLE_SQL["logfmt_svc_level_stats"] = f"""
     GROUP BY 1, 2
 """
 
+ORACLE_SQL["logfmt_conv_traces"] = f"""
+    SELECT conv, count(*) AS n,
+           CAST(sum(CASE WHEN level = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_err,
+           CAST(coalesce(sum(dur_ms), 0) AS BIGINT) AS total_ms,
+           CAST(min(turn) AS BIGINT) AS min_turn,
+           CAST(max(turn) AS BIGINT) AS max_turn
+    FROM read_parquet('{_MEDIA}/logfmt/truth.parquet')
+    GROUP BY conv
+"""
+
 ORACLE_SQL["access_log_status_rollup"] = f"""
     SELECT method, CAST(status // 100 AS VARCHAR) || 'xx' AS status_class,
            count(*) AS n_req,

@@ -10107,6 +10107,34 @@ def logfmt_svc_level_stats(sf_dir: str):
          "total_ms": ("dur_ms", "sum")})
 
 
+def logfmt_conv_traces(sf_dir: str):
+    """Per-conversation trace rollup over the parsed logfmt lane (the
+    span-aggregation view a tracing UI renders): per conv — record
+    count, error count, summed duration over present dur_ms keys, and
+    the turn span. Combiner-first grouped aggregate over the envelope
+    output; oracled against the pack-time truth sidecar."""
+    from ..sources import read_logfmt
+
+    ds = read_logfmt(_logfmt_dir())
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t["parse_error"]))
+        return pa.table({
+            "conv": t["conv"],
+            "err": pc.fill_null(pc.cast(
+                pc.equal(t["level"], "error"), pa.int64()), 0),
+            "dur_ms": pc.fill_null(t["dur_ms"], 0),
+            "turn": pc.cast(t["turn"], pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["conv"], {"n": ("one", "sum"), "n_err": ("err", "sum"),
+                   "total_ms": ("dur_ms", "sum"),
+                   "min_turn": ("turn", "min"),
+                   "max_turn": ("turn", "max")})
+
+
 def access_log_ingest(sf_dir: str):
     """Common-Log-Format ingestion end-to-end (a THIRD raw-text format
     with its own envelope ruleset — sources.access_log_parse: one
@@ -11950,6 +11978,7 @@ QUERIES = {
     "warc_text_extract": warc_text_extract,
     "l_diversity_events": l_diversity_events,
     "conversion_ab_ztest_events": conversion_ab_ztest_events,
+    "logfmt_conv_traces": logfmt_conv_traces,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
