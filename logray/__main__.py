@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--rules", default=None, metavar="RULES_JSON",
                    help="declarative rule-table file (rules_io JSON) replacing "
                         "the frozen transcript ruleset")
+    r.add_argument("--follow", action="store_true",
+                   help="streaming micro-batch mode: poll in_dir and process "
+                        "newly-arrived partitions until idle")
+    r.add_argument("--poll-s", type=float, default=2.0)
+    r.add_argument("--max-idle-polls", type=int, default=3)
 
     x = sub.add_parser("rules", help="export the frozen rule table as JSON "
                                      "(edit + pass back via `run --rules`)")
@@ -111,9 +116,17 @@ def main(argv: list[str] | None = None) -> int:
                 from pathlib import Path
 
                 rules_json = Path(args.rules).read_text()
-            metrics = run_flagship(args.in_dir, args.out_dir,
-                                   resume=not args.no_resume,
-                                   rules_json=rules_json)
+            if args.follow:
+                from .pipelines.flagship import follow_flagship
+
+                metrics = follow_flagship(
+                    args.in_dir, args.out_dir, poll_s=args.poll_s,
+                    max_idle_polls=args.max_idle_polls,
+                    rules_json=rules_json)
+            else:
+                metrics = run_flagship(args.in_dir, args.out_dir,
+                                       resume=not args.no_resume,
+                                       rules_json=rules_json)
             print(json.dumps(metrics, default=str))
             return 0
 

@@ -303,3 +303,41 @@ def read_sink(out_dir: str | Path, sink: str):
 
         return ray.data.from_arrow(_pa.table({}))
     return ray.data.read_parquet(files)
+
+
+def follow_flagship(input_dir: str | Path, out_dir: str | Path, *,
+                    poll_hook=None, poll_s: float = 2.0,
+                    max_idle_polls: int = 3, **run_kwargs) -> dict:
+    """Streaming micro-batch mode (`run --follow`): poll the input
+    directory and process ONLY newly-arrived partitions each cycle —
+    partition-granular resume IS the incremental-ingest contract, so a
+    cycle is just ``run_flagship(resume=True)`` and already-committed
+    partitions cost one manifest stat each. The manifest rollup
+    re-aggregates after every cycle, so ``_aggregates.parquet`` is
+    always consistent with everything committed so far (exactly what a
+    cold batch run over the same files would write — equality-tested).
+
+    Stops after ``max_idle_polls`` consecutive cycles that found no new
+    partitions. ``poll_hook(cycle, metrics) -> bool`` (tests/embedders:
+    return False to stop immediately; arrival simulation happens here);
+    default sleeps ``poll_s`` between cycles. Returns the last cycle's
+    metrics plus ``cycles`` and ``total_new_partitions``."""
+    cycles = idle = total_new = 0
+    metrics: dict = {}
+    while True:
+        metrics = run_flagship(input_dir, out_dir, resume=True,
+                               **run_kwargs)
+        cycles += 1
+        new = len(metrics["partitions_ran"])
+        total_new += new
+        idle = idle + 1 if new == 0 else 0
+        if poll_hook is not None:
+            if not poll_hook(cycles, metrics):
+                break
+        if idle >= max_idle_polls:
+            break
+        if poll_hook is None and poll_s > 0:
+            time.sleep(poll_s)
+    metrics["cycles"] = cycles
+    metrics["total_new_partitions"] = total_new
+    return metrics

@@ -85,3 +85,42 @@ def test_sigkill_mid_run_then_resume(tmp_path):
     total_rows = sum(pq.read_metadata(f).num_rows for f in referenced)
     assert total_rows == meta["n_turns"]
     manifests.sweep_orphans(out)
+
+
+def test_follow_mode_staged_arrival_equals_cold_batch(ray_session, tmp_path):
+    """follow_flagship over files arriving in two waves produces byte-
+    identical aggregates to one cold batch run over all files."""
+    import pandas as pd
+
+    from logray.pipelines.flagship import follow_flagship, run_flagship
+
+    full = tmp_path / "full"
+    generate_corpus(0.004, full, with_expected=False)
+    files = sorted(full.glob("*.parquet"))
+    assert len(files) >= 4
+    live = tmp_path / "live"
+    live.mkdir()
+    for f in files[: len(files) // 2]:          # wave 1
+        (live / f.name).write_bytes(f.read_bytes())
+
+    def hook(cycle: int, metrics: dict) -> bool:
+        if cycle == 1:                           # wave 2 arrives
+            for f in files[len(files) // 2:]:
+                (live / f.name).write_bytes(f.read_bytes())
+            assert metrics["partitions_ran"]
+        return cycle < 4  # two data cycles + idle confirms
+
+    out_live = tmp_path / "out_live"
+    m = follow_flagship(str(live), str(out_live), poll_hook=hook,
+                        enrich_concurrency=2)
+    assert m["cycles"] >= 3 and m["total_new_partitions"] == len(files)
+
+    out_cold = tmp_path / "out_cold"
+    run_flagship(str(full), str(out_cold), enrich_concurrency=2)
+
+    a = pq.read_table(out_live / "_aggregates.parquet").to_pandas()
+    b = pq.read_table(out_cold / "_aggregates.parquet").to_pandas()
+    key = ["sink", "rule_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
