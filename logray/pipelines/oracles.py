@@ -4173,6 +4173,22 @@ ORACLE_SQL["editdist_pairs_suppliers"] = """
     WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
+ORACLE_SQL["hll_grouping_sets_users"] = """
+    SELECT 'type' AS level, event_type,
+           CAST(NULL AS TIMESTAMP) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'day', CAST(NULL AS VARCHAR), date_trunc('day', ts),
+           CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+    FROM events GROUP BY date_trunc('day', ts)
+    UNION ALL
+    SELECT 'all', NULL, NULL,
+           CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+    FROM events
+"""
+
 ORACLE_SQL["conversion_ab_ztest_events"] = """
     WITH u AS (
         SELECT user_id,

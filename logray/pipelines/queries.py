@@ -6464,6 +6464,99 @@ def autocorr_lag1_by_type(sf_dir: str):
         .sort_values("event_type").reset_index(drop=True)
 
 
+def hll_grouping_sets_users(sf_dir: str):
+    """COUNT DISTINCT across GROUPING SETS from ONE sketch pass: the
+    finest-grain (event_type, day) HLL registers merge UPWARD —
+    element-wise max — into the (event_type), (day) and grand-total
+    levels, so four distinct-count levels cost one scan plus
+    O(types×days) 4 KiB register rows; the naive plan runs four
+    distinct exchanges. Exact counts ride the same distinct-triple
+    combiner for the value check; tolerance booleans at 5%+3 (p=12
+    registers, SE≈1.6%)."""
+    from ..ops import sketch
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                           pa.timestamp("us")),
+            "user_id": t["user_id"]})
+
+    fine = ds.map_batches(prep, batch_format="pyarrow")
+
+    # one sketch pass at the finest grain; registers merge upward
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = {"event_type": [], "day": [], "_regs": []}
+        for (et, day), g in df.groupby(["event_type", "day"],
+                                       sort=False):
+            rows["event_type"].append(et)
+            rows["day"].append(day)
+            rows["_regs"].append(
+                sketch._hll_partial(g["user_id"], 12).tobytes())
+        return pa.table({
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "day": pa.array(rows["day"], pa.timestamp("us")),
+            "_regs": pa.array(rows["_regs"], pa.binary(4096))})
+
+    reg_rows = fine.map_batches(partial,
+                                batch_format="pyarrow").to_pandas()
+
+    def merged(group_keys) -> dict:
+        out: dict = {}
+        for key, g in reg_rows.groupby(group_keys) if group_keys else \
+                [((), reg_rows)]:
+            m = np.zeros(4096, np.uint8)
+            for b in g["_regs"]:
+                np.maximum(m, np.frombuffer(b, np.uint8), out=m)
+            out[key if isinstance(key, tuple) else (key,)] = int(
+                round(sketch._hll_estimate(m)))
+        return out
+
+    est_type = merged(["event_type"])
+    est_day = merged(["day"])
+    est_all = merged([])
+
+    # exact side: ONE distinct-triple combiner, grouped per level
+    triples = relational.grouped_agg(
+        fine, ["event_type", "day", "user_id"], {"n": ("user_id",
+                                                       "count")})
+    ex_type = relational.grouped_agg(
+        relational.grouped_agg(triples, ["event_type", "user_id"],
+                               {"n": ("user_id", "count")}),
+        ["event_type"], {"n": ("user_id", "count")}).to_pandas()
+    ex_day = relational.grouped_agg(
+        relational.grouped_agg(triples, ["day", "user_id"],
+                               {"n": ("user_id", "count")}),
+        ["day"], {"n": ("user_id", "count")}).to_pandas()
+    ex_all = int(relational.grouped_agg(
+        triples, ["user_id"], {"n": ("user_id", "count")}).count())
+
+    rows = []
+    for _, r in ex_type.iterrows():
+        e = est_type[(r["event_type"],)]
+        rows.append(("type", r["event_type"], None, int(r["n"]),
+                     abs(e - r["n"]) <= 0.05 * r["n"] + 3))
+    for _, r in ex_day.iterrows():
+        e = est_day[(r["day"],)]
+        rows.append(("day", None, r["day"], int(r["n"]),
+                     abs(e - r["n"]) <= 0.05 * r["n"] + 3))
+    rows.append(("all", None, None, ex_all,
+                 abs(est_all[()] - ex_all) <= 0.05 * ex_all + 3))
+    out = pd.DataFrame(rows, columns=["level", "event_type", "day",
+                                      "n_exact", "within_5pct"])
+    out = out.sort_values(["level", "event_type", "day"]) \
+        .reset_index(drop=True)
+    return pa.table({
+        "level": pa.array(out["level"], pa.string()),
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "day": pa.array(out["day"], pa.timestamp("us")),
+        "n_exact": pa.array(out["n_exact"].astype(np.int64)),
+        "within_5pct": pa.array(out["within_5pct"].astype(bool))})
+
+
 def sliding_3h_distinct_users(sf_dir: str):
     """Sliding-window COUNT DISTINCT via mergeable sketches: 3-hour
     windows hopping hourly, each event's hour feeding the 3 covering
@@ -11979,6 +12072,7 @@ QUERIES = {
     "l_diversity_events": l_diversity_events,
     "conversion_ab_ztest_events": conversion_ab_ztest_events,
     "logfmt_conv_traces": logfmt_conv_traces,
+    "hll_grouping_sets_users": hll_grouping_sets_users,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
