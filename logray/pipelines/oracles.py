@@ -4173,6 +4173,36 @@ ORACLE_SQL["editdist_pairs_suppliers"] = """
     WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
+ORACLE_SQL["merkle_reconcile_events"] = """
+    WITH base AS (
+        SELECT event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               event_id // 1000 AS rng
+        FROM events),
+    a AS (
+        SELECT rng,
+               sum(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                   || ':' || CAST(cents AS VARCHAR)), 1, 13))
+                   AS BIGINT)) AS dig,
+               CAST(count(*) AS BIGINT) AS n
+        FROM base GROUP BY rng),
+    bb AS (
+        SELECT rng,
+               sum(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                   || ':' || CAST(cents2 AS VARCHAR)), 1, 13))
+                   AS BIGINT)) AS dig,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT rng, event_id,
+                     CASE WHEN event_id % 7919 = 3 THEN cents + 1
+                          ELSE cents END AS cents2
+              FROM base WHERE event_id % 9973 <> 7)
+        GROUP BY rng)
+    SELECT coalesce(a.rng, bb.rng) AS rng,
+           coalesce(a.n, 0) AS n_a, coalesce(bb.n, 0) AS n_b
+    FROM a FULL OUTER JOIN bb ON a.rng = bb.rng
+    WHERE coalesce(a.dig, 0) <> coalesce(bb.dig, 0)
+"""
+
 ORACLE_SQL["hll_grouping_sets_users"] = """
     SELECT 'type' AS level, event_type,
            CAST(NULL AS TIMESTAMP) AS day,

@@ -4637,6 +4637,60 @@ def peak_concurrency_transcripts(sf_dir: str):
                                   {"peak": ("running", "max")})
 
 
+def merkle_reconcile_events(sf_dir: str):
+    """Anti-entropy snapshot reconciliation by RANGE DIGESTS (the
+    Merkle/Cassandra-repair shape): two replicas compare per-key-range
+    digest sums — order-free int64 sums of per-row md5 digests, so a
+    range's digest combines from batch partials in one tiny exchange —
+    and only ranges whose digests differ need row-level repair; the
+    rows themselves never move to compare. Replica B is derived
+    deterministically (one row deleted at event_id%9973==7, one value
+    mutated at %7919==3), so the divergent-range report value-checks in
+    SQL with the identical md5 digest arithmetic. Emits mismatched
+    ranges with per-side counts."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def digests(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                            pa.int64()).to_numpy(zero_copy_only=False) \
+                .copy()
+            if side == "b":
+                keep = (eid % 9973) != 7
+                eid, cents = eid[keep], cents[keep]
+                cents = np.where((eid % 7919) == 3, cents + 1, cents)
+            dig = np.fromiter(
+                (int(hashlib.md5(f"{e}:{c}".encode()).hexdigest()[:13],
+                     16) for e, c in zip(eid, cents)),
+                dtype=np.int64, count=len(eid))
+            return pa.table({
+                "rng": pa.array(eid // 1000, pa.int64()),
+                "dig": pa.array(dig), "one": pa.array(
+                    np.ones(len(eid), np.int64))})
+        return fn
+
+    def per_range(side: str) -> pd.DataFrame:
+        return relational.grouped_agg(
+            ds.map_batches(digests(side), batch_format="pyarrow"),
+            ["rng"], {"digest": ("dig", "sum"), "n": ("one", "sum")}
+        ).to_pandas()
+
+    a = per_range("a").rename(columns={"digest": "dig_a", "n": "n_a"})
+    b = per_range("b").rename(columns={"digest": "dig_b", "n": "n_b"})
+    m = a.merge(b, on="rng", how="outer")
+    for c in ("dig_a", "n_a", "dig_b", "n_b"):
+        m[c] = m[c].fillna(0).astype(np.int64)
+    bad = m[m["dig_a"] != m["dig_b"]].sort_values("rng") \
+        .reset_index(drop=True)
+    return pa.table({
+        "rng": pa.array(bad["rng"].astype(np.int64)),
+        "n_a": pa.array(bad["n_a"].astype(np.int64)),
+        "n_b": pa.array(bad["n_b"].astype(np.int64))})
+
+
 def scd2_incremental_events(sf_dir: str):
     """Incremental SCD2 maintenance (CDC merge, ``window.scd2_merge``):
     the event stream splits at 2024-01-20 into an already-built
@@ -12073,6 +12127,7 @@ QUERIES = {
     "conversion_ab_ztest_events": conversion_ab_ztest_events,
     "logfmt_conv_traces": logfmt_conv_traces,
     "hll_grouping_sets_users": hll_grouping_sets_users,
+    "merkle_reconcile_events": merkle_reconcile_events,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
