@@ -4173,6 +4173,37 @@ ORACLE_SQL["editdist_pairs_suppliers"] = """
     WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
+ORACLE_SQL["fd_discovery_orders_events"] = """
+    SELECT 'orders.o_orderkey->o_custkey' AS fd,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_lhs,
+           CAST(count(DISTINCT (o_orderkey, o_custkey)) AS BIGINT)
+               AS n_pairs,
+           count(DISTINCT o_orderkey)
+               = count(DISTINCT (o_orderkey, o_custkey)) AS holds
+    FROM orders
+    UNION ALL
+    SELECT 'orders.o_custkey->o_orderpriority',
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(count(DISTINCT (o_custkey, o_orderpriority)) AS BIGINT),
+           count(DISTINCT o_custkey)
+               = count(DISTINCT (o_custkey, o_orderpriority))
+    FROM orders
+    UNION ALL
+    SELECT 'events.user_id->event_type',
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(count(DISTINCT (user_id, event_type)) AS BIGINT),
+           count(DISTINCT user_id)
+               = count(DISTINCT (user_id, event_type))
+    FROM events
+    UNION ALL
+    SELECT 'events.event_type->user_id',
+           CAST(count(DISTINCT event_type) AS BIGINT),
+           CAST(count(DISTINCT (event_type, user_id)) AS BIGINT),
+           count(DISTINCT event_type)
+               = count(DISTINCT (event_type, user_id))
+    FROM events
+"""
+
 ORACLE_SQL["merkle_reconcile_events"] = """
     WITH base AS (
         SELECT event_id,

@@ -4077,6 +4077,39 @@ def train_val_test_split_documents(sf_dir: str):
         "n_docs": ("split", "count"), "n_tokens": ("n_tokens", "sum")})
 
 
+def fd_discovery_orders_events(sf_dir: str):
+    """Functional-dependency discovery (schema profiling): does column A
+    determine column B? A→B holds iff |distinct A| == |distinct (A,B)|
+    — two distinct combiners per candidate, no row data beyond the key
+    pair ever shuffles. Probes four candidates across two tables
+    (o_orderkey→o_custkey must hold; o_custkey→o_orderpriority, event
+    user_id→event_type and event_type→user_id must fail on real data),
+    emitting the distinct counts and the verdict."""
+    def fd(table: str, a: str, b: str) -> tuple[int, int]:
+        ds = _read(sf_dir, table, [a, b])
+        n_a = int(relational.grouped_agg(
+            ds, [a], {"n": (a, "count")}).count())
+        n_ab = int(relational.grouped_agg(
+            ds, [a, b], {"n": (a, "count")}).count())
+        return n_a, n_ab
+
+    cands = [("orders", "o_orderkey", "o_custkey"),
+             ("orders", "o_custkey", "o_orderpriority"),
+             ("events", "user_id", "event_type"),
+             ("events", "event_type", "user_id")]
+    rows = []
+    for table, a, b in cands:
+        n_a, n_ab = fd(table, a, b)
+        rows.append((f"{table}.{a}->{b}", n_a, n_ab, n_a == n_ab))
+    out = pd.DataFrame(rows, columns=["fd", "n_lhs", "n_pairs",
+                                      "holds"])
+    return pa.table({
+        "fd": pa.array(out["fd"], pa.string()),
+        "n_lhs": pa.array(out["n_lhs"].astype(np.int64)),
+        "n_pairs": pa.array(out["n_pairs"].astype(np.int64)),
+        "holds": pa.array(out["holds"].astype(bool))})
+
+
 def expectations_report_events(sf_dir: str):
     """Declarative data-quality expectations suite (the assertion layer
     over profiling): seven named expectations over events — not-null /
@@ -12128,6 +12161,7 @@ QUERIES = {
     "logfmt_conv_traces": logfmt_conv_traces,
     "hll_grouping_sets_users": hll_grouping_sets_users,
     "merkle_reconcile_events": merkle_reconcile_events,
+    "fd_discovery_orders_events": fd_discovery_orders_events,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
