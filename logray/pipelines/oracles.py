@@ -4686,6 +4686,20 @@ ORACLE_SQL["warc_ingest_responses"] = f"""
     FROM read_parquet('{_MEDIA}/warc/truth.parquet')
 """
 
+# Hierarchy rollup: every path contributes to each ancestor prefix.
+ORACLE_SQL["url_prefix_rollup_warc"] = f"""
+    WITH p AS (SELECT path FROM
+               read_parquet('{_MEDIA}/warc/truth.parquet')
+               WHERE body_text IS NOT NULL)
+    SELECT 1 AS depth, regexp_extract(path, '^(/[^/]*)', 1) AS prefix,
+           count(*) AS n
+    FROM p GROUP BY 2
+    UNION ALL
+    SELECT 2, regexp_extract(path, '^(/[^/]*/[^/]*)', 1), count(*)
+    FROM p WHERE regexp_matches(path, '^/[^/]*/[^/]*')
+    GROUP BY 2
+"""
+
 # Text extraction: expected text was BUILT from the fixture's word /
 # anchor components at pack time (no parser involved); the distributed
 # extractor must recover it from HTML bytes alone.

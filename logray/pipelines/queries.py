@@ -10101,6 +10101,44 @@ def warc_text_extract(sf_dir: str):
     return ds.map_batches(proj, batch_format="pyarrow")
 
 
+def url_prefix_rollup_warc(sf_dir: str):
+    """Hierarchical URL-path rollup over the crawl (the directory-tree
+    view of a site): response counts per depth-1 and depth-2 path
+    prefix, computed with one vectorized extract per depth and one
+    combiner-shaped grouped count — the explode is per-depth column
+    slices, never per-row Python. Deeper paths contribute to every
+    ancestor prefix (a hierarchy rollup, not a partition). Oracled via
+    regexp_extract over the truth sidecar's paths."""
+    from ..sources import read_warc_shards
+
+    ds = read_warc_shards(_warc_dir())
+
+    def prefixes(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.equal(t["rec_type"], "response"),
+            pc.match_substring(t["rec_id"], "uuid:resp-")))
+        url = t["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        path = pc.extract_regex(url, r"^https?://[^/]+(?P<p>/.*)$") \
+            .field("p")
+        pieces = []
+        for depth, pat in ((1, r"^(?P<x>/[^/]*)"),
+                           (2, r"^(?P<x>/[^/]*/[^/]*)")):
+            st = pc.extract_regex(path, pat)
+            keep = st.is_valid()
+            pieces.append(pa.table({
+                "depth": pa.array(np.full(
+                    int(pc.sum(pc.cast(keep, pa.int64())).as_py() or 0),
+                    depth, np.int64)),
+                "prefix": st.field("x").filter(keep)}))
+        return pa.concat_tables(pieces)
+
+    return relational.grouped_agg(
+        ds.map_batches(prefixes, batch_format="pyarrow"),
+        ["depth", "prefix"], {"n": ("prefix", "count")})
+
+
 def robots_filter_warc(sf_dir: str):
     """robots.txt politeness filtering (ops/robots.py, RFC 9309 subset)
     over the crawl lane: the per-host /robots.txt responses are read
@@ -12162,6 +12200,7 @@ QUERIES = {
     "hll_grouping_sets_users": hll_grouping_sets_users,
     "merkle_reconcile_events": merkle_reconcile_events,
     "fd_discovery_orders_events": fd_discovery_orders_events,
+    "url_prefix_rollup_warc": url_prefix_rollup_warc,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
