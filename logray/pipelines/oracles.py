@@ -4250,6 +4250,35 @@ ORACLE_SQL["hll_grouping_sets_users"] = """
     FROM events
 """
 
+# Hour-of-week leave-one-out baseline: the `how` label differs from the
+# engine's (pandas Monday=0 vs strftime %w Sunday=0) but any injective
+# (weekday, hour) labeling induces the SAME partitions, which is all the
+# window needs.
+ORACLE_SQL["seasonal_anomaly_hours_events"] = """
+    WITH h AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1),
+    w AS (SELECT hour, n, strftime(hour, '%w-%H') AS how FROM h),
+    s AS (SELECT n,
+                 count(*) OVER (PARTITION BY how) AS c,
+                 sum(n) OVER (PARTITION BY how) AS s1,
+                 sum(n * n) OVER (PARTITION BY how) AS s2
+          FROM w),
+    mcte AS (SELECT n, c, s2,
+                    CAST(s1 - n AS DOUBLE) / (c - 1) AS m
+             FROM s),
+    v AS (SELECT n, c, m,
+                 (CAST(s2 - n * n AS DOUBLE) - (c - 1) * m * m)
+                     / (c - 2) AS var
+          FROM mcte)
+    SELECT CAST(count(*) AS BIGINT) AS n_hours_scored,
+           round(max(abs((n - m) / sqrt(var))), 6) AS max_abs_z,
+           CAST(sum(CASE WHEN abs((n - m) / sqrt(var)) > 3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM v WHERE c > 2 AND var > 0
+"""
+
 ORACLE_SQL["conversion_ab_ztest_events"] = """
     WITH u AS (
         SELECT user_id,

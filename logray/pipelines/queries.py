@@ -6690,6 +6690,47 @@ def sliding_3h_distinct_users(sf_dir: str):
         "within_5pct": pa.array(out["within_5pct"].astype(bool))})
 
 
+def seasonal_anomaly_hours_events(sf_dir: str):
+    """Seasonality-aware volume anomaly detection: each hour's event
+    count is scored against ITS OWN hour-of-week baseline (mean/std
+    over the other weeks at the same weekday+hour), so a quiet Sunday
+    3am never pages just for being quieter than Monday noon — the
+    defect of the plain z-score detector next door. One combiner pass
+    to (hour, count); baseline join and scoring run over O(hours)
+    rows. Exact integer sums; std is the sample formula in identical
+    op order. Emits a one-row audit (hours scored, max |z|, anomaly
+    count at |z|>3) — never empty, the empty-frame oracle trap."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def per_hour(t: pa.Table) -> pa.Table:
+        return pa.table({"hour": pc.cast(
+            pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("us"))})
+
+    hours = relational.grouped_agg(
+        ds.map_batches(per_hour, batch_format="pyarrow"),
+        ["hour"], {"n": ("hour", "count")}).to_pandas()
+    how = (hours["hour"].dt.dayofweek * 24
+           + hours["hour"].dt.hour).astype(np.int64)
+    hours = hours.assign(how=how)
+    g = hours.groupby("how")["n"]
+    # leave-one-out baseline: exclude the scored hour from its own
+    # mean/std so a single massive spike can't normalize itself
+    cnt = g.transform("count").astype(np.float64)
+    s1 = g.transform("sum").astype(np.float64)
+    s2 = hours.groupby("how")["n"].transform(
+        lambda x: float(np.sum(np.asarray(x, np.float64) ** 2)))
+    n = hours["n"].astype(np.float64)
+    m = (s1 - n) / (cnt - 1)
+    var = (s2 - n ** 2 - (cnt - 1) * m ** 2) / (cnt - 2)
+    ok = (cnt.to_numpy() > 2) & (var.to_numpy() > 0)
+    z = np.abs((n.to_numpy() - m.to_numpy())[ok]
+               / np.sqrt(var.to_numpy()[ok]))
+    return pa.table({
+        "n_hours_scored": pa.array([int(ok.sum())], pa.int64()),
+        "max_abs_z": pa.array([round(float(z.max()), 6)], pa.float64()),
+        "n_anomalies": pa.array([int((z > 3).sum())], pa.int64())})
+
+
 def conversion_ab_ztest_events(sf_dir: str):
     """Two-proportion z-test on conversion (the A/B readout): does the
     conversion rate differ between the two experiment arms? Units are
@@ -12201,6 +12242,7 @@ QUERIES = {
     "merkle_reconcile_events": merkle_reconcile_events,
     "fd_discovery_orders_events": fd_discovery_orders_events,
     "url_prefix_rollup_warc": url_prefix_rollup_warc,
+    "seasonal_anomaly_hours_events": seasonal_anomaly_hours_events,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
