@@ -4250,6 +4250,34 @@ ORACLE_SQL["hll_grouping_sets_users"] = """
     FROM events
 """
 
+ORACLE_SQL["crosscorr_click_purchase_events"] = """
+    WITH c AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1, 2),
+    b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM c),
+    g AS (SELECT unnest(generate_series((SELECT lo FROM b),
+                 (SELECT hi FROM b), INTERVAL 1 HOUR)) AS hour),
+    x AS (SELECT g.hour, coalesce(c.n, 0) AS n FROM g
+          LEFT JOIN c ON c.hour = g.hour AND c.event_type = 'click'),
+    y AS (SELECT g.hour, coalesce(c.n, 0) AS n FROM g
+          LEFT JOIN c ON c.hour = g.hour AND c.event_type = 'purchase'),
+    k AS (SELECT unnest(range(-3, 4)) AS offset_h),
+    j AS (SELECT k.offset_h, x.n AS xn, y.n AS yn
+          FROM k CROSS JOIN x
+          JOIN y ON y.hour = x.hour + k.offset_h * INTERVAL 1 HOUR),
+    s AS (SELECT offset_h, CAST(count(*) AS BIGINT) AS c,
+                 sum(xn) AS sx, sum(yn) AS sy, sum(xn * xn) AS sxx,
+                 sum(yn * yn) AS syy, sum(xn * yn) AS sxy
+          FROM j GROUP BY 1)
+    SELECT offset_h, c AS n_hours,
+           round(CAST(c * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(c * sxx - sx * sx AS DOUBLE)
+                        * CAST(c * syy - sy * sy AS DOUBLE)), 6) AS r
+    FROM s
+"""
+
 # Hour-of-week leave-one-out baseline: the `how` label differs from the
 # engine's (pandas Monday=0 vs strftime %w Sunday=0) but any injective
 # (weekday, hour) labeling induces the SAME partitions, which is all the

@@ -6690,6 +6690,56 @@ def sliding_3h_distinct_users(sf_dir: str):
         "within_5pct": pa.array(out["within_5pct"].astype(bool))})
 
 
+def crosscorr_click_purchase_events(sf_dir: str):
+    """Lead/lag cross-correlation between the click and purchase hourly
+    series (does click volume LEAD purchases?): Pearson r at offsets
+    −3..+3 hours over the dense hour grid, computed from exact integer
+    moments (c·Σxy−ΣxΣy over the sqrt product) so only the final
+    division is float and the SQL replay is bit-faithful. One combiner
+    pass to (type, hour) counts; the 7-offset scoring is O(hours)
+    driver-side arithmetic."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(["click", "purchase"])))
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
+                            pa.timestamp("us"))})
+
+    counts = relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hour"], {"n": ("hour", "count")}).to_pandas()
+    lo, hi = counts["hour"].min(), counts["hour"].max()
+    grid = pd.date_range(lo, hi, freq="h")
+    x = (counts[counts["event_type"] == "click"]
+         .set_index("hour")["n"].reindex(grid, fill_value=0)
+         .to_numpy(np.int64))
+    y = (counts[counts["event_type"] == "purchase"]
+         .set_index("hour")["n"].reindex(grid, fill_value=0)
+         .to_numpy(np.int64))
+    rows = []
+    for k in range(-3, 4):
+        if k >= 0:
+            a, b = x[: len(x) - k or None], y[k:]
+        else:
+            a, b = x[-k:], y[: len(y) + k]
+        c = len(a)
+        sx, sy = int(a.sum()), int(b.sum())
+        sxx, syy = int((a * a).sum()), int((b * b).sum())
+        sxy = int((a * b).sum())
+        num = float(c * sxy - sx * sy)
+        den = np.sqrt(float(c * sxx - sx * sx)
+                      * float(c * syy - sy * sy))
+        rows.append((k, c, round(num / den, 6)))
+    out = pd.DataFrame(rows, columns=["offset_h", "n_hours", "r"])
+    return pa.table({
+        "offset_h": pa.array(out["offset_h"].astype(np.int64)),
+        "n_hours": pa.array(out["n_hours"].astype(np.int64)),
+        "r": pa.array(out["r"], pa.float64())})
+
+
 def seasonal_anomaly_hours_events(sf_dir: str):
     """Seasonality-aware volume anomaly detection: each hour's event
     count is scored against ITS OWN hour-of-week baseline (mean/std
@@ -12243,6 +12293,7 @@ QUERIES = {
     "fd_discovery_orders_events": fd_discovery_orders_events,
     "url_prefix_rollup_warc": url_prefix_rollup_warc,
     "seasonal_anomaly_hours_events": seasonal_anomaly_hours_events,
+    "crosscorr_click_purchase_events": crosscorr_click_purchase_events,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
