@@ -4827,6 +4827,41 @@ ORACLE_SQL["logfmt_svc_level_stats"] = f"""
     GROUP BY 1, 2
 """
 
+ORACLE_SQL["access_log_subnet_rollup"] = f"""
+    SELECT regexp_extract(ip, '^(\\d{{1,3}}\\.\\d{{1,3}})\\.', 1)
+               AS subnet,
+           count(*) AS n_req,
+           CAST(coalesce(sum(n_bytes), 0) AS BIGINT) AS total_bytes,
+           CAST(sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_5xx
+    FROM read_parquet('{_MEDIA}/accesslog/truth.parquet')
+    GROUP BY 1
+"""
+
+ORACLE_SQL["churn_features_users"] = """
+    WITH obs AS (
+        SELECT user_id, count(*) AS n_events,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS n_purchase,
+               count(DISTINCT date_trunc('day', ts)) AS days_active,
+               CAST(floor(date_part('epoch', date_trunc('day', max(ts)))
+                    / 86400) AS BIGINT) AS last_day
+        FROM events WHERE ts < TIMESTAMP '2024-01-21'
+        GROUP BY user_id),
+    held AS (
+        SELECT user_id, 1 AS label_active FROM events
+        WHERE ts >= TIMESTAMP '2024-01-24' GROUP BY user_id)
+    SELECT obs.user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_purchase AS BIGINT) AS n_purchase,
+           CAST(days_active AS BIGINT) AS days_active,
+           CAST(floor(date_part('epoch', TIMESTAMP '2024-01-20')
+                / 86400) AS BIGINT) - last_day AS recency_days,
+           CAST(coalesce(held.label_active, 0) AS BIGINT)
+               AS label_active
+    FROM obs LEFT JOIN held ON obs.user_id = held.user_id
+"""
+
 ORACLE_SQL["logfmt_conv_traces"] = f"""
     SELECT conv, count(*) AS n,
            CAST(sum(CASE WHEN level = 'error' THEN 1 ELSE 0 END)

@@ -10416,6 +10416,99 @@ def logfmt_svc_level_stats(sf_dir: str):
          "total_ms": ("dur_ms", "sum")})
 
 
+def access_log_subnet_rollup(sf_dir: str):
+    """Per-/16-subnet traffic rollup over the parsed CLF lane (the
+    abuse-triage view): request count, byte total and error share per
+    first-two-octet prefix — one vectorized regex extract, one
+    combiner grouped aggregate; integer error share (errs, reqs)
+    instead of a float rate."""
+    from ..sources import read_access_log
+
+    ds = read_access_log(_accesslog_dir())
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t["parse_error"]))
+        ip = t["ip"]
+        if isinstance(ip, pa.ChunkedArray):
+            ip = ip.combine_chunks()
+        subnet = pc.extract_regex(
+            ip, r"^(?P<s>\d{1,3}\.\d{1,3})\.").field("s")
+        return pa.table({
+            "subnet": subnet,
+            "n_bytes": pc.fill_null(t["n_bytes"], 0),
+            "err": pc.cast(pc.greater_equal(t["status"], 500),
+                           pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["subnet"], {"n_req": ("one", "sum"),
+                     "total_bytes": ("n_bytes", "sum"),
+                     "n_5xx": ("err", "sum")})
+
+
+def churn_features_users(sf_dir: str):
+    """Churn-label feature engineering (the ML-prep table a retention
+    model trains on): per user over the observation window (first 20
+    days) — event count, purchase count, active-day count, recency
+    (days from last observed event to the window end) — plus the
+    label: still active in the holdout window (days 24–30). One
+    combiner pass computes every feature as a grouped partial; no row
+    ever leaves the exchange unaggregated. All-integer features so the
+    SQL replay is exact."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    obs_end = pa.scalar(np.datetime64("2024-01-21", "us"))
+    hold_start = pa.scalar(np.datetime64("2024-01-24", "us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        in_obs = pc.less(t["ts"], obs_end)
+        day = pc.divide(pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                                pa.int64()), 86_400_000_000)
+        return pa.table({
+            "user_id": t["user_id"],
+            "n_events": pc.cast(in_obs, pa.int64()),
+            "n_purchase": pc.cast(pc.and_(in_obs, pc.equal(
+                t["event_type"], "purchase")), pa.int64()),
+            "obs_day": pc.if_else(in_obs, day,
+                                  pa.scalar(None, pa.int64())),
+            "held": pc.cast(pc.greater_equal(t["ts"], hold_start),
+                            pa.int64())})
+
+    base = ds.map_batches(prep, batch_format="pyarrow")
+    per_user = relational.grouped_agg(
+        base, ["user_id"],
+        {"n_events": ("n_events", "sum"),
+         "n_purchase": ("n_purchase", "sum"),
+         "last_day": ("obs_day", "max"),
+         "label_active": ("held", "max")}).to_pandas()
+
+    def only_obs(t: pa.Table) -> pa.Table:
+        col = t["obs_day"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return t.filter(col.is_valid())
+
+    days = relational.grouped_agg(
+        base.map_batches(only_obs, batch_format="pyarrow"),
+        ["user_id", "obs_day"], {"n": ("obs_day", "count")})
+    n_days = relational.grouped_agg(
+        days, ["user_id"], {"days_active": ("obs_day", "count")}
+    ).to_pandas()
+    out = per_user.merge(n_days, on="user_id", how="left")
+    out = out[out["n_events"] > 0]  # users unseen in the window drop
+    obs_end_day = int(np.datetime64("2024-01-20")
+                      .astype("datetime64[D]").astype(np.int64))
+    out["recency_days"] = obs_end_day - out["last_day"].astype(np.int64)
+    out = out.sort_values("user_id").reset_index(drop=True)
+    return pa.table({
+        "user_id": pa.array(out["user_id"].astype(np.int64)),
+        "n_events": pa.array(out["n_events"].astype(np.int64)),
+        "n_purchase": pa.array(out["n_purchase"].astype(np.int64)),
+        "days_active": pa.array(out["days_active"].astype(np.int64)),
+        "recency_days": pa.array(out["recency_days"].astype(np.int64)),
+        "label_active": pa.array(out["label_active"].astype(np.int64))})
+
+
 def logfmt_conv_traces(sf_dir: str):
     """Per-conversation trace rollup over the parsed logfmt lane (the
     span-aggregation view a tracing UI renders): per conv — record
@@ -12294,6 +12387,8 @@ QUERIES = {
     "url_prefix_rollup_warc": url_prefix_rollup_warc,
     "seasonal_anomaly_hours_events": seasonal_anomaly_hours_events,
     "crosscorr_click_purchase_events": crosscorr_click_purchase_events,
+    "access_log_subnet_rollup": access_log_subnet_rollup,
+    "churn_features_users": churn_features_users,
     "logfmt_svc_level_stats": logfmt_svc_level_stats,
     "pricing_summary_lineitem": pricing_summary_lineitem,
     "q6_revenue": q6_revenue,
