@@ -6588,8 +6588,20 @@ def hll_grouping_sets_users(sf_dir: str):
             "day": pa.array(rows["day"], pa.timestamp("us")),
             "_regs": pa.array(rows["_regs"], pa.binary(4096))})
 
-    reg_rows = fine.map_batches(partial,
-                                batch_format="pyarrow").to_pandas()
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        m = np.zeros(4096, np.uint8)
+        for b in g["_regs"]:
+            np.maximum(m, np.frombuffer(b, np.uint8), out=m)
+        out = g.iloc[:1][["event_type", "day"]].copy()
+        out["_regs"] = [m.tobytes()]
+        return out
+
+    # distributed per-(type, day) register merge FIRST: the driver sees
+    # O(types×days) rows, never O(blocks) per-batch partials
+    reg_rows = (fine.map_batches(partial, batch_format="pyarrow")
+                .groupby(["event_type", "day"])
+                .map_groups(merge_group, batch_format="pandas")
+                .to_pandas())
 
     def merged(group_keys) -> dict:
         out: dict = {}
