@@ -10492,7 +10492,7 @@ def churn_features_users(sf_dir: str):
         {"n_events": ("n_events", "sum"),
          "n_purchase": ("n_purchase", "sum"),
          "last_day": ("obs_day", "max"),
-         "label_active": ("held", "max")}).to_pandas()
+         "label_active": ("held", "max")})
 
     def only_obs(t: pa.Table) -> pa.Table:
         col = t["obs_day"]
@@ -10504,21 +10504,30 @@ def churn_features_users(sf_dir: str):
         base.map_batches(only_obs, batch_format="pyarrow"),
         ["user_id", "obs_day"], {"n": ("obs_day", "count")})
     n_days = relational.grouped_agg(
-        days, ["user_id"], {"days_active": ("obs_day", "count")}
-    ).to_pandas()
-    out = per_user.merge(n_days, on="user_id", how="left")
-    out = out[out["n_events"] > 0]  # users unseen in the window drop
+        days, ["user_id"], {"days_active": ("obs_day", "count")})
+
+    # the feature table is O(users) — keep it a Dataset end-to-end:
+    # hash-join the two grouped sides, finish per bucket
     obs_end_day = int(np.datetime64("2024-01-20")
                       .astype("datetime64[D]").astype(np.int64))
-    out["recency_days"] = obs_end_day - out["last_day"].astype(np.int64)
-    out = out.sort_values("user_id").reset_index(drop=True)
-    return pa.table({
-        "user_id": pa.array(out["user_id"].astype(np.int64)),
-        "n_events": pa.array(out["n_events"].astype(np.int64)),
-        "n_purchase": pa.array(out["n_purchase"].astype(np.int64)),
-        "days_active": pa.array(out["days_active"].astype(np.int64)),
-        "recency_days": pa.array(out["recency_days"].astype(np.int64)),
-        "label_active": pa.array(out["label_active"].astype(np.int64))})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_events"] > 0].copy()  # unseen-in-window drop
+        df["recency_days"] = obs_end_day - df["last_day"].astype(
+            np.int64)
+        return df[["user_id", "n_events", "n_purchase", "days_active",
+                   "recency_days", "label_active"]].astype(np.int64)
+
+    i64 = pa.int64()
+    return relational.hash_join(
+        per_user, n_days, on="user_id", bucket_post=finish,
+        # explicit schemas: both sides sit behind an all-to-all, and
+        # .schema() discovery would execute that shuffle one extra time
+        left_schema=pa.schema([("user_id", i64), ("n_events", i64),
+                               ("n_purchase", i64), ("last_day", i64),
+                               ("label_active", i64)]),
+        right_schema=pa.schema([("user_id", i64),
+                                ("days_active", i64)]))
 
 
 def logfmt_conv_traces(sf_dir: str):
