@@ -4204,6 +4204,23 @@ ORACLE_SQL["fd_discovery_orders_events"] = """
     FROM events
 """
 
+ORACLE_SQL["timetravel_events"] = """
+    WITH e AS (
+        SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events)
+    SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM e WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM e
+    UNION ALL
+    SELECT 3, CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN event_id % 2 = 0 AND event_id % 10 = 0
+                    THEN cents + 1 ELSE cents END) AS BIGINT)
+    FROM e
+"""
+
 ORACLE_SQL["merkle_reconcile_events"] = """
     WITH base AS (
         SELECT event_id,

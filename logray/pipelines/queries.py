@@ -4670,6 +4670,68 @@ def peak_concurrency_transcripts(sf_dir: str):
                                   {"peak": ("running", "max")})
 
 
+def timetravel_events(sf_dir: str):
+    """Snapshot isolation + time travel (``state.versioned`` — the
+    Iceberg/Delta manifest-list shape): three commits build a versioned
+    table from events (v1 = even event_ids, v2 = append odds, v3 =
+    copy-on-write UPSERT rewriting only v1's files with +1 cents on
+    multiples of 10), then every HISTORICAL version is read back by
+    manifest — no log replay — and audited. Commits publish by atomic
+    rename; manifests carry file paths, never rows, so a version scan
+    streams like any parquet read. The audit (per-version row count +
+    cent total) derives deterministically from events, so the oracle
+    replays it exactly in SQL."""
+    import tempfile
+
+    from ..ops.relational import grouped_agg
+    from ..state import versioned
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64())})
+
+    base = ds.map_batches(prep, batch_format="pyarrow").to_pandas()
+    evens = pa.Table.from_pandas(base[base["event_id"] % 2 == 0],
+                                 preserve_index=False)
+    odds = pa.Table.from_pandas(base[base["event_id"] % 2 == 1],
+                                preserve_index=False)
+    mut = base[base["event_id"] % 2 == 0].copy()
+    mut.loc[mut["event_id"] % 10 == 0, "cents"] += 1
+    mutated = pa.Table.from_pandas(mut, preserve_index=False)
+
+    with tempfile.TemporaryDirectory(prefix="logray-ttl-") as d:
+        versioned.commit(d, [evens], op="insert")
+        import json as _json
+        from pathlib import Path as _P
+
+        v1_files = _json.loads(
+            (_P(d) / "v000001.manifest.json").read_text())["files"]
+        versioned.commit(d, [odds], op="append")
+        versioned.commit(d, [mutated], op="upsert",
+                         drop_files=v1_files)
+        rows = []
+        for v in versioned.versions(d):
+            agg = grouped_agg(
+                versioned.read(d, v).map_batches(
+                    lambda t: t.append_column(
+                        "one", pa.array(np.ones(t.num_rows, np.int64))),
+                    batch_format="pyarrow"),
+                ["one"], {"n_rows": ("one", "sum"),
+                          "total_cents": ("cents", "sum")}).to_pandas()
+            rows.append((v, int(agg["n_rows"].iloc[0]),
+                         int(agg["total_cents"].iloc[0])))
+    out = pd.DataFrame(rows, columns=["version", "n_rows",
+                                      "total_cents"])
+    return pa.table({
+        "version": pa.array(out["version"].astype(np.int64)),
+        "n_rows": pa.array(out["n_rows"].astype(np.int64)),
+        "total_cents": pa.array(out["total_cents"].astype(np.int64))})
+
+
 def merkle_reconcile_events(sf_dir: str):
     """Anti-entropy snapshot reconciliation by RANGE DIGESTS (the
     Merkle/Cassandra-repair shape): two replicas compare per-key-range
@@ -12405,6 +12467,7 @@ QUERIES = {
     "hll_grouping_sets_users": hll_grouping_sets_users,
     "merkle_reconcile_events": merkle_reconcile_events,
     "fd_discovery_orders_events": fd_discovery_orders_events,
+    "timetravel_events": timetravel_events,
     "url_prefix_rollup_warc": url_prefix_rollup_warc,
     "seasonal_anomaly_hours_events": seasonal_anomaly_hours_events,
     "crosscorr_click_purchase_events": crosscorr_click_purchase_events,

@@ -1,0 +1,137 @@
+"""Versioned table layer: snapshot isolation + time travel over parquet
+(the Iceberg/Delta shape, manifest-list style).
+
+Each commit writes its NEW data files under uuid-fresh names and then a
+``v{N}.manifest.json`` listing the COMPLETE file set of that version —
+unchanged files are carried by reference (copy-on-write), so a commit
+costs only its delta in data bytes plus one O(files) manifest. The
+manifest lands via write-tmp + atomic rename (the same commit-by-rename
+contract as the sink manifests), so a reader can never observe a
+half-written version and a crashed commit leaves only orphan data files
+for ``vacuum`` to sweep.
+
+Time travel: ``read(dir, version=K)`` is just "scan K's file list" —
+no log replay; old versions stay readable until ``vacuum`` drops their
+manifests and any data file no kept version references.
+
+Scale: manifests carry file PATHS, never rows; ``read`` returns a lazy
+``ray.data.read_parquet`` over the listed files, so a 100 TB version
+streams like any other scan. Upserts rewrite only the files that hold
+touched keys (callers partition accordingly); this module does not
+bucket for you.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_MANIFEST_GLOB = "v*.manifest.json"
+
+
+def _manifest_path(d: Path, version: int) -> Path:
+    return d / f"v{version:06d}.manifest.json"
+
+
+def versions(table_dir: str | Path) -> list[int]:
+    d = Path(table_dir)
+    out = []
+    for p in sorted(d.glob(_MANIFEST_GLOB)):
+        out.append(int(p.name[1:7]))
+    return out
+
+
+def _load(d: Path, version: int) -> dict:
+    return json.loads(_manifest_path(d, version).read_text())
+
+
+def commit(table_dir: str | Path, new_tables: list[pa.Table], *,
+           carry_files: list[str] | None = None, op: str = "append",
+           drop_files: list[str] | None = None) -> int:
+    """Commit a new version: write ``new_tables`` as uuid-fresh parquet
+    files, carry ``carry_files`` (default: ALL of the parent version's
+    files minus ``drop_files``) by reference, and publish the manifest
+    atomically. Returns the new version number (1-based; 1 = first)."""
+    d = Path(table_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    vs = versions(d)
+    parent = vs[-1] if vs else 0
+    if carry_files is None:
+        carried = list(_load(d, parent)["files"]) if parent else []
+    else:
+        carried = list(carry_files)
+    if drop_files:
+        dropped = set(drop_files)
+        carried = [f for f in carried if f not in dropped]
+    new_files = []
+    for t in new_tables:
+        if t.num_rows == 0:
+            continue
+        name = f"data-{uuid.uuid4().hex}.parquet"
+        pq.write_table(t, d / name)
+        new_files.append(name)
+    version = parent + 1
+    manifest = {"version": version, "parent": parent, "op": op,
+                "files": sorted(carried + new_files),
+                "added": sorted(new_files),
+                "removed": sorted(drop_files or [])}
+    tmp = d / f".v{version:06d}.tmp"
+    tmp.write_text(json.dumps(manifest, indent=1))
+    tmp.rename(_manifest_path(d, version))  # atomic publish
+    return version
+
+
+def read(table_dir: str | Path, version: int | None = None):
+    """Lazy Dataset over one version's file list (time travel); the
+    latest version when ``version`` is None. An empty version yields an
+    empty Dataset."""
+    import ray.data
+
+    d = Path(table_dir)
+    vs = versions(d)
+    if not vs:
+        raise FileNotFoundError(f"no versions in {d}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in {vs}")
+    files = [str(d / f) for f in _load(d, v)["files"]]
+    if not files:
+        return ray.data.from_arrow(pa.table({}))
+    return ray.data.read_parquet(files)
+
+
+def file_diff(table_dir: str | Path, v_from: int, v_to: int) -> dict:
+    """File-level diff between two versions (what a sync/replication
+    job ships): files added and removed going from ``v_from``→``v_to``."""
+    d = Path(table_dir)
+    a = set(_load(d, v_from)["files"])
+    b = set(_load(d, v_to)["files"])
+    return {"added": sorted(b - a), "removed": sorted(a - b)}
+
+
+def vacuum(table_dir: str | Path, *, keep_last: int = 1,
+           dry_run: bool = False) -> dict:
+    """Drop all but the last ``keep_last`` versions and delete every
+    data file no kept version references (plus crashed-commit tmp
+    files). Kept versions remain fully readable."""
+    d = Path(table_dir)
+    vs = versions(d)
+    keep = set(vs[-keep_last:]) if keep_last > 0 else set()
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_load(d, v)["files"])
+    dropped_versions = [v for v in vs if v not in keep]
+    orphans = [p.name for p in d.glob("data-*.parquet")
+               if p.name not in referenced]
+    orphans += [p.name for p in d.glob(".v*.tmp")]
+    if not dry_run:
+        for v in dropped_versions:
+            _manifest_path(d, v).unlink()
+        for name in orphans:
+            (d / name).unlink()
+    return {"dropped_versions": dropped_versions,
+            "deleted_files": sorted(orphans)}
