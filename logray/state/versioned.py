@@ -135,3 +135,78 @@ def vacuum(table_dir: str | Path, *, keep_last: int = 1,
             (d / name).unlink()
     return {"dropped_versions": dropped_versions,
             "deleted_files": sorted(orphans)}
+
+
+def commit_with_stats(table_dir: str | Path, new_tables: list[pa.Table],
+                      key: str, *, carry_files: list[str] | None = None,
+                      op: str = "append",
+                      drop_files: list[str] | None = None) -> int:
+    """``commit`` that also records per-file [min, max] of ``key`` in
+    the manifest — the file-skipping statistic MERGE INTO prunes with.
+    Carried files keep their recorded stats (copied from the parent
+    manifest when present)."""
+    d = Path(table_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    vs = versions(d)
+    parent = vs[-1] if vs else 0
+    parent_stats = {}
+    if parent:
+        parent_stats = _load(d, parent).get("stats", {})
+    version = commit(d, new_tables, carry_files=carry_files, op=op,
+                     drop_files=drop_files)
+    m = _load(d, version)
+    stats = {f: parent_stats[f] for f in m["files"] if f in parent_stats}
+    for f in m["added"]:
+        t = pq.read_table(d / f, columns=[key])
+        col = t[key]
+        stats[f] = [col.combine_chunks().to_numpy(
+            zero_copy_only=False).min().item(),
+            col.combine_chunks().to_numpy(
+            zero_copy_only=False).max().item()]
+    m["stats"] = stats
+    tmp = d / f".v{version:06d}.tmp"
+    tmp.write_text(json.dumps(m, indent=1))
+    tmp.rename(_manifest_path(d, version))
+    return version
+
+
+def merge_into(table_dir: str | Path, changes: pa.Table, key: str) -> int:
+    """MERGE INTO (upsert) producing a new version: rows in ``changes``
+    REPLACE same-key rows, unmatched keys INSERT. Only files whose
+    recorded [min, max] key range overlaps a changed key are rewritten
+    — the manifest-stats file skipping that makes a 10-row merge into a
+    10-file rewrite instead of a full-table rewrite; untouched files
+    carry by reference, byte-identical. Changed keys outside every
+    file's range land in one fresh insert file."""
+    import numpy as np
+    import pandas as pd
+
+    d = Path(table_dir)
+    v = versions(d)[-1]
+    m = _load(d, v)
+    stats = m.get("stats")
+    if stats is None:
+        raise ValueError("merge_into needs commit_with_stats manifests")
+    ck = np.unique(changes[key].combine_chunks().to_numpy(
+        zero_copy_only=False))
+    affected = [f for f in m["files"]
+                if np.any((ck >= stats[f][0]) & (ck <= stats[f][1]))]
+    cdf = changes.to_pandas().drop_duplicates(key, keep="last")
+    matched_keys: set = set()
+    rewritten = []
+    for f in affected:
+        t = pq.read_table(d / f)
+        base = t.to_pandas()
+        hit = base[key].isin(cdf[key])
+        matched_keys.update(base.loc[hit, key])
+        merged = base.loc[~hit]
+        repl = cdf[cdf[key].isin(base.loc[hit, key])]
+        out = pa.Table.from_pandas(pd.concat([merged, repl]),
+                                   preserve_index=False).cast(t.schema)
+        rewritten.append(out)
+    inserts = cdf[~cdf[key].isin(matched_keys)]
+    if len(inserts):
+        rewritten.append(pa.Table.from_pandas(
+            inserts, preserve_index=False).cast(changes.schema))
+    return commit_with_stats(d, rewritten, key, op="merge",
+                             drop_files=affected)

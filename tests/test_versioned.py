@@ -64,3 +64,40 @@ def test_vacuum_retention_and_crash_hygiene(ray_session, tmp_path):
     assert versioned.versions(d) == [2]
     assert _rows(versioned.read(d)) == [(2, 2)]
     assert not (d / f1[0]).exists()
+
+
+def test_merge_into_prunes_by_file_stats(ray_session, tmp_path):
+    """MERGE INTO rewrites ONLY files whose key range overlaps the
+    changes (untouched files carry byte-identically), replaces matched
+    keys, inserts unmatched ones, and equals a pandas reference merge."""
+    import numpy as np
+    import pandas as pd
+
+    d = tmp_path / "tbl"
+    # three key-partitioned files: [0,99], [100,199], [200,299]
+    versioned.commit_with_stats(
+        d, [_t(range(0, 100), range(0, 100)),
+            _t(range(100, 200), range(100, 200)),
+            _t(range(200, 300), range(200, 300))], "id", op="insert")
+    m1 = json.loads((d / "v000001.manifest.json").read_text())
+    assert all(len(v) == 2 for v in m1["stats"].values())
+
+    # changes touch only [100,199] plus brand-new keys 400..404
+    changes = _t([150, 151, 400, 401, 402, 403, 404],
+                 [9150, 9151, 9400, 9401, 9402, 9403, 9404])
+    v2 = versioned.merge_into(d, changes, "id")
+    m2 = json.loads((d / f"v{v2:06d}.manifest.json").read_text())
+
+    untouched = [f for f in m1["files"]
+                 if not (100 <= m1["stats"][f][0] <= 199)]
+    assert set(untouched) <= set(m2["files"])      # carried by reference
+    assert len(m2["removed"]) == 1                 # only the middle file
+    assert len(m2["added"]) == 2                   # rewrite + inserts
+
+    ref = pd.DataFrame({"id": range(300), "v": range(300)})
+    ch = changes.to_pandas()
+    ref = pd.concat([ref[~ref["id"].isin(ch["id"])], ch])
+    got = versioned.read(d, v2).to_pandas()
+    assert (got.sort_values("id").reset_index(drop=True)
+            .equals(ref.sort_values("id").reset_index(drop=True)
+                    .astype(np.int64)))
