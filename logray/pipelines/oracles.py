@@ -4204,6 +4204,20 @@ ORACLE_SQL["fd_discovery_orders_events"] = """
     FROM events
 """
 
+ORACLE_SQL["merge_into_events"] = """
+    WITH e AS (
+        SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events)
+    SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM e
+    UNION ALL
+    SELECT 2, CAST(count(*) + 2 AS BIGINT),
+           CAST(sum(CASE WHEN event_id % 97 = 5 THEN cents + 5
+                    ELSE cents END) + 111 + 222 AS BIGINT)
+    FROM e
+"""
+
 ORACLE_SQL["timetravel_events"] = """
     WITH e AS (
         SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents

@@ -4732,6 +4732,67 @@ def timetravel_events(sf_dir: str):
         "total_cents": pa.array(out["total_cents"].astype(np.int64))})
 
 
+def merge_into_events(sf_dir: str):
+    """MERGE INTO over the versioned table (``versioned.merge_into``):
+    events load as four key-range files with manifest [min,max] stats,
+    then one CDC batch (cents+5 on event_id%97==5, plus two brand-new
+    keys past the max) merges — only overlapping files rewrite,
+    untouched ones carry by reference. The audit reads BOTH versions by
+    manifest and the oracle replays the end state exactly in SQL; the
+    rewritten-file count (≤ files touched by the key spread) is engine
+    metadata and asserted in pytest, not here."""
+    import json as _json
+    import tempfile
+    from pathlib import Path as _P
+
+    from ..ops.relational import grouped_agg
+    from ..state import versioned
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64())})
+
+    base = (ds.map_batches(prep, batch_format="pyarrow").to_pandas()
+            .sort_values("event_id").reset_index(drop=True))
+    n = len(base)
+    parts = [pa.Table.from_pandas(base.iloc[i * n // 4:(i + 1) * n // 4],
+                                  preserve_index=False)
+             for i in range(4)]
+
+    mut = base[base["event_id"] % 97 == 5].copy()
+    mut["cents"] += 5
+    max_id = int(base["event_id"].max())
+    changes = pa.Table.from_pandas(pd.concat([
+        mut, pd.DataFrame({"event_id": [max_id + 1, max_id + 2],
+                           "cents": [111, 222]})]),
+        preserve_index=False).cast(parts[0].schema)
+
+    with tempfile.TemporaryDirectory(prefix="logray-mrg-") as d:
+        versioned.commit_with_stats(d, parts, "event_id", op="insert")
+        v2 = versioned.merge_into(d, changes, "event_id")
+        rows = []
+        for v in (1, v2):
+            agg = grouped_agg(
+                versioned.read(d, v).map_batches(
+                    lambda t: t.append_column(
+                        "one", pa.array(np.ones(t.num_rows, np.int64))),
+                    batch_format="pyarrow"),
+                ["one"], {"n_rows": ("one", "sum"),
+                          "total_cents": ("cents", "sum")}).to_pandas()
+            rows.append((v, int(agg["n_rows"].iloc[0]),
+                         int(agg["total_cents"].iloc[0])))
+    out = pd.DataFrame(rows, columns=["version", "n_rows",
+                                      "total_cents"])
+    return pa.table({
+        "version": pa.array(out["version"].astype(np.int64)),
+        "n_rows": pa.array(out["n_rows"].astype(np.int64)),
+        "total_cents": pa.array(out["total_cents"].astype(np.int64))})
+
+
 def merkle_reconcile_events(sf_dir: str):
     """Anti-entropy snapshot reconciliation by RANGE DIGESTS (the
     Merkle/Cassandra-repair shape): two replicas compare per-key-range
@@ -12468,6 +12529,7 @@ QUERIES = {
     "merkle_reconcile_events": merkle_reconcile_events,
     "fd_discovery_orders_events": fd_discovery_orders_events,
     "timetravel_events": timetravel_events,
+    "merge_into_events": merge_into_events,
     "url_prefix_rollup_warc": url_prefix_rollup_warc,
     "seasonal_anomaly_hours_events": seasonal_anomaly_hours_events,
     "crosscorr_click_purchase_events": crosscorr_click_purchase_events,
