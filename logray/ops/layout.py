@@ -108,3 +108,80 @@ def footer_stats(paths: list[str], columns: list[str]) -> dict:
                 cur = out["max"].get(c)
                 out["max"][c] = maxs[c] if cur is None else max(cur, maxs[c])
     return out
+
+
+def write_bucketed(ds, key: str, out_dir: str, *, num_buckets: int = 16):
+    """Persist a dataset hash-bucketed by ``key``: one parquet file per
+    bucket under ``bucket=NNN/``, bucket = stable_hash64(key) mod N.
+    This bakes the partitioning INTO THE LAYOUT, so any later join or
+    grouped op on the same key can run bucket-by-bucket with NO shuffle
+    at all (see ``bucket_join``) — the persisted form of "pick ONE
+    partitioning key and reuse it across stages". One exchange now buys
+    every downstream co-location forever (until keys change)."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import stable_hash64
+
+    out = Path(out_dir)
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (stable_hash64(t[key]).astype(np.uint64)
+             % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    def write_bucket(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        b = int(df["__bucket"].iloc[0])
+        d = out / f"bucket={b:03d}"
+        d.mkdir(parents=True, exist_ok=True)
+        t = pa.Table.from_pandas(df.drop(columns="__bucket"),
+                                 preserve_index=False)
+        pq.write_table(t, d / "part-0.parquet")
+        return pd.DataFrame({"bucket": [b], "rows": [len(df)]})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(write_bucket, batch_format="pandas")
+            .to_pandas())
+
+
+def bucket_join(dir_a: str, dir_b: str, on: str, *, bucket_post=None):
+    """Shuffle-FREE join of two tables ``write_bucketed`` with the same
+    key and bucket count: matching bucket directories are co-located BY
+    LAYOUT, so the join is a flat map over bucket pairs — each task
+    reads its two small files and merges vectorized; no all-to-all ever
+    exists in the plan. ``bucket_post`` fuses a per-bucket group-by
+    exactly like ``hash_join``'s."""
+    from pathlib import Path
+
+    import pandas as pd
+    import ray
+
+    a, b = Path(dir_a), Path(dir_b)
+    buckets_a = {p.name for p in a.glob("bucket=*")}
+    buckets_b = {p.name for p in b.glob("bucket=*")}
+    # an empty bucket writes no directory; inner join with an absent
+    # side is empty, so only INTERSECTING buckets run
+    common = sorted(buckets_a & buckets_b)
+
+    @ray.remote
+    def join_bucket(name: str) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        ta = pq.read_table(a / name / "part-0.parquet")
+        tb = pq.read_table(b / name / "part-0.parquet")
+        df = ta.to_pandas().merge(tb.to_pandas(), on=on)
+        if bucket_post is not None:
+            df = bucket_post(df)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    import ray.data
+
+    refs = [join_bucket.remote(n) for n in common]
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    if not tables:
+        return ray.data.from_arrow(pa.table({}))
+    return ray.data.from_arrow_refs([ray.put(t) for t in tables])

@@ -425,10 +425,15 @@ def levenshtein_batch(a, b) -> np.ndarray:
     # pad with side-distinct sentinels so padded tails never match
     A = np.full((P, ma), -1, dtype=np.int32)
     B = np.full((P, mb), -2, dtype=np.int32)
+    # surrogatepass: lone surrogates cannot reach the engine (Arrow
+    # strings are valid UTF-8) but the kernel stays total over ANY
+    # Python str — hypothesis found '\ud800' crashing the plain encode
     for p, s in enumerate(a):
-        A[p, :len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        A[p, :len(s)] = np.frombuffer(
+            s.encode("utf-32-le", "surrogatepass"), dtype=np.uint32)
     for p, s in enumerate(b):
-        B[p, :len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        B[p, :len(s)] = np.frombuffer(
+            s.encode("utf-32-le", "surrogatepass"), dtype=np.uint32)
     prev = np.tile(np.arange(ma + 1, dtype=np.int64), (P, 1))
     out = np.where(lb == 0, la, 0)
     for j in range(1, mb + 1):

@@ -652,6 +652,13 @@ ORACLE_SQL: dict[str, str] = {
               AND o.o_orderdate = s.d
         WHERE s.pm IS NULL OR s.d < s.pm
     """,
+    "bucket_join_orders_customer": """
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     / 100.0, 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
     "auto_join_orders_customer": """
         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
                round(sum(CAST(round(o_totalprice * 100) AS BIGINT))

@@ -5055,6 +5055,54 @@ def auto_join_orders_customer(sf_dir: str):
         preserve_index=False)
 
 
+def bucket_join_orders_customer(sf_dir: str):
+    """Shuffle-FREE join over a persisted bucket layout
+    (``layout.write_bucketed`` + ``layout.bucket_join``): both tables
+    land hash-bucketed by custkey once, and the join is a flat map over
+    co-located bucket pairs with the revenue rollup fused per bucket —
+    no all-to-all exists in the join plan at all. This is the persisted
+    form of "pick ONE partitioning key and reuse it": one layout
+    exchange buys every later same-key join/aggregate. Same oracle
+    shape as the shuffle variants — identical answers, different
+    physical plan."""
+    import tempfile
+
+    import ray.data
+
+    from ..ops.layout import bucket_join, write_bucketed
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "__cents": pc.cast(pc.round(pc.multiply(
+                    t["o_totalprice"], 100.0)), pa.int64())}),
+            batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_mktsegment": t["c_mktsegment"]}),
+            batch_format="pyarrow")
+
+    with tempfile.TemporaryDirectory(prefix="logray-bkt-") as d:
+        write_bucketed(orders, "custkey", f"{d}/orders", num_buckets=8)
+        write_bucketed(cust, "custkey", f"{d}/cust", num_buckets=8)
+        joined = bucket_join(
+            f"{d}/orders", f"{d}/cust", "custkey",
+            bucket_post=lambda df: df.groupby(
+                "c_mktsegment", as_index=False)
+            .agg(n_orders=("__cents", "count"), cents=("__cents", "sum")))
+        out = relational.grouped_agg(
+            joined, ["c_mktsegment"],
+            {"n_orders": ("n_orders", "sum"),
+             "revenue": ("cents", "sum")}).to_pandas()
+    out["revenue"] = (out["revenue"].astype(np.float64) / 100.0).round(2)
+    return pa.Table.from_pandas(
+        out[["c_mktsegment", "n_orders", "revenue"]],
+        preserve_index=False)
+
+
 def dpp_join_orders_lineitem(sf_dir: str):
     """Dynamic partition pruning (``relational.pruned_read`` — runtime
     dynamic filtering, the join-side analogue of static pushdown): the
@@ -12530,6 +12578,7 @@ QUERIES = {
     "fd_discovery_orders_events": fd_discovery_orders_events,
     "timetravel_events": timetravel_events,
     "merge_into_events": merge_into_events,
+    "bucket_join_orders_customer": bucket_join_orders_customer,
     "url_prefix_rollup_warc": url_prefix_rollup_warc,
     "seasonal_anomaly_hours_events": seasonal_anomaly_hours_events,
     "crosscorr_click_purchase_events": crosscorr_click_purchase_events,

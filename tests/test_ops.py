@@ -3504,3 +3504,42 @@ def test_sanitize_utf8_replacement_paths():
                      pa.binary())
     assert sanitize_utf8(dirty).to_pylist() == [
         "ok", "caf� x", "��", None]
+
+
+def test_bucket_join_equals_hash_join(ray_session, tmp_path):
+    """A shuffle-free join over the persisted bucket layout equals the
+    hash-shuffle join, including keys whose bucket is empty on one
+    side; layout mismatch is tolerated by intersecting buckets."""
+    import ray.data
+
+    from logray.ops.layout import bucket_join, write_bucketed
+
+    rng = np.random.default_rng(97)
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 300, 2_000), pa.int64()),
+        "lv": pa.array(np.arange(2_000, dtype=np.int64))})
+    right = pa.table({
+        "k": pa.array(np.arange(0, 250, dtype=np.int64)),
+        "rv": pa.array(np.arange(0, 250, dtype=np.int64) * 7)})
+    da, db = tmp_path / "a", tmp_path / "b"
+    ra = write_bucketed(ray.data.from_arrow(left).repartition(4),
+                        "k", str(da), num_buckets=8)
+    rb = write_bucketed(ray.data.from_arrow(right).repartition(2),
+                        "k", str(db), num_buckets=8)
+    assert ra["rows"].sum() == 2_000 and rb["rows"].sum() == 250
+
+    got = bucket_join(str(da), str(db), "k").to_pandas()
+    want = (left.to_pandas().merge(right.to_pandas(), on="k"))
+    key = ["k", "lv", "rv"]
+    assert (got[key].sort_values(key).reset_index(drop=True)
+            .equals(want[key].sort_values(key).reset_index(drop=True)))
+
+    # fused per-bucket aggregate (no second pass)
+    agg = bucket_join(
+        str(da), str(db), "k",
+        bucket_post=lambda df: df.groupby("k", as_index=False)
+        .agg(n=("lv", "count"), s=("rv", "sum"))).to_pandas()
+    wagg = (want.groupby("k", as_index=False)
+            .agg(n=("lv", "count"), s=("rv", "sum")))
+    assert (agg.sort_values("k").reset_index(drop=True)
+            .equals(wagg.sort_values("k").reset_index(drop=True)))
