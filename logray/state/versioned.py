@@ -210,3 +210,30 @@ def merge_into(table_dir: str | Path, changes: pa.Table, key: str) -> int:
             inserts, preserve_index=False).cast(changes.schema))
     return commit_with_stats(d, rewritten, key, op="merge",
                              drop_files=affected)
+
+
+def incremental_agg(table_dir: str | Path, v_from: int, v_to: int,
+                    prev: dict, sum_cols: list[str]) -> dict:
+    """Incremental view maintenance over the LAYOUT: roll an aggregate
+    forward between versions by scanning ONLY the diffed files —
+    agg(v_to) = agg(v_from) − Σ(removed files) + Σ(added files), exact
+    for any commutative-invertible aggregate (count / sum here). A
+    10-file merge updates a 100 TB table's totals by reading 10 files;
+    equality with the full recompute is the pytest invariant."""
+    d = Path(table_dir)
+    diff = file_diff(d, v_from, v_to)
+    out = dict(prev)
+
+    def apply(files: list[str], sign: int) -> None:
+        for f in files:
+            t = pq.read_table(d / f, columns=sum_cols)
+            out["n_rows"] = out.get("n_rows", 0) + sign * t.num_rows
+            for c in sum_cols:
+                import pyarrow.compute as _pc
+
+                s = _pc.sum(t[c]).as_py() or 0
+                out[f"sum_{c}"] = out.get(f"sum_{c}", 0) + sign * s
+
+    apply(diff["removed"], -1)
+    apply(diff["added"], +1)
+    return out

@@ -101,3 +101,22 @@ def test_merge_into_prunes_by_file_stats(ray_session, tmp_path):
     assert (got.sort_values("id").reset_index(drop=True)
             .equals(ref.sort_values("id").reset_index(drop=True)
                     .astype(np.int64)))
+
+
+def test_incremental_agg_equals_full_recompute(ray_session, tmp_path):
+    """Rolling an aggregate forward over the file diff == recomputing
+    from the new version's full file list."""
+    d = tmp_path / "tbl"
+    versioned.commit_with_stats(
+        d, [_t(range(0, 50), range(0, 50)),
+            _t(range(50, 100), range(50, 100))], "id", op="insert")
+    base = versioned.read(d, 1).to_pandas()
+    prev = {"n_rows": len(base), "sum_v": int(base["v"].sum())}
+
+    changes = _t([10, 60, 200], [1000, 2000, 3000])
+    v2 = versioned.merge_into(d, changes, "id")
+
+    rolled = versioned.incremental_agg(d, 1, v2, prev, ["v"])
+    full = versioned.read(d, v2).to_pandas()
+    assert rolled["n_rows"] == len(full)
+    assert rolled["sum_v"] == int(full["v"].sum())
