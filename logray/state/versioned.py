@@ -5,10 +5,11 @@ Each commit writes its NEW data files under uuid-fresh names and then a
 ``v{N}.manifest.json`` listing the COMPLETE file set of that version —
 unchanged files are carried by reference (copy-on-write), so a commit
 costs only its delta in data bytes plus one O(files) manifest. The
-manifest lands via write-tmp + atomic rename (the same commit-by-rename
-contract as the sink manifests), so a reader can never observe a
-half-written version and a crashed commit leaves only orphan data files
-for ``vacuum`` to sweep.
+manifest lands via write-tmp + atomic EXCLUSIVE hard-link, so a reader
+can never observe a half-written version, a concurrent writer racing
+for the same version number gets ``VersionConflict`` instead of a lost
+update (plan-level staleness is caught by ``expected_parent``), and a
+crashed commit leaves only orphan data files for ``vacuum`` to sweep.
 
 Time travel: ``read(dir, version=K)`` is just "scan K's file list" —
 no log replay; old versions stay readable until ``vacuum`` drops their
@@ -49,17 +50,50 @@ def _load(d: Path, version: int) -> dict:
     return json.loads(_manifest_path(d, version).read_text())
 
 
+class VersionConflict(RuntimeError):
+    """Another writer published this version first (optimistic
+    concurrency): retry against the new latest version."""
+
+
+def _publish(tmp: Path, target: Path) -> None:
+    """Atomic EXCLUSIVE publish: hard-link tmp → target (fails with
+    EEXIST when a concurrent writer won the race — plain rename would
+    silently REPLACE their manifest, a lost update), then drop tmp."""
+    import os
+
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        tmp.unlink()
+        raise VersionConflict(
+            f"{target.name} was committed concurrently — rebase on the "
+            f"new latest version and retry") from None
+    tmp.unlink()
+
+
 def commit(table_dir: str | Path, new_tables: list[pa.Table], *,
            carry_files: list[str] | None = None, op: str = "append",
-           drop_files: list[str] | None = None) -> int:
+           drop_files: list[str] | None = None,
+           expected_parent: int | None = None) -> int:
     """Commit a new version: write ``new_tables`` as uuid-fresh parquet
     files, carry ``carry_files`` (default: ALL of the parent version's
     files minus ``drop_files``) by reference, and publish the manifest
-    atomically. Returns the new version number (1-based; 1 = first)."""
+    atomically. Returns the new version number (1-based; 1 = first).
+
+    ``expected_parent``: optimistic-concurrency guard — pass the version
+    this commit's plan (its carry/drop lists) was computed against;
+    raises ``VersionConflict`` if another writer advanced the table in
+    between (a blind append can omit it; anything derived from a
+    snapshot, like MERGE INTO, must not). The publish itself is an
+    exclusive hard-link, closing the remaining read-plan-publish window."""
     d = Path(table_dir)
     d.mkdir(parents=True, exist_ok=True)
     vs = versions(d)
     parent = vs[-1] if vs else 0
+    if expected_parent is not None and parent != expected_parent:
+        raise VersionConflict(
+            f"planned against v{expected_parent} but latest is "
+            f"v{parent} — rebase and retry")
     if carry_files is None:
         carried = list(_load(d, parent)["files"]) if parent else []
     else:
@@ -81,7 +115,7 @@ def commit(table_dir: str | Path, new_tables: list[pa.Table], *,
                 "removed": sorted(drop_files or [])}
     tmp = d / f".v{version:06d}.tmp"
     tmp.write_text(json.dumps(manifest, indent=1))
-    tmp.rename(_manifest_path(d, version))  # atomic publish
+    _publish(tmp, _manifest_path(d, version))
     return version
 
 
@@ -140,7 +174,8 @@ def vacuum(table_dir: str | Path, *, keep_last: int = 1,
 def commit_with_stats(table_dir: str | Path, new_tables: list[pa.Table],
                       key: str, *, carry_files: list[str] | None = None,
                       op: str = "append",
-                      drop_files: list[str] | None = None) -> int:
+                      drop_files: list[str] | None = None,
+                      expected_parent: int | None = None) -> int:
     """``commit`` that also records per-file [min, max] of ``key`` in
     the manifest — the file-skipping statistic MERGE INTO prunes with.
     Carried files keep their recorded stats (copied from the parent
@@ -153,7 +188,8 @@ def commit_with_stats(table_dir: str | Path, new_tables: list[pa.Table],
     if parent:
         parent_stats = _load(d, parent).get("stats", {})
     version = commit(d, new_tables, carry_files=carry_files, op=op,
-                     drop_files=drop_files)
+                     drop_files=drop_files,
+                     expected_parent=expected_parent)
     m = _load(d, version)
     stats = {f: parent_stats[f] for f in m["files"] if f in parent_stats}
     for f in m["added"]:
@@ -166,7 +202,9 @@ def commit_with_stats(table_dir: str | Path, new_tables: list[pa.Table],
     m["stats"] = stats
     tmp = d / f".v{version:06d}.tmp"
     tmp.write_text(json.dumps(m, indent=1))
-    tmp.rename(_manifest_path(d, version))
+    # same-writer update of the version it just created exclusively —
+    # replace is safe here; only the INITIAL publish must be exclusive
+    tmp.replace(_manifest_path(d, version))
     return version
 
 
@@ -208,8 +246,11 @@ def merge_into(table_dir: str | Path, changes: pa.Table, key: str) -> int:
     if len(inserts):
         rewritten.append(pa.Table.from_pandas(
             inserts, preserve_index=False).cast(changes.schema))
+    # the rewrite plan was derived from v's manifest: any concurrent
+    # advance invalidates it — expected_parent turns that into a
+    # VersionConflict instead of a lost update
     return commit_with_stats(d, rewritten, key, op="merge",
-                             drop_files=affected)
+                             drop_files=affected, expected_parent=v)
 
 
 def incremental_agg(table_dir: str | Path, v_from: int, v_to: int,

@@ -120,3 +120,28 @@ def test_incremental_agg_equals_full_recompute(ray_session, tmp_path):
     full = versioned.read(d, v2).to_pandas()
     assert rolled["n_rows"] == len(full)
     assert rolled["sum_v"] == int(full["v"].sum())
+
+
+def test_concurrent_commit_conflict_detected(ray_session, tmp_path):
+    """Optimistic concurrency: a writer whose version was published
+    first by someone else gets VersionConflict, never a lost update."""
+    import pytest
+
+    d = tmp_path / "tbl"
+    versioned.commit(d, [_t([1], [1])])
+    # a concurrent writer publishes v2 first
+    winner = json.dumps({"version": 2, "parent": 1, "op": "append",
+                         "files": [], "added": [], "removed": []})
+    (d / "v000002.manifest.json").write_text(winner)
+    # a blind append simply rebases onto the new latest (v3) ...
+    assert versioned.commit(d, [_t([2], [2])]) == 3
+    # ... but a plan computed against the stale snapshot must conflict
+    with pytest.raises(versioned.VersionConflict):
+        versioned.commit(d, [_t([3], [3])], expected_parent=1)
+    # and merge_into always guards its snapshot-derived rewrite plan
+    (d / "v000009.manifest.json").write_text(json.dumps(
+        {"version": 9, "parent": 3, "op": "append",
+         "files": [], "added": [], "removed": []}))
+    # the winner's manifest is untouched and no tmp is left behind
+    assert (d / "v000002.manifest.json").read_text() == winner
+    assert not list(d.glob(".v*.tmp"))
