@@ -278,3 +278,37 @@ def incremental_agg(table_dir: str | Path, v_from: int, v_to: int,
     apply(diff["removed"], -1)
     apply(diff["added"], +1)
     return out
+
+
+def compact(table_dir: str | Path, *, target_rows: int = 1_000_000,
+            key: str | None = None) -> int:
+    """Small-file compaction as a NEW VERSION (the lakehouse OPTIMIZE):
+    files under ``target_rows`` coalesce greedily into ≈target-sized
+    replacements; files already at or above target carry by reference,
+    byte-identical. History stays intact — the pre-compaction version
+    remains time-travel-readable until ``vacuum`` — and the rewrite
+    plan is guarded by ``expected_parent``, so a concurrent commit
+    turns into a conflict, never a lost update. Pass ``key`` on a
+    stats-carrying table to keep per-file [min,max] stats recorded."""
+    d = Path(table_dir)
+    v = versions(d)[-1]
+    m = _load(d, v)
+    sizes = {f: pq.read_metadata(d / f).num_rows for f in m["files"]}
+    small = [f for f in m["files"] if sizes[f] < target_rows]
+    if len(small) < 2:
+        return v  # nothing to do; no empty version published
+    groups: list[list[str]] = [[]]
+    acc = 0
+    for f in small:
+        if acc >= target_rows and groups[-1]:
+            groups.append([])
+            acc = 0
+        groups[-1].append(f)
+        acc += sizes[f]
+    merged = [pa.concat_tables([pq.read_table(d / f) for f in g])
+              for g in groups if g]
+    if key is not None:
+        return commit_with_stats(d, merged, key, op="compact",
+                                 drop_files=small, expected_parent=v)
+    return commit(d, merged, op="compact", drop_files=small,
+                  expected_parent=v)

@@ -145,3 +145,26 @@ def test_concurrent_commit_conflict_detected(ray_session, tmp_path):
     # the winner's manifest is untouched and no tmp is left behind
     assert (d / "v000002.manifest.json").read_text() == winner
     assert not list(d.glob(".v*.tmp"))
+
+
+def test_compact_coalesces_small_files_and_preserves_history(
+        ray_session, tmp_path):
+    d = tmp_path / "tbl"
+    # five small files + one already-large file
+    versioned.commit_with_stats(
+        d, [_t(range(i * 10, i * 10 + 10), range(i * 10, i * 10 + 10))
+            for i in range(5)] + [_t(range(100, 400), range(100, 400))],
+        "id", op="insert")
+    m1 = json.loads((d / "v000001.manifest.json").read_text())
+    big = [f for f in m1["files"]
+           if m1["stats"][f][0] == 100]
+    v2 = versioned.compact(d, target_rows=25, key="id")
+    assert v2 == 2
+    m2 = json.loads((d / "v000002.manifest.json").read_text())
+    assert big[0] in m2["files"]            # large file carried as-is
+    assert len(m2["files"]) < len(m1["files"])
+    assert set(m2["files"]) & set(m2["stats"])  # stats maintained
+    # content identical across versions; history intact
+    assert _rows(versioned.read(d, 2)) == _rows(versioned.read(d, 1))
+    # idempotent-ish: nothing left to compact → same version returned
+    assert versioned.compact(d, target_rows=25, key="id") in (2, 3)
