@@ -168,3 +168,22 @@ def test_compact_coalesces_small_files_and_preserves_history(
     assert _rows(versioned.read(d, 2)) == _rows(versioned.read(d, 1))
     # idempotent-ish: nothing left to compact → same version returned
     assert versioned.compact(d, target_rows=25, key="id") in (2, 3)
+
+
+def test_schema_evolution_reads_old_files_with_nulls(ray_session,
+                                                     tmp_path):
+    """A later version adding a column still reads historical files —
+    absent values surface as nulls (additive schema evolution)."""
+    d = tmp_path / "tbl"
+    versioned.commit(d, [_t([1, 2], [1, 2])])
+    evolved = pa.table({"id": pa.array([3], pa.int64()),
+                        "v": pa.array([3], pa.int64()),
+                        "w": pa.array(["x"])})
+    versioned.commit(d, [evolved])
+    df = versioned.read(d).to_pandas().sort_values("id") \
+        .reset_index(drop=True)
+    assert list(df["id"]) == [1, 2, 3]
+    assert df["w"].isna().tolist() == [True, True, False]
+    assert df.loc[2, "w"] == "x"
+    # time travel to v1 is untouched by the evolution
+    assert sorted(versioned.read(d, 1).to_pandas().columns) == ["id", "v"]
