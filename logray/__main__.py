@@ -74,6 +74,18 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("ls", help="list the query catalogue")
 
+    t = sub.add_parser("table", help="versioned-table ops (time travel, "
+                                     "compaction, retention)")
+    t.add_argument("verb", choices=["log", "read", "compact", "vacuum"])
+    t.add_argument("table_dir")
+    t.add_argument("--version", type=int, default=None)
+    t.add_argument("--limit", type=int, default=20)
+    t.add_argument("--target-rows", type=int, default=1_000_000)
+    t.add_argument("--keep-last", type=int, default=1)
+    t.add_argument("--key", default=None,
+                   help="stats key column (keeps [min,max] recorded "
+                        "through compaction)")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "gen":
@@ -134,6 +146,36 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.compact import compact
 
             print(json.dumps(compact(args.out_dir, target_mb=args.target_mb)))
+            return 0
+
+        if args.cmd == "table":
+            from .state import versioned
+
+            if args.verb == "log":
+                from pathlib import Path
+
+                d = Path(args.table_dir)
+                for v in versioned.versions(d):
+                    m = json.loads(
+                        (d / f"v{v:06d}.manifest.json").read_text())
+                    print(json.dumps({
+                        "version": v, "op": m["op"],
+                        "files": len(m["files"]),
+                        "added": len(m["added"]),
+                        "removed": len(m["removed"])}))
+            elif args.verb == "read":
+                df = versioned.read(args.table_dir,
+                                    args.version).to_pandas()
+                print(df.head(args.limit).to_string(index=False))
+                print(f"... {len(df)} rows")
+            elif args.verb == "compact":
+                v = versioned.compact(args.table_dir,
+                                      target_rows=args.target_rows,
+                                      key=args.key)
+                print(json.dumps({"version": v}))
+            else:  # vacuum
+                print(json.dumps(versioned.vacuum(
+                    args.table_dir, keep_last=args.keep_last)))
             return 0
 
         if args.cmd == "query":
