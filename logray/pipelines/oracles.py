@@ -4911,6 +4911,20 @@ ORACLE_SQL["logfmt_conv_traces"] = f"""
     GROUP BY conv
 """
 
+ORACLE_SQL["syslog_ingest"] = f"""
+    SELECT ts_us, facility, severity, host, app, procid, msgid, n_sd,
+           conv, turn, msg
+    FROM read_parquet('{_MEDIA}/syslog/truth.parquet')
+"""
+
+ORACLE_SQL["syslog_severity_rollup"] = f"""
+    SELECT app, count(*) AS n,
+           CAST(sum(CASE WHEN severity <= 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_err_class
+    FROM read_parquet('{_MEDIA}/syslog/truth.parquet')
+    GROUP BY app
+"""
+
 ORACLE_SQL["access_log_status_rollup"] = f"""
     SELECT method, CAST(status // 100 AS VARCHAR) || 'xx' AS status_class,
            count(*) AS n_req,

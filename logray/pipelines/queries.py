@@ -10729,6 +10729,60 @@ def logfmt_conv_traces(sf_dir: str):
                    "max_turn": ("turn", "max")})
 
 
+def _syslog_dir() -> str:
+    from ..sources import make_syslog_logs
+
+    p = Path(_MEDIA_CACHE) / "syslog"
+    if not (p / "truth.parquet").exists():
+        make_syslog_logs(p)
+    return str(p)
+
+
+def syslog_ingest(sf_dir: str):
+    """RFC 5424 syslog ingestion end-to-end (a FIFTH raw-text envelope
+    — the one with STRUCTURED-DATA elements whose values carry escaped
+    brackets/quotes, the classic parser trap; sources.syslog_parse:
+    single header extract_regex with an escape-aware SD-run pattern,
+    facility/severity from PRI, NIL '-' → null, escape-aware SD param
+    extraction, malformed lines survive). Every field value-checks
+    against the pack-time truth sidecar."""
+    from ..sources import read_syslog
+
+    ds = read_syslog(_syslog_dir())
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t["parse_error"]))
+        return pa.table({
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "facility": t["facility"], "severity": t["severity"],
+            "host": t["host"], "app": t["app"], "procid": t["procid"],
+            "msgid": t["msgid"], "n_sd": t["n_sd"], "conv": t["conv"],
+            "turn": t["turn"], "msg": t["msg"]})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def syslog_severity_rollup(sf_dir: str):
+    """Severity × app rollup over the parsed syslog lane (the first
+    dashboard every SRE builds on 5424 streams): event counts and
+    error-class share (severity ≤ 3 = err and worse) per app,
+    combiner-first."""
+    from ..sources import read_syslog
+
+    ds = read_syslog(_syslog_dir())
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t["parse_error"]))
+        return pa.table({
+            "app": t["app"],
+            "bad": pc.cast(pc.less_equal(t["severity"], 3), pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return relational.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["app"], {"n": ("one", "sum"), "n_err_class": ("bad", "sum")})
+
+
 def access_log_ingest(sf_dir: str):
     """Common-Log-Format ingestion end-to-end (a THIRD raw-text format
     with its own envelope ruleset — sources.access_log_parse: one
@@ -12573,6 +12627,8 @@ QUERIES = {
     "l_diversity_events": l_diversity_events,
     "conversion_ab_ztest_events": conversion_ab_ztest_events,
     "logfmt_conv_traces": logfmt_conv_traces,
+    "syslog_ingest": syslog_ingest,
+    "syslog_severity_rollup": syslog_severity_rollup,
     "hll_grouping_sets_users": hll_grouping_sets_users,
     "merkle_reconcile_events": merkle_reconcile_events,
     "fd_discovery_orders_events": fd_discovery_orders_events,

@@ -1299,3 +1299,176 @@ def make_logfmt_logs(out_dir, n: int = 900, shards: int = 3,
         "ok": pa.array(truth["ok"], pa.bool_()),
     }), out / "truth.parquet")
     return {"n": n, "shards": shards}
+
+
+# --------------------------------------------------------------- syslog ----
+
+SYSLOG_HEADER_REGEX = (
+    r"^<(?P<pri>\d{1,3})>1 "
+    r"(?P<ts>\S+) (?P<host>\S+) (?P<app>\S+) (?P<procid>\S+) "
+    r"(?P<msgid>\S+) "
+    r"(?P<sd>-|(?:\[(?:[^\]\\]|\\.)*\])+)"
+    r"(?: (?P<msg>.*))?$"
+)
+
+
+def syslog_parse(batch: pa.Table, line_col: str = "text") -> pa.Table:
+    """Vectorized RFC 5424 syslog envelope (version 1): one header
+    ``extract_regex`` covering PRI/timestamp/host/app/procid/msgid, the
+    STRUCTURED-DATA region as a contiguous ``[..]``-element run whose
+    values may carry escaped ``\\]`` and ``\\"`` (the classic parser
+    trap — a naive ``\\[[^\\]]*\\]`` truncates at the first escaped
+    bracket), and the free-text MSG after it. facility/severity derive
+    from PRI (pri//8, pri%8); NILVALUE '-' surfaces as null; known SD
+    params (conv, turn) extract with escape-aware value patterns and
+    unescape via one RE2 rewrite; ``n_sd`` counts SD elements. A line
+    failing the header is malformed (parse_error=true) but survives."""
+    lines = batch[line_col]
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    st = pc.extract_regex(lines, SYSLOG_HEADER_REGEX)
+    err = st.is_null()
+
+    def raw(name: str) -> pa.Array:
+        return pc.if_else(err, pa.scalar(None, pa.string()),
+                          st.field(name))
+
+    def nil(name: str) -> pa.Array:
+        v = raw(name)
+        return pc.if_else(pc.equal(v, "-"), pa.scalar(None, pa.string()),
+                          v)
+
+    pri = pc.cast(raw("pri"), pa.int64())
+    ts = pc.strptime(raw("ts"), format="%Y-%m-%dT%H:%M:%SZ", unit="us",
+                     error_is_null=True)
+    sd = nil("sd")
+
+    def sd_param(name: str) -> pa.Array:
+        p = pc.extract_regex(
+            sd, rf'{name}="(?P<v>(?:[^"\\]|\\.)*)"')
+        v = pc.if_else(p.is_null(), pa.scalar(None, pa.string()),
+                       p.field("v"))
+        return pc.replace_substring_regex(v, pattern=r"\\(.)",
+                                          replacement=r"\1")
+
+    n_sd = pc.if_else(
+        sd.is_null(), pa.scalar(0, pa.int64()),
+        pc.cast(pc.count_substring_regex(
+            sd, r"\[(?:[^\]\\]|\\.)*\]"), pa.int64()))
+    return pa.table({
+        "facility": pc.divide(pri, 8),
+        "severity": pc.subtract(pri, pc.multiply(pc.divide(pri, 8), 8)),
+        "ts": ts,
+        "host": nil("host"),
+        "app": nil("app"),
+        "procid": pc.cast(nil("procid"), pa.int64()),
+        "msgid": nil("msgid"),
+        "n_sd": n_sd,
+        "conv": sd_param("conv"),
+        "turn": pc.cast(sd_param("turn"), pa.int32()),
+        # the optional MSG group surfaces as '' when absent (the
+        # null-struct-child gotcha) — absent MSG is null per RFC
+        "msg": pc.if_else(pc.equal(pc.fill_null(raw("msg"), ""), ""),
+                          pa.scalar(None, pa.string()), raw("msg")),
+        "parse_error": err,
+    })
+
+
+def read_syslog(log_dir: str | Path):
+    """``read_text`` over ``.log`` syslog files → RFC 5424 envelope."""
+    import ray.data
+
+    files = sorted(str(p) for p in Path(log_dir).glob("*.log"))
+    if not files:
+        raise FileNotFoundError(f"no .log files in {log_dir}")
+    return ray.data.read_text(files).map_batches(
+        syslog_parse, batch_format="pyarrow")
+
+
+def make_syslog_logs(out_dir, n: int = 800, shards: int = 3,
+                     seed: int = 71) -> dict:
+    """Deterministic RFC 5424 fixture: severities spanning facilities,
+    NIL fields, 0–2 structured-data elements per line with escaped
+    ``\\]``/``\\"`` hazards inside values, messages containing literal
+    brackets (must NOT read as SD), ~2% malformed lines, plus a
+    ``truth.parquet`` sidecar of generation-time fields."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    apps = ["gateway", "parser", "router"]
+    msgs = ["routed ok", "retry scheduled", "[not sd] bracket msg",
+            "flush done", None]
+    convs = [f"c{i:03d}" for i in range(30)]
+    base = 1_767_312_000  # 2026-01-02T00:00:00Z
+    bufs: dict[int, list[str]] = {k: [] for k in range(shards)}
+    names = {k: f"sys-{k:02d}.log" for k in range(shards)}
+    truth = {c: [] for c in ("ts_us", "facility", "severity", "host",
+                             "app", "procid", "msgid", "n_sd", "conv",
+                             "turn", "msg")}
+    for i in range(n):
+        k = i % shards
+        if i % 53 == 17:
+            bufs[k].append(f"garbage line {i} no header")
+            continue
+        fac = int(rng.integers(0, 24))
+        sev = int(rng.integers(0, 8))
+        pri = fac * 8 + sev
+        secs = base + i * 2
+        t = dt.datetime.fromtimestamp(secs, dt.timezone.utc)
+        host = f"node{int(rng.integers(0, 4)):02d}"
+        app = apps[int(rng.integers(0, len(apps)))]
+        procid = None if rng.random() < 0.3 else int(
+            rng.integers(100, 9999))
+        msgid = None if rng.random() < 0.5 else f"M{int(rng.integers(0, 9))}"
+        conv = None
+        turn = None
+        n_sd = int(rng.integers(0, 3))
+        sd_parts = []
+        if n_sd >= 1:
+            conv = convs[int(rng.integers(0, len(convs)))]
+            turn = int(rng.integers(0, 50))
+            hazard = ' note="a\\]b\\"c"' if i % 9 == 4 else ""
+            sd_parts.append(f'[meta@32473 conv="{conv}" '
+                            f'turn="{turn}"{hazard}]')
+        if n_sd == 2:
+            sd_parts.append('[origin ip="10.0.0.1"]')
+        sd = "".join(sd_parts) if sd_parts else "-"
+        msg = msgs[int(rng.integers(0, len(msgs)))]
+        line = (f"<{pri}>1 {t.strftime('%Y-%m-%dT%H:%M:%SZ')} {host} "
+                f"{app} {procid if procid is not None else '-'} "
+                f"{msgid if msgid is not None else '-'} {sd}")
+        if msg is not None:
+            line += f" {msg}"
+        bufs[k].append(line)
+        truth["ts_us"].append(secs * 1_000_000)
+        truth["facility"].append(fac)
+        truth["severity"].append(sev)
+        truth["host"].append(host)
+        truth["app"].append(app)
+        truth["procid"].append(procid)
+        truth["msgid"].append(msgid)
+        truth["n_sd"].append(n_sd)
+        truth["conv"].append(conv)
+        truth["turn"].append(turn)
+        truth["msg"].append(msg)
+    for k in range(shards):
+        (out / names[k]).write_text("\n".join(bufs[k]) + "\n")
+    _pq.write_table(pa.table({
+        "ts_us": pa.array(truth["ts_us"], pa.int64()),
+        "facility": pa.array(truth["facility"], pa.int64()),
+        "severity": pa.array(truth["severity"], pa.int64()),
+        "host": pa.array(truth["host"], pa.string()),
+        "app": pa.array(truth["app"], pa.string()),
+        "procid": pa.array(truth["procid"], pa.int64()),
+        "msgid": pa.array(truth["msgid"], pa.string()),
+        "n_sd": pa.array(truth["n_sd"], pa.int64()),
+        "conv": pa.array(truth["conv"], pa.string()),
+        "turn": pa.array(truth["turn"], pa.int32()),
+        "msg": pa.array(truth["msg"], pa.string()),
+    }), out / "truth.parquet")
+    return {"n": n, "shards": shards}

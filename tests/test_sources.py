@@ -670,3 +670,34 @@ def test_logfmt_envelope_hazards(ray_session):
         None, None]
     assert out["dur_ms"].to_pylist() == [42, 5, None, None, None]
     assert out["ok"].to_pylist() == [True, None, None, None, None]
+
+
+def test_syslog_envelope_hazards(ray_session):
+    """RFC 5424: escaped brackets/quotes inside SD values must not
+    truncate the SD run; msg brackets must not read as SD; NIL fields
+    null; facility/severity derive from PRI; malformed lines survive."""
+    import pyarrow as pa
+
+    from logray.sources import syslog_parse
+
+    lines = [
+        # 2 SD elements, escape hazards in the first
+        '<165>1 2026-01-02T00:00:00Z h1 app1 77 M1 '
+        '[meta@32473 conv="c001" turn="3" note="a\\]b\\"c"]'
+        '[origin ip="10.0.0.1"] routed ok',
+        # NIL sd + msg beginning with brackets (must NOT parse as SD)
+        '<13>1 2026-01-02T00:00:01Z h2 app2 - - - [not sd] literal',
+        # no msg at all -> null
+        '<0>1 2026-01-02T00:00:02Z h3 app3 12 M2 [meta@32473 conv="c002" turn="4"]',
+        'total garbage',
+    ]
+    out = syslog_parse(pa.table({"text": pa.array(lines)}))
+    assert out["parse_error"].to_pylist() == [False, False, False, True]
+    assert out["facility"].to_pylist() == [20, 1, 0, None]
+    assert out["severity"].to_pylist() == [5, 5, 0, None]
+    assert out["n_sd"].to_pylist() == [2, 0, 1, 0]
+    assert out["conv"].to_pylist() == ["c001", None, "c002", None]
+    assert out["turn"].to_pylist() == [3, None, 4, None]
+    assert out["procid"].to_pylist() == [77, None, 12, None]
+    assert out["msg"].to_pylist() == ["routed ok", "[not sd] literal",
+                                      None, None]
