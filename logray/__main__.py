@@ -76,15 +76,18 @@ def main(argv: list[str] | None = None) -> int:
 
     t = sub.add_parser("table", help="versioned-table ops (time travel, "
                                      "compaction, retention)")
-    t.add_argument("verb", choices=["log", "read", "compact", "vacuum"])
+    t.add_argument("verb", choices=["log", "read", "merge", "compact",
+                                    "vacuum"])
     t.add_argument("table_dir")
+    t.add_argument("changes", nargs="?", default=None,
+                   help="(merge) parquet file of upsert rows")
     t.add_argument("--version", type=int, default=None)
     t.add_argument("--limit", type=int, default=20)
     t.add_argument("--target-rows", type=int, default=1_000_000)
     t.add_argument("--keep-last", type=int, default=1)
     t.add_argument("--key", default=None,
-                   help="stats key column (keeps [min,max] recorded "
-                        "through compaction)")
+                   help="merge key / stats column (keeps [min,max] "
+                        "recorded through compaction)")
 
     args = ap.parse_args(argv)
 
@@ -168,6 +171,16 @@ def main(argv: list[str] | None = None) -> int:
                                     args.version).to_pandas()
                 print(df.head(args.limit).to_string(index=False))
                 print(f"... {len(df)} rows")
+            elif args.verb == "merge":
+                import pyarrow.parquet as _pq
+
+                if not args.changes or not args.key:
+                    ap.error("table merge needs <changes.parquet> "
+                             "and --key")
+                v = versioned.merge_into(
+                    args.table_dir, _pq.read_table(args.changes),
+                    args.key)
+                print(json.dumps({"version": v}))
             elif args.verb == "compact":
                 v = versioned.compact(args.table_dir,
                                       target_rows=args.target_rows,
