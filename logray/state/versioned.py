@@ -119,10 +119,19 @@ def commit(table_dir: str | Path, new_tables: list[pa.Table], *,
     return version
 
 
-def read(table_dir: str | Path, version: int | None = None):
+def read(table_dir: str | Path, version: int | None = None, *,
+         columns: list[str] | None = None,
+         key_range: tuple | None = None):
     """Lazy Dataset over one version's file list (time travel); the
     latest version when ``version`` is None. An empty version yields an
-    empty Dataset."""
+    empty Dataset.
+
+    ``columns`` prunes at the scan. ``key_range=(lo, hi)`` (closed, on
+    the stats key of a ``commit_with_stats`` table) skips every file
+    whose recorded [min, max] misses the range BEFORE any scan task
+    launches — manifest-level file skipping, the read-side half of the
+    MERGE INTO stats; rows inside surviving files still need a filter
+    (stats prune files, not rows)."""
     import ray.data
 
     d = Path(table_dir)
@@ -132,10 +141,20 @@ def read(table_dir: str | Path, version: int | None = None):
     v = vs[-1] if version is None else version
     if v not in vs:
         raise FileNotFoundError(f"version {v} not in {vs}")
-    files = [str(d / f) for f in _load(d, v)["files"]]
+    m = _load(d, v)
+    names = m["files"]
+    if key_range is not None:
+        stats = m.get("stats")
+        if stats is None:
+            raise ValueError("key_range needs commit_with_stats "
+                             "manifests")
+        lo, hi = key_range
+        names = [f for f in names
+                 if stats[f][0] <= hi and stats[f][1] >= lo]
+    files = [str(d / f) for f in names]
     if not files:
         return ray.data.from_arrow(pa.table({}))
-    return ray.data.read_parquet(files)
+    return ray.data.read_parquet(files, columns=columns)
 
 
 def file_diff(table_dir: str | Path, v_from: int, v_to: int) -> dict:

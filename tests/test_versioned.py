@@ -187,3 +187,24 @@ def test_schema_evolution_reads_old_files_with_nulls(ray_session,
     assert df.loc[2, "w"] == "x"
     # time travel to v1 is untouched by the evolution
     assert sorted(versioned.read(d, 1).to_pandas().columns) == ["id", "v"]
+
+
+def test_read_key_range_skips_files_by_stats(ray_session, tmp_path):
+    """key_range reads prune whole files from the manifest stats before
+    any scan task launches; surviving files still carry out-of-range
+    rows (stats prune files, not rows)."""
+    d = tmp_path / "tbl"
+    versioned.commit_with_stats(
+        d, [_t(range(0, 100), range(0, 100)),
+            _t(range(100, 200), range(100, 200)),
+            _t(range(200, 300), range(200, 300))], "id")
+    ds = versioned.read(d, key_range=(120, 180))
+    df = ds.to_pandas()
+    # only the middle file was read: ids 100..199 present, others not
+    assert df["id"].min() == 100 and df["id"].max() == 199
+    assert len(df) == 100
+    # column pruning
+    slim = versioned.read(d, columns=["id"]).to_pandas()
+    assert list(slim.columns) == ["id"]
+    # disjoint range -> empty
+    assert len(versioned.read(d, key_range=(900, 999)).to_pandas()) == 0
