@@ -113,6 +113,13 @@ def commit(table_dir: str | Path, new_tables: list[pa.Table], *,
                 "files": sorted(carried + new_files),
                 "added": sorted(new_files),
                 "removed": sorted(drop_files or [])}
+    if parent and op != "materialize-deletes":
+        pm = _load(d, parent)
+        if pm.get("deletes"):
+            # deletion vectors are key-based and global: every child
+            # version keeps hiding those keys until materialized
+            manifest["deletes"] = pm["deletes"]
+            manifest["delete_key"] = pm["delete_key"]
     tmp = d / f".v{version:06d}.tmp"
     tmp.write_text(json.dumps(manifest, indent=1))
     _publish(tmp, _manifest_path(d, version))
@@ -154,7 +161,19 @@ def read(table_dir: str | Path, version: int | None = None, *,
     files = [str(d / f) for f in names]
     if not files:
         return ray.data.from_arrow(pa.table({}))
-    return ray.data.read_parquet(files, columns=columns)
+    ds = ray.data.read_parquet(files, columns=columns)
+    dv = _dv_keys(d, m)
+    if dv is not None:
+        key, ks = dv
+        if columns is None or key in columns:
+            from ..ops.relational import semi_filter
+
+            ds = semi_filter(ds, key, ks, keep=False)
+        else:
+            raise ValueError(
+                f"column pruning dropped DV key {key!r}; include it or "
+                f"materialize_deletes() first")
+    return ds
 
 
 def file_diff(table_dir: str | Path, v_from: int, v_to: int) -> dict:
@@ -176,10 +195,14 @@ def vacuum(table_dir: str | Path, *, keep_last: int = 1,
     keep = set(vs[-keep_last:]) if keep_last > 0 else set()
     referenced: set[str] = set()
     for v in keep:
-        referenced.update(_load(d, v)["files"])
+        m = _load(d, v)
+        referenced.update(m["files"])
+        referenced.update(_dv_files(m))
     dropped_versions = [v for v in vs if v not in keep]
     orphans = [p.name for p in d.glob("data-*.parquet")
                if p.name not in referenced]
+    orphans += [p.name for p in d.glob("dv-*.parquet")
+                if p.name not in referenced]
     orphans += [p.name for p in d.glob(".v*.tmp")]
     if not dry_run:
         for v in dropped_versions:
@@ -268,8 +291,30 @@ def merge_into(table_dir: str | Path, changes: pa.Table, key: str) -> int:
     # the rewrite plan was derived from v's manifest: any concurrent
     # advance invalidates it — expected_parent turns that into a
     # VersionConflict instead of a lost update
-    return commit_with_stats(d, rewritten, key, op="merge",
-                             drop_files=affected, expected_parent=v)
+    version = commit_with_stats(d, rewritten, key, op="merge",
+                                drop_files=affected, expected_parent=v)
+    # a merged key is live again: subtract it from any deletion vector
+    mm = _load(d, version)
+    if _dv_files(mm) and mm.get("delete_key") == key:
+        live = set(np.asarray(cdf[key]))
+        new_dvs = []
+        for f in _dv_files(mm):
+            t = pq.read_table(d / f)
+            col = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+            kept = t.filter(pa.array([c not in live for c in col]))
+            if kept.num_rows:
+                name = f"dv-{uuid.uuid4().hex}.parquet"
+                pq.write_table(kept, d / name)
+                new_dvs.append(name)
+        if new_dvs:
+            mm["deletes"] = sorted(new_dvs)
+        else:
+            mm.pop("deletes", None)
+            mm.pop("delete_key", None)
+        tmp = d / f".v{version:06d}.tmp"
+        tmp.write_text(json.dumps(mm, indent=1))
+        tmp.replace(_manifest_path(d, version))
+    return version
 
 
 def incremental_agg(table_dir: str | Path, v_from: int, v_to: int,
@@ -331,3 +376,77 @@ def compact(table_dir: str | Path, *, target_rows: int = 1_000_000,
                                  drop_files=small, expected_parent=v)
     return commit(d, merged, op="compact", drop_files=small,
                   expected_parent=v)
+
+
+def _dv_files(m: dict) -> list[str]:
+    return m.get("deletes", [])
+
+
+def delete_keys(table_dir: str | Path, keys, key: str) -> int:
+    """Merge-on-read DELETE via a deletion vector (the Delta/Iceberg
+    DV shape): scattered deletes publish one tiny key-list sidecar and
+    a new version carrying every data file UNTOUCHED — no rewrite at
+    delete time; ``read`` anti-filters the union of DVs behind the
+    scan. Time travel to pre-delete versions still shows the rows.
+    Re-inserting a deleted key later requires ``merge_into`` (which
+    subtracts its keys from the DVs) or ``materialize_deletes``."""
+    import numpy as np
+
+    d = Path(table_dir)
+    v = versions(d)[-1]
+    m = _load(d, v)
+    ks = np.unique(np.asarray(list(keys)))
+    name = f"dv-{uuid.uuid4().hex}.parquet"
+    pq.write_table(pa.table({key: pa.array(ks)}), d / name)
+    version = commit(d, [], op="delete", expected_parent=v)
+    mm = _load(d, version)
+    mm["deletes"] = sorted(_dv_files(m) + [name])
+    mm["delete_key"] = key
+    if "stats" in m:
+        mm["stats"] = m["stats"]
+    tmp = d / f".v{version:06d}.tmp"
+    tmp.write_text(json.dumps(mm, indent=1))
+    tmp.replace(_manifest_path(d, version))  # same-writer update
+    return version
+
+
+def _dv_keys(d: Path, m: dict):
+    import numpy as np
+
+    dvs = _dv_files(m)
+    if not dvs:
+        return None
+    key = m["delete_key"]
+    arrs = [pq.read_table(d / f)[key].combine_chunks().to_numpy(
+        zero_copy_only=False) for f in dvs]
+    return key, np.unique(np.concatenate(arrs))
+
+
+def materialize_deletes(table_dir: str | Path) -> int:
+    """Rewrite every file applying the deletion vectors, then publish a
+    DV-free version — the compaction step that turns merge-on-read
+    back into pure data files."""
+    import numpy as np
+
+    d = Path(table_dir)
+    v = versions(d)[-1]
+    m = _load(d, v)
+    dv = _dv_keys(d, m)
+    if dv is None:
+        return v
+    key, ks = dv
+    rewritten = []
+    for f in m["files"]:
+        t = pq.read_table(d / f)
+        col = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(ks, col), 0, len(ks) - 1)
+        keep = ~(ks[idx] == col) if len(ks) else np.ones(len(col), bool)
+        rewritten.append(t.filter(pa.array(keep)))
+    stats_key = m.get("delete_key") if "stats" in m else None
+    if stats_key is not None:
+        return commit_with_stats(d, rewritten, stats_key,
+                                 op="materialize-deletes",
+                                 drop_files=m["files"],
+                                 expected_parent=v)
+    return commit(d, rewritten, op="materialize-deletes",
+                  drop_files=m["files"], expected_parent=v)

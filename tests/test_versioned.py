@@ -208,3 +208,44 @@ def test_read_key_range_skips_files_by_stats(ray_session, tmp_path):
     assert list(slim.columns) == ["id"]
     # disjoint range -> empty
     assert len(versioned.read(d, key_range=(900, 999)).to_pandas()) == 0
+
+
+def test_deletion_vectors_merge_on_read(ray_session, tmp_path):
+    """delete_keys hides rows without touching data files; time travel
+    shows them; appends carry the DV; merge_into revives re-inserted
+    keys; materialize_deletes rewrites and drops the DV; vacuum keeps
+    referenced DVs."""
+    d = tmp_path / "tbl"
+    versioned.commit_with_stats(
+        d, [_t(range(0, 50), range(0, 50)),
+            _t(range(50, 100), range(50, 100))], "id", op="insert")
+    m1_files = json.loads(
+        (d / "v000001.manifest.json").read_text())["files"]
+
+    v2 = versioned.delete_keys(d, [5, 60, 99], "id")
+    m2 = json.loads((d / f"v{v2:06d}.manifest.json").read_text())
+    assert sorted(m2["files"]) == sorted(m1_files)  # no rewrite
+    got = set(versioned.read(d).to_pandas()["id"])
+    assert {5, 60, 99}.isdisjoint(got) and len(got) == 97
+    assert len(versioned.read(d, 1).to_pandas()) == 100  # time travel
+
+    # an append carries the DV forward
+    versioned.commit_with_stats(d, [_t([200], [200])], "id")
+    assert 5 not in set(versioned.read(d).to_pandas()["id"])
+
+    # merging key 5 back revives it; 60/99 stay hidden
+    versioned.merge_into(d, _t([5], [555]), "id")
+    df = versioned.read(d).to_pandas()
+    assert int(df.loc[df["id"] == 5, "v"].iloc[0]) == 555
+    assert {60, 99}.isdisjoint(set(df["id"]))
+
+    vmat = versioned.materialize_deletes(d)
+    mm = json.loads((d / f"v{vmat:06d}.manifest.json").read_text())
+    assert "deletes" not in mm
+    dfm = versioned.read(d).to_pandas()
+    assert set(dfm["id"]) == set(df["id"])  # same visible rows
+
+    rep = versioned.vacuum(d, keep_last=1)
+    assert all(f.startswith(("data-", "dv-", ".v"))
+               for f in rep["deleted_files"])
+    assert set(versioned.read(d).to_pandas()["id"]) == set(dfm["id"])
