@@ -76,8 +76,8 @@ def main(argv: list[str] | None = None) -> int:
 
     t = sub.add_parser("table", help="versioned-table ops (time travel, "
                                      "compaction, retention)")
-    t.add_argument("verb", choices=["log", "read", "merge", "compact",
-                                    "vacuum"])
+    t.add_argument("verb", choices=["log", "read", "merge", "delete",
+                                    "compact", "vacuum"])
     t.add_argument("table_dir")
     t.add_argument("changes", nargs="?", default=None,
                    help="(merge) parquet file of upsert rows")
@@ -88,6 +88,9 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--key", default=None,
                    help="merge key / stats column (keeps [min,max] "
                         "recorded through compaction)")
+    t.add_argument("--values", default=None,
+                   help="(delete) comma-separated key values to hide "
+                        "via a deletion vector")
 
     args = ap.parse_args(argv)
 
@@ -181,6 +184,14 @@ def main(argv: list[str] | None = None) -> int:
                     args.table_dir, _pq.read_table(args.changes),
                     args.key)
                 print(json.dumps({"version": v}))
+            elif args.verb == "delete":
+                if not args.values or not args.key:
+                    ap.error("table delete needs --key and --values")
+                vals = [int(x) if x.lstrip("-").isdigit() else x
+                        for x in args.values.split(",")]
+                v = versioned.delete_keys(args.table_dir, vals,
+                                          args.key)
+                print(json.dumps({"version": v, "hidden": len(vals)}))
             elif args.verb == "compact":
                 v = versioned.compact(args.table_dir,
                                       target_rows=args.target_rows,
