@@ -187,8 +187,25 @@ def main(argv: list[str] | None = None) -> int:
             elif args.verb == "delete":
                 if not args.values or not args.key:
                     ap.error("table delete needs --key and --values")
-                vals = [int(x) if x.lstrip("-").isdigit() else x
-                        for x in args.values.split(",")]
+                # cast CLI tokens to the key column's ACTUAL Arrow type
+                # (guessing from digit-shape would turn a string key of
+                # zero-padded ids into int64 DVs that never match)
+                import pyarrow as _pa
+                import pyarrow.parquet as _pq2
+                from pathlib import Path as _P
+
+                tokens = args.values.split(",")
+                d = _P(args.table_dir)
+                vs = versioned.versions(d)
+                files = (versioned._load(d, vs[-1])["files"]
+                         if vs else [])
+                if files:
+                    typ = _pq2.read_schema(
+                        d / files[0]).field(args.key).type
+                    vals = _pa.array(tokens, type=_pa.string()).cast(
+                        typ).to_pylist()
+                else:
+                    vals = tokens
                 v = versioned.delete_keys(args.table_dir, vals,
                                           args.key)
                 print(json.dumps({"version": v, "hidden": len(vals)}))

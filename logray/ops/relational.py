@@ -908,6 +908,14 @@ def auto_join(left, right, on: str, *, how: str = "inner",
     path computes the identical join (equality-tested across all three).
     INNER-only for the skew path (its documented restriction); non-inner
     ``how`` falls back to broadcast/hash.
+
+    The LEFT side is never executed at plan time: its cardinality comes
+    from dataset metadata (``_meta_count`` — parquet footers / known
+    block counts) when available, else from the sampled prefix itself
+    (a short sample IS the whole left). When neither pins it down the
+    only safe statement is ``n_left ≥ sample_rows``, so that lower
+    bound extrapolates the hot key — conservative toward 'hash', and
+    never a second pass over the left pipeline.
     """
     n_right = right.count()
     if n_right <= broadcast_threshold_rows:
@@ -918,7 +926,11 @@ def auto_join(left, right, on: str, *, how: str = "inner",
         sample = left.limit(sample_rows).select_columns([on]).to_pandas()
         if len(sample):
             top = sample[on].value_counts()
-            n_left = left.count()
+            n_left = left._meta_count()
+            if n_left is None and len(sample) < sample_rows:
+                n_left = len(sample)  # the prefix exhausted the left
+            if n_left is None:
+                n_left = sample_rows  # lower bound: prefix was full
             est_top = float(top.iloc[0]) / len(sample) * float(n_left)
             if est_top >= skew_hot_threshold:
                 return "skew", skew_join(

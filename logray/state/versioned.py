@@ -11,6 +11,14 @@ for the same version number gets ``VersionConflict`` instead of a lost
 update (plan-level staleness is caught by ``expected_parent``), and a
 crashed commit leaves only orphan data files for ``vacuum`` to sweep.
 
+Single-publish invariant: a manifest is COMPLETE (files, stats,
+deletion vectors) before the exclusive link and is NEVER rewritten
+afterwards — there is no window where a reader of a published version
+sees it without its deletes/stats, and a concurrent writer that
+commits the next version inherits the full parent state. Callers that
+need to attach extra fields do it through ``commit(finalize=...)``,
+which mutates the manifest dict pre-publish.
+
 Time travel: ``read(dir, version=K)`` is just "scan K's file list" —
 no log replay; old versions stay readable until ``vacuum`` drops their
 manifests and any data file no kept version references.
@@ -27,8 +35,10 @@ from __future__ import annotations
 import json
 import uuid
 from pathlib import Path
+from typing import Callable
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 _MANIFEST_GLOB = "v*.manifest.json"
@@ -58,7 +68,9 @@ class VersionConflict(RuntimeError):
 def _publish(tmp: Path, target: Path) -> None:
     """Atomic EXCLUSIVE publish: hard-link tmp → target (fails with
     EEXIST when a concurrent writer won the race — plain rename would
-    silently REPLACE their manifest, a lost update), then drop tmp."""
+    silently REPLACE their manifest, a lost update), then drop tmp.
+    This is the ONLY way a manifest reaches its published name; no
+    code path rewrites a manifest after this link succeeds."""
     import os
 
     try:
@@ -71,10 +83,21 @@ def _publish(tmp: Path, target: Path) -> None:
     tmp.unlink()
 
 
+def _minmax(col: pa.ChunkedArray | pa.Array) -> list:
+    mm = pc.min_max(col)
+    return [mm["min"].as_py(), mm["max"].as_py()]
+
+
+def _file_minmax(d: Path, name: str, key: str) -> list:
+    return _minmax(pq.read_table(d / name, columns=[key])[key])
+
+
 def commit(table_dir: str | Path, new_tables: list[pa.Table], *,
            carry_files: list[str] | None = None, op: str = "append",
            drop_files: list[str] | None = None,
-           expected_parent: int | None = None) -> int:
+           expected_parent: int | None = None,
+           stats_key: str | None = None,
+           finalize: Callable[[dict], None] | None = None) -> int:
     """Commit a new version: write ``new_tables`` as uuid-fresh parquet
     files, carry ``carry_files`` (default: ALL of the parent version's
     files minus ``drop_files``) by reference, and publish the manifest
@@ -85,7 +108,20 @@ def commit(table_dir: str | Path, new_tables: list[pa.Table], *,
     raises ``VersionConflict`` if another writer advanced the table in
     between (a blind append can omit it; anything derived from a
     snapshot, like MERGE INTO, must not). The publish itself is an
-    exclusive hard-link, closing the remaining read-plan-publish window."""
+    exclusive hard-link, closing the remaining read-plan-publish window.
+
+    Stats inheritance: once a table has a ``stats_key`` (first set via
+    ``commit_with_stats``), EVERY later commit — plain appends included
+    — carries the parent's per-file [min, max] for carried files and
+    computes them for its new files, so stats coverage never decays and
+    ``merge_into``/``read(key_range=...)`` keep working after any mix
+    of commits. A carried file missing a parent stats entry (legacy
+    manifest) is repaired by reading its key column once.
+
+    ``finalize(manifest)`` runs on the fully-assembled manifest dict
+    just before the tmp write + exclusive link — the supported way to
+    attach fields (deletion vectors, app metadata) while keeping the
+    single-publish invariant."""
     d = Path(table_dir)
     d.mkdir(parents=True, exist_ok=True)
     vs = versions(d)
@@ -94,32 +130,46 @@ def commit(table_dir: str | Path, new_tables: list[pa.Table], *,
         raise VersionConflict(
             f"planned against v{expected_parent} but latest is "
             f"v{parent} — rebase and retry")
+    pm = _load(d, parent) if parent else {}
     if carry_files is None:
-        carried = list(_load(d, parent)["files"]) if parent else []
+        carried = list(pm.get("files", []))
     else:
         carried = list(carry_files)
     if drop_files:
         dropped = set(drop_files)
         carried = [f for f in carried if f not in dropped]
-    new_files = []
+    new_files: list[str] = []
+    new_by_name: dict[str, pa.Table] = {}
     for t in new_tables:
         if t.num_rows == 0:
             continue
         name = f"data-{uuid.uuid4().hex}.parquet"
         pq.write_table(t, d / name)
         new_files.append(name)
+        new_by_name[name] = t
     version = parent + 1
     manifest = {"version": version, "parent": parent, "op": op,
                 "files": sorted(carried + new_files),
                 "added": sorted(new_files),
                 "removed": sorted(drop_files or [])}
-    if parent and op != "materialize-deletes":
-        pm = _load(d, parent)
-        if pm.get("deletes"):
-            # deletion vectors are key-based and global: every child
-            # version keeps hiding those keys until materialized
-            manifest["deletes"] = pm["deletes"]
-            manifest["delete_key"] = pm["delete_key"]
+    if parent and op != "materialize-deletes" and pm.get("deletes"):
+        # deletion vectors are key-based and global: every child
+        # version keeps hiding those keys until materialized
+        manifest["deletes"] = pm["deletes"]
+        manifest["delete_key"] = pm["delete_key"]
+    sk = stats_key or pm.get("stats_key")
+    if sk is not None:
+        parent_stats = pm.get("stats", {})
+        stats = {}
+        for f in carried:
+            stats[f] = (parent_stats[f] if f in parent_stats
+                        else _file_minmax(d, f, sk))
+        for f in new_files:
+            stats[f] = _minmax(new_by_name[f][sk])
+        manifest["stats"] = stats
+        manifest["stats_key"] = sk
+    if finalize is not None:
+        finalize(manifest)
     tmp = d / f".v{version:06d}.tmp"
     tmp.write_text(json.dumps(manifest, indent=1))
     _publish(tmp, _manifest_path(d, version))
@@ -217,37 +267,26 @@ def commit_with_stats(table_dir: str | Path, new_tables: list[pa.Table],
                       key: str, *, carry_files: list[str] | None = None,
                       op: str = "append",
                       drop_files: list[str] | None = None,
-                      expected_parent: int | None = None) -> int:
+                      expected_parent: int | None = None,
+                      finalize: Callable[[dict], None] | None = None
+                      ) -> int:
     """``commit`` that also records per-file [min, max] of ``key`` in
     the manifest — the file-skipping statistic MERGE INTO prunes with.
-    Carried files keep their recorded stats (copied from the parent
-    manifest when present)."""
+    Once set, the key persists in the manifest (``stats_key``) and
+    every subsequent plain ``commit`` keeps stats coverage complete.
+    Changing the key of an existing stats table is an error (the
+    carried files' recorded ranges would be for the wrong column)."""
     d = Path(table_dir)
-    d.mkdir(parents=True, exist_ok=True)
     vs = versions(d)
-    parent = vs[-1] if vs else 0
-    parent_stats = {}
-    if parent:
-        parent_stats = _load(d, parent).get("stats", {})
-    version = commit(d, new_tables, carry_files=carry_files, op=op,
-                     drop_files=drop_files,
-                     expected_parent=expected_parent)
-    m = _load(d, version)
-    stats = {f: parent_stats[f] for f in m["files"] if f in parent_stats}
-    for f in m["added"]:
-        t = pq.read_table(d / f, columns=[key])
-        col = t[key]
-        stats[f] = [col.combine_chunks().to_numpy(
-            zero_copy_only=False).min().item(),
-            col.combine_chunks().to_numpy(
-            zero_copy_only=False).max().item()]
-    m["stats"] = stats
-    tmp = d / f".v{version:06d}.tmp"
-    tmp.write_text(json.dumps(m, indent=1))
-    # same-writer update of the version it just created exclusively —
-    # replace is safe here; only the INITIAL publish must be exclusive
-    tmp.replace(_manifest_path(d, version))
-    return version
+    if vs:
+        prev = _load(d, vs[-1]).get("stats_key")
+        if prev is not None and prev != key:
+            raise ValueError(
+                f"table already keyed on {prev!r}; cannot re-key to "
+                f"{key!r} (rewrite via materialize/compact first)")
+    return commit(d, new_tables, carry_files=carry_files, op=op,
+                  drop_files=drop_files, expected_parent=expected_parent,
+                  stats_key=key, finalize=finalize)
 
 
 def merge_into(table_dir: str | Path, changes: pa.Table, key: str) -> int:
@@ -257,7 +296,17 @@ def merge_into(table_dir: str | Path, changes: pa.Table, key: str) -> int:
     — the manifest-stats file skipping that makes a 10-row merge into a
     10-file rewrite instead of a full-table rewrite; untouched files
     carry by reference, byte-identical. Changed keys outside every
-    file's range land in one fresh insert file."""
+    file's range land in one fresh insert file.
+
+    A matched key that physically exists in MORE THAN ONE affected file
+    (appends don't enforce key uniqueness) is collapsed to ONE upserted
+    row: the replacement is emitted with the first file that held it,
+    and later files only drop their stale copies.
+
+    Deletion vectors: a merged key is live again, so its entry is
+    subtracted from the DVs — in the SAME atomic publish as the data
+    commit (the new DV sidecars are written first; the manifest links
+    them via ``finalize``), never by rewriting a published manifest."""
     import numpy as np
     import pandas as pd
 
@@ -273,14 +322,20 @@ def merge_into(table_dir: str | Path, changes: pa.Table, key: str) -> int:
                 if np.any((ck >= stats[f][0]) & (ck <= stats[f][1]))]
     cdf = changes.to_pandas().drop_duplicates(key, keep="last")
     matched_keys: set = set()
+    emitted: set = set()
     rewritten = []
     for f in affected:
         t = pq.read_table(d / f)
         base = t.to_pandas()
         hit = base[key].isin(cdf[key])
-        matched_keys.update(base.loc[hit, key])
+        hit_keys = set(base.loc[hit, key])
+        matched_keys.update(hit_keys)
         merged = base.loc[~hit]
-        repl = cdf[cdf[key].isin(base.loc[hit, key])]
+        # emit each replacement exactly once across files (a key can
+        # live in several files; all stale copies drop, one row lands)
+        fresh = hit_keys - emitted
+        repl = cdf[cdf[key].isin(fresh)]
+        emitted.update(fresh)
         out = pa.Table.from_pandas(pd.concat([merged, repl]),
                                    preserve_index=False).cast(t.schema)
         rewritten.append(out)
@@ -288,14 +343,12 @@ def merge_into(table_dir: str | Path, changes: pa.Table, key: str) -> int:
     if len(inserts):
         rewritten.append(pa.Table.from_pandas(
             inserts, preserve_index=False).cast(changes.schema))
-    # the rewrite plan was derived from v's manifest: any concurrent
-    # advance invalidates it — expected_parent turns that into a
-    # VersionConflict instead of a lost update
-    version = commit_with_stats(d, rewritten, key, op="merge",
-                                drop_files=affected, expected_parent=v)
-    # a merged key is live again: subtract it from any deletion vector
-    mm = _load(d, version)
-    if _dv_files(mm) and mm.get("delete_key") == key:
+
+    # pre-compute the DV subtraction (merged keys are live again) so the
+    # updated sidecar list rides the one-and-only manifest publish
+    def _subtract_dvs(mm: dict) -> None:
+        if not _dv_files(mm) or mm.get("delete_key") != key:
+            return
         live = set(np.asarray(cdf[key]))
         new_dvs = []
         for f in _dv_files(mm):
@@ -311,10 +364,47 @@ def merge_into(table_dir: str | Path, changes: pa.Table, key: str) -> int:
         else:
             mm.pop("deletes", None)
             mm.pop("delete_key", None)
-        tmp = d / f".v{version:06d}.tmp"
-        tmp.write_text(json.dumps(mm, indent=1))
-        tmp.replace(_manifest_path(d, version))
-    return version
+
+    # the rewrite plan was derived from v's manifest: any concurrent
+    # advance invalidates it — expected_parent turns that into a
+    # VersionConflict instead of a lost update
+    return commit_with_stats(d, rewritten, key, op="merge",
+                             drop_files=affected, expected_parent=v,
+                             finalize=_subtract_dvs)
+
+
+def _dv_hidden_agg(d: Path, m: dict, sum_cols: list[str]) -> dict:
+    """Contribution (row count + column sums) of the rows a version's
+    deletion vectors HIDE from its file list — what ``incremental_agg``
+    must subtract so the rolled-forward aggregate equals the aggregate
+    of ``read()`` (which anti-filters the DVs). Manifest stats prune
+    files whose [min, max] can't hold any deleted key."""
+    import numpy as np
+
+    out = {"n_rows": 0, **{f"sum_{c}": 0 for c in sum_cols}}
+    dv = _dv_keys(d, m)
+    if dv is None:
+        return out
+    key, ks = dv
+    stats = m.get("stats")
+    cols = list(dict.fromkeys([key, *sum_cols]))
+    for f in m["files"]:
+        if stats and f in stats:
+            lo, hi = stats[f]
+            if not np.any((ks >= lo) & (ks <= hi)):
+                continue
+        t = pq.read_table(d / f, columns=cols)
+        col = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(ks, col), 0, len(ks) - 1)
+        hidden = ks[idx] == col
+        n = int(hidden.sum())
+        if not n:
+            continue
+        out["n_rows"] += n
+        ht = t.filter(pa.array(hidden))
+        for c in sum_cols:
+            out[f"sum_{c}"] += pc.sum(ht[c]).as_py() or 0
+    return out
 
 
 def incremental_agg(table_dir: str | Path, v_from: int, v_to: int,
@@ -324,7 +414,15 @@ def incremental_agg(table_dir: str | Path, v_from: int, v_to: int,
     agg(v_to) = agg(v_from) − Σ(removed files) + Σ(added files), exact
     for any commutative-invertible aggregate (count / sum here). A
     10-file merge updates a 100 TB table's totals by reading 10 files;
-    equality with the full recompute is the pytest invariant."""
+    equality with the full recompute is the pytest invariant.
+
+    Deletion vectors: a ``delete_keys`` version changes what ``read``
+    RETURNS without changing the file list, so the file diff alone
+    would roll the aggregate forward unchanged while the table shrank.
+    The DV-hidden contribution of each endpoint is therefore folded in:
+    result = prev − removed + added − hidden(v_to) + hidden(v_from),
+    keeping exact equality with a full recompute of the visible rows
+    across any mix of appends, merges, and merge-on-read deletes."""
     d = Path(table_dir)
     diff = file_diff(d, v_from, v_to)
     out = dict(prev)
@@ -334,13 +432,17 @@ def incremental_agg(table_dir: str | Path, v_from: int, v_to: int,
             t = pq.read_table(d / f, columns=sum_cols)
             out["n_rows"] = out.get("n_rows", 0) + sign * t.num_rows
             for c in sum_cols:
-                import pyarrow.compute as _pc
-
-                s = _pc.sum(t[c]).as_py() or 0
+                s = pc.sum(t[c]).as_py() or 0
                 out[f"sum_{c}"] = out.get(f"sum_{c}", 0) + sign * s
 
     apply(diff["removed"], -1)
     apply(diff["added"], +1)
+    h_to = _dv_hidden_agg(d, _load(d, v_to), sum_cols)
+    h_from = _dv_hidden_agg(d, _load(d, v_from), sum_cols)
+    for k, v in h_to.items():
+        out[k] = out.get(k, 0) - v
+    for k, v in h_from.items():
+        out[k] = out.get(k, 0) + v
     return out
 
 
@@ -352,8 +454,9 @@ def compact(table_dir: str | Path, *, target_rows: int = 1_000_000,
     byte-identical. History stays intact — the pre-compaction version
     remains time-travel-readable until ``vacuum`` — and the rewrite
     plan is guarded by ``expected_parent``, so a concurrent commit
-    turns into a conflict, never a lost update. Pass ``key`` on a
-    stats-carrying table to keep per-file [min,max] stats recorded."""
+    turns into a conflict, never a lost update. A stats table keeps
+    its per-file [min, max] automatically (``stats_key`` inheritance);
+    ``key`` is only needed to INTRODUCE stats on an unkeyed table."""
     d = Path(table_dir)
     v = versions(d)[-1]
     m = _load(d, v)
@@ -389,25 +492,30 @@ def delete_keys(table_dir: str | Path, keys, key: str) -> int:
     delete time; ``read`` anti-filters the union of DVs behind the
     scan. Time travel to pre-delete versions still shows the rows.
     Re-inserting a deleted key later requires ``merge_into`` (which
-    subtracts its keys from the DVs) or ``materialize_deletes``."""
+    subtracts its keys from the DVs) or ``materialize_deletes``.
+
+    The DV sidecar is written FIRST and linked into the manifest via
+    ``finalize`` — the published manifest carries the delete from its
+    first readable instant (no publish-then-patch window)."""
     import numpy as np
 
     d = Path(table_dir)
     v = versions(d)[-1]
-    m = _load(d, v)
     ks = np.unique(np.asarray(list(keys)))
     name = f"dv-{uuid.uuid4().hex}.parquet"
     pq.write_table(pa.table({key: pa.array(ks)}), d / name)
-    version = commit(d, [], op="delete", expected_parent=v)
-    mm = _load(d, version)
-    mm["deletes"] = sorted(_dv_files(m) + [name])
-    mm["delete_key"] = key
-    if "stats" in m:
-        mm["stats"] = m["stats"]
-    tmp = d / f".v{version:06d}.tmp"
-    tmp.write_text(json.dumps(mm, indent=1))
-    tmp.replace(_manifest_path(d, version))  # same-writer update
-    return version
+
+    def _attach(mm: dict) -> None:
+        prior = mm.get("delete_key")
+        if prior is not None and prior != key:
+            raise ValueError(
+                f"existing deletion vectors key on {prior!r}; "
+                f"materialize_deletes() before deleting on {key!r}")
+        mm["deletes"] = sorted(set(_dv_files(mm)) | {name})
+        mm["delete_key"] = key
+
+    return commit(d, [], op="delete", expected_parent=v,
+                  finalize=_attach)
 
 
 def _dv_keys(d: Path, m: dict):
@@ -425,7 +533,8 @@ def _dv_keys(d: Path, m: dict):
 def materialize_deletes(table_dir: str | Path) -> int:
     """Rewrite every file applying the deletion vectors, then publish a
     DV-free version — the compaction step that turns merge-on-read
-    back into pure data files."""
+    back into pure data files. Stats (when present) recompute for the
+    rewritten files via ``stats_key`` inheritance."""
     import numpy as np
 
     d = Path(table_dir)
@@ -442,11 +551,5 @@ def materialize_deletes(table_dir: str | Path) -> int:
         idx = np.clip(np.searchsorted(ks, col), 0, len(ks) - 1)
         keep = ~(ks[idx] == col) if len(ks) else np.ones(len(col), bool)
         rewritten.append(t.filter(pa.array(keep)))
-    stats_key = m.get("delete_key") if "stats" in m else None
-    if stats_key is not None:
-        return commit_with_stats(d, rewritten, stats_key,
-                                 op="materialize-deletes",
-                                 drop_files=m["files"],
-                                 expected_parent=v)
     return commit(d, rewritten, op="materialize-deletes",
                   drop_files=m["files"], expected_parent=v)

@@ -249,3 +249,123 @@ def test_deletion_vectors_merge_on_read(ray_session, tmp_path):
     assert all(f.startswith(("data-", "dv-", ".v"))
                for f in rep["deleted_files"])
     assert set(versioned.read(d).to_pandas()["id"]) == set(dfm["id"])
+
+
+# ---- round-4 ADVICE regressions: single-publish manifests, stats
+# ---- persistence, DV-aware incremental agg, multi-file merge dedup
+
+
+def test_manifest_complete_at_publish_instant(ray_session, tmp_path,
+                                              monkeypatch):
+    """ADVICE r3 (medium): deletes/stats must ride the ONE exclusive
+    publish — capture the tmp content at link time and assert the
+    fields are already there (no publish-then-patch window)."""
+    published: list[dict] = []
+    real = versioned._publish
+
+    def spy(tmp, target):
+        published.append(json.loads(tmp.read_text()))
+        real(tmp, target)
+
+    monkeypatch.setattr(versioned, "_publish", spy)
+    d = tmp_path / "tbl"
+    versioned.commit_with_stats(
+        d, [_t(range(5), range(5)), _t(range(10, 15), range(5))], "id")
+    assert "stats" in published[-1] and len(published[-1]["stats"]) == 2
+    assert published[-1]["stats_key"] == "id"
+
+    versioned.delete_keys(d, [3, 12], "id")
+    assert published[-1].get("deletes"), "DV missing at publish instant"
+    assert published[-1]["delete_key"] == "id"
+    assert "stats" in published[-1]  # delete version keeps stats
+
+    versioned.merge_into(d, _t([3, 40], [99, 40]), "id")
+    m = published[-1]
+    assert "stats" in m and set(m["stats"]) == set(m["files"])
+    # key 3 merged back live: its DV entry subtracted pre-publish
+    import numpy as np
+
+    dv = versioned._dv_keys(d, m)
+    assert dv is not None and list(np.asarray(dv[1])) == [12]
+
+
+def test_stats_survive_plain_commits_and_unkeyed_compact(
+        ray_session, tmp_path):
+    """ADVICE r3 (low): stats coverage must not decay across plain
+    commit() / compact() — merge_into still works afterwards."""
+    d = tmp_path / "tbl"
+    versioned.commit_with_stats(d, [_t(range(5), range(5))], "id")
+    versioned.commit(d, [_t(range(100, 105), range(5))])  # plain append
+    m = json.loads((d / "v000002.manifest.json").read_text())
+    assert set(m["stats"]) == set(m["files"]) and len(m["files"]) == 2
+    versioned.compact(d, target_rows=1000)  # no key arg
+    m = json.loads((d / "v000003.manifest.json").read_text())
+    assert set(m["stats"]) == set(m["files"])
+    v = versioned.merge_into(d, _t([2, 102], [222, 222]), "id")
+    rows = dict(_rows(versioned.read(d, v)))
+    assert rows[2] == 222 and rows[102] == 222 and len(rows) == 10
+
+
+def test_commit_with_stats_rejects_key_change(ray_session, tmp_path):
+    d = tmp_path / "tbl"
+    versioned.commit_with_stats(d, [_t([1], [1])], "id")
+    import pytest
+
+    with pytest.raises(ValueError, match="keyed on"):
+        versioned.commit_with_stats(d, [_t([2], [2])], "v")
+
+
+def test_incremental_agg_crosses_delete_keys(ray_session, tmp_path):
+    """ADVICE r3 (medium): a merge-on-read delete adds no data files,
+    so the file diff alone would miss it — the rolled-forward
+    aggregate must equal the full recompute of the VISIBLE rows."""
+    d = tmp_path / "tbl"
+    v1 = versioned.commit_with_stats(
+        d, [_t(range(10), range(10)), _t(range(10, 20), range(10, 20))],
+        "id")
+
+    def full(v):
+        df = versioned.read(d, v).to_pandas()
+        return {"n_rows": len(df), "sum_v": int(df["v"].sum())}
+
+    base = full(v1)
+    v2 = versioned.delete_keys(d, [3, 17], "id")
+    rolled = versioned.incremental_agg(d, v1, v2, base, ["v"])
+    assert rolled == full(v2) == {"n_rows": 18, "sum_v": 190 - 20}
+    # and forward across a mixed delete → append → merge chain
+    versioned.commit(d, [_t([50], [50])])
+    v4 = versioned.merge_into(d, _t([17, 5], [170, 500]), "id")
+    rolled = versioned.incremental_agg(d, v2, v4, rolled, ["v"])
+    assert rolled == full(v4)
+    # rolling FROM a DV version also adds hidden(v_from) back
+    rolled2 = versioned.incremental_agg(d, v1, v4, base, ["v"])
+    assert rolled2 == full(v4)
+
+
+def test_merge_into_key_in_multiple_files_upserts_once(
+        ray_session, tmp_path):
+    """ADVICE r3 (low): a key physically present in two files must
+    yield ONE merged row, not one per file."""
+    d = tmp_path / "tbl"
+    versioned.commit_with_stats(d, [_t([1, 2], [1, 2])], "id")
+    versioned.commit(d, [_t([2, 3], [20, 3])])  # id=2 now in 2 files
+    v = versioned.merge_into(d, _t([2], [222]), "id")
+    rows = _rows(versioned.read(d, v))
+    assert rows == [(1, 1), (2, 222), (3, 3)]
+
+
+def test_cli_delete_casts_values_to_key_type(ray_session, tmp_path,
+                                             capsys):
+    """ADVICE r3 (low): all-digit --values on a STRING key column must
+    cast to string (zero-padded ids), not int64."""
+    d = tmp_path / "tbl"
+    t = pa.table({"sid": pa.array(["007", "042", "100"]),
+                  "v": pa.array([1, 2, 3], pa.int64())})
+    versioned.commit(d, [t])
+    from logray.__main__ import main
+
+    rc = main(["table", "delete", str(d), "--key", "sid",
+               "--values", "007,100"])
+    assert rc == 0
+    df = versioned.read(d).to_pandas()
+    assert list(df["sid"]) == ["042"]
