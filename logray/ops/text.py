@@ -86,16 +86,36 @@ def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 # ------------------------------------------------------------- fingerprint --
 
-def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Deterministic document fingerprint: md5 of lowercased text (hex).
+def add_fingerprint(batch: pa.Table, text_col: str = "text",
+                    method: str = "rolling") -> pa.Table:
+    """Deterministic document fingerprint (hex string column
+    ``fingerprint``).
 
-    md5 keeps the op DuckDB-oracle-able (``md5(lower(text))``); see
-    ``add_rolling_fingerprint`` for the rolling-hash variant.
+    Default ``'rolling'`` is the SCALE path: the fully-vectorized
+    64-bit order-sensitive rolling hash over the lowercased token
+    stream (``add_rolling_fingerprint``'s prefix-sum kernel — no
+    per-row Python), rendered as 16-hex-char strings. ``'md5'`` is the
+    opt-in ORACLE mode (per-row hashlib over lowercased text) kept
+    only so the op stays DuckDB-replayable as ``md5(lower(text))``.
     """
-    low = pc.utf8_lower(batch[text_col])
-    s = low.to_pandas()
-    fp = s.map(lambda v: hashlib.md5(v.encode()).hexdigest() if v is not None else None)
-    return batch.append_column("fingerprint", pa.array(fp, pa.string()))
+    if method == "md5":
+        low = pc.utf8_lower(batch[text_col])
+        s = low.to_pandas()
+        fp = s.map(lambda v: hashlib.md5(v.encode()).hexdigest()
+                   if v is not None else None)
+        return batch.append_column("fingerprint", pa.array(fp, pa.string()))
+    import binascii
+
+    low = batch.set_column(
+        batch.schema.get_field_index(text_col), text_col,
+        pc.utf8_lower(batch[text_col]))
+    rf = add_rolling_fingerprint(low, text_col)["rolling_fp"]
+    v = rf.combine_chunks().to_numpy(zero_copy_only=False)
+    # vectorized uint64 → 16-hex-char: big-endian bytes, one hexlify
+    # over the whole batch, reinterpret as fixed-width S16 strings
+    hx = np.frombuffer(binascii.hexlify(v.astype(">u8").tobytes()),
+                       dtype="S16").astype(str)
+    return batch.append_column("fingerprint", pa.array(hx))
 
 
 _ROLL_BASE = 1099511628211

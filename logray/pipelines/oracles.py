@@ -3897,16 +3897,38 @@ ORACLE_SQL["zorder_scan_events"] = """
     SELECT event_id, x | (y << 1) AS zcode FROM s4
 """
 
+# splitmix64 replayed exactly in SQL: HUGEINT arithmetic mod 2^64 with
+# split 32-bit multiplies (a*b mod 2^64 = (lo(a)*b mod 2^64 +
+# (hi(a)*b mod 2^32)<<32) mod 2^64 — HUGEINT never overflows), xor/shift
+# native. Bit-identical to logray.ops.bloom._splitmix64 (pytest-checked).
 ORACLE_SQL["negative_sample_parts"] = """
-    WITH inter AS (
-        SELECT DISTINCT o_custkey AS c, l_partkey AS p
-        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    WITH s1 AS (
+        SELECT c_custkey AS c,
+               ((c_custkey * 8 + r.j)::HUGEINT + 11400714819323198485)
+                   % 18446744073709551616 AS z
+        FROM customer, range(8) r(j)),
+    s2 AS (SELECT c, xor(z, z >> 30) AS z FROM s1),
+    s3 AS (SELECT c,
+               ( ((z % 4294967296) * 13787848793156543929)
+                     % 18446744073709551616
+               + (((z // 4294967296) * 13787848793156543929)
+                     % 4294967296) * 4294967296 )
+                   % 18446744073709551616 AS z FROM s2),
+    s4 AS (SELECT c, xor(z, z >> 27) AS z FROM s3),
+    s5 AS (SELECT c,
+               ( ((z % 4294967296) * 10723151780598845931)
+                     % 18446744073709551616
+               + (((z // 4294967296) * 10723151780598845931)
+                     % 4294967296) * 4294967296 )
+                   % 18446744073709551616 AS z FROM s4),
     cand AS (
-        SELECT DISTINCT c_custkey AS c,
-               CAST(('0x' || substr(md5(CAST(c_custkey * 8 + r.j AS VARCHAR)),
-                                    1, 13)) AS BIGINT)
-                   % (SELECT count(*) FROM part) AS p
-        FROM customer, range(8) r(j))
+        SELECT DISTINCT c,
+               CAST((xor(z, z >> 31) >> 1)
+                    % (SELECT count(*) FROM part) AS BIGINT) AS p
+        FROM s5),
+    inter AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
     SELECT c AS custkey, p AS neg_partkey FROM cand
     WHERE NOT EXISTS (SELECT 1 FROM inter
                       WHERE inter.c = cand.c AND inter.p = cand.p)

@@ -876,9 +876,13 @@ def top_tokens_documents(sf_dir: str):
 
 
 def doc_fingerprints(sf_dir: str):
+    """md5 ORACLE mode (DuckDB ``md5(lower(text))`` replay); the
+    registered default of ``add_fingerprint`` itself is the vectorized
+    rolling-hash scale path (see ``rolling_fingerprint_documents``)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        lambda t: text_ops.add_fingerprint(t).select(["doc_id", "fingerprint"]),
+        lambda t: text_ops.add_fingerprint(t, method="md5").select(
+            ["doc_id", "fingerprint"]),
         batch_format="pyarrow")
 
 
@@ -5401,7 +5405,7 @@ def segment_dedup_documents(sf_dir: str):
     return docs.map_batches(rebuild, batch_format="pyarrow")
 
 
-def negative_sample_parts(sf_dir: str, hash_mode: str = "md5"):
+def negative_sample_parts(sf_dir: str, hash_mode: str = "splitmix64"):
     """Recommendation-training negative sampling: for every customer, 8
     deterministic pseudo-random candidate parts (hash of ``custkey*8+j``
     mod |parts|) minus the parts the customer actually bought — the
@@ -5409,9 +5413,12 @@ def negative_sample_parts(sf_dir: str, hash_mode: str = "md5"):
     (distinct customer×part via orders⋈lineitem) is built with one
     shuffle join; candidates anti-join against it in one co-partitioned
     exchange (``hash_semi_join(anti=True)``) — nothing driver-side except
-    the |parts| scalar. ``hash_mode='md5'`` (default) keeps the sampler
-    DuckDB-oracle-able; ``'splitmix64'`` is the fully-vectorized scale
-    path (no per-row Python) with identical pipeline shape."""
+    the |parts| scalar. ``hash_mode='splitmix64'`` (default) is the
+    fully-vectorized scale path (no per-row Python) — and still EXACTLY
+    DuckDB-oracle-able: the oracle replays splitmix64 in SQL with
+    HUGEINT mod-2^64 arithmetic (split 32-bit multiplies), verified
+    bit-identical to the numpy kernel. ``'md5'`` remains as the legacy
+    oracle mode."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     # |parts| from the parquet footer — no Ray execution for one scalar

@@ -41,8 +41,22 @@ def test_fingerprint_matches_md5():
     import hashlib
 
     t = pa.table({"text": ["Hello World", "x"]})
-    out = text_ops.add_fingerprint(t)
+    out = text_ops.add_fingerprint(t, method="md5")
     assert out["fingerprint"].to_pylist()[0] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_fingerprint_default_is_vectorized_rolling():
+    """r4: the scale path (rolling hash, hex) is the DEFAULT; md5 is
+    the opt-in oracle mode. Case-insensitive, order-sensitive,
+    deterministic 16-hex-char output."""
+    t = pa.table({"text": ["Hello World", "world hello",
+                           "hello  WORLD", "x"]})
+    fp = text_ops.add_fingerprint(t)["fingerprint"].to_pylist()
+    assert all(len(f) == 16 and set(f) <= set("0123456789abcdef")
+               for f in fp)
+    assert fp[0] == fp[2]  # lowercased token stream identical
+    assert fp[0] != fp[1]  # order-sensitive
+    assert fp[0] != fp[3]
 
 
 def test_rolling_fingerprint_order_sensitive():
@@ -3589,3 +3603,41 @@ def test_auto_join_never_executes_left_at_plan_time(ray_session,
                   for p in seen.iterdir())
     assert planned <= n, planned
     assert ds.count() == n  # 1:1 keys: every left row joined
+
+
+def test_oracle_splitmix64_sql_bit_identical_to_numpy():
+    """The negative_sample_parts oracle replays splitmix64 in DuckDB
+    HUGEINT arithmetic — verify the SQL chain is bit-identical to the
+    numpy kernel over a hostile seed set (0, small, 2^32 boundary,
+    large)."""
+    import duckdb
+
+    from logray.ops.bloom import _splitmix64
+
+    seeds = np.array([0, 1, 7, 8, 12345, 2**32 - 1, 2**32, 2**32 + 1,
+                      999999999999, 2**53, 2**62], dtype=np.uint64)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE seeds(s HUGEINT)")
+    con.executemany("INSERT INTO seeds VALUES (?)",
+                    [(int(s),) for s in seeds])
+    sql = """
+    WITH s1 AS (SELECT s, (s + 11400714819323198485)
+                    % 18446744073709551616 AS z FROM seeds),
+    s2 AS (SELECT s, xor(z, z >> 30) AS z FROM s1),
+    s3 AS (SELECT s, ( ((z % 4294967296) * 13787848793156543929)
+                           % 18446744073709551616
+                     + (((z // 4294967296) * 13787848793156543929)
+                           % 4294967296) * 4294967296 )
+                         % 18446744073709551616 AS z FROM s2),
+    s4 AS (SELECT s, xor(z, z >> 27) AS z FROM s3),
+    s5 AS (SELECT s, ( ((z % 4294967296) * 10723151780598845931)
+                           % 18446744073709551616
+                     + (((z // 4294967296) * 10723151780598845931)
+                           % 4294967296) * 4294967296 )
+                         % 18446744073709551616 AS z FROM s4)
+    SELECT s, xor(z, z >> 31) AS h FROM s5 ORDER BY s
+    """
+    rows = con.execute(sql).fetchall()
+    got = {int(s): int(h) for s, h in rows}
+    want = dict(zip(seeds.tolist(), _splitmix64(seeds).tolist()))
+    assert got == want
