@@ -10,8 +10,10 @@ protocol the writer uses, so every intermediate state is safe:
 - new merged files are written FIRST under uuid-fresh names — a crash
   before the manifest commit leaves them as unreferenced orphans
   (invisible to readers, removed by ``manifests.sweep_orphans``);
-- the manifest replace is atomic (``os.replace``), so readers always see
-  either the old complete file set or the new one, never a mix;
+- the manifest replace is atomic (``os.replace`` locally; copy-PUT +
+  delete via ``fsio.publish_replace`` on shared object storage), so
+  readers always see either the old complete file set or the new one,
+  never a mix;
 - replaced fragments are deleted only AFTER the commit — a crash between
   commit and delete leaves old files as orphans, same sweep.
 
@@ -29,14 +31,15 @@ from pathlib import Path
 
 import pyarrow.parquet as pq
 
-from ..state import manifests
+from ..state import fsio, manifests
+from ..state.fsio import fspath
 
 
 def _plan_bins(files: list[str], target_bytes: int) -> list[list[str]]:
     """Greedy size-ordered first-fit: group fragments into bins whose total
     on-disk size is ≤ target (one oversize file stays alone). Only bins
     with ≥2 files are rewritten."""
-    sized = sorted(((Path(f).stat().st_size, f) for f in files), reverse=True)
+    sized = sorted(((fspath(f).size(), f) for f in files), reverse=True)
     bins: list[tuple[int, list[str]]] = []
     for size, f in sized:
         for i, (tot, members) in enumerate(bins):
@@ -66,7 +69,7 @@ def compact_partition(out_dir: str, partition_id: str,
             if len(members) < 2:
                 keep.extend(members)
                 continue
-            sink_dir = Path(members[0]).parent
+            sink_dir = fspath(members[0]).parent
             out = sink_dir / f"part-{uuid.uuid4().hex}.parquet"
             # stream fragment-by-fragment: peak heap is ONE decompressed
             # fragment, not the whole decompressed bin (a 128 MB-compressed
@@ -76,17 +79,19 @@ def compact_partition(out_dir: str, partition_id: str,
             # mismatch (e.g. fragments from two pipeline versions) keeps
             # that fragment un-compacted rather than failing the job.
             ordered = sorted(members)
-            schema = pq.read_schema(ordered[0])
-            mismatched = [f for f in ordered if pq.read_schema(f) != schema]
+            schema = fsio.read_schema(ordered[0])
+            mismatched = [f for f in ordered
+                          if fsio.read_schema(f) != schema]
             group = [f for f in ordered if f not in set(mismatched)]
             if len(group) < 2:
                 keep.extend(members)
                 continue
-            with pq.ParquetWriter(out, schema, compression=compression,
+            with pq.ParquetWriter(out.path, schema, filesystem=out.fs,
+                                  compression=compression,
                                   use_dictionary=False,
                                   write_statistics=False) as w:
                 for f in group:
-                    w.write_table(pq.read_table(f))
+                    w.write_table(fsio.read_table(f))
             keep.append(str(out))
             keep.extend(mismatched)
             replaced.extend(group)
@@ -98,7 +103,7 @@ def compact_partition(out_dir: str, partition_id: str,
     m["sink_files"] = new_sink_files
     manifests.commit_manifest(out_dir, partition_id, m)  # atomic swap
     for f in replaced:  # only after commit: crash here -> orphans, swept
-        Path(f).unlink(missing_ok=True)
+        fspath(f).unlink(missing_ok=True)
     return {"partition": partition_id, "files_before": files_before,
             "files_after": files_after, "rewritten": len(replaced)}
 
@@ -108,7 +113,9 @@ def compact(out_dir: str | Path, *, target_mb: int = 128,
     """Compact every committed partition (one Ray task each when a Ray
     session exists; serial fallback otherwise). Returns rollup metrics."""
     t0 = time.time()
-    out_dir = str(out_dir)
+    # resolve once driver-side; the FsPath (filesystem included) ships
+    # to compaction tasks by value — workers never resolve schemes
+    out_dir = fspath(out_dir)
     pids = [m["partition_id"] for m in manifests.all_manifests(out_dir)]
     target = target_mb * 1024 * 1024
     results: list[dict]

@@ -41,7 +41,8 @@ import pyarrow.parquet as pq
 from ..stages.enrich import Enricher
 from ..stages.parse import parse_batch_fn
 from ..stages.route import PID_COL, SinkWriter
-from ..state import manifests
+from ..state import fsio, manifests
+from ..state.fsio import fspath
 
 
 def discover_partitions(input_dir: str | Path) -> dict[str, list[str]]:
@@ -114,7 +115,7 @@ def _default_pool() -> tuple[int, int]:
     return (max(1, cpus * 7 // 8), max(2, cpus - 1))
 
 
-def run_wave(wave: list[str], parts: dict[str, list[str]], out_dir: str, *,
+def run_wave(wave: list[str], parts: dict[str, list[str]], out_dir, *,
              lookups_ref=None, enrich_concurrency=None, batch_size: int | None = None,
              override_num_blocks: int | None = None,
              rules_json: str | None = None) -> dict[str, dict]:
@@ -166,7 +167,7 @@ def run_wave(wave: list[str], parts: dict[str, list[str]], out_dir: str, *,
     try:
         # per-stage wall/CPU breakdown for the wave — the ds.stats() feedback
         # loop, persisted so operators can audit where time went after the run
-        (Path(out_dir) / "_last_wave_stats.txt").write_text(summaries.stats())
+        (fspath(out_dir) / "_last_wave_stats.txt").write_text(summaries.stats())
     except Exception:
         pass
 
@@ -230,8 +231,10 @@ def run_flagship(input_dir: str | Path, out_dir: str | Path, *,
     - ``_metrics.json``                     — global rollup
     """
     t0 = time.time()
-    out_dir = Path(out_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
+    # local path or registered scheme:// URI (shared object storage on a
+    # real cluster) — resolved ONCE here; workers receive the FsPath
+    out_dir = fspath(out_dir)
+    out_dir.mkdirs()
     if wave_size is None:
         # waves sized to cluster width: each wave should carry enough
         # blocks (2/partition) to keep every slot busy well past ramp-up;
@@ -254,7 +257,7 @@ def run_flagship(input_dir: str | Path, out_dir: str | Path, *,
             pending.append(pid)
     for i in range(0, len(pending), wave_size):
         wave = pending[i:i + wave_size]
-        payloads = run_wave(wave, parts, str(out_dir), lookups_ref=lookups_ref,
+        payloads = run_wave(wave, parts, out_dir, lookups_ref=lookups_ref,
                             enrich_concurrency=enrich_concurrency,
                             batch_size=batch_size,
                             override_num_blocks=override_num_blocks,
@@ -278,7 +281,7 @@ def run_flagship(input_dir: str | Path, out_dir: str | Path, *,
         "rule_id": [k[1] for k in sorted(agg)],
         "n": [agg[k] for k in sorted(agg)],
     })
-    pq.write_table(agg_table, out_dir / "_aggregates.parquet")
+    fsio.write_table(agg_table, out_dir / "_aggregates.parquet")
     metrics = {
         "rows": rows,
         "parse_errors": errors,
@@ -302,7 +305,7 @@ def read_sink(out_dir: str | Path, sink: str):
         import pyarrow as _pa
 
         return ray.data.from_arrow(_pa.table({}))
-    return ray.data.read_parquet(files)
+    return fsio.read_parquet_dataset(files)
 
 
 def follow_flagship(input_dir: str | Path, out_dir: str | Path, *,

@@ -28,11 +28,12 @@ aggregation before the groupby — SURVEY.md §2 C5).
 from __future__ import annotations
 
 import uuid
-from pathlib import Path
 
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+
+from ..state.fsio import FsPath, fspath
 
 PID_COL = "__pid"
 
@@ -58,10 +59,15 @@ class SinkWriter:
     compression: parquet codec for sink files
     """
 
-    def __init__(self, out_dir: str, partition_id: str | None = None,
+    def __init__(self, out_dir: str | FsPath,
+                 partition_id: str | None = None,
                  compression: str = "zstd",
                  sink_columns: dict[str, set[str]] | None = None):
-        self.out_dir = Path(out_dir)
+        # local paths resolve anywhere; registered scheme:// URIs must
+        # be resolved DRIVER-side and passed as FsPath (this __init__
+        # runs on the actor, where the scheme registry doesn't exist —
+        # the FsPath carries its filesystem by value)
+        self.out_dir = fspath(out_dir)
         self.partition_id = partition_id
         self.compression = compression
         # per-sink schema pruning: a column owned by some OTHER sink's
@@ -80,14 +86,15 @@ class SinkWriter:
         slice — the per-slice version measured ~19 ms/batch of pure
         setup at 6 sinks)."""
         sink_dir = self.out_dir / f"partition={pid}" / f"sink={sink_val}"
-        sink_dir.mkdir(parents=True, exist_ok=True)
+        sink_dir.mkdirs()
         fname = sink_dir / f"part-{uuid.uuid4().hex}.parquet"
         # zstd + plain encoding + no column stats: measured best
         # bytes-per-CPU point (dictionary encoding costs ~25% more write
         # CPU for little size gain on these columns; zstd writes ~37%
         # fewer bytes than snappy at ~equal speed — the sink write path
         # goes disk-bound before CPU-bound at corpus scale)
-        pq.write_table(sub, fname, compression=self.compression,
+        pq.write_table(sub, fname.path, filesystem=fname.fs,
+                       compression=self.compression,
                        use_dictionary=False, write_statistics=False)
         return str(fname)
 

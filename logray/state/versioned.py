@@ -39,24 +39,26 @@ from typing import Callable
 
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
+
+from . import fsio
+from .fsio import FsPath, fspath
 
 _MANIFEST_GLOB = "v*.manifest.json"
 
 
-def _manifest_path(d: Path, version: int) -> Path:
+def _manifest_path(d: FsPath, version: int) -> FsPath:
     return d / f"v{version:06d}.manifest.json"
 
 
-def versions(table_dir: str | Path) -> list[int]:
-    d = Path(table_dir)
+def versions(table_dir: str | Path | FsPath) -> list[int]:
+    d = fspath(table_dir)
     out = []
-    for p in sorted(d.glob(_MANIFEST_GLOB)):
+    for p in d.glob(_MANIFEST_GLOB):
         out.append(int(p.name[1:7]))
     return out
 
 
-def _load(d: Path, version: int) -> dict:
+def _load(d: FsPath, version: int) -> dict:
     return json.loads(_manifest_path(d, version).read_text())
 
 
@@ -65,22 +67,18 @@ class VersionConflict(RuntimeError):
     concurrency): retry against the new latest version."""
 
 
-def _publish(tmp: Path, target: Path) -> None:
-    """Atomic EXCLUSIVE publish: hard-link tmp → target (fails with
-    EEXIST when a concurrent writer won the race — plain rename would
-    silently REPLACE their manifest, a lost update), then drop tmp.
-    This is the ONLY way a manifest reaches its published name; no
-    code path rewrites a manifest after this link succeeds."""
-    import os
-
-    try:
-        os.link(tmp, target)
-    except FileExistsError:
-        tmp.unlink()
+def _publish(tmp: FsPath, target: FsPath) -> None:
+    """Atomic EXCLUSIVE publish — local: hard-link tmp → target
+    (kernel-atomic EEXIST when a concurrent writer won the race; plain
+    rename would silently REPLACE their manifest, a lost update);
+    remote: fsio's check → move → read-back-verify put-if-absent (see
+    fsio module docstring for the object-store contract). This is the
+    ONLY way a manifest reaches its published name; no code path
+    rewrites a manifest after it publishes."""
+    if not fsio.publish_exclusive(tmp, target):
         raise VersionConflict(
             f"{target.name} was committed concurrently — rebase on the "
-            f"new latest version and retry") from None
-    tmp.unlink()
+            f"new latest version and retry")
 
 
 def _minmax(col: pa.ChunkedArray | pa.Array) -> list:
@@ -88,8 +86,8 @@ def _minmax(col: pa.ChunkedArray | pa.Array) -> list:
     return [mm["min"].as_py(), mm["max"].as_py()]
 
 
-def _file_minmax(d: Path, name: str, key: str) -> list:
-    return _minmax(pq.read_table(d / name, columns=[key])[key])
+def _file_minmax(d: FsPath, name: str, key: str) -> list:
+    return _minmax(fsio.read_table(d / name, columns=[key])[key])
 
 
 def commit(table_dir: str | Path, new_tables: list[pa.Table], *,
@@ -122,8 +120,8 @@ def commit(table_dir: str | Path, new_tables: list[pa.Table], *,
     just before the tmp write + exclusive link — the supported way to
     attach fields (deletion vectors, app metadata) while keeping the
     single-publish invariant."""
-    d = Path(table_dir)
-    d.mkdir(parents=True, exist_ok=True)
+    d = fspath(table_dir)
+    d.mkdirs()
     vs = versions(d)
     parent = vs[-1] if vs else 0
     if expected_parent is not None and parent != expected_parent:
@@ -144,7 +142,7 @@ def commit(table_dir: str | Path, new_tables: list[pa.Table], *,
         if t.num_rows == 0:
             continue
         name = f"data-{uuid.uuid4().hex}.parquet"
-        pq.write_table(t, d / name)
+        fsio.write_table(t, d / name)
         new_files.append(name)
         new_by_name[name] = t
     version = parent + 1
@@ -191,7 +189,7 @@ def read(table_dir: str | Path, version: int | None = None, *,
     (stats prune files, not rows)."""
     import ray.data
 
-    d = Path(table_dir)
+    d = fspath(table_dir)
     vs = versions(d)
     if not vs:
         raise FileNotFoundError(f"no versions in {d}")
@@ -208,10 +206,10 @@ def read(table_dir: str | Path, version: int | None = None, *,
         lo, hi = key_range
         names = [f for f in names
                  if stats[f][0] <= hi and stats[f][1] >= lo]
-    files = [str(d / f) for f in names]
-    if not files:
+    if not names:
         return ray.data.from_arrow(pa.table({}))
-    ds = ray.data.read_parquet(files, columns=columns)
+    ds = fsio.read_parquet_dataset([d / f for f in names],
+                                   columns=columns)
     dv = _dv_keys(d, m)
     if dv is not None:
         key, ks = dv
@@ -229,7 +227,7 @@ def read(table_dir: str | Path, version: int | None = None, *,
 def file_diff(table_dir: str | Path, v_from: int, v_to: int) -> dict:
     """File-level diff between two versions (what a sync/replication
     job ships): files added and removed going from ``v_from``→``v_to``."""
-    d = Path(table_dir)
+    d = fspath(table_dir)
     a = set(_load(d, v_from)["files"])
     b = set(_load(d, v_to)["files"])
     return {"added": sorted(b - a), "removed": sorted(a - b)}
@@ -240,7 +238,7 @@ def vacuum(table_dir: str | Path, *, keep_last: int = 1,
     """Drop all but the last ``keep_last`` versions and delete every
     data file no kept version references (plus crashed-commit tmp
     files). Kept versions remain fully readable."""
-    d = Path(table_dir)
+    d = fspath(table_dir)
     vs = versions(d)
     keep = set(vs[-keep_last:]) if keep_last > 0 else set()
     referenced: set[str] = set()
@@ -276,7 +274,7 @@ def commit_with_stats(table_dir: str | Path, new_tables: list[pa.Table],
     every subsequent plain ``commit`` keeps stats coverage complete.
     Changing the key of an existing stats table is an error (the
     carried files' recorded ranges would be for the wrong column)."""
-    d = Path(table_dir)
+    d = fspath(table_dir)
     vs = versions(d)
     if vs:
         prev = _load(d, vs[-1]).get("stats_key")
@@ -310,7 +308,7 @@ def merge_into(table_dir: str | Path, changes: pa.Table, key: str) -> int:
     import numpy as np
     import pandas as pd
 
-    d = Path(table_dir)
+    d = fspath(table_dir)
     v = versions(d)[-1]
     m = _load(d, v)
     stats = m.get("stats")
@@ -325,7 +323,7 @@ def merge_into(table_dir: str | Path, changes: pa.Table, key: str) -> int:
     emitted: set = set()
     rewritten = []
     for f in affected:
-        t = pq.read_table(d / f)
+        t = fsio.read_table(d / f)
         base = t.to_pandas()
         hit = base[key].isin(cdf[key])
         hit_keys = set(base.loc[hit, key])
@@ -352,12 +350,12 @@ def merge_into(table_dir: str | Path, changes: pa.Table, key: str) -> int:
         live = set(np.asarray(cdf[key]))
         new_dvs = []
         for f in _dv_files(mm):
-            t = pq.read_table(d / f)
+            t = fsio.read_table(d / f)
             col = t[key].combine_chunks().to_numpy(zero_copy_only=False)
             kept = t.filter(pa.array([c not in live for c in col]))
             if kept.num_rows:
                 name = f"dv-{uuid.uuid4().hex}.parquet"
-                pq.write_table(kept, d / name)
+                fsio.write_table(kept, d / name)
                 new_dvs.append(name)
         if new_dvs:
             mm["deletes"] = sorted(new_dvs)
@@ -373,7 +371,7 @@ def merge_into(table_dir: str | Path, changes: pa.Table, key: str) -> int:
                              finalize=_subtract_dvs)
 
 
-def _dv_hidden_agg(d: Path, m: dict, sum_cols: list[str]) -> dict:
+def _dv_hidden_agg(d: FsPath, m: dict, sum_cols: list[str]) -> dict:
     """Contribution (row count + column sums) of the rows a version's
     deletion vectors HIDE from its file list — what ``incremental_agg``
     must subtract so the rolled-forward aggregate equals the aggregate
@@ -393,7 +391,7 @@ def _dv_hidden_agg(d: Path, m: dict, sum_cols: list[str]) -> dict:
             lo, hi = stats[f]
             if not np.any((ks >= lo) & (ks <= hi)):
                 continue
-        t = pq.read_table(d / f, columns=cols)
+        t = fsio.read_table(d / f, columns=cols)
         col = t[key].combine_chunks().to_numpy(zero_copy_only=False)
         idx = np.clip(np.searchsorted(ks, col), 0, len(ks) - 1)
         hidden = ks[idx] == col
@@ -423,13 +421,13 @@ def incremental_agg(table_dir: str | Path, v_from: int, v_to: int,
     result = prev − removed + added − hidden(v_to) + hidden(v_from),
     keeping exact equality with a full recompute of the visible rows
     across any mix of appends, merges, and merge-on-read deletes."""
-    d = Path(table_dir)
+    d = fspath(table_dir)
     diff = file_diff(d, v_from, v_to)
     out = dict(prev)
 
     def apply(files: list[str], sign: int) -> None:
         for f in files:
-            t = pq.read_table(d / f, columns=sum_cols)
+            t = fsio.read_table(d / f, columns=sum_cols)
             out["n_rows"] = out.get("n_rows", 0) + sign * t.num_rows
             for c in sum_cols:
                 s = pc.sum(t[c]).as_py() or 0
@@ -457,10 +455,10 @@ def compact(table_dir: str | Path, *, target_rows: int = 1_000_000,
     turns into a conflict, never a lost update. A stats table keeps
     its per-file [min, max] automatically (``stats_key`` inheritance);
     ``key`` is only needed to INTRODUCE stats on an unkeyed table."""
-    d = Path(table_dir)
+    d = fspath(table_dir)
     v = versions(d)[-1]
     m = _load(d, v)
-    sizes = {f: pq.read_metadata(d / f).num_rows for f in m["files"]}
+    sizes = {f: fsio.read_metadata(d / f).num_rows for f in m["files"]}
     small = [f for f in m["files"] if sizes[f] < target_rows]
     if len(small) < 2:
         return v  # nothing to do; no empty version published
@@ -472,7 +470,7 @@ def compact(table_dir: str | Path, *, target_rows: int = 1_000_000,
             acc = 0
         groups[-1].append(f)
         acc += sizes[f]
-    merged = [pa.concat_tables([pq.read_table(d / f) for f in g])
+    merged = [pa.concat_tables([fsio.read_table(d / f) for f in g])
               for g in groups if g]
     if key is not None:
         return commit_with_stats(d, merged, key, op="compact",
@@ -499,11 +497,11 @@ def delete_keys(table_dir: str | Path, keys, key: str) -> int:
     first readable instant (no publish-then-patch window)."""
     import numpy as np
 
-    d = Path(table_dir)
+    d = fspath(table_dir)
     v = versions(d)[-1]
     ks = np.unique(np.asarray(list(keys)))
     name = f"dv-{uuid.uuid4().hex}.parquet"
-    pq.write_table(pa.table({key: pa.array(ks)}), d / name)
+    fsio.write_table(pa.table({key: pa.array(ks)}), d / name)
 
     def _attach(mm: dict) -> None:
         prior = mm.get("delete_key")
@@ -518,14 +516,14 @@ def delete_keys(table_dir: str | Path, keys, key: str) -> int:
                   finalize=_attach)
 
 
-def _dv_keys(d: Path, m: dict):
+def _dv_keys(d: FsPath, m: dict):
     import numpy as np
 
     dvs = _dv_files(m)
     if not dvs:
         return None
     key = m["delete_key"]
-    arrs = [pq.read_table(d / f)[key].combine_chunks().to_numpy(
+    arrs = [fsio.read_table(d / f)[key].combine_chunks().to_numpy(
         zero_copy_only=False) for f in dvs]
     return key, np.unique(np.concatenate(arrs))
 
@@ -537,7 +535,7 @@ def materialize_deletes(table_dir: str | Path) -> int:
     rewritten files via ``stats_key`` inheritance."""
     import numpy as np
 
-    d = Path(table_dir)
+    d = fspath(table_dir)
     v = versions(d)[-1]
     m = _load(d, v)
     dv = _dv_keys(d, m)
@@ -546,7 +544,7 @@ def materialize_deletes(table_dir: str | Path) -> int:
     key, ks = dv
     rewritten = []
     for f in m["files"]:
-        t = pq.read_table(d / f)
+        t = fsio.read_table(d / f)
         col = t[key].combine_chunks().to_numpy(zero_copy_only=False)
         idx = np.clip(np.searchsorted(ks, col), 0, len(ks) - 1)
         keep = ~(ks[idx] == col) if len(ks) else np.ones(len(col), bool)

@@ -1,0 +1,209 @@
+"""State layer against a NON-local pyarrow filesystem (r4 VERDICT item
+1): the sink/manifest/versioned plumbing must work when ``out_dir`` /
+``table_dir`` is a ``scheme://`` URI on shared object storage, not a
+POSIX path — actors on a real multi-node cluster would otherwise write
+sinks to their own local disks.
+
+The mock mount is an fsspec ``DirFileSystem`` wrapped in
+``PyFileSystem(FSSpecHandler(...))``: pyarrow sees a genuinely foreign
+filesystem (no ``os.link``/``os.replace``/pathlib anywhere in the code
+path — ``FsPath.is_local`` is False, so every commit goes through the
+generic move-based protocols), while Ray workers in other processes
+can still read the bytes, which an in-memory mock cannot provide."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+from fsspec.implementations.dirfs import DirFileSystem
+from fsspec.implementations.local import LocalFileSystem as _FsspecLocal
+from pyarrow.fs import FSSpecHandler, PyFileSystem
+
+from logray.state import fsio, manifests, versioned
+
+
+@pytest.fixture()
+def mock_fs(tmp_path):
+    """Mount a fresh DirFileSystem under mock:// for this test."""
+    root = tmp_path / "mockroot"
+    root.mkdir()
+    fs = PyFileSystem(FSSpecHandler(
+        DirFileSystem(path=str(root), fs=_FsspecLocal())))
+    fsio.register_filesystem("mock", fs)
+    return fs
+
+
+def _t(ids, vals):
+    return pa.table({"id": pa.array(list(ids), pa.int64()),
+                     "v": pa.array(list(vals), pa.int64())})
+
+
+def _rows(ds):
+    df = ds.to_pandas()
+    return sorted(zip(df["id"], df["v"]))
+
+
+def test_fspath_remote_semantics(mock_fs):
+    p = fsio.fspath("mock://a/b")
+    assert not p.is_local and str(p) == "mock://a/b"
+    assert (p / "c.txt").name == "c.txt" and p.parent.path == "a"
+    with pytest.raises(TypeError):
+        import os
+
+        os.fspath(p)  # remote paths must refuse os interop
+    p.mkdirs()
+    f = p / "x.txt"
+    f.write_text("hi")
+    assert f.exists() and f.read_text() == "hi"
+    assert [q.name for q in p.glob("*.txt")] == ["x.txt"]
+
+
+def test_versioned_lifecycle_on_remote_fs(ray_session, mock_fs):
+    """Full lakehouse lifecycle — commits, stats inheritance, deletion
+    vectors, merge, incremental agg, time travel, conflict, vacuum —
+    on the foreign filesystem, value-identical to the local path."""
+    d = "mock://tbl"
+    v1 = versioned.commit_with_stats(
+        d, [_t(range(10), range(10)), _t(range(10, 20), range(10, 20))],
+        "id")
+    versioned.commit(d, [_t([50], [50])])  # plain append inherits stats
+    v3 = versioned.delete_keys(d, [3, 17], "id")
+    v4 = versioned.merge_into(d, _t([3, 99], [333, 99]), "id")
+
+    rows = dict(_rows(versioned.read(d)))
+    assert rows[3] == 333 and rows[99] == 99 and 17 not in rows
+    assert len(rows) == 21  # 20 base + 50 + 99 insert − deleted 17
+    # time travel still shows pre-delete state
+    assert len(_rows(versioned.read(d, v1))) == 20
+    # incremental agg crosses the DV version exactly
+    base_df = versioned.read(d, v1).to_pandas()
+    base = {"n_rows": len(base_df), "sum_v": int(base_df["v"].sum())}
+    rolled = versioned.incremental_agg(d, v1, v4, base, ["v"])
+    cur = versioned.read(d, v4).to_pandas()
+    assert rolled == {"n_rows": len(cur), "sum_v": int(cur["v"].sum())}
+    # key-range file skipping via manifest stats works remotely
+    pruned = versioned.read(d, key_range=(50, 50)).to_pandas()
+    assert set(pruned["id"]) == {50}
+    # OCC: stale expected_parent conflicts, never a lost update
+    with pytest.raises(versioned.VersionConflict):
+        versioned.commit(d, [_t([1], [1])], expected_parent=v3)
+    # compact + materialize produce clean versions; vacuum drops history
+    versioned.materialize_deletes(d)
+    versioned.compact(d, target_rows=1000)
+    rep = versioned.vacuum(d, keep_last=1)
+    assert rep["dropped_versions"]
+    assert dict(_rows(versioned.read(d))) == rows
+
+
+def test_remote_publish_is_exclusive_and_single_step(mock_fs,
+                                                     monkeypatch):
+    """The generic (non-hard-link) publish still refuses to replace a
+    concurrently-committed manifest, and the manifest content is
+    complete (stats) at the publish instant."""
+    d = "mock://tbl2"
+    published = []
+    real = fsio.publish_exclusive
+
+    def spy(tmp, target):
+        published.append(json.loads(tmp.read_text()))
+        return real(tmp, target)
+
+    monkeypatch.setattr(versioned.fsio, "publish_exclusive", spy)
+    versioned.commit_with_stats(d, [_t([1], [1])], "id")
+    assert "stats" in published[-1] and published[-1]["stats_key"] == "id"
+
+    # simulate a racer landing v2 first: the next commit must conflict
+    racer = fsio.fspath(d) / "v000002.manifest.json"
+    racer.write_text(json.dumps({"version": 2, "parent": 1,
+                                 "op": "append", "files": [],
+                                 "added": [], "removed": []}))
+    with pytest.raises(versioned.VersionConflict):
+        versioned.commit(d, [_t([2], [2])], expected_parent=1)
+
+
+def test_crash_window_on_remote_fs(mock_fs):
+    """Crash-window guarantees survive the FS abstraction: a tmp
+    manifest written but never published is invisible to readers and
+    swept by vacuum together with its orphan data files."""
+    d = "mock://tbl3"
+    versioned.commit(d, [_t([1], [1])])
+    fp = fsio.fspath(d)
+    # simulate a writer that died between data write and publish
+    fsio.write_table(_t([2], [2]), fp / "data-deadbeef.parquet")
+    (fp / ".v000002.tmp").write_text("{ not even json")
+    assert versioned.versions(d) == [1]
+    assert _rows(versioned.read(d)) == [(1, 1)]
+    rep = versioned.vacuum(d, keep_last=1)
+    assert "data-deadbeef.parquet" in rep["deleted_files"]
+    assert ".v000002.tmp" in rep["deleted_files"]
+
+
+def test_manifests_and_sink_writer_on_remote_fs(ray_session, mock_fs):
+    """Lineage manifests + the fan-out SinkWriter write to the foreign
+    filesystem; manifest_files round-trips URIs; sweep_orphans removes
+    unreferenced files remotely."""
+    from logray.stages.route import SinkWriter
+
+    out = fsio.fspath("mock://out")
+    w = SinkWriter(out, partition_id="p0")
+    batch = pa.table({
+        "sink": pa.array(["a", "a", "b"]),
+        "rule_id": pa.array(["r1", "r1", "r2"]),
+        "parse_error": pa.array([0, 0, 0], pa.int8()),
+        "text": pa.array(["x", "y", "z"]),
+    })
+    summary = w(batch)
+    files = {}
+    for r in summary.to_pylist():
+        files.setdefault(r["sink"], []).append(r["file"])
+    manifests.commit_manifest(out, "p0", {"sink_files": files,
+                                          "metrics": {"rows": 3}})
+    assert manifests.is_committed(out, "p0")
+    got = manifests.manifest_files(out, "a")
+    assert len(got) == 1 and got[0].startswith("mock://")
+    ds = fsio.read_parquet_dataset(got)
+    assert sorted(ds.to_pandas()["text"]) == ["x", "y"]
+
+    # an unreferenced retry leftover is swept
+    stray = fsio.fspath(got[0]).parent / "part-stray.parquet"
+    fsio.write_table(batch, stray)
+    swept = manifests.sweep_orphans(out)
+    assert [s for s in swept if "part-stray" in s] and not stray.exists()
+
+
+@pytest.mark.slow
+def test_flagship_end_to_end_on_remote_fs(ray_session, tmp_path,
+                                          mock_fs):
+    """run_flagship with a mock:// out_dir: sinks, manifests, rollups
+    and resume all land on the foreign filesystem; a re-run skips every
+    committed partition; sink compaction works remotely too."""
+    from logray.gen import generate_corpus
+    from logray.pipelines.compact import compact
+    from logray.pipelines.flagship import read_sink, run_flagship
+
+    corpus = tmp_path / "corpus"
+    meta = generate_corpus(0.002, corpus, with_expected=False)
+    out = "mock://flagout"
+    m1 = run_flagship(corpus, out, wave_size=2, enrich_concurrency=2)
+    assert m1["rows"] == meta["n_turns"] and not m1["partitions_skipped"]
+
+    agg = fsio.read_table(fsio.fspath(out) / "_aggregates.parquet")
+    assert int(pc.sum(agg["n"]).as_py()) == meta["n_turns"]
+    total = sum(read_sink(out, s).count()
+                for t in [json.loads(
+                    (fsio.fspath(out) / "_metrics.json").read_text())]
+                for s in {r["sink"] for r in agg.to_pylist()})
+    assert total == meta["n_turns"]
+
+    m2 = run_flagship(corpus, out, wave_size=2, enrich_concurrency=2)
+    assert not m2["partitions_ran"]  # resume: everything skipped
+    assert m2["rows"] == meta["n_turns"]
+
+    rep = compact(out, target_mb=64)
+    assert rep["files_after"] <= rep["files_before"]
+    assert sum(read_sink(out, s).count()
+               for s in {r["sink"] for r in agg.to_pylist()}) \
+        == meta["n_turns"]
