@@ -175,6 +175,82 @@ def run_flagship_bench(corpus: str) -> float:
     return best
 
 
+# r4: several registry entries were reshaped into invariant-oracle rows
+# (they now run the op PLUS distributed verification passes). The bench
+# keeps timing the RAW operator so readings stay comparable with
+# r1-r3; the registry twins stay the correctness surface.
+def _bench_minhash(sf_dir):
+    import ray.data
+
+    from logray.ops import dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return dedup.minhash_lsh_dedup(ds, threshold=0.8)
+
+
+def _bench_simhash(sf_dir):
+    import ray.data
+
+    from logray.ops import dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return dedup.simhash_dedup(ds, max_hamming=3)
+
+
+def _bench_pca(sf_dir):
+    import ray.data
+
+    from logray.ops import similarity
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    _, _, proj = similarity.pca(ds, k=2)
+    return proj
+
+
+def _bench_fuzzy_decontam(sf_dir):
+    import pyarrow as pa
+    import ray.data
+
+    from logray.ops import dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def side(bench):
+        def fn(t):
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (d % 25 == 0) if bench else (d % 25 != 0)
+            return t.filter(pa.array(m))
+        return fn
+
+    return dedup.minhash_decontaminate(
+        docs.map_batches(side(False), batch_format="pyarrow"),
+        docs.map_batches(side(True), batch_format="pyarrow"),
+        threshold=0.7)
+
+
+def _bench_bpe(sf_dir):
+    import ray.data
+
+    from logray.ops import bpe
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return bpe.bpe_token_counts(docs, num_merges=200)
+
+
+BENCH_OVERRIDES = {
+    "minhash_dedup_documents": _bench_minhash,
+    "simhash_dedup_documents": _bench_simhash,
+    "pca_embeddings": _bench_pca,
+    "fuzzy_decontaminate_documents": _bench_fuzzy_decontam,
+    "bpe_tokens_documents": _bench_bpe,
+}
+
+
 def consume(res) -> None:
     """Force full execution of a query result."""
     import pandas as pd
@@ -232,7 +308,7 @@ def main() -> None:
         best = None
         for _ in range(2):
             t0 = time.time()
-            consume(QUERIES[name](SF_DIR))
+            consume(BENCH_OVERRIDES.get(name, QUERIES[name])(SF_DIR))
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         per_query[name] = round(best, 3)

@@ -74,6 +74,13 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("ls", help="list the query catalogue")
 
+    qp = sub.add_parser("query-plan", help="run a declarative JSON plan "
+                        "(logray.query_dsl) against the sf tables")
+    qp.add_argument("plan", help="path to a plan .json, or a named "
+                    "built-in plan from query_dsl.PLANS")
+    qp.add_argument("sf_dir")
+    qp.add_argument("--limit", type=int, default=20)
+
     t = sub.add_parser("table", help="versioned-table ops (time travel, "
                                      "compaction, retention)")
     t.add_argument("verb", choices=["log", "read", "merge", "delete",
@@ -217,6 +224,23 @@ def main(argv: list[str] | None = None) -> int:
             else:  # vacuum
                 print(json.dumps(versioned.vacuum(
                     args.table_dir, keep_last=args.keep_last)))
+            return 0
+
+        if args.cmd == "query-plan":
+            from pathlib import Path as _P2
+
+            from .query_dsl import PLANS, execute
+
+            if _P2(args.plan).exists():
+                res = execute(_P2(args.plan).read_text(), args.sf_dir)
+            else:
+                res = execute(PLANS[args.plan], args.sf_dir)
+            import pandas as pd
+            import pyarrow as pa
+
+            df = (res.to_pandas() if isinstance(res, pa.Table)
+                  else res.limit(args.limit).to_pandas())
+            print(df.head(args.limit).to_string())
             return 0
 
         if args.cmd == "query":

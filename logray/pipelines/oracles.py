@@ -5266,3 +5266,251 @@ ORACLE_SQL["quality_percentile_gate_documents"] = f"""
     FROM q JOIN thr USING (lang)
     WHERE q.quality >= thr.t
 """
+
+
+# ---- round 4: the last 22 rows-only registrations become value-checked
+# ---- invariant rows (int columns recomputed independently here; bool
+# ---- flags verified Ray-side — a false flag hash-mismatches).
+
+ORACLE_SQL["random_sample_events"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           TRUE AS sampled_in_bounds_ok, TRUE AS distinct_ok,
+           TRUE AS subset_ok
+    FROM events
+"""
+
+ORACLE_SQL["shuffled_documents_sample"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(least(100, count(*)) AS BIGINT) AS n_sampled,
+           TRUE AS distinct_ok, TRUE AS subset_ok
+    FROM documents
+"""
+
+ORACLE_SQL["compression_ratio_documents"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS ratio_bounds_ok, TRUE AS templated_compresses_ok
+    FROM documents
+"""
+
+ORACLE_SQL["rolling_fingerprint_documents"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT regexp_replace(
+               trim(coalesce(text, '')), '\\s+', ' ', 'g')) AS BIGINT)
+               AS n_distinct_norm_texts,
+           TRUE AS fp_injective_ok, TRUE AS fp_count_matches_ok
+    FROM documents
+"""
+
+ORACLE_SQL["minhash_dedup_documents"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text,
+           TRUE AS coverage_ok, TRUE AS one_keep_per_cluster_ok,
+           TRUE AS keep_is_min_id_ok, TRUE AS kept_le_distinct_ok
+    FROM documents
+"""
+
+ORACLE_SQL["simhash_dedup_documents"] = ORACLE_SQL["minhash_dedup_documents"]
+
+ORACLE_SQL["embedding_neardup_pairs"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           TRUE AS coverage_ok, TRUE AS one_keep_per_cluster_ok,
+           TRUE AS keep_is_min_id_ok, TRUE AS kept_le_n_ok
+    FROM embeddings
+"""
+
+ORACLE_SQL["semdedup_embeddings"] = ORACLE_SQL["embedding_neardup_pairs"]
+
+ORACLE_SQL["ngram_dup_pairs_documents"] = """
+    WITH g AS (
+        SELECT count(*) AS c FROM documents
+        GROUP BY text HAVING count(*) > 1)
+    SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum((c * (c - 1)) // 2), 0) AS BIGINT)
+               AS n_exactdup_pairs,
+           TRUE AS contains_exactdup_pairs_ok, TRUE AS pairs_ordered_ok,
+           TRUE AS jaccard_ge_threshold_ok, TRUE AS ids_known_ok
+    FROM g
+"""
+
+ORACLE_SQL["fuzzy_decontaminate_documents"] = """
+    SELECT CAST(count(*) FILTER (doc_id % 25 <> 0) AS BIGINT) AS n_train,
+           CAST(count(*) FILTER (doc_id % 25 = 0) AS BIGINT) AS n_bench,
+           TRUE AS train_side_ok, TRUE AS bench_side_ok,
+           TRUE AS jaccard_ge_threshold_ok, TRUE AS flagged_lt_train_ok
+    FROM documents
+"""
+
+ORACLE_SQL["ivf_ann_embeddings"] = """
+    SELECT CAST(3 AS BIGINT) AS n_queries,
+           CAST(3 * least(10, count(*)) AS BIGINT) AS n_result_rows,
+           TRUE AS ranks_contiguous_ok, TRUE AS neighbors_distinct_ok,
+           TRUE AS self_is_top1_ok
+    FROM embeddings
+"""
+
+ORACLE_SQL["kmeans_embeddings"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           TRUE AS k_le_ok, TRUE AS all_assigned_ok,
+           TRUE AS labels_in_range_ok, TRUE AS assignment_optimal_ok,
+           TRUE AS cohesion_beats_global_ok
+    FROM embeddings
+"""
+
+ORACLE_SQL["pca_embeddings"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           TRUE AS orthonormal_ok, TRUE AS variance_sorted_ok,
+           TRUE AS projections_finite_ok,
+           TRUE AS eigenvalue_matches_variance_ok
+    FROM embeddings
+"""
+
+ORACLE_SQL["bpe_tokens_documents"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+                AS BIGINT) AS total_words,
+           TRUE AS bpe_in_bounds_ok
+    FROM documents
+"""
+
+ORACLE_SQL["dsir_scores_documents"] = """
+    SELECT CAST(count(*) FILTER (doc_id % 25 <> 0) AS BIGINT) AS n_raw,
+           TRUE AS scored_eq_raw_ok, TRUE AS topk_size_ok,
+           TRUE AS topk_raw_side_ok, TRUE AS scores_finite_ok,
+           TRUE AS topk_sorted_ok
+    FROM documents
+"""
+
+_WS_TOKENS = """CASE WHEN trim(text) = '' THEN 0
+    ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+    END"""
+
+ORACLE_SQL["pack_documents_tokens"] = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum({_WS_TOKENS}), 0) AS BIGINT) AS total_tokens,
+           TRUE AS coverage_ok, TRUE AS budget_ok, TRUE AS min_packs_ok
+    FROM documents
+"""
+
+ORACLE_SQL["curriculum_pack_documents"] = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum({_WS_TOKENS}), 0) AS BIGINT) AS total_tokens,
+           TRUE AS coverage_ok, TRUE AS budget_ok,
+           TRUE AS curriculum_order_ok
+    FROM documents
+"""
+
+# training_prep_documents: deterministic prefix replayed exactly (the
+# r3 training_prep_prefix CTEs); block-dependent packing contributes
+# the ok flag on its coverage row.
+ORACLE_SQL["training_prep_documents"] = f"""
+    WITH q AS (
+        SELECT doc_id, text, lang,
+               least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+               * (1.0 - least(CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
+                                   AS DOUBLE)
+                              / greatest(CAST(length(text) AS DOUBLE), 1.0)
+                              * 2.0, 1.0))
+               * (0.5 + (CAST({_NSTOP} AS DOUBLE)
+                         / greatest(CAST(len(regexp_extract_all(
+                               lower(coalesce(text, '')), '[a-z]+'))
+                               AS DOUBLE), 1.0)) * 0.5) AS quality
+        FROM documents),
+    good AS (SELECT doc_id, text, lang FROM q WHERE quality >= 0.3),
+    kept AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY text),
+    keptrows AS (
+        SELECT g.doc_id, g.text, g.lang FROM good g
+        JOIN kept k ON g.doc_id = k.doc_id),
+    sampled AS (
+        SELECT * FROM keptrows
+        WHERE strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+              < CASE WHEN lang = 'en' THEN 8 ELSE 1 END)
+    SELECT 'input' AS stage,
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows,
+           TRUE AS ok
+    UNION ALL SELECT 'quality',
+           CAST((SELECT count(*) FROM good) AS BIGINT), TRUE
+    UNION ALL SELECT 'exact_dedup',
+           CAST((SELECT count(*) FROM keptrows) AS BIGINT), TRUE
+    UNION ALL SELECT 'mixture',
+           CAST((SELECT count(*) FROM sampled) AS BIGINT), TRUE
+    UNION ALL SELECT 'sampled_tokens',
+           CAST((SELECT coalesce(sum({_WS_TOKENS}), 0) FROM sampled)
+                AS BIGINT), TRUE
+    UNION ALL SELECT 'packed',
+           CAST((SELECT count(*) FROM sampled) AS BIGINT), TRUE
+"""
+
+ORACLE_SQL["webcrawl_cleanup_documents"] = f"""
+    WITH l AS ({ORACLE_SQL["langid_documents"]}),
+    q AS (
+        SELECT doc_id,
+               least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+               * (1.0 - least(CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
+                                   AS DOUBLE)
+                              / greatest(CAST(length(text) AS DOUBLE), 1.0)
+                              * 2.0, 1.0))
+               * (0.5 + (CAST({_NSTOP} AS DOUBLE)
+                         / greatest(CAST(len(regexp_extract_all(
+                               lower(coalesce(text, '')), '[a-z]+'))
+                               AS DOUBLE), 1.0)) * 0.5) AS quality
+        FROM documents),
+    en AS (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN l ON l.doc_id = d.doc_id WHERE l.lang_pred = 'en'),
+    good AS (
+        SELECT en.doc_id, en.text FROM en
+        JOIN q ON q.doc_id = en.doc_id WHERE q.quality > 0.2),
+    kept AS (SELECT min(doc_id) AS k FROM good GROUP BY text)
+    SELECT 'input' AS stage,
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows,
+           TRUE AS ok
+    UNION ALL SELECT 'lang_en',
+           CAST((SELECT count(*) FROM en) AS BIGINT), TRUE
+    UNION ALL SELECT 'quality',
+           CAST((SELECT count(*) FROM good) AS BIGINT), TRUE
+    UNION ALL SELECT 'exact_dedup',
+           CAST((SELECT count(*) FROM kept) AS BIGINT), TRUE
+    UNION ALL SELECT 'decontaminated_bound',
+           CAST((SELECT count(*) FROM kept WHERE k % 25 <> 0) AS BIGINT),
+           TRUE
+"""
+
+ORACLE_SQL["training_prep_transcripts"] = f"""
+    WITH r AS (
+        SELECT conv_id,
+               string_agg(role || ': ' || text, chr(10)
+                          ORDER BY turn_idx) AS rendered
+        FROM {_CORPUS} GROUP BY conv_id),
+    d AS (SELECT DISTINCT rendered FROM r)
+    SELECT 'conversations' AS stage,
+           CAST((SELECT count(*) FROM r) AS BIGINT) AS n_rows,
+           TRUE AS ok
+    UNION ALL SELECT 'exact_dedup',
+           CAST((SELECT count(*) FROM d) AS BIGINT), TRUE
+    UNION ALL SELECT 'rendered_tokens',
+           CAST((SELECT coalesce(sum(len(regexp_extract_all(
+               rendered, '\\S+'))), 0) FROM d) AS BIGINT), TRUE
+    UNION ALL SELECT 'packed',
+           CAST((SELECT count(*) FROM d) AS BIGINT), TRUE
+"""
+
+ORACLE_SQL["multimodal_decode_features"] = """
+    SELECT CAST(256 AS BIGINT) AS n_media, TRUE AS coverage_ok,
+           TRUE AS dims_positive_ok, TRUE AS decode_deterministic_ok
+"""
+
+ORACLE_SQL["multimodal_resize_thumbs"] = """
+    SELECT CAST(256 AS BIGINT) AS n_media, TRUE AS coverage_ok,
+           TRUE AS clamped_ok, TRUE AS no_upscale_ok,
+           TRUE AS payload_nonempty_ok
+"""
+
+
+# Declarative-plan twins (query_dsl.PLANS): same oracle as the
+# hand-written query they re-express.
+for _n in ("grouped_count_events", "grouped_agg_events",
+           "sort_limit_events", "topk_users_by_value",
+           "distinct_event_types", "customers_without_big_orders",
+           "join_customer_nation_region", "pricing_summary_lineitem"):
+    ORACLE_SQL[f"dsl_{_n}"] = ORACLE_SQL[_n]

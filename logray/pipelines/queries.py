@@ -35,6 +35,31 @@ def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
     return t.set_column(i, col, pc.round(t[col], ndigits=nd))
 
 
+def _inv_table(**cols) -> pa.Table:
+    """One-row invariant/summary table (the r3→r4 oracle pattern for
+    stochastic or non-SQL-expressible ops): int columns are SQL-EXACT
+    quantities the DuckDB oracle recomputes independently; bool columns
+    are invariants verified Ray-side that the oracle asserts TRUE —
+    a false flag hash-mismatches the driver compare and fails the
+    query. Column order is alphabetical on both sides by the driver's
+    canonicalization, so declaration order is free."""
+    arrs = {}
+    for k, v in cols.items():
+        if isinstance(v, bool):
+            arrs[k] = pa.array([v])
+        elif isinstance(v, (int, np.integer)):
+            arrs[k] = pa.array([int(v)], pa.int64())
+        else:
+            arrs[k] = pa.array([v])
+    return pa.table(arrs)
+
+
+def _anti_count(ds, source, on) -> int:
+    """Rows of ``ds`` whose key is absent from ``source`` (distributed
+    ANTI semi-join) — the subset_ok building block."""
+    return int(relational.hash_semi_join(ds, source, on, anti=True).count())
+
+
 # ------------------------------------------------------------ aggregation ---
 
 def _add_cents(t: pa.Table, col: str, out: str, scale: float = 100.0) -> pa.Table:
@@ -894,14 +919,91 @@ def exact_dedup_documents(sf_dir: str):
         lambda t: t.select(["doc_id"]), batch_format="pyarrow")
 
 
+
+def _label_invariants(labeled, id_col: str) -> dict:
+    """Distributed invariants over a dedup labeling (id, cluster_id,
+    keep) WITHOUT materializing it: per-cluster grouped partials reduce
+    to four scalars — rows, clusters, kept count, and violation counts
+    for 'exactly one keep per cluster' and 'the keep is the cluster
+    min id' (the representative rule every family documents)."""
+
+    def pre(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        keep = t["keep"].to_numpy(zero_copy_only=False)
+        kid = np.where(keep, ids, np.int64(2 ** 62))
+        return pa.table({
+            "cluster_id": t["cluster_id"],
+            "id": t[id_col],
+            "keep_i": pa.array(keep.astype(np.int64)),
+            "keep_id": pa.array(kid, pa.int64())})
+
+    g = relational.grouped_agg(
+        labeled.map_batches(pre, batch_format="pyarrow"),
+        ["cluster_id"],
+        {"n_keep": ("keep_i", "sum"), "min_id": ("id", "min"),
+         "min_keep_id": ("keep_id", "min"), "n": ("id", "count")})
+
+    def reduce_flags(t: pa.Table) -> pa.Table:
+        nk = t["n_keep"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_rows": pa.array([int(pc.sum(t["n"]).as_py() or 0)], pa.int64()),
+            "n_clusters": pa.array([t.num_rows], pa.int64()),
+            "n_kept": pa.array([int(nk.sum())], pa.int64()),
+            "bad_keep": pa.array([int((nk != 1).sum())], pa.int64()),
+            "bad_min": pa.array([int((t["min_keep_id"].to_numpy(zero_copy_only=False)
+                                      != t["min_id"].to_numpy(zero_copy_only=False)).sum())],
+                                pa.int64())})
+
+    s = g.map_batches(reduce_flags, batch_format="pyarrow").to_pandas().sum()
+    return {k: int(s[k]) for k in
+            ("n_rows", "n_clusters", "n_kept", "bad_keep", "bad_min")}
+
+
+def _distinct_text_count(sf_dir: str, table: str = "documents",
+                         col: str = "text") -> int:
+    """count(DISTINCT text) as one distributed hash-agg — the SQL-exact
+    upper bound the near-dup invariants compare kept counts against."""
+    ds = _read(sf_dir, table, [col])
+    return int(relational.distinct(ds, [col]).count())
+
+
 def minhash_dedup_documents(sf_dir: str):
+    """MinHash+LSH near-dup clustering over documents, registered as
+    its value-checked invariant row (r4): n_docs and the distinct-text
+    count are SQL-exact; the labeling must cover every doc, keep
+    EXACTLY one representative (the min id) per cluster, and — since
+    identical texts always share every band — keep no more docs than
+    there are distinct texts. Planted-duplicate recall is the SQL
+    companion ``minhash_exactdup_invariant_documents``; the full
+    labeling remains available via ``dedup.minhash_lsh_dedup``."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.minhash_lsh_dedup(ds, threshold=0.8)
+    inv = _label_invariants(dedup.minhash_lsh_dedup(ds, threshold=0.8),
+                            "doc_id")
+    n_distinct = _distinct_text_count(sf_dir)
+    return _inv_table(
+        n_docs=inv["n_rows"], n_distinct_text=n_distinct,
+        coverage_ok=bool(inv["n_rows"] == int(ds.count())),
+        one_keep_per_cluster_ok=bool(inv["bad_keep"] == 0),
+        keep_is_min_id_ok=bool(inv["bad_min"] == 0),
+        kept_le_distinct_ok=bool(inv["n_kept"] <= n_distinct))
 
 
 def simhash_dedup_documents(sf_dir: str):
+    """SimHash near-dup clustering, registered as its value-checked
+    invariant row (r4) — same contract as ``minhash_dedup_documents``
+    (identical texts share all 4 pigeonhole bands at hamming 0, so the
+    kept count is bounded by the SQL-exact distinct-text count).
+    Planted recall: ``simhash_exactdup_invariant_documents``."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.simhash_dedup(ds, max_hamming=3)
+    inv = _label_invariants(dedup.simhash_dedup(ds, max_hamming=3),
+                            "doc_id")
+    n_distinct = _distinct_text_count(sf_dir)
+    return _inv_table(
+        n_docs=inv["n_rows"], n_distinct_text=n_distinct,
+        coverage_ok=bool(inv["n_rows"] == int(ds.count())),
+        one_keep_per_cluster_ok=bool(inv["bad_keep"] == 0),
+        keep_is_min_id_ok=bool(inv["bad_min"] == 0),
+        kept_le_distinct_ok=bool(inv["n_kept"] <= n_distinct))
 
 
 def _ngram_banded_pairs(ds):
@@ -945,17 +1047,74 @@ def _ngram_banded_pairs(ds):
 
 
 def ngram_dup_pairs_documents(sf_dir: str):
-    """Exact n-gram Jaccard pairs, bounded by simhash band buckets
-    (see ``_ngram_banded_pairs`` for the scale shape)."""
+    """Exact n-gram Jaccard pairs bounded by simhash band buckets (see
+    ``_ngram_banded_pairs``), registered as the value-checked invariant
+    row (r4): n_docs and the exact-duplicate pair count (Σ c·(c−1)/2
+    over repeated texts) are SQL-exact; identical texts agree on every
+    band at Jaccard 1, so ALL exact-dup pairs must appear in the
+    output; every pair must be ordered (a < b), distinct, above the
+    0.8 threshold, and reference real doc ids. Planted-recall depth:
+    ``ngram_exactdup_recall_documents``."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = _ngram_banded_pairs(ds)
-    pdf = pairs.to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"])
-    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+    pdf = pairs.to_pandas()
+    if "a" not in pdf.columns:  # all-empty result loses its schema
+        pdf = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                            "b": pd.Series([], dtype="int64"),
+                            "jaccard": pd.Series([], dtype="float64")})
+    pdf = pdf.drop_duplicates(["a", "b"])
+
+    # SQL-exact side values recomputed distributed: identical-text pair
+    # count and the set of exact-dup pairs (min-id star per text group)
+    from ..ops.window import _bucketed_apply
+
+    def text_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("text", sort=False):
+            ids = np.sort(g["doc_id"].to_numpy())
+            if len(ids) > 1:
+                a, b = np.triu_indices(len(ids), k=1)
+                out.append(pd.DataFrame({"a": ids[a], "b": ids[b]}))
+        if not out:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.concat(out)
+
+    exact = _bucketed_apply(ds, "text", text_pairs).to_pandas()
+    if "a" not in exact.columns:
+        exact = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})
+    have = set(zip(pdf["a"], pdf["b"]))
+    contains_ok = all((a, b) in have
+                      for a, b in zip(exact["a"], exact["b"]))
+    ids = _read(sf_dir, "documents", ["doc_id"]).to_pandas()["doc_id"]
+    known = set(ids.tolist())
+    return _inv_table(
+        n_docs=len(ids),
+        n_exactdup_pairs=len(exact),
+        contains_exactdup_pairs_ok=bool(contains_ok),
+        pairs_ordered_ok=bool((pdf["a"] < pdf["b"]).all()),
+        jaccard_ge_threshold_ok=bool((pdf["jaccard"] >= 0.8 - 1e-9).all()),
+        ids_known_ok=bool(set(pdf["a"]) <= known
+                          and set(pdf["b"]) <= known))
 
 
 def embedding_neardup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup clustering (random-hyperplane LSH →
+    exact cosine verify → components), registered as its value-checked
+    invariant row (r4): n_vecs is SQL-exact; labeling must cover every
+    vector with exactly one min-id representative per cluster. Planted
+    exact-duplicate recall is the companion
+    ``embedding_exactdup_invariant_embeddings``."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return dedup.embedding_neardup(ds, threshold=0.95)
+    inv = _label_invariants(dedup.embedding_neardup(ds, threshold=0.95),
+                            "vec_id")
+    return _inv_table(
+        n_vecs=inv["n_rows"],
+        coverage_ok=bool(inv["n_rows"] == int(ds.count())),
+        one_keep_per_cluster_ok=bool(inv["bad_keep"] == 0),
+        keep_is_min_id_ok=bool(inv["bad_min"] == 0),
+        kept_le_n_ok=bool(inv["n_kept"] <= inv["n_rows"]))
 
 
 def dup_cluster_labels_documents(sf_dir: str):
@@ -1010,7 +1169,23 @@ def ivf_ann_embeddings(sf_dir: str):
     assigned = ds.map_batches(idx.assign_stage(), batch_format="pyarrow")
     out = idx.search(assigned, _query_vectors(sf_dir), k=10, nprobe=6)
     out = out[["query_id", "vec_id", "rank"]].astype("int64")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    # r4 invariant-oracle registration: per-query result-set shape is
+    # deterministic (3 queries × top-10, ranks 1..10 contiguous,
+    # distinct neighbor ids, self in the probed lists ⇒ rank-1 self
+    # match). Recall vs exact brute force is the SQL companion
+    # ``ivf_recall_embeddings`` (≥0.5/query, ≥0.75 mean).
+    g = out.groupby("query_id")
+    return _inv_table(
+        n_queries=int(out["query_id"].nunique()),
+        n_result_rows=len(out),
+        ranks_contiguous_ok=bool(all(
+            sorted(sub["rank"]) == list(range(1, len(sub) + 1))
+            for _, sub in g)),
+        neighbors_distinct_ok=bool(all(
+            sub["vec_id"].is_unique for _, sub in g)),
+        self_is_top1_ok=bool(all(
+            int(sub.loc[sub["rank"] == 1, "vec_id"].iloc[0]) == qid
+            for qid, sub in g)))
 
 
 # ------------------------------------------------------------ text analysis --
@@ -1124,10 +1299,35 @@ def blocklist_filter_documents(sf_dir: str):
 
 
 def rolling_fingerprint_documents(sf_dir: str):
+    """Vectorized 64-bit rolling fingerprint per document. The hash
+    value itself is not SQL-computable, but its BIJECTION with the
+    whitespace-normalized text is (r4 invariant oracle): the number of
+    distinct fingerprints must EQUAL the number of distinct normalized
+    texts (SQL: count(distinct regexp_replace(trim(text),'\s+',' ','g'))
+    — collisions at 64 bits over this corpus would need ~2^32 docs),
+    and no fingerprint may span two different normalized texts."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(
-        lambda t: text_ops.add_rolling_fingerprint(t).select(["doc_id", "rolling_fp"]),
-        batch_format="pyarrow")
+
+    def fp_and_norm(t: pa.Table) -> pa.Table:
+        fp = text_ops.add_rolling_fingerprint(t)["rolling_fp"]
+        fpv = fp.combine_chunks().to_numpy(
+            zero_copy_only=False).view(np.int64)  # bit view, no overflow
+        norm = pc.replace_substring_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(t["text"], "")),
+            r"\s+", " ")
+        return pa.table({"fp": pa.array(fpv, pa.int64()), "norm": norm})
+
+    pairs = relational.distinct(
+        ds.map_batches(fp_and_norm, batch_format="pyarrow"),
+        ["fp", "norm"])
+    g = relational.grouped_agg(pairs, ["fp"],
+                               {"n_texts": ("norm", "count")}).to_pandas()
+    n_docs = int(ds.count())
+    return _inv_table(
+        n_docs=n_docs,
+        n_distinct_norm_texts=int(g["n_texts"].sum()),
+        fp_injective_ok=bool((g["n_texts"] == 1).all()),
+        fp_count_matches_ok=bool(len(g) == int(g["n_texts"].sum())))
 
 
 # ------------------------------------------------------- windowed / ordered --
@@ -1685,21 +1885,49 @@ def deterministic_sample_events(sf_dir: str):
 
 
 def random_sample_events(sf_dir: str):
-    """Uniform random sampling via ``Dataset.random_sample`` (C6): ~10% of
-    events, fraction applied per block with a fixed seed. Row count is
-    probabilistic — no SQL oracle (rows-only check)."""
+    """Uniform random sampling via ``Dataset.random_sample`` (C6): ~10%
+    of events, fraction applied per block with a fixed seed. The count
+    is probabilistic, so the registered output is the value-checked
+    invariant row (r4): n_total is SQL-exact; the sampled count must
+    sit within 6σ of Binomial(n, 0.1), never duplicate a row, and be a
+    subset of the source (distributed anti-join, zero survivors)."""
+    import math
+
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
-    return ds.random_sample(0.1, seed=42)
+    n_total = int(ds.count())
+    s = ds.random_sample(0.1, seed=42)
+    n_sampled = int(s.count())
+    mean, sd = 0.1 * n_total, math.sqrt(n_total * 0.1 * 0.9)
+    ids = s.map_batches(lambda t: t.select(["event_id"]),
+                        batch_format="pyarrow")
+    n_dup = n_sampled - int(relational.distinct(
+        ids, ["event_id"]).count())
+    return _inv_table(
+        n_total=n_total,
+        sampled_in_bounds_ok=bool(abs(n_sampled - mean) <= 6.0 * sd),
+        distinct_ok=bool(n_dup == 0),
+        subset_ok=bool(_anti_count(ids, ds, "event_id") == 0))
 
 
 def shuffled_documents_sample(sf_dir: str):
     """Global random shuffle (training-data prep: decorrelate document
-    order before sharding to trainers) — ``Dataset.random_shuffle`` is the
-    full all-to-all exchange; seeded for reproducibility. Returns the
-    first 100 rows of the shuffled order (rows-only check: the permutation
-    is seed-dependent, not SQL-expressible)."""
+    order before sharding to trainers) — ``Dataset.random_shuffle`` is
+    the full all-to-all exchange; seeded for reproducibility. The
+    permutation is seed-dependent, so the registered output is the
+    value-checked invariant row (r4): prefix size is SQL-exact
+    (least(100, n)); prefix rows must be distinct and all present in
+    the source."""
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-    return ds.random_shuffle(seed=7).limit(100)
+    n_total = int(ds.count())
+    sp = ds.random_shuffle(seed=7).limit(100).to_pandas()
+    keys = sp["doc_id"].to_numpy()
+    n_in_source = int(relational.semi_filter(
+        ds, "doc_id", keys).count())
+    return _inv_table(
+        n_total=n_total,
+        n_sampled=len(sp),
+        distinct_ok=bool(sp["doc_id"].is_unique),
+        subset_ok=bool(n_in_source == len(set(keys.tolist()))))
 
 
 _RAW_LOG_CACHE = f"/tmp/logray/rawlog/v{_CV}"
@@ -1904,11 +2132,28 @@ def multimodal_decode_features(sf_dir: str):
 
     t = multimodal.make_fake_media_table(256)
     ds = ray.data.from_arrow(t)
-    out = ds.map_batches(multimodal.DecodeImageStage,
-                         fn_constructor_kwargs={"decode": "fake"},
-                         concurrency=2, batch_size=64, batch_format="pyarrow")
-    return out.map_batches(lambda t: t.select(["media_id", "width", "height", "phash64"]),
-                           batch_format="pyarrow")
+
+    def run_once():
+        out = ds.map_batches(multimodal.DecodeImageStage,
+                             fn_constructor_kwargs={"decode": "fake"},
+                             concurrency=2, batch_size=64,
+                             batch_format="pyarrow")
+        return out.map_batches(
+            lambda t: t.select(["media_id", "width", "height", "phash64"]),
+            batch_format="pyarrow").to_pandas().sort_values("media_id")
+
+    # r4 invariant-oracle registration: the fake decode is a pure
+    # function of the payload bytes, so two independent actor-pool
+    # passes must agree cell-for-cell (decode determinism across
+    # actors/blocks); dims positive; one row per media item.
+    a, b = run_once(), run_once()
+    return _inv_table(
+        n_media=len(a),
+        coverage_ok=bool(sorted(a["media_id"]) == list(range(256))),
+        dims_positive_ok=bool((a["width"] > 0).all()
+                              and (a["height"] > 0).all()),
+        decode_deterministic_ok=bool(
+            a.reset_index(drop=True).equals(b.reset_index(drop=True))))
 
 
 def multimodal_resize_thumbs(sf_dir: str):
@@ -1925,6 +2170,10 @@ def multimodal_resize_thumbs(sf_dir: str):
     decoded = ds.map_batches(multimodal.DecodeImageStage,
                              fn_constructor_kwargs={"decode": "fake"},
                              concurrency=2, batch_size=64, batch_format="pyarrow")
+    orig = decoded.map_batches(
+        lambda t: t.select(["media_id", "width", "height"]),
+        batch_format="pyarrow").to_pandas().rename(
+        columns={"width": "ow", "height": "oh"})
     resized = decoded.map_batches(multimodal.ResizeImageStage,
                                   fn_constructor_kwargs={"decode": "fake",
                                                          "max_side": 128},
@@ -1936,7 +2185,19 @@ def multimodal_resize_thumbs(sf_dir: str):
         return pa.table({"media_id": t["media_id"], "width": t["width"],
                          "height": t["height"], "thumb_bytes": nb})
 
-    return resized.map_batches(fin, batch_format="pyarrow")
+    out = resized.map_batches(fin, batch_format="pyarrow")         .to_pandas().merge(orig, on="media_id")
+    # r4 invariant-oracle registration: thumbs clamp the long side to
+    # 128 (never upscale), emit a real payload, and cover every item.
+    big = out[(out["ow"] > 128) | (out["oh"] > 128)]
+    small = out[(out["ow"] <= 128) & (out["oh"] <= 128)]
+    return _inv_table(
+        n_media=len(out),
+        coverage_ok=bool(sorted(out["media_id"]) == list(range(256))),
+        clamped_ok=bool((big[["width", "height"]].max(axis=1)
+                         == 128).all()),
+        no_upscale_ok=bool((small["width"] == small["ow"]).all()
+                           and (small["height"] == small["oh"]).all()),
+        payload_nonempty_ok=bool((out["thumb_bytes"] > 0).all()))
 
 
 def lead_value_events(sf_dir: str):
@@ -2344,14 +2605,85 @@ def kmeans_embeddings(sf_dir: str):
     from ..ops.similarity import kmeans
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    _, assign = kmeans(ds, k=8, iters=8, vec_col="embedding")
+    centroids, assign = kmeans(ds, k=8, iters=8, vec_col="embedding")
     labeled = ds.map_batches(assign, batch_format="pyarrow")
     counted = labeled.map_batches(
         lambda t: t.select(["cluster_id"]).group_by("cluster_id")
                    .aggregate([("cluster_id", "count")])
                    .rename_columns(["cluster_id", "n"]),
         batch_format="pyarrow")
-    return relational.grouped_agg(counted, ["cluster_id"], {"n": ("n", "sum")})
+    sizes = relational.grouped_agg(counted, ["cluster_id"],
+                                   {"n": ("n", "sum")}).to_pandas()
+    # r4 invariant-oracle registration: n_vecs is SQL-exact; every
+    # vector lands in exactly one of ≤ k clusters (sizes sum to n);
+    # the labeling is ASSIGNMENT-OPTIMAL for the returned centroids
+    # (spherical k-means: each row's cosine to its centroid is the max
+    # over all centroids), and mean within-cluster cosine beats the
+    # 1-cluster solution (the normalized global mean direction) — the
+    # clustering actually explains structure. Planted-cluster recovery
+    # depth: pytest + the kmeans tolerance oracle family.
+    n_vecs = int(ds.count())
+
+    def cohesion_part(t: pa.Table) -> pa.Table:
+        lt = assign(t)
+        mat = np.stack(lt["embedding"].to_pandas()
+                       .to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        lab = lt["cluster_id"].to_numpy(zero_copy_only=False)
+        sims = mat @ centroids.T
+        return pa.table({
+            "assigned": pa.array([float(sims[np.arange(len(lab)),
+                                              lab].sum())]),
+            "best": pa.array([float(sims.max(axis=1).sum())]),
+            "gsum": pa.array([mat.sum(axis=0)]),
+            "n": pa.array([len(lab)], pa.int64())})
+
+    parts = ds.map_batches(cohesion_part,
+                           batch_format="pyarrow").to_pandas()
+    assigned = float(parts["assigned"].sum())
+    best = float(parts["best"].sum())
+    g = np.sum(np.stack(parts["gsum"].to_numpy()), axis=0)
+    # size-weighted centroid mean: pointwise max_j(x·C_j) dominates the
+    # weighted average x·m, so Σ best ≥ g·m is an EXACT consequence of
+    # coherent (centroids, sizes) — a bookkeeping bug breaks it
+    w = np.zeros(len(centroids))
+    for cid, n in zip(sizes["cluster_id"], sizes["n"]):
+        w[int(cid)] = n
+    m = (w[:, None] * centroids).sum(axis=0) / max(w.sum(), 1.0)
+    return _inv_table(
+        n_vecs=n_vecs,
+        k_le_ok=bool(len(sizes) <= 8),
+        all_assigned_ok=bool(int(sizes["n"].sum()) == n_vecs),
+        labels_in_range_ok=bool(sizes["cluster_id"].between(0, 7).all()),
+        assignment_optimal_ok=bool(assigned >= best - 1e-9),
+        cohesion_beats_global_ok=bool(best >= float(g @ m) - 1e-9))
+
+
+
+def _pack_invariants(packed, id_col: str, token_col: str,
+                     budget: int) -> dict:
+    """Distributed sequence-packing invariants: per-pack grouped
+    partials reduce to scalars — rows packed (coverage), total tokens,
+    pack count, and budget violations (a pack of ≥2 docs over budget;
+    singleton packs may legally exceed it — oversized docs)."""
+    g = relational.grouped_agg(packed, ["pack_id"], {
+        "n_docs": (id_col, "count"), "tokens": (token_col, "sum")})
+
+    def reduce_flags(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False)
+        tk = t["tokens"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_rows": pa.array([int(nd.sum())], pa.int64()),
+            "tokens": pa.array([int(tk.sum())], pa.int64()),
+            "n_packs": pa.array([t.num_rows], pa.int64()),
+            "bad_budget": pa.array([int(((nd >= 2)
+                                         & (tk > budget)).sum())],
+                                   pa.int64())})
+
+    s = g.map_batches(reduce_flags, batch_format="pyarrow").to_pandas().sum()
+    return {k: int(s[k]) for k in
+            ("n_rows", "tokens", "n_packs", "bad_budget")}
 
 
 def pack_documents_tokens(sf_dir: str):
@@ -2369,14 +2701,18 @@ def pack_documents_tokens(sf_dir: str):
         batch_format="pyarrow")
     packed = pack_ops.pack_documents(with_tokens, token_col="n_tokens_ws",
                                      id_col="doc_id", budget=512)
-    summary = packed.map_batches(
-        lambda t: t.group_by("pack_id").aggregate(
-            [("doc_id", "count"), ("n_tokens_ws", "sum")])
-            .rename_columns(["pack_id", "n_docs", "n_tokens"]),
-        batch_format="pyarrow")
-    return relational.grouped_agg(summary, ["pack_id"],
-                                  {"n_docs": ("n_docs", "sum"),
-                                   "n_tokens": ("n_tokens", "sum")})
+    inv = _pack_invariants(packed, "doc_id", "n_tokens_ws", 512)
+    # r4 invariant-oracle registration: n_docs and total ws tokens are
+    # SQL-exact; every doc packed exactly once, no multi-doc pack over
+    # budget, and pack count at least the token-mass lower bound.
+    n_docs = int(ds.count())
+    return _inv_table(
+        n_docs=n_docs,
+        total_tokens=inv["tokens"],
+        coverage_ok=bool(inv["n_rows"] == n_docs),
+        budget_ok=bool(inv["bad_budget"] == 0),
+        min_packs_ok=bool(inv["tokens"] == 0
+                          or inv["n_packs"] >= -(-inv["tokens"] // 512)))
 
 
 def training_prep_documents(sf_dir: str):
@@ -2415,20 +2751,29 @@ def training_prep_documents(sf_dir: str):
         rate = np.where(np.asarray(t["lang"].to_pandas() == "en"), 8, 1)
         return t.filter(pa.array(first.to_numpy() < rate))
 
-    sampled = kept.map_batches(mixture, batch_format="pyarrow")
+    sampled = kept.map_batches(mixture,
+                               batch_format="pyarrow").materialize()
     with_tokens = sampled.map_batches(
         lambda t: text_ops.add_token_counts(t).select(["doc_id", "n_tokens_ws"]),
         batch_format="pyarrow")
     packed = pack_ops.pack_documents(with_tokens, token_col="n_tokens_ws",
                                      id_col="doc_id", budget=512)
-    summary = packed.map_batches(
-        lambda t: t.group_by("pack_id").aggregate(
-            [("doc_id", "count"), ("n_tokens_ws", "sum")])
-            .rename_columns(["pack_id", "n_docs", "n_tokens"]),
-        batch_format="pyarrow")
-    return relational.grouped_agg(summary, ["pack_id"],
-                                  {"n_docs": ("n_docs", "sum"),
-                                   "n_tokens": ("n_tokens", "sum")})
+    # r4: every deterministic prefix stage count is SQL-EXACT (the
+    # training_prep_prefix CTEs replay quality, keep-first dedup and
+    # the md5 mixture gate in DuckDB); the block-dependent pack stage
+    # contributes its coverage/budget invariants as ok flags.
+    inv = _pack_invariants(packed, "doc_id", "n_tokens_ws", 512)
+    n_sampled = int(sampled.count())
+    return pd.DataFrame({
+        "stage": ["input", "quality", "exact_dedup", "mixture",
+                  "sampled_tokens", "packed"],
+        "n_rows": [int(ds.count()), int(filtered.count()),
+                   int(kept.count()), n_sampled,
+                   inv["tokens"], n_sampled],
+        "ok": [True, True, True, True, True,
+               bool(inv["n_rows"] == n_sampled
+                    and inv["bad_budget"] == 0)],
+    })
 
 
 def _scratch_dir(kind: str, sf_dir: str) -> str:
@@ -3184,12 +3529,21 @@ def centered_avg_user_events(sf_dir: str):
 def semdedup_embeddings(sf_dir: str):
     """SemDeDup-style semantic dedup (similarity.semdedup): k-means
     partition → exact within-cluster cosine → component representative
-    selection. Rows-only (k-means isn't SQL-able); duplicate detection
-    quality is pytest-verified on planted near-dup embeddings."""
+    selection — registered as its value-checked invariant row (r4):
+    n_vecs is SQL-exact; the labeling covers every vector with exactly
+    one min-id representative per duplicate component. Planted near-dup
+    recall is the companion ``semdedup_planted_invariant_embeddings``."""
     from ..ops.similarity import semdedup
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return semdedup(ds, k=8, iters=5, threshold=0.95)
+    inv = _label_invariants(semdedup(ds, k=8, iters=5, threshold=0.95),
+                            "vec_id")
+    return _inv_table(
+        n_vecs=inv["n_rows"],
+        coverage_ok=bool(inv["n_rows"] == int(ds.count())),
+        one_keep_per_cluster_ok=bool(inv["bad_keep"] == 0),
+        keep_is_min_id_ok=bool(inv["bad_min"] == 0),
+        kept_le_n_ok=bool(inv["n_kept"] <= inv["n_rows"]))
 
 
 def fuzzy_decontaminate_documents(sf_dir: str):
@@ -3208,10 +3562,27 @@ def fuzzy_decontaminate_documents(sf_dir: str):
             return t.filter(pa.array(m))
         return fn
 
-    return dedup.minhash_decontaminate(
+    flagged = dedup.minhash_decontaminate(
         docs.map_batches(side(False), batch_format="pyarrow"),
         docs.map_batches(side(True), batch_format="pyarrow"),
-        threshold=0.7)
+        threshold=0.7).to_pandas()
+    # r4 invariant-oracle registration: n_train / n_bench are SQL-exact
+    # (doc_id % 25 arithmetic); every flagged row must pair a TRAIN doc
+    # with a BENCH doc above the estimated-Jaccard threshold. Planted
+    # perturbed-copy recall is the SQL companion
+    # ``fuzzy_decontam_recall_documents``.
+    n_docs = int(docs.count())
+    n_bench = int(docs.map_batches(side(True),
+                                   batch_format="pyarrow").count())
+    return _inv_table(
+        n_train=n_docs - n_bench,
+        n_bench=n_bench,
+        train_side_ok=bool((flagged["doc_id"] % 25 != 0).all()),
+        bench_side_ok=bool((flagged["bench_id"] % 25 == 0).all()),
+        jaccard_ge_threshold_ok=bool(
+            (flagged["est_jaccard"] >= 0.7 - 1e-9).all()),
+        flagged_lt_train_ok=bool(
+            flagged["doc_id"].nunique() < n_docs - n_bench))
 
 
 def orc_source_event_counts(sf_dir: str):
@@ -3395,9 +3766,25 @@ def dsir_scores_documents(sf_dir: str):
     scored = text_ops.dsir_importance_scores(
         docs.map_batches(side(False), batch_format="pyarrow"),
         docs.map_batches(side(True), batch_format="pyarrow"))
-    top = relational.topk(scored, [("dsir_score", True), ("doc_id", False)], 100)
-    top["dsir_score"] = top["dsir_score"].round(6)
-    return top
+    top = relational.topk(scored, [("dsir_score", True),
+                                   ("doc_id", False)], 100)
+    # r4 invariant-oracle registration: n_raw is SQL-exact (doc_id
+    # arithmetic); every raw doc gets exactly one finite score; the
+    # top-k is raw-side only and strictly sorted. Planted-shift
+    # recovery depth is the SQL companion
+    # ``dsir_shift_recovery_documents``.
+    n_raw = int(docs.map_batches(side(False),
+                                 batch_format="pyarrow").count())
+    n_scored = int(scored.count())
+    finite = bool(np.isfinite(top["dsir_score"].to_numpy()).all())
+    sorted_ok = bool((np.diff(top["dsir_score"].to_numpy()) <= 1e-12).all())
+    return _inv_table(
+        n_raw=n_raw,
+        scored_eq_raw_ok=bool(n_scored == n_raw),
+        topk_size_ok=bool(len(top) == min(100, n_raw)),
+        topk_raw_side_ok=bool((top["doc_id"] % 25 != 0).all()),
+        scores_finite_ok=finite,
+        topk_sorted_ok=sorted_ok)
 
 
 def dsir_shift_recovery_documents(sf_dir: str):
@@ -3711,14 +4098,43 @@ def hard_negative_embeddings(sf_dir: str):
 
 def bpe_tokens_documents(sf_dir: str):
     """Real BPE tokenization (ops/bpe.py): distributed exact word
-    frequencies → deterministic driver-side merge training (200 merges)
-    → cached actor-pool encode. Rows-only (BPE inference isn't
-    SQL-able); merge rules and counts pytest-verified on a classic
-    corpus."""
+    frequencies → deterministic driver-side merge training (200
+    merges) → cached actor-pool encode — registered as the
+    value-checked invariant row (r4): n_docs and total whitespace
+    words are SQL-exact (same split both engines); every doc's BPE
+    count must sit in its provable bounds (≥ words since merges only
+    shrink, ≤ non-space chars + words — the unmerged char+EOW
+    ceiling). The per-doc bounds table is the SQL companion
+    ``bpe_bounds_documents``."""
     from ..ops import bpe
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    return bpe.bpe_token_counts(docs, num_merges=200)
+    counts = bpe.bpe_token_counts(docs, num_merges=200)
+    chars = docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "nsc": pc.utf8_length(pc.replace_substring_regex(
+                pc.utf8_trim_whitespace(pc.fill_null(t["text"], "")),
+                r"\s+", ""))}),
+        batch_format="pyarrow")
+    joined = relational.hash_join(counts, chars, on="doc_id")
+
+    def part(t: pa.Table) -> pa.Table:
+        nsc = pc.cast(t["nsc"], pa.int64()).to_numpy(zero_copy_only=False)
+        nb = t["n_bpe_tokens"].to_numpy(zero_copy_only=False)
+        nw = t["n_words"].to_numpy(zero_copy_only=False)
+        bad_lo = int(((nb < nw) & (nsc > 0)).sum())
+        bad_hi = int((nb > nsc + nw).sum())
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "words": pa.array([int(nw.sum())], pa.int64()),
+            "bad": pa.array([bad_lo + bad_hi], pa.int64())})
+
+    s = joined.map_batches(part, batch_format="pyarrow").to_pandas().sum()
+    return _inv_table(
+        n_docs=int(s["n"]),
+        total_words=int(s["words"]),
+        bpe_in_bounds_ok=bool(int(s["bad"]) == 0))
 
 
 def bpe_bounds_documents(sf_dir: str):
@@ -3854,16 +4270,52 @@ def curriculum_pack_documents(sf_dir: str):
         .select(["doc_id", "quality", "n_tokens_ws"]),
         batch_format="pyarrow")
     ordered = scored.sort("quality", descending=True)
+    # pin ONE packing: pack membership is block-dependent, so every
+    # invariant below must read the SAME materialized assignment (the
+    # packed table is narrow — id, tokens, pack_id)
     packed = pack_ops.pack_documents(ordered, token_col="n_tokens_ws",
-                                     id_col="doc_id", budget=512)
-    return relational.grouped_agg(
+                                     id_col="doc_id",
+                                     budget=512).materialize()
+    inv = _pack_invariants(packed, "doc_id", "n_tokens_ws", 512)
+    # curriculum ordering invariant: the global sort ran, so the mean
+    # quality of the FIRST pack must dominate the LAST pack's (exact
+    # per-pack membership is block-dependent; the endpoints are not)
+    # ordering invariant: the pack holding the globally BEST-quality
+    # doc must have mean quality ≥ the pack holding the WORST-quality
+    # doc (pack ids are min-member ids, not emission order, so compare
+    # through the extreme docs, which the global sort pins to the
+    # first/last emitted packs)
+    ext = relational.topk(scored, [("quality", True), ("doc_id", False)],
+                          1)
+    worst = relational.topk(scored, [("quality", False),
+                                     ("doc_id", False)], 1)
+    best_doc = int(ext["doc_id"].iloc[0])
+    worst_doc = int(worst["doc_id"].iloc[0])
+    member = packed.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=pa.array(
+            [best_doc, worst_doc]))).select(["doc_id", "pack_id"]),
+        batch_format="pyarrow").to_pandas()
+    pids = dict(zip(member["doc_id"], member["pack_id"]))
+    qual = relational.hash_join(
         packed.map_batches(
-            lambda t: t.group_by("pack_id").aggregate(
-                [("doc_id", "count"), ("n_tokens_ws", "sum")])
-            .rename_columns(["pack_id", "n_docs", "n_tokens"]),
+            lambda t: t.filter(pc.is_in(t["pack_id"], value_set=pa.array(
+                sorted(set(pids.values()))))).select(
+                ["doc_id", "pack_id"]),
             batch_format="pyarrow"),
-        ["pack_id"], {"n_docs": ("n_docs", "sum"),
-                      "n_tokens": ("n_tokens", "sum")})
+        scored.map_batches(lambda t: t.select(["doc_id", "quality"]),
+                           batch_format="pyarrow"),
+        on="doc_id").to_pandas()
+    mq = qual.groupby("pack_id")["quality"].mean()
+    curriculum_ok = (True if pids[best_doc] == pids[worst_doc]
+                     else bool(mq[pids[best_doc]]
+                               >= mq[pids[worst_doc]] - 1e-9))
+    n_docs = int(ds.count())
+    return _inv_table(
+        n_docs=n_docs,
+        total_tokens=inv["tokens"],
+        coverage_ok=bool(inv["n_rows"] == n_docs),
+        budget_ok=bool(inv["bad_budget"] == 0),
+        curriculum_order_ok=curriculum_ok)
 
 
 def pagerank_customer_supplier(sf_dir: str):
@@ -4029,19 +4481,42 @@ def pushdown_scan_orders(sf_dir: str):
 
 def pca_embeddings(sf_dir: str):
     """Distributed PCA (similarity.pca): d×d moment partials per batch,
-    driver eigendecomposition, broadcast projection — per vector the
-    first two principal coordinates. Rows-only (eigenvectors aren't
-    SQL-able); orthonormality / variance-ordering / determinism
-    pytest-verified."""
+    driver eigendecomposition, broadcast projection. Eigenvectors
+    aren't SQL-able, so the registration is the value-checked
+    invariant row (r4): n_vecs is SQL-exact; the components must be
+    orthonormal, explained variances non-negative and sorted
+    descending, every projected row finite, and — the spectral
+    guarantee — the per-component projection variance must equal the
+    reported eigenvalue (tolerance 1e-6 relative)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     comps, evar, proj = similarity.pca(ds, k=2)
 
-    def fin(t: pa.Table) -> pa.Table:
-        return pa.table({"vec_id": t["vec_id"],
-                         "pc1": pc.round(t["pc1"], ndigits=4),
-                         "pc2": pc.round(t["pc2"], ndigits=4)})
+    def part(t: pa.Table) -> pa.Table:
+        p1 = t["pc1"].to_numpy(zero_copy_only=False)
+        p2 = t["pc2"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "s1": pa.array([float(p1.sum())]),
+            "s2": pa.array([float(p2.sum())]),
+            "q1": pa.array([float((p1 * p1).sum())]),
+            "q2": pa.array([float((p2 * p2).sum())]),
+            "finite": pa.array([int(np.isfinite(p1).sum()
+                                    + np.isfinite(p2).sum())], pa.int64())})
 
-    return proj.map_batches(fin, batch_format="pyarrow")
+    s = proj.map_batches(part, batch_format="pyarrow").to_pandas().sum()
+    n = int(s["n"])
+    # sample variance (n−1 denominator — matches the covariance the
+    # eigendecomposition ran on)
+    v1 = (float(s["q1"]) - float(s["s1"]) ** 2 / n) / (n - 1)
+    v2 = (float(s["q2"]) - float(s["s2"]) ** 2 / n) / (n - 1)
+    gram = comps @ comps.T
+    rel = max(abs(v1 - evar[0]), abs(v2 - evar[1])) / max(evar[0], 1e-12)
+    return _inv_table(
+        n_vecs=n,
+        orthonormal_ok=bool(np.allclose(gram, np.eye(2), atol=1e-8)),
+        variance_sorted_ok=bool(evar[0] >= evar[1] >= 0),
+        projections_finite_ok=bool(int(s["finite"]) == 2 * n),
+        eigenvalue_matches_variance_ok=bool(rel <= 1e-6))
 
 
 def union_distinct_users(sf_dir: str):
@@ -4471,27 +4946,30 @@ def webcrawl_cleanup_documents(sf_dir: str):
     query certifies they COMPOSE as one streaming pipeline (rows-only;
     counts deterministic)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    rows = [{"stage": "input", "n_rows": int(docs.count())}]
+    rows = [{"stage": "input", "n_rows": int(docs.count()), "ok": True}]
 
     lang = docs.map_batches(text_ops.LangIdStage, concurrency=2,
                             batch_format="pyarrow")
     en = lang.map_batches(
         lambda t: t.filter(pc.equal(t["lang_pred"], "en"))
         .select(["doc_id", "text"]), batch_format="pyarrow")
-    rows.append({"stage": "lang_en", "n_rows": int(en.count())})
+    rows.append({"stage": "lang_en", "n_rows": int(en.count()),
+                 "ok": True})
 
     qual = en.map_batches(
         lambda t: text_ops.add_quality_score(t), batch_format="pyarrow")
     good = qual.map_batches(
         lambda t: t.filter(pc.greater(t["quality"], 0.2))
         .select(["doc_id", "text"]), batch_format="pyarrow")
-    rows.append({"stage": "quality", "n_rows": int(good.count())})
+    rows.append({"stage": "quality", "n_rows": int(good.count()),
+                 "ok": True})
 
     deduped = dedup.exact_dedup(good, text_col="text", id_col="doc_id",
                                 # derived (langid+quality) upstream: pin it
                                 cache_corpus=True)
     deduped = deduped.materialize()
-    rows.append({"stage": "exact_dedup", "n_rows": int(deduped.count())})
+    n_dedup = int(deduped.count())
+    rows.append({"stage": "exact_dedup", "n_rows": n_dedup, "ok": True})
 
     contaminated = dedup.minhash_decontaminate(
         deduped.map_batches(
@@ -4509,7 +4987,20 @@ def webcrawl_cleanup_documents(sf_dir: str):
             ~np.isin(t["doc_id"].to_numpy(zero_copy_only=False), list(bad))
             & (t["doc_id"].to_numpy(zero_copy_only=False) % 25 != 0))),
         batch_format="pyarrow")
-    rows.append({"stage": "decontaminated", "n_rows": int(clean.count())})
+    # r4: the fuzzy-decontamination count is LSH-dependent, so this
+    # stage registers its SQL-exact UPPER BOUND (deduped non-benchmark
+    # docs — DuckDB replays langid+quality+keep-first dedup+id
+    # arithmetic) with the ok flag asserting the actual survivor count
+    # respects it; planted-recall depth lives in
+    # ``fuzzy_decontam_recall_documents``.
+    n_bound = int(deduped.map_batches(
+        lambda t: t.filter(pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % 25 != 0)),
+        batch_format="pyarrow").count())
+    n_clean = int(clean.count())
+    rows.append({"stage": "decontaminated_bound", "n_rows": n_bound,
+                 "ok": bool(n_clean <= n_bound
+                            and n_clean >= n_bound - max(len(bad), 0))})
     return pd.DataFrame(rows)
 
 
@@ -5834,13 +6325,29 @@ def response_latency_transcripts(sf_dir: str):
 def compression_ratio_documents(sf_dir: str):
     """Deflate-ratio quality signal per document (templated/repetitive
     text compresses hard; see `text.add_compression_ratio`). Stateless
-    map, no shuffle; not SQL-expressible (no zlib in DuckDB) → rows-only
-    driver check, behavior-tested in pytest."""
+    map, no shuffle. DuckDB has no zlib, so the registered output is
+    the value-checked invariant row (r4): n_docs is SQL-exact; every
+    ratio must be finite, positive, and below the deflate worst-case
+    expansion bound (~1.1 of raw for short incompressible text the
+    header dominates; 12 bytes slack exact); the per-doc rows remain
+    available via ``text.add_compression_ratio``. The deeper
+    identical-text-identical-ratio check is the SQL-oracled companion
+    ``compression_consistency_documents``."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(
-        lambda t: text_ops.add_compression_ratio(t).select(
-            ["doc_id", "deflate_ratio"]),
-        batch_format="pyarrow")
+    scored = ds.map_batches(
+        lambda t: pa.table({
+            "r": text_ops.add_compression_ratio(t)["deflate_ratio"],
+            "raw": pc.cast(pc.binary_length(pc.cast(pc.fill_null(
+                t["text"], ""), pa.binary())), pa.float64())}),
+        batch_format="pyarrow").to_pandas()
+    r, raw = scored["r"].to_numpy(), scored["raw"].to_numpy()
+    bound_ok = bool(np.all(np.isfinite(r)) and np.all(r > 0)
+                    and np.all(r * np.maximum(raw, 1.0)
+                               <= raw + 12.0 + raw / 1000.0))
+    return _inv_table(
+        n_docs=len(scored),
+        ratio_bounds_ok=bound_ok,
+        templated_compresses_ok=bool(np.min(r) < 0.9))
 
 
 def trailing_7d_active_users(sf_dir: str):
@@ -5953,11 +6460,22 @@ def training_prep_transcripts(sf_dir: str):
         batch_format="pyarrow")
     packed = pack_ops.pack_documents(with_tokens, token_col="n_tokens_ws",
                                      id_col="conv_id", budget=2048)
-    return packed.map_batches(
-        lambda t: t.group_by("pack_id").aggregate(
-            [("conv_id", "count"), ("n_tokens_ws", "sum")]).rename_columns(
-            ["pack_id", "n_convs", "pack_tokens"]),
-        batch_format="pyarrow")
+    # r4: conversation count and the deduped-rendered count are
+    # SQL-exact (string_agg ORDER BY replays the rendering, so
+    # count(DISTINCT rendered) is computable in DuckDB); token mass of
+    # the deduped renders is SQL-exact too; packing contributes its
+    # coverage/budget invariants as the ok flag.
+    inv = _pack_invariants(packed, "conv_id", "n_tokens_ws", 2048)
+    n_convs = int(rendered.count())
+    n_kept = int(kept.count())
+    rows = pd.DataFrame({
+        "stage": ["conversations", "exact_dedup", "rendered_tokens",
+                  "packed"],
+        "n_rows": [n_convs, n_kept, inv["tokens"], n_kept],
+        "ok": [True, True, True,
+               bool(inv["n_rows"] == n_kept and inv["bad_budget"] == 0)],
+    })
+    return rows
 
 
 def bigram_pmi_documents(sf_dir: str):
@@ -13059,6 +13577,33 @@ QUERIES = {
 # Representative spread across every operator family, ordered so that ANY
 # prefix the driver's truncated CORRECTNESS window takes is diverse — one
 # row per family first, depth later. All SQL-oracled.
+
+# ---- declarative front-end twins (C10, round 4): each plan in
+# logray/query_dsl.PLANS re-expresses the same-named hand-written query
+# and is checked against the SAME DuckDB oracle (oracles.py aliases).
+def _dsl_query(name: str):
+    def q(sf_dir: str, _n=name):
+        from ..query_dsl import PLANS, execute
+
+        out = execute(PLANS[_n], sf_dir)
+        return out
+
+    q.__doc__ = (f"Declarative-plan twin of {name!r} "
+                 f"(logray.query_dsl.PLANS[{name!r}]), compiled onto "
+                 f"the same relational primitives — C10 surface.")
+    return q
+
+
+def _register_dsl() -> None:
+    from ..query_dsl import PLANS
+
+    for name in PLANS:
+        QUERIES[f"dsl_{name}"] = _dsl_query(name)
+
+
+_register_dsl()
+
+
 _SHOWCASE = [
     # rule DSL + transcripts (the flagship axis)
     "transcript_parse_counts", "flagship_transcripts", "raw_log_parse_counts",
@@ -13106,35 +13651,52 @@ _SHOWCASE = [
 ]
 
 
-# Queries the round-2 driver window already value-checked
-# (CORRECTNESS_r02.json): rotated to the BACK of the oracled block this
-# round so the driver's truncated window progressively confirms the
-# catalogue instead of re-checking the same 50 (round-2 verdict item 6).
-_R2_WINDOW = {
-    "transcript_parse_counts", "flagship_transcripts", "raw_log_parse_counts",
-    "doc_ruleset_counts", "fold_continuations_transcripts",
-    "render_training_text_transcripts", "context_budget_truncate_transcripts",
-    "dialog_pairs_transcripts", "role_transition_counts_transcripts",
-    "response_latency_transcripts", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q10_returned_customers",
-    "skew_join_user_totals", "order_returns_3way",
-    "interval_join_order_lineitem", "bloom_semi_lineitem",
-    "pricing_summary_lineitem", "q6_revenue", "orders_cube_status_priority",
-    "value_stats_by_type", "entropy_user_event_types", "grouped_agg_events",
-    "hourly_event_window_stats", "sliding_3h_event_counts",
-    "session_counts_events", "asof_view_prior_purchase_dist",
-    "rolling_1h_user_value", "scd2_event_state", "topk_with_ties_events",
-    "orders_topk", "reservoir_sample_events", "weighted_sample_events",
-    "mixture_sample_documents", "stratified_sample_events",
-    "exact_dedup_documents", "segment_dedup_documents",
-    "incremental_dedup_documents", "dup_cluster_labels_documents",
-    "users_intersect_purchase_error", "doc_token_counts",
-    "tfidf_top_token_documents", "top_bigrams_documents", "langid_documents",
-    "decontaminate_documents", "dup_ngram_coverage_documents",
-    "bigram_logprob_documents", "ann_topk_embeddings",
-    "hard_negative_embeddings", "semantic_decontaminate_embeddings",
+# Queries ANY prior driver window (r1∪r2∪r3, CORRECTNESS_r0*.json)
+# already value-checked: rotated to the BACK of the oracled block so
+# the r4 window confirms a fresh 50 (r3 verdict item 8).
+_PRIOR_WINDOWS = {
+    'alerts_transcripts', 'ann_topk_embeddings', 'approx_distinct_users_by_type',
+    'approx_value_percentiles_by_type', 'asof_view_prior_purchase_dist', 'bigram_logprob_documents',
+    'bloom_semi_lineitem', 'chi2_type_value_events', 'chunk_overlap_documents',
+    'cms_heavy_users', 'context_budget_truncate_transcripts', 'corr_value_user_by_type',
+    'customer_order_counts', 'customers_without_big_orders', 'date_parts_orders',
+    'decontaminate_documents', 'dedup_events_keep_first', 'dialog_pairs_transcripts',
+    'distinct_event_types', 'distinct_users_per_type', 'doc_ruleset_counts',
+    'doc_token_counts', 'dpp_join_orders_lineitem', 'dup_cluster_labels_documents',
+    'dup_ngram_coverage_documents', 'editdist2_pairs_suppliers', 'embedding_norm_topk',
+    'entropy_user_event_types', 'event_type_value_share', 'event_types_per_user',
+    'events_per_user_day', 'exact_dedup_documents', 'exact_quickselect_quantiles_lineitem',
+    'filter_project_events', 'flagship_transcripts', 'fold_continuations_transcripts',
+    'grouped_agg_events', 'grouped_count_events', 'hard_negative_embeddings',
+    'hashed_features_events', 'heavy_hitter_users', 'hive_partition_docs_en',
+    'hourly_event_window_stats', 'hybrid_rrf_documents', 'incremental_agg_events',
+    'incremental_dedup_documents', 'interval_join_order_lineitem', 'join_customer_nation_region',
+    'json_extract_events', 'k_anonymize_events', 'kmv_set_users_click_purchase',
+    'ks_weekend_value_events', 'langid_documents', 'last_event_type_per_user',
+    'logfmt_ingest', 'mannwhitney_weekend_value_events', 'max_value_per_user',
+    'mixture_sample_documents', 'nation_region_pairs', 'negative_sample_parts',
+    'order_returns_3way', 'order_revenue_join', 'orders_by_segment',
+    'orders_cube_status_priority', 'orders_rollup_status_priority', 'orders_sorted_top100',
+    'orders_topk', 'orders_with_returns_by_priority', 'out_of_order_events',
+    'pagerank_customer_supplier', 'parse_events_props', 'parts_per_brand',
+    'peak_concurrency_transcripts', 'pricing_summary_lineitem', 'profile_events',
+    'pseudonymize_events', 'purchase_error_outer_join', 'pushdown_scan_orders',
+    'q10_returned_customers', 'q3_shipping_priority', 'q5_local_supplier_volume',
+    'q6_revenue', 'raw_log_parse_counts', 'regr_value_day_by_type',
+    'render_training_text_transcripts', 'reservoir_sample_events', 'response_latency_transcripts',
+    'role_transition_counts_transcripts', 'rolling_1h_user_value', 'scd2_event_state',
+    'scrub_events_props', 'segment_dedup_documents', 'semantic_decontaminate_embeddings',
+    'session_counts_events', 'severity_sampled_transcripts', 'skew_join_user_totals',
+    'sliding_3h_distinct_users', 'sliding_3h_event_counts', 'snapshot_diff_events',
+    'sort_limit_events', 'stratified_sample_events', 'supplier_balance_by_nation',
+    'tdigest_value_quantiles_by_type', 'tfidf_top_token_documents', 'top_bigrams_documents',
+    'top_event_paths_users', 'topk_users_by_value', 'topk_with_ties_events',
+    'train_val_test_split_documents', 'transcript_parse_counts', 'triangle_counts_parts',
+    'union_purchases_errors', 'upsert_events_latest', 'user_activity_span',
+    'user_event_type_pivot', 'user_event_types_list', 'users_intersect_purchase_error',
+    'value_histogram_events', 'value_percentiles_by_type', 'value_stats_by_type',
+    'weighted_sample_events', 'zorder_scan_events',
 }
-
 
 def _oracled_first(queries: dict) -> dict:
     """Registry order = family-showcase oracled queries first, then the
@@ -13151,10 +13713,10 @@ def _oracled_first(queries: dict) -> dict:
     from .oracles import ORACLE_SQL
 
     ordered = {k: queries[k] for k in _SHOWCASE
-               if k in queries and k in ORACLE_SQL and k not in _R2_WINDOW}
+               if k in queries and k in ORACLE_SQL and k not in _PRIOR_WINDOWS}
     ordered.update({k: v for k, v in queries.items()
                     if k in ORACLE_SQL and k not in ordered
-                    and k not in _R2_WINDOW})
+                    and k not in _PRIOR_WINDOWS})
     ordered.update({k: v for k, v in queries.items()
                     if k in ORACLE_SQL and k not in ordered})
     ordered.update({k: v for k, v in queries.items() if k not in ORACLE_SQL})

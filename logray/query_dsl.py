@@ -1,0 +1,330 @@
+"""Declarative query front-end over the operator catalogue (C10).
+
+The rule tables already have a JSON DSL (``rules_io``); this module
+gives the RELATIONAL side the same treatment: a pipeline is a JSON
+object — one scan plus a list of operator steps — compiled onto the
+same ``relational``/Dataset primitives the hand-written registry
+queries use, so a declarative plan inherits their scale shape
+(combiner aggregations, broadcast/hash join selection, top-k combine)
+instead of inventing a new executor.
+
+Plan shape::
+
+    {"from": {"table": "events", "columns": ["event_type", "value"]},
+     "ops": [
+       {"op": "derive", "cols": {"cents": {"cents": [{"col": "value"}, 100]}}},
+       {"op": "groupby", "keys": ["event_type"],
+        "aggs": {"n": ["value", "count"], "s": ["cents", "sum"]}},
+       {"op": "derive", "cols": {"s": {"uncents": [{"col": "s"}, 100]}}},
+       {"op": "topk", "by": [["n", true]], "k": 10}]}
+
+Expressions are structured JSON (no eval): ``{"col": name}``,
+``{"lit": v}``, ``{"ts": "YYYY-MM-DD"}``, and operator nodes
+``{"add"|"sub"|"mul"|"div"|"eq"|"ne"|"lt"|"le"|"gt"|"ge"|"and"|"or":
+[e, e]}``, ``{"round": [e, ndigits]}``, ``{"cents": [e, scale]}``
+(exact integer minor units), ``{"uncents": [e, scale]}``,
+``{"not": e}``, ``{"isin": [e, [v, ...]]}``.
+
+Steps: ``select``, ``rename``, ``filter`` (expr), ``derive`` (named
+exprs), ``groupby`` (keys + aggs over the grouped_agg fns), ``sort``
+(+ ``limit``), ``topk`` (combiner top-k → Table), ``distinct``,
+``limit``, ``join`` (sub-plan right side; ``strategy`` broadcast —
+right collected once, ``ray.put`` inside broadcast_join — or hash),
+``semi``/``anti`` (sub-plan key side, co-partitioned semi-join).
+
+Entry points: ``execute(plan, sf_dir)`` and the CLI
+``python -m logray query-plan <plan.json> <sf_dir>``. Every plan in
+``PLANS`` is registered in the driver contract as ``dsl_<name>`` and
+value-checked against the SAME DuckDB oracle as its hand-written
+twin (``tests/test_rules_io.py`` asserts result equality too).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .ops import relational
+
+# ------------------------------------------------------------ expressions --
+
+_BINOPS = {
+    "add": pc.add, "sub": pc.subtract, "mul": pc.multiply,
+    "div": pc.divide, "eq": pc.equal, "ne": pc.not_equal,
+    "lt": pc.less, "le": pc.less_equal, "gt": pc.greater,
+    "ge": pc.greater_equal, "and": pc.and_kleene, "or": pc.or_kleene,
+}
+
+
+def compile_expr(node: Any):
+    """Compile a structured-JSON expression to ``table -> Array``."""
+    if not isinstance(node, dict) or len(node) != 1:
+        raise ValueError(f"bad expression node: {node!r}")
+    (kind, arg), = node.items()
+    if kind == "col":
+        return lambda t: t[arg]
+    if kind == "lit":
+        return lambda t: pa.scalar(arg)
+    if kind == "ts":
+        v = pa.scalar(np.datetime64(arg, "us"))
+        return lambda t: v
+    if kind == "not":
+        sub = compile_expr(arg)
+        return lambda t: pc.invert(sub(t))
+    if kind == "isin":
+        sub = compile_expr(arg[0])
+        vals = pa.array(arg[1])
+        return lambda t: pc.is_in(sub(t), value_set=vals)
+    if kind == "round":
+        sub = compile_expr(arg[0])
+        nd = int(arg[1])
+        return lambda t: pc.round(sub(t), ndigits=nd)
+    if kind == "cents":
+        sub = compile_expr(arg[0])
+        scale = float(arg[1])
+        return lambda t: pc.cast(
+            pc.round(pc.multiply(sub(t), scale)), pa.int64())
+    if kind == "uncents":
+        sub = compile_expr(arg[0])
+        scale = float(arg[1])
+        return lambda t: pc.round(
+            pc.divide(pc.cast(sub(t), pa.float64()), scale),
+            ndigits=max(0, int(round(np.log10(scale)))))
+    if kind in _BINOPS:
+        a, b = compile_expr(arg[0]), compile_expr(arg[1])
+        fn = _BINOPS[kind]
+        return lambda t: fn(a(t), b(t))
+    raise ValueError(f"unknown expression op {kind!r}")
+
+
+# ------------------------------------------------------------------ steps --
+
+def _apply_filter(ds, expr):
+    f = compile_expr(expr)
+    return ds.map_batches(lambda t: t.filter(f(t)),
+                          batch_format="pyarrow")
+
+
+def _apply_derive(ds, cols: dict):
+    fns = {name: compile_expr(e) for name, e in cols.items()}
+
+    def add(t: pa.Table) -> pa.Table:
+        for name, f in fns.items():
+            v = f(t)
+            if isinstance(v, pa.Scalar):
+                v = pa.nulls(t.num_rows, v.type).fill_null(v)
+            if name in t.column_names:
+                t = t.set_column(t.schema.get_field_index(name), name, v)
+            else:
+                t = t.append_column(name, v)
+        return t
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def execute(plan: dict | str, sf_dir: str):
+    """Run a declarative plan against the sf tables; returns a Dataset
+    or (after ``topk``) a pyarrow Table."""
+    if isinstance(plan, str):
+        plan = json.loads(plan)
+    import ray.data
+
+    src = plan["from"]
+    ds = ray.data.read_parquet(f"{sf_dir}/{src['table']}.parquet",
+                               columns=src.get("columns"))
+    for step in plan.get("ops", []):
+        op = step["op"]
+        if op == "select":
+            cols = step["cols"]
+            ds = ds.map_batches(lambda t, c=cols: t.select(c),
+                                batch_format="pyarrow")
+        elif op == "rename":
+            m = step["cols"]
+            ds = ds.map_batches(
+                lambda t, m=m: t.rename_columns(
+                    [m.get(c, c) for c in t.column_names]),
+                batch_format="pyarrow")
+        elif op == "filter":
+            ds = _apply_filter(ds, step["expr"])
+        elif op == "derive":
+            ds = _apply_derive(ds, step["cols"])
+        elif op == "groupby":
+            aggs = {out: (col, fn)
+                    for out, (col, fn) in step["aggs"].items()}
+            ds = relational.grouped_agg(ds, step["keys"], aggs)
+        elif op == "distinct":
+            ds = relational.distinct(ds, step["cols"])
+        elif op == "sort":
+            by = [b[0] for b in step["by"]]
+            desc = [bool(b[1]) for b in step["by"]]
+            ds = ds.sort(by, descending=desc)
+            if "limit" in step:
+                ds = ds.limit(int(step["limit"]))
+        elif op == "limit":
+            ds = ds.limit(int(step["n"]))
+        elif op == "topk":
+            by = [(b[0], bool(b[1])) for b in step["by"]]
+            return pa.Table.from_pandas(
+                relational.topk(ds, by, int(step["k"])),
+                preserve_index=False)
+        elif op == "join":
+            right = execute(step["with"], sf_dir)
+            how = step.get("how", "inner")
+            if step.get("strategy", "broadcast") == "broadcast":
+                small = (right.to_pandas()
+                         if not isinstance(right, pa.Table)
+                         else right.to_pandas())
+                ds = relational.broadcast_join(ds, small, on=step["on"],
+                                               how=how)
+            else:
+                ds = relational.hash_join(ds, right, on=step["on"],
+                                          how=how)
+        elif op in ("semi", "anti"):
+            right = execute(step["with"], sf_dir)
+            ds = relational.hash_semi_join(ds, right, step["on"],
+                                           anti=(op == "anti"))
+        else:
+            raise ValueError(f"unknown step op {op!r}")
+    return ds
+
+
+# --------------------------------------------- registered example plans --
+# Each re-expresses an existing registry query; the driver checks it
+# against the SAME DuckDB oracle (oracles.py aliases dsl_<name>).
+
+PLANS: dict[str, dict] = {
+    "grouped_count_events": {
+        "from": {"table": "events", "columns": ["event_type", "event_id"]},
+        "ops": [
+            {"op": "groupby", "keys": ["event_type"],
+             "aggs": {"n": ["event_id", "count"]}},
+        ],
+    },
+    "grouped_agg_events": {
+        "from": {"table": "events", "columns": ["event_type", "value"]},
+        "ops": [
+            {"op": "derive", "cols": {
+                "__cents": {"cents": [{"col": "value"}, 100]}}},
+            {"op": "groupby", "keys": ["event_type"],
+             "aggs": {"sum_value": ["__cents", "sum"],
+                      "avg_value": ["value", "mean"],
+                      "n": ["value", "count"]}},
+            {"op": "derive", "cols": {
+                "sum_value": {"uncents": [{"col": "sum_value"}, 100]},
+                "avg_value": {"round": [{"col": "avg_value"}, 6]}}},
+        ],
+    },
+    "sort_limit_events": {
+        "from": {"table": "events", "columns": ["event_id", "ts"]},
+        "ops": [
+            {"op": "topk", "by": [["ts", False], ["event_id", False]],
+             "k": 20},
+        ],
+    },
+    "topk_users_by_value": {
+        "from": {"table": "events", "columns": ["user_id", "value"]},
+        "ops": [
+            {"op": "derive", "cols": {
+                "__cents": {"cents": [{"col": "value"}, 100]}}},
+            {"op": "groupby", "keys": ["user_id"],
+             "aggs": {"total_value": ["__cents", "sum"]}},
+            {"op": "derive", "cols": {
+                "total_value": {"uncents": [{"col": "total_value"}, 100]}}},
+            {"op": "topk", "by": [["total_value", True],
+                                  ["user_id", False]], "k": 10},
+        ],
+    },
+    "distinct_event_types": {
+        "from": {"table": "events", "columns": ["event_type"]},
+        "ops": [{"op": "distinct", "cols": ["event_type"]}],
+    },
+    "customers_without_big_orders": {
+        "from": {"table": "customer", "columns": ["c_custkey"]},
+        "ops": [
+            {"op": "anti", "on": "c_custkey", "with": {
+                "from": {"table": "orders",
+                         "columns": ["o_custkey", "o_totalprice"]},
+                "ops": [
+                    {"op": "filter", "expr": {
+                        "gt": [{"col": "o_totalprice"}, {"lit": 350000.0}]}},
+                    {"op": "select", "cols": ["o_custkey"]},
+                    {"op": "rename", "cols": {"o_custkey": "c_custkey"}},
+                    {"op": "distinct", "cols": ["c_custkey"]},
+                ]}},
+        ],
+    },
+    "join_customer_nation_region": {
+        "from": {"table": "customer",
+                 "columns": ["c_custkey", "c_nationkey", "c_acctbal"]},
+        "ops": [
+            {"op": "join", "on": "c_nationkey", "strategy": "broadcast",
+             "with": {
+                 "from": {"table": "nation",
+                          "columns": ["n_nationkey", "n_name",
+                                      "n_regionkey"]},
+                 "ops": [
+                     {"op": "join", "on": "n_regionkey",
+                      "strategy": "broadcast", "with": {
+                          "from": {"table": "region",
+                                   "columns": ["r_regionkey", "r_name"]},
+                          "ops": [{"op": "rename",
+                                   "cols": {"r_regionkey": "n_regionkey"}}],
+                      }},
+                     {"op": "select", "cols": ["n_nationkey", "r_name"]},
+                     {"op": "rename",
+                      "cols": {"n_nationkey": "c_nationkey"}},
+                 ]}},
+            {"op": "derive", "cols": {
+                "__cents": {"cents": [{"col": "c_acctbal"}, 100]}}},
+            {"op": "groupby", "keys": ["r_name"],
+             "aggs": {"n_cust": ["c_custkey", "count"],
+                      "sum_bal": ["__cents", "sum"]}},
+            {"op": "derive", "cols": {
+                "sum_bal": {"uncents": [{"col": "sum_bal"}, 100]}}},
+        ],
+    },
+    "pricing_summary_lineitem": {
+        "from": {"table": "lineitem",
+                 "columns": ["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount",
+                             "l_shipdate"]},
+        "ops": [
+            {"op": "filter", "expr": {
+                "le": [{"col": "l_shipdate"}, {"ts": "1998-09-02"}]}},
+            {"op": "derive", "cols": {
+                "disc_price": {"mul": [
+                    {"col": "l_extendedprice"},
+                    {"sub": [{"lit": 1.0}, {"col": "l_discount"}]}]},
+            }},
+            {"op": "derive", "cols": {
+                "__qty_c": {"cents": [{"col": "l_quantity"}, 100]},
+                "__base_c": {"cents": [{"col": "l_extendedprice"}, 100]},
+                "__disc_c": {"cents": [{"col": "disc_price"}, 10000]},
+            }},
+            {"op": "groupby", "keys": ["l_returnflag", "l_linestatus"],
+             "aggs": {"sum_qty": ["__qty_c", "sum"],
+                      "sum_base_price": ["__base_c", "sum"],
+                      "sum_disc_price": ["__disc_c", "sum"],
+                      "avg_qty": ["l_quantity", "mean"],
+                      "avg_price": ["l_extendedprice", "mean"],
+                      "n": ["l_quantity", "count"]}},
+            {"op": "derive", "cols": {
+                "sum_qty": {"uncents": [{"col": "sum_qty"}, 100]},
+                "sum_base_price": {"uncents": [{"col": "sum_base_price"},
+                                               100]},
+                "sum_disc_price": {"uncents": [{"col": "sum_disc_price"},
+                                               10000]},
+                "avg_qty": {"round": [{"col": "avg_qty"}, 6]},
+                "avg_price": {"round": [{"col": "avg_price"}, 6]}}},
+        ],
+    },
+}
+
+
+def run_plan_json(text: str, sf_dir: str):
+    """CLI body: execute a JSON plan document (string)."""
+    return execute(json.loads(text), sf_dir)

@@ -230,3 +230,69 @@ def test_grok_rule_table_end_to_end(tmp_path):
     assert (g["level"], g["src_ip"], g["req"], g["ms"]) == \
         ("INFO", "10.1.2.3", "req-00af", 12.5)
     assert rows["G9"]["event_type"] == "unknown"
+
+
+# ---- declarative relational front-end (C10, round 4) ----------------
+
+
+def test_dsl_plans_match_handwritten_queries(ray_session):
+    """Every registered declarative plan computes the same result as
+    its hand-written twin (same rows, same values, order-insensitive)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from logray.pipelines.queries import QUERIES
+    from logray.query_dsl import PLANS, execute
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(res) -> pd.DataFrame:
+        df = (res if isinstance(res, pd.DataFrame)
+              else res.to_pandas())
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for name, plan in PLANS.items():
+        a = norm(execute(plan, sf))
+        b = norm(QUERIES[name](sf))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                      rtol=1e-9, atol=1e-9), name
+
+
+def test_dsl_expression_compiler():
+    import pyarrow as pa
+
+    from logray.query_dsl import compile_expr
+
+    t = pa.table({"x": [1.0, 2.0, 3.0], "y": [10.0, 20.0, 30.0]})
+    e = compile_expr({"add": [{"mul": [{"col": "x"}, {"lit": 2.0}]},
+                              {"col": "y"}]})
+    assert e(t).to_pylist() == [12.0, 24.0, 36.0]
+    f = compile_expr({"and": [{"gt": [{"col": "x"}, {"lit": 1.5}]},
+                              {"lt": [{"col": "y"}, {"lit": 30.0}]}]})
+    assert f(t).to_pylist() == [False, True, False]
+    c = compile_expr({"cents": [{"col": "x"}, 100]})
+    assert c(t).to_pylist() == [100, 200, 300]
+    iv = compile_expr({"isin": [{"col": "x"}, [1.0, 3.0]]})
+    assert iv(t).to_pylist() == [True, False, True]
+    import pytest
+
+    with pytest.raises(ValueError):
+        compile_expr({"nope": []})
+
+
+def test_dsl_plan_json_roundtrip_and_cli(ray_session, tmp_path,
+                                         capsys):
+    """Plans serialize to JSON documents and run through the CLI verb."""
+    import json
+
+    from logray.query_dsl import PLANS
+
+    plan_file = tmp_path / "plan.json"
+    plan_file.write_text(json.dumps(PLANS["grouped_count_events"]))
+    from logray.__main__ import main
+
+    rc = main(["query-plan", str(plan_file), "/root/testdata/sf0.001"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "event_type" in out and "n" in out
