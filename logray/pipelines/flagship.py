@@ -58,16 +58,90 @@ def discover_partitions(input_dir: str | Path) -> dict[str, list[str]]:
     return parts
 
 
-def _parse_with_pid(batch: pa.Table, ruleset=None) -> pa.Table:
-    """Parse stage body for wave mode: fold the Ray-provided ``path`` column
-    into a partition id that rides through the rule engine. ``ruleset``
-    None => the process-cached frozen transcript table."""
+def _fold_path_to_pid(batch: pa.Table) -> pa.Table:
+    """Fallback pid fold: the Ray-provided per-row ``path`` string →
+    its stem (dictionary-take over the few distinct paths). Used only
+    when the input layout is NOT hash-derivable (see ``pid_deriver``) —
+    the path column costs ~50–70 B/row of object-store transfer that
+    the derivable path avoids entirely. (Read-side folding is not an
+    option: Ray 2.49 never fuses ReadParquet with a downstream
+    MapBatches, so a pre-actor fold would ADD a store hop.)"""
     path = batch["path"]
     if isinstance(path, pa.ChunkedArray):
         path = path.combine_chunks()
     d = path.dictionary_encode()
-    pids = pa.array([Path(p).stem for p in d.dictionary.to_pylist()], pa.string())
-    batch = batch.drop(["path"]).append_column(PID_COL, pids.take(d.indices))
+    pids = pa.array([Path(p).stem for p in d.dictionary.to_pylist()],
+                    pa.string())
+    return batch.drop(["path"]).append_column(PID_COL, pids.take(d.indices))
+
+
+def pid_deriver(input_dir: str | Path, parts: dict[str, list[str]]):
+    """Partition id as a FUNCTION OF THE DATA (r4 bytes/row reduction):
+    the generator lays files out as ``part-{crc32(conv_id) % P:02d}``
+    (gen.py:228; replicated corpora as ``part-r{K}-{crc32 % P}`` with
+    conv ids prefixed ``r{K}``), so for corpora carrying the
+    generator's ``_meta.json`` the pid is recomputable from ``conv_id``
+    alone — the read skips ``include_paths`` and no per-row path
+    string (~50–70 B/row) ever crosses the object store to the actor
+    pool. Returns a vectorized ``batch -> batch(+PID_COL)`` fold, or
+    None when the layout isn't provably hash-derived (foreign inputs
+    fall back to the path column). crc32 runs once per DISTINCT
+    conv_id per batch (dictionary-encode → hash uniques → take)."""
+    import re
+    import zlib
+
+    meta_p = Path(input_dir) / "_meta.json"
+    if not meta_p.exists():
+        return None
+    stems = sorted(parts)
+    plain = {f"part-{i:02d}" for i in range(len(parts))}
+    if set(stems) == plain:
+        P = len(parts)
+
+        def fold_plain(batch: pa.Table) -> pa.Table:
+            conv = batch["conv_id"]
+            if isinstance(conv, pa.ChunkedArray):
+                conv = conv.combine_chunks()
+            d = conv.dictionary_encode()
+            pids = pa.array(
+                [f"part-{zlib.crc32(u.encode()) % P:02d}"
+                 for u in d.dictionary.to_pylist()], pa.string())
+            return batch.append_column(PID_COL, pids.take(d.indices))
+
+        return fold_plain
+    m = [re.fullmatch(r"part-(r\d{2})-(\d{2})", s) for s in stems]
+    if all(m):
+        reps = {g.group(1) for g in m}
+        base = {g.group(2) for g in m}
+        P = len(base)
+        if (len(parts) == len(reps) * P
+                and base == {f"{i:02d}" for i in range(P)}):
+
+            def fold_rep(batch: pa.Table) -> pa.Table:
+                conv = batch["conv_id"]
+                if isinstance(conv, pa.ChunkedArray):
+                    conv = conv.combine_chunks()
+                d = conv.dictionary_encode()
+                pids = pa.array(
+                    [(f"part-{u[:3]}-"
+                      f"{zlib.crc32(u[3:].encode()) % P:02d}")
+                     for u in d.dictionary.to_pylist()], pa.string())
+                return batch.append_column(PID_COL, pids.take(d.indices))
+
+            return fold_rep
+    return None
+
+
+def _parse_with_pid(batch: pa.Table, ruleset=None,
+                    pid_fn=None) -> pa.Table:
+    """Parse stage body for wave mode: the partition id — derived from
+    ``conv_id`` by ``pid_fn`` when the layout allows (no path column
+    read at all), else folded from the Ray-provided ``path`` column —
+    rides through the rule engine. ``ruleset`` None => the
+    process-cached frozen transcript table."""
+    if PID_COL not in batch.column_names:
+        batch = (pid_fn(batch) if pid_fn is not None
+                 else _fold_path_to_pid(batch))
     if ruleset is not None:
         return ruleset.parse_batch(batch, extra_cols=(PID_COL,))
     return parse_batch_fn(batch, extra_cols=(PID_COL,))
@@ -83,7 +157,8 @@ class FlagshipWorker:
     Arrow batch end-to-end and returns only the tiny summary table."""
 
     def __init__(self, out_dir: str, lookups_ref=None, compression: str = "zstd",
-                 rules_json: str | None = None):
+                 rules_json: str | None = None, pid_fn=None):
+        self.pid_fn = pid_fn
         from ..rules_transcripts import sink_columns
 
         # custom declarative rule table (rules_io JSON text, shipped inline
@@ -103,7 +178,8 @@ class FlagshipWorker:
                                  sink_columns=cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return self.writer(self.enricher(_parse_with_pid(batch, self.ruleset)))
+        return self.writer(self.enricher(
+            _parse_with_pid(batch, self.ruleset, self.pid_fn)))
 
 
 def _default_pool() -> tuple[int, int]:
@@ -118,7 +194,7 @@ def _default_pool() -> tuple[int, int]:
 def run_wave(wave: list[str], parts: dict[str, list[str]], out_dir, *,
              lookups_ref=None, enrich_concurrency=None, batch_size: int | None = None,
              override_num_blocks: int | None = None,
-             rules_json: str | None = None) -> dict[str, dict]:
+             rules_json: str | None = None, pid_fn=None) -> dict[str, dict]:
     """One streaming pass over one wave of partitions; returns
     {partition_id: manifest payload}."""
     import ray.data
@@ -154,13 +230,13 @@ def run_wave(wave: list[str], parts: dict[str, list[str]], out_dir, *,
         lo, hi = enrich_concurrency
         enrich_concurrency = (max(1, min(int(lo), override_num_blocks)),
                               max(1, min(int(hi), override_num_blocks)))
-    ds = ray.data.read_parquet(files, include_paths=True,
+    ds = ray.data.read_parquet(files, include_paths=pid_fn is None,
                                override_num_blocks=override_num_blocks,
                                ray_remote_args={"num_cpus": 0.5})
     summaries = ds.map_batches(
         FlagshipWorker,
         fn_constructor_kwargs={"out_dir": out_dir, "lookups_ref": lookups_ref,
-                               "rules_json": rules_json},
+                               "rules_json": rules_json, "pid_fn": pid_fn},
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=enrich_concurrency, batch_size=batch_size)
     rows = summaries.take_all()  # tiny: one row per (pid, sink, rule, batch-file)
@@ -248,6 +324,8 @@ def run_flagship(input_dir: str | Path, out_dir: str | Path, *,
         else:
             wave_size = 32  # Ray not up yet (it auto-inits in run_wave)
     parts = discover_partitions(input_dir)
+    # hash-derivable layouts skip the per-row path column entirely
+    pid_fn = pid_deriver(input_dir, parts)
     ran, skipped = [], []
     pending = []
     for pid in parts:
@@ -258,6 +336,7 @@ def run_flagship(input_dir: str | Path, out_dir: str | Path, *,
     for i in range(0, len(pending), wave_size):
         wave = pending[i:i + wave_size]
         payloads = run_wave(wave, parts, out_dir, lookups_ref=lookups_ref,
+                            pid_fn=pid_fn,
                             enrich_concurrency=enrich_concurrency,
                             batch_size=batch_size,
                             override_num_blocks=override_num_blocks,

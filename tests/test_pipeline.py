@@ -200,3 +200,49 @@ def test_two_runs_byte_identical(ray_session, corpus, tmp_path_factory):
     mb = json.loads((outs[1] / "_metrics.json").read_text())
     for k in ("rows", "parse_errors", "unknown_rows", "matched_pct"):
         assert ma[k] == mb[k], k
+
+
+def test_pid_deriver_equals_path_stem(ray_session, tmp_path):
+    """r4 bytes/row reduction: the conv_id-derived partition id must
+    equal the file-stem pid for EVERY row, on both the plain and the
+    replicated corpus layout — and run_flagship picks the derived path
+    (no per-row path column) with identical manifests/aggregates."""
+    import json
+
+    import pyarrow.parquet as pq_
+
+    from logray.gen import generate_corpus, replicate_corpus
+    from logray.pipelines import flagship
+
+    corpus = tmp_path / "c"
+    generate_corpus(0.002, corpus, with_expected=False)
+    rep = tmp_path / "r"
+    replicate_corpus(corpus, rep, 3)
+
+    for d in (corpus, rep):
+        parts = flagship.discover_partitions(d)
+        fn = flagship.pid_deriver(d, parts)
+        assert fn is not None, d
+        for stem, files in parts.items():
+            t = pq_.read_table(files[0], columns=["conv_id"])
+            out = fn(t)
+            got = set(out[flagship.PID_COL].to_pylist())
+            assert got == {stem}, (stem, got)
+
+    # end-to-end equality: derived-pid run == forced path-column run
+    out_a = tmp_path / "out_a"
+    out_b = tmp_path / "out_b"
+    flagship.run_flagship(corpus, out_a, wave_size=2,
+                          enrich_concurrency=2)
+    import unittest.mock as mock
+
+    with mock.patch.object(flagship, "pid_deriver",
+                           lambda *a, **k: None):
+        flagship.run_flagship(corpus, out_b, wave_size=2,
+                              enrich_concurrency=2)
+    agg_a = pq_.read_table(out_a / "_aggregates.parquet").to_pylist()
+    agg_b = pq_.read_table(out_b / "_aggregates.parquet").to_pylist()
+    assert agg_a == agg_b
+    ma = json.loads((out_a / "_metrics.json").read_text())
+    mb = json.loads((out_b / "_metrics.json").read_text())
+    assert ma["rows"] == mb["rows"] and ma["matched_pct"] == mb["matched_pct"]
