@@ -207,3 +207,30 @@ def test_flagship_end_to_end_on_remote_fs(ray_session, tmp_path,
     assert sum(read_sink(out, s).count()
                for s in {r["sink"] for r in agg.to_pylist()}) \
         == meta["n_turns"]
+
+
+def test_remote_publish_detects_lost_put_race(tmp_path):
+    """The read-back-verify branch: when a concurrent writer's PUT
+    lands between our move and our verify (last-writer-wins store),
+    publish_exclusive must report the loss instead of claiming the
+    commit. The race is injected at the fsspec layer (pyarrow fs
+    attributes are read-only)."""
+
+    class RacingDirFS(DirFileSystem):
+        def mv(self, path1, path2, **kw):
+            super().mv(path1, path2, **kw)
+            if path2.endswith(".manifest.json"):
+                with super().open(path2, "wb") as f:
+                    f.write(b'{"theirs": true}')
+
+    root = tmp_path / "raceroot"
+    root.mkdir()
+    fs = PyFileSystem(FSSpecHandler(
+        RacingDirFS(path=str(root), fs=_FsspecLocal())))
+    fsio.register_filesystem("race", fs)
+    base = fsio.fspath("race://tbl")
+    base.mkdirs()
+    tmp, target = base / ".v1.tmp", base / "v1.manifest.json"
+    tmp.write_text('{"mine": true}')
+    assert fsio.publish_exclusive(tmp, target) is False
+    assert target.read_text() == '{"theirs": true}'  # racer survives

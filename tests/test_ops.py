@@ -3641,3 +3641,40 @@ def test_oracle_splitmix64_sql_bit_identical_to_numpy():
     got = {int(s): int(h) for s, h in rows}
     want = dict(zip(seeds.tolist(), _splitmix64(seeds).tolist()))
     assert got == want
+
+
+def test_asof_join_dist_forward_direction(ray_session):
+    """direction='forward' (earliest right row at-or-after each left
+    row) — the reversed-time-axis path of the r4 Arrow kernel — must
+    equal pandas merge_asof(direction='forward'), string by-keys
+    included (the factorize branch)."""
+    import ray.data
+
+    from logray.ops.window import asof_join_dist
+
+    rng = np.random.default_rng(23)
+    left = pd.DataFrame({
+        "id": np.arange(2000, dtype=np.int64),
+        "k": np.array([f"k{v:02d}" for v in rng.integers(0, 30, 2000)]),
+        "t": rng.integers(0, 5_000, 2000).astype(np.int64)})
+    right = pd.DataFrame({
+        "k": np.array([f"k{v:02d}" for v in rng.integers(0, 25, 600)]),
+        "t": rng.integers(0, 5_000, 600).astype(np.int64)})
+    right = right.groupby(["k", "t"], as_index=False).size()
+    right["val"] = right["t"] * 7
+    right = right[["k", "t", "val"]]
+
+    want = pd.merge_asof(left.sort_values("t", kind="mergesort"),
+                         right.sort_values("t", kind="mergesort"),
+                         on="t", by="k", direction="forward")
+    got = asof_join_dist(
+        ray.data.from_pandas(left, override_num_blocks=6),
+        ray.data.from_pandas(right, override_num_blocks=3),
+        by="k", on="t", value_cols=["val"], direction="forward",
+        left_schema=pa.schema([("id", pa.int64()), ("k", pa.string()),
+                               ("t", pa.int64())]),
+        right_schema=pa.schema([("k", pa.string()), ("t", pa.int64()),
+                                ("val", pa.int64())])).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("id").reset_index(drop=True)[want.columns.tolist()],
+        want.sort_values("id").reset_index(drop=True))
