@@ -5512,5 +5512,6 @@ ORACLE_SQL["multimodal_resize_thumbs"] = """
 for _n in ("grouped_count_events", "grouped_agg_events",
            "sort_limit_events", "topk_users_by_value",
            "distinct_event_types", "customers_without_big_orders",
-           "join_customer_nation_region", "pricing_summary_lineitem"):
+           "join_customer_nation_region", "pricing_summary_lineitem",
+           "lead_value_events", "ntile_value_quartiles"):
     ORACLE_SQL[f"dsl_{_n}"] = ORACLE_SQL[_n]

@@ -30,7 +30,9 @@ exprs), ``groupby`` (keys + aggs over the grouped_agg fns), ``sort``
 (+ ``limit``), ``topk`` (combiner top-k → Table), ``distinct``,
 ``limit``, ``join`` (sub-plan right side; ``strategy`` broadcast —
 right collected once, ``ray.put`` inside broadcast_join — or hash),
-``semi``/``anti`` (sub-plan key side, co-partitioned semi-join).
+``semi``/``anti`` (sub-plan key side, co-partitioned semi-join),
+``window`` (lead / dense_rank / ntile / percent_rank / running_sum —
+the bucketed-shuffle window ops of ``ops.window``).
 
 Entry points: ``execute(plan, sf_dir)`` and the CLI
 ``python -m logray query-plan <plan.json> <sf_dir>``. Every plan in
@@ -183,6 +185,35 @@ def execute(plan: dict | str, sf_dir: str):
             else:
                 ds = relational.hash_join(ds, right, on=step["on"],
                                           how=how)
+        elif op == "window":
+            from .ops import window as W
+
+            fn = step["fn"]
+            if fn == "lead":
+                ds = W.lead_col(ds, step["part"], step["order"],
+                                step["col"],
+                                out_col=step.get("out", "next_value"))
+            elif fn == "dense_rank":
+                ds = W.dense_rank(ds, step["part"], step["col"],
+                                  descending=bool(step.get(
+                                      "descending", True)),
+                                  rank_col=step.get("out", "rnk"))
+            elif fn == "ntile":
+                ds = W.ntile(ds, step["part"],
+                             [(c, bool(d)) for c, d in step["order"]],
+                             int(step["k"]),
+                             out_col=step.get("out", "tile"))
+            elif fn == "percent_rank":
+                ds = W.percent_rank(ds, step["part"], step["col"],
+                                    descending=bool(step.get(
+                                        "descending", False)),
+                                    out_col=step.get("out", "pct_rank"))
+            elif fn == "running_sum":
+                ds = W.running_sum(ds, step["part"], step["order"],
+                                   step["col"],
+                                   out_col=step.get("out", "running"))
+            else:
+                raise ValueError(f"unknown window fn {fn!r}")
         elif op in ("semi", "anti"):
             right = execute(step["with"], sf_dir)
             ds = relational.hash_semi_join(ds, right, step["on"],
@@ -285,6 +316,28 @@ PLANS: dict[str, dict] = {
                       "sum_bal": ["__cents", "sum"]}},
             {"op": "derive", "cols": {
                 "sum_bal": {"uncents": [{"col": "sum_bal"}, 100]}}},
+        ],
+    },
+    "lead_value_events": {
+        "from": {"table": "events",
+                 "columns": ["event_id", "user_id", "ts", "value"]},
+        "ops": [
+            {"op": "window", "fn": "lead", "part": "user_id",
+             "order": ["ts", "event_id"], "col": "value",
+             "out": "next_value"},
+            {"op": "derive", "cols": {
+                "next_value": {"round": [{"col": "next_value"}, 2]}}},
+            {"op": "select", "cols": ["event_id", "next_value"]},
+        ],
+    },
+    "ntile_value_quartiles": {
+        "from": {"table": "events",
+                 "columns": ["event_id", "event_type", "value"]},
+        "ops": [
+            {"op": "window", "fn": "ntile", "part": "event_type",
+             "order": [["value", False], ["event_id", False]], "k": 4,
+             "out": "tile"},
+            {"op": "select", "cols": ["event_id", "tile"]},
         ],
     },
     "pricing_summary_lineitem": {
