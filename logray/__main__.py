@@ -165,9 +165,9 @@ def main(argv: list[str] | None = None) -> int:
             from .state import versioned
 
             if args.verb == "log":
-                from pathlib import Path
+                from .state.fsio import fspath
 
-                d = Path(args.table_dir)
+                d = fspath(args.table_dir)
                 for v in versioned.versions(d):
                     m = json.loads(
                         (d / f"v{v:06d}.manifest.json").read_text())
