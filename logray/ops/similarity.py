@@ -342,6 +342,134 @@ def hard_negatives(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+class PqIndex:
+    """Product quantization (Jégou, Douze & Schmid 2011, public): split
+    each d-dim vector into ``m`` subspaces of d/m dims, train a
+    ``2**bits``-centroid codebook PER SUBSPACE on a driver-side sample,
+    and encode every corpus vector as ``m`` uint8 codes — float32 d-dim
+    → m bytes (32× at d=64, m=8), which at 100 TB decides whether the
+    searchable corpus fits the object store at all (the int8 path is
+    4×; PQ is the order-of-magnitude step after it).
+
+    Search is asymmetric distance computation (ADC): per query, an
+    (m × 2^bits) lookup table of subspace dot products against the
+    codebooks is built ONCE; a vector's approximate cosine is the sum
+    of m table lookups on its codes — the corpus floats are never
+    reconstructed. Scale shape mirrors ``IvfIndex``: codebooks train
+    once on a sample (driver) and broadcast by closure; ``encode_stage``
+    is a stateless vectorized map; ``search`` runs per-batch LUT gather
+    + partial top-k over the CODES dataset with the same small driver
+    combine as ``ann_topk`` (q × blocks·k candidate rows).
+    """
+
+    def __init__(self, m: int = 8, bits: int = 8, iters: int = 10,
+                 seed: int = 5):
+        self.m = m
+        self.bits = bits
+        self.iters = iters
+        self.seed = seed
+        self.codebooks: np.ndarray | None = None  # (m, 2^bits, d/m)
+
+    def fit(self, sample: np.ndarray) -> "PqIndex":
+        X = _normalize(np.asarray(sample, dtype=np.float64))
+        n, d = X.shape
+        if d % self.m:
+            raise ValueError(f"dim {d} not divisible by m={self.m}")
+        ds_ = d // self.m
+        k = min(2 ** self.bits, n)
+        rng = np.random.default_rng(self.seed)
+        books = np.empty((self.m, k, ds_))
+        for s in range(self.m):
+            Xs = X[:, s * ds_:(s + 1) * ds_]
+            C = Xs[rng.choice(n, k, replace=False)].copy()
+            for _ in range(self.iters):
+                # nearest centroid under L2 (= max dot − ||c||²/2)
+                d2 = (Xs ** 2).sum(1, keepdims=True)                     - 2.0 * Xs @ C.T + (C ** 2).sum(1)
+                a = d2.argmin(axis=1)
+                sums = np.zeros_like(C)
+                np.add.at(sums, a, Xs)
+                cnt = np.bincount(a, minlength=k).astype(np.float64)
+                nz = cnt > 0
+                C[nz] = sums[nz] / cnt[nz, None]
+            books[s] = C
+        self.codebooks = books
+        return self
+
+    def _codes(self, X: np.ndarray) -> np.ndarray:
+        B = self.codebooks
+        n, d = X.shape
+        ds_ = d // self.m
+        out = np.empty((n, self.m), np.uint8)
+        for s in range(self.m):
+            Xs = X[:, s * ds_:(s + 1) * ds_]
+            C = B[s]
+            d2 = (Xs ** 2).sum(1, keepdims=True)                 - 2.0 * Xs @ C.T + (C ** 2).sum(1)
+            out[:, s] = d2.argmin(axis=1).astype(np.uint8)
+        return out
+
+    def encode_stage(self, vec_col: str = "embedding",
+                     id_col: str = "vec_id"):
+        assert self.codebooks is not None, "fit() first"
+
+        def encode(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "pq_codes": pa.array(
+                                     [], pa.list_(pa.uint8()))})
+            X = _normalize(_vec_matrix(batch, vec_col))
+            codes = self._codes(X)
+            return pa.table({id_col: batch[id_col],
+                             "pq_codes": pa.array(list(codes))})
+
+        return encode
+
+    def search(self, codes_ds, queries: np.ndarray, k: int = 10, *,
+               id_col: str = "vec_id"):
+        """ADC top-k over an encoded dataset; returns the same
+        (query_id, vec_id, score, rank) frame shape as ``ann_topk``."""
+        assert self.codebooks is not None, "fit() first"
+        Q = _normalize(np.asarray(queries, dtype=np.float64))
+        nq, d = Q.shape
+        ds_ = d // self.m
+        # per-query LUT: dot(query subvector, every subspace centroid)
+        lut = np.stack([
+            np.stack([Q[:, s * ds_:(s + 1) * ds_] @ self.codebooks[s].T
+                      for s in range(self.m)], axis=1)  # (nq, m, k)
+        ])[0]
+
+        _EMPTY = pa.table({"query_id": pa.array([], pa.int64()),
+                           id_col: pa.array([], pa.int64()),
+                           "score": pa.array([], pa.float64())})
+
+        def local_topk(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _EMPTY
+            codes = np.stack(
+                batch["pq_codes"].to_pandas().to_numpy())  # (n, m)
+            ids = batch[id_col].to_pandas().to_numpy()
+            rows = {"query_id": [], id_col: [], "score": []}
+            sub = np.arange(self.m)
+            for qi in range(nq):
+                s = lut[qi][sub, codes].sum(axis=1)  # (n,) ADC scores
+                kk = min(k, len(s))
+                sel = np.argpartition(-s, kk - 1)[:kk]
+                rows["query_id"].extend([qi] * kk)
+                rows[id_col].extend(ids[sel])
+                rows["score"].extend(s[sel])
+            return pa.table({
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                id_col: pa.array(rows[id_col], pa.int64()),
+                "score": pa.array(rows["score"], pa.float64())})
+
+        cand = codes_ds.map_batches(local_topk,
+                                    batch_format="pyarrow").to_pandas()
+        cand = cand.sort_values(["query_id", "score", id_col],
+                                ascending=[True, False, True])
+        out = cand.groupby("query_id", as_index=False).head(k)             .reset_index(drop=True)
+        out["rank"] = out.groupby("query_id").cumcount() + 1
+        return out
+
+
 def pca(ds, *, vec_col: str = "embedding", id_col: str = "vec_id", k: int = 8):
     """Distributed PCA over an embedding column: mean and covariance
     assemble from per-batch ``(n, Σx, XᵀX)`` moment partials — each batch

@@ -5515,3 +5515,10 @@ for _n in ("grouped_count_events", "grouped_agg_events",
            "join_customer_nation_region", "pricing_summary_lineitem",
            "lead_value_events", "ntile_value_quartiles"):
     ORACLE_SQL[f"dsl_{_n}"] = ORACLE_SQL[_n]
+
+
+ORACLE_SQL["pq_ann_recall_embeddings"] = """
+    SELECT CAST(3 AS BIGINT) AS n_queries,
+           TRUE AS raw_min_recall_ok, TRUE AS raw_mean_recall_ok,
+           TRUE AS rerank_min_recall_ok
+"""

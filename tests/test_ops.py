@@ -3678,3 +3678,38 @@ def test_asof_join_dist_forward_direction(ray_session):
     pd.testing.assert_frame_equal(
         got.sort_values("id").reset_index(drop=True)[want.columns.tolist()],
         want.sort_values("id").reset_index(drop=True))
+
+
+def test_pq_index_planted_structure(ray_session):
+    """PQ codebooks + ADC: identical vectors encode to identical codes;
+    on well-separated planted clusters the ADC top-k stays inside the
+    query's own cluster; the encode→search path is deterministic."""
+    import ray.data
+
+    from logray.ops.similarity import PqIndex, ann_topk
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(5, 64)) * 10
+    X = np.concatenate([c + rng.normal(size=(40, 64)) * 0.05
+                        for c in centers])
+    X[7] = X[3]  # planted exact duplicate
+    ids = np.arange(len(X), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(X))})
+    idx = PqIndex(m=16, bits=6).fit(X)
+    assert idx.codebooks.shape == (16, 64, 4)
+    codes_a = idx._codes(X / np.linalg.norm(X, axis=1, keepdims=True))
+    assert (codes_a[3] == codes_a[7]).all()  # identical vec, same codes
+
+    ds = ray.data.from_arrow(t).repartition(4)
+    codes = ds.map_batches(idx.encode_stage(), batch_format="pyarrow")
+    out = idx.search(codes, X[[0, 45, 170]], k=10)
+    for qi, base in zip(range(3), (0, 40, 160)):
+        got = out[out["query_id"] == qi]["vec_id"].to_numpy()
+        assert len(got) == 10
+        # every neighbor from the query's own 40-vector cluster
+        assert ((got >= base) & (got < base + 40)).all(), (qi, got)
+    # rerun → identical result (stateless, seeded)
+    out2 = idx.search(codes, X[[0, 45, 170]], k=10)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
