@@ -54,9 +54,16 @@ def zorder_write(ds, x_col: str, y_col: str, out_dir: str, *,
     At cluster scale the sort's range partitioner gives each output file a
     tight z-range ⇒ a tight (x, y) hyper-rectangle in its min/max stats,
     which is what downstream readers prune on."""
+    from ..state.fsio import fspath
+
     zed = ds.map_batches(lambda t: add_zorder_key(t, x_col, y_col),
                          batch_format="pyarrow")
-    zed.sort("_z").repartition(num_files).write_parquet(out_dir)
+    out = fspath(out_dir)
+    zs = zed.sort("_z").repartition(num_files)
+    if out.is_local:
+        zs.write_parquet(out.path)
+    else:  # registered scheme:// mount → shared object storage
+        zs.write_parquet(out.path, filesystem=out.fs)
     return out_dir
 
 
@@ -77,11 +84,16 @@ def footer_stats(paths: list[str], columns: list[str]) -> dict:
     """
     import ray
 
+    from ..state.fsio import fspath
+
     @ray.remote(num_cpus=0.25)
-    def one(path: str, cols: list[str]):
+    def one(fp, cols: list[str]):
         import pyarrow.parquet as pq
 
-        f = pq.ParquetFile(path)
+        # fp arrives pre-resolved (FsPath, filesystem by value) — the
+        # scheme registry exists only on the driver
+        f = pq.ParquetFile(fp.path if fp.is_local
+                           else fp.fs.open_input_file(fp.path))
         md = f.metadata
         idx = {c: f.schema_arrow.names.index(c) for c in cols}
         mins: dict = {}
@@ -98,7 +110,7 @@ def footer_stats(paths: list[str], columns: list[str]) -> dict:
                 maxs[c] = st.max if c not in maxs else max(maxs[c], st.max)
         return md.num_rows, mins, maxs
 
-    parts = ray.get([one.remote(p, columns) for p in paths])
+    parts = ray.get([one.remote(fspath(p), columns) for p in paths])
     out = {"n_rows": int(sum(p[0] for p in parts)), "min": {}, "max": {}}
     for _, mins, maxs in parts:
         for c in columns:
@@ -118,13 +130,11 @@ def write_bucketed(ds, key: str, out_dir: str, *, num_buckets: int = 16):
     at all (see ``bucket_join``) — the persisted form of "pick ONE
     partitioning key and reuse it across stages". One exchange now buys
     every downstream co-location forever (until keys change)."""
-    from pathlib import Path
-
-    import pyarrow.parquet as pq
-
     from ..functions.hashing import stable_hash64
+    from ..state import fsio
+    from ..state.fsio import fspath
 
-    out = Path(out_dir)
+    out = fspath(out_dir)
 
     def tag(t: pa.Table) -> pa.Table:
         b = (stable_hash64(t[key]).astype(np.uint64)
@@ -136,10 +146,10 @@ def write_bucketed(ds, key: str, out_dir: str, *, num_buckets: int = 16):
 
         b = int(df["__bucket"].iloc[0])
         d = out / f"bucket={b:03d}"
-        d.mkdir(parents=True, exist_ok=True)
+        d.mkdirs()
         t = pa.Table.from_pandas(df.drop(columns="__bucket"),
                                  preserve_index=False)
-        pq.write_table(t, d / "part-0.parquet")
+        fsio.write_table(t, d / "part-0.parquet")
         return pd.DataFrame({"bucket": [b], "rows": [len(df)]})
 
     return (ds.map_batches(tag, batch_format="pyarrow")
@@ -155,12 +165,11 @@ def bucket_join(dir_a: str, dir_b: str, on: str, *, bucket_post=None):
     reads its two small files and merges vectorized; no all-to-all ever
     exists in the plan. ``bucket_post`` fuses a per-bucket group-by
     exactly like ``hash_join``'s."""
-    from pathlib import Path
-
-    import pandas as pd
     import ray
 
-    a, b = Path(dir_a), Path(dir_b)
+    from ..state.fsio import fspath
+
+    a, b = fspath(dir_a), fspath(dir_b)
     buckets_a = {p.name for p in a.glob("bucket=*")}
     buckets_b = {p.name for p in b.glob("bucket=*")}
     # an empty bucket writes no directory; inner join with an absent
@@ -169,10 +178,10 @@ def bucket_join(dir_a: str, dir_b: str, on: str, *, bucket_post=None):
 
     @ray.remote
     def join_bucket(name: str) -> pa.Table:
-        import pyarrow.parquet as pq
+        from ..state import fsio
 
-        ta = pq.read_table(a / name / "part-0.parquet")
-        tb = pq.read_table(b / name / "part-0.parquet")
+        ta = fsio.read_table(a / name / "part-0.parquet")
+        tb = fsio.read_table(b / name / "part-0.parquet")
         df = ta.to_pandas().merge(tb.to_pandas(), on=on)
         if bucket_post is not None:
             df = bucket_post(df)

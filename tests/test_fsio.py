@@ -234,3 +234,43 @@ def test_remote_publish_detects_lost_put_race(tmp_path):
     tmp.write_text('{"mine": true}')
     assert fsio.publish_exclusive(tmp, target) is False
     assert target.read_text() == '{"theirs": true}'  # racer survives
+
+
+def test_bucket_layout_and_zorder_on_remote_fs(ray_session, mock_fs):
+    """The persisted layouts (hash buckets, z-order) write to and join
+    from the foreign filesystem: write_bucketed → bucket_join is
+    shuffle-free AND shared-storage-ready; footer_stats reads remote
+    footers only."""
+    import numpy as np
+    import ray.data
+
+    from logray.ops import layout
+
+    n = 2_000
+    rng = np.random.default_rng(3)
+    left = pa.table({"k": pa.array(rng.integers(0, 200, n)),
+                     "lv": pa.array(np.arange(n, dtype=np.int64))})
+    right = pa.table({"k": pa.array(np.arange(200, dtype=np.int64)),
+                      "rv": pa.array(np.arange(200, dtype=np.int64) * 3)})
+    layout.write_bucketed(ray.data.from_arrow(left), "k",
+                          "mock://lay/a", num_buckets=8)
+    layout.write_bucketed(ray.data.from_arrow(right), "k",
+                          "mock://lay/b", num_buckets=8)
+    joined = layout.bucket_join("mock://lay/a", "mock://lay/b",
+                                "k").to_pandas()
+    assert len(joined) == n  # 1:1 key coverage
+    want = left.to_pandas().merge(right.to_pandas(), on="k")
+    assert (joined.sort_values("lv").reset_index(drop=True)["rv"]
+            == want.sort_values("lv").reset_index(drop=True)["rv"]).all()
+
+    # z-order write lands remotely; footer stats read remote footers
+    ev = pa.table({"x": pa.array(rng.integers(0, 1000, n)),
+                   "y": pa.array(rng.integers(0, 1000, n))})
+    layout.zorder_write(ray.data.from_arrow(ev), "x", "y",
+                        "mock://lay/z", num_files=4)
+    files = fsio.fspath("mock://lay/z").glob("*.parquet")
+    assert len(files) >= 1
+    stats = layout.footer_stats([str(f) for f in files], ["x", "y"])
+    assert stats["n_rows"] == n
+    assert stats["min"]["x"] == int(ev["x"].to_pandas().min())
+    assert stats["max"]["y"] == int(ev["y"].to_pandas().max())
