@@ -371,7 +371,13 @@ class PqIndex:
         self.codebooks: np.ndarray | None = None  # (m, 2^bits, d/m)
 
     def fit(self, sample: np.ndarray) -> "PqIndex":
-        X = _normalize(np.asarray(sample, dtype=np.float64))
+        return self.fit_raw(_normalize(np.asarray(sample,
+                                                  dtype=np.float64)))
+
+    def fit_raw(self, X: np.ndarray) -> "PqIndex":
+        """Train on vectors AS GIVEN (no normalization) — the residual
+        space of ``IvfPqIndex`` must not be re-normalized."""
+        X = np.asarray(X, dtype=np.float64)
         n, d = X.shape
         if d % self.m:
             raise ValueError(f"dim {d} not divisible by m={self.m}")
@@ -456,6 +462,113 @@ class PqIndex:
                 rows["query_id"].extend([qi] * kk)
                 rows[id_col].extend(ids[sel])
                 rows["score"].extend(s[sel])
+            return pa.table({
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                id_col: pa.array(rows[id_col], pa.int64()),
+                "score": pa.array(rows["score"], pa.float64())})
+
+        cand = codes_ds.map_batches(local_topk,
+                                    batch_format="pyarrow").to_pandas()
+        cand = cand.sort_values(["query_id", "score", id_col],
+                                ascending=[True, False, True])
+        out = cand.groupby("query_id", as_index=False).head(k)             .reset_index(drop=True)
+        out["rank"] = out.groupby("query_id").cumcount() + 1
+        return out
+
+
+class IvfPqIndex:
+    """IVF-PQ (the canonical billion-scale composition, Jégou et al.
+    2011 / FAISS IVFPQ shape): an IVF coarse quantizer routes each
+    vector to one of ``n_lists`` inverted lists, and PQ encodes the
+    RESIDUAL (x − coarse centroid) — residuals concentrate near the
+    origin, so the same code budget quantizes far finer than raw PQ.
+    Search probes the ``nprobe`` closest lists per query and scores
+    candidates as q·c_list + ADC(residual) — one LUT per query, no
+    float reconstruction, and only probed-list rows are touched (the
+    candidate set shrinks ~n_lists/nprobe-fold vs flat PQ).
+
+    Scale shape: both quantizers train on one driver-side sample and
+    broadcast by closure; ``encode_stage`` is a stateless vectorized
+    map emitting (list id, m uint8 codes); ``search`` is map_batches
+    over the codes with per-batch probed-list masking + partial top-k
+    and the same small driver combine as ``ann_topk``."""
+
+    def __init__(self, n_lists: int = 16, m: int = 16, bits: int = 8,
+                 iters: int = 10, seed: int = 5):
+        self.coarse = IvfIndex(n_lists=n_lists, iters=iters, seed=seed)
+        self.pq = PqIndex(m=m, bits=bits, iters=iters, seed=seed)
+
+    def fit(self, sample: np.ndarray) -> "IvfPqIndex":
+        X = _normalize(np.asarray(sample, dtype=np.float64))
+        self.coarse.fit(X)
+        C = self.coarse.centroids
+        lists = (X @ C.T).argmax(axis=1)
+        # PQ trains on residuals; _codes/_luts stay in residual space
+        res = X - C[lists]
+        self.pq.codebooks = None
+        self.pq.fit_raw(res)
+        return self
+
+    def encode_stage(self, vec_col: str = "embedding",
+                     id_col: str = "vec_id"):
+        C = self.coarse.centroids
+        pq_ = self.pq
+        assert C is not None and pq_.codebooks is not None, "fit() first"
+
+        def encode(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "ivf_list": pa.array([], pa.int32()),
+                                 "pq_codes": pa.array(
+                                     [], pa.list_(pa.uint8()))})
+            X = _normalize(_vec_matrix(batch, vec_col))
+            lists = (X @ C.T).argmax(axis=1)
+            codes = pq_._codes(X - C[lists])
+            return pa.table({id_col: batch[id_col],
+                             "ivf_list": pa.array(
+                                 lists.astype(np.int32)),
+                             "pq_codes": pa.array(list(codes))})
+
+        return encode
+
+    def search(self, codes_ds, queries: np.ndarray, k: int = 10, *,
+               nprobe: int = 4, id_col: str = "vec_id"):
+        C = self.coarse.centroids
+        pq_ = self.pq
+        Q = _normalize(np.asarray(queries, dtype=np.float64))
+        nq, d = Q.shape
+        m = pq_.m
+        ds_ = d // m
+        base = Q @ C.T                       # (nq, n_lists) q·c_list
+        probed = np.argsort(-base, axis=1)[:, :nprobe]
+        lut = np.stack([Q[:, s * ds_:(s + 1) * ds_] @ pq_.codebooks[s].T
+                        for s in range(m)], axis=1)   # (nq, m, k)
+
+        _EMPTY = pa.table({"query_id": pa.array([], pa.int64()),
+                           id_col: pa.array([], pa.int64()),
+                           "score": pa.array([], pa.float64())})
+
+        def local_topk(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _EMPTY
+            lists = batch["ivf_list"].to_numpy(zero_copy_only=False)
+            codes = np.stack(batch["pq_codes"].to_pandas().to_numpy())
+            ids = batch[id_col].to_pandas().to_numpy()
+            sub = np.arange(m)
+            rows = {"query_id": [], id_col: [], "score": []}
+            for qi in range(nq):
+                mask = np.isin(lists, probed[qi])
+                if not mask.any():
+                    continue
+                cm = codes[mask]
+                s = base[qi, lists[mask]] + lut[qi][sub, cm].sum(axis=1)
+                kk = min(k, len(s))
+                sel = np.argpartition(-s, kk - 1)[:kk]
+                rows["query_id"].extend([qi] * kk)
+                rows[id_col].extend(ids[mask][sel])
+                rows["score"].extend(s[sel])
+            if not rows["query_id"]:
+                return _EMPTY
             return pa.table({
                 "query_id": pa.array(rows["query_id"], pa.int64()),
                 id_col: pa.array(rows[id_col], pa.int64()),

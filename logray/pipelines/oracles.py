@@ -5522,3 +5522,9 @@ ORACLE_SQL["pq_ann_recall_embeddings"] = """
            TRUE AS raw_min_recall_ok, TRUE AS raw_mean_recall_ok,
            TRUE AS rerank_min_recall_ok
 """
+
+
+ORACLE_SQL["ivfpq_ann_recall_embeddings"] = """
+    SELECT CAST(3 AS BIGINT) AS n_queries,
+           TRUE AS min_recall_ok, TRUE AS mean_recall_ok
+"""
