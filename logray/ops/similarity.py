@@ -583,6 +583,48 @@ class IvfPqIndex:
         return out
 
 
+def opq_train(sample: np.ndarray, *, m: int = 16, bits: int = 8,
+              iters: int = 8, pq_iters: int = 6, seed: int = 5):
+    """OPQ (Ge, He, Ke & Sun 2013, public): learn an ORTHONORMAL
+    rotation R so the rotated space quantizes better under product
+    quantization — subspaces decorrelate, so the same code budget
+    spends bits where the variance is. Alternating optimization on the
+    driver-side sample: fix R → train PQ on X·Rᵀ; fix codebooks →
+    R = argmin ‖X·Rᵀ − decoded‖² is the orthogonal-Procrustes solution
+    R = V·Uᵀ of SVD(decodedᵀ·X). Each half-step is a (constrained)
+    least-squares minimizer of the SAME objective, so the sample
+    reconstruction error is monotonically non-increasing — the exact
+    invariant the registered query asserts against plain PQ (iteration
+    0 IS plain PQ, so OPQ's final sample error ≤ plain PQ's).
+
+    Returns ``(R [d,d], PqIndex fitted in the rotated space,
+    errors [iters+1])`` — encode corpus batches as
+    ``pq._codes(normalize(X) @ R.T)``; search by rotating queries the
+    same way (rotation preserves dot products).
+    """
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    n, d = X.shape
+    R = np.eye(d)
+    errors = []
+    pq_ = None
+    for it in range(iters + 1):
+        Xr = X @ R.T
+        pq_ = PqIndex(m=m, bits=bits, iters=pq_iters, seed=seed)
+        pq_.fit_raw(Xr)
+        codes = pq_._codes(Xr)
+        ds_ = d // m
+        dec = np.empty_like(Xr)
+        for s in range(m):
+            dec[:, s * ds_:(s + 1) * ds_] = pq_.codebooks[s][codes[:, s]]
+        errors.append(float(((Xr - dec) ** 2).sum() / n))
+        if it == iters:
+            break
+        # Procrustes: R minimizing ‖X Rᵀ − dec‖_F with R orthonormal
+        U, _, Vt = np.linalg.svd(dec.T @ X)
+        R = U @ Vt
+    return R, pq_, np.asarray(errors)
+
+
 def pca(ds, *, vec_col: str = "embedding", id_col: str = "vec_id", k: int = 8):
     """Distributed PCA over an embedding column: mean and covariance
     assemble from per-batch ``(n, Σx, XᵀX)`` moment partials — each batch

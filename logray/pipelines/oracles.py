@@ -5528,3 +5528,11 @@ ORACLE_SQL["ivfpq_ann_recall_embeddings"] = """
     SELECT CAST(3 AS BIGINT) AS n_queries,
            TRUE AS min_recall_ok, TRUE AS mean_recall_ok
 """
+
+
+ORACLE_SQL["opq_gain_embeddings"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           TRUE AS r_orthonormal_ok, TRUE AS sample_err_le_plain_ok,
+           TRUE AS corpus_mse_le_plain_ok
+    FROM embeddings
+"""

@@ -3750,3 +3750,21 @@ def test_ivfpq_planted_clusters_full_recall(ray_session):
         "embedding": pa.array([list(X[5]), list(X[5])])}))
     assert enc["ivf_list"][0] == enc["ivf_list"][1]
     assert enc["pq_codes"][0] == enc["pq_codes"][1]
+
+
+def test_opq_rotation_reduces_quantization_error():
+    """OPQ alternating optimization: orthonormal rotation, monotone
+    sample error with iteration 0 equal to plain PQ, strictly better
+    final error on correlated data (the regime a learned rotation is
+    for)."""
+    from logray.ops.similarity import opq_train
+
+    rng = np.random.default_rng(31)
+    # correlated dims: low-rank structure mixed across coordinates
+    Z = rng.normal(size=(1500, 8))
+    A = rng.normal(size=(8, 64))
+    X = Z @ A + rng.normal(size=(1500, 64)) * 0.05
+    R, p, errs = opq_train(X, m=16, bits=6, iters=5)
+    assert np.allclose(R @ R.T, np.eye(64), atol=1e-9)
+    assert (np.diff(errs) <= 1e-9).all(), errs  # non-increasing
+    assert errs[-1] < errs[0] * 0.9  # real gain on correlated data
