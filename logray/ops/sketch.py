@@ -412,3 +412,105 @@ def kmv_set_relations(ds, tag_col: str, key_col: str, *, k: int = 256):
                      "union_est": union, "inter_est": rho * union,
                      "jaccard_est": rho})
     return pd.DataFrame(rows)
+
+
+# ------------------------------------------------------------- ddsketch --
+
+def _dd_partial(values: np.ndarray, gamma: float, n_bins: int):
+    """One DDSketch partial for positive values: bucket index
+    i = ceil(log_γ(v)) counted into a dense histogram (dict-free:
+    indices are clipped into [offset, offset+n_bins) — values outside
+    the representable range saturate the edge bins, recorded so the
+    guarantee check can exclude them). Partials merge by addition —
+    the exact-merge property every sketch here shares."""
+    v = values[np.isfinite(values) & (values > 0)]
+    zeros = int((values == 0).sum())
+    if not len(v):
+        return np.zeros(n_bins, np.int64), zeros, 0
+    idx = np.ceil(np.log(v) / np.log(gamma)).astype(np.int64)
+    offset = -(n_bins // 2)
+    clipped = np.clip(idx - offset, 0, n_bins - 1)
+    n_sat = int(((idx - offset < 0) | (idx - offset >= n_bins)).sum())
+    counts = np.bincount(clipped, minlength=n_bins).astype(np.int64)
+    return counts, zeros, n_sat
+
+
+def _dd_quantile(counts: np.ndarray, zeros: int, gamma: float,
+                 n_bins: int, q: float) -> float:
+    """Quantile read-out: rank → first bucket whose cumulative count
+    covers it; estimate = bucket midpoint 2γ^i/(γ+1), which is within
+    a factor (γ−1)/(γ+1) = α of every value in the bucket — DDSketch's
+    relative-error THEOREM (Masson, Rim & Lee 2019), the invariant the
+    registered query asserts exactly."""
+    total = int(counts.sum()) + zeros
+    if total == 0:
+        return float("nan")
+    rank = max(int(np.ceil(q * total)), 1)
+    if rank <= zeros:
+        return 0.0
+    cum = zeros + np.cumsum(counts)
+    b = int(np.searchsorted(cum, rank))
+    offset = -(n_bins // 2)
+    i = b + offset
+    return float(2.0 * gamma ** i / (gamma + 1.0))
+
+
+def ddsketch_quantiles(ds, group_cols: list[str], value_col: str,
+                       qs: list[float], *, alpha: float = 0.01,
+                       n_bins: int = 4096) -> pd.DataFrame:
+    """Grouped quantiles with GUARANTEED α-relative error (DDSketch,
+    Masson et al. 2019, public): per-batch per-group log-bucket
+    histograms (one int64[n_bins] partial per group — fixed size at
+    any row count), summed through one tiny grouped exchange, read out
+    on the driver. Complements t-digest (rank-space accuracy, no bound)
+    with the observability-standard VALUE-space bound: every returned
+    estimate is within ±α of SOME true sample value at that rank,
+    provably — which is what makes the op exactly value-checkable
+    despite being approximate."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df_cols = {c: t[c] for c in group_cols}
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pa.table({**df_cols, "__v": pa.array(vals)}).to_pandas()
+        rows = {c: [] for c in group_cols}
+        rows["counts"], rows["zeros"], rows["sat"] = [], [], []
+        for key, g in df.groupby(group_cols, sort=False):
+            key = key if isinstance(key, tuple) else (key,)
+            counts, zeros, sat = _dd_partial(g["__v"].to_numpy(),
+                                             gamma, n_bins)
+            for c, kv in zip(group_cols, key):
+                rows[c].append(kv)
+            rows["counts"].append(counts.tobytes())
+            rows["zeros"].append(zeros)
+            rows["sat"].append(sat)
+        out = {c: pa.array(rows[c]) for c in group_cols}
+        out["counts"] = pa.array(rows["counts"], pa.binary())
+        out["zeros"] = pa.array(rows["zeros"], pa.int64())
+        out["sat"] = pa.array(rows["sat"], pa.int64())
+        return pa.table(out)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        total = np.zeros(n_bins, np.int64)
+        for b in df["counts"]:
+            total += np.frombuffer(b, dtype=np.int64)
+        out = df.iloc[:1][group_cols].copy()
+        out["counts"] = [total.tobytes()]
+        out["zeros"] = int(df["zeros"].sum())
+        out["sat"] = int(df["sat"].sum())
+        return out
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(group_cols)
+              .map_groups(merge, batch_format="pandas")
+              .to_pandas())
+    rows = []
+    for _, r in merged.iterrows():  # O(groups) driver rows
+        counts = np.frombuffer(r["counts"], dtype=np.int64)
+        row = {c: r[c] for c in group_cols}
+        row["sat"] = int(r["sat"])
+        for q in qs:
+            row[f"p{int(q * 100)}"] = _dd_quantile(
+                counts, int(r["zeros"]), gamma, n_bins, q)
+        rows.append(row)
+    return pd.DataFrame(rows)

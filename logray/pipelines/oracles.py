@@ -5536,3 +5536,11 @@ ORACLE_SQL["opq_gain_embeddings"] = """
            TRUE AS corpus_mse_le_plain_ok
     FROM embeddings
 """
+
+
+ORACLE_SQL["ddsketch_value_quantiles_by_type"] = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p50_in_bound_ok, TRUE AS p90_in_bound_ok,
+           TRUE AS p99_in_bound_ok, TRUE AS no_saturation_ok
+    FROM events GROUP BY event_type
+"""

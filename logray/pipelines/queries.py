@@ -11944,6 +11944,44 @@ def opq_gain_embeddings(sf_dir: str):
     })
 
 
+def ddsketch_value_quantiles_by_type(sf_dir: str):
+    """DDSketch grouped quantiles (sketch.ddsketch_quantiles, Masson
+    et al. 2019): p50/p90/p99 of value per event_type with GUARANTEED
+    α=1% relative error — fixed-size log-bucket partials merge through
+    one tiny grouped exchange. The registered row value-checks the
+    THEOREM: each estimate must lie within ±α of the exact same-rank
+    sample value (recomputed Ray-side with the identical ceil-rank
+    convention); per-group n is SQL-exact; no bucket saturation."""
+    from ..ops import sketch
+
+    ALPHA = 0.01
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    est = sketch.ddsketch_quantiles(ds, ["event_type"], "value",
+                                    [0.5, 0.9, 0.99], alpha=ALPHA)
+
+    def exact_part(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy())
+            row = {"event_type": et, "n": len(v)}
+            for q in (0.5, 0.9, 0.99):
+                row[f"t{int(q * 100)}"] = float(
+                    v[max(int(np.ceil(q * len(v))), 1) - 1])
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    from ..ops.window import _bucketed_apply
+
+    true = _bucketed_apply(ds, "event_type", exact_part).to_pandas()
+    m = est.merge(true, on="event_type")
+    out = {"event_type": m["event_type"], "n": m["n"].astype("int64")}
+    for q in (50, 90, 99):
+        rel = (m[f"p{q}"] - m[f"t{q}"]).abs() / m[f"t{q}"].abs().clip(1e-12)
+        out[f"p{q}_in_bound_ok"] = (rel <= ALPHA + 1e-12)
+    out["no_saturation_ok"] = m["sat"] == 0
+    return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+
+
 def third_event_per_user(sf_dir: str):
     """nth_value window (n=3): each user's third event (by ts, event_id
     tie-break) — type and value — for users with ≥3 events. User-bucketed
@@ -13537,6 +13575,7 @@ QUERIES = {
     "pq_ann_recall_embeddings": pq_ann_recall_embeddings,
     "ivfpq_ann_recall_embeddings": ivfpq_ann_recall_embeddings,
     "opq_gain_embeddings": opq_gain_embeddings,
+    "ddsketch_value_quantiles_by_type": ddsketch_value_quantiles_by_type,
     "int8_ann_recall_embeddings": int8_ann_recall_embeddings,
     "third_event_per_user": third_event_per_user,
     "minhash_exactdup_invariant_documents": minhash_exactdup_invariant_documents,

@@ -3768,3 +3768,29 @@ def test_opq_rotation_reduces_quantization_error():
     assert np.allclose(R @ R.T, np.eye(64), atol=1e-9)
     assert (np.diff(errs) <= 1e-9).all(), errs  # non-increasing
     assert errs[-1] < errs[0] * 0.9  # real gain on correlated data
+
+
+def test_ddsketch_guarantee_and_merge(ray_session):
+    """DDSketch: the α-relative-error guarantee holds for every
+    group×quantile on a heavy-tailed distribution, partials merge
+    exactly across blocks, and zero values route to the zero bucket."""
+    import ray.data
+
+    from logray.ops.sketch import ddsketch_quantiles
+
+    rng = np.random.default_rng(7)
+    n = 60_000
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 4, n)),
+        "v": pa.array(np.where(rng.random(n) < 0.01, 0.0,
+                               rng.lognormal(2, 1.5, n)))})
+    ds = ray.data.from_arrow(t).repartition(8)
+    est = ddsketch_quantiles(ds, ["g"], "v", [0.5, 0.99], alpha=0.02)
+    df = t.to_pandas()
+    for _, r in est.iterrows():
+        v = np.sort(df[df["g"] == r["g"]]["v"].to_numpy())
+        assert r["sat"] == 0
+        for q, col in ((0.5, "p50"), (0.99, "p99")):
+            true = v[max(int(np.ceil(q * len(v))), 1) - 1]
+            assert abs(r[col] - true) <= 0.02 * abs(true) + 1e-12, \
+                (r["g"], q, r[col], true)
