@@ -342,6 +342,17 @@ def hard_negatives(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _codes_matrix(col, m: int) -> np.ndarray:
+    """list<uint8> codes column → (n, m) uint8 matrix, zero-copy from
+    the flattened values buffer (uniform length by construction)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros((0, m), np.uint8)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(flat).reshape(len(col), m)
+
+
 class PqIndex:
     """Product quantization (Jégou, Douze & Schmid 2011, public): split
     each d-dim vector into ``m`` subspaces of d/m dims, train a
@@ -450,8 +461,7 @@ class PqIndex:
         def local_topk(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return _EMPTY
-            codes = np.stack(
-                batch["pq_codes"].to_pandas().to_numpy())  # (n, m)
+            codes = _codes_matrix(batch["pq_codes"], self.m)
             ids = batch[id_col].to_pandas().to_numpy()
             rows = {"query_id": [], id_col: [], "score": []}
             sub = np.arange(self.m)
@@ -552,7 +562,7 @@ class IvfPqIndex:
             if batch.num_rows == 0:
                 return _EMPTY
             lists = batch["ivf_list"].to_numpy(zero_copy_only=False)
-            codes = np.stack(batch["pq_codes"].to_pandas().to_numpy())
+            codes = _codes_matrix(batch["pq_codes"], m)
             ids = batch[id_col].to_pandas().to_numpy()
             sub = np.arange(m)
             rows = {"query_id": [], id_col: [], "score": []}

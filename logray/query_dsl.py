@@ -169,6 +169,9 @@ def execute(plan: dict | str, sf_dir: str):
         elif op == "limit":
             ds = ds.limit(int(step["n"]))
         elif op == "topk":
+            if step is not plan["ops"][-1]:
+                raise ValueError("'topk' must be the final step (it "
+                                 "materializes the combiner result)")
             by = [(b[0], bool(b[1])) for b in step["by"]]
             return pa.Table.from_pandas(
                 relational.topk(ds, by, int(step["k"])),

@@ -296,3 +296,15 @@ def test_dsl_plan_json_roundtrip_and_cli(ray_session, tmp_path,
     assert rc == 0
     out = capsys.readouterr().out
     assert "event_type" in out and "n" in out
+
+
+def test_dsl_topk_must_be_final_step(ray_session):
+    import pytest
+
+    from logray.query_dsl import execute
+
+    plan = {"from": {"table": "events", "columns": ["event_id", "ts"]},
+            "ops": [{"op": "topk", "by": [["ts", False]], "k": 5},
+                    {"op": "limit", "n": 3}]}
+    with pytest.raises(ValueError, match="final step"):
+        execute(plan, "/root/testdata/sf0.001")
