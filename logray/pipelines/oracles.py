@@ -5544,3 +5544,29 @@ ORACLE_SQL["ddsketch_value_quantiles_by_type"] = """
            TRUE AS p99_in_bound_ok, TRUE AS no_saturation_ok
     FROM events GROUP BY event_type
 """
+
+
+ORACLE_SQL["benford_first_digit_events"] = """
+    WITH cents AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+        WHERE CAST(round(value * 100) AS BIGINT) > 0),
+    cells AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               CAST(count(*) AS BIGINT) AS observed
+        FROM cents GROUP BY 1),
+    t AS (SELECT sum(observed) AS total FROM cells)
+    SELECT digit, observed,
+           round(CAST(total AS DOUBLE)
+                 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+               AS expected,
+           round((CAST(observed AS DOUBLE)
+                  - CAST(total AS DOUBLE)
+                    * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                 * (CAST(observed AS DOUBLE)
+                    - CAST(total AS DOUBLE)
+                      * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                 / (CAST(total AS DOUBLE)
+                    * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
+               AS chi2_contrib
+    FROM cells, t
+"""

@@ -11982,6 +11982,43 @@ def ddsketch_value_quantiles_by_type(sf_dir: str):
     return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
 
 
+def benford_first_digit_events(sf_dir: str):
+    """Benford first-digit audit (the standard financial/synthetic-data
+    screen): distribution of the first significant digit of positive
+    event values vs Benford's log10(1+1/d) expectation, one row per
+    digit with observed count, expected count and the chi-square
+    contribution. Digit extraction runs on integer CENTS rendered as
+    strings (engine-stable — no float log edge cases); counts are
+    exact from one combiner exchange; expected/contrib round to 6
+    decimals with the identical operation order in SQL."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def digits(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        c = np.round(v * 100.0).astype(np.int64)
+        c = c[c > 0]
+        d = np.frompyfunc(lambda x: int(str(x)[0]), 1, 1)(c)             if False else c.astype("U1").astype(np.int64)
+        g = pa.table({"digit": pa.array(d, pa.int64())})             .group_by(["digit"]).aggregate([("digit", "count")])
+        return pa.table({"digit": g["digit"],
+                         "n": pc.cast(g["digit_count"], pa.int64())})
+
+    cells = relational.grouped_agg(
+        ds.map_batches(digits, batch_format="pyarrow"),
+        ["digit"], {"observed": ("n", "sum")}).to_pandas()
+    total = float(cells["observed"].sum())
+    dd = cells["digit"].to_numpy().astype(np.float64)
+    exp = total * np.log10(1.0 + 1.0 / dd)
+    obs = cells["observed"].to_numpy().astype(np.float64)
+    contrib = (obs - exp) * (obs - exp) / exp
+    out = pd.DataFrame({"digit": cells["digit"].astype("int64"),
+                        "observed": cells["observed"].astype("int64"),
+                        "expected": np.round(exp, 6),
+                        "chi2_contrib": np.round(contrib, 6)})
+    return pa.Table.from_pandas(out.sort_values("digit")
+                                .reset_index(drop=True),
+                                preserve_index=False)
+
+
 def third_event_per_user(sf_dir: str):
     """nth_value window (n=3): each user's third event (by ts, event_id
     tie-break) — type and value — for users with ≥3 events. User-bucketed
@@ -13576,6 +13613,7 @@ QUERIES = {
     "ivfpq_ann_recall_embeddings": ivfpq_ann_recall_embeddings,
     "opq_gain_embeddings": opq_gain_embeddings,
     "ddsketch_value_quantiles_by_type": ddsketch_value_quantiles_by_type,
+    "benford_first_digit_events": benford_first_digit_events,
     "int8_ann_recall_embeddings": int8_ann_recall_embeddings,
     "third_event_per_user": third_event_per_user,
     "minhash_exactdup_invariant_documents": minhash_exactdup_invariant_documents,
