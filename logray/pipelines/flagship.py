@@ -109,7 +109,7 @@ def pid_deriver(input_dir: str | Path, parts: dict[str, list[str]]):
             return batch.append_column(PID_COL, pids.take(d.indices))
 
         return fold_plain
-    m = [re.fullmatch(r"part-(r\d{2})-(\d{2})", s) for s in stems]
+    m = [re.fullmatch(r"part-(r\d+)-(\d{2})", s) for s in stems]
     if all(m):
         reps = {g.group(1) for g in m}
         base = {g.group(2) for g in m}
@@ -122,10 +122,14 @@ def pid_deriver(input_dir: str | Path, parts: dict[str, list[str]]):
                 if isinstance(conv, pa.ChunkedArray):
                     conv = conv.combine_chunks()
                 d = conv.dictionary_encode()
-                pids = pa.array(
-                    [(f"part-{u[:3]}-"
-                      f"{zlib.crc32(u[3:].encode()) % P:02d}")
-                     for u in d.dictionary.to_pylist()], pa.string())
+                # replica prefix is "r<k>" up to the original id's
+                # leading 'c' — variable width (r00 … r119 …)
+                pids = []
+                for u in d.dictionary.to_pylist():
+                    cut = u.index("c")
+                    pids.append(f"part-{u[:cut]}-"
+                                f"{zlib.crc32(u[cut:].encode()) % P:02d}")
+                pids = pa.array(pids, pa.string())
                 return batch.append_column(PID_COL, pids.take(d.indices))
 
             return fold_rep
@@ -325,7 +329,12 @@ def run_flagship(input_dir: str | Path, out_dir: str | Path, *,
             wave_size = 32  # Ray not up yet (it auto-inits in run_wave)
     parts = discover_partitions(input_dir)
     # hash-derivable layouts skip the per-row path column entirely
-    pid_fn = pid_deriver(input_dir, parts)
+    # (LOGRAY_FORCE_PATH_PID=1 forces the fallback — the A/B switch the
+    # scaling bench uses to measure the reduction in one quiet window)
+    import os as _os
+
+    pid_fn = (None if _os.environ.get("LOGRAY_FORCE_PATH_PID")
+              else pid_deriver(input_dir, parts))
     ran, skipped = [], []
     pending = []
     for pid in parts:

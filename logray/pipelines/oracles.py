@@ -5570,3 +5570,19 @@ ORACLE_SQL["benford_first_digit_events"] = """
                AS chi2_contrib
     FROM cells, t
 """
+
+
+ORACLE_SQL["lorenz_value_deciles_events"] = """
+    WITH totals AS (
+        SELECT user_id,
+               sum(CAST(round(value * 100) AS BIGINT)) AS total_c
+        FROM events GROUP BY user_id),
+    tiled AS (
+        SELECT total_c,
+               ntile(10) OVER (ORDER BY total_c, user_id) AS decile
+        FROM totals)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(total_c) AS BIGINT) AS decile_cents
+    FROM tiled GROUP BY decile
+"""

@@ -12019,6 +12019,40 @@ def benford_first_digit_events(sf_dir: str):
                                 preserve_index=False)
 
 
+def lorenz_value_deciles_events(sf_dir: str):
+    """Concentration audit (Lorenz deciles): per-user value totals in
+    exact integer cents, users ranked into value deciles (SQL ntile
+    tie semantics via ``window.ntile`` over one global partition), and
+    per-decile user count + cents mass — the "top decile holds X% of
+    spend" table, all-integer so the oracle hash-matches exactly.
+    Scale shape: the per-user reduction is a combiner groupby (users ≪
+    events); the decile assignment is one bucketed exchange over the
+    REDUCED totals, never the raw stream."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    prepped = ds.map_batches(lambda t: _add_cents(t, "value", "__c"),
+                             batch_format="pyarrow")
+    totals = relational.grouped_agg(prepped, ["user_id"],
+                                    {"total_c": ("__c", "sum")})
+    one = totals.map_batches(
+        lambda t: t.append_column("__all", pa.nulls(
+            t.num_rows, pa.int8()).fill_null(0)),
+        batch_format="pyarrow")
+    tiled = window.ntile(one, "__all",
+                         [("total_c", False), ("user_id", False)], 10,
+                         out_col="decile")
+    out = relational.grouped_agg(
+        tiled.map_batches(
+            lambda df: df[["decile", "total_c"]], batch_format="pandas"),
+        ["decile"], {"n_users": ("decile", "count"),
+                     "decile_cents": ("total_c", "sum")})
+    return out.map_batches(
+        lambda t: pa.table({
+            "decile": pc.cast(t["decile"], pa.int64()),
+            "n_users": pc.cast(t["n_users"], pa.int64()),
+            "decile_cents": pc.cast(t["decile_cents"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def third_event_per_user(sf_dir: str):
     """nth_value window (n=3): each user's third event (by ts, event_id
     tie-break) — type and value — for users with ≥3 events. User-bucketed
@@ -13456,6 +13490,7 @@ QUERIES = {
     "gini_value_by_type": gini_value_by_type,
     "pareto_top20_revenue_share": pareto_top20_revenue_share,
     "benford_first_digit_events": benford_first_digit_events,
+    "lorenz_value_deciles_events": lorenz_value_deciles_events,
     "join_size_estimate_orders_lineitem": join_size_estimate_orders_lineitem,
     "embedding_drift_by_dim": embedding_drift_by_dim,
     "sequence_regex_matches_users": sequence_regex_matches_users,
@@ -13614,6 +13649,7 @@ QUERIES = {
     "opq_gain_embeddings": opq_gain_embeddings,
     "ddsketch_value_quantiles_by_type": ddsketch_value_quantiles_by_type,
     "benford_first_digit_events": benford_first_digit_events,
+    "lorenz_value_deciles_events": lorenz_value_deciles_events,
     "int8_ann_recall_embeddings": int8_ann_recall_embeddings,
     "third_event_per_user": third_event_per_user,
     "minhash_exactdup_invariant_documents": minhash_exactdup_invariant_documents,
