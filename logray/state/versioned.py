@@ -168,7 +168,12 @@ def commit(table_dir: str | Path, new_tables: list[pa.Table], *,
         manifest["stats_key"] = sk
     if finalize is not None:
         finalize(manifest)
-    tmp = d / f".v{version:06d}.tmp"
+    # tmp name is unique PER WRITER: two racers for the same version
+    # must never share a tmp path, or the loser's write can replace the
+    # winner's bytes between its write and its link (a lost update the
+    # OCC stress test caught in the wild — the link itself stays the
+    # only arbiter); losers' tmps are swept by vacuum
+    tmp = d / f".v{version:06d}.{uuid.uuid4().hex}.tmp"
     tmp.write_text(json.dumps(manifest, indent=1))
     _publish(tmp, _manifest_path(d, version))
     return version
