@@ -385,9 +385,15 @@ class PqIndex:
         return self.fit_raw(_normalize(np.asarray(sample,
                                                   dtype=np.float64)))
 
-    def fit_raw(self, X: np.ndarray) -> "PqIndex":
+    def fit_raw(self, X: np.ndarray,
+                init: np.ndarray | None = None) -> "PqIndex":
         """Train on vectors AS GIVEN (no normalization) — the residual
-        space of ``IvfPqIndex`` must not be re-normalized."""
+        space of ``IvfPqIndex`` must not be re-normalized. ``init``
+        ((m, k, d/m) codebooks) warm-starts Lloyd's from an existing
+        state instead of a seeded random sample — every Lloyd step is
+        then non-increasing RELATIVE TO THAT STATE, the property
+        ``opq_train``'s monotone-error theorem needs (a fresh random
+        init is not a minimizer w.r.t. the previous iteration)."""
         X = np.asarray(X, dtype=np.float64)
         n, d = X.shape
         if d % self.m:
@@ -398,7 +404,8 @@ class PqIndex:
         books = np.empty((self.m, k, ds_))
         for s in range(self.m):
             Xs = X[:, s * ds_:(s + 1) * ds_]
-            C = Xs[rng.choice(n, k, replace=False)].copy()
+            C = (init[s].copy() if init is not None
+                 else Xs[rng.choice(n, k, replace=False)].copy())
             for _ in range(self.iters):
                 # nearest centroid under L2 (= max dot − ||c||²/2)
                 d2 = (Xs ** 2).sum(1, keepdims=True)                     - 2.0 * Xs @ C.T + (C ** 2).sum(1)
@@ -599,13 +606,20 @@ def opq_train(sample: np.ndarray, *, m: int = 16, bits: int = 8,
     rotation R so the rotated space quantizes better under product
     quantization — subspaces decorrelate, so the same code budget
     spends bits where the variance is. Alternating optimization on the
-    driver-side sample: fix R → train PQ on X·Rᵀ; fix codebooks →
-    R = argmin ‖X·Rᵀ − decoded‖² is the orthogonal-Procrustes solution
-    R = V·Uᵀ of SVD(decodedᵀ·X). Each half-step is a (constrained)
-    least-squares minimizer of the SAME objective, so the sample
-    reconstruction error is monotonically non-increasing — the exact
-    invariant the registered query asserts against plain PQ (iteration
-    0 IS plain PQ, so OPQ's final sample error ≤ plain PQ's).
+    driver-side sample: fix R → continue PQ training on X·Rᵀ
+    WARM-STARTED from the previous iteration's codebooks (they remain
+    valid in the newly rotated space because Procrustes re-fits R to
+    the same decoded targets); fix codebooks → R = argmin
+    ‖X·Rᵀ − decoded‖² is the orthogonal-Procrustes solution R = V·Uᵀ
+    of SVD(decodedᵀ·X). Every step — Procrustes, warm-started Lloyd
+    assignment/update, final encode — is then a minimizer (or exact
+    coordinate descent step) of the SAME objective RELATIVE TO THE
+    PRIOR STATE, so the sample reconstruction error is monotonically
+    non-increasing as a theorem, not a seed accident (a cold random
+    re-init per iteration, the pre-r5 behavior, is NOT a minimizer
+    w.r.t. the previous state and can regress). Iteration 0 IS plain
+    PQ, so OPQ's final sample error ≤ plain PQ's — the exact invariant
+    the registered query asserts.
 
     Returns ``(R [d,d], PqIndex fitted in the rotated space,
     errors [iters+1])`` — encode corpus batches as
@@ -619,8 +633,9 @@ def opq_train(sample: np.ndarray, *, m: int = 16, bits: int = 8,
     pq_ = None
     for it in range(iters + 1):
         Xr = X @ R.T
+        prev_books = None if pq_ is None else pq_.codebooks
         pq_ = PqIndex(m=m, bits=bits, iters=pq_iters, seed=seed)
-        pq_.fit_raw(Xr)
+        pq_.fit_raw(Xr, init=prev_books)
         codes = pq_._codes(Xr)
         ds_ = d // m
         dec = np.empty_like(Xr)

@@ -416,41 +416,59 @@ def kmv_set_relations(ds, tag_col: str, key_col: str, *, k: int = 256):
 
 # ------------------------------------------------------------- ddsketch --
 
-def _dd_partial(values: np.ndarray, gamma: float, n_bins: int):
-    """One DDSketch partial for positive values: bucket index
-    i = ceil(log_γ(v)) counted into a dense histogram (dict-free:
-    indices are clipped into [offset, offset+n_bins) — values outside
-    the representable range saturate the edge bins, recorded so the
-    guarantee check can exclude them). Partials merge by addition —
-    the exact-merge property every sketch here shares."""
-    v = values[np.isfinite(values) & (values > 0)]
-    zeros = int((values == 0).sum())
+def _dd_bucket(v: np.ndarray, gamma: float, n_bins: int):
+    """Log-bucket a strictly-positive value array into a dense
+    histogram: bucket index i = ceil(log_γ(v)), clipped into
+    [offset, offset+n_bins) with out-of-range values saturating the
+    edge bins (counted so the guarantee check can exclude them)."""
     if not len(v):
-        return np.zeros(n_bins, np.int64), zeros, 0
+        return np.zeros(n_bins, np.int64), 0
     idx = np.ceil(np.log(v) / np.log(gamma)).astype(np.int64)
     offset = -(n_bins // 2)
     clipped = np.clip(idx - offset, 0, n_bins - 1)
     n_sat = int(((idx - offset < 0) | (idx - offset >= n_bins)).sum())
-    counts = np.bincount(clipped, minlength=n_bins).astype(np.int64)
-    return counts, zeros, n_sat
+    return np.bincount(clipped, minlength=n_bins).astype(np.int64), n_sat
 
 
-def _dd_quantile(counts: np.ndarray, zeros: int, gamma: float,
-                 n_bins: int, q: float) -> float:
-    """Quantile read-out: rank → first bucket whose cumulative count
-    covers it; estimate = bucket midpoint 2γ^i/(γ+1), which is within
-    a factor (γ−1)/(γ+1) = α of every value in the bucket — DDSketch's
-    relative-error THEOREM (Masson, Rim & Lee 2019), the invariant the
-    registered query asserts exactly."""
-    total = int(counts.sum()) + zeros
+def _dd_partial(values: np.ndarray, gamma: float, n_bins: int):
+    """One DDSketch partial: TWO dense log-bucket histograms — a
+    mirrored store for negative values (bucketed on |v|) and the
+    positive store — plus the zero count (the canonical DDSketch
+    three-store layout, so data containing negatives gets exact rank
+    accounting instead of silently dropped rows). Partials merge by
+    addition — the exact-merge property every sketch here shares."""
+    fin = values[np.isfinite(values)]
+    zeros = int((fin == 0).sum())
+    pos, sat_p = _dd_bucket(fin[fin > 0], gamma, n_bins)
+    neg, sat_n = _dd_bucket(-fin[fin < 0], gamma, n_bins)
+    return neg, pos, zeros, sat_p + sat_n
+
+
+def _dd_quantile(neg: np.ndarray, counts: np.ndarray, zeros: int,
+                 gamma: float, n_bins: int, q: float) -> float:
+    """Quantile read-out across the three stores in value order —
+    negatives (descending |v|-bucket index = ascending value), zeros,
+    positives: rank → first bucket whose cumulative count covers it;
+    estimate = signed bucket midpoint ±2γ^i/(γ+1), which is within a
+    factor (γ−1)/(γ+1) = α of every value in the bucket — DDSketch's
+    relative-error THEOREM (Masson, Rim & Lee 2019), the invariant
+    the registered query asserts exactly."""
+    n_neg = int(neg.sum())
+    total = n_neg + int(counts.sum()) + zeros
     if total == 0:
         return float("nan")
     rank = max(int(np.ceil(q * total)), 1)
-    if rank <= zeros:
-        return 0.0
-    cum = zeros + np.cumsum(counts)
-    b = int(np.searchsorted(cum, rank))
     offset = -(n_bins // 2)
+    if rank <= n_neg:
+        # most-negative first: walk the mirrored store high-index down
+        cum = np.cumsum(neg[::-1])
+        b = int(np.searchsorted(cum, rank))
+        i = (n_bins - 1 - b) + offset
+        return float(-2.0 * gamma ** i / (gamma + 1.0))
+    if rank <= n_neg + zeros:
+        return 0.0
+    cum = n_neg + zeros + np.cumsum(counts)
+    b = int(np.searchsorted(cum, rank))
     i = b + offset
     return float(2.0 * gamma ** i / (gamma + 1.0))
 
@@ -474,17 +492,20 @@ def ddsketch_quantiles(ds, group_cols: list[str], value_col: str,
         vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         df = pa.table({**df_cols, "__v": pa.array(vals)}).to_pandas()
         rows = {c: [] for c in group_cols}
-        rows["counts"], rows["zeros"], rows["sat"] = [], [], []
+        rows["neg"], rows["counts"] = [], []
+        rows["zeros"], rows["sat"] = [], []
         for key, g in df.groupby(group_cols, sort=False):
             key = key if isinstance(key, tuple) else (key,)
-            counts, zeros, sat = _dd_partial(g["__v"].to_numpy(),
-                                             gamma, n_bins)
+            neg, counts, zeros, sat = _dd_partial(g["__v"].to_numpy(),
+                                                  gamma, n_bins)
             for c, kv in zip(group_cols, key):
                 rows[c].append(kv)
+            rows["neg"].append(neg.tobytes())
             rows["counts"].append(counts.tobytes())
             rows["zeros"].append(zeros)
             rows["sat"].append(sat)
         out = {c: pa.array(rows[c]) for c in group_cols}
+        out["neg"] = pa.array(rows["neg"], pa.binary())
         out["counts"] = pa.array(rows["counts"], pa.binary())
         out["zeros"] = pa.array(rows["zeros"], pa.int64())
         out["sat"] = pa.array(rows["sat"], pa.int64())
@@ -494,7 +515,11 @@ def ddsketch_quantiles(ds, group_cols: list[str], value_col: str,
         total = np.zeros(n_bins, np.int64)
         for b in df["counts"]:
             total += np.frombuffer(b, dtype=np.int64)
+        total_n = np.zeros(n_bins, np.int64)
+        for b in df["neg"]:
+            total_n += np.frombuffer(b, dtype=np.int64)
         out = df.iloc[:1][group_cols].copy()
+        out["neg"] = [total_n.tobytes()]
         out["counts"] = [total.tobytes()]
         out["zeros"] = int(df["zeros"].sum())
         out["sat"] = int(df["sat"].sum())
@@ -506,11 +531,13 @@ def ddsketch_quantiles(ds, group_cols: list[str], value_col: str,
               .to_pandas())
     rows = []
     for _, r in merged.iterrows():  # O(groups) driver rows
+        neg = np.frombuffer(r["neg"], dtype=np.int64)
         counts = np.frombuffer(r["counts"], dtype=np.int64)
         row = {c: r[c] for c in group_cols}
         row["sat"] = int(r["sat"])
+        row["n_neg"] = int(neg.sum())
         for q in qs:
             row[f"p{int(q * 100)}"] = _dd_quantile(
-                counts, int(r["zeros"]), gamma, n_bins, q)
+                neg, counts, int(r["zeros"]), gamma, n_bins, q)
         rows.append(row)
     return pd.DataFrame(rows)

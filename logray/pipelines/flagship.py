@@ -86,7 +86,23 @@ def pid_deriver(input_dir: str | Path, parts: dict[str, list[str]]):
     pool. Returns a vectorized ``batch -> batch(+PID_COL)`` fold, or
     None when the layout isn't provably hash-derived (foreign inputs
     fall back to the path column). crc32 runs once per DISTINCT
-    conv_id per batch (dictionary-encode → hash uniques → take)."""
+    conv_id per batch (dictionary-encode → hash uniques → take).
+
+    Two gates guard against a FOREIGN corpus whose directory happens
+    to match the generator's shape but whose conv_id scheme differs
+    (derived pids would then disagree with the files rows came from,
+    silently breaking partition-granular resume):
+    1. build-time: a sample of conv_id values is read from up to 3
+       files (footer-cheap, first row group only) and the candidate
+       fold must reproduce each file's own stem EXACTLY — any
+       mismatch returns None, i.e. the path-column fallback;
+    2. runtime: ``fold_rep`` parses the replica prefix with the same
+       ``r\\d+`` regex as the directory gate; a conv_id that doesn't
+       match past the sample gate (mixed/corrupt input) raises a
+       diagnostic naming the value and the LOGRAY_FORCE_PATH_PID
+       escape hatch rather than mis-hashing rows into wrong
+       partitions (the path column is not read on this code path, so
+       a silent per-row fallback does not exist)."""
     import re
     import zlib
 
@@ -94,6 +110,7 @@ def pid_deriver(input_dir: str | Path, parts: dict[str, list[str]]):
     if not meta_p.exists():
         return None
     stems = sorted(parts)
+    fold = None
     plain = {f"part-{i:02d}" for i in range(len(parts))}
     if set(stems) == plain:
         P = len(parts)
@@ -108,32 +125,59 @@ def pid_deriver(input_dir: str | Path, parts: dict[str, list[str]]):
                  for u in d.dictionary.to_pylist()], pa.string())
             return batch.append_column(PID_COL, pids.take(d.indices))
 
-        return fold_plain
-    m = [re.fullmatch(r"part-(r\d+)-(\d{2})", s) for s in stems]
-    if all(m):
-        reps = {g.group(1) for g in m}
-        base = {g.group(2) for g in m}
-        P = len(base)
-        if (len(parts) == len(reps) * P
-                and base == {f"{i:02d}" for i in range(P)}):
+        fold = fold_plain
+    else:
+        m = [re.fullmatch(r"part-(r\d+)-(\d{2})", s) for s in stems]
+        if all(m):
+            reps = {g.group(1) for g in m}
+            base = {g.group(2) for g in m}
+            P = len(base)
+            if (len(parts) == len(reps) * P
+                    and base == {f"{i:02d}" for i in range(P)}):
+                rep_re = re.compile(r"(r\d+)(c.*)", re.DOTALL)
 
-            def fold_rep(batch: pa.Table) -> pa.Table:
-                conv = batch["conv_id"]
-                if isinstance(conv, pa.ChunkedArray):
-                    conv = conv.combine_chunks()
-                d = conv.dictionary_encode()
-                # replica prefix is "r<k>" up to the original id's
-                # leading 'c' — variable width (r00 … r119 …)
-                pids = []
-                for u in d.dictionary.to_pylist():
-                    cut = u.index("c")
-                    pids.append(f"part-{u[:cut]}-"
-                                f"{zlib.crc32(u[cut:].encode()) % P:02d}")
-                pids = pa.array(pids, pa.string())
-                return batch.append_column(PID_COL, pids.take(d.indices))
+                def fold_rep(batch: pa.Table) -> pa.Table:
+                    conv = batch["conv_id"]
+                    if isinstance(conv, pa.ChunkedArray):
+                        conv = conv.combine_chunks()
+                    d = conv.dictionary_encode()
+                    # replica prefix "r<k>" up to the original id's
+                    # leading 'c' — variable width (r00 … r119 …),
+                    # parsed with the same shape the dir gate used
+                    pids = []
+                    for u in d.dictionary.to_pylist():
+                        g = rep_re.fullmatch(u)
+                        if g is None:
+                            raise ValueError(
+                                f"conv_id {u!r} does not match the "
+                                f"replicated-layout scheme r<K>c...; "
+                                f"the corpus mixes id schemes — rerun "
+                                f"with LOGRAY_FORCE_PATH_PID=1 to "
+                                f"route by file path instead")
+                        pids.append(
+                            f"part-{g.group(1)}-"
+                            f"{zlib.crc32(g.group(2).encode()) % P:02d}")
+                    pids = pa.array(pids, pa.string())
+                    return batch.append_column(PID_COL,
+                                               pids.take(d.indices))
 
-            return fold_rep
-    return None
+                fold = fold_rep
+    if fold is None:
+        return None
+    # build-time sample gate: the fold must reproduce each sampled
+    # file's own stem, else the conv_id scheme is foreign → path fold
+    try:
+        for stem in stems[:: max(1, len(stems) // 3)][:3]:
+            f = pq.ParquetFile(parts[stem][0])
+            if f.metadata.num_rows == 0:
+                continue
+            sample = f.read_row_group(0, columns=["conv_id"]).slice(0, 64)
+            derived = fold(sample)[PID_COL].to_pylist()
+            if any(p != stem for p in derived):
+                return None
+    except (ValueError, KeyError, OSError):
+        return None
+    return fold
 
 
 def _parse_with_pid(batch: pa.Table, ruleset=None,

@@ -27,14 +27,17 @@ Commit protocols (used by manifests.py / versioned.py):
   (last-wins) — atomic, crash-safe, the guarantees tests assert.
 - remote: write tmp + ``move`` (copy-PUT + delete on object stores —
   readers see the old or the complete new object, never a partial
-  write) with existence check before and read-back verify after for
-  the exclusive flavor. True put-if-absent needs a conditional-put
-  primitive (S3 ``If-None-Match``, GCS ``ifGenerationMatch``) that
-  ``pyarrow.fs`` doesn't expose; the check+verify pair narrows the
-  lost-race window to concurrent sub-second publishes and detects the
-  loser deterministically when the store's PUT is last-writer-wins —
-  deployments needing hard OCC on S3 should front the publish with a
-  conditional put or a lock object, exactly as Delta/Iceberg do.
+  write). For the exclusive/OCC flavor, a CONDITIONAL-PUT backend can
+  be mounted per filesystem via ``register_put_if_absent(fs, fn)``
+  with ``fn(fs, path, data: bytes) -> bool`` — the S3
+  ``If-None-Match: *`` / GCS ``ifGenerationMatch=0`` / Azure
+  ``If-None-Match`` hook that makes the publish a true atomic
+  put-if-absent (the loser is deterministically refused by the
+  store). Without a mounted backend the fallback is existence check
+  → move → read-back verify, which narrows the lost-race window to
+  concurrent sub-second publishes and detects the loser when the
+  store's PUT is last-writer-wins — the same degradation Delta/
+  Iceberg document for S3 without a coordination service.
 """
 
 from __future__ import annotations
@@ -48,12 +51,29 @@ import pyarrow.parquet as pq
 from pyarrow import fs as pafs
 
 _SCHEMES: dict[str, pafs.FileSystem] = {}
+_PUT_IF_ABSENT: dict[int, object] = {}
 
 
 def register_filesystem(scheme: str, filesystem: pafs.FileSystem) -> None:
     """Mount ``filesystem`` under ``scheme://`` for later ``fspath``
     calls (driver-side; resolved FsPaths ship to workers by value)."""
     _SCHEMES[scheme] = filesystem
+
+
+def register_put_if_absent(filesystem: pafs.FileSystem, fn) -> None:
+    """Mount a conditional-put backend for ``filesystem``:
+    ``fn(fs, path, data: bytes) -> bool`` must atomically create
+    ``path`` with ``data`` ONLY if it does not exist, returning False
+    (without writing) when it already does — the store-side primitive
+    (S3 ``If-None-Match: *``, GCS ``ifGenerationMatch=0``) that makes
+    ``publish_exclusive`` a true OCC publish on object storage. Keyed
+    by filesystem identity; register on the driver before resolving
+    FsPaths (commits run driver-side, so workers never need it).
+    Pass ``None`` to unregister."""
+    if fn is None:
+        _PUT_IF_ABSENT.pop(id(filesystem), None)
+    else:
+        _PUT_IF_ABSENT[id(filesystem)] = fn
 
 
 class FsPath:
@@ -217,19 +237,30 @@ def publish_replace(tmp: FsPath, target: FsPath) -> None:
     single committing writer per partition; a retry re-publishing the
     same content is idempotent). Local: ``os.replace``. Remote: move —
     copy-PUT + delete on object stores, so readers see old-or-new,
-    never partial."""
+    never partial. The move is attempted WITH the destination in place
+    first (object-store PUT overwrites atomically); only filesystems
+    whose move refuses an existing destination fall back to
+    unlink+retry — so on overwriting stores a concurrent reader never
+    observes the target as NotFound mid-publish (the contract a resume
+    check during manifest republish relies on)."""
     if tmp.is_local:
         os.replace(tmp.path, target.path)
-    else:
-        if target.exists():
-            target.unlink()
+        return
+    try:
+        tmp.fs.move(tmp.path, target.path)
+    except OSError:
+        if not target.exists():
+            raise
+        target.unlink()
         tmp.fs.move(tmp.path, target.path)
 
 
 def publish_exclusive(tmp: FsPath, target: FsPath) -> bool:
     """Put-if-absent publish for OCC commits (versioned tables): returns
     False when a concurrent writer won the race — the caller raises its
-    conflict. Local: hard-link (kernel-atomic EEXIST). Remote:
+    conflict. Local: hard-link (kernel-atomic EEXIST). Remote with a
+    ``register_put_if_absent`` backend: one store-side conditional PUT
+    — the loser is deterministically refused, true OCC. Remote without:
     existence check → move → read-back verify (see module docstring
     for the residual-window contract on last-writer-wins PUT stores)."""
     if tmp.is_local:
@@ -240,6 +271,12 @@ def publish_exclusive(tmp: FsPath, target: FsPath) -> bool:
             return False
         tmp.unlink()
         return True
+    cput = _PUT_IF_ABSENT.get(id(tmp.fs))
+    if cput is not None:
+        data = tmp.read_bytes()
+        ok = bool(cput(tmp.fs, target.path, data))
+        tmp.unlink()
+        return ok
     if target.exists():
         tmp.unlink()
         return False

@@ -319,6 +319,10 @@ def merge_into(table_dir: str | Path, changes: pa.Table, key: str) -> int:
     stats = m.get("stats")
     if stats is None:
         raise ValueError("merge_into needs commit_with_stats manifests")
+    if m.get("stats_key") != key:
+        raise ValueError(
+            f"table stats are keyed on {m.get('stats_key')!r}; merging "
+            f"on {key!r} would prune by the wrong column's ranges")
     ck = np.unique(changes[key].combine_chunks().to_numpy(
         zero_copy_only=False))
     affected = [f for f in m["files"]
@@ -381,7 +385,11 @@ def _dv_hidden_agg(d: FsPath, m: dict, sum_cols: list[str]) -> dict:
     deletion vectors HIDE from its file list — what ``incremental_agg``
     must subtract so the rolled-forward aggregate equals the aggregate
     of ``read()`` (which anti-filters the DVs). Manifest stats prune
-    files whose [min, max] can't hold any deleted key."""
+    files whose [min, max] can't hold any deleted key — ONLY when the
+    stats column IS the delete key (stats on A say nothing about which
+    files hold deleted B values; a mismatched prune would silently
+    skip files containing deleted rows and diverge from the full
+    recompute). Mismatched tables scan every file instead."""
     import numpy as np
 
     out = {"n_rows": 0, **{f"sum_{c}": 0 for c in sum_cols}}
@@ -389,7 +397,7 @@ def _dv_hidden_agg(d: FsPath, m: dict, sum_cols: list[str]) -> dict:
     if dv is None:
         return out
     key, ks = dv
-    stats = m.get("stats")
+    stats = m.get("stats") if m.get("stats_key") == key else None
     cols = list(dict.fromkeys([key, *sum_cols]))
     for f in m["files"]:
         if stats and f in stats:

@@ -3794,3 +3794,33 @@ def test_ddsketch_guarantee_and_merge(ray_session):
             true = v[max(int(np.ceil(q * len(v))), 1) - 1]
             assert abs(r[col] - true) <= 0.02 * abs(true) + 1e-12, \
                 (r["g"], q, r[col], true)
+
+
+def test_ddsketch_negative_store(ray_session):
+    """Data containing negatives gets EXACT rank accounting via the
+    mirrored negative store (r5 ADVICE fix — previously negatives were
+    silently dropped, rank-shifting every estimate): the α bound holds
+    for quantiles landing in the negative, zero and positive regions,
+    and n_neg surfaces the count."""
+    import ray.data
+
+    from logray.ops.sketch import ddsketch_quantiles
+
+    rng = np.random.default_rng(11)
+    n = 30_000
+    v = np.where(rng.random(n) < 0.4, -rng.lognormal(1, 1.2, n),
+                 rng.lognormal(2, 1.0, n))
+    v[rng.random(n) < 0.02] = 0.0
+    t = pa.table({"g": pa.array(rng.integers(0, 3, n)), "v": pa.array(v)})
+    ds = ray.data.from_arrow(t).repartition(6)
+    est = ddsketch_quantiles(ds, ["g"], "v", [0.1, 0.5, 0.9],
+                             alpha=0.02)
+    df = t.to_pandas()
+    for _, r in est.iterrows():
+        sv = np.sort(df[df["g"] == r["g"]]["v"].to_numpy())
+        assert r["sat"] == 0
+        assert r["n_neg"] == int((sv < 0).sum())
+        for q, col in ((0.1, "p10"), (0.5, "p50"), (0.9, "p90")):
+            true = sv[max(int(np.ceil(q * len(sv))), 1) - 1]
+            assert abs(r[col] - true) <= 0.02 * abs(true) + 1e-12, \
+                (r["g"], q, r[col], true)

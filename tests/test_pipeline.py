@@ -246,3 +246,50 @@ def test_pid_deriver_equals_path_stem(ray_session, tmp_path):
     ma = json.loads((out_a / "_metrics.json").read_text())
     mb = json.loads((out_b / "_metrics.json").read_text())
     assert ma["rows"] == mb["rows"] and ma["matched_pct"] == mb["matched_pct"]
+
+
+def test_pid_deriver_rejects_foreign_corpus(tmp_path):
+    """r5 ADVICE fix: a FOREIGN corpus whose directory matches the
+    generator's shape (``_meta.json`` + ``part-NN`` / ``part-rK-NN``
+    names) but whose conv_id scheme differs must NOT get a derived
+    pid — the build-time sample gate returns None so the path-column
+    fold routes rows by their actual source file, and the replicated
+    fold never mis-hashes or dies on ``u.index('c')``."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from logray.pipelines import flagship
+
+    def mk(d, names, conv_ids):
+        d.mkdir()
+        (d / "_meta.json").write_text(json.dumps({"foreign": True}))
+        for name, cid in zip(names, conv_ids):
+            pq_.write_table(
+                pa.table({"conv_id": pa.array([cid] * 4),
+                          "turn_idx": pa.array(range(4), pa.int32()),
+                          "text": pa.array(["x"] * 4)}),
+                d / f"{name}.parquet")
+
+    # plain shape, foreign ids: crc32 routing disagrees with stems
+    a = tmp_path / "a"
+    mk(a, ["part-00", "part-01"], ["sess-alpha", "sess-beta"])
+    assert flagship.pid_deriver(a, flagship.discover_partitions(a)) \
+        is None
+
+    # replicated shape, ids lacking the r<K>c... scheme entirely:
+    # the old u.index('c') would raise; the gate must just return None
+    b = tmp_path / "b"
+    mk(b, ["part-r0-00", "part-r1-00"], ["0123-9", "9876-1"])
+    assert flagship.pid_deriver(b, flagship.discover_partitions(b)) \
+        is None
+
+    # genuine generator corpus still derives (regression guard for
+    # the gate itself)
+    from logray.gen import generate_corpus
+
+    c = tmp_path / "c"
+    generate_corpus(0.002, c, with_expected=False)
+    assert flagship.pid_deriver(c, flagship.discover_partitions(c)) \
+        is not None

@@ -342,6 +342,40 @@ def test_incremental_agg_crosses_delete_keys(ray_session, tmp_path):
     assert rolled2 == full(v4)
 
 
+def test_incremental_agg_mismatched_delete_and_stats_key(
+        ray_session, tmp_path):
+    """r5 ADVICE fix (medium): stats on column A say nothing about
+    which files hold deleted B values — with delete_key != stats_key
+    the DV-hidden scan must NOT prune by stats (it previously skipped
+    files that actually contained deleted rows, silently diverging
+    from the full recompute), and merge_into on the wrong key must
+    refuse rather than prune by the wrong column's ranges."""
+    import pytest
+
+    d = tmp_path / "tbl"
+    # stats keyed on id; the two files' v-ranges do NOT cover the
+    # deleted v values' positions the stats-prune would assume
+    t1 = pa.table({"id": pa.array([0, 1, 2], pa.int64()),
+                   "v": pa.array([100, 101, 102], pa.int64())})
+    t2 = pa.table({"id": pa.array([10, 11, 12], pa.int64()),
+                   "v": pa.array([5, 6, 7], pa.int64())})
+    v1 = versioned.commit_with_stats(d, [t1, t2], "id")
+    # delete keyed on v: 101 lives in the FIRST file, whose id-stats
+    # range [0,2] excludes 101 — a stats-keyed prune would skip it
+    v2 = versioned.delete_keys(d, [101], "v")
+
+    def full(v):
+        df = versioned.read(d, v).to_pandas()
+        return {"n_rows": len(df), "sum_v": int(df["v"].sum())}
+
+    base = full(v1)
+    rolled = versioned.incremental_agg(d, v1, v2, base, ["v"])
+    assert rolled == full(v2) == {"n_rows": 5, "sum_v": 100 + 102 + 18}
+
+    with pytest.raises(ValueError, match="keyed on"):
+        versioned.merge_into(d, t1.slice(0, 1), "v")
+
+
 def test_merge_into_key_in_multiple_files_upserts_once(
         ray_session, tmp_path):
     """ADVICE r3 (low): a key physically present in two files must
