@@ -2444,24 +2444,6 @@ ORACLE_SQL["join_size_estimate_orders_lineitem"] = """
     FROM a JOIN b USING (k)
 """
 
-ORACLE_SQL["benford_first_digit_events"] = """
-    WITH o AS (
-        SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
-                                AS VARCHAR), 1, 1) AS BIGINT) AS digit,
-               count(*) AS n
-        FROM events GROUP BY 1),
-    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM o)
-    SELECT digit, CAST(n AS BIGINT) AS n,
-           t.total * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS expected,
-           (CAST(n AS DOUBLE)
-                - t.total * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
-           * (CAST(n AS DOUBLE)
-                - t.total * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
-           / (t.total * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
-               AS chi2_contrib
-    FROM o, t
-"""
-
 ORACLE_SQL["gini_value_by_type"] = """
     WITH r AS (
         SELECT event_type,
@@ -5513,7 +5495,13 @@ for _n in ("grouped_count_events", "grouped_agg_events",
            "sort_limit_events", "topk_users_by_value",
            "distinct_event_types", "customers_without_big_orders",
            "join_customer_nation_region", "pricing_summary_lineitem",
-           "lead_value_events", "ntile_value_quartiles"):
+           "lead_value_events", "ntile_value_quartiles",
+           # r5: union / outer+left join / having / as-of steps
+           "union_purchases_errors", "union_distinct_users",
+           "purchase_error_outer_join", "customer_order_counts",
+           "q18_large_volume_customers", "asof_purchase_prior_click",
+           "asof_tolerance_purchase_click",
+           "asof_view_prior_purchase_dist"):
     ORACLE_SQL[f"dsl_{_n}"] = ORACLE_SQL[_n]
 
 

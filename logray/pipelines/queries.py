@@ -7962,39 +7962,6 @@ def pareto_top20_revenue_share(sf_dir: str):
         "top20_share": [float(top) / float(tot)]})
 
 
-def benford_first_digit_events(sf_dir: str):
-    """Benford's-law audit of the value column (the classic fraud /
-    synthetic-data detector): observed first-significant-digit counts vs
-    the Benford expectation, with each digit's chi-square contribution.
-    Counts are exact (first digit read off the integer-cents decimal
-    rendering, combiner-aggregated); expectations and contributions are
-    fixed-order float expressions identical in SQL."""
-    ds = _read(sf_dir, "events", ["value"])
-
-    def digits(t: pa.Table) -> pa.Table:
-        c = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
-        c = pc.cast(c, pa.string())
-        d = pc.cast(pc.utf8_slice_codeunits(c, 0, 1), pa.int64())
-        g = pa.table({"digit": d}).group_by("digit").aggregate(
-            [("digit", "count")])
-        return pa.table({"digit": g["digit"],
-                         "n": pc.cast(g["digit_count"], pa.int64())})
-
-    obs = relational.grouped_agg(
-        ds.map_batches(digits, batch_format="pyarrow"),
-        ["digit"], {"n": ("n", "sum")}).to_pandas().sort_values("digit")
-    total = float(obs["n"].sum())
-    d = obs["digit"].to_numpy().astype(np.float64)
-    p = np.log10(1.0 + 1.0 / d)
-    exp = total * p
-    o = obs["n"].to_numpy().astype(np.float64)
-    contrib = (o - exp) * (o - exp) / exp
-    return pd.DataFrame({"digit": obs["digit"].to_numpy().astype(np.int64),
-                         "n": obs["n"].to_numpy().astype(np.int64),
-                         "expected": exp,
-                         "chi2_contrib": contrib}).reset_index(drop=True)
-
-
 def join_size_estimate_orders_lineitem(sf_dir: str):
     """Join-cardinality estimation (the planner primitive behind
     broadcast-vs-shuffle decisions): |orders ⋈ lineitem| on o_orderkey
@@ -13489,8 +13456,6 @@ QUERIES = {
     "dup_cluster_size_histogram": dup_cluster_size_histogram,
     "gini_value_by_type": gini_value_by_type,
     "pareto_top20_revenue_share": pareto_top20_revenue_share,
-    "benford_first_digit_events": benford_first_digit_events,
-    "lorenz_value_deciles_events": lorenz_value_deciles_events,
     "join_size_estimate_orders_lineitem": join_size_estimate_orders_lineitem,
     "embedding_drift_by_dim": embedding_drift_by_dim,
     "sequence_regex_matches_users": sequence_regex_matches_users,

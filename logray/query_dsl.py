@@ -23,16 +23,29 @@ Expressions are structured JSON (no eval): ``{"col": name}``,
 ``{"add"|"sub"|"mul"|"div"|"eq"|"ne"|"lt"|"le"|"gt"|"ge"|"and"|"or":
 [e, e]}``, ``{"round": [e, ndigits]}``, ``{"cents": [e, scale]}``
 (exact integer minor units), ``{"uncents": [e, scale]}``,
-``{"not": e}``, ``{"isin": [e, [v, ...]]}``.
+``{"not": e}``, ``{"isin": [e, [v, ...]]}``, ``{"coalesce": [e, e]}``,
+``{"fill": [e, v]}`` (null AND NaN → v — the post-outer-join
+null-fill), ``{"int": e}`` (cast to int64).
 
 Steps: ``select``, ``rename``, ``filter`` (expr), ``derive`` (named
-exprs), ``groupby`` (keys + aggs over the grouped_agg fns), ``sort``
+exprs), ``groupby`` (keys + aggs over the grouped_agg fns),
+``having`` (post-aggregate filter — same compiled predicate as
+``filter``, named for plans that read like SQL), ``sort``
 (+ ``limit``), ``topk`` (combiner top-k → Table), ``distinct``,
 ``limit``, ``join`` (sub-plan right side; ``strategy`` broadcast —
-right collected once, ``ray.put`` inside broadcast_join — or hash),
-``semi``/``anti`` (sub-plan key side, co-partitioned semi-join),
-``window`` (lead / dense_rank / ntile / percent_rank / running_sum —
-the bucketed-shuffle window ops of ``ops.window``).
+right collected once, ``ray.put`` inside broadcast_join — or hash;
+``how`` inner/left on broadcast, inner/left/outer on hash: a
+per-batch broadcast OUTER would re-emit unmatched right rows once
+per batch, so it's rejected at compile time), ``union`` (sub-plan
+appended stream-wise, no shuffle — SQL UNION ALL; follow with
+``distinct`` for UNION), ``asof`` (sub-plan right side; ``by`` key +
+ordered ``on`` column, ``value_cols`` carried over, optional
+``tolerance`` like "30m"; ``strategy`` broadcast — right collected
++ merge_asof per bucket — or dist — both sides co-partition in one
+exchange via ``asof_join_dist``), ``semi``/``anti`` (sub-plan key
+side, co-partitioned semi-join), ``window`` (lead / dense_rank /
+ntile / percent_rank / running_sum — the bucketed-shuffle window
+ops of ``ops.window``).
 
 Entry points: ``execute(plan, sf_dir)`` and the CLI
 ``python -m logray query-plan <plan.json> <sf_dir>``. Every plan in
@@ -96,6 +109,24 @@ def compile_expr(node: Any):
         return lambda t: pc.round(
             pc.divide(pc.cast(sub(t), pa.float64()), scale),
             ndigits=max(0, int(round(np.log10(scale)))))
+    if kind == "coalesce":
+        a, b = compile_expr(arg[0]), compile_expr(arg[1])
+        return lambda t: pc.coalesce(a(t), b(t))
+    if kind == "fill":
+        sub = compile_expr(arg[0])
+        v = arg[1]
+
+        def fill(t):
+            x = sub(t)
+            x = pc.fill_null(x, v)
+            if pa.types.is_floating(x.type):
+                x = pc.if_else(pc.is_nan(x), pa.scalar(float(v)), x)
+            return x
+
+        return fill
+    if kind == "int":
+        sub = compile_expr(arg)
+        return lambda t: pc.cast(sub(t), pa.int64())
     if kind in _BINOPS:
         a, b = compile_expr(arg[0]), compile_expr(arg[1])
         fn = _BINOPS[kind]
@@ -150,7 +181,7 @@ def execute(plan: dict | str, sf_dir: str):
                 lambda t, m=m: t.rename_columns(
                     [m.get(c, c) for c in t.column_names]),
                 batch_format="pyarrow")
-        elif op == "filter":
+        elif op in ("filter", "having"):
             ds = _apply_filter(ds, step["expr"])
         elif op == "derive":
             ds = _apply_derive(ds, step["cols"])
@@ -180,6 +211,11 @@ def execute(plan: dict | str, sf_dir: str):
             right = execute(step["with"], sf_dir)
             how = step.get("how", "inner")
             if step.get("strategy", "broadcast") == "broadcast":
+                if how not in ("inner", "left"):
+                    raise ValueError(
+                        f"broadcast join cannot express how={how!r}: a "
+                        f"per-batch merge would re-emit unmatched right "
+                        f"rows once per batch — use strategy 'hash'")
                 small = (right.to_pandas()
                          if not isinstance(right, pa.Table)
                          else right.to_pandas())
@@ -188,6 +224,33 @@ def execute(plan: dict | str, sf_dir: str):
             else:
                 ds = relational.hash_join(ds, right, on=step["on"],
                                           how=how)
+        elif op == "union":
+            right = execute(step["with"], sf_dir)
+            if isinstance(right, pa.Table):
+                import ray.data
+
+                right = ray.data.from_arrow(right)
+            ds = ds.union(right)
+        elif op == "asof":
+            import pandas as pd
+
+            from .ops import window as W
+
+            right = execute(step["with"], sf_dir)
+            tol = (pd.Timedelta(step["tolerance"])
+                   if "tolerance" in step else None)
+            kw = dict(by=step["by"], on=step["on"],
+                      value_cols=step["value_cols"],
+                      direction=step.get("direction", "backward"))
+            if step.get("strategy", "broadcast") == "broadcast":
+                small = (right.to_pandas() if not isinstance(
+                    right, pa.Table) else right.to_pandas())
+                ds = W.asof_join(ds, small, tolerance=tol, **kw)
+            else:
+                if tol is not None:
+                    raise ValueError("asof strategy 'dist' does not "
+                                     "support tolerance yet")
+                ds = W.asof_join_dist(ds, right, **kw)
         elif op == "window":
             from .ops import window as W
 
@@ -376,6 +439,172 @@ PLANS: dict[str, dict] = {
                                                10000]},
                 "avg_qty": {"round": [{"col": "avg_qty"}, 6]},
                 "avg_price": {"round": [{"col": "avg_price"}, 6]}}},
+        ],
+    },
+    # ---- r5 additions: union / outer+left join / having / as-of ----
+    "union_purchases_errors": {
+        "from": {"table": "events", "columns": ["event_id", "event_type"]},
+        "ops": [
+            {"op": "filter", "expr": {
+                "eq": [{"col": "event_type"}, {"lit": "purchase"}]}},
+            {"op": "union", "with": {
+                "from": {"table": "events",
+                         "columns": ["event_id", "event_type"]},
+                "ops": [{"op": "filter", "expr": {
+                    "eq": [{"col": "event_type"}, {"lit": "error"}]}}]}},
+        ],
+    },
+    "union_distinct_users": {
+        "from": {"table": "events", "columns": ["user_id", "event_type"]},
+        "ops": [
+            {"op": "filter", "expr": {
+                "eq": [{"col": "event_type"}, {"lit": "purchase"}]}},
+            {"op": "select", "cols": ["user_id"]},
+            {"op": "union", "with": {
+                "from": {"table": "events",
+                         "columns": ["user_id", "event_type"]},
+                "ops": [
+                    {"op": "filter", "expr": {
+                        "eq": [{"col": "event_type"}, {"lit": "error"}]}},
+                    {"op": "select", "cols": ["user_id"]}]}},
+            {"op": "distinct", "cols": ["user_id"]},
+        ],
+    },
+    "purchase_error_outer_join": {
+        "from": {"table": "events", "columns": ["user_id", "event_type"]},
+        "ops": [
+            {"op": "filter", "expr": {
+                "eq": [{"col": "event_type"}, {"lit": "purchase"}]}},
+            {"op": "groupby", "keys": ["user_id"],
+             "aggs": {"n_purchase": ["user_id", "count"]}},
+            {"op": "join", "on": "user_id", "how": "outer",
+             "strategy": "hash", "with": {
+                 "from": {"table": "events",
+                          "columns": ["user_id", "event_type"]},
+                 "ops": [
+                     {"op": "filter", "expr": {
+                         "eq": [{"col": "event_type"}, {"lit": "error"}]}},
+                     {"op": "groupby", "keys": ["user_id"],
+                      "aggs": {"n_error": ["user_id", "count"]}}]}},
+        ],
+    },
+    "customer_order_counts": {
+        "from": {"table": "customer", "columns": ["c_custkey"]},
+        "ops": [
+            {"op": "join", "on": "c_custkey", "how": "left",
+             "strategy": "hash", "with": {
+                 "from": {"table": "orders",
+                          "columns": ["o_custkey", "o_orderkey"]},
+                 "ops": [
+                     {"op": "groupby", "keys": ["o_custkey"],
+                      "aggs": {"n_orders": ["o_orderkey", "count"]}},
+                     {"op": "rename",
+                      "cols": {"o_custkey": "c_custkey"}}]}},
+            {"op": "derive", "cols": {
+                "n_orders": {"int": {"fill": [{"col": "n_orders"}, 0]}}}},
+        ],
+    },
+    "q18_large_volume_customers": {
+        "from": {"table": "orders",
+                 "columns": ["o_orderkey", "o_custkey", "o_totalprice",
+                             "o_orderdate"]},
+        "ops": [
+            # heavy-hitter orders are tiny BY CONSTRUCTION → broadcast
+            {"op": "join", "on": "o_orderkey", "strategy": "broadcast",
+             "with": {
+                 "from": {"table": "lineitem",
+                          "columns": ["l_orderkey", "l_quantity"]},
+                 "ops": [
+                     {"op": "derive", "cols": {
+                         "__q": {"cents": [{"col": "l_quantity"}, 1]}}},
+                     {"op": "rename",
+                      "cols": {"l_orderkey": "o_orderkey"}},
+                     {"op": "groupby", "keys": ["o_orderkey"],
+                      "aggs": {"total_qty": ["__q", "sum"]}},
+                     {"op": "having", "expr": {
+                         "gt": [{"col": "total_qty"}, {"lit": 300}]}}]}},
+            {"op": "join", "on": "o_custkey", "strategy": "broadcast",
+             "with": {
+                 "from": {"table": "customer",
+                          "columns": ["c_custkey", "c_name"]},
+                 "ops": [{"op": "rename",
+                          "cols": {"c_custkey": "o_custkey"}}]}},
+            {"op": "select", "cols": ["c_name", "o_custkey", "o_orderkey",
+                                      "o_orderdate", "o_totalprice",
+                                      "total_qty"]},
+        ],
+    },
+    "asof_purchase_prior_click": {
+        "from": {"table": "events",
+                 "columns": ["event_id", "user_id", "ts", "event_type"]},
+        "ops": [
+            {"op": "filter", "expr": {
+                "eq": [{"col": "event_type"}, {"lit": "purchase"}]}},
+            {"op": "select", "cols": ["event_id", "user_id", "ts"]},
+            {"op": "asof", "by": "user_id", "on": "ts",
+             "value_cols": ["prior_click_value"], "with": {
+                 "from": {"table": "events",
+                          "columns": ["user_id", "ts", "event_type",
+                                      "value"]},
+                 "ops": [
+                     {"op": "filter", "expr": {
+                         "eq": [{"col": "event_type"}, {"lit": "click"}]}},
+                     {"op": "groupby", "keys": ["user_id", "ts"],
+                      "aggs": {"prior_click_value": ["value", "max"]}}]}},
+            {"op": "derive", "cols": {
+                "prior_click_value": {
+                    "round": [{"col": "prior_click_value"}, 2]}}},
+            {"op": "select", "cols": ["event_id", "prior_click_value"]},
+        ],
+    },
+    "asof_tolerance_purchase_click": {
+        "from": {"table": "events",
+                 "columns": ["event_id", "user_id", "ts", "event_type"]},
+        "ops": [
+            {"op": "filter", "expr": {
+                "eq": [{"col": "event_type"}, {"lit": "purchase"}]}},
+            {"op": "select", "cols": ["event_id", "user_id", "ts"]},
+            {"op": "asof", "by": "user_id", "on": "ts",
+             "value_cols": ["prior_click_value"], "tolerance": "30m",
+             "with": {
+                 "from": {"table": "events",
+                          "columns": ["user_id", "ts", "event_type",
+                                      "value"]},
+                 "ops": [
+                     {"op": "filter", "expr": {
+                         "eq": [{"col": "event_type"}, {"lit": "click"}]}},
+                     {"op": "groupby", "keys": ["user_id", "ts"],
+                      "aggs": {"prior_click_value": ["value", "max"]}}]}},
+            {"op": "derive", "cols": {
+                "prior_click_value": {
+                    "round": [{"col": "prior_click_value"}, 2]}}},
+            {"op": "select", "cols": ["event_id", "prior_click_value"]},
+        ],
+    },
+    "asof_view_prior_purchase_dist": {
+        "from": {"table": "events",
+                 "columns": ["event_id", "user_id", "ts", "event_type"]},
+        "ops": [
+            {"op": "filter", "expr": {
+                "eq": [{"col": "event_type"}, {"lit": "view"}]}},
+            {"op": "select", "cols": ["event_id", "user_id", "ts"]},
+            {"op": "asof", "by": "user_id", "on": "ts",
+             "value_cols": ["prior_purchase_value"], "strategy": "dist",
+             "with": {
+                 "from": {"table": "events",
+                          "columns": ["user_id", "ts", "event_type",
+                                      "value"]},
+                 "ops": [
+                     {"op": "filter", "expr": {
+                         "eq": [{"col": "event_type"},
+                                {"lit": "purchase"}]}},
+                     {"op": "groupby", "keys": ["user_id", "ts"],
+                      "aggs": {"prior_purchase_value":
+                               ["value", "max"]}}]}},
+            {"op": "derive", "cols": {
+                "prior_purchase_value": {
+                    "round": [{"col": "prior_purchase_value"}, 2]}}},
+            {"op": "select", "cols": ["event_id", "prior_purchase_value"]},
         ],
     },
 }

@@ -298,6 +298,33 @@ def test_dsl_plan_json_roundtrip_and_cli(ray_session, tmp_path,
     assert "event_type" in out and "n" in out
 
 
+def test_dsl_broadcast_outer_join_rejected(ray_session):
+    """A per-batch broadcast OUTER join would re-emit unmatched right
+    rows once per batch — the compiler must reject it (hash strategy
+    expresses it correctly)."""
+    import pytest
+
+    from logray.query_dsl import execute
+
+    plan = {"from": {"table": "customer", "columns": ["c_custkey"]},
+            "ops": [{"op": "join", "on": "c_custkey", "how": "outer",
+                     "strategy": "broadcast",
+                     "with": {"from": {"table": "customer",
+                                       "columns": ["c_custkey"]}}}]}
+    with pytest.raises(ValueError, match="broadcast join"):
+        execute(plan, "/root/testdata/sf0.001")
+
+    plan2 = {"from": {"table": "events",
+                      "columns": ["event_id", "user_id", "ts"]},
+             "ops": [{"op": "asof", "by": "user_id", "on": "ts",
+                      "value_cols": ["v"], "strategy": "dist",
+                      "tolerance": "30m",
+                      "with": {"from": {"table": "events",
+                                        "columns": ["user_id", "ts"]}}}]}
+    with pytest.raises(ValueError, match="tolerance"):
+        execute(plan2, "/root/testdata/sf0.001")
+
+
 def test_dsl_topk_must_be_final_step(ray_session):
     import pytest
 
