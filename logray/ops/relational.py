@@ -29,17 +29,39 @@ import pyarrow.compute as pc
 
 def broadcast_join(ds, small: pd.DataFrame, on: str | list[str], *,
                    how: str = "inner", broadcast: bool = True):
-    """Join a Dataset with a small pandas table by broadcasting the small side."""
+    """Join a Dataset with a small pandas table by broadcasting the small
+    side.
+
+    Fast path (r5): a SINGLE non-null numeric/temporal key with no
+    non-key column collisions runs a pure Arrow/numpy kernel per batch —
+    the right side is sorted ONCE on the driver, each batch does two
+    ``np.searchsorted`` probes plus a vectorized m:n row expansion, and
+    output columns assemble with Arrow takes (masked take → typed nulls
+    for left-join misses). Everything else (multi-key, string keys,
+    colliding payload columns) keeps the pandas ``merge`` kernel —
+    equality between the two paths is pytest-asserted."""
+    single = isinstance(on, str)
+    fast = False
+    right_sorted = None
+    if single and how in ("inner", "left") and small[on].notna().all():
+        kd = small[on].dtype
+        # non-key collisions are only knowable per batch; checked there
+        if kd.kind in "iufM":
+            right_tbl = pa.Table.from_pandas(small, preserve_index=False)
+            order = np.argsort(small[on].to_numpy(), kind="stable")
+            right_sorted = right_tbl.take(pa.array(order, pa.int64()))
+            fast = True
+    payload = right_sorted if fast else small
     ref = None
     if broadcast:
         try:
             import ray
 
             if ray.is_initialized():
-                ref = ray.put(small)
+                ref = ray.put(payload)
         except Exception:
             ref = None
-    small_local = small if ref is None else None
+    payload_local = payload if ref is None else None
 
     # Plain tasks, not an actor pool: the per-task ray.get(ref) is a
     # node-local shared-memory read of the already-broadcast small side
@@ -51,9 +73,51 @@ def broadcast_join(ds, small: pd.DataFrame, on: str | list[str], *,
 
             right = ray.get(ref)
         else:
-            right = small_local
+            right = payload_local
         return batch.merge(right, on=on, how=how)
 
+    def arrow_joiner(batch: pa.Table) -> pa.Table:
+        right = payload_local if ref is None else __import__("ray").get(ref)
+        rcols = [c for c in right.column_names if c != on]
+        if any(c in batch.column_names for c in rcols):
+            # payload collision: match pandas-merge suffix semantics
+            df = batch.to_pandas().merge(
+                right.to_pandas(), on=on, how=how)
+            return pa.Table.from_pandas(df, preserve_index=False)
+        rk_col = right[on]
+        if isinstance(rk_col, pa.ChunkedArray):
+            rk_col = rk_col.combine_chunks()
+        rk = rk_col.to_numpy(zero_copy_only=False)
+        kcol = batch[on]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        u = kcol.to_numpy(zero_copy_only=False)
+        if u.dtype != rk.dtype:
+            u = u.astype(rk.dtype, copy=False)
+        lo = np.searchsorted(rk, u, "left")
+        hi = np.searchsorted(rk, u, "right")
+        counts = hi - lo
+        c2 = counts if how == "inner" else np.maximum(counts, 1)
+        total = int(c2.sum())
+        l_idx = np.repeat(np.arange(len(u), dtype=np.int64), c2)
+        base = np.repeat(lo, c2)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(c2) - c2, c2)
+        r_pos = base + offs
+        li = pa.array(l_idx, pa.int64())
+        if how == "inner":
+            ri = pa.array(r_pos, pa.int64())
+        else:
+            valid = np.repeat(counts > 0, c2)
+            ri = pa.array(np.where(valid, r_pos, 0), pa.int64(),
+                          mask=~valid)  # masked take → typed nulls
+        cols = {c: batch[c].take(li) for c in batch.column_names}
+        for c in rcols:
+            cols[c] = right[c].take(ri)
+        return pa.table(cols)
+
+    if fast:
+        return ds.map_batches(arrow_joiner, batch_format="pyarrow")
     return ds.map_batches(joiner, batch_format="pandas")
 
 
@@ -304,20 +368,38 @@ def hash_semi_join(left, right, on: str | list[str], *, anti: bool = False,
     out_cols = list(left_cols)
 
     def merge(t: pa.Table) -> pa.Table:
+        # pure Arrow/numpy membership kernel (r5 — replaced the
+        # per-bucket pandas merge+indicator): each key column
+        # dictionary-encodes over the WHOLE bucket (both sides share
+        # one dictionary, so codes are comparable), np.unique(axis=0)
+        # assigns exact tuple ids (no hash-mix overflow), and one
+        # np.isin answers membership. SQL null semantics preserved:
+        # a null in any key column never matches on either side.
         import pyarrow.compute as pc
 
         side = t["__side"]
-        lt = t.filter(pc.equal(side, 0)).select(out_cols)
-        rk = (t.filter(pc.equal(side, 1)).select(on)
-               .to_pandas().dropna().drop_duplicates())
-        ldf = lt.to_pandas()
-        if len(ldf) == 0:
+        if isinstance(side, pa.ChunkedArray):
+            side = side.combine_chunks()
+        sid = side.to_numpy(zero_copy_only=False)
+        lmask = sid == 0
+        lt = t.filter(pa.array(lmask)).select(out_cols)
+        if lt.num_rows == 0:
             return lt
-        matched = (ldf[on].merge(rk, on=on, how="left", indicator=True)
-                   ["_merge"] == "both").to_numpy()
-        nullkey = ldf[on].isna().any(axis=1).to_numpy()
-        matched &= ~nullkey
-        keep = ~matched if anti else matched
+        M = np.empty((t.num_rows, len(on)), np.int64)
+        nulls = np.zeros(t.num_rows, bool)
+        for j, c in enumerate(on):
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            nulls |= pc.is_null(col).to_numpy(zero_copy_only=False)
+            d = col.dictionary_encode()
+            M[:, j] = pc.fill_null(d.indices, 0).to_numpy(
+                zero_copy_only=False)
+        tid = (M[:, 0] if len(on) == 1
+               else np.unique(M, axis=0, return_inverse=True)[1])
+        rids = np.unique(tid[~lmask & ~nulls])
+        member = np.isin(tid[lmask], rids) & ~nulls[lmask]
+        keep = ~member if anti else member
         return lt.filter(pa.array(keep))
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")

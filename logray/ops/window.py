@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import stable_bucket
 
@@ -230,14 +231,94 @@ def ntile(ds, part_col: str, order_cols: list[tuple[str, bool]], k: int, *,
     return _bucketed_apply(ds, part_col, per_bucket, num_buckets=num_buckets)
 
 
+def _asof_tol_int(tolerance, on_type):
+    """Normalize a tolerance to the units ``on`` is cast to inside the
+    as-of kernel: timestamps cast to int64 in their own unit, so a
+    pd.Timedelta converts via its ns value; numeric columns take the
+    tolerance as given."""
+    if tolerance is None:
+        return None
+    if pa.types.is_timestamp(on_type):
+        import pandas as pd
+
+        ns = pd.Timedelta(tolerance).value
+        div = {"s": 1_000_000_000, "ms": 1_000_000,
+               "us": 1_000, "ns": 1}[on_type.unit]
+        return ns // div
+    return tolerance
+
+
+def _asof_bucket_kernel(t: pa.Table, *, by: str, on: str,
+                        left_cols: list[str], right_vals: list[str],
+                        out_fields, empty: pa.Table, direction: str,
+                        tol=None) -> pa.Table:
+    """Pure Arrow/numpy as-of kernel over a side-tagged bucket table
+    (r4, shared by broadcast and distributed variants in r5): one
+    np.lexsort over (by-code, on, right-before-left) interleaves both
+    sides, a maximum.accumulate carries the LAST right position
+    forward, a code-equality check invalidates carries across key
+    boundaries, and an optional tolerance invalidates matches farther
+    than ``tol`` on the (unit-cast) ``on`` axis — O(n log n) with zero
+    per-row Python and no pandas frame materialization."""
+    side = t["__side"]
+    if isinstance(side, pa.ChunkedArray):
+        side = side.combine_chunks()
+    sid = side.to_numpy(zero_copy_only=False)
+    n_left = int((sid == 0).sum())
+    if n_left == 0:
+        return empty
+    byv = t[by].combine_chunks() if isinstance(t[by], pa.ChunkedArray) \
+        else t[by]
+    code = byv.to_numpy(zero_copy_only=False)
+    if code.dtype == object:  # string keys: factorize for fast sort
+        code = np.unique(code, return_inverse=True)[1]
+    onv = t[on]
+    on_type = t.schema.field(on).type
+    if pa.types.is_timestamp(on_type) or pa.types.is_date(on_type):
+        onv = pc.cast(onv, pa.int64())
+    ov = np.asarray(onv.combine_chunks().to_numpy(zero_copy_only=False)
+                    if isinstance(onv, pa.ChunkedArray)
+                    else onv.to_numpy(zero_copy_only=False))
+    if direction == "forward":
+        ov = -ov  # forward = backward on the reversed time axis
+    elif direction != "backward":
+        raise ValueError(f"unsupported direction {direction!r}")
+    # rights sort BEFORE lefts at equal (code, on) → inclusive match
+    perm = np.lexsort((1 - sid, ov, code))
+    sid_s = sid[perm]
+    code_s = code[perm]
+    is_r = sid_s == 1
+    carry = np.where(is_r, np.arange(len(perm)), -1)
+    np.maximum.accumulate(carry, out=carry)
+    lpos = np.flatnonzero(~is_r)
+    match = carry[lpos]
+    valid = (match >= 0) & (code_s[np.maximum(match, 0)] == code_s[lpos])
+    if tol is not None:
+        ov_s = ov[perm]
+        dist = ov_s[lpos] - ov_s[np.maximum(match, 0)]
+        valid &= dist <= tol
+    orig_left = perm[lpos]
+    orig_right = perm[np.maximum(match, 0)]
+    l_idx = pa.array(orig_left, pa.int64())
+    r_idx = pa.array(np.where(valid, orig_right, 0), pa.int64(),
+                     mask=~valid)  # masked take → typed nulls
+    cols = {c: t[c].take(l_idx) for c in left_cols}
+    for c in right_vals:
+        cols[c] = t[c].take(r_idx)
+    return pa.table({c: cols[c] for c, _ in out_fields})
+
+
 def asof_join(left_ds, right_df: pd.DataFrame, *, by: str, on: str,
               value_cols: list[str], num_buckets: int | None = None,
               direction: str = "backward", suffix: str = "_right",
               tolerance=None):
     """As-of join: for each left row, the latest right row with
     ``right.on <= left.on`` (direction='backward') within the same ``by``
-    key. Small right side is broadcast (shipped once via ray.put when a
-    session exists); per bucket a single vectorized ``pd.merge_asof``.
+    key. Small right side is broadcast ONCE as an Arrow table (ray.put
+    when a session exists); each left bucket pre-filters the broadcast
+    rights to its own keys and runs the shared pure-Arrow lexsort
+    kernel (r5 — replaced the per-bucket pandas sort + pd.merge_asof;
+    exact equality with merge_asof is pytest-asserted).
 
     ``tolerance``: optional max distance on ``on`` (e.g. a pd.Timedelta)
     — matches farther than this come back null, the SQL "within window"
@@ -246,33 +327,84 @@ def asof_join(left_ds, right_df: pd.DataFrame, *, by: str, on: str,
     The right side must be unique per (by, on) — pre-aggregate it if not,
     or the matched value is implementation-defined.
     """
-    right_df = right_df.sort_values(on, kind="mergesort").reset_index(drop=True)
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    lsch = left_ds.schema()
+    left_cols = list(lsch.names)
+    ltypes = dict(zip(lsch.names, lsch.types))
+    right_tbl = pa.Table.from_pandas(
+        right_df[[by, on] + list(value_cols)], preserve_index=False)
+    rtypes = {c: right_tbl.schema.field(c).type
+              for c in right_tbl.column_names}
+    out_name = {c: (c + suffix if c in left_cols else c)
+                for c in value_cols}
+    types: dict[str, pa.DataType] = dict(ltypes)
+    types.update({out_name[c]: rtypes[c] for c in value_cols})
+    right_vals = [out_name[c] for c in value_cols]
+    all_cols = list(left_cols) + right_vals
+    out_fields = [(c, types[c]) for c in all_cols]
+    empty = pa.table({c: pa.array([], t) for c, t in out_fields})
+    tol = _asof_tol_int(tolerance, rtypes[on])
+
+    # right side padded ONCE into the union layout on the driver
+    nr = right_tbl.num_rows
+    src_of = {v: k for k, v in out_name.items()}
+    rcols = {c: (right_tbl[c] if c in (by, on)
+                 else right_tbl[src_of[c]] if c in right_vals
+                 else pa.nulls(nr, types[c]))
+             for c in all_cols}
+    right_padded = pa.table(rcols).append_column(
+        "__side", pa.array(np.ones(nr, np.int8)))
     ref = None
     try:
         import ray
 
         if ray.is_initialized():
-            ref = ray.put(right_df)
+            ref = ray.put(right_padded)
     except Exception:
         ref = None
-    right_local = right_df if ref is None else None
+    right_local = right_padded if ref is None else None
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: (batch[c] if c in batch.column_names
+                    else pa.nulls(n, types[c])) for c in all_cols}
+        cols["__side"] = pa.array(np.zeros(n, np.int8))
+        out = pa.table(cols)
+        key = batch[by]
+        b = (stable_bucket(key, num_buckets)
+             if pa.types.is_string(types[by])
+             else _int_bucket(key, num_buckets))
+        return out.append_column("__bucket", b)
+
+    def merge(t: pa.Table) -> pa.Table:
         right = right_local if ref is None else __import__("ray").get(ref)
-        df = df.sort_values(on, kind="mergesort")
-        out = pd.merge_asof(df, right[[by, on] + value_cols], on=on, by=by,
-                            direction=direction, suffixes=("", suffix),
-                            tolerance=tolerance)
-        return out
+        t = t.drop(["__bucket"])
+        # pre-filter broadcast rights to this bucket's keys so the sort
+        # is O(bucket + relevant rights), not O(bucket + all rights)
+        lk = t[by].combine_chunks() if isinstance(t[by], pa.ChunkedArray) \
+            else t[by]
+        rk = right[by].combine_chunks() \
+            if isinstance(right[by], pa.ChunkedArray) else right[by]
+        keep = pc.is_in(rk, value_set=lk.unique())
+        sub = right.filter(keep)
+        both = pa.concat_tables([t, sub], promote_options="default")
+        return _asof_bucket_kernel(
+            both, by=by, on=on, left_cols=left_cols,
+            right_vals=right_vals, out_fields=out_fields, empty=empty,
+            direction=direction, tol=tol)
 
-    return _bucketed_apply(left_ds, by, per_bucket, num_buckets=num_buckets)
+    return (left_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(merge,
+                                            batch_format="pyarrow"))
 
 
 def asof_join_dist(left_ds, right_ds, *, by: str, on: str,
                    value_cols: list[str], direction: str = "backward",
                    suffix: str = "_right", num_buckets: int | None = None,
                    left_schema: pa.Schema | None = None,
-                   right_schema: pa.Schema | None = None):
+                   right_schema: pa.Schema | None = None,
+                   tolerance=None):
     """Large×large as-of join — the scale path when the right side
     outgrows ``asof_join``'s broadcast idiom.
 
@@ -337,6 +469,7 @@ def asof_join_dist(left_ds, right_ds, *, by: str, on: str,
             return pa.table(cols)
         return fn
 
+    tol = _asof_tol_int(tolerance, rtypes[on])
     right_out = [by, on] + [out_name[c] for c in value_cols]
     tagged = left_ds.map_batches(
         pad({c: c for c in left_cols}, 0), batch_format="pyarrow").union(
@@ -349,54 +482,11 @@ def asof_join_dist(left_ds, right_ds, *, by: str, on: str,
     right_vals = [out_name[c] for c in value_cols]
 
     def merge(t: pa.Table) -> pa.Table:
-        # pure Arrow/numpy as-of kernel (r4 — replaced the per-bucket
-        # pandas sort + pd.merge_asof): one np.lexsort over
-        # (by-code, on, right-before-left) interleaves both sides, a
-        # maximum.accumulate carries the LAST right position forward,
-        # and a code-equality check invalidates carries across key
-        # boundaries — O(n log n) with zero per-row Python and no
-        # pandas frame materialization (measured ~3× per bucket).
-        side = t["__side"]
-        if isinstance(side, pa.ChunkedArray):
-            side = side.combine_chunks()
-        sid = side.to_numpy(zero_copy_only=False)
-        n_left = int((sid == 0).sum())
-        if n_left == 0:
-            return empty
-        byv = t[by].combine_chunks() if isinstance(t[by], pa.ChunkedArray) \
-            else t[by]
-        code = byv.to_numpy(zero_copy_only=False)
-        if code.dtype == object:  # string keys: factorize for fast sort
-            code = np.unique(code, return_inverse=True)[1]
-        onv = t[on]
-        if pa.types.is_timestamp(types[on]) or pa.types.is_date(types[on]):
-            onv = pc.cast(onv, pa.int64())
-        ov = np.asarray(onv.combine_chunks().to_numpy(zero_copy_only=False)
-                        if isinstance(onv, pa.ChunkedArray)
-                        else onv.to_numpy(zero_copy_only=False))
-        if direction == "forward":
-            ov = -ov  # forward = backward on the reversed time axis
-        elif direction != "backward":
-            raise ValueError(f"unsupported direction {direction!r}")
-        # rights sort BEFORE lefts at equal (code, on) → inclusive match
-        perm = np.lexsort((1 - sid, ov, code))
-        sid_s = sid[perm]
-        code_s = code[perm]
-        is_r = sid_s == 1
-        carry = np.where(is_r, np.arange(len(perm)), -1)
-        np.maximum.accumulate(carry, out=carry)
-        lpos = np.flatnonzero(~is_r)
-        match = carry[lpos]
-        valid = (match >= 0) & (code_s[np.maximum(match, 0)] == code_s[lpos])
-        orig_left = perm[lpos]
-        orig_right = perm[np.maximum(match, 0)]
-        l_idx = pa.array(orig_left, pa.int64())
-        r_idx = pa.array(np.where(valid, orig_right, 0), pa.int64(),
-                         mask=~valid)  # masked take → typed nulls
-        cols = {c: t[c].take(l_idx) for c in left_cols}
-        for c in right_vals:
-            cols[c] = t[c].take(r_idx)
-        return pa.table({c: cols[c] for c, _ in out_fields})
+        # shared pure Arrow/numpy as-of kernel (see _asof_bucket_kernel)
+        return _asof_bucket_kernel(
+            t, by=by, on=on, left_cols=left_cols, right_vals=right_vals,
+            out_fields=out_fields, empty=empty, direction=direction,
+            tol=tol)
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 

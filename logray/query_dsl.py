@@ -247,10 +247,7 @@ def execute(plan: dict | str, sf_dir: str):
                     right, pa.Table) else right.to_pandas())
                 ds = W.asof_join(ds, small, tolerance=tol, **kw)
             else:
-                if tol is not None:
-                    raise ValueError("asof strategy 'dist' does not "
-                                     "support tolerance yet")
-                ds = W.asof_join_dist(ds, right, **kw)
+                ds = W.asof_join_dist(ds, right, tolerance=tol, **kw)
         elif op == "window":
             from .ops import window as W
 

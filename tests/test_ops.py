@@ -3824,3 +3824,76 @@ def test_ddsketch_negative_store(ray_session):
             true = sv[max(int(np.ceil(q * len(sv))), 1) - 1]
             assert abs(r[col] - true) <= 0.02 * abs(true) + 1e-12, \
                 (r["g"], q, r[col], true)
+
+
+def test_broadcast_join_arrow_fast_path_equals_pandas(ray_session):
+    """r5: the single-numeric-key Arrow kernel in broadcast_join must
+    equal the pandas merge path exactly — inner and left, 1:1 and 1:n
+    matches, unmatched-left nulls, duplicate right keys — and string
+    keys must still route to the pandas path."""
+    import ray.data
+
+    from logray.ops import relational
+
+    rng = np.random.default_rng(17)
+    n = 5_000
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 120, n)),
+        "lv": pa.array(np.arange(n, dtype=np.int64))})
+    # right: keys 0..99 with key%3==0 duplicated (1:n), 100..119 absent
+    rk = np.concatenate([np.arange(100), np.arange(0, 100, 3)])
+    right = pd.DataFrame({"k": rk,
+                          "rv": np.arange(len(rk), dtype=np.int64) * 7})
+
+    def norm(df):
+        df = df[sorted(df.columns)].astype("float64")
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for how in ("inner", "left"):
+        ds = ray.data.from_arrow(left).repartition(5)
+        got = relational.broadcast_join(ds, right, on="k",
+                                       how=how).to_pandas()
+        want = left.to_pandas().merge(right, on="k", how=how)
+        pd.testing.assert_frame_equal(norm(got), norm(want),
+                                      check_dtype=False)
+
+    # string keys fall back to pandas merge (identical results)
+    lefts = pa.table({"k": pa.array([f"u{i%7}" for i in range(50)]),
+                      "lv": pa.array(np.arange(50, dtype=np.int64))})
+    rights = pd.DataFrame({"k": [f"u{i}" for i in range(5)],
+                           "rv": np.arange(5, dtype=np.int64)})
+    got = relational.broadcast_join(
+        ray.data.from_arrow(lefts), rights, on="k", how="left").to_pandas()
+    want = lefts.to_pandas().merge(rights, on="k", how="left")
+
+    def norms(df):
+        df = df[sorted(df.columns)].copy()
+        df["rv"] = df["rv"].astype("float64")
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norms(got), norms(want),
+                                  check_dtype=False)
+
+
+def test_hash_semi_join_multikey_and_nulls(ray_session):
+    """r5 Arrow membership kernel: multi-column keys get exact tuple
+    ids (np.unique axis=0, no hash mixing) and SQL null semantics hold
+    — a null in any key column matches nothing, on either side."""
+    import ray.data
+
+    from logray.ops import relational
+
+    left = pa.table({
+        "a": pa.array([1, 1, 2, 2, None, 3], pa.int64()),
+        "b": pa.array(["x", "y", "x", None, "x", "z"]),
+        "v": pa.array(np.arange(6, dtype=np.int64))})
+    right = pa.table({
+        "a": pa.array([1, 2, None, 3], pa.int64()),
+        "b": pa.array(["x", "x", "x", None])})
+    lds = ray.data.from_arrow(left).repartition(2)
+    rds = ray.data.from_arrow(right).repartition(2)
+    semi = relational.hash_semi_join(lds, rds, ["a", "b"]).to_pandas()
+    assert sorted(semi["v"]) == [0, 2]  # (1,x) and (2,x) only
+    anti = relational.hash_semi_join(lds, rds, ["a", "b"],
+                                     anti=True).to_pandas()
+    assert sorted(anti["v"]) == [1, 3, 4, 5]

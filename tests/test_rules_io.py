@@ -314,15 +314,32 @@ def test_dsl_broadcast_outer_join_rejected(ray_session):
     with pytest.raises(ValueError, match="broadcast join"):
         execute(plan, "/root/testdata/sf0.001")
 
-    plan2 = {"from": {"table": "events",
-                      "columns": ["event_id", "user_id", "ts"]},
-             "ops": [{"op": "asof", "by": "user_id", "on": "ts",
-                      "value_cols": ["v"], "strategy": "dist",
-                      "tolerance": "30m",
-                      "with": {"from": {"table": "events",
-                                        "columns": ["user_id", "ts"]}}}]}
-    with pytest.raises(ValueError, match="tolerance"):
-        execute(plan2, "/root/testdata/sf0.001")
+
+def test_dsl_asof_dist_tolerance_matches_broadcast(ray_session):
+    """The dist as-of strategy supports tolerance (r5 — the shared
+    Arrow kernel gained it): same plan, both strategies, identical
+    result."""
+    import copy
+
+    import pandas as pd
+
+    from logray.query_dsl import PLANS, execute
+
+    plan = copy.deepcopy(PLANS["asof_tolerance_purchase_click"])
+    for step in plan["ops"]:
+        if step["op"] == "asof":
+            step["strategy"] = "dist"
+    sf = "/root/testdata/sf0.001"
+
+    def norm(res):
+        df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        return (df[sorted(df.columns)]
+                .sort_values(sorted(df.columns))
+                .reset_index(drop=True))
+
+    a = norm(execute(plan, sf))
+    b = norm(execute(PLANS["asof_tolerance_purchase_click"], sf))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
 def test_dsl_topk_must_be_final_step(ray_session):
