@@ -124,3 +124,127 @@ def test_follow_mode_staged_arrival_equals_cold_batch(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True))
+
+
+@pytest.mark.slow
+def test_actor_killed_mid_wave_retries_and_matches_cold_run(
+        ray_session, tmp_path):
+    """r5 fault injection: one FlagshipWorker actor dies (os._exit)
+    AFTER writing sink files but before returning its batch summary.
+    Ray Data must restart the actor and retry the batch; the run
+    completes, aggregates equal a cold run, the dead attempt's sink
+    files stay unreferenced by every manifest, and sweep_orphans
+    removes them."""
+    import unittest.mock as mock
+
+    from logray.pipelines import flagship
+
+    corpus = tmp_path / "corpus"
+    meta = generate_corpus(0.003, corpus, with_expected=False)
+    marker = tmp_path / "crashed.marker"
+
+    class CrashingWorker(flagship.FlagshipWorker):
+        def __call__(self, batch):
+            out = super().__call__(batch)
+            # first batch anywhere: write files, then die before the
+            # summary escapes — the classic lost-worker window
+            try:
+                import os as _os
+
+                fd = _os.open(str(marker),
+                              _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+                _os.close(fd)
+                _os._exit(1)
+            except FileExistsError:
+                pass
+            return out
+
+    out_a = tmp_path / "out_a"
+    with mock.patch.object(flagship, "FlagshipWorker", CrashingWorker):
+        m = flagship.run_flagship(corpus, out_a, wave_size=2,
+                                  enrich_concurrency=2)
+    assert marker.exists()  # the crash really fired
+    assert m["rows"] == meta["n_turns"]
+
+    out_b = tmp_path / "out_b"
+    flagship.run_flagship(corpus, out_b, wave_size=2,
+                          enrich_concurrency=2)
+    agg_a = {(r["sink"], r["rule_id"]): r["n"] for r in
+             pq.read_table(out_a / "_aggregates.parquet").to_pylist()}
+    agg_b = {(r["sink"], r["rule_id"]): r["n"] for r in
+             pq.read_table(out_b / "_aggregates.parquet").to_pylist()}
+    assert agg_a == agg_b
+
+    # manifests reference exactly the corpus row count; the crashed
+    # attempt's files are orphans and sweepable
+    referenced = manifests.manifest_files(out_a)
+    total_rows = sum(pq.read_metadata(f).num_rows for f in referenced)
+    assert total_rows == meta["n_turns"]
+    swept = manifests.sweep_orphans(out_a)
+    assert swept  # the dead actor's unreturned files really existed
+    referenced2 = manifests.manifest_files(out_a)
+    assert sorted(referenced2) == sorted(referenced)
+
+
+def test_crash_mid_publish_leaves_consistent_table(tmp_path):
+    """r5 fault injection: a versioned commit that dies BETWEEN the
+    remote PUT of the manifest and the tmp cleanup (the copy+delete
+    move's crash window) leaves a fully-readable committed version plus
+    one orphan tmp — never a half-visible version. A follow-up commit
+    sees the published parent and vacuum sweeps the leftover."""
+    import pyarrow as pa
+    from fsspec.implementations.dirfs import DirFileSystem
+    from fsspec.implementations.local import LocalFileSystem
+    from pyarrow.fs import FSSpecHandler, PyFileSystem
+
+    from logray.state import fsio, versioned
+
+    class DieAfterPut(DirFileSystem):
+        armed = False
+
+        def mv(self, path1, path2, **kw):
+            if DieAfterPut.armed and path2.endswith(".manifest.json"):
+                # crash simulation: complete the PUT, skip the delete
+                with self.open(path1, "rb") as f:
+                    data = f.read()
+                with self.open(path2, "wb") as f:
+                    f.write(data)
+                DieAfterPut.armed = False
+                raise RuntimeError("process died mid-publish")
+            super().mv(path1, path2, **kw)
+
+    root = tmp_path / "midpub"
+    root.mkdir()
+    fs = PyFileSystem(FSSpecHandler(
+        DieAfterPut(path=str(root), fs=LocalFileSystem())))
+    fsio.register_filesystem("midpub", fs)
+    d = "midpub://tbl"
+
+    def t(ids):
+        return pa.table({"id": pa.array(list(ids), pa.int64())})
+
+    versioned.commit(d, [t([1])])
+    DieAfterPut.armed = True
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="mid-publish"):
+        versioned.commit(d, [t([2])])
+    # the manifest IS published and complete despite the crash
+    # (read files straight off the manifest — the ad-hoc fsspec
+    # subclass above isn't picklable into Ray read tasks)
+    assert versioned.versions(d) == [1, 2]
+
+    def rows():
+        dd = fsio.fspath(d)
+        m = versioned._load(dd, versioned.versions(d)[-1])
+        return sorted(i for f in m["files"]
+                      for i in fsio.read_table(dd / f)["id"].to_pylist())
+
+    assert rows() == [1, 2]
+    # the crashed writer's tmp survives as an orphan; vacuum sweeps it
+    tmps = fsio.fspath(d).glob(".v*.tmp")
+    assert tmps
+    versioned.commit(d, [t([3])])
+    rep = versioned.vacuum(d, keep_last=1)
+    assert any(n.startswith(".v") for n in rep["deleted_files"])
+    assert rows() == [1, 2, 3]
