@@ -13868,47 +13868,62 @@ _SHOWCASE = [
 # already value-checked: rotated to the BACK of the oracled block so
 # the r4 window confirms a fresh 50 (r3 verdict item 8).
 _PRIOR_WINDOWS = {
-    'alerts_transcripts', 'ann_topk_embeddings', 'approx_distinct_users_by_type',
-    'approx_value_percentiles_by_type', 'asof_view_prior_purchase_dist', 'bigram_logprob_documents',
-    'bloom_semi_lineitem', 'chi2_type_value_events', 'chunk_overlap_documents',
-    'cms_heavy_users', 'context_budget_truncate_transcripts', 'corr_value_user_by_type',
-    'customer_order_counts', 'customers_without_big_orders', 'date_parts_orders',
-    'decontaminate_documents', 'dedup_events_keep_first', 'dialog_pairs_transcripts',
-    'distinct_event_types', 'distinct_users_per_type', 'doc_ruleset_counts',
-    'doc_token_counts', 'dpp_join_orders_lineitem', 'dup_cluster_labels_documents',
-    'dup_ngram_coverage_documents', 'editdist2_pairs_suppliers', 'embedding_norm_topk',
-    'entropy_user_event_types', 'event_type_value_share', 'event_types_per_user',
+    'access_log_subnet_rollup', 'alert_incidents_transcripts', 'alerts_transcripts',
+    'ann_topk_embeddings', 'approx_distinct_users_by_type', 'approx_value_percentiles_by_type',
+    'asof_view_prior_purchase_dist', 'auto_join_orders_customer', 'bigram_logprob_documents',
+    'bigram_pmi_documents', 'bloom_semi_lineitem', 'bm25_documents', 'bucket_join_orders_customer',
+    'chi2_type_value_events', 'chunk_overlap_documents', 'churn_features_users',
+    'cms_heavy_users', 'compression_ratio_documents', 'context_budget_truncate_transcripts',
+    'conversation_depth_histogram', 'conversion_ab_ztest_events', 'corr_value_user_by_type',
+    'crosscorr_click_purchase_events', 'customer_order_counts', 'customers_without_big_orders',
+    'date_parts_orders', 'decontaminate_documents', 'dedup_events_keep_first',
+    'dialog_pairs_transcripts', 'distinct_event_types', 'distinct_users_per_type',
+    'doc_ruleset_counts', 'doc_token_counts', 'dpp_join_orders_lineitem',
+    'dup_cluster_labels_documents', 'dup_ngram_coverage_documents', 'duplicate_share_by_source',
+    'editdist2_pairs_suppliers', 'embedding_norm_topk', 'entropy_user_event_types',
+    'event_type_value_share', 'event_types_per_user', 'events_dow_hour_counts',
     'events_per_user_day', 'exact_dedup_documents', 'exact_quickselect_quantiles_lineitem',
-    'filter_project_events', 'flagship_transcripts', 'fold_continuations_transcripts',
+    'expectations_report_events', 'fd_discovery_orders_events', 'filter_project_events',
+    'flagship_transcripts', 'fold_continuations_transcripts', 'group_size_skew_users',
     'grouped_agg_events', 'grouped_count_events', 'hard_negative_embeddings',
-    'hashed_features_events', 'heavy_hitter_users', 'hive_partition_docs_en',
-    'hourly_event_window_stats', 'hybrid_rrf_documents', 'incremental_agg_events',
-    'incremental_dedup_documents', 'interval_join_order_lineitem', 'join_customer_nation_region',
-    'json_extract_events', 'k_anonymize_events', 'kmv_set_users_click_purchase',
-    'ks_weekend_value_events', 'langid_documents', 'last_event_type_per_user',
-    'logfmt_ingest', 'mannwhitney_weekend_value_events', 'max_value_per_user',
-    'mixture_sample_documents', 'nation_region_pairs', 'negative_sample_parts',
-    'order_returns_3way', 'order_revenue_join', 'orders_by_segment',
+    'hashed_features_events', 'heavy_hitter_users', 'hhi_supplier_revenue_by_nation',
+    'hive_partition_docs_en', 'hll_grouping_sets_users', 'hourly_event_window_stats',
+    'hybrid_rrf_documents', 'incremental_agg_events', 'incremental_dedup_documents',
+    'interval_join_order_lineitem', 'join_customer_nation_region', 'json_extract_events',
+    'k_anonymize_events', 'kmv_set_users_click_purchase', 'knn_join_embeddings',
+    'ks_weekend_value_events', 'kwic_documents', 'l_diversity_events', 'langid_confusion_documents',
+    'langid_documents', 'last_event_type_per_user', 'logfmt_conv_traces',
+    'logfmt_ingest', 'logfmt_svc_level_stats', 'ltv_deciles_users', 'mannwhitney_weekend_value_events',
+    'max_value_per_user', 'merge_into_events', 'merkle_reconcile_events',
+    'missing_partitions_events', 'mixture_sample_documents', 'nation_region_pairs',
+    'nation_share_of_region', 'negative_sample_parts', 'order_returns_3way',
+    'order_revenue_join', 'order_total_reconciliation', 'orders_by_segment',
     'orders_cube_status_priority', 'orders_rollup_status_priority', 'orders_sorted_top100',
     'orders_topk', 'orders_with_returns_by_priority', 'out_of_order_events',
     'pagerank_customer_supplier', 'parse_events_props', 'parts_per_brand',
-    'peak_concurrency_transcripts', 'pricing_summary_lineitem', 'profile_events',
-    'pseudonymize_events', 'purchase_error_outer_join', 'pushdown_scan_orders',
-    'q10_returned_customers', 'q3_shipping_priority', 'q5_local_supplier_volume',
-    'q6_revenue', 'raw_log_parse_counts', 'regr_value_day_by_type',
+    'peak_concurrency_transcripts', 'pricing_summary_lineitem', 'priority_escalations_customers',
+    'profile_events', 'pseudonymize_events', 'purchase_error_outer_join',
+    'pushdown_scan_orders', 'q10_returned_customers', 'q3_shipping_priority',
+    'q5_local_supplier_volume', 'q6_revenue', 'raw_log_parse_counts', 'regr_value_day_by_type',
     'render_training_text_transcripts', 'reservoir_sample_events', 'response_latency_transcripts',
-    'role_transition_counts_transcripts', 'rolling_1h_user_value', 'scd2_event_state',
-    'scrub_events_props', 'segment_dedup_documents', 'semantic_decontaminate_embeddings',
-    'session_counts_events', 'severity_sampled_transcripts', 'skew_join_user_totals',
+    'rfm_segments_users', 'role_transition_counts_transcripts', 'rolling_1h_user_value',
+    'running_distinct_types_events', 'scd2_event_state', 'scd2_incremental_events',
+    'scrub_events_props', 'seasonal_anomaly_hours_events', 'seasonal_naive_backtest_events',
+    'segment_dedup_documents', 'semantic_decontaminate_embeddings', 'session_counts_events',
+    'severity_sampled_transcripts', 'skew_join_user_totals', 'skyline_orders',
     'sliding_3h_distinct_users', 'sliding_3h_event_counts', 'snapshot_diff_events',
     'sort_limit_events', 'stratified_sample_events', 'supplier_balance_by_nation',
-    'tdigest_value_quantiles_by_type', 'tfidf_top_token_documents', 'top_bigrams_documents',
-    'top_event_paths_users', 'topk_users_by_value', 'topk_with_ties_events',
-    'train_val_test_split_documents', 'transcript_parse_counts', 'triangle_counts_parts',
-    'union_purchases_errors', 'upsert_events_latest', 'user_activity_span',
+    'syslog_ingest', 'syslog_severity_rollup', 'tdigest_value_quantiles_by_type',
+    'tfidf_top_token_documents', 'time_weighted_value_users', 'timetravel_events',
+    'tool_usage_stats_transcripts', 'top_bigrams_documents', 'top_event_paths_users',
+    'topk_users_by_value', 'topk_with_ties_events', 'trailing_7d_active_users',
+    'train_val_test_split_documents', 'training_prep_transcripts', 'transcript_parse_counts',
+    'triangle_counts_parts', 'turn_length_stats_by_role', 'union_purchases_errors',
+    'upsert_events_latest', 'url_prefix_rollup_warc', 'user_activity_span',
     'user_event_type_pivot', 'user_event_types_list', 'users_intersect_purchase_error',
     'value_histogram_events', 'value_percentiles_by_type', 'value_stats_by_type',
-    'weighted_sample_events', 'zorder_scan_events',
+    'warc_text_extract', 'weighted_sample_events', 'window_dedup_events',
+    'wow_event_counts', 'yoy_monthly_orders', 'zorder_scan_events',
 }
 
 def _oracled_first(queries: dict) -> dict:
