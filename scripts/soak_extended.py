@@ -97,7 +97,10 @@ def main() -> None:
         for name in names:
             t0 = time.perf_counter()
             res = QUERIES[name](str(scratch))
-            n = (len(res) if hasattr(res, "__len__") else res.count())
+            import pandas as pd
+
+            n = (len(res) if isinstance(res, (pd.DataFrame, pa.Table))
+                 else res.count())  # ray Dataset
             out["ops"][name] = {
                 "wall_s": round(time.perf_counter() - t0, 2),
                 "rows": int(n),
