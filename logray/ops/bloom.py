@@ -125,22 +125,40 @@ class BloomFilter:
         return BloomFilter(self.m, self.k, self.bits | other.bits)
 
 
-def build_bloom(ds, col: str, *, m_bits: int = 1 << 20, k: int = 5) -> BloomFilter:
-    """Distributed build: each block folds its keys into a partial filter
-    (one m/8-byte row leaves each task); the driver ORs the partials.
-    Filter size is independent of input row count — this is the piece
-    that scales where an exact broadcast set cannot."""
+def build_bloom(ds, col: str, *, m_bits: int = 1 << 20,
+                k: int = 5) -> BloomFilter:
+    """Distributed build: each block folds its keys into a partial
+    filter (one m/8-byte row leaves each task), and the partials
+    OR-combine through a WORKER-side fan-in (map_batches with a batch
+    size that groups ~8 partials per task, repeated until one row
+    remains) — the driver maps exactly ONE m/8-byte blob, not one per
+    input block (r5 10× soak finding: a driver-side OR loop over 128 ×
+    64 MB partials pushed driver maxrss to 8 GB; the tree keeps it at
+    one filter). Filter size is independent of input row count — this
+    is the piece that scales where an exact broadcast set cannot."""
 
     def partial(t: pa.Table) -> pa.Table:
         f = BloomFilter(m_bits, k)
         f.add(t[col])
         return pa.table({"bits": pa.array([f.bits.tobytes()], pa.binary())})
 
+    def combine(t: pa.Table) -> pa.Table:
+        acc = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+        for raw in t["bits"].to_pylist():
+            acc |= np.frombuffer(raw, dtype=np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    # fan-in rounds: each worker task ORs up to 8 partial blobs into
+    # one; repartition re-groups the survivors until a single row holds
+    # the full filter. Rounds are O(log_8 blocks) — 2 for ≤64 blocks.
+    for width in (32, 4, 1):
+        parts = parts.repartition(width).map_batches(
+            combine, batch_format="pyarrow", batch_size=None)
+    rows = parts.take_all()
     out = BloomFilter(m_bits, k)
-    for b in (ds.map_batches(partial, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow")):
-        for raw in b["bits"].to_pylist():
-            out.bits |= np.frombuffer(raw, dtype=np.uint64)
+    for r in rows:
+        out.bits |= np.frombuffer(r["bits"], dtype=np.uint64)
     return out
 
 

@@ -423,9 +423,18 @@ def triangle_counts(edges, *, out_col: str = "n_triangles",
             lambda t: t.rename_columns(["mid", "w"]), batch_format="pyarrow")
         wedges = hash_join(left, right, on="mid",
                            bucket_post=prune_wedges)
-        closed = hash_semi_join(wedges, edges.map_batches(
-            lambda t: t.rename_columns(["u", "w"]), batch_format="pyarrow"),
-            on=["u", "w"])
+        # static schemas: wedges sits behind the join all-to-all, so
+        # .schema() discovery would execute that whole shuffle once for
+        # discovery and again for the real run
+        closed = hash_semi_join(
+            wedges, edges.map_batches(
+                lambda t: t.rename_columns(["u", "w"]),
+                batch_format="pyarrow"),
+            on=["u", "w"],
+            left_schema=pa.schema([("mid", pa.int64()), ("u", pa.int64()),
+                                   ("w", pa.int64())]),
+            right_schema=pa.schema([("u", pa.int64()),
+                                    ("w", pa.int64())]))
         return grouped_agg(closed, ["u"], {out_col: ("w", "count")})
 
     # degree per vertex, combiner-aggregated
