@@ -311,7 +311,7 @@ def _asof_bucket_kernel(t: pa.Table, *, by: str, on: str,
 def asof_join(left_ds, right_df: pd.DataFrame, *, by: str, on: str,
               value_cols: list[str], num_buckets: int | None = None,
               direction: str = "backward", suffix: str = "_right",
-              tolerance=None):
+              tolerance=None, left_schema: pa.Schema | None = None):
     """As-of join: for each left row, the latest right row with
     ``right.on <= left.on`` (direction='backward') within the same ``by``
     key. Small right side is broadcast ONCE as an Arrow table (ray.put
@@ -329,7 +329,9 @@ def asof_join(left_ds, right_df: pd.DataFrame, *, by: str, on: str,
     """
     if num_buckets is None:
         num_buckets = default_num_buckets()
-    lsch = left_ds.schema()
+    # pass left_schema when the left side sits behind an all-to-all —
+    # .schema() discovery would execute that upstream shuffle twice
+    lsch = left_schema if left_schema is not None else left_ds.schema()
     left_cols = list(lsch.names)
     ltypes = dict(zip(lsch.names, lsch.types))
     right_tbl = pa.Table.from_pandas(
