@@ -379,3 +379,87 @@ def test_size_converter_malformed_never_crashes(junk):
         want = (int(mm.group(1)) * mult
                 + int((mm.group(2) or "").ljust(3, "0") or "0") * mult // 1000)
         assert out[0].as_py() == want and not err[0]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    lkeys=st.lists(st.integers(-50, 50), min_size=1, max_size=120),
+    rkeys=st.lists(st.integers(-50, 50), min_size=1, max_size=60),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_broadcast_join_dense_kernel_equals_pandas_merge(
+        ray_session, lkeys, rkeys, how):
+    """r5 dense-lookup fast path ≡ pandas merge for arbitrary int keys
+    (negative offsets, duplicate right keys → m:n expansion, unmatched
+    lefts → nulls), inner and left."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from logray.ops.relational import broadcast_join
+
+    left = pa.table({"k": pa.array(lkeys, pa.int64()),
+                     "lv": pa.array(range(len(lkeys)), pa.int64())})
+    right = pd.DataFrame({"k": np.asarray(rkeys, np.int64),
+                          "rv": np.arange(len(rkeys), dtype=np.int64)})
+    got = broadcast_join(ray.data.from_arrow(left), right, on="k",
+                         how=how).to_pandas()
+    want = left.to_pandas().merge(right, on="k", how=how)
+    if len(want) == 0:
+        # Ray's to_pandas() on an all-empty dataset drops the schema on
+        # EVERY code path (pandas joiner included) — compare emptiness
+        assert len(got) == 0
+        return
+
+    def norm(df):
+        df = df[sorted(df.columns)].astype("float64")
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    import pandas.testing as pt
+
+    pt.assert_frame_equal(norm(got), norm(want), check_dtype=False)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n_left=st.integers(1, 80),
+    n_right=st.integers(1, 60),
+    tol=st.one_of(st.none(), st.integers(1, 20)),
+    direction=st.sampled_from(["backward", "forward"]),
+    seed=st.integers(0, 10_000),
+)
+def test_asof_kernel_equals_merge_asof(ray_session, n_left, n_right,
+                                       tol, direction, seed):
+    """r5 shared Arrow as-of kernel ≡ pd.merge_asof for arbitrary
+    (key, time) layouts, both directions, with and without tolerance
+    — broadcast variant (the dist twin's equality is covered by the
+    DSL test)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from logray.ops.window import asof_join
+
+    rng = np.random.default_rng(seed)
+    left = pa.table({
+        "key": pa.array(rng.integers(0, 5, n_left), pa.int64()),
+        "t": pa.array(rng.integers(0, 100, n_left), pa.int64()),
+        "lv": pa.array(np.arange(n_left, dtype=np.int64))})
+    rdf = (pd.DataFrame({
+        "key": rng.integers(0, 5, n_right).astype(np.int64),
+        "t": rng.integers(0, 100, n_right).astype(np.int64),
+        "val": np.arange(n_right, dtype=np.int64)})
+        .drop_duplicates(["key", "t"]))
+    got = asof_join(ray.data.from_arrow(left), rdf, by="key", on="t",
+                    value_cols=["val"], direction=direction,
+                    tolerance=tol).to_pandas()
+    want = pd.merge_asof(
+        left.to_pandas().sort_values("t", kind="mergesort"),
+        rdf.sort_values("t", kind="mergesort"), on="t", by="key",
+        direction=direction, tolerance=tol)
+    key = ["key", "t", "lv"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)[got.columns]
+    import pandas.testing as pt
+
+    pt.assert_frame_equal(got, want, check_dtype=False)
