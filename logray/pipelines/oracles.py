@@ -5501,7 +5501,10 @@ for _n in ("grouped_count_events", "grouped_agg_events",
            "purchase_error_outer_join", "customer_order_counts",
            "q18_large_volume_customers", "asof_purchase_prior_click",
            "asof_tolerance_purchase_click",
-           "asof_view_prior_purchase_dist"):
+           "asof_view_prior_purchase_dist",
+           # r5: remaining window-fn steps
+           "lag_gap_events", "moving_avg_user_events",
+           "top3_events_per_type", "session_counts_events"):
     ORACLE_SQL[f"dsl_{_n}"] = ORACLE_SQL[_n]
 
 

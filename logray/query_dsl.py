@@ -44,8 +44,8 @@ ordered ``on`` column, ``value_cols`` carried over, optional
 + merge_asof per bucket — or dist — both sides co-partition in one
 exchange via ``asof_join_dist``), ``semi``/``anti`` (sub-plan key
 side, co-partitioned semi-join), ``window`` (lead / dense_rank /
-ntile / percent_rank / running_sum — the bucketed-shuffle window
-ops of ``ops.window``).
+ntile / percent_rank / running_sum / lag_gap / rolling_mean / topn /
+session_count — the bucketed-shuffle window ops of ``ops.window``).
 
 Entry points: ``execute(plan, sf_dir)`` and the CLI
 ``python -m logray query-plan <plan.json> <sf_dir>``. Every plan in
@@ -127,6 +127,9 @@ def compile_expr(node: Any):
     if kind == "int":
         sub = compile_expr(arg)
         return lambda t: pc.cast(sub(t), pa.int64())
+    if kind == "float":
+        sub = compile_expr(arg)
+        return lambda t: pc.cast(sub(t), pa.float64())
     if kind in _BINOPS:
         a, b = compile_expr(arg[0]), compile_expr(arg[1])
         fn = _BINOPS[kind]
@@ -275,6 +278,26 @@ def execute(plan: dict | str, sf_dir: str):
                 ds = W.running_sum(ds, step["part"], step["order"],
                                    step["col"],
                                    out_col=step.get("out", "running"))
+            elif fn == "lag_gap":
+                ds = W.lag_gap(ds, step["part"], step["ts"],
+                               step["order"],
+                               out_col=step.get("out", "gap_s"))
+            elif fn == "rolling_mean":
+                ds = W.rolling_mean(ds, step["part"], step["order"],
+                                    step["col"], int(step["window"]),
+                                    out_col=step.get("out",
+                                                     "rolling_mean"))
+            elif fn == "topn":
+                ds = W.grouped_topn(ds, step["part"],
+                                    [(c, bool(d))
+                                     for c, d in step["order"]],
+                                    int(step["n"]),
+                                    rank_col=step.get("out", "rn"))
+            elif fn == "session_count":
+                ds = W.session_counts(ds, step["part"], step["ts"],
+                                      float(step["gap_s"]),
+                                      out_col=step.get("out",
+                                                       "n_sessions"))
             else:
                 raise ValueError(f"unknown window fn {fn!r}")
         elif op in ("semi", "anti"):
@@ -602,6 +625,50 @@ PLANS: dict[str, dict] = {
                 "prior_purchase_value": {
                     "round": [{"col": "prior_purchase_value"}, 2]}}},
             {"op": "select", "cols": ["event_id", "prior_purchase_value"]},
+        ],
+    },
+    "lag_gap_events": {
+        "from": {"table": "events",
+                 "columns": ["user_id", "ts", "event_id"]},
+        "ops": [
+            {"op": "window", "fn": "lag_gap", "part": "user_id",
+             "ts": "ts", "order": ["ts", "event_id"], "out": "gap_s"},
+            {"op": "derive", "cols": {
+                "gap_s": {"float": {"col": "gap_s"}}}},
+            {"op": "select", "cols": ["event_id", "gap_s"]},
+        ],
+    },
+    "moving_avg_user_events": {
+        "from": {"table": "events",
+                 "columns": ["user_id", "ts", "event_id", "value"]},
+        "ops": [
+            {"op": "derive", "cols": {
+                "__cents": {"cents": [{"col": "value"}, 100]}}},
+            {"op": "select", "cols": ["user_id", "ts", "event_id",
+                                      "__cents"]},
+            {"op": "window", "fn": "rolling_mean", "part": "user_id",
+             "order": ["ts", "event_id"], "col": "__cents",
+             "window": 3, "out": "ma3"},
+            {"op": "derive", "cols": {
+                "ma3": {"round": [{"div": [{"float": {"col": "ma3"}},
+                                           {"lit": 100.0}]}, 6]}}},
+            {"op": "select", "cols": ["event_id", "ma3"]},
+        ],
+    },
+    "top3_events_per_type": {
+        "from": {"table": "events",
+                 "columns": ["event_type", "event_id", "value"]},
+        "ops": [
+            {"op": "window", "fn": "topn", "part": "event_type",
+             "order": [["value", True], ["event_id", False]], "n": 3,
+             "out": "rn"},
+        ],
+    },
+    "session_counts_events": {
+        "from": {"table": "events", "columns": ["user_id", "ts"]},
+        "ops": [
+            {"op": "window", "fn": "session_count", "part": "user_id",
+             "ts": "ts", "gap_s": 1800.0},
         ],
     },
 }
