@@ -9,7 +9,7 @@ with ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32).
 num_cpus=8 and num_cpus=32 on the SAME corpus and reports both
 throughputs + scaling efficiency T-based:
     efficiency = (t8 / t32) / (32 / 8)
-Results are also appended to BENCH/BASELINE.md by scripts/record_scaling.
+Record results in BASELINE.md (round sections).
 
 Environment knobs:
   GRAFT_SF_DIR       testdata dir for table queries (default sf0.1)
