@@ -248,3 +248,44 @@ def test_crash_mid_publish_leaves_consistent_table(tmp_path):
     rep = versioned.vacuum(d, keep_last=1)
     assert any(n.startswith(".v") for n in rep["deleted_files"])
     assert rows() == [1, 2, 3]
+
+
+def test_corrupt_partial_file_from_crash_is_inert(ray_session, tmp_path):
+    """A writer killed MID-FILE leaves a truncated (unparseable) parquet
+    in a sink directory. Because every consumer — read_sink, compaction,
+    aggregates — walks manifest-referenced files only, the corpse is
+    inert: results unchanged, compaction succeeds without reading it,
+    and sweep_orphans removes it without parsing it."""
+    import pyarrow as pa
+
+    from logray.gen import generate_corpus
+    from logray.pipelines.compact import compact
+    from logray.pipelines.flagship import read_sink, run_flagship
+
+    corpus = tmp_path / "corpus"
+    meta = generate_corpus(0.002, corpus, with_expected=False)
+    out = tmp_path / "out"
+    run_flagship(corpus, out, wave_size=2, enrich_concurrency=2)
+    agg_before = pq.read_table(out / "_aggregates.parquet").to_pylist()
+    sinks = sorted({r["sink"] for r in agg_before})
+    counts_before = {s: read_sink(out, s).count() for s in sinks}
+
+    # plant a truncated parquet corpse in a real sink dir (valid magic
+    # prefix, torn off mid-body — what a SIGKILL mid-write leaves)
+    sink_dir = next(p for p in out.iterdir()
+                    if p.is_dir() and not p.name.startswith("_"))
+    real = next(sink_dir.rglob("*.parquet"))
+    corpse = real.parent / "part-deadbeefcafe.parquet"
+    corpse.write_bytes(real.read_bytes()[: max(16, real.stat().st_size // 3)])
+
+    assert {s: read_sink(out, s).count() for s in sinks} == counts_before
+    rep = compact(out, target_mb=64)
+    assert rep["files_after"] <= rep["files_before"]
+    assert {s: read_sink(out, s).count() for s in sinks} == counts_before
+    assert sum(counts_before.values()) == meta["n_turns"]
+
+    from logray.state import manifests as M
+
+    swept = M.sweep_orphans(out)
+    assert any("part-deadbeefcafe" in s for s in swept)
+    assert not corpse.exists()
