@@ -67,9 +67,12 @@ def register_put_if_absent(filesystem: pafs.FileSystem, fn) -> None:
     (without writing) when it already does — the store-side primitive
     (S3 ``If-None-Match: *``, GCS ``ifGenerationMatch=0``) that makes
     ``publish_exclusive`` a true OCC publish on object storage. Keyed
-    by filesystem identity; register on the driver before resolving
-    FsPaths (commits run driver-side, so workers never need it).
-    Pass ``None`` to unregister."""
+    by filesystem IDENTITY — pair it with ``register_filesystem`` so
+    every ``fspath`` resolution returns the same pinned instance
+    (paths resolved through ``FileSystem.from_uri`` construct a fresh
+    filesystem per call, which would never match). Register on the
+    driver before resolving FsPaths (commits run driver-side, so
+    workers never need it). Pass ``None`` to unregister."""
     if fn is None:
         _PUT_IF_ABSENT.pop(id(filesystem), None)
     else:
