@@ -16,7 +16,7 @@ input grows 10×? A flat driver RSS (the corpus never lands on the
 driver) is the pass criterion; per-op wall times are recorded for the
 superlinearity check against the 1× readings.
 
-Usage: python scripts/soak_extended.py [rep] [sf_dir]
+Usage: python scripts/soak_extended.py [rep] [sf_dir] [--ops a,b,c]
 Prints one JSON line; record the result in BASELINE.md.
 """
 
@@ -40,6 +40,7 @@ OFFSET_COLS = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 
 
@@ -73,8 +74,11 @@ def rss_mb() -> float:
 def main() -> None:
     import ray
 
-    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    rep = int(args[0]) if args else 10
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    ops_arg = [a.split("=", 1)[1] for a in sys.argv[1:]
+               if a.startswith("--ops=")]
     scratch = Path(tempfile.mkdtemp(prefix="logray-soak-"))
     try:
         t0 = time.perf_counter()
@@ -89,9 +93,10 @@ def main() -> None:
         DataContext.get_current().enable_progress_bars = False
         from logray.pipelines.queries import QUERIES
 
-        names = ["triangle_counts_parts", "pagerank_customer_supplier",
-                 "dup_ngram_coverage_documents",
-                 "minhash_dedup_documents"]
+        names = (ops_arg[0].split(",") if ops_arg else
+                 ["triangle_counts_parts", "pagerank_customer_supplier",
+                  "dup_ngram_coverage_documents",
+                  "minhash_dedup_documents"])
         out = {"rep": rep, "sf_dir": sf_dir, "prep_s": round(t_prep, 1),
                "rss_mb_baseline": round(rss_mb(), 1), "ops": {}}
         for name in names:
