@@ -352,3 +352,19 @@ def test_dsl_topk_must_be_final_step(ray_session):
                     {"op": "limit", "n": 3}]}
     with pytest.raises(ValueError, match="final step"):
         execute(plan, "/root/testdata/sf0.001")
+
+
+def test_example_plan_files_match_registry_plans():
+    """The shipped examples/ plan documents stay byte-equal (as JSON
+    values) to their PLANS entries — drift would ship stale docs."""
+    import json
+    from pathlib import Path
+
+    from logray.query_dsl import PLANS
+
+    ex = Path(__file__).resolve().parents[1] / "examples"
+    found = sorted(ex.glob("plan_*.json"))
+    assert found, "examples/plan_*.json missing"
+    for f in found:
+        name = f.stem[len("plan_"):]
+        assert json.loads(f.read_text()) == PLANS[name], name
